@@ -1,0 +1,69 @@
+"""SparkSession factory.
+
+Replaces /root/reference/create_cluster.py (216 LoC of Redshift/IAM
+provisioning) + the psycopg2 connect in etl.py:37 — on Spark the "cluster"
+is a SparkSession. The knobs kept are the ones that matter semantically or
+at scale:
+
+- Session timezone UTC: the reference's ``TIMESTAMP 'epoch' + ts/1000 *
+  INTERVAL '1 second'`` (sql_queries.py:152) is UTC arithmetic; EXTRACT
+  parts drift unless the session TZ is pinned.
+- AQE on: runtime re-planning (skew joins, partition coalescing) stands in
+  for Redshift's ``STATUPDATE ON`` runtime statistics (sql_queries.py:126).
+- ``spark.sql.shuffle.partitions`` sized to the machine for local runs; on a
+  real 1000-executor cluster this should be ~2-3x total cores (set via
+  ``extra_conf`` or spark-submit).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+
+def get_spark(
+    app_name: str = "cdw_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) the engine's SparkSession.
+
+    Scale note: everything here is master-agnostic — the same code runs on
+    ``local[N]`` and on YARN/K8s with 1000 executors; only ``master`` and the
+    sizing configs change.
+    """
+    cpus = default_parallelism()
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{cpus}]")
+        # Determinism / semantics
+        .config("spark.sql.session.timeZone", "UTC")
+        # Adaptive execution: coalesce post-shuffle partitions, convert
+        # sort-merge->broadcast at runtime, split skewed partitions.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Local-mode sizing; cluster deployments override via extra_conf.
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(shuffle_partitions if shuffle_partitions is not None else cpus),
+        )
+        .config("spark.default.parallelism", str(cpus))
+        # Arrow for any pandas_udf / toPandas path (the fast Python lane).
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Broadcast threshold: dimension tables (diststyle all in the
+        # reference, sql_queries.py:85,105,117) must broadcast.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.warehouse.dir", os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/cdw_warehouse"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

@@ -1,0 +1,278 @@
+"""Aggregation layer (SURVEY.md §2.4 / §7.2 M4).
+
+The reference contains no GROUP BY, aggregate, ORDER BY, or HAVING anywhere
+(checked exhaustively, SURVEY.md §2.4) — Redshift would have provided them,
+so a complete replacement engine must too. These queries demonstrate the
+standard analytic surface on the fixture tables, written for scale:
+partial (map-side) aggregation before every shuffle, broadcast joins for
+dims, top-k as TakeOrderedAndProject (never a global sort).
+
+Numeric discipline for the DuckDB differential oracle: monetary aggregates
+are summed as DECIMAL (exact, order-independent — double summation is not
+associative and would hash-mismatch across engines); averages are computed
+as exact-decimal sums cast to double, divided, then rounded.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_fixture
+from ..registry import register
+
+DEC = "decimal(18,2)"
+
+
+@register(
+    "agg_pricing_summary",
+    oracle="""
+    SELECT
+        l_returnflag AS return_flag,
+        l_linestatus AS line_status,
+        SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+        SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
+        SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,4))) AS sum_disc_price,
+        ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_qty,
+        COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="TPC-H Q1-shaped pricing summary: filtered scan -> grouped "
+    "aggregation with partial aggregates (map-side combine).",
+)
+def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped aggregation over the big fact table. Scale: the filter is
+    pushed to the parquet scan; partial aggregation reduces each of the
+    1000 executors' output to |groups| rows before the single shuffle, so
+    network traffic is O(groups), not O(rows)."""
+    li = load_fixture(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast(DEC)
+    price = F.col("l_extendedprice").cast(DEC)
+    disc = (F.lit(1) - F.col("l_discount")).cast("decimal(18,4)")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy(
+            F.col("l_returnflag").alias("return_flag"),
+            F.col("l_linestatus").alias("line_status"),
+        )
+        .agg(
+            F.sum(qty).alias("sum_qty"),
+            F.sum(price).alias("sum_base_price"),
+            F.sum(price * disc).alias("sum_disc_price"),
+            F.round(F.sum(qty).cast("double") / F.count(F.lit(1)), 6).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "join_agg_topk",
+    oracle="""
+    SELECT
+        c.c_mktsegment AS segment,
+        COUNT(*) AS n_orders,
+        SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS revenue
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    ORDER BY revenue DESC, segment
+    LIMIT 3
+    """,
+    doc="Join -> aggregate -> top-k: the canonical reporting query "
+    "(TPC-H Q3 shape).",
+)
+def join_agg_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-to-dim join then grouped agg then top-k. Scale: customer is the
+    smaller side (broadcast below threshold / AQE-converted above); the
+    ORDER BY+LIMIT compiles to TakeOrderedAndProject — no global sort of
+    the aggregate output."""
+    o = load_fixture(spark, sf_dir, "orders")
+    c = load_fixture(spark, sf_dir, "customer")
+    return (
+        o.join(c, o["o_custkey"] == c["c_custkey"], "inner")
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast(DEC)).alias("revenue"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("segment"))
+        .limit(3)
+    )
+
+
+@register(
+    "multi_join_groupby",
+    oracle="""
+    SELECT
+        n.n_name AS nation,
+        COUNT(*) AS n_orders,
+        SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS revenue
+    FROM region r
+    JOIN nation n   ON n.n_regionkey = r.r_regionkey
+    JOIN customer c ON c.c_nationkey = n.n_nationkey
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    WHERE r.r_name = 'ASIA'
+    GROUP BY n.n_name
+    """,
+    doc="4-table snowflake join with dimension broadcast (TPC-H Q5 shape; "
+    "the reference's diststyle-all dims, sql_queries.py:85,105,117).",
+)
+def multi_join_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """region and nation are tiny dims — explicitly broadcast (the Spark
+    analogue of Redshift ``diststyle all``), so the only shuffle in the
+    whole plan is the final aggregation; the filter on r_name prunes
+    nations *before* they reach the fact join."""
+    r = load_fixture(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = load_fixture(spark, sf_dir, "nation")
+    c = load_fixture(spark, sf_dir, "customer")
+    o = load_fixture(spark, sf_dir, "orders")
+    return (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast(DEC)).alias("revenue"),
+        )
+    )
+
+
+@register(
+    "case_when_having",
+    oracle="""
+    SELECT
+        CASE WHEN o_totalprice < 50000 THEN 'small'
+             WHEN o_totalprice < 150000 THEN 'mid'
+             ELSE 'large' END AS band,
+        o_orderpriority AS priority,
+        COUNT(*) AS n
+    FROM orders
+    GROUP BY 1, 2
+    HAVING COUNT(*) > 5
+    """,
+    doc="CASE WHEN bucketing + GROUP BY + HAVING (absent from reference, "
+    "SURVEY.md §2.4 row 6).",
+)
+def case_when_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional expression feeding a grouped aggregate with a
+    post-aggregation filter — all whole-stage-codegen'd JVM expressions."""
+    o = load_fixture(spark, sf_dir, "orders")
+    band = (
+        F.when(F.col("o_totalprice") < 50000, "small")
+        .when(F.col("o_totalprice") < 150000, "mid")
+        .otherwise("large")
+    )
+    return (
+        o.groupBy(band.alias("band"), F.col("o_orderpriority").alias("priority"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 5)
+    )
+
+
+@register(
+    "rollup_agg",
+    oracle="""
+    SELECT
+        r.r_name AS region,
+        n.n_name AS nation,
+        COUNT(*) AS customers
+    FROM region r
+    JOIN nation n   ON n.n_regionkey = r.r_regionkey
+    JOIN customer c ON c.c_nationkey = n.n_nationkey
+    GROUP BY ROLLUP(r.r_name, n.n_name)
+    """,
+    doc="ROLLUP hierarchical aggregation (grouping-sets family, absent from "
+    "reference — SURVEY.md §2.4 row 1).",
+)
+def rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-level aggregate in one pass: Spark expands the rollup into
+    grouping sets and still applies partial aggregation — one shuffle for
+    all three levels."""
+    r = load_fixture(spark, sf_dir, "region")
+    n = load_fixture(spark, sf_dir, "nation")
+    c = load_fixture(spark, sf_dir, "customer")
+    joined = c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"]).join(
+        F.broadcast(r), n["n_regionkey"] == r["r_regionkey"]
+    )
+    return (
+        joined.select(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .rollup("region", "nation")
+        .agg(F.count(F.lit(1)).alias("customers"))
+    )
+
+
+@register(
+    "agg_distinct_count",
+    oracle="""
+    SELECT
+        event_type,
+        COUNT(DISTINCT user_id) AS users,
+        COUNT(*) AS n_events,
+        SUM(CAST(value AS DECIMAL(18,2))) AS total_value,
+        MIN(value) AS min_value,
+        MAX(value) AS max_value
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="COUNT(DISTINCT) + min/max aggregate battery over the event stream "
+    "table.",
+)
+def agg_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-count is the expensive one at scale: Spark plans it as a
+    two-phase expand+aggregate. For 100 TB dashboards, approx_count_distinct
+    (HLL) is the right tool — exposed as ``agg_approx_distinct`` with a
+    rows-only check since HLL sketches are engine-specific."""
+    ev = load_fixture(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("users"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast(DEC)).alias("total_value"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )
+
+
+@register(
+    "agg_approx_distinct",
+    oracle=None,  # HLL sketch estimates are engine-specific — rows-only check.
+    doc="approx_count_distinct (HyperLogLog++) — the scale path for distinct "
+    "counts; estimate is engine-specific so no value oracle.",
+)
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ sketch: constant memory per group regardless of cardinality —
+    the 100 TB answer to COUNT(DISTINCT). rsd=0.01 keeps the estimate
+    within ~1%."""
+    ev = load_fixture(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users")
+    )
+
+
+@register(
+    "cube_agg",
+    oracle="""
+    SELECT
+        l_returnflag AS return_flag,
+        l_linestatus AS line_status,
+        SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+        COUNT(*) AS n
+    FROM lineitem
+    GROUP BY CUBE(l_returnflag, l_linestatus)
+    """,
+    doc="CUBE aggregation over flag/status pairs (grouping-sets family).",
+)
+def cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All 2^k grouping combinations in a single shuffle via expand."""
+    li = load_fixture(spark, sf_dir, "lineitem")
+    return (
+        li.select(
+            F.col("l_returnflag").alias("return_flag"),
+            F.col("l_linestatus").alias("line_status"),
+            F.col("l_quantity").cast(DEC).alias("qty"),
+        )
+        .cube("return_flag", "line_status")
+        .agg(F.sum("qty").alias("sum_qty"), F.count(F.lit(1)).alias("n"))
+    )

@@ -1,0 +1,288 @@
+"""Core relational operators (SURVEY.md §2.1-2.2), expressed over the driver
+fixture tables.
+
+The reference's whole relational surface is: scan, filter (Q2), projection
+with aliasing (Q3), DISTINCT (Q4), implicit int->varchar cast (Q5/K7), and a
+single 3-key conjunctive INNER equi-join whose keys are rounded to
+DECIMAL(9,0) before matching (Q1 + quirk K4) — /root/reference/
+sql_queries.py:140-166. Each query here exercises one of those operators on
+the TPC-H-ish fixtures, per the FIXTURES.md operator->fixture mapping; the
+faithful Sparkify pipeline itself is in cdw_spark/pipeline/sparkify.py.
+
+Scale notes are inline — every plan is written to survive 100 TB:
+dimension sides broadcast, filters sit directly on the parquet scan
+(pushdown), distinct is a hash aggregate on the shuffle keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_fixture
+from ..registry import register
+
+
+@register(
+    "star_fact_join",
+    oracle="""
+    WITH dim AS (
+        SELECT DISTINCT
+            l_partkey AS part_id,
+            l_suppkey AS supp_id,
+            CAST(FLOOR(l_quantity) AS DECIMAL(9,0)) AS qty
+        FROM lineitem
+        WHERE l_returnflag = 'R'
+    )
+    SELECT DISTINCT
+        CAST(f.l_orderkey AS VARCHAR) AS order_id,
+        CAST(f.l_linenumber AS VARCHAR) AS line_id,
+        d.part_id,
+        d.supp_id,
+        d.qty
+    FROM lineitem f
+    JOIN dim d
+      ON f.l_partkey = d.part_id
+     AND f.l_suppkey = d.supp_id
+     AND CAST(FLOOR(f.l_quantity) AS DECIMAL(9,0)) = d.qty
+    WHERE f.l_linestatus = 'O'
+    """,
+    doc="3-key conjunctive inner equi-join with pre-join DECIMAL(9,0) "
+    "rounding — the songplays fact query shape (sql_queries.py:140-166, "
+    "quirks K4/K7).",
+)
+def star_fact_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1+Q2+Q3+Q4+Q5 composite.
+
+    Mirrors ``INSERT INTO songplays SELECT DISTINCT ... FROM staging_events se
+    JOIN staging_songs ss ON se.artist=ss.artist_name AND se.song=ss.title
+    AND se.length=ss.duration WHERE se.page='NextSong'``
+    (/root/reference/sql_queries.py:140-166): a filtered fact stream joined
+    to a deduplicated catalog on three conjunctive keys, one of which is a
+    value rounded to DECIMAL(9,0) *before* the match (K4), with int->string
+    casts in the projection (K7) and DISTINCT over the projected row (Q4).
+
+    Scale: the dim side is DISTINCT over a filtered scan — at 100 TB it is
+    orders of magnitude smaller than the fact side, so we broadcast it and
+    the fact table is never shuffled (verified in tests/test_plans.py).
+    FLOOR before the join keeps the rounding deterministic across engines.
+    """
+    li = load_fixture(spark, sf_dir, "lineitem")
+    qty = F.floor(F.col("l_quantity")).cast("decimal(9,0)")
+    dim = (
+        li.filter(F.col("l_returnflag") == "R")
+        .select(
+            F.col("l_partkey").alias("part_id"),
+            F.col("l_suppkey").alias("supp_id"),
+            qty.alias("qty"),
+        )
+        .distinct()
+    )
+    fact = li.filter(F.col("l_linestatus") == "O")
+    return (
+        fact.join(
+            F.broadcast(dim),
+            on=[
+                fact["l_partkey"] == dim["part_id"],
+                fact["l_suppkey"] == dim["supp_id"],
+                qty == dim["qty"],
+            ],
+            how="inner",
+        )
+        .select(
+            fact["l_orderkey"].cast("string").alias("order_id"),
+            fact["l_linenumber"].cast("string").alias("line_id"),
+            dim["part_id"],
+            dim["supp_id"],
+            dim["qty"],
+        )
+        .distinct()
+    )
+
+
+@register(
+    "filter_project",
+    oracle="""
+    SELECT event_id, user_id, value AS amount, props
+    FROM events
+    WHERE event_type = 'purchase'
+    """,
+    doc="Predicate + aliased projection (Q2+Q3, sql_queries.py:165).",
+)
+def filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``WHERE se.page = 'NextSong'`` analogue: equality filter pushed to the
+    parquet scan + column-pruned projection. At 100 TB the scan reads only
+    the four referenced columns and skips row groups via min/max stats."""
+    ev = load_fixture(spark, sf_dir, "events")
+    return ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.col("value").alias("amount"), "props"
+    )
+
+
+@register(
+    "distinct_dim",
+    oracle="""
+    SELECT DISTINCT c_mktsegment AS segment, c_nationkey AS nation_key
+    FROM customer
+    """,
+    doc="SELECT DISTINCT over the projected row (Q4, sql_queries.py:177).",
+)
+def distinct_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate elimination — the users/songs/artists dimension build
+    (sql_queries.py:168-206). Physically a hash aggregate: partial
+    (map-side) distinct before the shuffle, so 100 TB of input reduces to
+    |distinct| rows on the wire."""
+    c = load_fixture(spark, sf_dir, "customer")
+    return c.select(
+        F.col("c_mktsegment").alias("segment"), F.col("c_nationkey").alias("nation_key")
+    ).distinct()
+
+
+@register(
+    "cast_projection",
+    oracle="""
+    SELECT DISTINCT
+        CAST(user_id AS VARCHAR) AS user_id,
+        CAST(event_id AS VARCHAR) AS session_id,
+        event_type AS level
+    FROM events
+    WHERE event_type IN ('view', 'click')
+    """,
+    doc="Explicit int->varchar casts in a DISTINCT projection (Q5/K7, "
+    "sql_queries.py:153,157).",
+)
+def cast_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference relies on Redshift's implicit INTEGER->VARCHAR cast when
+    inserting staging ints into varchar fact columns (sql_queries.py:68,72
+    vs :45,:40). Spark requires the cast to be explicit — this query is that
+    projection shape."""
+    ev = load_fixture(spark, sf_dir, "events")
+    return (
+        ev.filter(F.col("event_type").isin("view", "click"))
+        .select(
+            F.col("user_id").cast("string").alias("user_id"),
+            F.col("event_id").cast("string").alias("session_id"),
+            F.col("event_type").alias("level"),
+        )
+        .distinct()
+    )
+
+
+@register(
+    "semi_anti_join",
+    oracle="""
+    SELECT 'with_orders' AS tag, c_custkey AS cust_key FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    UNION ALL
+    SELECT 'without_orders' AS tag, c_custkey AS cust_key FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+    doc="Left-semi and left-anti joins (beyond-reference coverage; "
+    "SURVEY.md §2.4 row 5).",
+)
+def semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS / NOT EXISTS as semi/anti hash joins. Scale: the orders side
+    collapses to distinct keys map-side; with AQE a small filtered side
+    flips to broadcast at runtime."""
+    c = load_fixture(spark, sf_dir, "customer")
+    o = load_fixture(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    semi = c.join(o, "c_custkey", "left_semi").select(
+        F.lit("with_orders").alias("tag"), F.col("c_custkey").alias("cust_key")
+    )
+    anti = c.join(o, "c_custkey", "left_anti").select(
+        F.lit("without_orders").alias("tag"), F.col("c_custkey").alias("cust_key")
+    )
+    return semi.unionAll(anti)
+
+
+@register(
+    "set_ops",
+    oracle="""
+    SELECT 'both' AS tag, k FROM (
+        SELECT c_custkey AS k FROM customer
+        INTERSECT
+        SELECT o_custkey AS k FROM orders
+    )
+    UNION ALL
+    SELECT 'customer_only' AS tag, k FROM (
+        SELECT c_custkey AS k FROM customer
+        EXCEPT
+        SELECT o_custkey AS k FROM orders
+    )
+    """,
+    doc="INTERSECT / EXCEPT / UNION ALL (beyond-reference; SURVEY.md §2.4 "
+    "row 4).",
+)
+def set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operators over key columns; each is a shuffle on the full row —
+    kept to pruned single-column projections so the shuffle payload is
+    minimal at scale."""
+    c = load_fixture(spark, sf_dir, "customer").select(F.col("c_custkey").alias("k"))
+    o = load_fixture(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k"))
+    both = c.intersect(o).select(F.lit("both").alias("tag"), "k")
+    only = c.subtract(o).select(F.lit("customer_only").alias("tag"), "k")
+    return both.unionAll(only)
+
+
+@register(
+    "outer_join_coalesce",
+    oracle="""
+    SELECT
+        n.n_name AS nation,
+        COALESCE(CAST(c.cnt AS BIGINT), 0) AS customers
+    FROM nation n
+    LEFT JOIN (
+        SELECT c_nationkey, COUNT(*) AS cnt FROM customer GROUP BY c_nationkey
+    ) c ON n.n_nationkey = c.c_nationkey
+    """,
+    doc="Left outer join + COALESCE null handling (beyond-reference; "
+    "SURVEY.md §2.4 row 5).",
+)
+def outer_join_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outer join with aggregate-before-join: aggregating the big side first
+    shrinks it to |nations| rows, so the join is a broadcast of two tiny
+    inputs regardless of raw data size — the aggregate-pushdown pattern."""
+    n = load_fixture(spark, sf_dir, "nation")
+    c = (
+        load_fixture(spark, sf_dir, "customer")
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return n.join(c, n["n_nationkey"] == c["c_nationkey"], "left").select(
+        n["n_name"].alias("nation"),
+        F.coalesce(c["cnt"].cast("bigint"), F.lit(0).cast("bigint")).alias("customers"),
+    )
+
+
+@register(
+    "scalar_funcs",
+    oracle="""
+    SELECT
+        p_partkey AS part_key,
+        UPPER(p_brand) AS brand_uc,
+        SUBSTR(p_type, 1, 6) AS type_prefix,
+        LENGTH(p_name) AS name_len,
+        CONCAT(p_brand, ':', p_type) AS brand_type,
+        ROUND(p_retailprice, 1) AS price_r1,
+        CAST(ABS(p_size - 25) AS INTEGER) AS size_dev,
+        MOD(p_partkey, 7) AS key_mod
+    FROM part
+    WHERE p_size BETWEEN 10 AND 40
+    """,
+    doc="Scalar string/math expression surface (F-family analogue, "
+    "sql_queries.py:151-159; beyond-reference breadth per §2.4 row 7).",
+)
+def scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All JVM-side built-ins inside one whole-stage-codegen span — the
+    expression surface stays off the Python path entirely."""
+    p = load_fixture(spark, sf_dir, "part")
+    return p.filter(F.col("p_size").between(10, 40)).select(
+        F.col("p_partkey").alias("part_key"),
+        F.upper("p_brand").alias("brand_uc"),
+        F.substring("p_type", 1, 6).alias("type_prefix"),
+        F.length("p_name").alias("name_len"),
+        F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
+        F.round("p_retailprice", 1).alias("price_r1"),
+        F.abs(F.col("p_size") - 25).cast("int").alias("size_dev"),
+        (F.col("p_partkey") % 7).alias("key_mod"),
+    )

@@ -1,0 +1,257 @@
+"""Window functions + time-window aggregations (SURVEY.md §2.4 rows 2-3,
+§7.2 M4/M5).
+
+Absent from the reference (no ``OVER (`` anywhere) but table stakes for the
+engine. The tumbling/sliding/session time windows here are the *batch*
+expressions of the same logic the streaming module (cdw_spark/streaming/)
+runs incrementally — identical semantics, one code path tested against the
+DuckDB oracle, then reused over readStream.
+
+Determinism rule for oracles: every window ordering carries a unique
+tie-breaker column (event_id / order key) so both engines produce the same
+frame contents.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import load_fixture
+from ..registry import register
+
+DEC = "decimal(18,2)"
+
+
+@register(
+    "window_rank_topk",
+    oracle="""
+    SELECT cust_key, order_key, total_price, rank_in_cust
+    FROM (
+        SELECT
+            o_custkey AS cust_key,
+            o_orderkey AS order_key,
+            o_totalprice AS total_price,
+            ROW_NUMBER() OVER (
+                PARTITION BY o_custkey
+                ORDER BY o_totalprice DESC, o_orderkey
+            ) AS rank_in_cust
+        FROM orders
+    ) t
+    WHERE rank_in_cust <= 2
+    """,
+    doc="Top-k per group via ROW_NUMBER ranking window.",
+)
+def window_rank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-2 orders per customer. Scale: one hash-partition shuffle on the
+    group key, sort within partitions only; Spark 3.5+/4.x inserts a
+    WindowGroupLimit (rank pushdown) so each partition keeps only k rows
+    before the final filter."""
+    o = load_fixture(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        o.select(
+            F.col("o_custkey").alias("cust_key"),
+            F.col("o_orderkey").alias("order_key"),
+            F.col("o_totalprice").alias("total_price"),
+            F.row_number().over(w).alias("rank_in_cust"),
+        )
+        .filter(F.col("rank_in_cust") <= 2)
+    )
+
+
+@register(
+    "window_running_sum",
+    oracle="""
+    SELECT
+        event_id,
+        user_id,
+        SUM(CAST(value AS DECIMAL(18,2))) OVER (
+            PARTITION BY user_id
+            ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        ) AS running_value
+    FROM events
+    """,
+    doc="Cumulative sum (analytic window, running frame).",
+)
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running total per user ordered by time. DECIMAL accumulation keeps
+    the prefix sums exact and therefore oracle-comparable; doubles would
+    drift by association order."""
+    ev = load_fixture(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.sum(F.col("value").cast(DEC)).over(w).alias("running_value"),
+    )
+
+
+@register(
+    "window_lag_delta",
+    oracle="""
+    SELECT
+        event_id,
+        user_id,
+        epoch_ms(ts) - LAG(epoch_ms(ts)) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id
+        ) AS ms_since_prev
+    FROM events
+    """,
+    doc="LAG analytic function: inter-event gap per user.",
+)
+def window_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Millisecond gap to the previous event of the same user — the
+    building block for sessionization (see session_window_agg)."""
+    ev = load_fixture(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ms = F.unix_millis(F.col("ts"))
+    return ev.select(
+        "event_id",
+        "user_id",
+        (ms - F.lag(ms).over(w)).alias("ms_since_prev"),
+    )
+
+
+@register(
+    "tumbling_window_agg",
+    oracle="""
+    SELECT
+        date_trunc('hour', ts) AS win_start,
+        date_trunc('hour', ts) + INTERVAL 1 HOUR AS win_end,
+        event_type,
+        COUNT(*) AS n_events,
+        SUM(CAST(value AS DECIMAL(18,2))) AS total_value
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+    doc="Tumbling 1-hour event-time window aggregation (batch form of the "
+    "streaming query in cdw_spark/streaming/).",
+)
+def tumbling_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``F.window`` tumbling aggregation. Same plan shape as a grouped agg:
+    partial aggregation per window before the shuffle. The streaming twin
+    adds a watermark; values are identical on finalized windows."""
+    ev = load_fixture(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(DEC)).alias("total_value"),
+        )
+        .select(
+            F.col("win.start").alias("win_start"),
+            F.col("win.end").alias("win_end"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "sliding_window_agg",
+    oracle="""
+    WITH assigned AS (
+        SELECT
+            make_timestamp((epoch_ms(ts) - (epoch_ms(ts) % 1800000)) * 1000) AS win_start,
+            value
+        FROM events
+        UNION ALL
+        SELECT
+            make_timestamp((epoch_ms(ts) - (epoch_ms(ts) % 1800000) - 1800000) * 1000) AS win_start,
+            value
+        FROM events
+    )
+    SELECT
+        win_start,
+        win_start + INTERVAL 1 HOUR AS win_end,
+        COUNT(*) AS n_events,
+        SUM(CAST(value AS DECIMAL(18,2))) AS total_value
+    FROM assigned
+    GROUP BY 1, 2
+    """,
+    doc="Sliding window (1 h size, 30 min slide): each event lands in two "
+    "overlapping windows.",
+)
+def sliding_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``F.window(size=1h, slide=30m)`` — Spark expands each row into
+    size/slide window assignments (an explode, not a self-join), then
+    aggregates; the oracle mirrors that expansion with a UNION ALL."""
+    ev = load_fixture(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("win"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(DEC)).alias("total_value"),
+        )
+        .select(
+            F.col("win.start").alias("win_start"),
+            F.col("win.end").alias("win_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "session_window_agg",
+    oracle="""
+    WITH ordered AS (
+        SELECT
+            user_id, ts, value, event_id AS rn,
+            CASE WHEN ts >= LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                           + INTERVAL 30 MINUTE
+                 OR  LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                 THEN 1 ELSE 0 END AS is_new
+        FROM events
+    ),
+    numbered AS (
+        SELECT
+            user_id, ts, value,
+            SUM(is_new) OVER (
+                PARTITION BY user_id ORDER BY ts, rn
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+            ) AS session_no
+        FROM ordered
+    )
+    SELECT
+        user_id,
+        MIN(ts) AS session_start,
+        MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+        COUNT(*) AS n_events,
+        SUM(CAST(value AS DECIMAL(18,2))) AS total_value
+    FROM numbered
+    GROUP BY user_id, session_no
+    """,
+    doc="Session window (30 min gap) per user — gaps-and-islands in the "
+    "oracle, native session_window in Spark.",
+)
+def session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``F.session_window(ts, '30 minutes')``: Spark merges events whose
+    [ts, ts+gap) windows overlap; an event exactly at prev+gap starts a new
+    session (half-open interval), which the oracle's ``>=`` reproduces.
+    Scale: one shuffle on user_id, sort within partition, linear merge —
+    same cost profile as the oracle's window formulation but fused natively.
+    """
+    ev = load_fixture(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("win"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(DEC)).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )

@@ -1,0 +1,48 @@
+"""The core correctness gate, run locally before the driver runs it:
+every registered query with an oracle must match DuckDB exactly
+(row count + columns + order-insensitive canonical values)."""
+
+from __future__ import annotations
+
+import pytest
+
+from cdw_spark.compare import compare_frames
+from cdw_spark.registry import load_all
+
+SPECS = load_all()
+WITH_ORACLE = sorted(n for n, s in SPECS.items() if s.oracle is not None)
+ROWS_ONLY = sorted(n for n, s in SPECS.items() if s.oracle is None)
+
+
+@pytest.mark.parametrize("name", WITH_ORACLE)
+def test_oracle_match(spark, sf_dir, name):
+    spec = SPECS[name]
+    df = spec.fn(spark, sf_dir)
+    res = compare_frames(name, df, spec.oracle, sf_dir)
+    assert res.ok, str(res)
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY)
+def test_rows_only_runs(spark, sf_dir, name):
+    """Queries without an oracle must at least run and return a stable schema."""
+    spec = SPECS[name]
+    df = spec.fn(spark, sf_dir)
+    assert df.columns, name
+    assert df.count() >= 0
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    assert df.count() > 0
+    assert all(isinstance(c, str) for c in df.columns)
+
+
+def test_oracle_keys_subset():
+    import __spark_entry__ as e
+
+    q = e.queries()
+    o = e.oracle_sql()
+    assert set(o) <= set(q)
+    assert len(q) >= 10
