@@ -1,0 +1,80 @@
+#!/usr/bin/env python
+"""Benchmark runner — the driver's per-round perf gate.
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <scale factor>}
+
+Each query is forced through the `noop` sink so the full plan (including
+projections) executes — `.count()` would let Catalyst prune the work.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from cdw_spark.registry import load_all
+from cdw_spark.session import get_spark
+
+# Headline set: the flagship fact join + one representative per operator
+# family (agg, multi-join, window, time windows, time dim) + the
+# large-scale-pipeline operators as they land.
+HEADLINE = [
+    "star_fact_join",
+    "agg_pricing_summary",
+    "join_agg_topk",
+    "multi_join_groupby",
+    "window_rank_topk",
+    "window_running_sum",
+    "tumbling_window_agg",
+    "session_window_agg",
+    "time_dim",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "text_quality",
+    "similarity_topk",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    spark = get_spark(app_name="cdw_spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    specs = load_all()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        spec = specs.get(name)
+        if spec is None:
+            continue
+        df = spec.fn(spark, sf_dir)
+        t0 = time.time()
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
