@@ -80,10 +80,16 @@ class CompareResult:
 
 
 def compare_frames(name: str, spark_df: DataFrame, oracle_sql: str, sf_dir: str) -> CompareResult:
+    """Compare against the fixture-backed oracle (driver shape)."""
+    return compare_with_connection(name, spark_df, oracle_sql, open_oracle(sf_dir))
+
+
+def compare_with_connection(
+    name: str, spark_df: DataFrame, oracle_sql: str, con: duckdb.DuckDBPyConnection
+) -> CompareResult:
     spark_cols = list(spark_df.columns)
     spark_rows = [tuple(r) for r in spark_df.collect()]
 
-    con = open_oracle(sf_dir)
     cur = con.execute(oracle_sql)
     oracle_cols = [d[0] for d in cur.description]
     oracle_rows = cur.fetchall()

@@ -1,0 +1,92 @@
+"""Physical table layout — the Spark analogue of Redshift DISTKEY / SORTKEY
+/ diststyle (SURVEY.md §4; /root/reference/sql_queries.py DDL).
+
+| Redshift construct     | Spark mechanism here                              |
+|------------------------|---------------------------------------------------|
+| DISTKEY col            | repartition(col) on write (co-locates equal keys) |
+| SORTKEY col            | sortWithinPartitions(col) -> parquet row-group    |
+|                        | min/max stats -> scan-time range pruning          |
+| diststyle all          | broadcast() at join time (small dims)             |
+| STATUPDATE ON          | ANALYZE TABLE ... COMPUTE STATISTICS (CBO)        |
+
+At 100 TB the write layout is the difference between a co-located join and
+a full shuffle: writing fact tables bucketed/partitioned by their join key
+means later joins on that key skip the exchange entirely.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+# Layouts declared by the reference DDL (file:line in sql_queries.py).
+@dataclass(frozen=True)
+class TableLayout:
+    distkey: str | None = None  # None + replicate=True ≡ diststyle all
+    sortkey: str | None = None
+    replicate: bool = False
+
+
+REFERENCE_LAYOUTS: dict[str, TableLayout] = {
+    "staging_events": TableLayout(distkey="sessionId", sortkey="sessionId"),  # :40,46
+    "staging_songs": TableLayout(distkey="song_id", sortkey="song_id"),  # :57,61
+    "songplays": TableLayout(distkey="song_id", sortkey="songplay_id"),  # :66,70,75
+    "users": TableLayout(sortkey="user_id", replicate=True),  # :80,85
+    "songs": TableLayout(distkey="song_id", sortkey="song_id"),  # :90,95
+    "artists": TableLayout(sortkey="artist_id", replicate=True),  # :100,105
+    "time": TableLayout(sortkey="start_time", replicate=True),  # :110,117
+}
+
+
+def apply_layout(df: DataFrame, layout: TableLayout, num_partitions: int | None = None) -> DataFrame:
+    """Arrange a DataFrame per its declared layout before writing.
+
+    distkey -> hash repartition (co-location); sortkey ->
+    sortWithinPartitions (row-group zone maps). ``replicate`` tables are
+    small — coalesce to one partition; their replication happens at join
+    time via broadcast, not at rest."""
+    out = df
+    if layout.replicate:
+        out = out.coalesce(1)
+    elif layout.distkey:
+        out = (
+            out.repartition(num_partitions, layout.distkey)
+            if num_partitions
+            else out.repartition(layout.distkey)
+        )
+    if layout.sortkey:
+        out = out.sortWithinPartitions(layout.sortkey)
+    return out
+
+
+def write_table(
+    df: DataFrame,
+    name: str,
+    layout: TableLayout | None = None,
+    mode: str = "append",
+    path: str | None = None,
+) -> None:
+    """Write a table with its physical layout.
+
+    ``mode='append'`` mirrors the reference's INSERT semantics (quirk K6:
+    rerunning etl.py without a reset duplicates rows — faithful by default);
+    pass ``overwrite`` for the idempotent variant."""
+    layout = layout or REFERENCE_LAYOUTS.get(name) or TableLayout()
+    arranged = apply_layout(df, layout)
+    writer = arranged.write.mode(mode)
+    if path is not None:
+        writer.parquet(path)
+    else:
+        writer.saveAsTable(name)
+
+
+def analyze_table(spark: SparkSession, name: str, columns: list[str] | None = None) -> None:
+    """S7 STATUPDATE ON analogue (sql_queries.py:126,134): refresh CBO
+    statistics after load. AQE provides runtime stats regardless; this
+    feeds the static planner (join reordering, broadcast decisions)."""
+    if columns:
+        spark.sql(f"ANALYZE TABLE {name} COMPUTE STATISTICS FOR COLUMNS {', '.join(columns)}")
+    else:
+        spark.sql(f"ANALYZE TABLE {name} COMPUTE STATISTICS")

@@ -1,0 +1,48 @@
+"""End-to-end ELT: JSON -> staging parquet -> star schema parquet,
+including the reference's append-only rerun behavior (quirk K6)."""
+
+from __future__ import annotations
+
+import pytest
+
+from cdw_spark.pipeline.elt import run_elt
+from tests.sparkify_data import generate
+
+
+@pytest.fixture(scope="module")
+def data(tmp_path_factory):
+    out = tmp_path_factory.mktemp("elt_src")
+    return generate(str(out), n_songs=60, n_events=800)
+
+
+def test_elt_end_to_end(spark, data, tmp_path_factory):
+    log_path, song_path = data
+    out = str(tmp_path_factory.mktemp("warehouse"))
+    paths = run_elt(spark, log_path, song_path, out, faithful=True, mode="overwrite")
+    assert set(paths) == {
+        "staging_events", "staging_songs",
+        "songplays", "users", "songs", "artists", "time",
+    }
+    counts = {t: spark.read.parquet(p).count() for t, p in paths.items()}
+    assert counts["staging_events"] == 800
+    assert counts["songplays"] > 0
+    assert counts["songs"] == 60  # catalog dedup: 60 unique song_ids
+    # time rows == distinct whole-second start times of NextSong events
+    assert counts["time"] > 0
+
+
+def test_elt_rerun_append_duplicates_k6(spark, data, tmp_path_factory):
+    """etl.py has no idempotence: INSERTs append (etl.py:25-27). Rerunning
+    without a reset doubles the star tables — faithful by default."""
+    log_path, song_path = data
+    out = str(tmp_path_factory.mktemp("warehouse2"))
+    p1 = run_elt(spark, log_path, song_path, out, faithful=True, mode="append")
+    n1 = spark.read.parquet(p1["users"]).count()
+    p2 = run_elt(spark, log_path, song_path, out, faithful=True, mode="append")
+    n2 = spark.read.parquet(p2["users"]).count()
+    assert n2 == 2 * n1
+
+    # idempotent variant: overwrite resets to a single copy
+    p3 = run_elt(spark, log_path, song_path, out, faithful=True, mode="overwrite")
+    n3 = spark.read.parquet(p3["users"]).count()
+    assert n3 == n1
