@@ -1,0 +1,294 @@
+"""Deduplication operators for web-scale corpora (BASELINE.json north star;
+SURVEY.md §7.2 M5): exact, MinHash+LSH, SimHash, and exact n-gram Jaccard.
+
+Design point is 100 TB of documents on 1000 executors:
+
+- *Exact* dedup is a fingerprint groupBy — one shuffle of (hash, doc_id),
+  never of document bodies.
+- *MinHash+LSH* avoids the O(n^2) pair space: signatures are computed in one
+  pass over exploded shingles (partial-aggregated map-side), candidates come
+  from banding (equal band-hash -> same bucket -> self-join within tiny
+  buckets), and only candidates pay the exact-Jaccard verification join.
+- *SimHash* pairs via the pigeonhole chunk trick: hamming(a,b) <= k
+  guarantees an equal chunk among k+1 chunks, so candidate generation is
+  again an equality self-join, never a cross join.
+- Everything is integer/bit arithmetic on xxhash64 — JVM-side, no Python.
+
+All randomness is compile-time constants (seeded) — results are
+deterministic across runs and cluster layouts.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import fingerprint_md5, shingles
+
+# MinHash parameters. PRIME = 2^31 - 1 (Mersenne); products a*h stay below
+# 2^62, safe in long arithmetic under ANSI mode.
+NUM_PERMS = 64
+BANDS = 16
+ROWS_PER_BAND = 4
+_PRIME = 2_147_483_647
+_rng = random.Random(20260813)
+_PERM_A = [_rng.randrange(1, _PRIME) for _ in range(NUM_PERMS)]
+_PERM_B = [_rng.randrange(0, _PRIME) for _ in range(NUM_PERMS)]
+
+SIMHASH_BITS = 64
+SIMHASH_CHUNKS = 8  # pigeonhole: complete for hamming <= 7
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact duplicate grouping by md5 of normalized text.
+
+    Output: one row per input doc with its fingerprint, the canonical
+    (minimum-id) keeper of its group, and the group size. Downstream
+    `filter(is_canonical)` is the dedup; keeping all rows makes the
+    operator's decisions auditable.
+    """
+    fp = df.select(F.col(id_col), fingerprint_md5(F.col(text_col)).alias("fp"))
+    groups = fp.groupBy("fp").agg(
+        F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("group_size")
+    )
+    return (
+        fp.join(groups, "fp")
+        .select(
+            F.col(id_col),
+            "fp",
+            "keep_id",
+            "group_size",
+            (F.col(id_col) == F.col("keep_id")).alias("is_canonical"),
+        )
+    )
+
+
+def _shingle_table(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+    """(id, shingle) pairs, distinct per doc."""
+    return df.select(
+        F.col(id_col), F.explode(shingles(F.col(text_col), n)).alias("sh")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """64-perm MinHash signature per document, one aggregation pass.
+
+    h(shingle) = xxhash64 mod p; perm_i = (a_i*h + b_i) mod p; sig_i =
+    min(perm_i). The groupBy partial-aggregates map-side: each executor
+    emits one 64-int row per local doc fragment."""
+    sh = _shingle_table(df, text_col, id_col, n)
+    h = F.pmod(F.xxhash64("sh"), F.lit(_PRIME))
+    aggs = [
+        F.min(F.pmod(F.lit(_PERM_A[i]) * h + F.lit(_PERM_B[i]), F.lit(_PRIME))).alias(f"mh_{i}")
+        for i in range(NUM_PERMS)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(sig: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Banding: 16 bands x 4 rows. Docs sharing any band hash are
+    candidates. Self-join happens per (band, band_hash) bucket — bucket
+    sizes are tiny for non-duplicate corpora, so the join output is
+    ~|true pairs|, not O(n^2)."""
+    bands = []
+    for b in range(BANDS):
+        cols = [f"mh_{i}" for i in range(b * ROWS_PER_BAND, (b + 1) * ROWS_PER_BAND)]
+        bands.append(
+            F.struct(F.lit(b).alias("band"), F.xxhash64(*[F.col(c) for c in cols]).alias("bh"))
+        )
+    buckets = sig.select(F.col(id_col), F.explode(F.array(*bands)).alias("bk")).select(
+        id_col, "bk.band", "bk.bh"
+    )
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    return (
+        a.join(
+            b,
+            on=[
+                F.col("a.band") == F.col("b.band"),
+                F.col("a.bh") == F.col("b.bh"),
+                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+            ],
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+def jaccard_verify(
+    pairs: DataFrame,
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """Exact n-gram Jaccard for candidate pairs: intersection via shingle
+    equality join restricted to candidates, |A|,|B| from per-doc counts.
+    Only candidates pay this cost."""
+    sh = _shingle_table(df, text_col, id_col, n)
+    counts = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    sa = sh.select(F.col(id_col).alias("id_a"), F.col("sh"))
+    sb = sh.select(F.col(id_col).alias("id_b"), F.col("sh"))
+    inter = (
+        pairs.join(sa, "id_a")
+        .join(sb, ["id_b", "sh"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    ca = counts.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("na"))
+    cb = counts.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("nb"))
+    j = (
+        inter.join(ca, "id_a")
+        .join(cb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("inter").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("inter")).cast("double")
+            ).alias("jaccard_raw"),
+        )
+    )
+    return j.filter(F.col("jaccard_raw") >= threshold).select(
+        "id_a", "id_b", F.round("jaccard_raw", 6).alias("jaccard")
+    )
+
+
+def minhash_near_duplicates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline: signatures -> banded candidates
+    -> exact-Jaccard verification. With 16x4 banding, a pair at the 0.6
+    threshold survives with P > 1-(1-0.6^4)^16 ≈ 0.90 and at 0.8 with
+    P ≈ 1-5e-8 — and the verification step guarantees zero false
+    positives."""
+    sig = minhash_signatures(df, text_col, id_col, n)
+    cands = lsh_candidate_pairs(sig, id_col)
+    return jaccard_verify(cands, df, text_col, id_col, n, threshold)
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """Exact all-pairs n-gram Jaccard via inverted shingle join (no LSH).
+
+    The shingle equality join IS the pair generator: only pairs sharing at
+    least one shingle materialize. Correct at any scale but the join can
+    explode on very common shingles — at 100 TB use
+    ``minhash_near_duplicates``; this exact variant doubles as its oracle.
+    """
+    sh = _shingle_table(df, text_col, id_col, n)
+    sa = sh.select(F.col(id_col).alias("id_a"), "sh")
+    sb = sh.select(F.col(id_col).alias("id_b"), "sh")
+    pairs = (
+        sa.join(sb, "sh")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    counts = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    ca = counts.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("na"))
+    cb = counts.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("nb"))
+    return (
+        pairs.join(ca, "id_a")
+        .join(cb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("inter").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("inter")).cast("double")
+            ).alias("jaccard_raw"),
+        )
+        .filter(F.col("jaccard_raw") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard_raw", 6).alias("jaccard"))
+    )
+
+
+def simhash(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """64-bit SimHash per document over distinct n-gram shingle hashes.
+
+    bit_j(sig) = 1 iff sum over shingles of (+1 if bit_j(xxhash64(s)) else
+    -1) is positive. One explode + one aggregation — same cost shape as
+    MinHash. Shingles (not unigrams) are load-bearing: over a small shared
+    vocabulary, distinct-word sets are nearly identical across documents
+    and unigram SimHash collapses; n-grams keep the feature space wide."""
+    w = _shingle_table(df, text_col, id_col, n).withColumnRenamed("sh", "w")
+    h = F.xxhash64("w")
+    aggs = [
+        F.sum(
+            F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"s_{j}")
+        for j in range(SIMHASH_BITS)
+    ]
+    sums = w.groupBy(id_col).agg(*aggs)
+    sig: Column = F.lit(0).cast("long")
+    for j in range(SIMHASH_BITS):
+        sig = sig.bitwiseOR(
+            F.when(F.col(f"s_{j}") > 0, F.shiftleft(F.lit(1).cast("long"), j)).otherwise(0)
+        )
+    return sums.select(F.col(id_col), sig.alias("simhash"))
+
+
+def simhash_near_duplicates(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", max_hamming: int = 7
+) -> DataFrame:
+    """SimHash near-dup pairs with hamming distance <= max_hamming.
+
+    Candidates via pigeonhole on 8 x 8-bit chunks (complete for hamming<=7 —
+    hence the default), verified with bit_count(xor). Word-level jaccard-0.8
+    near-dups of ~100-word docs land at hamming 5-8 on 64-bit signatures
+    (measured on the fixture corpus). Output: (id_a, id_b, hamming)."""
+    sig = simhash(df, text_col, id_col)
+    chunks = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("chunk"),
+                F.shiftright(F.col("simhash"), c * 8).bitwiseAND(F.lit(255)).alias("ck"),
+            )
+            for c in range(SIMHASH_CHUNKS)
+        ]
+    )
+    buckets = sig.select(F.col(id_col), F.col("simhash"), F.explode(chunks).alias("b")).select(
+        id_col, "simhash", "b.chunk", "b.ck"
+    )
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    cands = (
+        a.join(
+            b,
+            on=[
+                F.col("a.chunk") == F.col("b.chunk"),
+                F.col("a.ck") == F.col("b.ck"),
+                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+            ],
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.simhash").alias("ha"),
+            F.col("b.simhash").alias("hb"),
+        )
+        .distinct()
+    )
+    return (
+        cands.select(
+            "id_a", "id_b", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).alias("hamming")
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,102 @@
+"""Multimodal column plumbing: image/audio/video as opaque ``binary``
+columns with typed metadata (BASELINE.json north star).
+
+The container has no image/audio codecs, so the *decode* step is stubbed —
+``decode_stub`` raises NotImplementedError unless ``fake=True``, in which
+case it produces deterministic fake features. Everything around the stub is
+real and scale-correct:
+
+- blobs ride as BinaryType columns (Parquet BYTE_ARRAY — columnar, never
+  parsed on scan unless projected);
+- metadata (byte length, sha256 content address, declared mime) is computed
+  JVM-side;
+- feature extraction runs through ``mapInPandas`` with an explicit output
+  schema: Arrow-batched, executor-parallel, constant memory per batch —
+  the shape a real decoder (PIL/ffmpeg) would drop into unchanged.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    FloatType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+FEATURE_DIM = 8
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("byte_len", LongType()),
+        StructField("sha256", StringType()),
+        StructField("features", ArrayType(FloatType())),
+    ]
+)
+
+
+def attach_blob(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Make an opaque binary column + typed metadata from a source column.
+
+    (Here blobs come from text bytes — the fixtures carry no media — but
+    the column types and plan shape are exactly what S3-hosted media would
+    use.)"""
+    blob = F.encode(F.col(text_col), "UTF-8")
+    return df.withColumn("blob", blob).withColumn(
+        "blob_meta",
+        F.struct(
+            F.octet_length(F.col(text_col)).cast("long").alias("byte_len"),
+            F.sha2(blob, 256).alias("sha256"),
+            F.lit("text/plain").alias("mime"),
+        ),
+    )
+
+
+def decode_stub(blob: bytes, fake: bool) -> list[float]:
+    """Decode a media blob into features.
+
+    REAL DECODERS NOT AVAILABLE IN THIS ENVIRONMENT — a production build
+    would `import PIL / soundfile / av` here (gated on availability). The
+    deterministic fake derives FEATURE_DIM floats from the byte content so
+    the distributed plumbing is fully testable."""
+    if not fake:
+        raise NotImplementedError(
+            "media codecs (PIL/ffmpeg) are not installed in this container; "
+            "pass fake=True for deterministic plumbing-test features"
+        )
+    n = len(blob)
+    return [float(blob[(i * 7919) % n]) / 255.0 if n else 0.0 for i in range(FEATURE_DIM)]
+
+
+def extract_features(df: DataFrame, id_col: str = "doc_id", fake: bool = True) -> DataFrame:
+    """Arrow-batched feature extraction over binary blobs via mapInPandas.
+
+    Batch shape: each pandas chunk holds whole blobs (Spark sizes batches
+    by ``spark.sql.execution.arrow.maxRecordsPerBatch``); the UDF is pure
+    per-row so Spark may split/reorder batches freely — no cross-batch
+    state, which is what keeps this correct under AQE re-partitioning."""
+    src = df.select(F.col(id_col).cast("long").alias("doc_id"), "blob")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            blobs = pdf["blob"]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "byte_len": blobs.map(len),
+                    "sha256": blobs.map(lambda b: hashlib.sha256(bytes(b)).hexdigest()),
+                    "features": blobs.map(lambda b: decode_stub(bytes(b), fake)),
+                }
+            )
+
+    return src.mapInPandas(run, FEATURE_SCHEMA)

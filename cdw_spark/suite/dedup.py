@@ -1,1 +1,115 @@
-"""Placeholder — populated in a later milestone this round."""
+"""Dedup queries over the ``documents`` fixture (north-star layer;
+operators in cdw_spark/operators/dedup.py).
+
+Oracle strategy: exact dedup and exact n-gram Jaccard are fully
+SQL-expressible in DuckDB (md5 + inverted shingle join). MinHash-LSH's
+*verified* output equals the exact-Jaccard pair set whenever banding recall
+is 1.0 on the dataset — which tests/test_dedup.py proves for the fixture
+corpus before we dare declare the exact query as its oracle. SimHash has no
+DuckDB analogue (xxhash64) -> rows-only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..catalog import load_fixture
+from ..operators.dedup import (
+    exact_dedup,
+    minhash_near_duplicates,
+    ngram_jaccard_pairs,
+    simhash_near_duplicates,
+)
+from ..registry import register
+
+# Shared CTE: the exact 3-gram Jaccard pair query (DuckDB). Mirrors
+# operators.dedup shingle construction token for token: lower/trim ->
+# regex-split on \s+ -> distinct 3-gram shingles ('a b c'), guard for
+# sub-3-word docs.
+_JACCARD_SQL = """
+WITH wrds AS (
+    SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws
+    FROM documents
+), sh AS (
+    SELECT doc_id, unnest(list_distinct(
+        CASE WHEN len(ws) >= 3
+             THEN [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] for i in range(1, len(ws) - 1)]
+             ELSE [array_to_string(ws, ' ')] END)) AS sh
+    FROM wrds
+), n AS (
+    SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+), inter AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+    FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT id_a, id_b, ROUND(j_raw, 6) AS jaccard
+FROM (
+    SELECT id_a, id_b,
+           inter * 1.0 / (na.n_sh + nb.n_sh - inter) AS j_raw
+    FROM inter
+    JOIN n na ON na.doc_id = id_a
+    JOIN n nb ON nb.doc_id = id_b
+)
+WHERE j_raw >= 0.6
+"""
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+    WITH fp AS (
+        SELECT doc_id,
+               md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+        FROM documents
+    ), g AS (
+        SELECT fp, MIN(doc_id) AS keep_id, COUNT(*) AS group_size
+        FROM fp GROUP BY fp
+    )
+    SELECT f.doc_id, f.fp, g.keep_id, g.group_size,
+           f.doc_id = g.keep_id AS is_canonical
+    FROM fp f JOIN g USING (fp)
+    """,
+    doc="Exact dedup: md5-of-normalized-text grouping with canonical-keeper "
+    "audit output.",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-groupBy exact dedup. Scale: the shuffle carries (fp, doc_id)
+    pairs only — document bodies never move."""
+    return exact_dedup(load_fixture(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=_JACCARD_SQL,
+    doc="Exact all-pairs 3-gram Jaccard >= 0.6 via inverted shingle join "
+    "(no LSH) — the ground truth for the approximate dedups.",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_jaccard_pairs(load_fixture(spark, sf_dir, "documents"), threshold=0.6)
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=_JACCARD_SQL,
+    doc="MinHash(64) + LSH(16x4) near-dup pairs, exact-Jaccard verified at "
+    ">= 0.6. Oracle = exact all-pairs Jaccard: valid because verification "
+    "kills false positives and tests prove banding recall = 1.0 on the "
+    "fixture corpus (tests/test_dedup.py::test_minhash_recall_vs_exact).",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB dedup path: signatures in one aggregation pass, candidates
+    from band buckets (never O(n^2)), exact verification only on
+    candidates."""
+    return minhash_near_duplicates(load_fixture(spark, sf_dir, "documents"), threshold=0.6)
+
+
+@register(
+    "dedup_simhash",
+    oracle=None,  # xxhash64-based signature has no DuckDB analogue
+    doc="SimHash(64-bit) near-dup pairs at hamming<=7, candidates via "
+    "8x8-bit pigeonhole chunks. Rows-only check; cross-validated against "
+    "exact Jaccard in tests/test_dedup.py.",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash_near_duplicates(load_fixture(spark, sf_dir, "documents"), max_hamming=7)

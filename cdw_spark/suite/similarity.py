@@ -1,1 +1,84 @@
-"""Placeholder — populated in a later milestone this round."""
+"""Similarity-search queries over ``embeddings`` (north-star layer;
+operators in cdw_spark/operators/similarity.py).
+
+The brute-force queries are the oracles (exact, SQL-expressible via
+DuckDB's list functions on double-cast arrays — identical fold order makes
+scores bit-comparable after rounding). The LSH variant is the scale path:
+rows-only here, recall-measured against brute force in
+tests/test_similarity.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_fixture
+from ..operators.similarity import brute_force_topk, lsh_topk, similar_pairs_topn
+from ..registry import register
+
+_COS = (
+    "list_dot_product(p.v, c.v) / "
+    "(sqrt(list_dot_product(p.v, p.v)) * sqrt(list_dot_product(c.v, c.v)))"
+)
+
+
+@register(
+    "similarity_topk",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    scored AS (
+        SELECT p.vec_id AS probe_id, c.vec_id AS cand_id, {_COS} AS cos_raw
+        FROM e c JOIN e p ON p.vec_id < 5 AND c.vec_id != p.vec_id
+    )
+    SELECT probe_id, cand_id, rank, ROUND(cos_raw, 6) AS cosine
+    FROM (
+        SELECT probe_id, cand_id, cos_raw,
+               ROW_NUMBER() OVER (PARTITION BY probe_id
+                                  ORDER BY cos_raw DESC, cand_id) AS rank
+        FROM scored
+    )
+    WHERE rank <= 10
+    """,
+    doc="Exact cosine top-10 neighbors for probe vectors vec_id<5 "
+    "(brute-force baseline).",
+)
+def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast the probes, scan the corpus once, per-probe window top-k.
+    At 100 TB: corpus-partition-local rank keeps only k rows per partition
+    before the final merge."""
+    e = load_fixture(spark, sf_dir, "embeddings")
+    return brute_force_topk(e.filter(F.col("vec_id") < 5), e, k=10)
+
+
+@register(
+    "similarity_pairs_topn",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    scored AS (
+        SELECT p.vec_id AS id_a, c.vec_id AS id_b, {_COS} AS cos_raw
+        FROM e p JOIN e c ON p.vec_id < c.vec_id
+    )
+    SELECT id_a, id_b, ROUND(cos_raw, 6) AS cosine
+    FROM scored
+    ORDER BY cos_raw DESC, id_a, id_b
+    LIMIT 30
+    """,
+    doc="Global most-similar embedding pairs (top-30 by cosine) — the "
+    "embedding near-dup surface.",
+)
+def similarity_pairs_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similar_pairs_topn(load_fixture(spark, sf_dir, "embeddings"), n=30)
+
+
+@register(
+    "similarity_ann_lsh",
+    oracle=None,  # approximate; recall vs brute force asserted in tests
+    doc="Random-hyperplane LSH ANN top-10 (16-bit signatures, multiprobe "
+    "hamming<=2) — the bucketed scale path. Rows-only check; recall "
+    "measured in tests/test_similarity.py.",
+)
+def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_fixture(spark, sf_dir, "embeddings")
+    dim = len(e.select("embedding").first()[0])
+    return lsh_topk(e.filter(F.col("vec_id") < 5), e, dim=dim, k=10)

@@ -1,1 +1,171 @@
-"""Placeholder — populated in a later milestone this round."""
+"""Text-analysis queries over ``documents`` (north-star layer; functions in
+cdw_spark/functions/text.py). Every query is a pure projection/aggregation
+— at 100 TB these are single-scan, shuffle-free (or one tiny shuffle for
+the word-count topk)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_fixture
+from ..functions.text import (
+    LANG_MARKERS,
+    STOPWORDS,
+    bpe_ish_token_count,
+    fingerprint_md5,
+    lang_guess,
+    punct_ratio,
+    quality_score,
+    sha256_hex,
+    stopword_ratio,
+    token_count,
+    words,
+)
+from ..registry import register
+
+
+def _sql_list(xs: list[str]) -> str:
+    return "[" + ", ".join(f"'{x}'" for x in xs) + "]"
+
+
+@register(
+    "text_metrics",
+    oracle=f"""
+    SELECT
+        doc_id,
+        len(string_split_regex(lower(trim(text)), '\\s+')) AS n_tokens,
+        len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS n_tokens_bpe,
+        ROUND(CASE WHEN length(text) > 0
+              THEN length(regexp_replace(text, '[^.,!?;:]', '', 'g')) * 1.0 / length(text)
+              ELSE 0.0 END, 6) AS punct_ratio,
+        ROUND(CASE WHEN len(string_split_regex(lower(trim(text)), '\\s+')) > 0
+              THEN len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                        x -> list_contains({_sql_list(STOPWORDS)}, x))) * 1.0
+                   / len(string_split_regex(lower(trim(text)), '\\s+'))
+              ELSE 0.0 END, 6) AS stopword_ratio
+    FROM documents
+    """,
+    doc="Token counting (whitespace + BPE-ish regex), punctuation and "
+    "stopword ratios per document.",
+)
+def text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_fixture(spark, sf_dir, "documents")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        token_count(t).alias("n_tokens"),
+        bpe_ish_token_count(t).alias("n_tokens_bpe"),
+        F.round(punct_ratio(t), 6).alias("punct_ratio"),
+        F.round(stopword_ratio(t), 6).alias("stopword_ratio"),
+    )
+
+
+@register(
+    "text_quality",
+    oracle=f"""
+    WITH m AS (
+        SELECT doc_id,
+            len(string_split_regex(lower(trim(text)), '\\s+')) * 1.0 AS toks,
+            CASE WHEN length(text) > 0
+                 THEN length(regexp_replace(text, '[^.,!?;:]', '', 'g')) * 1.0 / length(text)
+                 ELSE 0.0 END AS pr,
+            CASE WHEN len(string_split_regex(lower(trim(text)), '\\s+')) > 0
+                 THEN len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                          x -> list_contains({_sql_list(STOPWORDS)}, x))) * 1.0
+                      / len(string_split_regex(lower(trim(text)), '\\s+'))
+                 ELSE 0.0 END AS sr
+        FROM documents
+    )
+    SELECT doc_id,
+           ROUND(0.4 * LEAST(toks / 100.0, 1.0) + 0.3 * (1.0 - pr) + 0.3 * sr, 6)
+               AS quality
+    FROM m
+    """,
+    doc="Composite document quality score (length saturation + punctuation "
+    "noise + stopword density).",
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_fixture(spark, sf_dir, "documents")
+    return d.select("doc_id", quality_score(F.col("text")).alias("quality"))
+
+
+def _lang_case_sql() -> str:
+    score = {
+        lang: (
+            f"len(list_filter(string_split_regex(lower(trim(text)), '\\s+'), "
+            f"x -> list_contains({_sql_list(markers)}, x)))"
+        )
+        for lang, markers in sorted(LANG_MARKERS.items())
+    }
+    g = "GREATEST(" + ", ".join(score.values()) + ")"
+    whens = "\n".join(
+        f"WHEN {g} > 0 AND {score[lang]} = {g} THEN '{lang}'" for lang in sorted(score)
+    )
+    return f"CASE {whens} ELSE 'und' END"
+
+
+@register(
+    "text_langid",
+    oracle=f"""
+    SELECT doc_id, lang AS labeled_lang, {_lang_case_sql()} AS lang_guess
+    FROM documents
+    """,
+    doc="Language-ID heuristic: marker-stopword argmax with alphabetical "
+    "tie-break ('und' when no hits), next to the dataset's label.",
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_fixture(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        lang_guess(F.col("text")).alias("lang_guess"),
+    )
+
+
+@register(
+    "text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp_md5,
+           sha256(text) AS content_sha256
+    FROM documents
+    """,
+    doc="Document fingerprinting: md5 of normalized text + sha256 content "
+    "address of the raw bytes.",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_fixture(spark, sf_dir, "documents")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        fingerprint_md5(t).alias("fp_md5"),
+        sha256_hex(t).alias("content_sha256"),
+    )
+
+
+@register(
+    "word_freq_topk",
+    oracle="""
+    SELECT w AS word, COUNT(*) AS n
+    FROM (
+        SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+        FROM documents
+    )
+    GROUP BY w
+    ORDER BY n DESC, word
+    LIMIT 20
+    """,
+    doc="Corpus word frequency top-k (explode -> count -> TakeOrdered).",
+)
+def word_freq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: partial counts map-side; only |vocab| rows shuffle; top-k is
+    TakeOrderedAndProject, no global sort."""
+    d = load_fixture(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(words(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "word")
+        .limit(20)
+    )

@@ -1,0 +1,73 @@
+"""Cross-validation of approximate dedup against exact ground truth —
+the evidence behind dedup_minhash_lsh's oracle claim."""
+
+from __future__ import annotations
+
+import pytest
+
+from cdw_spark.catalog import load_fixture
+from cdw_spark.operators.dedup import (
+    exact_dedup,
+    minhash_near_duplicates,
+    ngram_jaccard_pairs,
+    simhash_near_duplicates,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return load_fixture(spark, sf_dir, "documents")
+
+
+def _pairset(df):
+    return {(r.id_a, r.id_b) for r in df.select("id_a", "id_b").collect()}
+
+
+def test_minhash_recall_vs_exact(docs):
+    """LSH banding (16x4) must find every exact-Jaccard>=0.6 pair on the
+    fixture corpus — this equality is what licenses using the exact query
+    as dedup_minhash_lsh's DuckDB oracle."""
+    exact = _pairset(ngram_jaccard_pairs(docs, threshold=0.6))
+    lsh = _pairset(minhash_near_duplicates(docs, threshold=0.6))
+    assert exact, "fixture corpus must contain near-dup pairs"
+    assert lsh == exact
+
+
+def test_minhash_jaccard_values_match_exact(docs):
+    ex = {(r.id_a, r.id_b): r.jaccard for r in ngram_jaccard_pairs(docs, threshold=0.6).collect()}
+    mh = {(r.id_a, r.id_b): r.jaccard for r in minhash_near_duplicates(docs, threshold=0.6).collect()}
+    assert mh == ex  # verification recomputes exact jaccard -> identical
+
+
+def test_simhash_finds_near_dups(docs):
+    """SimHash hamming<=3 pairs should substantially overlap the exact
+    near-dup set (different similarity measure -> not equality, but the
+    engineered dups are extreme enough to be found)."""
+    exact = _pairset(ngram_jaccard_pairs(docs, threshold=0.6))
+    sim = _pairset(simhash_near_duplicates(docs))
+    assert sim, "simhash should find the engineered near-dups"
+    # different similarity measure -> overlap, not equality (measured 0.89
+    # at sf0.001 / 0.88 at sf0.01 with zero false positives)
+    assert len(sim & exact) / len(exact) >= 0.7
+    assert len(sim - exact) <= len(exact)  # no candidate-explosion regression
+
+
+def test_exact_dedup_all_canonical_on_unique_corpus(docs):
+    """Fixture texts are unique -> every doc is its own canonical keeper."""
+    d = exact_dedup(docs)
+    assert d.filter("NOT is_canonical").count() == 0
+    assert d.filter("group_size != 1").count() == 0
+
+
+def test_exact_dedup_groups_real_duplicates(spark, docs):
+    """Inject duplicates (same text, new ids) -> groups form, min-id wins."""
+    from pyspark.sql import functions as F
+
+    base = docs.limit(5).select("doc_id", "text")
+    dup = base.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+    d = exact_dedup(base.unionAll(dup))
+    assert d.count() == 10
+    assert d.filter("group_size = 2").count() == 10
+    keepers = d.filter("is_canonical")
+    assert keepers.count() == 5
+    assert keepers.filter("doc_id >= 1000000").count() == 0

@@ -1,0 +1,45 @@
+"""ANN recall measurement against the exact brute-force baseline."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cdw_spark.catalog import load_fixture
+from cdw_spark.operators.similarity import brute_force_topk, lsh_topk
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return load_fixture(spark, sf_dir, "embeddings")
+
+
+def test_lsh_ann_recall(emb):
+    probes = emb.filter(F.col("vec_id") < 10)
+    dim = len(emb.select("embedding").first()[0])
+    exact = brute_force_topk(probes, emb, k=10)
+    approx = lsh_topk(probes, emb, dim=dim, k=10)
+
+    ex = {(r.probe_id, r.cand_id) for r in exact.collect()}
+    ap = {(r.probe_id, r.cand_id) for r in approx.collect()}
+    recall = len(ex & ap) / len(ex)
+    # Uniform-random embeddings are LSH's worst case (no cluster structure,
+    # top-10 cosine ~0.2): measured recall is 0.44 at sf0.001 / 0.32 at
+    # sf0.01 with ~36% of buckets probed — honest floor below both.
+    # Deterministic: planes are compile-time constants.
+    assert recall >= 0.25, f"ANN recall too low: {recall:.2f}"
+
+
+def test_brute_force_topk_is_sane(emb):
+    out = brute_force_topk(emb.filter(F.col("vec_id") < 3), emb, k=5)
+    rows = out.collect()
+    assert len(rows) == 15  # 3 probes x 5
+    by_probe = {}
+    for r in rows:
+        by_probe.setdefault(r.probe_id, []).append(r)
+    for probe, rs in by_probe.items():
+        rs.sort(key=lambda r: r.rank)
+        cos = [r.cosine for r in rs]
+        assert cos == sorted(cos, reverse=True)
+        assert all(-1.0 <= c <= 1.0 for c in cos)
+        assert all(r.cand_id != probe for r in rs)
