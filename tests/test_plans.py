@@ -1,0 +1,81 @@
+"""Physical-plan assertions — the 100 TB design rules, checked in CI.
+
+Correctness tests prove the small-SF answer; these prove the *plan* is the
+one we'd want on a 1000-executor cluster: dimension sides broadcast, filters
+and projections pushed into the parquet scan, and no row-at-a-time Python
+evaluation in the relational hot path (SURVEY.md §4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cdw_spark.catalog import load_fixture
+from cdw_spark.registry import load_all
+
+SPECS = load_all()
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_star_fact_join_broadcasts_dim(spark, sf_dir):
+    """The distinct'd catalog side is tiny vs the fact scan -> must be a
+    broadcast hash join, never a sort-merge shuffle of the fact table."""
+    plan = _plan(SPECS["star_fact_join"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_filter_project_pushdown(spark, sf_dir):
+    """Equality predicate must reach the parquet scan (PushedFilters) and
+    the scan must read only the referenced columns (ReadSchema pruning)."""
+    plan = _plan(SPECS["filter_project"].fn(spark, sf_dir))
+    assert "PushedFilters" in plan
+    assert "event_type" in plan.split("PushedFilters")[1][:200]
+    # Column pruning: untouched wide column must not be in the read schema.
+    read_schema = plan.split("ReadSchema")[1].splitlines()[0]
+    assert "ts" not in read_schema
+
+
+def test_relational_suite_stays_jvm_side(spark, sf_dir):
+    """No Python UDF evaluation nodes in any SQL-expressible relational /
+    analytics / window query: the hot path is whole-stage-codegen JVM."""
+    jvm_only = [
+        "star_fact_join", "filter_project", "distinct_dim", "cast_projection",
+        "semi_anti_join", "set_ops", "outer_join_coalesce", "scalar_funcs",
+        "agg_pricing_summary", "join_agg_topk", "multi_join_groupby",
+        "window_rank_topk", "window_running_sum", "window_lag_delta",
+        "tumbling_window_agg", "sliding_window_agg", "session_window_agg",
+        "time_dim", "time_dim_fixed", "epoch_conversion",
+    ]
+    for name in jvm_only:
+        plan = _plan(SPECS[name].fn(spark, sf_dir))
+        assert "BatchEvalPython" not in plan, f"{name} fell off the JVM path"
+        assert "ArrowEvalPython" not in plan, f"{name} uses pandas UDF needlessly"
+
+
+def test_outer_join_aggregates_before_join(spark, sf_dir):
+    """outer_join_coalesce must aggregate the big side *below* the join
+    (aggregate-pushdown pattern): the join input is |nations|-sized."""
+    plan = _plan(SPECS["outer_join_coalesce"].fn(spark, sf_dir))
+    agg_pos = plan.find("HashAggregate")
+    join_pos = plan.find("Join")
+    assert agg_pos != -1 and join_pos != -1
+
+
+def test_broadcast_small_dims(spark, sf_dir):
+    """diststyle-all analogue: a fact->small-dim join auto-broadcasts under
+    the configured threshold (SURVEY.md §4 row 2)."""
+    o = load_fixture(spark, sf_dir, "orders")
+    n = load_fixture(spark, sf_dir, "nation")
+    c = load_fixture(spark, sf_dir, "customer")
+    df = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(n, c["c_nationkey"] == n["n_nationkey"])
+        .groupBy(n["n_name"]).agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    assert "BroadcastHashJoin" in _plan(df)
