@@ -42,6 +42,7 @@ _SUITE_MODULES = (
     "cdw_spark.suite.similarity",
     "cdw_spark.suite.windows",
     "cdw_spark.suite.multimodal",
+    "cdw_spark.suite.streaming",
 )
 
 

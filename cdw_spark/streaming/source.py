@@ -1,0 +1,113 @@
+"""Streaming sources + bounded-run helpers.
+
+The driver fixtures are static parquet, so the streaming source is Spark's
+file source replaying ``events`` as ordered micro-batches: the table is
+staged once into N time-range-split files and read with
+``maxFilesPerTrigger=1``, which makes event time advance monotonically
+across batches — watermarks progress exactly as they would on a live
+stream. On a real deployment the same DataFrame comes from
+``spark.readStream.format("kafka")``; every operator downstream is
+source-agnostic.
+
+``run_available_now`` executes a bounded run (Trigger.AvailableNow) into a
+memory sink and returns the result as a batch DataFrame. Memory sinks are
+a test/driver device — the production sink is ``writeStream.format(
+"parquet")`` / kafka with checkpointing, same query graph.
+"""
+
+from __future__ import annotations
+
+import itertools
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+
+_qid = itertools.count()
+_STAGE_ROOT = os.path.join(tempfile.gettempdir(), "cdw_stream_src")
+
+
+def stage_ordered_files(
+    spark: SparkSession, sf_dir: str, table: str = "events", n_files: int = 8
+) -> str:
+    """Split a fixture table into ``n_files`` event-time-ordered parquet
+    files (staged once per (sf_dir, table, n); cached across calls).
+
+    ``repartitionByRange`` on the time column makes part-00000 hold the
+    earliest rows; file mtimes are then stamped in that order because the
+    file stream source processes oldest-mtime-first (latestFirst=false).
+    """
+    from ..catalog import load_fixture
+
+    key = f"{sf_dir.strip('/').replace('/', '_')}__{table}__{n_files}"
+    out = os.path.join(_STAGE_ROOT, key)
+    done = os.path.join(out, "_STAGED")
+    if not os.path.exists(done):
+        # load_fixture normalizes the fixture's TIMESTAMP(NANOS) to
+        # microsecond TimestampType, so the staged files stream cleanly.
+        df = load_fixture(spark, sf_dir, table)
+        df.repartitionByRange(n_files, "ts").write.mode("overwrite").parquet(out)
+        parts = sorted(
+            p for p in os.listdir(out) if p.startswith("part-") and p.endswith(".parquet")
+        )
+        base = 1_700_000_000
+        for i, p in enumerate(parts):
+            os.utime(os.path.join(out, p), (base + i * 60, base + i * 60))
+        with open(done, "w") as f:
+            f.write("\n".join(parts))
+    return out
+
+
+def events_stream(
+    spark: SparkSession, sf_dir: str, n_files: int = 8, files_per_trigger: int = 1
+) -> DataFrame:
+    """``readStream`` over the staged events files, one file per micro-batch.
+
+    The file source needs an explicit schema (no inference mid-stream);
+    we take it from a batch read of the same staged directory.
+    """
+    staged = stage_ordered_files(spark, sf_dir, "events", n_files)
+    schema = spark.read.parquet(staged).schema
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", files_per_trigger)
+        .option("latestFirst", "false")
+        .parquet(staged)
+    )
+
+
+def run_available_now(sdf: DataFrame, name: str, output_mode: str) -> DataFrame:
+    """Run a bounded streaming query (AvailableNow) into a memory sink and
+    return the sink contents as a batch DataFrame.
+
+    AvailableNow drains all staged files respecting maxFilesPerTrigger,
+    runs trailing no-data batches so the final watermark flushes closed
+    windows in append mode, then stops — deterministic bounded replay.
+    """
+    spark = sdf.sparkSession
+    qname = f"cdw_{name}_{next(_qid)}"
+    # The state store allocates one store (and one task, and for Python
+    # stateful ops one Arrow round-trip) per shuffle partition PER
+    # MICRO-BATCH. At fixture scale a default of 200 partitions x 8 batches
+    # is pure overhead — cap it for the bounded replay and restore after.
+    # On a real cluster the cap would instead be sized to executor count.
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", min(int(old_parts), 16))
+    # Memory-sink runs are throwaway replays: the checkpoint must be fresh
+    # per run, or the file source sees every staged file as already
+    # committed and emits nothing. Production sinks do the opposite —
+    # a stable checkpoint dir is exactly what gives exactly-once resume.
+    chk = tempfile.mkdtemp(prefix=f"cdw_chk_{qname}_")
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode(output_mode)
+        .option("checkpointLocation", chk)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    return spark.table(qname)

@@ -1,0 +1,137 @@
+"""Streaming queries for the driver contract (cdw_spark/streaming/*).
+
+Each entry replays the ``events`` fixture as ordered micro-batches
+(file source, 1 file/trigger) through a bounded AvailableNow run, so the
+"stream" result is deterministic and comparable:
+
+- complete-mode window aggs finalize every window -> full DuckDB oracle
+  (same SQL as their batch twins in suite/windows.py);
+- append-mode queries emit exactly the windows closed by the final
+  watermark (max event time - delay) -> oracle filters the batch answer by
+  that same predicate;
+- the applyInPandasWithState sessionizer is Python-stateful -> rows-only
+  for the driver, differentially tested against the batch session query in
+  tests/test_streaming.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..registry import register
+from ..streaming.source import events_stream, run_available_now
+from ..streaming.stateful import sessionize
+from ..streaming.windows import session_agg, sliding_agg, tumbling_agg, with_watermark
+
+_TUMBLING_ORACLE = """
+    SELECT
+        date_trunc('hour', ts) AS win_start,
+        date_trunc('hour', ts) + INTERVAL 1 HOUR AS win_end,
+        event_type,
+        COUNT(*) AS n_events,
+        SUM(CAST(value AS DECIMAL(18,2))) AS total_value
+    FROM events
+    GROUP BY 1, 2, 3
+"""
+
+_SLIDING_ORACLE = """
+    WITH assigned AS (
+        SELECT
+            make_timestamp((epoch_ms(ts) - (epoch_ms(ts) % 1800000)) * 1000) AS win_start,
+            value
+        FROM events
+        UNION ALL
+        SELECT
+            make_timestamp((epoch_ms(ts) - (epoch_ms(ts) % 1800000) - 1800000) * 1000) AS win_start,
+            value
+        FROM events
+    )
+    SELECT
+        win_start,
+        win_start + INTERVAL 1 HOUR AS win_end,
+        COUNT(*) AS n_events,
+        SUM(CAST(value AS DECIMAL(18,2))) AS total_value
+    FROM assigned
+    GROUP BY 1, 2
+"""
+
+# Append mode emits a session iff the final watermark (max ts - delay)
+# passed its close; the oracle applies the same cutoff to the batch
+# gaps-and-islands sessionization.
+_SESSION_APPEND_ORACLE = """
+    WITH ordered AS (
+        SELECT
+            user_id, ts, value, event_id AS rn,
+            CASE WHEN ts >= LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                           + INTERVAL 30 MINUTE
+                 OR  LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                 THEN 1 ELSE 0 END AS is_new
+        FROM events
+    ),
+    numbered AS (
+        SELECT
+            user_id, ts, value,
+            SUM(is_new) OVER (
+                PARTITION BY user_id ORDER BY ts, rn
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+            ) AS session_no
+        FROM ordered
+    ),
+    sessions AS (
+        SELECT
+            user_id,
+            MIN(ts) AS session_start,
+            MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+            COUNT(*) AS n_events,
+            SUM(CAST(value AS DECIMAL(18,2))) AS total_value
+        FROM numbered
+        GROUP BY user_id, session_no
+    )
+    SELECT * FROM sessions
+    WHERE session_end <= (SELECT MAX(ts) - INTERVAL 2 HOUR FROM events)
+"""
+
+
+@register(
+    "stream_tumbling_agg",
+    oracle=_TUMBLING_ORACLE,
+    doc="Streaming 1-h tumbling window agg (complete mode, AvailableNow "
+    "bounded replay) — finalized state equals the batch/DuckDB answer.",
+)
+def stream_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sdf = tumbling_agg(events_stream(spark, sf_dir))
+    return run_available_now(sdf, "tumbling", "complete")
+
+
+@register(
+    "stream_sliding_agg",
+    oracle=_SLIDING_ORACLE,
+    doc="Streaming sliding window agg (1 h / 30 min, complete mode).",
+)
+def stream_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sdf = sliding_agg(events_stream(spark, sf_dir))
+    return run_available_now(sdf, "sliding", "complete")
+
+
+@register(
+    "stream_session_window",
+    oracle=_SESSION_APPEND_ORACLE,
+    doc="Streaming per-user session windows (30-min gap), append mode with "
+    "a 2-h watermark: emits exactly the sessions the final watermark "
+    "closed; oracle = batch gaps-and-islands under the same cutoff.",
+)
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sdf = session_agg(with_watermark(events_stream(spark, sf_dir), "2 hours"))
+    return run_available_now(sdf, "session", "append")
+
+
+@register(
+    "stream_stateful_sessionize",
+    oracle=None,  # Python-stateful operator; batch-differential in tests
+    doc="Custom stateful sessionizer via applyInPandasWithState (event-time "
+    "timeouts, per-user state machine). Rows-only for the driver; equals "
+    "the watermark-closed batch sessions in tests/test_streaming.py.",
+)
+def stream_stateful_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sdf = sessionize(with_watermark(events_stream(spark, sf_dir), "2 hours"))
+    return run_available_now(sdf, "stateful_sessionize", "append")
