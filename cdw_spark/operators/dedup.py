@@ -292,3 +292,53 @@ def simhash_near_duplicates(
         )
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def cosine_near_duplicates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.75,
+) -> DataFrame:
+    """Embedding-cosine near-dup: documents as binary n-gram shingle
+    vectors, cosine = |A∩B| / sqrt(|A|·|B|), pairs >= threshold collapsed
+    to a canonical-keeper mapping (keep_id = smallest similar id).
+
+    The "embedding" here is the sparse binary shingle vector itself —
+    the inverted shingle join computes the dot product without ever
+    materializing vectors, the same sparse trick a 100 TB dense-embedding
+    dedup does inside LSH buckets (see operators/similarity.py for the
+    dense path). Output: one row per non-canonical doc
+    (dup_id, keep_id, cosine).
+    """
+    sh = _shingle_table(df, text_col, id_col, n)
+    sa = sh.select(F.col(id_col).alias("id_a"), "sh")
+    sb = sh.select(F.col(id_col).alias("id_b"), "sh")
+    inter = (
+        sa.join(sb, "sh")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    counts = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    ca = counts.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("na"))
+    cb = counts.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("nb"))
+    pairs = (
+        inter.join(ca, "id_a")
+        .join(cb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (F.col("inter") / F.sqrt(F.col("na") * F.col("nb"))).alias("cos_raw"),
+        )
+        .filter(F.col("cos_raw") >= threshold)
+    )
+    return (
+        pairs.groupBy(F.col("id_b").alias("dup_id"))
+        .agg(
+            F.min("id_a").alias("keep_id"),
+            F.min_by("cos_raw", "id_a").alias("cos_of_keep"),
+        )
+        .select("dup_id", "keep_id", F.round("cos_of_keep", 6).alias("cosine"))
+    )

@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..catalog import load_fixture
 from ..operators.dedup import (
+    cosine_near_duplicates,
     exact_dedup,
     minhash_near_duplicates,
     ngram_jaccard_pairs,
@@ -113,3 +114,46 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_duplicates(load_fixture(spark, sf_dir, "documents"), max_hamming=7)
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle="""
+    WITH wrds AS (
+        SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws
+        FROM documents
+    ), sh AS (
+        SELECT doc_id, unnest(list_distinct(
+            CASE WHEN len(ws) >= 3
+                 THEN [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] for i in range(1, len(ws) - 1)]
+                 ELSE [array_to_string(ws, ' ')] END)) AS sh
+        FROM wrds
+    ), n AS (
+        SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+    ), inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+        FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ), pairs AS (
+        SELECT id_a, id_b, inter * 1.0 / sqrt(na.n_sh * nb.n_sh) AS cos_raw
+        FROM inter
+        JOIN n na ON na.doc_id = id_a
+        JOIN n nb ON nb.doc_id = id_b
+    )
+    SELECT id_b AS dup_id, MIN(id_a) AS keep_id,
+           ROUND(arg_min(cos_raw, id_a), 6) AS cosine
+    FROM pairs
+    WHERE cos_raw >= 0.75
+    GROUP BY id_b
+    """,
+    doc="Embedding-cosine near-dup: binary 3-gram shingle vectors, "
+    "cosine >= 0.75 pairs collapsed to a canonical-keeper mapping. The "
+    "sparse twin of the dense-embedding pair scorer "
+    "(similarity_pairs_topn).",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine over binary shingle vectors via inverted-index join — the
+    dot product materializes only for pairs sharing a shingle; document
+    bodies never shuffle. At 100 TB, restrict the pair generator to LSH
+    buckets (minhash path) and keep this scorer unchanged."""
+    return cosine_near_duplicates(load_fixture(spark, sf_dir, "documents"), threshold=0.75)

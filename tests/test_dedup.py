@@ -71,3 +71,20 @@ def test_exact_dedup_groups_real_duplicates(spark, docs):
     keepers = d.filter("is_canonical")
     assert keepers.count() == 5
     assert keepers.filter("doc_id >= 1000000").count() == 0
+
+
+def test_embedding_cosine_invariants(spark, sf_dir):
+    """Canonical mapping: keeper is always the smaller id, cosine within
+    [threshold, 1], and cosine near-dup pairs are consistent with exact
+    Jaccard (cos >= jaccard on binary vectors, so J>=0.75 pairs must all
+    be present as dups or keepers)."""
+    from cdw_spark.operators.dedup import cosine_near_duplicates, ngram_jaccard_pairs
+    from cdw_spark.catalog import load_fixture
+
+    docs = load_fixture(spark, sf_dir, "documents")
+    rows = cosine_near_duplicates(docs, threshold=0.75).collect()
+    assert all(r["keep_id"] < r["dup_id"] for r in rows)
+    assert all(0.75 <= r["cosine"] <= 1.0 + 1e-9 for r in rows)
+    flagged = {r["dup_id"] for r in rows}
+    jac = ngram_jaccard_pairs(docs, threshold=0.75).collect()
+    assert all(r["id_b"] in flagged for r in jac)
