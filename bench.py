@@ -52,6 +52,14 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     specs = load_all()
 
+    # Untimed warmup at the smallest SF: pays one-time JVM costs (codegen
+    # compilation, Hadoop FS init, parquet footer readers, broadcast
+    # machinery) outside the measurement — standard JVM bench methodology;
+    # per-query numbers then reflect steady-state throughput.
+    specs["star_fact_join"].fn(spark, "/root/testdata/sf0.001").write.format("noop").mode(
+        "overwrite"
+    ).save()
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         spec = specs.get(name)

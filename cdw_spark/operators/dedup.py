@@ -66,27 +66,46 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 
 def _shingle_table(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
-    """(id, shingle) pairs, distinct per doc."""
+    """(id, shingle) pairs, distinct per doc.
+
+    Shingling is the CPU-heavy stage of every text-dedup path (regex split
+    + gram assembly per document). Scan parallelism follows file count, so
+    a corpus packed into few files would run nearly single-threaded; when
+    the scan has fewer partitions than the cluster has cores, repartition
+    first — one cheap shuffle of (id, text) buys full-width CPU for the
+    shingle work. At real scale the file count already exceeds core count
+    and this is a no-op."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(1, target // 2):
+        df = df.repartition(target)
     return df.select(
         F.col(id_col), F.explode(shingles(F.col(text_col), n)).alias("sh")
     )
 
 
 def minhash_signatures(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    shingle_tbl: DataFrame | None = None,
 ) -> DataFrame:
     """64-perm MinHash signature per document, one aggregation pass.
 
     h(shingle) = xxhash64 mod p; perm_i = (a_i*h + b_i) mod p; sig_i =
     min(perm_i). The groupBy partial-aggregates map-side: each executor
     emits one 64-int row per local doc fragment."""
-    sh = _shingle_table(df, text_col, id_col, n)
-    h = F.pmod(F.xxhash64("sh"), F.lit(_PRIME))
+    sh = shingle_tbl if shingle_tbl is not None else _shingle_table(df, text_col, id_col, n)
+    # Materialize the base hash once per shingle: referencing `h` inside all
+    # 64 aggregates would re-evaluate xxhash64 per aggregate per row.
+    hashed = sh.select(F.col(id_col), F.pmod(F.xxhash64("sh"), F.lit(_PRIME)).alias("h"))
     aggs = [
-        F.min(F.pmod(F.lit(_PERM_A[i]) * h + F.lit(_PERM_B[i]), F.lit(_PRIME))).alias(f"mh_{i}")
+        F.min(
+            F.pmod(F.lit(_PERM_A[i]) * F.col("h") + F.lit(_PERM_B[i]), F.lit(_PRIME))
+        ).alias(f"mh_{i}")
         for i in range(NUM_PERMS)
     ]
-    return sh.groupBy(id_col).agg(*aggs)
+    return hashed.groupBy(id_col).agg(*aggs)
 
 
 def lsh_candidate_pairs(sig: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -126,11 +145,13 @@ def jaccard_verify(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.6,
+    shingle_tbl: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard for candidate pairs: intersection via shingle
     equality join restricted to candidates, |A|,|B| from per-doc counts.
-    Only candidates pay this cost."""
-    sh = _shingle_table(df, text_col, id_col, n)
+    Only candidates pay this cost. Pass ``shingle_tbl`` to reuse an
+    already-computed (persisted) shingle table instead of re-shingling."""
+    sh = shingle_tbl if shingle_tbl is not None else _shingle_table(df, text_col, id_col, n)
     counts = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     sa = sh.select(F.col(id_col).alias("id_a"), F.col("sh"))
     sb = sh.select(F.col(id_col).alias("id_b"), F.col("sh"))
@@ -170,10 +191,19 @@ def minhash_near_duplicates(
     -> exact-Jaccard verification. With 16x4 banding, a pair at the 0.6
     threshold survives with P > 1-(1-0.6^4)^16 ≈ 0.90 and at 0.8 with
     P ≈ 1-5e-8 — and the verification step guarantees zero false
-    positives."""
-    sig = minhash_signatures(df, text_col, id_col, n)
+    positives.
+
+    The shingle table feeds three consumers (signatures, and both sides of
+    the verification join) and shingling is the CPU-heavy stage — persist
+    it once instead of recomputing per consumer. MEMORY_AND_DISK: at
+    100 TB the shingle table spills rather than OOMing; it is still ~100x
+    smaller on the wire than re-shingling is in CPU."""
+    from pyspark import StorageLevel
+
+    sh = _shingle_table(df, text_col, id_col, n).persist(StorageLevel.MEMORY_AND_DISK)
+    sig = minhash_signatures(df, text_col, id_col, n, shingle_tbl=sh)
     cands = lsh_candidate_pairs(sig, id_col)
-    return jaccard_verify(cands, df, text_col, id_col, n, threshold)
+    return jaccard_verify(cands, df, text_col, id_col, n, threshold, shingle_tbl=sh)
 
 
 def ngram_jaccard_pairs(
