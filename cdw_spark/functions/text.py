@@ -115,6 +115,36 @@ def lang_guess(col: Column) -> Column:
     return out
 
 
+# Rabin-Karp polynomial rolling hash: base/modulus chosen so the
+# accumulator stays far inside int64 (acc < 2^31, base ~2^20 → product
+# < 2^51) — both engines evaluate in exact BIGINT arithmetic.
+RH_BASE = 1_000_003
+RH_MOD = 2_147_483_647  # Mersenne prime 2^31 - 1
+
+
+def _rolling_hash_over(s: Column) -> Column:
+    """Horner-rule left fold over the [a-z0-9 ] characters of ``s`` —
+    the rolling-hash accumulation, evaluated JVM-side via ``aggregate``."""
+    chars = F.split(F.regexp_replace(s, "[^a-z0-9 ]", ""), "")
+    return F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * F.lit(RH_BASE) + F.ascii(c)) % F.lit(RH_MOD),
+    )
+
+
+def rolling_hash(col: Column) -> Column:
+    """Whole-document Rabin-Karp hash of the normalized text."""
+    return _rolling_hash_over(F.lower(F.trim(col)))
+
+
+def winnow_fingerprint(col: Column, n: int = 3) -> Column:
+    """Winnowing-style fingerprint: the minimum rolling hash across the
+    document's word n-gram shingles (MOSS-style selection with window =
+    whole document). Two documents sharing their rarest shingle collide."""
+    return F.array_min(F.transform(shingles(col, n), _rolling_hash_over))
+
+
 def fingerprint_md5(col: Column) -> Column:
     """Deterministic document fingerprint: md5 of the normalized text —
     engine-independent (md5 is md5 everywhere)."""

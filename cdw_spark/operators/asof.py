@@ -1,0 +1,88 @@
+"""As-of (most-recent-match) join — a time-series operator the reference
+lacks (its only join is the 3-key equi-join, /root/reference/sql_queries.py:161-164)
+but a training-data / event pipeline needs constantly: attach to each left
+row the latest right row with the same key and right_time <= left_time.
+
+Spark has no ASOF JOIN primitive (DuckDB does — the oracle uses it), so
+this implements the scalable union-and-fill pattern instead of the naive
+inequality join:
+
+    naive:  left JOIN right ON key AND r.t <= l.t  → per-key row explosion
+            (O(|L| x |R|) within key), then a max() — unusable at 100 TB.
+    here:   union both sides tagged → single shuffle on (key) with a
+            sort on (time, side) → running last_value(ignorenulls) fills
+            each left row with the latest right payload — O(|L| + |R|)
+            rows moved, one shuffle total, no explosion.
+
+The right payload travels as ONE struct column so all right-side fields
+come from the *same* matched row (per-column last() could mix rows when a
+right column is legitimately NULL).
+
+Tie discipline: at equal timestamps the right row sorts first
+(side 0 < side 1), so an exact-time match is visible to the left row —
+identical to ASOF's `l.t >= r.t` bound.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_SIDE = "__asof_side"
+_TIME = "__asof_t"
+_PAYLOAD = "__asof_payload"
+
+
+def asof_join_backward(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_time: str,
+    right_time: str,
+    right_payload: dict[str, str],
+) -> DataFrame:
+    """Left as-of-backward join.
+
+    Every ``left`` row gains ``right_payload`` columns ({src_col: out_alias})
+    taken from the right row with the greatest ``right_time`` <=
+    ``left_time`` for the same ``on`` key; NULLs when no such row exists
+    (left-outer semantics).
+    """
+    payload = F.struct(
+        *[F.col(src).alias(alias) for src, alias in right_payload.items()]
+    )
+    r = right.select(
+        *on,
+        F.col(right_time).alias(_TIME),
+        F.lit(0).alias(_SIDE),
+        payload.alias(_PAYLOAD),
+    )
+    left_cols = left.columns
+    l = left.select(
+        *left_cols,
+        F.col(left_time).alias(_TIME),
+        F.lit(1).alias(_SIDE),
+        F.lit(None).cast(r.schema[_PAYLOAD].dataType).alias(_PAYLOAD),
+    )
+    # unionByName aligns the disjoint shapes; missing left cols on the
+    # right side become NULL (they are never read from right rows).
+    u = r.unionByName(l, allowMissingColumns=True)
+
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(_TIME, _SIDE)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled: Column = F.last(_PAYLOAD, ignorenulls=True).over(w)
+
+    return (
+        u.withColumn(_PAYLOAD, filled)
+        .filter(F.col(_SIDE) == 1)
+        .select(
+            *left_cols,
+            *[
+                F.col(f"{_PAYLOAD}.{alias}").alias(alias)
+                for alias in right_payload.values()
+            ],
+        )
+    )

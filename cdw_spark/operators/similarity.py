@@ -125,6 +125,135 @@ def lsh_topk(
     )
 
 
+def _centroid_literal(cents: list[tuple[int, list[float]]]):
+    """Centroid table as an in-plan array<struct<cid,cv>> literal — the
+    IVF coarse quantizer travels inside the serialized plan (a few KB for
+    nlist<=256), so centroid assignment needs NO join and NO shuffle."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(cid).alias("cid"),
+                F.array(*[F.lit(float(x)) for x in vec]).alias("cv"),
+            )
+            for cid, vec in cents
+        ]
+    )
+
+
+def _unit(v):
+    return F.transform(v, lambda x: x / F.sqrt(dot(v, v)))
+
+
+def _nearest_cid(uv, cent_lit):
+    """Argmax-dot centroid id via a JVM-side fold — per-row O(nlist·dim),
+    zero shuffle (vs the crossJoin-then-argmin pattern's nlist× blowup)."""
+    best = F.aggregate(
+        cent_lit,
+        F.struct(F.lit(-1).alias("cid"), F.lit(-2.0).alias("score")),
+        lambda acc, c: F.when(
+            dot(uv, c["cv"]) > acc["score"],
+            F.struct(c["cid"].alias("cid"), dot(uv, c["cv"]).alias("score")),
+        ).otherwise(acc),
+    )
+    return best["cid"]
+
+
+def ivf_train(
+    corpus: DataFrame,
+    nlist: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[float]]]:
+    """Spherical k-means coarse quantizer, trained with DataFrame-native
+    Lloyd iterations (assignment = JVM fold against the broadcast-literal
+    centroids; update = one groupBy over (cid) with per-dimension sums —
+    the only shuffle, carrying nlist×dim doubles).
+
+    Deterministic: init = the nlist lowest-id vectors; centroid coords are
+    rounded to 9 decimals each sync so partition-order float-sum jitter
+    cannot flip assignments. At 100 TB you'd train on a seeded sample
+    (df.sample) — the fixture corpus is small enough to use whole."""
+    c = corpus.select(
+        F.col(id_col).alias("_id"), _unit(to_double_array(F.col(vec_col))).alias("uv")
+    )
+    init = c.orderBy("_id").limit(nlist).collect()
+    cents = [(i, [round(x, 9) for x in r["uv"]]) for i, r in enumerate(init)]
+    dim = len(cents[0][1])
+    for _ in range(iters):
+        lit = _centroid_literal(cents)
+        assigned = c.select(F.col("uv"), _nearest_cid(F.col("uv"), lit).alias("cid"))
+        stats = assigned.groupBy("cid").agg(
+            F.count(F.lit(1)).alias("n"),
+            *[F.sum(F.element_at("uv", i + 1)).alias(f"s{i}") for i in range(dim)],
+        )
+        rows = stats.collect()  # nlist rows — driver sync, as in any distributed k-means
+        cents = [
+            (int(r["cid"]), [round(r[f"s{i}"] / r["n"], 9) for i in range(dim)])
+            for r in sorted(rows, key=lambda r: r["cid"])
+        ]
+    return cents
+
+
+def ivf_topk(
+    probes: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    nlist: int = 16,
+    nprobe: int = 4,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF (inverted-file) approximate k-NN — the bucketed scale path next
+    to ``lsh_topk``: corpus rows are assigned once to their nearest of
+    ``nlist`` centroids; each probe scores only the rows of its ``nprobe``
+    closest lists, replacing the full scan with ~(nprobe/nlist) of it.
+
+    Output schema matches ``brute_force_topk`` (its recall oracle in
+    tests/test_similarity.py). At 100 TB: write the corpus partitioned by
+    ``cid`` so a probe's candidate read is partition-pruned at the source."""
+    cents = ivf_train(corpus, nlist=nlist, iters=iters, id_col=id_col, vec_col=vec_col)
+    lit = _centroid_literal(cents)
+
+    c = corpus.select(
+        F.col(id_col).alias("cand_id"), to_double_array(F.col(vec_col)).alias("cv")
+    )
+    c = c.withColumn("cid", _nearest_cid(_unit(F.col("cv")), lit))
+
+    p = probes.select(
+        F.col(id_col).alias("probe_id"), to_double_array(F.col(vec_col)).alias("pv")
+    )
+    pw = Window.partitionBy("probe_id").orderBy(F.col("cscore").desc(), F.col("cid"))
+    probe_lists = (
+        p.select("probe_id", "pv", F.explode(lit).alias("c"))
+        .select(
+            "probe_id",
+            "pv",
+            F.col("c.cid").alias("cid"),
+            dot(_unit(F.col("pv")), F.col("c.cv")).alias("cscore"),
+        )
+        .withColumn("crank", F.row_number().over(pw))
+        .filter(F.col("crank") <= nprobe)
+        .select("probe_id", "pv", "cid")
+    )
+
+    joined = c.join(F.broadcast(probe_lists), on="cid").filter(
+        F.col("cand_id") != F.col("probe_id")
+    )
+    scored = joined.select(
+        "probe_id", "cand_id", cosine(F.col("pv"), F.col("cv")).alias("cos_raw")
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.col("cos_raw").desc(), F.col("cand_id"))
+    return (
+        scored.select(
+            "probe_id", "cand_id", F.row_number().over(w).alias("rank"),
+            F.round("cos_raw", 6).alias("cosine"),
+        )
+        .filter(F.col("rank") <= k)
+    )
+
+
 def similar_pairs_topn(
     corpus: DataFrame,
     n: int = 30,

@@ -286,3 +286,36 @@ def scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.abs(F.col("p_size") - 25).cast("int").alias("size_dev"),
         (F.col("p_partkey") % 7).alias("key_mod"),
     )
+
+
+@register(
+    "asof_join_clicks",
+    oracle="""
+    SELECT e.event_id, e.user_id, e.ts AS click_ts,
+           p.ts AS purchase_ts, p.value AS purchase_value
+    FROM (SELECT * FROM events WHERE event_type = 'click') e
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON e.user_id = p.user_id AND e.ts >= p.ts
+    """,
+    doc="As-of (most-recent-purchase) join: each click event picks up the "
+    "latest prior-or-equal purchase of the same user; left-outer when the "
+    "user has no earlier purchase. Oracle is DuckDB's native ASOF JOIN; "
+    "the Spark side is the union+last_value fill (operators/asof.py) — "
+    "one shuffle, no inequality-join row explosion.",
+)
+def asof_join_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.asof import asof_join_backward
+
+    ev = load_fixture(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", F.col("ts").alias("click_ts")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    return asof_join_backward(
+        clicks,
+        purchases,
+        on=["user_id"],
+        left_time="click_ts",
+        right_time="ts",
+        right_payload={"ts": "purchase_ts", "value": "purchase_value"},
+    )

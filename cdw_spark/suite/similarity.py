@@ -82,3 +82,18 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_fixture(spark, sf_dir, "embeddings")
     dim = len(e.select("embedding").first()[0])
     return lsh_topk(e.filter(F.col("vec_id") < 5), e, dim=dim, k=10)
+
+
+@register(
+    "similarity_ann_ivf",
+    oracle=None,  # approximate; recall vs brute force asserted in tests
+    doc="IVF approximate top-10: spherical-k-means coarse quantizer "
+    "(nlist=16, trained with DataFrame-native Lloyd iterations), probes "
+    "search their nprobe=4 nearest inverted lists only. Rows-only check; "
+    "recall vs brute force measured in tests/test_similarity.py.",
+)
+def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import ivf_topk
+
+    e = load_fixture(spark, sf_dir, "embeddings")
+    return ivf_topk(e.filter(F.col("vec_id") < 5), e, k=10, nlist=16, nprobe=4)

@@ -169,3 +169,48 @@ def word_freq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "word")
         .limit(20)
     )
+
+
+_RH_REDUCE = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+    "list_transform(regexp_extract_all(regexp_replace({s}, '[^a-z0-9 ]', '', 'g'), '.'), "
+    "c -> CAST(ascii(c) AS BIGINT))), "
+    "(a, b) -> (a * 1000003 + b) % 2147483647)"
+)
+
+
+@register(
+    "text_rolling_fingerprint",
+    oracle=f"""
+    WITH wrds AS (
+        SELECT doc_id, lower(trim(text)) AS nt,
+               string_split_regex(lower(trim(text)), '\\s+') AS ws
+        FROM documents
+    ), sh AS (
+        SELECT doc_id, nt,
+               CASE WHEN len(ws) >= 3
+                    THEN list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                                        for i in range(1, len(ws) - 1)])
+                    ELSE [array_to_string(ws, ' ')] END AS shl
+        FROM wrds
+    )
+    SELECT doc_id,
+           {_RH_REDUCE.format(s="nt")} AS fp_rolling,
+           list_min(list_transform(shl, s -> {_RH_REDUCE.format(s="s")})) AS fp_winnow
+    FROM sh
+    """,
+    doc="Rolling-hash document fingerprints: whole-doc Rabin-Karp Horner "
+    "fold over normalized chars, plus a winnowing-style min rolling hash "
+    "across 3-word shingles (functions/text.py rolling_hash / "
+    "winnow_fingerprint). Exact BIGINT arithmetic in both engines.",
+)
+def text_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import rolling_hash, winnow_fingerprint
+
+    d = load_fixture(spark, sf_dir, "documents")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        rolling_hash(t).alias("fp_rolling"),
+        winnow_fingerprint(t, n=3).alias("fp_winnow"),
+    )

@@ -43,3 +43,27 @@ def test_brute_force_topk_is_sane(emb):
         assert cos == sorted(cos, reverse=True)
         assert all(-1.0 <= c <= 1.0 for c in cos)
         assert all(r.cand_id != probe for r in rs)
+
+
+def test_ivf_ann_recall(emb):
+    from cdw_spark.operators.similarity import ivf_topk
+
+    probes = emb.filter(F.col("vec_id") < 10)
+    exact = brute_force_topk(probes, emb, k=10)
+    approx = ivf_topk(probes, emb, k=10, nlist=16, nprobe=4)
+
+    ex = {(r.probe_id, r.cand_id) for r in exact.collect()}
+    ap = {(r.probe_id, r.cand_id) for r in approx.collect()}
+    recall = len(ex & ap) / len(ex)
+    # nprobe/nlist = 1/4 of the corpus scanned; on uniform-random vectors
+    # (no cluster structure — IVF's worst case) measured recall ~0.5-0.6.
+    assert recall >= 0.3, f"IVF recall too low: {recall:.2f}"
+    # every returned row still carries an exact cosine, ranked descending
+    rows = approx.collect()
+    by_probe = {}
+    for r in rows:
+        by_probe.setdefault(r.probe_id, []).append(r)
+    for rs in by_probe.values():
+        rs.sort(key=lambda r: r.rank)
+        cos = [r.cosine for r in rs]
+        assert cos == sorted(cos, reverse=True)
