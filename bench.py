@@ -31,6 +31,9 @@ HEADLINE = [
     "agg_pricing_summary",
     "join_agg_topk",
     "multi_join_groupby",
+    "asof_join_clicks",
+    "range_join_bucketed",
+    "agg_stats",
     "window_rank_topk",
     "window_running_sum",
     "tumbling_window_agg",
@@ -39,7 +42,9 @@ HEADLINE = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "text_quality",
+    "text_rolling_fingerprint",
     "similarity_topk",
+    "similarity_ann_ivf",
 ]
 
 

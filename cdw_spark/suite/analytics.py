@@ -276,3 +276,163 @@ def cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cube("return_flag", "line_status")
         .agg(F.sum("qty").alias("sum_qty"), F.count(F.lit(1)).alias("n"))
     )
+
+
+@register(
+    "agg_stats",
+    oracle="""
+    SELECT o_orderstatus AS status,
+           ROUND(stddev_samp(o_totalprice), 4) AS sd_price,
+           ROUND(var_samp(o_totalprice), 4) AS var_price,
+           ROUND(corr(o_totalprice, o_custkey), 6) AS corr_price_cust,
+           ROUND(covar_samp(o_totalprice, o_custkey), 4) AS covar_price_cust,
+           ROUND(median(o_totalprice), 4) AS med_price,
+           ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90_price
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    doc="Statistical aggregates: sample stddev/variance, Pearson "
+    "correlation, sample covariance, exact interpolated median and p90. "
+    "(skewness/kurtosis excluded: Spark uses population g1/g2, DuckDB "
+    "bias-corrected G1/G2 — definitionally different.)",
+)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single hash-aggregate pass: all moments + the exact percentiles
+    compute in one shuffle on the 3-value group key. Exact percentile is a
+    sort-based agg — at 100 TB swap to approx_percentile (see
+    agg_approx_distinct for the sketch-tier pattern)."""
+    o = load_fixture(spark, sf_dir, "orders")
+    return o.groupBy(F.col("o_orderstatus").alias("status")).agg(
+        F.round(F.stddev_samp("o_totalprice"), 4).alias("sd_price"),
+        F.round(F.var_samp("o_totalprice"), 4).alias("var_price"),
+        F.round(F.corr("o_totalprice", "o_custkey"), 6).alias("corr_price_cust"),
+        F.round(F.covar_samp("o_totalprice", "o_custkey"), 4).alias("covar_price_cust"),
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("med_price"),
+        F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90_price"),
+    )
+
+
+_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+
+
+def _pivot_case(p: str) -> str:
+    safe = p.lower().replace("-", "_").replace(" ", "_")
+    return (
+        f"ROUND(SUM(CASE WHEN o_orderpriority = '{p}' THEN o_totalprice ELSE 0 END), 2)"
+        f" AS sum_{safe}"
+    )
+
+
+@register(
+    "pivot_agg",
+    oracle=f"""
+    SELECT o_orderstatus AS status,
+           {", ".join(_pivot_case(p) for p in _PRIORITIES)}
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    doc="Pivot: order value by status x priority, priorities spread to "
+    "columns. Spark groupBy().pivot() with the value list supplied "
+    "up-front (skips the extra distinct-values job); oracle is the "
+    "equivalent CASE WHEN spread.",
+)
+def pivot_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pivot() with explicit values compiles to one hash aggregate with
+    |values| conditional sums — same single shuffle as a plain groupBy."""
+    o = load_fixture(spark, sf_dir, "orders")
+    piv = (
+        o.groupBy(F.col("o_orderstatus").alias("status"))
+        .pivot("o_orderpriority", _PRIORITIES)
+        .agg(F.round(F.sum(F.coalesce(F.col("o_totalprice"), F.lit(0.0))), 2))
+    )
+    renames = [F.col("status")] + [
+        F.coalesce(F.col(f"`{p}`"), F.lit(0.0)).alias(
+            "sum_" + p.lower().replace("-", "_").replace(" ", "_")
+        )
+        for p in _PRIORITIES
+    ]
+    return piv.select(*renames)
+
+
+@register(
+    "date_funcs",
+    oracle="""
+    SELECT o_orderkey AS order_key,
+           CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month,
+           o_orderdate + INTERVAL 90 DAY AS due_ts,
+           datediff('day', DATE '1995-01-01', o_orderdate) AS days_since_95,
+           dayname(o_orderdate) AS day_name,
+           last_day(CAST(o_orderdate AS DATE)) AS month_end
+    FROM orders
+    WHERE o_orderkey % 10 = 0
+    """,
+    doc="Date/time scalar surface: month truncation, interval arithmetic, "
+    "day difference, day-of-week name, end-of-month (F-family breadth "
+    "beyond the reference's EXTRACT-only usage, SURVEY.md §2.3).",
+)
+def date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_fixture(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 10 == 0)
+    return o.select(
+        F.col("o_orderkey").alias("order_key"),
+        F.to_date(F.date_trunc("month", "o_orderdate")).alias("order_month"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")).alias("due_ts"),
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01")).alias("days_since_95"),
+        F.date_format("o_orderdate", "EEEE").alias("day_name"),
+        F.last_day("o_orderdate").alias("month_end"),
+    )
+
+
+@register(
+    "range_join_bucketed",
+    oracle="""
+    SELECT o.o_orderkey AS order_key, COUNT(l.l_orderkey) AS n_shipped_in_window
+    FROM orders o
+    LEFT JOIN lineitem l
+      ON l.l_shipdate >= o.o_orderdate
+     AND l.l_shipdate < o.o_orderdate + INTERVAL 7 DAY
+    WHERE o.o_orderkey % 20 = 0
+    GROUP BY o.o_orderkey
+    """,
+    doc="Range (interval) join: per order, the corpus-wide count of line "
+    "items shipped inside [orderdate, orderdate+7d). The oracle states the "
+    "naive inequality join; the Spark plan is the bucketed form — both "
+    "sides binned to 7-day epochs, orders exploded to the <=2 buckets "
+    "their window overlaps, equi-join on bucket, exact filter after.",
+)
+def range_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale path for inequality joins: an equi-join on the bucket id
+    shuffles O(|L| + 2|R|) rows instead of the O(|L| x |R|) cartesian a
+    theta-join degenerates to; the residual range predicate then runs
+    post-match. Bucket width = window width => each interval spans <=2
+    buckets, so the blowup factor is exactly 2."""
+    bucket = 7 * 86400  # seconds per window
+    o = (
+        load_fixture(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 20 == 0)
+        .select(
+            F.col("o_orderkey").alias("order_key"),
+            F.unix_timestamp("o_orderdate").alias("w_start"),
+            (F.unix_timestamp("o_orderdate") + bucket).alias("w_end"),
+        )
+        .withColumn("b0", (F.col("w_start") / bucket).cast("long"))
+        .withColumn("bucket_id", F.explode(F.array(F.col("b0"), F.col("b0") + 1)))
+        .drop("b0")
+    )
+    li = load_fixture(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("li_key"),
+        F.unix_timestamp("l_shipdate").alias("ship_s"),
+        (F.unix_timestamp("l_shipdate") / bucket).cast("long").alias("bucket_id"),
+    )
+    in_range = (F.col("ship_s") >= F.col("w_start")) & (F.col("ship_s") < F.col("w_end"))
+    # left join + conditional count (not filter-then-count): an order whose
+    # bucket matched rows but none inside the exact window must still
+    # appear with count 0, as the oracle's LEFT JOIN does.
+    return (
+        o.join(li, on="bucket_id", how="left")
+        .groupBy("order_key")
+        .agg(
+            F.sum(F.when(in_range, 1).otherwise(0))
+            .cast("long")
+            .alias("n_shipped_in_window")
+        )
+    )

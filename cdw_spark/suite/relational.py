@@ -319,3 +319,62 @@ def asof_join_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_time="ts",
         right_payload={"ts": "purchase_ts", "value": "purchase_value"},
     )
+
+
+@register(
+    "json_funcs",
+    oracle="""
+    SELECT event_type,
+           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           COUNT(json_extract(props, '$.nope')) AS n_missing_key
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="JSON column surface: path extraction from the events.props JSON "
+    "string (get_json_object — the schema-on-read path the reference's "
+    "COPY json 'auto' delegates to Redshift, sql_queries.py:133), typed "
+    "cast, missing-path NULL semantics, aggregated per event type.",
+)
+def json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """get_json_object runs JVM-side (Jackson) — no Python. At 100 TB
+    prefer from_json with an explicit schema once the shape is known:
+    it parses once per row instead of once per path."""
+    ev = load_fixture(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.sum(F.get_json_object("props", "$.k").cast("long")).alias("sum_k"),
+        F.count(F.get_json_object("props", "$.nope")).alias("n_missing_key"),
+    )
+
+
+@register(
+    "array_funcs",
+    oracle="""
+    SELECT vec_id,
+           ROUND(list_aggregate(embedding::DOUBLE[], 'sum'), 6) AS vec_sum,
+           ROUND(list_max(embedding::DOUBLE[]), 6) AS vec_max,
+           len(list_filter(embedding::DOUBLE[], x -> x > 0)) AS n_positive,
+           ROUND(list_sort(embedding::DOUBLE[])[1], 6) AS vec_min,
+           ROUND(list_dot_product(embedding::DOUBLE[],
+                                  list_reverse(embedding::DOUBLE[])), 6) AS dot_reversed
+    FROM embeddings
+    WHERE vec_id % 5 = 0
+    """,
+    doc="Array higher-order-function surface over array<float>: aggregate "
+    "fold, element max/min via sort, lambda filter, reverse + zip_with dot "
+    "product — the primitives the vector/dedup operators are built from.",
+)
+def array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every op is a Catalyst higher-order function on the in-plan array —
+    single scan, zero shuffle, no Python serialization."""
+    from ..functions.vectors import dot, to_double_array
+
+    e = load_fixture(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 5 == 0)
+    v = to_double_array(F.col("embedding"))
+    return e.select(
+        "vec_id",
+        F.round(F.aggregate(v, F.lit(0.0), lambda a, x: a + x), 6).alias("vec_sum"),
+        F.round(F.array_max(v), 6).alias("vec_max"),
+        F.size(F.filter(v, lambda x: x > 0)).alias("n_positive"),
+        F.round(F.element_at(F.sort_array(v), 1), 6).alias("vec_min"),
+        F.round(dot(v, F.reverse(v)), 6).alias("dot_reversed"),
+    )
