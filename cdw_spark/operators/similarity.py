@@ -125,37 +125,41 @@ def lsh_topk(
     )
 
 
-def _centroid_literal(cents: list[tuple[int, list[float]]]):
-    """Centroid table as an in-plan array<struct<cid,cv>> literal — the
-    IVF coarse quantizer travels inside the serialized plan (a few KB for
-    nlist<=256), so centroid assignment needs NO join and NO shuffle."""
-    return F.array(
-        *[
-            F.struct(
-                F.lit(cid).alias("cid"),
-                F.array(*[F.lit(float(x)) for x in vec]).alias("cv"),
-            )
-            for cid, vec in cents
-        ]
+def _norm_sql(name: str, dim: int) -> str:
+    """sqrt(sum v_i^2) as an unrolled SQL string — two reasons not to build
+    this as a Column tree: (a) Spark's higher-order functions (aggregate /
+    zip_with) are interpreted per-row, not codegen'd — the HOF form
+    measured ~5 ms/row; (b) composing ~4k Column operators from Python
+    costs one py4j round-trip each (~20 s of pure driver overhead per
+    plan). One F.expr(string) parses JVM-side in milliseconds and the
+    arithmetic stays inside whole-stage codegen. Left-assoc '+' preserves
+    the sequential fold order of functions/vectors.py:dot."""
+    return "sqrt(" + " + ".join(f"{name}[{i}]*{name}[{i}]" for i in range(dim)) + ")"
+
+
+def _dot_sql(name: str, weights: list[float]) -> str:
+    """dot(v, constant_weights) as an unrolled SQL multiply-add chain."""
+    return "(" + " + ".join(f"{name}[{i}]*({w!r})" for i, w in enumerate(weights)) + ")"
+
+
+def _scores_sql(name: str, norm_name: str, cents: list[tuple[int, list[float]]]) -> str:
+    """array(cosine vs every unit centroid) — centroids ride the plan as
+    literal weights: scoring needs no join, no shuffle, no HOF."""
+    return (
+        "array("
+        + ", ".join(f"{_dot_sql(name, w)}/{norm_name}" for _, w in cents)
+        + ")"
     )
 
 
-def _unit(v):
-    return F.transform(v, lambda x: x / F.sqrt(dot(v, v)))
-
-
-def _nearest_cid(uv, cent_lit):
-    """Argmax-dot centroid id via a JVM-side fold — per-row O(nlist·dim),
-    zero shuffle (vs the crossJoin-then-argmin pattern's nlist× blowup)."""
-    best = F.aggregate(
-        cent_lit,
-        F.struct(F.lit(-1).alias("cid"), F.lit(-2.0).alias("score")),
-        lambda acc, c: F.when(
-            dot(uv, c["cv"]) > acc["score"],
-            F.struct(c["cid"].alias("cid"), dot(uv, c["cv"]).alias("score")),
-        ).otherwise(acc),
+def _cid_sql(scores_name: str, cents: list[tuple[int, list[float]]]) -> str:
+    """Argmax-score centroid id: array_position takes the FIRST maximum —
+    deterministic tie-break toward the lower list index."""
+    cid_arr = "array(" + ", ".join(str(cid) for cid, _ in cents) + ")"
+    return (
+        f"element_at({cid_arr}, cast(array_position({scores_name}, "
+        f"array_max({scores_name})) as int))"
     )
-    return best["cid"]
 
 
 def ivf_train(
@@ -166,32 +170,38 @@ def ivf_train(
     vec_col: str = "embedding",
 ) -> list[tuple[int, list[float]]]:
     """Spherical k-means coarse quantizer, trained with DataFrame-native
-    Lloyd iterations (assignment = JVM fold against the broadcast-literal
-    centroids; update = one groupBy over (cid) with per-dimension sums —
-    the only shuffle, carrying nlist×dim doubles).
+    Lloyd iterations: assignment is codegen'd literal-weight scoring (no
+    join, no shuffle); update is one groupBy over (cid) summing the
+    unit-normalized components — the only shuffle, carrying nlist×dim
+    doubles.
 
     Deterministic: init = the nlist lowest-id vectors; centroid coords are
     rounded to 9 decimals each sync so partition-order float-sum jitter
     cannot flip assignments. At 100 TB you'd train on a seeded sample
     (df.sample) — the fixture corpus is small enough to use whole."""
+    dim = len(corpus.select(vec_col).first()[0])
     c = corpus.select(
-        F.col(id_col).alias("_id"), _unit(to_double_array(F.col(vec_col))).alias("uv")
-    )
+        F.col(id_col).alias("_id"), to_double_array(F.col(vec_col)).alias("v")
+    ).withColumn("_norm", F.expr(_norm_sql("v", dim)))
+    c = c.persist()  # read iters+1 times below
     init = c.orderBy("_id").limit(nlist).collect()
-    cents = [(i, [round(x, 9) for x in r["uv"]]) for i, r in enumerate(init)]
-    dim = len(cents[0][1])
+    cents = [
+        (i, [round(x / r["_norm"], 9) for x in r["v"]]) for i, r in enumerate(init)
+    ]
     for _ in range(iters):
-        lit = _centroid_literal(cents)
-        assigned = c.select(F.col("uv"), _nearest_cid(F.col("uv"), lit).alias("cid"))
+        assigned = c.withColumn(
+            "_scores", F.expr(_scores_sql("v", "_norm", cents))
+        ).withColumn("cid", F.expr(_cid_sql("_scores", cents)))
         stats = assigned.groupBy("cid").agg(
             F.count(F.lit(1)).alias("n"),
-            *[F.sum(F.element_at("uv", i + 1)).alias(f"s{i}") for i in range(dim)],
+            *[F.sum(F.expr(f"v[{i}]/_norm")).alias(f"s{i}") for i in range(dim)],
         )
         rows = stats.collect()  # nlist rows — driver sync, as in any distributed k-means
         cents = [
             (int(r["cid"]), [round(r[f"s{i}"] / r["n"], 9) for i in range(dim)])
             for r in sorted(rows, key=lambda r: r["cid"])
         ]
+    c.unpersist()
     return cents
 
 
@@ -214,25 +224,36 @@ def ivf_topk(
     tests/test_similarity.py). At 100 TB: write the corpus partitioned by
     ``cid`` so a probe's candidate read is partition-pruned at the source."""
     cents = ivf_train(corpus, nlist=nlist, iters=iters, id_col=id_col, vec_col=vec_col)
-    lit = _centroid_literal(cents)
+    dim = len(cents[0][1])
 
-    c = corpus.select(
-        F.col(id_col).alias("cand_id"), to_double_array(F.col(vec_col)).alias("cv")
+    c = (
+        corpus.select(
+            F.col(id_col).alias("cand_id"), to_double_array(F.col(vec_col)).alias("cv")
+        )
+        .withColumn("_cnorm", F.expr(_norm_sql("cv", dim)))
+        .withColumn("_cscores", F.expr(_scores_sql("cv", "_cnorm", cents)))
+        .withColumn("cid", F.expr(_cid_sql("_cscores", cents)))
+        .drop("_cnorm", "_cscores")
     )
-    c = c.withColumn("cid", _nearest_cid(_unit(F.col("cv")), lit))
 
-    p = probes.select(
-        F.col(id_col).alias("probe_id"), to_double_array(F.col(vec_col)).alias("pv")
+    p = (
+        probes.select(
+            F.col(id_col).alias("probe_id"), to_double_array(F.col(vec_col)).alias("pv")
+        )
+        .withColumn("_pnorm", F.expr(_norm_sql("pv", dim)))
+        .withColumn("_pscores", F.expr(_scores_sql("pv", "_pnorm", cents)))
     )
+    cid_arr = "array(" + ", ".join(str(cid) for cid, _ in cents) + ")"
     pw = Window.partitionBy("probe_id").orderBy(F.col("cscore").desc(), F.col("cid"))
     probe_lists = (
-        p.select("probe_id", "pv", F.explode(lit).alias("c"))
-        .select(
+        p.select(
             "probe_id",
             "pv",
-            F.col("c.cid").alias("cid"),
-            dot(_unit(F.col("pv")), F.col("c.cv")).alias("cscore"),
+            F.explode(
+                F.expr(f"zip_with({cid_arr}, _pscores, (c, s) -> struct(c AS cid, s AS cscore))")
+            ).alias("c"),
         )
+        .select("probe_id", "pv", F.col("c.cid").alias("cid"), F.col("c.cscore").alias("cscore"))
         .withColumn("crank", F.row_number().over(pw))
         .filter(F.col("crank") <= nprobe)
         .select("probe_id", "pv", "cid")
@@ -252,7 +273,6 @@ def ivf_topk(
         )
         .filter(F.col("rank") <= k)
     )
-
 
 def similar_pairs_topn(
     corpus: DataFrame,

@@ -436,3 +436,80 @@ def range_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_shipped_in_window")
         )
     )
+
+
+@register(
+    "scd_latest_state",
+    oracle="""
+    SELECT o_custkey AS cust_key,
+           arg_max(o_orderstatus,
+                   (CAST(epoch(o_orderdate) AS BIGINT) // 86400) * 10000000000
+                   + o_orderkey) AS last_status,
+           arg_max(o_totalprice,
+                   (CAST(epoch(o_orderdate) AS BIGINT) // 86400) * 10000000000
+                   + o_orderkey) AS last_price,
+           MIN(o_orderdate) AS first_order_ts,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY o_custkey
+    """,
+    doc="Latest-state rollup (SCD-style current view): max_by/arg_max on a "
+    "strict composite key (order day, then order key — the fixture has "
+    "same-day ties that would otherwise be engine-nondeterministic). The "
+    "pattern behind the 'latest level per user' variant of reference "
+    "quirk K3 (SURVEY.md §7.1).",
+)
+def scd_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One hash aggregate — max_by keeps a single (key, value) pair per
+    group, so the current-state view never needs the window-sort a
+    row_number() formulation would shuffle."""
+    o = load_fixture(spark, sf_dir, "orders")
+    ordkey = (
+        F.expr("unix_timestamp(o_orderdate) div 86400") * F.lit(10_000_000_000)
+        + F.col("o_orderkey")
+    )
+    return o.groupBy(F.col("o_custkey").alias("cust_key")).agg(
+        F.max_by("o_orderstatus", ordkey).alias("last_status"),
+        F.max_by("o_totalprice", ordkey).alias("last_price"),
+        F.min("o_orderdate").alias("first_order_ts"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+N_SALTS = 16
+
+
+@register(
+    "skew_salted_agg",
+    oracle="""
+    SELECT l_returnflag AS return_flag,
+           ROUND(SUM(l_extendedprice), 2) AS sum_price,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="Skew-safe two-stage aggregation: partial agg on (key, salt) "
+    "spreads a hot key over 16 reducers, final agg merges the 16 partials "
+    "per key. Result is identical to the plain GROUP BY (the oracle); "
+    "only the shuffle distribution changes. l_returnflag has 3 values "
+    "over 600k rows at sf0.1 — exactly the cardinality collapse that "
+    "single-stage hashing concentrates on 3 reducers at 100 TB.",
+)
+def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stage 1 shuffles on (key, salt): every reducer gets ~|rows|/(3*16);
+    stage 2 shuffles 3*16 partial rows. SUM/COUNT re-aggregate losslessly
+    (doubles: same partial-sum tree depth -> stable to 2-decimal rounding).
+    Spark's own partial aggregation does this map-side when it can; the
+    explicit salt survives even forced-total-order cases (e.g. upstream
+    repartition by key) and is the template for skewed-join salting."""
+    li = load_fixture(spark, sf_dir, "lineitem")
+    salted = li.withColumn(
+        "_salt", F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(N_SALTS))
+    )
+    partial = salted.groupBy(F.col("l_returnflag").alias("return_flag"), F.col("_salt")).agg(
+        F.sum("l_extendedprice").alias("p_sum"), F.count(F.lit(1)).alias("p_n")
+    )
+    return partial.groupBy("return_flag").agg(
+        F.round(F.sum("p_sum"), 2).alias("sum_price"),
+        F.sum("p_n").alias("n_rows"),
+    )

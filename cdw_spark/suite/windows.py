@@ -255,3 +255,44 @@ def session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+@register(
+    "window_ntile_dist",
+    oracle="""
+    SELECT o_orderkey AS order_key,
+           o_orderstatus AS status,
+           NTILE(4) OVER w AS price_quartile,
+           ROUND(PERCENT_RANK() OVER w, 6) AS price_pct_rank,
+           ROUND(CUME_DIST() OVER w, 6) AS price_cume_dist,
+           NTH_VALUE(o_orderkey, 2) OVER (
+               PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS second_cheapest_key
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+    QUALIFY o_orderkey % 25 = 0
+    """,
+    doc="Distribution window functions: ntile quartiles, percent_rank, "
+    "cume_dist, nth_value — the ranking-family breadth beyond "
+    "row_number/rank (absent from reference, SURVEY.md §2.4 row 2). "
+    "Strict (price, key) order so every engine ranks identically.",
+)
+def window_ntile_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All four functions share one window spec — a single sort within the
+    status partition serves every column; the output filter keeps the
+    compared subset small without changing any window's input frame."""
+    o = load_fixture(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        o.select(
+            F.col("o_orderkey").alias("order_key"),
+            F.col("o_orderstatus").alias("status"),
+            F.ntile(4).over(w).alias("price_quartile"),
+            F.round(F.percent_rank().over(w), 6).alias("price_pct_rank"),
+            F.round(F.cume_dist().over(w), 6).alias("price_cume_dist"),
+            F.nth_value("o_orderkey", 2).over(wf).alias("second_cheapest_key"),
+        )
+        .filter(F.col("order_key") % 25 == 0)
+    )

@@ -79,3 +79,19 @@ def test_broadcast_small_dims(spark, sf_dir):
         .groupBy(n["n_name"]).agg(F.count(F.lit(1)).alias("cnt"))
     )
     assert "BroadcastHashJoin" in _plan(df)
+
+
+def test_analyze_table_records_stats(spark, sf_dir):
+    """S7 (STATUPDATE ON analog): ANALYZE TABLE must land row/size stats in
+    the catalog so the CBO sees them (SURVEY.md §2.1 S7, §4)."""
+    from cdw_spark.catalog import load_fixture
+    from cdw_spark.plans.layout import analyze_table
+
+    load_fixture(spark, sf_dir, "region").write.mode("overwrite").saveAsTable(
+        "stats_probe"
+    )
+    analyze_table(spark, "stats_probe")
+    detail = spark.sql("DESCRIBE TABLE EXTENDED stats_probe").collect()
+    stats = [r for r in detail if r.col_name == "Statistics"]
+    assert stats and "rows" in stats[0].data_type, detail
+    spark.sql("DROP TABLE stats_probe")
