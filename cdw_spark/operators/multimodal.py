@@ -100,3 +100,77 @@ def extract_features(df: DataFrame, id_col: str = "doc_id", fake: bool = True) -
             )
 
     return src.mapInPandas(run, FEATURE_SCHEMA)
+
+
+FRAME_SIZE = 256  # bytes per fake "frame" (stand-in for a decoded frame)
+FRAME_STRIDE = 4  # sample every 4th frame
+FRAME_MS = 40  # 25 fps
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", LongType()),
+        StructField("frame_ms", LongType()),
+        StructField("frame_sha", StringType()),
+    ]
+)
+
+
+def resize_stub(blob: bytes, width: int, height: int, fake: bool) -> bytes:
+    """Resize an image blob.
+
+    REAL CODECS NOT AVAILABLE IN THIS ENVIRONMENT — production would
+    `PIL.Image.open(io.BytesIO(blob)).resize((width, height))` here. The
+    deterministic fake tiles/truncates the source bytes to width*height so
+    output size is exactly the contract a real resize keeps."""
+    if not fake:
+        raise NotImplementedError(
+            "image codecs (PIL) are not installed in this container; "
+            "pass fake=True for deterministic plumbing-test output"
+        )
+    need = width * height
+    if not blob:
+        return b"\x00" * need
+    reps = -(-need // len(blob))
+    return (blob * reps)[:need]
+
+
+def sample_frames(df: DataFrame, id_col: str = "doc_id", fake: bool = True) -> DataFrame:
+    """Frame sampling over binary 'video' blobs via mapInPandas: every
+    FRAME_STRIDE-th FRAME_SIZE-byte frame becomes its own output row —
+    the 1-row -> N-rows batch shape a real ffmpeg frame sampler uses
+    (yielded DataFrames need not align with input batch sizes; Arrow
+    re-chunks freely).
+
+    Scale: output rows carry the frame hash, not the frame bytes — at
+    100 TB the downstream join/dedup works on fingerprints and refetches
+    bytes only for the survivors. Blobs here are text bytes (no media in
+    the fixtures); the sampling geometry (frame count = floor(len/size),
+    indices 0, stride, 2*stride, ...) is engine-neutral and oracle-checked
+    in the multimodal_frame_sample query."""
+    src = df.select(F.col(id_col).cast("long").alias("doc_id"), "blob")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            ids, idxs, mss, shas = [], [], [], []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                b = bytes(blob)
+                if not fake:
+                    raise NotImplementedError(
+                        "video codecs (ffmpeg/av) are not installed; "
+                        "pass fake=True for deterministic plumbing-test frames"
+                    )
+                n_frames = len(b) // FRAME_SIZE
+                for i in range(0, n_frames, FRAME_STRIDE):
+                    frame = b[i * FRAME_SIZE : (i + 1) * FRAME_SIZE]
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    mss.append(i * FRAME_MS)
+                    shas.append(hashlib.sha256(frame).hexdigest())
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": idxs, "frame_ms": mss, "frame_sha": shas}
+            )
+
+    return src.mapInPandas(run, FRAME_SCHEMA)

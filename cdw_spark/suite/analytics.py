@@ -424,16 +424,24 @@ def range_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.unix_timestamp("l_shipdate") / bucket).cast("long").alias("bucket_id"),
     )
     in_range = (F.col("ship_s") >= F.col("w_start")) & (F.col("ship_s") < F.col("w_end"))
-    # left join + conditional count (not filter-then-count): an order whose
-    # bucket matched rows but none inside the exact window must still
-    # appear with count 0, as the oracle's LEFT JOIN does.
-    return (
-        o.join(li, on="bucket_id", how="left")
+    # Inner bucket join with the SMALL exploded-orders side broadcast, then
+    # counts joined back onto the order list. A direct left-outer would
+    # force the preserved (orders) side to stream — Spark can only build
+    # the non-preserved side of an outer hash join, i.e. it would broadcast
+    # the fact table. Two cheap joins beat one upside-down one.
+    counts = (
+        li.join(F.broadcast(o), on="bucket_id", how="inner")
+        .filter(in_range)
         .groupBy("order_key")
-        .agg(
-            F.sum(F.when(in_range, 1).otherwise(0))
-            .cast("long")
-            .alias("n_shipped_in_window")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    return (
+        o.select("order_key")
+        .distinct()
+        .join(F.broadcast(counts), on="order_key", how="left")
+        .select(
+            "order_key",
+            F.coalesce(F.col("_n"), F.lit(0)).cast("long").alias("n_shipped_in_window"),
         )
     )
 
@@ -512,4 +520,26 @@ def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return partial.groupBy("return_flag").agg(
         F.round(F.sum("p_sum"), 2).alias("sum_price"),
         F.sum("p_n").alias("n_rows"),
+    )
+
+
+@register(
+    "agg_approx_quantiles",
+    oracle=None,  # sketch output is algorithm-specific; error bound asserted in tests
+    doc="approx_percentile (KLL-style sketch) p50/p90/p99 of order value "
+    "per status — the sketch tier next to the exact interpolated "
+    "percentiles of agg_stats. Rows-only check here; the sketch's "
+    "rank-error contract vs the exact quantiles is asserted in "
+    "tests/test_elt_runner.py::test_approx_quantiles_error_bound.",
+)
+def agg_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """At 100 TB exact percentiles need a full sort per group;
+    approx_percentile is a mergeable one-pass sketch: partials combine
+    map-side like any algebraic aggregate — O(groups x sketch_size)
+    shuffled, no sort."""
+    o = load_fixture(spark, sf_dir, "orders")
+    return o.groupBy(F.col("o_orderstatus").alias("status")).agg(
+        F.expr("approx_percentile(o_totalprice, 0.5, 10000)").alias("p50_approx"),
+        F.expr("approx_percentile(o_totalprice, 0.9, 10000)").alias("p90_approx"),
+        F.expr("approx_percentile(o_totalprice, 0.99, 10000)").alias("p99_approx"),
     )

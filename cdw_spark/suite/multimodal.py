@@ -47,3 +47,26 @@ def multimodal_blob_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = attach_blob(load_fixture(spark, sf_dir, "documents"))
     return extract_features(d, fake=True)
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, octet_length(encode(text)) AS blen FROM documents
+    )
+    SELECT doc_id, unnest(range(0, blen // 256, 4)) AS frame_idx,
+           unnest(range(0, blen // 256, 4)) * 40 AS frame_ms
+    FROM d
+    WHERE blen >= 256
+    """,
+    doc="Frame sampling geometry over binary 'video' blobs: every 4th "
+    "256-byte frame -> one row (frame index + timestamp). The mapInPandas "
+    "sampler's 1->N row explosion is oracle-checked on its engine-neutral "
+    "columns; frame-content hashes are Spark-side (tests/test_multimodal).",
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import sample_frames
+
+    d = attach_blob(load_fixture(spark, sf_dir, "documents"))
+    return sample_frames(d, fake=True).select("doc_id", "frame_idx", "frame_ms")

@@ -378,3 +378,36 @@ def array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.element_at(F.sort_array(v), 1), 6).alias("vec_min"),
         F.round(dot(v, F.reverse(v)), 6).alias("dot_reversed"),
     )
+
+
+_CORR_SUBQ_SQL = """
+SELECT p.p_brand AS brand, COUNT(*) AS n_premium
+FROM part p
+WHERE p.p_retailprice > (
+    SELECT CAST(AVG(CAST(p2.p_retailprice AS DECIMAL(18,4))) AS DOUBLE)
+    FROM part p2
+    WHERE p2.p_brand = p.p_brand
+)
+GROUP BY p.p_brand
+"""
+
+
+@register(
+    "correlated_subquery",
+    oracle=_CORR_SUBQ_SQL,
+    doc="Correlated scalar subquery (parts above their brand's average "
+    "price), executed through spark.sql verbatim — Catalyst decorrelates "
+    "it into an aggregate + join; the oracle runs the identical SQL in "
+    "DuckDB. Threshold computed in exact DECIMAL so the comparison is "
+    "order-independent across engines. Subquery family absent from the "
+    "reference (SURVEY.md §2.4 row 6).",
+)
+def correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's SQL surface itself: identical query text runs on both
+    engines. Catalyst rewrites the per-row subquery to a brand-level
+    aggregate joined back (visible as Aggregate+Join in the plan) — the
+    hand-decorrelated form, derived automatically."""
+    from ..catalog import register_fixtures
+
+    register_fixtures(spark, sf_dir, tables=("part",))
+    return spark.sql(_CORR_SUBQ_SQL)

@@ -46,3 +46,25 @@ def test_elt_rerun_append_duplicates_k6(spark, data, tmp_path_factory):
     p3 = run_elt(spark, log_path, song_path, out, faithful=True, mode="overwrite")
     n3 = spark.read.parquet(p3["users"]).count()
     assert n3 == n1
+
+
+def test_approx_quantiles_error_bound(spark, sf_dir):
+    """The sketch must land within its accuracy contract: with accuracy
+    10000 the rank error is <=1/10000, far under the value gap between
+    adjacent fixture rows — compare against exact percentile directly."""
+    from pyspark.sql import functions as F
+
+    from cdw_spark.catalog import load_fixture
+
+    o = load_fixture(spark, sf_dir, "orders")
+    got = (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.expr("approx_percentile(o_totalprice, 0.9, 10000)").alias("approx"),
+            F.expr("percentile(o_totalprice, 0.9)").alias("exact"),
+        )
+        .collect()
+    )
+    assert got
+    for r in got:
+        assert abs(r.approx - r.exact) / max(abs(r.exact), 1e-9) < 0.02, r

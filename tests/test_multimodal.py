@@ -38,3 +38,32 @@ def test_feature_sha_matches_jvm_side(blobs):
     feats = extract_features(blobs, fake=True).select("doc_id", "sha256")
     meta = blobs.select("doc_id", "blob_meta.sha256")
     assert feats.exceptAll(meta).count() == 0
+
+
+def test_frame_sampler_deterministic_hashes(spark, sf_dir):
+    from cdw_spark.catalog import load_fixture
+    from cdw_spark.operators.multimodal import FRAME_SIZE, attach_blob, sample_frames
+
+    d = attach_blob(load_fixture(spark, sf_dir, "documents"))
+    a = {(r.doc_id, r.frame_idx): r.frame_sha for r in sample_frames(d).collect()}
+    b = {(r.doc_id, r.frame_idx): r.frame_sha for r in sample_frames(d).collect()}
+    assert a == b and a
+    # geometry: a doc contributes ceil((len//FRAME_SIZE)/4) frames
+    import math
+
+    from pyspark.sql import functions as F
+
+    lens = {r.doc_id: r.blen for r in d.select("doc_id", F.octet_length("text").alias("blen")).collect()}
+    expected = sum(math.ceil((n // FRAME_SIZE) / 4) for n in lens.values())
+    assert len(a) == expected
+
+
+def test_resize_stub_contract():
+    from cdw_spark.operators.multimodal import resize_stub
+
+    out = resize_stub(b"abcdef", 8, 4, fake=True)
+    assert len(out) == 32
+    assert out == resize_stub(b"abcdef", 8, 4, fake=True)
+    assert resize_stub(b"", 2, 2, fake=True) == b"\x00" * 4
+    with pytest.raises(NotImplementedError):
+        resize_stub(b"abc", 2, 2, fake=False)

@@ -95,3 +95,24 @@ def test_analyze_table_records_stats(spark, sf_dir):
     stats = [r for r in detail if r.col_name == "Statistics"]
     assert stats and "rows" in stats[0].data_type, detail
     spark.sql("DROP TABLE stats_probe")
+
+
+def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path_factory):
+    """Partition-layout discipline: a column-partitioned parquet table must
+    show PartitionFilters (not a data filter) for an equality predicate on
+    the partition column — at 100 TB this is the difference between
+    scanning one directory and scanning the lake."""
+    from cdw_spark.catalog import load_fixture
+
+    out = str(tmp_path_factory.mktemp("part")) + "/events_by_type"
+    load_fixture(spark, sf_dir, "events").write.partitionBy("event_type").mode(
+        "overwrite"
+    ).parquet(out)
+    df = spark.read.parquet(out).filter("event_type = 'purchase'")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    # the partition predicate must appear in PartitionFilters, not survive
+    # as a post-scan Filter node
+    pf = [seg for seg in plan.split("PartitionFilters: [")[1:]]
+    assert any("event_type" in seg.split("]")[0] for seg in pf), plan
+    assert df.count() > 0
