@@ -42,7 +42,7 @@ HEADLINE = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "text_quality",
-    "text_rolling_fingerprint",
+    "text_rolling_fingerprint_arrow",
     "similarity_topk",
     "similarity_ann_ivf",
 ]

@@ -141,8 +141,12 @@ def rolling_hash(col: Column) -> Column:
 def winnow_fingerprint(col: Column, n: int = 3) -> Column:
     """Winnowing-style fingerprint: the minimum rolling hash across the
     document's word n-gram shingles (MOSS-style selection with window =
-    whole document). Two documents sharing their rarest shingle collide."""
-    return F.array_min(F.transform(shingles(col, n), _rolling_hash_over))
+    whole document). Two documents sharing their rarest shingle collide.
+
+    NULL text -> NULL (explicit guard: concat_ws inside shingles would
+    otherwise swallow the NULL into '' and fingerprint it as 0)."""
+    fp = F.array_min(F.transform(shingles(col, n), _rolling_hash_over))
+    return F.when(col.isNull(), F.lit(None).cast("long")).otherwise(fp)
 
 
 def fingerprint_md5(col: Column) -> Column:

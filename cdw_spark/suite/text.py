@@ -214,3 +214,35 @@ def text_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         rolling_hash(t).alias("fp_rolling"),
         winnow_fingerprint(t, n=3).alias("fp_winnow"),
     )
+
+
+@register(
+    "text_rolling_fingerprint_arrow",
+    oracle=f"""
+    WITH wrds AS (
+        SELECT doc_id, lower(trim(text)) AS nt,
+               string_split_regex(lower(trim(text)), '\\s+') AS ws
+        FROM documents
+    ), sh AS (
+        SELECT doc_id, nt,
+               CASE WHEN len(ws) >= 3
+                    THEN list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                                        for i in range(1, len(ws) - 1)])
+                    ELSE [array_to_string(ws, ' ')] END AS shl
+        FROM wrds
+    )
+    SELECT doc_id,
+           {_RH_REDUCE.format(s="nt")} AS fp_rolling,
+           list_min(list_transform(shl, s -> {_RH_REDUCE.format(s="s")})) AS fp_winnow
+    FROM sh
+    """,
+    doc="Arrow-vectorized rolling-hash fingerprints: identical semantics "
+    "(and identical DuckDB oracle) as text_rolling_fingerprint, computed "
+    "as a numpy dot product against precomputed base powers inside "
+    "mapInPandas — the sanctioned fast path where Catalyst's interpreted "
+    "higher-order functions can't keep up (functions/text_arrow.py).",
+)
+def text_rolling_fingerprint_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text_arrow import rolling_fingerprints_arrow
+
+    return rolling_fingerprints_arrow(load_fixture(spark, sf_dir, "documents"))

@@ -116,3 +116,29 @@ def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path_factory):
     pf = [seg for seg in plan.split("PartitionFilters: [")[1:]]
     assert any("event_type" in seg.split("]")[0] for seg in pf), plan
     assert df.count() > 0
+
+
+def test_bucketed_join_needs_no_exchange(spark, sf_dir):
+    """Tables bucketed on the join key by the same bucket count must join
+    with zero Exchange (shuffle) operators — the at-rest co-location the
+    reference declares with DISTKEY (SURVEY.md §4)."""
+    from cdw_spark.catalog import load_fixture
+    from cdw_spark.plans.layout import write_bucketed
+
+    write_bucketed(load_fixture(spark, sf_dir, "orders"), "b_orders", "o_custkey")
+    write_bucketed(load_fixture(spark, sf_dir, "customer"), "b_customer", "c_custkey")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ
+    try:
+        joined = spark.table("b_orders").join(
+            spark.table("b_customer"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
+        assert "Exchange" not in plan, plan
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_customer")
