@@ -113,3 +113,37 @@ def rolling_fingerprints_arrow(
             )
 
     return src.mapInPandas(run, FP_SCHEMA)
+
+
+SHINGLE_SCHEMA_TMPL = "{id_col} long, sh string"
+
+
+def shingle_rows_arrow(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """Exploded (id, distinct word-n-gram shingle) rows via mapInPandas —
+    the vectorized twin of functions.text.shingles + explode (same
+    normalization: trim spaces, lower, split on \\s+, ' '-joined grams,
+    per-doc distinct; sub-n-word docs yield their full token string).
+
+    Python string slicing beats the interpreted transform+concat_ws+
+    array_distinct chain ~5x at sf0.1; the 1->N row explosion happens
+    inside the Arrow batch, so no Generate node and no extra pass."""
+    src = df.select(F.col(id_col).cast("long").alias(id_col), F.col(text_col).alias("t"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids: list[int] = []
+            shs: list[str] = []
+            for doc_id, raw in zip(pdf[id_col], pdf["t"]):
+                norm = ("" if raw is None else str(raw)).strip(" ").lower()
+                ws = _WS.split(norm)
+                if len(ws) >= n:
+                    grams = {" ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)}
+                else:
+                    grams = {" ".join(ws)}
+                ids.extend([doc_id] * len(grams))
+                shs.extend(grams)
+            yield pd.DataFrame({id_col: ids, "sh": shs})
+
+    return src.mapInPandas(run, SHINGLE_SCHEMA_TMPL.format(id_col=id_col))

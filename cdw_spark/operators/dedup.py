@@ -78,6 +78,17 @@ def _shingle_table(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFra
     target = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < max(1, target // 2):
         df = df.repartition(target)
+    from ..functions.text_arrow import shingle_rows_arrow
+
+    # Arrow-vectorized shingling (same normalization/gram semantics as
+    # functions.text.shingles — equivalence tested in tests/test_text_arrow
+    # and by every dedup oracle, whose SQL builds shingles independently).
+    return shingle_rows_arrow(df, text_col=text_col, id_col=id_col, n=n)
+
+
+def _shingle_table_expr(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+    """Catalyst-expression shingle table — the semantic definition the
+    Arrow path must match; kept for the differential test."""
     return df.select(
         F.col(id_col), F.explode(shingles(F.col(text_col), n)).alias("sh")
     )

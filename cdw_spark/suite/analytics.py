@@ -543,3 +543,50 @@ def agg_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("approx_percentile(o_totalprice, 0.9, 10000)").alias("p90_approx"),
         F.expr("approx_percentile(o_totalprice, 0.99, 10000)").alias("p99_approx"),
     )
+
+
+@register(
+    "skew_salted_join",
+    oracle="""
+    WITH dim AS (
+        SELECT DISTINCT l_returnflag AS flag, 'label_' || l_returnflag AS flag_label
+        FROM lineitem
+    )
+    SELECT d.flag_label, COUNT(*) AS n_rows,
+           ROUND(SUM(l.l_extendedprice), 2) AS sum_price
+    FROM lineitem l
+    JOIN dim d ON l.l_returnflag = d.flag
+    GROUP BY d.flag_label
+    """,
+    doc="Skew-safe salted join: the fact side joins a tiny dim on a 3-value "
+    "(maximally hot) key. The Spark plan salts the fact rows and explodes "
+    "the dim x16 so the shuffle spreads each hot key over 16 reducers; "
+    "result identical to the plain join (the oracle). For broadcast-able "
+    "dims Spark avoids the problem entirely — salting is the template for "
+    "when BOTH sides are too big to broadcast and one key dominates.",
+)
+def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salting mechanics: fact salt = deterministic hash mod N; dim rows
+    replicated once per salt value (x16 of a tiny table). Join key becomes
+    (key, salt) -> hot-key rows land on N reducers instead of one. AQE's
+    skew-join split does this adaptively for sort-merge joins; the
+    explicit form also covers shuffled-hash joins and pre-AQE engines."""
+    n_salts = 16
+    li = load_fixture(spark, sf_dir, "lineitem").withColumn(
+        "_salt", F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(n_salts))
+    )
+    dim = (
+        load_fixture(spark, sf_dir, "lineitem")
+        .select(F.col("l_returnflag").alias("flag"))
+        .distinct()
+        .withColumn("flag_label", F.concat(F.lit("label_"), F.col("flag")))
+        .withColumn("_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)])))
+    )
+    return (
+        li.join(dim, (li["l_returnflag"] == dim["flag"]) & (li["_salt"] == dim["_salt"]))
+        .groupBy("flag_label")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        )
+    )

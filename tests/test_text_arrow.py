@@ -50,3 +50,13 @@ def test_arrow_path_edge_strings(spark):
     }
     arrow = {r.doc_id: (r.fp_rolling, r.fp_winnow) for r in rolling_fingerprints_arrow(d).collect()}
     assert expr == arrow  # including NULL propagation for doc 7
+
+
+def test_arrow_shingles_match_expression_shingles(spark, sf_dir):
+    from cdw_spark.functions.text_arrow import shingle_rows_arrow
+    from cdw_spark.operators.dedup import _shingle_table_expr
+
+    d = load_fixture(spark, sf_dir, "documents")
+    a = {(r.doc_id, r.sh) for r in shingle_rows_arrow(d).collect()}
+    b = {(r.doc_id, r.sh) for r in _shingle_table_expr(d, "text", "doc_id", 3).collect()}
+    assert a == b and a
