@@ -411,3 +411,57 @@ def correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_fixtures(spark, sf_dir, tables=("part",))
     return spark.sql(_CORR_SUBQ_SQL)
+
+
+@register(
+    "null_safe_join",
+    oracle="""
+    WITH k AS (
+        SELECT n_nationkey AS id, NULLIF(n_regionkey % 3, 2) AS grp
+        FROM nation
+    )
+    SELECT a.id AS id_a, b.id AS id_b
+    FROM k a JOIN k b ON a.grp IS NOT DISTINCT FROM b.grp AND a.id < b.id
+    """,
+    doc="Null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys "
+    "match each other — the semantics plain '=' silently drops. Derived "
+    "key NULLIF(regionkey%3, 2) plants NULLs so the difference is "
+    "observable in the result.",
+)
+def null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """eqNullSafe compiles to an equi-join on a null-coalesced key — still
+    hash-partitionable (NULLs form one group), unlike general theta joins."""
+    n = load_fixture(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("id"),
+        F.nullif(F.col("n_regionkey") % 3, F.lit(2)).alias("grp"),
+    )
+    a, b = n.alias("a"), n.alias("b")
+    return a.join(
+        b, F.col("a.grp").eqNullSafe(F.col("b.grp")) & (F.col("a.id") < F.col("b.id"))
+    ).select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+
+
+@register(
+    "string_agg_sorted",
+    oracle="""
+    SELECT r_name AS region, string_agg(n_name, ',' ORDER BY n_name) AS nations,
+           COUNT(*) AS n
+    FROM region JOIN nation ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+    doc="Ordered string aggregation (listagg family): nations per region "
+    "as a sorted CSV. Spark side sorts the collected array before joining "
+    "— collect_list order is partition-dependent, so the sort is the only "
+    "engine-portable (and rerun-stable) definition.",
+)
+def string_agg_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = load_fixture(spark, sf_dir, "region")
+    n = load_fixture(spark, sf_dir, "nation")
+    return (
+        n.join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy(F.col("r_name").alias("region"))
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )

@@ -135,3 +135,23 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stream_stateful_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     sdf = sessionize(with_watermark(events_stream(spark, sf_dir), "2 hours"))
     return run_available_now(sdf, "stateful_sessionize", "append")
+
+
+@register(
+    "stream_dedup",
+    oracle="""
+    SELECT DISTINCT user_id, event_type FROM events
+    """,
+    doc="Streaming exact dedup: dropDuplicates on (user_id, event_type) "
+    "over the micro-batch replay keeps the first-seen row per key in the "
+    "state store; projected to the key columns the emitted set equals "
+    "batch SELECT DISTINCT — the streaming half of the dedup family "
+    "(pipeline ingestion dedup at the door, batch dedup in the lake).",
+)
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """State = one entry per distinct key (bounded by key cardinality
+    here; at 100 TB use dropDuplicatesWithinWatermark so state ages out
+    with event time instead of growing forever)."""
+    sdf = events_stream(spark, sf_dir).dropDuplicates(["user_id", "event_type"])
+    out = run_available_now(sdf, "dedup", "append")
+    return out.select("user_id", "event_type")
