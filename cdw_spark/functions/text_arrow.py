@@ -64,6 +64,29 @@ def _hash_str(s: str, pows: np.ndarray) -> int:
     return int((codes * pows[:n][::-1]).sum() % RH_MOD)
 
 
+# str.translate deletion table: drop everything outside [a-z0-9 ] (C-speed
+# per-word filter; non-ASCII words fall back to the regex)
+_DEL_TBL = {i: None for i in range(128) if chr(i) not in "abcdefghijklmnopqrstuvwxyz0123456789 "}
+
+
+def _filter_word(w: str) -> str:
+    return w.translate(_DEL_TBL) if w.isascii() else _KEEP.sub("", w)
+
+
+def _hash_many(bufs: list[bytes], pows: np.ndarray) -> np.ndarray:
+    """Polynomial hashes of many byte strings in one vector op: each buffer
+    right-aligned in a (W, Lmax) matrix (leading \\x00 pads contribute
+    0 * B^k = 0, so padding preserves the hash), then a single
+    codes x powers product-sum mod M. Row sums stay < Lmax * 2^38 —
+    exact in int64 for documents up to ~2^13 chars per shingle."""
+    if not bufs:
+        return np.empty(0, dtype=np.int64)
+    lmax = max(len(b) for b in bufs) or 1
+    joined = b"".join(b.rjust(lmax, b"\x00") for b in bufs)
+    mat = np.frombuffer(joined, dtype=np.uint8).reshape(len(bufs), lmax).astype(np.int64)
+    return (mat * pows[:lmax][::-1]).sum(axis=1) % RH_MOD
+
+
 FP_SCHEMA = StructType(
     [
         StructField("doc_id", LongType()),
@@ -99,15 +122,12 @@ def rolling_fingerprints_arrow(
                     pows = _pows(len(norm))
                 rolling.append(_hash_str(norm, pows))
                 ws = _WS.split(norm)
+                fw = [_filter_word(w).encode("ascii") for w in ws]
                 if len(ws) >= n:
-                    winnow.append(
-                        min(
-                            _hash_str(" ".join(ws[i : i + n]), pows)
-                            for i in range(len(ws) - n + 1)
-                        )
-                    )
+                    bufs = [b" ".join(fw[i : i + n]) for i in range(len(ws) - n + 1)]
                 else:
-                    winnow.append(_hash_str(" ".join(ws), pows))
+                    bufs = [b" ".join(fw)]
+                winnow.append(int(_hash_many(bufs, pows).min()))
             yield pd.DataFrame(
                 {"doc_id": pdf["doc_id"], "fp_rolling": rolling, "fp_winnow": winnow}
             )
@@ -147,3 +167,53 @@ def shingle_rows_arrow(
             yield pd.DataFrame({id_col: ids, "sh": shs})
 
     return src.mapInPandas(run, SHINGLE_SCHEMA_TMPL.format(id_col=id_col))
+
+
+def minhash_signatures_arrow(
+    df: DataFrame,
+    perm_a: list[int],
+    perm_b: list[int],
+    prime: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Per-document MinHash signatures in ONE Arrow pass: shingle, hash
+    (polynomial rolling hash — same values as functions.text), permute and
+    min — all inside the batch. Replaces the explode -> xxhash -> 64
+    min-aggregates pipeline: no Generate node, no 260k-row intermediate,
+    no shuffle (the output is already one row per doc).
+
+    numpy shapes: shingle hashes (W,1) x perms (1,P) -> (W,P) affine
+    transforms mod prime, min over axis 0. Products < 2^62 stay exact in
+    int64. Deterministic: constants are compile-time-seeded."""
+    n_perms = len(perm_a)
+    A = np.asarray(perm_a, dtype=np.int64)[None, :]
+    B = np.asarray(perm_b, dtype=np.int64)[None, :]
+    src = df.select(F.col(id_col).cast("long").alias(id_col), F.col(text_col).alias("t"))
+    schema = f"{id_col} long, " + ", ".join(f"mh_{i} long" for i in range(n_perms))
+    cols = [id_col] + [f"mh_{i}" for i in range(n_perms)]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pows = _POW_CACHE
+        for pdf in batches:
+            rows = []
+            for doc_id, raw in zip(pdf[id_col], pdf["t"]):
+                norm = ("" if raw is None else str(raw)).strip(" ").lower()
+                if len(norm) > len(pows):  # pragma: no cover - huge docs
+                    pows = _pows(len(norm))
+                ws = _WS.split(norm)
+                # filter each word once (C-speed translate), build gram
+                # BYTES directly — the hash input is the filtered form of
+                # the ' '-joined gram, identical to _hash_str(gram)
+                fw = [_filter_word(w).encode("ascii") for w in ws]
+                if len(ws) >= n:
+                    bufs = {b" ".join(fw[i : i + n]) for i in range(len(ws) - n + 1)}
+                else:
+                    bufs = {b" ".join(fw)}
+                hs = _hash_many(list(bufs), pows)[:, None]
+                mh = ((hs * A + B) % prime).min(axis=0)
+                rows.append([doc_id, *mh.tolist()])
+            yield pd.DataFrame(rows, columns=cols)
+
+    return src.mapInPandas(run, schema)

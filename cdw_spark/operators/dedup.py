@@ -5,14 +5,16 @@ Design point is 100 TB of documents on 1000 executors:
 
 - *Exact* dedup is a fingerprint groupBy — one shuffle of (hash, doc_id),
   never of document bodies.
-- *MinHash+LSH* avoids the O(n^2) pair space: signatures are computed in one
-  pass over exploded shingles (partial-aggregated map-side), candidates come
-  from banding (equal band-hash -> same bucket -> self-join within tiny
-  buckets), and only candidates pay the exact-Jaccard verification join.
+- *MinHash+LSH* avoids the O(n^2) pair space: signatures are computed in a
+  single Arrow pass (shingle -> polynomial hash -> permute -> min, all
+  vectorized per batch, functions/text_arrow.py — no exploded intermediate,
+  no shuffle), candidates come from banding (equal band-hash -> same bucket
+  -> self-join within tiny buckets), and only candidates pay the
+  exact-Jaccard verification join.
 - *SimHash* pairs via the pigeonhole chunk trick: hamming(a,b) <= k
   guarantees an equal chunk among k+1 chunks, so candidate generation is
-  again an equality self-join, never a cross join.
-- Everything is integer/bit arithmetic on xxhash64 — JVM-side, no Python.
+  again an equality self-join, never a cross join — integer/bit arithmetic
+  on xxhash64, JVM-side.
 
 All randomness is compile-time constants (seeded) — results are
 deterministic across runs and cluster layouts.
@@ -101,22 +103,24 @@ def minhash_signatures(
     n: int = 3,
     shingle_tbl: DataFrame | None = None,
 ) -> DataFrame:
-    """64-perm MinHash signature per document, one aggregation pass.
+    """64-perm MinHash signature per document, one Arrow pass.
 
-    h(shingle) = xxhash64 mod p; perm_i = (a_i*h + b_i) mod p; sig_i =
-    min(perm_i). The groupBy partial-aggregates map-side: each executor
-    emits one 64-int row per local doc fragment."""
-    sh = shingle_tbl if shingle_tbl is not None else _shingle_table(df, text_col, id_col, n)
-    # Materialize the base hash once per shingle: referencing `h` inside all
-    # 64 aggregates would re-evaluate xxhash64 per aggregate per row.
-    hashed = sh.select(F.col(id_col), F.pmod(F.xxhash64("sh"), F.lit(_PRIME)).alias("h"))
-    aggs = [
-        F.min(
-            F.pmod(F.lit(_PERM_A[i]) * F.col("h") + F.lit(_PERM_B[i]), F.lit(_PRIME))
-        ).alias(f"mh_{i}")
-        for i in range(NUM_PERMS)
-    ]
-    return hashed.groupBy(id_col).agg(*aggs)
+    h(shingle) = polynomial rolling hash (functions.text semantics);
+    perm_i = (a_i*h + b_i) mod p; sig_i = min(perm_i). Computed entirely
+    inside mapInPandas (functions/text_arrow.py): shingle, hash, permute,
+    min per batch — no exploded intermediate, no 64-aggregate shuffle; the
+    output is already one 64-int row per doc. Banding recall with this
+    hash is (re)proven against exact Jaccard in tests/test_dedup.py before
+    the exact query is declared as the LSH oracle.
+
+    ``shingle_tbl`` is accepted for API compatibility but unused — the
+    signature pass shingles in-batch; pass it to jaccard_verify instead."""
+    del shingle_tbl  # signatures no longer consume the exploded table
+    from ..functions.text_arrow import minhash_signatures_arrow
+
+    return minhash_signatures_arrow(
+        df, _PERM_A, _PERM_B, _PRIME, text_col=text_col, id_col=id_col, n=n
+    )
 
 
 def lsh_candidate_pairs(sig: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -204,16 +208,16 @@ def minhash_near_duplicates(
     P ≈ 1-5e-8 — and the verification step guarantees zero false
     positives.
 
-    The shingle table feeds three consumers (signatures, and both sides of
-    the verification join) and shingling is the CPU-heavy stage — persist
-    it once instead of recomputing per consumer. MEMORY_AND_DISK: at
-    100 TB the shingle table spills rather than OOMing; it is still ~100x
-    smaller on the wire than re-shingling is in CPU."""
+    Signatures shingle in-batch (Arrow); the exploded shingle table is
+    built only for the verification join's two sides — persist it once.
+    MEMORY_AND_DISK: at 100 TB the shingle table spills rather than
+    OOMing; it is still ~100x smaller on the wire than re-shingling is in
+    CPU."""
     from pyspark import StorageLevel
 
-    sh = _shingle_table(df, text_col, id_col, n).persist(StorageLevel.MEMORY_AND_DISK)
-    sig = minhash_signatures(df, text_col, id_col, n, shingle_tbl=sh)
+    sig = minhash_signatures(df, text_col, id_col, n)
     cands = lsh_candidate_pairs(sig, id_col)
+    sh = _shingle_table(df, text_col, id_col, n).persist(StorageLevel.MEMORY_AND_DISK)
     return jaccard_verify(cands, df, text_col, id_col, n, threshold, shingle_tbl=sh)
 
 
