@@ -387,3 +387,63 @@ def cosine_near_duplicates(
         )
         .select("dup_id", "keep_id", F.round("cos_of_keep", 6).alias("cosine"))
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over a near-duplicate pair graph -> (doc_id,
+    component_id) where component_id = the smallest doc id reachable.
+
+    This is what a dedup pipeline actually consumes: pair lists say "a~b",
+    clusters say "keep one of {a,b,c,...}" — the canonical-keeper choice
+    needs the transitive closure.
+
+    Iterative min-label propagation, driver-coordinated (the standard
+    large-graph formulation, O(diameter) rounds):
+      label(v) <- min(label(v), min_{(v,u) in E} label(u))
+    Each round is one join + one aggregate (shuffles on vertex id);
+    ``localCheckpoint`` truncates the lineage per round — without it the
+    plan doubles every iteration and planning time explodes long before
+    data does. Near-dup graphs have tiny diameters (dup clusters are
+    cliques-ish), so rounds ~ 2-4 in practice; ``max_iter`` bounds
+    pathological chains."""
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id")).distinct().withColumn("label", F.col("id"))
+    ).localCheckpoint()
+
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges["dst"] == labels["id"])
+            .groupBy("src")
+            .agg(F.min("label").alias("nb_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels["id"] == neighbor_min["src"], "left")
+            .select(
+                "id",
+                F.least(F.col("label"), F.coalesce(F.col("nb_min"), F.col("label"))).alias(
+                    "label"
+                ),
+            )
+        ).localCheckpoint()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("component_id"))

@@ -43,6 +43,7 @@ _SUITE_MODULES = (
     "cdw_spark.suite.windows",
     "cdw_spark.suite.multimodal",
     "cdw_spark.suite.streaming",
+    "cdw_spark.suite.curation",
 )
 
 

@@ -157,3 +157,35 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     bodies never shuffle. At 100 TB, restrict the pair generator to LSH
     buckets (minhash path) and keep this scorer unchanged."""
     return cosine_near_duplicates(load_fixture(spark, sf_dir, "documents"), threshold=0.75)
+
+
+@register(
+    "dedup_components",
+    oracle=f"""
+    WITH RECURSIVE pairs AS ({_JACCARD_SQL}),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION
+        SELECT id_b, id_a FROM pairs
+    ),
+    reach(src, dst) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    )
+    SELECT src AS doc_id, LEAST(src, MIN(dst)) AS component_id
+    FROM reach GROUP BY src
+    """,
+    doc="Near-duplicate CLUSTERS: connected components over the exact "
+    "0.6-Jaccard pair graph via iterative min-label propagation "
+    "(driver-coordinated rounds, lineage truncated per round with "
+    "localCheckpoint — operators/dedup.py connected_components). The "
+    "cluster view is what canonical-keeper selection consumes; pairs "
+    "alone can't make a keep/drop decision transitive. Oracle: DuckDB "
+    "recursive-CTE transitive closure over the same pair set.",
+)
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import connected_components
+
+    pairs = ngram_jaccard_pairs(load_fixture(spark, sf_dir, "documents"))
+    return connected_components(pairs)

@@ -465,3 +465,95 @@ def string_agg_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
         )
     )
+
+
+@register(
+    "exists_subquery",
+    oracle="""
+    SELECT o.o_orderpriority AS priority, COUNT(*) AS n_orders
+    FROM orders o
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+    )
+    GROUP BY o.o_orderpriority
+    """,
+    doc="EXISTS correlated subquery (TPC-H Q4 shape): orders with any line "
+    "shipped >60 days after order date, counted by priority. Catalyst "
+    "plans it as a left-semi join.",
+)
+def exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..catalog import register_fixtures
+
+    register_fixtures(spark, sf_dir, tables=("orders", "lineitem"))
+    return spark.sql("""
+        SELECT o.o_orderpriority AS priority, COUNT(*) AS n_orders
+        FROM orders o
+        WHERE EXISTS (
+            SELECT 1 FROM lineitem l
+            WHERE l.l_orderkey = o.o_orderkey
+              AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+        )
+        GROUP BY o.o_orderpriority
+    """)
+
+
+@register(
+    "not_exists_subquery",
+    oracle="""
+    SELECT c.c_mktsegment AS segment, COUNT(*) AS n_customers
+    FROM customer c
+    WHERE NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000
+    )
+    GROUP BY c.c_mktsegment
+    """,
+    doc="NOT EXISTS correlated subquery: customers with no order over "
+    "300k, by segment — planned as a left-anti join.",
+)
+def not_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..catalog import register_fixtures
+
+    register_fixtures(spark, sf_dir, tables=("customer", "orders"))
+    return spark.sql("""
+        SELECT c.c_mktsegment AS segment, COUNT(*) AS n_customers
+        FROM customer c
+        WHERE NOT EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000
+        )
+        GROUP BY c.c_mktsegment
+    """)
+
+
+@register(
+    "not_in_null_semantics",
+    oracle="""
+    SELECT
+        (SELECT COUNT(*) FROM part
+         WHERE p_size NOT IN (SELECT NULLIF(p_size, 45) FROM part WHERE p_size > 40)
+        ) AS n_not_in_with_null,
+        (SELECT COUNT(*) FROM part
+         WHERE p_size NOT IN (SELECT p_size FROM part WHERE p_size > 40)
+        ) AS n_not_in_clean
+    """,
+    doc="NOT IN three-valued-logic trap: one NULL in the subquery list "
+    "makes every NOT IN comparison UNKNOWN -> zero rows; the NULL-free "
+    "variant behaves like anti-join. Both engines must agree on both "
+    "counts (NULL planted via NULLIF so the data needs no NULLs).",
+)
+def not_in_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..catalog import register_fixtures
+
+    register_fixtures(spark, sf_dir, tables=("part",))
+    return spark.sql("""
+        SELECT
+            (SELECT COUNT(*) FROM part
+             WHERE p_size NOT IN (SELECT NULLIF(p_size, 45) FROM part WHERE p_size > 40)
+            ) AS n_not_in_with_null,
+            (SELECT COUNT(*) FROM part
+             WHERE p_size NOT IN (SELECT p_size FROM part WHERE p_size > 40)
+            ) AS n_not_in_clean
+    """)

@@ -88,3 +88,16 @@ def test_embedding_cosine_invariants(spark, sf_dir):
     flagged = {r["dup_id"] for r in rows}
     jac = ngram_jaccard_pairs(docs, threshold=0.75).collect()
     assert all(r["id_b"] in flagged for r in jac)
+
+
+def test_connected_components_multihop_chain(spark):
+    """A path graph a-b-c-d (diameter 3) must collapse to one component —
+    exercises multi-round propagation, not just single-hop merges."""
+    from cdw_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22)],
+        "id_a long, id_b long",
+    )
+    got = {r.doc_id: r.component_id for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
