@@ -41,6 +41,7 @@ HEADLINE = [
     "time_dim",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "curation_pipeline",
     "text_quality",
     "text_rolling_fingerprint_arrow",
     "similarity_topk",

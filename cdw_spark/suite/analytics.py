@@ -590,3 +590,97 @@ def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
         )
     )
+
+
+@register(
+    "scd2_intervals",
+    oracle="""
+    SELECT o_custkey AS cust_key,
+           o_orderdate AS valid_from,
+           LEAD(o_orderdate) OVER w AS valid_to,
+           o_orderstatus AS status,
+           LEAD(o_orderdate) OVER w IS NULL AS is_current
+    FROM orders
+    WHERE o_custkey % 50 = 0
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    doc="SCD Type-2 history build: each change event becomes a validity "
+    "interval [valid_from, valid_to) via LEAD over (key, time); the open "
+    "interval is the current row. The dimension-history pattern the "
+    "reference's drop-and-rebuild star schema (SURVEY.md §2.4 last row) "
+    "cannot express.",
+)
+def scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One window sort per key builds the whole history — no self-join.
+    At scale, partition the history table by key ranges and cluster by
+    valid_from so as-of lookups prune to one partition."""
+    from pyspark.sql.window import Window
+
+    o = load_fixture(spark, sf_dir, "orders").filter(F.col("o_custkey") % 50 == 0)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    nxt = F.lead("o_orderdate").over(w)
+    return o.select(
+        F.col("o_custkey").alias("cust_key"),
+        F.col("o_orderdate").alias("valid_from"),
+        nxt.alias("valid_to"),
+        F.col("o_orderstatus").alias("status"),
+        nxt.isNull().alias("is_current"),
+    )
+
+
+@register(
+    "unpivot_melt",
+    oracle="""
+    SELECT p_partkey AS part_key, k AS metric, v AS value FROM (
+        SELECT p_partkey, CAST(p_size AS DOUBLE) AS size_v, p_retailprice AS price_v
+        FROM part WHERE p_partkey % 10 = 0
+    ) UNPIVOT (v FOR k IN (size_v, price_v))
+    """,
+    doc="Unpivot/melt (wide -> long), the inverse of pivot_agg: metric "
+    "columns become (metric, value) rows. Spark DataFrame.unpivot == "
+    "DuckDB UNPIVOT; value columns cast to a common type first.",
+)
+def unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """unpivot is a zero-shuffle Expand node — each input row emits
+    |metrics| rows in place; no join, no aggregation."""
+    p = (
+        load_fixture(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") % 10 == 0)
+        .select(
+            F.col("p_partkey").alias("part_key"),
+            F.col("p_size").cast("double").alias("size_v"),
+            F.col("p_retailprice").alias("price_v"),
+        )
+    )
+    return p.unpivot("part_key", ["size_v", "price_v"], "metric", "value")
+
+
+@register(
+    "grouping_sets_agg",
+    oracle="""
+    SELECT o_orderstatus AS status, o_orderpriority AS priority,
+           GROUPING(o_orderstatus) AS g_status,
+           GROUPING(o_orderpriority) AS g_priority,
+           COUNT(*) AS n,
+           ROUND(SUM(o_totalprice), 2) AS revenue
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+    doc="Explicit GROUPING SETS with GROUPING() disambiguation — the "
+    "general grouping-sets form next to rollup_agg/cube_agg; three "
+    "aggregation levels in one pass, NULL group keys disambiguated by "
+    "the grouping flags.",
+)
+def grouping_sets_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..catalog import register_fixtures
+
+    register_fixtures(spark, sf_dir, tables=("orders",))
+    return spark.sql("""
+        SELECT o_orderstatus AS status, o_orderpriority AS priority,
+               GROUPING(o_orderstatus) AS g_status,
+               GROUPING(o_orderpriority) AS g_priority,
+               COUNT(*) AS n,
+               ROUND(SUM(o_totalprice), 2) AS revenue
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """)

@@ -155,3 +155,35 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     sdf = events_stream(spark, sf_dir).dropDuplicates(["user_id", "event_type"])
     out = run_available_now(sdf, "dedup", "append")
     return out.select("user_id", "event_type")
+
+
+@register(
+    "stream_static_join",
+    oracle="""
+    SELECT e.event_type, c.c_mktsegment AS segment,
+           COUNT(*) AS n_events,
+           SUM(CAST(e.value AS DECIMAL(18,2))) AS total_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY e.event_type, c.c_mktsegment
+    """,
+    doc="Stream-static join: the event stream enriched against the static "
+    "customer dimension inside each micro-batch (broadcast per batch — no "
+    "stream-side state), then aggregated in complete mode. The canonical "
+    "streaming-enrichment pattern; result equals the batch join+agg.",
+)
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ..catalog import load_fixture
+
+    customers = load_fixture(spark, sf_dir, "customer")
+    enriched = (
+        events_stream(spark, sf_dir)
+        .join(F.broadcast(customers), F.col("user_id") == F.col("c_custkey"))
+        .groupBy("event_type", F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("total_value"),
+        )
+    )
+    return run_available_now(enriched, "static_join", "complete")

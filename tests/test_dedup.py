@@ -101,3 +101,10 @@ def test_connected_components_multihop_chain(spark):
     )
     got = {r.doc_id: r.component_id for r in connected_components(pairs).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_connected_components_empty_graph(spark):
+    from cdw_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame([], "id_a long, id_b long")
+    assert connected_components(pairs).count() == 0
