@@ -262,8 +262,17 @@ def ivf_topk(
     joined = c.join(F.broadcast(probe_lists), on="cid").filter(
         F.col("cand_id") != F.col("probe_id")
     )
+    # unrolled cosine (same left-assoc fold order as functions.vectors.dot,
+    # so values are bit-identical to the HOF form) — keeps the candidate
+    # scoring inside whole-stage codegen instead of interpreted lambdas
+    dot_sql = " + ".join(f"pv[{i}]*cv[{i}]" for i in range(dim))
     scored = joined.select(
-        "probe_id", "cand_id", cosine(F.col("pv"), F.col("cv")).alias("cos_raw")
+        "probe_id",
+        "cand_id",
+        (
+            F.expr(f"({dot_sql})")
+            / (F.expr(_norm_sql("pv", dim)) * F.expr(_norm_sql("cv", dim)))
+        ).alias("cos_raw"),
     )
     w = Window.partitionBy("probe_id").orderBy(F.col("cos_raw").desc(), F.col("cand_id"))
     return (

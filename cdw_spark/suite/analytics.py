@@ -684,3 +684,35 @@ def grouping_sets_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM orders
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
     """)
+
+
+_RECURSIVE_CALENDAR_SQL = """
+WITH RECURSIVE months(m) AS (
+    SELECT TIMESTAMP '1995-01-01 00:00:00'
+    UNION ALL
+    SELECT m + INTERVAL 1 MONTH FROM months WHERE m < TIMESTAMP '2001-08-01 00:00:00'
+)
+SELECT m AS month_start, COUNT(o_orderkey) AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS revenue
+FROM months LEFT JOIN orders ON date_trunc('month', o_orderdate) = m
+GROUP BY m
+"""
+
+
+@register(
+    "recursive_cte_calendar",
+    oracle=_RECURSIVE_CALENDAR_SQL,
+    doc="Recursive CTE (WITH RECURSIVE, Spark 4.x): a generated month "
+    "calendar left-joined to orders so zero-order months appear — "
+    "IDENTICAL SQL text executes on both engines. The gap-filling "
+    "calendar pattern reporting queries need and plain joins can't "
+    "produce (you cannot select rows that don't exist).",
+)
+def recursive_cte_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalyst executes the recursion as an iterative UnionLoop; the
+    recursion depth here is the calendar length (80 rows), not data-sized
+    — the join against the fact table happens once, after generation."""
+    from ..catalog import register_fixtures
+
+    register_fixtures(spark, sf_dir, tables=("orders",))
+    return spark.sql(_RECURSIVE_CALENDAR_SQL)

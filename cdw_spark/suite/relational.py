@@ -557,3 +557,29 @@ def not_in_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
              WHERE p_size NOT IN (SELECT p_size FROM part WHERE p_size > 40)
             ) AS n_not_in_clean
     """)
+
+
+@register(
+    "try_error_handling",
+    oracle="""
+    SELECT p_partkey AS part_key,
+           TRY_CAST(p_type AS INTEGER) AS bad_cast,
+           ROUND(CASE WHEN p_size - 10 = 0 THEN NULL
+                      ELSE p_retailprice / (p_size - 10) END, 6) AS safe_div,
+           TRY_CAST(substr(p_name, 1, 3) AS BIGINT) AS name_num
+    FROM part
+    WHERE p_partkey % 15 = 0
+    """,
+    doc="Error-tolerant expression surface: try_cast (malformed input -> "
+    "NULL, no job failure) and try_divide (zero divisor -> NULL, matching "
+    "the oracle's CASE guard). Under ANSI mode these are the difference "
+    "between one bad row poisoning a 100 TB job and a NULL you can audit.",
+)
+def try_error_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_fixture(spark, sf_dir, "part").filter(F.col("p_partkey") % 15 == 0)
+    return p.select(
+        F.col("p_partkey").alias("part_key"),
+        F.expr("try_cast(p_type AS INTEGER)").alias("bad_cast"),
+        F.round(F.try_divide("p_retailprice", F.col("p_size") - 10), 6).alias("safe_div"),
+        F.expr("try_cast(substr(p_name, 1, 3) AS BIGINT)").alias("name_num"),
+    )
