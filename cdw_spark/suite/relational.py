@@ -583,3 +583,52 @@ def try_error_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.try_divide("p_retailprice", F.col("p_size") - 10), 6).alias("safe_div"),
         F.expr("try_cast(substr(p_name, 1, 3) AS BIGINT)").alias("name_num"),
     )
+
+
+@register(
+    "posexplode_lateral",
+    oracle="""
+    SELECT vec_id, i - 1 AS pos, ROUND(CAST(embedding[i] AS DOUBLE), 6) AS val
+    FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)
+    WHERE vec_id % 100 = 0 AND (i - 1) % 16 = 0
+    """,
+    doc="Positional explode (lateral view): embedding arrays to "
+    "(id, position, value) rows — posexplode == DuckDB's range-unnest "
+    "with subscripting. The wide->tall array normalization every "
+    "vector/feature pipeline needs at its edges.",
+)
+def posexplode_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode is a Generate node: rows expand in place, no shuffle;
+    the position filter applies post-generate (Catalyst cannot prune
+    array elements at the scan)."""
+    e = load_fixture(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 100 == 0)
+    return (
+        e.select("vec_id", F.posexplode("embedding").alias("pos", "v"))
+        .filter(F.col("pos") % 16 == 0)
+        .select("vec_id", "pos", F.round(F.col("v").cast("double"), 6).alias("val"))
+    )
+
+
+@register(
+    "regex_extract",
+    oracle="""
+    SELECT p_partkey AS part_key,
+           regexp_extract(p_name, '^([a-z]+)', 1) AS color_word,
+           regexp_extract(p_type, '([A-Z]+)$', 1) AS type_tail,
+           regexp_matches(p_name, 'r.d') AS has_rd,
+           regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled
+    FROM part
+    WHERE p_partkey % 12 = 0
+    """,
+    doc="Regex expression surface: group extraction, anchored match test, "
+    "global replace — same RE2-class semantics both engines.",
+)
+def regex_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_fixture(spark, sf_dir, "part").filter(F.col("p_partkey") % 12 == 0)
+    return p.select(
+        F.col("p_partkey").alias("part_key"),
+        F.regexp_extract("p_name", "^([a-z]+)", 1).alias("color_word"),
+        F.regexp_extract("p_type", "([A-Z]+)$", 1).alias("type_tail"),
+        F.col("p_name").rlike("r.d").alias("has_rd"),
+        F.regexp_replace("p_name", "[aeiou]", "_").alias("devoweled"),
+    )
