@@ -64,3 +64,88 @@ def test_append_mode_respects_watermark_cutoff(spark, sf_dir):
 
     cutoff = max_ts - datetime.timedelta(hours=2)
     assert all(r["session_end"] <= cutoff for r in rows)
+
+
+def test_late_rows_beyond_watermark_are_dropped(spark, tmp_path_factory):
+    """A row whose event time is older than the armed watermark when its
+    micro-batch arrives must be excluded from append-mode window output —
+    the late-data contract. Spark arms the LATE-EVENT filter with the
+    PREVIOUS batch's watermark (SPARK-24634 two-watermark semantics), so
+    the stream needs three batches: batch 1 advances event time past
+    09:00, batch 2 commits that watermark into the late-filter slot, and
+    batch 3's 08:00 straggler must then be dropped, not resurrect its
+    closed window."""
+    import datetime as dt
+    import os
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    out = str(tmp_path_factory.mktemp("late")) + "/files"
+    os.makedirs(out, exist_ok=True)
+
+    def _ts(h, m=0, s=0):
+        return dt.datetime(2024, 1, 1, h, m, s)
+
+    # batch 1: 10:00-11:00 activity -> max ts 11:00, watermark 10:30
+    b1 = spark.createDataFrame(
+        [(1, _ts(10, 5), 1.0), (2, _ts(10, 55), 1.0), (3, _ts(11, 0), 1.0)],
+        "id long, ts timestamp, v double",
+    )
+    # batch 2: filler that keeps the clock at 11:00 while the 10:30
+    # watermark moves into the late-event filter slot
+    b2 = spark.createDataFrame(
+        [(7, _ts(11, 0, 30), 1.0)], "id long, ts timestamp, v double"
+    )
+    # batch 3: a straggler at 08:00 (far behind the armed watermark) + fresh 12:00
+    b3 = spark.createDataFrame(
+        [(4, _ts(8, 0), 100.0), (5, _ts(12, 0), 1.0), (6, _ts(12, 30), 1.0)],
+        "id long, ts timestamp, v double",
+    )
+    b1.coalesce(1).write.mode("overwrite").parquet(out + "/f1")
+    b2.coalesce(1).write.mode("overwrite").parquet(out + "/f2")
+    b3.coalesce(1).write.mode("overwrite").parquet(out + "/f3")
+    # one dir with ordered mtimes so files stream oldest-first
+    stage = str(tmp_path_factory.mktemp("late")) + "/stage"
+    os.makedirs(stage)
+    base = 1_700_000_000
+    for i, sub in enumerate(["f1", "f2", "f3"]):
+        for p in os.listdir(out + "/" + sub):
+            if p.endswith(".parquet"):
+                dst = f"{stage}/{i}_{p}"
+                os.rename(f"{out}/{sub}/{p}", dst)
+                os.utime(dst, (base + i * 60, base + i * 60))
+
+    schema = spark.read.parquet(stage).schema
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(stage)
+        .withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.sum("v").alias("total"))
+    )
+    name = "late_drop_sink"
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    _time.sleep(0.2)
+    rows = {r["w"].start.hour: r["total"] for r in spark.table(name).collect()}
+    # the 08:00 window must be absent entirely (its only row arrived late),
+    # and no emitted window may contain the straggler's value=100
+    assert 8 not in rows, rows
+    assert all(v < 100 for v in rows.values()), rows
+    # sanity: the on-time 10:00 window emitted with both its rows
+    assert rows.get(10) == 2.0, rows
+    # and the straggler was dropped by the watermark, not lost elsewhere
+    drops = sum(
+        (p["stateOperators"][0].get("numRowsDroppedByWatermark", 0) if p["stateOperators"] else 0)
+        for p in q.recentProgress
+    )
+    assert drops == 1, [p["stateOperators"] for p in q.recentProgress]
