@@ -33,7 +33,11 @@ from pyspark.sql.types import LongType, StructField, StructType
 from .text import RH_BASE, RH_MOD
 
 _KEEP = re.compile(r"[^a-z0-9 ]")
-_WS = re.compile(r"\s+")
+# re.ASCII: Python's \s matches Unicode whitespace (\xa0, ideographic
+# space, ...) but Java's (Spark) and RE2's (DuckDB) default \s is
+# ASCII-only — the word splitter must agree with the engines, not Python.
+# (Found by hypothesis: '\xa0' split words in Python but not in Spark.)
+_WS = re.compile(r"\s+", re.ASCII)
 
 _MAX_POW = 65536  # longest hashable span; extended on demand
 

@@ -2,7 +2,12 @@
 
 Each entry replays the ``events`` fixture as ordered micro-batches
 (file source, 1 file/trigger) through a bounded AvailableNow run, so the
-"stream" result is deterministic and comparable:
+"stream" result is deterministic and comparable. Batching-independent
+queries (complete-mode aggs, final-watermark-filtered session windows,
+distinct-key dedup, stream-static join) stage 4 files — their results are
+a function of the data and the FINAL watermark only, so fewer micro-batches
+change nothing but wall-clock; the stateful sessionizer keeps 8 files
+because its emission cadence follows the watermark trajectory itself:
 
 - complete-mode window aggs finalize every window -> full DuckDB oracle
   (same SQL as their batch twins in suite/windows.py);
@@ -99,7 +104,7 @@ _SESSION_APPEND_ORACLE = """
     "bounded replay) — finalized state equals the batch/DuckDB answer.",
 )
 def stream_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sdf = tumbling_agg(events_stream(spark, sf_dir))
+    sdf = tumbling_agg(events_stream(spark, sf_dir, n_files=4))
     return run_available_now(sdf, "tumbling", "complete")
 
 
@@ -109,7 +114,7 @@ def stream_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Streaming sliding window agg (1 h / 30 min, complete mode).",
 )
 def stream_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sdf = sliding_agg(events_stream(spark, sf_dir))
+    sdf = sliding_agg(events_stream(spark, sf_dir, n_files=4))
     return run_available_now(sdf, "sliding", "complete")
 
 
@@ -121,7 +126,7 @@ def stream_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "closed; oracle = batch gaps-and-islands under the same cutoff.",
 )
 def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sdf = session_agg(with_watermark(events_stream(spark, sf_dir), "2 hours"))
+    sdf = session_agg(with_watermark(events_stream(spark, sf_dir, n_files=4), "2 hours"))
     return run_available_now(sdf, "session", "append")
 
 
@@ -152,7 +157,7 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """State = one entry per distinct key (bounded by key cardinality
     here; at 100 TB use dropDuplicatesWithinWatermark so state ages out
     with event time instead of growing forever)."""
-    sdf = events_stream(spark, sf_dir).dropDuplicates(["user_id", "event_type"])
+    sdf = events_stream(spark, sf_dir, n_files=4).dropDuplicates(["user_id", "event_type"])
     out = run_available_now(sdf, "dedup", "append")
     return out.select("user_id", "event_type")
 
@@ -178,7 +183,7 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     customers = load_fixture(spark, sf_dir, "customer")
     enriched = (
-        events_stream(spark, sf_dir)
+        events_stream(spark, sf_dir, n_files=4)
         .join(F.broadcast(customers), F.col("user_id") == F.col("c_custkey"))
         .groupBy("event_type", F.col("c_mktsegment").alias("segment"))
         .agg(

@@ -1,0 +1,82 @@
+"""Property-based tests (hypothesis): generated inputs through two
+independent implementations. Each case set is batched into ONE DataFrame
+so a property run costs a few Spark jobs, not hundreds."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from cdw_spark.functions.text import rolling_hash, winnow_fingerprint
+from cdw_spark.functions.text_arrow import rolling_fingerprints_arrow
+from cdw_spark.operators.asof import asof_join_backward
+
+# printable-ish text incl. whitespace runs, punctuation, digits, unicode
+_text = st.text(
+    alphabet=st.characters(codec="utf-8", categories=("L", "N", "P", "Zs"), include_characters=" \t\n"),
+    max_size=120,
+)
+
+
+@settings(max_examples=20, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(_text, min_size=1, max_size=12))
+def test_fingerprint_paths_agree_on_generated_text(spark, texts):
+    rows = [(i, t) for i, t in enumerate(texts)]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    expr = {
+        r.doc_id: (r.a, r.b)
+        for r in d.select(
+            "doc_id",
+            rolling_hash(F.col("text")).alias("a"),
+            winnow_fingerprint(F.col("text"), n=3).alias("b"),
+        ).collect()
+    }
+    arrow = {
+        r.doc_id: (r.fp_rolling, r.fp_winnow)
+        for r in rolling_fingerprints_arrow(d).collect()
+    }
+    assert expr == arrow
+
+
+def _py_asof(left, right):
+    """Pure-Python reference: latest right (t, v) with t <= left t per key."""
+    out = {}
+    for lid, k, lt in left:
+        best = None
+        for rk, rt, v in right:
+            if rk == k and rt <= lt and (best is None or rt > best[0]):
+                best = (rt, v)
+        out[lid] = best
+    return out
+
+
+_ts0 = dt.datetime(2024, 1, 1)
+_tiny_ts = st.integers(min_value=0, max_value=50).map(
+    lambda s: _ts0 + dt.timedelta(seconds=s)
+)
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    st.lists(st.tuples(st.integers(0, 3), _tiny_ts), min_size=1, max_size=10),
+    st.lists(st.tuples(st.integers(0, 3), _tiny_ts, st.floats(0, 100, allow_nan=False)), max_size=10, unique_by=lambda r: (r[0], r[1])),
+)
+def test_asof_matches_python_reference(spark, lefts, rights):
+    left_rows = [(i, k, t) for i, (k, t) in enumerate(lefts)]
+    left = spark.createDataFrame(left_rows, "id long, k long, t timestamp")
+    right = spark.createDataFrame(rights or [(99, _ts0 - dt.timedelta(days=1), 0.0)],
+                                  "k long, rt timestamp, v double")
+    got = {
+        r.id: (r.mt, r.mv)
+        for r in asof_join_backward(
+            left, right, on=["k"], left_time="t", right_time="rt",
+            right_payload={"rt": "mt", "v": "mv"},
+        ).collect()
+    }
+    expected = _py_asof(left_rows, rights or [(99, _ts0 - dt.timedelta(days=1), 0.0)])
+    assert set(got) == set(expected)
+    for lid, best in expected.items():
+        assert got[lid] == (best if best else (None, None)), (lid, got[lid], best)
