@@ -208,17 +208,27 @@ def minhash_near_duplicates(
     P ≈ 1-5e-8 — and the verification step guarantees zero false
     positives.
 
-    Signatures shingle in-batch (Arrow); the exploded shingle table is
-    built only for the verification join's two sides — persist it once.
-    MEMORY_AND_DISK: at 100 TB the shingle table spills rather than
-    OOMing; it is still ~100x smaller on the wire than re-shingling is in
-    CPU."""
+    Signatures shingle in-batch (Arrow). The verification shingle table is
+    built ONLY for documents that appear in some candidate pair — for a
+    mostly-unique corpus that is a tiny fraction (banding emits ~|true
+    pairs| candidates), so verify cost scales with the duplicate rate,
+    not the corpus size. Persisted because it feeds both join sides.
+    MEMORY_AND_DISK: at 100 TB the candidate shingle table spills rather
+    than OOMing."""
     from pyspark import StorageLevel
 
     sig = minhash_signatures(df, text_col, id_col, n)
-    cands = lsh_candidate_pairs(sig, id_col)
-    sh = _shingle_table(df, text_col, id_col, n).persist(StorageLevel.MEMORY_AND_DISK)
-    return jaccard_verify(cands, df, text_col, id_col, n, threshold, shingle_tbl=sh)
+    cands = lsh_candidate_pairs(sig, id_col).persist(StorageLevel.MEMORY_AND_DISK)
+    cand_ids = (
+        cands.select(F.col("id_a").alias(id_col))
+        .union(cands.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    cand_docs = df.join(F.broadcast(cand_ids), on=id_col)
+    sh = _shingle_table(cand_docs, text_col, id_col, n).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    return jaccard_verify(cands, cand_docs, text_col, id_col, n, threshold, shingle_tbl=sh)
 
 
 def ngram_jaccard_pairs(
