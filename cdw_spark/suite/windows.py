@@ -296,3 +296,44 @@ def window_ntile_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("order_key") % 25 == 0)
     )
+
+
+@register(
+    "window_range_frame",
+    oracle="""
+    SELECT o_orderkey AS order_key,
+           o_custkey AS cust_key,
+           ROUND(SUM(o_totalprice) OVER (
+               PARTITION BY o_custkey
+               ORDER BY CAST(epoch(o_orderdate) AS BIGINT)
+               RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW
+           ), 2) AS rev_30d,
+           COUNT(*) OVER (
+               PARTITION BY o_custkey
+               ORDER BY CAST(epoch(o_orderdate) AS BIGINT)
+               RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW
+           ) AS n_30d
+    FROM orders
+    WHERE o_custkey % 40 = 0
+    """,
+    doc="RANGE window frame (value-based, not row-based): rolling 30-day "
+    "revenue per customer — every order within 2,592,000 epoch-seconds "
+    "joins the frame regardless of row count, the frame semantics ROWS "
+    "cannot express when event spacing is irregular.",
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered by the numeric epoch so both engines share frame bounds
+    exactly; one sort per customer partition serves both aggregates."""
+    o = load_fixture(spark, sf_dir, "orders").filter(F.col("o_custkey") % 40 == 0)
+    epoch = F.unix_timestamp("o_orderdate")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(epoch)
+        .rangeBetween(-2592000, Window.currentRow)
+    )
+    return o.select(
+        F.col("o_orderkey").alias("order_key"),
+        F.col("o_custkey").alias("cust_key"),
+        F.round(F.sum("o_totalprice").over(w), 2).alias("rev_30d"),
+        F.count(F.lit(1)).over(w).alias("n_30d"),
+    )

@@ -80,3 +80,48 @@ def test_asof_matches_python_reference(spark, lefts, rights):
     assert set(got) == set(expected)
     for lid, best in expected.items():
         assert got[lid] == (best if best else (None, None)), (lid, got[lid], best)
+
+
+def _py_range_counts(orders, items, width):
+    """Reference: per order, count items with t in [start, start+width)."""
+    return {
+        ok: sum(1 for it in items if start <= it < start + width)
+        for ok, start in orders
+    }
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    st.lists(st.integers(0, 1000), min_size=1, max_size=8, unique=True),
+    st.lists(st.integers(-50, 1100), max_size=30),
+)
+def test_bucketed_range_join_matches_reference(spark, starts, items):
+    """The window-width bucketing trick (explode to <=2 buckets, equi-join,
+    exact residual filter) must equal the naive interval count for ANY
+    interval placement — including items outside every window, empty
+    windows, and boundary hits at start and start+width."""
+    from pyspark.sql import functions as F
+
+    width = 100
+    orders = [(i, s) for i, s in enumerate(starts)]
+    o = (
+        spark.createDataFrame(orders, "order_key long, w_start long")
+        .withColumn("w_end", F.col("w_start") + width)
+        .withColumn("b0", (F.col("w_start") / width).cast("long"))
+        .withColumn("bucket_id", F.explode(F.array(F.col("b0"), F.col("b0") + 1)))
+        .drop("b0")
+    )
+    li = spark.createDataFrame(
+        [(t,) for t in items] or [(10**9,)], "ship_s long"
+    ).withColumn("bucket_id", (F.col("ship_s") / width).cast("long"))
+    in_range = (F.col("ship_s") >= F.col("w_start")) & (F.col("ship_s") < F.col("w_end"))
+    counts = (
+        li.join(F.broadcast(o), on="bucket_id", how="inner")
+        .filter(in_range)
+        .groupBy("order_key")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    got = {r.order_key: r.n for r in counts.collect()}
+    expected = _py_range_counts(orders, items or [10**9], width)
+    for ok, n in expected.items():
+        assert got.get(ok, 0) == n, (ok, got.get(ok, 0), n)
