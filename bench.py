@@ -34,6 +34,9 @@ HEADLINE = [
     "asof_join_clicks",
     "range_join_bucketed",
     "agg_stats",
+    "tpch_q6_revenue_forecast",
+    "tpch_q10_returned_items",
+    "tpch_q18_large_orders",
     "window_rank_topk",
     "window_running_sum",
     "tumbling_window_agg",

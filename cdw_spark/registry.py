@@ -44,6 +44,7 @@ _SUITE_MODULES = (
     "cdw_spark.suite.multimodal",
     "cdw_spark.suite.streaming",
     "cdw_spark.suite.curation",
+    "cdw_spark.suite.tpch",
 )
 
 
