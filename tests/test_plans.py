@@ -142,3 +142,29 @@ def test_bucketed_join_needs_no_exchange(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_customer")
+
+
+def test_asof_join_single_exchange(spark, sf_dir):
+    """The as-of join must cost exactly ONE shuffle (the union sorted per
+    key) — a second Exchange would mean the union/window structure
+    regressed to a join."""
+    from cdw_spark.registry import load_all
+
+    df = load_all()["asof_join_clicks"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_range_join_broadcasts_order_side(spark, sf_dir):
+    """The bucketed range join must broadcast the small exploded-orders
+    side — broadcasting the fact side would melt at 100 TB."""
+    from cdw_spark.registry import load_all
+
+    df = load_all()["range_join_bucketed"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
+    # the broadcast exchange subtree must contain the orders scan, not lineitem
+    for seg in plan.split("BroadcastExchange")[1:]:
+        sub = seg.split("BroadcastHashJoin")[0]
+        assert "orders.parquet" in sub or "lineitem.parquet" not in sub, plan

@@ -125,3 +125,42 @@ def test_bucketed_range_join_matches_reference(spark, starts, items):
     expected = _py_range_counts(orders, items or [10**9], width)
     for ok, n in expected.items():
         assert got.get(ok, 0) == n, (ok, got.get(ok, 0), n)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    st.lists(
+        st.text(alphabet="abcdefg ", min_size=30, max_size=80),
+        min_size=2,
+        max_size=6,
+    ),
+    st.data(),
+)
+def test_minhash_pipeline_equals_exact_jaccard(spark, bases, data):
+    """End-to-end MinHash-LSH on a generated corpus with planted near-dups:
+    the verified output must equal the exact-Jaccard pair set whenever
+    banding recall is 1.0 — and for EXACT duplicates (Jaccard 1.0) banding
+    recall is provably 1.0 (identical signatures share every band), so the
+    planted clones must always surface."""
+    from cdw_spark.operators.dedup import minhash_near_duplicates, ngram_jaccard_pairs
+
+    docs = []
+    i = 0
+    clones = set()
+    for b in bases:
+        docs.append((i, b))
+        if data.draw(st.booleans()):
+            docs.append((i + 1, b))  # exact clone -> jaccard 1.0
+            clones.add((i, i + 1))
+            i += 2
+        else:
+            i += 1
+    d = spark.createDataFrame(docs, "doc_id long, text string")
+    exact = {
+        (r.id_a, r.id_b) for r in ngram_jaccard_pairs(d, threshold=0.6).collect()
+    }
+    lsh = {(r.id_a, r.id_b) for r in minhash_near_duplicates(d, threshold=0.6).collect()}
+    # verification guarantees zero false positives...
+    assert lsh <= exact
+    # ...and identical-signature pairs can never be missed by banding
+    assert clones & exact <= lsh, (clones, exact, lsh)
