@@ -226,38 +226,27 @@ def ivf_topk(
     cents = ivf_train(corpus, nlist=nlist, iters=iters, id_col=id_col, vec_col=vec_col)
     dim = len(cents[0][1])
 
-    c = (
-        corpus.select(
-            F.col(id_col).alias("cand_id"), to_double_array(F.col(vec_col)).alias("cv")
-        )
-        .withColumn("_cnorm", F.expr(_norm_sql("cv", dim)))
-        .withColumn("_cscores", F.expr(_scores_sql("cv", "_cnorm", cents)))
-        .withColumn("cid", F.expr(_cid_sql("_cscores", cents)))
-        .drop("_cnorm", "_cscores")
-    )
+    # Centroid scoring via an Arrow matmul per batch (functions/text_arrow
+    # centroid_topn_arrow): the earlier unrolled-literal SQL form executed
+    # fast but its ~nlist*dim-term expression trees cost seconds of Janino
+    # codegen COMPILATION per plan — the matmul removes the expression
+    # entirely (and is the shape a GPU/FAISS coarse quantizer uses).
+    from ..functions.text_arrow import centroid_topn_arrow
 
-    p = (
-        probes.select(
-            F.col(id_col).alias("probe_id"), to_double_array(F.col(vec_col)).alias("pv")
-        )
-        .withColumn("_pnorm", F.expr(_norm_sql("pv", dim)))
-        .withColumn("_pscores", F.expr(_scores_sql("pv", "_pnorm", cents)))
+    assign = centroid_topn_arrow(corpus, cents, 1, id_col=id_col, vec_col=vec_col).select(
+        F.col(id_col).alias("cand_id"), "cid"
     )
-    cid_arr = "array(" + ", ".join(str(cid) for cid, _ in cents) + ")"
-    pw = Window.partitionBy("probe_id").orderBy(F.col("cscore").desc(), F.col("cid"))
-    probe_lists = (
-        p.select(
-            "probe_id",
-            "pv",
-            F.explode(
-                F.expr(f"zip_with({cid_arr}, _pscores, (c, s) -> struct(c AS cid, s AS cscore))")
-            ).alias("c"),
-        )
-        .select("probe_id", "pv", F.col("c.cid").alias("cid"), F.col("c.cscore").alias("cscore"))
-        .withColumn("crank", F.row_number().over(pw))
-        .filter(F.col("crank") <= nprobe)
-        .select("probe_id", "pv", "cid")
+    c = corpus.select(
+        F.col(id_col).alias("cand_id"), to_double_array(F.col(vec_col)).alias("cv")
+    ).join(assign, on="cand_id")
+
+    probe_cids = centroid_topn_arrow(
+        probes, cents, nprobe, id_col=id_col, vec_col=vec_col
+    ).select(F.col(id_col).alias("probe_id"), "cid")
+    p = probes.select(
+        F.col(id_col).alias("probe_id"), to_double_array(F.col(vec_col)).alias("pv")
     )
+    probe_lists = p.join(probe_cids, on="probe_id")
 
     joined = c.join(F.broadcast(probe_lists), on="cid").filter(
         F.col("cand_id") != F.col("probe_id")
