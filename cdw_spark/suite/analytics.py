@@ -716,3 +716,32 @@ def recursive_cte_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_fixtures(spark, sf_dir, tables=("orders",))
     return spark.sql(_RECURSIVE_CALENDAR_SQL)
+
+
+@register(
+    "histogram_buckets",
+    oracle="""
+    SELECT CAST(FLOOR(o_totalprice / 25000) AS INTEGER) AS bucket,
+           COUNT(*) AS n,
+           ROUND(MIN(o_totalprice), 2) AS lo,
+           ROUND(MAX(o_totalprice), 2) AS hi
+    FROM orders
+    GROUP BY 1
+    """,
+    doc="Equi-width histogram via portable floor-division bucketing "
+    "(25k-wide bins over order value) with per-bin min/max — the "
+    "profiling aggregate behind optimizer NDV/selectivity estimation, "
+    "one shuffle of |buckets| rows.",
+)
+def histogram_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_fixture(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.floor(F.col("o_totalprice") / 25000).cast("int").alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+    )

@@ -246,3 +246,42 @@ def text_rolling_fingerprint_arrow(spark: SparkSession, sf_dir: str) -> DataFram
     from ..functions.text_arrow import rolling_fingerprints_arrow
 
     return rolling_fingerprints_arrow(load_fixture(spark, sf_dir, "documents"))
+
+
+@register(
+    "fuzzy_levenshtein_match",
+    oracle="""
+    WITH probes AS (
+        SELECT p_name AS probe FROM part WHERE p_partkey IN (3, 7, 11)
+    )
+    SELECT pr.probe, p.p_partkey AS part_key, p.p_name AS name,
+           levenshtein(pr.probe, p.p_name) AS dist
+    FROM part p CROSS JOIN probes pr
+    WHERE levenshtein(pr.probe, p.p_name) BETWEEN 1 AND 3
+    """,
+    doc="Fuzzy string matching: part names within edit distance 1..3 of "
+    "three probe names (exact-match 0 excluded so the fuzziness is "
+    "visible). levenshtein() is algorithmically engine-independent; the "
+    "probe side is a broadcast cross join — the pattern for typo-tolerant "
+    "entity matching against a small reference list.",
+)
+def fuzzy_levenshtein_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """At 100 TB: levenshtein against a SMALL probe list broadcasts and
+    stays linear in the corpus; corpus-vs-corpus fuzzy matching needs the
+    LSH/banding machinery from the dedup family instead, never this
+    cross join."""
+    p = load_fixture(spark, sf_dir, "part")
+    probes = p.filter(F.col("p_partkey").isin(3, 7, 11)).select(
+        F.col("p_name").alias("probe")
+    )
+    dist = F.levenshtein(F.col("probe"), F.col("p_name"))
+    return (
+        p.crossJoin(F.broadcast(probes))
+        .filter(dist.between(1, 3))
+        .select(
+            "probe",
+            F.col("p_partkey").alias("part_key"),
+            F.col("p_name").alias("name"),
+            dist.alias("dist"),
+        )
+    )
