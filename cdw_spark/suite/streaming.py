@@ -194,3 +194,58 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_available_now(enriched, "static_join", "complete")
+
+
+@register(
+    "stream_stream_interval_join",
+    oracle="""
+    SELECT s.event_id AS signup_id, p.event_id AS purchase_id,
+           s.user_id, s.ts AS signup_ts, p.ts AS purchase_ts,
+           p.value AS purchase_value
+    FROM events s JOIN events p
+      ON s.user_id = p.user_id
+     AND s.event_type = 'signup' AND p.event_type = 'purchase'
+     AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL 1 HOUR
+    """,
+    doc="Stream-stream interval join: the signup stream joined to the "
+    "purchase stream on user + [0, 1h] event-time range, both sides "
+    "watermarked at 2h. State retention (watermark + range bound) "
+    "provably covers every possible match gap, so the bounded AvailableNow "
+    "run emits exactly the batch join — the funnel/attribution query "
+    "pattern, state bounded by the range condition instead of growing "
+    "forever.",
+)
+def stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    signups = (
+        events_stream(spark, sf_dir, n_files=4)
+        .filter(F.col("event_type") == "signup")
+        .select(
+            F.col("event_id").alias("signup_id"),
+            "user_id",
+            F.col("ts").alias("signup_ts"),
+        )
+        .withWatermark("signup_ts", "2 hours")
+    )
+    purchases = (
+        events_stream(spark, sf_dir, n_files=4)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", "2 hours")
+    )
+    joined = signups.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("signup_ts"))
+        & (F.col("purchase_ts") <= F.col("signup_ts") + F.expr("INTERVAL 1 HOUR")),
+    ).select(
+        "signup_id", "purchase_id", "user_id",
+        "signup_ts", "purchase_ts", "purchase_value",
+    )
+    return run_available_now(joined, "ss_join", "append")
