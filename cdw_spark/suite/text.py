@@ -285,3 +285,57 @@ def fuzzy_levenshtein_match(spark: SparkSession, sf_dir: str) -> DataFrame:
             dist.alias("dist"),
         )
     )
+
+
+_SENT_TRIM = " \\t\\n\\r"
+
+
+@register(
+    "udtf_sentence_split",
+    oracle=f"""
+    SELECT doc_id, i - 1 AS idx, trim(parts[i], ' ' || chr(9) || chr(10) || chr(13)) AS sentence
+    FROM (
+        SELECT doc_id,
+               list_filter(
+                   list_transform(string_split_regex(text, '[.!?]+'),
+                                  s -> trim(s, ' ' || chr(9) || chr(10) || chr(13))),
+                   s -> s <> '') AS parts
+        FROM documents WHERE doc_id % 25 = 0
+    ), UNNEST(range(1, len(parts) + 1)) AS t(i)
+    """,
+    doc="Python UDTF (Spark 4 user-defined TABLE function) splitting "
+    "documents into indexed sentences via a LATERAL join — the 1->N "
+    "row-generating UDF tier the reference never had (SURVEY.md §2.4 "
+    "row 9). Row-at-a-time Python by design here: the point is the UDTF "
+    "API surface; bulk text work routes through the vectorized Arrow "
+    "paths.",
+)
+def udtf_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import re as _re
+
+    from pyspark.sql.functions import udtf
+
+    from ..catalog import register_fixtures
+
+    @udtf(returnType="idx int, sentence string")
+    class SentenceSplit:
+        def eval(self, text: str):
+            if text is None:
+                return
+            # trim char set pinned to match DuckDB's trim(s, ' \\t\\n\\r')
+            # (Python .strip() would also strip Unicode whitespace)
+            parts = [
+                p.strip(" \t\n\r")
+                for p in _re.split(r"[.!?]+", text, flags=_re.ASCII)
+            ]
+            parts = [p for p in parts if p]
+            for i, p in enumerate(parts):
+                yield i, p
+
+    spark.udtf.register("sentence_split", SentenceSplit)
+    register_fixtures(spark, sf_dir, tables=("documents",))
+    return spark.sql(
+        "SELECT d.doc_id, s.idx, s.sentence "
+        "FROM documents d, LATERAL sentence_split(d.text) AS s "
+        "WHERE d.doc_id % 25 = 0"
+    )
