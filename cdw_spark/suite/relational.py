@@ -632,3 +632,34 @@ def regex_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_name").rlike("r.d").alias("has_rd"),
         F.regexp_replace("p_name", "[aeiou]", "_").alias("devoweled"),
     )
+
+
+@register(
+    "set_ops_all",
+    oracle="""
+    SELECT 'inter_all' AS tag, k FROM (
+        SELECT o_custkey AS k FROM orders WHERE o_custkey < 300
+        INTERSECT ALL
+        SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'O'
+    )
+    UNION ALL
+    SELECT 'except_all' AS tag, k FROM (
+        SELECT o_custkey AS k FROM orders WHERE o_custkey < 300
+        EXCEPT ALL
+        SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'O'
+    )
+    """,
+    doc="INTERSECT ALL / EXCEPT ALL — the multiset (duplicate-preserving) "
+    "set operators: a key appearing m times on the left and n on the "
+    "right survives min(m,n) times in the intersection and m-n times in "
+    "the difference, semantics the DISTINCT forms of set_ops erase.",
+)
+def set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """intersectAll/exceptAll compile to aggregate-count + generate
+    (replicate by min/diff of counts) — one shuffle each, no join."""
+    o = load_fixture(spark, sf_dir, "orders")
+    left = o.filter(F.col("o_custkey") < 300).select(F.col("o_custkey").alias("k"))
+    right = o.filter(F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("k"))
+    inter = left.intersectAll(right).select(F.lit("inter_all").alias("tag"), "k")
+    diff = left.exceptAll(right).select(F.lit("except_all").alias("tag"), "k")
+    return inter.unionAll(diff)
