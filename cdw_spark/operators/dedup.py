@@ -224,7 +224,11 @@ def minhash_near_duplicates(
         .union(cands.select(F.col("id_b").alias(id_col)))
         .distinct()
     )
-    cand_docs = df.join(F.broadcast(cand_ids), on=id_col)
+    # Left-semi restriction to candidate docs. No broadcast hint: candidate
+    # cardinality is data-dependent (∝ duplicate rate), so a forced
+    # broadcast could exceed the 8 GB limit on a dup-heavy 100 TB corpus;
+    # AQE still picks a broadcast build when the realized set is small.
+    cand_docs = df.join(cand_ids, on=id_col, how="semi")
     sh = _shingle_table(cand_docs, text_col, id_col, n).persist(
         StorageLevel.MEMORY_AND_DISK
     )

@@ -54,6 +54,10 @@ def build_songplays(
     """
     se = events.filter(F.col("page") == "NextSong")
     ss = songs.select("artist_name", "title", "duration", "song_id", "artist_id").dropDuplicates()
+    # Hard broadcast hint is intentional here: ss is the deduplicated song
+    # CATALOG — bounded by the size of the music library (tens of millions
+    # of rows at most), not by event volume. The data-dependent sides
+    # elsewhere use plans.hints.broadcast_if_small instead.
     joined = se.join(
         F.broadcast(ss),
         on=[

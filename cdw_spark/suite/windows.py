@@ -67,11 +67,11 @@ def window_rank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT
         event_id,
         user_id,
-        SUM(CAST(value AS DECIMAL(18,2))) OVER (
+        ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
             PARTITION BY user_id
             ORDER BY ts, event_id
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-        ) AS running_value
+        ) AS DOUBLE), 2) AS running_value
     FROM events
     """,
     doc="Cumulative sum (analytic window, running frame).",
@@ -89,7 +89,11 @@ def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "event_id",
         "user_id",
-        F.sum(F.col("value").cast(DEC)).over(w).alias("running_value"),
+        # exact decimal prefix sums; DOUBLE final projection (driver decimal
+        # canonicalization — VERDICT r1)
+        F.round(F.sum(F.col("value").cast(DEC)).over(w).cast("double"), 2).alias(
+            "running_value"
+        ),
     )
 
 
@@ -127,7 +131,7 @@ def window_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         date_trunc('hour', ts) + INTERVAL 1 HOUR AS win_end,
         event_type,
         COUNT(*) AS n_events,
-        SUM(CAST(value AS DECIMAL(18,2))) AS total_value
+        ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_value
     FROM events
     GROUP BY 1, 2, 3
     """,
@@ -143,7 +147,7 @@ def tumbling_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast(DEC)).alias("total_value"),
+            F.round(F.sum(F.col("value").cast(DEC)).cast("double"), 2).alias("total_value"),
         )
         .select(
             F.col("win.start").alias("win_start"),
@@ -173,7 +177,7 @@ def tumbling_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         win_start,
         win_start + INTERVAL 1 HOUR AS win_end,
         COUNT(*) AS n_events,
-        SUM(CAST(value AS DECIMAL(18,2))) AS total_value
+        ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_value
     FROM assigned
     GROUP BY 1, 2
     """,
@@ -189,7 +193,7 @@ def sliding_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("win"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast(DEC)).alias("total_value"),
+            F.round(F.sum(F.col("value").cast(DEC)).cast("double"), 2).alias("total_value"),
         )
         .select(
             F.col("win.start").alias("win_start"),
@@ -226,7 +230,7 @@ def sliding_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         MIN(ts) AS session_start,
         MAX(ts) + INTERVAL 30 MINUTE AS session_end,
         COUNT(*) AS n_events,
-        SUM(CAST(value AS DECIMAL(18,2))) AS total_value
+        ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_value
     FROM numbered
     GROUP BY user_id, session_no
     """,
@@ -245,7 +249,7 @@ def session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(F.session_window("ts", "30 minutes").alias("win"), "user_id")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast(DEC)).alias("total_value"),
+            F.round(F.sum(F.col("value").cast(DEC)).cast("double"), 2).alias("total_value"),
         )
         .select(
             "user_id",
