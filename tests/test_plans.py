@@ -168,3 +168,24 @@ def test_range_join_broadcasts_order_side(spark, sf_dir):
     for seg in plan.split("BroadcastExchange")[1:]:
         sub = seg.split("BroadcastHashJoin")[0]
         assert "orders.parquet" in sub or "lineitem.parquet" not in sub, plan
+
+
+def test_ann_lsh_is_equi_bucketed(spark, sf_dir):
+    """The multiprobe LSH join must be an EQUI join on exploded
+    hamming-ball signatures — a hamming-distance predicate can't
+    hash-partition and degenerates to a nested-loop over corpus x probes
+    (the round-1 defect)."""
+    df = SPECS["similarity_ann_lsh"].fn(spark, sf_dir)
+    plan = _plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+
+
+def test_pairs_topn_has_no_cross_join(spark, sf_dir):
+    """similarity_pairs_topn must generate candidates through the bucketed
+    signature join, never the O(n^2) cross product (the round-1 defect);
+    the exact all-pairs form lives only in tests as the recall oracle."""
+    plan = _plan(SPECS["similarity_pairs_topn"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan

@@ -24,10 +24,12 @@ def test_lsh_ann_recall(emb):
     ap = {(r.probe_id, r.cand_id) for r in approx.collect()}
     recall = len(ex & ap) / len(ex)
     # Uniform-random embeddings are LSH's worst case (no cluster structure,
-    # top-10 cosine ~0.2): measured recall is 0.44 at sf0.001 / 0.32 at
-    # sf0.01 with ~36% of buckets probed — honest floor below both.
-    # Deterministic: planes are compile-time constants.
-    assert recall >= 0.25, f"ANN recall too low: {recall:.2f}"
+    # top-10 cosine ~0.45 => p(bit flip) ~ theta/pi ~ 0.35/plane): measured
+    # recall 0.59 at sf0.001 / 0.52 at sf0.01 — clearly above the ~0.36
+    # random-bucket base rate since the corpus/probe planes now agree
+    # (round 1 drew them from a shared RNG stream and measured 0.32-0.44).
+    # Deterministic: planes are seeded per call.
+    assert recall >= 0.4, f"ANN recall too low: {recall:.2f}"
 
 
 def test_brute_force_topk_is_sane(emb):
@@ -67,3 +69,22 @@ def test_ivf_ann_recall(emb):
         rs.sort(key=lambda r: r.rank)
         cos = [r.cosine for r in rs]
         assert cos == sorted(cos, reverse=True)
+
+
+def test_bucketed_pairs_differential_vs_exact(emb):
+    """lsh_pairs_topn (the registered, bucketed form) against
+    similar_pairs_topn (exact all-pairs — kept ONLY as this test's oracle):
+    every overlapping pair must carry the identical exact cosine (the
+    rescoring is exact; only candidate generation is approximate), and
+    recall of the true global top-30 must clear the worst-case floor
+    (uniform-random fixture, top pairs at cosine ~0.45: measured 0.70 at
+    both sf0.001 and sf0.01)."""
+    from cdw_spark.operators.similarity import lsh_pairs_topn, similar_pairs_topn
+
+    exact = {(r.id_a, r.id_b): r.cosine for r in similar_pairs_topn(emb, n=30).collect()}
+    buck = {(r.id_a, r.id_b): r.cosine for r in lsh_pairs_topn(emb, n=30).collect()}
+    for pair, cos in buck.items():
+        if pair in exact:
+            assert cos == exact[pair], f"rescore drift on {pair}"
+    recall = len(exact.keys() & buck.keys()) / len(exact)
+    assert recall >= 0.5, f"bucketed pair recall too low: {recall:.2f}"
