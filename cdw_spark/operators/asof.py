@@ -51,7 +51,14 @@ def asof_join_backward(
     payload = F.struct(
         *[F.col(src).alias(alias) for src, alias in right_payload.items()]
     )
-    r = right.select(
+    # NULL right_time rows can never satisfy r.t <= l.t (ASOF semantics;
+    # DuckDB agrees) — but ascending sort puts NULLs FIRST, so an
+    # unfiltered NULL-time right row would pose as the "earliest" match
+    # and fill forward. Drop them before the union. NULL left_time rows
+    # need no special path: with right NULLs gone they sort before every
+    # right row of their key and the running last() finds no payload —
+    # the correct no-match NULL.
+    r = right.filter(F.col(right_time).isNotNull()).select(
         *on,
         F.col(right_time).alias(_TIME),
         F.lit(0).alias(_SIDE),
@@ -68,9 +75,12 @@ def asof_join_backward(
     # right side become NULL (they are never read from right rows).
     u = r.unionByName(l, allowMissingColumns=True)
 
+    # _PAYLOAD as the final sort key makes duplicate right rows at the same
+    # (key, time) resolve deterministically (struct comparison is
+    # lexicographic by field) instead of by partition arrival order.
     w = (
         Window.partitionBy(*on)
-        .orderBy(_TIME, _SIDE)
+        .orderBy(_TIME, _SIDE, _PAYLOAD)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled: Column = F.last(_PAYLOAD, ignorenulls=True).over(w)

@@ -416,15 +416,20 @@ def connected_components(
     clusters say "keep one of {a,b,c,...}" — the canonical-keeper choice
     needs the transitive closure.
 
-    Iterative min-label propagation, driver-coordinated (the standard
-    large-graph formulation, O(diameter) rounds):
-      label(v) <- min(label(v), min_{(v,u) in E} label(u))
-    Each round is one join + one aggregate (shuffles on vertex id);
+    Iterative min-label propagation with pointer jumping,
+    driver-coordinated (the standard large-graph formulation):
+      label(v) <- min(label(v), min_{(v,u) in E} label(u))   # propagate
+      label(v) <- label(label(v))                            # shortcut
+    The shortcut step doubles how far a label has travelled each round, so
+    convergence is O(log diameter) — max_iter=20 covers diameters up to
+    ~2^20, and a graph that still hasn't converged raises instead of
+    silently returning split components (a chain longer than the round
+    budget would otherwise fracture into multiple labels).
+    Each round is two joins + one aggregate (shuffles on vertex id);
     ``localCheckpoint`` truncates the lineage per round — without it the
     plan doubles every iteration and planning time explodes long before
     data does. Near-dup graphs have tiny diameters (dup clusters are
-    cliques-ish), so rounds ~ 2-4 in practice; ``max_iter`` bounds
-    pathological chains."""
+    cliques-ish), so rounds ~ 2-3 in practice."""
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
@@ -435,19 +440,37 @@ def connected_components(
         edges.select(F.col("src").alias("id")).distinct().withColumn("label", F.col("id"))
     ).localCheckpoint()
 
+    changed = 0
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges["dst"] == labels["id"])
             .groupBy("src")
             .agg(F.min("label").alias("nb_min"))
         )
+        propagated = labels.join(
+            neighbor_min, labels["id"] == neighbor_min["src"], "left"
+        ).select(
+            "id",
+            F.least(F.col("label"), F.coalesce(F.col("nb_min"), F.col("label"))).alias(
+                "label"
+            ),
+        )
+        # Pointer jumping: adopt the label of one's current label vertex.
+        # Every label IS a vertex id, so the self-join always resolves.
         new_labels = (
-            labels.join(neighbor_min, labels["id"] == neighbor_min["src"], "left")
-            .select(
-                "id",
-                F.least(F.col("label"), F.coalesce(F.col("nb_min"), F.col("label"))).alias(
-                    "label"
+            propagated.alias("a")
+            .join(
+                propagated.select(
+                    F.col("id").alias("_lid"), F.col("label").alias("_llabel")
                 ),
+                F.col("a.label") == F.col("_lid"),
+                "left",
+            )
+            .select(
+                F.col("a.id").alias("id"),
+                F.least(
+                    F.col("a.label"), F.coalesce(F.col("_llabel"), F.col("a.label"))
+                ).alias("label"),
             )
         ).localCheckpoint()
         changed = (
@@ -460,4 +483,10 @@ def connected_components(
         if changed == 0:
             break
     edges.unpersist()
+    if changed != 0:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            f"({changed} labels still moving) — result would be split "
+            "components; raise max_iter"
+        )
     return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("component_id"))

@@ -63,3 +63,33 @@ def test_asof_payload_from_same_row(spark):
     r = out.collect()[0]
     assert r.matched_t == _ts("2024-01-01T00:00:50")
     assert r.matched_v is None  # from the matched row, not the older one
+
+
+def test_asof_null_timestamps(spark):
+    """ASOF semantics on NULLs: a right row with NULL time can never match
+    (r.t <= l.t is never true — DuckDB agrees), and a left row with NULL
+    time matches nothing. Round-2 regression: ascending sort puts NULLs
+    first, so an unfiltered NULL-time right row posed as the 'earliest'
+    match and filled forward."""
+    left = spark.createDataFrame(
+        [
+            (1, 10, _ts("2024-01-01T00:00:10")),
+            (2, 10, None),  # NULL left time -> no match
+        ],
+        "id int, k int, t timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (10, None, 666.0),  # NULL right time -> must never be matched
+            (10, _ts("2024-01-01T00:00:05"), 1.0),
+        ],
+        "k int, rt timestamp, v double",
+    )
+    out = asof_join_backward(
+        left, right, on=["k"], left_time="t", right_time="rt",
+        right_payload={"rt": "matched_t", "v": "matched_v"},
+    )
+    got = {r.id: (r.matched_t, r.matched_v) for r in out.collect()}
+    assert got[1] == (_ts("2024-01-01T00:00:05"), 1.0)
+    assert got[2] == (None, None)
+    assert 666.0 not in {v for _, v in got.values()}

@@ -108,3 +108,17 @@ def test_connected_components_empty_graph(spark):
 
     pairs = spark.createDataFrame([], "id_a long, id_b long")
     assert connected_components(pairs).count() == 0
+
+
+def test_connected_components_long_chain_pointer_jumping(spark):
+    """A 60-edge path graph exceeds the old per-round propagation budget
+    (max_iter=20 rounds moved a label one hop each); pointer jumping
+    shortcuts label reach exponentially, so the chain converges to a
+    single component well inside the bound instead of silently splitting."""
+    from cdw_spark.operators.dedup import connected_components
+
+    edges = [(i, i + 1) for i in range(60)]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r.doc_id: r.component_id for r in connected_components(pairs).collect()}
+    assert set(got.values()) == {0}
+    assert len(got) == 61
