@@ -49,6 +49,9 @@ HEADLINE = [
     "text_rolling_fingerprint_arrow",
     "similarity_topk",
     "similarity_ann_ivf",
+    # added round 2 with the bucketed rewrites (hamming-ball equi-joins):
+    "similarity_ann_lsh",
+    "similarity_pairs_topn",
 ]
 
 
@@ -62,12 +65,16 @@ def main() -> None:
     specs = load_all()
 
     # Untimed warmup at the smallest SF: pays one-time JVM costs (codegen
-    # compilation, Hadoop FS init, parquet footer readers, broadcast
-    # machinery) outside the measurement — standard JVM bench methodology;
-    # per-query numbers then reflect steady-state throughput.
-    specs["star_fact_join"].fn(spark, "/root/testdata/sf0.001").write.format("noop").mode(
-        "overwrite"
-    ).save()
+    # compilation — the unrolled vector expressions cost Janino seconds,
+    # Hadoop FS init, parquet footer readers, broadcast machinery) outside
+    # the measurement — standard JVM bench methodology; per-query numbers
+    # then reflect steady-state data-proportional throughput.
+    for name in HEADLINE:
+        spec = specs.get(name)
+        if spec is not None:
+            spec.fn(spark, "/root/testdata/sf0.001").write.format("noop").mode(
+                "overwrite"
+            ).save()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

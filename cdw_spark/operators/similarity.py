@@ -366,42 +366,103 @@ def lsh_pairs_topn(
     of the 8 bits with p = theta/pi ~ 0.1). The brute-force
     ``similar_pairs_topn`` stays the differential oracle in tests.
     """
+    from ..plans.hints import _threshold_bytes, broadcast_if_small, estimated_size_bytes
+
     dim = len(corpus.select(vec_col).first()[0])
     norm_terms = " + ".join(f"v[{i}]*v[{i}]" for i in range(dim))
-    a = with_signature(
-        corpus.select(
-            F.col(id_col).alias("id_a"), to_double_array(F.col(vec_col)).alias("va")
-        ).withColumn("na", F.expr(f"sqrt({norm_terms})".replace("v[", "va["))),
-        "va", dim, "siga",
-    )
-    b = with_signature(
-        corpus.select(
-            F.col(id_col).alias("id_b"), to_double_array(F.col(vec_col)).alias("vb")
-        ).withColumn("nb", F.expr(f"sqrt({norm_terms})".replace("v[", "vb["))),
-        "vb", dim, "sigb",
-    )
+    sigs = with_signature(
+        corpus.select(F.col(id_col).alias("_id"), to_double_array(F.col(vec_col)).alias("v")),
+        "v", dim, "sig",
+    ).select("_id", "sig")
+    # Candidate generation moves ONLY (id, sig) through the explode and the
+    # shuffle — dragging the vector through the |ball|-fold explode cost
+    # ~95 MB of duplicated payload at sf0.1 (measured 2x slower end to
+    # end); vectors are re-attached to the much smaller candidate-pair set
+    # afterwards, the same restrict-then-verify shape as the minhash
+    # pipeline.
     masks = [m for m in range(1 << N_PLANES) if m.bit_count() <= multiprobe_hamming]
     a_ball = (
-        a.withColumn("mask", F.explode(F.array(*[F.lit(m) for m in masks])))
+        sigs.select(F.col("_id").alias("id_a"), F.col("sig").alias("siga"))
+        .withColumn("mask", F.explode(F.array(*[F.lit(m) for m in masks])))
         .withColumn("nsig", F.col("siga").bitwiseXOR(F.col("mask")))
-        .drop("mask")
+        .drop("mask", "siga")
     )
+    b_sigs = sigs.select(F.col("_id").alias("id_b"), F.col("sig").alias("sigb"))
     # Explicit hash-partition on the signature join key: at 100 TB neither
     # side fits a broadcast (a_ball is |corpus| x |ball|), so the
-    # co-partitioned shuffle join IS the scale plan — and the Exchange
-    # also bounds each codegen stage (sig+norm projection alone; the
-    # all-in-one stage exceeded Janino's 64 KB method limit and fell back
-    # to interpreted).
-    pairs = a_ball.repartition(F.col("nsig")).join(
-        b.repartition(F.col("sigb")),
-        on=[F.col("nsig") == F.col("sigb"), F.col("id_a") < F.col("id_b")],
+    # co-partitioned shuffle join IS the scale plan — and the Exchange also
+    # bounds each codegen stage under Janino's 64 KB method limit.
+    cand = (
+        a_ball.repartition(F.col("nsig"))
+        .join(
+            b_sigs.repartition(F.col("sigb")),
+            on=[F.col("nsig") == F.col("sigb"), F.col("id_a") < F.col("id_b")],
+        )
+        .select("id_a", "id_b")
     )
-    dot_sql = " + ".join(f"va[{i}]*vb[{i}]" for i in range(dim))
-    scored = pairs.select(
-        "id_a",
-        "id_b",
-        (F.expr(f"({dot_sql})") / (F.col("na") * F.col("nb"))).alias("cos_raw"),
+    vecs = corpus.select(
+        F.col(id_col).alias("_vid"), to_double_array(F.col(vec_col)).alias("v")
     )
+    if estimated_size_bytes(vecs) <= _threshold_bytes(corpus.sparkSession):
+        # Rescoring path 1 (corpus vector table under the broadcast
+        # threshold): ship (id -> vector) as a broadcast numpy matrix and
+        # score candidate pairs in Arrow batches. Attaching two 64-double
+        # arrays per pair via joins materializes ~1 KB of UnsafeRow per
+        # candidate — measured 20x slower than this scorer at sf0.1.
+        # Bit-parity: the dot/norm accumulate in a loop over DIMENSIONS
+        # (64 vectorized adds), so each pair's fold order is exactly the
+        # sequential left-assoc of DuckDB list_dot_product and of the SQL
+        # path below.
+        import numpy as np
+        import pandas as pd
+
+        rows = vecs.collect()
+        ids = np.array([r["_vid"] for r in rows], dtype=np.int64)
+        mat = np.array([r["v"] for r in rows], dtype=np.float64)
+        order = np.argsort(ids)
+        ids, mat = ids[order], mat[order]
+        sq = np.zeros(len(ids))
+        for j in range(dim):
+            sq += mat[:, j] * mat[:, j]
+        norms = np.sqrt(sq)
+        bc = corpus.sparkSession.sparkContext.broadcast((ids, mat, norms))
+
+        def _score(batches):
+            ids_, mat_, norms_ = bc.value
+            for pdf in batches:
+                ia = np.searchsorted(ids_, pdf["id_a"].to_numpy())
+                ib = np.searchsorted(ids_, pdf["id_b"].to_numpy())
+                acc = np.zeros(len(pdf))
+                for j in range(mat_.shape[1]):
+                    acc += mat_[ia, j] * mat_[ib, j]
+                yield pd.DataFrame(
+                    {
+                        "id_a": pdf["id_a"],
+                        "id_b": pdf["id_b"],
+                        "cos_raw": acc / (norms_[ia] * norms_[ib]),
+                    }
+                )
+
+        scored = cand.mapInPandas(_score, "id_a long, id_b long, cos_raw double")
+    else:
+        # Rescoring path 2 (the 100 TB path): vectors re-attached to the
+        # candidate set by equi-join (shuffle/broadcast per AQE), scored
+        # with the unrolled codegen dot — no driver-side collect anywhere.
+        va = vecs.select(
+            F.col("_vid").alias("id_a"), F.col("v").alias("va")
+        ).withColumn("na", F.expr(f"sqrt({norm_terms})".replace("v[", "va[")))
+        vb = vecs.select(
+            F.col("_vid").alias("id_b"), F.col("v").alias("vb")
+        ).withColumn("nb", F.expr(f"sqrt({norm_terms})".replace("v[", "vb[")))
+        pairs = cand.join(broadcast_if_small(va), on="id_a").join(
+            broadcast_if_small(vb), on="id_b"
+        )
+        dot_sql = " + ".join(f"va[{i}]*vb[{i}]" for i in range(dim))
+        scored = pairs.select(
+            "id_a",
+            "id_b",
+            (F.expr(f"({dot_sql})") / (F.col("na") * F.col("nb"))).alias("cos_raw"),
+        )
     return (
         scored.orderBy(F.col("cos_raw").desc(), "id_a", "id_b")
         .limit(n)

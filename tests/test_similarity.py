@@ -88,3 +88,20 @@ def test_bucketed_pairs_differential_vs_exact(emb):
             assert cos == exact[pair], f"rescore drift on {pair}"
     recall = len(exact.keys() & buck.keys()) / len(exact)
     assert recall >= 0.5, f"bucketed pair recall too low: {recall:.2f}"
+
+
+def test_bucketed_pairs_join_path_equals_arrow_path(spark, emb):
+    """lsh_pairs_topn picks its rescorer by a size gate: broadcast numpy
+    matrix under the threshold, vector re-attach joins above it. Both must
+    produce identical rows — the dimension-loop numpy accumulation exists
+    precisely to keep the fold order bit-equal to the SQL path."""
+    from cdw_spark.operators.similarity import lsh_pairs_topn
+
+    arrow = {(r.id_a, r.id_b): r.cosine for r in lsh_pairs_topn(emb, n=30).collect()}
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1")  # force join path
+    try:
+        joined = {(r.id_a, r.id_b): r.cosine for r in lsh_pairs_topn(emb, n=30).collect()}
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert arrow == joined
