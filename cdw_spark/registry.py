@@ -114,8 +114,9 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "text_langid",
     "text_fingerprint",
     "text_rolling_fingerprint_arrow",
-    # similarity / ANN (lsh+ivf are rows-only by design: candidate sets are
-    # algorithm-specific; recall is proven against brute force in tests)
+    # similarity / ANN (all value-oracled: LSH states its deterministic
+    # literal hyperplanes in SQL; IVF registers the exhaustive-probe
+    # configuration, which provably equals exact k-NN)
     "similarity_topk",
     "similarity_pairs_topn",
     "similarity_ann_lsh",

@@ -41,7 +41,8 @@ _DIM = 64
         SELECT p.vec_id AS probe_id, c.vec_id AS cand_id, {_COS} AS cos_raw
         FROM e c JOIN e p ON p.vec_id < 5 AND c.vec_id != p.vec_id
     )
-    SELECT probe_id, cand_id, rank, ROUND(cos_raw, 6) AS cosine
+    SELECT probe_id, cand_id, CAST(rank AS INTEGER) AS rank,
+           ROUND(cos_raw, 6) AS cosine
     FROM (
         SELECT probe_id, cand_id, cos_raw,
                ROW_NUMBER() OVER (PARTITION BY probe_id
@@ -100,10 +101,36 @@ def similarity_pairs_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "similarity_ann_lsh",
-    oracle=None,  # approximate; recall vs brute force asserted in tests
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    sigs AS (
+        SELECT vec_id, v, {signature_oracle_sql("v", _DIM)} AS sig FROM e
+    ),
+    cand AS (
+        SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+               list_dot_product(p.v, c.v) /
+               (sqrt(list_dot_product(p.v, p.v)) * sqrt(list_dot_product(c.v, c.v))) AS cos_raw
+        FROM sigs p JOIN sigs c
+          ON p.vec_id < 5 AND c.vec_id != p.vec_id
+         AND bit_count(xor(p.sig::BIGINT, c.sig::BIGINT)) <= 3
+    )
+    SELECT probe_id, cand_id, CAST(rank AS INTEGER) AS rank,
+           ROUND(cos_raw, 6) AS cosine
+    FROM (
+        SELECT probe_id, cand_id, cos_raw,
+               ROW_NUMBER() OVER (PARTITION BY probe_id
+                                  ORDER BY cos_raw DESC, cand_id) AS rank
+        FROM cand
+    )
+    WHERE rank <= 10
+    """,
     doc="Random-hyperplane LSH ANN top-10 (8-bit signatures, multiprobe "
     "hamming<=3 via exploded-ball equi-join — no nested-loop join, "
-    "asserted in tests/test_plans.py). Rows-only check; recall measured "
+    "asserted in tests/test_plans.py). Fully value-oracled: the "
+    "hyperplanes are deterministic literals, so the oracle states the "
+    "same approximate semantics (candidates = signature hamming<=3, "
+    "exact rescore, per-probe top-10) in SQL — the driver hash checks "
+    "the bucketing itself. Recall vs brute force additionally measured "
     "in tests/test_similarity.py.",
 )
 def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -114,14 +141,33 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "similarity_ann_ivf",
-    oracle=None,  # approximate; recall vs brute force asserted in tests
-    doc="IVF approximate top-10: spherical-k-means coarse quantizer "
-    "(nlist=16, trained with DataFrame-native Lloyd iterations), probes "
-    "search their nprobe=4 nearest inverted lists only. Rows-only check; "
-    "recall vs brute force measured in tests/test_similarity.py.",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    scored AS (
+        SELECT p.vec_id AS probe_id, c.vec_id AS cand_id, {_COS} AS cos_raw
+        FROM e c JOIN e p ON p.vec_id < 5 AND c.vec_id != p.vec_id
+    )
+    SELECT probe_id, cand_id, CAST(rank AS INTEGER) AS rank,
+           ROUND(cos_raw, 6) AS cosine
+    FROM (
+        SELECT probe_id, cand_id, cos_raw,
+               ROW_NUMBER() OVER (PARTITION BY probe_id
+                                  ORDER BY cos_raw DESC, cand_id) AS rank
+        FROM scored
+    )
+    WHERE rank <= 10
+    """,
+    doc="IVF top-10: spherical-k-means coarse quantizer (nlist=16, "
+    "DataFrame-native Lloyd iterations), probes search their nprobe "
+    "nearest inverted lists. Registered with nprobe=nlist (exhaustive "
+    "probing), whose output provably equals exact k-NN — the driver hash "
+    "checks the whole IVF machinery (training, list assignment, per-list "
+    "scoring, ranking) against the brute-force SQL oracle. The pruned "
+    "approximate configuration (nprobe=4) is recall-tested vs brute "
+    "force in tests/test_similarity.py.",
 )
 def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import ivf_topk
 
     e = load_fixture(spark, sf_dir, "embeddings")
-    return ivf_topk(e.filter(F.col("vec_id") < 5), e, k=10, nlist=16, nprobe=4)
+    return ivf_topk(e.filter(F.col("vec_id") < 5), e, k=10, nlist=16, nprobe=16)

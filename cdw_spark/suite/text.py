@@ -34,8 +34,8 @@ def _sql_list(xs: list[str]) -> str:
     oracle=f"""
     SELECT
         doc_id,
-        len(string_split_regex(lower(trim(text)), '\\s+')) AS n_tokens,
-        len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS n_tokens_bpe,
+        CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS INTEGER) AS n_tokens,
+        CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS INTEGER) AS n_tokens_bpe,
         ROUND(CASE WHEN length(text) > 0
               THEN length(regexp_replace(text, '[^.,!?;:]', '', 'g')) * 1.0 / length(text)
               ELSE 0.0 END, 6) AS punct_ratio,

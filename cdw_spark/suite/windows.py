@@ -27,7 +27,8 @@ DEC = "decimal(18,2)"
 @register(
     "window_rank_topk",
     oracle="""
-    SELECT cust_key, order_key, total_price, rank_in_cust
+    SELECT cust_key, order_key, total_price,
+           CAST(rank_in_cust AS INTEGER) AS rank_in_cust
     FROM (
         SELECT
             o_custkey AS cust_key,
@@ -266,7 +267,7 @@ def session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderkey AS order_key,
            o_orderstatus AS status,
-           NTILE(4) OVER w AS price_quartile,
+           CAST(NTILE(4) OVER w AS INTEGER) AS price_quartile,
            ROUND(PERCENT_RANK() OVER w, 6) AS price_pct_rank,
            ROUND(CUME_DIST() OVER w, 6) AS price_cume_dist,
            NTH_VALUE(o_orderkey, 2) OVER (

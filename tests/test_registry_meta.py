@@ -78,4 +78,4 @@ def test_driver_window_covers_every_family():
         assert n in window, n
 
     rows_only = [n for n in _DRIVER_WINDOW if SPECS[n].oracle is None]
-    assert set(rows_only) <= {"similarity_ann_lsh", "similarity_ann_ivf"}, rows_only
+    assert rows_only == [], f"window slots wasted on rows-only checks: {rows_only}"
