@@ -45,6 +45,7 @@ _SUITE_MODULES = (
     "cdw_spark.suite.streaming",
     "cdw_spark.suite.curation",
     "cdw_spark.suite.tpch",
+    "cdw_spark.suite.datasetops",
 )
 
 
@@ -76,9 +77,9 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "semi_anti_join",
     "asof_join_clicks",
     "json_funcs",
-    # reference §2 time/EXTRACT family (F1-F8, K2/K5)
+    # reference §2 time/EXTRACT family (F1-F8, K2/K5; time_dim_fixed is
+    # time_dim's twin — same oracle shape, pytest-covered past the window)
     "time_dim",
-    "time_dim_fixed",
     "epoch_conversion",
     # aggregation layer (incl. every r1 hash-fail, now DOUBLE-projected)
     "agg_pricing_summary",
@@ -98,7 +99,6 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "window_rank_topk",
     "window_running_sum",
     "window_lag_delta",
-    "window_ntile_dist",
     "window_range_frame",
     # structured streaming (time-window aggs graded via their stream twins;
     # the batch twins share the same oracles and stay pytest-covered)
@@ -121,9 +121,9 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "similarity_pairs_topn",
     "similarity_ann_lsh",
     "similarity_ann_ivf",
-    # deduplication
+    # deduplication (ngram_jaccard is minhash_lsh's shared oracle — the
+    # minhash row grades the same pair set; jaccard stays pytest-covered)
     "dedup_exact",
-    "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_embedding_cosine",
     "dedup_components",
@@ -131,6 +131,11 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "dedup_canonical_keepers",
     "curation_pipeline",
     "multimodal_blob_meta",
+    # dataset-curation ops (suite/datasetops.py; the other two entries —
+    # quality_repetition, sample_hash_split — are pytest-covered)
+    "decontaminate_ngrams",
+    "pii_redact",
+    "merge_incremental_upsert",
 )
 
 

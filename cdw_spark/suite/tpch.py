@@ -30,6 +30,52 @@ def _sql_query(name: str, tables: tuple[str, ...], sql: str, doc: str):
 
 
 _sql_query(
+    "tpch_q3_shipping_priority",
+    ("customer", "orders", "lineitem"),
+    """
+    SELECT l.l_orderkey AS order_key,
+           ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l.l_discount AS DECIMAL(18,4))) AS DOUBLE), 2) AS revenue,
+           o.o_orderdate AS order_date
+    FROM customer c
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1996-06-15 00:00:00'
+      AND l.l_shipdate > TIMESTAMP '1996-06-15 00:00:00'
+    GROUP BY l.l_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, order_key
+    LIMIT 10
+    """,
+    "TPC-H Q3 shape: unshipped-order revenue by segment — selective dim "
+    "filter joined into two fact filters, group on the join key, top-k "
+    "(fixture has no o_shippriority column; grouping drops it).",
+)
+
+_sql_query(
+    "tpch_q5_local_supplier_volume",
+    ("customer", "orders", "lineitem", "supplier", "nation", "region"),
+    """
+    SELECT n.n_name AS nation,
+           ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l.l_discount AS DECIMAL(18,4))) AS DOUBLE), 2) AS revenue
+    FROM customer c
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                   AND s.s_nationkey = c.c_nationkey
+    JOIN nation n   ON n.n_nationkey = c.c_nationkey
+    JOIN region r   ON r.r_regionkey = n.n_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY n.n_name
+    ORDER BY revenue DESC, nation
+    """,
+    "TPC-H Q5 shape: local-supplier volume — the 6-way snowflake join "
+    "(region -> nation -> customer + supplier co-location on the fact), "
+    "the join-reordering stress test; every dim side should broadcast.",
+)
+
+_sql_query(
     "tpch_q6_revenue_forecast",
     ("lineitem",),
     """

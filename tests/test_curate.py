@@ -1,0 +1,119 @@
+"""Operator-level behavior of the dataset-curation layer
+(cdw_spark/operators/curate.py). Cross-engine value equality is proven by
+tests/test_oracle_contract.py; these tests pin the *semantics* (split
+determinism and proportions, merge tagging, decontamination soundness,
+known PII counts) and the plan discipline (no Python in any data path).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cdw_spark.catalog import load_fixture
+from cdw_spark.registry import load_all
+
+SPECS = load_all()
+
+NEW_QUERIES = (
+    "decontaminate_ngrams",
+    "pii_redact",
+    "quality_repetition",
+    "sample_hash_split",
+    "merge_incremental_upsert",
+)
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+
+
+def test_curate_suite_stays_jvm_side(spark, sf_dir):
+    for name in NEW_QUERIES:
+        plan = _plan(SPECS[name].fn(spark, sf_dir))
+        assert "BatchEvalPython" not in plan, f"{name} fell off the JVM path"
+        assert "ArrowEvalPython" not in plan, f"{name} uses pandas UDF needlessly"
+
+
+def test_hash_split_deterministic_and_proportional(spark, sf_dir):
+    """Same assignment on every evaluation, and the 800/100/100 bucket
+    design shows up in the realized proportions (binomial tolerance)."""
+    df = SPECS["sample_hash_split"].fn(spark, sf_dir)
+    a = {r["doc_id"]: (r["bucket"], r["split"]) for r in df.collect()}
+    b = {r["doc_id"]: (r["bucket"], r["split"]) for r in df.collect()}
+    assert a == b
+    n = len(a)
+    train = sum(1 for _, s in a.values() if s == "train") / n
+    assert 0.7 < train < 0.9
+    assert {s for _, s in a.values()} <= {"train", "valid", "test"}
+
+
+def test_merge_tags_and_key_union(spark, sf_dir):
+    """Merged output = exactly one row per key present on either side;
+    tags agree with side membership."""
+    merged = {
+        (r["user_id"], r["event_type"]): r["op"]
+        for r in SPECS["merge_incremental_upsert"].fn(spark, sf_dir).collect()
+    }
+    e = load_fixture(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-20 00:00:00").cast("timestamp")
+    tkeys = {
+        (r["user_id"], r["event_type"])
+        for r in e.filter(F.col("ts") < cutoff).select("user_id", "event_type").distinct().collect()
+    }
+    skeys = {
+        (r["user_id"], r["event_type"])
+        for r in e.filter(F.col("ts") >= cutoff).select("user_id", "event_type").distinct().collect()
+    }
+    assert set(merged) == tkeys | skeys
+    for k, op in merged.items():
+        expected = "update" if k in tkeys and k in skeys else ("keep" if k in tkeys else "insert")
+        assert op == expected, (k, op, expected)
+
+
+def _shingle_set(text: str, n: int = 4) -> set[str]:
+    ws = text.strip().lower().split()
+    if len(ws) < n:
+        return {" ".join(ws)}
+    return {" ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)}
+
+
+def test_decontaminate_sound_and_complete(spark, sf_dir):
+    """Python-set reimplementation on the collected fixture: survivors
+    share no 4-gram with the benchmark, and every non-survivor does."""
+    docs = {r["doc_id"]: r["text"] for r in load_fixture(spark, sf_dir, "documents").collect()}
+    bench_grams: set[str] = set()
+    for did, text in docs.items():
+        if did % 17 == 0:
+            bench_grams |= _shingle_set(text)
+    survivors = {r["doc_id"] for r in SPECS["decontaminate_ngrams"].fn(spark, sf_dir).collect()}
+    for did, text in docs.items():
+        if did % 17 == 0:
+            assert did not in survivors
+            continue
+        contaminated = bool(_shingle_set(text) & bench_grams)
+        assert (did not in survivors) == contaminated, did
+
+
+def test_pii_counts_match_injection(spark, sf_dir):
+    """The synthetic corpus has no organic PII, so counts equal the
+    injected amounts exactly: m=0 -> 1 email, m=1 -> 1 ip, m=2 -> 2
+    emails + 1 ip; and redaction removes every match."""
+    rows = SPECS["pii_redact"].fn(spark, sf_dir).collect()
+    for r in rows:
+        m = r["doc_id"] % 3
+        assert (r["n_emails"], r["n_ips"]) == [(1, 0), (0, 1), (2, 1)][m], r
+    d = load_fixture(spark, sf_dir, "documents")
+    from cdw_spark.operators.curate import EMAIL_RE, IPV4_RE, pii_counts_and_redact
+
+    n_e, n_i, red = pii_counts_and_redact(F.col("text"))
+    # redacted text re-scanned must contain zero PII matches
+    leftover = (
+        d.select(red.alias("r"))
+        .select(
+            F.regexp_count(F.col("r"), F.lit(EMAIL_RE)).alias("e"),
+            F.regexp_count(F.col("r"), F.lit(IPV4_RE)).alias("i"),
+        )
+        .agg(F.sum("e").alias("e"), F.sum("i").alias("i"))
+        .first()
+    )
+    assert (leftover["e"], leftover["i"]) == (0, 0)

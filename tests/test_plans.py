@@ -144,6 +144,14 @@ def test_bucketed_join_needs_no_exchange(spark, sf_dir):
         spark.sql("DROP TABLE IF EXISTS b_customer")
 
 
+def test_tpch_q5_snowflake_all_broadcast(spark, sf_dir):
+    """The 6-way Q5 snowflake must broadcast every dimension side — the
+    lineitem fact is joined 5 times without ever shuffling."""
+    plan = _plan(SPECS["tpch_q5_local_supplier_volume"].fn(spark, sf_dir))
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
 def test_asof_join_single_exchange(spark, sf_dir):
     """The as-of join must cost exactly ONE shuffle (the union sorted per
     key) — a second Exchange would mean the union/window structure

@@ -66,6 +66,7 @@ def test_driver_window_covers_every_family():
     prefixes = {
         "tpch_", "window_", "stream_", "text_", "similarity_", "dedup_",
         "multimodal_", "curation_", "time_", "agg_",
+        "decontaminate_", "pii_", "merge_",
     }
     window = set(_DRIVER_WINDOW)
     for p in prefixes:
