@@ -52,6 +52,11 @@ HEADLINE = [
     # added round 2 with the bucketed rewrites (hamming-ball equi-joins):
     "similarity_ann_lsh",
     "similarity_pairs_topn",
+    # dataset-curation layer (suite/datasetops.py) + the 6-way snowflake:
+    "tpch_q5_local_supplier_volume",
+    "decontaminate_ngrams",
+    "quality_repetition",
+    "merge_incremental_upsert",
 ]
 
 

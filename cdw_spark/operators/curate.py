@@ -43,15 +43,16 @@ def decontaminate_against(
     strategy; a Bloom-filter pushdown over the shingle hashes is the
     further fallback at extreme benchmark sizes.
     """
-    bench_sh = benchmark.select(
-        F.explode(shingles(F.col(text_col), n)).alias("g")
-    ).distinct()
+    from .dedup import _shingle_table
+
+    # Arrow-vectorized shingling with the scan-parallelism guard (same
+    # path and semantics as the dedup pipelines — equivalence to
+    # functions.text.shingles is differentially tested there).
+    bench_sh = _shingle_table(benchmark, text_col, id_col, n).select("sh").distinct()
     if broadcast_benchmark:
         bench_sh = F.broadcast(bench_sh)
-    corpus_sh = corpus.select(
-        F.col(id_col), F.explode(shingles(F.col(text_col), n)).alias("g")
-    )
-    contaminated = corpus_sh.join(bench_sh, "g").select(id_col).distinct()
+    corpus_sh = _shingle_table(corpus, text_col, id_col, n)
+    contaminated = corpus_sh.join(bench_sh, "sh").select(id_col).distinct()
     return corpus.join(contaminated, id_col, "left_anti")
 
 
@@ -133,6 +134,133 @@ def hash_split(
         .alias("split")
     )
     return df.select(F.col(id_col), bucket, split)
+
+
+# ---------------------------------------------------------------------------
+# Training-sample assembly: tokenize -> chunk -> pack
+# ---------------------------------------------------------------------------
+
+
+def tokenize_to_vocab_ids(
+    df: DataFrame,
+    vocab_size: int = 30,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Map each document to an array of integer token ids against a
+    corpus-derived vocabulary: the ``vocab_size`` most frequent words
+    (ties broken alphabetically) get dense ids 0..V-1 by rank; words off
+    the vocabulary map to -1 (UNK).
+
+    Scale: the vocabulary is an aggregation output of bounded size
+    (vocab_size rows) — broadcast; token assignment is posexplode ->
+    broadcast hash join -> re-assemble ordered by position. The shuffle
+    carries (doc_id, pos, id) triples, never text bodies.
+    """
+    w = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    tok = df.select(F.col(id_col), F.posexplode(w).alias("pos", "word"))
+    # Distributed top-k FIRST (orderBy+limit = per-partition top-k then
+    # merge), THEN rank the k survivors with a window — a global window
+    # over the full word cardinality would funnel it through one task.
+    vw = Window.orderBy(F.col("cnt").desc(), F.col("word"))
+    vocab = (
+        tok.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("word"))
+        .limit(vocab_size)
+        .select("word", (F.row_number().over(vw) - 1).alias("tok_id"))
+    )
+    joined = tok.join(F.broadcast(vocab), "word", "left").select(
+        id_col, "pos", F.coalesce("tok_id", F.lit(-1)).alias("tok_id")
+    )
+    return joined.groupBy(id_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "tok_id"))),
+            lambda s: s["tok_id"],
+        ).alias("token_ids")
+    )
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_len: int = 64,
+    stride: int = 48,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sliding-window chunking of each document's token stream into
+    training samples: windows of ``chunk_len`` words starting every
+    ``stride`` (overlap = chunk_len - stride), last window truncated.
+
+    Pure per-row explode (sequence -> slice -> digest) — embarrassingly
+    parallel, no shuffle; output order is (doc, chunk_idx) deterministic.
+    """
+    w = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    d = df.select(F.col(id_col), w.alias("ws")).withColumn("n", F.size("ws"))
+    d = d.select(
+        id_col,
+        "ws",
+        "n",
+        F.posexplode(
+            F.sequence(F.lit(0), F.floor((F.col("n") - 1) / stride).cast("int"))
+        ).alias("chunk_idx", "_s"),
+    ).withColumn("chunk_start", F.col("chunk_idx") * stride)
+    return d.filter(F.col("chunk_start") < F.col("n")).select(
+        id_col,
+        "chunk_idx",
+        "chunk_start",
+        F.least(F.lit(chunk_len), F.col("n") - F.col("chunk_start")).alias("chunk_tokens"),
+        F.md5(
+            F.concat_ws(" ", F.slice(F.col("ws"), F.col("chunk_start") + 1, chunk_len))
+        ).alias("chunk_md5"),
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    seq_len: int = 512,
+    bucket_width: int = 1000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Concat-then-chunk sequence packing: documents concatenated in
+    ``id_col`` order form one token stream, cut into fixed ``seq_len``
+    training sequences; each document is tagged with the sequence its
+    FIRST token lands in plus its offset in the stream.
+
+    The global ordered prefix-sum is computed scalably: a naive
+    ``Window.orderBy(id)`` cumsum funnels 100 TB through ONE partition.
+    Instead doc_ids bucket by range (``id div bucket_width``), each bucket
+    cumsums locally (partitioned window), and bucket totals — a tiny
+    relation — cumsum on the driver-side-free second window and broadcast
+    back as offsets. Two narrow shuffles, both bounded.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.size(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).cast("long").alias("n_tokens"),
+    ).withColumn("bucket", (F.col(id_col) / bucket_width).cast("long"))
+    wb = (
+        Window.partitionBy("bucket")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = toks.withColumn("local_before", F.coalesce(F.sum("n_tokens").over(wb), F.lit(0)))
+    btot = toks.groupBy("bucket").agg(F.sum("n_tokens").alias("btot"))
+    wo = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    boff = btot.select(
+        "bucket", F.coalesce(F.sum("btot").over(wo), F.lit(0)).alias("bucket_before")
+    )
+    out = local.join(F.broadcast(boff), "bucket").select(
+        id_col,
+        "n_tokens",
+        (F.col("bucket_before") + F.col("local_before")).alias("seq_offset"),
+    )
+    return out.select(
+        id_col,
+        "n_tokens",
+        "seq_offset",
+        F.floor(F.col("seq_offset") / seq_len).cast("long").alias("seq_id"),
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -18,11 +18,14 @@ from ..catalog import load_fixture
 from ..operators.curate import (
     EMAIL_RE,
     IPV4_RE,
+    chunk_documents,
     decontaminate_against,
     hash_split,
     merge_latest_state,
+    pack_sequences,
     pii_counts_and_redact,
     repetition_profile,
+    tokenize_to_vocab_ids,
 )
 from ..registry import register
 
@@ -203,6 +206,240 @@ def quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def sample_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hash_split(load_fixture(spark, sf_dir, "documents"))
+
+
+@register(
+    "sample_stratified",
+    oracle="""
+    SELECT doc_id, source, CAST(rk AS INTEGER) AS rk
+    FROM (
+        SELECT doc_id, source,
+               ROW_NUMBER() OVER (PARTITION BY source
+                                  ORDER BY md5(CAST(doc_id AS VARCHAR))) AS rk
+        FROM documents
+    )
+    WHERE rk <= 5
+    """,
+    doc="Deterministic stratified sample: the 5 smallest-md5 documents per "
+    "source stratum — reproducible held-out picks per domain regardless "
+    "of engine, partitioning, or corpus growth order (md5 keys form a "
+    "total order; rand()-based sampleBy is none of these). One shuffle "
+    "on the stratum key.",
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = load_fixture(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(F.md5(F.col("doc_id").cast("string")))
+    return (
+        d.select("doc_id", "source", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= 5)
+    )
+
+
+_PROFILE_COLS = ("l_quantity", "l_extendedprice", "l_discount")
+
+
+@register(
+    "profile_columns",
+    oracle="\nUNION ALL\n".join(
+        f"""
+    SELECT '{c}' AS col_name, COUNT(*) AS n_rows,
+           COUNT(*) - COUNT({c}) AS n_null,
+           COUNT(DISTINCT {c}) AS n_distinct,
+           CAST(MIN({c}) AS DOUBLE) AS min_val,
+           CAST(MAX({c}) AS DOUBLE) AS max_val
+    FROM lineitem
+    """
+        for c in _PROFILE_COLS
+    ),
+    doc="Column profiling (the ANALYZE/data-quality surface): row, null, "
+    "exact-distinct counts and min/max per measure column in one long "
+    "relation. Each stat is a partial-aggregable scan; the distinct "
+    "counts are the only shuffles, and at 100 TB each is swappable for "
+    "approx_count_distinct (HLL, graded separately as agg_approx_distinct).",
+)
+def profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_fixture(spark, sf_dir, "lineitem")
+    parts = [
+        li.agg(
+            F.lit(c).alias("col_name"),
+            F.count(F.lit(1)).alias("n_rows"),
+            (F.count(F.lit(1)) - F.count(c)).alias("n_null"),
+            F.countDistinct(c).alias("n_distinct"),
+            F.min(c).cast("double").alias("min_val"),
+            F.max(c).cast("double").alias("max_val"),
+        )
+        for c in _PROFILE_COLS
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+_Z_BITS = 10
+
+
+def _zorder_oracle_terms() -> str:
+    terms = []
+    for i in range(_Z_BITS):
+        terms.append(f"(((l_partkey % 1024) >> {i}) & 1) * {1 << (2 * i)}")
+        terms.append(f"(((l_suppkey % 1024) >> {i}) & 1) * {1 << (2 * i + 1)}")
+    return " + ".join(terms)
+
+
+@register(
+    "layout_zorder",
+    oracle=f"""
+    SELECT l_orderkey AS order_key, l_linenumber AS line_number,
+           CAST({_zorder_oracle_terms()} AS BIGINT) AS zval
+    FROM lineitem
+    """,
+    doc="Z-order (Morton) clustering key over (part, supplier): bit-"
+    "interleaved BIGINT whose sort order clusters rows close in BOTH "
+    "dimensions, so range-partitioned parquet files carry tight "
+    "min/max boxes on every interleaved column — multi-column data "
+    "skipping, where a compound sort prunes only its leading column. "
+    "Footer-level skipping effect verified in tests/test_curate.py.",
+)
+def layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..plans.layout import zorder_key
+
+    li = load_fixture(spark, sf_dir, "lineitem")
+    z = zorder_key([F.col("l_partkey") % 1024, F.col("l_suppkey") % 1024], bits=_Z_BITS)
+    return li.select(
+        F.col("l_orderkey").alias("order_key"),
+        F.col("l_linenumber").alias("line_number"),
+        z.alias("zval"),
+    )
+
+
+@register(
+    "outlier_zscore",
+    oracle="""
+    WITH s AS (
+        SELECT event_type,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+               CAST(SUM(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s2,
+               COUNT(*) AS n
+        FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type,
+           ROUND((e.value - s1 / n) / sqrt(s2 / n - (s1 / n) * (s1 / n)), 6) AS z
+    FROM events e JOIN s USING (event_type)
+    WHERE s2 / n - (s1 / n) * (s1 / n) > 0
+      AND ABS((e.value - s1 / n) / sqrt(s2 / n - (s1 / n) * (s1 / n))) > 2.5
+    """,
+    doc="Z-score outlier flagging per event_type. Moments accumulate in "
+    "exact DECIMAL (order-independent across engines and partitionings — "
+    "double summation order would jitter the threshold), then one "
+    "identical double expression on both engines derives mean/variance. "
+    "Stats side is |event_types| rows -> broadcast join back to the scan.",
+)
+def outlier_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_fixture(spark, sf_dir, "events")
+    dec = F.col("value").cast("decimal(18,2)")
+    stats = e.groupBy("event_type").agg(
+        F.sum(dec).cast("double").alias("s1"),
+        F.sum(dec * dec).cast("double").alias("s2"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    j = e.join(F.broadcast(stats), "event_type")
+    mu = F.col("s1") / F.col("n")
+    var = F.col("s2") / F.col("n") - mu * mu
+    z = (F.col("value") - mu) / F.sqrt(var)
+    return (
+        j.filter((var > 0) & (F.abs(z) > 2.5))
+        .select("event_id", "event_type", F.round(z, 6).alias("z"))
+    )
+
+
+@register(
+    "tokenize_vocab_ids",
+    oracle="""
+    WITH wrds AS (
+        SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws
+        FROM documents
+    ), tok AS (
+        SELECT doc_id,
+               unnest(range(1, len(ws) + 1)) - 1 AS pos,
+               unnest(ws) AS word
+        FROM wrds
+    ), vocab AS (
+        SELECT word,
+               CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, word) - 1 AS INTEGER) AS tok_id
+        FROM (SELECT word, COUNT(*) AS cnt FROM tok GROUP BY word)
+        QUALIFY ROW_NUMBER() OVER (ORDER BY cnt DESC, word) <= 30
+    )
+    SELECT t.doc_id,
+           list(CAST(COALESCE(v.tok_id, -1) AS INTEGER) ORDER BY t.pos) AS token_ids
+    FROM tok t LEFT JOIN vocab v USING (word)
+    GROUP BY t.doc_id
+    """,
+    doc="Tokenization to integer ids against a corpus-derived top-30 "
+    "vocabulary (rank by frequency, alphabetical ties; off-vocab -> -1 "
+    "UNK). Vocabulary is a bounded aggregate -> broadcast; assignment is "
+    "posexplode -> broadcast join -> position-ordered reassembly.",
+)
+def tokenize_vocab_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tokenize_to_vocab_ids(load_fixture(spark, sf_dir, "documents"), vocab_size=30)
+
+
+@register(
+    "chunk_documents",
+    oracle="""
+    WITH wrds AS (
+        SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws
+    FROM documents
+    ), c AS (
+        SELECT doc_id, ws, len(ws) AS n,
+               unnest(range(0, CAST(floor((len(ws) - 1) / 48.0) AS BIGINT) + 1)) AS ci
+        FROM wrds
+    )
+    SELECT doc_id,
+           CAST(ci AS INTEGER) AS chunk_idx,
+           CAST(ci * 48 AS INTEGER) AS chunk_start,
+           CAST(LEAST(64, n - ci * 48) AS INTEGER) AS chunk_tokens,
+           md5(array_to_string(list_slice(ws, ci * 48 + 1, ci * 48 + 64), ' ')) AS chunk_md5
+    FROM c
+    WHERE ci * 48 < n
+    """,
+    doc="Sliding-window chunking into training samples: 64-token windows "
+    "every 48 tokens (16 overlap), truncated tail, content digest per "
+    "chunk. Per-row explode, shuffle-free.",
+)
+def chunk_documents_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return chunk_documents(load_fixture(spark, sf_dir, "documents"), chunk_len=64, stride=48)
+
+
+@register(
+    "pack_sequences",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id,
+               CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS BIGINT) AS n_tokens
+        FROM documents
+    ), c AS (
+        SELECT doc_id, n_tokens,
+               CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+                   AS seq_offset
+        FROM t
+    )
+    SELECT doc_id, n_tokens, seq_offset,
+           CAST(floor(seq_offset / 512.0) AS BIGINT) AS seq_id
+    FROM c
+    """,
+    doc="Concat-then-chunk sequence packing: documents in id order form "
+    "one token stream cut into 512-token training sequences; each doc "
+    "tagged with its stream offset and first sequence id. The global "
+    "prefix-sum runs as bucketed local cumsums + a tiny bucket-offset "
+    "window — never a one-partition global window (the oracle's plain "
+    "window form is the semantic spec).",
+)
+def pack_sequences_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pack_sequences(load_fixture(spark, sf_dir, "documents"), seq_len=512)
 
 
 _MERGE_CUTOFF = "2024-01-20 00:00:00"
