@@ -192,3 +192,171 @@ _sql_query(
     "product (Spark pushes the common join key, evaluates the residual "
     "disjunction post-join).",
 )
+
+
+_sql_query(
+    "tpch_q4_order_priority",
+    ("orders", "lineitem"),
+    """
+    SELECT o.o_orderpriority AS order_priority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      )
+    GROUP BY o.o_orderpriority
+    ORDER BY o.o_orderpriority
+    """,
+    "TPC-H Q4 shape: priority count of orders with a late line — "
+    "correlated EXISTS planned as a left-semi join (fixture has no "
+    "commit/receipt dates; 'late' adapts to shipped >60 days after "
+    "order, same semi-join-on-interval-predicate plan).",
+)
+
+_sql_query(
+    "tpch_q7_volume_shipping",
+    ("supplier", "lineitem", "orders", "customer", "nation"),
+    """
+    SELECT supp_nation, cust_nation, l_year,
+           ROUND(CAST(SUM(volume) AS DOUBLE), 2) AS revenue
+    FROM (
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               CAST(EXTRACT(YEAR FROM l.l_shipdate) AS INTEGER) AS l_year,
+               CAST(l.l_extendedprice AS DECIMAL(18,2))
+                   * CAST(1 - l.l_discount AS DECIMAL(18,4)) AS volume
+        FROM supplier s
+        JOIN lineitem l ON l.l_suppkey = s.s_suppkey
+        JOIN orders o   ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n1  ON n1.n_nationkey = s.s_nationkey
+        JOIN nation n2  ON n2.n_nationkey = c.c_nationkey
+        WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+            OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+          AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+    "TPC-H Q7 shape: bilateral trade volume — the nation table joined "
+    "TWICE under different roles (supplier side / customer side) with a "
+    "disjunctive cross-role predicate, then rollup by year.",
+)
+
+_sql_query(
+    "tpch_q8_market_share",
+    ("part", "lineitem", "orders", "customer", "supplier", "nation", "region"),
+    """
+    SELECT o_year,
+           ROUND(CAST(SUM(CASE WHEN nation = 'NATION_2' THEN volume
+                          ELSE CAST(0 AS DECIMAL(24,6)) END) AS DOUBLE)
+                 / CAST(SUM(volume) AS DOUBLE), 6) AS mkt_share
+    FROM (
+        SELECT CAST(EXTRACT(YEAR FROM o.o_orderdate) AS INTEGER) AS o_year,
+               CAST(l.l_extendedprice AS DECIMAL(18,2))
+                   * CAST(1 - l.l_discount AS DECIMAL(18,4)) AS volume,
+               n2.n_name AS nation
+        FROM part p
+        JOIN lineitem l ON l.l_partkey = p.p_partkey
+        JOIN orders o   ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n1  ON n1.n_nationkey = c.c_nationkey
+        JOIN region r   ON r.r_regionkey = n1.n_regionkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation n2  ON n2.n_nationkey = s.s_nationkey
+        WHERE r.r_name = 'ASIA'
+          AND p.p_type = 'PROMO'
+          AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    ) all_nations
+    GROUP BY o_year
+    ORDER BY o_year
+    """,
+    "TPC-H Q8 shape: national market share inside a region — 8-way "
+    "snowflake with nation in two roles, conditional share-of-total "
+    "aggregation per year.",
+)
+
+_sql_query(
+    "tpch_q15_top_supplier",
+    ("supplier", "lineitem"),
+    """
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                   * CAST(1 - l_discount AS DECIMAL(18,4))) AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+        GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey AS supp_key, s.s_name AS supp_name,
+           ROUND(CAST(r.total_revenue AS DOUBLE), 2) AS total_revenue
+    FROM supplier s
+    JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    ORDER BY supp_key
+    """,
+    "TPC-H Q15 shape: top supplier by quarter revenue — a reused CTE "
+    "(aggregate once, consumed twice: ranking scan + scalar MAX "
+    "subquery); revenue kept exact DECIMAL so the MAX-equality is "
+    "engine- and order-independent, DOUBLE only in the final projection.",
+)
+
+_sql_query(
+    "tpch_q17_small_qty_revenue",
+    ("lineitem", "part"),
+    """
+    SELECT ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0, 2)
+               AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN (
+        SELECT l_partkey,
+               SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sq,
+               COUNT(*) AS nq
+        FROM lineitem
+        GROUP BY l_partkey
+    ) a ON a.l_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#3'
+      AND CAST(l.l_quantity AS DECIMAL(18,2)) * 5 * a.nq < a.sq
+    """,
+    "TPC-H Q17 shape: small-quantity-order revenue — the correlated "
+    "'below 20% of this part's average' filter, written decorrelated "
+    "(per-part aggregate re-joined to the fact, the plan Catalyst "
+    "produces for the correlated form) and EXACT: q < 0.2*avg is "
+    "compared as 5*q*n < sum in DECIMAL, immune to double sum order.",
+)
+
+_sql_query(
+    "tpch_q22_global_sales_opportunity",
+    ("customer", "orders"),
+    """
+    SELECT cntrycode, COUNT(*) AS numcust,
+           ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 2) AS totacctbal
+    FROM (
+        SELECT CAST(c_nationkey % 5 AS INTEGER) AS cntrycode, c_acctbal, c_custkey
+        FROM customer
+        WHERE c_nationkey % 5 IN (0, 1, 2)
+          AND CAST(c_acctbal AS DECIMAL(18,2))
+              * (SELECT COUNT(*) FROM customer c2
+                 WHERE c2.c_acctbal > 0 AND c2.c_nationkey % 5 IN (0, 1, 2))
+              > (SELECT SUM(CAST(c_acctbal AS DECIMAL(18,2))) FROM customer c2
+                 WHERE c2.c_acctbal > 0 AND c2.c_nationkey % 5 IN (0, 1, 2))
+    ) c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
+    GROUP BY cntrycode
+    ORDER BY cntrycode
+    """,
+    "TPC-H Q22 shape: customers above the positive-balance average with "
+    "no recent orders — two uncorrelated scalar subqueries (broadcast as "
+    "one-row relations) + NOT EXISTS anti join; bal > avg compared as "
+    "bal*n > sum in exact DECIMAL (fixture has no c_phone, and every "
+    "customer has SOME order, so country code adapts to nationkey % 5 "
+    "and the anti join to 'no order since 1999').",
+)
