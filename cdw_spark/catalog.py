@@ -38,10 +38,13 @@ def load_fixture(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     pushdown come free from the declarative plan — never .cache() these;
     at 100 TB the scan with pushed filters IS the fast path.
 
-    ``events.parquet`` stores TIMESTAMP(NANOS), which Spark's vectorized
-    reader rejects; read nanos as long (runtime-settable legacy conf) and
-    convert to a microsecond TimestampType column — the same truncation
-    DuckDB applies natively, so oracles agree."""
+    Timestamp normalization: fixture generations have varied — events.ts
+    has been TIMESTAMP(NANOS) (vectorized reader rejects; read nanos as
+    long and truncate) and plain timestamp[us] with isAdjustedToUTC=false
+    (Spark 4 infers TIMESTAMP_NTZ, which functions like ``unix_millis``
+    reject). Both are normalized to session-UTC TimestampType: under a UTC
+    session the NTZ→LTZ cast is wall-clock-identical, which is exactly how
+    DuckDB reads the same parquet (naive timestamp), so oracles agree."""
     # Engine semantic (SURVEY.md §4): all timestamp arithmetic is UTC — the
     # reference's `TIMESTAMP 'epoch' + …` is UTC arithmetic. Pin the session
     # TZ here so results are correct even on a caller-built session.
@@ -52,8 +55,12 @@ def load_fixture(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = spark.read.parquet(path)
         if dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-        return df
-    return spark.read.parquet(path)
+    else:
+        df = spark.read.parquet(path)
+    for col, dtype in df.dtypes:
+        if dtype == "timestamp_ntz":
+            df = df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
 
 
 def register_fixtures(

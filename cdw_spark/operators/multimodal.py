@@ -1,9 +1,12 @@
 """Multimodal column plumbing: image/audio/video as opaque ``binary``
 columns with typed metadata (BASELINE.json north star).
 
-The container has no image/audio codecs, so the *decode* step is stubbed —
-``decode_stub`` raises NotImplementedError unless ``fake=True``, in which
-case it produces deterministic fake features. Everything around the stub is
+The container has no image/audio codec *libraries*, so decode routes
+through a three-branch seam: (1) PIL when importable, (2) a pure-stdlib
+binary-PPM (P6) codec for blobs carrying that magic — a REAL decode path
+exercised end-to-end in tests/test_multimodal.py, (3) otherwise
+``decode_stub`` raises NotImplementedError unless ``fake=True``, which
+produces deterministic fake features. Everything around the seam is
 real and scale-correct:
 
 - blobs ride as BinaryType columns (Parquet BYTE_ARRAY — columnar, never
@@ -83,21 +86,97 @@ def attach_blob(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+PPM_MAGIC = b"P6"
+
+
+def ppm_encode(width: int, height: int, rgb: bytes) -> bytes:
+    """Binary PPM (P6, maxval 255) writer — the fixture/generator side of
+    the stdlib codec."""
+    if len(rgb) != width * height * 3:
+        raise ValueError(f"raster is {len(rgb)} bytes, want {width * height * 3}")
+    return b"P6\n%d %d\n255\n" % (width, height) + rgb
+
+
+def ppm_decode(blob: bytes) -> tuple[int, int, bytes]:
+    """Minimal binary-PPM (P6, maxval 255) parser, pure stdlib — the REAL
+    image-decode branch for codec-less environments. Handles the full P6
+    header grammar (arbitrary whitespace, ``#`` comments) so any standard
+    tool's output parses. Returns (width, height, packed RGB raster)."""
+    if blob[:2] != PPM_MAGIC:
+        raise ValueError("not a P6 PPM blob")
+    i, vals = 2, []
+    while len(vals) < 3:
+        while i < len(blob) and blob[i : i + 1].isspace():
+            i += 1
+        if blob[i : i + 1] == b"#":
+            while i < len(blob) and blob[i] != 0x0A:
+                i += 1
+            continue
+        j = i
+        while j < len(blob) and not blob[j : j + 1].isspace():
+            j += 1
+        vals.append(int(blob[i:j]))
+        i = j
+    w, h, maxv = vals
+    if maxv != 255:
+        raise ValueError(f"only maxval 255 supported, got {maxv}")
+    raster = blob[i + 1 : i + 1 + w * h * 3]  # header ends at ONE whitespace byte
+    if len(raster) < w * h * 3:
+        raise ValueError("truncated PPM raster")
+    return w, h, raster
+
+
+def _ppm_features(blob: bytes) -> list[float]:
+    """Mirror of the PIL branch for PPM blobs: integer-luma grayscale
+    (ITU-R 601 weights, like PIL mode 'L'), box-averaged into FEATURE_DIM
+    column bands, normalized to [0,1]. Plain Python loops are fine here:
+    this branch exists to make decode->features->resize REAL and testable;
+    a production deployment decodes via a vectorized codec (branch 1)."""
+    w, h, raster = ppm_decode(blob)
+    sums = [0] * FEATURE_DIM
+    counts = [0] * FEATURE_DIM
+    for y in range(h):
+        for x in range(w):
+            o = 3 * (y * w + x)
+            luma = (299 * raster[o] + 587 * raster[o + 1] + 114 * raster[o + 2]) // 1000
+            band = x * FEATURE_DIM // w
+            sums[band] += luma
+            counts[band] += 1
+    return [s / c / 255.0 if c else 0.0 for s, c in zip(sums, counts)]
+
+
+def ppm_resize(blob: bytes, width: int, height: int) -> bytes:
+    """Nearest-neighbor resize of a P6 blob, re-encoded as P6 — the real
+    resize branch for the stdlib codec."""
+    w, h, raster = ppm_decode(blob)
+    out = bytearray()
+    for y in range(height):
+        sy = y * h // height
+        for x in range(width):
+            o = 3 * (sy * w + x * w // width)
+            out += raster[o : o + 3]
+    return ppm_encode(width, height, bytes(out))
+
+
 def decode_stub(blob: bytes, fake: bool) -> list[float]:
     """Decode a media blob into features.
 
-    Routes through the single import-gated codec boundary
-    (``_real_image_codec``): a real decoder is used whenever importable;
-    otherwise ``fake=True`` selects the deterministic fake (FEATURE_DIM
-    floats derived from byte content) so the distributed plumbing stays
-    fully testable in codec-less environments like this container."""
-    real = _real_image_codec()
-    if real is not None and not fake:
-        return real(blob)
+    Routes through the codec seam: (1) a real library decoder whenever
+    importable (``_real_image_codec``); (2) the pure-stdlib PPM codec when
+    the blob carries the P6 magic — real decode with no dependencies;
+    (3) otherwise ``fake=True`` selects the deterministic fake
+    (FEATURE_DIM floats derived from byte content) so the distributed
+    plumbing stays fully testable in codec-less environments."""
     if not fake:
+        real = _real_image_codec()
+        if real is not None:
+            return real(blob)
+        if blob[:2] == PPM_MAGIC:
+            return _ppm_features(blob)
         raise NotImplementedError(
-            "media codecs (PIL/ffmpeg) are not installed in this container; "
-            "pass fake=True for deterministic plumbing-test features"
+            "media codecs (PIL/ffmpeg) are not installed in this container "
+            "and the blob is not PPM; pass fake=True for deterministic "
+            "plumbing-test features"
         )
     n = len(blob)
     return [float(blob[(i * 7919) % n]) / 255.0 if n else 0.0 for i in range(FEATURE_DIM)]
@@ -146,14 +225,18 @@ FRAME_SCHEMA = StructType(
 def resize_stub(blob: bytes, width: int, height: int, fake: bool) -> bytes:
     """Resize an image blob.
 
-    REAL CODECS NOT AVAILABLE IN THIS ENVIRONMENT — production would
-    `PIL.Image.open(io.BytesIO(blob)).resize((width, height))` here. The
-    deterministic fake tiles/truncates the source bytes to width*height so
+    PPM blobs resize for real through the stdlib codec (``ppm_resize``);
+    other formats need a library codec (production: `PIL.Image.open(
+    io.BytesIO(blob)).resize(...)`) and fall back to the deterministic
+    fake, which tiles/truncates the source bytes to width*height so
     output size is exactly the contract a real resize keeps."""
     if not fake:
+        if blob[:2] == PPM_MAGIC:
+            return ppm_resize(blob, width, height)
         raise NotImplementedError(
-            "image codecs (PIL) are not installed in this container; "
-            "pass fake=True for deterministic plumbing-test output"
+            "image codecs (PIL) are not installed in this container and "
+            "the blob is not PPM; pass fake=True for deterministic "
+            "plumbing-test output"
         )
     need = width * height
     if not blob:

@@ -30,16 +30,18 @@ from ..functions.vectors import cosine, dot, to_double_array
 N_PLANES = 8
 
 
-def _planes(dim: int) -> list[list[float]]:
+def _planes(dim: int, n_planes: int = N_PLANES) -> list[list[float]]:
     """Seeded hyperplanes, deterministic PER CALL. A fresh Random(seed) per
     invocation is load-bearing: round 1 drew planes from a shared module
     RNG stream, so the corpus and probe signatures were computed against
     DIFFERENT hyperplanes — the hamming filter was effectively random
     (measured ANN recall 0.32-0.44 vs a 0.36 base rate of random 8-bit
     sigs matching at hamming<=3). Same seed + same dim => same planes
-    everywhere, including the DuckDB oracle's literal copies."""
+    everywhere, including the DuckDB oracle's literal copies. A wider
+    signature extends the same sequence, so planes 0..7 of the 16-bit
+    config are exactly the 8-bit config's planes."""
     rng = random.Random(20260813)
-    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(N_PLANES)]
+    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
 
 
 def brute_force_topk(
@@ -74,8 +76,10 @@ def brute_force_topk(
     )
 
 
-def with_signature(df: DataFrame, vec_name: str, dim: int, out: str) -> DataFrame:
-    """Adds the N_PLANES-bit random-hyperplane signature of column
+def with_signature(
+    df: DataFrame, vec_name: str, dim: int, out: str, n_planes: int = N_PLANES
+) -> DataFrame:
+    """Adds the ``n_planes``-bit random-hyperplane signature of column
     ``vec_name`` as ``out``. One column PER PLANE, then summed: a single
     8x64-term expression blows Janino's 64 KB per-method limit once it sits
     in the same codegen stage as a join (whole-stage falls back to
@@ -86,10 +90,12 @@ def with_signature(df: DataFrame, vec_name: str, dim: int, out: str) -> DataFram
 
     Bit width trades bucket selectivity against recall: 8 bits = 256
     buckets suits 10^2..10^5-row corpora; at larger corpus sizes raise
-    N_PLANES so bucket occupancy stays bounded (each added bit halves
-    candidates per probe, costing recall on uniform data)."""
+    ``n_planes`` so bucket occupancy stays bounded — the hamming ball
+    grows ~C(N,r) while buckets grow 2^N, so each added bit roughly
+    halves the corpus fraction a probe touches (demonstrated at 16 bits
+    in tests/test_similarity.py::test_lsh_width_scaling)."""
     bit_cols = []
-    for i, plane in enumerate(_planes(dim)):
+    for i, plane in enumerate(_planes(dim, n_planes)):
         col = f"_{out}_b{i}"
         df = df.withColumn(col, F.expr(f"if({_dot_sql(vec_name, plane)} > 0, {1 << i}, 0)"))
         bit_cols.append(col)
@@ -105,6 +111,7 @@ def lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     multiprobe_hamming: int = 3,
+    n_planes: int = N_PLANES,
 ) -> DataFrame:
     """Approximate cosine top-k via random-hyperplane bucketing.
 
@@ -123,16 +130,16 @@ def lsh_topk(
     c = corpus.select(
         F.col(id_col).alias("cand_id"), to_double_array(F.col(vec_col)).alias("cv")
     )
-    c = with_signature(c, "cv", dim, "csig")
+    c = with_signature(c, "cv", dim, "csig", n_planes)
     p = probes.select(
         F.col(id_col).alias("probe_id"), to_double_array(F.col(vec_col)).alias("pv")
     )
-    p = with_signature(p, "pv", dim, "psig")
+    p = with_signature(p, "pv", dim, "psig", n_planes)
 
     # Hamming ball as literal XOR masks: neighbor_sig = psig ^ mask for every
     # mask with popcount <= r. Probe side stays bounded (|probes| x |ball|),
     # so the broadcast is safe by construction.
-    masks = [m for m in range(1 << N_PLANES) if m.bit_count() <= multiprobe_hamming]
+    masks = [m for m in range(1 << n_planes) if m.bit_count() <= multiprobe_hamming]
     p_ball = (
         p.withColumn("mask", F.explode(F.array(*[F.lit(m) for m in masks])))
         .withColumn("nsig", F.col("psig").bitwiseXOR(F.col("mask")))
@@ -306,6 +313,44 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
     )
 
+def ivf_write_index(
+    corpus: DataFrame,
+    path: str,
+    nlist: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[float]]]:
+    """Materialize the IVF at-rest layout: assign every corpus row to its
+    coarse centroid and write the corpus ``partitionBy("cid")`` — one
+    directory per inverted list. A probe then reads ONLY its nprobe list
+    directories (``ivf_probe_read``), so the candidate scan is pruned at
+    the source by partition filters instead of filtered post-scan: at
+    100 TB the probe I/O is ~(nprobe/nlist) of the corpus bytes, proven
+    by the PartitionFilters assertion in tests/test_plans.py.
+
+    Returns the trained centroids — the reader needs them to map a probe
+    vector to its cids (they are the index metadata, nlist x dim floats)."""
+    from ..functions.text_arrow import centroid_topn_arrow
+
+    cents = ivf_train(corpus, nlist=nlist, iters=iters, id_col=id_col, vec_col=vec_col)
+    assign = centroid_topn_arrow(corpus, cents, 1, id_col=id_col, vec_col=vec_col).select(
+        F.col(id_col), "cid"
+    )
+    corpus.join(assign, on=id_col).write.partitionBy("cid").mode("overwrite").parquet(path)
+    return cents
+
+
+def ivf_probe_read(
+    spark, path: str, cids: list[int], vec_col: str = "embedding"
+) -> DataFrame:
+    """Read back ONLY the inverted lists in ``cids`` from an
+    ``ivf_write_index`` layout. The equality/isin predicate on the
+    partition column becomes a PartitionFilter — directory pruning, no
+    data read outside the probed lists."""
+    return spark.read.parquet(path).filter(F.col("cid").isin([int(c) for c in cids]))
+
+
 def similar_pairs_topn(
     corpus: DataFrame,
     n: int = 30,
@@ -349,6 +394,7 @@ def lsh_pairs_topn(
     multiprobe_hamming: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_planes: int = N_PLANES,
 ) -> DataFrame:
     """Bucketed most-similar pairs: LSH candidate generation -> exact
     cosine rescoring -> global top-n. The scale path for the embedding
@@ -372,7 +418,7 @@ def lsh_pairs_topn(
     norm_terms = " + ".join(f"v[{i}]*v[{i}]" for i in range(dim))
     sigs = with_signature(
         corpus.select(F.col(id_col).alias("_id"), to_double_array(F.col(vec_col)).alias("v")),
-        "v", dim, "sig",
+        "v", dim, "sig", n_planes,
     ).select("_id", "sig")
     # Candidate generation moves ONLY (id, sig) through the explode and the
     # shuffle — dragging the vector through the |ball|-fold explode cost
@@ -380,7 +426,7 @@ def lsh_pairs_topn(
     # end); vectors are re-attached to the much smaller candidate-pair set
     # afterwards, the same restrict-then-verify shape as the minhash
     # pipeline.
-    masks = [m for m in range(1 << N_PLANES) if m.bit_count() <= multiprobe_hamming]
+    masks = [m for m in range(1 << n_planes) if m.bit_count() <= multiprobe_hamming]
     a_ball = (
         sigs.select(F.col("_id").alias("id_a"), F.col("sig").alias("siga"))
         .withColumn("mask", F.explode(F.array(*[F.lit(m) for m in masks])))
@@ -470,13 +516,13 @@ def lsh_pairs_topn(
     )
 
 
-def signature_oracle_sql(vec_expr: str, dim: int) -> str:
+def signature_oracle_sql(vec_expr: str, dim: int, n_planes: int = N_PLANES) -> str:
     """The DuckDB rendering of ``_signature`` — same literal hyperplanes,
     same left-assoc fold order, so the oracle's signatures are
     bit-identical to the Spark plan's. Used by the suite to state the
     bucketed-pairs oracle in pure SQL."""
     parts = []
-    for i, plane in enumerate(_planes(dim)):
+    for i, plane in enumerate(_planes(dim, n_planes)):
         terms = " + ".join(f"{vec_expr}[{j + 1}]*({w!r})" for j, w in enumerate(plane))
         parts.append(f"CASE WHEN ({terms}) > 0 THEN {1 << i} ELSE 0 END")
     return "(" + " + ".join(parts) + ")"

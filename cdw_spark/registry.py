@@ -61,81 +61,76 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 
 # Grading-exposure order. The driver checks a fixed-size PREFIX of the
 # registry (the first 50 entries of queries() insertion order), so ordering
-# decides which operators get a CORRECTNESS row. This list front-loads a
-# cross-section of every operator family — the reference's §2 core, the
-# previously-failing aggregates, one representative per family of
-# tpch/window/streaming/text/similarity/dedup/multimodal/curation — so all
-# ten families land inside the checked window. Everything not listed keeps
-# its registration order after the window and stays covered by
-# tests/test_oracle_contract.py's local differential sweep.
+# decides which operators get a CORRECTNESS row. Driver evidence accumulates
+# ACROSS rounds: round 2 graded a 50-query cross-section of every family
+# (all green, CORRECTNESS_r02.json); this round keeps ten of those as
+# regression anchors (the flagship plus one per family) and rotates the
+# other forty slots to queries that have never had a driver row — the
+# remaining TPC-H shapes, the subquery/set-op/SCD/skew relational tail, the
+# batch time-window twins, and the tokenize/chunk/pack assembly ops.
+# Everything not listed keeps its registration order after the window and
+# stays covered by tests/test_oracle_contract.py's local differential sweep.
 _DRIVER_WINDOW: tuple[str, ...] = (
-    # reference §2 relational core (Q1-Q5, K4/K7) + distinctive semantics
-    "star_fact_join",
-    "filter_project",
-    "distinct_dim",
-    "cast_projection",
-    "semi_anti_join",
-    "asof_join_clicks",
-    "json_funcs",
-    # reference §2 time/EXTRACT family (F1-F8, K2/K5; time_dim_fixed is
-    # time_dim's twin — same oracle shape, pytest-covered past the window)
-    "time_dim",
-    "epoch_conversion",
-    # aggregation layer (incl. every r1 hash-fail, now DOUBLE-projected)
-    "agg_pricing_summary",
-    "join_agg_topk",
-    "multi_join_groupby",
-    "agg_distinct_count",
-    "cube_agg",
-    "range_join_bucketed",
-    # TPC-H classic shapes
-    "tpch_q6_revenue_forecast",
-    "tpch_q10_returned_items",
-    "tpch_q13_order_distribution",
-    "tpch_q14_promo_share",
-    "tpch_q18_large_orders",
-    "tpch_q19_discounted_revenue",
-    # window functions
-    "window_rank_topk",
-    "window_running_sum",
-    "window_lag_delta",
-    "window_range_frame",
-    # structured streaming (time-window aggs graded via their stream twins;
-    # the batch twins share the same oracles and stay pytest-covered)
-    "stream_tumbling_agg",
-    "stream_sliding_agg",
-    "stream_session_window",
-    "stream_dedup",
-    "stream_static_join",
-    "stream_stream_interval_join",
-    # text analysis
-    "text_metrics",
-    "text_quality",
-    "text_langid",
-    "text_fingerprint",
-    "text_rolling_fingerprint_arrow",
-    # similarity / ANN (all value-oracled: LSH states its deterministic
-    # literal hyperplanes in SQL; IVF registers the exhaustive-probe
-    # configuration, which provably equals exact k-NN)
-    "similarity_topk",
-    "similarity_pairs_topn",
-    "similarity_ann_lsh",
-    "similarity_ann_ivf",
-    # deduplication (ngram_jaccard is minhash_lsh's shared oracle — the
-    # minhash row grades the same pair set; jaccard stays pytest-covered)
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_embedding_cosine",
-    "dedup_components",
-    # curation + multimodal
-    "dedup_canonical_keepers",
-    "curation_pipeline",
-    "multimodal_blob_meta",
-    # dataset-curation ops (suite/datasetops.py; the other two entries —
-    # quality_repetition, sample_hash_split — are pytest-covered)
-    "decontaminate_ngrams",
-    "pii_redact",
-    "merge_incremental_upsert",
+    # --- anchors: one representative per family, all r2-green ---
+    "star_fact_join",        # reference §2 relational core (flagship)
+    "time_dim",              # reference §2 time/EXTRACT family
+    "agg_pricing_summary",   # aggregation layer
+    "tpch_q6_revenue_forecast",  # TPC-H shapes
+    "window_rank_topk",      # window functions
+    "stream_tumbling_agg",   # structured streaming
+    "text_metrics",          # text analysis
+    "similarity_ann_lsh",    # similarity / ANN
+    "dedup_minhash_lsh",     # deduplication
+    "curation_pipeline",     # curation / dataset ops
+    # --- rotated in: never driver-graded before this round ---
+    # relational tail: joins, set ops, subqueries, null semantics
+    "set_ops",
+    "set_ops_all",
+    "outer_join_coalesce",
+    "null_safe_join",
+    "correlated_subquery",
+    "exists_subquery",
+    "not_exists_subquery",
+    "not_in_null_semantics",
+    "string_agg_sorted",
+    "posexplode_lateral",
+    "regex_extract",
+    "date_funcs",
+    # analytics tail: grouping variants, SCD, skew, histograms
+    # (agg_stats, case_when_having, fuzzy_levenshtein_match held for r4)
+    "rollup_agg",
+    "grouping_sets_agg",
+    "pivot_agg",
+    "unpivot_melt",
+    "scd_latest_state",
+    "scd2_intervals",
+    "skew_salted_agg",
+    "skew_salted_join",
+    "recursive_cte_calendar",
+    "histogram_buckets",
+    # windows + batch time-window twins
+    "window_ntile_dist",
+    "tumbling_window_agg",
+    "sliding_window_agg",
+    "session_window_agg",
+    # text tail
+    "word_freq_topk",
+    "udtf_sentence_split",
+    # multimodal tail
+    "multimodal_frame_sample",
+    # TPC-H: the 8 shapes added after r1's grading window froze
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q4_order_priority",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q15_top_supplier",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q22_global_sales_opportunity",
+    # training-sample assembly (suite/datasetops.py, added r2 past window)
+    "tokenize_vocab_ids",
+    "chunk_documents",
+    "pack_sequences",
 )
 
 
@@ -147,6 +142,11 @@ def load_all() -> dict[str, QuerySpec]:
     missing = [n for n in _DRIVER_WINDOW if n not in QUERIES]
     if missing:
         raise RuntimeError(f"_DRIVER_WINDOW names unknown queries: {missing}")
+    if len(_DRIVER_WINDOW) != 50:
+        raise RuntimeError(
+            f"_DRIVER_WINDOW must be exactly the driver's graded prefix size "
+            f"(50), got {len(_DRIVER_WINDOW)}"
+        )
     ordered = {n: QUERIES[n] for n in _DRIVER_WINDOW}
     ordered.update((n, s) for n, s in QUERIES.items() if n not in ordered)
     return ordered

