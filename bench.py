@@ -57,6 +57,9 @@ HEADLINE = [
     "decontaminate_ngrams",
     "quality_repetition",
     "merge_incremental_upsert",
+    # round 3: wide-signature near-dup ANN + n-gram LM stats
+    "similarity_ann_lsh_wide",
+    "text_bigram_topk",
 ]
 
 

@@ -222,6 +222,7 @@ def pack_sequences(
     bucket_width: int = 1000,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_buckets: int = 4_000_000,
 ) -> DataFrame:
     """Concat-then-chunk sequence packing: documents concatenated in
     ``id_col`` order form one token stream, cut into fixed ``seq_len``
@@ -234,6 +235,13 @@ def pack_sequences(
     cumsums locally (partitioned window), and bucket totals — a tiny
     relation — cumsum on the driver-side-free second window and broadcast
     back as offsets. Two narrow shuffles, both bounded.
+
+    The second-level window is unpartitioned BY DESIGN, so its input must
+    stay provably tiny: the bucket-count guard (``max_buckets``) raises
+    before a mis-sized ``bucket_width`` can silently recreate the
+    single-partition funnel — at 4M buckets the window input is ~64 MB of
+    (bucket, total) longs, the accepted ceiling. The fix is always a
+    coarser ``bucket_width`` (buckets = id_span / bucket_width).
     """
     toks = df.select(
         F.col(id_col),
@@ -246,6 +254,14 @@ def pack_sequences(
     )
     local = toks.withColumn("local_before", F.coalesce(F.sum("n_tokens").over(wb), F.lit(0)))
     btot = toks.groupBy("bucket").agg(F.sum("n_tokens").alias("btot"))
+    n_buckets = btot.count()  # one tiny agg job; btot is reused below
+    if n_buckets > max_buckets:
+        raise ValueError(
+            f"pack_sequences: bucket_width={bucket_width} yields "
+            f"{n_buckets} buckets (> max_buckets={max_buckets}); the "
+            f"unpartitioned bucket-total cumsum would no longer be tiny — "
+            f"raise bucket_width by ~{-(-n_buckets // max_buckets)}x"
+        )
     wo = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
     boff = btot.select(
         "bucket", F.coalesce(F.sum("btot").over(wo), F.lit(0)).alias("bucket_before")

@@ -591,8 +591,12 @@ def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Salting mechanics: fact salt = deterministic hash mod N; dim rows
     replicated once per salt value (x16 of a tiny table). Join key becomes
     (key, salt) -> hot-key rows land on N reducers instead of one. AQE's
-    skew-join split does this adaptively for sort-merge joins; the
-    explicit form also covers shuffled-hash joins and pre-AQE engines."""
+    skew-join split does this adaptively for sort-merge joins (proven in
+    tests/test_plans.py::test_aqe_skew_join_splits_hot_partitions — the
+    engine rule is "let AQE split; salt only for pathological keys", and
+    note AQE's split silently disables when the dim derives from the fact
+    via distinct()); the explicit form also covers shuffled-hash joins
+    and pre-AQE engines."""
     n_salts = 16
     li = load_fixture(spark, sf_dir, "lineitem").withColumn(
         "_salt", F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(n_salts))
@@ -766,4 +770,67 @@ def histogram_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.min("o_totalprice"), 2).alias("lo"),
             F.round(F.max("o_totalprice"), 2).alias("hi"),
         )
+    )
+
+
+@register(
+    "agg_percentile_exact",
+    oracle="""
+    SELECT o_orderstatus AS status,
+           ROUND(CAST(quantile_cont(o_totalprice, 0.25) AS DOUBLE), 4) AS p25,
+           ROUND(CAST(quantile_cont(o_totalprice, 0.50) AS DOUBLE), 4) AS p50,
+           ROUND(CAST(quantile_cont(o_totalprice, 0.90) AS DOUBLE), 4) AS p90
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    doc="Exact continuous percentiles per group (linear interpolation) — "
+    "the exact twin of agg_approx_quantiles' sketches; both engines "
+    "implement the same PERCENTILE_CONT interpolation.",
+)
+def agg_percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles need the group's values materialized (unlike the
+    mergeable sketch twin) — fine per-group when groups are few; at 100 TB
+    prefer agg_approx_quantiles unless exactness is contractual. DOUBLE
+    final projection rounded to 4 (driver canonicalization)."""
+    o = load_fixture(spark, sf_dir, "orders")
+    return o.groupBy(F.col("o_orderstatus").alias("status")).agg(
+        F.round(F.expr("percentile(o_totalprice, 0.25)").cast("double"), 4).alias("p25"),
+        F.round(F.expr("percentile(o_totalprice, 0.50)").cast("double"), 4).alias("p50"),
+        F.round(F.expr("percentile(o_totalprice, 0.90)").cast("double"), 4).alias("p90"),
+    )
+
+
+@register(
+    "agg_regression_stats",
+    oracle="""
+    SELECT l_returnflag AS flag,
+           ROUND(CAST(corr(l_extendedprice, l_quantity) AS DOUBLE), 6) AS price_qty_corr,
+           ROUND(CAST(regr_slope(l_extendedprice, l_quantity) AS DOUBLE), 4) AS slope,
+           ROUND(CAST(regr_intercept(l_extendedprice, l_quantity) AS DOUBLE), 4) AS intercept,
+           ROUND(CAST(stddev_samp(l_extendedprice) AS DOUBLE), 4) AS price_sd
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="Statistical aggregates per group: Pearson correlation, simple "
+    "linear-regression slope/intercept (price ~ quantity), sample "
+    "stddev — the profiling stats a feature-engineering pass computes "
+    "per segment.",
+)
+def agg_regression_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All four are single-pass mergeable moment aggregates (sum, sum^2,
+    sum xy) — map-side partials, one |groups|-row shuffle, identical
+    closed forms on both engines. DOUBLE projections rounded (corr to 6;
+    the scale-bearing ones to 4) absorb partition-order float jitter."""
+    li = load_fixture(spark, sf_dir, "lineitem")
+    return li.groupBy(F.col("l_returnflag").alias("flag")).agg(
+        F.round(F.corr("l_extendedprice", "l_quantity").cast("double"), 6).alias(
+            "price_qty_corr"
+        ),
+        F.round(
+            F.expr("regr_slope(l_extendedprice, l_quantity)").cast("double"), 4
+        ).alias("slope"),
+        F.round(
+            F.expr("regr_intercept(l_extendedprice, l_quantity)").cast("double"), 4
+        ).alias("intercept"),
+        F.round(F.stddev_samp("l_extendedprice").cast("double"), 4).alias("price_sd"),
     )

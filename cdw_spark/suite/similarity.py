@@ -171,3 +171,43 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_fixture(spark, sf_dir, "embeddings")
     return ivf_topk(e.filter(F.col("vec_id") < 5), e, k=10, nlist=16, nprobe=16)
+
+
+@register(
+    "similarity_ann_lsh_wide",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    sigs AS (
+        SELECT vec_id, v, {signature_oracle_sql("v", _DIM, 16)} AS sig FROM e
+    ),
+    cand AS (
+        SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+               list_dot_product(p.v, c.v) /
+               (sqrt(list_dot_product(p.v, p.v)) * sqrt(list_dot_product(c.v, c.v))) AS cos_raw
+        FROM sigs p JOIN sigs c
+          ON p.vec_id < 5 AND c.vec_id != p.vec_id
+         AND bit_count(xor(p.sig::BIGINT, c.sig::BIGINT)) <= 3
+    )
+    SELECT probe_id, cand_id, CAST(rank AS INTEGER) AS rank,
+           ROUND(cos_raw, 6) AS cosine
+    FROM (
+        SELECT probe_id, cand_id, cos_raw,
+               ROW_NUMBER() OVER (PARTITION BY probe_id
+                                  ORDER BY cos_raw DESC, cand_id) AS rank
+        FROM cand
+    )
+    WHERE rank <= 10
+    """,
+    doc="16-bit wide-signature LSH ANN — the 100 TB near-duplicate "
+    "configuration: the hamming<=3 ball covers ~1.4% of the corpus "
+    "(vs ~38% at 8 bits, tests/test_similarity.py::test_lsh_width_"
+    "scaling), trading generic-neighbor recall for a ~27x smaller "
+    "candidate read that still catches cosine>=0.95 near-dups with "
+    "p~0.93. Value-oracled like its 8-bit twin: the 16 literal "
+    "hyperplanes are stated in the SQL, so the driver hash checks the "
+    "wide bucketing itself.",
+)
+def similarity_ann_lsh_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_fixture(spark, sf_dir, "embeddings")
+    dim = len(e.select("embedding").first()[0])
+    return lsh_topk(e.filter(F.col("vec_id") < 5), e, dim=dim, k=10, n_planes=16)

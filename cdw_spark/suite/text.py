@@ -339,3 +339,135 @@ def udtf_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         "FROM documents d, LATERAL sentence_split(d.text) AS s "
         "WHERE d.doc_id % 25 = 0"
     )
+
+
+@register(
+    "text_bigram_topk",
+    oracle="""
+    SELECT bg AS bigram, COUNT(*) AS n
+    FROM (
+        SELECT unnest(CASE WHEN len(ws) >= 2
+                      THEN [ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))]
+                      ELSE [] END) AS bg
+        FROM (
+            SELECT string_split_regex(lower(trim(text)), '\\s+') AS ws
+            FROM documents
+        )
+    )
+    GROUP BY bg
+    ORDER BY n DESC, bigram
+    LIMIT 20
+    """,
+    doc="Corpus bigram frequency top-k — the n-gram language-model stats "
+    "builder (adjacent-pair explode -> count -> TakeOrdered).",
+)
+def text_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigrams via transform(sequence(...)) over the split array — stays
+    codegen'd JVM; no UDF. Scale: |vocab|^2-bounded shuffle of partial
+    counts (far smaller in practice: observed bigrams only), top-k is
+    TakeOrderedAndProject — no global sort."""
+    d = load_fixture(spark, sf_dir, "documents")
+    bigrams = F.expr(
+        "CASE WHEN size(ws) >= 2 THEN "
+        "transform(sequence(0, size(ws) - 2), i -> concat(ws[i], ' ', ws[i+1])) "
+        "ELSE array() END"
+    )
+    return (
+        d.select(words(F.col("text")).alias("ws"))
+        .select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "bigram")
+        .limit(20)
+    )
+
+
+@register(
+    "text_char_entropy",
+    oracle="""
+    SELECT doc_id,
+           ROUND(CAST(COALESCE(-SUM(p * ln(p) / ln(2)), 0.0) AS DOUBLE), 6) AS char_entropy
+    FROM (
+        SELECT doc_id, COUNT(*) * 1.0 / ANY_VALUE(n) AS p
+        FROM (
+            SELECT doc_id,
+                   unnest(string_split(lower(trim(text)), '')) AS ch,
+                   length(lower(trim(text))) AS n
+            FROM documents
+            WHERE length(trim(text)) > 0
+        )
+        GROUP BY doc_id, ch
+    )
+    GROUP BY doc_id
+    """,
+    doc="Per-document character-level Shannon entropy (bits/char) — the "
+    "dependency-free perplexity proxy for quality filtering: gibberish "
+    "and boilerplate sit at the entropy tails.",
+)
+def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two map-side-combinable aggregations ((doc,char) then doc) — no
+    per-row Python. Scale note: the (doc_id, char) shuffle carries at most
+    |alphabet| rows per doc; final projection is DOUBLE rounded to 6
+    places so both engines hash identically."""
+    d = load_fixture(spark, sf_dir, "documents")
+    chars = (
+        d.select(F.col("doc_id"), F.lower(F.trim(F.col("text"))).alias("nt"))
+        .filter(F.length("nt") > 0)
+        .select(
+            "doc_id",
+            F.length("nt").alias("n"),
+            F.explode(F.split(F.col("nt"), "")).alias("ch"),
+        )
+        .filter(F.col("ch") != "")
+    )
+    per_char = chars.groupBy("doc_id", "ch").agg(
+        (F.count(F.lit(1)) / F.first("n")).alias("p")
+    )
+    return per_char.groupBy("doc_id").agg(
+        F.round(
+            F.coalesce((-F.sum(F.col("p") * F.log2("p"))).cast("double"), F.lit(0.0)), 6
+        ).alias("char_entropy")
+    )
+
+
+@register(
+    "text_collapse_repeats",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(ws) AS BIGINT) AS n_words,
+           CAST(len([ws[i] for i in range(1, len(ws) + 1) if i = 1 OR ws[i] <> ws[i-1]])
+                AS BIGINT) AS n_after_collapse
+    FROM (
+        SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws
+        FROM documents
+        WHERE length(trim(text)) > 0
+    )
+    """,
+    doc="Intra-document consecutive-duplicate collapse ('batch batch "
+    "batch' -> 'batch'): word counts before/after — the repetition "
+    "scrubber stat used to strip stutter artifacts from training text.",
+)
+def text_collapse_repeats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure array expression per row (filter over indexed transform) —
+    single scan, zero shuffle at any scale."""
+    d = load_fixture(spark, sf_dir, "documents")
+    return (
+        d.select(F.col("doc_id"), F.lower(F.trim(F.col("text"))).alias("nt"))
+        .filter(F.length("nt") > 0)
+        .select(
+            "doc_id",
+            F.expr("split(nt, '\\\\s+')").alias("ws"),
+        )
+        .select(
+            "doc_id",
+            F.size("ws").cast("long").alias("n_words"),
+            F.size(
+                F.expr(
+                    "filter(transform(ws, (w, i) -> CASE WHEN i = 0 OR w <> ws[i-1] "
+                    "THEN w END), w -> w IS NOT NULL)"
+                )
+            )
+            .cast("long")
+            .alias("n_after_collapse"),
+        )
+    )

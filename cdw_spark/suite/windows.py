@@ -342,3 +342,41 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("o_totalprice").over(w), 2).alias("rev_30d"),
         F.count(F.lit(1)).over(w).alias("n_30d"),
     )
+
+
+@register(
+    "window_first_last_nth",
+    oracle="""
+    SELECT event_id,
+           user_id,
+           FIRST_VALUE(value) OVER w AS first_v,
+           LAST_VALUE(value) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+           ) AS last_v,
+           NTH_VALUE(value, 3) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+           ) AS third_v
+    FROM events
+    WHERE user_id % 20 = 0
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    doc="Navigation window functions FIRST_VALUE / LAST_VALUE / NTH_VALUE "
+    "with explicit full frames — LAST_VALUE over the default frame is the "
+    "classic footgun (frame ends at CURRENT ROW), so the full-partition "
+    "frame is stated on both engines.",
+)
+def window_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One sort per user partition serves all three navigations. The
+    (ts, event_id) order key makes ties deterministic across engines."""
+    e = load_fixture(spark, sf_dir, "events").filter(F.col("user_id") % 20 == 0)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return e.select(
+        "event_id",
+        "user_id",
+        F.first("value").over(w).alias("first_v"),
+        F.last("value").over(wfull).alias("last_v"),
+        F.nth_value("value", 3).over(wfull).alias("third_v"),
+    )

