@@ -263,3 +263,43 @@ def centroid_topn_arrow(
             )
 
     return src.mapInPandas(run, schema)
+
+
+def signature_arrow(
+    df: DataFrame,
+    planes: list[list[float]],
+    vec_name: str,
+    out: str,
+) -> DataFrame:
+    """Random-hyperplane signature via vectorized numpy per Arrow batch —
+    the wide-signature fast path. The per-plane Column-expression form
+    codegens cleanly at 8 planes, but 16 planes x 64 terms in one Project
+    blows Janino's 64 KB method limit: every stage logs a failed compile
+    and falls back to interpreted evaluation, measured ~2x end-to-end on
+    similarity_ann_lsh_wide (the compile ATTEMPTS are re-paid per stage).
+
+    Bit parity with the SQL path and DuckDB's list_dot_product is kept by
+    accumulating the dots in a LOOP OVER DIMENSIONS (vectorized across
+    rows and planes): each dot folds sequentially left-assoc, so signs —
+    and therefore signatures — are identical in all three evaluators
+    (asserted in tests/test_similarity.py)."""
+    P = np.asarray(planes, dtype=np.float64)  # (n_planes, dim)
+    n_planes, dim = P.shape
+    weights = (np.int64(1) << np.arange(n_planes, dtype=np.int64))
+    fields = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
+    schema = f"{fields}, {out} long"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_name]])
+            acc = np.zeros((len(pdf), n_planes))
+            for j in range(dim):  # sequential fold over dims = SQL chain order
+                acc += V[:, j : j + 1] * P[:, j]
+            sig = ((acc > 0.0).astype(np.int64) * weights).sum(axis=1)
+            pdf = pdf.copy()
+            pdf[out] = sig
+            yield pdf
+
+    return df.mapInPandas(run, schema)

@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
-    FloatType,
+    DoubleType,
     LongType,
     StringType,
     StructField,
@@ -59,12 +59,16 @@ def _real_image_codec():
 
     return extract
 
+# features are DoubleType: decode_stub computes IEEE doubles (byte/255.0),
+# and keeping them lossless lets the fake-decode features be value-oracled
+# (multimodal_features_scalar) — a float32 roundtrip would perturb the
+# 255-division below DuckDB's double result.
 FEATURE_SCHEMA = StructType(
     [
         StructField("doc_id", LongType()),
         StructField("byte_len", LongType()),
         StructField("sha256", StringType()),
-        StructField("features", ArrayType(FloatType())),
+        StructField("features", ArrayType(DoubleType())),
     ]
 )
 

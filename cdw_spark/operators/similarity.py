@@ -93,7 +93,19 @@ def with_signature(
     ``n_planes`` so bucket occupancy stays bounded — the hamming ball
     grows ~C(N,r) while buckets grow 2^N, so each added bit roughly
     halves the corpus fraction a probe touches (demonstrated at 16 bits
-    in tests/test_similarity.py::test_lsh_width_scaling)."""
+    in tests/test_similarity.py::test_lsh_width_scaling).
+
+    Above 8 planes the combined Project (n_planes x dim terms) exceeds
+    even the per-plane split's codegen budget — every stage then logs a
+    FAILED Janino compile and runs interpreted, re-paying the compile
+    attempt per stage (measured ~2x end-to-end at 16 planes). Wide
+    signatures therefore route through the Arrow matmul path
+    (signature_arrow), which keeps bit parity via a sequential
+    dimension-loop fold."""
+    if n_planes > 8:
+        from ..functions.text_arrow import signature_arrow
+
+        return signature_arrow(df, _planes(dim, n_planes), vec_name, out)
     bit_cols = []
     for i, plane in enumerate(_planes(dim, n_planes)):
         col = f"_{out}_b{i}"

@@ -483,3 +483,166 @@ def merge_incremental_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         target, source, keys=["user_id", "event_type"], order_cols=["last_ts", "event_id"]
     )
     return merged.select("user_id", "event_type", "value", "last_ts", "op")
+
+
+@register(
+    "mix_sources_weighted",
+    oracle="""
+    WITH h AS (
+        SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) AS hx FROM documents
+    ),
+    weighted AS (
+        SELECT doc_id, lang,
+               CAST(((strpos('0123456789abcdef', substr(hx, 1, 1)) - 1) * 4096
+                   + (strpos('0123456789abcdef', substr(hx, 2, 1)) - 1) * 256
+                   + (strpos('0123456789abcdef', substr(hx, 3, 1)) - 1) * 16
+                   + (strpos('0123456789abcdef', substr(hx, 4, 1)) - 1)) % 1000
+                 AS INTEGER) AS permille,
+               CASE lang WHEN 'en' THEN 900 WHEN 'fr' THEN 600 WHEN 'es' THEN 500
+                         WHEN 'de' THEN 400 WHEN 'zh' THEN 300 ELSE 100 END AS keep_lt
+        FROM h
+    )
+    SELECT doc_id, lang, CAST(permille AS INTEGER) AS permille
+    FROM weighted
+    WHERE permille < keep_lt
+    """,
+    doc="Deterministic weighted data-mixture sampling: each language "
+    "keeps md5-permille < its target weight (en 90%, fr 60%, es 50%, de "
+    "40%, zh 30%) — the 'domain mixing' step that shapes a training "
+    "corpus to a target distribution. Engine/partitioning-independent "
+    "(same md5-bucket idiom as the train/valid/test split); a re-ingest "
+    "at 100 TB keeps exactly the same documents.",
+)
+def mix_sources_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure projection + filter: no shuffle, no state; the mixture weights
+    ride the plan as a literal CASE."""
+    d = load_fixture(spark, sf_dir, "documents")
+    hx = F.md5(F.col("doc_id").cast("string"))
+    permille = (F.conv(F.substring(hx, 1, 4), 16, 10).cast("int") % 1000).alias("permille")
+    keep_lt = (
+        F.when(F.col("lang") == "en", 900)
+        .when(F.col("lang") == "fr", 600)
+        .when(F.col("lang") == "es", 500)
+        .when(F.col("lang") == "de", 400)
+        .when(F.col("lang") == "zh", 300)
+        .otherwise(100)
+    )
+    return (
+        d.select("doc_id", "lang", permille, keep_lt.alias("_lt"))
+        .filter(F.col("permille") < F.col("_lt"))
+        .select("doc_id", "lang", "permille")
+    )
+
+
+@register(
+    "curriculum_phases",
+    oracle="""
+    SELECT doc_id,
+           ROUND(CAST(len(list_distinct(string_split_regex(lower(trim(text)), '\\s+'))) AS DOUBLE)
+                 / len(string_split_regex(lower(trim(text)), '\\s+')), 6) AS diversity,
+           CAST(NTILE(4) OVER (
+               ORDER BY CAST(len(list_distinct(string_split_regex(lower(trim(text)), '\\s+'))) AS DOUBLE)
+                        / len(string_split_regex(lower(trim(text)), '\\s+')) DESC,
+                        doc_id
+           ) AS INTEGER) AS phase
+    FROM documents
+    WHERE length(trim(text)) > 0
+    """,
+    doc="Curriculum assignment: documents ranked by lexical diversity "
+    "(distinct-word ratio — the cheap quality proxy) and cut into 4 "
+    "NTILE phases, highest-diversity first — the ordering step of "
+    "curriculum training. Tie-broken by doc_id so phases are "
+    "deterministic across engines.",
+)
+def curriculum_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global NTILE without the single-partition window: rows are
+    range-partitioned on the sort key (so partition index order IS global
+    order), ranked locally per partition, and shifted by per-partition
+    row counts — a tiny relation (one row per partition) joined back
+    broadcast. NTILE then has the closed form over the global rank: with
+    n rows and k tiles, the first n%k tiles hold n//k+1 rows. Same
+    two-level shape as pack_sequences' prefix-sum; survives 100 TB where
+    ``Window.orderBy`` alone funnels the corpus through one task."""
+    from pyspark.sql.window import Window
+
+    d = load_fixture(spark, sf_dir, "documents")
+    ws = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    diversity = F.round(F.size(F.array_distinct(ws)).cast("double") / F.size(ws), 6)
+    scored = (
+        d.filter(F.length(F.trim(F.col("text"))) > 0)
+        .select("doc_id", diversity.alias("diversity"))
+        .repartitionByRange(8, F.col("diversity").desc(), F.col("doc_id"))
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    local_w = Window.partitionBy("_pid").orderBy(F.col("diversity").desc(), "doc_id")
+    ranked = scored.withColumn("_lrank", F.row_number().over(local_w))
+    counts = ranked.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n"))
+    # offsets: cumsum over <=8 partition-count rows — bounded by the
+    # partition count, not the data (cf. pack_sequences' guard)
+    off_w = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "_pid", F.coalesce(F.sum("_n").over(off_w), F.lit(0)).alias("_off")
+    )
+    n_total = scored.count()
+    base, rem = n_total // 4, n_total % 4
+    ranked = ranked.join(F.broadcast(offsets), "_pid").withColumn(
+        "_grank", F.col("_off") + F.col("_lrank")
+    )
+    big_span = (base + 1) * rem  # rows covered by the (n%k) larger tiles
+    phase = (
+        F.when(F.col("_grank") <= big_span, F.ceil(F.col("_grank") / (base + 1)))
+        .otherwise(rem + F.ceil((F.col("_grank") - big_span) / F.greatest(F.lit(base), F.lit(1))))
+        .cast("int")
+    )
+    return ranked.select("doc_id", "diversity", phase.alias("phase"))
+
+
+@register(
+    "embedding_quantize_int8",
+    oracle="""
+    WITH e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    scaled AS (
+        SELECT vec_id, v,
+               CASE WHEN list_max(list_transform(v, x -> abs(x))) = 0 THEN 1.0
+                    ELSE list_max(list_transform(v, x -> abs(x))) / 127.0 END AS scale
+        FROM e
+    )
+    SELECT vec_id,
+           ROUND(CAST(scale AS DOUBLE), 9) AS scale,
+           CAST(list_sum(list_transform(range(1, len(v) + 1),
+                i -> CAST(round(v[i] / scale) AS BIGINT) * i)) AS BIGINT) AS q_digest
+    FROM scaled
+    """,
+    doc="Symmetric per-vector int8 quantization (scale = max|v|/127): the "
+    "storage-side compression for embedding tables (4x smaller at-rest, "
+    "int8 SIMD rescoring). Output carries the scale and a position-"
+    "weighted digest of the quantized codes, so the driver hash checks "
+    "every rounded code without comparing raw arrays.",
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row expression only — quantization is a projection; no shuffle
+    at any scale. HOF aggregate is interpreted per element: fine for the
+    digest here; a production rescorer would quantize inside the same
+    Arrow matmul batch as scoring (functions/text_arrow.py pattern)."""
+    from ..functions.vectors import to_double_array
+
+    e = load_fixture(spark, sf_dir, "embeddings").select(
+        "vec_id", to_double_array(F.col("embedding")).alias("v")
+    )
+    scale = F.expr(
+        "CASE WHEN array_max(transform(v, x -> abs(x))) = 0D THEN 1.0D "
+        "ELSE array_max(transform(v, x -> abs(x))) / 127.0D END"
+    )
+    return e.select(
+        "vec_id",
+        F.round(scale.cast("double"), 9).alias("scale"),
+        F.expr(
+            "CAST(aggregate(sequence(1, size(v)), 0L, "
+            "(acc, i) -> acc + CAST(round(v[i-1] / "
+            "(CASE WHEN array_max(transform(v, x -> abs(x))) = 0D THEN 1.0D "
+            "ELSE array_max(transform(v, x -> abs(x))) / 127.0D END)) AS BIGINT) * i) "
+            "AS BIGINT)"
+        ).alias("q_digest"),
+    )

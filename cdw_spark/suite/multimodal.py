@@ -70,3 +70,32 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = attach_blob(load_fixture(spark, sf_dir, "documents"))
     return sample_frames(d, fake=True).select("doc_id", "frame_idx", "frame_ms")
+
+
+@register(
+    "multimodal_features_scalar",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN n = 0 THEN 0.0 ELSE ascii(substr(text, (0 * 7919) % n + 1, 1)) / 255.0 END AS f0,
+           CASE WHEN n = 0 THEN 0.0 ELSE ascii(substr(text, (1 * 7919) % n + 1, 1)) / 255.0 END AS f1,
+           CASE WHEN n = 0 THEN 0.0 ELSE ascii(substr(text, (2 * 7919) % n + 1, 1)) / 255.0 END AS f2,
+           CASE WHEN n = 0 THEN 0.0 ELSE ascii(substr(text, (3 * 7919) % n + 1, 1)) / 255.0 END AS f3,
+           CASE WHEN n = 0 THEN 0.0 ELSE ascii(substr(text, (4 * 7919) % n + 1, 1)) / 255.0 END AS f4,
+           CASE WHEN n = 0 THEN 0.0 ELSE ascii(substr(text, (5 * 7919) % n + 1, 1)) / 255.0 END AS f5,
+           CASE WHEN n = 0 THEN 0.0 ELSE ascii(substr(text, (6 * 7919) % n + 1, 1)) / 255.0 END AS f6,
+           CASE WHEN n = 0 THEN 0.0 ELSE ascii(substr(text, (7 * 7919) % n + 1, 1)) / 255.0 END AS f7
+    FROM (SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents)
+    """,
+    doc="The fake-decode features, value-oracled: the deterministic stub "
+    "(byte[(i*7919) mod n] / 255) is restated in SQL over the same text "
+    "bytes (fixture text is pure ASCII, so char position == byte "
+    "position), projected to scalar DOUBLE columns — the driver hash "
+    "checks the whole mapInPandas decode path end to end; the array-"
+    "shaped twin multimodal_features stays the production schema.",
+)
+def multimodal_features_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = attach_blob(load_fixture(spark, sf_dir, "documents"))
+    feats = extract_features(d, fake=True)
+    return feats.select(
+        "doc_id", *[F.col("features")[i].alias(f"f{i}") for i in range(8)]
+    )

@@ -181,3 +181,26 @@ def test_lsh_width_scaling(spark, emb):
     plan = wide._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_signature_paths_bit_identical(emb):
+    """The Arrow matmul signature (wide-config fast path) must produce
+    bit-identical signatures to the per-plane Column-expression path —
+    the dimension-loop fold exists precisely for this. Checked at 8
+    planes where both paths are available."""
+    from cdw_spark.functions.text_arrow import signature_arrow
+    from cdw_spark.functions.vectors import to_double_array
+    from cdw_spark.operators.similarity import _planes, with_signature
+
+    dim = len(emb.select("embedding").first()[0])
+    base = emb.select(
+        F.col("vec_id").alias("_id"), to_double_array(F.col("embedding")).alias("v")
+    )
+    sql_sigs = {
+        r._id: r.sig for r in with_signature(base, "v", dim, "sig", 8).collect()
+    }
+    arrow_sigs = {
+        r._id: r.sig
+        for r in signature_arrow(base, _planes(dim, 8), "v", "sig").collect()
+    }
+    assert sql_sigs == arrow_sigs

@@ -223,3 +223,67 @@ def test_interval_join_state_stays_watermark_bounded(spark, sf_dir, tmp_path_fac
     # flat, not monotone: the watermark evicts as new rows arrive
     assert removed > 0.5 * n_inputs, (removed, n_inputs)
     assert totals[-1] <= max(totals[:3]), totals  # drained, not accumulated
+
+
+def test_foreachbatch_incremental_merge_equals_batch(spark, sf_dir, tmp_path_factory):
+    """The production sink pattern for a latest-state table: writeStream
+    .foreachBatch applies the MERGE-style upsert (operators/curate.py::
+    merge_latest_state) per micro-batch into a parquet target. After the
+    bounded 4-batch replay, the incrementally-merged table must equal the
+    one-shot batch merge over all events — exactly-once upsert semantics
+    composed from the engine's own MERGE operator."""
+    import os
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from cdw_spark.catalog import load_fixture
+    from cdw_spark.operators.curate import merge_latest_state
+    from cdw_spark.streaming.source import events_stream
+
+    root = str(tmp_path_factory.mktemp("febmerge"))
+    state = {"version": -1}
+    cols = ["user_id", "event_type", F.col("value"), F.col("ts").alias("last_ts"), "event_id"]
+
+    def upsert(batch_df, batch_id):
+        src = batch_df.select(*cols)
+        if state["version"] < 0:
+            w = Window.partitionBy("user_id", "event_type").orderBy(
+                F.col("last_ts").desc(), F.col("event_id").desc()
+            )
+            merged = (
+                src.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .drop("_rn")
+            )
+        else:
+            tgt = batch_df.sparkSession.read.parquet(f"{root}/v{state['version']}")
+            merged = merge_latest_state(
+                tgt, src, keys=["user_id", "event_type"], order_cols=["last_ts", "event_id"]
+            ).select("user_id", "event_type", "value", "last_ts", "event_id")
+        state["version"] += 1
+        merged.write.mode("overwrite").parquet(f"{root}/v{state['version']}")
+
+    q = (
+        events_stream(spark, sf_dir, n_files=4)
+        .writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", root + "/chk")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    final = spark.read.parquet(f"{root}/v{state['version']}")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    expected = (
+        load_fixture(spark, sf_dir, "events")
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("user_id", "event_type", "value", F.col("ts").alias("last_ts"))
+    )
+    got = final.select("user_id", "event_type", "value", "last_ts")
+    assert got.exceptAll(expected).count() == 0
+    assert expected.exceptAll(got).count() == 0
+    assert state["version"] == 3  # 4 micro-batches merged incrementally
