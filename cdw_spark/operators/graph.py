@@ -1,0 +1,77 @@
+"""Iterative graph operators on edge-list DataFrames.
+
+PageRank here is the classic damped power iteration,
+    r_{t+1}(v) = (1-d)/N + d * sum_{u->v} r_t(u)/outdeg(u),
+run for a FIXED number of iterations (dangling mass is dropped, as in the
+original Page et al. formulation) — fixed iterations make the result exact
+and engine-independent, so the DuckDB oracle can unroll the same recurrence
+as chained CTEs and the driver can hash-compare values.
+
+Scale shape (per iteration): one shuffle to join ranks onto edges by src
+(both sides hash-partitioned on the node key, so a pre-partitioned edge
+list reuses its exchange), one shuffle for the groupBy(dst) contribution
+sum with map-side partial aggregation. Ranks and degrees are |V| rows —
+small relative to |E| — and N is a broadcast single-row aggregate, never a
+driver ``collect()``. Lineage is truncated with localCheckpoint each round
+(same discipline as operators/dedup.py connected_components) so long runs
+don't accrete a mega-plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 3,
+    damping: float = 0.85,
+    teleport: float = 0.15,
+    checkpoint_every: int = 5,
+) -> DataFrame:
+    """Damped PageRank over distinct directed edges; returns (node, r).
+
+    Arithmetic is ordered exactly as the oracle SQL writes it —
+    ``teleport/n + d * coalesce(s, 0.0)`` with contributions ``r/outdeg`` —
+    so both engines run the same IEEE double op sequence per term.
+    ``teleport`` is a separate literal rather than computed ``1 - damping``
+    because the oracle's decimal literal CAST(0.15 AS DOUBLE) is the
+    double nearest 0.15, which python's ``1.0 - 0.85`` is NOT (it yields
+    0.15000000000000002 — one ulp off, enough to fail a value-hash).
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    n_row = nodes.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).cast("double").alias("outdeg"))
+
+    ranks = nodes.crossJoin(F.broadcast(n_row)).select(
+        "node", (F.lit(1.0) / F.col("n")).alias("r")
+    )
+    for i in range(iters):
+        contrib = (
+            e.join(ranks, e["src"] == ranks["node"])
+            .join(outdeg, "src")
+            .select(F.col("dst").alias("node"), (F.col("r") / F.col("outdeg")).alias("w"))
+        )
+        summed = contrib.groupBy("node").agg(F.sum("w").alias("s"))
+        ranks = (
+            nodes.join(summed, "node", "left")
+            .crossJoin(F.broadcast(n_row))
+            .select(
+                "node",
+                (
+                    F.lit(teleport) / F.col("n")
+                    + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0))
+                ).alias("r"),
+            )
+        )
+        if (i + 1) % checkpoint_every == 0 and i + 1 < iters:
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks

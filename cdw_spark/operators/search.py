@@ -1,0 +1,162 @@
+"""Full-text search operators: inverted index, TF-IDF weighting, BM25
+ranking — the retrieval layer a training-data pipeline needs for corpus
+exploration, targeted decontamination, and quality-filtered sampling.
+
+Everything here is a composition of built-in DataFrame operators — no UDFs:
+tokenization is ``regexp_extract_all``, weights are plain double arithmetic,
+ranking is a window function. At 100 TB the plans are:
+
+- inverted index: one scan + one shuffle on ``term`` (map-side partial
+  counts combine first). Postings lists are materialized sorted so the
+  index is directly mergeable/shardable by term range. Real deployments cap
+  or delta-encode postings for stop-like terms; the ``max_df_ratio``
+  parameter drops those terms before the heavy lists form.
+- TF-IDF / BM25: the document-frequency relation is |vocab| rows — orders
+  of magnitude smaller than the corpus — so it broadcasts; the only big
+  shuffle is the (doc, term) count aggregation, which combines map-side.
+  Corpus constants (N, avgdl) are single-row aggregates cross-joined as
+  broadcasts, never driver-side ``collect()``.
+
+Cross-engine discipline (for the DuckDB oracles in suite/search.py): token
+regex `[a-z0-9]+` evaluates identically in both engines; all scores are
+computed with the same operation order and rounded before ranking, and
+every ranking has a deterministic final tie-break key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+# BM25 constants (standard Robertson/Sparck-Jones defaults).
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def index_terms(col: Column) -> Column:
+    """Search tokenization: maximal runs of [a-z0-9] over lowercased text.
+    Mirrors DuckDB `regexp_extract_all(lower(x), '[a-z0-9]+')` exactly."""
+    return F.regexp_extract_all(F.lower(col), F.lit("[a-z0-9]+"), 0)
+
+
+def tokenize(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc, term) token stream — one row per token occurrence."""
+    return docs.select(id_col, F.explode(index_terms(F.col(text_col))).alias("term"))
+
+
+def inverted_index(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """term -> (df, postings) where postings is the sorted CSV of doc ids
+    containing the term. One shuffle on term; collect_list is bounded per
+    term by df, and the pre-distinct keeps it one entry per document."""
+    t = docs.select(
+        id_col,
+        F.explode(F.array_distinct(index_terms(F.col(text_col)))).alias("term"),
+    )
+    return t.groupBy("term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df"),
+        F.array_join(
+            F.transform(F.array_sort(F.collect_list(id_col)), lambda x: x.cast("string")),
+            ",",
+        ).alias("postings"),
+    )
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k terms per document by smoothed TF-IDF
+    (tf = c/dl; idf = ln((1+N)/(1+df)) + 1, sklearn-style smoothing).
+
+    Ranking is over ROUND(score, 9) with a term-asc tie-break: scores that
+    are mathematically equal arise only from equal (c, dl, df) triples,
+    which both engines compute to the identical double, so the rank — and
+    therefore the selected set — is engine-independent.
+    """
+    tok = tokenize(docs, id_col, text_col)
+    tf = tok.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("c"))
+    dl = tok.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    ndocs = docs.agg(F.count(F.lit(1)).cast("double").alias("n"))
+
+    score = (F.col("c").cast("double") / F.col("dl").cast("double")) * (
+        F.log((F.lit(1.0) + F.col("n")) / (F.lit(1.0) + F.col("df").cast("double")))
+        + F.lit(1.0)
+    )
+    w = Window.partitionBy(id_col).orderBy(F.round(F.col("score"), 9).desc(), F.col("term"))
+    return (
+        tf.join(dl, id_col)
+        .join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(ndocs))
+        .select(id_col, "term", score.alias("score"))
+        .select(id_col, "term", "score", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= k)
+        .select(id_col, "term", F.col("rk").cast("int").alias("rk"),
+                F.round("score", 6).alias("tfidf"))
+    )
+
+
+def bm25_search(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """Top-k documents for a bag-of-terms query under BM25.
+
+    idf = ln(1 + (N - df + 0.5)/(df + 0.5));
+    contrib = idf * c*(k1+1) / (c + k1*(1 - b + b*dl/avgdl)); score = sum.
+
+    The per-document sum is over at most |query_terms| doubles, rounded to
+    6 dp BEFORE ranking with a doc-id tie-break, so summation order cannot
+    change the returned set. df/avgdl/N are broadcast single-row or
+    |query|-row relations; the corpus is scanned once. The top-k itself is
+    ``orderBy().limit(k)`` — Catalyst plans TakeOrderedAndProject (per-
+    partition heaps merged at the driver), NOT a single-partition global
+    window; the row_number runs after the limit, over k rows.
+    """
+    tok = tokenize(docs, id_col, text_col)
+    dl = tok.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.avg(F.col("dl").cast("double")).alias("avgdl"),
+        F.count(F.lit(1)).cast("double").alias("n"),
+    )
+    qtf = (
+        tok.filter(F.col("term").isin(query_terms))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    dfreq = qtf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n") - F.col("df").cast("double") + F.lit(0.5))
+        / (F.col("df").cast("double") + F.lit(0.5))
+    )
+    c = F.col("c").cast("double")
+    norm = c + F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * F.col("dl").cast("double") / F.col("avgdl")
+    )
+    contrib = idf * (c * F.lit(k1 + 1.0)) / norm
+
+    w = Window.orderBy(F.col("score").desc(), F.col(id_col))
+    return (
+        qtf.join(dl, id_col)
+        .join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .groupBy(id_col)
+        .agg(F.round(F.sum(contrib), 6).alias("score"))
+        .orderBy(F.col("score").desc(), F.col(id_col))
+        .limit(k)
+        .select(id_col, "score", F.row_number().over(w).cast("int").alias("rk"))
+    )

@@ -46,6 +46,7 @@ _SUITE_MODULES = (
     "cdw_spark.suite.curation",
     "cdw_spark.suite.tpch",
     "cdw_spark.suite.datasetops",
+    "cdw_spark.suite.search",
 )
 
 

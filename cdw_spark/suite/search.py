@@ -1,0 +1,217 @@
+"""Retrieval / graph / sketch queries: inverted index, TF-IDF, BM25,
+fixed-iteration PageRank, and a count-min sketch — the corpus-exploration
+layer of the large-scale pipeline (operators in operators/search.py,
+operators/graph.py, operators/sketches.py).
+
+Oracle discipline (hard-won, see operators/graph.py docstring): DuckDB
+parses bare numeric literals as DECIMAL, so every constant that touches a
+double is written CAST(x AS DOUBLE) with a decimal string that is exactly
+the python literal used on the Spark side; every ranking rounds before
+ordering and carries a deterministic tie-break key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_fixture
+from ..operators.graph import pagerank
+from ..operators.search import bm25_search, inverted_index, tfidf_top_terms, tokenize
+from ..operators.sketches import CMS_DEPTH, CMS_WIDTH, cms_build, cms_estimate
+from ..registry import register
+
+_TOK = "SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term FROM documents"
+
+BM25_QUERY_TERMS = ["spark", "hash", "window", "vector"]
+
+
+@register(
+    "text_inverted_index",
+    oracle=f"""
+    SELECT term,
+           CAST(COUNT(*) AS BIGINT) AS df,
+           string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+    FROM (SELECT DISTINCT doc_id, term FROM ({_TOK}))
+    GROUP BY term
+    """,
+    doc="Inverted index build: term -> document frequency + sorted postings "
+    "CSV. One shuffle on term; postings ordered so shards merge by key "
+    "range. Reference has no search layer; this is the training-pipeline "
+    "extension (SURVEY.md north star).",
+)
+def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return inverted_index(load_fixture(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_tfidf_topk",
+    oracle=f"""
+    WITH tok AS ({_TOK}),
+    tf AS (SELECT doc_id, term, COUNT(*) AS c FROM tok GROUP BY doc_id, term),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.term,
+               (CAST(tf.c AS DOUBLE) / CAST(dl.dl AS DOUBLE))
+               * (ln((CAST(1.0 AS DOUBLE) + nn.n) / (CAST(1.0 AS DOUBLE) + CAST(dfreq.df AS DOUBLE)))
+                  + CAST(1.0 AS DOUBLE)) AS score
+        FROM tf JOIN dl USING (doc_id) JOIN dfreq USING (term) CROSS JOIN nn
+    )
+    SELECT doc_id, term, CAST(rk AS INTEGER) AS rk, ROUND(score, 6) AS tfidf
+    FROM (
+        SELECT doc_id, term, score,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY ROUND(score, 9) DESC, term) AS rk
+        FROM scored
+    )
+    WHERE rk <= 5
+    """,
+    doc="Top-5 terms per document by smoothed TF-IDF (sklearn-style "
+    "idf = ln((1+N)/(1+df)) + 1). df relation broadcast; rank over "
+    "ROUND(score,9) with term tie-break for engine-independent selection.",
+)
+def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tfidf_top_terms(load_fixture(spark, sf_dir, "documents"), k=5)
+
+
+@register(
+    "text_bm25_search",
+    oracle=f"""
+    WITH tok AS ({_TOK}),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+    stats AS (SELECT AVG(CAST(dl AS DOUBLE)) AS avgdl, CAST(COUNT(*) AS DOUBLE) AS n FROM dl),
+    qtf AS (
+        SELECT doc_id, term, COUNT(*) AS c FROM tok
+        WHERE term IN ({", ".join(f"'{t}'" for t in BM25_QUERY_TERMS)})
+        GROUP BY doc_id, term
+    ),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM qtf GROUP BY term),
+    scored AS (
+        SELECT q.doc_id,
+               ROUND(SUM(
+                   ln(CAST(1.0 AS DOUBLE)
+                      + (s.n - CAST(f.df AS DOUBLE) + CAST(0.5 AS DOUBLE))
+                        / (CAST(f.df AS DOUBLE) + CAST(0.5 AS DOUBLE)))
+                   * (CAST(q.c AS DOUBLE) * CAST(2.2 AS DOUBLE))
+                   / (CAST(q.c AS DOUBLE)
+                      + CAST(1.2 AS DOUBLE)
+                        * (CAST(0.25 AS DOUBLE)
+                           + CAST(0.75 AS DOUBLE) * CAST(d.dl AS DOUBLE) / s.avgdl))
+               ), 6) AS score
+        FROM qtf q JOIN dl d USING (doc_id) JOIN dfreq f USING (term) CROSS JOIN stats s
+        GROUP BY q.doc_id
+    )
+    SELECT doc_id, score, CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS INTEGER) AS rk
+    FROM (SELECT * FROM scored ORDER BY score DESC, doc_id LIMIT 20)
+    """,
+    doc="BM25 top-20 for a fixed bag-of-terms query (k1=1.2, b=0.75). "
+    "Distributed TakeOrderedAndProject top-k (no global-window funnel); "
+    "per-doc score rounded before ranking so float sum order is moot.",
+)
+def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bm25_search(load_fixture(spark, sf_dir, "documents"), BM25_QUERY_TERMS, k=20)
+
+
+_PR_ITER = """
+    i{K} AS (
+        SELECT nd.node,
+               CAST(0.15 AS DOUBLE) / nn.n
+               + CAST(0.85 AS DOUBLE) * COALESCE(s.s, CAST(0.0 AS DOUBLE)) AS r
+        FROM nodes nd CROSS JOIN nn
+        LEFT JOIN (
+            SELECT e.dst AS node, SUM(p.r / deg.outdeg) AS s
+            FROM e JOIN i{PREV} p ON e.src = p.node JOIN deg ON e.src = deg.src
+            GROUP BY e.dst
+        ) s ON nd.node = s.node
+    )"""
+
+
+@register(
+    "graph_pagerank",
+    oracle=(
+        """
+    WITH e AS (
+        SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+                        's' || CAST(l_suppkey AS VARCHAR) AS dst
+        FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    ),
+    nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+    nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+    deg AS (SELECT src, CAST(COUNT(*) AS DOUBLE) AS outdeg FROM e GROUP BY src),
+    i0 AS (SELECT node, CAST(1.0 AS DOUBLE) / nn.n AS r FROM nodes CROSS JOIN nn),"""
+        + _PR_ITER.format(K=1, PREV=0)
+        + ","
+        + _PR_ITER.format(K=2, PREV=1)
+        + ","
+        + _PR_ITER.format(K=3, PREV=2)
+        + """
+    SELECT node, ROUND(r, 6) AS pr FROM i3
+    """
+    ),
+    doc="PageRank, 3 damped power iterations (d=0.85, dangling mass "
+    "dropped as in Page et al.) over the customer->supplier purchase "
+    "graph. Fixed iteration count makes the result exact, so the oracle "
+    "unrolls the identical recurrence as chained CTEs. Per-iteration cost: "
+    "one edge-by-rank join + one groupBy(dst) partial-agg shuffle; ranks "
+    "and degrees are |V| rows << |E|. operators/graph.py:pagerank.",
+)
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_fixture(spark, sf_dir, "orders")
+    li = load_fixture(spark, sf_dir, "lineitem")
+    edges = o.join(li, o["o_orderkey"] == li["l_orderkey"]).select(
+        F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+    )
+    ranks = pagerank(edges, iters=3, damping=0.85, teleport=0.15)
+    return ranks.select("node", F.round("r", 6).alias("pr"))
+
+
+def _hex4_mod_sql(md5_expr: str, width: int) -> str:
+    """DuckDB int value of the first 4 hex chars of ``md5_expr`` mod width
+    (the portable twin of Spark's conv(substring(md5,1,4),16,10) % width)."""
+    digit = "(strpos('0123456789abcdef', substr({h}, {i}, 1)) - 1)"
+    val = " + ".join(
+        f"{digit.format(h=md5_expr, i=i + 1)} * {16 ** (3 - i)}" for i in range(4)
+    )
+    return f"CAST(({val}) % {width} AS INTEGER)"
+
+
+@register(
+    "sketch_cms_wordfreq",
+    oracle=f"""
+    WITH tok AS ({_TOK}),
+    counts AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS exact_cnt FROM tok GROUP BY term),
+    grid AS (
+        SELECT c.term, j.j,
+               {_hex4_mod_sql("md5(CAST(j.j AS VARCHAR) || ':' || c.term)", CMS_WIDTH)} AS col
+        FROM counts c CROSS JOIN (VALUES (0), (1), (2), (3)) j(j)
+    ),
+    bsum AS (
+        SELECT g.j, g.col, SUM(c.exact_cnt) AS cnt
+        FROM grid g JOIN counts c USING (term)
+        GROUP BY g.j, g.col
+    )
+    SELECT c.term, c.exact_cnt, CAST(e.est AS BIGINT) AS est_cnt
+    FROM counts c
+    JOIN (
+        SELECT g.term, MIN(b.cnt) AS est
+        FROM grid g JOIN bsum b ON g.j = b.j AND g.col = b.col
+        GROUP BY g.term
+    ) e USING (term)
+    """,
+    doc=f"Count-min sketch ({CMS_DEPTH}x{CMS_WIDTH}, md5 hash family) word "
+    "frequencies next to exact counts. The Spark build is the real "
+    "distributed shape — mapInPandas partial grids merged by a "
+    "depth*width-row SUM shuffle (size independent of key cardinality) — "
+    "and the md5 hashing makes every cell, hence every estimate, exactly "
+    "reproducible in ANSI SQL. operators/sketches.py.",
+)
+def sketch_cms_wordfreq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_fixture(spark, sf_dir, "documents")
+    tok = tokenize(d)
+    exact = tok.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("exact_cnt"))
+    sketch = cms_build(tok)
+    est = cms_estimate(sketch, exact.select("term")).withColumnRenamed("est", "est_cnt")
+    return exact.join(est, "term")

@@ -1,0 +1,124 @@
+"""Properties and plan shapes for the retrieval/graph/sketch layer
+(operators/search.py, operators/graph.py, operators/sketches.py).
+Oracle equivalence itself is covered by test_oracle_contract.py."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cdw_spark.catalog import load_fixture
+from cdw_spark.operators.graph import pagerank
+from cdw_spark.operators.search import bm25_search, inverted_index, tokenize
+from cdw_spark.operators.sketches import cms_build, cms_estimate
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return load_fixture(spark, sf_dir, "documents")
+
+
+def test_cms_never_underestimates_and_is_eps_bounded(spark, docs):
+    """CMS guarantee: exact <= est <= exact + eps*TOTAL (w=256 -> eps ~ e/256)."""
+    tok = tokenize(docs)
+    exact = tok.groupBy("term").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    est = cms_estimate(cms_build(tok), exact.select("term"))
+    rows = exact.join(est, "term").collect()
+    total = sum(r["exact_cnt"] for r in rows)
+    eps = 2.718281828 / 256
+    assert rows
+    for r in rows:
+        assert r["est"] >= r["exact_cnt"], r
+        assert r["est"] <= r["exact_cnt"] + eps * total, r
+
+
+def test_cms_merge_is_partitioning_independent(spark, docs):
+    """The merged grid must be identical however the input is partitioned
+    (the map-side partial grids are an exact commutative monoid)."""
+    tok = tokenize(docs)
+    a = {(r["j"], r["col"]): r["cnt"] for r in cms_build(tok.repartition(1)).collect()}
+    b = {(r["j"], r["col"]): r["cnt"] for r in cms_build(tok.repartition(13)).collect()}
+    assert a == b
+
+
+def test_pagerank_mass_and_ordering(spark, sf_dir):
+    """Rank mass stays in (0, 1]; dangling-drop variant loses mass but every
+    node keeps at least the teleport floor; suppliers with more distinct
+    customers outrank ones with fewer."""
+    o = load_fixture(spark, sf_dir, "orders")
+    li = load_fixture(spark, sf_dir, "lineitem")
+    edges = o.join(li, o["o_orderkey"] == li["l_orderkey"]).select(
+        F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+    )
+    ranks = pagerank(edges, iters=3).collect()
+    n = len(ranks)
+    mass = sum(r["r"] for r in ranks)
+    assert 0.0 < mass <= 1.0 + 1e-9
+    floor = 0.15 / n
+    assert all(r["r"] >= floor - 1e-12 for r in ranks)
+
+    indeg = {
+        r["dst"]: r["cnt"]
+        for r in edges.distinct().groupBy("dst").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    rk = {r["node"]: r["r"] for r in ranks}
+    supp = sorted((k for k in rk if k.startswith("s")), key=lambda k: indeg.get(k, 0))
+    # strongest-in-degree supplier should outrank the weakest
+    if len(supp) >= 2 and indeg.get(supp[-1], 0) > indeg.get(supp[0], 0):
+        assert rk[supp[-1]] > rk[supp[0]]
+
+
+def test_pagerank_iterations_converge(spark, sf_dir):
+    """Successive iterations contract toward a fixpoint: delta(i5, i6) <
+    delta(i1, i2) in L1."""
+    o = load_fixture(spark, sf_dir, "orders")
+    li = load_fixture(spark, sf_dir, "lineitem")
+    edges = o.join(li, o["o_orderkey"] == li["l_orderkey"]).select(
+        F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+    )
+
+    def ranks(i):
+        return {r["node"]: r["r"] for r in pagerank(edges, iters=i).collect()}
+
+    r1, r2, r5, r6 = ranks(1), ranks(2), ranks(5), ranks(6)
+    d_early = sum(abs(r1[k] - r2[k]) for k in r1)
+    d_late = sum(abs(r5[k] - r6[k]) for k in r5)
+    assert d_late < d_early
+
+
+def test_bm25_single_term_ranks_by_saturating_tf(spark, docs):
+    """With b=0 (length normalization off) and one query term, BM25 is
+    strictly monotone in term count — the top doc has the corpus-max tf.
+    With default b, scores are still positive and k is honored."""
+    res0 = bm25_search(docs, ["spark"], k=5, b=0.0).collect()
+    assert res0 and all(r["score"] > 0 for r in res0)
+    counts = {
+        r["doc_id"]: r["c"]
+        for r in tokenize(docs)
+        .filter(F.col("term") == "spark")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    assert counts[res0[0]["doc_id"]] == max(counts.values())
+
+    res = bm25_search(docs, ["spark"], k=5).collect()
+    assert len(res) == 5 and all(r["score"] > 0 for r in res)
+
+
+def test_bm25_plan_is_take_ordered_not_global_window(spark, docs):
+    """Scale guard: the top-k must compile to TakeOrderedAndProject; a
+    single-partition global Window funnel here would be a 100 TB killer."""
+    plan = bm25_search(docs, ["spark", "hash"], k=10)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_inverted_index_postings_sorted_and_df_consistent(spark, docs):
+    rows = inverted_index(docs).collect()
+    assert rows
+    for r in rows:
+        ids = [int(x) for x in r["postings"].split(",")]
+        assert ids == sorted(ids)
+        assert len(ids) == r["df"]
