@@ -538,3 +538,56 @@ def signature_oracle_sql(vec_expr: str, dim: int, n_planes: int = N_PLANES) -> s
         terms = " + ".join(f"{vec_expr}[{j + 1}]*({w!r})" for j, w in enumerate(plane))
         parts.append(f"CASE WHEN ({terms}) > 0 THEN {1 << i} ELSE 0 END")
     return "(" + " + ".join(parts) + ")"
+
+
+# ---------------------------------------------------------------------------
+# Random projection (Johnson-Lindenstrauss) dimensionality reduction.
+
+def _rp_signs(dim: int, out_dim: int) -> list[list[float]]:
+    """Deterministic +-1 sign matrix (Achlioptas 2003): sign from the first
+    hex digit of md5(f"rp{j}:{i}") — reproducible across engines, sessions,
+    and partitionings, like the md5 split/bucket keys elsewhere."""
+    import hashlib
+
+    return [
+        [
+            1.0 if int(hashlib.md5(f"rp{j}:{i}".encode()).hexdigest()[0], 16) < 8 else -1.0
+            for i in range(dim)
+        ]
+        for j in range(out_dim)
+    ]
+
+
+def random_projection(
+    vectors: DataFrame,
+    dim: int,
+    out_dim: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Project dim-d vectors to out_dim components r0..r{out_dim-1} with the
+    deterministic sign matrix. Pure per-row projection: no shuffle, stays in
+    whole-stage codegen via the unrolled multiply-add chains (_dot_sql) —
+    the JL scale path for feeding 100 TB of wide embeddings into ANN or
+    clustering at 1/8 the width. Components are scaled by 1/sqrt(out_dim)
+    so expected squared norm is preserved."""
+    scale = 1.0 / (out_dim ** 0.5)
+    cols = [F.col(id_col)]
+    for j, signs in enumerate(_rp_signs(dim, out_dim)):
+        cols.append(
+            F.round(F.expr(f"{_dot_sql(vec_col, signs)} * ({scale!r})"), 6).alias(f"r{j}")
+        )
+    return vectors.select(*cols)
+
+
+def random_projection_oracle_sql(
+    vec_expr: str, dim: int, out_dim: int = 8
+) -> str:
+    """DuckDB select-list rendering of random_projection's components —
+    identical literals, identical left-assoc fold, 1-based indexing."""
+    scale = 1.0 / (out_dim ** 0.5)
+    parts = []
+    for j, signs in enumerate(_rp_signs(dim, out_dim)):
+        terms = " + ".join(f"{vec_expr}[{i + 1}]*({w!r})" for i, w in enumerate(signs))
+        parts.append(f"ROUND(({terms}) * ({scale!r}), 6) AS r{j}")
+    return ", ".join(parts)

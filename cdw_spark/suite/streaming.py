@@ -334,3 +334,41 @@ def stream_stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame
         "signup_ts", "purchase_ts", "purchase_value",
     )
     return run_available_now(joined, "ss_louter", "append")
+
+
+@register(
+    "stream_foreachbatch_upsert",
+    oracle="""
+    SELECT user_id, event_id AS last_event_id, event_type AS last_type,
+           value AS last_value
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    )
+    WHERE rn = 1
+    """,
+    doc="Stream -> warehouse-table upsert: foreachBatch MERGEs each "
+    "micro-batch into a versioned copy-on-write parquet table "
+    "(streaming/sink.py), reducing the batch to one row per key before "
+    "the key-partitioned full-outer merge. Because the staged files are "
+    "event-time range-partitioned, source-wins MERGE equals "
+    "latest-by-(ts, event_id) — which is exactly the batch oracle. The "
+    "foreachBatch body is what becomes MERGE INTO on a transactional "
+    "table format at 100 TB.",
+)
+def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ..streaming.sink import upsert_stream_into_table
+
+    sdf = events_stream(spark, sf_dir, n_files=4)
+    final, _root = upsert_stream_into_table(
+        sdf, keys=["user_id"], order_cols=["ts", "event_id"]
+    )
+    return final.select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        F.col("event_type").alias("last_type"),
+        F.col("value").alias("last_value"),
+    )

@@ -380,3 +380,68 @@ def window_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("value").over(wfull).alias("last_v"),
         F.nth_value("value", 3).over(wfull).alias("third_v"),
     )
+
+
+@register(
+    "timeseries_gapfill_locf",
+    oracle="""
+    WITH ev AS (
+        SELECT user_id, CAST(ts AS DATE) AS day FROM events
+        WHERE event_type = 'purchase'
+    ),
+    daily AS (SELECT user_id, day, COUNT(*) AS n FROM ev GROUP BY user_id, day),
+    b AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM ev),
+    days AS (
+        SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day FROM b
+    ),
+    users AS (SELECT DISTINCT user_id FROM ev),
+    j AS (
+        SELECT s.user_id, s.day, daily.n
+        FROM (SELECT u.user_id, d.day FROM users u CROSS JOIN days d) s
+        LEFT JOIN daily ON daily.user_id = s.user_id AND daily.day = s.day
+    )
+    SELECT user_id, day,
+           CAST(COALESCE(n, 0) AS BIGINT) AS n_events,
+           CAST(COALESCE(last_value(n IGNORE NULLS) OVER (
+                PARTITION BY user_id ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS BIGINT)
+               AS locf_events,
+           CAST(CASE WHEN n IS NULL THEN 1 ELSE 0 END AS INTEGER) AS is_gap
+    FROM j
+    """,
+    doc="Time-series gap fill + last-observation-carried-forward: a dense "
+    "user x day spine (min..max purchase date) left-joined to daily "
+    "purchase counts, missing days filled with the last seen value. The "
+    "spine is |users| x |days| rows built from a broadcast day list — "
+    "never a shuffle of the fact; LOCF is one window per user partition. "
+    "Integer metrics only, so both engines hash identically. The "
+    "hypertable-rollup/gap-fill idiom of timeseries stores, expressed as "
+    "sequence()+explode and last(ignorenulls).",
+)
+def timeseries_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        load_fixture(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id", F.to_date("ts").alias("day"))
+    )
+    daily = ev.groupBy("user_id", "day").agg(F.count(F.lit(1)).alias("n"))
+    days = (
+        ev.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+        .select(F.explode(F.sequence("d0", "d1")).alias("day"))
+    )
+    spine = ev.select("user_id").distinct().crossJoin(F.broadcast(days))
+    j = spine.join(daily, ["user_id", "day"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return j.select(
+        "user_id",
+        "day",
+        F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n_events"),
+        F.coalesce(F.last("n", ignorenulls=True).over(w), F.lit(0))
+        .cast("bigint")
+        .alias("locf_events"),
+        F.when(F.col("n").isNull(), 1).otherwise(0).cast("int").alias("is_gap"),
+    )

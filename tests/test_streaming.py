@@ -287,3 +287,36 @@ def test_foreachbatch_incremental_merge_equals_batch(spark, sf_dir, tmp_path_fac
     assert got.exceptAll(expected).count() == 0
     assert expected.exceptAll(got).count() == 0
     assert state["version"] == 3  # 4 micro-batches merged incrementally
+
+
+def test_foreachbatch_upsert_versions_and_final_state(spark, sf_dir):
+    """The foreachBatch MERGE sink publishes one version per micro-batch
+    (monotonic _LATEST pointer) and its final state equals the batch
+    latest-per-key reduction of the whole stream."""
+    import os
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from cdw_spark.catalog import load_fixture
+    from cdw_spark.streaming.sink import VersionedParquetTable, upsert_stream_into_table
+    from cdw_spark.streaming.source import events_stream
+
+    final, root = upsert_stream_into_table(
+        events_stream(spark, sf_dir, n_files=4),
+        keys=["user_id"],
+        order_cols=["ts", "event_id"],
+    )
+    table = VersionedParquetTable(root)
+    v = table.latest_version()
+    assert v >= 1  # >1 micro-batch actually merged
+    assert os.path.exists(os.path.join(root, f"_v{v}"))
+
+    ev = load_fixture(spark, sf_dir, "events")
+    win = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    expect = (
+        ev.withColumn("_rn", F.row_number().over(win)).filter("_rn = 1").drop("_rn")
+    )
+    got = {r["user_id"]: r["event_id"] for r in final.collect()}
+    want = {r["user_id"]: r["event_id"] for r in expect.collect()}
+    assert got == want
