@@ -60,6 +60,12 @@ HEADLINE = [
     # round 3: wide-signature near-dup ANN + n-gram LM stats
     "similarity_ann_lsh_wide",
     "text_bigram_topk",
+    # round 3: retrieval / graph / sketch / timeseries layer
+    "text_bm25_search",
+    "graph_pagerank",
+    "sketch_cms_wordfreq",
+    "timeseries_gapfill_locf",
+    "embedding_random_projection",
 ]
 
 
