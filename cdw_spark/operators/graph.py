@@ -31,6 +31,7 @@ def pagerank(
     damping: float = 0.85,
     teleport: float = 0.15,
     checkpoint_every: int = 5,
+    dedupe_edges: bool = True,
 ) -> DataFrame:
     """Damped PageRank over distinct directed edges; returns (node, r).
 
@@ -42,23 +43,45 @@ def pagerank(
     double nearest 0.15, which python's ``1.0 - 0.85`` is NOT (it yields
     0.15000000000000002 — one ulp off, enough to fail a value-hash).
     """
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    # The edge list and node set are referenced by EVERY iteration; without
+    # materialization Spark re-executes the upstream join (+distinct) once
+    # per reference (~10x for 3 iterations — measured 5.7s vs 1.4s for the
+    # materialized adjacency at sf0.1). localCheckpoint truncates lineage
+    # and pins the result in executor storage — the Spark analog of
+    # materializing the adjacency list before a power iteration.
+    # dedupe_edges=False runs the multigraph variant (parallel edges each
+    # carry a contribution — "endorsement-frequency" weighting) and skips
+    # the distinct shuffle entirely.
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    if dedupe_edges:
+        e = e.distinct()
+    e = e.localCheckpoint(eager=True)
+    outdeg = (
+        e.groupBy(F.col("src").alias("node"))
+        .agg(F.count(F.lit(1)).cast("double").alias("outdeg"))
+        .localCheckpoint(eager=True)
+    )
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     n_row = nodes.agg(F.count(F.lit(1)).cast("double").alias("n"))
-    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).cast("double").alias("outdeg"))
 
     ranks = nodes.crossJoin(F.broadcast(n_row)).select(
         "node", (F.lit(1.0) / F.col("n")).alias("r")
     )
     for i in range(iters):
-        contrib = (
-            e.join(ranks, e["src"] == ranks["node"])
-            .join(outdeg, "src")
-            .select(F.col("dst").alias("node"), (F.col("r") / F.col("outdeg")).alias("w"))
+        # r/outdeg materializes on the |V|-row side BEFORE touching edges:
+        # the edge join then broadcasts a tiny (node, w) relation (AQE
+        # picks BHJ) and the only |E|-sized work is the map-side-combined
+        # groupBy(dst).
+        w_rank = ranks.join(outdeg, "node").select(
+            F.col("node").alias("w_src"), (F.col("r") / F.col("outdeg")).alias("w")
+        )
+        contrib = e.join(w_rank, e["src"] == w_rank["w_src"]).select(
+            F.col("dst").alias("node"), "w"
         )
         summed = contrib.groupBy("node").agg(F.sum("w").alias("s"))
         ranks = (

@@ -234,3 +234,65 @@ def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_fixture(spark, sf_dir, "embeddings")
     dim = len(e.select("embedding").first()[0])
     return random_projection(e, dim=dim, out_dim=8)
+
+
+@register(
+    "knn_label_vote",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    nn AS (
+        SELECT probe_id, cand_id, label FROM (
+            SELECT p.vec_id AS probe_id, c.vec_id AS cand_id, c.label,
+                   ROW_NUMBER() OVER (PARTITION BY p.vec_id
+                                      ORDER BY {_COS} DESC, c.vec_id) AS rank
+            FROM e p JOIN e c ON p.vec_id < 10 AND c.vec_id >= 10
+        ) WHERE rank <= 5
+    ),
+    votes AS (SELECT probe_id, label, COUNT(*) AS votes FROM nn GROUP BY probe_id, label)
+    SELECT v.probe_id, v.label AS pred_label, CAST(v.votes AS BIGINT) AS votes,
+           t.label AS true_label
+    FROM (
+        SELECT probe_id, label, votes,
+               ROW_NUMBER() OVER (PARTITION BY probe_id
+                                  ORDER BY votes DESC, label) AS rn
+        FROM votes
+    ) v
+    JOIN (SELECT vec_id, label FROM embeddings WHERE vec_id < 10) t
+      ON t.vec_id = v.probe_id
+    WHERE v.rn = 1
+    """,
+    doc="k-NN majority-vote label classification (k=5, exact cosine): "
+    "probes vec_id<10 classified against the labeled corpus vec_id>=10; "
+    "deterministic vote tie-break toward the smaller label. The "
+    "labeled-neighbor voting primitive for quality/domain propagation "
+    "over unlabeled corpora; scales exactly like similarity_topk "
+    "(broadcast probes, one corpus scan) and swaps to the LSH/IVF "
+    "candidate generators above at 100 TB.",
+)
+def knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    e = load_fixture(spark, sf_dir, "embeddings")
+    probes = e.filter(F.col("vec_id") < 10)
+    corpus = e.filter(F.col("vec_id") >= 10)
+    nn = brute_force_topk(probes, corpus, k=5)
+    votes = (
+        nn.join(corpus.select(F.col("vec_id").alias("cand_id"), "label"), "cand_id")
+        .groupBy("probe_id", "label")
+        .agg(F.count(F.lit(1)).alias("votes"))
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.col("votes").desc(), F.col("label"))
+    return (
+        votes.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .join(
+            probes.select(F.col("vec_id").alias("probe_id"), F.col("label").alias("true_label")),
+            "probe_id",
+        )
+        .select(
+            "probe_id",
+            F.col("label").alias("pred_label"),
+            F.col("votes").cast("bigint").alias("votes"),
+            "true_label",
+        )
+    )
