@@ -834,3 +834,110 @@ def agg_regression_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("intercept"),
         F.round(F.stddev_samp("l_extendedprice").cast("double"), 4).alias("price_sd"),
     )
+
+
+@register(
+    "funnel_conversion",
+    oracle="""
+    WITH s1 AS (
+        SELECT user_id, MIN(ts) AS t1 FROM events
+        WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    s2 AS (
+        SELECT e.user_id, MIN(e.ts) AS t2
+        FROM events e JOIN s1 ON e.user_id = s1.user_id
+        WHERE e.event_type = 'view' AND e.ts > s1.t1
+        GROUP BY e.user_id
+    ),
+    s3 AS (
+        SELECT e.user_id, MIN(e.ts) AS t3
+        FROM events e JOIN s2 ON e.user_id = s2.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+        GROUP BY e.user_id
+    )
+    SELECT
+        (SELECT COUNT(*) FROM s1) AS n_signup,
+        (SELECT COUNT(*) FROM s2) AS n_viewed_after,
+        (SELECT COUNT(*) FROM s3) AS n_purchased_after,
+        ROUND((SELECT COUNT(*) FROM s3) * 100.0
+              / (SELECT COUNT(*) FROM s1), 2) AS pct_full_funnel
+    """,
+    doc="Ordered conversion funnel signup -> view -> purchase: each stage "
+    "counts users whose stage-k event strictly follows their stage-(k-1) "
+    "time. Three key-partitioned conditional MIN aggregations chained by "
+    "joins on user_id — AQE coalesces the same-key exchanges; no window "
+    "over the raw stream, no per-user sort. The event-sequence analytics "
+    "shape every product warehouse needs.",
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_fixture(spark, sf_dir, "events")
+    s1 = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.join(s1, "user_id")
+        .filter((F.col("event_type") == "view") & (F.col("ts") > F.col("t1")))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.join(s2, "user_id")
+        .filter((F.col("event_type") == "purchase") & (F.col("ts") > F.col("t2")))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    c1 = s1.agg(F.count(F.lit(1)).alias("n_signup"))
+    c2 = s2.agg(F.count(F.lit(1)).alias("n_viewed_after"))
+    c3 = s3.agg(F.count(F.lit(1)).alias("n_purchased_after"))
+    return (
+        c1.crossJoin(c2)
+        .crossJoin(c3)
+        .select(
+            "n_signup",
+            "n_viewed_after",
+            "n_purchased_after",
+            F.round(
+                F.col("n_purchased_after") * F.lit(100.0) / F.col("n_signup"), 2
+            ).alias("pct_full_funnel"),
+        )
+    )
+
+
+@register(
+    "cohort_retention",
+    oracle="""
+    WITH p AS (
+        SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk
+        FROM events WHERE event_type = 'purchase'
+    ),
+    cohort AS (SELECT user_id, MIN(wk) AS cohort_wk FROM p GROUP BY user_id)
+    SELECT c.cohort_wk, CAST(date_diff('day', c.cohort_wk, p.wk) // 7 AS INTEGER) AS wk_offset,
+           COUNT(DISTINCT p.user_id) AS n_active
+    FROM p JOIN cohort c ON p.user_id = c.user_id
+    GROUP BY c.cohort_wk, wk_offset
+    """,
+    doc="Weekly cohort retention over purchases: users grouped by first-"
+    "purchase ISO week, activity counted per week offset. Two shuffles "
+    "(cohort assignment on user_id, then the cohort x offset distinct "
+    "count); the cohort relation is |users| rows and broadcast-joins back "
+    "onto the week stream. Pure integer/date output — engine-exact.",
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = (
+        load_fixture(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("wk"))
+    )
+    cohort = p.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    return (
+        p.join(cohort, "user_id")
+        .groupBy(
+            "cohort_wk",
+            (F.datediff(F.col("wk"), F.col("cohort_wk")) / 7)
+            .cast("int")
+            .alias("wk_offset"),
+        )
+        .agg(F.count_distinct("user_id").alias("n_active"))
+    )

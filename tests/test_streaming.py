@@ -320,3 +320,71 @@ def test_foreachbatch_upsert_versions_and_final_state(spark, sf_dir):
     got = {r["user_id"]: r["event_id"] for r in final.collect()}
     want = {r["user_id"]: r["event_id"] for r in expect.collect()}
     assert got == want
+
+
+def test_dedup_within_watermark_evicts_state(spark, sf_dir, tmp_path_factory):
+    """Scale rule stated in stream_dedup's docstring: plain dropDuplicates
+    retains every key forever (state == cumulative distinct keys, zero
+    evictions); dropDuplicatesWithinWatermark ages entries out with event
+    time. Proven from state-store metrics over the same 8-file replay."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from cdw_spark.streaming.source import events_stream
+
+    def run(dedup_within_watermark: bool):
+        sdf = events_stream(spark, sf_dir, n_files=8).select(
+            "user_id", "event_type", "ts"
+        )
+        if dedup_within_watermark:
+            sdf = sdf.withWatermark("ts", "2 hours").dropDuplicatesWithinWatermark(
+                ["user_id", "event_type"]
+            )
+        else:
+            sdf = sdf.dropDuplicates(["user_id", "event_type"])
+        name = f"wmdedup_{int(dedup_within_watermark)}"
+        chk = str(tmp_path_factory.mktemp(f"chk_{name}"))
+        q = (
+            sdf.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", chk)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        _time.sleep(0.3)
+        totals = [
+            p["stateOperators"][0]["numRowsTotal"]
+            for p in q.recentProgress
+            if p["stateOperators"]
+        ]
+        removed = sum(
+            p["stateOperators"][0].get("numRowsRemoved", 0)
+            for p in q.recentProgress
+            if p["stateOperators"]
+        )
+        emitted = spark.table(name).count()
+        return totals, removed, emitted
+
+    totals_plain, removed_plain, emitted_plain = run(False)
+    totals_wm, removed_wm, emitted_wm = run(True)
+
+    from cdw_spark.catalog import load_fixture
+
+    n_keys = (
+        load_fixture(spark, sf_dir, "events")
+        .select("user_id", "event_type")
+        .distinct()
+        .count()
+    )
+
+    # plain: keeps one state row per distinct key, never evicts
+    assert removed_plain == 0
+    assert totals_plain[-1] == n_keys == emitted_plain
+    # watermarked: evictions keep pace with event time; emits again after
+    # expiry, so output is a superset of one-per-key
+    assert removed_wm > 0, totals_wm
+    assert emitted_wm >= emitted_plain
+    assert max(totals_wm) <= max(totals_plain) + n_keys  # never superlinear
