@@ -646,3 +646,79 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             "AS BIGINT)"
         ).alias("q_digest"),
     )
+
+
+@register(
+    "global_shuffle_rank",
+    oracle="""
+    SELECT doc_id,
+           CAST(ROW_NUMBER() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1
+                AS BIGINT) AS shuffle_pos
+    FROM documents
+    """,
+    doc="Reproducible global training-shuffle order: position = global "
+    "rank under md5(doc_id) — engine/partitioning-independent, stable "
+    "across reruns (rand() is neither). The oracle's one-partition "
+    "ROW_NUMBER window is the semantic spec; the Spark plan computes the "
+    "same rank scalably: rank within 256 md5-prefix buckets in parallel, "
+    "then add cumulative bucket offsets from a 256-row window — the "
+    "two-level prefix-sum pattern (same discipline as pack_sequences). "
+    "Because the bucket is the key's own prefix, (bucket, key) order IS "
+    "global key order.",
+)
+def global_shuffle_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = load_fixture(spark, sf_dir, "documents").select(
+        "doc_id", F.md5(F.col("doc_id").cast("string")).alias("k")
+    )
+    d = d.withColumn("bucket", F.conv(F.substring("k", 1, 2), 16, 10).cast("int"))
+    wb = Window.partitionBy("bucket").orderBy("k", "doc_id")
+    ranked = d.withColumn("rk", F.row_number().over(wb))
+    sizes = ranked.groupBy("bucket").agg(F.count(F.lit(1)).alias("sz"))
+    # 256-row relation: the unpartitioned window is bounded by construction
+    wo = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = sizes.select(
+        "bucket", F.coalesce(F.sum("sz").over(wo), F.lit(0)).alias("off")
+    )
+    return ranked.join(F.broadcast(offsets), "bucket").select(
+        "doc_id", (F.col("off") + F.col("rk") - 1).cast("bigint").alias("shuffle_pos")
+    )
+
+
+@register(
+    "incremental_agg_merge",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_value
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="Materialized-view maintenance: the base partial aggregate (days "
+    "1-20) is MERGED with the delta partial (days 21+) by re-aggregating "
+    "the two partial relations — count and decimal-sum are commutative "
+    "monoids, so merge(partials) == full recompute, which is exactly what "
+    "the oracle states. At 100 TB the base partial is |groups| rows read "
+    "from the stored view; only the delta scans raw data.",
+)
+def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_fixture(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-21").cast("date")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("pc"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("ps"),
+        )
+
+    base = partial(ev.filter(F.to_date("ts") < cutoff))
+    delta = partial(ev.filter(F.to_date("ts") >= cutoff))
+    return (
+        base.unionByName(delta)
+        .groupBy("event_type")
+        .agg(
+            F.sum("pc").cast("bigint").alias("n_events"),
+            F.round(F.sum("ps").cast("double"), 2).alias("total_value"),
+        )
+    )
