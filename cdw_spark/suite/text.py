@@ -306,9 +306,9 @@ _SENT_TRIM = " \\t\\n\\r"
     doc="Python UDTF (Spark 4 user-defined TABLE function) splitting "
     "documents into indexed sentences via a LATERAL join — the 1->N "
     "row-generating UDF tier the reference never had (SURVEY.md §2.4 "
-    "row 9). Row-at-a-time Python by design here: the point is the UDTF "
-    "API surface; bulk text work routes through the vectorized Arrow "
-    "paths.",
+    "row 9). Arrow-optimized (useArrow=True — plans ArrowEvalPythonUDTF, "
+    "vectorized batch transfer), so even the UDTF tier stays off the "
+    "row-at-a-time BatchEvalPython path the plan-hygiene sweep bans.",
 )
 def udtf_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     import re as _re
@@ -317,7 +317,7 @@ def udtf_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..catalog import register_fixtures
 
-    @udtf(returnType="idx int, sentence string")
+    @udtf(returnType="idx int, sentence string", useArrow=True)
     class SentenceSplit:
         def eval(self, text: str):
             if text is None:
