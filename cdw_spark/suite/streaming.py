@@ -372,3 +372,91 @@ def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type").alias("last_type"),
         F.col("value").alias("last_value"),
     )
+
+
+@register(
+    "stream_stream_full_outer_join",
+    oracle="""
+    WITH wm AS (
+        SELECT LEAST(
+            (SELECT MAX(ts) FROM events WHERE event_type = 'signup'),
+            (SELECT MAX(ts) FROM events WHERE event_type = 'purchase')
+        ) - INTERVAL 2 HOUR AS w
+    )
+    SELECT s.event_id AS signup_id, p.event_id AS purchase_id,
+           s.user_id, s.ts AS signup_ts, p.ts AS purchase_ts,
+           p.value AS purchase_value
+    FROM events s JOIN events p
+      ON s.user_id = p.user_id
+     AND s.event_type = 'signup' AND p.event_type = 'purchase'
+     AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL 1 HOUR
+    UNION ALL
+    SELECT s.event_id, CAST(NULL AS BIGINT), s.user_id, s.ts,
+           CAST(NULL AS TIMESTAMP), CAST(NULL AS DOUBLE)
+    FROM events s, wm
+    WHERE s.event_type = 'signup'
+      AND NOT EXISTS (
+          SELECT 1 FROM events p
+          WHERE p.event_type = 'purchase' AND p.user_id = s.user_id
+            AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL 1 HOUR
+      )
+      AND s.ts + INTERVAL 1 HOUR < wm.w
+    UNION ALL
+    SELECT CAST(NULL AS BIGINT), p.event_id, p.user_id,
+           CAST(NULL AS TIMESTAMP), p.ts, p.value
+    FROM events p, wm
+    WHERE p.event_type = 'purchase'
+      AND NOT EXISTS (
+          SELECT 1 FROM events s
+          WHERE s.event_type = 'signup' AND s.user_id = p.user_id
+            AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL 1 HOUR
+      )
+      AND p.ts < wm.w
+    """,
+    doc="Stream-stream FULL OUTER interval join: matches emit immediately; "
+    "each side's unmatched rows emit null-padded when that side's state "
+    "expires under the global watermark — signups once wm passes "
+    "signup_ts + the 1h range bound, purchases once wm passes "
+    "purchase_ts (no earlier signup can still arrive). The oracle states "
+    "both eviction rules, so the driver hash checks the two-sided outer "
+    "state machine.",
+)
+def stream_stream_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    signups = (
+        events_stream(spark, sf_dir, n_files=4)
+        .filter(F.col("event_type") == "signup")
+        .select(
+            F.col("event_id").alias("signup_id"),
+            "user_id",
+            F.col("ts").alias("signup_ts"),
+        )
+        .withWatermark("signup_ts", "2 hours")
+    )
+    purchases = (
+        events_stream(spark, sf_dir, n_files=4)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", "2 hours")
+    )
+    joined = signups.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("signup_ts"))
+        & (F.col("purchase_ts") <= F.col("signup_ts") + F.expr("INTERVAL 1 HOUR")),
+        "fullOuter",
+    ).select(
+        "signup_id",
+        "purchase_id",
+        F.coalesce(F.col("user_id"), F.col("p_user_id")).alias("user_id"),
+        "signup_ts",
+        "purchase_ts",
+        "purchase_value",
+    )
+    return run_available_now(joined, "ss_fouter", "append")
