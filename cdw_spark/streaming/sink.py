@@ -43,11 +43,17 @@ class VersionedParquetTable:
         with open(ptr) as f:
             return int(f.read().strip())
 
-    def read(self, spark: SparkSession) -> DataFrame | None:
-        v = self.latest_version()
+    def read(self, spark: SparkSession, version: int | None = None) -> DataFrame | None:
+        """Read the latest version, or a pinned historical one (time
+        travel): every publish is immutable, so `version=N` reproduces the
+        table exactly as batch N left it."""
+        v = self.latest_version() if version is None else version
         if v < 0:
             return None
-        return spark.read.parquet(os.path.join(self.root, f"_v{v}"))
+        path = os.path.join(self.root, f"_v{v}")
+        if not os.path.isdir(path):
+            raise ValueError(f"version {v} does not exist under {self.root}")
+        return spark.read.parquet(path)
 
     def publish(self, df: DataFrame) -> int:
         v = self.latest_version() + 1

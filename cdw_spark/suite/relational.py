@@ -671,3 +671,25 @@ def set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     inter = left.intersectAll(right).select(F.lit("inter_all").alias("tag"), "k")
     diff = left.exceptAll(right).select(F.lit("except_all").alias("tag"), "k")
     return inter.unionAll(diff)
+
+
+@register(
+    "sort_nulls_ordering",
+    oracle="""
+    SELECT doc_id, NULLIF(lang, 'en') AS l
+    FROM documents
+    ORDER BY l NULLS FIRST, doc_id
+    LIMIT 40
+    """,
+    doc="Explicit NULLS FIRST ordering with a LIMIT: the selected set "
+    "proves null-placement semantics match (Spark defaults to NULLS "
+    "FIRST ascending, DuckDB to NULLS LAST — so the clause must be "
+    "stated, not assumed). TakeOrderedAndProject, no global sort.",
+)
+def sort_nulls_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_fixture(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", F.nullif(F.col("lang"), F.lit("en")).alias("l"))
+        .orderBy(F.col("l").asc_nulls_first(), F.col("doc_id"))
+        .limit(40)
+    )

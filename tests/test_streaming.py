@@ -388,3 +388,33 @@ def test_dedup_within_watermark_evicts_state(spark, sf_dir, tmp_path_factory):
     assert removed_wm > 0, totals_wm
     assert emitted_wm >= emitted_plain
     assert max(totals_wm) <= max(totals_plain) + n_keys  # never superlinear
+
+
+def test_versioned_table_time_travel(spark, sf_dir):
+    """Every foreachBatch publish is immutable: version pinning reproduces
+    the table as batch N left it (row counts never shrink under
+    latest-state merge, and v0 < vN for a stream with updates), and a
+    missing version raises instead of silently reading latest."""
+    import pytest as _pytest
+
+    from cdw_spark.streaming.sink import VersionedParquetTable, upsert_stream_into_table
+    from cdw_spark.streaming.source import events_stream
+
+    final, root = upsert_stream_into_table(
+        events_stream(spark, sf_dir, n_files=4),
+        keys=["user_id"],
+        order_cols=["ts", "event_id"],
+    )
+    table = VersionedParquetTable(root)
+    vmax = table.latest_version()
+    assert vmax >= 1
+    counts = [table.read(spark, version=v).count() for v in range(vmax + 1)]
+    assert counts == sorted(counts)  # keys only ever accumulate
+    assert table.read(spark, version=vmax).count() == final.count()
+    # historical version differs from latest in content (updates happened)
+    v0 = {r["user_id"]: r["event_id"] for r in table.read(spark, version=0).collect()}
+    vl = {r["user_id"]: r["event_id"] for r in final.collect()}
+    common = set(v0) & set(vl)
+    assert any(v0[k] != vl[k] for k in common)
+    with _pytest.raises(ValueError):
+        table.read(spark, version=vmax + 7)
