@@ -941,3 +941,64 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count_distinct("user_id").alias("n_active"))
     )
+
+
+@register(
+    "agg_hll_mergeable",
+    oracle=None,  # DataSketches HLL state isn't reproducible in DuckDB SQL;
+    # determinism + mergeability + error bound asserted in tests/test_search.py
+    doc="Mergeable HLL distinct-counting (Apache DataSketches via Spark's "
+    "hll_sketch_agg/hll_union_agg, lgK=12): per-source word-NDV sketches, "
+    "their union, and the direct whole-corpus sketch, each next to the "
+    "exact NDV. The point is the MERGE property that makes 100 TB NDV "
+    "cheap: partial sketches from each partition/day union without "
+    "rescanning — union estimate equals the direct estimate exactly "
+    "(register-wise max), proven in tests.",
+)
+def agg_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.search import index_terms
+
+    tok = load_fixture(spark, sf_dir, "documents").select(
+        "source", F.explode(index_terms(F.col("text"))).alias("term")
+    )
+    per = tok.groupBy("source").agg(
+        F.expr("hll_sketch_agg(term, 12)").alias("sk"),
+        F.count_distinct("term").alias("exact_ndv"),
+    )
+    per_est = per.select(
+        F.col("source").alias("scope"),
+        F.expr("hll_sketch_estimate(sk)").cast("bigint").alias("est_ndv"),
+        F.col("exact_ndv").cast("bigint"),
+    )
+    union_est = per.agg(
+        F.expr("hll_sketch_estimate(hll_union_agg(sk, true))").cast("bigint").alias("est_ndv")
+    ).select(F.lit("_union_of_parts").alias("scope"), "est_ndv", F.lit(None).cast("bigint").alias("exact_ndv"))
+    direct = tok.agg(
+        F.expr("hll_sketch_estimate(hll_sketch_agg(term, 12))").cast("bigint").alias("est_ndv"),
+        F.count_distinct("term").cast("bigint").alias("exact_ndv"),
+    ).select(F.lit("_all_direct").alias("scope"), "est_ndv", "exact_ndv")
+    return per_est.unionByName(union_est).unionByName(direct)
+
+
+@register(
+    "agg_approx_top_k",
+    oracle=None,  # sketch-internal ordering; equality vs exact top-k proven in tests
+    doc="approx_top_k heavy hitters (Spark 4 built-in frequent-items "
+    "sketch) over the token stream — the engine-native alternative to "
+    "the hand-built count-min sketch (sketch_cms_wordfreq): one pass, "
+    "mergeable, fixed memory. Exploded to (term, est_count) rows.",
+)
+def agg_approx_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.search import index_terms
+
+    tok = load_fixture(spark, sf_dir, "documents").select(
+        F.explode(index_terms(F.col("text"))).alias("term")
+    )
+    return (
+        tok.agg(F.expr("approx_top_k(term, 10)").alias("tk"))
+        .select(F.explode("tk").alias("e"))
+        .select(
+            F.col("e.item").alias("term"),
+            F.col("e.count").cast("bigint").alias("est_count"),
+        )
+    )

@@ -122,3 +122,41 @@ def test_inverted_index_postings_sorted_and_df_consistent(spark, docs):
         ids = [int(x) for x in r["postings"].split(",")]
         assert ids == sorted(ids)
         assert len(ids) == r["df"]
+
+
+def test_hll_union_of_parts_equals_direct_sketch(spark, sf_dir):
+    """The merge property behind cheap 100 TB NDV: HLL registers are a max
+    monoid, so union(per-source sketches) must estimate exactly what one
+    whole-corpus sketch estimates; both must sit within DataSketches'
+    lgK=12 relative error of the exact NDV."""
+    from cdw_spark.registry import load_all
+
+    rows = {r["scope"]: r for r in load_all()["agg_hll_mergeable"].fn(spark, sf_dir).collect()}
+    union, direct = rows["_union_of_parts"], rows["_all_direct"]
+    assert union["est_ndv"] == direct["est_ndv"]
+    exact = direct["exact_ndv"]
+    assert abs(direct["est_ndv"] - exact) <= max(1, 0.05 * exact)
+    for scope, r in rows.items():
+        if r["exact_ndv"] is not None:
+            assert abs(r["est_ndv"] - r["exact_ndv"]) <= max(1, 0.05 * r["exact_ndv"])
+
+
+def test_approx_top_k_matches_exact_on_fixture(spark, sf_dir, docs):
+    from pyspark.sql import functions as F
+
+    from cdw_spark.registry import load_all
+
+    approx = {
+        (r["term"], r["est_count"])
+        for r in load_all()["agg_approx_top_k"].fn(spark, sf_dir).collect()
+    }
+    exact = {
+        (r["term"], r["c"])
+        for r in tokenize(docs)
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), "term")
+        .limit(10)
+        .collect()
+    }
+    assert approx == exact
