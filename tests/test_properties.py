@@ -164,3 +164,93 @@ def test_minhash_pipeline_equals_exact_jaccard(spark, bases, data):
     assert lsh <= exact
     # ...and identical-signature pairs can never be missed by banding
     assert clones & exact <= lsh, (clones, exact, lsh)
+
+
+# ---------------------------------------------------------------------------
+# Retrieval / sketch / graph layer vs pure-Python references
+
+_word = st.text(alphabet="abcdefg", min_size=1, max_size=4)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(_word, min_size=1, max_size=60))
+def test_cms_grid_equals_python_reference(spark, words):
+    """The merged CMS grid is fully deterministic (md5 hash family), so the
+    distributed mapInPandas build must equal a pure-Python single-threaded
+    sketch cell for cell — not just within error bounds."""
+    from collections import Counter
+
+    from cdw_spark.operators.sketches import CMS_DEPTH, CMS_WIDTH, _bucket_py, cms_build
+
+    ref: Counter = Counter()
+    for w, c in Counter(words).items():
+        for j in range(CMS_DEPTH):
+            ref[(j, _bucket_py(j, w, CMS_WIDTH))] += c
+    d = spark.createDataFrame([(w,) for w in words], "term string").repartition(3)
+    got = {(r["j"], r["col"]): r["cnt"] for r in cms_build(d).collect()}
+    assert got == dict(ref)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 6), st.integers(0, 6)).filter(lambda e: e[0] != e[1]),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_pagerank_equals_python_power_iteration(spark, edge_list):
+    """Spark PageRank vs a pure-Python power iteration on the same
+    (deduped) digraph: same recurrence, same damping, dangling drop."""
+    from cdw_spark.operators.graph import pagerank
+
+    edges = sorted(set(edge_list))
+    nodes = sorted({u for e in edges for u in e})
+    n = len(nodes)
+    outdeg = {u: sum(1 for a, _ in edges if a == u) for u in nodes}
+    r = {u: 1.0 / n for u in nodes}
+    for _ in range(3):
+        contrib = {u: 0.0 for u in nodes}
+        for a, b in edges:
+            contrib[b] += r[a] / outdeg[a]
+        r = {u: 0.15 / n + 0.85 * contrib[u] for u in nodes}
+
+    d = spark.createDataFrame(edges, "src int, dst int")
+    got = {row["node"]: row["r"] for row in pagerank(d, iters=3).collect()}
+    assert set(got) == set(r)
+    for u in nodes:
+        assert abs(got[u] - r[u]) < 1e-9, (u, got[u], r[u])
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(st.integers(min_value=0, max_value=10**9), min_size=1, max_size=40, unique=True))
+def test_global_shuffle_rank_equals_sorted_md5(spark, ids):
+    """Two-level bucket rank == the plain sorted-by-md5 position. Same
+    plan shape as suite/datasetops.py::global_shuffle_rank, built over a
+    generated id relation instead of the documents fixture."""
+    import hashlib
+
+    d = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    k = d.select("doc_id", F.md5(F.col("doc_id").cast("string")).alias("k"))
+    k = k.withColumn("bucket", F.conv(F.substring("k", 1, 2), 16, 10).cast("int"))
+    wb = Window.partitionBy("bucket").orderBy("k", "doc_id")
+    ranked = k.withColumn("rk", F.row_number().over(wb))
+    sizes = ranked.groupBy("bucket").agg(F.count(F.lit(1)).alias("sz"))
+    wo = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = sizes.select("bucket", F.coalesce(F.sum("sz").over(wo), F.lit(0)).alias("off"))
+    got = {
+        r["doc_id"]: r["pos"]
+        for r in ranked.join(offsets, "bucket")
+        .select("doc_id", (F.col("off") + F.col("rk") - 1).alias("pos"))
+        .collect()
+    }
+    want = {
+        i: pos
+        for pos, i in enumerate(
+            sorted(ids, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))
+        )
+    }
+    assert got == want
