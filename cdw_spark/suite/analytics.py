@@ -952,8 +952,9 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     "their union, and the direct whole-corpus sketch, each next to the "
     "exact NDV. The point is the MERGE property that makes 100 TB NDV "
     "cheap: partial sketches from each partition/day union without "
-    "rescanning — union estimate equals the direct estimate exactly "
-    "(register-wise max), proven in tests.",
+    "rescanning. Rows-only by design (DataSketches state has no DuckDB "
+    "twin); union==direct equality and the error bound are asserted in "
+    "tests/test_search.py.",
 )
 def agg_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.search import index_terms
@@ -986,7 +987,9 @@ def agg_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="approx_top_k heavy hitters (Spark 4 built-in frequent-items "
     "sketch) over the token stream — the engine-native alternative to "
     "the hand-built count-min sketch (sketch_cms_wordfreq): one pass, "
-    "mergeable, fixed memory. Exploded to (term, est_count) rows.",
+    "mergeable, fixed memory. Exploded to (term, est_count) rows. "
+    "Rows-only by design (sketch internals are engine-specific); equality "
+    "vs exact top-10 is asserted in tests/test_search.py.",
 )
 def agg_approx_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.search import index_terms
