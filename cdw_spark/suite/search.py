@@ -228,3 +228,105 @@ def sketch_cms_wordfreq(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketch = cms_build(tok)
     est = cms_estimate(sketch, exact.select("term")).withColumnRenamed("est", "est_cnt")
     return exact.join(est, "term")
+
+
+@register(
+    "text_keyword_search",
+    oracle=f"""
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms_hit
+    FROM (SELECT DISTINCT doc_id, term FROM ({_TOK}))
+    WHERE term IN ('spark', 'hash', 'vector')
+    GROUP BY doc_id
+    HAVING COUNT(*) = 3
+    """,
+    doc="Conjunctive (AND) keyword search: documents containing ALL query "
+    "terms, via the inverted-index relation — a semi-join per term "
+    "collapsed into one group-count-equals filter; one shuffle on doc_id "
+    "over only the matching postings, never a corpus scan per term. The "
+    "boolean-retrieval complement to ranked BM25.",
+)
+def text_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    terms = ["spark", "hash", "vector"]
+    d = load_fixture(spark, sf_dir, "documents")
+    tok = tokenize(d).distinct().filter(F.col("term").isin(terms))
+    return (
+        tok.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_terms_hit"))
+        .filter(F.col("n_terms_hit") == len(terms))
+    )
+
+
+@register(
+    "text_bigram_lm_score",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+        FROM documents
+    ),
+    bg AS (
+        SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2
+        FROM tok, UNNEST(range(1, len(ws))) AS t(i)
+        WHERE len(ws) >= 2
+    ),
+    uni AS (SELECT w1, COUNT(*) AS c1 FROM bg GROUP BY w1),
+    pair AS (SELECT w1, w2, COUNT(*) AS c2 FROM bg GROUP BY w1, w2),
+    vocab AS (SELECT CAST(COUNT(DISTINCT w1) AS DOUBLE) AS v FROM uni),
+    scored AS (
+        SELECT b.doc_id,
+               CAST(ROUND(ln((CAST(p.c2 AS DOUBLE) + CAST(1.0 AS DOUBLE))
+                             / (CAST(u.c1 AS DOUBLE) + vocab.v)), 9)
+                    AS DECIMAL(18, 9)) AS lp
+        FROM bg b
+        JOIN pair p ON b.w1 = p.w1 AND b.w2 = p.w2
+        JOIN uni u ON b.w1 = u.w1
+        CROSS JOIN vocab
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           ROUND(CAST(SUM(lp) AS DOUBLE) / COUNT(*), 6) AS avg_logprob
+    FROM scored
+    GROUP BY doc_id
+    """,
+    doc="Bigram language-model scoring with add-one smoothing: mean "
+    "log P(w_i | w_{i-1}) per document against corpus-wide bigram stats — "
+    "the perplexity-style quality filter of a training-data pipeline. "
+    "Count relations are |vocab|-sized broadcasts; the float discipline "
+    "is load-bearing: each log-prob is rounded to 9 dp and summed as "
+    "DECIMAL(18,9) (exact, order-independent) before the final double "
+    "projection, so engine summation order cannot flip the hash.",
+)
+def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_fixture(spark, sf_dir, "documents")
+    ws = F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z0-9]+"), 0)
+    tok = d.select("doc_id", ws.alias("ws")).filter(F.size("ws") >= 2)
+    bg = tok.select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("ws"), 1, F.size("ws") - 1),
+                F.slice(F.col("ws"), 2, F.size("ws") - 1),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("p"),
+    ).select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    uni = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    pair = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    vocab = uni.agg(F.count_distinct("w1").cast("double").alias("v"))
+    lp = F.round(
+        F.log(
+            (F.col("c2").cast("double") + F.lit(1.0))
+            / (F.col("c1").cast("double") + F.col("v"))
+        ),
+        9,
+    ).cast("decimal(18,9)")
+    return (
+        bg.join(F.broadcast(pair), ["w1", "w2"])
+        .join(F.broadcast(uni), "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select("doc_id", lp.alias("lp"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.round(F.sum("lp").cast("double") / F.count(F.lit(1)), 6).alias("avg_logprob"),
+        )
+    )
