@@ -693,3 +693,30 @@ def sort_nulls_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("l").asc_nulls_first(), F.col("doc_id"))
         .limit(40)
     )
+
+
+@register(
+    "explode_outer_nulls",
+    oracle="""
+    SELECT doc_id,
+           unnest(CASE WHEN len(hits) = 0 THEN [NULL] ELSE hits END) AS hit
+    FROM (
+        SELECT doc_id,
+               list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+                           x -> x IN ('spark', 'vector')) AS hits
+        FROM documents
+    )
+    """,
+    doc="explode_outer null-preservation semantics: documents whose match "
+    "list is empty survive as a NULL row instead of disappearing — the "
+    "LEFT-JOIN-LATERAL corner that inner explode silently gets wrong in "
+    "fan-out pipelines. DuckDB has no outer unnest, so the oracle states "
+    "the same semantics via the [NULL] substitution.",
+)
+def explode_outer_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_fixture(spark, sf_dir, "documents")
+    hits = F.filter(
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z0-9]+"), 0),
+        lambda x: x.isin("spark", "vector"),
+    )
+    return d.select("doc_id", F.explode_outer(hits).alias("hit"))
