@@ -99,3 +99,50 @@ def multimodal_features_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select(
         "doc_id", *[F.col("features")[i].alias(f"f{i}") for i in range(8)]
     )
+
+
+@register(
+    "multimodal_audio_rms",
+    oracle="""
+    WITH f AS (SELECT doc_id, unnest(range(0, 4)) AS frame_idx FROM documents),
+    s AS (SELECT doc_id, frame_idx, unnest(range(0, 64)) AS j FROM f),
+    v AS (
+        SELECT doc_id, frame_idx,
+               ((doc_id * 31 + (frame_idx * 64 + j) * 7) % 2003) - 1001 AS smp
+        FROM s
+    )
+    SELECT doc_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+           ROUND(sqrt(CAST(SUM(smp * smp) AS DOUBLE) / CAST(64.0 AS DOUBLE)), 6) AS rms
+    FROM v
+    GROUP BY doc_id, frame_idx
+    """,
+    doc="Audio modality end-to-end with a REAL stdlib codec: deterministic "
+    "PCM samples per document are wav_encode'd, the 16-bit mono WAV blob "
+    "is wav_decode'd back inside Arrow-batched mapInPandas, and per-64-"
+    "sample frame RMS energy is emitted. The oracle states the same RMS "
+    "math directly on the synthesized samples, so the driver hash checks "
+    "the encode->decode->feature round trip itself (sum of squares is "
+    "exact BIGINT; /64 and sqrt are correctly-rounded IEEE ops in both "
+    "engines). operators/multimodal.py:wav_encode/wav_decode/"
+    "audio_frame_rms.",
+)
+def multimodal_audio_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ..operators.multimodal import audio_frame_rms, wav_encode
+
+    d = load_fixture(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = []
+            for did in pdf["doc_id"]:
+                samples = [((int(did) * 31 + i * 7) % 2003) - 1001 for i in range(256)]
+                blobs.append(wav_encode(samples, 8000))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "audio": blobs})
+
+    with_audio = d.mapInPandas(synth, schema="doc_id long, audio binary")
+    out = audio_frame_rms(with_audio, frame=64)
+    return out.select("doc_id", "frame_idx", F.round("rms", 6).alias("rms"))

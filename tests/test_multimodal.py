@@ -139,3 +139,53 @@ def test_real_ppm_decode_features_resize_end_to_end(spark):
     )
     out = {r.doc_id: bytes(r.blob) for r in resized.collect()}
     assert all(ppm_decode(b)[:2] == (4, 4) for b in out.values())
+
+
+def test_wav_codec_round_trip_and_validation():
+    """Real stdlib WAV path: arbitrary int16 samples survive encode->decode
+    exactly; non-mono / non-16-bit containers are rejected, not guessed."""
+    import io
+    import struct
+    import wave
+
+    import pytest as _pytest
+
+    from cdw_spark.operators.multimodal import wav_decode, wav_encode
+
+    samples = [0, 1, -1, 32767, -32768] + [((i * 997) % 65536) - 32768 for i in range(200)]
+    rate, back = wav_decode(wav_encode(samples, rate=16000))
+    assert rate == 16000 and back == samples
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:  # stereo -> must be rejected
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(struct.pack("<4h", 1, 2, 3, 4))
+    with _pytest.raises(ValueError):
+        wav_decode(buf.getvalue())
+
+
+def test_audio_frame_rms_matches_numpy(spark):
+    """Distributed frame RMS == local numpy reference on generated audio."""
+    import numpy as np
+
+    from cdw_spark.operators.multimodal import audio_frame_rms, wav_encode
+
+    rows = []
+    want = {}
+    for did in range(6):
+        samples = [((did * 131 + i * 17) % 4001) - 2000 for i in range(192)]
+        rows.append((did, bytearray(wav_encode(samples))))
+        arr = np.array(samples, dtype=np.int64)
+        for fi in range(3):
+            fr = arr[fi * 64 : (fi + 1) * 64]
+            want[(did, fi)] = float(np.sqrt(float((fr * fr).sum()) / 64.0))
+    df = spark.createDataFrame(rows, "doc_id long, audio binary")
+    got = {
+        (r["doc_id"], r["frame_idx"]): r["rms"]
+        for r in audio_frame_rms(df, frame=64).collect()
+    }
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-12
