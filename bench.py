@@ -66,6 +66,14 @@ HEADLINE = [
     "sketch_cms_wordfreq",
     "timeseries_gapfill_locf",
     "embedding_random_projection",
+    # round 3 late additions: event analytics, LM scoring, audio, shuffle
+    "funnel_conversion",
+    "cohort_retention",
+    "knn_label_vote",
+    "text_bigram_lm_score",
+    "multimodal_audio_rms",
+    "text_inverted_index",
+    "global_shuffle_rank",
 ]
 
 

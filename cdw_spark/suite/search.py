@@ -309,8 +309,12 @@ def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("p"),
     ).select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
-    uni = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    # one aggregation of the token stream; unigram counts and vocab size
+    # derive from the (much smaller) pair relation instead of rescanning
+    # the exploded bigrams — sum of pair counts per w1 IS the w1 count
+    # (exact integer identity), so the scored values are unchanged
     pair = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    uni = pair.groupBy("w1").agg(F.sum("c2").alias("c1"))
     vocab = uni.agg(F.count_distinct("w1").cast("double").alias("v"))
     lp = F.round(
         F.log(
