@@ -722,3 +722,67 @@ def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("ps").cast("double"), 2).alias("total_value"),
         )
     )
+
+
+@register(
+    "sample_class_balanced",
+    oracle="""
+    WITH sized AS (SELECT label, COUNT(*) AS n FROM embeddings GROUP BY label),
+    k AS (SELECT MIN(n) AS k FROM sized),
+    ranked AS (
+        SELECT vec_id, label,
+               ROW_NUMBER() OVER (PARTITION BY label
+                                  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rk
+        FROM embeddings
+    )
+    SELECT vec_id, label, CAST(rk AS INTEGER) AS rk
+    FROM ranked, k
+    WHERE rk <= k.k
+    """,
+    doc="Deterministic class-balanced resampling: every label downsampled "
+    "to the minority-class size by keeping its smallest-md5 members — "
+    "reproducible across engines, partitionings, and reruns (rand()-based "
+    "sampleBy is none of these). One shuffle on label; the class-size "
+    "relation is a broadcast scalar. The class-balancing step of a "
+    "training-data pipeline.",
+)
+def sample_class_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    e = load_fixture(spark, sf_dir, "embeddings")
+    k = e.groupBy("label").agg(F.count(F.lit(1)).alias("n")).agg(
+        F.min("n").alias("k")
+    )
+    w = Window.partitionBy("label").orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+    return (
+        e.select("vec_id", "label", F.row_number().over(w).alias("rk"))
+        .crossJoin(F.broadcast(k))
+        .filter(F.col("rk") <= F.col("k"))
+        .select("vec_id", "label", F.col("rk").cast("int").alias("rk"))
+    )
+
+
+@register(
+    "quantile_rank_normalize",
+    oracle="""
+    SELECT event_id,
+           event_type,
+           ROUND(PERCENT_RANK() OVER (PARTITION BY event_type
+                                      ORDER BY value, event_id), 6) AS pct_rank
+    FROM events
+    """,
+    doc="Quantile (percent-rank) normalization of a feature within each "
+    "group — maps any value distribution onto [0,1] for training-feature "
+    "scaling; the event_id tie-break makes ranks engine-exact. "
+    "Partitioned window, no global sort.",
+)
+def quantile_rank_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_fixture(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+    )
