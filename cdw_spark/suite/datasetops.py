@@ -786,3 +786,117 @@ def quantile_rank_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
     )
+
+
+@register(
+    "batch_by_length",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id,
+               CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS BIGINT) AS n_tokens
+        FROM documents
+    )
+    SELECT doc_id, n_tokens,
+           CAST(LEAST(n_tokens // 32, 7) AS INTEGER) AS bucket,
+           CAST((ROW_NUMBER() OVER (PARTITION BY LEAST(n_tokens // 32, 7)
+                                    ORDER BY doc_id) - 1) // 16 AS INTEGER) AS batch_id
+    FROM t
+    """,
+    doc="Padding-efficient inference batching: documents bucket by token-"
+    "length band (32-token bands, capped), then form fixed-size batches "
+    "of 16 within each band — batch members have similar lengths, so "
+    "per-batch padding waste is bounded by the band width. Bucket "
+    "assignment is a shuffle-free projection; batch numbering is a "
+    "band-partitioned window, never a global one.",
+)
+def batch_by_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import token_count
+
+    d = load_fixture(spark, sf_dir, "documents").select(
+        "doc_id", token_count(F.col("text")).cast("bigint").alias("n_tokens")
+    )
+    d = d.withColumn("bucket", F.least(F.expr("n_tokens div 32"), F.lit(7)).cast("int"))
+    return d.select(
+        "doc_id",
+        "n_tokens",
+        "bucket",
+        F.expr("cast((row_number() over (partition by bucket order by doc_id) - 1) div 16 as int)").alias(
+            "batch_id"
+        ),
+    )
+
+
+@register(
+    "select_token_budget",
+    oracle="""
+    WITH m AS (
+        SELECT doc_id,
+            len(string_split_regex(lower(trim(text)), '\\s+')) * 1.0 AS toks,
+            CASE WHEN length(text) > 0
+                 THEN length(regexp_replace(text, '[^.,!?;:]', '', 'g')) * 1.0 / length(text)
+                 ELSE 0.0 END AS pr,
+            CASE WHEN len(string_split_regex(lower(trim(text)), '\\s+')) > 0
+                 THEN len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                          x -> list_contains(['the', 'a', 'an', 'and', 'or', 'of', 'to', 'in', 'is', 'it'], x))) * 1.0
+                      / len(string_split_regex(lower(trim(text)), '\\s+'))
+                 ELSE 0.0 END AS sr
+        FROM documents
+    ),
+    q AS (
+        SELECT doc_id, CAST(toks AS BIGINT) AS n_tokens,
+               ROUND(0.4 * LEAST(toks / 100.0, 1.0) + 0.3 * (1.0 - pr) + 0.3 * sr, 6) AS quality
+        FROM m
+    )
+    SELECT doc_id, n_tokens, quality,
+           CAST(SUM(n_tokens) OVER (ORDER BY quality DESC, doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+    FROM q
+    QUALIFY cum_tokens <= 20000
+    """,
+    doc="Token-budget corpus selection: take documents best-quality-first "
+    "until a 20k-token budget is filled (the data-selection step before "
+    "a training run). The oracle's one-partition running sum is the "
+    "semantic spec; the Spark plan computes the same prefix sum "
+    "scalably — quality bands (the score's own leading digits) rank in "
+    "parallel and shift by cumulative band token-offsets from a bounded "
+    "21-row window, the same two-level pattern as global_shuffle_rank "
+    "and pack_sequences. Integer token sums — engine-exact.",
+)
+def select_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from ..functions.text import quality_score, token_count
+
+    budget = 20000
+    d = load_fixture(spark, sf_dir, "documents").select(
+        "doc_id",
+        token_count(F.col("text")).cast("bigint").alias("n_tokens"),
+        quality_score(F.col("text")).alias("quality"),
+    )
+    # band = leading digits of the score: ordering by (band desc, quality
+    # desc, doc_id) IS ordering by (quality desc, doc_id)
+    d = d.withColumn("band", F.floor(F.col("quality") * 20).cast("int"))
+    wb = (
+        Window.partitionBy("band")
+        .orderBy(F.col("quality").desc(), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = d.withColumn("run", F.sum("n_tokens").over(wb))
+    sizes = ranked.groupBy("band").agg(F.sum("n_tokens").alias("band_toks"))
+    wo = (
+        Window.orderBy(F.col("band").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )  # bounded: <= 21 bands by construction
+    offsets = sizes.select(
+        "band", F.coalesce(F.sum("band_toks").over(wo), F.lit(0)).alias("off")
+    )
+    return (
+        ranked.join(F.broadcast(offsets), "band")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "quality",
+            (F.col("off") + F.col("run")).cast("bigint").alias("cum_tokens"),
+        )
+        .filter(F.col("cum_tokens") <= budget)
+    )
