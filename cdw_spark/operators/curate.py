@@ -328,3 +328,49 @@ def merge_latest_state(
         *[F.coalesce(F.col(f"s.{c}"), F.col(f"t.{c}")).alias(c) for c in payload],
         op,
     )
+
+
+def snapshot_diff(
+    snap_a: DataFrame,
+    snap_b: DataFrame,
+    key: str,
+    compare_cols: list[str],
+) -> DataFrame:
+    """Change-data-feed between two keyed snapshots (the read side of
+    Delta/Iceberg CDF): full-outer join on ``key``, classify each key as
+    insert (B only), delete (A only), or update (both, any compare column
+    differs — NULL-safe), and emit one row per CHANGED key with old_*/new_*
+    column pairs. Unchanged keys are filtered out, so the feed size tracks
+    churn, not table size.
+
+    Scale shape: one co-partitioned shuffle on the key for the full-outer
+    join (AQE-coalesced); the change classification is a codegen'd
+    projection. At 100 TB both snapshots would be bucketed on the key so
+    the join is exchange-free (plans/layout.py:write_bucketed).
+    """
+    a = snap_a.select(
+        F.col(key), F.lit(True).alias("_in_a"),
+        *[F.col(c).alias(f"old_{c}") for c in compare_cols],
+    )
+    b = snap_b.select(
+        F.col(key), F.lit(True).alias("_in_b"),
+        *[F.col(c).alias(f"new_{c}") for c in compare_cols],
+    )
+    joined = a.join(b, on=key, how="full_outer")
+    in_a = F.coalesce(F.col("_in_a"), F.lit(False))
+    in_b = F.coalesce(F.col("_in_b"), F.lit(False))
+    differs = None
+    for c in compare_cols:
+        d = ~F.col(f"old_{c}").eqNullSafe(F.col(f"new_{c}"))
+        differs = d if differs is None else (differs | d)
+    change = (
+        F.when(~in_a, F.lit("insert"))
+        .when(~in_b, F.lit("delete"))
+        .when(differs, F.lit("update"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        joined.withColumn("change", change)
+        .filter(F.col("change") != "unchanged")
+        .select(key, "change", *[f"old_{c}" for c in compare_cols], *[f"new_{c}" for c in compare_cols])
+    )

@@ -490,3 +490,69 @@ def connected_components(
             "components; raise max_iter"
         )
     return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("component_id"))
+
+
+def paragraph_dedup(
+    docs: DataFrame,
+    block_words: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """C4-style repeated-span removal (Raffel et al. 2020 §2.2 discard
+    rule, word-block granularity): split each document into non-overlapping
+    ``block_words``-word blocks, count every block's occurrences across the
+    WHOLE corpus, delete blocks that appear more than once anywhere, and
+    reassemble the survivors in order.
+
+    Output: (doc_id, n_blocks, n_removed, cleaned_text).
+
+    Scale shape: the only shuffle is hash-partitioning blocks by their
+    text for the global occurrence count — a window COUNT over the block
+    key, so counting and the keep/drop decision happen in ONE exchange
+    (no count-table self-join, no second shuffle). Document bodies travel
+    once, already cut into blocks; reassembly groups by doc_id (second
+    exchange, bounded by surviving blocks). At 100 TB, replace the raw
+    block string key with its md5 to shrink shuffle payload — kept as the
+    plain string here so the corpus-count semantics stay oracle-checkable
+    verbatim.
+    """
+    words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    nblk = F.ceil(F.size(F.col("ws")) / F.lit(block_words)).cast("int")
+    blocks = (
+        docs.select(F.col(id_col), words.alias("ws"))
+        .select(
+            id_col,
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), nblk - F.lit(1)),
+                    lambda j: F.array_join(
+                        F.slice("ws", j * block_words + F.lit(1), F.lit(block_words)), " "
+                    ),
+                )
+            ).alias("bidx", "block"),
+        )
+    )
+    from pyspark.sql import Window
+
+    occ = F.count("*").over(Window.partitionBy("block"))
+    counted = blocks.withColumn("occ", occ)
+    return counted.groupBy(id_col).agg(
+        F.count("*").cast("bigint").alias("n_blocks"),
+        F.sum(F.when(F.col("occ") > 1, 1).otherwise(0)).cast("bigint").alias("n_removed"),
+        F.array_join(
+            F.transform(
+                F.filter(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                F.col("bidx"), F.col("block"), (F.col("occ") == 1).alias("keep")
+                            )
+                        )
+                    ),
+                    lambda s: s["keep"],
+                ),
+                lambda s: s["block"],
+            ),
+            " ",
+        ).alias("cleaned_text"),
+    )

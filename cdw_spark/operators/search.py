@@ -160,3 +160,40 @@ def bm25_search(
         .limit(k)
         .select(id_col, "score", F.row_number().over(w).cast("int").alias("rk"))
     )
+
+
+def phrase_search(
+    docs: DataFrame,
+    phrase: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact phrase search over POSITIONAL postings: tokenize with term
+    positions, keep only postings of the phrase's words (filter pushes to
+    the scan), then equi-join word k's postings to word k+1's on
+    (doc, pos+1) — the classic positional-inverted-index adjacency walk.
+
+    Output: (doc_id, n_hits) for documents containing the phrase at least
+    once, n_hits = number of distinct starting positions.
+
+    Scale shape: each join side is pre-filtered to ONE term's postings
+    (tiny fraction of the corpus), and joins hash-partition on
+    (doc, position) — never a scan-by-scan product. A k-word phrase is
+    k-1 chained equi-joins, each further shrinking the candidate set."""
+    toks = docs.select(
+        F.col(id_col),
+        F.posexplode(index_terms(F.col(text_col))).alias("pos", "term"),
+    )
+    cur = (
+        toks.filter(F.col("term") == phrase[0])
+        .select(F.col(id_col), F.col("pos").alias("p0"))
+    )
+    for k, word in enumerate(phrase[1:], start=1):
+        nxt = toks.filter(F.col("term") == word).select(
+            F.col(id_col).alias("_d"), F.col("pos").alias(f"p{k}")
+        )
+        cur = cur.join(
+            nxt,
+            (cur[id_col] == nxt["_d"]) & (nxt[f"p{k}"] == cur["p0"] + k),
+        ).drop("_d", f"p{k}")
+    return cur.groupBy(id_col).agg(F.count("*").cast("bigint").alias("n_hits"))

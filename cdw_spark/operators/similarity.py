@@ -591,3 +591,75 @@ def random_projection_oracle_sql(
         terms = " + ".join(f"{vec_expr}[{i + 1}]*({w!r})" for i, w in enumerate(signs))
         parts.append(f"ROUND(({terms}) * ({scale!r}), 6) AS r{j}")
     return ", ".join(parts)
+
+
+# ---------------------------------------------------------------------------
+# Semantic deduplication (SemDeDup, Abbas et al. 2023): cluster the
+# embedding space, compare pairs ONLY within a cluster, keep one exemplar
+# per near-duplicate group.
+
+def _pair_dot_sql(a: str, b: str, dim: int) -> str:
+    """dot(row_vec_a, row_vec_b) as an unrolled left-assoc SQL chain —
+    codegen-friendly (no interpreted HOF per pair) and bit-identical to
+    DuckDB list_dot_product's sequential fold."""
+    return "(" + " + ".join(f"{a}[{i}]*{b}[{i}]" for i in range(dim)) + ")"
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    threshold: float = 0.35,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = N_PLANES,
+) -> DataFrame:
+    """SemDeDup over an embedding column: the cluster id is the
+    deterministic ``n_planes``-bit random-hyperplane signature (the same
+    literal planes as the ANN layer, so the clustering itself is
+    oracle-checkable), pairwise exact cosine runs only inside a cluster,
+    and every vector with a LOWER-id cluster-mate at cosine >= threshold
+    is marked a duplicate of that group's minimum id.
+
+    Output: (dup_id, keep_id, cluster, cosine) — one row per removed
+    vector, keep_id = the exemplar it collapses into, cosine = similarity
+    to that exemplar (deterministic arg_min tie-break).
+
+    Scale shape: the self-join equi-joins on the signature, so work is
+    per-bucket pair products (sum of |bucket|^2), never |corpus|^2 — the
+    same restrict-then-verify shape as the LSH pair pipeline, with
+    hamming=0 because SemDeDup's semantics are intra-cluster only. At
+    100 TB, raise n_planes so bucket occupancy stays bounded (each added
+    bit halves expected bucket size), or swap the signature for trained
+    IVF centroid ids (ivf_train) when cluster quality matters more than
+    oracle determinism; the pair scorer is unchanged either way.
+    """
+    dim = len(corpus.select(vec_col).first()[0])
+    # Norms are projected per-VECTOR before the self-join: dot+2 norms in
+    # the join's consume method (192 multiply-adds) blows Janino's 64 KB
+    # limit and the whole stage runs interpreted; norm-ahead keeps the
+    # join-stage expression at one 64-term dot, which codegens.
+    sigs = with_signature(
+        corpus.select(F.col(id_col).alias("_id"), to_double_array(F.col(vec_col)).alias("v")),
+        "v", dim, "sig", n_planes,
+    ).withColumn("nrm", F.expr(_norm_sql("v", dim)))
+    a = sigs.select(
+        F.col("_id").alias("keep_id"), F.col("v").alias("av"),
+        F.col("nrm").alias("na"), F.col("sig").alias("cluster"),
+    )
+    b = sigs.select(
+        F.col("_id").alias("dup_id"), F.col("v").alias("bv"),
+        F.col("nrm").alias("nb"), F.col("sig").alias("cluster"),
+    )
+    pairs = (
+        a.join(b, on=["cluster"])
+        .filter(F.col("keep_id") < F.col("dup_id"))
+        .withColumn(
+            "cos_raw",
+            F.expr(_pair_dot_sql("av", "bv", dim)) / (F.col("na") * F.col("nb")),
+        )
+        .filter(F.col("cos_raw") >= F.lit(threshold))
+    )
+    return pairs.groupBy("dup_id").agg(
+        F.min("keep_id").alias("keep_id"),
+        F.min("cluster").cast("int").alias("cluster"),
+        F.round(F.min_by("cos_raw", "keep_id"), 6).alias("cosine"),
+    ).select("dup_id", "keep_id", "cluster", "cosine")

@@ -1005,3 +1005,140 @@ def agg_approx_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("e.count").cast("bigint").alias("est_count"),
         )
     )
+
+
+@register(
+    "event_transition_matrix",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               LEAD(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS next_type
+        FROM events
+    )
+    SELECT event_type AS src, next_type AS dst,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(COUNT(*) * 1.0 / SUM(COUNT(*)) OVER (PARTITION BY event_type), 6) AS p
+    FROM seq WHERE next_type IS NOT NULL
+    GROUP BY event_type, next_type
+    """,
+    doc="First-order Markov transition matrix over per-user event "
+    "sequences: LEAD in one partition sort, pair counts, row-normalized "
+    "probabilities via a window over the grouped result (|types|^2 rows "
+    "— tiny at any corpus scale). The session-flow/clickstream analytics "
+    "shape; also the statistics a sequence-model data audit needs.",
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_fixture(spark, sf_dir, "events")
+    seq = ev.select(
+        "event_type",
+        F.lead("event_type")
+        .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("next_type"),
+    ).filter(F.col("next_type").isNotNull())
+    counts = seq.groupBy(
+        F.col("event_type").alias("src"), F.col("next_type").alias("dst")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    return counts.select(
+        "src",
+        "dst",
+        "n",
+        F.round(
+            F.col("n") * F.lit(1.0) / F.sum("n").over(Window.partitionBy("src")), 6
+        ).alias("p"),
+    )
+
+
+@register(
+    "session_paths_topk",
+    oracle="""
+    WITH paths AS (
+        SELECT user_id, CAST(ts AS DATE) AS day,
+               string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+        FROM events GROUP BY user_id, CAST(ts AS DATE)
+    )
+    SELECT path, CAST(COUNT(*) AS BIGINT) AS n
+    FROM paths GROUP BY path
+    ORDER BY n DESC, path LIMIT 15
+    """,
+    doc="Top-15 most common user-day event paths ('signup>view>purchase' "
+    "strings): per-(user,day) ordered path assembly via sorted "
+    "collect_list, then a global frequency top-k — TakeOrderedAndProject, "
+    "no single-partition window. Path explosion is bounded by distinct "
+    "paths, not users.",
+)
+def session_paths_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_fixture(spark, sf_dir, "events")
+    paths = ev.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("ts", "event_id", "event_type"))),
+                lambda s: s["event_type"],
+            ),
+            ">",
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .orderBy(F.col("n").desc(), "path")
+        .limit(15)
+    )
+
+
+@register(
+    "outlier_mad",
+    oracle="""
+    WITH med AS (
+        SELECT event_type, quantile_cont(value, 0.50) AS med
+        FROM events GROUP BY event_type
+    ),
+    dev AS (
+        SELECT e.event_id, e.event_type, e.value, m.med
+        FROM events e JOIN med m USING (event_type)
+    ),
+    mad AS (
+        SELECT event_type, quantile_cont(abs(value - med), 0.50) AS mad
+        FROM dev GROUP BY event_type
+    )
+    SELECT d.event_id, d.event_type, ROUND(d.value, 6) AS value,
+           ROUND((d.value - d.med) * CAST(0.6745 AS DOUBLE) / m.mad, 6) AS robust_z
+    FROM dev d JOIN mad m USING (event_type)
+    WHERE abs(ROUND((d.value - d.med) * CAST(0.6745 AS DOUBLE) / m.mad, 6))
+          > CAST(3.5 AS DOUBLE)
+    """,
+    doc="Robust outlier detection via median absolute deviation "
+    "(Iglewicz-Hoaglin modified z, |z| > 3.5): per-type exact median, "
+    "then the median of absolute deviations, then a broadcast join of the "
+    "5-row (type, med, mad) relation back onto the stream. Unlike the "
+    "mean/stddev z-score (outlier_zscore), MAD doesn't let the outliers "
+    "inflate their own yardstick. The flag compares the ROUNDED z so the "
+    "cut is reproducible across engines' last-ulp interpolation "
+    "differences.",
+)
+def outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_fixture(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.50)").alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_id", "event_type", "value", "med"
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(abs(value - med), 0.50)").alias("mad")
+    )
+    z = F.round(
+        (F.col("value") - F.col("med")) * F.lit(0.6745) / F.col("mad"), 6
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            F.round("value", 6).alias("value"),
+            z.alias("robust_z"),
+        )
+        .filter(F.abs(F.col("robust_z")) > F.lit(3.5))
+    )

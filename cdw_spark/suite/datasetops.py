@@ -900,3 +900,137 @@ def select_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("cum_tokens") <= budget)
     )
+
+
+# Two keyed snapshots of "latest order per customer", one year apart:
+# customers active only in the earlier window read as deletes, only in the
+# later one as inserts, and a changed latest-order as an update.
+_SNAP_SQL = """
+    snap_a AS (
+        SELECT o_custkey, o_orderkey, o_totalprice FROM (
+            SELECT o_custkey, o_orderkey, o_totalprice,
+                   ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                      ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+            FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01'
+        ) WHERE rn = 1
+    ),
+    snap_b AS (
+        SELECT o_custkey, o_orderkey, o_totalprice FROM (
+            SELECT o_custkey, o_orderkey, o_totalprice,
+                   ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                      ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+            FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        ) WHERE rn = 1
+    )
+"""
+
+
+@register(
+    "cdc_snapshot_diff",
+    oracle="WITH "
+    + _SNAP_SQL
+    + """
+    SELECT COALESCE(a.o_custkey, b.o_custkey) AS o_custkey,
+           CASE WHEN a.o_custkey IS NULL THEN 'insert'
+                WHEN b.o_custkey IS NULL THEN 'delete'
+                ELSE 'update' END AS change,
+           a.o_orderkey AS old_o_orderkey,
+           ROUND(a.o_totalprice, 2) AS old_o_totalprice,
+           b.o_orderkey AS new_o_orderkey,
+           ROUND(b.o_totalprice, 2) AS new_o_totalprice
+    FROM snap_a a FULL OUTER JOIN snap_b b ON a.o_custkey = b.o_custkey
+    WHERE a.o_custkey IS NULL OR b.o_custkey IS NULL
+       OR a.o_orderkey IS DISTINCT FROM b.o_orderkey
+       OR a.o_totalprice IS DISTINCT FROM b.o_totalprice
+    """,
+    doc="Change-data-feed between two keyed snapshots (the read side of "
+    "Delta/Iceberg CDF): latest-order-per-customer a year apart, "
+    "full-outer joined on the key and classified insert/delete/update "
+    "with NULL-safe comparisons; unchanged keys drop out so feed size "
+    "tracks churn. One co-partitioned exchange; bucketed snapshots make "
+    "it exchange-free (operators/curate.py:snapshot_diff).",
+)
+def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..operators.curate import snapshot_diff
+
+    orders = load_fixture(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+
+    def latest(df: DataFrame) -> DataFrame:
+        return (
+            df.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("o_custkey", "o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice"))
+        )
+
+    snap_a = latest(orders.filter(F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")))
+    snap_b = latest(orders.filter(F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp")))
+    return snapshot_diff(snap_a, snap_b, "o_custkey", ["o_orderkey", "o_totalprice"])
+
+
+@register(
+    "gdpr_erase_cascade",
+    oracle="""
+    WITH victims AS (SELECT c_custkey FROM customer WHERE c_custkey % 97 = 0),
+    victim_orders AS (
+        SELECT o_orderkey FROM orders WHERE o_custkey IN (SELECT c_custkey FROM victims)
+    )
+    SELECT 'customer' AS table_name,
+           CAST((SELECT COUNT(*) FROM victims) AS BIGINT) AS n_erased,
+           CAST((SELECT COUNT(*) FROM customer) -
+                (SELECT COUNT(*) FROM victims) AS BIGINT) AS n_remaining
+    UNION ALL
+    SELECT 'orders',
+           CAST((SELECT COUNT(*) FROM victim_orders) AS BIGINT),
+           CAST((SELECT COUNT(*) FROM orders) -
+                (SELECT COUNT(*) FROM victim_orders) AS BIGINT)
+    UNION ALL
+    SELECT 'lineitem',
+           CAST((SELECT COUNT(*) FROM lineitem
+                 WHERE l_orderkey IN (SELECT o_orderkey FROM victim_orders)) AS BIGINT),
+           CAST((SELECT COUNT(*) FROM lineitem
+                 WHERE l_orderkey NOT IN (SELECT o_orderkey FROM victim_orders)) AS BIGINT)
+    """,
+    doc="GDPR/right-to-be-forgotten erasure audit: a deletion list "
+    "(c_custkey % 97 = 0) cascades customer -> orders -> lineitem via "
+    "LEFT SEMI / LEFT ANTI joins; output is the per-table erased/remaining "
+    "ledger the compliance job must produce before rewriting files. The "
+    "deletion list broadcasts (bounded by the request queue, not the "
+    "corpus); facts are never collected.",
+)
+def gdpr_erase_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fully lazy: each ledger row is a one-row aggregate over the table
+    with an erase flag attached by broadcast join — no driver-side
+    counting, so the whole ledger is one job when the driver collects."""
+    customer = load_fixture(spark, sf_dir, "customer")
+    orders = load_fixture(spark, sf_dir, "orders")
+    lineitem = load_fixture(spark, sf_dir, "lineitem")
+    victims = customer.filter(F.col("c_custkey") % 97 == 0).select("c_custkey")
+    victim_orders = orders.join(
+        F.broadcast(victims), orders.o_custkey == victims.c_custkey, "left_semi"
+    ).select("o_orderkey")
+
+    def ledger(name: str, tagged: DataFrame) -> DataFrame:
+        return tagged.agg(
+            F.lit(name).alias("table_name"),
+            F.sum(F.when(F.col("_erase"), 1).otherwise(0)).cast("bigint").alias("n_erased"),
+            F.sum(F.when(F.col("_erase"), 0).otherwise(1)).cast("bigint").alias("n_remaining"),
+        )
+
+    cust_tag = customer.select((F.col("c_custkey") % 97 == 0).alias("_erase"))
+    ord_tag = orders.join(
+        F.broadcast(victims.withColumn("_hit", F.lit(True))),
+        orders.o_custkey == victims.c_custkey,
+        "left",
+    ).select(F.coalesce(F.col("_hit"), F.lit(False)).alias("_erase"))
+    vo = victim_orders.withColumn("_hit", F.lit(True))
+    li_tag = lineitem.join(
+        F.broadcast(vo), lineitem.l_orderkey == vo.o_orderkey, "left"
+    ).select(F.coalesce(F.col("_hit"), F.lit(False)).alias("_erase"))
+    return ledger("customer", cust_tag).unionAll(ledger("orders", ord_tag)).unionAll(
+        ledger("lineitem", li_tag)
+    )

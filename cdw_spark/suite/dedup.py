@@ -189,3 +189,83 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pairs = ngram_jaccard_pairs(load_fixture(spark, sf_dir, "documents"))
     return connected_components(pairs)
+
+
+@register(
+    "dedup_paragraphs",
+    oracle="""
+    WITH w AS (
+        SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws
+        FROM documents
+    ), blk0 AS (
+        SELECT doc_id, unnest(
+            [{'bidx': j, 'block': array_to_string(ws[(j*8+1):(j*8+8)], ' ')}
+             for j in range(0, CAST(ceil(len(ws)/8.0) AS BIGINT))]) AS b
+        FROM w
+    ), blk AS (
+        SELECT doc_id, b['bidx'] AS bidx, b['block'] AS block FROM blk0
+    ), c AS (
+        SELECT doc_id, bidx, block,
+               COUNT(*) OVER (PARTITION BY block) AS occ
+        FROM blk
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_blocks,
+           CAST(SUM(CASE WHEN occ > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+           COALESCE(string_agg(CASE WHEN occ = 1 THEN block END, ' ' ORDER BY bidx), '')
+               AS cleaned_text
+    FROM c GROUP BY doc_id
+    """,
+    doc="C4-style repeated-span removal: cut every document into "
+    "non-overlapping 8-word blocks, drop any block whose text occurs more "
+    "than once across the WHOLE corpus, reassemble survivors in order "
+    "(Raffel et al. 2020's discard rule at word-block granularity — the "
+    "within/cross-document span scrubber that complements whole-document "
+    "dedup). Count + keep decision share ONE exchange (window COUNT over "
+    "the block key).",
+)
+def dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import paragraph_dedup
+
+    return paragraph_dedup(load_fixture(spark, sf_dir, "documents"), block_words=8)
+
+
+from ..operators.similarity import signature_oracle_sql as _sig_sql
+
+_EMB_DIM = 64
+
+@register(
+    "dedup_semantic",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    sigs AS (
+        SELECT vec_id, v, {_sig_sql("v", _EMB_DIM)} AS sig FROM e
+    ),
+    pairs AS (
+        SELECT b.vec_id AS dup_id, a.vec_id AS keep_id, a.sig AS cluster,
+               list_dot_product(a.v, b.v) /
+               (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cos_raw
+        FROM sigs a JOIN sigs b ON a.sig = b.sig AND a.vec_id < b.vec_id
+    )
+    SELECT dup_id, MIN(keep_id) AS keep_id,
+           CAST(MIN(cluster) AS INTEGER) AS cluster,
+           ROUND(arg_min(cos_raw, keep_id), 6) AS cosine
+    FROM pairs
+    WHERE cos_raw >= CAST(0.25 AS DOUBLE)
+    GROUP BY dup_id
+    """,
+    doc="SemDeDup (Abbas et al. 2023) over the dense embedding column: "
+    "cluster = the deterministic 8-bit hyperplane signature (same literal "
+    "planes as the ANN layer, so the CLUSTERING itself is value-oracled), "
+    "pairwise exact cosine only within a cluster, every vector with a "
+    "lower-id cluster-mate at cosine >= 0.25 collapses into that group's "
+    "exemplar. Intra-cluster equi-join — per-bucket pair products, never "
+    "|corpus|^2.",
+)
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signature equi-join restricts comparisons to cluster-mates; the
+    pair dot is an unrolled codegen chain with DuckDB fold parity
+    (operators/similarity.py:semantic_dedup)."""
+    from ..operators.similarity import semantic_dedup
+
+    return semantic_dedup(load_fixture(spark, sf_dir, "embeddings"), threshold=0.25)

@@ -334,3 +334,33 @@ def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("lp").cast("double") / F.count(F.lit(1)), 6).alias("avg_logprob"),
         )
     )
+
+
+@register(
+    "text_phrase_search",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        FROM documents
+    ), p AS (
+        SELECT doc_id, unnest(range(1, len(toks)+1)) AS pos, toks FROM t
+    ), w AS (
+        SELECT doc_id, pos, toks[pos] AS term FROM p
+    )
+    SELECT a.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+    FROM w a JOIN w b
+      ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+    WHERE a.term = 'table' AND b.term = 'hash'
+    GROUP BY a.doc_id
+    """,
+    doc="Exact phrase search ('table hash') over positional postings: "
+    "tokenize with positions, filter each side to one term's postings "
+    "(pushdown), adjacency equi-join on (doc, pos+1). The positional "
+    "complement of the conjunctive keyword search — k-word phrases chain "
+    "k-1 joins, each shrinking candidates (operators/search.py:"
+    "phrase_search).",
+)
+def text_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.search import phrase_search
+
+    return phrase_search(load_fixture(spark, sf_dir, "documents"), ["table", "hash"])

@@ -445,3 +445,54 @@ def timeseries_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("locf_events"),
         F.when(F.col("n").isNull(), 1).otherwise(0).cast("int").alias("is_gap"),
     )
+
+
+@register(
+    "timeseries_ewma",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_id, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT user_id, event_id, ROUND(value, 6) AS value,
+           ROUND(
+               SUM(value * pow(2.0, rn)) OVER (
+                   PARTITION BY user_id ORDER BY rn
+                   ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)
+               / SUM(pow(2.0, rn)) OVER (
+                   PARTITION BY user_id ORDER BY rn
+                   ROWS BETWEEN 7 PRECEDING AND CURRENT ROW), 6) AS ewma
+    FROM seq
+    """,
+    doc="Exponentially weighted moving average (half-life = 1 step, "
+    "8-step horizon) per user over purchase values. The recursion "
+    "ewma_t = a*x_t + (1-a)*ewma_(t-1) is re-expressed closed-form as "
+    "SUM(x*2^rn)/SUM(2^rn) over the trailing frame — two windowed sums "
+    "in ONE partition sort, no recursion, no UDF; exact powers of two "
+    "make the rescaling float-exact on both engines. The trailing-frame "
+    "horizon bounds the exponent so the terms never overflow at any "
+    "sequence length.",
+)
+def timeseries_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_fixture(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    seq = ev.select(
+        "user_id",
+        "event_id",
+        "value",
+        F.row_number()
+        .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("rn"),
+    )
+    frame = (
+        Window.partitionBy("user_id").orderBy("rn").rowsBetween(-7, Window.currentRow)
+    )
+    num = F.sum(F.col("value") * F.pow(F.lit(2.0), F.col("rn"))).over(frame)
+    den = F.sum(F.pow(F.lit(2.0), F.col("rn"))).over(frame)
+    return seq.select(
+        "user_id",
+        "event_id",
+        F.round("value", 6).alias("value"),
+        F.round(num / den, 6).alias("ewma"),
+    )

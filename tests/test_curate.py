@@ -200,3 +200,31 @@ def test_pack_sequences_bucket_guard_and_width_invariance(spark, sf_dir):
         for r in pack_sequences(docs, bucket_width=7).collect()
     }
     assert a == b
+
+
+def test_snapshot_diff_classifies_all_change_kinds(spark):
+    from cdw_spark.operators.curate import snapshot_diff
+
+    snap_a = spark.createDataFrame(
+        [(1, 10, 1.0), (2, 20, 2.0), (3, 30, 3.0), (5, 50, None)],
+        "k long, ver long, val double",
+    )
+    snap_b = spark.createDataFrame(
+        [(2, 21, 2.0), (3, 30, 3.0), (4, 40, 4.0), (5, 50, None)],
+        "k long, ver long, val double",
+    )
+    out = {r["k"]: r["change"] for r in
+           snapshot_diff(snap_a, snap_b, "k", ["ver", "val"]).collect()}
+    # 1: A-only -> delete; 2: ver changed -> update; 3 unchanged (absent);
+    # 4: B-only -> insert; 5: NULL val on both sides compares equal (absent).
+    assert out == {1: "delete", 2: "update", 4: "insert"}
+
+
+def test_snapshot_diff_null_to_value_is_update(spark):
+    from cdw_spark.operators.curate import snapshot_diff
+
+    snap_a = spark.createDataFrame([(1, None)], "k long, val double")
+    snap_b = spark.createDataFrame([(1, 7.0)], "k long, val double")
+    rows = snapshot_diff(snap_a, snap_b, "k", ["val"]).collect()
+    assert len(rows) == 1 and rows[0]["change"] == "update"
+    assert rows[0]["old_val"] is None and rows[0]["new_val"] == 7.0

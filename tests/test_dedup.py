@@ -122,3 +122,79 @@ def test_connected_components_long_chain_pointer_jumping(spark):
     got = {r.doc_id: r.component_id for r in connected_components(pairs).collect()}
     assert set(got.values()) == {0}
     assert len(got) == 61
+
+
+def test_paragraph_dedup_removes_cross_doc_blocks(spark):
+    from cdw_spark.operators.dedup import paragraph_dedup
+
+    shared = "a b c d e f g h"  # exactly one 8-word block, in both docs
+    docs = spark.createDataFrame(
+        [
+            (1, shared + " unique one tail"),
+            (2, shared + " other words here"),
+            (3, "totally different eight word block here now ok plus tail"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in paragraph_dedup(docs, block_words=8).collect()}
+    # the shared leading block is gone from both docs, tails survive
+    assert out[1]["n_removed"] == 1 and out[1]["cleaned_text"] == "unique one tail"
+    assert out[2]["n_removed"] == 1 and out[2]["cleaned_text"] == "other words here"
+    assert out[3]["n_removed"] == 0
+    assert out[3]["cleaned_text"] == "totally different eight word block here now ok plus tail"
+    assert out[1]["n_blocks"] == 2 and out[3]["n_blocks"] == 2
+
+
+def test_paragraph_dedup_all_removed_yields_empty_text(spark):
+    from cdw_spark.operators.dedup import paragraph_dedup
+
+    docs = spark.createDataFrame(
+        [(1, "x y"), (2, "x y")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in paragraph_dedup(docs, block_words=8).collect()}
+    assert out[1]["cleaned_text"] == "" and out[1]["n_removed"] == 1
+
+
+def test_semantic_dedup_matches_within_cluster_brute_force(spark, sf_dir):
+    import math
+
+    from cdw_spark.catalog import load_fixture
+    from cdw_spark.operators.similarity import N_PLANES, _planes, semantic_dedup
+
+    emb = load_fixture(spark, sf_dir, "embeddings")
+    rows = emb.collect()
+    planes = _planes(len(rows[0]["embedding"]))
+
+    def sig(v):
+        s = 0
+        for i, p in enumerate(planes):
+            d = 0.0
+            for a, b in zip(v, p):
+                d += a * b
+            if d > 0:
+                s |= 1 << i
+        return s
+
+    by_sig: dict[int, list] = {}
+    for r in rows:
+        by_sig.setdefault(sig([float(x) for x in r["embedding"]]), []).append(r)
+    expected = {}
+    for s, group in by_sig.items():
+        group.sort(key=lambda r: r["vec_id"])
+        for i, hi in enumerate(group):
+            best = None
+            for lo in group[:i]:
+                va = [float(x) for x in lo["embedding"]]
+                vb = [float(x) for x in hi["embedding"]]
+                dot = sum(a * b for a, b in zip(va, vb))
+                cos = dot / (
+                    math.sqrt(sum(a * a for a in va)) * math.sqrt(sum(b * b for b in vb))
+                )
+                if cos >= 0.25 and (best is None or lo["vec_id"] < best):
+                    best = lo["vec_id"]
+            if best is not None:
+                expected[hi["vec_id"]] = (best, s)
+
+    got = {r["dup_id"]: (r["keep_id"], r["cluster"]) for r in
+           semantic_dedup(emb, threshold=0.25).collect()}
+    assert got == expected

@@ -254,3 +254,70 @@ def test_global_shuffle_rank_equals_sorted_md5(spark, ids):
         )
     }
     assert got == want
+
+
+def test_ewma_closed_form_matches_recursive_reference(spark, sf_dir):
+    """The windowed SUM(x*2^rn)/SUM(2^rn) closed form must equal the
+    textbook recursive EWMA (restarted at the 8-step horizon) computed in
+    pure Python from the same ordered stream."""
+    from cdw_spark.registry import load_all
+
+    q = load_all()["timeseries_ewma"]
+    got = {(r["user_id"], r["event_id"]): r["ewma"] for r in q.fn(spark, sf_dir).collect()}
+
+    from cdw_spark.catalog import load_fixture
+    from pyspark.sql import functions as F
+
+    ev = (
+        load_fixture(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id", "event_id", "ts", "value")
+        .collect()
+    )
+    by_user: dict = {}
+    for r in sorted(ev, key=lambda r: (r["user_id"], r["ts"], r["event_id"])):
+        by_user.setdefault(r["user_id"], []).append(r)
+    for uid, rows in by_user.items():
+        vals = [r["value"] for r in rows]
+        for t in range(len(vals)):
+            lo = max(0, t - 7)
+            num = sum(vals[i] * 2.0**(i + 1) for i in range(lo, t + 1))
+            den = sum(2.0**(i + 1) for i in range(lo, t + 1))
+            assert abs(got[(uid, rows[t]["event_id"])] - num / den) < 1e-5
+
+
+def test_transition_matrix_rows_are_distributions(spark, sf_dir):
+    from cdw_spark.registry import load_all
+
+    rows = load_all()["event_transition_matrix"].fn(spark, sf_dir).collect()
+    by_src: dict = {}
+    for r in rows:
+        by_src.setdefault(r["src"], []).append(r["p"])
+    for src, ps in by_src.items():
+        assert abs(sum(ps) - 1.0) < 1e-4, src
+        assert all(p > 0 for p in ps)
+
+
+def test_outlier_mad_is_robust_to_injected_outlier(spark):
+    """One enormous outlier must not drag the MAD yardstick enough to
+    hide itself (the failure mode of mean/stddev z-scores)."""
+    from pyspark.sql import functions as F
+
+    from cdw_spark.catalog import load_fixture  # noqa: F401  (idiom parity)
+
+    base = [(i, "a", float(50 + (i % 7))) for i in range(100)]
+    data = base + [(999, "a", 1e6)]
+    ev = spark.createDataFrame(data, "event_id long, event_type string, value double")
+    med = ev.groupBy("event_type").agg(F.expr("percentile(value, 0.5)").alias("med"))
+    dev = ev.join(F.broadcast(med), "event_type")
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(abs(value - med), 0.5)").alias("mad")
+    )
+    z = F.round((F.col("value") - F.col("med")) * F.lit(0.6745) / F.col("mad"), 6)
+    flagged = (
+        dev.join(F.broadcast(mad), "event_type")
+        .select("event_id", z.alias("z"))
+        .filter(F.abs(F.col("z")) > F.lit(3.5))
+        .collect()
+    )
+    assert [r["event_id"] for r in flagged] == [999]

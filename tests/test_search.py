@@ -160,3 +160,22 @@ def test_approx_top_k_matches_exact_on_fixture(spark, sf_dir, docs):
         .collect()
     }
     assert approx == exact
+
+
+def test_phrase_search_counts_and_three_word_chain(spark):
+    from cdw_spark.operators.search import phrase_search
+
+    docs = spark.createDataFrame(
+        [
+            (1, "big table hash join on the table hash map"),
+            (2, "table of hash"),          # not adjacent
+            (3, "TABLE Hash!"),            # case/punct normalization
+            (4, "hash table"),             # wrong order
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["n_hits"] for r in phrase_search(docs, ["table", "hash"]).collect()}
+    assert out == {1: 2, 3: 1}
+    out3 = {r["doc_id"]: r["n_hits"] for r in
+            phrase_search(docs, ["table", "hash", "join"]).collect()}
+    assert out3 == {1: 1}
