@@ -374,3 +374,157 @@ def snapshot_diff(
         .filter(F.col("change") != "unchanged")
         .select(key, "change", *[f"old_{c}" for c in compare_cols], *[f"new_{c}" for c in compare_cols])
     )
+
+
+# ---------------------------------------------------------------------------
+# Model-based quality scoring: a fasttext-style linear classifier over
+# hashed bag-of-words features, with deterministic md5-derived weights so
+# the score — including the feature hashing — is reproducible in ANSI SQL.
+
+QF_DIM = 64
+
+
+def _qf_weights(dim: int = QF_DIM) -> list[float]:
+    """Deterministic weight vector in [-1, 1): w_j from the first 4 hex
+    digits of md5(f"qw:{j}") — the same engine-independent hash family as
+    the CMS sketch and the md5 split keys."""
+    import hashlib
+
+    return [
+        round(int(hashlib.md5(f"qw:{j}".encode()).hexdigest()[:4], 16) / 32768.0 - 1.0, 6)
+        for j in range(dim)
+    ]
+
+
+def quality_linear_score(
+    docs: DataFrame,
+    dim: int = QF_DIM,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Linear quality classifier over hashed unigram features (the
+    fasttext-classifier shape of CCNet/LLaMA data filtering): token ->
+    feature bucket via md5 mod ``dim``, per-doc bucket counts pivoted to a
+    dense vector, score = dot(w, counts)/doc_len through a logistic link.
+
+    Output: (doc_id, n_tokens, logit, prob, keep).
+
+    Scale shape: one (doc, bucket) count shuffle (map-side combine), a
+    64-column pivot aggregation per doc, then a literal-weight dot as one
+    codegen'd projection — the model rides the PLAN (no weight-table
+    join, no UDF); scoring a 100 TB corpus is a scan plus one doc-keyed
+    aggregation. The unrolled left-assoc dot keeps float fold order
+    identical to the SQL oracle's copy of the same literals."""
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(F.expr(f"regexp_extract_all(lower({text_col}), '[a-z0-9]+', 0)")).alias(
+            "term"
+        ),
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("qf:"), F.col("term"))), 1, 4), 16, 10)
+        .cast("int") % dim
+    )
+    counts = toks.select(id_col, bucket.alias("b")).groupBy(id_col, "b").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    pivoted = counts.groupBy(id_col).agg(
+        *[
+            F.coalesce(F.max(F.when(F.col("b") == j, F.col("c"))), F.lit(0))
+            .cast("double")
+            .alias(f"f{j}")
+            for j in range(dim)
+        ],
+        F.sum("c").cast("bigint").alias("n_tokens"),
+    )
+    w = _qf_weights(dim)
+    dot = " + ".join(f"f{j}*({w[j]!r})" for j in range(dim))
+    logit = F.expr(f"({dot})") / F.col("n_tokens").cast("double")
+    prob = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)), 6)
+    return pivoted.select(
+        id_col,
+        "n_tokens",
+        F.round(logit, 6).alias("logit"),
+        prob.alias("prob"),
+        (prob >= F.lit(0.5)).cast("int").alias("keep"),
+    )
+
+
+def quality_linear_oracle_sql(dim: int = QF_DIM) -> str:
+    """DuckDB rendering of quality_linear_score — same md5 bucketing, same
+    literal weights, same left-assoc dot fold."""
+    digit = "(strpos('0123456789abcdef', substr(md5('qf:' || term), {i}, 1)) - 1)"
+    hex4 = " + ".join(f"{digit.format(i=i + 1)} * {16 ** (3 - i)}" for i in range(4))
+    w = _qf_weights(dim)
+    fcols = ",\n               ".join(
+        f"CAST(COALESCE(MAX(CASE WHEN b = {j} THEN c END), 0) AS DOUBLE) AS f{j}"
+        for j in range(dim)
+    )
+    dot = " + ".join(f"f{j}*({w[j]!r})" for j in range(dim))
+    return f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+        FROM documents
+    ),
+    counts AS (
+        SELECT doc_id, CAST(({hex4}) % {dim} AS INTEGER) AS b,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM tok GROUP BY 1, 2
+    ),
+    pivoted AS (
+        SELECT doc_id,
+               {fcols},
+               CAST(SUM(c) AS BIGINT) AS n_tokens
+        FROM counts GROUP BY doc_id
+    )
+    SELECT doc_id, n_tokens,
+           ROUND(({dot}) / CAST(n_tokens AS DOUBLE), 6) AS logit,
+           ROUND(1.0 / (1.0 + exp(-(({dot}) / CAST(n_tokens AS DOUBLE)))), 6) AS prob,
+           CAST(CASE WHEN ROUND(1.0 / (1.0 + exp(-(({dot}) / CAST(n_tokens AS DOUBLE)))), 6)
+                          >= CAST(0.5 AS DOUBLE)
+                     THEN 1 ELSE 0 END AS INTEGER) AS keep
+    FROM pivoted
+    """
+
+
+def compression_ratio(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    level: int = 6,
+) -> DataFrame:
+    """zlib compression ratio per document — the Gopher/RefinedWeb quality
+    proxy (highly repetitive or templated text compresses far below
+    natural prose). Genuinely non-SQL (DEFLATE), so the registry entry is
+    rows-only; the per-doc values are differentially tested against
+    direct ``zlib`` in tests/test_curate.py.
+
+    Runs as mapInPandas: one Python worker pass per Arrow batch, constant
+    memory, no shuffle — at 100 TB this is a scan-shaped map with the
+    same partitioning as the source. Output: (doc_id, raw_bytes,
+    comp_bytes, ratio)."""
+    import pandas as pd  # noqa: F401  (worker-side import parity)
+
+    out_schema = (
+        f"{id_col} long, raw_bytes long, comp_bytes long, ratio double"
+    )
+
+    def _batches(it):
+        import zlib
+
+        import pandas as pd
+
+        for pdf in it:
+            raw = pdf[text_col].astype(str).str.encode("utf-8")
+            raw_len = raw.str.len()
+            comp_len = raw.map(lambda b: len(zlib.compress(b, level)))
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "raw_bytes": raw_len,
+                    "comp_bytes": comp_len,
+                    "ratio": (comp_len / raw_len).round(6),
+                }
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(_batches, out_schema)

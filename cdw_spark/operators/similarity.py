@@ -663,3 +663,178 @@ def semantic_dedup(
         F.min("cluster").cast("int").alias("cluster"),
         F.round(F.min_by("cos_raw", "keep_id"), 6).alias("cosine"),
     ).select("dup_id", "keep_id", "cluster", "cosine")
+
+
+# ---------------------------------------------------------------------------
+# Maximal Marginal Relevance re-ranking (Carbonell & Goldstein 1998): greedy
+# diversified top-k over a candidate pool — the standard retrieval-page
+# diversifier, and the dedup-aware sampler of RAG context assembly.
+
+MMR_LAMBDA = 0.7
+
+
+def mmr_rerank(
+    probes: DataFrame,
+    corpus: DataFrame,
+    pool: int = 12,
+    steps: int = 4,
+    lam: float = MMR_LAMBDA,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Greedy MMR: per probe, take the ``pool`` highest-cosine candidates,
+    then select ``steps`` of them one at a time by
+    score = lambda*rel - (1-lambda)*max_sim_to_already_selected
+    (step 1: max over the empty set = 0). Scores are rounded to 6 dp
+    before each argmax with a cand_id tie-break, so the greedy trajectory
+    is deterministic and engine-reproducible.
+
+    Output: (probe_id, step, cand_id, mmr_score).
+
+    Scale shape: candidate generation is the brute-force scorer (or any
+    ANN path) — distributed; the greedy loop itself runs over
+    |probes| x pool rows, so each of the ``steps`` iterations is a
+    per-probe window argmax plus a (remaining x selected) pairwise join
+    bounded by pool * steps per probe — tiny relations whatever the
+    corpus size, all lazily composed (no driver collect). The candidate
+    pool is localCheckpoint'ed once so the loop doesn't re-execute the
+    corpus scan per step."""
+    dim = len(corpus.select(vec_col).first()[0])
+    # Candidate generation keeps the RAW cosine as rel: pre-rounding rel to
+    # 6 dp would make 0.7*rel an exact 7-digit decimal ending in 5 — a
+    # guaranteed decimal-halfway tie where Spark (shortest-repr HALF_UP)
+    # and DuckDB (true-binary-value) round apart. Raw doubles are
+    # bit-identical across engines (same fold), so ties are measure-zero
+    # and only the FINAL score is rounded.
+    p = probes.select(
+        F.col(id_col).alias("probe_id"), to_double_array(F.col(vec_col)).alias("pv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("cand_id"), to_double_array(F.col(vec_col)).alias("v")
+    ).withColumn("nrm", F.expr(_norm_sql("v", dim)))
+    wr = Window.partitionBy("probe_id").orderBy(F.col("rel").desc(), F.col("cand_id"))
+    cands = (
+        c.crossJoin(F.broadcast(p))
+        .filter(F.col("cand_id") != F.col("probe_id"))
+        .withColumn("rel", cosine(F.col("pv"), F.col("v")))
+        .withColumn("rk", F.row_number().over(wr))
+        .filter(F.col("rk") <= pool)
+        .select("probe_id", "cand_id", "rel", "v", "nrm")
+        .localCheckpoint(eager=False)
+    )
+
+    w = Window.partitionBy("probe_id").orderBy(F.col("score").desc(), F.col("cand_id"))
+    first = (
+        cands.withColumn("score", F.round(F.lit(lam) * F.col("rel"), 6))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("probe_id", F.lit(1).alias("step"), "cand_id", "score", "v", "nrm")
+    )
+    selected = first
+    for t in range(2, steps + 1):
+        sel = selected.select(
+            F.col("probe_id").alias("_p"), F.col("cand_id").alias("_s"),
+            F.col("v").alias("sv"), F.col("nrm").alias("sn"),
+        )
+        remaining = cands.join(
+            selected.select(F.col("probe_id").alias("_p"), F.col("cand_id").alias("_s")),
+            (F.col("probe_id") == F.col("_p")) & (F.col("cand_id") == F.col("_s")),
+            "left_anti",
+        )
+        pair = remaining.join(sel, F.col("probe_id") == F.col("_p")).withColumn(
+            "sim", F.expr(_pair_dot_sql("v", "sv", dim)) / (F.col("nrm") * F.col("sn"))
+        )
+        mx = pair.groupBy("probe_id", "cand_id", "rel", "v", "nrm").agg(
+            F.max("sim").alias("maxsim")
+        )
+        pick = (
+            mx.withColumn(
+                "score",
+                F.round(F.lit(lam) * F.col("rel") - F.lit(1.0 - lam) * F.col("maxsim"), 6),
+            )
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select("probe_id", F.lit(t).alias("step"), "cand_id", "score", "v", "nrm")
+        )
+        selected = selected.unionAll(pick)
+    return selected.select(
+        "probe_id", F.col("step").cast("int").alias("step"), "cand_id",
+        F.col("score").alias("mmr_score"),
+    )
+
+
+def mmr_oracle_sql(
+    probe_pred: str,
+    dim: int,
+    pool: int = 12,
+    steps: int = 4,
+    lam: float = MMR_LAMBDA,
+) -> str:
+    """DuckDB rendering of mmr_rerank: candidate CTE (exact cosine top-pool
+    per probe), then the greedy recursion unrolled as one CTE per step —
+    the same unroll idiom as graph_pagerank's oracle. ``probe_pred`` is a
+    SQL predicate over ``vec_id`` selecting the probe rows."""
+    one_minus = round(1.0 - lam, 6)
+    parts = [
+        f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cand AS (
+        SELECT probe_id, cand_id, rel, v, nrm FROM (
+            SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+                   list_dot_product(p.v, c.v) /
+                       (sqrt(list_dot_product(p.v, p.v)) * sqrt(list_dot_product(c.v, c.v))) AS rel,
+                   c.v AS v, sqrt(list_dot_product(c.v, c.v)) AS nrm,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY p.vec_id
+                       ORDER BY list_dot_product(p.v, c.v) /
+                                (sqrt(list_dot_product(p.v, p.v)) * sqrt(list_dot_product(c.v, c.v))) DESC,
+                                c.vec_id) AS rk
+            FROM e p JOIN e c ON ({probe_pred}) AND c.vec_id != p.vec_id
+        ) WHERE rk <= {pool}
+    ),
+    sel1 AS (
+        SELECT probe_id, 1 AS step, cand_id, score, v, nrm FROM (
+            SELECT probe_id, cand_id, ROUND(CAST({lam!r} AS DOUBLE) * rel, 6) AS score,
+                   v, nrm,
+                   ROW_NUMBER() OVER (PARTITION BY probe_id
+                                      ORDER BY ROUND(CAST({lam!r} AS DOUBLE) * rel, 6) DESC,
+                                               cand_id) AS rk
+            FROM cand
+        ) WHERE rk = 1
+    )"""
+    ]
+    prev_union = "SELECT * FROM sel1"
+    for t in range(2, steps + 1):
+        parts.append(
+            f""",
+    all{t} AS ({prev_union}),
+    mx{t} AS (
+        SELECT r.probe_id, r.cand_id, r.rel, r.v, r.nrm,
+               MAX(list_dot_product(r.v, s.v) / (r.nrm * s.nrm)) AS maxsim
+        FROM cand r JOIN all{t} s ON r.probe_id = s.probe_id
+        WHERE NOT EXISTS (
+            SELECT 1 FROM all{t} q
+            WHERE q.probe_id = r.probe_id AND q.cand_id = r.cand_id)
+        GROUP BY r.probe_id, r.cand_id, r.rel, r.v, r.nrm
+    ),
+    sel{t} AS (
+        SELECT probe_id, {t} AS step, cand_id, score, v, nrm FROM (
+            SELECT probe_id, cand_id,
+                   ROUND(CAST({lam!r} AS DOUBLE) * rel
+                         - CAST({one_minus!r} AS DOUBLE) * maxsim, 6) AS score,
+                   v, nrm,
+                   ROW_NUMBER() OVER (PARTITION BY probe_id
+                                      ORDER BY ROUND(CAST({lam!r} AS DOUBLE) * rel
+                                               - CAST({one_minus!r} AS DOUBLE) * maxsim, 6) DESC,
+                                               cand_id) AS rk
+            FROM mx{t}
+        ) WHERE rk = 1
+    )"""
+        )
+        prev_union += f" UNION ALL SELECT * FROM sel{t}"
+    parts.append(
+        f"""
+    SELECT probe_id, CAST(step AS INTEGER) AS step, cand_id, score AS mmr_score
+    FROM ({prev_union})"""
+    )
+    return "".join(parts)

@@ -1034,3 +1034,23 @@ def gdpr_erase_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ledger("customer", cust_tag).unionAll(ledger("orders", ord_tag)).unionAll(
         ledger("lineitem", li_tag)
     )
+
+
+from ..operators.curate import quality_linear_oracle_sql as _ql_sql
+
+
+@register(
+    "quality_model_score",
+    oracle=_ql_sql(),
+    doc="Model-based quality filtering (the CCNet/LLaMA fasttext-classifier "
+    "shape): unigrams hash to 64 features via md5, a deterministic literal "
+    "weight vector rides the plan, score = logistic(dot/len). No weight "
+    "join, no UDF — scoring is a scan + one doc-keyed aggregation; the "
+    "oracle restates the hashing AND the model literally in SQL, so the "
+    "classifier itself is value-checked (operators/curate.py:"
+    "quality_linear_score).",
+)
+def quality_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.curate import quality_linear_score
+
+    return quality_linear_score(load_fixture(spark, sf_dir, "documents"))

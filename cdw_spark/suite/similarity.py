@@ -296,3 +296,26 @@ def knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
             "true_label",
         )
     )
+
+
+from ..operators.similarity import mmr_oracle_sql as _mmr_sql
+
+
+@register(
+    "similarity_mmr_rerank",
+    oracle=_mmr_sql("p.vec_id < 3", _DIM),
+    doc="Maximal Marginal Relevance diversified top-4 per probe "
+    "(Carbonell-Goldstein, lambda=0.7) over the exact top-12 candidate "
+    "pool: greedy score = 0.7*rel - 0.3*max-sim-to-selected, rounded "
+    "before each argmax with an id tie-break so the trajectory is "
+    "deterministic. The oracle unrolls the greedy recursion as chained "
+    "CTEs (the graph_pagerank idiom) — the DIVERSIFICATION itself is "
+    "value-checked. The loop runs over |probes| x 12 rows regardless of "
+    "corpus size; candidate generation is the distributed scorer "
+    "(operators/similarity.py:mmr_rerank).",
+)
+def similarity_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import mmr_rerank
+
+    emb = load_fixture(spark, sf_dir, "embeddings")
+    return mmr_rerank(emb.filter(F.col("vec_id") < 3), emb, pool=12, steps=4)

@@ -471,3 +471,66 @@ def text_collapse_repeats(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_after_collapse"),
         )
     )
+
+
+@register(
+    "text_novelty_score",
+    oracle="""
+    WITH wrds AS (
+        SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws
+        FROM documents
+    ), sh AS (
+        SELECT doc_id, unnest(list_distinct(
+            CASE WHEN len(ws) >= 3
+                 THEN [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] for i in range(1, len(ws) - 1)]
+                 ELSE [array_to_string(ws, ' ')] END)) AS sh
+        FROM wrds
+    ), d AS (
+        SELECT doc_id, sh, COUNT(*) OVER (PARTITION BY sh) AS df FROM sh
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           ROUND(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) * 1.0
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS novelty_ratio
+    FROM d GROUP BY doc_id
+    """,
+    doc="Per-document novelty: the fraction of a doc's distinct word "
+    "3-gram shingles that occur in NO other document (corpus df = 1) — "
+    "the marginal-diversity signal data-selection pipelines rank by "
+    "(high novelty = new content; near-zero = boilerplate). Shingle df "
+    "is a window COUNT over the shingle key, so counting and scoring "
+    "share one exchange; document bodies shuffle only as shingles.",
+)
+def text_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from ..operators.dedup import _shingle_table
+
+    d = load_fixture(spark, sf_dir, "documents")
+    sh = _shingle_table(d, "text", "doc_id", 3)
+    dfc = sh.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("sh")))
+    return dfc.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+        F.round(
+            F.sum(F.when(F.col("df") == 1, 1).otherwise(0))
+            * F.lit(1.0)
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("novelty_ratio"),
+    )
+
+
+@register(
+    "text_compression_ratio",
+    oracle=None,
+    doc="zlib(DEFLATE, level 6) compression ratio per document — the "
+    "Gopher/RefinedWeb repetitiveness proxy. Rows-only BY NATURE: DEFLATE "
+    "is not expressible in SQL; per-doc byte counts are differentially "
+    "tested against direct zlib in tests/test_curate.py. Arrow "
+    "mapInPandas scan-shaped map, no shuffle "
+    "(operators/curate.py:compression_ratio).",
+)
+def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.curate import compression_ratio
+
+    return compression_ratio(load_fixture(spark, sf_dir, "documents"))

@@ -228,3 +228,46 @@ def test_snapshot_diff_null_to_value_is_update(spark):
     rows = snapshot_diff(snap_a, snap_b, "k", ["val"]).collect()
     assert len(rows) == 1 and rows[0]["change"] == "update"
     assert rows[0]["old_val"] is None and rows[0]["new_val"] == 7.0
+
+
+def test_compression_ratio_matches_direct_zlib(spark, sf_dir):
+    import zlib
+
+    from cdw_spark.catalog import load_fixture
+    from cdw_spark.operators.curate import compression_ratio
+
+    docs = load_fixture(spark, sf_dir, "documents")
+    got = {r["doc_id"]: r for r in compression_ratio(docs).collect()}
+    for row in docs.select("doc_id", "text").collect():
+        raw = row["text"].encode("utf-8")
+        comp = len(zlib.compress(raw, 6))
+        g = got[row["doc_id"]]
+        assert g["raw_bytes"] == len(raw) and g["comp_bytes"] == comp
+        assert abs(g["ratio"] - round(comp / len(raw), 6)) < 1e-9
+
+
+def test_quality_model_score_matches_python_reference(spark, sf_dir):
+    """Pure-Python re-derivation of the hashed-feature linear model:
+    same md5 bucketing, same weights, same normalization."""
+    import hashlib
+    import math
+    import re
+
+    from cdw_spark.catalog import load_fixture
+    from cdw_spark.operators.curate import _qf_weights, quality_linear_score
+
+    docs = load_fixture(spark, sf_dir, "documents")
+    got = {r["doc_id"]: r for r in quality_linear_score(docs).collect()}
+    w = _qf_weights()
+    for row in docs.select("doc_id", "text").collect():
+        toks = re.findall(r"[a-z0-9]+", row["text"].lower(), re.ASCII)
+        z = 0.0
+        counts = {}
+        for t in toks:
+            b = int(hashlib.md5(f"qf:{t}".encode()).hexdigest()[:4], 16) % 64
+            counts[b] = counts.get(b, 0) + 1
+        z = sum(w[b] * c for b, c in sorted(counts.items())) / len(toks)
+        g = got[row["doc_id"]]
+        assert g["n_tokens"] == len(toks)
+        assert abs(g["logit"] - z) < 1e-4
+        assert abs(g["prob"] - 1.0 / (1.0 + math.exp(-z))) < 1e-4

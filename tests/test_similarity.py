@@ -204,3 +204,36 @@ def test_signature_paths_bit_identical(emb):
         for r in signature_arrow(base, _planes(dim, 8), "v", "sig").collect()
     }
     assert sql_sigs == arrow_sigs
+
+
+def test_mmr_rerank_diversifies_against_pure_greedy(spark):
+    """A cluster of three near-identical high-relevance vectors plus two
+    moderately relevant diverse ones: pure relevance ranking would take
+    the whole clone cluster; MMR must interleave the diverse vectors
+    after the first clone."""
+    # Geometry where diversification must win: three near-identical
+    # "clone" vectors slightly MORE relevant than two diverse vectors
+    # that are nearly orthogonal to the clones. After the first clone,
+    # 0.7*rel(clone) - 0.3*~1.0 ≈ 0.22 loses to 0.7*0.7 - 0.3*~0 ≈ 0.49.
+    base = [1.0] + [0.0] * 7
+    clone = lambda eps: [0.75, 0.661, eps, 0.0, 0.0, 0.0, 0.0, 0.0]
+    div1 = [0.70, -0.714, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]
+    div2 = [0.70, 0.0, -0.714, 0.0, 0.0, 0.0, 0.0, 0.0]
+    rows = [
+        (0, base),           # probe
+        (1, clone(0.001)), (2, clone(0.002)), (3, clone(0.003)),
+        (4, div1), (5, div2),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    from cdw_spark.operators.similarity import mmr_rerank
+
+    out = (
+        mmr_rerank(df.filter("vec_id = 0"), df, pool=5, steps=3)
+        .orderBy("step")
+        .collect()
+    )
+    picks = [r["cand_id"] for r in out]
+    assert picks[0] == 1                      # highest relevance first
+    assert picks[1] in (4, 5)                 # then a diverse vector,
+    assert set(picks) != {1, 2, 3}            # never the clone cluster
