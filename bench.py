@@ -74,6 +74,15 @@ HEADLINE = [
     "multimodal_audio_rms",
     "text_inverted_index",
     "global_shuffle_rank",
+    # round 3 second wave: span-level + semantic dedup, model-based
+    # quality, diversified rerank, positional phrase search, CDC, images
+    "dedup_paragraphs",
+    "dedup_semantic",
+    "quality_model_score",
+    "similarity_mmr_rerank",
+    "text_phrase_search",
+    "cdc_snapshot_diff",
+    "multimodal_image_near_dup",
 ]
 
 

@@ -528,3 +528,75 @@ def compression_ratio(
             )
 
     return docs.select(id_col, text_col).mapInPandas(_batches, out_schema)
+
+
+def bpe_train_merges(
+    docs: DataFrame,
+    n_merges: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Byte-pair-encoding merge training (Sennrich et al. 2016) on the
+    corpus word distribution: start from character symbols, repeatedly
+    count adjacent symbol pairs weighted by word frequency, and merge the
+    most frequent pair (ties broken lexicographically).
+
+    Output: the learned merge table (rank, left, right, merged,
+    pair_count) — what a tokenizer trainer persists.
+
+    Scale shape: the corpus collapses FIRST to the (distinct word, freq)
+    relation — pair counting and merge application run over the
+    vocabulary, not the corpus, which is the standard trainer trick
+    (|vocab| << |corpus| always). Each round is one pair-explode +
+    count shuffle and an orderBy(1) argmax — the driver pulls exactly
+    ONE row per round (the winning pair, same bounded-collect budget as
+    ivf_train's centroid sync); merge application is a JVM higher-order
+    fold over symbol arrays implementing the leftmost-greedy BPE scan.
+    Rows-only registry entry (iterative argmax is not one SQL query);
+    differentially tested against a pure-Python BPE reference in
+    tests/test_curate.py."""
+    words = (
+        docs.select(F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .withColumn("sym", F.array_join(F.split(F.col("w"), ""), " "))
+        .localCheckpoint(eager=True)
+    )
+    spark = docs.sparkSession
+    merges = []
+    for rank in range(1, n_merges + 1):
+        toks = F.split(F.col("sym"), " ")
+        pairs = words.select(
+            "freq",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(toks) - F.lit(1)),
+                    lambda i: F.struct(
+                        F.element_at(toks, i).alias("l"),
+                        F.element_at(toks, i + F.lit(1)).alias("r"),
+                    ),
+                )
+            ).alias("p"),
+        ).filter(F.size(toks) >= 2)
+        best = (
+            pairs.groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("freq").cast("bigint").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), "l", "r")
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        l, r, cnt = best[0]["l"], best[0]["r"], best[0]["cnt"]
+        merges.append((rank, l, r, l + r, cnt))
+        fold = (
+            "array_join(aggregate(split(sym, ' '), cast(array() as array<string>), "
+            f"(acc, t) -> if(size(acc) > 0 and element_at(acc, -1) = '{l}' and t = '{r}', "
+            f"concat(slice(acc, 1, size(acc) - 1), array('{l + r}')), "
+            "concat(acc, array(t)))), ' ')"
+        )
+        words = words.withColumn("sym", F.expr(fold)).localCheckpoint(eager=True)
+    return spark.createDataFrame(
+        merges, "rank int, left string, right string, merged string, pair_count bigint"
+    )

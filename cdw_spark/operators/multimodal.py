@@ -354,3 +354,131 @@ def audio_frame_rms(
     return df.select(id_col, blob_col).mapInPandas(
         run, schema=f"{id_col} long, frame_idx int, rms double"
     )
+
+
+# ---------------------------------------------------------------------------
+# Perceptual image hashing + near-duplicate image detection: the visual
+# twin of the text near-dup pipeline (aHash -> pigeonhole hamming join).
+
+AHASH_BITS = 64
+AHASH_CHUNKS = 4  # 16-bit chunks: pigeonhole-complete for hamming <= 3
+
+
+def synth_ppm(doc_id: int) -> bytes:
+    """Deterministic 16x16 P6 image for a fixture row (the fixtures carry
+    no media): raster bytes from an md5 stream seeded by the IMAGE KEY,
+    where rows with doc_id % 50 == 1 reuse the previous row's key with a
+    one-byte +1 perturbation — planted near-duplicate pairs with a known
+    ground truth, the same trick the dedup fixtures use for text."""
+    import hashlib
+
+    twin = doc_id % 50 == 1
+    base = doc_id - 1 if twin else doc_id
+    raster = bytearray()
+    i = 0
+    while len(raster) < 16 * 16 * 3:
+        raster += hashlib.md5(f"img:{base}:{i}".encode()).digest()
+        i += 1
+    raster = raster[: 16 * 16 * 3]
+    if twin:
+        raster[0] = (raster[0] + 1) % 256
+    return ppm_encode(16, 16, bytes(raster))
+
+
+def ahash_of_ppm(blob: bytes) -> int:
+    """Average hash: decode, integer-luma grayscale, box-average onto an
+    8x8 grid, one bit per cell = cell mean > global mean. Robust to small
+    pixel perturbations and to resizing — the standard cheap perceptual
+    fingerprint (pHash's DCT variant drops in behind the same seam)."""
+    w, h, raster = ppm_decode(blob)
+    sums = [[0] * 8 for _ in range(8)]
+    counts = [[0] * 8 for _ in range(8)]
+    for y in range(h):
+        for x in range(w):
+            o = 3 * (y * w + x)
+            luma = (299 * raster[o] + 587 * raster[o + 1] + 114 * raster[o + 2]) // 1000
+            gy, gx = y * 8 // h, x * 8 // w
+            sums[gy][gx] += luma
+            counts[gy][gx] += 1
+    cells = [
+        sums[gy][gx] / counts[gy][gx] if counts[gy][gx] else 0.0
+        for gy in range(8)
+        for gx in range(8)
+    ]
+    mean = sum(cells) / 64.0
+    bits = 0
+    for i, c in enumerate(cells):
+        if c > mean:
+            bits |= 1 << i
+    return bits
+
+
+def image_ahashes(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, ahash) via one Arrow mapInPandas pass: synth-encode (fixture
+    seam — a real deployment reads the binary column), decode, hash.
+    Scan-shaped, constant memory, no shuffle."""
+    out_schema = f"{id_col} long, ahash long"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col]
+            hashes = [
+                _to_signed64(ahash_of_ppm(synth_ppm(int(i)))) for i in ids
+            ]
+            yield pd.DataFrame({id_col: ids, "ahash": hashes})
+
+    return df.select(id_col).mapInPandas(run, out_schema)
+
+
+def _to_signed64(v: int) -> int:
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def ahash_near_duplicates(
+    df: DataFrame, max_hamming: int = 3, id_col: str = "doc_id"
+) -> DataFrame:
+    """Near-duplicate IMAGES: pairs whose aHashes differ in at most
+    ``max_hamming`` of 64 bits, found by the pigeonhole chunk trick —
+    hamming(a,b) <= 3 guarantees an equal 16-bit chunk among 4, so
+    candidate generation is an EQUALITY self-join on (chunk_idx,
+    chunk_value), never a cross join (the simhash text plan, reused for
+    vision). Output: (dup_id, keep_id, hamming), keep = lower id.
+
+    At 100 TB of images only (id, 64-bit hash) rows shuffle — the hash
+    table is ~16 bytes/image regardless of image size; decode cost is the
+    scan-shaped map above."""
+    hashes = image_ahashes(df, id_col)
+    chunks = hashes.select(
+        id_col,
+        "ahash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("ci"),
+                        F.shiftrightunsigned(F.col("ahash"), 16 * i)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("cv"),
+                    )
+                    for i in range(AHASH_CHUNKS)
+                ]
+            )
+        ).alias("c"),
+    ).select(id_col, "ahash", F.col("c.ci").alias("ci"), F.col("c.cv").alias("cv"))
+    a = chunks.select(
+        F.col(id_col).alias("keep_id"), F.col("ahash").alias("ha"), "ci", "cv"
+    )
+    b = chunks.select(
+        F.col(id_col).alias("dup_id"), F.col("ahash").alias("hb"), "ci", "cv"
+    )
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return (
+        a.join(b, on=["ci", "cv"])
+        .filter(F.col("keep_id") < F.col("dup_id"))
+        .select("keep_id", "dup_id", ham.alias("hamming"))
+        .distinct()  # a close pair can share several equal chunks
+        .filter(F.col("hamming") <= max_hamming)
+        .groupBy("dup_id")
+        .agg(F.min("keep_id").alias("keep_id"), F.min("hamming").cast("int").alias("hamming"))
+        .select("dup_id", "keep_id", "hamming")
+    )

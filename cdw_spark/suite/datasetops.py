@@ -1054,3 +1054,177 @@ def quality_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.curate import quality_linear_score
 
     return quality_linear_score(load_fixture(spark, sf_dir, "documents"))
+
+
+@register(
+    "incremental_join_merge",
+    oracle="""
+    SELECT o.o_orderpriority AS priority,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+               AS total_price
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+    doc="Incremental JOIN-view maintenance (the delta rule "
+    "d(A JOIN B) = dA*B_old + A_old*dB + dA*dB): orders and lineitem are "
+    "each split into an 'old' snapshot (orderdate / shipdate < 1998) and "
+    "a delta, the three delta joins are computed WITHOUT touching "
+    "old*old, unioned with the stored old-view partials, and "
+    "re-aggregated. The oracle states the from-scratch join — merge == "
+    "recompute is exactly the IVM correctness claim. At 100 TB the "
+    "old*old term is |groups| partial rows read from the stored view; "
+    "only delta-sided joins scan raw data, each key-partitioned and "
+    "AQE-coalesced.",
+)
+def incremental_join_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_fixture(spark, sf_dir, "orders")
+    li = load_fixture(spark, sf_dir, "lineitem")
+    cut = F.lit("1998-01-01").cast("timestamp")
+    a_old, a_new = orders.filter(F.col("o_orderdate") < cut), orders.filter(
+        F.col("o_orderdate") >= cut
+    )
+    b_old, b_new = li.filter(F.col("l_shipdate") < cut), li.filter(
+        F.col("l_shipdate") >= cut
+    )
+
+    def partial(a: DataFrame, b: DataFrame) -> DataFrame:
+        return (
+            a.join(b, a.o_orderkey == b.l_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).alias("pc"),
+                F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("ps"),
+            )
+        )
+
+    # stored view partial (old x old) + the three delta terms
+    merged = (
+        partial(a_old, b_old)
+        .unionByName(partial(a_new, b_old))
+        .unionByName(partial(a_old, b_new))
+        .unionByName(partial(a_new, b_new))
+    )
+    return merged.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.sum("pc").cast("bigint").alias("n_rows"),
+        F.round(F.sum("ps").cast("double"), 2).alias("total_price"),
+    )
+
+
+@register(
+    "sample_weighted_no_replacement",
+    oracle="""
+    WITH u AS (
+        SELECT doc_id, n_chars,
+               (  (strpos('0123456789abcdef', substr(md5('aes:' || CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 1048576.0
+                + (strpos('0123456789abcdef', substr(md5('aes:' || CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 65536.0
+                + (strpos('0123456789abcdef', substr(md5('aes:' || CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 4096.0
+                + (strpos('0123456789abcdef', substr(md5('aes:' || CAST(doc_id AS VARCHAR)), 4, 1)) - 1) * 256.0
+                + (strpos('0123456789abcdef', substr(md5('aes:' || CAST(doc_id AS VARCHAR)), 5, 1)) - 1) * 16.0
+                + (strpos('0123456789abcdef', substr(md5('aes:' || CAST(doc_id AS VARCHAR)), 6, 1)) - 1)
+                + 1.0) / 16777217.0 AS uni
+        FROM documents
+    ),
+    keyed AS (
+        SELECT doc_id, n_chars,
+               ROUND(ln(uni) / CAST(n_chars AS DOUBLE), 9) AS k
+        FROM u
+    )
+    SELECT doc_id, CAST(n_chars AS BIGINT) AS weight, k AS sample_key,
+           CAST(ROW_NUMBER() OVER (ORDER BY k DESC, doc_id) AS INTEGER) AS rk
+    FROM keyed
+    ORDER BY k DESC, doc_id LIMIT 100
+    """,
+    doc="Weighted sampling WITHOUT replacement (Efraimidis-Spirtsos A-ES "
+    "exponential-key scheme): per-item uniform u from md5, key = "
+    "ln(u)/weight (weight = n_chars), global top-100 keys. Deterministic "
+    "and engine/partition-independent like every md5 sampler here; keys "
+    "round to 9 dp before ranking so libm ln() last-ulp differences "
+    "can't flip the rank. orderBy+limit plans TakeOrderedAndProject — "
+    "per-partition heaps, no global sort.",
+)
+def sample_weighted_no_replacement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = load_fixture(spark, sf_dir, "documents")
+    hx = F.md5(F.concat(F.lit("aes:"), F.col("doc_id").cast("string")))
+    uni = (F.conv(F.substring(hx, 1, 6), 16, 10).cast("double") + F.lit(1.0)) / F.lit(
+        16777217.0
+    )
+    k = F.round(F.log(uni) / F.col("n_chars").cast("double"), 9)
+    keyed = d.select(
+        "doc_id",
+        F.col("n_chars").cast("bigint").alias("weight"),
+        k.alias("sample_key"),
+    )
+    w = Window.orderBy(F.col("sample_key").desc(), F.col("doc_id"))
+    return (
+        keyed.orderBy(F.col("sample_key").desc(), "doc_id")
+        .limit(100)
+        .withColumn("rk", F.row_number().over(w).cast("int"))
+    )
+
+
+@register(
+    "sample_group_split",
+    oracle="""
+    WITH g AS (
+        SELECT user_id,
+               CASE WHEN
+                 ( (strpos('0123456789abcdef', substr(md5('grp:' || CAST(user_id AS VARCHAR)), 1, 1)) - 1) * 4096
+                 + (strpos('0123456789abcdef', substr(md5('grp:' || CAST(user_id AS VARCHAR)), 2, 1)) - 1) * 256
+                 + (strpos('0123456789abcdef', substr(md5('grp:' || CAST(user_id AS VARCHAR)), 3, 1)) - 1) * 16
+                 + (strpos('0123456789abcdef', substr(md5('grp:' || CAST(user_id AS VARCHAR)), 4, 1)) - 1)
+                 ) % 10 < 8 THEN 'train' ELSE 'test' END AS split
+        FROM (SELECT DISTINCT user_id FROM events)
+    )
+    SELECT g.split,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users
+    FROM events e JOIN g ON e.user_id = g.user_id
+    GROUP BY g.split
+    """,
+    doc="Group-leakage-safe train/test split (GroupShuffleSplit): the "
+    "split is assigned per USER via md5, so every event of a user lands "
+    "on the same side — no entity leakage between train and test, the "
+    "contamination rule row-level splits violate. The group->split "
+    "relation is |groups| rows (broadcast); the fact table is never "
+    "shuffled. Disjointness is asserted in tests/test_curate.py.",
+)
+def sample_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_fixture(spark, sf_dir, "events")
+    hx = F.md5(F.concat(F.lit("grp:"), F.col("user_id").cast("string")))
+    bucket = F.conv(F.substring(hx, 1, 4), 16, 10).cast("int") % 10
+    groups = (
+        ev.select("user_id")
+        .distinct()
+        .select(
+            "user_id",
+            F.when(bucket < 8, "train").otherwise("test").alias("split"),
+        )
+    )
+    return (
+        ev.join(F.broadcast(groups), "user_id")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        )
+    )
+
+
+@register(
+    "tokenizer_bpe_merges",
+    oracle=None,
+    doc="BPE tokenizer merge training (5 merges) over the corpus word "
+    "distribution — rows-only BY NATURE: each round's argmax feeds the "
+    "next round's merge application, so the training loop is iterative, "
+    "not one SQL query (the per-round winner is one collected row, the "
+    "ivf_train budget). The learned merge table is differentially tested "
+    "against a pure-Python BPE reference in tests/test_curate.py "
+    "(operators/curate.py:bpe_train_merges).",
+)
+def tokenizer_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.curate import bpe_train_merges
+
+    return bpe_train_merges(load_fixture(spark, sf_dir, "documents"), n_merges=5)

@@ -146,3 +146,22 @@ def multimodal_audio_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
     with_audio = d.mapInPandas(synth, schema="doc_id long, audio binary")
     out = audio_frame_rms(with_audio, frame=64)
     return out.select("doc_id", "frame_idx", F.round("rms", 6).alias("rms"))
+
+
+@register(
+    "multimodal_image_near_dup",
+    oracle=None,
+    doc="Near-duplicate IMAGE detection: perceptual average-hash (8x8 "
+    "luma grid over the decoded raster) then hamming<=3 pairs via the "
+    "pigeonhole 4x16-bit chunk equi-join — the visual twin of the "
+    "simhash text plan; only (id, 64-bit hash) rows ever shuffle. "
+    "Rows-only BY NATURE (image decode is not SQL); planted twin images "
+    "(doc_id % 50 == 1 perturbs its predecessor's raster by one byte) "
+    "give a known ground truth asserted with a pure-Python "
+    "brute-force reference in tests/test_multimodal.py "
+    "(operators/multimodal.py:ahash_near_duplicates).",
+)
+def multimodal_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import ahash_near_duplicates
+
+    return ahash_near_duplicates(load_fixture(spark, sf_dir, "documents"))

@@ -271,3 +271,68 @@ def test_quality_model_score_matches_python_reference(spark, sf_dir):
         assert g["n_tokens"] == len(toks)
         assert abs(g["logit"] - z) < 1e-4
         assert abs(g["prob"] - 1.0 / (1.0 + math.exp(-z))) < 1e-4
+
+
+def test_bpe_merges_match_python_reference(spark, sf_dir):
+    """The distributed trainer must learn exactly the merge table a
+    textbook single-process BPE trainer learns from the same corpus."""
+    import re
+    from collections import Counter
+
+    from cdw_spark.catalog import load_fixture
+    from cdw_spark.operators.curate import bpe_train_merges
+
+    docs = load_fixture(spark, sf_dir, "documents")
+    got = [
+        (r["rank"], r["left"], r["right"], r["merged"], r["pair_count"])
+        for r in bpe_train_merges(docs, n_merges=5).collect()
+    ]
+
+    freqs = Counter()
+    for row in docs.select("text").collect():
+        for w in re.split(r"\s+", row["text"].strip().lower(), flags=re.ASCII):
+            if w:
+                freqs[w] += 1
+    vocab = {w: list(w) for w in freqs}
+    expected = []
+    for rank in range(1, 6):
+        pair_counts = Counter()
+        for w, syms in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                pair_counts[(a, b)] += freqs[w]
+        if not pair_counts:
+            break
+        (l, r), cnt = min(
+            pair_counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        expected.append((rank, l, r, l + r, cnt))
+        for w, syms in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            vocab[w] = out
+    assert got == expected
+
+
+def test_group_split_has_no_user_leakage(spark, sf_dir):
+    from cdw_spark.catalog import load_fixture
+    from pyspark.sql import functions as F
+
+    ev = load_fixture(spark, sf_dir, "events")
+    hx = F.md5(F.concat(F.lit("grp:"), F.col("user_id").cast("string")))
+    bucket = F.conv(F.substring(hx, 1, 4), 16, 10).cast("int") % 10
+    tagged = ev.select(
+        "user_id", F.when(bucket < 8, "train").otherwise("test").alias("split")
+    )
+    leaky = (
+        tagged.groupBy("user_id")
+        .agg(F.countDistinct("split").alias("k"))
+        .filter(F.col("k") > 1)
+        .count()
+    )
+    assert leaky == 0

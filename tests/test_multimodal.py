@@ -189,3 +189,46 @@ def test_audio_frame_rms_matches_numpy(spark):
     assert set(got) == set(want)
     for k in want:
         assert abs(got[k] - want[k]) < 1e-12
+
+
+def test_image_ahash_near_dup_matches_bruteforce_and_finds_twins(spark, sf_dir):
+    from cdw_spark.catalog import load_fixture
+    from cdw_spark.operators.multimodal import (
+        _to_signed64,
+        ahash_near_duplicates,
+        ahash_of_ppm,
+        synth_ppm,
+    )
+
+    docs = load_fixture(spark, sf_dir, "documents")
+    ids = [r["doc_id"] for r in docs.select("doc_id").collect()]
+    hashes = {i: _to_signed64(ahash_of_ppm(synth_ppm(i))) for i in ids}
+    expected = {}
+    for b in ids:
+        best = None
+        for a in ids:
+            if a >= b:
+                continue
+            ham = bin((hashes[a] ^ hashes[b]) & ((1 << 64) - 1)).count("1")
+            if ham <= 3 and (best is None or a < best[0]):
+                best = (a, ham)
+        if best:
+            # operator reports min keep_id and min hamming independently
+            hams = [
+                bin((hashes[a] ^ hashes[b]) & ((1 << 64) - 1)).count("1")
+                for a in ids
+                if a < b
+                and bin((hashes[a] ^ hashes[b]) & ((1 << 64) - 1)).count("1") <= 3
+            ]
+            expected[b] = (best[0], min(hams))
+
+    got = {
+        r["dup_id"]: (r["keep_id"], r["hamming"])
+        for r in ahash_near_duplicates(docs).collect()
+    }
+    assert got == expected
+    # every planted twin pair whose perturbation survives the 8x8 box
+    # average must be found; at minimum the mapping is non-trivial
+    twins = [i for i in ids if i % 50 == 1 and i - 1 in ids]
+    found_twins = [i for i in twins if i in got and got[i][0] == i - 1]
+    assert len(found_twins) >= len(twins) // 2, (twins, got)
