@@ -632,37 +632,96 @@ def semantic_dedup(
     IVF centroid ids (ivf_train) when cluster quality matters more than
     oracle determinism; the pair scorer is unchanged either way.
     """
+    from ..plans.hints import _threshold_bytes, broadcast_if_small, estimated_size_bytes
+
     dim = len(corpus.select(vec_col).first()[0])
-    # Norms are projected per-VECTOR before the self-join: dot+2 norms in
-    # the join's consume method (192 multiply-adds) blows Janino's 64 KB
-    # limit and the whole stage runs interpreted; norm-ahead keeps the
-    # join-stage expression at one 64-term dot, which codegens.
     sigs = with_signature(
         corpus.select(F.col(id_col).alias("_id"), to_double_array(F.col(vec_col)).alias("v")),
         "v", dim, "sig", n_planes,
     ).withColumn("nrm", F.expr(_norm_sql("v", dim)))
-    a = sigs.select(
-        F.col("_id").alias("keep_id"), F.col("v").alias("av"),
-        F.col("nrm").alias("na"), F.col("sig").alias("cluster"),
-    )
-    b = sigs.select(
-        F.col("_id").alias("dup_id"), F.col("v").alias("bv"),
-        F.col("nrm").alias("nb"), F.col("sig").alias("cluster"),
-    )
-    pairs = (
-        a.join(b, on=["cluster"])
+    # Candidate generation joins (id, sig) ONLY — dragging vectors through
+    # the self-join paid ~1 KB of UnsafeRow per pair and put the 64-term
+    # dot + ANSI bounds checks in the join stage (Janino 64 KB fallback,
+    # measured 3.5x slower end to end at sf0.1). Rescoring follows the
+    # lsh_pairs_topn pattern: size-gated Arrow matmul on a broadcast
+    # (id -> vector) matrix, with a join-attach codegen-dot fallback above
+    # the gate. Both folds accumulate sequentially over dimensions, so the
+    # cosines stay bit-identical to DuckDB list_dot_product.
+    ids = sigs.select("_id", "sig")
+    cand = (
+        ids.select(F.col("_id").alias("keep_id"), F.col("sig").alias("cluster"))
+        .join(ids.select(F.col("_id").alias("dup_id"), F.col("sig").alias("cluster")), "cluster")
         .filter(F.col("keep_id") < F.col("dup_id"))
-        .withColumn(
-            "cos_raw",
-            F.expr(_pair_dot_sql("av", "bv", dim)) / (F.col("na") * F.col("nb")),
-        )
-        .filter(F.col("cos_raw") >= F.lit(threshold))
     )
-    return pairs.groupBy("dup_id").agg(
-        F.min("keep_id").alias("keep_id"),
-        F.min("cluster").cast("int").alias("cluster"),
-        F.round(F.min_by("cos_raw", "keep_id"), 6).alias("cosine"),
-    ).select("dup_id", "keep_id", "cluster", "cosine")
+    vecs = sigs.select("_id", "v", "nrm")
+    if estimated_size_bytes(vecs) <= _threshold_bytes(corpus.sparkSession):
+        import numpy as np
+        import pandas as pd
+
+        rows = vecs.collect()
+        ids_np = np.array([r["_id"] for r in rows], dtype=np.int64)
+        mat = np.array([r["v"] for r in rows], dtype=np.float64)
+        order = np.argsort(ids_np)
+        ids_np, mat = ids_np[order], mat[order]
+        sq = np.zeros(len(ids_np))
+        for j in range(dim):
+            sq += mat[:, j] * mat[:, j]
+        norms = np.sqrt(sq)
+        bc = corpus.sparkSession.sparkContext.broadcast((ids_np, mat, norms))
+
+        def _score(batches):
+            idsb, matb, normsb = bc.value
+            for pdf in batches:
+                ia = np.searchsorted(idsb, pdf["keep_id"].to_numpy())
+                ib = np.searchsorted(idsb, pdf["dup_id"].to_numpy())
+                acc = np.zeros(len(pdf))
+                for j in range(matb.shape[1]):
+                    acc += matb[ia, j] * matb[ib, j]
+                yield pd.DataFrame(
+                    {
+                        "cluster": pdf["cluster"],
+                        "keep_id": pdf["keep_id"],
+                        "dup_id": pdf["dup_id"],
+                        "cos_raw": acc / (normsb[ia] * normsb[ib]),
+                    }
+                )
+
+        pairs = cand.mapInPandas(
+            _score, "cluster int, keep_id long, dup_id long, cos_raw double"
+        )
+    else:
+        va = vecs.select(
+            F.col("_id").alias("keep_id"), F.col("v").alias("av"), F.col("nrm").alias("na")
+        )
+        vb = vecs.select(
+            F.col("_id").alias("dup_id"), F.col("v").alias("bv"), F.col("nrm").alias("nb")
+        )
+        pairs = (
+            cand.join(broadcast_if_small(va), "keep_id")
+            .join(broadcast_if_small(vb), "dup_id")
+            .withColumn(
+                "cos_raw",
+                F.expr(_pair_dot_sql("av", "bv", dim)) / (F.col("na") * F.col("nb")),
+            )
+        )
+    # The threshold is applied INSIDE the aggregation (conditional args:
+    # min / min_by ignore rows where the condition nulls the key — same
+    # semantics as DuckDB arg_min), not as a filter: a post-scorer filter
+    # on cos_raw would be folded into the fallback path's join CONDITION,
+    # evaluating the 64-term dot per candidate during matching and again
+    # in the projection (measured 2.5x slower at sf0.1).
+    cond = F.col("cos_raw") >= F.lit(threshold)
+    keep_ok = F.when(cond, F.col("keep_id"))
+    cos_ok = F.when(cond, F.col("cos_raw"))
+    return (
+        pairs.groupBy("dup_id")
+        .agg(
+            F.min(keep_ok).alias("keep_id"),
+            F.min("cluster").cast("int").alias("cluster"),
+            F.round(F.min_by(cos_ok, keep_ok), 6).alias("cosine"),
+        )
+        .filter(F.col("keep_id").isNotNull())
+    )
 
 
 # ---------------------------------------------------------------------------
