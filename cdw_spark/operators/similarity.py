@@ -767,18 +767,32 @@ def mmr_rerank(
     # and only the FINAL score is rounded.
     p = probes.select(
         F.col(id_col).alias("probe_id"), to_double_array(F.col(vec_col)).alias("pv")
-    )
+    ).withColumn("pn", F.expr(_norm_sql("pv", dim)))
     c = corpus.select(
         F.col(id_col).alias("cand_id"), to_double_array(F.col(vec_col)).alias("v")
     ).withColumn("nrm", F.expr(_norm_sql("v", dim)))
     wr = Window.partitionBy("probe_id").orderBy(F.col("rel").desc(), F.col("cand_id"))
+    # Unrolled codegen dot with norms projected per side — the interpreted
+    # zip_with/aggregate cosine cost ~2 s alone over |corpus| x |probes|
+    # rows at sf0.1; the unrolled chain keeps DuckDB fold parity and stays
+    # in whole-stage codegen.
     cands = (
         c.crossJoin(F.broadcast(p))
         .filter(F.col("cand_id") != F.col("probe_id"))
-        .withColumn("rel", cosine(F.col("pv"), F.col("v")))
+        .withColumn(
+            "rel", F.expr(_pair_dot_sql("pv", "v", dim)) / (F.col("pn") * F.col("nrm"))
+        )
         .withColumn("rk", F.row_number().over(wr))
         .filter(F.col("rk") <= pool)
         .select("probe_id", "cand_id", "rel", "v", "nrm")
+        # |probes| x pool rows by construction — collapse to one partition
+        # so the greedy loop's ~3 stages per step schedule 1 task each
+        # instead of shuffle_partitions mostly-empty ones. repartition,
+        # NOT coalesce: coalesce(1) would propagate single-task execution
+        # UP into the corpus scan/scoring (measured 1.3x slower overall);
+        # the exchange keeps the scan parallel and only the tiny pool
+        # funnels.
+        .repartition(1)
         .localCheckpoint(eager=False)
     )
 
