@@ -1142,3 +1142,90 @@ def outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.abs(F.col("robust_z")) > F.lit(3.5))
     )
+
+
+@register(
+    "udaf_geomean",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(exp(AVG(ln(value))), 6) AS geomean
+    FROM events WHERE value > 0
+    GROUP BY event_type
+    """,
+    doc="Custom aggregate via a GROUPED_AGG pandas_udf (the UDAF escape "
+    "hatch when no builtin fits): per-type geometric mean, computed "
+    "Arrow-batched as exp(mean(log)). The oracle states the same "
+    "log-mean-exp identity in SQL, value-checking the custom aggregate "
+    "against the relational algebra it implements. Arrow transfer, "
+    "never row-at-a-time (BatchEvalPython banned registry-wide).",
+)
+def udaf_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # functionType passed explicitly: this module uses PEP 563 (string)
+    # annotations, which pyspark's signature-based eval-type inference
+    # can't resolve.
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def geomean(v: pd.Series) -> float:
+        import numpy as np
+
+        return float(np.exp(np.log(v.to_numpy()).mean()))
+
+    # Pandas group aggregates can't mix with JVM aggregates in one agg
+    # (INVALID_PANDAS_UDF_PLACEMENT), so the row count is a second pandas
+    # aggregate — the whole aggregation runs in one Arrow exchange.
+    @pandas_udf("long", PandasUDFType.GROUPED_AGG)
+    def ncount(v: pd.Series) -> int:
+        return int(len(v))
+
+    ev = load_fixture(spark, sf_dir, "events").filter(F.col("value") > 0)
+    return ev.groupBy("event_type").agg(
+        ncount("value").alias("n"),
+        F.round(geomean("value"), 6).alias("geomean"),
+    )
+
+
+@register(
+    "grouped_ols_applyinpandas",
+    oracle="""
+    SELECT event_type,
+           ROUND(CAST(regr_slope(value, epoch(ts)) AS DOUBLE), 6) AS slope,
+           ROUND(CAST(regr_intercept(value, epoch(ts)) AS DOUBLE), 4) AS intercept,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="Custom grouped-map operator via applyInPandas (the batch twin of "
+    "the streaming stateful sessionizer): per-type OLS fit of value over "
+    "event time, computed with numpy inside one Arrow batch per group. "
+    "The oracle is the builtin regr_slope/regr_intercept — the "
+    "grouped-map API is value-checked against the exact relational "
+    "aggregates it reimplements, the correctness pattern for any custom "
+    "operator that outgrows builtins.",
+)
+def grouped_ols_applyinpandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        x = pdf["ts"].astype("int64").to_numpy() / 1e9  # epoch seconds
+        y = pdf["value"].to_numpy()
+        xm, ym = x.mean(), y.mean()
+        dx = x - xm
+        slope = (dx * (y - ym)).sum() / (dx * dx).sum()
+        return pd.DataFrame(
+            {
+                "event_type": [pdf["event_type"].iloc[0]],
+                "slope": [round(slope, 6)],
+                "intercept": [round(ym - slope * xm, 4)],
+                "n": [len(pdf)],
+            }
+        )
+
+    ev = load_fixture(spark, sf_dir, "events").select("event_type", "ts", "value")
+    return ev.groupBy("event_type").applyInPandas(
+        fit, "event_type string, slope double, intercept double, n long"
+    )

@@ -720,3 +720,51 @@ def explode_outer_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda x: x.isin("spark", "vector"),
     )
     return d.select("doc_id", F.explode_outer(hits).alias("hit"))
+
+
+@register(
+    "map_funcs",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n
+        FROM events GROUP BY event_type, CAST(ts AS DATE)
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS INTEGER) AS n_days,
+           CAST(MAX(n) AS BIGINT) AS busiest_count,
+           string_agg(CAST(day AS VARCHAR) || '=' || CAST(n AS VARCHAR),
+                      ',' ORDER BY day) AS day_counts
+    FROM daily GROUP BY event_type
+    """,
+    doc="MapType surface: per event type, daily counts assembled into a "
+    "map<date,bigint> column (map_from_entries), interrogated with "
+    "map_keys/map_values/element_at, and serialized back through "
+    "map_entries into a sorted, engine-neutral string. The oracle states "
+    "the visible result relationally; the Spark plan round-trips a real "
+    "MapType column in one shuffle.",
+)
+def map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_fixture(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    mapped = daily.groupBy("event_type").agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("day", "n")))
+        ).alias("m")
+    )
+    entries = F.array_sort(F.map_entries(F.col("m")))
+    return mapped.select(
+        "event_type",
+        F.size(F.map_keys(F.col("m"))).cast("int").alias("n_days"),
+        F.array_max(F.map_values(F.col("m"))).cast("bigint").alias("busiest_count"),
+        F.array_join(
+            F.transform(
+                entries,
+                lambda e: F.concat(
+                    e["key"].cast("string"), F.lit("="), e["value"].cast("string")
+                ),
+            ),
+            ",",
+        ).alias("day_counts"),
+    )

@@ -496,3 +496,30 @@ def timeseries_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("value", 6).alias("value"),
         F.round(num / den, 6).alias("ewma"),
     )
+
+
+@register(
+    "window_cume_dist",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus AS status,
+           ROUND(cume_dist() OVER w, 6) AS cdist,
+           ROUND(percent_rank() OVER w, 6) AS prank
+    FROM orders
+    WHERE o_orderkey % 17 = 0
+    WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice)
+    """,
+    doc="Distribution window functions: cume_dist and percent_rank per "
+    "status ordered by price — the remaining ranking-family members "
+    "(rank/dense_rank/ntile are covered elsewhere). Value-ties map to "
+    "equal distribution values on both engines, so the result is "
+    "deterministic without a tie-break key.",
+)
+def window_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_fixture(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 17 == 0)
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice")
+    return o.select(
+        "o_orderkey",
+        F.col("o_orderstatus").alias("status"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+        F.round(F.percent_rank().over(w), 6).alias("prank"),
+    )
