@@ -156,3 +156,30 @@ def write_bucketed(
     on every join and never shuffling it at all; pick n_buckets so one
     bucket ~ one executor-core's worth of data."""
     df.write.mode(mode).bucketBy(n_buckets, key).sortBy(key).saveAsTable(name)
+
+
+def compact_files(
+    spark: SparkSession,
+    path: str,
+    target_rows_per_file: int,
+    out_path: str,
+) -> int:
+    """Small-file compaction (the OPTIMIZE half of Delta/Iceberg table
+    maintenance): rewrite a parquet directory into ceil(rows/target)
+    right-sized files. Small files are the chronic failure mode of
+    streaming/incremental sinks — every downstream scan pays a task and a
+    footer read per file, and at 100 TB a 10x file-count inflation is a
+    10x scheduler tax.
+
+    Row-count-based sizing here because the fixtures are tiny; the
+    production knob is bytes (spark.sql.files.maxPartitionBytes on read,
+    target file size on write) with the same repartition shape. Returns
+    the output file count. Content equality and file-count reduction are
+    asserted in tests/test_plans.py."""
+    df = spark.read.parquet(path)
+    n_rows = df.count()
+    n_files = max(1, -(-n_rows // target_rows_per_file))
+    df.repartition(n_files).write.mode("overwrite").parquet(out_path)
+    import os
+
+    return len([f for f in os.listdir(out_path) if f.endswith(".parquet")])

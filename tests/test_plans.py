@@ -329,3 +329,23 @@ def test_aqe_skew_join_splits_hot_partitions(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_compact_files_reduces_count_and_preserves_content(spark, tmp_path):
+    import os
+
+    from pyspark.sql import functions as F
+
+    from cdw_spark.plans.layout import compact_files
+
+    src = str(tmp_path / "fragmented")
+    # simulate a streaming sink's fragmentation: 64 files for 1000 rows
+    spark.range(1000).withColumn("v", F.col("id") * 2).repartition(64).write.parquet(src)
+    assert len([f for f in os.listdir(src) if f.endswith(".parquet")]) == 64
+
+    out = str(tmp_path / "compacted")
+    n = compact_files(spark, src, target_rows_per_file=500, out_path=out)
+    assert n == 2
+    a = spark.read.parquet(src).orderBy("id").collect()
+    b = spark.read.parquet(out).orderBy("id").collect()
+    assert a == b
