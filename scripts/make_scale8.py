@@ -1,0 +1,46 @@
+#!/usr/bin/env python
+"""Build the 8x derived scale dataset (/tmp/cdw_scale8) used by the
+BENCHNOTES scale-up measurement: each table unioned 8 times with replica-
+shifted keys, so join/group cardinalities grow linearly and no artificial
+key collisions appear. Usage: python scripts/make_scale8.py [sf_dir]"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from cdw_spark.catalog import load_fixture
+from cdw_spark.session import get_spark
+
+SHIFT = 10_000_000
+KEYS = {
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+    "events": ["event_id", "user_id"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey"],
+    "customer": ["c_custkey"],
+}
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    out = "/tmp/cdw_scale8"
+    spark = get_spark(app_name="make-scale8")
+    spark.sparkContext.setLogLevel("ERROR")
+    for table, keys in KEYS.items():
+        base = load_fixture(spark, sf_dir, table)
+        reps = None
+        for i in range(8):
+            r = base
+            for k in keys:
+                r = r.withColumn(k, F.col(k) + F.lit(i * SHIFT))
+            reps = r if reps is None else reps.unionAll(r)
+        reps.write.mode("overwrite").parquet(f"{out}/{table}.parquet")
+        print(table, "done")
+
+
+if __name__ == "__main__":
+    main()
