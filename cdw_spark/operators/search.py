@@ -176,11 +176,19 @@ def phrase_search(
     Output: (doc_id, n_hits) for documents containing the phrase at least
     once, n_hits = number of distinct starting positions.
 
-    Scale shape: each join side is pre-filtered to ONE term's postings
-    (tiny fraction of the corpus), and joins hash-partition on
+    Scale shape: a substring ``contains`` prefilter on every phrase word
+    (a superset of the token match, so correctness is untouched) rides
+    the scan as a vectorized DataFilter — documents without all the
+    words never reach the explode, which is the expensive step; on
+    pre-lowercased corpora drop the lower() and the same predicate
+    additionally pushes into the parquet reader as StringContains; each join side is then further
+    filtered to ONE term's postings, and joins hash-partition on
     (doc, position) — never a scan-by-scan product. A k-word phrase is
     k-1 chained equi-joins, each further shrinking the candidate set."""
-    toks = docs.select(
+    pre = docs
+    for word in phrase:
+        pre = pre.filter(F.lower(F.col(text_col)).contains(word))
+    toks = pre.select(
         F.col(id_col),
         F.posexplode(index_terms(F.col(text_col))).alias("pos", "term"),
     )

@@ -349,3 +349,39 @@ def test_compact_files_reduces_count_and_preserves_content(spark, tmp_path):
     a = spark.read.parquet(src).orderBy("id").collect()
     b = spark.read.parquet(out).orderBy("id").collect()
     assert a == b
+
+
+def test_phrase_search_prefilters_scan_before_explode(spark, sf_dir):
+    """Every phrase word must appear as a Contains DataFilter ON the file
+    scan, so non-matching documents never reach the posexplode."""
+    from cdw_spark.registry import load_all
+
+    df = load_all()["text_phrase_search"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    scan_lines = [ln for ln in plan.splitlines() if "FileScan" in ln]
+    assert scan_lines and all(
+        "Contains" in ln and "table" in ln and "hash" in ln for ln in scan_lines
+    ), plan[:2000]
+
+
+def test_paragraph_dedup_single_count_exchange(spark, sf_dir):
+    """The corpus block count is a window over the block key — counting
+    and the keep/drop decision must share exchanges: exactly two
+    (block window + doc reassembly), no count-table self-join."""
+    from cdw_spark.registry import load_all
+
+    df = load_all()["dedup_paragraphs"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 2, plan[:3000]
+    assert "Join" not in plan
+
+
+def test_quality_model_rides_the_plan_without_joins(spark, sf_dir):
+    """The classifier's weights are literals: no join, no Python UDF —
+    two aggregation exchanges ((doc,bucket) count + per-doc pivot)."""
+    from cdw_spark.registry import load_all
+
+    df = load_all()["quality_model_score"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan and "Python" not in plan
+    assert plan.count("Exchange hashpartitioning") == 2, plan[:3000]
