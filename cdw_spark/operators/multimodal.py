@@ -482,3 +482,171 @@ def ahash_near_duplicates(
         .agg(F.min("keep_id").alias("keep_id"), F.min("hamming").cast("int").alias("hamming"))
         .select("dup_id", "keep_id", "hamming")
     )
+
+
+# ---------------------------------------------------------------------------
+# Video modality: a stdlib frame container + shot-boundary detection — the
+# temporal twin of the image path (decode -> per-frame feature -> pairwise
+# comparison along time instead of across corpus).
+
+PVV_MAGIC = b"PVV1"
+
+
+def pvv_encode(frames: list[bytes]) -> bytes:
+    """Minimal video container: magic, frame count, then length-prefixed
+    P6 frames. The stdlib stand-in for a real demuxer, same seam as the
+    PPM codec (a production deployment swaps in PyAV/ffmpeg behind the
+    identical mapInPandas signature)."""
+    out = bytearray(PVV_MAGIC + b"\n%d\n" % len(frames))
+    for f in frames:
+        out += b"%d\n" % len(f)
+        out += f
+    return bytes(out)
+
+
+def pvv_decode(blob: bytes) -> list[bytes]:
+    if blob[:4] != PVV_MAGIC:
+        raise ValueError("not a PVV blob")
+    i = blob.index(b"\n", 5) if False else blob.index(b"\n", 4)
+    j = blob.index(b"\n", i + 1)
+    n = int(blob[i + 1 : j])
+    frames, pos = [], j + 1
+    for _ in range(n):
+        k = blob.index(b"\n", pos)
+        ln = int(blob[pos:k])
+        frames.append(blob[k + 1 : k + 1 + ln])
+        pos = k + 1 + ln
+    return frames
+
+
+def synth_video(doc_id: int, n_frames: int = 8) -> bytes:
+    """Deterministic 8-frame 16x16 clip with a PLANTED SHOT CUT at frame
+    n_frames//2: the first shot evolves gently from seed (doc_id, 'a')
+    (per-frame one-byte drift), the second shot restarts from an
+    unrelated seed — ground truth for the boundary detector."""
+    import hashlib
+
+    def frame(seed: str, drift: int, bright: bool) -> bytes:
+        raster = bytearray()
+        i = 0
+        while len(raster) < 16 * 16 * 3:
+            raster += hashlib.md5(f"vid:{seed}:{i}".encode()).digest()
+            i += 1
+        raster = raster[: 16 * 16 * 3]
+        # Shots must differ in LUMINANCE, not just bytes: md5 noise has a
+        # near-uniform luma histogram whatever the seed, which would make
+        # the cut invisible to any histogram feature. Shot A is biased
+        # bright (high bit set), shot B dark (high bit cleared).
+        for k in range(len(raster)):
+            raster[k] = raster[k] | 0x80 if bright else raster[k] & 0x7F
+        for d in range(drift):
+            raster[d % len(raster)] = (raster[d % len(raster)] + 7) % 256
+        return ppm_encode(16, 16, bytes(raster))
+
+    cut = n_frames // 2
+    frames = [frame(f"{doc_id}:a", t, True) for t in range(cut)]
+    frames += [frame(f"{doc_id}:b", t, False) for t in range(n_frames - cut)]
+    return pvv_encode(frames)
+
+
+def _luma_hist8(blob: bytes) -> list[int]:
+    """8-bin luminance histogram of a P6 frame — the classic cheap
+    shot-detection feature."""
+    w, h, raster = ppm_decode(blob)
+    hist = [0] * 8
+    for o in range(0, w * h * 3, 3):
+        luma = (299 * raster[o] + 587 * raster[o + 1] + 114 * raster[o + 2]) // 1000
+        hist[min(7, luma >> 5)] += 1
+    return hist
+
+
+def video_shot_boundaries(
+    df: DataFrame, threshold: float = 0.5, id_col: str = "doc_id"
+) -> DataFrame:
+    """Shot-boundary detection: decode each clip's frames, compute 8-bin
+    luma histograms, normalize, and flag frame transitions whose L1
+    histogram distance exceeds ``threshold`` — the standard first-pass
+    shot segmenter every video-training pipeline runs before frame
+    sampling (sample per shot, not per clip).
+
+    Output: (doc_id, frame_idx, l1_dist, is_cut) for transitions 1..n-1.
+
+    Scan-shaped mapInPandas: one decode pass per clip, state bounded by
+    one frame pair — 100 TB of video streams through without shuffle;
+    the frame count per row bounds memory, not the corpus."""
+    out_schema = f"{id_col} long, frame_idx int, l1_dist double, is_cut int"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {id_col: [], "frame_idx": [], "l1_dist": [], "is_cut": []}
+            for did in pdf[id_col]:
+                frames = pvv_decode(synth_video(int(did)))
+                prev = None
+                for t, fr in enumerate(frames):
+                    hist = _luma_hist8(fr)
+                    tot = sum(hist) or 1
+                    norm = [c / tot for c in hist]
+                    if prev is not None:
+                        d = sum(abs(a - b) for a, b in zip(prev, norm))
+                        rows[id_col].append(int(did))
+                        rows["frame_idx"].append(t)
+                        rows["l1_dist"].append(round(d, 6))
+                        rows["is_cut"].append(int(d > threshold))
+                    prev = norm
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col).mapInPandas(run, out_schema)
+
+
+def audio_spectral_centroid(
+    df: DataFrame,
+    frame_len: int = 256,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Spectral centroid per audio frame (the brightness feature of audio
+    quality/content filters): synth-encode a WAV (fixture seam), decode,
+    frame the samples, rFFT each frame, centroid = sum(f*|X|)/sum(|X|).
+
+    Output: (doc_id, frame_idx, centroid_hz). numpy-vectorized per Arrow
+    batch; one decode pass, no shuffle. Rows-only by nature (FFT is not
+    SQL); differentially tested against direct numpy rfft in
+    tests/test_multimodal.py."""
+    out_schema = f"{id_col} long, frame_idx int, centroid_hz double"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = {id_col: [], "frame_idx": [], "centroid_hz": []}
+            for did in pdf[id_col]:
+                rate, samples = wav_decode(synth_wav(int(did)))
+                x = np.asarray(samples, dtype=np.float64)
+                n_frames = len(x) // frame_len
+                for t in range(n_frames):
+                    fr = x[t * frame_len : (t + 1) * frame_len]
+                    mag = np.abs(np.fft.rfft(fr))
+                    freqs = np.fft.rfftfreq(frame_len, d=1.0 / rate)
+                    tot = mag.sum()
+                    c = float((freqs * mag).sum() / tot) if tot > 0 else 0.0
+                    rows[id_col].append(int(did))
+                    rows["frame_idx"].append(t)
+                    rows["centroid_hz"].append(round(c, 4))
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col).mapInPandas(run, out_schema)
+
+
+def synth_wav(doc_id: int, n_samples: int = 1024, rate: int = 8000) -> bytes:
+    """Deterministic test tone per row: a doc_id-dependent sine (so
+    spectral features vary by row) plus a quiet second harmonic."""
+    import math
+
+    f0 = 200.0 + (doc_id % 20) * 150.0
+    samples = [
+        int(
+            12000 * math.sin(2 * math.pi * f0 * t / rate)
+            + 4000 * math.sin(2 * math.pi * 2 * f0 * t / rate)
+        )
+        for t in range(n_samples)
+    ]
+    return wav_encode(samples, rate)

@@ -165,3 +165,37 @@ def multimodal_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.multimodal import ahash_near_duplicates
 
     return ahash_near_duplicates(load_fixture(spark, sf_dir, "documents"))
+
+
+@register(
+    "multimodal_video_shots",
+    oracle=None,
+    doc="Video shot-boundary detection: decode each clip (stdlib PVV "
+    "frame container — the demuxer seam a real deployment fills with "
+    "PyAV), 8-bin luma histogram per frame, cut where consecutive "
+    "frames' L1 histogram distance exceeds 0.5 — the first-pass shot "
+    "segmenter video-training pipelines run before per-shot frame "
+    "sampling. Rows-only BY NATURE (decode); the planted mid-clip cut "
+    "and a pure-Python reference are asserted in "
+    "tests/test_multimodal.py (operators/multimodal.py:"
+    "video_shot_boundaries).",
+)
+def multimodal_video_shots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import video_shot_boundaries
+
+    return video_shot_boundaries(load_fixture(spark, sf_dir, "documents"))
+
+
+@register(
+    "multimodal_audio_spectral",
+    oracle=None,
+    doc="Audio spectral centroid per 256-sample frame over the real "
+    "stdlib WAV codec — the brightness feature of audio quality "
+    "filters, complementing the time-domain RMS query. Rows-only BY "
+    "NATURE (FFT); numpy-rfft differential in tests/test_multimodal.py "
+    "(operators/multimodal.py:audio_spectral_centroid).",
+)
+def multimodal_audio_spectral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import audio_spectral_centroid
+
+    return audio_spectral_centroid(load_fixture(spark, sf_dir, "documents"))

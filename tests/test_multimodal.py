@@ -232,3 +232,45 @@ def test_image_ahash_near_dup_matches_bruteforce_and_finds_twins(spark, sf_dir):
     twins = [i for i in ids if i % 50 == 1 and i - 1 in ids]
     found_twins = [i for i in twins if i in got and got[i][0] == i - 1]
     assert len(found_twins) >= len(twins) // 2, (twins, got)
+
+
+def test_video_shot_detector_finds_planted_cut_exactly(spark, sf_dir):
+    from cdw_spark.catalog import load_fixture
+    from cdw_spark.operators.multimodal import video_shot_boundaries
+
+    docs = load_fixture(spark, sf_dir, "documents")
+    out = video_shot_boundaries(docs).collect()
+    ids = {r["doc_id"] for r in out}
+    by_doc: dict = {}
+    for r in out:
+        if r["is_cut"]:
+            by_doc.setdefault(r["doc_id"], []).append(r["frame_idx"])
+    # every clip has exactly one cut, at the planted frame 4
+    assert all(by_doc.get(i) == [4] for i in ids), dict(list(by_doc.items())[:3])
+    # 7 transitions per 8-frame clip
+    assert len(out) == 7 * len(ids)
+
+
+def test_audio_spectral_centroid_matches_numpy_and_tracks_pitch(spark):
+    import numpy as np
+
+    from cdw_spark.operators.multimodal import (
+        audio_spectral_centroid,
+        synth_wav,
+        wav_decode,
+    )
+
+    df = spark.createDataFrame([(0,), (10,)], "doc_id long")
+    got = {(r["doc_id"], r["frame_idx"]): r["centroid_hz"]
+           for r in audio_spectral_centroid(df).collect()}
+    for did in (0, 10):
+        rate, samples = wav_decode(synth_wav(did))
+        x = np.asarray(samples, dtype=np.float64)
+        for t in range(len(x) // 256):
+            fr = x[t * 256 : (t + 1) * 256]
+            mag = np.abs(np.fft.rfft(fr))
+            freqs = np.fft.rfftfreq(256, d=1.0 / rate)
+            want = round(float((freqs * mag).sum() / mag.sum()), 4)
+            assert abs(got[(did, t)] - want) < 1e-6
+    # doc 10's fundamental (1700 Hz) is brighter than doc 0's (200 Hz)
+    assert got[(10, 0)] > got[(0, 0)]
