@@ -96,3 +96,65 @@ def asof_join_backward(
             ],
         )
     )
+
+
+def asof_join_forward(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_time: str,
+    right_time: str,
+    right_payload: dict[str, str],
+    tolerance_seconds: int | None = None,
+) -> DataFrame:
+    """Left as-of-FORWARD join with optional tolerance: every ``left`` row
+    gains the payload of the right row with the SMALLEST ``right_time`` >=
+    ``left_time`` for the same key — NULLs when none exists or when the
+    match is further than ``tolerance_seconds`` ahead (the
+    sensor/next-event lookup, mirror of asof_join_backward).
+
+    Same single-shuffle union trick as backward, scanned in DESCENDING
+    time order so the running last() carries the nearest FOLLOWING right
+    row; at equal times the right row sorts first, so >= ties match.
+    Tolerance is a post-fill predicate on the matched time — no second
+    join, no row explosion."""
+    matched_time = "_matched_t"
+    payload = F.struct(
+        F.col(right_time).alias(matched_time),
+        *[F.col(src).alias(alias) for src, alias in right_payload.items()],
+    )
+    r = right.filter(F.col(right_time).isNotNull()).select(
+        *on,
+        F.col(right_time).alias(_TIME),
+        F.lit(0).alias(_SIDE),
+        payload.alias(_PAYLOAD),
+    )
+    left_cols = left.columns
+    l = left.select(
+        *left_cols,
+        F.col(left_time).alias(_TIME),
+        F.lit(1).alias(_SIDE),
+        F.lit(None).cast(r.schema[_PAYLOAD].dataType).alias(_PAYLOAD),
+    )
+    u = r.unionByName(l, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(F.col(_TIME).desc(), _SIDE, _PAYLOAD)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = F.last(_PAYLOAD, ignorenulls=True).over(w)
+    out = u.withColumn(_PAYLOAD, filled).filter(F.col(_SIDE) == 1)
+    keep = F.col(_PAYLOAD).isNotNull()
+    if tolerance_seconds is not None:
+        keep = keep & (
+            F.col(f"{_PAYLOAD}.{matched_time}").cast("long")
+            - F.col(_TIME).cast("long")
+            <= F.lit(tolerance_seconds)
+        )
+    return out.select(
+        *left_cols,
+        *[
+            F.when(keep, F.col(f"{_PAYLOAD}.{alias}")).alias(alias)
+            for alias in right_payload.values()
+        ],
+    )

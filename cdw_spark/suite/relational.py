@@ -768,3 +768,97 @@ def map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ",",
         ).alias("day_counts"),
     )
+
+
+@register(
+    "asof_join_forward_tolerance",
+    oracle="""
+    SELECT e.event_id, e.user_id, e.ts AS click_ts,
+           CASE WHEN p.ts <= e.ts + INTERVAL 2 DAY THEN p.ts END AS next_purchase_ts,
+           CASE WHEN p.ts <= e.ts + INTERVAL 2 DAY THEN p.value END AS next_purchase_value
+    FROM (SELECT * FROM events WHERE event_type = 'click') e
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON e.user_id = p.user_id AND e.ts <= p.ts
+    """,
+    doc="Forward as-of join with tolerance: each click picks up the NEXT "
+    "purchase of the same user, nulled when it is more than 2 days ahead "
+    "— the conversion-attribution lookup (click -> next purchase within "
+    "window). Same one-shuffle union+last_value plan as the backward "
+    "as-of, scanned time-descending; tolerance is a post-fill predicate, "
+    "never a second join (operators/asof.py:asof_join_forward).",
+)
+def asof_join_forward_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.asof import asof_join_forward
+
+    ev = load_fixture(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", F.col("ts").alias("click_ts")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    return asof_join_forward(
+        clicks,
+        purchases,
+        on=["user_id"],
+        left_time="click_ts",
+        right_time="ts",
+        right_payload={"ts": "next_purchase_ts", "value": "next_purchase_value"},
+        tolerance_seconds=2 * 86400,
+    )
+
+
+@register(
+    "interval_overlap_join",
+    oracle="""
+    WITH spans AS (
+        SELECT user_id, CAST(ts AS DATE) AS day, event_type,
+               MIN(ts) AS t0, MAX(ts) AS t1
+        FROM events GROUP BY user_id, CAST(ts AS DATE), event_type
+    )
+    SELECT a.user_id, a.day, a.event_type AS type_a, b.event_type AS type_b,
+           CAST(floor(epoch(LEAST(a.t1, b.t1))) - floor(epoch(GREATEST(a.t0, b.t0)))
+                AS BIGINT) AS overlap_seconds
+    FROM spans a JOIN spans b
+      ON a.user_id = b.user_id AND a.day = b.day
+     AND a.event_type < b.event_type
+    WHERE a.t0 <= b.t1 AND b.t0 <= a.t1
+    """,
+    doc="Interval OVERLAP join (both sides intervals, unlike the "
+    "point-in-range range join): per user-day activity spans of each "
+    "event type, pairs whose spans overlap in time, with overlap "
+    "duration. The equi-key (user, day) is the aligned grid bucket that "
+    "makes overlap joins hash-partitionable at 100 TB — the overlap "
+    "predicate evaluates only within grid cells, never across the "
+    "|spans|^2 space (multi-day intervals explode into one row per "
+    "covered grid cell, then dedupe — same technique as "
+    "range_join_bucketed).",
+)
+def interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_fixture(spark, sf_dir, "events")
+    spans = ev.groupBy("user_id", F.to_date("ts").alias("day"), "event_type").agg(
+        F.min("ts").alias("t0"), F.max("ts").alias("t1")
+    )
+    a = spans.select(
+        "user_id", "day", F.col("event_type").alias("type_a"),
+        F.col("t0").alias("a0"), F.col("t1").alias("a1"),
+    )
+    b = spans.select(
+        "user_id", "day", F.col("event_type").alias("type_b"),
+        F.col("t0").alias("b0"), F.col("t1").alias("b1"),
+    )
+    return (
+        a.join(b, on=["user_id", "day"])
+        .filter(
+            (F.col("type_a") < F.col("type_b"))
+            & (F.col("a0") <= F.col("b1"))
+            & (F.col("b0") <= F.col("a1"))
+        )
+        .select(
+            "user_id",
+            "day",
+            "type_a",
+            "type_b",
+            (
+                F.least("a1", "b1").cast("long") - F.greatest("a0", "b0").cast("long")
+            ).alias("overlap_seconds"),
+        )
+    )

@@ -93,3 +93,35 @@ def test_asof_null_timestamps(spark):
     assert got[1] == (_ts("2024-01-01T00:00:05"), 1.0)
     assert got[2] == (None, None)
     assert 666.0 not in {v for _, v in got.values()}
+
+
+def test_asof_forward_tolerance_and_tie_semantics(spark):
+    from datetime import datetime
+
+    from cdw_spark.operators.asof import asof_join_forward
+
+    left = spark.createDataFrame(
+        [
+            (1, 10, datetime(2024, 1, 1, 10, 0, 0)),   # exact-tie match
+            (2, 10, datetime(2024, 1, 1, 11, 0, 0)),   # next is 1h ahead (in tol)
+            (3, 10, datetime(2024, 1, 5, 0, 0, 0)),    # nothing after
+            (4, 20, datetime(2024, 1, 1, 0, 0, 0)),    # next is 3 days ahead (out of tol)
+        ],
+        "event_id long, user_id long, click_ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (10, datetime(2024, 1, 1, 10, 0, 0), 1.0),
+            (10, datetime(2024, 1, 1, 12, 0, 0), 2.0),
+            (20, datetime(2024, 1, 4, 0, 0, 0), 9.0),
+        ],
+        "user_id long, ts timestamp, value double",
+    )
+    out = {
+        r["event_id"]: r["v"]
+        for r in asof_join_forward(
+            left, right, on=["user_id"], left_time="click_ts", right_time="ts",
+            right_payload={"value": "v"}, tolerance_seconds=86400,
+        ).collect()
+    }
+    assert out == {1: 1.0, 2: 2.0, 3: None, 4: None}
