@@ -1229,3 +1229,68 @@ def grouped_ols_applyinpandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("event_type").applyInPandas(
         fit, "event_type string, slope double, intercept double, n long"
     )
+
+
+@register(
+    "dedup_debounce",
+    oracle="""
+    WITH seq AS (
+        SELECT event_id, user_id, event_type, ts,
+               LAG(ts) OVER (PARTITION BY user_id, event_type
+                             ORDER BY ts, event_id) AS prev_ts
+        FROM events
+    )
+    SELECT event_id, user_id, event_type
+    FROM seq
+    WHERE prev_ts IS NULL OR floor(epoch(ts)) - floor(epoch(prev_ts)) > 3600
+    """,
+    doc="Windowed event deduplication (debounce): keep an event only if "
+    "the same user produced no same-type event in the preceding hour — "
+    "the batch twin of stream_dedup's state-store dedup, and the "
+    "retry/double-fire scrubber of event pipelines. One LAG in one "
+    "partition sort; no self-join against the time window.",
+)
+def dedup_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_fixture(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("prev_ts", F.lag("ts").over(w))
+        .filter(
+            F.col("prev_ts").isNull()
+            | (F.col("ts").cast("long") - F.col("prev_ts").cast("long") > 3600)
+        )
+        .select("event_id", "user_id", "event_type")
+    )
+
+
+@register(
+    "agg_mode_per_group",
+    oracle="""
+    SELECT user_id, event_type AS mode_type, CAST(n AS BIGINT) AS n
+    FROM (
+        SELECT user_id, event_type, COUNT(*) AS n,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY COUNT(*) DESC, event_type) AS rk
+        FROM events GROUP BY user_id, event_type
+    ) WHERE rk = 1
+    """,
+    doc="Deterministic per-group mode (most frequent event type per "
+    "user): count + windowed argmax with a lexicographic tie-break — "
+    "builtin mode() exists on both engines but leaves ties "
+    "engine-defined, so the explicit form IS the portable semantics. "
+    "Count shuffle combines map-side; the window runs over |users| x "
+    "|types| rows.",
+)
+def agg_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_fixture(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("user_id").orderBy(F.col("n").desc(), "event_type")
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("user_id", F.col("event_type").alias("mode_type"), F.col("n").cast("bigint").alias("n"))
+    )
