@@ -1228,3 +1228,96 @@ def tokenizer_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.curate import bpe_train_merges
 
     return bpe_train_merges(load_fixture(spark, sf_dir, "documents"), n_merges=5)
+
+
+@register(
+    "dq_expectations",
+    oracle="""
+    SELECT 'orders.o_orderkey.not_null' AS rule,
+           CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_violations
+    FROM orders
+    UNION ALL
+    SELECT 'orders.o_orderkey.unique',
+           CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'orders.o_orderstatus.accepted_values',
+           CAST(SUM(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P')
+                         THEN 1 ELSE 0 END) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'orders.o_totalprice.non_negative',
+           CAST(SUM(CASE WHEN o_totalprice < 0 THEN 1 ELSE 0 END) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'orders.o_custkey.ref_customer',
+           CAST(COUNT(*) AS BIGINT)
+    FROM orders o
+    WHERE o.o_custkey NOT IN (SELECT c_custkey FROM customer)
+    UNION ALL
+    SELECT 'lineitem.l_orderkey.ref_orders',
+           CAST(COUNT(*) AS BIGINT)
+    FROM lineitem l
+    WHERE l.l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+    """,
+    doc="Data-quality expectations audit (the dbt-test / Great "
+    "Expectations contract): not-null, key uniqueness, accepted values, "
+    "range, and two referential-integrity rules, emitted as one "
+    "(rule, n_violations) ledger. Column rules are single-scan "
+    "conditional aggregates; RI rules are broadcast anti-joins against "
+    "the key side — the audit a pipeline gates every publish on.",
+)
+def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_fixture(spark, sf_dir, "orders")
+    customer = load_fixture(spark, sf_dir, "customer")
+    lineitem = load_fixture(spark, sf_dir, "lineitem")
+
+    def rule(name: str, df: DataFrame, viol) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("rule"),
+            F.sum(F.when(viol, 1).otherwise(0)).cast("bigint").alias("n_violations"),
+        )
+
+    uniq = orders.agg(
+        F.lit("orders.o_orderkey.unique").alias("rule"),
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey"))
+        .cast("bigint")
+        .alias("n_violations"),
+    )
+    ref_cust = (
+        orders.join(
+            F.broadcast(customer.select("c_custkey")),
+            orders.o_custkey == customer.c_custkey,
+            "left_anti",
+        ).agg(
+            F.lit("orders.o_custkey.ref_customer").alias("rule"),
+            F.count(F.lit(1)).cast("bigint").alias("n_violations"),
+        )
+    )
+    ref_ord = (
+        lineitem.join(
+            orders.select("o_orderkey"),
+            lineitem.l_orderkey == orders.o_orderkey,
+            "left_anti",
+        ).agg(
+            F.lit("lineitem.l_orderkey.ref_orders").alias("rule"),
+            F.count(F.lit(1)).cast("bigint").alias("n_violations"),
+        )
+    )
+    return (
+        rule("orders.o_orderkey.not_null", orders, F.col("o_orderkey").isNull())
+        .unionAll(uniq)
+        .unionAll(
+            rule(
+                "orders.o_orderstatus.accepted_values",
+                orders,
+                ~F.col("o_orderstatus").isin("O", "F", "P"),
+            )
+        )
+        .unionAll(
+            rule("orders.o_totalprice.non_negative", orders, F.col("o_totalprice") < 0)
+        )
+        .unionAll(ref_cust)
+        .unionAll(ref_ord)
+    )
