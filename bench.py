@@ -83,6 +83,9 @@ HEADLINE = [
     "text_phrase_search",
     "cdc_snapshot_diff",
     "multimodal_image_near_dup",
+    "incremental_join_merge",
+    "interval_overlap_join",
+    "dq_expectations",
 ]
 
 
