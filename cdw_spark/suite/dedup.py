@@ -269,3 +269,63 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import semantic_dedup
 
     return semantic_dedup(load_fixture(spark, sf_dir, "embeddings"), threshold=0.25)
+
+
+@register(
+    "dedup_containment",
+    oracle="""
+    WITH wrds AS (
+        SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws
+        FROM documents
+    ), sh AS (
+        SELECT doc_id, unnest(list_distinct(
+            CASE WHEN len(ws) >= 3
+                 THEN [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] for i in range(1, len(ws) - 1)]
+                 ELSE [array_to_string(ws, ' ')] END)) AS sh
+        FROM wrds
+    ), n AS (
+        SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+    ), inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS ixn
+        FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id <> b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT id_a AS contained_id, id_b AS container_id,
+           ROUND(ixn * 1.0 / na.n_sh, 6) AS containment
+    FROM inter
+    JOIN n na ON na.doc_id = id_a
+    WHERE ixn * 1.0 / na.n_sh >= CAST(0.6 AS DOUBLE)
+    """,
+    doc="Asymmetric shingle CONTAINMENT (Broder): |A∩B|/|A| >= 0.6 flags "
+    "documents largely contained in another — the quote/boilerplate/"
+    "near-superset surface that symmetric Jaccard misses (a snippet "
+    "inside a long page scores high containment but low Jaccard). Same "
+    "inverted shingle join as the Jaccard pipeline; directed pairs, so "
+    "both orientations emit when sizes are close.",
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ..operators.dedup import _shingle_table
+
+    d = load_fixture(spark, sf_dir, "documents")
+    sh = _shingle_table(d, "text", "doc_id", 3)
+    n = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("id_a"), "sh")
+    b = sh.select(F.col("doc_id").alias("id_b"), "sh")
+    inter = (
+        a.join(b, "sh")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("ixn"))
+    )
+    cont = F.col("ixn") * F.lit(1.0) / F.col("n_sh")
+    return (
+        inter.join(n.withColumnRenamed("doc_id", "id_a"), "id_a")
+        .filter(cont >= F.lit(0.6))
+        .select(
+            F.col("id_a").alias("contained_id"),
+            F.col("id_b").alias("container_id"),
+            F.round(cont, 6).alias("containment"),
+        )
+    )

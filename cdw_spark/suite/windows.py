@@ -523,3 +523,43 @@ def window_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.cume_dist().over(w), 6).alias("cdist"),
         F.round(F.percent_rank().over(w), 6).alias("prank"),
     )
+
+
+@register(
+    "timeseries_resample_ohlc",
+    oracle="""
+    SELECT user_id,
+           time_bucket(INTERVAL 6 HOUR, ts) AS bucket,
+           arg_min(value, ts) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           arg_max(value, ts) AS close,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM (
+        SELECT user_id, ts, ROUND(value, 6) AS value FROM events
+        WHERE event_type = 'purchase'
+    )
+    GROUP BY user_id, time_bucket(INTERVAL 6 HOUR, ts)
+    """,
+    doc="OHLC resampling (the financial/time-series downsampler): "
+    "6-hour buckets per user with open = earliest value, close = "
+    "latest, high/low extrema, via min_by/max_by — one map-side-"
+    "combining aggregation, no window sort. Timestamps within a bucket "
+    "are unique per user in the fixture, so arg_min/arg_max tie "
+    "semantics never engage (and would tie-break identically anyway on "
+    "the rounded value).",
+)
+def timeseries_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        load_fixture(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id", "ts", F.round("value", 6).alias("value"))
+    )
+    bucket = F.window("ts", "6 hours").start.alias("bucket")
+    return ev.groupBy("user_id", bucket).agg(
+        F.min_by("value", "ts").alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max_by("value", "ts").alias("close"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
