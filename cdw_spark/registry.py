@@ -71,6 +71,19 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # batch time-window twins, and the tokenize/chunk/pack assembly ops.
 # Everything not listed keeps its registration order after the window and
 # stays covered by tests/test_oracle_contract.py's local differential sweep.
+# r4 rotation plan (mechanical): after CORRECTNESS_r03 lands, keep ~10
+# family anchors and fill the other ~40 slots from the 88 queries with no
+# driver row yet — priority order: the second-wave pipeline ops
+# (dedup_paragraphs/semantic/containment/debounce, quality_model_score,
+# similarity_mmr_rerank, text_phrase_search/novelty, cdc_snapshot_diff,
+# gdpr_erase_cascade, incremental_join_merge, interval_overlap_join,
+# asof_join_forward_tolerance, sample_weighted_no_replacement,
+# sample_group_split, dq_expectations, map_funcs, window_cume_dist,
+# udaf_geomean, grouped_ols_applyinpandas, timeseries_ewma/resample_ohlc,
+# event_transition_matrix, session_paths_topk, outlier_mad), then the
+# retrieval/graph/sketch layer (bm25/tfidf/inverted_index/keyword/
+# bigram*/pagerank/cms), then the remaining oracled r2 tail. A third
+# window r2 ∪ r3 ∪ r4 ≈ 140/178 with driver rows.
 _DRIVER_WINDOW: tuple[str, ...] = (
     # --- anchors: one representative per family, all r2-green ---
     "star_fact_join",        # reference §2 relational core (flagship)
