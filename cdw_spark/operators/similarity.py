@@ -911,3 +911,158 @@ def mmr_oracle_sql(
     FROM ({prev_union})"""
     )
     return "".join(parts)
+
+
+# ---------------------------------------------------------------------------
+# Top principal component by power iteration — distributed linear algebra
+# expressed as plain aggregation passes, with integer-exact arithmetic so
+# the WHOLE recurrence is value-oracle-checkable across engines.
+
+PCA_QUANT = "1000000.0"  # input quantization: q_ij = floor(v_ij * 1e6 + .5)
+
+
+def _pca_q_exprs(vec: str, dim: int) -> list[str]:
+    return [
+        f"CAST(floor({vec}[{j}] * {PCA_QUANT} + 0.5) AS BIGINT)" for j in range(dim)
+    ]
+
+
+def pca_power_top_component(
+    corpus: DataFrame,
+    dim: int,
+    iterations: int = 3,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top principal component (uncentered, Gram-matrix sense) of the
+    embedding column via ``iterations`` rounds of power iteration,
+    computed WITHOUT materializing the covariance matrix: each round is
+    two matrix-vector products fused into one pass — s_i = <q_i, x> as a
+    codegen'd row projection, then y = Xᵀs by EXPLODING each row's 64
+    decimal products to (dim, p) rows and summing per dim (C x = Xᵀ(X x)).
+
+    Exactness discipline (what makes the recurrence hash-checkable in
+    DuckDB): inputs quantize once to integers (floor(v*1e6+.5)); every
+    matvec accumulates in DECIMAL, which is associative-exact, so
+    partition/aggregation order cannot perturb a single bit; the
+    between-rounds rescale x = floor(y*1e6/max|y|) uses only
+    deterministic double ops on exact aggregates; the final norm is an
+    unrolled left-assoc fold over the pos-sorted y vector. The rescale
+    is data-adaptive (max-abs), so magnitudes stay bounded at any input
+    scale.
+
+    The y relation is 64 ROWS, not 64 aggregate columns: a 64-column
+    ANSI-decimal SUM aggregate generated enough overflow-checked codegen
+    to OOM a default-heap driver before any data moved; the exploded
+    form shuffles (dim, decimal) pairs through ONE sum expression.
+
+    Output: (dim, loading) — final y normalized to unit length, 6 dp.
+    Convergence needs a spectral gap (planted-component recovery at
+    cos > 0.999 in tests; on isotropic noise any deterministic direction
+    is as valid, and the oracle still matches bit-for-bit).
+
+    Scale shape: ``iterations`` passes over the corpus, each shuffling
+    64 decimal partials per partition; x rides a 1-row broadcast;
+    nothing is ever collected."""
+    q_exprs = _pca_q_exprs("v", dim)
+    e = corpus.select(to_double_array(F.col(vec_col)).alias("v")).select(
+        *[F.expr(x).alias(f"q{j}") for j, x in enumerate(q_exprs)]
+    )
+    spark = corpus.sparkSession
+    xdf = spark.range(1).select(
+        F.array(*[F.lit(1).cast("long") for _ in range(dim)]).alias("xa")
+    )
+    ydf = None
+    for _ in range(iterations):
+        s_sql = " + ".join(f"q{j} * xa[{j}]" for j in range(dim))
+        joined = e.crossJoin(F.broadcast(xdf)).withColumn("s", F.expr(f"({s_sql})"))
+        prods = F.array(
+            *[
+                F.expr(f"CAST(s AS DECIMAL(18,0)) * CAST(q{j} AS DECIMAL(8,0))")
+                for j in range(dim)
+            ]
+        )
+        ydf = (
+            joined.select(F.posexplode(prods).alias("pos", "p"))
+            .groupBy("pos")
+            .agg(F.sum("p").alias("y"))
+            .localCheckpoint(eager=True)
+        )
+        mxdf = ydf.agg(F.max(F.abs(F.col("y").cast("double"))).alias("mx"))
+        xdf = (
+            ydf.crossJoin(F.broadcast(mxdf))
+            .select(
+                "pos",
+                F.expr(
+                    f"CAST(floor(CAST(y AS DOUBLE) * {PCA_QUANT} / mx) AS BIGINT)"
+                ).alias("xv"),
+            )
+            .groupBy()
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "xv"))),
+                    lambda st: st["xv"],
+                ).alias("xa")
+            )
+        )
+    # Final normalization: left-assoc unrolled fold over the pos-sorted y
+    # vector so the norm is the identical double on both engines.
+    yarr = ydf.groupBy().agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", F.col("y").cast("double").alias("yd")))),
+            lambda st: st["yd"],
+        ).alias("ya")
+    )
+    norm = "sqrt(" + " + ".join(f"ya[{j}]*ya[{j}]" for j in range(dim)) + ")"
+    return yarr.select(
+        F.posexplode(
+            F.expr(f"transform(ya, v -> ROUND(v / {norm}, 6))")
+        ).alias("dim", "loading")
+    ).select(F.col("dim").cast("int").alias("dim"), "loading")
+
+
+def pca_power_oracle_sql(dim: int, iterations: int = 3) -> str:
+    """DuckDB rendering of pca_power_top_component — identical quantize,
+    identical decimal matvec relation, identical rescale and the same
+    left-assoc normalization fold."""
+    q_cols = ",\n           ".join(
+        f"CAST(floor(v[{j + 1}] * 1000000.0 + 0.5) AS BIGINT) AS q{j}"
+        for j in range(dim)
+    )
+    parts = [
+        f"""
+    WITH e AS (SELECT embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (
+        SELECT {q_cols}
+        FROM e
+    ),
+    x1 AS (SELECT [{", ".join(["CAST(1 AS BIGINT)"] * dim)}] AS xa)"""
+    ]
+    for it in range(1, iterations + 1):
+        s_sql = " + ".join(f"q{j} * xa[{j + 1}]" for j in range(dim))
+        plist = ", ".join(
+            f"CAST(s AS DECIMAL(18,0)) * CAST(q{j} AS DECIMAL(8,0))"
+            for j in range(dim)
+        )
+        parts.append(
+            f""",
+    s{it} AS (SELECT *, ({s_sql}) AS s FROM q CROSS JOIN x{it}),
+    p{it} AS (
+        SELECT unnest(range(0, {dim})) AS pos, unnest([{plist}]) AS p FROM s{it}
+    ),
+    y{it} AS (SELECT pos, SUM(p) AS y FROM p{it} GROUP BY pos),
+    m{it} AS (SELECT MAX(abs(CAST(y AS DOUBLE))) AS mx FROM y{it}),
+    x{it + 1} AS (
+        SELECT list(CAST(floor(CAST(y AS DOUBLE) * 1000000.0 / mx) AS BIGINT)
+                    ORDER BY pos) AS xa
+        FROM y{it} CROSS JOIN m{it}
+    )"""
+        )
+    norm = "sqrt(" + " + ".join(f"ya[{j + 1}]*ya[{j + 1}]" for j in range(dim)) + ")"
+    parts.append(
+        f""",
+    yarr AS (SELECT list(CAST(y AS DOUBLE) ORDER BY pos) AS ya FROM y{iterations})
+    SELECT CAST(generate_subscripts(ya, 1) - 1 AS INTEGER) AS dim,
+           unnest([ROUND(x / {norm}, 6) for x in ya]) AS loading
+    FROM yarr"""
+    )
+    return "".join(parts)

@@ -319,3 +319,103 @@ def similarity_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_fixture(spark, sf_dir, "embeddings")
     return mmr_rerank(emb.filter(F.col("vec_id") < 3), emb, pool=12, steps=4)
+
+
+@register(
+    "graph_knn_triangles",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    knn AS (
+        SELECT a, b FROM (
+            SELECT p.vec_id AS a, c.vec_id AS b,
+                   ROW_NUMBER() OVER (PARTITION BY p.vec_id
+                                      ORDER BY {_COS} DESC, c.vec_id) AS rank
+            FROM e p JOIN e c ON p.vec_id <> c.vec_id
+        ) WHERE rank <= 3
+    ),
+    edges AS (
+        SELECT DISTINCT LEAST(a, b) AS a, GREATEST(a, b) AS b FROM knn
+    ),
+    tri AS (
+        SELECT e1.a, e1.b, e2.b AS c
+        FROM edges e1
+        JOIN edges e2 ON e2.a = e1.b
+        JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b
+    )
+    SELECT CAST((SELECT COUNT(DISTINCT vec_id) FROM embeddings) AS BIGINT) AS n_nodes,
+           CAST((SELECT COUNT(*) FROM edges) AS BIGINT) AS n_edges,
+           CAST((SELECT COUNT(*) FROM tri) AS BIGINT) AS n_triangles
+    """,
+    doc="Triangle counting on the symmetric 3-NN embedding graph — the "
+    "local-clustering signal of embedding-space structure (dense "
+    "triangle neighborhoods = semantic clusters; the graph-side "
+    "complement of SemDeDup). Edges from exact per-node top-3 cosine "
+    "(deterministic tie-breaks), undirected via LEAST/GREATEST "
+    "distinct, triangles by the standard ordered two-hop join "
+    "(a<b<c once each). At 100 TB the kNN generator swaps to the "
+    "LSH/IVF candidate paths; the triangle join is degree-bounded "
+    "(k=3), so edge relations stay |V|*k rows.",
+)
+def graph_knn_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from ..operators.similarity import _norm_sql, _pair_dot_sql, to_double_array
+
+    emb = load_fixture(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id", to_double_array(F.col("embedding")).alias("v")
+    ).withColumn("nrm", F.expr(_norm_sql("v", 64)))
+    p = e.select(
+        F.col("vec_id").alias("a"), F.col("v").alias("pv"), F.col("nrm").alias("pn")
+    )
+    c = e.select(
+        F.col("vec_id").alias("b"), F.col("v").alias("cv"), F.col("nrm").alias("cn")
+    )
+    w = Window.partitionBy("a").orderBy(F.col("cos").desc(), F.col("b"))
+    knn = (
+        c.crossJoin(F.broadcast(p))
+        .filter(F.col("a") != F.col("b"))
+        .withColumn(
+            "cos", F.expr(_pair_dot_sql("pv", "cv", 64)) / (F.col("pn") * F.col("cn"))
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("a", "b")
+    )
+    edges = knn.select(
+        F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
+    ).distinct()
+    e1 = edges
+    e2 = edges.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    e3 = edges.select(F.col("a").alias("_a"), F.col("b").alias("_c"))
+    tri = (
+        e1.join(e2, "b")
+        .join(e3, (F.col("a") == F.col("_a")) & (F.col("c") == F.col("_c")))
+    )
+    n_nodes = emb.agg(F.countDistinct("vec_id").cast("bigint").alias("n_nodes"))
+    n_edges = edges.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
+    n_tri = tri.agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+    return n_nodes.crossJoin(n_edges).crossJoin(n_tri)
+
+
+from ..operators.similarity import pca_power_oracle_sql as _pca_sql
+
+
+@register(
+    "embedding_pca_top_component",
+    oracle=_pca_sql(_DIM),
+    doc="Top principal component of the embedding corpus by 3 rounds of "
+    "power iteration — C x computed as X^T(X x), two fused matvec "
+    "aggregation passes per round, covariance never materialized. "
+    "Integer input quantization + DECIMAL-exact accumulation make the "
+    "whole recurrence associative-exact, so the ORACLE hash-checks "
+    "every round bit-for-bit (the graph_pagerank treatment applied to "
+    "linear algebra); planted-component recovery (cos > 0.999) proven "
+    "on spiked data in tests/test_similarity.py. The x vector rides a "
+    "1-row broadcast; nothing collects "
+    "(operators/similarity.py:pca_power_top_component).",
+)
+def embedding_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import pca_power_top_component
+
+    return pca_power_top_component(load_fixture(spark, sf_dir, "embeddings"), _DIM)

@@ -237,3 +237,29 @@ def test_mmr_rerank_diversifies_against_pure_greedy(spark):
     assert picks[0] == 1                      # highest relevance first
     assert picks[1] in (4, 5)                 # then a diverse vector,
     assert set(picks) != {1, 2, 3}            # never the clone cluster
+
+
+def test_pca_power_recovers_planted_component(spark):
+    """On spiked data (one dominant direction), 3 power-iteration rounds
+    must recover the top eigenvector of X^T X at cosine > 0.999 — the
+    convergence claim behind embedding_pca_top_component. numpy is the
+    independent reference."""
+    import numpy as np
+
+    from cdw_spark.operators.similarity import pca_power_top_component
+
+    rng = np.random.RandomState(7)
+    spike = rng.randn(64)
+    spike /= np.linalg.norm(spike)
+    X = rng.randn(400, 64) * 0.3 + np.outer(rng.randn(400), spike)
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in row]) for i, row in enumerate(X)],
+        "vec_id long, embedding array<double>",
+    )
+    out = pca_power_top_component(df, 64).orderBy("dim").collect()
+    e = np.array([r["loading"] for r in out])
+    C = X.T @ X
+    _, vecs = np.linalg.eigh(C)
+    top = vecs[:, -1]
+    assert abs(float(e @ top)) > 0.999
+    assert abs(np.linalg.norm(e) - 1.0) < 1e-4
