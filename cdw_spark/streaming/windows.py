@@ -85,3 +85,26 @@ def session_agg(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
             "total_value",
         )
     )
+
+
+def ohlc_agg(events: DataFrame) -> DataFrame:
+    """6-hour OHLC resample per user over purchase values — the streaming
+    twin of ``timeseries_resample_ohlc``: min_by/max_by carry (value@min_ts,
+    value@max_ts) through partial-aggregation state, so open/close need no
+    per-window sort. State per (user, window)."""
+    return (
+        events.filter(F.col("event_type") == "purchase")
+        .select("user_id", "ts", F.round("value", 6).alias("value"))
+        .groupBy(F.col("user_id"), F.window("ts", "6 hours").alias("win"))
+        .agg(
+            F.min_by("value", "ts").alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", "ts").alias("close"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+        .select(
+            "user_id", F.col("win.start").alias("bucket"),
+            "open", "high", "low", "close", "n",
+        )
+    )

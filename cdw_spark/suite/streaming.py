@@ -460,3 +460,32 @@ def stream_stream_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame
         "purchase_value",
     )
     return run_available_now(joined, "ss_fouter", "append")
+
+
+@register(
+    "stream_ohlc_resample",
+    oracle="""
+    SELECT user_id,
+           time_bucket(INTERVAL 6 HOUR, ts) AS bucket,
+           arg_min(value, ts) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           arg_max(value, ts) AS close,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM (
+        SELECT user_id, ts, ROUND(value, 6) AS value FROM events
+        WHERE event_type = 'purchase'
+    )
+    GROUP BY user_id, time_bucket(INTERVAL 6 HOUR, ts)
+    """,
+    doc="Streaming OHLC downsampling (6-h windows per user, complete "
+    "mode, AvailableNow replay): min_by/max_by open/close flow through "
+    "mergeable window state, so the finalized stream equals the batch "
+    "resample (timeseries_resample_ohlc) — the live-ticker twin of the "
+    "batch financial downsampler.",
+)
+def stream_ohlc_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.windows import ohlc_agg
+
+    sdf = ohlc_agg(events_stream(spark, sf_dir, n_files=4))
+    return run_available_now(sdf, "ohlc", "complete")
