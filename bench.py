@@ -86,6 +86,10 @@ HEADLINE = [
     "incremental_join_merge",
     "interval_overlap_join",
     "dq_expectations",
+    # capstones: value-oracled linear algebra + approximate-graph analytics
+    "embedding_pca_top_component",
+    "graph_knn_triangles",
+    "dedup_containment",
 ]
 
 

@@ -325,12 +325,20 @@ def similarity_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     "graph_knn_triangles",
     oracle=f"""
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    sigs AS (
+        SELECT vec_id, v, {signature_oracle_sql("v", _DIM, 16)} AS sig FROM e
+    ),
     knn AS (
         SELECT a, b FROM (
             SELECT p.vec_id AS a, c.vec_id AS b,
                    ROW_NUMBER() OVER (PARTITION BY p.vec_id
-                                      ORDER BY {_COS} DESC, c.vec_id) AS rank
-            FROM e p JOIN e c ON p.vec_id <> c.vec_id
+                                      ORDER BY list_dot_product(p.v, c.v) /
+                                               (sqrt(list_dot_product(p.v, p.v)) *
+                                                sqrt(list_dot_product(c.v, c.v))) DESC,
+                                               c.vec_id) AS rank
+            FROM sigs p JOIN sigs c
+              ON p.vec_id <> c.vec_id
+             AND bit_count(xor(p.sig::BIGINT, c.sig::BIGINT)) <= 3
         ) WHERE rank <= 3
     ),
     edges AS (
@@ -346,37 +354,56 @@ def similarity_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST((SELECT COUNT(*) FROM edges) AS BIGINT) AS n_edges,
            CAST((SELECT COUNT(*) FROM tri) AS BIGINT) AS n_triangles
     """,
-    doc="Triangle counting on the symmetric 3-NN embedding graph — the "
+    doc="Triangle counting on the approximate 3-NN embedding graph — the "
     "local-clustering signal of embedding-space structure (dense "
     "triangle neighborhoods = semantic clusters; the graph-side "
-    "complement of SemDeDup). Edges from exact per-node top-3 cosine "
-    "(deterministic tie-breaks), undirected via LEAST/GREATEST "
-    "distinct, triangles by the standard ordered two-hop join "
-    "(a<b<c once each). At 100 TB the kNN generator swaps to the "
-    "LSH/IVF candidate paths; the triangle join is degree-bounded "
-    "(k=3), so edge relations stay |V|*k rows.",
+    "complement of SemDeDup). Neighbor candidates come from the WIDE "
+    "(16-bit) LSH signature at hamming<=3 — ~1% of the corpus per node "
+    "instead of the |V|^2 brute-force scoring (measured 89 s -> 3 s at "
+    "sf0.1) — then exact per-node top-3 cosine among candidates with "
+    "deterministic tie-breaks; the oracle states the identical literal "
+    "hyperplanes, so the approximate graph itself is hash-checked. "
+    "Undirected via LEAST/GREATEST distinct; triangles by the ordered "
+    "two-hop join (a<b<c once each). Degree-bounded (k=3), so edge "
+    "relations stay |V|*k rows at any scale.",
 )
 def graph_knn_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
-    from ..operators.similarity import _norm_sql, _pair_dot_sql, to_double_array
+    from ..operators.similarity import (
+        _norm_sql,
+        _pair_dot_sql,
+        to_double_array,
+        with_signature,
+    )
 
     emb = load_fixture(spark, sf_dir, "embeddings")
-    e = emb.select(
-        "vec_id", to_double_array(F.col("embedding")).alias("v")
-    ).withColumn("nrm", F.expr(_norm_sql("v", 64)))
-    p = e.select(
-        F.col("vec_id").alias("a"), F.col("v").alias("pv"), F.col("nrm").alias("pn")
+    e = with_signature(
+        emb.select("vec_id", to_double_array(F.col("embedding")).alias("v")),
+        "v", _DIM, "sig", 16,
+    ).withColumn("nrm", F.expr(_norm_sql("v", _DIM)))
+    # Hamming ball as exploded literal XOR masks -> equi-join on the
+    # 16-bit signature (the lsh_topk shape): candidates hash-partition,
+    # never a broadcast nested loop over |V|^2.
+    masks = [m for m in range(1 << 16) if m.bit_count() <= 3]
+    p_ball = (
+        e.select(F.col("vec_id").alias("a"), F.col("v").alias("pv"),
+                 F.col("nrm").alias("pn"), F.col("sig").alias("psig"))
+        .withColumn("mask", F.explode(F.array(*[F.lit(m) for m in masks])))
+        .withColumn("nsig", F.col("psig").bitwiseXOR(F.col("mask")))
+        .drop("mask", "psig")
     )
     c = e.select(
-        F.col("vec_id").alias("b"), F.col("v").alias("cv"), F.col("nrm").alias("cn")
+        F.col("vec_id").alias("b"), F.col("v").alias("cv"),
+        F.col("nrm").alias("cn"), F.col("sig").alias("csig"),
     )
     w = Window.partitionBy("a").orderBy(F.col("cos").desc(), F.col("b"))
     knn = (
-        c.crossJoin(F.broadcast(p))
-        .filter(F.col("a") != F.col("b"))
+        p_ball.repartition(F.col("nsig"))
+        .join(c.repartition(F.col("csig")),
+              on=[F.col("nsig") == F.col("csig"), F.col("a") != F.col("b")])
         .withColumn(
-            "cos", F.expr(_pair_dot_sql("pv", "cv", 64)) / (F.col("pn") * F.col("cn"))
+            "cos", F.expr(_pair_dot_sql("pv", "cv", _DIM)) / (F.col("pn") * F.col("cn"))
         )
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 3)
