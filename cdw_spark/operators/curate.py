@@ -600,3 +600,48 @@ def bpe_train_merges(
     return spark.createDataFrame(
         merges, "rank int, left string, right string, merged string, pair_count bigint"
     )
+
+
+def bpe_apply_merges(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Apply a learned BPE merge table (the inference half of
+    bpe_train_merges): each word starts as characters, and every merge is
+    one leftmost-greedy fold pass in RANK ORDER — the exact replay of how
+    the trainer built its vocabulary, which is what makes train/apply
+    consistent. Output: (doc_id, n_words, n_symbols, symbols_md5) — the
+    per-document symbol stream digest (arrays stay distributed; the
+    digest makes results comparable without shipping token arrays).
+
+    The merge table rides the PLAN as literal constants folded into
+    ``iterations`` chained higher-order expressions — no join against a
+    merges table, no UDF; same scale shape as quality_linear_score."""
+    words = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("pos", "w"),
+    ).filter(F.col("w") != "")
+    sym = "array_join(split(w, ''), ' ')"
+    for l, r in merges:
+        sym = (
+            f"array_join(aggregate(split({sym}, ' '), cast(array() as array<string>), "
+            f"(acc, t) -> if(size(acc) > 0 and element_at(acc, -1) = '{l}' and t = '{r}', "
+            f"concat(slice(acc, 1, size(acc) - 1), array('{l + r}')), "
+            "concat(acc, array(t)))), ' ')"
+        )
+    tokenized = words.withColumn("syms", F.expr(f"split({sym}, ' ')"))
+    return tokenized.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_words"),
+        F.sum(F.size("syms")).cast("bigint").alias("n_symbols"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "syms"))),
+                    lambda s: F.array_join(s["syms"], " "),
+                ),
+                " | ",
+            )
+        ).alias("symbols_md5"),
+    )

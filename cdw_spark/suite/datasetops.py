@@ -1321,3 +1321,24 @@ def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(ref_cust)
         .unionAll(ref_ord)
     )
+
+
+@register(
+    "tokenizer_bpe_apply",
+    oracle=None,
+    doc="Apply the 5 learned BPE merges to the corpus (the inference "
+    "half of tokenizer_bpe_merges): per-word leftmost-greedy fold per "
+    "merge in rank order, merges folded into the plan as literals — no "
+    "join, no UDF. Rows-only BY NATURE (list-valued fold has no SQL "
+    "twin); the per-document symbol digests are differentially tested "
+    "against a pure-Python BPE encoder in tests/test_curate.py "
+    "(operators/curate.py:bpe_apply_merges).",
+)
+def tokenizer_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.curate import bpe_apply_merges, bpe_train_merges
+
+    docs = load_fixture(spark, sf_dir, "documents")
+    merges = [
+        (r["left"], r["right"]) for r in bpe_train_merges(docs, n_merges=5).collect()
+    ]
+    return bpe_apply_merges(docs, merges)

@@ -336,3 +336,42 @@ def test_group_split_has_no_user_leakage(spark, sf_dir):
         .count()
     )
     assert leaky == 0
+
+
+def test_bpe_apply_matches_python_encoder(spark, sf_dir):
+    import hashlib
+    import re
+
+    from cdw_spark.catalog import load_fixture
+    from cdw_spark.operators.curate import bpe_apply_merges, bpe_train_merges
+
+    docs = load_fixture(spark, sf_dir, "documents")
+    merges = [
+        (r["left"], r["right"]) for r in bpe_train_merges(docs, n_merges=5).collect()
+    ]
+    got = {r["doc_id"]: r for r in bpe_apply_merges(docs, merges).collect()}
+
+    def encode(w):
+        syms = list(w)
+        for l, r in merges:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return syms
+
+    for row in docs.select("doc_id", "text").collect():
+        ws = [w for w in re.split(r"\s+", row["text"].strip().lower(), flags=re.ASCII) if w]
+        enc = [encode(w) for w in ws]
+        digest = hashlib.md5(
+            " | ".join(" ".join(s) for s in enc).encode()
+        ).hexdigest()
+        g = got[row["doc_id"]]
+        assert g["n_words"] == len(ws)
+        assert g["n_symbols"] == sum(len(s) for s in enc)
+        assert g["symbols_md5"] == digest
