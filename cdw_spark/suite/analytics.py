@@ -1294,3 +1294,158 @@ def agg_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") == 1)
         .select("user_id", F.col("event_type").alias("mode_type"), F.col("n").cast("bigint").alias("n"))
     )
+
+
+@register(
+    "basket_association_rules",
+    oracle="""
+    WITH items AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM lineitem),
+    pair AS (
+        SELECT a.l_partkey AS ante, b.l_partkey AS cons, COUNT(*) AS both_n
+        FROM items a JOIN items b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+        GROUP BY 1, 2
+    ),
+    freq AS (SELECT l_partkey, COUNT(*) AS part_n FROM items GROUP BY 1)
+    SELECT ante, cons, CAST(both_n AS BIGINT) AS both_n,
+           ROUND(both_n * 1.0 / fa.part_n, 6) AS confidence,
+           ROUND(both_n * 1.0 * n.n_orders / (fa.part_n * fc.part_n), 6) AS lift
+    FROM pair
+    JOIN freq fa ON fa.l_partkey = ante
+    JOIN freq fc ON fc.l_partkey = cons
+    CROSS JOIN n
+    WHERE both_n >= 3
+    ORDER BY lift DESC, ante, cons LIMIT 20
+    """,
+    doc="Market-basket association rules over order line items: "
+    "directed part pairs co-purchased in the same order, with "
+    "confidence = P(cons|ante) and lift vs independence; top-20 by lift "
+    "(support floor 3, deterministic tie-breaks). The pair self-join is "
+    "per-order — bounded by (lines-per-order choose 2), never "
+    "|parts|^2; part frequencies broadcast. The co-occurrence/"
+    "recommendation primitive every retail warehouse runs.",
+)
+def basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_fixture(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    n = items.agg(F.countDistinct("l_orderkey").cast("double").alias("n_orders"))
+    a = items.select(F.col("l_orderkey"), F.col("l_partkey").alias("ante"))
+    b = items.select(F.col("l_orderkey"), F.col("l_partkey").alias("cons"))
+    pair = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("ante") != F.col("cons"))
+        .groupBy("ante", "cons")
+        .agg(F.count(F.lit(1)).alias("both_n"))
+        .filter(F.col("both_n") >= 3)
+    )
+    freq = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("part_n"))
+    fa = freq.select(F.col("l_partkey").alias("ante"), F.col("part_n").alias("ante_n"))
+    fc = freq.select(F.col("l_partkey").alias("cons"), F.col("part_n").alias("cons_n"))
+    return (
+        pair.join(F.broadcast(fa), "ante")
+        .join(F.broadcast(fc), "cons")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "ante",
+            "cons",
+            F.col("both_n").cast("bigint").alias("both_n"),
+            F.round(F.col("both_n") * F.lit(1.0) / F.col("ante_n"), 6).alias("confidence"),
+            F.round(
+                F.col("both_n") * F.lit(1.0) * F.col("n_orders")
+                / (F.col("ante_n") * F.col("cons_n")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.col("lift").desc(), "ante", "cons")
+        .limit(20)
+    )
+
+
+@register(
+    "timeseries_seasonal_residual",
+    oracle="""
+    WITH base AS (
+        SELECT event_type, CAST(EXTRACT(hour FROM ts) AS INTEGER) AS hr,
+               AVG(value) AS baseline
+        FROM events GROUP BY 1, 2
+    )
+    SELECT e.event_id, e.event_type,
+           CAST(EXTRACT(hour FROM e.ts) AS INTEGER) AS hr,
+           ROUND(e.value, 6) AS value,
+           ROUND(b.baseline, 6) AS baseline,
+           ROUND(e.value - b.baseline, 6) AS residual
+    FROM events e
+    JOIN base b ON b.event_type = e.event_type
+               AND b.hr = CAST(EXTRACT(hour FROM e.ts) AS INTEGER)
+    WHERE abs(ROUND(e.value - b.baseline, 6)) > CAST(200.0 AS DOUBLE)
+    """,
+    doc="Seasonal-baseline anomaly detection (STL-lite): the hour-of-day "
+    "x type mean is the seasonal profile (|types| x 24 rows, broadcast "
+    "back), residual = value - baseline, flag |residual| > 200. The "
+    "time-of-day-aware twin of the global z-score/MAD detectors — a "
+    "spike at 3 am is judged against 3 am, not the all-day mean. AVG "
+    "over doubles is engine-order-sensitive in the 17th digit, so the "
+    "flag compares the ROUNDED residual.",
+)
+def timeseries_seasonal_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_fixture(spark, sf_dir, "events")
+    hr = F.hour("ts").cast("int")
+    base = ev.groupBy("event_type", hr.alias("hr")).agg(F.avg("value").alias("baseline"))
+    resid = F.round(F.col("value") - F.col("baseline"), 6)
+    return (
+        ev.withColumn("hr", hr)
+        .join(F.broadcast(base), ["event_type", "hr"])
+        .select(
+            "event_id",
+            "event_type",
+            "hr",
+            F.round("value", 6).alias("value"),
+            F.round("baseline", 6).alias("baseline"),
+            resid.alias("residual"),
+        )
+        .filter(F.abs(F.col("residual")) > F.lit(200.0))
+    )
+
+
+@register(
+    "supplier_latency_scorecard",
+    oracle="""
+    SELECT l.l_suppkey AS suppkey,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           ROUND(AVG(CAST(floor(epoch(l.l_shipdate)) - floor(epoch(o.o_orderdate))
+                          AS DOUBLE)) / 86400.0, 4) AS avg_ship_days,
+           CAST(SUM(CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+           ROUND(SUM(CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+                          THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6) AS late_rate
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY l.l_suppkey
+    """,
+    doc="Supplier latency scorecard: order-to-ship lag per supplier with "
+    "a 90-day SLA breach rate — the operational-analytics join every "
+    "warehouse derives from its fact tables. One key-partitioned join "
+    "(AQE-coalesced) + one supplier aggregation; the lag AVG divides "
+    "exact integer epoch-seconds so only the final projection rounds.",
+)
+def supplier_latency_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_fixture(spark, sf_dir, "lineitem")
+    o = load_fixture(spark, sf_dir, "orders")
+    lag_s = (
+        F.col("l_shipdate").cast("long") - F.col("o_orderdate").cast("long")
+    ).cast("double")
+    late = F.when(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAY"), 1
+    ).otherwise(0)
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(F.col("l_suppkey").alias("suppkey"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            F.round(F.avg(lag_s) / F.lit(86400.0), 4).alias("avg_ship_days"),
+            F.sum(late).cast("bigint").alias("n_late"),
+            F.round(F.sum(late) * F.lit(1.0) / F.count(F.lit(1)), 6).alias("late_rate"),
+        )
+    )
