@@ -1449,3 +1449,70 @@ def supplier_latency_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(late) * F.lit(1.0) / F.count(F.lit(1)), 6).alias("late_rate"),
         )
     )
+
+
+@register(
+    "attribution_first_last_touch",
+    oracle="""
+    WITH p AS (
+        SELECT event_id AS purchase_id, user_id, ts AS pts, ROUND(value, 6) AS value
+        FROM events WHERE event_type = 'purchase'
+    ),
+    c AS (
+        SELECT event_id AS click_id, user_id, ts AS cts
+        FROM events WHERE event_type = 'click'
+    ),
+    j AS (
+        SELECT p.purchase_id, p.user_id, p.value,
+               MIN({'cts': c.cts, 'click_id': c.click_id}) AS ft,
+               MAX({'cts': c.cts, 'click_id': c.click_id}) AS lt
+        FROM p JOIN c
+          ON c.user_id = p.user_id
+         AND c.cts <= p.pts AND c.cts > p.pts - INTERVAL 7 DAY
+        GROUP BY p.purchase_id, p.user_id, p.value
+    )
+    SELECT purchase_id, user_id, value,
+           ft.click_id AS first_touch_click, lt.click_id AS last_touch_click
+    FROM j
+    """,
+    doc="Conversion attribution: for every purchase, the FIRST and LAST "
+    "click of the same user inside a 7-day lookback — first-touch / "
+    "last-touch credit, the marketing-analytics join (purchases without "
+    "an attributable click drop out). Struct-ordered MIN/MAX pick the "
+    "extremal (ts, click_id) pair in one aggregation — deterministic tie "
+    "order, no per-purchase window sort; the user+time-range join is the "
+    "bounded range-join shape.",
+)
+def attribution_first_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_fixture(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("pts"),
+        F.round("value", 6).alias("value"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("cu"),
+        F.col("ts").alias("cts"),
+    )
+    j = p.join(
+        c,
+        (F.col("cu") == F.col("user_id"))
+        & (F.col("cts") <= F.col("pts"))
+        & (F.col("cts") > F.col("pts") - F.expr("INTERVAL 7 DAY")),
+    )
+    return (
+        j.groupBy("purchase_id", "user_id", "value")
+        .agg(
+            F.min(F.struct("cts", "click_id")).alias("ft"),
+            F.max(F.struct("cts", "click_id")).alias("lt"),
+        )
+        .select(
+            "purchase_id",
+            "user_id",
+            "value",
+            F.col("ft.click_id").alias("first_touch_click"),
+            F.col("lt.click_id").alias("last_touch_click"),
+        )
+    )
