@@ -1516,3 +1516,104 @@ def attribution_first_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("lt.click_id").alias("last_touch_click"),
         )
     )
+
+
+@register(
+    "customer_rfm_segments",
+    oracle="""
+    WITH agg AS (
+        SELECT o_custkey,
+               CAST(floor(epoch((SELECT MAX(o_orderdate) FROM orders))) -
+                    floor(epoch(MAX(o_orderdate))) AS BIGINT) / 86400 AS recency_days,
+               CAST(COUNT(*) AS BIGINT) AS frequency,
+               ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+                   AS monetary
+        FROM orders GROUP BY o_custkey
+    )
+    SELECT o_custkey,
+           CAST(recency_days AS BIGINT) AS recency_days, frequency, monetary,
+           CAST(NTILE(5) OVER (ORDER BY recency_days, o_custkey) AS INTEGER) AS r_score,
+           CAST(NTILE(5) OVER (ORDER BY frequency DESC, o_custkey) AS INTEGER) AS f_score,
+           CAST(NTILE(5) OVER (ORDER BY monetary DESC, o_custkey) AS INTEGER) AS m_score
+    FROM agg
+    """,
+    doc="RFM customer segmentation: per-customer recency (days since "
+    "last order, vs corpus max date), frequency, and DECIMAL-exact "
+    "monetary total, each scored into quintiles with deterministic "
+    "key tie-breaks. One customer aggregation; the NTILE windows run "
+    "over the |customers|-row aggregate, not the fact table — at 100 TB "
+    "replace the global NTILE with percentile-threshold joins "
+    "(quantile_rank_normalize's pattern) to avoid the single-partition "
+    "window over a huge customer dimension.",
+)
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    o = load_fixture(spark, sf_dir, "orders")
+    mx = o.agg(F.max("o_orderdate").alias("mxd"))
+    agg = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count(F.lit(1)).cast("bigint").alias("frequency"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double"), 2
+            ).alias("monetary"),
+        )
+        .crossJoin(F.broadcast(mx))
+        .select(
+            "o_custkey",
+            (
+                (F.col("mxd").cast("long") - F.col("last_order").cast("long"))
+                / F.lit(86400)
+            )
+            .cast("bigint")
+            .alias("recency_days"),
+            "frequency",
+            "monetary",
+        )
+    )
+    r = Window.orderBy("recency_days", "o_custkey")
+    f = Window.orderBy(F.col("frequency").desc(), "o_custkey")
+    m = Window.orderBy(F.col("monetary").desc(), "o_custkey")
+    return agg.select(
+        "o_custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.ntile(5).over(r).cast("int").alias("r_score"),
+        F.ntile(5).over(f).cast("int").alias("f_score"),
+        F.ntile(5).over(m).cast("int").alias("m_score"),
+    )
+
+
+@register(
+    "session_bounce_rate",
+    oracle="""
+    WITH sess AS (
+        SELECT user_id, CAST(ts AS DATE) AS day, COUNT(*) AS n_events
+        FROM events GROUP BY user_id, CAST(ts AS DATE)
+    )
+    SELECT day,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounces,
+           ROUND(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6)
+               AS bounce_rate
+    FROM sess GROUP BY day
+    """,
+    doc="Daily bounce rate: user-day sessions with exactly one event, as "
+    "a share of all sessions that day — the engagement KPI of web "
+    "analytics, two chained map-side-combining aggregations (user-day "
+    "then day).",
+)
+def session_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_fixture(spark, sf_dir, "events")
+    sess = ev.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    bounce = F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+    return sess.groupBy("day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+        bounce.cast("bigint").alias("n_bounces"),
+        F.round(bounce * F.lit(1.0) / F.count(F.lit(1)), 6).alias("bounce_rate"),
+    )
