@@ -321,3 +321,65 @@ def test_outlier_mad_is_robust_to_injected_outlier(spark):
         .collect()
     )
     assert [r["event_id"] for r in flagged] == [999]
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("abcdefgh"), min_size=1, max_size=20).map(
+            lambda ws: " ".join(ws)
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_paragraph_dedup_properties(spark, docs):
+    """Invariants vs a pure-Python reference: block accounting is exact,
+    kept+removed == total, and the reassembled text is the in-order
+    concatenation of globally-unique blocks."""
+    from cdw_spark.operators.dedup import paragraph_dedup
+
+    df = spark.createDataFrame(list(enumerate(docs)), "doc_id long, text string")
+    got = {r["doc_id"]: r for r in paragraph_dedup(df, block_words=4).collect()}
+
+    from collections import Counter
+
+    blocks_by_doc = {}
+    counts = Counter()
+    for i, text in enumerate(docs):
+        ws = text.split()
+        blocks = [" ".join(ws[k : k + 4]) for k in range(0, len(ws), 4)]
+        blocks_by_doc[i] = blocks
+        counts.update(blocks)
+    for i, blocks in blocks_by_doc.items():
+        keep = [b for b in blocks if counts[b] == 1]
+        g = got[i]
+        assert g["n_blocks"] == len(blocks)
+        assert g["n_removed"] == len(blocks) - len(keep)
+        assert g["cleaned_text"] == " ".join(keep)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    a=st.dictionaries(st.integers(0, 8), st.integers(0, 3), max_size=6),
+    b=st.dictionaries(st.integers(0, 8), st.integers(0, 3), max_size=6),
+)
+def test_snapshot_diff_properties(spark, a, b):
+    """diff(A, A) is empty; diff(A, B) classifies exactly the symmetric
+    key difference plus changed intersections."""
+    from cdw_spark.operators.curate import snapshot_diff
+
+    mk = lambda d: spark.createDataFrame(
+        [(k, v) for k, v in d.items()] or [(None, None)], "k long, v long"
+    ).filter(F.col("k").isNotNull())
+    assert snapshot_diff(mk(a), mk(a), "k", ["v"]).count() == 0
+    out = {r["k"]: r["change"] for r in snapshot_diff(mk(a), mk(b), "k", ["v"]).collect()}
+    want = {}
+    for k in set(a) | set(b):
+        if k not in b:
+            want[k] = "delete"
+        elif k not in a:
+            want[k] = "insert"
+        elif a[k] != b[k]:
+            want[k] = "update"
+    assert out == want
