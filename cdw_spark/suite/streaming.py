@@ -489,3 +489,37 @@ def stream_ohlc_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     sdf = ohlc_agg(events_stream(spark, sf_dir, n_files=4))
     return run_available_now(sdf, "ohlc", "complete")
+
+
+@register(
+    "stream_top_spenders",
+    oracle="""
+    SELECT user_id,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_spend,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases
+    FROM events WHERE event_type = 'purchase'
+    GROUP BY user_id
+    ORDER BY total_spend DESC, user_id LIMIT 5
+    """,
+    doc="Streaming leaderboard: complete-mode running aggregate of spend "
+    "per user with the global ORDER BY + LIMIT applied on the finalized "
+    "result table (sorting is legal in complete mode; the state is the "
+    "|users|-row aggregate, not the stream). Oracle = the batch top-5 "
+    "with DECIMAL-exact totals and a deterministic tie-break.",
+)
+def stream_top_spenders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    sdf = (
+        events_stream(spark, sf_dir, n_files=4)
+        .filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2
+            ).alias("total_spend"),
+            F.count(F.lit(1)).cast("bigint").alias("n_purchases"),
+        )
+    )
+    out = run_available_now(sdf, "top_spenders", "complete")
+    return out.orderBy(F.col("total_spend").desc(), "user_id").limit(5)
