@@ -205,3 +205,95 @@ def phrase_search(
             (cur[id_col] == nxt["_d"]) & (nxt[f"p{k}"] == cur["p0"] + k),
         ).drop("_d", f"p{k}")
     return cur.groupBy(id_col).agg(F.count("*").cast("bigint").alias("n_hits"))
+
+
+def tfidf_query_scores(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k documents for a bag-of-terms query under summed smoothed
+    TF-IDF (same weighting as :func:`tfidf_top_terms`, restricted to the
+    query terms). Used as the second ranker in :func:`rrf_fuse`.
+
+    Same plan shape as BM25: the corpus is scanned once, df/N are
+    broadcast tiny relations, the per-doc sum is over <= |query| doubles
+    rounded to 6 dp before the doc-id-tie-broken top-k."""
+    tok = tokenize(docs, id_col, text_col)
+    dl = tok.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    ndocs = docs.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    qtf = (
+        tok.filter(F.col("term").isin(query_terms))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    dfreq = qtf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+
+    contrib = (F.col("c").cast("double") / F.col("dl").cast("double")) * (
+        F.log((F.lit(1.0) + F.col("n")) / (F.lit(1.0) + F.col("df").cast("double")))
+        + F.lit(1.0)
+    )
+    w = Window.orderBy(F.col("score").desc(), F.col(id_col))
+    return (
+        qtf.join(dl, id_col)
+        .join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(ndocs))
+        .groupBy(id_col)
+        .agg(F.round(F.sum(contrib), 6).alias("score"))
+        .orderBy(F.col("score").desc(), F.col(id_col))
+        .limit(k)
+        .select(id_col, "score", F.row_number().over(w).cast("int").alias("rk"))
+    )
+
+
+def rrf_fuse(
+    docs: DataFrame,
+    query_terms: list[str],
+    k_each: int = 20,
+    k_final: int = 10,
+    rrf_c: float = 60.0,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Reciprocal-rank fusion of two lexical rankers (BM25 and summed
+    TF-IDF) for one query: rrf(d) = sum over lists of 1/(c + rank_d),
+    absent-list contribution 0 — the standard ensemble trick for merging
+    heterogeneous retrieval runs without score calibration.
+
+    Scale: each ranker is an independent top-k (TakeOrderedAndProject,
+    per-partition heaps); the fusion itself joins two <= k_each-row
+    relations — driver-negligible no matter the corpus size. In a real
+    deployment the second list would come from an ANN run
+    (operators/similarity.py) instead of a second lexical pass; the
+    fusion shape is identical. Both input ranks round scores before
+    ranking with a doc-id tie-break, so the fused set is deterministic
+    and engine-independent (oracled in suite/search.py).
+    """
+    bm = bm25_search(docs, query_terms, k=k_each, id_col=id_col).select(
+        id_col, F.col("rk").alias("rk_bm25")
+    )
+    tf = tfidf_query_scores(docs, query_terms, k=k_each, id_col=id_col).select(
+        id_col, F.col("rk").alias("rk_tfidf")
+    )
+    part = lambda rk: F.coalesce(  # noqa: E731
+        F.lit(1.0) / (F.lit(rrf_c) + F.col(rk).cast("double")), F.lit(0.0)
+    )
+    fused = bm.join(tf, id_col, "full_outer").select(
+        id_col,
+        F.col("rk_bm25").cast("int").alias("rk_bm25"),
+        F.col("rk_tfidf").cast("int").alias("rk_tfidf"),
+        F.round(part("rk_bm25") + part("rk_tfidf"), 6).alias("rrf"),
+    )
+    w = Window.orderBy(F.col("rrf").desc(), F.col(id_col))
+    return (
+        fused.orderBy(F.col("rrf").desc(), F.col(id_col))
+        .limit(k_final)
+        .select(
+            id_col,
+            "rk_bm25",
+            "rk_tfidf",
+            "rrf",
+            F.row_number().over(w).cast("int").alias("rk"),
+        )
+    )

@@ -1342,3 +1342,50 @@ def tokenizer_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         (r["left"], r["right"]) for r in bpe_train_merges(docs, n_merges=5).collect()
     ]
     return bpe_apply_merges(docs, merges)
+
+
+@register(
+    "kanonymity_audit",
+    oracle="""
+    WITH q AS (
+        SELECT lang, source,
+               CAST(FLOOR(CAST(n_chars AS DOUBLE) / CAST(500.0 AS DOUBLE)) AS BIGINT)
+                   AS len_bucket
+        FROM documents
+    )
+    SELECT lang, source, len_bucket,
+           CAST(COUNT(*) AS BIGINT) AS group_size,
+           CASE WHEN COUNT(*) < 5 THEN 'risky' ELSE 'ok' END AS k_status
+    FROM q
+    GROUP BY lang, source, len_bucket
+    """,
+    doc="k-anonymity audit over quasi-identifiers (lang, source, 500-char "
+    "length bucket): every equivalence class with fewer than k=5 members "
+    "is flagged 'risky' — the release-gating check a curation pipeline "
+    "runs before publishing a dataset whose metadata columns could "
+    "re-identify authors. Pure hash aggregate: one shuffle on the "
+    "quasi-identifier tuple with map-side partial counts; at 100 TB the "
+    "class count is bounded by |lang|x|source|x|buckets|, orders of "
+    "magnitude below the corpus, so the agg output is small no matter "
+    "the input size. Suppression/generalization would consume this "
+    "relation as a broadcast join back onto the corpus.",
+)
+def kanonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_fixture(spark, sf_dir, "documents")
+    bucket = (
+        F.floor(F.col("n_chars").cast("double") / F.lit(500.0)).cast("bigint")
+    )
+    return (
+        docs.select("lang", "source", bucket.alias("len_bucket"))
+        .groupBy("lang", "source", "len_bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("group_size"))
+        .select(
+            "lang",
+            "source",
+            "len_bucket",
+            "group_size",
+            F.when(F.col("group_size") < 5, F.lit("risky"))
+            .otherwise(F.lit("ok"))
+            .alias("k_status"),
+        )
+    )

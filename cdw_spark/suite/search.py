@@ -364,3 +364,89 @@ def text_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.search import phrase_search
 
     return phrase_search(load_fixture(spark, sf_dir, "documents"), ["table", "hash"])
+
+
+_Q_IN = ", ".join(f"'{t}'" for t in BM25_QUERY_TERMS)
+
+_RANKER_CTES = f"""
+    WITH tok AS ({_TOK}),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+    stats AS (SELECT AVG(CAST(dl AS DOUBLE)) AS avgdl, CAST(COUNT(*) AS DOUBLE) AS n FROM dl),
+    nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+    qtf AS (
+        SELECT doc_id, term, COUNT(*) AS c FROM tok
+        WHERE term IN ({_Q_IN})
+        GROUP BY doc_id, term
+    ),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM qtf GROUP BY term),
+    bm_scored AS (
+        SELECT q.doc_id,
+               ROUND(SUM(
+                   ln(CAST(1.0 AS DOUBLE)
+                      + (s.n - CAST(f.df AS DOUBLE) + CAST(0.5 AS DOUBLE))
+                        / (CAST(f.df AS DOUBLE) + CAST(0.5 AS DOUBLE)))
+                   * (CAST(q.c AS DOUBLE) * CAST(2.2 AS DOUBLE))
+                   / (CAST(q.c AS DOUBLE)
+                      + CAST(1.2 AS DOUBLE)
+                        * (CAST(0.25 AS DOUBLE)
+                           + CAST(0.75 AS DOUBLE) * CAST(d.dl AS DOUBLE) / s.avgdl))
+               ), 6) AS score
+        FROM qtf q JOIN dl d USING (doc_id) JOIN dfreq f USING (term) CROSS JOIN stats s
+        GROUP BY q.doc_id
+    ),
+    tf_scored AS (
+        SELECT q.doc_id,
+               ROUND(SUM(
+                   (CAST(q.c AS DOUBLE) / CAST(d.dl AS DOUBLE))
+                   * (ln((CAST(1.0 AS DOUBLE) + nn.n)
+                         / (CAST(1.0 AS DOUBLE) + CAST(f.df AS DOUBLE)))
+                      + CAST(1.0 AS DOUBLE))
+               ), 6) AS score
+        FROM qtf q JOIN dl d USING (doc_id) JOIN dfreq f USING (term) CROSS JOIN nn
+        GROUP BY q.doc_id
+    ),
+    bmr AS (
+        SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rk
+        FROM (SELECT * FROM bm_scored ORDER BY score DESC, doc_id LIMIT 20)
+    ),
+    tfr AS (
+        SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rk
+        FROM (SELECT * FROM tf_scored ORDER BY score DESC, doc_id LIMIT 20)
+    )"""
+
+
+@register(
+    "rank_fusion_rrf",
+    oracle=_RANKER_CTES
+    + """,
+    fused AS (
+        SELECT COALESCE(b.doc_id, t.doc_id) AS doc_id,
+               CAST(b.rk AS INTEGER) AS rk_bm25,
+               CAST(t.rk AS INTEGER) AS rk_tfidf,
+               ROUND(
+                   COALESCE(CAST(1.0 AS DOUBLE)
+                            / (CAST(60.0 AS DOUBLE) + CAST(b.rk AS DOUBLE)),
+                            CAST(0.0 AS DOUBLE))
+                   + COALESCE(CAST(1.0 AS DOUBLE)
+                              / (CAST(60.0 AS DOUBLE) + CAST(t.rk AS DOUBLE)),
+                              CAST(0.0 AS DOUBLE)), 6) AS rrf
+        FROM bmr b FULL OUTER JOIN tfr t ON b.doc_id = t.doc_id
+    )
+    SELECT doc_id, rk_bm25, rk_tfidf, rrf,
+           CAST(ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id) AS INTEGER) AS rk
+    FROM (SELECT * FROM fused ORDER BY rrf DESC, doc_id LIMIT 10)
+    """,
+    doc="Reciprocal-rank fusion (c=60) of the BM25 top-20 and the summed "
+    "TF-IDF top-20 for the fixed query — the calibration-free ensemble "
+    "merge used to combine lexical and vector retrieval runs. Both input "
+    "rankings and the fused ranking round before ordering and tie-break "
+    "on doc_id, so the fused top-10 — including the interleaving of "
+    "docs present in only one list — is engine-independent. The fusion "
+    "join touches two <=20-row relations; all heavy lifting stays in "
+    "the two independent TakeOrderedAndProject top-k scans "
+    "(operators/search.py:rrf_fuse).",
+)
+def rank_fusion_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.search import rrf_fuse
+
+    return rrf_fuse(load_fixture(spark, sf_dir, "documents"), BM25_QUERY_TERMS)

@@ -563,3 +563,52 @@ def timeseries_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max_by("value", "ts").alias("close"),
         F.count(F.lit(1)).cast("bigint").alias("n"),
     )
+
+
+@register(
+    "timeseries_cusum",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_id, value,
+               value - CAST(50.0 AS DOUBLE) AS dev
+        FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
+    )
+    SELECT user_id, event_id,
+           ROUND(SUM(dev) OVER (PARTITION BY user_id
+                                ORDER BY event_id
+                                ROWS UNBOUNDED PRECEDING), 6) AS cusum,
+           CASE WHEN ABS(ROUND(SUM(dev) OVER (PARTITION BY user_id
+                                              ORDER BY event_id
+                                              ROWS UNBOUNDED PRECEDING), 6))
+                     > CAST(250.0 AS DOUBLE)
+                THEN 1 ELSE 0 END AS drift_flag
+    FROM seq
+    """,
+    doc="CUSUM drift chart per user over purchase values: running sum of "
+    "deviations from the in-control target (50.0), flagging |S_t| > h "
+    "(h=250) — the classic control-chart changepoint signal. ONE window "
+    "sort per user computes both the statistic and the flag; the running "
+    "sum is a sequential left-to-right fold in both engines (identical "
+    "float order), rounded before the threshold compare so the flag is "
+    "engine-independent. At 100 TB this is a single shuffle on user_id "
+    "with no state beyond the frame accumulator; the target/threshold "
+    "would come from a broadcast per-segment control relation instead of "
+    "literals. Ordered by event_id (unique) so the fold order is total.",
+)
+def timeseries_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        load_fixture(spark, sf_dir, "events")
+        .filter((F.col("event_type") == "purchase") & F.col("value").isNotNull())
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cusum = F.round(F.sum(F.col("value") - F.lit(50.0)).over(w), 6)
+    return ev.select(
+        "user_id",
+        "event_id",
+        cusum.alias("cusum"),
+        F.when(F.abs(cusum) > F.lit(250.0), 1).otherwise(0).alias("drift_flag"),
+    )
