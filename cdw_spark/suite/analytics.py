@@ -1617,3 +1617,108 @@ def session_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         bounce.cast("bigint").alias("n_bounces"),
         F.round(bounce * F.lit(1.0) / F.count(F.lit(1)), 6).alias("bounce_rate"),
     )
+
+
+@register(
+    "ab_test_lift",
+    oracle="""
+    WITH users AS (SELECT DISTINCT user_id FROM events),
+    arms AS (
+        SELECT user_id,
+               CASE WHEN substring(md5(CAST(user_id AS VARCHAR)), 1, 1)
+                         IN ('0','1','2','3','4','5','6','7')
+                    THEN 'A' ELSE 'B' END AS arm
+        FROM users
+    ),
+    conv AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+    j AS (
+        SELECT a.arm,
+               CASE WHEN c.user_id IS NOT NULL THEN 1 ELSE 0 END AS is_conv
+        FROM arms a LEFT JOIN conv c ON a.user_id = c.user_id
+    ),
+    agg AS (
+        SELECT
+            CAST(SUM(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+            CAST(SUM(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+            CAST(SUM(CASE WHEN arm = 'A' THEN is_conv ELSE 0 END) AS BIGINT) AS conv_a,
+            CAST(SUM(CASE WHEN arm = 'B' THEN is_conv ELSE 0 END) AS BIGINT) AS conv_b
+        FROM j
+    )
+    SELECT n_a, n_b, conv_a, conv_b,
+           ROUND(CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE), 6) AS p_a,
+           ROUND(CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE), 6) AS p_b,
+           ROUND(CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE)
+                 - CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE), 6) AS lift,
+           ROUND(
+               (CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE)
+                - CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE))
+               / NULLIF(sqrt(
+                   (CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+                   * (CAST(1.0 AS DOUBLE)
+                      - CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+                   * (CAST(1.0 AS DOUBLE) / CAST(n_a AS DOUBLE)
+                      + CAST(1.0 AS DOUBLE) / CAST(n_b AS DOUBLE))
+               ), CAST(0.0 AS DOUBLE)), 6) AS z
+    FROM agg
+    """,
+    doc="Experiment analysis: users deterministically hash-split into A/B "
+    "arms by the first md5 hex nibble of user_id (the real-world bucketing "
+    "trick — assignment is reproducible from the id alone, no assignment "
+    "table to join), conversion = any purchase event, reporting per-arm "
+    "rates, absolute lift, and the pooled two-proportion z statistic. "
+    "Everything reduces to ONE conditional aggregate over the distinct-user "
+    "relation — at 100 TB the only shuffles are the two user_id distincts "
+    "(map-side partial), and the final stats are a single row. md5 is "
+    "identical in both engines so the arm split itself is oracle-checked.",
+)
+def ab_test_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_fixture(spark, sf_dir, "events")
+    arm = F.when(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 1).isin(
+            list("01234567")
+        ),
+        "A",
+    ).otherwise("B")
+    arms = ev.select("user_id").distinct().select("user_id", arm.alias("arm"))
+    conv = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id")
+        .distinct()
+        .withColumn("conv_mark", F.lit(1))
+    )
+    j = arms.join(conv, "user_id", "left").select(
+        "arm", F.coalesce(F.col("conv_mark"), F.lit(0)).alias("is_conv")
+    )
+    agg = j.agg(
+        F.sum(F.when(F.col("arm") == "A", 1).otherwise(0)).cast("bigint").alias("n_a"),
+        F.sum(F.when(F.col("arm") == "B", 1).otherwise(0)).cast("bigint").alias("n_b"),
+        F.sum(F.when(F.col("arm") == "A", F.col("is_conv")).otherwise(0))
+        .cast("bigint")
+        .alias("conv_a"),
+        F.sum(F.when(F.col("arm") == "B", F.col("is_conv")).otherwise(0))
+        .cast("bigint")
+        .alias("conv_b"),
+    )
+    pa = F.col("conv_a").cast("double") / F.col("n_a").cast("double")
+    pb = F.col("conv_b").cast("double") / F.col("n_b").cast("double")
+    pool = (F.col("conv_a") + F.col("conv_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    ).cast("double")
+    se = F.sqrt(
+        pool
+        * (F.lit(1.0) - pool)
+        * (
+            F.lit(1.0) / F.col("n_a").cast("double")
+            + F.lit(1.0) / F.col("n_b").cast("double")
+        )
+    )
+    return agg.select(
+        "n_a",
+        "n_b",
+        "conv_a",
+        "conv_b",
+        F.round(pa, 6).alias("p_a"),
+        F.round(pb, 6).alias("p_b"),
+        F.round(pb - pa, 6).alias("lift"),
+        F.round((pb - pa) / F.nullif(se, F.lit(0.0)), 6).alias("z"),
+    )
