@@ -90,6 +90,11 @@ HEADLINE = [
     "embedding_pca_top_component",
     "graph_knn_triangles",
     "dedup_containment",
+    # round 3 final wave: rank ensembling + experiment/privacy/drift audits
+    "rank_fusion_rrf",
+    "ab_test_lift",
+    "kanonymity_audit",
+    "timeseries_cusum",
 ]
 
 

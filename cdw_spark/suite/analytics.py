@@ -1722,3 +1722,115 @@ def ab_test_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(pb - pa, 6).alias("lift"),
         F.round((pb - pa) / F.nullif(se, F.lit(0.0)), 6).alias("z"),
     )
+
+
+@register(
+    "quantile_histogram_approx",
+    oracle="""
+    WITH v AS (SELECT o_totalprice AS x FROM orders),
+    s AS (SELECT MIN(x) AS mn, MAX(x) AS mx, CAST(COUNT(*) AS BIGINT) AS n FROM v),
+    h AS (
+        SELECT CAST(LEAST(FLOOR((v.x - s.mn) / (s.mx - s.mn)
+                                * CAST(1000.0 AS DOUBLE)),
+                          CAST(999.0 AS DOUBLE)) AS BIGINT) AS b,
+               COUNT(*) AS c
+        FROM v CROSS JOIN s
+        GROUP BY 1
+    ),
+    cum AS (SELECT b, SUM(c) OVER (ORDER BY b ROWS UNBOUNDED PRECEDING) AS cr FROM h),
+    pick AS (
+        SELECT
+            (SELECT MIN(b) FROM cum, s WHERE cr >= CAST(0.5 AS DOUBLE) * s.n) AS b50,
+            (SELECT MIN(b) FROM cum, s WHERE cr >= CAST(0.95 AS DOUBLE) * s.n) AS b95,
+            (SELECT MIN(b) FROM cum, s WHERE cr >= CAST(0.99 AS DOUBLE) * s.n) AS b99
+    )
+    SELECT
+        s.n AS n_rows,
+        ROUND(quantile_cont(v.x, 0.5), 4) AS p50_exact,
+        ROUND(MIN(s.mn + (CAST(p.b50 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+                  / CAST(1000.0 AS DOUBLE) * (s.mx - s.mn)), 4) AS p50_hist,
+        ROUND(quantile_cont(v.x, 0.95), 4) AS p95_exact,
+        ROUND(MIN(s.mn + (CAST(p.b95 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+                  / CAST(1000.0 AS DOUBLE) * (s.mx - s.mn)), 4) AS p95_hist,
+        ROUND(quantile_cont(v.x, 0.99), 4) AS p99_exact,
+        ROUND(MIN(s.mn + (CAST(p.b99 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+                  / CAST(1000.0 AS DOUBLE) * (s.mx - s.mn)), 4) AS p99_hist
+    FROM v CROSS JOIN s CROSS JOIN pick p
+    GROUP BY s.n
+    """,
+    doc="Single-pass histogram quantiles next to the exact sort-based "
+    "percentiles: 1000 equal-width buckets over [min,max], cumulative "
+    "counts, estimate = midpoint of the first bucket whose running count "
+    "crosses p*n. THE scale path for percentiles at 100 TB — one narrow "
+    "(bucket,count) aggregate whose shuffle is <=1000 rows regardless of "
+    "input size, vs the exact percentile's full sort — and, unlike the "
+    "KLL sketch twin (agg_approx_quantiles, rows-only), every estimated "
+    "value here is deterministic arithmetic, so the approximation itself "
+    "is value-oracled. Exact interpolation semantics match between "
+    "Spark `percentile` and DuckDB `quantile_cont` (linear, (n-1)*p).",
+)
+def quantile_histogram_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = load_fixture(spark, sf_dir, "orders").select(
+        F.col("o_totalprice").alias("x")
+    )
+    s = v.agg(
+        F.min("x").alias("mn"),
+        F.max("x").alias("mx"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    width = F.col("mx") - F.col("mn")
+    b = F.least(
+        F.floor((F.col("x") - F.col("mn")) / width * F.lit(1000.0)),
+        F.lit(999.0),
+    ).cast("bigint")
+    h = (
+        v.crossJoin(F.broadcast(s))
+        .select(b.alias("b"))
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    from pyspark.sql.window import Window
+
+    cum = h.select(
+        "b",
+        F.sum("c")
+        .over(Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cr"),
+    )
+
+    def pick(q: float, name: str) -> DataFrame:
+        return (
+            cum.crossJoin(F.broadcast(s))
+            .filter(F.col("cr") >= F.lit(q) * F.col("n"))
+            .agg(F.min("b").alias(name))
+        )
+
+    picks = (
+        pick(0.5, "b50")
+        .crossJoin(pick(0.95, "b95"))
+        .crossJoin(pick(0.99, "b99"))
+    )
+
+    def est(bcol: str) -> F.Column:
+        return F.col("mn") + (F.col(bcol).cast("double") + F.lit(0.5)) / F.lit(
+            1000.0
+        ) * (F.col("mx") - F.col("mn"))
+
+    exact = v.agg(
+        F.round(F.expr("percentile(x, 0.5)"), 4).alias("p50_exact"),
+        F.round(F.expr("percentile(x, 0.95)"), 4).alias("p95_exact"),
+        F.round(F.expr("percentile(x, 0.99)"), 4).alias("p99_exact"),
+    )
+    return (
+        s.crossJoin(F.broadcast(picks))
+        .crossJoin(F.broadcast(exact))
+        .select(
+            F.col("n").alias("n_rows"),
+            "p50_exact",
+            F.round(est("b50"), 4).alias("p50_hist"),
+            "p95_exact",
+            F.round(est("b95"), 4).alias("p95_hist"),
+            "p99_exact",
+            F.round(est("b99"), 4).alias("p99_hist"),
+        )
+    )
