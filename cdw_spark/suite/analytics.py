@@ -1834,3 +1834,138 @@ def quantile_histogram_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(est("b99"), 4).alias("p99_hist"),
         )
     )
+
+
+def _geo_coords_sql() -> str:
+    """DuckDB CTE assigning each supplier deterministic md5-derived
+    coordinates (portable twin of the Spark expressions in
+    ``geo_proximity_join``): lat in [30, 50), lon in [-10, 30) — a
+    bounded region so the fixture has meaningful pair density."""
+    from .search import _hex4_mod_sql
+
+    lat = _hex4_mod_sql("md5('lat:' || CAST(s_suppkey AS VARCHAR))", 2000)
+    lon = _hex4_mod_sql("md5('lon:' || CAST(s_suppkey AS VARCHAR))", 4000)
+    return f"""
+    pts AS (
+        SELECT s_suppkey AS id,
+               CAST({lat} AS DOUBLE) / CAST(100.0 AS DOUBLE)
+                   + CAST(30.0 AS DOUBLE) AS lat,
+               CAST({lon} AS DOUBLE) / CAST(100.0 AS DOUBLE)
+                   - CAST(10.0 AS DOUBLE) AS lon
+        FROM supplier
+    )"""
+
+
+_HAVERSINE_SQL = """
+    CAST(2.0 AS DOUBLE) * CAST(6371.0 AS DOUBLE) * asin(sqrt(
+        sin(radians(b.lat - a.lat) / CAST(2.0 AS DOUBLE))
+        * sin(radians(b.lat - a.lat) / CAST(2.0 AS DOUBLE))
+        + cos(radians(a.lat)) * cos(radians(b.lat))
+          * sin(radians(b.lon - a.lon) / CAST(2.0 AS DOUBLE))
+          * sin(radians(b.lon - a.lon) / CAST(2.0 AS DOUBLE))
+    ))"""
+
+
+@register(
+    "geo_proximity_join",
+    oracle="WITH "
+    + _geo_coords_sql()
+    + f""",
+    cells AS (
+        SELECT id, lat, lon,
+               CAST(FLOOR(lat) AS BIGINT) AS cy,
+               CAST(FLOOR(lon) AS BIGINT) AS cx
+        FROM pts
+    ),
+    probes AS (
+        SELECT c.id, c.lat, c.lon,
+               c.cy + dy.dy AS py, c.cx + dx.dx AS px
+        FROM cells c
+        CROSS JOIN (VALUES (-1), (0), (1)) dy(dy)
+        CROSS JOIN (VALUES (-2), (-1), (0), (1), (2)) dx(dx)
+    ),
+    cand AS (
+        SELECT a.id AS id_a, a.lat, a.lon,
+               b.id AS id_b, b.lat AS lat_b, b.lon AS lon_b
+        FROM probes a JOIN cells b ON a.py = b.cy AND a.px = b.cx
+        WHERE a.id < b.id
+    )
+    SELECT id_a, id_b, ROUND(dist_km, 4) AS dist_km
+    FROM (
+        SELECT id_a, id_b, {_HAVERSINE_SQL.replace("a.lat", "lat").replace("a.lon", "lon").replace("b.lat", "lat_b").replace("b.lon", "lon_b")} AS dist_km
+        FROM cand
+    )
+    WHERE ROUND(dist_km, 4) <= CAST(100.0 AS DOUBLE)
+    """,
+    doc="Geo proximity self-join: suppliers (standing in for the "
+    "reference's artists dimension, which carries latitude/longitude "
+    "DECIMAL(9) columns — reference sql_queries.py:103-104) get "
+    "deterministic md5-derived coordinates, and every pair within 100 km "
+    "is found by a GRID-BUCKETED candidate join: points bucket into 1-deg "
+    "cells, each point probes its 3x5 neighbor window (5-wide in "
+    "longitude because 1 deg lon shrinks to ~55 km at |lat|=60), "
+    "candidates equi-join on the cell key, and only candidates pay the "
+    "haversine. The 2-D analog of interval_overlap_join's grid trick: "
+    "no cross join at any scale — the shuffle is on cell keys, candidate "
+    "count is bounded by local density, and the distance filter is "
+    "rounded before the threshold compare so 1-ulp libm differences "
+    "cannot flip membership.",
+)
+def geo_proximity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sup = load_fixture(spark, sf_dir, "supplier")
+
+    def hex4(prefix: str, width: int) -> F.Column:
+        hx = F.md5(F.concat(F.lit(prefix + ":"), F.col("s_suppkey").cast("string")))
+        return F.conv(F.substring(hx, 1, 4), 16, 10).cast("int") % F.lit(width)
+
+    pts = sup.select(
+        F.col("s_suppkey").alias("id"),
+        (hex4("lat", 2000).cast("double") / F.lit(100.0) + F.lit(30.0)).alias("lat"),
+        (hex4("lon", 4000).cast("double") / F.lit(100.0) - F.lit(10.0)).alias("lon"),
+    )
+    cells = pts.select(
+        "id", "lat", "lon",
+        F.floor("lat").cast("bigint").alias("cy"),
+        F.floor("lon").cast("bigint").alias("cx"),
+    )
+    probes = (
+        cells.crossJoin(F.broadcast(spark.range(-1, 2).select(F.col("id").alias("dy"))))
+        .crossJoin(F.broadcast(spark.range(-2, 3).select(F.col("id").alias("dx"))))
+        .select(
+            F.col("id").alias("id_a"),
+            F.col("lat").alias("lat_a"),
+            F.col("lon").alias("lon_a"),
+            (F.col("cy") + F.col("dy")).alias("py"),
+            (F.col("cx") + F.col("dx")).alias("px"),
+        )
+    )
+    cand = probes.join(
+        cells.select(
+            F.col("id").alias("id_b"),
+            F.col("lat").alias("lat_b"),
+            F.col("lon").alias("lon_b"),
+            "cy",
+            "cx",
+        ),
+        (F.col("py") == F.col("cy")) & (F.col("px") == F.col("cx")),
+    ).filter(F.col("id_a") < F.col("id_b"))
+
+    dlat = F.radians(F.col("lat_b") - F.col("lat_a")) / F.lit(2.0)
+    dlon = F.radians(F.col("lon_b") - F.col("lon_a")) / F.lit(2.0)
+    dist = (
+        F.lit(2.0)
+        * F.lit(6371.0)
+        * F.asin(
+            F.sqrt(
+                F.sin(dlat) * F.sin(dlat)
+                + F.cos(F.radians("lat_a"))
+                * F.cos(F.radians("lat_b"))
+                * F.sin(dlon)
+                * F.sin(dlon)
+            )
+        )
+    )
+    return (
+        cand.select("id_a", "id_b", F.round(dist, 4).alias("dist_km"))
+        .filter(F.col("dist_km") <= F.lit(100.0))
+    )
