@@ -82,7 +82,10 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # udaf_geomean, grouped_ols_applyinpandas, timeseries_ewma/resample_ohlc,
 # event_transition_matrix, session_paths_topk, outlier_mad), then the
 # retrieval/graph/sketch layer (bm25/tfidf/inverted_index/keyword/
-# bigram*/pagerank/cms), then the remaining oracled r2 tail. A third
+# bigram*/pagerank/cms), then the final r3 wave (rank_fusion_rrf,
+# ab_test_lift, kanonymity_audit, timeseries_cusum,
+# quantile_histogram_approx, geo_proximity_join, stream_top_spenders),
+# then the remaining oracled r2 tail. A third
 # window r2 ∪ r3 ∪ r4 ≈ 140/178 with driver rows.
 _DRIVER_WINDOW: tuple[str, ...] = (
     # --- anchors: one representative per family, all r2-green ---

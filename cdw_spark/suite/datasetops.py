@@ -1389,3 +1389,71 @@ def kanonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("k_status"),
         )
     )
+
+
+@register(
+    "corpus_mix_entropy",
+    oracle="""
+    WITH c AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS n_chars
+        FROM documents GROUP BY source
+    ),
+    tot AS (SELECT CAST(SUM(n_docs) AS DOUBLE) AS n FROM c),
+    sh AS (
+        SELECT c.source, c.n_docs, c.n_chars,
+               CAST(c.n_docs AS DOUBLE) / t.n AS share
+        FROM c CROSS JOIN tot t
+    ),
+    ent AS (
+        SELECT ROUND(-SUM(share * ln(share) / ln(CAST(2.0 AS DOUBLE))), 6)
+                   AS mix_entropy_bits
+        FROM sh
+    )
+    SELECT s.source, s.n_docs, s.n_chars,
+           ROUND(s.share, 6) AS share,
+           ROUND(-s.share * ln(s.share) / ln(CAST(2.0 AS DOUBLE)), 6)
+               AS entropy_contrib_bits,
+           e.mix_entropy_bits
+    FROM sh s CROSS JOIN ent e
+    """,
+    doc="Corpus mixture audit: per-source document share, per-source "
+    "entropy contribution, and the Shannon entropy (bits) of the overall "
+    "source mix — the report a training-data pipeline uses to balance "
+    "data mixtures before sampling weights are chosen. One hash aggregate "
+    "on source (map-side partials) produces a |sources|-row relation; "
+    "the total and the entropy are single-row broadcast cross joins, so "
+    "nothing downstream of the first agg scales with corpus size. The "
+    "entropy sum is over |sources| doubles rounded at 6 dp; term order "
+    "cannot flip the rounded value at fixture cardinality (asserted by "
+    "the driver hash).",
+)
+def corpus_mix_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_fixture(spark, sf_dir, "documents")
+    c = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("n_chars"),
+    )
+    tot = c.agg(F.sum("n_docs").cast("double").alias("n"))
+    sh = c.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_chars",
+        (F.col("n_docs").cast("double") / F.col("n")).alias("share"),
+    )
+    log2 = F.log(F.lit(2.0))
+    ent = sh.agg(
+        F.round(-F.sum(F.col("share") * F.log("share") / log2), 6).alias(
+            "mix_entropy_bits"
+        )
+    )
+    return sh.crossJoin(F.broadcast(ent)).select(
+        "source",
+        "n_docs",
+        "n_chars",
+        F.round("share", 6).alias("share"),
+        F.round(-F.col("share") * F.log("share") / log2, 6).alias(
+            "entropy_contrib_bits"
+        ),
+        "mix_entropy_bits",
+    )
