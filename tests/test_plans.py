@@ -385,3 +385,29 @@ def test_quality_model_rides_the_plan_without_joins(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan and "Python" not in plan
     assert plan.count("Exchange hashpartitioning") == 2, plan[:3000]
+
+
+def test_geo_proximity_candidates_equi_join_on_cells(spark, sf_dir):
+    """The geo proximity join must generate candidates through the 1-deg
+    grid-cell EQUI join — a raw distance predicate can't hash-partition
+    and degenerates to an all-pairs nested loop. The only nested-loop
+    joins allowed in the plan are the bounded broadcast expansions of the
+    3x5 literal probe-offset relations (3 and 5 rows)."""
+    plan = _plan(SPECS["geo_proximity_join"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    # the candidate join itself must be a hash-partitionable equi join
+    assert (
+        "BroadcastHashJoin" in plan
+        or "SortMergeJoin" in plan
+        or "ShuffledHashJoin" in plan
+    ), plan
+
+
+def test_rank_fusion_rankers_use_takeordered(spark, sf_dir):
+    """Both RRF input rankers must plan the distributed top-k
+    (TakeOrderedAndProject: per-partition heaps merged at the driver) —
+    a global-window row_number over the full scored corpus would funnel
+    every score through one partition."""
+    plan = _plan(SPECS["rank_fusion_rrf"].fn(spark, sf_dir))
+    assert plan.count("TakeOrderedAndProject") >= 2, plan
+    assert "CartesianProduct" not in plan, plan
