@@ -22,6 +22,7 @@ KEYS = {
     "orders": ["o_orderkey", "o_custkey"],
     "lineitem": ["l_orderkey"],
     "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
 }
 
 
