@@ -321,9 +321,11 @@ def similarity_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mmr_rerank(emb.filter(F.col("vec_id") < 3), emb, pool=12, steps=4)
 
 
-@register(
-    "graph_knn_triangles",
-    oracle=f"""
+# Shared CTE chain for the approximate 3-NN embedding graph: wide (16-bit)
+# LSH signatures -> hamming<=3 candidate pairs -> exact per-node top-3
+# cosine -> undirected distinct edges. Stated once so every graph query
+# over the kNN graph (triangles, k-hop reach) hash-checks the SAME graph.
+_KNN_EDGES_CTE = f"""
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
     sigs AS (
         SELECT vec_id, v, {signature_oracle_sql("v", _DIM, 16)} AS sig FROM e
@@ -343,31 +345,18 @@ def similarity_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     edges AS (
         SELECT DISTINCT LEAST(a, b) AS a, GREATEST(a, b) AS b FROM knn
-    ),
-    tri AS (
-        SELECT e1.a, e1.b, e2.b AS c
-        FROM edges e1
-        JOIN edges e2 ON e2.a = e1.b
-        JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b
-    )
-    SELECT CAST((SELECT COUNT(DISTINCT vec_id) FROM embeddings) AS BIGINT) AS n_nodes,
-           CAST((SELECT COUNT(*) FROM edges) AS BIGINT) AS n_edges,
-           CAST((SELECT COUNT(*) FROM tri) AS BIGINT) AS n_triangles
-    """,
-    doc="Triangle counting on the approximate 3-NN embedding graph — the "
-    "local-clustering signal of embedding-space structure (dense "
-    "triangle neighborhoods = semantic clusters; the graph-side "
-    "complement of SemDeDup). Neighbor candidates come from the WIDE "
-    "(16-bit) LSH signature at hamming<=3 — ~1% of the corpus per node "
-    "instead of the |V|^2 brute-force scoring (measured 89 s -> 3 s at "
-    "sf0.1) — then exact per-node top-3 cosine among candidates with "
-    "deterministic tie-breaks; the oracle states the identical literal "
-    "hyperplanes, so the approximate graph itself is hash-checked. "
-    "Undirected via LEAST/GREATEST distinct; triangles by the ordered "
-    "two-hop join (a<b<c once each). Degree-bounded (k=3), so edge "
-    "relations stay |V|*k rows at any scale.",
-)
-def graph_knn_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    )"""
+
+
+def _knn_undirected_edges(emb: DataFrame) -> DataFrame:
+    """Undirected distinct edges (a < b) of the approximate 3-NN graph —
+    the Spark twin of ``_KNN_EDGES_CTE``. Neighbor candidates come from
+    the wide (16-bit) LSH signature at hamming<=3 as exploded literal XOR
+    masks -> equi-join on the signature (the lsh_topk shape): candidates
+    hash-partition, never a broadcast nested loop over |V|^2. Then exact
+    per-node top-3 cosine among candidates with deterministic tie-breaks.
+    Degree-bounded (k=3), so downstream edge relations stay |V|*k rows at
+    any scale."""
     from pyspark.sql.window import Window
 
     from ..operators.similarity import (
@@ -377,14 +366,10 @@ def graph_knn_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         with_signature,
     )
 
-    emb = load_fixture(spark, sf_dir, "embeddings")
     e = with_signature(
         emb.select("vec_id", to_double_array(F.col("embedding")).alias("v")),
         "v", _DIM, "sig", 16,
     ).withColumn("nrm", F.expr(_norm_sql("v", _DIM)))
-    # Hamming ball as exploded literal XOR masks -> equi-join on the
-    # 16-bit signature (the lsh_topk shape): candidates hash-partition,
-    # never a broadcast nested loop over |V|^2.
     masks = [m for m in range(1 << 16) if m.bit_count() <= 3]
     p_ball = (
         e.select(F.col("vec_id").alias("a"), F.col("v").alias("pv"),
@@ -409,9 +394,40 @@ def graph_knn_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 3)
         .select("a", "b")
     )
-    edges = knn.select(
+    return knn.select(
         F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
     ).distinct()
+
+
+@register(
+    "graph_knn_triangles",
+    oracle=_KNN_EDGES_CTE + """,
+    tri AS (
+        SELECT e1.a, e1.b, e2.b AS c
+        FROM edges e1
+        JOIN edges e2 ON e2.a = e1.b
+        JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b
+    )
+    SELECT CAST((SELECT COUNT(DISTINCT vec_id) FROM embeddings) AS BIGINT) AS n_nodes,
+           CAST((SELECT COUNT(*) FROM edges) AS BIGINT) AS n_edges,
+           CAST((SELECT COUNT(*) FROM tri) AS BIGINT) AS n_triangles
+    """,
+    doc="Triangle counting on the approximate 3-NN embedding graph — the "
+    "local-clustering signal of embedding-space structure (dense "
+    "triangle neighborhoods = semantic clusters; the graph-side "
+    "complement of SemDeDup). Neighbor candidates come from the WIDE "
+    "(16-bit) LSH signature at hamming<=3 — ~1% of the corpus per node "
+    "instead of the |V|^2 brute-force scoring (measured 89 s -> 3 s at "
+    "sf0.1) — then exact per-node top-3 cosine among candidates with "
+    "deterministic tie-breaks; the oracle states the identical literal "
+    "hyperplanes, so the approximate graph itself is hash-checked. "
+    "Undirected via LEAST/GREATEST distinct; triangles by the ordered "
+    "two-hop join (a<b<c once each). Degree-bounded (k=3), so edge "
+    "relations stay |V|*k rows at any scale.",
+)
+def graph_knn_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_fixture(spark, sf_dir, "embeddings")
+    edges = _knn_undirected_edges(emb)
     e1 = edges
     e2 = edges.select(F.col("a").alias("b"), F.col("b").alias("c"))
     e3 = edges.select(F.col("a").alias("_a"), F.col("b").alias("_c"))
@@ -423,6 +439,62 @@ def graph_knn_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_edges = edges.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
     n_tri = tri.agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
     return n_nodes.crossJoin(n_edges).crossJoin(n_tri)
+
+
+@register(
+    "graph_khop_reach",
+    oracle=_KNN_EDGES_CTE + """,
+    adj AS (SELECT a AS n, b AS m FROM edges UNION ALL SELECT b AS n, a AS m FROM edges),
+    hop2 AS (
+        SELECT j1.n, j2.m FROM adj j1 JOIN adj j2 ON j2.n = j1.m AND j2.m <> j1.n
+    ),
+    reach AS (SELECT n, m FROM adj UNION SELECT n, m FROM hop2),
+    deg AS (SELECT n, COUNT(*) AS deg FROM adj GROUP BY n),
+    r2 AS (SELECT n, COUNT(*) AS reach2 FROM reach GROUP BY n)
+    SELECT e.vec_id,
+           CAST(COALESCE(deg.deg, 0) AS BIGINT) AS deg,
+           CAST(COALESCE(r2.reach2, 0) AS BIGINT) AS reach2
+    FROM e
+    LEFT JOIN deg ON deg.n = e.vec_id
+    LEFT JOIN r2 ON r2.n = e.vec_id
+    """,
+    doc="Bounded-hop reachability (BFS frontier size at depth <=2) per "
+    "node over the SAME hash-checked approximate 3-NN graph as "
+    "graph_knn_triangles — the neighborhood-growth signal used for "
+    "cluster-density estimation and crawl frontier sizing. The graph is "
+    "degree-bounded (k=3 before symmetrization), so the 2-hop self-join "
+    "expands each node to <= deg^2 rows — O(|V|*k^2) total whatever the "
+    "corpus size; frontiers stay equi-join + distinct (hash-partitioned "
+    "on the node key), never a per-node driver traversal. Isolated nodes "
+    "surface with deg=0 via the left join onto the node set.",
+)
+def graph_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_fixture(spark, sf_dir, "embeddings")
+    edges = _knn_undirected_edges(emb)
+    # adj feeds three consumers (deg, both sides of the 2-hop join, reach
+    # union); localCheckpoint materializes the expensive signature join
+    # once instead of re-executing it per consumer.
+    adj = (
+        edges.select(F.col("a").alias("n"), F.col("b").alias("m"))
+        .unionAll(edges.select(F.col("b").alias("n"), F.col("a").alias("m")))
+        .localCheckpoint(eager=True)
+    )
+    j1 = adj.select(F.col("n"), F.col("m").alias("mid"))
+    j2 = adj.select(F.col("n").alias("mid"), F.col("m"))
+    hop2 = j1.join(j2, "mid").filter(F.col("m") != F.col("n")).select("n", "m")
+    reach = adj.union(hop2).distinct()
+    deg = adj.groupBy("n").agg(F.count(F.lit(1)).alias("deg"))
+    r2 = reach.groupBy("n").agg(F.count(F.lit(1)).alias("reach2"))
+    return (
+        emb.select("vec_id")
+        .join(deg, deg["n"] == F.col("vec_id"), "left").drop("n")
+        .join(r2, r2["n"] == F.col("vec_id"), "left").drop("n")
+        .select(
+            "vec_id",
+            F.coalesce("deg", F.lit(0)).cast("bigint").alias("deg"),
+            F.coalesce("reach2", F.lit(0)).cast("bigint").alias("reach2"),
+        )
+    )
 
 
 from ..operators.similarity import pca_power_oracle_sql as _pca_sql

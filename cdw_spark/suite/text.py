@@ -383,6 +383,103 @@ def text_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_pmi_collocations",
+    oracle="""
+    WITH ws AS (
+        SELECT string_split_regex(lower(trim(text)), '\\s+') AS ws FROM documents
+    ),
+    uni AS (
+        SELECT w, COUNT(*) AS cw
+        FROM (SELECT unnest(ws) AS w FROM ws)
+        GROUP BY w
+    ),
+    bi AS (
+        SELECT w1, w2, COUNT(*) AS cab
+        FROM (
+            SELECT unnest(CASE WHEN len(ws) >= 2
+                          THEN [ws[i] for i in range(1, len(ws))] ELSE [] END) AS w1,
+                   unnest(CASE WHEN len(ws) >= 2
+                          THEN [ws[i+1] for i in range(1, len(ws))] ELSE [] END) AS w2
+            FROM ws
+        )
+        GROUP BY w1, w2
+    ),
+    tot AS (
+        SELECT CAST((SELECT SUM(cw) FROM uni) AS DOUBLE) AS t,
+               CAST((SELECT SUM(cab) FROM bi) AS DOUBLE) AS b
+    )
+    SELECT w1 || ' ' || w2 AS bigram,
+           CAST(cab AS BIGINT) AS n,
+           ROUND(ln(CAST(cab AS DOUBLE) * t * t
+                    / (b * CAST(ua.cw AS DOUBLE) * CAST(ub.cw AS DOUBLE))), 6) AS pmi
+    FROM bi
+    JOIN uni ua ON ua.w = bi.w1
+    JOIN uni ub ON ub.w = bi.w2
+    CROSS JOIN tot
+    WHERE cab >= 5
+    ORDER BY ROUND(ln(CAST(cab AS DOUBLE) * t * t
+                      / (b * CAST(ua.cw AS DOUBLE) * CAST(ub.cw AS DOUBLE))), 6) DESC,
+             bigram
+    LIMIT 20
+    """,
+    doc="Pointwise mutual information of adjacent word pairs (Church & "
+    "Hanks 1990) with a min-count floor — the collocation detector that "
+    "feeds phrase vocabularies (word2vec-style phrase merging) and "
+    "tokenizer corpus audits. pmi = ln(P(ab) / (P(a)P(b))) over unigram/"
+    "bigram maximum-likelihood estimates.",
+)
+def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: two corpus-scan aggregations (unigram + bigram counts,
+    both map-side-combined on |vocab|-bounded keys), the totals ride a
+    1-row broadcast cross join, and the bigram->unigram joins broadcast
+    the (smaller) unigram relation under AQE's size gate. Top-k is
+    TakeOrderedAndProject — no global sort. The ln() argument is a single
+    identically-ordered multiply/divide chain in both engines, so the
+    doubles fold bit-identically before the 6-dp round."""
+    d = load_fixture(spark, sf_dir, "documents").select(
+        words(F.col("text")).alias("ws")
+    )
+    uni = (
+        d.select(F.explode("ws").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cw"))
+    )
+    pairs = F.expr(
+        "CASE WHEN size(ws) >= 2 THEN "
+        "transform(sequence(0, size(ws) - 2), i -> struct(ws[i] AS w1, ws[i+1] AS w2)) "
+        "ELSE array() END"
+    )
+    bi = (
+        d.select(F.explode(pairs).alias("p"))
+        .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("cab"))
+    )
+    tot = uni.agg(F.sum("cw").cast("double").alias("t")).crossJoin(
+        bi.agg(F.sum("cab").cast("double").alias("b"))
+    )
+    ua = uni.select(F.col("w").alias("w1"), F.col("cw").alias("ca"))
+    ub = uni.select(F.col("w").alias("w2"), F.col("cw").alias("cb"))
+    pmi = (
+        F.col("cab").cast("double") * F.col("t") * F.col("t")
+        / (F.col("b") * F.col("ca").cast("double") * F.col("cb").cast("double"))
+    )
+    return (
+        bi.filter(F.col("cab") >= 5)
+        .join(ua, "w1")
+        .join(ub, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.concat_ws(" ", "w1", "w2").alias("bigram"),
+            F.col("cab").cast("bigint").alias("n"),
+            F.round(F.log(pmi), 6).alias("pmi"),
+        )
+        .orderBy(F.col("pmi").desc(), "bigram")
+        .limit(20)
+    )
+
+
+@register(
     "text_char_entropy",
     oracle="""
     SELECT doc_id,
