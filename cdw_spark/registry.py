@@ -47,6 +47,7 @@ _SUITE_MODULES = (
     "cdw_spark.suite.tpch",
     "cdw_spark.suite.datasetops",
     "cdw_spark.suite.search",
+    "cdw_spark.suite.recsys",
 )
 
 

@@ -1,0 +1,126 @@
+"""Recommendation-shaped queries over the order/lineitem purchase log —
+item-item co-occurrence (the "customers also bought" associator). The
+reference warehouse (sql_queries.py's star schema) stops at fact joins;
+this is the north-star extension that turns the same purchase fact table
+into a retrieval structure.
+
+Scale discipline: everything is counts + equi-joins. The basket self-join
+fans out at most cap^2 pairs per order (heavy baskets are EXCLUDED by an
+explicit size cap, the standard guard — a single million-item basket would
+otherwise emit 10^12 pairs); item-frequency relations are |items| rows and
+broadcast; ranking is a bounded per-item window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import load_fixture
+from ..registry import register
+
+BASKET_CAP = 32
+MIN_TOGETHER = 2
+TOP_NEIGHBORS = 3
+
+
+@register(
+    "recs_item_cooccurrence",
+    oracle=f"""
+    WITH b AS (
+        SELECT DISTINCT l_orderkey AS ok, l_partkey AS item FROM lineitem
+    ),
+    kept AS (
+        SELECT ok FROM b GROUP BY ok HAVING COUNT(*) <= {BASKET_CAP}
+    ),
+    bk AS (SELECT b.ok, b.item FROM b JOIN kept USING (ok)),
+    cnt AS (SELECT item, COUNT(*) AS c FROM bk GROUP BY item),
+    co AS (
+        SELECT a.item AS ia, bb.item AS ib, COUNT(*) AS together
+        FROM bk a JOIN bk bb ON a.ok = bb.ok AND a.item < bb.item
+        GROUP BY a.item, bb.item
+        HAVING COUNT(*) >= {MIN_TOGETHER}
+    ),
+    sym AS (
+        SELECT ia AS item, ib AS neighbor, together FROM co
+        UNION ALL
+        SELECT ib AS item, ia AS neighbor, together FROM co
+    ),
+    scored AS (
+        SELECT s.item, s.neighbor, s.together,
+               CAST(s.together AS DOUBLE)
+                   / sqrt(CAST(ca.c AS DOUBLE) * CAST(cb.c AS DOUBLE)) AS cos
+        FROM sym s
+        JOIN cnt ca ON ca.item = s.item
+        JOIN cnt cb ON cb.item = s.neighbor
+    )
+    SELECT item, neighbor, CAST(together AS BIGINT) AS together,
+           ROUND(cos, 6) AS cosine, CAST(rk AS INTEGER) AS rk
+    FROM (
+        SELECT item, neighbor, together, cos,
+               ROW_NUMBER() OVER (PARTITION BY item
+                                  ORDER BY ROUND(cos, 9) DESC, neighbor) AS rk
+        FROM scored
+    )
+    WHERE rk <= {TOP_NEIGHBORS}
+    """,
+    doc="Item-item collaborative filtering: cosine over co-purchase "
+    "counts (Linden et al. 2003, the Amazon item-to-item associator), "
+    "top-3 neighbors per item. Baskets above the size cap are excluded "
+    "before pairing; pairs generated once (item_a < item_b) and "
+    "symmetrized by a swap-union.",
+)
+def recs_item_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: the basket relation is distinct (order,item) — one
+    shuffle on orderkey that the SELF-join then reuses (both sides are
+    the same exchange, so Spark schedules one scan + one sort). The
+    size cap bounds pair fanout at cap^2 per order. Item-frequency
+    joins ride AQE broadcasts (|items| rows). Ranking is a per-item
+    window over <= |items| * avg_neighbors rows; rank over
+    ROUND(cos, 9) with a neighbor-id tie-break keeps the selection
+    engine-independent (the tfidf idiom)."""
+    li = load_fixture(spark, sf_dir, "lineitem")
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("item")).distinct()
+    kept = b.groupBy("ok").agg(F.count(F.lit(1)).alias("bs")).filter(
+        F.col("bs") <= BASKET_CAP
+    ).select("ok")
+    bk = b.join(kept, "ok", "left_semi")
+    cnt = bk.groupBy("item").agg(F.count(F.lit(1)).alias("c"))
+    a = bk.select("ok", F.col("item").alias("ia"))
+    bb = bk.select("ok", F.col("item").alias("ib"))
+    co = (
+        a.join(bb, "ok")
+        .filter(F.col("ia") < F.col("ib"))
+        .groupBy("ia", "ib")
+        .agg(F.count(F.lit(1)).alias("together"))
+        .filter(F.col("together") >= MIN_TOGETHER)
+    )
+    sym = co.select(
+        F.col("ia").alias("item"), F.col("ib").alias("neighbor"), "together"
+    ).unionAll(
+        co.select(F.col("ib").alias("item"), F.col("ia").alias("neighbor"), "together")
+    )
+    ca = cnt.select(F.col("item"), F.col("c").alias("ca"))
+    cb = cnt.select(F.col("item").alias("neighbor"), F.col("c").alias("cb"))
+    scored = (
+        sym.join(ca, "item")
+        .join(cb, "neighbor")
+        .withColumn(
+            "cos",
+            F.col("together").cast("double")
+            / F.sqrt(F.col("ca").cast("double") * F.col("cb").cast("double")),
+        )
+    )
+    w = Window.partitionBy("item").orderBy(F.round("cos", 9).desc(), "neighbor")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_NEIGHBORS)
+        .select(
+            "item",
+            "neighbor",
+            F.col("together").cast("bigint").alias("together"),
+            F.round("cos", 6).alias("cosine"),
+            F.col("rk").cast("int").alias("rk"),
+        )
+    )
