@@ -411,3 +411,46 @@ def test_rank_fusion_rankers_use_takeordered(spark, sf_dir):
     plan = _plan(SPECS["rank_fusion_rrf"].fn(spark, sf_dir))
     assert plan.count("TakeOrderedAndProject") >= 2, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_runtime_bloom_filter_prunes_fact_side(spark, sf_dir):
+    """Runtime-filter story for shuffle joins that can't broadcast: when a
+    selective dimension filter exists, Spark injects a bloom_filter_agg on
+    the dim side and a might_contain predicate onto the FACT side scan, so
+    fact rows that can't join are dropped before the shuffle. At 100 TB
+    this is the row-level complement of partition pruning — the engine
+    rule is: broadcast when the dim fits (test_star_fact_join), otherwise
+    let the runtime bloom filter prune the shuffle. The application-side
+    threshold (default 10 GB — exactly the "fact side is huge" regime) is
+    lowered to 0 here so the fixture-scale plan shows the 100 TB shape."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = load_fixture(spark, sf_dir, "lineitem")
+        o = load_fixture(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(o, li["l_orderkey"] == o["o_orderkey"])
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        opt = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in opt, "no runtime bloom filter was injected"
+        assert "might_contain" in opt, "fact side is not filtered by the bloom"
+        # The filter must land on the lineitem (application) side, keyed on
+        # the fact join key.
+        assert "might_contain" in opt.split("Join")[1], opt[:500]
+        assert "l_orderkey" in opt[opt.index("might_contain"):][:200]
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
