@@ -95,6 +95,11 @@ HEADLINE = [
     "ab_test_lift",
     "kanonymity_audit",
     "timeseries_cusum",
+    # round 3 closing wave: collocations, recommender, robust trend, k-hop
+    "text_pmi_collocations",
+    "recs_item_cooccurrence",
+    "timeseries_theilsen_trend",
+    "graph_khop_reach",
 ]
 
 

@@ -85,9 +85,11 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # retrieval/graph/sketch layer (bm25/tfidf/inverted_index/keyword/
 # bigram*/pagerank/cms), then the final r3 wave (rank_fusion_rrf,
 # ab_test_lift, kanonymity_audit, timeseries_cusum,
-# quantile_histogram_approx, geo_proximity_join, stream_top_spenders),
+# quantile_histogram_approx, geo_proximity_join, stream_top_spenders,
+# text_pmi_collocations, recs_item_cooccurrence,
+# timeseries_theilsen_trend, graph_khop_reach),
 # then the remaining oracled r2 tail. A third
-# window r2 ∪ r3 ∪ r4 ≈ 140/178 with driver rows.
+# window r2 ∪ r3 ∪ r4 ≈ 140/200 with driver rows.
 _DRIVER_WINDOW: tuple[str, ...] = (
     # --- anchors: one representative per family, all r2-green ---
     "star_fact_join",        # reference §2 relational core (flagship)

@@ -2020,13 +2020,23 @@ def timeseries_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     table: 10 years of days is ~3.7k rows -> ~7M pairs per group at ANY
     corpus scale), so Theil-Sen over a 100 TB fact table costs one
     map-side-combined daily rollup plus a fixed-size pair median. The
-    exact median runs as a distributed sort + row_number midpoint —
-    NOT percentile(), whose object-agg buffer materializes every group
-    value in one in-memory row (measured: Java-heap OOM on a 1 GiB
-    default session at 9.4M slopes); the window sort spills, so the
-    same plan holds when the series is longer. Both engines state the
-    identical midpoint formula (avg of the one or two middle ranks),
-    sidestepping quantile_cont's lo+(hi-lo)*f vs (lo+hi)/2 ulp gap."""
+    exact median is NOT percentile() (whose object-agg buffer
+    materializes every group value in one in-memory row — measured
+    Java-heap OOM on a 1 GiB default session at 9.4M slopes) and NOT a
+    full per-group window sort (3 flags -> 3 tasks sort 3.1M rows each —
+    measured 11 s): it is the two-pass banded exact median. Pass 1: a
+    mergeable approx_percentile sketch brackets the median with a
+    [q0.499, q0.501] band (rank error n/10000 << the 0.001n margin) and
+    counts rows strictly below the band — both map-side-combined, fully
+    parallel. Pass 2: ONLY the ~0.2% band rows sort in the per-group
+    window, and the global midpoint ranks are picked as
+    count_below + band_rank. Pair generation broadcasts the
+    calendar-bounded daily relation so the fanout join parallelizes
+    across the repartitioned probe side instead of the 3 flag keys.
+    Both engines state the identical midpoint formula (avg of the one
+    or two middle ranks), sidestepping quantile_cont's lo+(hi-lo)*f vs
+    (lo+hi)/2 ulp gap; the sketch only narrows WHERE the sort happens,
+    never which values are picked (measured 11 s -> ~1.5 s at sf0.1)."""
     from pyspark.sql.window import Window
 
     li = load_fixture(spark, sf_dir, "lineitem")
@@ -2044,10 +2054,12 @@ def timeseries_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("rev")
         )
     )
-    a = daily.select("flag", F.col("day").alias("da"), F.col("rev").alias("ra"))
+    a = daily.select(
+        "flag", F.col("day").alias("da"), F.col("rev").alias("ra")
+    ).repartition(32)
     b = daily.select("flag", F.col("day").alias("db"), F.col("rev").alias("rb"))
     slopes = (
-        a.join(b, "flag")
+        a.join(F.broadcast(b), "flag")
         .filter(F.col("da") < F.col("db"))
         .select(
             "flag",
@@ -2056,11 +2068,30 @@ def timeseries_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.datediff("db", "da").cast("double")
             ).alias("slope"),
         )
+        # the sketch/count pass and the band pass both consume this
+        # |days|^2-row relation; materialize it once.
+        .localCheckpoint(eager=False)
     )
-    wrk = Window.partitionBy("flag").orderBy("slope")
-    wn = Window.partitionBy("flag")
-    ranked = slopes.withColumn("rn", F.row_number().over(wrk)).withColumn(
-        "n", F.count(F.lit(1)).over(wn)
+    st = slopes.groupBy("flag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("approx_percentile(slope, array(0.499, 0.501), 10000)").alias("bnd"),
+    ).select(
+        "flag", "n", F.col("bnd")[0].alias("lo"), F.col("bnd")[1].alias("hi")
+    )
+    j = slopes.join(F.broadcast(st), "flag")
+    below = (
+        j.filter(F.col("slope") < F.col("lo"))
+        .groupBy("flag")
+        .agg(F.count(F.lit(1)).alias("nb"))
+    )
+    wb = Window.partitionBy("flag").orderBy("slope")
+    ranked = (
+        j.filter((F.col("slope") >= F.col("lo")) & (F.col("slope") <= F.col("hi")))
+        .withColumn("rb", F.row_number().over(wb))
+        # left join: a flag whose band starts at the minimum has NO rows
+        # strictly below lo, so it is absent from `below`.
+        .join(F.broadcast(below), "flag", "left")
+        .withColumn("rn", F.col("rb") + F.coalesce(F.col("nb"), F.lit(0)))
     )
     med = (
         ranked.filter(

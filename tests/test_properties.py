@@ -383,3 +383,176 @@ def test_snapshot_diff_properties(spark, a, b):
         elif a[k] != b[k]:
             want[k] = "update"
     assert out == want
+
+
+def _write_fixture(spark, tmp_path, table, df):
+    path = str(tmp_path / f"{table}.parquet")
+    df.write.mode("overwrite").parquet(path)
+    return str(tmp_path)
+
+
+def test_theilsen_is_robust_to_injected_outliers(spark, tmp_path):
+    """A clean linear daily series with 5% wildly corrupted days: the
+    Theil-Sen slope must stay the true slope exactly (a majority of
+    pairs are clean-clean, so the pairwise-slope median is untouched),
+    and must match a pure-Python pairwise-slope median reference."""
+    import statistics
+
+    from cdw_spark.registry import load_all
+
+    days, true_slope = 120, 5.0
+    rows = []
+    for i in range(days):
+        rev = 100.0 + true_slope * i
+        if i % 25 == 13:  # ~5% corrupted days
+            rev *= 80.0
+        rows.append(
+            (
+                1,
+                dt.datetime(2024, 1, 1) + dt.timedelta(days=i),
+                rev,
+                0.0,
+                "A",
+            )
+        )
+    li = spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_shipdate timestamp, l_extendedprice double, "
+        "l_discount double, l_returnflag string",
+    ).withColumn("l_partkey", F.lit(1))
+    sf_dir = _write_fixture(spark, tmp_path, "lineitem", li)
+
+    got = load_all()["timeseries_theilsen_trend"].fn(spark, sf_dir).collect()
+    assert len(got) == 1 and got[0]["n_days"] == days
+
+    series = sorted((r[1], r[2]) for r in rows)
+    slopes = sorted(
+        (series[j][1] - series[i][1]) / float((series[j][0] - series[i][0]).days)
+        for i in range(days)
+        for j in range(i + 1, days)
+    )
+    py_median = statistics.median(slopes)
+    assert abs(got[0]["sen_slope"] - round(py_median, 6)) < 1e-9
+    assert abs(got[0]["sen_slope"] - true_slope) < 1e-6  # robust to the spikes
+
+
+def test_cooccurrence_matches_python_and_caps_heavy_baskets(spark, tmp_path):
+    """Cosine neighbors equal a pure-Python reference, and items that only
+    ever co-occur inside an over-cap mega-basket get no neighbors."""
+    import itertools
+    import math
+
+    from cdw_spark.registry import load_all
+    from cdw_spark.suite.recsys import BASKET_CAP, MIN_TOGETHER, TOP_NEIGHBORS
+
+    baskets = {
+        1: [10, 11, 12],
+        2: [10, 11],
+        3: [10, 11, 13],
+        4: [12, 13],
+        5: [10, 12],
+        6: [11, 12],
+        7: [10, 11],
+    }
+    # a mega-basket over the cap: items 900.. occur ONLY here
+    baskets[99] = list(range(900, 900 + BASKET_CAP + 5))
+    rows = [
+        (ok, item, dt.datetime(2024, 1, 1), 1.0, 0.0, "A")
+        for ok, items in baskets.items()
+        for item in items
+    ]
+    li = spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_partkey long, l_shipdate timestamp, "
+        "l_extendedprice double, l_discount double, l_returnflag string",
+    )
+    sf_dir = _write_fixture(spark, tmp_path, "lineitem", li)
+    got = load_all()["recs_item_cooccurrence"].fn(spark, sf_dir).collect()
+
+    kept = {ok: its for ok, its in baskets.items() if len(its) <= BASKET_CAP}
+    cnt, co = {}, {}
+    for its in kept.values():
+        for it in its:
+            cnt[it] = cnt.get(it, 0) + 1
+        for a, b in itertools.combinations(sorted(its), 2):
+            co[(a, b)] = co.get((a, b), 0) + 1
+    expected = {}
+    for (a, b), c in co.items():
+        if c < MIN_TOGETHER:
+            continue
+        cos = c / math.sqrt(cnt[a] * cnt[b])
+        expected.setdefault(a, []).append((b, c, cos))
+        expected.setdefault(b, []).append((a, c, cos))
+    exp_rows = set()
+    for item, nbrs in expected.items():
+        nbrs.sort(key=lambda t: (-round(t[2], 9), t[0]))
+        for rk, (nb, c, cos) in enumerate(nbrs[:TOP_NEIGHBORS], 1):
+            exp_rows.add((item, nb, c, round(cos, 6), rk))
+    assert {tuple(r) for r in got} == exp_rows
+    assert all(r["item"] < 900 for r in got)  # mega-basket items excluded
+
+
+def test_pmi_matches_python_reference(spark, tmp_path):
+    """PMI top-k equals a pure-Python unigram/bigram MLE computation."""
+    import math
+
+    from cdw_spark.registry import load_all
+
+    docs = [
+        "red apple " * 8 + "banana",
+        "red apple red apple green pear " * 4,
+        "green pear banana split " * 6,
+        "apple pie apple pie apple pie apple pie apple pie",
+    ]
+    d = spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in enumerate(docs)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    sf_dir = _write_fixture(spark, tmp_path, "documents", d)
+    got = [tuple(r) for r in load_all()["text_pmi_collocations"].fn(spark, sf_dir).collect()]
+
+    uni, bi = {}, {}
+    for t in docs:
+        ws = t.strip().lower().split()
+        for w in ws:
+            uni[w] = uni.get(w, 0) + 1
+        for a, b in zip(ws, ws[1:]):
+            bi[(a, b)] = bi.get((a, b), 0) + 1
+    T = float(sum(uni.values()))
+    B = float(sum(bi.values()))
+    scored = [
+        (f"{a} {b}", c, round(math.log(c * T * T / (B * uni[a] * uni[b])), 6))
+        for (a, b), c in bi.items()
+        if c >= 5
+    ]
+    scored.sort(key=lambda t: (-t[2], t[0]))
+    assert got == scored[:20]
+
+
+def test_khop_reach_equals_python_bfs_on_same_graph(spark, sf_dir):
+    """reach2 per node equals a depth-2 BFS over the SAME edge set the
+    query derives (the kNN graph is deterministic, so the edges relation
+    is a fixed ground truth to traverse in Python)."""
+    from cdw_spark.catalog import load_fixture
+    from cdw_spark.registry import load_all
+    from cdw_spark.suite.similarity import _knn_undirected_edges
+
+    emb = load_fixture(spark, sf_dir, "embeddings")
+    edges = [(r["a"], r["b"]) for r in _knn_undirected_edges(emb).collect()]
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+
+    got = {r["vec_id"]: (r["deg"], r["reach2"]) for r in
+           load_all()["graph_khop_reach"].fn(spark, sf_dir).collect()}
+    n_nodes = emb.count()
+    assert len(got) == n_nodes
+    for node, (deg, reach2) in got.items():
+        nbrs = adj.get(node, set())
+        two = set(nbrs)
+        for m in nbrs:
+            two |= adj[m]
+        two.discard(node)
+        assert deg == len(nbrs)
+        assert reach2 == len(two)
