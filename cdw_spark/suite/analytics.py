@@ -2061,11 +2061,15 @@ def timeseries_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     slopes = (
         a.join(F.broadcast(b), "flag")
         .filter(F.col("da") < F.col("db"))
+        # try_divide, not /: under ANSI mode Catalyst may reorder a
+        # downstream slope predicate before the da<db conjunct, evaluating
+        # the division for same-day pairs (datediff 0) and raising
+        # DIVIDE_BY_ZERO; try_divide yields NULL there and those rows are
+        # filtered regardless.
         .select(
             "flag",
-            (
-                (F.col("rb") - F.col("ra"))
-                / F.datediff("db", "da").cast("double")
+            F.try_divide(
+                F.col("rb") - F.col("ra"), F.datediff("db", "da").cast("double")
             ).alias("slope"),
         )
         # the sketch/count pass and the band pass both consume this
