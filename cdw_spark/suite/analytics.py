@@ -2026,9 +2026,11 @@ def timeseries_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     full per-group window sort (3 flags -> 3 tasks sort 3.1M rows each —
     measured 11 s): it is the two-pass banded exact median. Pass 1: a
     mergeable approx_percentile sketch brackets the median with a
-    [q0.499, q0.501] band (rank error n/10000 << the 0.001n margin) and
+    [q0.49, q0.51] band (rank error n/1000 << the 0.01n margin; the
+    cheaper sketch beats a tighter band — measured 4.3 s vs 2.4 s for
+    the sketch pass at accuracy 10000 vs 1000) and
     counts rows strictly below the band — both map-side-combined, fully
-    parallel. Pass 2: ONLY the ~0.2% band rows sort in the per-group
+    parallel. Pass 2: ONLY the ~2% band rows sort in the per-group
     window, and the global midpoint ranks are picked as
     count_below + band_rank. Pair generation broadcasts the
     calendar-bounded daily relation so the fanout join parallelizes
@@ -2078,7 +2080,7 @@ def timeseries_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     st = slopes.groupBy("flag").agg(
         F.count(F.lit(1)).alias("n"),
-        F.expr("approx_percentile(slope, array(0.499, 0.501), 10000)").alias("bnd"),
+        F.expr("approx_percentile(slope, array(0.49, 0.51), 1000)").alias("bnd"),
     ).select(
         "flag", "n", F.col("bnd")[0].alias("lo"), F.col("bnd")[1].alias("hi")
     )
