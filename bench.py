@@ -12,6 +12,7 @@ projections) executes — `.count()` would let Catalyst prune the work.
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import re
@@ -136,6 +137,11 @@ def main() -> None:
         t0 = time.time()
         spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
+        # Untimed housekeeping: drop Python refs so the ContextCleaner can
+        # free earlier queries' localCheckpoint blocks — otherwise storage
+        # memory fills across the 60+-query session and later queries pay
+        # unrelated GC/spill pressure (measured multi-second noise).
+        gc.collect()
 
     total = round(sum(timings.values()), 3)
     print(
