@@ -1,0 +1,188 @@
+"""``jsonpaths`` — a Python DataSource (Spark 4 ``pyspark.sql.datasource``)
+implementing Redshift COPY's positional JSONPaths ingestion as a
+first-class pluggable format.
+
+The reference's S1 load (``staging_events_copy``, /root/reference/
+sql_queries.py:122-128) maps JSON fields onto staging columns
+POSITIONALLY via a JSONPaths file. ``sources/json_loader.py`` expresses
+that as a schema-on-read projection over ``spark.read.json``; this module
+is the same semantics as an engine *extension point* — register once
+(``spark.dataSource.register(JsonPathsDataSource)``) and any consumer
+reads ``spark.read.format("jsonpaths")`` like a built-in format.
+
+Usage::
+
+    spark.dataSource.register(JsonPathsDataSource)
+    df = (spark.read.format("jsonpaths")
+          .schema(staging_schema)              # target column order + types
+          .option("path", "/data/events/")     # file, dir, or glob
+          .option("jsonpaths", "artist,,ts")   # source field per column;
+          .load())                             #   empty token = NULL slot
+
+Scale shape: ``partitions()`` plans ONE InputPartition per input file —
+the COPY parallelism model (one slice per S3 object) — so a directory of
+N files reads as N concurrent tasks with no data through the driver.
+``read()`` emits Arrow RecordBatches (the vectorized Python-source path,
+no row-at-a-time pickling), and ``pushFilters`` accepts EqualTo /
+IsNotNull so driver-planned predicates drop rows inside the scan before
+they ever reach the JVM. At 100 TB the same class reads object storage
+by swapping the ``glob`` listing for the store's list API; everything
+else is already per-file streaming with bounded memory per batch.
+"""
+
+from __future__ import annotations
+
+import glob as _glob
+import json
+import os
+from collections.abc import Iterator, Sequence
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    Filter,
+    InputPartition,
+    IsNotNull,
+)
+from pyspark.sql.types import (
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructType,
+)
+
+_BATCH_ROWS = 10_000
+
+
+class _FilePartition(InputPartition):
+    def __init__(self, path: str) -> None:
+        self.path = path
+
+
+def _list_inputs(path: str) -> list[str]:
+    if os.path.isdir(path):
+        return sorted(
+            os.path.join(path, f)
+            for f in os.listdir(path)
+            if not f.startswith((".", "_"))
+        )
+    matches = sorted(_glob.glob(path))
+    if not matches:
+        raise FileNotFoundError(f"jsonpaths source: no input matches {path!r}")
+    return matches
+
+
+def _coerce(value, dtype):
+    """JSON scalar -> python value matching the Spark column type (the
+    COPY cast step). None propagates; uncastable values raise — bad rows
+    should fail loudly, as COPY does without MAXERROR."""
+    if value is None:
+        return None
+    if isinstance(dtype, StringType):
+        return value if isinstance(value, str) else json.dumps(value)
+    if isinstance(dtype, (LongType, IntegerType)):
+        return int(value)
+    if isinstance(dtype, DoubleType):
+        return float(value)
+    raise TypeError(f"jsonpaths source: unsupported column type {dtype}")
+
+
+class JsonPathsReader(DataSourceReader):
+    def __init__(self, schema: StructType, options: dict) -> None:
+        self.schema = schema
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("jsonpaths source requires option 'path'")
+        spec = options.get("jsonpaths", "")
+        # one source field per target column, in column order; '' -> NULL
+        self.paths: list[str | None] = [
+            (tok or None) for tok in spec.split(",")
+        ] if spec else [f.name for f in schema.fields]
+        if len(self.paths) != len(schema.fields):
+            raise ValueError(
+                f"jsonpaths source: {len(self.paths)} paths for "
+                f"{len(schema.fields)} columns"
+            )
+        self._eq: dict[str, object] = {}
+        self._notnull: set[str] = set()
+
+    def pushFilters(self, filters: Sequence[Filter]) -> Iterator[Filter]:
+        """Accept EqualTo / IsNotNull on top-level columns; everything
+        else is returned as unsupported and stays in the Spark plan."""
+        for f in filters:
+            if isinstance(f, EqualTo) and len(f.attribute) == 1:
+                self._eq[f.attribute[0]] = f.value
+            elif isinstance(f, IsNotNull) and len(f.attribute) == 1:
+                self._notnull.add(f.attribute[0])
+            else:
+                yield f
+
+    def partitions(self) -> list[InputPartition]:
+        return [_FilePartition(p) for p in _list_inputs(self.path)]
+
+    def read(self, partition: _FilePartition):
+        import pyarrow as pa
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        arrow_schema = to_arrow_schema(self.schema)
+        fields = self.schema.fields
+        idx = {f.name: i for i, f in enumerate(fields)}
+        eq = [(idx[c], v) for c, v in self._eq.items() if c in idx]
+        nn = [idx[c] for c in self._notnull if c in idx]
+
+        cols: list[list] = [[] for _ in fields]
+
+        def flush():
+            batch = pa.RecordBatch.from_arrays(
+                [
+                    pa.array(col, type=arrow_schema.field(i).type)
+                    for i, col in enumerate(cols)
+                ],
+                schema=arrow_schema,
+            )
+            for col in cols:
+                col.clear()
+            return batch
+
+        with open(partition.path, encoding="utf-8") as fh:
+            n = 0
+            for line in fh:
+                line = line.strip()
+                if not line:
+                    continue
+                obj = json.loads(line)
+                row = [
+                    _coerce(obj.get(src), fields[i].dataType) if src else None
+                    for i, src in enumerate(self.paths)
+                ]
+                if any(row[i] != v for i, v in eq):
+                    continue
+                if any(row[i] is None for i in nn):
+                    continue
+                for i, v in enumerate(row):
+                    cols[i].append(v)
+                n += 1
+                if n == _BATCH_ROWS:
+                    yield flush()
+                    n = 0
+            if n:
+                yield flush()
+
+
+class JsonPathsDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "jsonpaths"
+
+    def schema(self) -> StructType:
+        raise ValueError(
+            "jsonpaths source: pass the staging schema explicitly via "
+            ".schema(...) — positional mapping has no self-describing schema "
+            "(the JSONPaths file in the reference doesn't either; the target "
+            "table supplies it, sql_queries.py:25-47)"
+        )
+
+    def reader(self, schema: StructType) -> JsonPathsReader:
+        return JsonPathsReader(schema, self.options)

@@ -1,0 +1,130 @@
+"""The ``jsonpaths`` Python DataSource (cdw_spark/sources/pyds.py):
+COPY-style positional ingestion as a pluggable format — differential
+against the schema-on-read implementation (sources/json_loader.py
+pattern), plus the per-file partition plan and filter pushdown."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from cdw_spark.sources.pyds import JsonPathsDataSource
+
+SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("artist", StringType()),
+        StructField("page", StringType()),
+        StructField("ts", LongType()),
+        StructField("length", DoubleType()),
+        StructField("session_id", IntegerType()),
+    ]
+)
+PATHS = ",artist,page,ts,length,sessionId"
+
+ROWS = [
+    {"artist": "A", "page": "NextSong", "ts": 1000, "length": 1.5, "sessionId": 7},
+    {"artist": None, "page": "Home", "ts": 2000, "length": None, "sessionId": 8},
+    {"artist": "B", "page": "NextSong", "ts": 3000, "length": 2.5, "sessionId": 9},
+    {"artist": "C", "page": "NextSong", "ts": 4000, "length": 0.5, "sessionId": 7},
+]
+
+
+@pytest.fixture()
+def src_dir(tmp_path):
+    for i, chunk in enumerate((ROWS[:2], ROWS[2:])):
+        with open(tmp_path / f"part{i}.json", "w") as fh:
+            for r in chunk:
+                fh.write(json.dumps(r) + "\n")
+    return str(tmp_path)
+
+
+@pytest.fixture()
+def registered(spark):
+    spark.dataSource.register(JsonPathsDataSource)
+    return spark
+
+
+def _read(spark, src_dir, paths=PATHS):
+    r = spark.read.format("jsonpaths").schema(SCHEMA).option("path", src_dir)
+    if paths is not None:
+        r = r.option("jsonpaths", paths)
+    return r.load()
+
+
+def test_positional_mapping_matches_schema_on_read(registered, src_dir):
+    """Differential: the pluggable source must equal the json_loader
+    pattern (spark.read.json + ordered projection + casts) row for row,
+    including the unmapped NULL surrogate slot."""
+    got = sorted(_read(registered, src_dir).collect(), key=str)
+    via_json = registered.read.json(os.path.join(src_dir, "*.json"))
+    expected = sorted(
+        via_json.select(
+            F.lit(None).cast("long").alias("event_id"),
+            F.col("artist").cast("string"),
+            F.col("page").cast("string"),
+            F.col("ts").cast("long"),
+            F.col("length").cast("double"),
+            F.col("sessionId").cast("int").alias("session_id"),
+        ).collect(),
+        key=str,
+    )
+    assert got == expected
+    assert len(got) == len(ROWS)
+
+
+def test_one_partition_per_file(registered, src_dir):
+    """COPY's slice-per-object parallelism: N input files -> N tasks."""
+    assert _read(registered, src_dir).rdd.getNumPartitions() == 2
+
+
+def test_name_mapping_without_jsonpaths(registered, src_dir):
+    """No jsonpaths option -> name-auto mode (the reference's S2):
+    columns bind to same-named JSON fields; absent fields are NULL."""
+    df = _read(registered, src_dir, paths=None)
+    rows = df.select("artist", "page", "event_id").collect()
+    assert {r["page"] for r in rows} == {"NextSong", "Home"}
+    assert all(r["event_id"] is None for r in rows)  # no such JSON field
+
+
+def test_filter_pushdown_absorbs_supported_predicates(registered, src_dir):
+    """EqualTo + IsNotNull are accepted by pushFilters: the physical plan
+    keeps NO Filter node (the scan already applied them) and the result
+    is correct; an unsupported predicate (>) stays as a plan Filter."""
+    df = _read(registered, src_dir)
+    pushed = df.filter((F.col("page") == "NextSong") & F.col("artist").isNotNull())
+    plan = pushed._jdf.queryExecution().executedPlan().toString()
+    # "Filter (" is the Filter NODE rendering; bare "Filter" also appears
+    # in the scan's "RuntimeFilters: []" annotation.
+    assert "Filter (" not in plan, plan
+    assert {r["artist"] for r in pushed.collect()} == {"A", "B", "C"}
+
+    mixed = df.filter((F.col("page") == "NextSong") & (F.col("length") > 1.0))
+    plan = mixed._jdf.queryExecution().executedPlan().toString()
+    assert "Filter (" in plan  # the > predicate was returned as unsupported
+    assert {r["artist"] for r in mixed.collect()} == {"A", "B"}
+
+
+def test_option_validation(registered, src_dir):
+    with pytest.raises(Exception, match="requires option 'path'"):
+        registered.read.format("jsonpaths").schema(SCHEMA).load().collect()
+    with pytest.raises(Exception, match="paths for"):
+        _read(registered, src_dir, paths="artist,page").collect()
+    with pytest.raises(Exception, match="schema"):
+        (
+            registered.read.format("jsonpaths")
+            .option("path", src_dir)
+            .load()
+            .collect()
+        )
