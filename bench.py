@@ -101,6 +101,8 @@ HEADLINE = [
     "recs_item_cooccurrence",
     "timeseries_theilsen_trend",
     "graph_khop_reach",
+    "events_stickiness_rolling",
+    "corpus_vocab_overlap",
 ]
 
 

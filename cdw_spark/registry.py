@@ -87,9 +87,10 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # ab_test_lift, kanonymity_audit, timeseries_cusum,
 # quantile_histogram_approx, geo_proximity_join, stream_top_spenders,
 # text_pmi_collocations, recs_item_cooccurrence,
-# timeseries_theilsen_trend, graph_khop_reach),
+# timeseries_theilsen_trend, graph_khop_reach,
+# events_stickiness_rolling, corpus_vocab_overlap),
 # then the remaining oracled r2 tail. A third
-# window r2 ∪ r3 ∪ r4 ≈ 140/200 with driver rows.
+# window r2 ∪ r3 ∪ r4 ≈ 140/202 with driver rows.
 _DRIVER_WINDOW: tuple[str, ...] = (
     # --- anchors: one representative per family, all r2-green ---
     "star_fact_join",        # reference §2 relational core (flagship)

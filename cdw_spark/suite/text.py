@@ -631,3 +631,69 @@ def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.curate import compression_ratio
 
     return compression_ratio(load_fixture(spark, sf_dir, "documents"))
+
+
+@register(
+    "corpus_vocab_overlap",
+    oracle="""
+    WITH vocab AS (
+        SELECT DISTINCT source, w
+        FROM (
+            SELECT source,
+                   unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+            FROM documents
+        )
+    ),
+    sizes AS (SELECT source, COUNT(*) AS n FROM vocab GROUP BY source),
+    inter AS (
+        SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS inter
+        FROM vocab a JOIN vocab b ON a.w = b.w AND a.source < b.source
+        GROUP BY a.source, b.source
+    )
+    SELECT i.src_a, i.src_b, CAST(i.inter AS BIGINT) AS inter,
+           ROUND(CAST(i.inter AS DOUBLE)
+                 / CAST(sa.n + sb.n - i.inter AS DOUBLE), 6) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.source = i.src_a
+    JOIN sizes sb ON sb.source = i.src_b
+    """,
+    doc="Pairwise source-vocabulary Jaccard — the corpus-diversity audit "
+    "behind mixture design (near-identical vocabularies across sources "
+    "signal redundant crawls; complements corpus_mix_entropy's share "
+    "audit). Jaccard from intersection + sizes only: |A ∪ B| = "
+    "|A| + |B| - |A ∩ B|, so the union is never materialized.",
+)
+def corpus_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: vocab distinct is the only corpus-sized shuffle; the
+    intersection self-join is keyed on the WORD (hash-partitioned,
+    |sources|^2-bounded fanout per word — cap or stopword-trim hub words
+    if sources share boilerplate); size relations broadcast."""
+    d = load_fixture(spark, sf_dir, "documents")
+    vocab = (
+        d.select("source", F.explode(words(F.col("text"))).alias("w")).distinct()
+    )
+    sizes = vocab.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a = vocab.select(F.col("source").alias("src_a"), "w")
+    b = vocab.select(F.col("source").alias("src_b"), "w")
+    inter = (
+        a.join(b, "w")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("source").alias("src_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("source").alias("src_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(F.broadcast(sa), "src_a")
+        .join(F.broadcast(sb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            F.col("inter").cast("bigint").alias("inter"),
+            F.round(
+                F.col("inter").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("inter")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+    )

@@ -612,3 +612,64 @@ def timeseries_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         cusum.alias("cusum"),
         F.when(F.abs(cusum) > F.lit(250.0), 1).otherwise(0).alias("drift_flag"),
     )
+
+
+@register(
+    "events_stickiness_rolling",
+    oracle="""
+    WITH active AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    spine AS (SELECT DISTINCT day FROM active),
+    contrib AS (
+        SELECT user_id, day + i AS tday
+        FROM active, unnest([0, 1, 2, 3, 4, 5, 6]) AS t(i)
+    ),
+    wau AS (
+        SELECT c.tday AS day, COUNT(DISTINCT c.user_id) AS wau
+        FROM contrib c JOIN spine s ON s.day = c.tday
+        GROUP BY c.tday
+    ),
+    dau AS (SELECT day, COUNT(*) AS dau FROM active GROUP BY day)
+    SELECT d.day, CAST(d.dau AS BIGINT) AS dau, CAST(w.wau AS BIGINT) AS wau,
+           ROUND(CAST(d.dau AS DOUBLE) / CAST(w.wau AS DOUBLE), 6) AS stickiness
+    FROM dau d JOIN wau w ON w.day = d.day
+    """,
+    doc="DAU / trailing-7-day WAU stickiness per observed day — the "
+    "engagement ratio every product dashboard reports. COUNT(DISTINCT) "
+    "over a SLIDING window is not window-frame-expressible (distinct "
+    "aggregates are invalid in frames on either engine); the scalable "
+    "rewrite CONTRIBUTES each (user, day) row to the 7 trailing target "
+    "days it covers (a bounded x7 explode), then one distinct-count per "
+    "target day.",
+)
+def events_stickiness_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: one distinct on (user, day) — the only fact-sized
+    shuffle; the x7 contribution explode is a literal array (no join),
+    and the per-day distinct count shuffles (day, user) pairs bounded by
+    7x the active relation. The day spine join broadcasts (|days| rows).
+    No range join, no per-day re-scan: at 100 TB this is the standard
+    rolling-distinct rewrite (contribute-then-count), linear in events."""
+    ev = load_fixture(spark, sf_dir, "events")
+    active = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    spine = active.select("day").distinct()
+    contrib = active.withColumn(
+        "i", F.explode(F.array(*[F.lit(i) for i in range(7)]))
+    ).select("user_id", F.expr("date_add(day, i)").alias("tday"))
+    wau = (
+        contrib.join(F.broadcast(spine), contrib["tday"] == spine["day"])
+        .groupBy("tday")
+        .agg(F.countDistinct("user_id").alias("wau"))
+    )
+    dau = active.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    return (
+        dau.join(wau, dau["day"] == wau["tday"])
+        .select(
+            "day",
+            F.col("dau").cast("bigint").alias("dau"),
+            F.col("wau").cast("bigint").alias("wau"),
+            F.round(
+                F.col("dau").cast("double") / F.col("wau").cast("double"), 6
+            ).alias("stickiness"),
+        )
+    )
