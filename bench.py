@@ -103,6 +103,8 @@ HEADLINE = [
     "graph_khop_reach",
     "events_stickiness_rolling",
     "corpus_vocab_overlap",
+    "skyline_pareto_orders",
+    "graph_link_prediction",
 ]
 
 

@@ -88,9 +88,10 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # quantile_histogram_approx, geo_proximity_join, stream_top_spenders,
 # text_pmi_collocations, recs_item_cooccurrence,
 # timeseries_theilsen_trend, graph_khop_reach,
-# events_stickiness_rolling, corpus_vocab_overlap),
+# events_stickiness_rolling, corpus_vocab_overlap,
+# skyline_pareto_orders, graph_link_prediction),
 # then the remaining oracled r2 tail. A third
-# window r2 ∪ r3 ∪ r4 ≈ 140/202 with driver rows.
+# window r2 ∪ r3 ∪ r4 ≈ 140/204 with driver rows.
 _DRIVER_WINDOW: tuple[str, ...] = (
     # --- anchors: one representative per family, all r2-green ---
     "star_fact_join",        # reference §2 relational core (flagship)

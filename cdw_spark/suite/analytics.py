@@ -2114,3 +2114,106 @@ def timeseries_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     return days.join(med, "flag").select(
         "flag", "n_days", "n_pairs", F.round("sen_slope", 6).alias("sen_slope")
     )
+
+
+@register(
+    "skyline_pareto_orders",
+    oracle="""
+    WITH o AS (
+        SELECT o_orderkey AS order_key, o_totalprice AS price,
+               CAST(o_orderdate AS DATE) AS day
+        FROM orders
+    ),
+    g AS (SELECT price, MIN(day) AS mdate FROM o GROUP BY price),
+    b AS (SELECT MIN(price) AS pmin, MAX(price) AS pmax FROM g),
+    gb AS (
+        SELECT g.price, g.mdate,
+               CAST(FLOOR((g.price - b.pmin)
+                    / GREATEST((b.pmax - b.pmin) / 2048.0, CAST(1e-9 AS DOUBLE)))
+                    AS BIGINT) AS bkt
+        FROM g CROSS JOIN b
+    ),
+    l1 AS (
+        SELECT price, mdate, bkt,
+               MIN(mdate) OVER (PARTITION BY bkt ORDER BY price
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING) AS local_prev
+        FROM gb
+    ),
+    bs AS (SELECT bkt, MIN(mdate) AS bmin FROM gb GROUP BY bkt),
+    bp AS (
+        SELECT bkt,
+               MIN(bmin) OVER (ORDER BY bkt
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING) AS prefix_prev
+        FROM bs
+    ),
+    dom AS (
+        SELECT l1.price, l1.mdate,
+               LEAST(COALESCE(l1.local_prev, DATE '9999-12-31'),
+                     COALESCE(bp.prefix_prev, DATE '9999-12-31')) AS prev_min
+        FROM l1 JOIN bp ON bp.bkt = l1.bkt
+    )
+    SELECT o.order_key, ROUND(o.price, 2) AS price, o.day
+    FROM o JOIN dom ON dom.price = o.price
+    WHERE NOT (dom.prev_min <= o.day OR dom.mdate < o.day)
+    """,
+    doc="2-D skyline (Pareto frontier) of orders: minimize (price, date); "
+    "an order is dominated iff some strictly-cheaper order is no later "
+    "(prev_min <= day) or an equal-priced order is strictly earlier "
+    "(mdate < day). Equal (price, day) points co-exist on the frontier.",
+)
+def skyline_pareto_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: NO global sort. Prices group to a distinct-price
+    relation, fixed-width bucket ids come from a 1-row (min,max)
+    broadcast, and the running strictly-cheaper MIN(date) is the
+    two-level prefix-min (the pack_sequences idiom): a per-bucket window
+    (parallel across <=2048 buckets) plus one <=2048-row bucket-summary
+    window — bounded by construction whatever the order count. The
+    dominance verdict then joins back to the fact by price. Equal prices
+    share a bucket (floor of identical doubles), so cross-bucket rows
+    are strictly cheaper by construction."""
+    from pyspark.sql.window import Window
+
+    o = load_fixture(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("order_key"),
+        F.col("o_totalprice").alias("price"),
+        F.col("o_orderdate").cast("date").alias("day"),
+    )
+    g = o.groupBy("price").agg(F.min("day").alias("mdate"))
+    b = g.agg(F.min("price").alias("pmin"), F.max("price").alias("pmax"))
+    gb = g.crossJoin(F.broadcast(b)).select(
+        "price",
+        "mdate",
+        # GREATEST guard: an all-equal-price relation would make the
+        # width 0.0 -> Inf buckets -> ANSI bigint-cast error.
+        F.floor((F.col("price") - F.col("pmin"))
+                / F.greatest((F.col("pmax") - F.col("pmin")) / F.lit(2048.0),
+                             F.lit(1e-9)))
+        .cast("bigint")
+        .alias("bkt"),
+    )
+    w1 = (
+        Window.partitionBy("bkt")
+        .orderBy("price")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    l1 = gb.withColumn("local_prev", F.min("mdate").over(w1))
+    bs = gb.groupBy("bkt").agg(F.min("mdate").alias("bmin"))
+    w2 = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    bp = bs.withColumn("prefix_prev", F.min("bmin").over(w2)).select(
+        "bkt", "prefix_prev"
+    )
+    far = F.lit("9999-12-31").cast("date")
+    dom = l1.join(F.broadcast(bp), "bkt").select(
+        "price",
+        "mdate",
+        F.least(
+            F.coalesce("local_prev", far), F.coalesce("prefix_prev", far)
+        ).alias("prev_min"),
+    )
+    return (
+        o.join(dom, "price")
+        .filter(~((F.col("prev_min") <= F.col("day")) | (F.col("mdate") < F.col("day"))))
+        .select("order_key", F.round("price", 2).alias("price"), "day")
+    )

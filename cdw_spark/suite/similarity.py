@@ -497,6 +497,83 @@ def graph_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "graph_link_prediction",
+    oracle=_KNN_EDGES_CTE + """,
+    adj AS (SELECT a AS n, b AS m FROM edges UNION ALL SELECT b AS n, a AS m FROM edges),
+    deg AS (SELECT n, COUNT(*) AS d FROM adj GROUP BY n),
+    cn AS (
+        SELECT j1.n AS a, j2.m AS b, COUNT(*) AS common
+        FROM adj j1 JOIN adj j2 ON j2.n = j1.m AND j1.n < j2.m
+        GROUP BY j1.n, j2.m
+    ),
+    cand AS (
+        SELECT cn.a, cn.b, cn.common
+        FROM cn LEFT JOIN edges e ON e.a = cn.a AND e.b = cn.b
+        WHERE e.a IS NULL
+    )
+    SELECT c.a, c.b, CAST(c.common AS BIGINT) AS common,
+           ROUND(CAST(c.common AS DOUBLE)
+                 / CAST(da.d + db.d - c.common AS DOUBLE), 6) AS jaccard
+    FROM cand c
+    JOIN deg da ON da.n = c.a
+    JOIN deg db ON db.n = c.b
+    ORDER BY ROUND(CAST(c.common AS DOUBLE)
+                   / CAST(da.d + db.d - c.common AS DOUBLE), 9) DESC, c.a, c.b
+    LIMIT 20
+    """,
+    doc="Link prediction by neighborhood Jaccard (Liben-Nowell & "
+    "Kleinberg 2003) on the SAME hash-checked kNN graph as "
+    "graph_knn_triangles/graph_khop_reach: score every NON-edge pair "
+    "that shares >=1 neighbor by |N(a) ∩ N(b)| / |N(a) ∪ N(b)|, top-20. "
+    "Candidates come only from the 2-hop join (pairs with no common "
+    "neighbor score 0 and are never enumerated), existing edges drop by "
+    "anti-join.",
+)
+def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: the graph is degree-bounded (k=3 before
+    symmetrization), so the 2-hop candidate join emits O(|V|*k^2) rows;
+    degree relation is |V| rows (broadcast); the top-20 is
+    TakeOrderedAndProject over candidates (orderBy+limit — no window, no
+    global sort), ordered by ROUND(score, 9) with (a, b) tie-breaks —
+    engine-independent."""
+    emb = load_fixture(spark, sf_dir, "embeddings")
+    edges = _knn_undirected_edges(emb).localCheckpoint(eager=True)
+    adj = edges.select(F.col("a").alias("n"), F.col("b").alias("m")).unionAll(
+        edges.select(F.col("b").alias("n"), F.col("a").alias("m"))
+    )
+    deg = adj.groupBy("n").agg(F.count(F.lit(1)).alias("d"))
+    j1 = adj.select(F.col("n").alias("a"), F.col("m").alias("mid"))
+    j2 = adj.select(F.col("n").alias("mid"), F.col("m").alias("b"))
+    cn = (
+        j1.join(j2, "mid")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    cand = cn.join(edges, ["a", "b"], "left_anti")
+    da = deg.select(F.col("n").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("n").alias("b"), F.col("d").alias("db"))
+    scored = (
+        cand.join(F.broadcast(da), "a")
+        .join(F.broadcast(db), "b")
+        .withColumn(
+            "jaccard",
+            F.col("common").cast("double")
+            / (F.col("da") + F.col("db") - F.col("common")).cast("double"),
+        )
+    )
+    return (
+        scored.orderBy(F.round("jaccard", 9).desc(), "a", "b")
+        .limit(20)
+        .select(
+            "a", "b",
+            F.col("common").cast("bigint").alias("common"),
+            F.round("jaccard", 6).alias("jaccard"),
+        )
+    )
+
+
 from ..operators.similarity import pca_power_oracle_sql as _pca_sql
 
 

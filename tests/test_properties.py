@@ -556,3 +556,69 @@ def test_khop_reach_equals_python_bfs_on_same_graph(spark, sf_dir):
         two.discard(node)
         assert deg == len(nbrs)
         assert reach2 == len(two)
+
+
+def test_skyline_matches_python_pareto(spark, tmp_path):
+    """Skyline equals the quadratic-reference Pareto frontier, including
+    duplicate points and price ties (neither of an equal pair dominates)."""
+    rows = [
+        (1, 100.0, dt.datetime(2024, 1, 10)),
+        (2, 100.0, dt.datetime(2024, 1, 5)),   # same price, earlier -> dominates 1
+        (3, 50.0, dt.datetime(2024, 1, 20)),
+        (4, 50.0, dt.datetime(2024, 1, 20)),   # exact duplicate of 3: both survive
+        (5, 80.0, dt.datetime(2024, 1, 3)),
+        (6, 90.0, dt.datetime(2024, 1, 3)),    # dominated by 5 (cheaper, same day)
+        (7, 200.0, dt.datetime(2024, 1, 1)),
+        (8, 40.0, dt.datetime(2024, 2, 1)),
+    ]
+    o = spark.createDataFrame(
+        [(k, p, d, 1, "O", "x") for k, p, d in rows],
+        "o_orderkey long, o_totalprice double, o_orderdate timestamp, "
+        "o_custkey long, o_orderstatus string, o_orderpriority string",
+    )
+    sf_dir = _write_fixture(spark, tmp_path, "orders", o)
+    from cdw_spark.registry import load_all
+
+    got = {r["order_key"] for r in load_all()["skyline_pareto_orders"].fn(spark, sf_dir).collect()}
+
+    def dominates(x, y):
+        return (x[1] <= y[1] and x[2] <= y[2]) and (x[1] < y[1] or x[2] < y[2])
+
+    expected = {
+        k for k, p, d in rows
+        if not any(dominates((k2, p2, d2), (k, p, d)) for k2, p2, d2 in rows if k2 != k)
+    }
+    assert got == expected
+    assert {3, 4} <= got and 1 not in got and 6 not in got
+
+
+def test_link_prediction_matches_python_reference(spark, sf_dir):
+    """Top-20 Jaccard link predictions equal a pure-Python scorer over the
+    same deterministic kNN edge set; no predicted pair is an edge."""
+    from cdw_spark.catalog import load_fixture
+    from cdw_spark.registry import load_all
+    from cdw_spark.suite.similarity import _knn_undirected_edges
+
+    emb = load_fixture(spark, sf_dir, "embeddings")
+    edges = {(r["a"], r["b"]) for r in _knn_undirected_edges(emb).collect()}
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    cand = {}
+    for n, nbrs in adj.items():
+        for m in nbrs:
+            for x in adj[m]:
+                if n < x and (n, x) not in edges:
+                    cand[(n, x)] = len(adj[n] & adj[x])
+    scored = [
+        (a, b, c, c / len(adj[a] | adj[b]))
+        for (a, b), c in cand.items()
+        if c > 0
+    ]
+    scored.sort(key=lambda t: (-round(t[3], 9), t[0], t[1]))
+    expected = [(a, b, c, round(j, 6)) for a, b, c, j in scored[:20]]
+
+    got = [tuple(r) for r in load_all()["graph_link_prediction"].fn(spark, sf_dir).collect()]
+    assert got == expected
+    assert all((a, b) not in edges for a, b, *_ in got)
