@@ -105,6 +105,7 @@ HEADLINE = [
     "corpus_vocab_overlap",
     "skyline_pareto_orders",
     "graph_link_prediction",
+    "similarity_ann_pq",
 ]
 
 

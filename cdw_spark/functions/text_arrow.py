@@ -303,3 +303,73 @@ def signature_arrow(
             yield pdf
 
     return df.mapInPandas(run, schema)
+
+
+def pq_codes_arrow(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, codes) rows: product-quantization encoding — the vector is
+    split into ``m = len(codebooks)`` contiguous subvectors and each is
+    replaced by the index of its nearest (L2) codeword. One numpy
+    distance computation per Arrow batch per block; ties resolve to the
+    lower codeword index (stable argmin). Codes are the 100 TB at-rest
+    form: m small ints (m bytes at ksub<=256) instead of dim floats."""
+    CB = [np.asarray(b, dtype=np.float64) for b in codebooks]
+    m = len(CB)
+    dsub = CB[0].shape[1]
+    src = df.select(F.col(id_col).cast("long").alias(id_col), F.col(vec_col).alias("v"))
+    schema = f"{id_col} long, codes array<int>"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
+            S = V.reshape(len(pdf), m, dsub)
+            codes = np.empty((len(pdf), m), dtype=np.int32)
+            for j in range(m):
+                d = ((S[:, j, None, :] - CB[j][None, :, :]) ** 2).sum(axis=2)
+                codes[:, j] = np.argmin(d, axis=1)  # first min: stable tie-break
+            yield pd.DataFrame({id_col: pdf[id_col], "codes": list(codes)})
+
+    return src.mapInPandas(run, schema)
+
+
+def pq_lut_arrow(
+    probes: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, lut) rows: per-probe asymmetric-distance lookup table —
+    lut[j][c] = squared L2 distance from the probe's j-th subvector to
+    codeword c. ADC scoring then never touches the probe vector again:
+    candidate distance = sum_j lut[j][codes[j]] (m additions per pair)."""
+    CB = [np.asarray(b, dtype=np.float64) for b in codebooks]
+    m = len(CB)
+    dsub = CB[0].shape[1]
+    src = probes.select(
+        F.col(id_col).cast("long").alias(id_col), F.col(vec_col).alias("v")
+    )
+    schema = f"{id_col} long, lut array<array<double>>"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
+            S = V.reshape(len(pdf), m, dsub)
+            luts = []
+            for r in range(len(pdf)):
+                luts.append(
+                    [
+                        ((S[r, j, None, :] - CB[j]) ** 2).sum(axis=1).tolist()
+                        for j in range(m)
+                    ]
+                )
+            yield pd.DataFrame({id_col: pdf[id_col], "lut": luts})
+
+    return src.mapInPandas(run, schema)

@@ -1066,3 +1066,111 @@ def pca_power_oracle_sql(dim: int, iterations: int = 3) -> str:
     FROM yarr"""
     )
     return "".join(parts)
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (Jégou, Douze & Schmid 2011): split the vector into
+# m contiguous subvectors, k-means each block to ksub codewords, store each
+# vector as m small ints. At 100 TB this is the at-rest compression story:
+# a 64-dim float32 corpus (256 B/vector) becomes m=8 codes (8 B/vector,
+# 32x), and query scoring never decodes — the probe precomputes a
+# (m x ksub) lookup table and each candidate costs m table adds
+# (asymmetric distance computation, ADC).
+
+
+def pq_train(
+    corpus: DataFrame,
+    m: int = 8,
+    ksub: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """Per-block L2 Lloyd k-means, all m blocks trained concurrently in
+    the SAME pass: assignment is the Arrow encoder (pq_codes_arrow), the
+    update is one groupBy over the posexploded (block, code) pairs
+    summing dsub components — a single shuffle of m*ksub groups per
+    round, nothing corpus-sized on the driver (each sync collects
+    m*ksub rows, like ivf_train's nlist). Deterministic: init = the
+    ksub lowest-id vectors' subvectors per block, coordinates rounded
+    to 9 decimals each sync."""
+    from ..functions.text_arrow import pq_codes_arrow
+
+    dim = len(corpus.select(vec_col).first()[0])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    dsub = dim // m
+    c = corpus.select(
+        F.col(id_col).alias("_id"), to_double_array(F.col(vec_col)).alias("v")
+    ).persist()
+    init = c.orderBy("_id").limit(ksub).collect()
+    books = [
+        [
+            [round(float(r["v"][j * dsub + i]), 9) for i in range(dsub)]
+            for r in init
+        ]
+        for j in range(m)
+    ]
+    for _ in range(iters):
+        codes = pq_codes_arrow(c.withColumnRenamed("_id", "pqid"), books, "pqid", "v")
+        joined = c.join(codes, c["_id"] == codes["pqid"]).select("v", "codes")
+        exploded = joined.select(
+            F.posexplode("codes").alias("j", "code"), "v"
+        )
+        stats = exploded.groupBy("j", "code").agg(
+            F.count(F.lit(1)).alias("n"),
+            *[
+                F.sum(F.expr(f"v[j * {dsub} + {i}]")).alias(f"s{i}")
+                for i in range(dsub)
+            ],
+        )
+        rows = stats.collect()  # m*ksub rows — the k-means sync point
+        for r in rows:
+            books[r["j"]][r["code"]] = [
+                round(r[f"s{i}"] / r["n"], 9) for i in range(dsub)
+            ]
+    c.unpersist()
+    return books
+
+
+def pq_topk(
+    probes: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    m: int = 8,
+    ksub: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ-ADC approximate k-NN by squared L2: encode the corpus once to
+    m-code rows, precompute each probe's (m x ksub) distance table, and
+    rank candidates by the m-add table sum — no vector arithmetic in the
+    scan. Output: (probe_id, cand_id, rank, adc_dist). The codes
+    relation is the only corpus-sized input (m ints per row); the probe
+    LUTs broadcast. Recall against exact k-NN is measured, not assumed
+    (tests/test_similarity.py); raise m/ksub for tighter quantization."""
+    from ..functions.text_arrow import pq_codes_arrow, pq_lut_arrow
+
+    books = pq_train(corpus, m=m, ksub=ksub, iters=iters, id_col=id_col, vec_col=vec_col)
+    codes = pq_codes_arrow(corpus, books, id_col, vec_col).select(
+        F.col(id_col).alias("cand_id"), "codes"
+    )
+    luts = pq_lut_arrow(probes, books, id_col, vec_col).select(
+        F.col(id_col).alias("probe_id"), "lut"
+    )
+    adc = F.expr(
+        f"aggregate(sequence(0, {m - 1}), 0D, "
+        "(acc, j) -> acc + element_at(element_at(lut, j + 1), codes[j] + 1))"
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.col("adc_raw").asc(), F.col("cand_id"))
+    return (
+        codes.crossJoin(F.broadcast(luts))
+        .filter(F.col("cand_id") != F.col("probe_id"))
+        .withColumn("adc_raw", adc)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "probe_id", "cand_id", "rank", F.round("adc_raw", 6).alias("adc_dist")
+        )
+    )

@@ -595,3 +595,21 @@ def embedding_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import pca_power_top_component
 
     return pca_power_top_component(load_fixture(spark, sf_dir, "embeddings"), _DIM)
+
+
+@register(
+    "similarity_ann_pq",
+    oracle=None,
+    doc="Product-quantization ADC k-NN (Jegou et al. 2011): corpus encoded "
+    "to m=16 codes over per-block k-means codebooks (16x smaller at rest "
+    "than float32 vectors), probes score candidates by an m-add lookup-"
+    "table sum — no vector arithmetic in the scan. Training is data-"
+    "dependent k-means, so no SQL oracle (same class as the streaming/"
+    "sketch rows-only entries); exact-reconstruction equivalence and "
+    "recall vs brute force are measured in tests/test_similarity.py.",
+)
+def similarity_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import pq_topk
+
+    e = load_fixture(spark, sf_dir, "embeddings")
+    return pq_topk(e.filter(F.col("vec_id") < 5), e, k=10, m=16, ksub=64, iters=3)

@@ -263,3 +263,85 @@ def test_pca_power_recovers_planted_component(spark):
     top = vecs[:, -1]
     assert abs(float(e @ top)) > 0.999
     assert abs(np.linalg.norm(e) - 1.0) < 1e-4
+
+
+def test_pq_exact_reconstruction_equals_brute_force(spark):
+    """A corpus whose subvectors take only ksub distinct patterns per
+    block quantizes EXACTLY (codebooks converge onto the patterns), so
+    ADC distance == true squared L2 and PQ top-k == exact top-k."""
+    import itertools
+    import random
+
+    from cdw_spark.operators.similarity import brute_force_topk, pq_topk
+
+    rng = random.Random(7)
+    m, dsub, ksub = 4, 2, 4
+    patterns = [
+        [[round(rng.uniform(-1, 1), 3) for _ in range(dsub)] for _ in range(ksub)]
+        for _ in range(m)
+    ]
+    rows = []
+    for i in range(60):
+        # first ksub rows enumerate each pattern once per block, so the
+        # lowest-id k-means init starts ON the true codewords (duplicate
+        # inits would merge clusters and make quantization lossy)
+        pick = (lambda j: i) if i < ksub else (lambda j: rng.randrange(ksub))
+        vec = list(
+            itertools.chain.from_iterable(patterns[j][pick(j)] for j in range(m))
+        )
+        rows.append((i, vec))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    probes = emb.filter(F.col("vec_id") < 3)
+
+    got = pq_topk(probes, emb, k=5, m=m, ksub=ksub, iters=4).collect()
+    exact = {
+        (r["probe_id"], r["rank"]): r["cand_id"]
+        for r in brute_force_topk(probes, emb, k=5).collect()
+    }
+    # Compare by (probe, rank) -> candidate under L2. Cosine (brute force)
+    # and L2 rankings coincide only for unit vectors, so re-rank exact by
+    # true L2 in python instead:
+    vecs = dict(rows)
+    import math
+
+    def l2(a, b):
+        return sum((x - y) ** 2 for x, y in zip(a, b))
+
+    for pid in (0, 1, 2):
+        truth = sorted(
+            ((l2(vecs[pid], vecs[c]), c) for c in vecs if c != pid),
+        )[:5]
+        mine = [r["cand_id"] for r in sorted(got, key=lambda r: r["rank"]) if r["probe_id"] == pid]
+        assert mine == [c for _, c in truth], (pid, mine, truth)
+        # ADC distance equals the true L2 (quantization is lossless here)
+        for r in got:
+            if r["probe_id"] == pid:
+                true_d = l2(vecs[pid], vecs[r["cand_id"]])
+                assert abs(r["adc_dist"] - round(true_d, 6)) < 1e-5
+
+
+def test_pq_recall_floor_on_fixture(spark, sf_dir):
+    """Measured recall@10 of PQ-ADC vs exact L2 on the fixture corpus —
+    the honest accuracy statement for the compressed path."""
+    from cdw_spark.catalog import load_fixture
+    from cdw_spark.operators.similarity import pq_topk, to_double_array
+
+    emb = load_fixture(spark, sf_dir, "embeddings").select(
+        "vec_id", to_double_array(F.col("embedding")).alias("embedding")
+    )
+    probes = emb.filter(F.col("vec_id") < 10)
+    got = pq_topk(probes, emb, k=10, m=16, ksub=64, iters=3).collect()
+
+    vecs = {r["vec_id"]: r["embedding"] for r in emb.collect()}
+
+    def l2(a, b):
+        return sum((x - y) ** 2 for x, y in zip(a, b))
+
+    hits = total = 0
+    for pid in range(10):
+        truth = {c for _, c in sorted(((l2(vecs[pid], vecs[c]), c) for c in vecs if c != pid))[:10]}
+        mine = {r["cand_id"] for r in got if r["probe_id"] == pid}
+        hits += len(truth & mine)
+        total += 10
+    recall = hits / total
+    assert recall >= 0.5, f"PQ recall@10 collapsed: {recall}"  # measured 0.62 on the random fixture — the PQ worst case (no low-dim structure); real embedding corpora cluster and quantize far tighter
