@@ -454,3 +454,59 @@ def test_runtime_bloom_filter_prunes_fact_side(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_cbo_stats_drive_broadcast_of_filtered_dim(spark, sf_dir, tmp_path):
+    """Cost-based optimization story: with table+column stats ANALYZEd in
+    (the S7 STATUPDATE analog) and CBO on, a dimension that only becomes
+    small AFTER a selective filter still broadcasts — the optimizer sees
+    the filtered cardinality through column stats instead of falling back
+    to file size. At 100 TB this is why ANALYZE matters: size-on-disk says
+    "too big to broadcast", stats say otherwise."""
+    confs = {
+        "spark.sql.cbo.enabled": "true",
+        "spark.sql.cbo.planStats.enabled": "true",
+        "spark.sql.cbo.joinReorder.enabled": "true",
+        # force the decision through stats, not through a generous default
+        "spark.sql.autoBroadcastJoinThreshold": str(256 * 1024),
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    spark.sql("DROP TABLE IF EXISTS cbo_orders")
+    spark.sql("DROP TABLE IF EXISTS cbo_lineitem")
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        load_fixture(spark, sf_dir, "orders").write.mode("overwrite").saveAsTable(
+            "cbo_orders"
+        )
+        load_fixture(spark, sf_dir, "lineitem").write.mode("overwrite").saveAsTable(
+            "cbo_lineitem"
+        )
+        for t, cols in (
+            ("cbo_orders", "o_orderkey, o_orderpriority"),
+            ("cbo_lineitem", "l_orderkey"),
+        ):
+            spark.sql(f"ANALYZE TABLE {t} COMPUTE STATISTICS FOR COLUMNS {cols}")
+        j = spark.sql(
+            """
+            SELECT o.o_orderpriority, COUNT(*) AS n
+            FROM cbo_lineitem l
+            JOIN cbo_orders o ON o.o_orderkey = l.l_orderkey
+            WHERE o.o_orderpriority = '1-URGENT'
+            GROUP BY o.o_orderpriority
+            """
+        )
+        opt = j._jdf.queryExecution().optimizedPlan()
+        # stats must be visible to the planner (rowCount from ANALYZE)
+        assert opt.stats().rowCount().isDefined()
+        plan = _plan(j)
+        assert "BroadcastHashJoin" in plan, plan
+        assert "SortMergeJoin" not in plan
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+        spark.sql("DROP TABLE IF EXISTS cbo_orders")
+        spark.sql("DROP TABLE IF EXISTS cbo_lineitem")
