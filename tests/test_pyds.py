@@ -128,3 +128,49 @@ def test_option_validation(registered, src_dir):
             .load()
             .collect()
         )
+
+
+def test_stream_reads_incrementally_with_checkpoint(registered, tmp_path):
+    """Streaming half: Trigger.AvailableNow drains the directory, a second
+    run with the same checkpoint picks up ONLY files appended since —
+    exactly-once file tracking through the {"n": files_consumed} offset.
+    Sink is parquet (the memory sink does not support checkpoint
+    recovery); source, sink, and checkpoint live in sibling dirs."""
+    import json as _json
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    for i, chunk in enumerate((ROWS[:2], ROWS[2:])):
+        with open(os.path.join(src, f"part{i}.json"), "w") as fh:
+            for r in chunk:
+                fh.write(_json.dumps(r) + "\n")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def drain():
+        q = (
+            registered.readStream.format("jsonpaths")
+            .schema(SCHEMA)
+            .option("path", src)
+            .option("jsonpaths", PATHS)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(60)
+        return registered.read.schema(SCHEMA).parquet(out).collect()
+
+    first = drain()
+    assert len(first) == len(ROWS)
+
+    with open(os.path.join(src, "part2.json"), "w") as fh:
+        fh.write(_json.dumps({"artist": "Z", "page": "NextSong", "ts": 9000,
+                              "length": 9.9, "sessionId": 42}) + "\n")
+    second = drain()
+    # cumulative = first batch + ONLY the appended file (no reprocessing)
+    assert len(second) == len(ROWS) + 1
+    z = [r for r in second if r["artist"] == "Z"]
+    assert len(z) == 1 and z[0]["session_id"] == 42
