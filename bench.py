@@ -106,6 +106,7 @@ HEADLINE = [
     "skyline_pareto_orders",
     "graph_link_prediction",
     "similarity_ann_pq",
+    "timeseries_gapfill_interpolate",
 ]
 
 

@@ -673,3 +673,105 @@ def events_stickiness_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("stickiness"),
         )
     )
+
+
+@register(
+    "timeseries_gapfill_interpolate",
+    oracle="""
+    WITH ev AS (
+        SELECT user_id, CAST(ts AS DATE) AS day FROM events
+        WHERE event_type = 'purchase'
+    ),
+    daily AS (SELECT user_id, day, CAST(COUNT(*) AS DOUBLE) AS v
+              FROM ev GROUP BY user_id, day),
+    b AS (SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM daily GROUP BY user_id),
+    spine AS (
+        SELECT user_id, unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day
+        FROM b
+    ),
+    j AS (
+        SELECT s.user_id, s.day, daily.v
+        FROM spine s LEFT JOIN daily ON daily.user_id = s.user_id AND daily.day = s.day
+    ),
+    w AS (
+        SELECT user_id, day, v,
+            last_value(v IGNORE NULLS) OVER (
+                PARTITION BY user_id ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+            last_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS) OVER (
+                PARTITION BY user_id ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
+            first_value(v IGNORE NULLS) OVER (
+                PARTITION BY user_id ORDER BY day
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+            first_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS) OVER (
+                PARTITION BY user_id ORDER BY day
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+        FROM j
+    )
+    SELECT user_id, day,
+           ROUND(CASE WHEN v IS NOT NULL THEN v
+                 ELSE pv + (nv - pv) * (CAST(date_diff('day', pd, day) AS DOUBLE)
+                                        / CAST(date_diff('day', pd, nd) AS DOUBLE))
+                 END, 6) AS value_filled,
+           CAST(CASE WHEN v IS NULL THEN 1 ELSE 0 END AS INTEGER) AS is_interpolated
+    FROM w
+    """,
+    doc="Linear-interpolation gap fill — the numeric twin of "
+    "timeseries_gapfill_locf: missing days take "
+    "prev + (next-prev) * elapsed/gap between the bracketing "
+    "observations. The per-user spine is bounded by each user's own "
+    "[min, max] observed day, so every gap has both brackets and no "
+    "edge extrapolation is needed.",
+)
+def timeseries_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: identical to the LOCF twin — the dense spine is
+    |users| x their-span days (explode of a per-user sequence, no join
+    against a global calendar), and both bracket lookups are two
+    opposite-direction windows per user partition; the interpolation
+    arithmetic is one identically-ordered double expression in both
+    engines."""
+    from pyspark.sql.window import Window
+
+    ev = (
+        load_fixture(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id", F.to_date("ts").alias("day"))
+    )
+    daily = ev.groupBy("user_id", "day").agg(
+        F.count(F.lit(1)).cast("double").alias("v")
+    )
+    spine = (
+        daily.groupBy("user_id")
+        .agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+        .select(
+            "user_id",
+            F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("day"),
+        )
+    )
+    j = spine.join(daily, ["user_id", "day"], "left")
+    back = Window.partitionBy("user_id").orderBy("day").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    fwd = Window.partitionBy("user_id").orderBy("day").rowsBetween(
+        0, Window.unboundedFollowing
+    )
+    obs_day = F.when(F.col("v").isNotNull(), F.col("day"))
+    w = (
+        j.withColumn("pv", F.last("v", ignorenulls=True).over(back))
+        .withColumn("pd", F.last(obs_day, ignorenulls=True).over(back))
+        .withColumn("nv", F.first("v", ignorenulls=True).over(fwd))
+        .withColumn("nd", F.first(obs_day, ignorenulls=True).over(fwd))
+    )
+    interp = F.col("pv") + (F.col("nv") - F.col("pv")) * (
+        F.datediff("day", "pd").cast("double")
+        / F.datediff("nd", "pd").cast("double")
+    )
+    return w.select(
+        "user_id",
+        "day",
+        F.round(F.when(F.col("v").isNotNull(), F.col("v")).otherwise(interp), 6).alias(
+            "value_filled"
+        ),
+        F.when(F.col("v").isNull(), 1).otherwise(0).cast("int").alias("is_interpolated"),
+    )
