@@ -47,6 +47,7 @@ from pyspark.sql.datasource import (
     SimpleDataSourceStreamReader,
 )
 from pyspark.sql.types import (
+    DecimalType,
     DoubleType,
     IntegerType,
     LongType,
@@ -77,17 +78,45 @@ def _list_inputs(path: str) -> list[str]:
 
 
 def _coerce(value, dtype):
-    """JSON scalar -> python value matching the Spark column type (the
-    COPY cast step). None propagates; uncastable values raise — bad rows
-    should fail loudly, as COPY does without MAXERROR."""
+    """JSON scalar -> python value matching the Spark column type — the
+    COPY parse-and-coerce step with try_cast semantics: unPARSEABLE
+    values become NULL (the real Sparkify log has userId='' on
+    logged-out rows; an error cast would abort the load on one bad row,
+    matching the batch loader's try_cast choice in json_loader.py).
+    UnSUPPORTED column TYPES still raise loudly."""
     if value is None:
         return None
     if isinstance(dtype, StringType):
         return value if isinstance(value, str) else json.dumps(value)
     if isinstance(dtype, (LongType, IntegerType)):
-        return int(value)
+        try:
+            if isinstance(value, str):
+                value = value.strip()
+                return int(value) if value else None
+            return int(value)
+        except (TypeError, ValueError):
+            return None
     if isinstance(dtype, DoubleType):
-        return float(value)
+        try:
+            return float(value)
+        except (TypeError, ValueError):
+            return None
+    if isinstance(dtype, DecimalType):
+        import decimal
+
+        try:
+            # Spark's double->decimal cast goes through the double's
+            # SHORTEST decimal representation (BigDecimal.valueOf), so
+            # str(float(v)) reproduces it; HALF_UP matches Spark/Redshift.
+            d = decimal.Decimal(str(float(value))).quantize(
+                decimal.Decimal(1).scaleb(-dtype.scale),
+                rounding=decimal.ROUND_HALF_UP,
+            )
+            if len(d.as_tuple().digits) - dtype.scale > dtype.precision - dtype.scale:
+                return None  # overflow -> NULL, as try_cast
+            return d
+        except (TypeError, ValueError, ArithmeticError):
+            return None
     raise TypeError(f"jsonpaths source: unsupported column type {dtype}")
 
 

@@ -174,3 +174,38 @@ def test_stream_reads_incrementally_with_checkpoint(registered, tmp_path):
     assert len(second) == len(ROWS) + 1
     z = [r for r in second if r["artist"] == "Z"]
     assert len(z) == 1 and z[0]["session_id"] == 42
+
+
+def test_stream_staging_matches_batch_copy(registered, tmp_path):
+    """Capstone: the reference's COPY staging_events load (S1, positional
+    JSONPaths with try_cast coercion incl. DECIMAL(9,0) rounding and
+    userId='' -> NULL) run as a STREAM through the pluggable source must
+    equal the batch loader row-for-row on the same Sparkify-shaped files
+    — continuous ingestion with identical semantics."""
+    from cdw_spark.schemas import STAGING_EVENTS
+    from cdw_spark.sources.json_loader import EVENTS_JSONPATHS, load_staging_events
+    from tests.sparkify_data import generate
+
+    log_path, _ = generate(str(tmp_path / "fx"), n_songs=30, n_events=400)
+
+    expected = sorted(load_staging_events(registered, log_path).collect(), key=str)
+
+    out = str(tmp_path / "out")
+    q = (
+        registered.readStream.format("jsonpaths")
+        .schema(STAGING_EVENTS)
+        .option("path", log_path)
+        .option("jsonpaths", ",".join(src or "" for src, _ in EVENTS_JSONPATHS))
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    got = sorted(
+        registered.read.schema(STAGING_EVENTS).parquet(out).collect(), key=str
+    )
+    assert len(got) == 400
+    assert got == expected
