@@ -107,6 +107,7 @@ HEADLINE = [
     "graph_link_prediction",
     "similarity_ann_pq",
     "timeseries_gapfill_interpolate",
+    "intervals_max_concurrency",
 ]
 
 

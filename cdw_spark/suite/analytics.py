@@ -2217,3 +2217,82 @@ def skyline_pareto_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(~((F.col("prev_min") <= F.col("day")) | (F.col("mdate") < F.col("day"))))
         .select("order_key", F.round("price", 2).alias("price"), "day")
     )
+
+
+@register(
+    "intervals_max_concurrency",
+    oracle="""
+    WITH iv AS (
+        SELECT l.l_returnflag AS flag,
+               CAST(o.o_orderdate AS DATE) AS d0,
+               CAST(l.l_shipdate AS DATE) AS d1
+        FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        WHERE CAST(l.l_shipdate AS DATE) >= CAST(o.o_orderdate AS DATE)
+    ),
+    ev AS (
+        SELECT flag, d0 AS day, 1 AS delta FROM iv
+        UNION ALL
+        SELECT flag, d1 + 1 AS day, -1 AS delta FROM iv
+    ),
+    daily AS (SELECT flag, day, SUM(delta) AS delta FROM ev GROUP BY flag, day),
+    run AS (
+        SELECT flag, day,
+               SUM(delta) OVER (PARTITION BY flag ORDER BY day
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS concurrency
+        FROM daily
+    )
+    SELECT flag,
+           CAST(MAX(concurrency) AS BIGINT) AS peak_concurrency,
+           MIN(day) FILTER (WHERE concurrency = (
+               SELECT MAX(concurrency) FROM run r2 WHERE r2.flag = run.flag
+           )) AS first_peak_day
+    FROM run
+    GROUP BY flag
+    """,
+    doc="Peak interval concurrency (max in-flight order->ship lineitems "
+    "per return flag, and the first day it occurs) — the classic "
+    "sweep-line rewrite: each interval decomposes to a +1 event at its "
+    "start and a -1 at end+1, deltas pre-aggregate per (flag, day), and "
+    "the running prefix sum over the DAILY deltas is the concurrency "
+    "curve. Never enumerates interval x day pairs.",
+)
+def intervals_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: 2 event rows per interval collapse to a (flag, day)
+    pre-aggregate BEFORE any window — the running sum then runs over a
+    calendar-bounded relation (|days| rows per flag at any fact size),
+    not the fact table; max+argmin are one more tiny aggregate. The
+    naive alternatives (interval x day explode, or a per-row COUNT(*)
+    range self-join) grow with data x span; this plan grows only in the
+    pre-aggregate shuffle."""
+    from pyspark.sql.window import Window
+
+    li = load_fixture(spark, sf_dir, "lineitem")
+    o = load_fixture(spark, sf_dir, "orders")
+    iv = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(
+            F.col("l_returnflag").alias("flag"),
+            F.col("o_orderdate").cast("date").alias("d0"),
+            F.col("l_shipdate").cast("date").alias("d1"),
+        )
+        .filter(F.col("d1") >= F.col("d0"))
+    )
+    ev = iv.select("flag", F.col("d0").alias("day"), F.lit(1).alias("delta")).unionAll(
+        iv.select("flag", F.expr("date_add(d1, 1)").alias("day"), F.lit(-1).alias("delta"))
+    )
+    daily = ev.groupBy("flag", "day").agg(F.sum("delta").alias("delta"))
+    w = Window.partitionBy("flag").orderBy("day").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    run = daily.withColumn("concurrency", F.sum("delta").over(w))
+    peak = run.groupBy("flag").agg(F.max("concurrency").alias("peak"))
+    return (
+        run.join(peak, "flag")
+        .filter(F.col("concurrency") == F.col("peak"))
+        .groupBy("flag")
+        .agg(
+            F.first("peak").cast("bigint").alias("peak_concurrency"),
+            F.min("day").alias("first_peak_day"),
+        )
+    )

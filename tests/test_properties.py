@@ -622,3 +622,39 @@ def test_link_prediction_matches_python_reference(spark, sf_dir):
     got = [tuple(r) for r in load_all()["graph_link_prediction"].fn(spark, sf_dir).collect()]
     assert got == expected
     assert all((a, b) not in edges for a, b, *_ in got)
+
+
+def test_interval_concurrency_matches_bruteforce(spark, tmp_path):
+    """Sweep-line peak concurrency equals the brute-force per-day count
+    on synthetic intervals (including touching and nested spans)."""
+    from cdw_spark.registry import load_all
+
+    iv = [  # (orderkey, flag, start_day, end_day)
+        (1, "A", 0, 5), (2, "A", 3, 9), (3, "A", 5, 5), (4, "A", 10, 12),
+        (5, "B", 0, 0), (6, "B", 0, 0), (7, "B", 1, 2),
+    ]
+    base = dt.datetime(2024, 1, 1)
+    orders = spark.createDataFrame(
+        [(k, base + dt.timedelta(days=s), 1, "O", 1.0, "x") for k, f, s, e in iv],
+        "o_orderkey long, o_orderdate timestamp, o_custkey long, "
+        "o_orderstatus string, o_totalprice double, o_orderpriority string",
+    )
+    lineitem = spark.createDataFrame(
+        [(k, f, base + dt.timedelta(days=e), 1.0, 0.0, 1) for k, f, s, e in iv],
+        "l_orderkey long, l_returnflag string, l_shipdate timestamp, "
+        "l_extendedprice double, l_discount double, l_partkey long",
+    )
+    sf_dir = _write_fixture(spark, tmp_path, "orders", orders)
+    _write_fixture(spark, tmp_path, "lineitem", lineitem)
+
+    got = {
+        r["flag"]: (r["peak_concurrency"], r["first_peak_day"])
+        for r in load_all()["intervals_max_concurrency"].fn(spark, sf_dir).collect()
+    }
+    for flag in ("A", "B"):
+        spans = [(s, e) for k, f, s, e in iv if f == flag]
+        days = range(min(s for s, _ in spans), max(e for _, e in spans) + 1)
+        curve = {d: sum(1 for s, e in spans if s <= d <= e) for d in days}
+        peak = max(curve.values())
+        first = min(d for d, c in curve.items() if c == peak)
+        assert got[flag] == (peak, (base + dt.timedelta(days=first)).date())
