@@ -89,8 +89,9 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # text_pmi_collocations, recs_item_cooccurrence,
 # timeseries_theilsen_trend, graph_khop_reach,
 # events_stickiness_rolling, corpus_vocab_overlap,
-# skyline_pareto_orders, graph_link_prediction; similarity_ann_pq is
-# rows-only),
+# skyline_pareto_orders, graph_link_prediction,
+# timeseries_gapfill_interpolate, intervals_max_concurrency;
+# similarity_ann_pq is rows-only),
 # then the remaining oracled r2 tail. A third
 # window r2 ∪ r3 ∪ r4 ≈ 140/204 with driver rows.
 _DRIVER_WINDOW: tuple[str, ...] = (
