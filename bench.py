@@ -108,6 +108,7 @@ HEADLINE = [
     "similarity_ann_pq",
     "timeseries_gapfill_interpolate",
     "intervals_max_concurrency",
+    "agg_median_exact_banded",
 ]
 
 

@@ -1,0 +1,89 @@
+"""Distributed exact order statistics.
+
+``banded_exact_median`` is the scalable exact-median pattern extracted
+from the Theil-Sen estimator (suite/analytics.py): the naive exact
+median either materializes every group value in one object-agg buffer
+(``percentile()`` — measured Java-heap OOM at ~10M values on a default
+1 GiB session) or funnels each group through a single-task window sort.
+Instead:
+
+Pass 1 — a mergeable ``approx_percentile`` sketch brackets the median
+with a [q(0.5-margin), q(0.5+margin)] band and counts rows strictly
+below the band; both are map-side-combined aggregations, fully parallel.
+The sketch accuracy is chosen so its rank error (n/accuracy) is well
+inside the band margin (margin*n), so the true median provably lies in
+the band.
+
+Pass 2 — ONLY the band rows (~2*margin of the data) sort in the
+per-group window; each row's GLOBAL rank is count_below + band_rank, and
+the median is the average of the one or two middle ranks — the explicit
+midpoint formula both engines can state identically (sidestepping
+quantile_cont's lo+(hi-lo)*f vs (lo+hi)/2 last-ulp gap).
+
+The sketch only narrows WHERE the sort happens, never which values are
+picked: the result is exactly the classical median.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def banded_exact_median(
+    df: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+    margin: float = 0.01,
+    accuracy: int = 1000,
+    out_col: str = "median",
+) -> DataFrame:
+    """Exact per-group median of ``value_col`` -> key_cols + (n, median).
+
+    ``accuracy`` must satisfy n/accuracy << margin*n, i.e.
+    accuracy >> 1/margin; the default pair (0.01, 1000) gives a 10x
+    safety factor. Values must be numeric; NULLs are excluded (matching
+    SQL aggregate semantics)."""
+    if accuracy < 2.0 / margin:
+        raise ValueError(
+            f"accuracy {accuracy} too low for margin {margin}: the sketch "
+            f"rank error n/{accuracy} must stay inside the margin*n band"
+        )
+    v = F.col(value_col)
+    src = df.filter(v.isNotNull()).select(*key_cols, v.alias("_v"))
+    lo_q, hi_q = 0.5 - margin, 0.5 + margin
+    st = src.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.expr(
+            f"approx_percentile(_v, array({lo_q}, {hi_q}), {accuracy})"
+        ).alias("_bnd"),
+    ).select(
+        *key_cols, "_n", F.col("_bnd")[0].alias("_lo"), F.col("_bnd")[1].alias("_hi")
+    )
+    j = src.join(F.broadcast(st), key_cols)
+    below = (
+        j.filter(F.col("_v") < F.col("_lo"))
+        .groupBy(*key_cols)
+        .agg(F.count(F.lit(1)).alias("_nb"))
+    )
+    wb = Window.partitionBy(*key_cols).orderBy("_v")
+    ranked = (
+        j.filter((F.col("_v") >= F.col("_lo")) & (F.col("_v") <= F.col("_hi")))
+        .withColumn("_rb", F.row_number().over(wb))
+        # left join: a group whose band starts at the minimum has NO rows
+        # strictly below _lo, so it is absent from `below`.
+        .join(F.broadcast(below), key_cols, "left")
+        .withColumn("_rn", F.col("_rb") + F.coalesce(F.col("_nb"), F.lit(0)))
+    )
+    return (
+        ranked.filter(
+            (F.col("_rn") == F.expr("(_n + 1) div 2"))
+            | (F.col("_rn") == F.expr("(_n + 2) div 2"))
+        )
+        .groupBy(*key_cols)
+        .agg(
+            F.first("_n").cast("bigint").alias("n"),
+            F.avg("_v").alias(out_col),
+        )
+    )

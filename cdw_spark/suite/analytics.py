@@ -2038,9 +2038,8 @@ def timeseries_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     Both engines state the identical midpoint formula (avg of the one
     or two middle ranks), sidestepping quantile_cont's lo+(hi-lo)*f vs
     (lo+hi)/2 ulp gap; the sketch only narrows WHERE the sort happens,
-    never which values are picked (measured 11 s -> ~1.5 s at sf0.1)."""
-    from pyspark.sql.window import Window
-
+    never which values are picked (measured 11 s -> ~5 s at sf0.1). The
+    banded median lives in operators/stats.py:banded_exact_median."""
     li = load_fixture(spark, sf_dir, "lineitem")
     daily = (
         li.groupBy(
@@ -2078,38 +2077,11 @@ def timeseries_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         # |days|^2-row relation; materialize it once.
         .localCheckpoint(eager=False)
     )
-    st = slopes.groupBy("flag").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.expr("approx_percentile(slope, array(0.49, 0.51), 1000)").alias("bnd"),
-    ).select(
-        "flag", "n", F.col("bnd")[0].alias("lo"), F.col("bnd")[1].alias("hi")
-    )
-    j = slopes.join(F.broadcast(st), "flag")
-    below = (
-        j.filter(F.col("slope") < F.col("lo"))
-        .groupBy("flag")
-        .agg(F.count(F.lit(1)).alias("nb"))
-    )
-    wb = Window.partitionBy("flag").orderBy("slope")
-    ranked = (
-        j.filter((F.col("slope") >= F.col("lo")) & (F.col("slope") <= F.col("hi")))
-        .withColumn("rb", F.row_number().over(wb))
-        # left join: a flag whose band starts at the minimum has NO rows
-        # strictly below lo, so it is absent from `below`.
-        .join(F.broadcast(below), "flag", "left")
-        .withColumn("rn", F.col("rb") + F.coalesce(F.col("nb"), F.lit(0)))
-    )
-    med = (
-        ranked.filter(
-            (F.col("rn") == F.expr("(n + 1) div 2"))
-            | (F.col("rn") == F.expr("(n + 2) div 2"))
-        )
-        .groupBy("flag")
-        .agg(
-            F.first("n").cast("bigint").alias("n_pairs"),
-            F.avg("slope").alias("sen_slope"),
-        )
-    )
+    from ..operators.stats import banded_exact_median
+
+    med = banded_exact_median(
+        slopes, ["flag"], "slope", margin=0.01, accuracy=1000, out_col="sen_slope"
+    ).withColumnRenamed("n", "n_pairs")
     days = daily.groupBy("flag").agg(F.count(F.lit(1)).cast("bigint").alias("n_days"))
     return days.join(med, "flag").select(
         "flag", "n_days", "n_pairs", F.round("sen_slope", 6).alias("sen_slope")
@@ -2296,3 +2268,43 @@ def intervals_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("day").alias("first_peak_day"),
         )
     )
+
+
+@register(
+    "agg_median_exact_banded",
+    oracle="""
+    WITH ranked AS (
+        SELECT l_returnflag AS flag, l_extendedprice AS v,
+               ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                  ORDER BY l_extendedprice) AS rn,
+               COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+        FROM lineitem
+        WHERE l_extendedprice IS NOT NULL
+    )
+    SELECT flag, CAST(ANY_VALUE(n) AS BIGINT) AS n,
+           ROUND(AVG(v), 6) AS med
+    FROM ranked
+    WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
+    GROUP BY flag
+    """,
+    doc="EXACT per-group median at scale (operators/stats.py:"
+    "banded_exact_median): a mergeable approx_percentile sketch brackets "
+    "the median, rows below the band are counted, and only the ~2% band "
+    "sorts — the classical exact median without percentile()'s "
+    "all-values object-agg buffer or a full single-task window sort. "
+    "The oracle states the same midpoint formula over a plain window "
+    "(DuckDB's relation is small enough); the VALUES agree exactly "
+    "because the sketch only narrows where the sort happens.",
+)
+def agg_median_exact_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.stats import banded_exact_median
+
+    li = load_fixture(spark, sf_dir, "lineitem")
+    return banded_exact_median(
+        li.select("l_returnflag", "l_extendedprice").select(
+            F.col("l_returnflag").alias("flag"), F.col("l_extendedprice")
+        ),
+        ["flag"],
+        "l_extendedprice",
+        out_col="med",
+    ).select("flag", "n", F.round("med", 6).alias("med"))

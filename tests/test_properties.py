@@ -658,3 +658,31 @@ def test_interval_concurrency_matches_bruteforce(spark, tmp_path):
         peak = max(curve.values())
         first = min(d for d, c in curve.items() if c == peak)
         assert got[flag] == (peak, (base + dt.timedelta(days=first)).date())
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    vals=st.lists(
+        st.one_of(
+            st.floats(min_value=-1e6, max_value=1e6, allow_nan=False),
+            st.just(7.0),  # bias toward ties / near-constant groups
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_banded_median_equals_statistics_median(spark, vals):
+    """banded_exact_median == statistics.median on generated data,
+    including all-equal groups (band collapses to a point), heavy ties,
+    and odd/even counts — the sketch narrows the sort, never the answer."""
+    import statistics
+
+    from cdw_spark.operators.stats import banded_exact_median
+
+    df = spark.createDataFrame([("g", float(v)) for v in vals], "k string, v double")
+    got = banded_exact_median(df, ["k"], "v").collect()
+    assert len(got) == 1
+    assert got[0]["n"] == len(vals)
+    assert abs(got[0]["median"] - statistics.median(vals)) <= 1e-9 * max(
+        1.0, abs(statistics.median(vals))
+    )
