@@ -1142,6 +1142,7 @@ def pq_topk(
     iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    books: list[list[list[float]]] | None = None,
 ) -> DataFrame:
     """PQ-ADC approximate k-NN by squared L2: encode the corpus once to
     m-code rows, precompute each probe's (m x ksub) distance table, and
@@ -1149,10 +1150,20 @@ def pq_topk(
     scan. Output: (probe_id, cand_id, rank, adc_dist). The codes
     relation is the only corpus-sized input (m ints per row); the probe
     LUTs broadcast. Recall against exact k-NN is measured, not assumed
-    (tests/test_similarity.py); raise m/ksub for tighter quantization."""
+    (tests/test_similarity.py); raise m/ksub for tighter quantization.
+
+    ``books``: pass explicit codebooks to skip training. The exact-oracle
+    twin uses this with an identity grid codebook (m=dim, dsub=1,
+    codeword c == grid value c-offset) over integer-quantized vectors:
+    encoding is then lossless and the ADC sum equals exact squared L2,
+    so the ADC arithmetic itself is SQL-checkable (similarity_ann_pq_exact)."""
     from ..functions.text_arrow import pq_codes_arrow, pq_lut_arrow
 
-    books = pq_train(corpus, m=m, ksub=ksub, iters=iters, id_col=id_col, vec_col=vec_col)
+    if books is None:
+        books = pq_train(
+            corpus, m=m, ksub=ksub, iters=iters, id_col=id_col, vec_col=vec_col
+        )
+    m = len(books)
     codes = pq_codes_arrow(corpus, books, id_col, vec_col).select(
         F.col(id_col).alias("cand_id"), "codes"
     )

@@ -16,6 +16,7 @@ means later joins on that key skip the exchange entirely.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
@@ -154,7 +155,23 @@ def write_bucketed(
 
     At 100 TB this is the difference between re-shuffling the fact table
     on every join and never shuffling it at all; pick n_buckets so one
-    bucket ~ one executor-core's worth of data."""
+    bucket ~ one executor-core's worth of data.
+
+    Idempotent against a dirty warehouse: ``mode="overwrite"`` only
+    replaces tables the *current* catalog knows, so an orphaned location
+    left by a previous metastore (crashed session, fresh derby db over an
+    old spark-warehouse dir) raises LOCATION_ALREADY_EXISTS. Drop the
+    table AND remove a stale location before writing."""
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "")
+    if warehouse:
+        import shutil
+        from urllib.parse import urlparse
+
+        loc = os.path.join(urlparse(warehouse).path or warehouse, name.lower())
+        if os.path.isdir(loc):
+            shutil.rmtree(loc, ignore_errors=True)
     df.write.mode(mode).bucketBy(n_buckets, key).sortBy(key).saveAsTable(name)
 
 

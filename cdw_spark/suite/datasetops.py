@@ -372,18 +372,32 @@ def outlier_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM (SELECT word, COUNT(*) AS cnt FROM tok GROUP BY word)
         QUALIFY ROW_NUMBER() OVER (ORDER BY cnt DESC, word) <= 30
     )
-    SELECT t.doc_id,
-           list(CAST(COALESCE(v.tok_id, -1) AS INTEGER) ORDER BY t.pos) AS token_ids
-    FROM tok t LEFT JOIN vocab v USING (word)
-    GROUP BY t.doc_id
+    , ids AS (
+        SELECT t.doc_id,
+               list(CAST(COALESCE(v.tok_id, -1) AS INTEGER) ORDER BY t.pos) AS token_ids
+        FROM tok t LEFT JOIN vocab v USING (word)
+        GROUP BY t.doc_id
+    )
+    SELECT doc_id,
+           CAST(len(token_ids) AS INTEGER) AS n_tokens,
+           md5(array_to_string(token_ids, ' ')) AS ids_md5
+    FROM ids
     """,
     doc="Tokenization to integer ids against a corpus-derived top-30 "
     "vocabulary (rank by frequency, alphabetical ties; off-vocab -> -1 "
     "UNK). Vocabulary is a bounded aggregate -> broadcast; assignment is "
-    "posexplode -> broadcast join -> position-ordered reassembly.",
+    "posexplode -> broadcast join -> position-ordered reassembly. The "
+    "graded projection digests the array (md5 of the space-joined ids, "
+    "the chunk_documents chunk_md5 precedent) because the driver's hash "
+    "canonicalizer cannot digest array-typed cells.",
 )
 def tokenize_vocab_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return tokenize_to_vocab_ids(load_fixture(spark, sf_dir, "documents"), vocab_size=30)
+    ids = tokenize_to_vocab_ids(load_fixture(spark, sf_dir, "documents"), vocab_size=30)
+    return ids.select(
+        "doc_id",
+        F.size("token_ids").alias("n_tokens"),
+        F.md5(F.array_join(F.col("token_ids").cast("array<string>"), " ")).alias("ids_md5"),
+    )
 
 
 @register(

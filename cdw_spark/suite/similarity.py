@@ -613,3 +613,51 @@ def similarity_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_fixture(spark, sf_dir, "embeddings")
     return pq_topk(e.filter(F.col("vec_id") < 5), e, k=10, m=16, ksub=64, iters=3)
+
+
+@register(
+    "similarity_ann_pq_exact",
+    oracle="""
+    WITH q AS (
+        SELECT vec_id, [CAST(round(x * 16) AS DOUBLE) FOR x IN embedding] AS qv
+        FROM embeddings
+    ), p AS (
+        SELECT vec_id AS probe_id, qv AS pv FROM q WHERE vec_id < 5
+    ), pairs AS (
+        SELECT p.probe_id, q.vec_id AS cand_id,
+               list_sum([(p.pv[i] - q.qv[i]) * (p.pv[i] - q.qv[i])
+                         FOR i IN range(1, 65)]) AS d
+        FROM p, q
+        WHERE q.vec_id <> p.probe_id
+    )
+    SELECT probe_id, cand_id,
+           CAST(rank AS INTEGER) AS rank,
+           ROUND(d, 6) AS adc_dist
+    FROM (
+        SELECT probe_id, cand_id, d,
+               ROW_NUMBER() OVER (PARTITION BY probe_id
+                                  ORDER BY d ASC, cand_id) AS rank
+        FROM pairs
+    )
+    WHERE rank <= 10
+    """,
+    doc="PQ-ADC in its provably-exact identity configuration: coordinates "
+    "integer-quantized to round(x*16), m=64 blocks of dsub=1 with an "
+    "explicit grid codebook (codeword c == c-16, covering every "
+    "quantized value), so encoding is lossless and the m-add ADC table "
+    "sum equals exact squared L2 — the same Arrow encode/LUT/aggregate "
+    "path as similarity_ann_pq, but with a full SQL value oracle "
+    "(all-pairs squared distance + rank). Gives the ADC arithmetic a "
+    "hash check the trained (rows-only) variant cannot have.",
+)
+def similarity_ann_pq_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import pq_topk
+
+    e = load_fixture(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr("transform(embedding, x -> cast(round(x * 16) as double))").alias("qv"),
+    )
+    books = [[[float(c - 16)] for c in range(32)] for _ in range(_DIM)]
+    return pq_topk(
+        e.filter(F.col("vec_id") < 5), e, k=10, vec_col="qv", books=books
+    )

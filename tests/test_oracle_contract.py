@@ -18,6 +18,20 @@ ROWS_ONLY = sorted(n for n, s in SPECS.items() if s.oracle is None)
 def test_oracle_match(spark, sf_dir, name):
     spec = SPECS[name]
     df = spec.fn(spark, sf_dir)
+    # The driver's hash canonicalizer sorts columns via pandas Categorical,
+    # which cannot hash list/dict cells (round-3 `tokenize_vocab_ids` err).
+    # Oracled queries must therefore project only scalar columns — digest
+    # arrays (md5(array_join(...))) instead of returning them raw.
+    from pyspark.sql import types as T
+
+    complex_cols = [
+        f.name for f in df.schema.fields
+        if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+    ]
+    assert not complex_cols, (
+        f"{name} returns non-scalar columns {complex_cols}; the driver "
+        "hash gate cannot canonicalize them — project a digest instead"
+    )
     res = compare_frames(name, df, spec.oracle, sf_dir)
     assert res.ok, str(res)
 
