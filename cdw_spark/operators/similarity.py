@@ -44,6 +44,52 @@ def _planes(dim: int, n_planes: int = N_PLANES) -> list[list[float]]:
     return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
 
 
+def hamming_ball_masks(n_planes: int, radius: int) -> list[int]:
+    """All XOR masks of popcount <= radius over an ``n_planes``-bit
+    signature, enumerated combinatorially — sum of C(n_planes, i) masks,
+    never a 2^n_planes scan (a range() filter is fine at 16 bits but
+    2^24 iterations at the wide corpus-derived widths)."""
+    from itertools import combinations
+
+    masks = [0]
+    for r in range(1, radius + 1):
+        for bits in combinations(range(n_planes), r):
+            m = 0
+            for b in bits:
+                m |= 1 << b
+            masks.append(m)
+    return masks
+
+
+def derived_n_planes(n_rows: int, lo: int = 8, hi: int = 24, extra_bits: int = 7) -> int:
+    """The signature-width scale rule, applied instead of documented:
+    ``n_planes = ceil(log2(n)) + extra_bits`` clamped to [lo, hi], i.e.
+    buckets ~ n * 2^extra_bits, so expected bucket occupancy stays fixed
+    (~2^-extra_bits rows/bucket) as the corpus grows and candidates-per-
+    probe grows only with the hamming-ball polynomial C(w,r) ~ w^r, not
+    linearly with n. At 500 rows this yields 16 bits (the round-3
+    hand-picked width); 8x data adds 3 bits instead of 4x'ing the
+    candidate count (tests/test_similarity.py::test_knn_graph_width_autoscaling).
+    Clamp rationale: below 2^lo buckets the ball covers most of the
+    space; above hi the per-row literal-plane oracle SQL gets unwieldy —
+    lift ``hi`` for real >10^7-row corpora."""
+    import math
+
+    w = math.ceil(math.log2(max(n_rows, 2))) + extra_bits
+    return max(lo, min(hi, w))
+
+
+def derived_n_planes_sql(count_expr: str, lo: int = 8, hi: int = 24, extra_bits: int = 7) -> str:
+    """DuckDB twin of ``derived_n_planes`` for count-derived oracle SQL.
+    ceil(log2(n)) agrees with Python for every n: at exact powers of two
+    log2 is exact in IEEE doubles, elsewhere the true value is irrational
+    so the double approximation never straddles an integer."""
+    return (
+        f"GREATEST({lo}, LEAST({hi}, "
+        f"CAST(ceil(log2(CAST(({count_expr}) AS DOUBLE))) AS INTEGER) + {extra_bits}))"
+    )
+
+
 def brute_force_topk(
     probes: DataFrame,
     corpus: DataFrame,
@@ -151,7 +197,7 @@ def lsh_topk(
     # Hamming ball as literal XOR masks: neighbor_sig = psig ^ mask for every
     # mask with popcount <= r. Probe side stays bounded (|probes| x |ball|),
     # so the broadcast is safe by construction.
-    masks = [m for m in range(1 << n_planes) if m.bit_count() <= multiprobe_hamming]
+    masks = hamming_ball_masks(n_planes, multiprobe_hamming)
     p_ball = (
         p.withColumn("mask", F.explode(F.array(*[F.lit(m) for m in masks])))
         .withColumn("nsig", F.col("psig").bitwiseXOR(F.col("mask")))
@@ -438,7 +484,7 @@ def lsh_pairs_topn(
     # end); vectors are re-attached to the much smaller candidate-pair set
     # afterwards, the same restrict-then-verify shape as the minhash
     # pipeline.
-    masks = [m for m in range(1 << n_planes) if m.bit_count() <= multiprobe_hamming]
+    masks = hamming_ball_masks(n_planes, multiprobe_hamming)
     a_ball = (
         sigs.select(F.col("_id").alias("id_a"), F.col("sig").alias("siga"))
         .withColumn("mask", F.explode(F.array(*[F.lit(m) for m in masks])))

