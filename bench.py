@@ -109,6 +109,8 @@ HEADLINE = [
     "timeseries_gapfill_interpolate",
     "intervals_max_concurrency",
     "agg_median_exact_banded",
+    # round 4: the PQ-ADC identity configuration with a full value oracle
+    "similarity_ann_pq_exact",
 ]
 
 

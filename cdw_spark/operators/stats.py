@@ -44,7 +44,17 @@ def banded_exact_median(
     ``accuracy`` must satisfy n/accuracy << margin*n, i.e.
     accuracy >> 1/margin; the default pair (0.01, 1000) gives a 10x
     safety factor. Values must be numeric; NULLs are excluded (matching
-    SQL aggregate semantics)."""
+    SQL aggregate semantics).
+
+    The per-group stats (`st`) and below-count (`below`) relations are
+    one row per group, so their join sides are group-cardinality-sized,
+    NOT data-sized — but that makes them unbounded for a high-cardinality
+    key. No broadcast hint is forced here: under the session threshold
+    Catalyst broadcasts them anyway (tiny aggregates), and above it the
+    planner keeps a shuffled join that AQE may still convert at runtime
+    once the realized size is known. Callers with a provably bounded
+    group count (e.g. Theil-Sen's 3 groups) lose nothing; callers with
+    millions of groups don't blow the driver."""
     if accuracy < 2.0 / margin:
         raise ValueError(
             f"accuracy {accuracy} too low for margin {margin}: the sketch "
@@ -61,7 +71,7 @@ def banded_exact_median(
     ).select(
         *key_cols, "_n", F.col("_bnd")[0].alias("_lo"), F.col("_bnd")[1].alias("_hi")
     )
-    j = src.join(F.broadcast(st), key_cols)
+    j = src.join(st, key_cols)
     below = (
         j.filter(F.col("_v") < F.col("_lo"))
         .groupBy(*key_cols)
@@ -73,7 +83,7 @@ def banded_exact_median(
         .withColumn("_rb", F.row_number().over(wb))
         # left join: a group whose band starts at the minimum has NO rows
         # strictly below _lo, so it is absent from `below`.
-        .join(F.broadcast(below), key_cols, "left")
+        .join(below, key_cols, "left")
         .withColumn("_rn", F.col("_rb") + F.coalesce(F.col("_nb"), F.lit(0)))
     )
     return (

@@ -72,30 +72,22 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # batch time-window twins, and the tokenize/chunk/pack assembly ops.
 # Everything not listed keeps its registration order after the window and
 # stays covered by tests/test_oracle_contract.py's local differential sweep.
-# r4 rotation plan (mechanical): after CORRECTNESS_r03 lands, keep ~10
-# family anchors and fill the other ~40 slots from the 88 queries with no
-# driver row yet — priority order: the second-wave pipeline ops
-# (dedup_paragraphs/semantic/containment/debounce, quality_model_score,
-# similarity_mmr_rerank, text_phrase_search/novelty, cdc_snapshot_diff,
-# gdpr_erase_cascade, incremental_join_merge, interval_overlap_join,
-# asof_join_forward_tolerance, sample_weighted_no_replacement,
-# sample_group_split, dq_expectations, map_funcs, window_cume_dist,
-# udaf_geomean, grouped_ols_applyinpandas, timeseries_ewma/resample_ohlc,
-# event_transition_matrix, session_paths_topk, outlier_mad), then the
-# retrieval/graph/sketch layer (bm25/tfidf/inverted_index/keyword/
-# bigram*/pagerank/cms), then the final r3 wave (rank_fusion_rrf,
-# ab_test_lift, kanonymity_audit, timeseries_cusum,
-# quantile_histogram_approx, geo_proximity_join, stream_top_spenders,
-# text_pmi_collocations, recs_item_cooccurrence,
-# timeseries_theilsen_trend, graph_khop_reach,
-# events_stickiness_rolling, corpus_vocab_overlap,
-# skyline_pareto_orders, graph_link_prediction,
-# timeseries_gapfill_interpolate, intervals_max_concurrency;
-# similarity_ann_pq is rows-only),
-# then the remaining oracled r2 tail. A third
-# window r2 ∪ r3 ∪ r4 ≈ 140/204 with driver rows.
+# r4 window (this round): same ten family anchors; the forty rotated
+# slots follow VERDICT r3 #2's priority order — the second-wave pipeline
+# ops, then the retrieval/graph/sketch layer, then the first tranche of
+# the final r3 wave — plus two special slots: tokenize_vocab_ids
+# RE-grades (its r3 row was the round's only err, fixed by digesting the
+# array output) and similarity_ann_pq_exact is the new VERDICT #8 oracle
+# twin. Cumulative driver evidence after r4: r2 ∪ r3 ∪ r4 = 129 unique
+# queries. Remaining never-graded (~66 oracled + rows-only) queue for r5:
+# the rest of the r3 wave (geo_proximity_join, stream_top_spenders,
+# text_pmi_collocations, recs_item_cooccurrence, timeseries_theilsen_trend,
+# graph_khop_reach/link_prediction, events_stickiness_rolling,
+# corpus_vocab_overlap, skyline_pareto_orders,
+# timeseries_gapfill_interpolate, intervals_max_concurrency, ...) then
+# the remaining oracled r2 tail.
 _DRIVER_WINDOW: tuple[str, ...] = (
-    # --- anchors: one representative per family, all r2-green ---
+    # --- anchors: one representative per family, all driver-green ---
     "star_fact_join",        # reference §2 relational core (flagship)
     "time_dim",              # reference §2 time/EXTRACT family
     "agg_pricing_summary",   # aggregation layer
@@ -106,55 +98,50 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "similarity_ann_lsh",    # similarity / ANN
     "dedup_minhash_lsh",     # deduplication
     "curation_pipeline",     # curation / dataset ops
-    # --- rotated in: never driver-graded before this round ---
-    # relational tail: joins, set ops, subqueries, null semantics
-    "set_ops",
-    "set_ops_all",
-    "outer_join_coalesce",
-    "null_safe_join",
-    "correlated_subquery",
-    "exists_subquery",
-    "not_exists_subquery",
-    "not_in_null_semantics",
-    "string_agg_sorted",
-    "posexplode_lateral",
-    "regex_extract",
-    "date_funcs",
-    # analytics tail: grouping variants, SCD, skew, histograms
-    # (agg_stats, case_when_having, fuzzy_levenshtein_match held for r4)
-    "rollup_agg",
-    "grouping_sets_agg",
-    "pivot_agg",
-    "unpivot_melt",
-    "scd_latest_state",
-    "scd2_intervals",
-    "skew_salted_agg",
-    "skew_salted_join",
-    "recursive_cte_calendar",
-    "histogram_buckets",
-    # windows + batch time-window twins
-    "window_ntile_dist",
-    "tumbling_window_agg",
-    "sliding_window_agg",
-    "session_window_agg",
-    # text tail
-    "word_freq_topk",
-    "udtf_sentence_split",
-    # multimodal tail
-    "multimodal_frame_sample",
-    # TPC-H: the 8 shapes added after r1's grading window froze
-    "tpch_q3_shipping_priority",
-    "tpch_q5_local_supplier_volume",
-    "tpch_q4_order_priority",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "tpch_q15_top_supplier",
-    "tpch_q17_small_qty_revenue",
-    "tpch_q22_global_sales_opportunity",
-    # training-sample assembly (suite/datasetops.py, added r2 past window)
+    # --- rotated in: second-wave pipeline ops (never driver-graded) ---
+    "dedup_paragraphs",
+    "dedup_semantic",
+    "dedup_containment",
+    "dedup_debounce",
+    "quality_model_score",
+    "similarity_mmr_rerank",
+    "text_phrase_search",
+    "text_novelty_score",
+    "cdc_snapshot_diff",
+    "gdpr_erase_cascade",
+    "incremental_join_merge",
+    "interval_overlap_join",
+    "asof_join_forward_tolerance",
+    "sample_weighted_no_replacement",
+    "sample_group_split",
+    "dq_expectations",
+    "map_funcs",
+    "window_cume_dist",
+    "udaf_geomean",
+    "grouped_ols_applyinpandas",
+    "timeseries_ewma",
+    "timeseries_resample_ohlc",
+    "event_transition_matrix",
+    "session_paths_topk",
+    "outlier_mad",
+    # --- retrieval / graph / sketch layer ---
+    "text_bm25_search",
+    "text_tfidf_topk",
+    "text_inverted_index",
+    "text_keyword_search",
+    "text_bigram_lm_score",
+    "graph_pagerank",
+    "sketch_cms_wordfreq",
+    # --- first tranche of the final r3 wave ---
+    "rank_fusion_rrf",
+    "ab_test_lift",
+    "kanonymity_audit",
+    "timeseries_cusum",
+    "quantile_histogram_approx",
+    "multimodal_audio_rms",
+    # --- special slots: the r3 err re-graded + the new oracle twin ---
     "tokenize_vocab_ids",
-    "chunk_documents",
-    "pack_sequences",
+    "similarity_ann_pq_exact",
 )
 
 

@@ -92,10 +92,20 @@ def _coerce(value, dtype):
         try:
             if isinstance(value, str):
                 value = value.strip()
-                return int(value) if value else None
-            return int(value)
+                if not value:
+                    return None
+            iv = int(value)
         except (TypeError, ValueError):
             return None
+        # try_cast also NULLs overflow: without the bound check an
+        # out-of-range JSON number (say a corrupt sessionId of 2^40)
+        # passes int() and then pa.array(..., int32) raises ArrowInvalid,
+        # aborting the whole load on one bad row — the opposite of the
+        # documented semantics and of json_loader's try_cast.
+        bits = 31 if isinstance(dtype, IntegerType) else 63
+        if not -(1 << bits) <= iv < (1 << bits):
+            return None
+        return iv
     if isinstance(dtype, DoubleType):
         try:
             return float(value)
@@ -228,9 +238,14 @@ class JsonPathsStreamReader(SimpleDataSourceStreamReader):
     pattern (Redshift users cron COPY per new S3 prefix; here the same
     mapping is a `readStream` with exactly-once file tracking).
 
-    Offsets are {"n": <files consumed>} over the lexicographically sorted
-    listing; files must be written once and named monotonically (part-0001
-    style) — the same contract as Spark's built-in file stream source.
+    Offsets are {"n": <files consumed>, "last": <basename of the last
+    consumed file>} over the lexicographically sorted listing; files must
+    be written once and named monotonically (part-0001 style) — the same
+    contract as Spark's built-in file stream source. The contract is
+    ENFORCED, not just documented: every read re-anchors the positional
+    index against the recorded filename and raises if the listing shifted
+    (a new file sorting before consumed names, or a consumed file
+    deleted), converting silent row duplication/skips into a loud error.
     ``readBetweenOffsets`` replays any [start, end) slice for recovery, so
     the source is exactly-once under checkpointing."""
 
@@ -250,13 +265,34 @@ class JsonPathsStreamReader(SimpleDataSourceStreamReader):
             )
 
     def initialOffset(self) -> dict:
-        return {"n": 0}
+        return {"n": 0, "last": None}
 
     def _files(self) -> list[str]:
         try:
             return _list_inputs(self.path)
         except FileNotFoundError:
             return []
+
+    def _validate(self, files: Sequence[str], offset: dict) -> None:
+        """Positional offsets are only safe while the sorted listing's
+        prefix is stable; check the recorded anchor filename still sits at
+        index n-1. Offsets from pre-anchor checkpoints (no "last" key)
+        pass unchecked — same behavior as before, just not silently wrong
+        when the anchor IS present."""
+        n = offset.get("n", 0)
+        last = offset.get("last")
+        if n <= 0 or last is None:
+            return
+        found = os.path.basename(files[n - 1]) if n <= len(files) else None
+        if found != last:
+            raise RuntimeError(
+                f"jsonpaths stream: offset expects listing[{n - 1}] == "
+                f"{last!r} but found {found!r} — a file was added that "
+                "sorts before consumed names, or a consumed file was "
+                "deleted. Positional offsets would silently duplicate or "
+                "skip rows; fix the input naming or restart from a fresh "
+                "checkpoint."
+            )
 
     def _rows(self, files: Sequence[str]):
         fields = self.schema.fields
@@ -274,14 +310,21 @@ class JsonPathsStreamReader(SimpleDataSourceStreamReader):
 
     def read(self, start: dict):
         files = self._files()
+        self._validate(files, start)
         n0 = start["n"]
+        end = {
+            "n": len(files),
+            "last": os.path.basename(files[-1]) if files else start.get("last"),
+        }
         # materialized list, not a generator: the runtime's prefetch cache
         # copy.copy()s the returned iterator for replay, and a
         # SimpleDataSourceStreamReader reads on the DRIVER by design (the
         # low-throughput control path; bulk backfill belongs to the batch
         # reader's per-file partitions).
-        return list(self._rows(files[n0:])), {"n": len(files)}
+        return list(self._rows(files[n0:])), end
 
     def readBetweenOffsets(self, start: dict, end: dict):
         files = self._files()
+        self._validate(files, start)
+        self._validate(files, end)
         return list(self._rows(files[start["n"]:end["n"]]))

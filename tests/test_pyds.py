@@ -176,6 +176,88 @@ def test_stream_reads_incrementally_with_checkpoint(registered, tmp_path):
     assert len(z) == 1 and z[0]["session_id"] == 42
 
 
+def test_int_overflow_nulls_like_try_cast(registered, tmp_path):
+    """ADVICE r3: a JSON number exceeding the target int width (a corrupt
+    sessionId of 2^40 against int32, or 2^70 against int64) must coerce to
+    NULL like try_cast — not pass int() unchanged and blow up pa.array()
+    with ArrowInvalid, aborting the whole load on one bad row. In-range
+    rows in the same file must survive."""
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    with open(os.path.join(src, "part0.json"), "w") as fh:
+        fh.write(json.dumps({"artist": "ok", "page": "NextSong", "ts": 2**70,
+                             "length": 1.0, "sessionId": 2**40}) + "\n")
+        fh.write(json.dumps({"artist": "edge", "page": "NextSong",
+                             "ts": 2**63 - 1, "length": 1.0,
+                             "sessionId": -(2**31)}) + "\n")
+        fh.write(json.dumps(ROWS[0]) + "\n")
+    rows = {
+        r["artist"]: r
+        for r in (
+            registered.read.format("jsonpaths")
+            .schema(SCHEMA)
+            .option("path", src)
+            .option("jsonpaths", PATHS)
+            .load()
+            .collect()
+        )
+    }
+    assert len(rows) == 3
+    assert rows["ok"]["session_id"] is None and rows["ok"]["ts"] is None
+    assert rows["edge"]["session_id"] == -(2**31) and rows["edge"]["ts"] == 2**63 - 1
+    assert rows["A"]["session_id"] == 7
+
+    # the stream reader shares _coerce -> same semantics (the documented
+    # batch/stream differential equivalence on malformed input)
+    from cdw_spark.sources.pyds import JsonPathsStreamReader
+
+    sr = JsonPathsStreamReader(SCHEMA, {"path": src, "jsonpaths": PATHS})
+    streamed, _ = sr.read(sr.initialOffset())
+    by_artist = {t[1]: t for t in streamed}
+    assert by_artist["ok"][5] is None and by_artist["ok"][3] is None
+    assert by_artist["edge"][5] == -(2**31)
+
+
+def test_stream_offset_anchor_detects_listing_shift(tmp_path):
+    """ADVICE r3: positional stream offsets are anchored to the last
+    consumed filename. A new file sorting lexicographically BEFORE
+    consumed names (or a consumed file deleted) must raise loudly instead
+    of silently re-slicing the listing into duplicated/skipped rows."""
+    from cdw_spark.sources.pyds import JsonPathsStreamReader
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+
+    def write(name: str, rows):
+        with open(os.path.join(src, name), "w") as fh:
+            for r in rows:
+                fh.write(json.dumps(r) + "\n")
+
+    write("part5.json", ROWS[:2])
+    sr = JsonPathsStreamReader(SCHEMA, {"path": src, "jsonpaths": PATHS})
+    batch1, off1 = sr.read(sr.initialOffset())
+    assert len(batch1) == 2 and off1 == {"n": 1, "last": "part5.json"}
+
+    # append a file that sorts BEFORE the consumed one -> listing shifts
+    write("part0.json", ROWS[2:])
+    with pytest.raises(RuntimeError, match="sorts before consumed"):
+        sr.read(off1)
+    with pytest.raises(RuntimeError, match="sorts before consumed"):
+        sr.readBetweenOffsets(sr.initialOffset(), off1)
+
+    # monotonic naming keeps working: a later-sorting file is consumed
+    # incrementally and re-anchors the offset
+    os.remove(os.path.join(src, "part0.json"))
+    write("part7.json", ROWS[2:])
+    batch2, off2 = sr.read(off1)
+    assert len(batch2) == 2 and off2 == {"n": 2, "last": "part7.json"}
+
+    # deleting a consumed file also trips the anchor
+    os.remove(os.path.join(src, "part5.json"))
+    with pytest.raises(RuntimeError, match="consumed file was"):
+        sr.read(off2)
+
+
 def test_stream_staging_matches_batch_copy(registered, tmp_path):
     """Capstone: the reference's COPY staging_events load (S1, positional
     JSONPaths with try_cast coercion incl. DECIMAL(9,0) rounding and

@@ -78,27 +78,32 @@ def test_driver_window_covers_every_family():
 
 
 def test_driver_window_rotation_accumulates_evidence():
-    """Every non-anchor slot of the round-3 window must be a query WITHOUT
-    a round-2 driver row (rotation, not re-grading), and every anchor must
-    have passed in round 2 — together: r2 ∪ r3 strictly grows the
-    driver-proven set."""
+    """Every non-anchor slot of the current window must be a query WITHOUT
+    a green driver row from any prior round (rotation, not re-grading —
+    re-grading a prior err, like tokenize_vocab_ids after its r3 digest
+    fix, is allowed), and every anchor must have a green prior row —
+    together: the union across rounds strictly grows the driver-proven
+    set."""
+    import glob
     import json
     import os
 
     from cdw_spark.registry import _DRIVER_WINDOW
 
-    r02 = os.path.join(os.path.dirname(os.path.dirname(__file__)), "CORRECTNESS_r02.json")
-    if not os.path.exists(r02):
+    root = os.path.dirname(os.path.dirname(__file__))
+    records = sorted(glob.glob(os.path.join(root, "CORRECTNESS_r0*.json")))
+    if not records:
         import pytest
 
-        pytest.skip("round-2 correctness record not present")
-    with open(r02) as f:
-        graded_r2 = json.load(f)
+        pytest.skip("no prior correctness records present")
+    green: set[str] = set()
+    for path in records:
+        with open(path) as f:
+            for n, row in json.load(f).items():
+                if row.get("rows_match") and row.get("schema_match") and row.get("hash_match"):
+                    green.add(n)
 
-    anchors = [n for n in _DRIVER_WINDOW if n in graded_r2]
-    rotated = [n for n in _DRIVER_WINDOW if n not in graded_r2]
+    anchors = [n for n in _DRIVER_WINDOW if n in green]
+    rotated = [n for n in _DRIVER_WINDOW if n not in green]
     assert len(anchors) == 10, anchors
     assert len(rotated) == 40, rotated
-    for n in anchors:
-        row = graded_r2[n]
-        assert row["rows_match"] and row["schema_match"] and row["hash_match"], (n, row)
