@@ -645,3 +645,92 @@ def bpe_apply_merges(
             )
         ).alias("symbols_md5"),
     )
+
+
+def nb_language_classifier(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    label_col: str = "lang",
+) -> DataFrame:
+    """Multinomial naive Bayes language identification, trained and
+    scored entirely in the plan: documents with even ids are the training
+    split (word counts per label + label priors, add-one smoothing), odd
+    ids are scored by argmax_l [ log P(l) + sum_w log P(w|l) ] — the
+    supervised counterpart of the n-gram langid heuristic, and the shape
+    of every bag-of-words classifier a curation pipeline trains in-engine
+    (domain filters, quality models).
+
+    Output: (doc_id, true_label, pred_label, score) for the scored split.
+
+    Float discipline (the text_bigram_lm_score treatment): each log-prob
+    is rounded to 9 dp and accumulated as DECIMAL(18,9) — exact and
+    order-independent — so engine summation order cannot flip either the
+    hash or the argmax; ties break on label ascending.
+
+    Scale shape: count relations are |vocab x labels| and |labels|-sized
+    aggregates; scoring joins tokens to per-(word,label) log-probs on the
+    word key (hash join, never text bodies), the |labels|-row per-label
+    stats ride a broadcast, and the argmax is a per-doc window over
+    |labels| rows."""
+    dec = "decimal(18,9)"
+    words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    tok = df.select(
+        F.col(id_col), F.col(label_col).alias("_lbl"), F.explode(words).alias("word")
+    )
+    train = tok.filter(F.col(id_col) % 2 == 0)
+    test = tok.filter(F.col(id_col) % 2 == 1).select(id_col, "word")
+
+    vocab_n = train.agg(F.countDistinct("word").alias("_v"))
+    tokl = (
+        train.groupBy("_lbl")
+        .agg(F.count(F.lit(1)).alias("_tl"))
+        .crossJoin(F.broadcast(vocab_n))
+        .withColumn(
+            "_unk", F.round(F.log(F.lit(1.0) / (F.col("_tl") + F.col("_v"))), 9).cast(dec)
+        )
+    )
+    lp = (
+        train.groupBy("_lbl", "word")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .join(F.broadcast(tokl), "_lbl")
+        .select(
+            "_lbl",
+            "word",
+            F.round(
+                F.log((F.col("_c") + F.lit(1.0)) / (F.col("_tl") + F.col("_v"))), 9
+            ).cast(dec).alias("_lp"),
+        )
+    )
+    docs_train = df.filter(F.col(id_col) % 2 == 0)
+    n_train = docs_train.agg(F.count(F.lit(1)).alias("_dn"))
+    prior = (
+        docs_train.groupBy(F.col(label_col).alias("_lbl"))
+        .agg(F.count(F.lit(1)).alias("_dl"))
+        .crossJoin(F.broadcast(n_train))
+        .select(
+            "_lbl",
+            F.round(F.log(F.col("_dl") / F.col("_dn")), 9).cast(dec).alias("_prior"),
+        )
+    )
+    scored = (
+        test.crossJoin(F.broadcast(tokl.select("_lbl", "_unk")))
+        .join(lp, ["_lbl", "word"], "left")
+        .groupBy(id_col, "_lbl")
+        .agg(F.sum(F.coalesce("_lp", "_unk")).alias("_s"))
+        .join(F.broadcast(prior), "_lbl")
+        .withColumn("_score", F.col("_s") + F.col("_prior"))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("_score").desc(), F.col("_lbl").asc())
+    truth = df.select(F.col(id_col), F.col(label_col).alias("true_label"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .join(truth, id_col)
+        .select(
+            id_col,
+            "true_label",
+            F.col("_lbl").alias("pred_label"),
+            F.round(F.col("_score").cast("double"), 6).alias("score"),
+        )
+    )

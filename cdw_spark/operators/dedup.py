@@ -556,3 +556,81 @@ def paragraph_dedup(
             " ",
         ).alias("cleaned_text"),
     )
+
+
+def exact_substring_dedup(
+    df: DataFrame,
+    ngram: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-document repeated-SPAN profiling at sliding n-gram
+    granularity — the scalable approximation of suffix-array exact
+    substring dedup (Lee et al. 2022, "Deduplicating Training Data Makes
+    Language Models Better"): every overlapping ``ngram``-word window is
+    hashed; a window whose hash occurs in MORE THAN ONE distinct document
+    is a duplicated span; each document reports how many of its tokens
+    are covered by at least one duplicated window (interval-union
+    coverage, not window count, so overlapping hits don't double-count).
+
+    Output: (doc_id, n_tokens, dup_tokens, dup_fraction) — the signal
+    curation pipelines threshold on ("drop documents that are >60%
+    boilerplate") where whole-document dedup sees nothing.
+
+    Scale shape: the window hash is an md5 digest projected map-side in
+    the same stage as the explode, so the only shuffles carry
+    (gram_md5, doc_id, pos) triples — never text. Cross-doc frequency is
+    a groupBy on the 16-byte digest; coverage is the classic
+    merged-intervals window (running max of span end -> island ids ->
+    max(end)-min(start) per island), one partitionBy(doc) exchange.
+    Unlike paragraph_dedup's non-overlapping blocks, windows here SLIDE,
+    so a duplicated span is caught at every alignment."""
+    from pyspark.sql.window import Window
+
+    w = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    d = df.select(F.col(id_col), w.alias("ws")).withColumn("n", F.size("ws"))
+    wins = (
+        d.filter(F.col("n") >= ngram)
+        .select(
+            id_col,
+            F.explode(F.sequence(F.lit(0), F.col("n") - ngram)).alias("pos"),
+            "ws",
+        )
+        .select(
+            id_col,
+            "pos",
+            F.md5(F.expr(f"array_join(slice(ws, pos + 1, {ngram}), ' ')")).alias("gram"),
+        )
+    )
+    dup_grams = (
+        wins.groupBy("gram")
+        .agg(F.countDistinct(id_col).alias("_df"))
+        .filter(F.col("_df") > 1)
+        .select("gram")
+    )
+    hits = wins.join(dup_grams, "gram").select(
+        id_col, "pos", (F.col("pos") + ngram).alias("end")
+    )
+    wd = Window.partitionBy(id_col).orderBy("pos")
+    prev_end = F.max("end").over(wd.rowsBetween(Window.unboundedPreceding, -1))
+    islands = (
+        hits.withColumn(
+            "_new", F.when(prev_end.isNull() | (F.col("pos") > prev_end), 1).otherwise(0)
+        )
+        .withColumn("_isl", F.sum("_new").over(wd))
+        .groupBy(id_col, "_isl")
+        .agg((F.max("end") - F.min("pos")).alias("_cov"))
+        .groupBy(id_col)
+        .agg(F.sum("_cov").alias("dup_tokens"))
+    )
+    return (
+        d.join(islands, id_col, "left")
+        .select(
+            id_col,
+            F.col("n").cast("bigint").alias("n_tokens"),
+            F.coalesce("dup_tokens", F.lit(0)).cast("bigint").alias("dup_tokens"),
+            F.round(
+                F.coalesce("dup_tokens", F.lit(0)).cast("double") / F.col("n"), 6
+            ).alias("dup_fraction"),
+        )
+    )

@@ -1231,3 +1231,173 @@ def pq_topk(
             "probe_id", "cand_id", "rank", F.round("adc_raw", 6).alias("adc_dist")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Value-oracled k-means: Lloyd's algorithm made associative-exact (the
+# graph_pagerank / embedding_pca treatment applied to clustering). Input
+# coordinates integer-quantize (round(x*16)); centroids live at a fixed
+# x256 sub-grid and update by the EXACT integer rounding
+# c_i = floor((512*s_i + n) / (2n)) = round-half-up(256 * mean), so every
+# assignment distance is a bigint sum of squares — no float ever enters
+# the recurrence and both engines agree bit-for-bit at every iteration.
+
+
+def kmeans_exact(
+    df: DataFrame,
+    k: int = 4,
+    iters: int = 2,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact-arithmetic Lloyd k-means over integer-quantized vectors.
+    Init: the k lowest-id vectors (deterministic). Assignment: argmin of
+    sum_i (256*q_i - c_i)^2 with ties to the lower cluster id; centroids
+    are literal ints unrolled into per-cluster codegen'd expressions, so
+    the scan does k bigint folds per row — zero joins, zero shuffle for
+    scoring (the IVF literal-centroid pattern). Update: one groupBy
+    producing dim sums + count, k rows collected per iteration (the same
+    bounded driver sync as ivf_train/pq_train, k*dim ints).
+
+    Output: (cid, n, inertia, centroid_md5) per cluster — sizes, exact
+    integer inertia at the final assignment, and a digest of the final
+    centroid grid so the whole trajectory is hash-checkable."""
+    q = df.select(
+        F.col(id_col).alias("_id"),
+        F.expr(f"transform({vec_col}, x -> cast(round(x * 16) as int))").alias("qv"),
+    ).persist()
+    init = q.filter(F.col("_id") < k).orderBy("_id").collect()
+    cents = [[256 * int(r["qv"][i]) for i in range(dim)] for r in init]
+
+    def dist_expr(c: list[int]) -> str:
+        return " + ".join(
+            f"(cast(qv[{i}] as bigint)*256 - ({c[i]})) * "
+            f"(cast(qv[{i}] as bigint)*256 - ({c[i]}))"
+            for i in range(dim)
+        )
+
+    def with_cid(frame: DataFrame) -> DataFrame:
+        d = frame
+        for c_idx, c in enumerate(cents):
+            d = d.withColumn(f"_d{c_idx}", F.expr(dist_expr(c)))
+        dmin = F.least(*[F.col(f"_d{c_idx}") for c_idx in range(k)])
+        cid = F.lit(None)
+        for c_idx in reversed(range(k)):
+            cid = F.when(F.col(f"_d{c_idx}") == F.col("_dm"), c_idx).otherwise(cid)
+        return (
+            d.withColumn("_dm", dmin)
+            .withColumn("cid", cid.cast("int"))
+            .drop(*[f"_d{c_idx}" for c_idx in range(k)])
+        )
+
+    for _ in range(iters):
+        stats = (
+            with_cid(q)
+            .groupBy("cid")
+            .agg(
+                F.count(F.lit(1)).alias("_n"),
+                *[F.sum(F.expr(f"qv[{i}]")).alias(f"_s{i}") for i in range(dim)],
+            )
+            .collect()
+        )
+        for r in stats:
+            n = int(r["_n"])
+            cents[r["cid"]] = [
+                (512 * int(r[f"_s{i}"]) + n) // (2 * n) for i in range(dim)
+            ]
+
+    final = with_cid(q)
+    q.unpersist()
+    digests = {
+        c_idx: " ".join(str(x) for x in c) for c_idx, c in enumerate(cents)
+    }
+    digest_col = F.lit(None)
+    for c_idx in reversed(range(k)):
+        digest_col = F.when(F.col("cid") == c_idx, F.md5(F.lit(digests[c_idx]))).otherwise(
+            digest_col
+        )
+    return (
+        final.groupBy("cid")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("_dm").cast("bigint").alias("inertia"),
+        )
+        .withColumn("centroid_md5", digest_col)
+        .select("cid", "n", "inertia", "centroid_md5")
+    )
+
+
+def kmeans_oracle_sql(
+    k: int = 4, iters: int = 2, dim: int = 64, table: str = "embeddings"
+) -> str:
+    """DuckDB rendering of ``kmeans_exact`` — the iterations unroll as
+    chained CTEs (assign_t -> cent_t), centroids as (cid, arr) relations,
+    every distance the same bigint sum of squares, the centroid update
+    the same exact integer floor((512*s + n) / (2n)). Because nothing in
+    the recurrence is a float, the oracle hash-checks every iteration of
+    the clustering bit-for-bit."""
+    dist = (
+        "list_sum([ (256*CAST(q.qv[i] AS BIGINT) - c.arr[i])"
+        " * (256*CAST(q.qv[i] AS BIGINT) - c.arr[i])"
+        f" FOR i IN range(1, {dim + 1}) ])"
+    )
+    parts = [
+        f"""
+    WITH q AS (
+        SELECT vec_id AS id,
+               [CAST(round(x * 16) AS INTEGER) FOR x IN embedding] AS qv
+        FROM {table}
+    ),
+    cent0 AS (
+        SELECT CAST(id AS INTEGER) AS cid,
+               [256 * CAST(v AS BIGINT) FOR v IN qv] AS arr
+        FROM q WHERE id < {k}
+    )"""
+    ]
+    prev = "cent0"
+    for t in range(1, iters + 1):
+        parts.append(
+            f""",
+    assign{t} AS (
+        SELECT id, qv, cid FROM (
+            SELECT q.id, q.qv, c.cid,
+                   ROW_NUMBER() OVER (PARTITION BY q.id
+                                      ORDER BY {dist} ASC, c.cid ASC) AS rn
+            FROM q CROSS JOIN {prev} c
+        ) WHERE rn = 1
+    ),
+    cent{t} AS (
+        SELECT cid,
+               -- floor, not DuckDB's truncating // : Python's (512s+n)//(2n)
+               -- floors, and negative sums occur. The double division is
+               -- exact-safe: both ints are < 2^53 and any non-integer true
+               -- quotient sits >= 1/(2n) away from an integer.
+               list(CAST(floor((512 * s + n) / (2.0 * n)) AS BIGINT) ORDER BY i) AS arr
+        FROM (
+            SELECT cid, i, CAST(SUM(qv[i]) AS BIGINT) AS s,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM assign{t}, UNNEST(range(1, {dim + 1})) AS u(i)
+            GROUP BY cid, i
+        ) GROUP BY cid
+    )"""
+        )
+        prev = f"cent{t}"
+    parts.append(
+        f""",
+    final AS (
+        SELECT id, cid, d FROM (
+            SELECT q.id, c.cid, {dist} AS d,
+                   ROW_NUMBER() OVER (PARTITION BY q.id
+                                      ORDER BY {dist} ASC, c.cid ASC) AS rn
+            FROM q CROSS JOIN {prev} c
+        ) WHERE rn = 1
+    )
+    SELECT f.cid,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(f.d) AS BIGINT) AS inertia,
+           ANY_VALUE(md5(array_to_string(c.arr, ' '))) AS centroid_md5
+    FROM final f JOIN {prev} c ON c.cid = f.cid
+    GROUP BY f.cid"""
+    )
+    return "".join(parts)

@@ -1471,3 +1471,72 @@ def corpus_mix_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "mix_entropy_bits",
     )
+
+
+@register(
+    "quality_nb_langid",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, lang AS lbl,
+               unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word
+        FROM documents
+    ), train AS (
+        SELECT * FROM tok WHERE doc_id % 2 = 0
+    ), test AS (
+        SELECT doc_id, word FROM tok WHERE doc_id % 2 = 1
+    ), vocab AS (
+        SELECT CAST(COUNT(DISTINCT word) AS DOUBLE) AS v FROM train
+    ), tokl AS (
+        SELECT lbl, COUNT(*) AS tl,
+               CAST(ROUND(ln(1.0 / (COUNT(*) + (SELECT v FROM vocab))), 9)
+                    AS DECIMAL(18, 9)) AS unk
+        FROM train GROUP BY lbl
+    ), lp AS (
+        SELECT t.lbl, t.word,
+               CAST(ROUND(ln((COUNT(*) + CAST(1.0 AS DOUBLE))
+                             / (ANY_VALUE(l.tl) + (SELECT v FROM vocab))), 9)
+                    AS DECIMAL(18, 9)) AS lp
+        FROM train t JOIN tokl l ON l.lbl = t.lbl
+        GROUP BY t.lbl, t.word
+    ), prior AS (
+        SELECT lang AS lbl,
+               CAST(ROUND(ln(CAST(COUNT(*) AS DOUBLE) /
+                    (SELECT COUNT(*) FROM documents WHERE doc_id % 2 = 0)), 9)
+                    AS DECIMAL(18, 9)) AS pr
+        FROM documents WHERE doc_id % 2 = 0 GROUP BY lang
+    ), scored AS (
+        SELECT te.doc_id, l.lbl,
+               SUM(COALESCE(lp.lp, l.unk)) + ANY_VALUE(p.pr) AS score
+        FROM test te
+        CROSS JOIN tokl l
+        LEFT JOIN lp ON lp.lbl = l.lbl AND lp.word = te.word
+        JOIN prior p ON p.lbl = l.lbl
+        GROUP BY te.doc_id, l.lbl
+    ), best AS (
+        SELECT doc_id, lbl, score,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY score DESC, lbl ASC) AS rn
+        FROM scored
+    )
+    SELECT b.doc_id,
+           d.lang AS true_label,
+           b.lbl AS pred_label,
+           ROUND(CAST(b.score AS DOUBLE), 6) AS score
+    FROM best b JOIN documents d ON d.doc_id = b.doc_id
+    WHERE b.rn = 1
+    """,
+    doc="Multinomial naive Bayes language ID trained IN the plan: even "
+    "doc_ids are the training split (per-(word,lang) counts, label "
+    "priors, add-one smoothing), odd doc_ids score by argmax of "
+    "log-prior + sum of log P(word|lang) — the shape of every in-engine "
+    "bag-of-words classifier (domain filters, quality models). Per-term "
+    "log-probs round to 9 dp and accumulate as DECIMAL(18,9) (exact, "
+    "order-independent — the text_bigram_lm_score treatment) so the "
+    "argmax and the hash are engine-stable; ties break on label. Count "
+    "relations are vocab-sized; the |labels|-row stats ride broadcasts "
+    "(operators/curate.py:nb_language_classifier).",
+)
+def quality_nb_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.curate import nb_language_classifier
+
+    return nb_language_classifier(load_fixture(spark, sf_dir, "documents"))

@@ -329,3 +329,66 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(cont, 6).alias("containment"),
         )
     )
+
+
+@register(
+    "dedup_exact_substring",
+    oracle="""
+    WITH w AS (
+        SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws
+        FROM documents
+    ), d AS (
+        SELECT doc_id, ws, len(ws) AS n FROM w
+    ), wins AS (
+        SELECT doc_id,
+               unnest(range(0, n - 8 + 1)) AS pos,
+               ws, n
+        FROM d
+        WHERE n >= 8
+    ), grams AS (
+        SELECT doc_id, pos,
+               md5(array_to_string(list_slice(ws, pos + 1, pos + 8), ' ')) AS gram
+        FROM wins
+    ), dupg AS (
+        SELECT gram FROM grams GROUP BY gram HAVING COUNT(DISTINCT doc_id) > 1
+    ), hits AS (
+        SELECT g.doc_id, g.pos, g.pos + 8 AS e
+        FROM grams g JOIN dupg USING (gram)
+    ), isl AS (
+        SELECT doc_id, pos, e,
+               SUM(CASE WHEN pmax IS NULL OR pos > pmax THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        FROM (
+            SELECT doc_id, pos, e,
+                   MAX(e) OVER (PARTITION BY doc_id ORDER BY pos
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                       AS pmax
+            FROM hits
+        )
+    ), cov AS (
+        SELECT doc_id, SUM(clen) AS dup_tokens
+        FROM (
+            SELECT doc_id, island, MAX(e) - MIN(pos) AS clen
+            FROM isl GROUP BY doc_id, island
+        ) GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(d.n AS BIGINT) AS n_tokens,
+           CAST(COALESCE(cov.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+           ROUND(CAST(COALESCE(cov.dup_tokens, 0) AS DOUBLE) / d.n, 6) AS dup_fraction
+    FROM d LEFT JOIN cov USING (doc_id)
+    """,
+    doc="Cross-document repeated-span profiling at sliding 8-gram "
+    "granularity (the scalable stand-in for Lee et al. 2022's "
+    "suffix-array ExactSubstr): hash every overlapping 8-word window, "
+    "flag hashes seen in >1 distinct document, and report per document "
+    "the token count covered by at least one duplicated window via "
+    "merged-interval union (so overlapping hits never double-count). "
+    "Complements dedup_paragraphs' non-overlapping blocks: sliding "
+    "windows catch spans at every alignment. Shuffles carry only "
+    "(md5, doc_id, pos) triples.",
+)
+def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import exact_substring_dedup
+
+    return exact_substring_dedup(load_fixture(spark, sf_dir, "documents"), ngram=8)

@@ -686,3 +686,29 @@ def similarity_ann_pq_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_topk(
         e.filter(F.col("vec_id") < 5), e, k=10, vec_col="qv", books=books
     )
+
+
+from ..operators.similarity import kmeans_oracle_sql as _km_sql
+
+
+@register(
+    "clustering_kmeans_exact",
+    oracle=_km_sql(k=4, iters=2, dim=_DIM),
+    doc="Lloyd k-means (k=4, 2 iterations) made associative-EXACT so the "
+    "whole clustering trajectory carries a value oracle: coordinates "
+    "integer-quantize to round(x*16), centroids live on a x256 sub-grid "
+    "updated by the exact integer round-half-up floor((512s+n)/(2n)), "
+    "and every assignment distance is a bigint sum of squares — no float "
+    "enters the recurrence, so init, both assignment rounds, both "
+    "centroid updates, sizes, exact inertia, and the final centroid "
+    "digests all hash-match DuckDB's unrolled-CTE rendering (the "
+    "graph_pagerank / embedding_pca treatment applied to clustering; "
+    "data-dependent float k-means stays rows-only as similarity_ann_pq). "
+    "Scoring is k literal-centroid codegen folds per row, zero join; the "
+    "update is one groupBy + a k-row driver sync per iteration "
+    "(operators/similarity.py:kmeans_exact).",
+)
+def clustering_kmeans_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import kmeans_exact
+
+    return kmeans_exact(load_fixture(spark, sf_dir, "embeddings"), k=4, iters=2, dim=_DIM)

