@@ -1540,3 +1540,98 @@ def quality_nb_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.curate import nb_language_classifier
 
     return nb_language_classifier(load_fixture(spark, sf_dir, "documents"))
+
+
+_DSIR_HEX4 = " + ".join(
+    f"(strpos('0123456789abcdef', substr(md5('dsir:' || term), {i + 1}, 1)) - 1)"
+    f" * {16 ** (3 - i)}"
+    for i in range(4)
+)
+
+
+@register(
+    "dsir_importance_weights",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+        FROM documents
+    ), bt AS (
+        SELECT doc_id, CAST(({_DSIR_HEX4}) % 64 AS INTEGER) AS b FROM tok
+    ), raw AS (
+        SELECT b, COUNT(*) AS cr FROM bt GROUP BY b
+    ), tgt AS (
+        SELECT b, COUNT(*) AS ct
+        FROM bt JOIN documents d USING (doc_id)
+        WHERE d.lang = 'en' GROUP BY b
+    ), tot AS (
+        SELECT (SELECT SUM(cr) FROM raw) AS tr, (SELECT COALESCE(SUM(ct), 0) FROM tgt) AS tt
+    ), lr AS (
+        SELECT r.b,
+               CAST(ROUND(ln(((COALESCE(t.ct, 0) + CAST(1.0 AS DOUBLE)) / (tot.tt + 64))
+                             / ((r.cr + CAST(1.0 AS DOUBLE)) / (tot.tr + 64))), 9)
+                    AS DECIMAL(18, 9)) AS lr
+        FROM raw r LEFT JOIN tgt t ON t.b = r.b CROSS JOIN tot
+    )
+    SELECT bt.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           ROUND(CAST(SUM(lr.lr) AS DOUBLE), 6) AS weight,
+           CAST(CASE WHEN SUM(lr.lr) >= 0 THEN 1 ELSE 0 END AS INTEGER) AS keep
+    FROM bt JOIN lr ON lr.b = bt.b
+    GROUP BY bt.doc_id
+    """,
+    doc="DSIR-style data selection with importance resampling (Xie et al. "
+    "2023): hashed-unigram features (md5 hex4 mod 64, the "
+    "quality_model_score idiom), per-bucket log-ratio of the TARGET "
+    "distribution (lang='en' documents) to the RAW distribution with "
+    "add-one smoothing, per-document importance weight = sum of its "
+    "tokens' log-ratios. Per-term log-ratios round to 9 dp and accumulate "
+    "as DECIMAL(18,9) (order-independent; the text_bigram_lm_score "
+    "treatment). The 64-row log-ratio table is a bounded broadcast; "
+    "scoring is one token->bucket map plus a doc-keyed sum — a scan-"
+    "shaped pass at any corpus size.",
+)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_fixture(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).alias("term"),
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("dsir:"), F.col("term"))), 1, 4), 16, 10)
+        .cast("int") % 64
+    )
+    bt = toks.select("doc_id", bucket.alias("b"))
+    raw = bt.groupBy("b").agg(F.count(F.lit(1)).alias("cr"))
+    tgt = (
+        bt.join(d.filter(F.col("lang") == "en").select("doc_id"), "doc_id")
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("ct"))
+    )
+    tot = raw.agg(F.sum("cr").alias("tr")).crossJoin(
+        tgt.agg(F.coalesce(F.sum("ct"), F.lit(0)).alias("tt"))
+    )
+    lr = (
+        raw.join(tgt, "b", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "b",
+            F.round(
+                F.log(
+                    ((F.coalesce("ct", F.lit(0)) + F.lit(1.0)) / (F.col("tt") + 64))
+                    / ((F.col("cr") + F.lit(1.0)) / (F.col("tr") + 64))
+                ),
+                9,
+            ).cast("decimal(18,9)").alias("lr"),
+        )
+    )
+    return (
+        bt.join(F.broadcast(lr), "b")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_tokens"), F.sum("lr").alias("_w"))
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round(F.col("_w").cast("double"), 6).alias("weight"),
+            (F.col("_w") >= 0).cast("int").alias("keep"),
+        )
+    )

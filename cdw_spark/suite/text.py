@@ -697,3 +697,80 @@ def corpus_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+@register(
+    "quality_gopher_rules",
+    oracle="""
+    WITH m AS (
+        SELECT doc_id,
+               len(string_split_regex(lower(trim(text)), '\\s+')) AS n_words,
+               length(regexp_replace(lower(trim(text)), '\\s+', '', 'g')) AS n_chars_nws,
+               len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                               x -> regexp_matches(x, '[a-z]'))) AS n_alpha_words,
+               len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                               x -> list_contains(['the','a','an','and','or','of','to','in','is','it'], x)))
+                   AS n_stop,
+               length(text) - length(replace(text, '#', '')) AS n_hash,
+               (length(text) - length(replace(text, '...', ''))) / 3 AS n_ellipsis
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(n_words AS BIGINT) AS n_words,
+           ROUND(n_chars_nws * 1.0 / n_words, 6) AS mean_word_len,
+           CAST(CASE WHEN n_words BETWEEN 20 AND 1000 THEN 1 ELSE 0 END AS INTEGER) AS ok_len,
+           CAST(CASE WHEN n_chars_nws * 1.0 / n_words BETWEEN 3 AND 10 THEN 1 ELSE 0 END AS INTEGER) AS ok_mwl,
+           CAST(CASE WHEN (n_hash + n_ellipsis) * 1.0 / n_words < CAST(0.1 AS DOUBLE) THEN 1 ELSE 0 END AS INTEGER) AS ok_sym,
+           CAST(CASE WHEN n_alpha_words * 1.0 / n_words >= CAST(0.8 AS DOUBLE) THEN 1 ELSE 0 END AS INTEGER) AS ok_alpha,
+           CAST(CASE WHEN n_stop >= 2 THEN 1 ELSE 0 END AS INTEGER) AS ok_stop,
+           CAST(CASE WHEN n_words BETWEEN 20 AND 1000
+                      AND n_chars_nws * 1.0 / n_words BETWEEN 3 AND 10
+                      AND (n_hash + n_ellipsis) * 1.0 / n_words < CAST(0.1 AS DOUBLE)
+                      AND n_alpha_words * 1.0 / n_words >= CAST(0.8 AS DOUBLE)
+                      AND n_stop >= 2
+                THEN 1 ELSE 0 END AS INTEGER) AS keep
+    FROM m
+    """,
+    doc="Gopher-style document quality rules (Rae et al. 2021, thresholds "
+    "scaled to fixture docs): word-count bounds, mean word length in "
+    "[3,10], symbol-to-word ratio (# and ellipses) < 0.1, >=80% words "
+    "containing a letter, >=2 stopwords — per-rule flags plus the "
+    "conjunctive keep decision. Pure Column/string expressions, "
+    "per-row map-side, no shuffle at any scale; the mean-word-length "
+    "division is the same exact double ratio in both engines.",
+)
+def quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_fixture(spark, sf_dir, "documents")
+    t = F.col("text")
+    ws = words(t)
+    n = F.size(ws)
+    nchars = F.length(F.regexp_replace(F.lower(F.trim(t)), r"\s+", ""))
+    mwl = nchars * F.lit(1.0) / n
+    alpha = F.size(F.filter(ws, lambda x: x.rlike("[a-z]")))
+    stop = _count_in_suite(ws)
+    hashes = F.length(t) - F.length(F.regexp_replace(t, "#", ""))
+    ellipsis = (F.length(t) - F.length(F.replace(t, F.lit("...")))).cast("long") / 3
+    sym_ratio = (hashes + ellipsis) * F.lit(1.0) / n
+    ok_len = (n >= 20) & (n <= 1000)
+    ok_mwl = (mwl >= 3) & (mwl <= 10)
+    ok_sym = sym_ratio < F.lit(0.1)
+    ok_alpha = alpha * F.lit(1.0) / n >= F.lit(0.8)
+    ok_stop = stop >= 2
+    as_int = lambda c: c.cast("int")
+    return d.select(
+        "doc_id",
+        n.cast("bigint").alias("n_words"),
+        F.round(mwl, 6).alias("mean_word_len"),
+        as_int(ok_len).alias("ok_len"),
+        as_int(ok_mwl).alias("ok_mwl"),
+        as_int(ok_sym).alias("ok_sym"),
+        as_int(ok_alpha).alias("ok_alpha"),
+        as_int(ok_stop).alias("ok_stop"),
+        as_int(ok_len & ok_mwl & ok_sym & ok_alpha & ok_stop).alias("keep"),
+    )
+
+
+def _count_in_suite(ws):
+    from ..functions.text import STOPWORDS
+
+    return F.size(F.filter(ws, lambda x: x.isin(STOPWORDS)))
