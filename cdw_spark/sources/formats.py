@@ -1,12 +1,12 @@
-"""External-table format contract: parquet / ORC / CSV / JSON-lines
+"""External-table format contract: parquet / ORC / CSV / JSON-lines / XML
 readers+writers with engine-pinned options.
 
 The reference ingests JSON (COPY, sources/json_loader.py) and stores
 tables in Redshift's columnar format; the Spark-native engine generalizes
 both ends: columnar at rest (parquet default, ORC supported — both get
 predicate pushdown, column pruning, and min/max footer skipping from the
-vectorized readers) and row formats (CSV/JSONL) at the edges for
-interchange.
+vectorized readers) and row formats (CSV/JSONL/XML — XML via Spark 4's
+built-in source with a pinned rowTag) at the edges for interchange.
 
 Rules pinned here, not left to caller defaults:
 - every read takes an explicit schema (schema-on-read drift is how a
@@ -23,8 +23,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructType
 
 COLUMNAR = ("parquet", "orc")
-ROW_FORMATS = ("csv", "json")
+ROW_FORMATS = ("csv", "json", "xml")
 _NULL_TOKEN = "\\N"  # classic interchange null marker; survives CSV quoting
+_XML_ROW_TAG = "row"  # Spark 4 built-in XML source (SPARK-44265): rowTag is
+# mandatory on read, so pin one tag for round-trips
 
 
 def write_table(
@@ -37,6 +39,10 @@ def write_table(
     w = df.write.format(fmt).mode(mode)
     if fmt == "csv":
         w = w.option("header", True).option("nullValue", _NULL_TOKEN)
+    if fmt == "xml":
+        w = w.option("rootTag", "rows").option("rowTag", _XML_ROW_TAG).option(
+            "nullValue", _NULL_TOKEN
+        )
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.save(path)
@@ -51,4 +57,6 @@ def read_table(
     r = spark.read.format(fmt).schema(schema)
     if fmt == "csv":
         r = r.option("header", True).option("nullValue", _NULL_TOKEN)
+    if fmt == "xml":
+        r = r.option("rowTag", _XML_ROW_TAG).option("nullValue", _NULL_TOKEN)
     return r.load(path)
