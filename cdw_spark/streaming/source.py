@@ -28,7 +28,8 @@ _STAGE_ROOT = os.path.join(tempfile.gettempdir(), "cdw_stream_src")
 
 
 def stage_ordered_files(
-    spark: SparkSession, sf_dir: str, table: str = "events", n_files: int = 8
+    spark: SparkSession, sf_dir: str, table: str = "events", n_files: int = 8,
+    order_col: str = "ts",
 ) -> str:
     """Split a fixture table into ``n_files`` event-time-ordered parquet
     files (staged once per (sf_dir, table, n); cached across calls).
@@ -40,13 +41,15 @@ def stage_ordered_files(
     from ..catalog import load_fixture
 
     key = f"{sf_dir.strip('/').replace('/', '_')}__{table}__{n_files}"
+    if order_col != "ts":
+        key += f"__{order_col}"
     out = os.path.join(_STAGE_ROOT, key)
     done = os.path.join(out, "_STAGED")
     if not os.path.exists(done):
         # load_fixture normalizes the fixture's TIMESTAMP(NANOS) to
         # microsecond TimestampType, so the staged files stream cleanly.
         df = load_fixture(spark, sf_dir, table)
-        df.repartitionByRange(n_files, "ts").write.mode("overwrite").parquet(out)
+        df.repartitionByRange(n_files, order_col).write.mode("overwrite").parquet(out)
         parts = sorted(
             p for p in os.listdir(out) if p.startswith("part-") and p.endswith(".parquet")
         )
@@ -67,6 +70,22 @@ def events_stream(
     we take it from a batch read of the same staged directory.
     """
     staged = stage_ordered_files(spark, sf_dir, "events", n_files)
+    schema = spark.read.parquet(staged).schema
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", files_per_trigger)
+        .option("latestFirst", "false")
+        .parquet(staged)
+    )
+
+
+def table_stream(
+    spark: SparkSession, sf_dir: str, table: str, order_col: str,
+    n_files: int = 4, files_per_trigger: int = 1,
+) -> DataFrame:
+    """``readStream`` over any staged fixture table (the events_stream
+    shape generalized: documents etc. order by their id column)."""
+    staged = stage_ordered_files(spark, sf_dir, table, n_files, order_col)
     schema = spark.read.parquet(staged).schema
     return (
         spark.readStream.schema(schema)

@@ -523,3 +523,70 @@ def stream_top_spenders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = run_available_now(sdf, "top_spenders", "complete")
     return out.orderBy(F.col("total_spend").desc(), "user_id").limit(5)
+
+
+@register(
+    "stream_dedup_within_watermark",
+    oracle="""
+    SELECT DISTINCT user_id, event_type FROM events
+    """,
+    doc="The state-BOUNDED streaming dedup (the 100 TB-correct variant "
+    "stream_dedup's docstring points at): dropDuplicatesWithinWatermark "
+    "keeps one state entry per key only until the event-time watermark "
+    "passes it, so state ages out instead of growing with key "
+    "cardinality forever. With a delay covering the whole replay the "
+    "emitted key set provably equals batch SELECT DISTINCT — the oracle "
+    "checks exactly that; the state-expiry behavior itself (duplicates "
+    "re-admitted after the watermark passes) is what distinguishes it "
+    "from dropDuplicates and is exercised by the bounded-delay variant "
+    "in tests/test_streaming.py.",
+)
+def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sdf = (
+        with_watermark(events_stream(spark, sf_dir, n_files=4), "365 days")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+    )
+    out = run_available_now(sdf, "dedup_wm", "append")
+    return out.select("user_id", "event_type")
+
+
+@register(
+    "stream_quality_filter",
+    oracle="""
+    WITH m AS (
+        SELECT doc_id,
+               len(string_split_regex(lower(trim(text)), '\\s+')) AS n_words,
+               length(regexp_replace(lower(trim(text)), '\\s+', '', 'g')) AS n_chars_nws,
+               len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                               x -> regexp_matches(x, '[a-z]'))) AS n_alpha_words,
+               len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                               x -> list_contains(['the','a','an','and','or','of','to','in','is','it'], x)))
+                   AS n_stop,
+               length(text) - length(replace(text, '#', '')) AS n_hash,
+               (length(text) - length(replace(text, '...', ''))) / 3 AS n_ellipsis
+        FROM documents
+    )
+    SELECT doc_id, CAST(n_words AS BIGINT) AS n_words
+    FROM m
+    WHERE n_words BETWEEN 20 AND 1000
+      AND n_chars_nws * 1.0 / n_words BETWEEN 3 AND 10
+      AND (n_hash + n_ellipsis) * 1.0 / n_words < CAST(0.1 AS DOUBLE)
+      AND n_alpha_words * 1.0 / n_words >= CAST(0.8 AS DOUBLE)
+      AND n_stop >= 2
+    """,
+    doc="Quality filtering AT THE INGESTION DOOR: the Gopher rule "
+    "projection (suite/text.py:gopher_flags — literally the same "
+    "expressions as the batch quality_gopher_rules query) applied to a "
+    "document stream, keep==1 survivors emitted in append mode. "
+    "Stateless map-side streaming — no watermark, no state store — so "
+    "the streamed survivor set equals the batch filter exactly, which "
+    "is what the oracle checks. The shape of every streaming curation "
+    "front-door (filter before you ever land raw bytes in the lake).",
+)
+def stream_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.source import table_stream
+    from .text import gopher_flags
+
+    docs = table_stream(spark, sf_dir, "documents", order_col="doc_id", n_files=4)
+    flags = gopher_flags(docs).filter("keep = 1").select("doc_id", "n_words")
+    return run_available_now(flags, "quality_filter", "append")

@@ -740,7 +740,14 @@ def corpus_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     "division is the same exact double ratio in both engines.",
 )
 def quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_fixture(spark, sf_dir, "documents")
+    return gopher_flags(load_fixture(spark, sf_dir, "documents"))
+
+
+def gopher_flags(d: DataFrame) -> DataFrame:
+    """The Gopher rule projection over any frame with (doc_id, text) —
+    shared by the batch query above and the stateless streaming twin
+    (suite/streaming.py:stream_quality_filter), so both paths are the
+    same expressions by construction."""
     t = F.col("text")
     ws = words(t)
     n = F.size(ws)
