@@ -686,3 +686,44 @@ def test_banded_median_equals_statistics_median(spark, vals):
     assert abs(got[0]["median"] - statistics.median(vals)) <= 1e-9 * max(
         1.0, abs(statistics.median(vals))
     )
+
+
+_word = st.sampled_from(["aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh"])
+
+
+def _py_substring_coverage(docs: dict[int, list[str]], ngram: int) -> dict[int, int]:
+    """Brute-force model: per doc, tokens covered by >=1 sliding ngram
+    whose word tuple occurs in more than one distinct document."""
+    from collections import defaultdict
+
+    gram_docs = defaultdict(set)
+    for d, ws in docs.items():
+        for p in range(len(ws) - ngram + 1):
+            gram_docs[tuple(ws[p:p + ngram])].add(d)
+    out = {}
+    for d, ws in docs.items():
+        covered = set()
+        for p in range(len(ws) - ngram + 1):
+            if len(gram_docs[tuple(ws[p:p + ngram])]) > 1:
+                covered.update(range(p, p + ngram))
+        out[d] = len(covered)
+    return out
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(st.lists(_word, min_size=1, max_size=12), min_size=2, max_size=6))
+def test_exact_substring_dedup_matches_python_reference(spark, doc_words):
+    """Interval-union coverage == the brute-force covered-position set for
+    arbitrary small corpora (tiny 3-gram windows over an 8-word alphabet
+    force heavy cross-doc collisions and overlapping islands)."""
+    from cdw_spark.operators.dedup import exact_substring_dedup
+
+    docs = {i: ws for i, ws in enumerate(doc_words)}
+    df = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in docs.items()], "doc_id long, text string"
+    )
+    got = {r.doc_id: r for r in exact_substring_dedup(df, ngram=3).collect()}
+    expected = _py_substring_coverage(docs, 3)
+    for d, ws in docs.items():
+        assert got[d].n_tokens == len(ws), (d, got[d])
+        assert got[d].dup_tokens == expected[d], (d, got[d].dup_tokens, expected[d])
