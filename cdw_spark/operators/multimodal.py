@@ -469,41 +469,7 @@ def ahash_near_duplicates(
     At 100 TB of images only (id, 64-bit hash) rows shuffle — the hash
     table is ~16 bytes/image regardless of image size; decode cost is the
     scan-shaped map above."""
-    hashes = image_ahashes(df, id_col)
-    chunks = hashes.select(
-        id_col,
-        "ahash",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("ci"),
-                        F.shiftrightunsigned(F.col("ahash"), 16 * i)
-                        .bitwiseAND(F.lit(0xFFFF))
-                        .alias("cv"),
-                    )
-                    for i in range(AHASH_CHUNKS)
-                ]
-            )
-        ).alias("c"),
-    ).select(id_col, "ahash", F.col("c.ci").alias("ci"), F.col("c.cv").alias("cv"))
-    a = chunks.select(
-        F.col(id_col).alias("keep_id"), F.col("ahash").alias("ha"), "ci", "cv"
-    )
-    b = chunks.select(
-        F.col(id_col).alias("dup_id"), F.col("ahash").alias("hb"), "ci", "cv"
-    )
-    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
-    return (
-        a.join(b, on=["ci", "cv"])
-        .filter(F.col("keep_id") < F.col("dup_id"))
-        .select("keep_id", "dup_id", ham.alias("hamming"))
-        .distinct()  # a close pair can share several equal chunks
-        .filter(F.col("hamming") <= max_hamming)
-        .groupBy("dup_id")
-        .agg(F.min("keep_id").alias("keep_id"), F.min("hamming").cast("int").alias("hamming"))
-        .select("dup_id", "keep_id", "hamming")
-    )
+    return _hamming_chunk_pairs(image_ahashes(df, id_col), "ahash", max_hamming, id_col)
 
 
 # ---------------------------------------------------------------------------
@@ -672,3 +638,149 @@ def synth_wav(doc_id: int, n_samples: int = 1024, rate: int = 8000) -> bytes:
         for t in range(n_samples)
     ]
     return wav_encode(samples, rate)
+
+
+# ---------------------------------------------------------------------------
+# pHash: DCT-based perceptual hash (the standard upgrade over aHash for
+# vision near-dup mining). The DCT here is FIXED-POINT — basis
+# coefficients round(alpha_u * cos(pi*(2x+1)u/32) * 2^14) as int64 — so
+# the transform is exact integer arithmetic: the scalar reference and the
+# numpy-matmul batch path are bit-identical by construction (the same
+# reason real codecs specify integer DCTs), and a threshold bit can never
+# flip on summation order.
+
+
+def _dct16_basis() -> list[list[int]]:
+    import math
+
+    rows = []
+    for u in range(16):
+        alpha = math.sqrt(1.0 / 16) if u == 0 else math.sqrt(2.0 / 16)
+        rows.append(
+            [
+                round(alpha * math.cos(math.pi * (2 * x + 1) * u / 32) * (1 << 14))
+                for x in range(16)
+            ]
+        )
+    return rows
+
+
+def phash_of_ppm(blob: bytes) -> int:
+    """Scalar pHash reference: integer luma -> fixed-point 2D DCT-II ->
+    top-left 8x8 low-frequency block -> bit per coefficient above the
+    block's integer median. Pure-python loops; the Arrow batch path
+    (image_phashes) must match bit-for-bit."""
+    w, h, raster = ppm_decode(blob)
+    assert w == 16 and h == 16, "fixture rasters are 16x16"
+    luma = [
+        [
+            (
+                299 * raster[3 * (y * 16 + x)]
+                + 587 * raster[3 * (y * 16 + x) + 1]
+                + 114 * raster[3 * (y * 16 + x) + 2]
+            )
+            // 1000
+            for x in range(16)
+        ]
+        for y in range(16)
+    ]
+    B = _dct16_basis()
+    # D = B @ luma @ B^T, exact int64-range arithmetic
+    t = [[sum(B[u][y] * luma[y][x] for y in range(16)) for x in range(16)] for u in range(16)]
+    d = [[sum(t[u][x] * B[v][x] for x in range(16)) for v in range(16)] for u in range(16)]
+    coeffs = [d[u][v] for u in range(8) for v in range(8)]
+    s = sorted(coeffs)
+    med = (s[31] + s[32]) // 2
+    bits = 0
+    for i, c in enumerate(coeffs):
+        if c > med:
+            bits |= 1 << i
+    return bits
+
+
+def image_phashes(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, phash) in one Arrow mapInPandas pass: synth-encode (fixture
+    seam), decode, fixed-point DCT via two int64 matmuls per batch.
+    Scan-shaped, no shuffle; bit-identical to phash_of_ppm (asserted in
+    tests/test_multimodal.py) because every operation is integer."""
+    out_schema = f"{id_col} long, phash long"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        B = np.array(_dct16_basis(), dtype=np.int64)
+        for pdf in batches:
+            ids = pdf[id_col]
+            rasters = np.stack(
+                [
+                    np.frombuffer(ppm_decode(synth_ppm(int(i)))[2], dtype=np.uint8)
+                    .reshape(16, 16, 3)
+                    .astype(np.int64)
+                    for i in ids
+                ]
+            )
+            luma = (
+                299 * rasters[..., 0] + 587 * rasters[..., 1] + 114 * rasters[..., 2]
+            ) // 1000
+            d = np.einsum("uy,nyx,vx->nuv", B, luma, B)  # exact int64
+            block = d[:, :8, :8].reshape(len(ids), 64)
+            srt = np.sort(block, axis=1)
+            med = (srt[:, 31] + srt[:, 32]) // 2
+            bits = block > med[:, None]
+            weights = (1 << np.arange(64, dtype=np.uint64))
+            hashes = (bits.astype(np.uint64) * weights).sum(axis=1).astype(np.int64)
+            yield pd.DataFrame({id_col: ids, "phash": hashes})
+
+    return df.select(id_col).mapInPandas(run, out_schema)
+
+
+def _hamming_chunk_pairs(
+    hashes: DataFrame, hash_col: str, max_hamming: int, id_col: str
+) -> DataFrame:
+    """Shared pigeonhole candidate join for 64-bit perceptual hashes:
+    hamming <= max_hamming (< 4) guarantees an equal 16-bit chunk among
+    4, so candidates come from an EQUALITY self-join on (chunk_idx,
+    chunk_value) — only (id, hash) rows shuffle at any corpus size."""
+    chunks = hashes.select(
+        id_col,
+        hash_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("ci"),
+                        F.shiftrightunsigned(F.col(hash_col), 16 * i)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("cv"),
+                    )
+                    for i in range(AHASH_CHUNKS)
+                ]
+            )
+        ).alias("c"),
+    ).select(id_col, hash_col, F.col("c.ci").alias("ci"), F.col("c.cv").alias("cv"))
+    a = chunks.select(
+        F.col(id_col).alias("keep_id"), F.col(hash_col).alias("ha"), "ci", "cv"
+    )
+    b = chunks.select(
+        F.col(id_col).alias("dup_id"), F.col(hash_col).alias("hb"), "ci", "cv"
+    )
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return (
+        a.join(b, on=["ci", "cv"])
+        .filter(F.col("keep_id") < F.col("dup_id"))
+        .select("keep_id", "dup_id", ham.alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+        .groupBy("dup_id")
+        .agg(F.min("keep_id").alias("keep_id"), F.min("hamming").cast("int").alias("hamming"))
+        .select("dup_id", "keep_id", "hamming")
+    )
+
+
+def phash_near_duplicates(
+    df: DataFrame, max_hamming: int = 3, id_col: str = "doc_id"
+) -> DataFrame:
+    """Near-duplicate images by DCT pHash — same pigeonhole plan as the
+    aHash variant, sturdier fingerprint (low-frequency structure instead
+    of per-cell brightness)."""
+    return _hamming_chunk_pairs(image_phashes(df, id_col), "phash", max_hamming, id_col)

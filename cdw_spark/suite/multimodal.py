@@ -199,3 +199,22 @@ def multimodal_audio_spectral(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.multimodal import audio_spectral_centroid
 
     return audio_spectral_centroid(load_fixture(spark, sf_dir, "documents"))
+
+
+@register(
+    "multimodal_image_phash_near_dup",
+    oracle=None,
+    doc="Near-duplicate IMAGE detection by DCT perceptual hash: "
+    "fixed-point 16x16 DCT-II (integer basis, exact int64 matmuls — the "
+    "same reason codecs specify integer transforms), top-left 8x8 "
+    "low-frequency block thresholded at its integer median, then the "
+    "pigeonhole 4x16-bit chunk equi-join shared with the aHash plan. "
+    "Sturdier than aHash (low-frequency structure, not per-cell "
+    "brightness). Rows-only BY NATURE (image decode is not SQL); planted "
+    "one-byte twin rasters and scalar/batch bit-identity are asserted in "
+    "tests/test_multimodal.py (operators/multimodal.py:phash_near_duplicates).",
+)
+def multimodal_image_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import phash_near_duplicates
+
+    return phash_near_duplicates(load_fixture(spark, sf_dir, "documents"))

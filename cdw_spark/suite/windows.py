@@ -775,3 +775,46 @@ def timeseries_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFram
         ),
         F.when(F.col("v").isNull(), 1).otherwise(0).cast("int").alias("is_interpolated"),
     )
+
+
+@register(
+    "timeseries_max_drawdown",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, ts, event_id, value,
+               SUM(value) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS bal
+        FROM events WHERE event_type = 'purchase'
+    ), dd AS (
+        SELECT user_id, bal,
+               MAX(bal) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS peak
+        FROM seq
+    )
+    SELECT user_id,
+           ROUND(MAX(peak - bal), 2) AS max_drawdown,
+           ROUND(MAX(bal), 2) AS peak_balance,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM dd GROUP BY user_id
+    """,
+    doc="Maximum drawdown per user over the cumulative purchase balance: "
+    "running sum -> running max (the peak) -> max(peak - balance) — the "
+    "canonical risk/monitoring analytic (largest peak-to-trough drop), "
+    "all in ONE partition sort shared by both window functions, then a "
+    "per-user aggregate. DECIMAL-exact accumulation keeps the running "
+    "sums engine-identical at any partition order.",
+)
+def timeseries_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_fixture(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    dec = F.col("value").cast("decimal(18,2)")
+    seq = ev.select("user_id", "ts", "event_id", F.sum(dec).over(w).alias("bal"))
+    dd = seq.withColumn("peak", F.max("bal").over(w))
+    return (
+        dd.groupBy("user_id")
+        .agg(
+            F.round(F.max(F.col("peak") - F.col("bal")).cast("double"), 2).alias("max_drawdown"),
+            F.round(F.max("bal").cast("double"), 2).alias("peak_balance"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+    )

@@ -274,3 +274,34 @@ def test_audio_spectral_centroid_matches_numpy_and_tracks_pitch(spark):
             assert abs(got[(did, t)] - want) < 1e-6
     # doc 10's fundamental (1700 Hz) is brighter than doc 0's (200 Hz)
     assert got[(10, 0)] > got[(0, 0)]
+
+
+def test_image_phash_scalar_batch_bit_identity_and_twins(spark, sf_dir):
+    """The fixed-point DCT makes pHash exact: the scalar python reference
+    and the numpy-einsum batch path must agree bit-for-bit on every
+    fixture raster (integer arithmetic — no summation-order escape
+    hatch), and the planted one-byte twins must surface as near-dups at
+    least as reliably as under aHash (the DCT concentrates a one-byte
+    perturbation into low-frequency coefficients it barely moves)."""
+    from cdw_spark.catalog import load_fixture
+    from cdw_spark.operators.multimodal import (
+        _to_signed64,
+        image_phashes,
+        phash_near_duplicates,
+        phash_of_ppm,
+        synth_ppm,
+    )
+
+    docs = load_fixture(spark, sf_dir, "documents")
+    ids = [r["doc_id"] for r in docs.select("doc_id").collect()]
+    scalar = {i: _to_signed64(phash_of_ppm(synth_ppm(i))) for i in ids}
+    batch = {r["doc_id"]: r["phash"] for r in image_phashes(docs).collect()}
+    assert scalar == batch
+
+    got = {
+        r["dup_id"]: (r["keep_id"], r["hamming"])
+        for r in phash_near_duplicates(docs).collect()
+    }
+    twins = [i for i in ids if i % 50 == 1 and i - 1 in ids]
+    found = [i for i in twins if i in got and got[i][0] == i - 1]
+    assert len(found) >= len(twins) // 2, (twins, got)
