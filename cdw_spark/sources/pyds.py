@@ -8,7 +8,10 @@ POSITIONALLY via a JSONPaths file. ``sources/json_loader.py`` expresses
 that as a schema-on-read projection over ``spark.read.json``; this module
 is the same semantics as an engine *extension point* — register once
 (``spark.dataSource.register(JsonPathsDataSource)``) and any consumer
-reads ``spark.read.format("jsonpaths")`` like a built-in format.
+reads ``spark.read.format("jsonpaths")`` like a built-in format, or
+writes it back (``df.write.format("jsonpaths")`` — the UNLOAD half:
+JSONL with the spec's source field names, one file per task, two-phase
+commit with _SUCCESS).
 
 Usage::
 
@@ -39,12 +42,14 @@ from collections.abc import Iterator, Sequence
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
     EqualTo,
     Filter,
     InputPartition,
     IsNotNull,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import (
     DecimalType,
@@ -231,6 +236,25 @@ class JsonPathsDataSource(DataSource):
     def simpleStreamReader(self, schema: StructType) -> "JsonPathsStreamReader":
         return JsonPathsStreamReader(schema, self.options)
 
+    def writer(self, schema: StructType, overwrite: bool) -> "JsonPathsWriter":
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("jsonpaths writer requires option 'path'")
+        spec = self.options.get("jsonpaths", "")
+        paths = [
+            (tok or None) for tok in spec.split(",")
+        ] if spec else [f.name for f in schema.fields]
+        if len(paths) != len(schema.fields):
+            raise ValueError(
+                f"jsonpaths writer: {len(paths)} paths for "
+                f"{len(schema.fields)} columns"
+            )
+        if overwrite and os.path.isdir(path):
+            for f in os.listdir(path):
+                if f.startswith("part-") or f == "_SUCCESS":
+                    os.remove(os.path.join(path, f))
+        return JsonPathsWriter(schema, paths, path)
+
 
 class JsonPathsStreamReader(SimpleDataSourceStreamReader):
     """Streaming half of the ``jsonpaths`` source: monitor an append-only
@@ -328,3 +352,75 @@ class JsonPathsStreamReader(SimpleDataSourceStreamReader):
         self._validate(files, start)
         self._validate(files, end)
         return list(self._rows(files[start["n"]:end["n"]]))
+
+
+class _FileCommit(WriterCommitMessage):
+    def __init__(self, filename: str, rows: int) -> None:
+        self.filename = filename
+        self.rows = rows
+
+
+class JsonPathsWriter(DataSourceArrowWriter):
+    """Batch writer — the UNLOAD half of the COPY story: each task turns
+    its Arrow batches back into JSONL, mapping column i to the source
+    field named by the jsonpaths spec (the inverse of the reader's
+    positional projection; NULL-slot columns are dropped). One file per
+    task keeps the COPY slice-parallelism symmetry: N write tasks emit N
+    files a later COPY reads as N slices.
+
+    Two-phase commit: tasks write to `_tmp_<uuid>` names and return them
+    as commit messages; the driver's commit() renames the complete set
+    into place and stamps _SUCCESS, abort() deletes the partials — a
+    failed job never leaves half-visible output."""
+
+    def __init__(self, schema: StructType, paths: list[str | None], path: str) -> None:
+        self.field_names = [
+            src if src else f.name for src, f in zip(paths, schema.fields)
+        ]
+        self.drop = [src is None for src in paths]
+        self.path = path
+
+    def write(self, iterator):
+        import uuid
+
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        name = f"_tmp_{uuid.uuid4().hex}_{pid:05d}.jsonl"
+        rows = 0
+        os.makedirs(self.path, exist_ok=True)
+        with open(os.path.join(self.path, name), "w", encoding="utf-8") as fh:
+            for batch in iterator:
+                cols = [c.to_pylist() for c in batch.columns]
+                for r in range(batch.num_rows):
+                    obj = {
+                        self.field_names[i]: cols[i][r]
+                        for i in range(len(cols))
+                        if not self.drop[i]
+                    }
+                    fh.write(json.dumps(obj, default=str) + "\n")
+                    rows += 1
+        return _FileCommit(name, rows)
+
+    def commit(self, messages):
+        total = 0
+        for m in messages:
+            if m is None:
+                continue
+            final = m.filename.split("_", 2)[2]  # _tmp_<uuid>_NNNNN.jsonl -> NNNNN.jsonl
+            os.replace(
+                os.path.join(self.path, m.filename),
+                os.path.join(self.path, f"part-{final}"),
+            )
+            total += m.rows
+        with open(os.path.join(self.path, "_SUCCESS"), "w") as fh:
+            fh.write(str(total))
+
+    def abort(self, messages):
+        for m in messages or []:
+            if m is None:
+                continue
+            try:
+                os.remove(os.path.join(self.path, m.filename))
+            except OSError:
+                pass

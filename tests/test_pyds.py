@@ -291,3 +291,52 @@ def test_stream_staging_matches_batch_copy(registered, tmp_path):
     )
     assert len(got) == 400
     assert got == expected
+
+
+def test_writer_round_trips_through_reader(registered, tmp_path):
+    """The UNLOAD half: writing through format('jsonpaths') emits JSONL
+    whose fields carry the SOURCE names from the spec (the inverse
+    positional mapping), so the same spec reads it straight back —
+    a full COPY -> transform -> UNLOAD -> COPY cycle inside the one
+    pluggable format. Two-phase commit: only part-* files plus _SUCCESS
+    remain after a successful job."""
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    with open(os.path.join(src, "part0.json"), "w") as fh:
+        for r in ROWS:
+            fh.write(json.dumps(r) + "\n")
+    df = (
+        registered.read.format("jsonpaths")
+        .schema(SCHEMA)
+        .option("path", src)
+        .option("jsonpaths", PATHS)
+        .load()
+    )
+    out = str(tmp_path / "out")
+    (
+        df.write.format("jsonpaths")
+        .option("path", out)
+        .option("jsonpaths", PATHS)
+        .mode("append")
+        .save()
+    )
+    files = sorted(os.listdir(out))
+    assert "_SUCCESS" in files
+    assert all(f == "_SUCCESS" or f.startswith("part-") for f in files), files
+    # field names in the emitted JSONL are the SOURCE names (sessionId,
+    # not session_id); the NULL-slot column (event_id) is dropped
+    with open(os.path.join(out, [f for f in files if f != "_SUCCESS"][0])) as fh:
+        first = json.loads(fh.readline())
+    assert "sessionId" in first and "session_id" not in first
+    assert "event_id" not in first
+
+    back = (
+        registered.read.format("jsonpaths")
+        .schema(SCHEMA)
+        .option("path", out)
+        .option("jsonpaths", PATHS)
+        .load()
+    )
+    orig = {tuple(r) for r in df.collect()}
+    got = {tuple(r) for r in back.collect()}
+    assert got == orig
