@@ -43,6 +43,7 @@ from collections.abc import Iterator, Sequence
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceArrowWriter,
+    DataSourceStreamArrowWriter,
     DataSourceReader,
     EqualTo,
     Filter,
@@ -236,6 +237,21 @@ class JsonPathsDataSource(DataSource):
     def simpleStreamReader(self, schema: StructType) -> "JsonPathsStreamReader":
         return JsonPathsStreamReader(schema, self.options)
 
+    def streamWriter(self, schema: StructType, overwrite: bool) -> "JsonPathsStreamWriter":
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("jsonpaths stream writer requires option 'path'")
+        spec = self.options.get("jsonpaths", "")
+        paths = [
+            (tok or None) for tok in spec.split(",")
+        ] if spec else [f.name for f in schema.fields]
+        if len(paths) != len(schema.fields):
+            raise ValueError(
+                f"jsonpaths stream writer: {len(paths)} paths for "
+                f"{len(schema.fields)} columns"
+            )
+        return JsonPathsStreamWriter(schema, paths, path)
+
     def writer(self, schema: StructType, overwrite: bool) -> "JsonPathsWriter":
         path = self.options.get("path")
         if not path:
@@ -417,6 +433,66 @@ class JsonPathsWriter(DataSourceArrowWriter):
             fh.write(str(total))
 
     def abort(self, messages):
+        for m in messages or []:
+            if m is None:
+                continue
+            try:
+                os.remove(os.path.join(self.path, m.filename))
+            except OSError:
+                pass
+
+
+class JsonPathsStreamWriter(DataSourceStreamArrowWriter):
+    """Streaming UNLOAD: each micro-batch lands as monotonically named
+    ``part-<batchId>-<task>.jsonl`` files (the same inverse positional
+    field mapping as the batch writer), so the OUTPUT directory itself
+    satisfies the stream READER's monotonic-naming contract — a
+    jsonpaths stream can be re-ingested exactly-once downstream, closing
+    the continuous COPY -> transform -> UNLOAD -> COPY loop. Per-batch
+    two-phase commit: tasks emit _tmp names, commit(batchId) renames;
+    replayed batches after recovery overwrite the same final names
+    (idempotent sink)."""
+
+    def __init__(self, schema: StructType, paths: list[str | None], path: str) -> None:
+        self.field_names = [
+            src if src else f.name for src, f in zip(paths, schema.fields)
+        ]
+        self.drop = [src is None for src in paths]
+        self.path = path
+
+    def write(self, iterator):
+        import uuid
+
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        name = f"_tmp_{uuid.uuid4().hex}_{pid:05d}.jsonl"
+        os.makedirs(self.path, exist_ok=True)
+        rows = 0
+        with open(os.path.join(self.path, name), "w", encoding="utf-8") as fh:
+            for batch in iterator:
+                cols = [c.to_pylist() for c in batch.columns]
+                for r in range(batch.num_rows):
+                    obj = {
+                        self.field_names[i]: cols[i][r]
+                        for i in range(len(cols))
+                        if not self.drop[i]
+                    }
+                    fh.write(json.dumps(obj, default=str) + "\n")
+                    rows += 1
+        return _FileCommit(name, rows)
+
+    def commit(self, messages, batchId) -> None:
+        for m in messages:
+            if m is None:
+                continue
+            task_part = m.filename.rsplit("_", 1)[1]  # NNNNN.jsonl
+            os.replace(
+                os.path.join(self.path, m.filename),
+                os.path.join(self.path, f"part-{batchId:08d}-{task_part}"),
+            )
+
+    def abort(self, messages, batchId) -> None:
         for m in messages or []:
             if m is None:
                 continue

@@ -340,3 +340,50 @@ def test_writer_round_trips_through_reader(registered, tmp_path):
     orig = {tuple(r) for r in df.collect()}
     got = {tuple(r) for r in back.collect()}
     assert got == orig
+
+
+def test_stream_writer_closes_the_loop(registered, tmp_path):
+    """Continuous COPY -> UNLOAD -> COPY: stream-read a directory through
+    the jsonpaths source, stream-WRITE it through the jsonpaths sink,
+    then batch-read the sink directory with the same spec — row set
+    equal, file names monotonic (part-<batch>-<task>), so the sink
+    directory is itself a valid jsonpaths STREAM source."""
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    for i, chunk in enumerate((ROWS[:2], ROWS[2:])):
+        with open(os.path.join(src, f"part{i}.json"), "w") as fh:
+            for r in chunk:
+                fh.write(json.dumps(r) + "\n")
+    out = str(tmp_path / "unload")
+    ckpt = str(tmp_path / "ckpt")
+    q = (
+        registered.readStream.format("jsonpaths")
+        .schema(SCHEMA)
+        .option("path", src)
+        .option("jsonpaths", PATHS)
+        .load()
+        .writeStream.format("jsonpaths")
+        .option("path", out)
+        .option("jsonpaths", PATHS)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    files = sorted(os.listdir(out))
+    assert files and all(f.startswith("part-") for f in files), files
+    back = (
+        registered.read.format("jsonpaths")
+        .schema(SCHEMA)
+        .option("path", out)
+        .option("jsonpaths", PATHS)
+        .load()
+    )
+    orig = (
+        registered.read.format("jsonpaths")
+        .schema(SCHEMA)
+        .option("path", src)
+        .option("jsonpaths", PATHS)
+        .load()
+    )
+    assert {tuple(r) for r in back.collect()} == {tuple(r) for r in orig.collect()}
