@@ -60,3 +60,21 @@ def read_table(
     if fmt == "xml":
         r = r.option("rowTag", _XML_ROW_TAG).option("nullValue", _NULL_TOKEN)
     return r.load(path)
+
+
+def read_table_evolved(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "parquet",
+) -> DataFrame:
+    """Schema-evolution read for columnar at-rest tables: union the
+    schemas of every file footer (``mergeSchema``) so waves of ingest
+    that ADDED columns read as one relation, older files padding the new
+    columns with NULL. The explicit-schema rule of ``read_table`` still
+    applies to interchange formats — evolution is an at-rest concern, so
+    this helper accepts columnar formats only (at 100 TB, schema drift
+    between ingest waves is the norm, and failing the whole scan on an
+    old footer is the outage)."""
+    if fmt not in COLUMNAR:
+        raise ValueError(f"schema evolution supported for {COLUMNAR}, not {fmt!r}")
+    return spark.read.format(fmt).option("mergeSchema", True).load(path)

@@ -70,3 +70,27 @@ def test_partitioned_write_prunes_partitions(spark, sample, tmp_path):
     ).filter(F.col("o_orderstatus") == "F")
     plan = q._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "o_orderstatus" in plan.split("PartitionFilters")[1][:200]
+
+
+@pytest.mark.parametrize("fmt", COLUMNAR)
+def test_schema_evolution_merge(spark, fmt, tmp_path):
+    """Ingest waves that add columns must read as one relation: wave 1
+    lacks the column added in wave 2; the merged read pads it with NULL
+    for old files and keeps values for new ones."""
+    from cdw_spark.sources.formats import read_table_evolved
+
+    path = str(tmp_path / f"evo_{fmt}")
+    w1 = spark.createDataFrame([(1, "a"), (2, "b")], "id long, name string")
+    w1.write.format(fmt).mode("append").save(path)
+    w2 = spark.createDataFrame(
+        [(3, "c", 9.5)], "id long, name string, score double"
+    )
+    w2.write.format(fmt).mode("append").save(path)
+
+    merged = read_table_evolved(spark, path, fmt=fmt)
+    assert set(merged.columns) == {"id", "name", "score"}
+    rows = {r.id: (r.name, r.score) for r in merged.collect()}
+    assert rows == {1: ("a", None), 2: ("b", None), 3: ("c", 9.5)}
+
+    with pytest.raises(ValueError, match="schema evolution supported"):
+        read_table_evolved(spark, path, fmt="csv")
