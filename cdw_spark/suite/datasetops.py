@@ -1591,7 +1591,12 @@ _DSIR_HEX4 = " + ".join(
     "shaped pass at any corpus size.",
 )
 def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_fixture(spark, sf_dir, "documents")
+    return dsir_weights(load_fixture(spark, sf_dir, "documents"))
+
+
+def dsir_weights(d: DataFrame) -> DataFrame:
+    """The DSIR weight computation over any (doc_id, text, lang) frame —
+    shared by the registered query above and curation_pipeline_v2."""
     toks = d.select(
         "doc_id",
         F.explode(F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).alias("term"),
@@ -1635,3 +1640,130 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("_w") >= 0).cast("int").alias("keep"),
         )
     )
+
+
+@register(
+    "curation_pipeline_v2",
+    oracle=f"""
+    WITH m AS (
+        SELECT doc_id,
+               len(string_split_regex(lower(trim(text)), '\\s+')) AS n_words,
+               length(regexp_replace(lower(trim(text)), '\\s+', '', 'g')) AS n_chars_nws,
+               len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                               x -> regexp_matches(x, '[a-z]'))) AS n_alpha_words,
+               len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                               x -> list_contains(['the','a','an','and','or','of','to','in','is','it'], x)))
+                   AS n_stop,
+               length(text) - length(replace(text, '#', '')) AS n_hash,
+               (length(text) - length(replace(text, '...', ''))) / 3 AS n_ellipsis
+        FROM documents
+    ), gph AS (
+        SELECT doc_id,
+               CASE WHEN n_words BETWEEN 20 AND 1000
+                     AND n_chars_nws * 1.0 / n_words BETWEEN 3 AND 10
+                     AND (n_hash + n_ellipsis) * 1.0 / n_words < CAST(0.1 AS DOUBLE)
+                     AND n_alpha_words * 1.0 / n_words >= CAST(0.8 AS DOUBLE)
+                     AND n_stop >= 2
+                THEN 1 ELSE 0 END AS g_keep
+        FROM m
+    ), w AS (
+        SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws
+        FROM documents
+    ), d2 AS (
+        SELECT doc_id, ws, len(ws) AS n FROM w
+    ), wins AS (
+        SELECT doc_id, unnest(range(0, n - 8 + 1)) AS pos, ws, n
+        FROM d2 WHERE n >= 8
+    ), grams AS (
+        SELECT doc_id, pos,
+               md5(array_to_string(list_slice(ws, pos + 1, pos + 8), ' ')) AS gram
+        FROM wins
+    ), dupg AS (
+        SELECT gram FROM grams GROUP BY gram HAVING COUNT(DISTINCT doc_id) > 1
+    ), hits AS (
+        SELECT g.doc_id, g.pos, g.pos + 8 AS e
+        FROM grams g JOIN dupg USING (gram)
+    ), isl AS (
+        SELECT doc_id, pos, e,
+               SUM(CASE WHEN pmax IS NULL OR pos > pmax THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        FROM (
+            SELECT doc_id, pos, e,
+                   MAX(e) OVER (PARTITION BY doc_id ORDER BY pos
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+            FROM hits
+        )
+    ), cov AS (
+        SELECT doc_id, SUM(clen) AS dup_tokens
+        FROM (SELECT doc_id, island, MAX(e) - MIN(pos) AS clen
+              FROM isl GROUP BY doc_id, island)
+        GROUP BY doc_id
+    ), dupf AS (
+        SELECT d2.doc_id,
+               CAST(COALESCE(cov.dup_tokens, 0) AS DOUBLE) / d2.n AS dup_fraction
+        FROM d2 LEFT JOIN cov USING (doc_id)
+    ), tok AS (
+        SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+        FROM documents
+    ), bt AS (
+        SELECT doc_id, CAST(({_DSIR_HEX4}) % 64 AS INTEGER) AS b FROM tok
+    ), raw AS (
+        SELECT b, COUNT(*) AS cr FROM bt GROUP BY b
+    ), tgt AS (
+        SELECT b, COUNT(*) AS ct FROM bt JOIN documents d USING (doc_id)
+        WHERE d.lang = 'en' GROUP BY b
+    ), tot AS (
+        SELECT (SELECT SUM(cr) FROM raw) AS tr, (SELECT COALESCE(SUM(ct), 0) FROM tgt) AS tt
+    ), lr AS (
+        SELECT r.b,
+               CAST(ROUND(ln(((COALESCE(t.ct, 0) + CAST(1.0 AS DOUBLE)) / (tot.tt + 64))
+                             / ((r.cr + CAST(1.0 AS DOUBLE)) / (tot.tr + 64))), 9)
+                    AS DECIMAL(18, 9)) AS lr
+        FROM raw r LEFT JOIN tgt t ON t.b = r.b CROSS JOIN tot
+    ), wgt AS (
+        SELECT bt.doc_id, CAST(CASE WHEN SUM(lr.lr) >= 0 THEN 1 ELSE 0 END AS INTEGER) AS w_keep
+        FROM bt JOIN lr ON lr.b = bt.b GROUP BY bt.doc_id
+    )
+    SELECT g.doc_id,
+           CAST(CASE WHEN g.g_keep = 1 AND dupf.dup_fraction < CAST(0.5 AS DOUBLE)
+                      AND wgt.w_keep = 1
+                THEN 1 ELSE 0 END AS INTEGER) AS keep,
+           CASE WHEN g.g_keep = 0 THEN 'quality'
+                WHEN dupf.dup_fraction >= CAST(0.5 AS DOUBLE) THEN 'duplication'
+                WHEN wgt.w_keep = 0 THEN 'distribution'
+                ELSE 'kept' END AS reason
+    FROM gph g
+    JOIN dupf ON dupf.doc_id = g.doc_id
+    JOIN wgt ON wgt.doc_id = g.doc_id
+    """,
+    doc="Second-generation curation pipeline composing the round-4 "
+    "signals: Gopher quality rules AND sliding-span duplication coverage "
+    "(< 50% duplicated tokens) AND DSIR target-distribution weight, with "
+    "a first-failing-rule reason per document (quality > duplication > "
+    "distribution) — the FineWeb-style filter chain stated as one "
+    "declarative plan. Every stage is the already-oracled operator "
+    "(gopher_flags, exact_substring_dedup, dsir_weights) joined on "
+    "doc_id, so Catalyst shares the scan and the composition itself is "
+    "hash-checked end-to-end.",
+)
+def curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import exact_substring_dedup
+    from .text import gopher_flags
+
+    d = load_fixture(spark, sf_dir, "documents")
+    g = gopher_flags(d).select("doc_id", F.col("keep").alias("g_keep"))
+    dupf = exact_substring_dedup(d, ngram=8).select("doc_id", "dup_fraction")
+    w = dsir_weights(d).select("doc_id", F.col("keep").alias("w_keep"))
+    j = g.join(dupf, "doc_id").join(w, "doc_id")
+    keep = (
+        (F.col("g_keep") == 1)
+        & (F.col("dup_fraction") < F.lit(0.5))
+        & (F.col("w_keep") == 1)
+    )
+    reason = (
+        F.when(F.col("g_keep") == 0, "quality")
+        .when(F.col("dup_fraction") >= F.lit(0.5), "duplication")
+        .when(F.col("w_keep") == 0, "distribution")
+        .otherwise("kept")
+    )
+    return j.select("doc_id", keep.cast("int").alias("keep"), reason.alias("reason"))
