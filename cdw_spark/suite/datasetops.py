@@ -1743,8 +1743,10 @@ def dsir_weights(d: DataFrame) -> DataFrame:
     "distribution) — the FineWeb-style filter chain stated as one "
     "declarative plan. Every stage is the already-oracled operator "
     "(gopher_flags, exact_substring_dedup, dsir_weights) joined on "
-    "doc_id, so Catalyst shares the scan and the composition itself is "
-    "hash-checked end-to-end.",
+    "doc_id; each signal branch re-scans the columnar source (Catalyst "
+    "does not CSE scans across join branches — at 100 TB persist the "
+    "tokenized intermediate once instead), and the composition itself "
+    "is hash-checked end-to-end.",
 )
 def curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import exact_substring_dedup
