@@ -40,6 +40,12 @@ def _parse_args(argv: list[str] | None) -> argparse.Namespace:
         help="use the corrected transforms instead of the faithful quirk set",
     )
     ap.add_argument(
+        "--incremental",
+        action="store_true",
+        help="treat the inputs as a NEW batch: dims upsert, facts append "
+        "(run_elt_incremental; fixed-mode transforms)",
+    )
+    ap.add_argument(
         "--skip-reset",
         action="store_true",
         help="skip the create_tables.py half (drop+create of catalog tables)",
@@ -72,16 +78,19 @@ def main(argv: list[str] | None = None) -> int:
         return 2
 
     from .catalog import reset
-    from .pipeline.elt import run_elt
+    from .pipeline.elt import run_elt, run_elt_incremental
     from .session import get_spark
 
     spark = get_spark(app_name="cdw_spark.elt")
-    if not args.skip_reset:
-        reset(spark)
-    paths = run_elt(
-        spark, log_path, song_path, out_dir,
-        faithful=not args.fixed, mode=args.mode,
-    )
+    if args.incremental:
+        paths = run_elt_incremental(spark, log_path, song_path, out_dir)
+    else:
+        if not args.skip_reset:
+            reset(spark)
+        paths = run_elt(
+            spark, log_path, song_path, out_dir,
+            faithful=not args.fixed, mode=args.mode,
+        )
     for name, path in paths.items():
         n = spark.read.parquet(path).count()
         print(f"{name}: {n} rows -> {path}")

@@ -66,3 +66,117 @@ def run_elt(
         write_table(star[name], name, REFERENCE_LAYOUTS[name], mode=mode, path=path)
         paths[name] = path
     return paths
+
+
+def _users_latest_versioned(events: DataFrame) -> DataFrame:
+    """Per-user latest profile row WITH its (ts, sessionId) version key —
+    the mergeable form of build_users(faithful=False): keeping the max
+    version across any partition of the event history reproduces the
+    full-history answer, which is what makes the dim upsert incremental."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    # NULL userId forms its own group, exactly as build_users' window does
+    # in the full rebuild — dropping it would diverge from full-run parity.
+    se = events.filter(F.col("page") == "NextSong")
+    w = Window.partitionBy("userId").orderBy(F.col("ts").desc(), F.col("sessionId").desc())
+    return (
+        se.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            F.col("userId").alias("user_id"),
+            F.col("firstName").alias("first_name"),
+            F.col("lastName").alias("last_name"),
+            F.col("gender").alias("gender"),
+            F.col("level").alias("level"),
+            F.col("ts").alias("_v_ts"),
+            F.col("sessionId").alias("_v_sid"),
+        )
+    )
+
+
+def run_elt_incremental(
+    spark: SparkSession, log_path: str, song_path: str, out_dir: str
+) -> dict[str, str]:
+    """Incremental ELT over a NEW batch of source files — the reference
+    pipeline run continuously instead of as a full rebuild (etl.py reruns
+    COPY over everything; Redshift users cron exactly this shape with
+    per-prefix COPYs). Contract, proven in tests/test_elt_runner.py:
+    incremental(A) then incremental(B) produces the same star schema as
+    one full run over A ∪ B.
+
+    Per-table merge discipline (the general MERGE/CDC operators applied
+    to the reference's own schema):
+    - facts (``songplays``) are immutable events -> transform ONLY the
+      new staging slice and APPEND (no fact rewrite at any scale);
+    - ``users`` is latest-wins on the (ts, sessionId) version key -> keep
+      max-version per user across old+new (upsert); the versioned form
+      persists beside the published projection so the next merge has its
+      decision key;
+    - ``songs`` / ``artists`` / ``time`` are DISTINCT projections ->
+      union + distinct is the idempotent merge.
+
+    Fixed-mode only: the faithful quirk set (K3's level-flapping DISTINCT
+    rows, K1's NULL ids) is history-order-dependent by design and cannot
+    be maintained incrementally — exactly why the quirks are quirks.
+
+    Scale: every merge touches |new batch| + |dim| rows; the fact table
+    is never rewritten. songplay_id stays the synthetic surrogate and is
+    not compared across runs (monotonically_increasing_id is
+    partition-dependent, K1's fixed variant)."""
+    from pyspark.sql import functions as F
+
+    staging = load_staging(spark, log_path, song_path)
+    events, songs = staging["staging_events"], staging["staging_songs"]
+    paths: dict[str, str] = {}
+    for name, df in staging.items():
+        path = os.path.join(out_dir, name)
+        write_table(df, name, REFERENCE_LAYOUTS[name], mode="append", path=path)
+        paths[name] = path
+
+    from .sparkify import build_artists, build_songplays, build_songs, build_time
+
+    def _merge_distinct(new_df: DataFrame, name: str) -> None:
+        path = os.path.join(out_dir, name)
+        try:
+            old = spark.read.parquet(path)
+            merged = old.unionByName(new_df).distinct()
+        except Exception:
+            merged = new_df.distinct()
+        # localCheckpoint: the merged plan reads the files being replaced
+        merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(path)
+        paths[name] = path
+
+    # fact: append-only
+    sp_path = os.path.join(out_dir, "songplays")
+    build_songplays(events, songs, faithful=False).write.mode("append").parquet(sp_path)
+    paths["songplays"] = sp_path
+
+    # users: max-version upsert via the persisted versioned form
+    uv_path = os.path.join(out_dir, "_users_versioned")
+    new_v = _users_latest_versioned(events)
+    try:
+        old_v = spark.read.parquet(uv_path)
+        all_v = old_v.unionByName(new_v)
+    except Exception:
+        all_v = new_v
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("_v_ts").desc(), F.col("_v_sid").desc()
+    )
+    latest = (
+        all_v.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+        .localCheckpoint(eager=True)
+    )
+    latest.write.mode("overwrite").parquet(uv_path)
+    users_path = os.path.join(out_dir, "users")
+    latest.drop("_v_ts", "_v_sid").write.mode("overwrite").parquet(users_path)
+    paths["users"] = users_path
+
+    _merge_distinct(build_songs(songs), "songs")
+    _merge_distinct(build_artists(songs), "artists")
+    _merge_distinct(build_time(events, faithful=False), "time")
+    return paths

@@ -3,6 +3,8 @@ including the reference's append-only rerun behavior (quirk K6)."""
 
 from __future__ import annotations
 
+import os
+
 import pytest
 
 from cdw_spark.pipeline.elt import run_elt
@@ -106,3 +108,50 @@ def test_approx_quantiles_error_bound(spark, sf_dir):
     assert got
     for r in got:
         assert abs(r.approx - r.exact) / max(abs(r.exact), 1e-9) < 0.02, r
+
+
+def test_incremental_elt_equals_full_rebuild(spark, tmp_path_factory):
+    """run_elt_incremental(A) then (B) must equal one full fixed-mode
+    run over A ∪ B: dims as exact row sets, the fact as a multiset
+    modulo its synthetic surrogate id. This is the reference pipeline
+    run continuously — dims upsert, facts append, nothing rewrites the
+    fact table."""
+    import shutil
+
+    from cdw_spark.pipeline.elt import run_elt, run_elt_incremental
+
+    src_a = tmp_path_factory.mktemp("inc_a")
+    src_b = tmp_path_factory.mktemp("inc_b")
+    log_a, song_a = generate(str(src_a), n_songs=40, n_events=500, seed=1)
+    log_b, song_b = generate(str(src_b), n_songs=40, n_events=500, seed=2)
+
+    # full rebuild over the union of source files
+    both = tmp_path_factory.mktemp("inc_union")
+    log_u, song_u = str(both / "log_data"), str(both / "song_data")
+    for i, (lp, sp) in enumerate([(log_a, song_a), (log_b, song_b)]):
+        for src, dst in [(lp, log_u), (sp, song_u)]:
+            os.makedirs(dst, exist_ok=True)
+            for f in os.listdir(src):
+                shutil.copy(os.path.join(src, f), os.path.join(dst, f"w{i}_{f}"))
+    full_out = str(tmp_path_factory.mktemp("inc_full"))
+    full = run_elt(spark, log_u, song_u, full_out, faithful=False, mode="overwrite")
+
+    inc_out = str(tmp_path_factory.mktemp("inc_inc"))
+    run_elt_incremental(spark, log_a, song_a, inc_out)
+    inc = run_elt_incremental(spark, log_b, song_b, inc_out)
+
+    def rows(path, drop=()):
+        df = spark.read.parquet(path)
+        return sorted(
+            (
+                tuple(v for c, v in zip(df.columns, r) if c not in drop)
+                for r in df.collect()
+            ),
+            key=repr,  # NULLs sort; equality still compares raw tuples
+        )
+
+    for dim in ("users", "songs", "artists", "time"):
+        assert rows(full[dim]) == rows(inc[dim]), dim
+    assert rows(full["songplays"], drop=("songplay_id",)) == rows(
+        inc["songplays"], drop=("songplay_id",)
+    )
