@@ -111,6 +111,14 @@ HEADLINE = [
     "agg_median_exact_banded",
     # round 4: the PQ-ADC identity configuration with a full value oracle
     "similarity_ann_pq_exact",
+    # round 4: span dedup, in-plan classifiers, exact k-means, curation v2
+    "dedup_exact_substring",
+    "quality_nb_langid",
+    "quality_gopher_rules",
+    "dsir_importance_weights",
+    "clustering_kmeans_exact",
+    "curation_pipeline_v2",
+    "timeseries_max_drawdown",
 ]
 
 
