@@ -1769,3 +1769,108 @@ def curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("kept")
     )
     return j.select("doc_id", keep.cast("int").alias("keep"), reason.alias("reason"))
+
+
+@register(
+    "dq_referential_integrity",
+    oracle="""
+    SELECT 'lineitem->orders' AS fk,
+           CAST(COUNT(*) AS BIGINT) AS n_child,
+           CAST(SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_orphans,
+           CAST(COUNT(DISTINCT CASE WHEN o.o_orderkey IS NULL
+                                    THEN l.l_orderkey END) AS BIGINT)
+               AS n_orphan_keys
+    FROM lineitem l LEFT JOIN orders o ON o.o_orderkey = l.l_orderkey
+    UNION ALL
+    SELECT 'orders->customer',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(COUNT(DISTINCT CASE WHEN c.c_custkey IS NULL
+                                    THEN o2.o_custkey END) AS BIGINT)
+    FROM orders o2 LEFT JOIN customer c ON c.c_custkey = o2.o_custkey
+    UNION ALL
+    SELECT 'customer->nation',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN n.n_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(COUNT(DISTINCT CASE WHEN n.n_nationkey IS NULL
+                                    THEN c2.c_nationkey END) AS BIGINT)
+    FROM customer c2 LEFT JOIN nation n ON n.n_nationkey = c2.c_nationkey
+    """,
+    doc="Referential-integrity audit across the star's FK chain "
+    "(lineitem->orders, orders->customer, customer->nation): child row "
+    "count, orphaned child rows, distinct orphaned keys — the constraint "
+    "check engines like Redshift declare but never enforce, run as "
+    "explicit left-join scans (per-FK one shuffle on the key; the parent "
+    "side broadcasts when small). Complements dq_expectations' "
+    "single-table rules with the cross-table half.",
+)
+def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_fixture(spark, sf_dir, "lineitem")
+    o = load_fixture(spark, sf_dir, "orders")
+    c = load_fixture(spark, sf_dir, "customer")
+    n = load_fixture(spark, sf_dir, "nation")
+
+    def audit(fk, child, child_key, parent, parent_key):
+        j = child.join(
+            parent, child[child_key] == parent[parent_key], "left"
+        )
+        return j.agg(
+            F.lit(fk).alias("fk"),
+            F.count(F.lit(1)).cast("bigint").alias("n_child"),
+            F.sum(F.when(parent[parent_key].isNull(), 1).otherwise(0))
+            .cast("bigint").alias("n_orphans"),
+            F.countDistinct(
+                F.when(parent[parent_key].isNull(), child[child_key])
+            ).cast("bigint").alias("n_orphan_keys"),
+        )
+    return (
+        audit("lineitem->orders", l, "l_orderkey", o, "o_orderkey")
+        .unionAll(audit("orders->customer", o, "o_custkey", c, "c_custkey"))
+        .unionAll(audit("customer->nation", c, "c_nationkey", n, "n_nationkey"))
+    )
+
+
+@register(
+    "profile_key_skew",
+    oracle="""
+    WITH f AS (
+        SELECT o_custkey AS k, COUNT(*) AS c FROM orders GROUP BY o_custkey
+    ), s AS (
+        SELECT CAST(SUM(c) AS DOUBLE) AS total,
+               CAST(COUNT(*) AS BIGINT) AS n_keys,
+               CAST(MAX(c) AS BIGINT) AS max_c,
+               CAST(SUM(c * c) AS DOUBLE) AS sum_sq
+        FROM f
+    )
+    SELECT n_keys,
+           max_c,
+           ROUND(max_c / total, 6) AS top_key_share,
+           ROUND(max_c / (total / n_keys), 6) AS skew_factor,
+           ROUND(sum_sq / (total * total), 6) AS collision_prob
+    FROM s
+    """,
+    doc="Partition-key skew profile for the orders fact's customer key: "
+    "distinct keys, hottest-key count and share, skew factor (hottest / "
+    "mean), and collision probability (sum of squared shares — the "
+    "probability two random rows share a key, the quantity that predicts "
+    "shuffle-partition imbalance). This is the measurement that DECIDES "
+    "between plain hash partitioning, AQE skew-split, and manual salting "
+    "(skew_salted_join) — one groupBy plus a 1-row aggregate.",
+)
+def profile_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_fixture(spark, sf_dir, "orders")
+    f = o.groupBy(F.col("o_custkey").alias("k")).agg(F.count(F.lit(1)).alias("c"))
+    return f.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.max("c").cast("bigint").alias("max_c"),
+        F.round(F.max("c") / F.sum("c").cast("double"), 6).alias("top_key_share"),
+        F.round(
+            F.max("c") / (F.sum("c").cast("double") / F.count(F.lit(1))), 6
+        ).alias("skew_factor"),
+        F.round(
+            F.sum(F.col("c") * F.col("c")).cast("double")
+            / (F.sum("c").cast("double") * F.sum("c").cast("double")),
+            6,
+        ).alias("collision_prob"),
+    ).select("n_keys", "max_c", "top_key_share", "skew_factor", "collision_prob")
