@@ -157,12 +157,20 @@ def write_bucketed(
     on every join and never shuffling it at all; pick n_buckets so one
     bucket ~ one executor-core's worth of data.
 
-    Idempotent against a dirty warehouse: ``mode="overwrite"`` only
-    replaces tables the *current* catalog knows, so an orphaned location
-    left by a previous metastore (crashed session, fresh derby db over an
-    old spark-warehouse dir) raises LOCATION_ALREADY_EXISTS. Drop the
-    table AND remove a stale location before writing."""
-    spark = df.sparkSession
+    Idempotent against a dirty warehouse via ensure_clean_table_location."""
+    ensure_clean_table_location(df.sparkSession, name)
+    df.write.mode(mode).bucketBy(n_buckets, key).sortBy(key).saveAsTable(name)
+
+
+def ensure_clean_table_location(spark: SparkSession, name: str) -> None:
+    """Make ``saveAsTable(name)`` safe on a dirty warehouse:
+    ``mode="overwrite"`` only replaces tables the *current* catalog
+    knows, so an orphaned location left by a previous metastore (crashed
+    session, fresh derby db over an old spark-warehouse dir) raises
+    LOCATION_ALREADY_EXISTS. Drop the table AND remove a stale location
+    before any managed-table write (applies to every ``saveAsTable``
+    call, not just bucketed ones — the class of flake bit two different
+    tests across rounds 3 and 4)."""
     spark.sql(f"DROP TABLE IF EXISTS {name}")
     warehouse = spark.conf.get("spark.sql.warehouse.dir", "")
     if warehouse:
@@ -172,7 +180,6 @@ def write_bucketed(
         loc = os.path.join(urlparse(warehouse).path or warehouse, name.lower())
         if os.path.isdir(loc):
             shutil.rmtree(loc, ignore_errors=True)
-    df.write.mode(mode).bucketBy(n_buckets, key).sortBy(key).saveAsTable(name)
 
 
 def compact_files(

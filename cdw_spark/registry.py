@@ -79,13 +79,18 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # RE-grades (its r3 row was the round's only err, fixed by digesting the
 # array output) and similarity_ann_pq_exact is the new VERDICT #8 oracle
 # twin. Cumulative driver evidence after r4: r2 ∪ r3 ∪ r4 = 129 unique
-# queries. Remaining never-graded (~66 oracled + rows-only) queue for r5:
-# the rest of the r3 wave (geo_proximity_join, stream_top_spenders,
-# text_pmi_collocations, recs_item_cooccurrence, timeseries_theilsen_trend,
-# graph_khop_reach/link_prediction, events_stickiness_rolling,
-# corpus_vocab_overlap, skyline_pareto_orders,
-# timeseries_gapfill_interpolate, intervals_max_concurrency, ...) then
-# the remaining oracled r2 tail.
+# queries. Remaining never-graded (~91: the r3/r4 additions + rows-only)
+# queue for r5 — priority: the rest of the r3 wave (geo_proximity_join,
+# stream_top_spenders, text_pmi_collocations, recs_item_cooccurrence,
+# timeseries_theilsen_trend, graph_khop_reach/link_prediction,
+# events_stickiness_rolling, corpus_vocab_overlap, skyline_pareto_orders,
+# timeseries_gapfill_interpolate, intervals_max_concurrency,
+# agg_median_exact_banded), then the round-4 operators
+# (dedup_exact_substring, quality_nb_langid, clustering_kmeans_exact,
+# quality_gopher_rules, dsir_importance_weights, curation_pipeline_v2,
+# timeseries_max_drawdown, stream_dedup_within_watermark,
+# stream_quality_filter, dq_referential_integrity, profile_key_skew),
+# then the remaining oracled r2 tail.
 _DRIVER_WINDOW: tuple[str, ...] = (
     # --- anchors: one representative per family, all driver-green ---
     "star_fact_join",        # reference §2 relational core (flagship)

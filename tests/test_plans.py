@@ -85,8 +85,9 @@ def test_analyze_table_records_stats(spark, sf_dir):
     """S7 (STATUPDATE ON analog): ANALYZE TABLE must land row/size stats in
     the catalog so the CBO sees them (SURVEY.md §2.1 S7, §4)."""
     from cdw_spark.catalog import load_fixture
-    from cdw_spark.plans.layout import analyze_table
+    from cdw_spark.plans.layout import analyze_table, ensure_clean_table_location
 
+    ensure_clean_table_location(spark, "stats_probe")
     load_fixture(spark, sf_dir, "region").write.mode("overwrite").saveAsTable(
         "stats_probe"
     )
@@ -500,9 +501,11 @@ def test_cbo_stats_drive_broadcast_of_filtered_dim(spark, sf_dir, tmp_path):
         # force the decision through stats, not through a generous default
         "spark.sql.autoBroadcastJoinThreshold": str(256 * 1024),
     }
+    from cdw_spark.plans.layout import ensure_clean_table_location
+
     old = {k: spark.conf.get(k, None) for k in confs}
-    spark.sql("DROP TABLE IF EXISTS cbo_orders")
-    spark.sql("DROP TABLE IF EXISTS cbo_lineitem")
+    ensure_clean_table_location(spark, "cbo_orders")
+    ensure_clean_table_location(spark, "cbo_lineitem")
     try:
         for k, v in confs.items():
             spark.conf.set(k, v)
