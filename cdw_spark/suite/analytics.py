@@ -2308,3 +2308,41 @@ def agg_median_exact_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_extendedprice",
         out_col="med",
     ).select("flag", "n", F.round("med", 6).alias("med"))
+
+
+@register(
+    "sketch_hll_set_overlap",
+    oracle=None,  # DataSketches HLL state has no DuckDB twin; the estimate
+    # arithmetic and an accuracy floor vs exact overlap are asserted in
+    # tests/test_search.py::test_hll_set_overlap_accuracy
+    doc="Set-overlap estimation from MERGEABLE sketches (inclusion-"
+    "exclusion over HLL): for each pair of document sources, estimate "
+    "|vocab_a ∩ vocab_b| = est(a) + est(b) - est(a ∪ b) and the Jaccard "
+    "index, where the union estimate comes from hll_union_agg of the two "
+    "per-source sketches — NO rescan of either source. This is how "
+    "100 TB corpus-overlap matrices are built: one sketch pass per "
+    "source, then O(pairs) driver-free sketch merges. Rows-only by "
+    "design (sketch state is engine-specific); accuracy vs the exact "
+    "intersection is measured, not assumed.",
+)
+def sketch_hll_set_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.search import index_terms
+
+    tok = load_fixture(spark, sf_dir, "documents").select(
+        "source", F.explode(index_terms(F.col("text"))).alias("term")
+    ).filter(F.col("source").isin("src0", "src1", "src2", "src3"))
+    per = tok.groupBy("source").agg(F.expr("hll_sketch_agg(term, 12)").alias("sk"))
+    a = per.select(F.col("source").alias("src_a"), F.col("sk").alias("sk_a"))
+    b = per.select(F.col("source").alias("src_b"), F.col("sk").alias("sk_b"))
+    pairs = a.join(b, F.col("src_a") < F.col("src_b"))
+    est_a = F.expr("hll_sketch_estimate(sk_a)")
+    est_b = F.expr("hll_sketch_estimate(sk_b)")
+    est_u = F.expr("hll_sketch_estimate(hll_union(sk_a, sk_b, true))")
+    inter = est_a + est_b - est_u
+    return pairs.select(
+        "src_a",
+        "src_b",
+        est_u.cast("bigint").alias("est_union"),
+        inter.cast("bigint").alias("est_intersection"),
+        F.round(inter / est_u, 4).alias("est_jaccard"),
+    )

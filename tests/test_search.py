@@ -179,3 +179,39 @@ def test_phrase_search_counts_and_three_word_chain(spark):
     out3 = {r["doc_id"]: r["n_hits"] for r in
             phrase_search(docs, ["table", "hash", "join"]).collect()}
     assert out3 == {1: 1}
+
+
+def test_hll_set_overlap_accuracy(spark, sf_dir):
+    """Inclusion-exclusion over HLL sketches must land within the sketch
+    error of the exact overlap for every source pair (at lgK=12 the
+    relative standard error is ~1.6%; small vocabularies resolve
+    near-exactly). Also sanity: intersection <= min cardinality,
+    union >= max."""
+    from cdw_spark.catalog import load_fixture
+    from cdw_spark.operators.search import index_terms
+    from cdw_spark.registry import load_all
+
+    specs = load_all()
+    got = {
+        (r.src_a, r.src_b): (r.est_union, r.est_intersection)
+        for r in specs["sketch_hll_set_overlap"].fn(spark, sf_dir).collect()
+    }
+    assert got
+
+    tok = (
+        load_fixture(spark, sf_dir, "documents")
+        .select("source", F.explode(index_terms(F.col("text"))).alias("term"))
+        .filter(F.col("source").isin("src0", "src1", "src2", "src3"))
+    )
+    vocab = {
+        r.source: set(r.terms)
+        for r in tok.groupBy("source").agg(
+            F.collect_set("term").alias("terms")
+        ).collect()
+    }
+    for (a, b), (est_u, est_i) in got.items():
+        exact_u = len(vocab[a] | vocab[b])
+        exact_i = len(vocab[a] & vocab[b])
+        assert abs(est_u - exact_u) <= max(2, 0.05 * exact_u), (a, b, est_u, exact_u)
+        assert abs(est_i - exact_i) <= max(3, 0.10 * exact_i), (a, b, est_i, exact_i)
+        assert est_i <= est_u
