@@ -123,20 +123,27 @@ def minhash_signatures(
     )
 
 
-def lsh_candidate_pairs(sig: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """Banding: 16 bands x 4 rows. Docs sharing any band hash are
-    candidates. Self-join happens per (band, band_hash) bucket — bucket
-    sizes are tiny for non-duplicate corpora, so the join output is
-    ~|true pairs|, not O(n^2)."""
+def band_buckets(sig: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, band, band_hash) rows — the LSH index representation: one row
+    per (doc, band), hash = xxhash64 of the band's signature slice. This
+    is what persists as the at-rest near-dup index (16 longs per doc)."""
     bands = []
     for b in range(BANDS):
         cols = [f"mh_{i}" for i in range(b * ROWS_PER_BAND, (b + 1) * ROWS_PER_BAND)]
         bands.append(
             F.struct(F.lit(b).alias("band"), F.xxhash64(*[F.col(c) for c in cols]).alias("bh"))
         )
-    buckets = sig.select(F.col(id_col), F.explode(F.array(*bands)).alias("bk")).select(
+    return sig.select(F.col(id_col), F.explode(F.array(*bands)).alias("bk")).select(
         id_col, "bk.band", "bk.bh"
     )
+
+
+def lsh_candidate_pairs(sig: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Banding: 16 bands x 4 rows. Docs sharing any band hash are
+    candidates. Self-join happens per (band, band_hash) bucket — bucket
+    sizes are tiny for non-duplicate corpora, so the join output is
+    ~|true pairs|, not O(n^2)."""
+    buckets = band_buckets(sig, id_col)
     a = buckets.alias("a")
     b = buckets.alias("b")
     return (
@@ -634,3 +641,61 @@ def exact_substring_dedup(
             ).alias("dup_fraction"),
         )
     )
+
+
+def minhash_near_duplicates_incremental(
+    old_docs: DataFrame,
+    new_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.6,
+    old_sigs: DataFrame | None = None,
+) -> DataFrame:
+    """Index-maintenance form of minhash_near_duplicates: given an
+    EXISTING corpus (or its precomputed signatures — the persisted
+    band_buckets index in a real deployment) and a NEW document batch,
+    emit exactly the near-duplicate pairs that touch at least one new
+    document. Contract (tests/test_dedup.py): pairs(old ∪ new) ==
+    pairs(old) ∪ incremental(old, new) — so a daily ingest never
+    re-verifies the old-vs-old half.
+
+    Scale shape: only the NEW batch is re-signatured (one Arrow pass over
+    |new| docs); candidate generation joins the new batch's band buckets
+    against the full bucket index on (band, hash) — cost ∝ |new| x bucket
+    occupancy, independent of |old| except through the index join; exact-
+    Jaccard verification shingles only candidate-pair members, old or
+    new."""
+    sig_new = minhash_signatures(new_docs, text_col, id_col, n)
+    sig_old = (
+        old_sigs
+        if old_sigs is not None
+        else minhash_signatures(old_docs, text_col, id_col, n)
+    )
+    b_new = band_buckets(sig_new, id_col)
+    b_all = band_buckets(sig_old.unionByName(sig_new), id_col)
+    a = b_new.alias("a")
+    b = b_all.alias("b")
+    cands = (
+        a.join(
+            b,
+            on=[
+                F.col("a.band") == F.col("b.band"),
+                F.col("a.bh") == F.col("b.bh"),
+                F.col(f"a.{id_col}") != F.col(f"b.{id_col}"),
+            ],
+        )
+        .select(
+            F.least(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("id_a"),
+            F.greatest(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("id_b"),
+        )
+        .distinct()
+    )
+    all_docs = old_docs.unionByName(new_docs)
+    cand_ids = (
+        cands.select(F.col("id_a").alias(id_col))
+        .union(cands.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    cand_docs = all_docs.join(cand_ids, on=id_col, how="semi")
+    return jaccard_verify(cands, cand_docs, text_col, id_col, n, threshold)

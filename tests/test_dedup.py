@@ -198,3 +198,44 @@ def test_semantic_dedup_matches_within_cluster_brute_force(spark, sf_dir):
     got = {r["dup_id"]: (r["keep_id"], r["cluster"]) for r in
            semantic_dedup(emb, threshold=0.25).collect()}
     assert got == expected
+
+
+def test_incremental_minhash_equals_full_recompute(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    """Index maintenance: splitting the corpus into an OLD half and a NEW
+    batch, pairs(old ∪ new) must equal pairs(old) ∪ incremental(old, new)
+    — the new batch is signatured once and joined against the bucket
+    index, never re-verifying old-vs-old. Also proven with precomputed
+    old signatures (the persisted-index path)."""
+    from cdw_spark.catalog import load_fixture
+    from cdw_spark.operators.dedup import (
+        minhash_near_duplicates,
+        minhash_near_duplicates_incremental,
+        minhash_signatures,
+    )
+
+    docs = load_fixture(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 4 != 0)
+    new = docs.filter(F.col("doc_id") % 4 == 0)
+
+    def pairs(df_result):
+        return {(r.id_a, r.id_b) for r in df_result.collect()}
+
+    full = pairs(minhash_near_duplicates(docs))
+    old_only = pairs(minhash_near_duplicates(old))
+    inc = pairs(minhash_near_duplicates_incremental(old, new))
+    assert old_only | inc == full
+    assert old_only.isdisjoint(inc) or all(
+        0 in ((a % 4), (b % 4)) for a, b in (old_only & inc)
+    )
+    # every incremental pair touches a new doc
+    assert all(a % 4 == 0 or b % 4 == 0 for a, b in inc), inc
+
+    # persisted-index path: precomputed old signatures give identical pairs
+    inc2 = pairs(
+        minhash_near_duplicates_incremental(
+            old, new, old_sigs=minhash_signatures(old)
+        )
+    )
+    assert inc2 == inc
