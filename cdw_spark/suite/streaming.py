@@ -590,3 +590,60 @@ def stream_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table_stream(spark, sf_dir, "documents", order_col="doc_id", n_files=4)
     flags = gopher_flags(docs).filter("keep = 1").select("doc_id", "n_words")
     return run_available_now(flags, "quality_filter", "append")
+
+
+from .dedup import _JACCARD_SQL as _STREAM_JACCARD_SQL
+
+
+@register(
+    "stream_near_dup_ingest",
+    oracle=_STREAM_JACCARD_SQL,
+    doc="Near-duplicate detection AT THE INGESTION DOOR: each micro-batch "
+    "of documents is checked against the ACCUMULATED corpus via the "
+    "incremental MinHash index "
+    "(operators/dedup.py:minhash_near_duplicates_incremental — only the "
+    "batch is re-signatured; candidates come from the batch's band "
+    "buckets joined to the growing index), and the per-batch pair sets "
+    "are provably disjoint and union to exactly the full-corpus LSH "
+    "result (the parity theorem tested in tests/test_dedup.py) — which "
+    "is why the batch twin's exact-Jaccard oracle applies verbatim to "
+    "the streamed union. foreachBatch keeps corpus + pairs as "
+    "copy-on-write parquet; at 100 TB the same body targets a "
+    "transactional table format.",
+)
+def stream_near_dup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ..operators.dedup import minhash_near_duplicates_incremental
+    from ..streaming.source import table_stream
+
+    root = tempfile.mkdtemp(prefix="cdw_stream_neardup_")
+    corpus_dir = os.path.join(root, "corpus")
+    pairs_dir = os.path.join(root, "pairs")
+    empty_docs = spark.createDataFrame([], "doc_id long, text string")
+    # seed the sinks so every read below has a schema
+    empty_docs.write.mode("overwrite").parquet(corpus_dir)
+    spark.createDataFrame([], "id_a long, id_b long, jaccard double").write.mode(
+        "overwrite"
+    ).parquet(pairs_dir)
+
+    def handle(batch, batch_id):
+        b = batch.select("doc_id", "text").localCheckpoint(eager=True)
+        old = spark.read.parquet(corpus_dir)
+        pairs = minhash_near_duplicates_incremental(old, b, threshold=0.6)
+        pairs.write.mode("append").parquet(pairs_dir)
+        b.write.mode("append").parquet(corpus_dir)
+
+    sdf = table_stream(spark, sf_dir, "documents", order_col="doc_id", n_files=4)
+    q = (
+        sdf.select("doc_id", F.col("text"))
+        .writeStream.foreachBatch(handle)
+        .option("checkpointLocation", os.path.join(root, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+    return spark.read.parquet(pairs_dir)
