@@ -1368,18 +1368,25 @@ def kmeans_oracle_sql(
         ) WHERE rn = 1
     ),
     cent{t} AS (
-        SELECT cid,
-               -- floor, not DuckDB's truncating // : Python's (512s+n)//(2n)
-               -- floors, and negative sums occur. The double division is
-               -- exact-safe: both ints are < 2^53 and any non-integer true
-               -- quotient sits >= 1/(2n) away from an integer.
-               list(CAST(floor((512 * s + n) / (2.0 * n)) AS BIGINT) ORDER BY i) AS arr
-        FROM (
-            SELECT cid, i, CAST(SUM(qv[i]) AS BIGINT) AS s,
-                   CAST(COUNT(*) AS BIGINT) AS n
-            FROM assign{t}, UNNEST(range(1, {dim + 1})) AS u(i)
-            GROUP BY cid, i
-        ) GROUP BY cid
+        -- carry-forward join: a cluster that received NO assignments this
+        -- iteration keeps its previous centroid (exactly what the Spark
+        -- loop does when stats has no row for that cid) instead of
+        -- silently vanishing from the candidate set.
+        SELECT p.cid, COALESCE(u{t}.arr, p.arr) AS arr
+        FROM {prev} p LEFT JOIN (
+            SELECT cid,
+                   -- floor, not DuckDB's truncating // : Python's (512s+n)//(2n)
+                   -- floors, and negative sums occur. The double division is
+                   -- exact-safe: both ints are < 2^53 and any non-integer true
+                   -- quotient sits >= 1/(2n) away from an integer.
+                   list(CAST(floor((512 * s + n) / (2.0 * n)) AS BIGINT) ORDER BY i) AS arr
+            FROM (
+                SELECT cid, i, CAST(SUM(qv[i]) AS BIGINT) AS s,
+                       CAST(COUNT(*) AS BIGINT) AS n
+                FROM assign{t}, UNNEST(range(1, {dim + 1})) AS u(i)
+                GROUP BY cid, i
+            ) GROUP BY cid
+        ) u{t} ON u{t}.cid = p.cid
     )"""
         )
         prev = f"cent{t}"

@@ -108,13 +108,27 @@ def run_elt_incremental(
     Per-table merge discipline (the general MERGE/CDC operators applied
     to the reference's own schema):
     - facts (``songplays``) are immutable events -> transform ONLY the
-      new staging slice and APPEND (no fact rewrite at any scale);
+      new EVENT slice and APPEND (no fact rewrite at any scale). The
+      song-catalog side of the fact join is the ACCUMULATED
+      ``staging_songs`` table (read back after this batch's staging
+      append), so an event whose song arrived in an EARLIER batch still
+      resolves song_id/artist_id. The converse is out of contract:
+      a song arriving AFTER the event's batch cannot retroactively fill
+      already-appended fact rows (facts are immutable); the full-rebuild
+      path is the remedy when late catalogs must back-fill.
     - ``users`` is latest-wins on the (ts, sessionId) version key -> keep
       max-version per user across old+new (upsert); the versioned form
       persists beside the published projection so the next merge has its
       decision key;
     - ``songs`` / ``artists`` / ``time`` are DISTINCT projections ->
-      union + distinct is the idempotent merge.
+      union + distinct + full overwrite. Cost bound: each batch rewrites
+      O(|dim|) rows — fine for dims that are DISTINCT projections of a
+      bounded key space (songs/artists/time here), and NEVER applied to
+      the fact table. At the 100 TB design point, a dim too large to
+      rewrite per batch should use the keyed-upsert path instead
+      (``cdw_spark.operators.curate.merge_incremental_upsert``, proven
+      by the ``incremental_join_merge`` query) — same contract, touches
+      only changed partitions.
 
     Fixed-mode only: the faithful quirk set (K3's level-flapping DISTINCT
     rows, K1's NULL ids) is history-order-dependent by design and cannot
@@ -125,9 +139,23 @@ def run_elt_incremental(
     not compared across runs (monotonically_increasing_id is
     partition-dependent, K1's fixed variant)."""
     from pyspark.sql import functions as F
+    from pyspark.errors import AnalysisException
+
+    def _read_if_exists(path: str) -> DataFrame | None:
+        """Read a parquet table that may not exist yet. ONLY a missing
+        path returns None — a real read error (corruption, permissions)
+        propagates, because falling back to "pretend it's the first
+        batch" would overwrite previously merged data with one batch's
+        slice (a silent destructive reset)."""
+        try:
+            return spark.read.parquet(path)
+        except AnalysisException as e:
+            if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
+                return None
+            raise
 
     staging = load_staging(spark, log_path, song_path)
-    events, songs = staging["staging_events"], staging["staging_songs"]
+    events = staging["staging_events"]
     paths: dict[str, str] = {}
     for name, df in staging.items():
         path = os.path.join(out_dir, name)
@@ -136,30 +164,33 @@ def run_elt_incremental(
 
     from .sparkify import build_artists, build_songplays, build_songs, build_time
 
+    # The fact join's catalog side is the ACCUMULATED staging_songs (this
+    # batch's rows were just appended above), so events referencing songs
+    # from earlier batches still resolve — incremental(A);incremental(B)
+    # == full(A ∪ B) holds for interleaved catalogs, not just disjoint
+    # ones. The new-batch slice alone is still used for the song/artist
+    # dim merges (distinct-union makes that equivalent and cheaper).
+    songs_new = staging["staging_songs"]
+    songs_all = spark.read.parquet(paths["staging_songs"])
+
     def _merge_distinct(new_df: DataFrame, name: str) -> None:
         path = os.path.join(out_dir, name)
-        try:
-            old = spark.read.parquet(path)
-            merged = old.unionByName(new_df).distinct()
-        except Exception:
-            merged = new_df.distinct()
+        old = _read_if_exists(path)
+        merged = old.unionByName(new_df).distinct() if old is not None else new_df.distinct()
         # localCheckpoint: the merged plan reads the files being replaced
         merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(path)
         paths[name] = path
 
-    # fact: append-only
+    # fact: append-only, joined against the full accumulated catalog
     sp_path = os.path.join(out_dir, "songplays")
-    build_songplays(events, songs, faithful=False).write.mode("append").parquet(sp_path)
+    build_songplays(events, songs_all, faithful=False).write.mode("append").parquet(sp_path)
     paths["songplays"] = sp_path
 
     # users: max-version upsert via the persisted versioned form
     uv_path = os.path.join(out_dir, "_users_versioned")
     new_v = _users_latest_versioned(events)
-    try:
-        old_v = spark.read.parquet(uv_path)
-        all_v = old_v.unionByName(new_v)
-    except Exception:
-        all_v = new_v
+    old_v = _read_if_exists(uv_path)
+    all_v = old_v.unionByName(new_v) if old_v is not None else new_v
     from pyspark.sql.window import Window
 
     w = Window.partitionBy("user_id").orderBy(
@@ -176,7 +207,7 @@ def run_elt_incremental(
     latest.drop("_v_ts", "_v_sid").write.mode("overwrite").parquet(users_path)
     paths["users"] = users_path
 
-    _merge_distinct(build_songs(songs), "songs")
-    _merge_distinct(build_artists(songs), "artists")
+    _merge_distinct(build_songs(songs_new), "songs")
+    _merge_distinct(build_artists(songs_new), "artists")
     _merge_distinct(build_time(events, faithful=False), "time")
     return paths

@@ -72,25 +72,30 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # batch time-window twins, and the tokenize/chunk/pack assembly ops.
 # Everything not listed keeps its registration order after the window and
 # stays covered by tests/test_oracle_contract.py's local differential sweep.
-# r4 window (this round): same ten family anchors; the forty rotated
-# slots follow VERDICT r3 #2's priority order — the second-wave pipeline
-# ops, then the retrieval/graph/sketch layer, then the first tranche of
-# the final r3 wave — plus two special slots: tokenize_vocab_ids
-# RE-grades (its r3 row was the round's only err, fixed by digesting the
-# array output) and similarity_ann_pq_exact is the new VERDICT #8 oracle
-# twin. Cumulative driver evidence after r4: r2 ∪ r3 ∪ r4 = 129 unique
-# queries. Remaining never-graded (~91: the r3/r4 additions + rows-only)
-# queue for r5 — priority: the rest of the r3 wave (geo_proximity_join,
-# stream_top_spenders, text_pmi_collocations, recs_item_cooccurrence,
-# timeseries_theilsen_trend, graph_khop_reach/link_prediction,
-# events_stickiness_rolling, corpus_vocab_overlap, skyline_pareto_orders,
-# timeseries_gapfill_interpolate, intervals_max_concurrency,
-# agg_median_exact_banded), then the round-4 operators
-# (dedup_exact_substring, quality_nb_langid, clustering_kmeans_exact,
-# quality_gopher_rules, dsir_importance_weights, curation_pipeline_v2,
-# timeseries_max_drawdown, stream_dedup_within_watermark,
-# stream_quality_filter, dq_referential_integrity, profile_key_skew),
-# then the remaining oracled r2 tail.
+# r5 window (this round): same ten family anchors; the forty rotated
+# slots follow VERDICT r4 #1's priority order exactly — the r3-wave tail
+# first, then the round-4 operators, then the graph family re-grade
+# (VERDICT #8: khop/triangles/link_prediction land WITH the banded
+# candidate generator rewrite), then a multimodal oracled entry and the
+# oldest oracled r2 tail in registration order. Cumulative driver
+# evidence after r4: 139 unique queries graded. Remaining never-graded
+# after this window (~44 incl. rows-only) queue for r6 — priority:
+# fuzzy_levenshtein_match, text_bigram_topk, text_char_entropy,
+# text_collapse_repeats, similarity_ann_lsh_wide,
+# embedding_random_projection, knn_label_vote,
+# embedding_pca_top_component, window_first_last_nth,
+# timeseries_gapfill_locf, the stream_* batch twins
+# (stream_stream_left/full_outer_join, stream_foreachbatch_upsert,
+# stream_ohlc_resample, stream_near_dup_ingest), quality_repetition,
+# sample_hash_split/stratified, profile_columns, layout_zorder,
+# outlier_zscore, mix_sources_weighted, curriculum_phases,
+# embedding_quantize_int8, global_shuffle_rank, incremental_agg_merge,
+# sample_class_balanced, quantile_rank_normalize, batch_by_length,
+# select_token_budget, corpus_mix_entropy, multimodal_features_scalar's
+# rows-only siblings as they gain digest oracles.
+_WINDOW_ROUND = 5  # the round this window was authored FOR — meta-tests
+# treat CORRECTNESS records from rounds >= this as the window's own
+# grade, not prior evidence (VERDICT r4 #3's self-invalidation fix).
 _DRIVER_WINDOW: tuple[str, ...] = (
     # --- anchors: one representative per family, all driver-green ---
     "star_fact_join",        # reference §2 relational core (flagship)
@@ -103,50 +108,50 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "similarity_ann_lsh",    # similarity / ANN
     "dedup_minhash_lsh",     # deduplication
     "curation_pipeline",     # curation / dataset ops
-    # --- rotated in: second-wave pipeline ops (never driver-graded) ---
-    "dedup_paragraphs",
-    "dedup_semantic",
-    "dedup_containment",
-    "dedup_debounce",
-    "quality_model_score",
-    "similarity_mmr_rerank",
-    "text_phrase_search",
-    "text_novelty_score",
-    "cdc_snapshot_diff",
-    "gdpr_erase_cascade",
-    "incremental_join_merge",
-    "interval_overlap_join",
-    "asof_join_forward_tolerance",
-    "sample_weighted_no_replacement",
-    "sample_group_split",
-    "dq_expectations",
-    "map_funcs",
-    "window_cume_dist",
-    "udaf_geomean",
-    "grouped_ols_applyinpandas",
-    "timeseries_ewma",
-    "timeseries_resample_ohlc",
-    "event_transition_matrix",
-    "session_paths_topk",
-    "outlier_mad",
-    # --- retrieval / graph / sketch layer ---
-    "text_bm25_search",
-    "text_tfidf_topk",
-    "text_inverted_index",
-    "text_keyword_search",
-    "text_bigram_lm_score",
-    "graph_pagerank",
-    "sketch_cms_wordfreq",
-    # --- first tranche of the final r3 wave ---
-    "rank_fusion_rrf",
-    "ab_test_lift",
-    "kanonymity_audit",
-    "timeseries_cusum",
-    "quantile_histogram_approx",
-    "multimodal_audio_rms",
-    # --- special slots: the r3 err re-graded + the new oracle twin ---
-    "tokenize_vocab_ids",
-    "similarity_ann_pq_exact",
+    # --- rotated in: the r3-wave tail (never driver-graded) ---
+    "text_pmi_collocations",
+    "recs_item_cooccurrence",
+    "timeseries_theilsen_trend",
+    "events_stickiness_rolling",
+    "corpus_vocab_overlap",
+    "skyline_pareto_orders",
+    "timeseries_gapfill_interpolate",
+    "intervals_max_concurrency",
+    "agg_median_exact_banded",
+    "geo_proximity_join",
+    "stream_top_spenders",
+    # --- the round-4 operators ---
+    "dedup_exact_substring",
+    "quality_nb_langid",
+    "clustering_kmeans_exact",
+    "quality_gopher_rules",
+    "dsir_importance_weights",
+    "curation_pipeline_v2",
+    "timeseries_max_drawdown",
+    "dq_referential_integrity",
+    "profile_key_skew",
+    "stream_dedup_within_watermark",
+    "stream_quality_filter",
+    # --- graph family re-grade under the banded candidate generator ---
+    "graph_khop_reach",
+    "graph_knn_triangles",
+    "graph_link_prediction",
+    # --- multimodal oracled entry + oldest oracled r2 tail ---
+    "multimodal_features_scalar",
+    "sort_nulls_ordering",
+    "explode_outer_nulls",
+    "agg_percentile_exact",
+    "agg_regression_stats",
+    "funnel_conversion",
+    "cohort_retention",
+    "agg_mode_per_group",
+    "basket_association_rules",
+    "timeseries_seasonal_residual",
+    "supplier_latency_scorecard",
+    "attribution_first_last_touch",
+    "customer_rfm_segments",
+    "session_bounce_rate",
+    "text_rolling_fingerprint",
 )
 
 

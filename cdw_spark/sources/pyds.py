@@ -423,7 +423,7 @@ class JsonPathsWriter(DataSourceArrowWriter):
         for m in messages:
             if m is None:
                 continue
-            final = m.filename.split("_", 2)[2]  # _tmp_<uuid>_NNNNN.jsonl -> NNNNN.jsonl
+            final = m.filename.rsplit("_", 1)[1]  # _tmp_<uuid>_NNNNN.jsonl -> NNNNN.jsonl
             os.replace(
                 os.path.join(self.path, m.filename),
                 os.path.join(self.path, f"part-{final}"),

@@ -682,7 +682,19 @@ def similarity_ann_pq_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.expr("transform(embedding, x -> cast(round(x * 16) as double))").alias("qv"),
     )
-    books = [[[float(c - 16)] for c in range(32)] for _ in range(_DIM)]
+    # Identity grid derived from the DATA range (ADVICE r4): a fixed
+    # [-16, 15] grid silently encodes lossily the moment a coordinate
+    # quantizes outside it, voiding the "provably exact" ADC==L2 claim.
+    # One 1-row driver sync (global min/max of the quantized grid) keeps
+    # the codebook a true identity for any embedding scale.
+    lo, hi = e.select(
+        F.min(F.expr("array_min(qv)")).alias("lo"),
+        F.max(F.expr("array_max(qv)")).alias("hi"),
+    ).first()
+    lo_i, hi_i = int(lo), int(hi)
+    books = [
+        [[float(c)] for c in range(lo_i, hi_i + 1)] for _ in range(_DIM)
+    ]
     return pq_topk(
         e.filter(F.col("vec_id") < 5), e, k=10, vec_col="qv", books=books
     )

@@ -458,3 +458,51 @@ def test_kmeans_exact_recovers_planted_clusters(spark):
     assert sorted(r.n for r in out.values()) == sizes
     assert all(r.inertia >= 0 for r in out.values())
     assert len({r.centroid_md5 for r in out.values()}) == 4
+
+
+def test_kmeans_empty_cluster_oracle_parity(spark):
+    """ADVICE r4: when a cluster EMPTIES mid-iteration (here: vec 1 is an
+    exact duplicate of vec 0, so the tie rule sends it to cid 0 and
+    cluster 1 never receives a point), the Spark loop keeps the stale
+    centroid as a candidate. The SQL oracle must do the same — its
+    carry-forward join keeps cids with no assignments — or the two
+    diverge on such inputs."""
+    import duckdb
+    import pandas as pd
+
+    from cdw_spark.operators.similarity import kmeans_exact, kmeans_oracle_sql
+
+    dim = 4
+    rows = [
+        (0, [0.0, 0.0, 0.0, 0.0]),
+        (1, [0.0, 0.0, 0.0, 0.0]),  # duplicate of init 0 -> cluster 1 empties
+        (2, [1.0, 1.0, 0.0, 0.0]),
+        (3, [0.9, 1.1, 0.0, 0.0]),
+        (4, [0.1, 0.0, 0.1, 0.0]),
+        (5, [2.0, 2.0, 2.0, 2.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        r.cid: (r.n, r.inertia, r.centroid_md5)
+        for r in kmeans_exact(df, k=2, iters=2, dim=dim).collect()
+    }
+
+    con = duckdb.connect()
+    con.register(
+        "embeddings",
+        pd.DataFrame({"vec_id": [r[0] for r in rows], "embedding": [r[1] for r in rows]}),
+    )
+    want = {
+        int(cid): (int(n), int(inertia), md5)
+        for cid, n, inertia, md5 in con.execute(
+            kmeans_oracle_sql(k=2, iters=2, dim=dim)
+        ).fetchall()
+    }
+    # After iteration 1, cluster 1 is EMPTY (tie rule sends the duplicate
+    # to cid 0); its stale zero-centroid must stay a candidate on BOTH
+    # sides, which is exactly what re-captures vecs 0/1/4 in iteration 2.
+    # Without the oracle's carry-forward join, the SQL drops cid 1 and
+    # reports a single 6-point cluster — a hash mismatch.
+    assert got == want
+    assert set(got) == {0, 1}
+    assert got[1][0] > 0  # the emptied cluster re-acquired points

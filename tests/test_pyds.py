@@ -323,6 +323,13 @@ def test_writer_round_trips_through_reader(registered, tmp_path):
     files = sorted(os.listdir(out))
     assert "_SUCCESS" in files
     assert all(f == "_SUCCESS" or f.startswith("part-") for f in files), files
+    # ADVICE r4: committed names are deterministic part-NNNNN.jsonl
+    # (task partition id only — no uuid leaking into the final name)
+    import re
+
+    assert all(
+        f == "_SUCCESS" or re.fullmatch(r"part-\d{5}\.jsonl", f) for f in files
+    ), files
     # field names in the emitted JSONL are the SOURCE names (sessionId,
     # not session_id); the NULL-slot column (event_id) is dropped
     with open(os.path.join(out, [f for f in files if f != "_SUCCESS"][0])) as fh:

@@ -79,25 +79,34 @@ def test_driver_window_covers_every_family():
 
 def test_driver_window_rotation_accumulates_evidence():
     """Every non-anchor slot of the current window must be a query WITHOUT
-    a green driver row from any prior round (rotation, not re-grading —
-    re-grading a prior err, like tokenize_vocab_ids after its r3 digest
-    fix, is allowed), and every anchor must have a green prior row —
-    together: the union across rounds strictly grows the driver-proven
-    set."""
+    a green driver row from any round BEFORE the one this window was
+    authored for (rotation, not re-grading), and every anchor must have a
+    green prior row — together: the union across rounds strictly grows
+    the driver-proven set.
+
+    VERDICT r4 #2: "prior evidence" is pinned by ``_WINDOW_ROUND`` — the
+    driver's own grade OF this window (CORRECTNESS_r{_WINDOW_ROUND}+)
+    must not count, or the assertion self-invalidates the moment the
+    current round's all-green record lands in the worktree."""
     import glob
     import json
     import os
+    import re as _re
 
-    from cdw_spark.registry import _DRIVER_WINDOW
+    from cdw_spark.registry import _DRIVER_WINDOW, _WINDOW_ROUND
 
     root = os.path.dirname(os.path.dirname(__file__))
-    records = sorted(glob.glob(os.path.join(root, "CORRECTNESS_r0*.json")))
+    records = []
+    for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        m = _re.search(r"CORRECTNESS_r0*(\d+)\.json$", os.path.basename(path))
+        if m and int(m.group(1)) < _WINDOW_ROUND:
+            records.append(path)
     if not records:
         import pytest
 
         pytest.skip("no prior correctness records present")
     green: set[str] = set()
-    for path in records:
+    for path in sorted(records):
         with open(path) as f:
             for n, row in json.load(f).items():
                 if row.get("rows_match") and row.get("schema_match") and row.get("hash_match"):
