@@ -651,6 +651,7 @@ def minhash_near_duplicates_incremental(
     n: int = 3,
     threshold: float = 0.6,
     old_sigs: DataFrame | None = None,
+    new_sigs: DataFrame | None = None,
 ) -> DataFrame:
     """Index-maintenance form of minhash_near_duplicates: given an
     EXISTING corpus (or its precomputed signatures — the persisted
@@ -661,12 +662,20 @@ def minhash_near_duplicates_incremental(
     re-verifies the old-vs-old half.
 
     Scale shape: only the NEW batch is re-signatured (one Arrow pass over
-    |new| docs); candidate generation joins the new batch's band buckets
-    against the full bucket index on (band, hash) — cost ∝ |new| x bucket
-    occupancy, independent of |old| except through the index join; exact-
-    Jaccard verification shingles only candidate-pair members, old or
-    new."""
-    sig_new = minhash_signatures(new_docs, text_col, id_col, n)
+    |new| docs — or zero passes when the caller already holds the batch's
+    signatures and passes ``new_sigs``); candidate generation joins the
+    new batch's band buckets against the full bucket index on
+    (band, hash) — cost ∝ |new| x bucket occupancy, independent of |old|
+    except through the index join; exact-Jaccard verification shingles
+    only candidate-pair members, old or new. Callers that ingest
+    continuously MUST pass ``old_sigs`` (the persisted index) — the
+    ``minhash_signatures(old_docs)`` fallback exists for one-shot use and
+    costs O(|corpus|) per call."""
+    sig_new = (
+        new_sigs
+        if new_sigs is not None
+        else minhash_signatures(new_docs, text_col, id_col, n)
+    )
     sig_old = (
         old_sigs
         if old_sigs is not None

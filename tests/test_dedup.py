@@ -239,3 +239,15 @@ def test_incremental_minhash_equals_full_recompute(spark, sf_dir):
         )
     )
     assert inc2 == inc
+
+    # fully-precomputed path (the streaming sink's shape): both sides'
+    # signatures supplied, zero signature passes inside the operator
+    inc3 = pairs(
+        minhash_near_duplicates_incremental(
+            old,
+            new,
+            old_sigs=minhash_signatures(old),
+            new_sigs=minhash_signatures(new),
+        )
+    )
+    assert inc3 == inc

@@ -418,3 +418,46 @@ def test_versioned_table_time_travel(spark, sf_dir):
     assert any(v0[k] != vl[k] for k in common)
     with _pytest.raises(ValueError):
         table.read(spark, version=vmax + 7)
+
+
+def test_near_dup_ingest_signature_work_stays_flat(spark, sf_dir, monkeypatch):
+    """VERDICT r4 #2: the ingestion-door near-dup sink must pass its
+    persisted signature index as old_sigs/new_sigs so per-batch signature
+    work is O(|batch|) — each document is signatured exactly ONCE over
+    the stream's whole life, not once per subsequent batch. Instruments
+    minhash_signatures to count input rows per call across the 4
+    micro-batches, then checks pair-set parity against the one-shot
+    batch operator."""
+    from cdw_spark.catalog import load_fixture
+    from cdw_spark.operators import dedup as dedup_ops
+    from cdw_spark.operators.dedup import minhash_near_duplicates
+
+    calls: list[int] = []
+    real = dedup_ops.minhash_signatures
+
+    def counting(df, *args, **kwargs):
+        calls.append(df.count())
+        return real(df, *args, **kwargs)
+
+    monkeypatch.setattr(dedup_ops, "minhash_signatures", counting)
+
+    streamed = SPECS["stream_near_dup_ingest"].fn(spark, sf_dir)
+    got = {(r.id_a, r.id_b) for r in streamed.collect()}
+
+    docs = load_fixture(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    work = [c for c in calls if c > 0]  # drop the schema-seed zero-row pass
+    # every doc signatured exactly once across all batches...
+    assert sum(work) == n_docs, (calls, n_docs)
+    # ...in one pass per micro-batch (4 source files -> 4 batches), so the
+    # per-batch cost tracks the batch, not the accumulated corpus: with
+    # corpus re-signaturing, batch k would add ~k*|batch| rows and the
+    # total would be ~2.5x n_docs.
+    assert len(work) == 4, calls
+    assert max(work) <= (n_docs // 4) * 2, calls
+
+    want = {
+        (r.id_a, r.id_b)
+        for r in minhash_near_duplicates(docs, threshold=0.6).collect()
+    }
+    assert got == want
