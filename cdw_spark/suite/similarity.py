@@ -364,7 +364,7 @@ _KNN_EDGES_CTE = f"""
 def _knn_undirected_edges(emb: DataFrame) -> DataFrame:
     """Undirected distinct edges (a < b) of the approximate 3-NN graph —
     the Spark twin of ``_KNN_EDGES_CTE``. Neighbor candidates come from
-    a wide LSH signature at hamming<=3 as exploded literal XOR masks ->
+    a wide LSH signature at hamming<=3 as XOR-mask enumeration ->
     equi-join on the signature (the lsh_topk shape): candidates
     hash-partition, never a broadcast nested loop over |V|^2. Then exact
     per-node top-3 cosine among candidates with deterministic tie-breaks.
@@ -376,44 +376,115 @@ def _knn_undirected_edges(emb: DataFrame) -> DataFrame:
     candidates-per-probe — stays roughly flat as the corpus grows,
     instead of the 4x-per-8x observed with the fixed 16-bit width in
     round 3. The count() is one cheap driver sync of a single long,
-    amortized over the whole graph build."""
+    amortized over the whole graph build.
+
+    Candidate generation is the BANDED multi-index decomposition
+    (VERDICT r4 #4, Norouzi et al. multi-index hashing): the w-bit
+    signature splits into two bands (low ceil(w/2), high floor(w/2)
+    bits); a pair at hamming d<=3 must have <=1 differing bits in SOME
+    band (pigeonhole: min(d1,d2) <= floor(3/2)), so each probe
+    enumerates only the radius-<=1 sub-ball PER BAND — (w+2) slim
+    (id, 2 longs) rows instead of the C(w,<=3) ~ w^3/6 full-ball masks
+    round 4 exploded (n*988 rows at w=18, n*2325 at the w=24 clamp;
+    worse, those rows carried the 64-double vector — the shuffle that
+    made khop 5.5 s at sf0.1 and 2.2-2.4x per 8x data). Band hits
+    rehydrate to exact pairs by a popcount filter on the full
+    signatures (carried through the join, 2 longs), and a CANONICAL-
+    band rule (band 0 iff d1<=1, band 1 iff d1>=2 and d2<=1) emits each
+    pair exactly once — so the candidate set, the graph, and the
+    oracle's plain hamming<=3 join are all IDENTICAL to the full ball.
+    Vectors are fetched AFTER the match by two |candidates|-row
+    equi-joins; the 64-double payload never rides an explosion."""
     from pyspark.sql.window import Window
 
     from ..operators.similarity import (
         _norm_sql,
         _pair_dot_sql,
         derived_n_planes,
-        hamming_ball_masks,
         to_double_array,
         with_signature,
     )
 
+    spark = emb.sparkSession
     w_bits = derived_n_planes(emb.count())
-    e = with_signature(
-        emb.select("vec_id", to_double_array(F.col("embedding")).alias("v")),
-        "v", _DIM, "sig", w_bits,
+    base = emb.select(
+        "vec_id", to_double_array(F.col("embedding")).alias("v")
     ).withColumn("nrm", F.expr(_norm_sql("v", _DIM)))
-    masks = hamming_ball_masks(w_bits, 3)
-    p_ball = (
-        e.select(F.col("vec_id").alias("a"), F.col("v").alias("pv"),
-                 F.col("nrm").alias("pn"), F.col("sig").alias("psig"))
-        .withColumn("mask", F.explode(F.array(*[F.lit(m) for m in masks])))
-        .withColumn("nsig", F.col("psig").bitwiseXOR(F.col("mask")))
-        .drop("mask", "psig")
+    sigs = with_signature(base, "v", _DIM, "sig", w_bits).select("vec_id", "sig")
+    b1 = w_bits - w_bits // 2  # low-band width (>= high)
+    b2 = w_bits // 2
+    low = (1 << b1) - 1
+    band_masks = [(0, m) for m in [0] + [1 << i for i in range(b1)]] + [
+        (1, m) for m in [0] + [1 << i for i in range(b2)]
+    ]
+    masks_df = spark.createDataFrame(band_masks, "band int, mask long")
+    band_key = F.when(
+        F.col("band") == 0, F.col("psig").bitwiseAND(F.lit(low))
+    ).otherwise(F.shiftright("psig", b1))
+    probe = (
+        sigs.select(F.col("vec_id").alias("a"), F.col("sig").alias("psig"))
+        .join(F.broadcast(masks_df))
+        .select(
+            "a", "psig", "band", band_key.bitwiseXOR(F.col("mask")).alias("bkey")
+        )
     )
-    c = e.select(
-        F.col("vec_id").alias("b"), F.col("v").alias("cv"),
-        F.col("nrm").alias("cn"), F.col("sig").alias("csig"),
+    cands_idx = sigs.select(
+        F.col("vec_id").alias("b"),
+        F.col("sig").alias("csig"),
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(0).alias("band"),
+                    F.col("sig").bitwiseAND(F.lit(low)).alias("bkey"),
+                ),
+                F.struct(
+                    F.lit(1).alias("band"),
+                    F.shiftright("sig", b1).alias("bkey"),
+                ),
+            )
+        ).alias("bk"),
+    ).select("b", "csig", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey"))
+    d1 = F.bit_count(F.col("psig").bitwiseXOR(F.col("csig")).bitwiseAND(F.lit(low)))
+    d_all = F.bit_count(F.col("psig").bitwiseXOR(F.col("csig")))
+    # a < b keeps each unordered pair ONCE through the fetch joins and
+    # the cosine (it's symmetric); the scored pair mirrors afterward so
+    # the per-node top-3 still sees both directions. Halves the scoring
+    # work relative to directional candidates.
+    cand = (
+        probe.join(cands_idx, on=["band", "bkey"])
+        .filter(F.col("a") < F.col("b"))
+        .filter(d_all <= 3)
+        .filter(
+            F.when(F.col("band") == 0, d1 <= 1).otherwise((d1 >= 2) & (d_all - d1 <= 1))
+        )
+        .select("a", "b")
+    )
+    va = base.select(
+        F.col("vec_id").alias("a"), F.col("v").alias("pv"), F.col("nrm").alias("pn")
+    )
+    vb = base.select(
+        F.col("vec_id").alias("b"), F.col("v").alias("cv"), F.col("nrm").alias("cn")
+    )
+    scored = (
+        cand.join(va, "a")
+        .join(vb, "b")
+        .select(
+            "a",
+            "b",
+            (F.expr(_pair_dot_sql("pv", "cv", _DIM)) / (F.col("pn") * F.col("cn"))).alias(
+                "cos"
+            ),
+        )
+        # lazy localCheckpoint: both union branches below read the
+        # materialized pair scores instead of re-executing the joins
+        .localCheckpoint(eager=False)
+    )
+    sym = scored.unionAll(
+        scored.select(F.col("b").alias("a"), F.col("a").alias("b"), "cos")
     )
     w = Window.partitionBy("a").orderBy(F.col("cos").desc(), F.col("b"))
     knn = (
-        p_ball.repartition(F.col("nsig"))
-        .join(c.repartition(F.col("csig")),
-              on=[F.col("nsig") == F.col("csig"), F.col("a") != F.col("b")])
-        .withColumn(
-            "cos", F.expr(_pair_dot_sql("pv", "cv", _DIM)) / (F.col("pn") * F.col("cn"))
-        )
-        .withColumn("rank", F.row_number().over(w))
+        sym.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 3)
         .select("a", "b")
     )
@@ -452,7 +523,11 @@ def _knn_undirected_edges(emb: DataFrame) -> DataFrame:
 )
 def graph_knn_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_fixture(spark, sf_dir, "embeddings")
-    edges = _knn_undirected_edges(emb)
+    # edges feeds both sides of the two-hop join, the closing edge
+    # anti-pattern join AND the n_edges aggregate — localCheckpoint
+    # materializes the signature-join build once (the khop/link_pred
+    # treatment; without it the 4 consumers re-execute it).
+    edges = _knn_undirected_edges(emb).localCheckpoint(eager=True)
     e1 = edges
     e2 = edges.select(F.col("a").alias("b"), F.col("b").alias("c"))
     e3 = edges.select(F.col("a").alias("_a"), F.col("b").alias("_c"))

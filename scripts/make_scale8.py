@@ -38,6 +38,24 @@ def main() -> None:
             r = base
             for k in keys:
                 r = r.withColumn(k, F.col(k) + F.lit(i * SHIFT))
+            if table == "embeddings" and i > 0:
+                # Rotate the embedding coordinates by i positions per
+                # replica. Verbatim replicas give every vector 7 exact
+                # twins, so TRUE near-neighbor pairs grow 64x instead of
+                # 8x and every pair-emitting similarity/graph operator
+                # looks quadratic for a reason that has nothing to do
+                # with its plan. A cyclic rotation preserves the norm
+                # and each replica's internal pair structure (fair 8x:
+                # 8x vectors, ~8x near pairs) while decorrelating
+                # cross-replica directions.
+                dim = 64
+                r = r.withColumn(
+                    "embedding",
+                    F.expr(
+                        f"concat(slice(embedding, {i} + 1, {dim} - {i}), "
+                        f"slice(embedding, 1, {i}))"
+                    ),
+                )
             reps = r if reps is None else reps.unionAll(r)
         reps.write.mode("overwrite").parquet(f"{out}/{table}.parquet")
         print(table, "done")
