@@ -945,16 +945,42 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "agg_hll_mergeable",
-    oracle=None,  # DataSketches HLL state isn't reproducible in DuckDB SQL;
-    # determinism + mergeability + error bound asserted in tests/test_search.py
+    oracle="""
+    WITH tok AS (
+        SELECT source, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+        FROM documents
+    ),
+    per AS (
+        SELECT source AS scope,
+               CAST(COUNT(DISTINCT term) AS BIGINT) AS est_ndv,
+               CAST(COUNT(DISTINCT term) AS BIGINT) AS exact_ndv
+        FROM tok GROUP BY source
+    ),
+    uni AS (
+        SELECT '_union_of_parts' AS scope,
+               CAST(COUNT(DISTINCT term) AS BIGINT) AS est_ndv,
+               CAST(NULL AS BIGINT) AS exact_ndv
+        FROM tok
+    ),
+    direct AS (
+        SELECT '_all_direct' AS scope,
+               CAST(COUNT(DISTINCT term) AS BIGINT) AS est_ndv,
+               CAST(COUNT(DISTINCT term) AS BIGINT) AS exact_ndv
+        FROM tok
+    )
+    SELECT * FROM per UNION ALL SELECT * FROM uni UNION ALL SELECT * FROM direct
+    """,
     doc="Mergeable HLL distinct-counting (Apache DataSketches via Spark's "
     "hll_sketch_agg/hll_union_agg, lgK=12): per-source word-NDV sketches, "
     "their union, and the direct whole-corpus sketch, each next to the "
     "exact NDV. The point is the MERGE property that makes 100 TB NDV "
     "cheap: partial sketches from each partition/day union without "
-    "rescanning. Rows-only by design (DataSketches state has no DuckDB "
-    "twin); union==direct equality and the error bound are asserted in "
-    "tests/test_search.py.",
+    "rescanning. VALUE-ORACLED via the sketch's exact regime (VERDICT r4 "
+    "#5): the fixture vocabulary (~31 terms at every SF) keeps every "
+    "lgK=12 sketch — and their union — in DataSketches' LIST mode, where "
+    "the estimate IS the exact NDV, so est==exact SQL hash-checks the "
+    "whole sketch->union->estimate path; the general-regime error bound "
+    "and mergeability stay asserted in tests/test_search.py.",
 )
 def agg_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.search import index_terms
@@ -988,8 +1014,11 @@ def agg_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sketch) over the token stream — the engine-native alternative to "
     "the hand-built count-min sketch (sketch_cms_wordfreq): one pass, "
     "mergeable, fixed memory. Exploded to (term, est_count) rows. "
-    "Rows-only by design (sketch internals are engine-specific); equality "
-    "vs exact top-10 is asserted in tests/test_search.py.",
+    "Rows-only by design: counts are exact at fixture NDV, but the "
+    "sf0.01 corpus has an exact TIE at the rank-10/11 boundary "
+    "(two terms at count 918), and which one the sketch returns is "
+    "sketch-internal — no SQL tie-break can promise the same set. "
+    "Equality vs exact top-10 is asserted in tests/test_search.py.",
 )
 def agg_approx_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.search import index_terms
@@ -2312,18 +2341,41 @@ def agg_median_exact_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "sketch_hll_set_overlap",
-    oracle=None,  # DataSketches HLL state has no DuckDB twin; the estimate
-    # arithmetic and an accuracy floor vs exact overlap are asserted in
-    # tests/test_search.py::test_hll_set_overlap_accuracy
+    oracle="""
+    WITH v AS (
+        SELECT DISTINCT source,
+               unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+        FROM documents
+        WHERE source IN ('src0', 'src1', 'src2', 'src3')
+    ),
+    sizes AS (SELECT source, COUNT(*) AS n FROM v GROUP BY source),
+    inter AS (
+        SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS i
+        FROM v a JOIN v b ON a.term = b.term AND a.source < b.source
+        GROUP BY a.source, b.source
+    )
+    SELECT i.src_a, i.src_b,
+           CAST(sa.n + sb.n - i.i AS BIGINT) AS est_union,
+           CAST(i.i AS BIGINT) AS est_intersection,
+           ROUND(CAST(i.i AS DOUBLE) / CAST(sa.n + sb.n - i.i AS DOUBLE), 4) AS est_jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.source = i.src_a
+    JOIN sizes sb ON sb.source = i.src_b
+    """,
     doc="Set-overlap estimation from MERGEABLE sketches (inclusion-"
     "exclusion over HLL): for each pair of document sources, estimate "
     "|vocab_a ∩ vocab_b| = est(a) + est(b) - est(a ∪ b) and the Jaccard "
-    "index, where the union estimate comes from hll_union_agg of the two "
+    "index, where the union estimate comes from hll_union of the two "
     "per-source sketches — NO rescan of either source. This is how "
     "100 TB corpus-overlap matrices are built: one sketch pass per "
-    "source, then O(pairs) driver-free sketch merges. Rows-only by "
-    "design (sketch state is engine-specific); accuracy vs the exact "
-    "intersection is measured, not assumed.",
+    "source, then O(pairs) driver-free sketch merges. VALUE-ORACLED via "
+    "the sketch's exact regime (VERDICT r4 #5, same argument as "
+    "agg_hll_mergeable): at fixture vocabulary sizes every per-source "
+    "and pairwise-union lgK=12 sketch sits in LIST mode where estimates "
+    "are exact, so the exact-intersection SQL hash-checks the "
+    "inclusion-exclusion arithmetic end to end; the dense-regime "
+    "accuracy floor is measured in "
+    "tests/test_search.py::test_hll_set_overlap_accuracy.",
 )
 def sketch_hll_set_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.search import index_terms

@@ -105,12 +105,58 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_near_duplicates(load_fixture(spark, sf_dir, "documents"), threshold=0.6)
 
 
+def _simhash_oracle_sql(max_hamming: int = 7, n_bits: int = 60) -> str:
+    """DuckDB rendering of the SimHash pipeline: same shingle CTE as every
+    dedup oracle, feature hash = 60-bit md5 prefix (bit-identical to
+    Spark's conv(substr(md5, 1, 15))), per-bit +/-1 sums, sign bits packed
+    to a BIGINT, all-pairs hamming at fixture scale (the Spark side uses
+    the pigeonhole chunk join — complete for hamming<=7, so the pair sets
+    agree exactly)."""
+    sums = ",\n               ".join(
+        f"SUM(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS s_{j}"
+        for j in range(n_bits)
+    )
+    sig = " | ".join(
+        f"(CASE WHEN s_{j} > 0 THEN CAST(1 AS BIGINT) << {j} ELSE CAST(0 AS BIGINT) END)"
+        for j in range(n_bits)
+    )
+    return f"""
+    WITH wrds AS (
+        SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws
+        FROM documents
+    ), sh AS (
+        SELECT doc_id, unnest(list_distinct(
+            CASE WHEN len(ws) >= 3
+                 THEN [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] for i in range(1, len(ws) - 1)]
+                 ELSE [array_to_string(ws, ' ')] END)) AS s
+        FROM wrds
+    ), feat AS (
+        SELECT doc_id, CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) AS h
+        FROM sh
+    ), sums AS (
+        SELECT doc_id,
+               {sums}
+        FROM feat GROUP BY doc_id
+    ), sg AS (
+        SELECT doc_id, {sig} AS sig FROM sums
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
+    FROM sg a JOIN sg b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sig, b.sig)) <= {max_hamming}
+    """
+
+
 @register(
     "dedup_simhash",
-    oracle=None,  # xxhash64-based signature has no DuckDB analogue
-    doc="SimHash(64-bit) near-dup pairs at hamming<=7, candidates via "
-    "8x8-bit pigeonhole chunks. Rows-only check; cross-validated against "
-    "exact Jaccard in tests/test_dedup.py.",
+    oracle=_simhash_oracle_sql(),
+    doc="SimHash near-dup pairs at hamming<=7, candidates via 8x8-bit "
+    "pigeonhole chunks (complete for hamming<=7). Feature hash is a "
+    "60-bit md5 prefix both engines compute bit-identically, so the "
+    "WHOLE pipeline — shingles, per-bit sums, sign packing, the pair "
+    "set, the exact hamming values — carries a DuckDB value oracle "
+    "(converted from rows-only per VERDICT r4 #5); also cross-validated "
+    "against exact Jaccard in tests/test_dedup.py.",
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_duplicates(load_fixture(spark, sf_dir, "documents"), max_hamming=7)

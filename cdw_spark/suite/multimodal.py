@@ -38,15 +38,44 @@ def multimodal_blob_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "multimodal_features",
-    oracle=None,  # mapInPandas fake-decode features are Spark-side only
+    oracle="""
+    WITH d AS (SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents)
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS byte_len,
+           sha256(text) AS content_sha256,
+           md5(array_to_string(
+               [CASE WHEN n = 0 THEN 0
+                     ELSE ascii(substr(text, (i * 7919) % n + 1, 1)) END
+                FOR i IN range(0, 8)], ',')) AS features_md5
+    FROM d
+    """,
     doc="Arrow-batched mapInPandas feature extraction over binary blobs "
-    "(decode stubbed deterministically — no codecs in container). "
-    "Rows-only check; determinism + batch-shape tested in "
-    "tests/test_multimodal.py.",
+    "(decode stubbed deterministically — no codecs in container). The "
+    "8-float feature vector projects as an md5 digest of its exact byte "
+    "values (f_i*255 is integral by construction — the tokenize_vocab_ids "
+    "digest pattern, VERDICT r4 #5), alongside the engine-neutral "
+    "byte_len/sha256, so the whole mapInPandas batch path is value-"
+    "oracled; the raw-array surface stays available via "
+    "operators.multimodal.extract_features and the per-value scalar twin "
+    "multimodal_features_scalar.",
 )
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = attach_blob(load_fixture(spark, sf_dir, "documents"))
-    return extract_features(d, fake=True)
+    feats = extract_features(d, fake=True)
+    return feats.select(
+        "doc_id",
+        F.col("byte_len").cast("bigint").alias("byte_len"),
+        F.col("sha256").alias("content_sha256"),
+        F.md5(
+            F.concat_ws(
+                ",",
+                *[
+                    F.round(F.col("features")[i] * 255).cast("int").cast("string")
+                    for i in range(8)
+                ],
+            )
+        ).alias("features_md5"),
+    )
 
 
 @register(
@@ -150,15 +179,64 @@ def multimodal_audio_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "multimodal_image_near_dup",
-    oracle=None,
+    oracle="""
+    WITH d AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 50 = 1 THEN doc_id - 1 ELSE doc_id END AS base,
+               (doc_id % 50 = 1) AS twin
+        FROM documents
+    ), byt AS (
+        SELECT doc_id, twin, i * 16 + j AS pos,
+               CAST(('0x' || substr(md5('img:' || base || ':' || i), j * 2 + 1, 2)) AS INTEGER) AS byte
+        FROM d, UNNEST(range(0, 48)) AS u1(i), UNNEST(range(0, 16)) AS u2(j)
+    ), b2 AS (
+        SELECT doc_id, pos,
+               CASE WHEN twin AND pos = 0 THEN (byte + 1) % 256 ELSE byte END AS byte
+        FROM byt WHERE pos < 768
+    ), luma AS (
+        SELECT doc_id, pos // 3 AS p,
+               (299 * MAX(CASE WHEN pos % 3 = 0 THEN byte END)
+              + 587 * MAX(CASE WHEN pos % 3 = 1 THEN byte END)
+              + 114 * MAX(CASE WHEN pos % 3 = 2 THEN byte END)) // 1000 AS y
+        FROM b2 GROUP BY doc_id, pos // 3
+    ), cells AS (
+        SELECT doc_id, ((p // 16) // 2) * 8 + ((p % 16) // 2) AS cell,
+               CAST(SUM(y) AS BIGINT) AS s4
+        FROM luma GROUP BY doc_id, ((p // 16) // 2) * 8 + ((p % 16) // 2)
+    ), gm AS (
+        SELECT doc_id, CAST(SUM(s4) AS BIGINT) AS s256 FROM cells GROUP BY doc_id
+    ), bits AS (
+        SELECT c.doc_id, c.cell, CASE WHEN 64 * c.s4 > g.s256 THEN 1 ELSE 0 END AS bit
+        FROM cells c JOIN gm g ON g.doc_id = c.doc_id
+    ), h AS (
+        SELECT doc_id,
+               SUM(CASE WHEN bit = 1 AND cell < 63 THEN CAST(1 AS BIGINT) << cell
+                        WHEN bit = 1 AND cell = 63 THEN CAST(-9223372036854775807 AS BIGINT) - 1
+                        ELSE CAST(0 AS BIGINT) END) AS ah
+        FROM bits GROUP BY doc_id
+    ), pairs AS (
+        SELECT a.doc_id AS keep0, b.doc_id AS dup0,
+               bit_count(xor(a.ah, b.ah)) AS hamming
+        FROM h a JOIN h b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.ah, b.ah)) <= 3
+    )
+    SELECT dup0 AS dup_id, MIN(keep0) AS keep_id,
+           CAST(MIN(hamming) AS INTEGER) AS hamming
+    FROM pairs GROUP BY dup0
+    """,
     doc="Near-duplicate IMAGE detection: perceptual average-hash (8x8 "
     "luma grid over the decoded raster) then hamming<=3 pairs via the "
     "pigeonhole 4x16-bit chunk equi-join — the visual twin of the "
     "simhash text plan; only (id, 64-bit hash) rows ever shuffle. "
-    "Rows-only BY NATURE (image decode is not SQL); planted twin images "
-    "(doc_id % 50 == 1 perturbs its predecessor's raster by one byte) "
-    "give a known ground truth asserted with a pure-Python "
-    "brute-force reference in tests/test_multimodal.py "
+    "Planted twin images (doc_id % 50 == 1 perturbs its predecessor's "
+    "raster by one byte) give a known ground truth asserted with a "
+    "pure-Python brute-force reference in tests/test_multimodal.py. "
+    "Fully VALUE-ORACLED (converted from rows-only, VERDICT r4 #5): the "
+    "fixture rasters are md5-stream bytes, so the oracle restates synth "
+    "-> P6 decode -> integer luma -> 2x2 box sums -> threshold bits -> "
+    "packed 64-bit hash -> all-pairs hamming ENTIRELY in integer SQL "
+    "(cell mean > global mean is exact as 64*s4 > s256), hash-checking "
+    "the whole image pipeline including the signed-bit-63 packing "
     "(operators/multimodal.py:ahash_near_duplicates).",
 )
 def multimodal_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -24,6 +24,7 @@ identical, 9515 rows at sf0.01):
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..registry import register
 from ..streaming.source import events_stream, run_available_now
@@ -134,14 +135,28 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "stream_stateful_sessionize",
-    oracle=None,  # Python-stateful operator; batch-differential in tests
+    oracle=_SESSION_APPEND_ORACLE,
     doc="Custom stateful sessionizer via applyInPandasWithState (event-time "
-    "timeouts, per-user state machine). Rows-only for the driver; equals "
-    "the watermark-closed batch sessions in tests/test_streaming.py.",
+    "timeouts, per-user state machine). Intentionally reproduces "
+    "session_window append semantics exactly (streaming/stateful.py), so "
+    "the gaps-and-islands SQL under the same final-watermark cutoff is a "
+    "full VALUE oracle (converted from rows-only, VERDICT r4 #5): "
+    "session bounds, event counts, and 2dp session totals all hash-check. "
+    "total_value accumulates double in event-time order in state; "
+    "rounding to 2dp equals the DECIMAL-exact sum because inputs are "
+    "2-decimal values. Also differential-tested against the built-in "
+    "session_window stream in tests/test_streaming.py.",
 )
 def stream_stateful_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     sdf = sessionize(with_watermark(events_stream(spark, sf_dir, n_files=4), "2 hours"))
-    return run_available_now(sdf, "stateful_sessionize", "append")
+    out = run_available_now(sdf, "stateful_sessionize", "append")
+    return out.select(
+        "user_id",
+        "session_start",
+        "session_end",
+        "n_events",
+        F.round("total_value", 2).alias("total_value"),
+    )
 
 
 @register(
