@@ -119,6 +119,11 @@ HEADLINE = [
     "clustering_kmeans_exact",
     "curation_pipeline_v2",
     "timeseries_max_drawdown",
+    # round 5: the newly value-oracled conversions (simhash + the
+    # sessionizer state machine are real per-round costs worth tracking)
+    "dedup_simhash",
+    "stream_stateful_sessionize",
+    "multimodal_features",
 ]
 
 

@@ -247,21 +247,79 @@ def multimodal_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "multimodal_video_shots",
-    oracle=None,
+    oracle="""
+    WITH fr AS (
+        SELECT doc_id, t,
+               CASE WHEN t < 4 THEN ':a:' ELSE ':b:' END AS tag,
+               CASE WHEN t < 4 THEN t ELSE t - 4 END AS drift,
+               (t < 4) AS bright
+        FROM documents, UNNEST(range(0, 8)) u(t)
+    ), byt AS (
+        SELECT doc_id, t, drift, bright, i * 16 + j AS pos,
+               CAST(('0x' || substr(md5('vid:' || doc_id || tag || i), j * 2 + 1, 2)) AS INTEGER) AS byte
+        FROM fr, UNNEST(range(0, 48)) u1(i), UNNEST(range(0, 16)) u2(j)
+    ), b2 AS (
+        SELECT doc_id, t, pos,
+               CASE WHEN pos < drift
+                    THEN ((CASE WHEN bright THEN byte | 128 ELSE byte & 127 END) + 7) % 256
+                    ELSE (CASE WHEN bright THEN byte | 128 ELSE byte & 127 END) END AS byte
+        FROM byt WHERE pos < 768
+    ), luma AS (
+        SELECT doc_id, t, pos // 3 AS p,
+               (299 * MAX(CASE WHEN pos % 3 = 0 THEN byte END)
+              + 587 * MAX(CASE WHEN pos % 3 = 1 THEN byte END)
+              + 114 * MAX(CASE WHEN pos % 3 = 2 THEN byte END)) // 1000 AS y
+        FROM b2 GROUP BY doc_id, t, pos // 3
+    ), hist AS (
+        SELECT doc_id, t, y // 32 AS bin, COUNT(*) AS n
+        FROM luma GROUP BY doc_id, t, y // 32
+    ), spine_base AS (
+        SELECT d.doc_id, u.t, b.bin
+        FROM (SELECT DISTINCT doc_id FROM documents) d
+        CROSS JOIN UNNEST(range(0, 8)) u(t)
+        CROSS JOIN UNNEST(range(0, 8)) b(bin)
+    ), spine AS (
+        SELECT sb.doc_id, sb.t, sb.bin, COALESCE(h.n, 0) AS n
+        FROM spine_base sb
+        LEFT JOIN hist h ON h.doc_id = sb.doc_id AND h.t = sb.t AND h.bin = sb.bin
+    ), l1 AS (
+        SELECT cur.doc_id, cur.t AS frame_idx,
+               CAST(SUM(abs(cur.n - prv.n)) AS INTEGER) AS l1_x256
+        FROM spine cur JOIN spine prv
+          ON prv.doc_id = cur.doc_id AND prv.t = cur.t - 1 AND prv.bin = cur.bin
+        WHERE cur.t >= 1
+        GROUP BY cur.doc_id, cur.t
+    )
+    SELECT doc_id, CAST(frame_idx AS INTEGER) AS frame_idx, l1_x256,
+           CAST(CASE WHEN l1_x256 > 128 THEN 1 ELSE 0 END AS INTEGER) AS is_cut
+    FROM l1
+    """,
     doc="Video shot-boundary detection: decode each clip (stdlib PVV "
     "frame container — the demuxer seam a real deployment fills with "
     "PyAV), 8-bin luma histogram per frame, cut where consecutive "
     "frames' L1 histogram distance exceeds 0.5 — the first-pass shot "
     "segmenter video-training pipelines run before per-shot frame "
-    "sampling. Rows-only BY NATURE (decode); the planted mid-clip cut "
-    "and a pure-Python reference are asserted in "
-    "tests/test_multimodal.py (operators/multimodal.py:"
-    "video_shot_boundaries).",
+    "sampling. VALUE-ORACLED (converted from rows-only, VERDICT r4 #5, "
+    "the image aHash treatment): clip frames are md5-stream rasters "
+    "with a luminance bias and per-frame drift, so the oracle restates "
+    "synth -> demux -> decode -> integer luma -> 8-bin histogram -> "
+    "consecutive-frame L1 in exact integer SQL; the query projects the "
+    "distance as l1_x256 = round(l1_dist*256) (the exact integer "
+    "numerator of the normalized distance) so no float rounding "
+    "convention enters the hash. Planted mid-clip cut + pure-Python "
+    "reference stay asserted in tests/test_multimodal.py "
+    "(operators/multimodal.py:video_shot_boundaries).",
 )
 def multimodal_video_shots(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.multimodal import video_shot_boundaries
 
-    return video_shot_boundaries(load_fixture(spark, sf_dir, "documents"))
+    out = video_shot_boundaries(load_fixture(spark, sf_dir, "documents"))
+    return out.select(
+        "doc_id",
+        F.col("frame_idx").cast("int").alias("frame_idx"),
+        F.round(F.col("l1_dist") * 256).cast("int").alias("l1_x256"),
+        F.col("is_cut").cast("int").alias("is_cut"),
+    )
 
 
 @register(
@@ -279,18 +337,94 @@ def multimodal_audio_spectral(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_spectral_centroid(load_fixture(spark, sf_dir, "documents"))
 
 
+def _phash_oracle_sql(max_hamming: int = 3) -> str:
+    """DuckDB rendering of the ENTIRE pHash pipeline: md5-stream raster
+    synthesis, P6 byte layout, integer luma, the fixed-point 16x16 DCT-II
+    stated as two literal-basis matmul joins (exact BIGINT — the same
+    reason codecs specify integer transforms), the 8x8 block's integer
+    median via dense ranks 32/33, signed bit-63 packing, all-pairs
+    hamming. Every step is integer, so the hash check covers the
+    transform bit-for-bit."""
+    from ..operators.multimodal import _dct16_basis
+
+    B = _dct16_basis()
+    vals = ", ".join(
+        f"({u}, {x}, {B[u][x]})" for u in range(16) for x in range(16)
+    )
+    return f"""
+    WITH d0 AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 50 = 1 THEN doc_id - 1 ELSE doc_id END AS base,
+               (doc_id % 50 = 1) AS twin
+        FROM documents
+    ), byt AS (
+        SELECT doc_id, twin, i * 16 + j AS pos,
+               CAST(('0x' || substr(md5('img:' || base || ':' || i), j * 2 + 1, 2)) AS INTEGER) AS byte
+        FROM d0, UNNEST(range(0, 48)) u1(i), UNNEST(range(0, 16)) u2(j)
+    ), b2 AS (
+        SELECT doc_id, pos,
+               CASE WHEN twin AND pos = 0 THEN (byte + 1) % 256 ELSE byte END AS byte
+        FROM byt WHERE pos < 768
+    ), luma AS (
+        SELECT doc_id, (pos // 3) // 16 AS y, (pos // 3) % 16 AS x,
+               CAST((299 * MAX(CASE WHEN pos % 3 = 0 THEN byte END)
+              + 587 * MAX(CASE WHEN pos % 3 = 1 THEN byte END)
+              + 114 * MAX(CASE WHEN pos % 3 = 2 THEN byte END)) // 1000 AS BIGINT) AS yv
+        FROM b2 GROUP BY doc_id, pos // 3
+    ), bas(u, x, c) AS (
+        SELECT * FROM (VALUES {vals}) AS t(u, x, c)
+    ), t1 AS (
+        SELECT l.doc_id, b.u, l.x, CAST(SUM(b.c * l.yv) AS BIGINT) AS tv
+        FROM luma l JOIN bas b ON b.x = l.y
+        GROUP BY l.doc_id, b.u, l.x
+    ), d2 AS (
+        SELECT t1.doc_id, t1.u, b.u AS v, CAST(SUM(t1.tv * b.c) AS BIGINT) AS dv
+        FROM t1 JOIN bas b ON b.x = t1.x
+        GROUP BY t1.doc_id, t1.u, b.u
+    ), blk AS (
+        SELECT doc_id, u * 8 + v AS i, dv,
+               ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY dv) AS rk
+        FROM d2 WHERE u < 8 AND v < 8
+    ), med AS (
+        SELECT doc_id,
+               (MAX(CASE WHEN rk = 32 THEN dv END)
+              + MAX(CASE WHEN rk = 33 THEN dv END)) // 2 AS m
+        FROM blk GROUP BY doc_id
+    ), h AS (
+        SELECT b.doc_id,
+               SUM(CASE WHEN b.dv > m.m AND b.i < 63 THEN CAST(1 AS BIGINT) << b.i
+                        WHEN b.dv > m.m AND b.i = 63 THEN CAST(-9223372036854775807 AS BIGINT) - 1
+                        ELSE CAST(0 AS BIGINT) END) AS ph
+        FROM blk b JOIN med m ON m.doc_id = b.doc_id
+        GROUP BY b.doc_id
+    ), pairs AS (
+        SELECT a.doc_id AS keep0, b.doc_id AS dup0,
+               bit_count(xor(a.ph, b.ph)) AS hamming
+        FROM h a JOIN h b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.ph, b.ph)) <= {max_hamming}
+    )
+    SELECT dup0 AS dup_id, MIN(keep0) AS keep_id,
+           CAST(MIN(hamming) AS INTEGER) AS hamming
+    FROM pairs GROUP BY dup0
+    """
+
+
 @register(
     "multimodal_image_phash_near_dup",
-    oracle=None,
+    oracle=_phash_oracle_sql(),
     doc="Near-duplicate IMAGE detection by DCT perceptual hash: "
     "fixed-point 16x16 DCT-II (integer basis, exact int64 matmuls — the "
     "same reason codecs specify integer transforms), top-left 8x8 "
     "low-frequency block thresholded at its integer median, then the "
     "pigeonhole 4x16-bit chunk equi-join shared with the aHash plan. "
     "Sturdier than aHash (low-frequency structure, not per-cell "
-    "brightness). Rows-only BY NATURE (image decode is not SQL); planted "
-    "one-byte twin rasters and scalar/batch bit-identity are asserted in "
-    "tests/test_multimodal.py (operators/multimodal.py:phash_near_duplicates).",
+    "brightness). VALUE-ORACLED (converted from rows-only, VERDICT r4 "
+    "#5): the fixed-point integer DCT makes the whole transform exact, "
+    "so the oracle restates raster synthesis, both basis matmuls (256 "
+    "literal coefficients), the block median, bit packing, and the pair "
+    "set in integer SQL; planted one-byte twin rasters and scalar/batch "
+    "bit-identity stay asserted in tests/test_multimodal.py "
+    "(operators/multimodal.py:phash_near_duplicates).",
 )
 def multimodal_image_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.multimodal import phash_near_duplicates
