@@ -91,8 +91,11 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # outlier_zscore, mix_sources_weighted, curriculum_phases,
 # embedding_quantize_int8, global_shuffle_rank, incremental_agg_merge,
 # sample_class_balanced, quantile_rank_normalize, batch_by_length,
-# select_token_budget, corpus_mix_entropy, multimodal_features_scalar's
-# rows-only siblings as they gain digest oracles.
+# select_token_budget, corpus_mix_entropy, and the eight queries this
+# round converted from rows-only to full value oracles (VERDICT r4 #5):
+# dedup_simhash, multimodal_features, multimodal_image_near_dup,
+# multimodal_video_shots, multimodal_image_phash_near_dup,
+# stream_stateful_sessionize, agg_hll_mergeable, sketch_hll_set_overlap.
 _WINDOW_ROUND = 5  # the round this window was authored FOR — meta-tests
 # treat CORRECTNESS records from rounds >= this as the window's own
 # grade, not prior evidence (VERDICT r4 #3's self-invalidation fix).
