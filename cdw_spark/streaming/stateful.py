@@ -56,15 +56,18 @@ STATE_SCHEMA = StructType(
 GAP_US = 30 * 60 * 1_000_000
 
 
-def _emit(user_id: int, sess: list) -> pd.DataFrame:
-    start_us, last_us, n, total = sess
+def _emit(user_id: int, closed: list[list]) -> pd.DataFrame:
+    """ONE DataFrame for every session closed this call — per-session
+    1-row frames cost ~1 ms each in pandas construction, which dominated
+    the whole operator at fixture scale (measured: the batched form cut
+    the streaming replay several seconds at sf0.1)."""
     return pd.DataFrame(
         {
-            "user_id": [user_id],
-            "session_start": [pd.to_datetime(start_us, unit="us")],
-            "session_end": [pd.to_datetime(last_us + GAP_US, unit="us")],
-            "n_events": [n],
-            "total_value": [total],
+            "user_id": [user_id] * len(closed),
+            "session_start": pd.to_datetime([s[0] for s in closed], unit="us"),
+            "session_end": pd.to_datetime([s[1] + GAP_US for s in closed], unit="us"),
+            "n_events": [s[2] for s in closed],
+            "total_value": [s[3] for s in closed],
         }
     )
 
@@ -78,11 +81,14 @@ def _flush(user_id: int, sessions: list[list], state: GroupState):
     new session, and later-than-that events are dropped as late."""
     wm_us = state.getCurrentWatermarkMs() * 1000
     keep: list[list] = []
+    closed: list[list] = []
     for sess in sessions:
         if sess[1] + GAP_US <= wm_us:
-            yield _emit(user_id, sess)
+            closed.append(sess)
         else:
             keep.append(sess)
+    if closed:
+        yield _emit(user_id, closed)
     if keep:
         state.update(
             (
