@@ -208,6 +208,77 @@ def sample_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hash_split(load_fixture(spark, sf_dir, "documents"))
 
 
+from .dedup import _JACCARD_SQL as _LEAK_PAIRS_SQL
+
+
+@register(
+    "sample_split_leakage_safe",
+    oracle=f"""
+    WITH RECURSIVE pairs AS ({_LEAK_PAIRS_SQL}),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION
+        SELECT id_b, id_a FROM pairs
+    ),
+    reach(src, dst) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    ),
+    comp AS (
+        SELECT src AS doc_id, LEAST(src, MIN(dst)) AS component_id
+        FROM reach GROUP BY src
+    ),
+    rooted AS (
+        SELECT d.doc_id, COALESCE(c.component_id, d.doc_id) AS root
+        FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+    ),
+    b AS (
+        SELECT doc_id, root,
+               CAST(('0x' || substr(md5(CAST(root AS VARCHAR)), 1, 8)) AS BIGINT) % 10 AS bk
+        FROM rooted
+    )
+    SELECT doc_id, CAST(root AS BIGINT) AS root,
+           CASE WHEN bk <= 7 THEN 'train' WHEN bk = 8 THEN 'val' ELSE 'test' END AS split
+    FROM b
+    """,
+    doc="LEAKAGE-SAFE train/val/test split: assignment is hashed from the "
+    "document's near-duplicate COMPONENT root (connected components over "
+    "the exact 0.6-Jaccard pair graph; singletons root at themselves), "
+    "not the document id — so no near-duplicate pair ever straddles "
+    "train and test, the eval-set contamination that per-document hash "
+    "splits (sample_hash_split) silently allow whenever fuzzy "
+    "duplicates exist. The standard split discipline for LLM corpora. "
+    "Scale shape: components come from the pointer-jumping label "
+    "propagation already proven by dedup_components (bounded rounds, "
+    "pair graph from banded LSH at scale); the split itself is a pure "
+    "md5 projection, no extra shuffle. The 32-bit md5-prefix bucket is "
+    "engine-portable (dedup_simhash's treatment), property-tested in "
+    "tests/test_curate.py: every component is split-pure and no "
+    "jaccard>=0.6 pair crosses splits.",
+)
+def sample_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import connected_components, ngram_jaccard_pairs
+
+    docs = load_fixture(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs)
+    comp = connected_components(pairs)
+    rooted = docs.select("doc_id").join(comp, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("component_id"), F.col("doc_id")).alias("root"),
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("root").cast("string")), 1, 8), 16, 10)
+        .cast("bigint") % 10
+    )
+    split = (
+        F.when(bucket <= 7, "train").when(bucket == 8, "val").otherwise("test")
+    )
+    return rooted.select(
+        "doc_id", F.col("root").cast("bigint").alias("root"), split.alias("split")
+    )
+
+
 @register(
     "sample_stratified",
     oracle="""
