@@ -16,9 +16,10 @@ identical, 9515 rows at sf0.01):
 - append-mode queries emit exactly the windows closed by the final
   watermark (max event time - delay) -> oracle filters the batch answer by
   that same predicate;
-- the applyInPandasWithState sessionizer is Python-stateful -> rows-only
-  for the driver, differentially tested against the batch session query in
-  tests/test_streaming.py.
+- the applyInPandasWithState sessionizer reproduces session_window append
+  semantics exactly, so it shares that query's full value oracle (round 5;
+  also differentially tested against the built-in stream in
+  tests/test_streaming.py).
 """
 
 from __future__ import annotations
@@ -675,3 +676,123 @@ def stream_near_dup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination(240)
     return spark.read.parquet(pairs_dir)
+
+
+from ..operators.similarity import signature_oracle_sql as _strm_sig_sql
+
+_SEMANTIC_INGEST_ORACLE = f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    sigs AS (
+        SELECT vec_id, v, {_strm_sig_sql("v", 64)} AS sig FROM e
+    ),
+    pairs AS (
+        SELECT b.vec_id AS dup_id, a.vec_id AS keep_id, a.sig AS cluster,
+               list_dot_product(a.v, b.v) /
+               (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cos_raw
+        FROM sigs a JOIN sigs b ON a.sig = b.sig AND a.vec_id < b.vec_id
+    )
+    SELECT dup_id, MIN(keep_id) AS keep_id,
+           CAST(MIN(cluster) AS INTEGER) AS cluster,
+           ROUND(arg_min(cos_raw, keep_id), 6) AS cosine
+    FROM pairs
+    WHERE cos_raw >= CAST(0.25 AS DOUBLE)
+    GROUP BY dup_id
+"""
+
+
+@register(
+    "stream_semantic_ingest",
+    oracle=_SEMANTIC_INGEST_ORACLE,
+    doc="SemDeDup AT THE INGESTION DOOR — the embedding twin of "
+    "stream_near_dup_ingest: each micro-batch of vectors is checked "
+    "against the ACCUMULATED corpus for semantic duplicates (same "
+    "literal-hyperplane cluster signature + exact intra-cluster cosine "
+    "and >= 0.25 threshold as the batch dedup_semantic). The foreachBatch "
+    "sink persists (vector, norm, signature) rows, so each vector is "
+    "signatured exactly once ever; candidates come from the batch's "
+    "cluster ids equi-joined against the growing index (slim id/sig "
+    "rows; vectors fetched post-match). Because the stream replays in "
+    "vec_id order, every (keep < dup) pair materializes exactly when the "
+    "dup's batch arrives — the per-batch emissions partition the full "
+    "pair set, so the batch twin's oracle applies verbatim to the "
+    "streamed union. At 100 TB the same body targets a transactional "
+    "table format.",
+)
+def stream_semantic_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from ..operators.similarity import (
+        N_PLANES,
+        _norm_sql,
+        _pair_dot_sql,
+        to_double_array,
+        with_signature,
+    )
+    from ..streaming.source import table_stream
+
+    dim = 64
+    root = tempfile.mkdtemp(prefix="cdw_stream_semdedup_")
+    vec_dir = os.path.join(root, "vectors")
+    out_dir = os.path.join(root, "dups")
+
+    def enrich(df: DataFrame) -> DataFrame:
+        base = df.select("vec_id", to_double_array(F.col("embedding")).alias("v"))
+        return with_signature(base, "v", dim, "sig", N_PLANES).withColumn(
+            "nrm", F.expr(_norm_sql("v", dim))
+        )
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    enrich(empty).write.mode("overwrite").parquet(vec_dir)
+    spark.createDataFrame(
+        [], "dup_id long, keep_id long, cluster int, cosine double"
+    ).write.mode("overwrite").parquet(out_dir)
+
+    def handle(batch, batch_id):
+        eb = enrich(batch.select("vec_id", "embedding")).localCheckpoint(eager=True)
+        old = spark.read.parquet(vec_dir)
+        allv = old.unionByName(eb)
+        # slim candidate join on (id, cluster); vectors fetched post-match
+        dup_ids = eb.select(
+            F.col("vec_id").alias("dup_id"), F.col("sig").alias("cluster")
+        )
+        keep_ids = allv.select(
+            F.col("vec_id").alias("keep_id"), F.col("sig").alias("cluster")
+        )
+        cand = dup_ids.join(keep_ids, "cluster").filter(
+            F.col("keep_id") < F.col("dup_id")
+        )
+        dv = allv.select(
+            F.col("vec_id").alias("dup_id"), F.col("v").alias("dv"), F.col("nrm").alias("dn")
+        )
+        kv = allv.select(
+            F.col("vec_id").alias("keep_id"), F.col("v").alias("kv"), F.col("nrm").alias("kn")
+        )
+        scored = (
+            cand.join(dv, "dup_id")
+            .join(kv, "keep_id")
+            .withColumn(
+                "cos", F.expr(_pair_dot_sql("kv", "dv", dim)) / (F.col("kn") * F.col("dn"))
+            )
+            .filter(F.col("cos") >= 0.25)
+        )
+        res = scored.groupBy("dup_id").agg(
+            F.min("keep_id").alias("keep_id"),
+            F.min("cluster").cast("int").alias("cluster"),
+            F.round(F.min_by("cos", "keep_id"), 6).alias("cosine"),
+        )
+        res.select("dup_id", "keep_id", "cluster", "cosine").write.mode(
+            "append"
+        ).parquet(out_dir)
+        eb.write.mode("append").parquet(vec_dir)
+
+    sdf = table_stream(spark, sf_dir, "embeddings", order_col="vec_id", n_files=4)
+    q = (
+        sdf.select("vec_id", "embedding")
+        .writeStream.foreachBatch(handle)
+        .option("checkpointLocation", os.path.join(root, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+    return spark.read.parquet(out_dir)

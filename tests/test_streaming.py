@@ -461,3 +461,25 @@ def test_near_dup_ingest_signature_work_stays_flat(spark, sf_dir, monkeypatch):
         for r in minhash_near_duplicates(docs, threshold=0.6).collect()
     }
     assert got == want
+
+
+def test_semantic_ingest_matches_batch_semdedup(spark, sf_dir):
+    """The streamed SemDeDup-at-ingest union must equal the one-shot batch
+    semantic_dedup over the full corpus — the pair-partition argument
+    (id-ordered arrival => every keep<dup pair materializes exactly when
+    the dup's batch lands) made concrete."""
+    from cdw_spark.catalog import load_fixture
+    from cdw_spark.operators.similarity import semantic_dedup
+
+    streamed = {
+        (r.dup_id, r.keep_id, r.cluster, r.cosine)
+        for r in SPECS["stream_semantic_ingest"].fn(spark, sf_dir).collect()
+    }
+    batch = {
+        (r.dup_id, r.keep_id, int(r.cluster), round(float(r.cosine), 6))
+        for r in semantic_dedup(
+            load_fixture(spark, sf_dir, "embeddings"), threshold=0.25
+        ).collect()
+    }
+    assert streamed == batch
+    assert streamed, "fixture must contain semantic duplicates"
