@@ -1243,6 +1243,61 @@ def pq_topk(
 # the recurrence and both engines agree bit-for-bit at every iteration.
 
 
+def _centroid_dist_expr(c: list[int], dim: int) -> str:
+    """Exact bigint squared distance of the x256 quantized row grid to one
+    literal centroid — the shared scoring fold of the exact-kmeans family."""
+    return " + ".join(
+        f"(cast(qv[{i}] as bigint)*256 - ({c[i]})) * "
+        f"(cast(qv[{i}] as bigint)*256 - ({c[i]}))"
+        for i in range(dim)
+    )
+
+
+def _assign_to_centroids(frame: DataFrame, cents: list[list[int]], dim: int) -> DataFrame:
+    """Argmin assignment against literal centroids (ties to the lower cid):
+    k codegen'd distance folds per row, zero join, zero shuffle. Adds
+    ``cid`` and the min distance ``_dm``."""
+    k = len(cents)
+    d = frame
+    for c_idx, c in enumerate(cents):
+        d = d.withColumn(f"_d{c_idx}", F.expr(_centroid_dist_expr(c, dim)))
+    dmin = F.least(*[F.col(f"_d{c_idx}") for c_idx in range(k)])
+    cid = F.lit(None)
+    for c_idx in reversed(range(k)):
+        cid = F.when(F.col(f"_d{c_idx}") == F.col("_dm"), c_idx).otherwise(cid)
+    return (
+        d.withColumn("_dm", dmin)
+        .withColumn("cid", cid.cast("int"))
+        .drop(*[f"_d{c_idx}" for c_idx in range(k)])
+    )
+
+
+def _kmeans_train_centroids(q: DataFrame, k: int, iters: int, dim: int) -> list[list[int]]:
+    """The exact-integer Lloyd loop over a pre-quantized (_id, qv) frame:
+    init = the k lowest-id vectors, update = floor((512s+n)/(2n)) on the
+    x256 sub-grid, one k-row driver sync per iteration. A cluster that
+    empties keeps its stale centroid (the SQL oracle carries it forward
+    identically). Returns the trained centroid grid."""
+    init = q.filter(F.col("_id") < k).orderBy("_id").collect()
+    cents = [[256 * int(r["qv"][i]) for i in range(dim)] for r in init]
+    for _ in range(iters):
+        stats = (
+            _assign_to_centroids(q, cents, dim)
+            .groupBy("cid")
+            .agg(
+                F.count(F.lit(1)).alias("_n"),
+                *[F.sum(F.expr(f"qv[{i}]")).alias(f"_s{i}") for i in range(dim)],
+            )
+            .collect()
+        )
+        for r in stats:
+            n = int(r["_n"])
+            cents[r["cid"]] = [
+                (512 * int(r[f"_s{i}"]) + n) // (2 * n) for i in range(dim)
+            ]
+    return cents
+
+
 def kmeans_exact(
     df: DataFrame,
     k: int = 4,
@@ -1267,45 +1322,10 @@ def kmeans_exact(
         F.col(id_col).alias("_id"),
         F.expr(f"transform({vec_col}, x -> cast(round(x * 16) as int))").alias("qv"),
     ).persist()
-    init = q.filter(F.col("_id") < k).orderBy("_id").collect()
-    cents = [[256 * int(r["qv"][i]) for i in range(dim)] for r in init]
-
-    def dist_expr(c: list[int]) -> str:
-        return " + ".join(
-            f"(cast(qv[{i}] as bigint)*256 - ({c[i]})) * "
-            f"(cast(qv[{i}] as bigint)*256 - ({c[i]}))"
-            for i in range(dim)
-        )
+    cents = _kmeans_train_centroids(q, k, iters, dim)
 
     def with_cid(frame: DataFrame) -> DataFrame:
-        d = frame
-        for c_idx, c in enumerate(cents):
-            d = d.withColumn(f"_d{c_idx}", F.expr(dist_expr(c)))
-        dmin = F.least(*[F.col(f"_d{c_idx}") for c_idx in range(k)])
-        cid = F.lit(None)
-        for c_idx in reversed(range(k)):
-            cid = F.when(F.col(f"_d{c_idx}") == F.col("_dm"), c_idx).otherwise(cid)
-        return (
-            d.withColumn("_dm", dmin)
-            .withColumn("cid", cid.cast("int"))
-            .drop(*[f"_d{c_idx}" for c_idx in range(k)])
-        )
-
-    for _ in range(iters):
-        stats = (
-            with_cid(q)
-            .groupBy("cid")
-            .agg(
-                F.count(F.lit(1)).alias("_n"),
-                *[F.sum(F.expr(f"qv[{i}]")).alias(f"_s{i}") for i in range(dim)],
-            )
-            .collect()
-        )
-        for r in stats:
-            n = int(r["_n"])
-            cents[r["cid"]] = [
-                (512 * int(r[f"_s{i}"]) + n) // (2 * n) for i in range(dim)
-            ]
+        return _assign_to_centroids(frame, cents, dim)
 
     final = with_cid(q)
     q.unpersist()
@@ -1403,6 +1423,142 @@ def kmeans_oracle_sql(
     SELECT f.cid,
            CAST(COUNT(*) AS BIGINT) AS n,
            CAST(SUM(f.d) AS BIGINT) AS inertia,
+           ANY_VALUE(md5(array_to_string(c.arr, ' '))) AS centroid_md5
+    FROM final f JOIN {prev} c ON c.cid = f.cid
+    GROUP BY f.cid"""
+    )
+    return "".join(parts)
+
+
+def ivf_incremental_add(
+    old: DataFrame,
+    new: DataFrame,
+    k: int = 4,
+    iters: int = 2,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF index MAINTENANCE: vectors arriving after the index was built
+    are assigned to the EXISTING centroids — the add path every vector
+    store runs between (re)trains, because retraining per ingest batch is
+    both wasteful and churns at-rest `partitionBy(cid)` layouts that
+    probes prune against. Training is the exact-integer Lloyd loop
+    (kmeans_exact's recurrence, so the whole operation carries a value
+    oracle); assignment of the new batch is k literal-centroid codegen
+    folds per row — zero join, zero shuffle, and old list files are never
+    rewritten (append-only per list, the songplays discipline applied to
+    the ANN index).
+
+    Output: one row per cluster — (cid, n_old, n_new, centroid_md5) —
+    the index manifest after the add. Quality note: centroids drift as
+    the corpus grows; the manifest's n_new/n_old ratio is exactly the
+    retrain trigger a production deployment monitors."""
+
+    def quantize(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias("_id"),
+            F.expr(f"transform({vec_col}, x -> cast(round(x * 16) as int))").alias("qv"),
+        )
+
+    q_old = quantize(old).persist()
+    cents = _kmeans_train_centroids(q_old, k, iters, dim)
+    n_old = (
+        _assign_to_centroids(q_old, cents, dim)
+        .groupBy("cid")
+        .agg(F.count(F.lit(1)).alias("n_old"))
+    )
+    q_old.unpersist()
+    n_new = (
+        _assign_to_centroids(quantize(new), cents, dim)
+        .groupBy("cid")
+        .agg(F.count(F.lit(1)).alias("n_new"))
+    )
+    digests = {c_idx: " ".join(str(x) for x in c) for c_idx, c in enumerate(cents)}
+    digest_col = F.lit(None)
+    for c_idx in reversed(range(k)):
+        digest_col = F.when(F.col("cid") == c_idx, F.md5(F.lit(digests[c_idx]))).otherwise(
+            digest_col
+        )
+    return (
+        n_old.join(n_new, "cid", "full")
+        .select(
+            "cid",
+            F.coalesce("n_old", F.lit(0)).cast("bigint").alias("n_old"),
+            F.coalesce("n_new", F.lit(0)).cast("bigint").alias("n_new"),
+        )
+        .withColumn("centroid_md5", digest_col)
+    )
+
+
+def ivf_incremental_oracle_sql(
+    k: int = 4, iters: int = 2, dim: int = 64, table: str = "embeddings", mod: int = 5
+) -> str:
+    """DuckDB rendering of ``ivf_incremental_add`` over the fixture split
+    old = vec_id % mod <> mod-1, new = vec_id % mod = mod-1: the same
+    unrolled exact-integer training CTEs as kmeans_oracle_sql (with the
+    empty-cluster carry-forward), then BOTH populations assigned against
+    the final centroids and counted per cluster."""
+    dist = (
+        "list_sum([ (256*CAST(q.qv[i] AS BIGINT) - c.arr[i])"
+        " * (256*CAST(q.qv[i] AS BIGINT) - c.arr[i])"
+        f" FOR i IN range(1, {dim + 1}) ])"
+    )
+    parts = [
+        f"""
+    WITH qa AS (
+        SELECT vec_id AS id,
+               [CAST(round(x * 16) AS INTEGER) FOR x IN embedding] AS qv,
+               (vec_id % {mod} = {mod - 1}) AS is_new
+        FROM {table}
+    ),
+    q AS (SELECT id, qv FROM qa WHERE NOT is_new),
+    cent0 AS (
+        SELECT CAST(id AS INTEGER) AS cid,
+               [256 * CAST(v AS BIGINT) FOR v IN qv] AS arr
+        FROM q WHERE id < {k}
+    )"""
+    ]
+    prev = "cent0"
+    for t in range(1, iters + 1):
+        parts.append(
+            f""",
+    assign{t} AS (
+        SELECT id, qv, cid FROM (
+            SELECT q.id, q.qv, c.cid,
+                   ROW_NUMBER() OVER (PARTITION BY q.id
+                                      ORDER BY {dist} ASC, c.cid ASC) AS rn
+            FROM q CROSS JOIN {prev} c
+        ) WHERE rn = 1
+    ),
+    cent{t} AS (
+        SELECT p.cid, COALESCE(u{t}.arr, p.arr) AS arr
+        FROM {prev} p LEFT JOIN (
+            SELECT cid,
+                   list(CAST(floor((512 * s + n) / (2.0 * n)) AS BIGINT) ORDER BY i) AS arr
+            FROM (
+                SELECT cid, i, CAST(SUM(qv[i]) AS BIGINT) AS s,
+                       CAST(COUNT(*) AS BIGINT) AS n
+                FROM assign{t}, UNNEST(range(1, {dim + 1})) AS u(i)
+                GROUP BY cid, i
+            ) GROUP BY cid
+        ) u{t} ON u{t}.cid = p.cid
+    )"""
+        )
+        prev = f"cent{t}"
+    parts.append(
+        f""",
+    final AS (
+        SELECT id, is_new, cid FROM (
+            SELECT q.id, q.is_new, c.cid,
+                   ROW_NUMBER() OVER (PARTITION BY q.id
+                                      ORDER BY {dist} ASC, c.cid ASC) AS rn
+            FROM qa q CROSS JOIN {prev} c
+        ) WHERE rn = 1
+    )
+    SELECT f.cid,
+           CAST(SUM(CASE WHEN f.is_new THEN 0 ELSE 1 END) AS BIGINT) AS n_old,
+           CAST(SUM(CASE WHEN f.is_new THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
            ANY_VALUE(md5(array_to_string(c.arr, ' '))) AS centroid_md5
     FROM final f JOIN {prev} c ON c.cid = f.cid
     GROUP BY f.cid"""

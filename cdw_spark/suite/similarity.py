@@ -799,3 +799,34 @@ def clustering_kmeans_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import kmeans_exact
 
     return kmeans_exact(load_fixture(spark, sf_dir, "embeddings"), k=4, iters=2, dim=_DIM)
+
+
+from ..operators.similarity import ivf_incremental_oracle_sql as _ivf_inc_sql
+
+
+@register(
+    "similarity_ivf_incremental",
+    oracle=_ivf_inc_sql(k=4, iters=2, dim=_DIM, mod=5),
+    doc="IVF index MAINTENANCE: the index trains once on the existing "
+    "corpus (vec_id % 5 != 4; exact-integer Lloyd, k=4, 2 iterations), "
+    "then the arriving batch (vec_id % 5 == 4) is ASSIGNED to the "
+    "existing centroids without retraining — the add path every vector "
+    "store runs between retrains, keeping at-rest partitionBy(cid) "
+    "layouts append-only per list (the fact-table discipline applied to "
+    "the ANN index). Output is the post-add index manifest: per-cluster "
+    "old/new populations + centroid digests — n_new/n_old is exactly the "
+    "drift signal a deployment watches to schedule retrains. Because "
+    "training reuses the exact-integer recurrence, the WHOLE operation — "
+    "training trajectory, both assignment passes, the manifest — "
+    "hash-checks against the unrolled-CTE oracle "
+    "(operators/similarity.py:ivf_incremental_add).",
+)
+def similarity_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import ivf_incremental_add
+
+    e = load_fixture(spark, sf_dir, "embeddings")
+    return ivf_incremental_add(
+        e.filter(F.col("vec_id") % 5 != 4),
+        e.filter(F.col("vec_id") % 5 == 4),
+        k=4, iters=2, dim=_DIM,
+    )

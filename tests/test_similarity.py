@@ -437,3 +437,29 @@ def test_pq_recall_floor_on_fixture(spark, sf_dir):
         total += 10
     recall = hits / total
     assert recall >= 0.5, f"PQ recall@10 collapsed: {recall}"  # measured 0.62 on the random fixture — the PQ worst case (no low-dim structure); real embedding corpora cluster and quantize far tighter
+
+
+def test_ivf_incremental_add_matches_full_assignment(spark, emb):
+    """Index-add correctness: assigning old+new in one pass against the
+    centroids trained on OLD must equal training-then-adding (the add
+    path never changes centroids), and every vector lands in exactly one
+    list (populations sum to the corpus)."""
+    from pyspark.sql import functions as F
+
+    from cdw_spark.operators.similarity import ivf_incremental_add
+
+    dim = len(emb.select("embedding").first()[0])
+    old = emb.filter(F.col("vec_id") % 5 != 4)
+    new = emb.filter(F.col("vec_id") % 5 == 4)
+    manifest = {r.cid: r for r in ivf_incremental_add(old, new, k=4, iters=2, dim=dim).collect()}
+    assert sum(r.n_old for r in manifest.values()) == old.count()
+    assert sum(r.n_new for r in manifest.values()) == new.count()
+    # digests are the OLD-trained centroids: re-running with an empty new
+    # batch gives identical centroid digests and n_old populations
+    empty = new.filter(F.lit(False))
+    base = {r.cid: r for r in ivf_incremental_add(old, empty, k=4, iters=2, dim=dim).collect()}
+    assert {c: r.centroid_md5 for c, r in manifest.items()} == {
+        c: r.centroid_md5 for c, r in base.items()
+    }
+    assert {c: r.n_old for c, r in manifest.items()} == {c: r.n_old for c, r in base.items()}
+    assert all(r.n_new == 0 for r in base.values())
