@@ -124,6 +124,11 @@ HEADLINE = [
     "dedup_simhash",
     "stream_stateful_sessionize",
     "multimodal_features",
+    # round 5: new operators — leakage-safe splitting, ingest-door
+    # SemDeDup, IVF index maintenance
+    "sample_split_leakage_safe",
+    "stream_semantic_ingest",
+    "similarity_ivf_incremental",
 ]
 
 

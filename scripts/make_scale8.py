@@ -38,6 +38,19 @@ def main() -> None:
             r = base
             for k in keys:
                 r = r.withColumn(k, F.col(k) + F.lit(i * SHIFT))
+            if table == "documents" and i > 0:
+                # Per-replica vocabulary substitution: every word gets a
+                # replica suffix (alphanumeric, so [a-z0-9]+ tokenizers
+                # still see one token). Each replica is an ISOMORPHIC
+                # corpus — within-replica shingle/near-dup structure is
+                # preserved exactly, cross-replica overlap is zero — so
+                # true near-dup pairs grow 8x for 8x docs instead of the
+                # 64x that verbatim copies produce (every doc had 7 exact
+                # twins, drowning pair-emitting dedup ops in replica
+                # artifacts).
+                r = r.withColumn(
+                    "text", F.regexp_replace(F.col("text"), r"(\S+)", f"$1q{i}")
+                )
             if table == "embeddings" and i > 0:
                 # Rotate the embedding coordinates by i positions per
                 # replica. Verbatim replicas give every vector 7 exact
