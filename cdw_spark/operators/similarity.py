@@ -1279,6 +1279,13 @@ def _kmeans_train_centroids(q: DataFrame, k: int, iters: int, dim: int) -> list[
     empties keeps its stale centroid (the SQL oracle carries it forward
     identically). Returns the trained centroid grid."""
     init = q.filter(F.col("_id") < k).orderBy("_id").collect()
+    ids = [int(r["_id"]) for r in init]
+    if ids != list(range(k)):
+        # The init contract (shared with the SQL oracle's cent0 CTE) is
+        # ids 0..k-1 present exactly once. Duplicated or missing ids used
+        # to be silently masked by slicing argmin to the first k distance
+        # columns — fail loudly instead.
+        raise ValueError(f"kmeans init expects unique ids 0..{k - 1}; got {ids}")
     cents = [[256 * int(r["qv"][i]) for i in range(dim)] for r in init]
     for _ in range(iters):
         stats = (

@@ -448,11 +448,15 @@ def test_kmeans_exact_recovers_planted_clusters(spark):
             v = [centers[c][j] + rng.uniform(-0.2, 0.2) for j in range(dim)]
             rows.append((vid, v))
             vid += 1
-    # ids 0..3 seed init; make them one per blob so labels are stable
+    # ids 0..3 seed init; make them one per blob so labels are stable.
+    # Full swap: the vacated ids 10/20/30 move onto the rows that gave up
+    # 1/2/3, keeping every id unique (a broken half-swap here used to
+    # leave ids 2 and 3 duplicated — six init rows — which the pre-r5
+    # code masked by slicing argmin to the first k centroids; the
+    # operator now rejects malformed init outright).
     rows[0], rows[10], rows[20], rows[30] = (
         (0, rows[0][1]), (1, rows[10][1]), (2, rows[20][1]), (3, rows[30][1]))
-    rows[1] = (10, rows[1][1]); rows[11] = (11, rows[11][1])
-    rows[21] = (21, rows[21][1]); rows[31] = (31, rows[31][1])
+    rows[1] = (10, rows[1][1]); rows[2] = (20, rows[2][1]); rows[3] = (30, rows[3][1])
     df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
     out = {r.cid: r for r in kmeans_exact(df, k=4, iters=2, dim=dim).collect()}
     assert sorted(r.n for r in out.values()) == sizes
