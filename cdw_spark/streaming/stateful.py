@@ -28,14 +28,19 @@ from pyspark.sql.types import (
     LongType,
     StructField,
     StructType,
-    TimestampType,
 )
 
+# Epoch-microsecond bounds: the state machine and its output stay in
+# integer epoch space; TimestampType materializes JVM-side afterwards
+# (timestamp_micros), so no session-timezone wall-clock conversion ever
+# touches the Python side — the watermark from getCurrentWatermarkMs is
+# epoch UTC and must compare against epoch values, not local wall time
+# (a non-UTC session probe caught exactly that off-by-UTC-offset).
 OUTPUT_SCHEMA = StructType(
     [
         StructField("user_id", LongType()),
-        StructField("session_start", TimestampType()),
-        StructField("session_end", TimestampType()),
+        StructField("start_us", LongType()),
+        StructField("end_us", LongType()),
         StructField("n_events", LongType()),
         StructField("total_value", DoubleType()),
     ]
@@ -60,12 +65,14 @@ def _emit(user_id: int, closed: list[list]) -> pd.DataFrame:
     """ONE DataFrame for every session closed this call — per-session
     1-row frames cost ~1 ms each in pandas construction, which dominated
     the whole operator at fixture scale (measured: the batched form cut
-    the streaming replay several seconds at sf0.1)."""
+    the streaming replay several seconds at sf0.1). Bounds are emitted as
+    epoch MICROSECOND longs — timestamps never cross the Python boundary
+    in either direction (see sessionize)."""
     return pd.DataFrame(
         {
             "user_id": [user_id] * len(closed),
-            "session_start": pd.to_datetime([s[0] for s in closed], unit="us"),
-            "session_end": pd.to_datetime([s[1] + GAP_US for s in closed], unit="us"),
+            "start_us": [s[0] for s in closed],
+            "end_us": [s[1] + GAP_US for s in closed],
             "n_events": [s[2] for s in closed],
             "total_value": [s[3] for s in closed],
         }
@@ -115,14 +122,14 @@ def _sessionize_group(key, pdf_iter, state: GroupState):
     else:
         sessions = []
 
-    rows = [pdf[["ts", "value"]] for pdf in pdf_iter if len(pdf)]
+    rows = [pdf[["ts_us", "value"]] for pdf in pdf_iter if len(pdf)]
     if state.hasTimedOut or not rows:
         # Timeout tick (no data): flush what the watermark closed.
         yield from _flush(user_id, sessions, state)
         return
 
-    batch = pd.concat(rows).sort_values("ts")
-    ts_us = (batch["ts"].astype("int64") // 1_000).to_numpy()
+    batch = pd.concat(rows).sort_values("ts_us")
+    ts_us = batch["ts_us"].to_numpy()
     vals = batch["value"].to_numpy()
     for t, v in zip(ts_us, vals):
         t = int(t)
@@ -141,11 +148,35 @@ def sessionize(events: DataFrame) -> DataFrame:
     Input must carry a watermark on ``ts`` (event-time timeouts are driven
     by it). Output schema matches ``session_agg`` minus the decimal cast
     (state arithmetic is double-precision).
+
+    Timezone correctness: Arrow interop renders TimestampType to pandas
+    as SESSION-LOCAL wall time, while GroupState.getCurrentWatermarkMs is
+    epoch UTC — doing arithmetic on the pandas values diverges by the UTC
+    offset in any non-UTC session (34 phantom sessions at sf0.01 under
+    America/New_York). So the event time crosses into Python as
+    ``unix_micros(ts)`` (a LONG), the state machine compares epoch longs
+    against the epoch watermark, emits epoch-long bounds, and
+    ``timestamp_micros`` materializes TimestampType back on the JVM side.
+    The watermarked ``ts`` column itself still rides along untouched —
+    EventTimeTimeout needs it on the input.
     """
-    return events.select("user_id", "ts", "value").groupBy("user_id").applyInPandasWithState(
-        _sessionize_group,
-        outputStructType=OUTPUT_SCHEMA,
-        stateStructType=STATE_SCHEMA,
-        outputMode="append",
-        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    from pyspark.sql import functions as F
+
+    out = (
+        events.select("user_id", "ts", F.unix_micros("ts").alias("ts_us"), "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _sessionize_group,
+            outputStructType=OUTPUT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+    return out.select(
+        "user_id",
+        F.timestamp_micros("start_us").alias("session_start"),
+        F.timestamp_micros("end_us").alias("session_end"),
+        "n_events",
+        "total_value",
     )
