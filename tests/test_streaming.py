@@ -483,3 +483,25 @@ def test_semantic_ingest_matches_batch_semdedup(spark, sf_dir):
     }
     assert streamed == batch
     assert streamed, "fixture must contain semantic duplicates"
+
+
+def test_sessionizer_non_utc_session_parity(spark, sf_dir):
+    """Regression guard for the round-5 TZ bug: under a NON-UTC session
+    timezone the stateful sessionizer must still match its oracle. Arrow
+    interop hands pandas SESSION-LOCAL wall times while the state-store
+    watermark is epoch UTC; the operator therefore does all state math on
+    unix_micros longs — this test is what fails if anyone reintroduces
+    wall-clock arithmetic on the Python side (it emitted 34 phantom
+    sessions at sf0.01 under America/New_York before the fix)."""
+    from cdw_spark.compare import compare_frames
+
+    s2 = spark.newSession()
+    s2.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        spec = SPECS["stream_stateful_sessionize"]
+        res = compare_frames(
+            "stream_stateful_sessionize", spec.fn(s2, sf_dir), spec.oracle, sf_dir
+        )
+        assert res.ok, str(res)
+    finally:
+        s2.conf.unset("spark.sql.session.timeZone")
