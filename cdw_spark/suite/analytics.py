@@ -1240,7 +1240,13 @@ def grouped_ols_applyinpandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     def fit(pdf: pd.DataFrame) -> pd.DataFrame:
         import numpy as np
 
-        x = pdf["ts"].astype("int64").to_numpy() / 1e9  # epoch seconds
+        # epoch seconds from the JVM-computed unix_micros long — Arrow
+        # renders TimestampType as SESSION-LOCAL wall time in pandas, and
+        # the OLS intercept is shift-sensitive (intercept drifts by
+        # slope*utc_offset in a non-UTC session; the sessionizer TZ bug's
+        # batch sibling). ts_us*1000 is the exact int64 nanosecond value
+        # the old astype('int64') produced under UTC.
+        x = pdf["ts_us"].to_numpy() * 1000 / 1e9
         y = pdf["value"].to_numpy()
         xm, ym = x.mean(), y.mean()
         dx = x - xm
@@ -1254,7 +1260,9 @@ def grouped_ols_applyinpandas(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
         )
 
-    ev = load_fixture(spark, sf_dir, "events").select("event_type", "ts", "value")
+    ev = load_fixture(spark, sf_dir, "events").select(
+        "event_type", F.unix_micros("ts").alias("ts_us"), "value"
+    )
     return ev.groupBy("event_type").applyInPandas(
         fit, "event_type string, slope double, intercept double, n long"
     )
