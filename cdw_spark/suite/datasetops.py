@@ -1298,16 +1298,99 @@ def sample_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bpe_rounds_sql(n_merges: int = 5) -> str:
+    """The shared training chain of the BPE oracles: the vocab relation
+    (distinct word, freq, char symbols), then per round an argmax CTE
+    (p{t}: most frequent adjacent pair, ties lexicographic — the Spark
+    trainer's orderBy(cnt desc, l, r).limit(1) as ORDER BY/LIMIT) and an
+    application CTE (w{t}) that replays the leftmost-greedy merge fold as
+    a string-accumulator list_reduce, the winner's l/r captured from the
+    1-row cross join. Token strings are alphanumeric by construction
+    (fixture words + concatenations), so the LIKE '% ' || l suffix test
+    is wildcard-safe."""
+    parts = ["""
+    WITH w0 AS (
+        SELECT w, CAST(COUNT(*) AS BIGINT) AS freq,
+               array_to_string(regexp_extract_all(w, '.'), ' ') AS sym
+        FROM (
+            SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+            FROM documents
+        )
+        WHERE w <> ''
+        GROUP BY w
+    )"""]
+    for t in range(1, n_merges + 1):
+        prev = f"w{t - 1}"
+        parts.append(f""",
+    p{t} AS (
+        SELECT pr['l'] AS l, pr['r'] AS r, CAST(SUM(freq) AS BIGINT) AS cnt
+        FROM (
+            SELECT freq,
+                   unnest([{{'l': s[i], 'r': s[i+1]}} for i in range(1, len(s))]) AS pr
+            FROM (SELECT freq, string_split(sym, ' ') AS s FROM {prev})
+            WHERE len(s) >= 2
+        )
+        GROUP BY 1, 2
+        ORDER BY cnt DESC, l, r
+        LIMIT 1
+    ),
+    w{t} AS (
+        SELECT w, freq,
+               list_reduce(string_split(sym, ' '), (acc, tk) ->
+                   CASE WHEN (acc = b.l OR acc LIKE '% ' || b.l) AND tk = b.r
+                        THEN left(acc, length(acc) - length(b.l)) || b.l || b.r
+                        ELSE acc || ' ' || tk END) AS sym
+        FROM {prev} CROSS JOIN p{t} b
+    )""")
+    return "".join(parts)
+
+
+def _bpe_merges_oracle_sql(n_merges: int = 5) -> str:
+    sel = "\n    UNION ALL ".join(
+        f'SELECT {t} AS rank, l AS "left", r AS "right", l || r AS merged, '
+        f"cnt AS pair_count FROM p{t}"
+        for t in range(1, n_merges + 1)
+    )
+    return _bpe_rounds_sql(n_merges) + "\n    " + sel
+
+
+def _bpe_apply_oracle_sql(n_merges: int = 5) -> str:
+    return _bpe_rounds_sql(n_merges) + f""",
+    tok AS (
+        SELECT doc_id,
+               unnest(range(1, len(ws) + 1)) - 1 AS pos,
+               unnest(ws) AS w
+        FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws
+              FROM documents)
+    ), tk AS (
+        SELECT t.doc_id, t.pos, f.sym
+        FROM (SELECT * FROM tok WHERE w <> '') t
+        JOIN w{n_merges} f USING (w)
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(len(string_split(sym, ' '))) AS BIGINT) AS n_symbols,
+           md5(string_agg(sym, ' | ' ORDER BY pos)) AS symbols_md5
+    FROM tk
+    GROUP BY doc_id
+    """
+
+
 @register(
     "tokenizer_bpe_merges",
-    oracle=None,
+    oracle=_bpe_merges_oracle_sql(5),
     doc="BPE tokenizer merge training (5 merges) over the corpus word "
-    "distribution — rows-only BY NATURE: each round's argmax feeds the "
-    "next round's merge application, so the training loop is iterative, "
-    "not one SQL query (the per-round winner is one collected row, the "
-    "ivf_train budget). The learned merge table is differentially tested "
-    "against a pure-Python BPE reference in tests/test_curate.py "
-    "(operators/curate.py:bpe_train_merges).",
+    "distribution. VALUE-ORACLED (round 5, the kmeans treatment for "
+    "iterative argmax loops): each round unrolls as an argmax CTE "
+    "(most frequent adjacent pair, lexicographic ties — the exact "
+    "orderBy(cnt desc, l, r) the trainer runs) plus a merge-application "
+    "CTE whose leftmost-greedy fold replays the trainer's aggregate() "
+    "lambda as a string-accumulator list_reduce — so every round's "
+    "winner AND its application are hash-checked. Spark side: the "
+    "corpus collapses to the (distinct word, freq) vocab first; each "
+    "round is one pair-explode + count shuffle and a 1-row driver sync. "
+    "Also differentially tested against a pure-Python BPE reference in "
+    "tests/test_curate.py (operators/curate.py:bpe_train_merges).",
 )
 def tokenizer_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.curate import bpe_train_merges
@@ -1410,13 +1493,16 @@ def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "tokenizer_bpe_apply",
-    oracle=None,
+    oracle=_bpe_apply_oracle_sql(5),
     doc="Apply the 5 learned BPE merges to the corpus (the inference "
     "half of tokenizer_bpe_merges): per-word leftmost-greedy fold per "
     "merge in rank order, merges folded into the plan as literals — no "
-    "join, no UDF. Rows-only BY NATURE (list-valued fold has no SQL "
-    "twin); the per-document symbol digests are differentially tested "
-    "against a pure-Python BPE encoder in tests/test_curate.py "
+    "join, no UDF. VALUE-ORACLED (round 5): the oracle re-learns the "
+    "same 5 merges via the unrolled training chain, applies them to the "
+    "vocab with the same string fold, and joins the tokenization back "
+    "onto the corpus — n_words, n_symbols, and the position-ordered "
+    "per-document symbol digests all hash-check. Also differentially "
+    "tested against a pure-Python BPE encoder in tests/test_curate.py "
     "(operators/curate.py:bpe_apply_merges).",
 )
 def tokenizer_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
