@@ -78,24 +78,32 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # (VERDICT #8: khop/triangles/link_prediction land WITH the banded
 # candidate generator rewrite), then a multimodal oracled entry and the
 # oldest oracled r2 tail in registration order. Cumulative driver
-# evidence after r4: 139 unique queries graded. Remaining never-graded
-# after this window (~44 incl. rows-only) queue for r6 — priority:
+# evidence after r4: 139 unique queries graded.
+#
+# Never-graded after this window: 47 (43 oracled + 4 rows-only). r6
+# priority — the round-5 conversions and new operators first (they are
+# the least-proven): stream_semantic_ingest, sample_split_leakage_safe,
+# similarity_ivf_incremental, stream_stateful_sessionize,
+# stream_near_dup_ingest,
+# tokenizer_bpe_merges, tokenizer_bpe_apply, multimodal_features,
+# multimodal_image_near_dup, multimodal_video_shots,
+# multimodal_image_phash_near_dup, agg_hll_mergeable,
+# sketch_hll_set_overlap; then the oracled r2/r3 tail:
 # fuzzy_levenshtein_match, text_bigram_topk, text_char_entropy,
 # text_collapse_repeats, similarity_ann_lsh_wide,
 # embedding_random_projection, knn_label_vote,
 # embedding_pca_top_component, window_first_last_nth,
 # timeseries_gapfill_locf, the stream_* batch twins
 # (stream_stream_left/full_outer_join, stream_foreachbatch_upsert,
-# stream_ohlc_resample, stream_near_dup_ingest), quality_repetition,
-# sample_hash_split/stratified, profile_columns, layout_zorder,
-# outlier_zscore, mix_sources_weighted, curriculum_phases,
-# embedding_quantize_int8, global_shuffle_rank, incremental_agg_merge,
-# sample_class_balanced, quantile_rank_normalize, batch_by_length,
-# select_token_budget, corpus_mix_entropy, and the eight queries this
-# round converted from rows-only to full value oracles (VERDICT r4 #5):
-# dedup_simhash, multimodal_features, multimodal_image_near_dup,
-# multimodal_video_shots, multimodal_image_phash_near_dup,
-# stream_stateful_sessionize, agg_hll_mergeable, sketch_hll_set_overlap.
+# stream_ohlc_resample), quality_repetition, sample_hash_split,
+# sample_stratified, profile_columns, layout_zorder, outlier_zscore,
+# mix_sources_weighted, curriculum_phases, embedding_quantize_int8,
+# global_shuffle_rank, incremental_agg_merge, sample_class_balanced,
+# quantile_rank_normalize, batch_by_length, select_token_budget,
+# corpus_mix_entropy. That is 43 oracled candidates for 40 slots; the
+# 4 rows-only (agg_approx_top_k, text_compression_ratio,
+# similarity_ann_pq, multimodal_audio_spectral — each irreducibly
+# engine-specific with a measured reason) never burn window slots.
 _WINDOW_ROUND = 5  # the round this window was authored FOR — meta-tests
 # treat CORRECTNESS records from rounds >= this as the window's own
 # grade, not prior evidence (VERDICT r4 #3's self-invalidation fix).
