@@ -818,3 +818,61 @@ def timeseries_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("bigint").alias("n"),
         )
     )
+
+
+@register(
+    "window_gaps_islands",
+    oracle="""
+    WITH active AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    seq AS (
+        SELECT user_id, day,
+               day - CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                                             ORDER BY day) AS INTEGER) AS grp
+        FROM active
+    ),
+    islands AS (
+        SELECT user_id, MIN(day) AS streak_start, MAX(day) AS streak_end,
+               COUNT(*) AS streak_len
+        FROM seq GROUP BY user_id, grp
+    )
+    SELECT user_id, streak_start, streak_end,
+           CAST(streak_len AS BIGINT) AS streak_len,
+           CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                                   ORDER BY streak_len DESC, streak_start)
+                AS INTEGER) AS streak_rank
+    FROM islands
+    """,
+    doc="Gaps-and-islands: per-user consecutive-active-day streaks via the "
+    "classic day - ROW_NUMBER() island key (Ben-Gan's rewrite), then one "
+    "aggregate per island and a per-user rank (longest first, earliest "
+    "start as tie-break). The everyday retention/streak analytic that "
+    "needs no self-join.",
+)
+def window_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: one distinct on (user, day) — the only fact-sized
+    shuffle — then two window sorts over the |active| relation, both
+    partitioned by user_id (the second reuses the first's partitioning;
+    no join, no per-day re-scan). Island arithmetic is pure integer/date
+    math, so the oracle hashes exactly on any engine."""
+    ev = load_fixture(spark, sf_dir, "events")
+    active = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    seq = active.withColumn(
+        "grp", F.expr("date_sub(day, cast(row_number() over (partition by user_id order by day) as int))")
+    )
+    islands = seq.groupBy("user_id", "grp").agg(
+        F.min("day").alias("streak_start"),
+        F.max("day").alias("streak_end"),
+        F.count(F.lit(1)).cast("bigint").alias("streak_len"),
+    )
+    wrank = Window.partitionBy("user_id").orderBy(
+        F.col("streak_len").desc(), F.col("streak_start")
+    )
+    return islands.select(
+        "user_id",
+        "streak_start",
+        "streak_end",
+        "streak_len",
+        F.row_number().over(wrank).cast("int").alias("streak_rank"),
+    )
