@@ -98,3 +98,42 @@ def pagerank(
         if (i + 1) % checkpoint_every == 0 and i + 1 < iters:
             ranks = ranks.localCheckpoint(eager=True)
     return ranks
+
+
+def label_propagation(edges: DataFrame, iters: int = 3) -> DataFrame:
+    """Synchronous label propagation (Raghavan et al. 2007) over a
+    SYMMETRIC edge list; returns (node, label) after ``iters`` rounds.
+
+    label_0(v) = v; each round every node adopts the most frequent label
+    among its neighbors, ties broken by the SMALLEST label id — the
+    deterministic synchronous variant, so a fixed iteration count yields
+    an engine-independent integer result the DuckDB oracle can unroll as
+    chained CTEs (the pagerank treatment applied to community detection).
+
+    Scale shape per round: one equi-join of the |V|-row label relation
+    onto the checkpointed edges (labels are the small side — AQE
+    broadcasts them when they fit), one map-side-combined
+    groupBy(dst, label) vote count, one per-node window over the vote
+    relation (bounded by distinct neighbor labels per node). Labels are
+    checkpointed each round so lineage never accretes.
+    """
+    e = edges.select("src", "dst").localCheckpoint(eager=True)
+    labels = e.select(F.col("src").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    )
+    from pyspark.sql.window import Window
+
+    for _ in range(iters):
+        votes = (
+            e.join(labels.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"), "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        w = Window.partitionBy("node").orderBy(F.col("c").desc(), F.col("label"))
+        labels = (
+            votes.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select("node", "label")
+            .localCheckpoint(eager=True)
+        )
+    return labels

@@ -450,3 +450,98 @@ def rank_fusion_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.search import rrf_fuse
 
     return rrf_fuse(load_fixture(spark, sf_dir, "documents"), BM25_QUERY_TERMS)
+
+
+from .recsys import BASKET_CAP as _LPA_BASKET_CAP
+from .recsys import MIN_TOGETHER as _LPA_MIN_TOGETHER
+
+_LPA_ITER = """
+    l{K} AS (
+        SELECT node, label FROM (
+            SELECT e.dst AS node, p.label,
+                   ROW_NUMBER() OVER (PARTITION BY e.dst
+                                      ORDER BY COUNT(*) DESC, p.label) AS rk
+            FROM e JOIN l{PREV} p ON e.src = p.node
+            GROUP BY e.dst, p.label
+        ) WHERE rk = 1
+    )"""
+
+
+@register(
+    "graph_label_propagation",
+    oracle=(
+        f"""
+    WITH b AS (
+        SELECT DISTINCT l_orderkey AS ok, l_partkey AS item FROM lineitem
+    ),
+    kept AS (SELECT ok FROM b GROUP BY ok HAVING COUNT(*) <= {_LPA_BASKET_CAP}),
+    bk AS (SELECT b.ok, b.item FROM b JOIN kept USING (ok)),
+    co AS (
+        SELECT a.item AS ia, bb.item AS ib
+        FROM bk a JOIN bk bb ON a.ok = bb.ok AND a.item < bb.item
+        GROUP BY a.item, bb.item
+        HAVING COUNT(*) >= {_LPA_MIN_TOGETHER}
+    ),
+    e AS (SELECT ia AS src, ib AS dst FROM co
+          UNION ALL SELECT ib, ia FROM co),
+    l0 AS (SELECT DISTINCT src AS node, src AS label FROM e),"""
+        + _LPA_ITER.format(K=1, PREV=0)
+        + ","
+        + _LPA_ITER.format(K=2, PREV=1)
+        + ","
+        + _LPA_ITER.format(K=3, PREV=2)
+        + """
+    SELECT CAST(node AS BIGINT) AS part_id,
+           CAST(label AS BIGINT) AS community,
+           CAST(COUNT(*) OVER (PARTITION BY label) AS BIGINT) AS community_size
+    FROM l3
+    """
+    ),
+    doc="Community detection by synchronous label propagation (Raghavan "
+    "et al. 2007), 3 deterministic rounds (max-count neighbor label, "
+    "smallest-id tie-break) over the co-purchase graph: parts bought "
+    "together in >= 2 orders (same basket-cap guard as "
+    "recs_item_cooccurrence). Fixed rounds + integer labels make the "
+    "result exact, so the oracle unrolls the identical recurrence as "
+    "chained CTEs (the graph_pagerank idiom). "
+    "operators/graph.py:label_propagation.",
+)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: the basket self-join is bounded by the 32-item cap
+    (cap^2 pairs per order max); per LPA round one labels->edges
+    equi-join (labels are |V| rows — AQE broadcasts while they fit),
+    one combined vote count, one per-node window. No all-pairs, no
+    driver sync; community size is a |V|-row window at the end."""
+    from ..operators.graph import label_propagation
+
+    BASKET_CAP, MIN_TOGETHER = _LPA_BASKET_CAP, _LPA_MIN_TOGETHER
+    li = load_fixture(spark, sf_dir, "lineitem")
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("item")).distinct()
+    kept = (
+        b.groupBy("ok")
+        .agg(F.count(F.lit(1)).alias("bs"))
+        .filter(F.col("bs") <= BASKET_CAP)
+        .select("ok")
+    )
+    bk = b.join(kept, "ok", "left_semi")
+    a = bk.select("ok", F.col("item").alias("ia"))
+    bb = bk.select("ok", F.col("item").alias("ib"))
+    co = (
+        a.join(bb, "ok")
+        .filter(F.col("ia") < F.col("ib"))
+        .groupBy("ia", "ib")
+        .agg(F.count(F.lit(1)).alias("together"))
+        .filter(F.col("together") >= MIN_TOGETHER)
+    )
+    edges = co.select(F.col("ia").alias("src"), F.col("ib").alias("dst")).unionAll(
+        co.select(F.col("ib").alias("src"), F.col("ia").alias("dst"))
+    )
+    labels = label_propagation(edges, iters=3)
+    from pyspark.sql.window import Window
+
+    wsz = Window.partitionBy("label")
+    return labels.select(
+        F.col("node").cast("bigint").alias("part_id"),
+        F.col("label").cast("bigint").alias("community"),
+        F.count(F.lit(1)).over(wsz).cast("bigint").alias("community_size"),
+    )
