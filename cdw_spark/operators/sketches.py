@@ -95,3 +95,57 @@ def cms_estimate(
         .groupBy(key_col)
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("bigint").alias("est"))
     )
+
+
+BLOOM_BITS = 512
+BLOOM_HASHES = 4
+
+
+def bloom_positions(
+    keys: DataFrame, key_col: str, m: int = BLOOM_BITS, k: int = BLOOM_HASHES
+) -> DataFrame:
+    """A Bloom filter AS A RELATION: the distinct set-bit positions of
+    ``keys`` under ``k`` md5-derived hash functions into ``m`` bits
+    (Bloom 1970). Bounded at ``min(k * |keys|, m)`` rows — at any corpus
+    size the relation saturates at m rows, so it always broadcasts.
+
+    Deterministic md5 arithmetic (the cms_build bucket idiom) keeps the
+    positions engine-independent, so a DuckDB oracle can rebuild the
+    identical filter and the driver can hash-compare membership results
+    exactly — impossible with Spark's opaque built-in bloom_filter_agg."""
+    ks = keys.select(F.col(key_col).cast("string").alias("kstr")).distinct()
+    withj = ks.select(
+        "kstr", F.explode(F.array(*[F.lit(i) for i in range(k)])).alias("j")
+    )
+    return withj.select(
+        bucket_col(F.col("j"), F.col("kstr"), m).alias("pos")
+    ).distinct()
+
+
+def bloom_prefilter(
+    probe_keys: DataFrame,
+    key_col: str,
+    positions: DataFrame,
+    m: int = BLOOM_BITS,
+    k: int = BLOOM_HASHES,
+) -> DataFrame:
+    """Keys of ``probe_keys`` that PASS the filter (all ``k`` probe
+    positions set) — the semi-join pre-filter that prunes a shuffle's
+    probe side before the exact join. No false negatives by construction;
+    false positives are the (1 - e^{-kn/m})^k residue the exact join
+    removes afterwards.
+
+    Scale shape: positions is a <= m-row broadcast; the probe explodes
+    k rows per key, joins the broadcast, and one map-side-combined
+    groupBy counts matched positions — pass iff count == k. Linear in
+    the probe, zero shuffle of the build side."""
+    pk = probe_keys.select(F.col(key_col).alias("key")).distinct()
+    withj = pk.select(
+        "key",
+        F.col("key").cast("string").alias("kstr"),
+    ).select("key", "kstr", F.explode(F.array(*[F.lit(i) for i in range(k)])).alias("j"))
+    pp = withj.select("key", bucket_col(F.col("j"), F.col("kstr"), m).alias("pos"))
+    hits = pp.join(F.broadcast(positions), "pos").groupBy("key").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    return hits.filter(F.col("c") == k).select("key")

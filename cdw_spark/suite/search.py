@@ -545,3 +545,125 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").cast("bigint").alias("community"),
         F.count(F.lit(1)).over(wsz).cast("bigint").alias("community_size"),
     )
+
+
+_BLOOM_POS = _hex4_mod_sql(
+    "md5(CAST(j AS VARCHAR) || ':' || CAST(key AS VARCHAR))", 512
+)
+
+
+@register(
+    "sketch_bloom_filter_join",
+    oracle=f"""
+    WITH bkeys AS (
+        SELECT DISTINCT c_custkey AS key FROM customer WHERE c_nationkey = 7
+    ),
+    js AS (SELECT unnest([0, 1, 2, 3]) AS j),
+    bpos AS (
+        SELECT DISTINCT {_BLOOM_POS} AS pos FROM bkeys CROSS JOIN js
+    ),
+    pkeys AS (SELECT DISTINCT o_custkey AS key FROM orders),
+    pp AS (SELECT key, {_BLOOM_POS} AS pos FROM pkeys CROSS JOIN js),
+    hits AS (
+        SELECT key FROM pp JOIN bpos USING (pos)
+        GROUP BY key HAVING COUNT(*) = 4
+    ),
+    flags AS (
+        SELECT p.key,
+               CASE WHEN h.key IS NOT NULL THEN 1 ELSE 0 END AS pss,
+               CASE WHEN b.key IS NOT NULL THEN 1 ELSE 0 END AS isb
+        FROM pkeys p
+        LEFT JOIN hits h ON p.key = h.key
+        LEFT JOIN bkeys b ON p.key = b.key
+    ),
+    ks AS (
+        SELECT COUNT(*) AS n_probe_keys, SUM(pss) AS n_pass_bloom,
+               SUM(pss * isb) AS n_true_match
+        FROM flags
+    ),
+    ord AS (
+        SELECT COUNT(*) AS n_orders_total, SUM(f.pss) AS n_orders_kept
+        FROM orders o JOIN flags f ON o.o_custkey = f.key
+    ),
+    bs AS (SELECT COUNT(*) AS n_build_keys FROM bkeys)
+    SELECT CAST(n_build_keys AS BIGINT) AS n_build_keys,
+           CAST(n_probe_keys AS BIGINT) AS n_probe_keys,
+           CAST(n_pass_bloom AS BIGINT) AS n_pass_bloom,
+           CAST(n_true_match AS BIGINT) AS n_true_match,
+           CAST(n_pass_bloom - n_true_match AS BIGINT) AS n_false_positive,
+           ROUND(CAST(n_pass_bloom - n_true_match AS DOUBLE)
+                 / CAST(n_probe_keys - n_true_match AS DOUBLE), 6) AS fp_rate,
+           CAST(n_orders_total AS BIGINT) AS n_orders_total,
+           CAST(n_orders_kept AS BIGINT) AS n_orders_kept
+    FROM ks CROSS JOIN ord CROSS JOIN bs
+    """,
+    doc="Bloom-filter join pruning (Bloom 1970): a 512-bit / 4-hash "
+    "filter built from nation-7 customers prunes the orders probe side "
+    "BEFORE the exact join — the standard shuffle-avoidance pattern for "
+    "selective joins at warehouse scale. The filter's md5 arithmetic is "
+    "deterministic, so the oracle rebuilds the identical filter and the "
+    "summary (pass/true-match/false-positive counts, measured FP rate, "
+    "orders rows pruned) hash-compares exactly; no false negatives is "
+    "structural (n_orders_kept covers every true-match order). "
+    "operators/sketches.py:bloom_positions/bloom_prefilter.",
+)
+def sketch_bloom_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: the filter relation is <= 512 rows regardless of
+    build-side cardinality (positions saturate, then it is a dense
+    bitmap) and always broadcasts; the probe side explodes k=4 rows per
+    DISTINCT key, joins the broadcast, and one combined groupBy decides
+    membership. The exact residual join then touches only the passed
+    keys. At 100 TB this is how a selective dim filter reaches the fact
+    scan without shuffling the fact table."""
+    from ..operators.sketches import bloom_positions, bloom_prefilter
+
+    cust = load_fixture(spark, sf_dir, "customer")
+    orders = load_fixture(spark, sf_dir, "orders")
+    bkeys = cust.filter(F.col("c_nationkey") == 7).select(
+        F.col("c_custkey").alias("key")
+    ).distinct()
+    pos = bloom_positions(bkeys, "key", m=512, k=4)
+    passed = bloom_prefilter(orders, "o_custkey", pos, m=512, k=4)
+    pkeys = orders.select(F.col("o_custkey").alias("key")).distinct()
+    flags = (
+        pkeys.join(passed.withColumn("pss", F.lit(1)), "key", "left")
+        .join(bkeys.withColumn("isb", F.lit(1)), "key", "left")
+        .select(
+            "key",
+            F.coalesce("pss", F.lit(0)).alias("pss"),
+            F.coalesce("isb", F.lit(0)).alias("isb"),
+        )
+    )
+    ks = flags.agg(
+        F.count(F.lit(1)).alias("n_probe_keys"),
+        F.sum("pss").alias("n_pass_bloom"),
+        F.sum(F.col("pss") * F.col("isb")).alias("n_true_match"),
+    )
+    ordrow = (
+        orders.join(flags, orders["o_custkey"] == flags["key"])
+        .agg(
+            F.count(F.lit(1)).alias("n_orders_total"),
+            F.sum("pss").alias("n_orders_kept"),
+        )
+    )
+    bs = bkeys.agg(F.count(F.lit(1)).alias("n_build_keys"))
+    return (
+        ks.crossJoin(ordrow)
+        .crossJoin(bs)
+        .select(
+            F.col("n_build_keys").cast("bigint").alias("n_build_keys"),
+            F.col("n_probe_keys").cast("bigint").alias("n_probe_keys"),
+            F.col("n_pass_bloom").cast("bigint").alias("n_pass_bloom"),
+            F.col("n_true_match").cast("bigint").alias("n_true_match"),
+            (F.col("n_pass_bloom") - F.col("n_true_match"))
+            .cast("bigint")
+            .alias("n_false_positive"),
+            F.round(
+                (F.col("n_pass_bloom") - F.col("n_true_match")).cast("double")
+                / (F.col("n_probe_keys") - F.col("n_true_match")).cast("double"),
+                6,
+            ).alias("fp_rate"),
+            F.col("n_orders_total").cast("bigint").alias("n_orders_total"),
+            F.col("n_orders_kept").cast("bigint").alias("n_orders_kept"),
+        )
+    )
