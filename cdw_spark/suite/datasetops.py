@@ -2031,3 +2031,120 @@ def profile_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("collision_prob"),
     ).select("n_keys", "max_c", "top_key_share", "skew_factor", "collision_prob")
+
+
+_NEG_K = 4
+_NEG_OVERFETCH = 8
+
+
+@register(
+    "sample_negative_pairs",
+    oracle=f"""
+    WITH RECURSIVE pairs AS ({{leak}}),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION
+        SELECT id_b, id_a FROM pairs
+    ),
+    reach(src, dst) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    ),
+    comp AS (
+        SELECT src AS doc_id, LEAST(src, MIN(dst)) AS component_id
+        FROM reach GROUP BY src
+    ),
+    ring AS (
+        SELECT d.doc_id, COALESCE(c.component_id, d.doc_id) AS root,
+               ROW_NUMBER() OVER (ORDER BY md5(CAST(d.doc_id AS VARCHAR)),
+                                  d.doc_id) - 1 AS pos
+        FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+    ),
+    nn AS (SELECT COUNT(*) AS n FROM ring),
+    iv AS (SELECT unnest([1, 2, 3, 4, 5, 6, 7, 8]) AS i),
+    cand AS (
+        SELECT r.doc_id AS anchor_id, r.root AS aroot, iv.i,
+               (r.pos + iv.i) % nn.n AS tpos
+        FROM ring r CROSS JOIN nn CROSS JOIN iv
+    ),
+    neg AS (
+        SELECT c.anchor_id, s.doc_id AS negative_id, c.i
+        FROM cand c JOIN ring s ON s.pos = c.tpos
+        WHERE s.root <> c.aroot
+    )
+    SELECT anchor_id, negative_id, CAST(rk AS INTEGER) AS neg_rank
+    FROM (
+        SELECT anchor_id, negative_id,
+               ROW_NUMBER() OVER (PARTITION BY anchor_id ORDER BY i) AS rk
+        FROM neg
+    ) WHERE rk <= {_NEG_K}
+    """.format(leak=_LEAK_PAIRS_SQL),
+    doc="Contrastive negative mining: each anchor document draws its "
+    f"{_NEG_K} negatives from the {_NEG_OVERFETCH} successors on a "
+    "consistent md5 ring (wrap-around), SKIPPING any candidate in the "
+    "anchor's near-duplicate component (the exact 0.6-Jaccard pair "
+    "graph sample_split_leakage_safe uses) — hash-deterministic "
+    "pseudo-randomness with a hard guarantee that no near-duplicate of "
+    "the anchor is ever labeled a negative (the false-negative poison "
+    "in contrastive training).",
+)
+def sample_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: ring positions come from the two-level prefix-sum
+    global rank (256 md5-prefix buckets in parallel + a bounded offset
+    window — the global_shuffle_rank pattern, NO single-partition sort);
+    successor lookup is an integer equi-join on (pos + i) % n with an
+    8x bounded explode; component roots ride the already-bucketed
+    near-dup pair graph. Everything shuffles on integers, never bodies."""
+    from pyspark.sql.window import Window
+
+    from ..operators.dedup import connected_components, ngram_jaccard_pairs
+
+    docs = load_fixture(spark, sf_dir, "documents")
+    comp = connected_components(ngram_jaccard_pairs(docs))
+    rooted = docs.select("doc_id").join(comp, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("component_id"), F.col("doc_id")).alias("root"),
+        F.md5(F.col("doc_id").cast("string")).alias("k"),
+    )
+    d = rooted.withColumn(
+        "bucket", F.conv(F.substring("k", 1, 2), 16, 10).cast("int")
+    )
+    wb = Window.partitionBy("bucket").orderBy("k", "doc_id")
+    ranked = d.withColumn("rk", F.row_number().over(wb))
+    sizes = ranked.groupBy("bucket").agg(F.count(F.lit(1)).alias("sz"))
+    wo = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = sizes.select(
+        "bucket", F.coalesce(F.sum("sz").over(wo), F.lit(0)).alias("off")
+    )
+    ring = ranked.join(F.broadcast(offsets), "bucket").select(
+        "doc_id", "root", (F.col("off") + F.col("rk") - 1).alias("pos")
+    )
+    nn = ring.agg(F.count(F.lit(1)).alias("n"))
+    cand = (
+        ring.crossJoin(F.broadcast(nn))
+        .select(
+            F.col("doc_id").alias("anchor_id"),
+            F.col("root").alias("aroot"),
+            F.explode(
+                F.array(*[F.lit(i) for i in range(1, _NEG_OVERFETCH + 1)])
+            ).alias("i"),
+            "pos",
+            "n",
+        )
+        .select(
+            "anchor_id", "aroot", "i", ((F.col("pos") + F.col("i")) % F.col("n")).alias("tpos")
+        )
+    )
+    succ = ring.select(
+        F.col("pos").alias("tpos"),
+        F.col("doc_id").alias("negative_id"),
+        F.col("root").alias("nroot"),
+    )
+    neg = cand.join(succ, "tpos").filter(F.col("nroot") != F.col("aroot"))
+    wr = Window.partitionBy("anchor_id").orderBy("i")
+    return (
+        neg.withColumn("rk", F.row_number().over(wr))
+        .filter(F.col("rk") <= _NEG_K)
+        .select("anchor_id", "negative_id", F.col("rk").cast("int").alias("neg_rank"))
+    )
