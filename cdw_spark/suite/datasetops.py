@@ -2148,3 +2148,81 @@ def sample_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= _NEG_K)
         .select("anchor_id", "negative_id", F.col("rk").cast("int").alias("neg_rank"))
     )
+
+
+_BENFORD_P = {
+    1: "0.301030", 2: "0.176091", 3: "0.124939", 4: "0.096910",
+    5: "0.079181", 6: "0.066947", 7: "0.057992", 8: "0.051153",
+    9: "0.045757",
+}
+_BENFORD_CASE_SQL = "CASE " + " ".join(
+    f"WHEN digit = {d} THEN CAST({p} AS DOUBLE)" for d, p in _BENFORD_P.items()
+) + " END"
+
+
+@register(
+    "dq_benford_audit",
+    oracle=f"""
+    WITH digits AS (
+        SELECT o_orderpriority AS priority,
+               CAST(substr(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR),
+                           1, 1) AS INTEGER) AS digit
+        FROM orders WHERE o_totalprice >= 1
+    ),
+    obs AS (
+        SELECT priority, digit, COUNT(*) AS observed
+        FROM digits GROUP BY priority, digit
+    ),
+    tot AS (SELECT priority, SUM(observed) AS total FROM obs GROUP BY priority)
+    SELECT o.priority, o.digit,
+           CAST(o.observed AS BIGINT) AS observed,
+           ROUND(CAST(o.observed AS DOUBLE) / CAST(t.total AS DOUBLE), 6) AS obs_p,
+           {_BENFORD_CASE_SQL} AS benford_p,
+           ROUND(ROUND(CAST(o.observed AS DOUBLE) / CAST(t.total AS DOUBLE), 6)
+                 - {_BENFORD_CASE_SQL}, 6) AS delta
+    FROM obs o JOIN tot t USING (priority)
+    """,
+    doc="Benford first-significant-digit audit of order totals per "
+    "priority class — the classic fraud/synthetic-data screen (Benford "
+    "1938): observed digit share vs the log10(1 + 1/d) law, per-digit "
+    "delta. First digit is read from the EXACT integer part (floor -> "
+    "bigint -> string), so no float-rounding edge can flip a digit "
+    "between engines; expected shares are 6-dp decimal literals "
+    "identical in both plans.",
+)
+def dq_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: one map-side-combined groupBy on (priority, digit)
+    — at most 9 x |priorities| result rows — plus a broadcast join of
+    per-priority totals. Single scan of the fact, no window, no
+    shuffle beyond the 45-row aggregate."""
+    o = load_fixture(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1)
+    digits = o.select(
+        F.col("o_orderpriority").alias("priority"),
+        F.substring(F.floor("o_totalprice").cast("bigint").cast("string"), 1, 1)
+        .cast("int")
+        .alias("digit"),
+    )
+    obs = digits.groupBy("priority", "digit").agg(
+        F.count(F.lit(1)).alias("observed")
+    )
+    tot = obs.groupBy("priority").agg(F.sum("observed").alias("total"))
+    benford = None
+    for d, p in _BENFORD_P.items():
+        cond = F.when(F.col("digit") == d, F.lit(float(p)))
+        benford = cond if benford is None else benford.when(
+            F.col("digit") == d, F.lit(float(p))
+        )
+    obs_p = F.round(
+        F.col("observed").cast("double") / F.col("total").cast("double"), 6
+    )
+    return (
+        obs.join(F.broadcast(tot), "priority")
+        .select(
+            "priority",
+            "digit",
+            F.col("observed").cast("bigint").alias("observed"),
+            obs_p.alias("obs_p"),
+            benford.alias("benford_p"),
+            F.round(obs_p - benford, 6).alias("delta"),
+        )
+    )
