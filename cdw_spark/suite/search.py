@@ -667,3 +667,98 @@ def sketch_bloom_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_orders_kept").cast("bigint").alias("n_orders_kept"),
         )
     )
+
+
+_KMV_K = 64
+
+
+@register(
+    "sketch_kmv_distinct",
+    oracle=f"""
+    WITH d AS (
+        SELECT DISTINCT event_type, user_id FROM events
+    ),
+    hv AS (
+        SELECT event_type, user_id,
+               CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+                    AS BIGINT) / 4294967296.0 AS h
+        FROM d
+    ),
+    ranked AS (
+        SELECT event_type, h,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY h, user_id) AS rk
+        FROM hv
+    ),
+    kept AS (
+        SELECT event_type, COUNT(*) AS k_actual, MAX(h) AS h_k
+        FROM ranked WHERE rk <= {_KMV_K} GROUP BY event_type
+    ),
+    exact AS (
+        SELECT event_type, COUNT(*) AS n_exact FROM d GROUP BY event_type
+    )
+    SELECT e.event_type, CAST(e.n_exact AS BIGINT) AS n_exact,
+           CASE WHEN k.k_actual < {_KMV_K}
+                THEN CAST(e.n_exact AS DOUBLE)
+                ELSE ROUND(({_KMV_K} - 1) / k.h_k, 4) END AS kmv_est,
+           ROUND((CASE WHEN k.k_actual < {_KMV_K}
+                       THEN CAST(e.n_exact AS DOUBLE)
+                       ELSE ROUND(({_KMV_K} - 1) / k.h_k, 4) END
+                  - CAST(e.n_exact AS DOUBLE)) / CAST(e.n_exact AS DOUBLE),
+                 6) AS rel_error
+    FROM exact e JOIN kept k USING (event_type)
+    """,
+    doc=f"KMV (k-minimum-values) distinct-count sketch, k={_KMV_K} "
+    "(Bar-Yossef et al. 2002): per event type, estimate distinct users "
+    "as (k-1)/h_(k) over md5 hashes normalized to [0,1). Unlike opaque "
+    "HLL registers, the KMV synopsis is a deterministic function of the "
+    "data — the oracle rebuilds the identical sketch, so estimate AND "
+    "measured relative error hash-compare exactly (the HLL overlap "
+    "query's rows-only weakness solved by choosing a reproducible "
+    "sketch). h is an exact dyadic rational (32-bit md5 prefix / 2^32), "
+    "so the division is float-exact on both engines.",
+)
+def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: one distinct on (type, user); k-smallest selection
+    runs TWO-LEVEL — rank within 16 md5-prefix buckets in parallel,
+    keep k per bucket, then rank the <= 16k survivors per type — so no
+    full per-group sort (the global_shuffle_rank discipline applied to
+    top-k). The synopsis is k rows per group: mergeable, broadcastable,
+    and exactly reproducible anywhere."""
+    from pyspark.sql.window import Window
+
+    ev = load_fixture(spark, sf_dir, "events")
+    d = ev.select("event_type", "user_id").distinct()
+    hx = F.md5(F.col("user_id").cast("string"))
+    hv = d.select(
+        "event_type",
+        "user_id",
+        (F.conv(F.substring(hx, 1, 8), 16, 10).cast("bigint")
+         / F.lit(4294967296.0)).alias("h"),
+        (F.conv(F.substring(hx, 1, 2), 16, 10).cast("int") % 16).alias("bucket"),
+    )
+    w1 = Window.partitionBy("event_type", "bucket").orderBy("h", "user_id")
+    pre = hv.withColumn("rn", F.row_number().over(w1)).filter(
+        F.col("rn") <= _KMV_K
+    )
+    w2 = Window.partitionBy("event_type").orderBy("h", "user_id")
+    ranked = pre.withColumn("rk", F.row_number().over(w2)).filter(
+        F.col("rk") <= _KMV_K
+    )
+    kept = ranked.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("k_actual"), F.max("h").alias("h_k")
+    )
+    exact = d.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_exact"))
+    est = F.when(
+        F.col("k_actual") < _KMV_K, F.col("n_exact").cast("double")
+    ).otherwise(F.round(F.lit(float(_KMV_K - 1)) / F.col("h_k"), 4))
+    return exact.join(kept, "event_type").select(
+        "event_type",
+        F.col("n_exact").cast("bigint").alias("n_exact"),
+        est.alias("kmv_est"),
+        F.round(
+            (est - F.col("n_exact").cast("double"))
+            / F.col("n_exact").cast("double"),
+            6,
+        ).alias("rel_error"),
+    )
