@@ -2406,3 +2406,88 @@ def sketch_hll_set_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         inter.cast("bigint").alias("est_intersection"),
         F.round(inter / est_u, 4).alias("est_jaccard"),
     )
+
+
+@register(
+    "agg_trimmed_mean",
+    oracle="""
+    WITH seq AS (
+        SELECT l_returnflag AS flag,
+               CAST(l_extendedprice AS DECIMAL(18,2)) AS v,
+               ROW_NUMBER() OVER (
+                   PARTITION BY l_returnflag
+                   ORDER BY CAST(l_extendedprice AS DECIMAL(18,2)),
+                            l_orderkey, l_linenumber) AS rn,
+               COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+        FROM lineitem
+    ),
+    marked AS (
+        SELECT flag, v, rn, n, n // 10 AS lo
+        FROM seq
+    ),
+    kept AS (
+        SELECT flag, v, n, lo FROM marked WHERE rn > lo AND rn <= n - lo
+    ),
+    agg AS (
+        SELECT flag, MAX(n) AS n, MAX(lo) AS lo,
+               SUM(v) AS s_kept, COUNT(*) AS n_kept,
+               MIN(v) AS low_val, MAX(v) AS high_val
+        FROM kept GROUP BY flag
+    )
+    SELECT flag, CAST(n AS BIGINT) AS n,
+           CAST(lo AS BIGINT) AS trimmed_each_side,
+           ROUND(CAST(s_kept AS DOUBLE) / n_kept, 4) AS trimmed_mean,
+           ROUND(CAST(s_kept + lo * (low_val + high_val) AS DOUBLE) / n, 4)
+               AS winsorized_mean
+    FROM agg
+    """,
+    doc="Robust location estimates per return flag: 10%-trimmed mean "
+    "(drop floor(n/10) ranked rows per tail) and the matching "
+    "winsorized mean (clamp tails to the kept boundary values). Rank "
+    "cut points use INTEGER division (no 0.1 float), accumulation is "
+    "DECIMAL(18,2)-exact, and the single double division happens only "
+    "in the final 3-row projection — engine-identical at any partition "
+    "order.",
+)
+def agg_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: ONE per-group window sort shared by rank and count
+    (same partition key), then a map-side-combined aggregate over the
+    kept rows. The sort is the unavoidable cost of exact rank trimming;
+    for a quantile-approximate trim at 100 TB the histogram-bucket
+    path (quantile_histogram_approx) substitutes."""
+    from pyspark.sql.window import Window
+
+    li = load_fixture(spark, sf_dir, "lineitem")
+    dec = F.col("l_extendedprice").cast("decimal(18,2)")
+    wp = Window.partitionBy("l_returnflag")
+    seq = li.select(
+        F.col("l_returnflag").alias("flag"),
+        dec.alias("v"),
+        F.row_number()
+        .over(wp.orderBy(dec, "l_orderkey", "l_linenumber"))
+        .alias("rn"),
+        F.count(F.lit(1)).over(wp).alias("n"),
+    ).withColumn("lo", F.expr("n div 10"))
+    kept = seq.filter((F.col("rn") > F.col("lo")) & (F.col("rn") <= F.col("n") - F.col("lo")))
+    agg = kept.groupBy("flag").agg(
+        F.max("n").alias("n"),
+        F.max("lo").alias("lo"),
+        F.sum("v").alias("s_kept"),
+        F.count(F.lit(1)).alias("n_kept"),
+        F.min("v").alias("low_val"),
+        F.max("v").alias("high_val"),
+    )
+    return agg.select(
+        "flag",
+        F.col("n").cast("bigint").alias("n"),
+        F.col("lo").cast("bigint").alias("trimmed_each_side"),
+        F.round(F.col("s_kept").cast("double") / F.col("n_kept"), 4).alias(
+            "trimmed_mean"
+        ),
+        F.round(
+            (F.col("s_kept") + F.col("lo") * (F.col("low_val") + F.col("high_val")))
+            .cast("double")
+            / F.col("n"),
+            4,
+        ).alias("winsorized_mean"),
+    )
