@@ -2226,3 +2226,45 @@ def dq_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(obs_p - benford, 6).alias("delta"),
         )
     )
+
+
+@register(
+    "ldiversity_audit",
+    oracle="""
+    SELECT event_type, CAST(ts AS DATE) AS day,
+           CAST(COUNT(*) AS BIGINT) AS group_size,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS distinct_sensitive,
+           CASE WHEN COUNT(DISTINCT user_id) < 3 THEN 'risky' ELSE 'ok' END
+               AS l_status
+    FROM events
+    GROUP BY event_type, CAST(ts AS DATE)
+    """,
+    doc="l-diversity audit (Machanavajjhala et al. 2007), the "
+    "k-anonymity companion: per quasi-identifier class (event type x "
+    "day) count DISTINCT sensitive values (user_id) — a class k rows "
+    "big is still re-identifying if they all belong to < l=3 users. "
+    "Gates release together with kanonymity_audit.",
+)
+def ldiversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: one shuffle on (class, user) for the distinct, then
+    a map-side-combined per-class count — the standard two-step exact
+    distinct-agg; class cardinality bounds the output at |types|x|days|
+    rows regardless of corpus size."""
+    ev = load_fixture(spark, sf_dir, "events")
+    g = ev.select("event_type", F.to_date("ts").alias("day"), "user_id")
+    return (
+        g.groupBy("event_type", "day")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("group_size"),
+            F.countDistinct("user_id").cast("bigint").alias("distinct_sensitive"),
+        )
+        .select(
+            "event_type",
+            "day",
+            "group_size",
+            "distinct_sensitive",
+            F.when(F.col("distinct_sensitive") < 3, F.lit("risky"))
+            .otherwise(F.lit("ok"))
+            .alias("l_status"),
+        )
+    )
