@@ -762,3 +762,83 @@ def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("rel_error"),
     )
+
+
+_FH_DIM = 4096
+_FH_BUCKET = _hex4_mod_sql("md5(term)", _FH_DIM)
+_FH_SIGN = ("CASE WHEN (strpos('0123456789abcdef', substr(md5(term), 5, 1)) - 1)"
+            " % 2 = 0 THEN 1 ELSE -1 END")
+
+
+@register(
+    "text_feature_hashing",
+    oracle=f"""
+    WITH tok AS ({_TOK}),
+    tc AS (SELECT doc_id, term, COUNT(*) AS c FROM tok GROUP BY doc_id, term),
+    hashed AS (
+        SELECT doc_id, {_FH_BUCKET} AS bucket, {_FH_SIGN} AS sgn, c
+        FROM tc
+    ),
+    fb AS (
+        SELECT doc_id, bucket, CAST(SUM(sgn * c) AS BIGINT) AS val
+        FROM hashed GROUP BY doc_id, bucket
+        HAVING SUM(sgn * c) <> 0
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_features,
+           CAST(SUM(ABS(val)) AS BIGINT) AS l1_norm,
+           md5(string_agg(CAST(bucket AS VARCHAR) || ':' || CAST(val AS VARCHAR),
+                          ' ' ORDER BY bucket)) AS features_md5
+    FROM fb GROUP BY doc_id
+    """,
+    doc=f"Feature hashing (Weinberger et al. 2009): {_FH_DIM}-dim signed "
+    "hashed bag-of-words per document — bucket = md5(term) mod dim, the "
+    "5th-hex-digit parity supplies the collision-unbiasing sign, "
+    "sign-cancelled buckets drop out. The sparse vector is graded as an "
+    "md5 digest of its sorted bucket:value rendering (the "
+    "tokenize_vocab_ids scalar-digest idiom) plus n_features and the L1 "
+    "norm as direct integers.",
+)
+def text_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: token counts and bucket sums are two map-side-
+    combined groupBys keyed by (doc, term) then (doc, bucket) — the
+    vector never exceeds min(|terms_d|, dim) entries per doc, and the
+    digest projection keeps shuffles carrying only integers. The
+    hashing trick is exactly the fixed-width trick that makes
+    vocabulary-free featurization possible at 100 TB (no vocab
+    broadcast, no OOV)."""
+    docs = load_fixture(spark, sf_dir, "documents")
+    tc = tokenize(docs).groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    hx = F.md5(F.col("term"))
+    bucket = (F.conv(F.substring(hx, 1, 4), 16, 10).cast("int") % _FH_DIM)
+    sgn = F.when(
+        F.conv(F.substring(hx, 5, 1), 16, 10).cast("int") % 2 == 0, F.lit(1)
+    ).otherwise(F.lit(-1))
+    fb = (
+        tc.select("doc_id", bucket.alias("bucket"), (sgn * F.col("c")).alias("sc"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.sum("sc").cast("bigint").alias("val"))
+        .filter(F.col("val") != 0)
+    )
+    return (
+        fb.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_features"),
+            F.sum(F.abs(F.col("val"))).cast("bigint").alias("l1_norm"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("bucket", "val"))
+                        ),
+                        lambda f: F.concat_ws(
+                            ":", f["bucket"].cast("string"), f["val"].cast("string")
+                        ),
+                    ),
+                    " ",
+                )
+            ).alias("features_md5"),
+        )
+    )
