@@ -2268,3 +2268,46 @@ def ldiversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("l_status"),
         )
     )
+
+
+@register(
+    "sample_time_holdout",
+    oracle="""
+    SELECT event_id, user_id,
+           CASE WHEN rk <= 2 THEN 'test'
+                WHEN rk = 3 THEN 'embargo'
+                ELSE 'train' END AS split
+    FROM (
+        SELECT event_id, user_id,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rk
+        FROM events
+    )
+    """,
+    doc="Per-user temporal holdout: each user's LAST 2 events are test, "
+    "the event immediately before them is an embargo row (excluded from "
+    "train so boundary leakage across the split point is structural, "
+    "not hoped-for — the time-series CV discipline), everything earlier "
+    "trains. The leave-last-n protocol recommender evaluation uses; "
+    "random splits leak future behavior into training.",
+)
+def sample_time_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: one per-user window sort, no joins; the split label
+    is a rank CASE. At 100 TB the sort shuffles (user, ts) pairs once —
+    the same cost as any per-user sessionization pass."""
+    from pyspark.sql.window import Window
+
+    ev = load_fixture(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return ev.select(
+        "event_id", "user_id", F.row_number().over(w).alias("rk")
+    ).select(
+        "event_id",
+        "user_id",
+        F.when(F.col("rk") <= 2, "test")
+        .when(F.col("rk") == 3, "embargo")
+        .otherwise("train")
+        .alias("split"),
+    )
