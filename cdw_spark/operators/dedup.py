@@ -718,3 +718,83 @@ def minhash_near_duplicates_incremental(
     )
     cand_docs = all_docs.join(cand_ids, on=id_col, how="semi")
     return jaccard_verify(cands, cand_docs, text_col, id_col, n, threshold)
+
+
+def ngram_jaccard_pairs_prefix(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    t_num: int = 3,
+    t_den: int = 5,
+) -> DataFrame:
+    """Prefix-filtered exact Jaccard pairs (PPJoin-style; Chaudhuri et
+    al. 2006, Xiao et al. 2008) — same output as ``ngram_jaccard_pairs``
+    at threshold ``t_num/t_den``, asymptotically fewer candidates.
+
+    Each document orders its shingles by ascending GLOBAL document
+    frequency (rarest first, shingle string as total-order tie-break)
+    and exposes only its first ``|S| - ceil(t*|S|) + 1`` as the prefix;
+    the prefix-filtering theorem guarantees every pair with J >= t
+    shares a prefix shingle on BOTH sides, so the candidate join runs
+    over prefixes only — the frequent shingles that explode the naive
+    inverted join are exactly the ones prefixes exclude. Candidates are
+    then verified with the exact intersection count.
+
+    The threshold is a RATIONAL (t_num/t_den) so the prefix length uses
+    integer ceiling arithmetic — a float ceil(0.6*n) rounds 3.0 up to 4
+    on binary-inexact products and silently shortens the prefix below
+    the theorem's bound (missed pairs), the classic PPJoin port bug.
+    """
+    sh = _shingle_table(df, text_col, id_col, n)
+    counts = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    dfreq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("dfc"))
+    from pyspark.sql.window import Window
+
+    ranked = (
+        sh.join(dfreq, "sh")
+        .join(counts, id_col)
+        .withColumn(
+            "rk",
+            F.row_number().over(Window.partitionBy(id_col).orderBy("dfc", "sh")),
+        )
+    )
+    need = (
+        F.col("n_sh")
+        - F.expr(f"({t_num} * n_sh + {t_den} - 1) div {t_den}")
+        + F.lit(1)
+    )
+    prefix = ranked.filter(F.col("rk") <= need).select(F.col(id_col), "sh")
+    pa = prefix.select(F.col(id_col).alias("id_a"), "sh")
+    pb = prefix.select(F.col(id_col).alias("id_b"), "sh")
+    cand = (
+        pa.join(pb, "sh")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sa = sh.select(F.col(id_col).alias("id_a"), "sh")
+    sb = sh.select(F.col(id_col).alias("id_b"), "sh")
+    inter = (
+        cand.join(sa, "id_a")
+        .join(sb, ["id_b", "sh"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    ca = counts.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("na"))
+    cb = counts.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("nb"))
+    thr = float(t_num) / float(t_den)
+    return (
+        inter.join(ca, "id_a")
+        .join(cb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("inter").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("inter")).cast("double")
+            ).alias("jaccard_raw"),
+        )
+        .filter(F.col("jaccard_raw") >= thr)
+        .select("id_a", "id_b", F.round("jaccard_raw", 6).alias("jaccard"))
+    )

@@ -438,3 +438,23 @@ def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import exact_substring_dedup
 
     return exact_substring_dedup(load_fixture(spark, sf_dir, "documents"), ngram=8)
+
+
+@register(
+    "dedup_ngram_prefix_filter",
+    oracle=_JACCARD_SQL,
+    doc="Prefix-filtered exact Jaccard >= 0.6 (PPJoin-style, Xiao et "
+    "al. 2008): identical pair set to dedup_ngram_jaccard — the oracle "
+    "is literally the same SQL — but candidates come only from the "
+    "rarest |S| - ceil(0.6|S|) + 1 shingles of each document under a "
+    "global document-frequency order, so the frequent shingles that "
+    "blow up the naive inverted join never generate candidates. "
+    "Threshold handled as the rational 3/5 with integer ceiling "
+    "arithmetic (a float ceil silently under-lengthens prefixes). "
+    "operators/dedup.py:ngram_jaccard_pairs_prefix; candidate-count "
+    "reduction and pair parity asserted in tests/test_dedup.py.",
+)
+def dedup_ngram_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import ngram_jaccard_pairs_prefix
+
+    return ngram_jaccard_pairs_prefix(load_fixture(spark, sf_dir, "documents"))

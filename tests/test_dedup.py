@@ -251,3 +251,58 @@ def test_incremental_minhash_equals_full_recompute(spark, sf_dir):
         )
     )
     assert inc3 == inc
+
+
+def test_prefix_filter_pair_parity_and_candidate_reduction(spark, sf_dir):
+    """The PPJoin prefix filter must return EXACTLY the naive inverted
+    join's pairs (the prefix-filtering theorem is lossless at the
+    threshold), while generating strictly fewer candidate pairs."""
+    from pyspark.sql import functions as F
+
+    from cdw_spark.catalog import load_fixture
+    from cdw_spark.operators.dedup import (
+        _shingle_table,
+        ngram_jaccard_pairs,
+        ngram_jaccard_pairs_prefix,
+    )
+
+    docs = load_fixture(spark, sf_dir, "documents")
+    naive = {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs(docs, threshold=0.6).collect()
+    }
+    filtered = {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs_prefix(docs).collect()
+    }
+    assert filtered == naive and naive
+
+    # candidate counts: naive = pairs sharing ANY shingle; prefix = pairs
+    # sharing a PREFIX shingle on both sides (recomputed here the same way
+    # the operators build them)
+    sh = _shingle_table(docs, "text", "doc_id", 3)
+    sa = sh.select(F.col("doc_id").alias("id_a"), "sh")
+    sb = sh.select(F.col("doc_id").alias("id_b"), "sh")
+    naive_cands = (
+        sa.join(sb, "sh").filter("id_a < id_b").select("id_a", "id_b").distinct().count()
+    )
+    from pyspark.sql.window import Window
+
+    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    dfreq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("dfc"))
+    ranked = (
+        sh.join(dfreq, "sh")
+        .join(counts, "doc_id")
+        .withColumn(
+            "rk",
+            F.row_number().over(Window.partitionBy("doc_id").orderBy("dfc", "sh")),
+        )
+    )
+    need = F.col("n_sh") - F.expr("(3 * n_sh + 4) div 5") + F.lit(1)
+    prefix = ranked.filter(F.col("rk") <= need).select("doc_id", "sh")
+    pa = prefix.select(F.col("doc_id").alias("id_a"), "sh")
+    pb = prefix.select(F.col("doc_id").alias("id_b"), "sh")
+    pf_cands = (
+        pa.join(pb, "sh").filter("id_a < id_b").select("id_a", "id_b").distinct().count()
+    )
+    assert pf_cands < naive_cands, (pf_cands, naive_cands)
