@@ -2491,3 +2491,67 @@ def agg_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("winsorized_mean"),
     )
+
+
+@register(
+    "agg_weighted_median",
+    oracle="""
+    WITH seq AS (
+        SELECT l_returnflag AS flag,
+               CAST(l_extendedprice AS DECIMAL(18,2)) AS v,
+               CAST(l_quantity AS DECIMAL(18,2)) AS w,
+               SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (
+                   PARTITION BY l_returnflag
+                   ORDER BY CAST(l_extendedprice AS DECIMAL(18,2)),
+                            l_orderkey, l_linenumber) AS cw,
+               SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (
+                   PARTITION BY l_returnflag) AS tw
+        FROM lineitem
+    ),
+    hit AS (
+        SELECT flag, v, tw,
+               ROW_NUMBER() OVER (PARTITION BY flag ORDER BY cw, v) AS rk
+        FROM seq WHERE cw * 2 >= tw
+    )
+    SELECT flag,
+           ROUND(CAST(v AS DOUBLE), 2) AS weighted_median_price,
+           ROUND(CAST(tw AS DOUBLE), 2) AS total_weight
+    FROM hit WHERE rk = 1
+    """,
+    doc="Exact weighted median: smallest price whose cumulative quantity "
+    "weight reaches half the group's total — the inventory-weighted "
+    "'typical price' a plain median misstates. The half-total test is "
+    "cw * 2 >= tw in DECIMAL (no 0.5 float, no division), cumulative "
+    "weights are DECIMAL-exact at any partition order, and the unique "
+    "(price, orderkey, linenumber) sort makes the selected row "
+    "engine-identical.",
+)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: one per-group window sort shared by the cumulative
+    and total sums (same partition key), then a rank-1 pick over the
+    suffix rows that cross the half-weight line. Exactness needs the
+    group sorted once; the sketch substitute at 100 TB is the weighted
+    variant of quantile_histogram_approx."""
+    from pyspark.sql.window import Window
+
+    li = load_fixture(spark, sf_dir, "lineitem")
+    v = F.col("l_extendedprice").cast("decimal(18,2)")
+    w = F.col("l_quantity").cast("decimal(18,2)")
+    wp = Window.partitionBy("l_returnflag")
+    seq = li.select(
+        F.col("l_returnflag").alias("flag"),
+        v.alias("v"),
+        F.sum(w).over(wp.orderBy(v, "l_orderkey", "l_linenumber")).alias("cw"),
+        F.sum(w).over(wp).alias("tw"),
+    )
+    hit = seq.filter(F.col("cw") * 2 >= F.col("tw")).withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("flag").orderBy("cw", "v")
+        ),
+    )
+    return hit.filter(F.col("rk") == 1).select(
+        "flag",
+        F.round(F.col("v").cast("double"), 2).alias("weighted_median_price"),
+        F.round(F.col("tw").cast("double"), 2).alias("total_weight"),
+    )
