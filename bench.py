@@ -129,6 +129,21 @@ HEADLINE = [
     "sample_split_leakage_safe",
     "stream_semantic_ingest",
     "similarity_ivf_incremental",
+    # round 5 second wave: community detection, bloom pruning, KMV sketch,
+    # contrastive negatives, PPJoin prefix filtering, robust/weighted
+    # exact aggregates, feature hashing, and the cheap audit tail
+    "graph_label_propagation",
+    "sketch_bloom_filter_join",
+    "sketch_kmv_distinct",
+    "sample_negative_pairs",
+    "dedup_ngram_prefix_filter",
+    "agg_trimmed_mean",
+    "agg_weighted_median",
+    "text_feature_hashing",
+    "window_gaps_islands",
+    "dq_benford_audit",
+    "ldiversity_audit",
+    "sample_time_holdout",
 ]
 
 

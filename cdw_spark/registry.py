@@ -100,10 +100,16 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # mix_sources_weighted, curriculum_phases, embedding_quantize_int8,
 # global_shuffle_rank, incremental_agg_merge, sample_class_balanced,
 # quantile_rank_normalize, batch_by_length, select_token_budget,
-# corpus_mix_entropy. That is 43 oracled candidates for 40 slots; the
-# 4 rows-only (agg_approx_top_k, text_compression_ratio,
-# similarity_ann_pq, multimodal_audio_spectral — each irreducibly
-# engine-specific with a measured reason) never burn window slots.
+# corpus_mix_entropy; then the round-5 second-wave operators (newest,
+# least-proven): graph_label_propagation, sketch_bloom_filter_join,
+# sketch_kmv_distinct, sample_negative_pairs,
+# dedup_ngram_prefix_filter, agg_trimmed_mean, agg_weighted_median,
+# text_feature_hashing, window_gaps_islands, dq_benford_audit,
+# ldiversity_audit, sample_time_holdout. That is 55 oracled candidates
+# across two rounds of 40 slots; the 4 rows-only (agg_approx_top_k,
+# text_compression_ratio, similarity_ann_pq, multimodal_audio_spectral
+# — each irreducibly engine-specific with a measured reason) never
+# burn window slots.
 _WINDOW_ROUND = 5  # the round this window was authored FOR — meta-tests
 # treat CORRECTNESS records from rounds >= this as the window's own
 # grade, not prior evidence (VERDICT r4 #3's self-invalidation fix).
