@@ -80,7 +80,8 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # oldest oracled r2 tail in registration order. Cumulative driver
 # evidence after r4: 139 unique queries graded.
 #
-# Never-graded after this window: 47 (43 oracled + 4 rows-only). r6
+# Never-graded after this window: 59 (55 oracled + 4 rows-only,
+# after the round-5 second-wave additions). r6
 # priority — the round-5 conversions and new operators first (they are
 # the least-proven): stream_semantic_ingest, sample_split_leakage_safe,
 # similarity_ivf_incremental, stream_stateful_sessionize,
