@@ -2555,3 +2555,97 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("v").cast("double"), 2).alias("weighted_median_price"),
         F.round(F.col("tw").cast("double"), 2).alias("total_weight"),
     )
+
+
+@register(
+    "agg_skew_kurtosis",
+    oracle="""
+    WITH m AS (
+        SELECT l_returnflag AS flag,
+               COUNT(*) AS n,
+               SUM(CAST(CAST(l_quantity AS BIGINT) AS DECIMAL(38,0))) AS s1,
+               SUM(CAST(CAST(l_quantity AS BIGINT)
+                        * CAST(l_quantity AS BIGINT) AS DECIMAL(38,0))) AS s2,
+               SUM(CAST(CAST(l_quantity AS BIGINT)
+                        * CAST(l_quantity AS BIGINT)
+                        * CAST(l_quantity AS BIGINT) AS DECIMAL(38,0))) AS s3,
+               SUM(CAST(CAST(l_quantity AS BIGINT)
+                        * CAST(l_quantity AS BIGINT)
+                        * CAST(l_quantity AS BIGINT)
+                        * CAST(l_quantity AS BIGINT) AS DECIMAL(38,0))) AS s4
+        FROM lineitem GROUP BY l_returnflag
+    ),
+    d AS (
+        SELECT flag, n,
+               CAST(s1 AS DOUBLE) / n AS mu,
+               CAST(s2 AS DOUBLE) / n AS r2,
+               CAST(s3 AS DOUBLE) / n AS r3,
+               CAST(s4 AS DOUBLE) / n AS r4
+        FROM m
+    ),
+    c AS (
+        SELECT flag, n, mu,
+               r2 - mu * mu AS m2,
+               r3 - 3.0 * mu * r2 + 2.0 * mu * mu * mu AS m3,
+               r4 - 4.0 * mu * r3 + 6.0 * mu * mu * r2
+                  - 3.0 * mu * mu * mu * mu AS m4
+        FROM d
+    )
+    SELECT flag, CAST(n AS BIGINT) AS n,
+           ROUND(mu, 6) AS mean_qty,
+           ROUND(m2, 6) AS var_pop,
+           ROUND(m3 / (sqrt(m2) * m2), 6) AS skewness,
+           ROUND(m4 / (m2 * m2) - 3.0, 6) AS excess_kurtosis
+    FROM c
+    """,
+    doc="Population skewness and excess kurtosis per return flag from "
+    "EXACT raw moments: quantities are integral, so S1..S4 accumulate "
+    "as DECIMAL(38,0) integers (associative-exact at any partition "
+    "order — the built-in skewness()/kurtosis() aggregates fold in "
+    "doubles and are order-sensitive, which is why they can't be "
+    "hash-graded); the central-moment conversion runs on the exact "
+    "sums in one identical double op sequence per engine, with "
+    "sqrt(m2)*m2 in place of pow(m2,1.5) (sqrt is correctly rounded "
+    "everywhere, libm pow is not).",
+)
+def agg_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: one map-side-combined aggregate carrying four
+    decimal partials per group — the textbook mergeable-moments
+    pattern; output is |groups| rows."""
+    li = load_fixture(spark, sf_dir, "lineitem")
+    qb = F.col("l_quantity").cast("bigint")
+    m = li.groupBy(F.col("l_returnflag").alias("flag")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(qb.cast("decimal(38,0)")).alias("s1"),
+        F.sum((qb * qb).cast("decimal(38,0)")).alias("s2"),
+        F.sum((qb * qb * qb).cast("decimal(38,0)")).alias("s3"),
+        F.sum((qb * qb * qb * qb).cast("decimal(38,0)")).alias("s4"),
+    )
+    mu = F.col("s1").cast("double") / F.col("n")
+    r2 = F.col("s2").cast("double") / F.col("n")
+    r3 = F.col("s3").cast("double") / F.col("n")
+    r4 = F.col("s4").cast("double") / F.col("n")
+    d = m.select("flag", "n", mu.alias("mu"), r2.alias("r2"), r3.alias("r3"), r4.alias("r4"))
+    m2 = F.col("r2") - F.col("mu") * F.col("mu")
+    m3 = (
+        F.col("r3")
+        - F.lit(3.0) * F.col("mu") * F.col("r2")
+        + F.lit(2.0) * F.col("mu") * F.col("mu") * F.col("mu")
+    )
+    m4 = (
+        F.col("r4")
+        - F.lit(4.0) * F.col("mu") * F.col("r3")
+        + F.lit(6.0) * F.col("mu") * F.col("mu") * F.col("r2")
+        - F.lit(3.0) * F.col("mu") * F.col("mu") * F.col("mu") * F.col("mu")
+    )
+    c = d.select("flag", "n", "mu", m2.alias("m2"), m3.alias("m3"), m4.alias("m4"))
+    return c.select(
+        "flag",
+        F.col("n").cast("bigint").alias("n"),
+        F.round("mu", 6).alias("mean_qty"),
+        F.round("m2", 6).alias("var_pop"),
+        F.round(F.col("m3") / (F.sqrt("m2") * F.col("m2")), 6).alias("skewness"),
+        F.round(F.col("m4") / (F.col("m2") * F.col("m2")) - F.lit(3.0), 6).alias(
+            "excess_kurtosis"
+        ),
+    )

@@ -830,3 +830,151 @@ def similarity_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.filter(F.col("vec_id") % 5 == 4),
         k=4, iters=2, dim=_DIM,
     )
+
+
+@register(
+    "embedding_class_separation",
+    oracle="""
+    WITH q AS (
+        SELECT label, vec_id, j.j AS dim,
+               -- explicit DOUBLE cast: FLOAT * literal stays float32 in
+               -- DuckDB and flips round-half cases vs Spark's double math
+               CAST(floor(CAST(embedding[j.j] AS DOUBLE) * 1000000.0 + 0.5)
+                    AS BIGINT) AS q
+        FROM embeddings CROSS JOIN (SELECT unnest(range(1, 65)) AS j) j
+    ),
+    nn AS (SELECT label, COUNT(*) AS n FROM embeddings GROUP BY label),
+    stats AS (SELECT label, dim, SUM(q) AS s FROM q GROUP BY label, dim),
+    wterm AS (
+        SELECT q.label,
+               CAST(q.q * nn.n - st.s AS DECIMAL(19,0)) AS t
+        FROM q
+        JOIN stats st ON st.label = q.label AND st.dim = q.dim
+        JOIN nn ON nn.label = q.label
+    ),
+    w AS (SELECT label, SUM(t * t) AS wnum FROM wterm GROUP BY label),
+    cpair AS (
+        SELECT a.label AS la, b.label AS lb,
+               CAST(a.s * nb.n - b.s * na.n AS DECIMAL(19,0)) AS d
+        FROM stats a
+        JOIN stats b ON a.dim = b.dim AND a.label < b.label
+        JOIN nn na ON na.label = a.label
+        JOIN nn nb ON nb.label = b.label
+    ),
+    bsum AS (SELECT la, lb, SUM(d * d) AS bnum FROM cpair GROUP BY la, lb)
+    SELECT bs.la AS label_a, bs.lb AS label_b,
+           CAST(na.n AS BIGINT) AS n_a, CAST(nb.n AS BIGINT) AS n_b,
+           ROUND(CAST(bs.bnum AS DOUBLE)
+                 / CAST((na.n * nb.n) * (na.n * nb.n) AS DOUBLE)
+                 / 1000000000000.0, 6) AS between_dist2,
+           ROUND((CAST(wa.wnum AS DOUBLE)
+                    / CAST(na.n * na.n * na.n AS DOUBLE) / 1000000000000.0
+                  + CAST(wb.wnum AS DOUBLE)
+                    / CAST(nb.n * nb.n * nb.n AS DOUBLE) / 1000000000000.0)
+                 / 2.0, 6) AS within_scatter,
+           ROUND(ROUND(CAST(bs.bnum AS DOUBLE)
+                       / CAST((na.n * nb.n) * (na.n * nb.n) AS DOUBLE)
+                       / 1000000000000.0, 6)
+                 / ROUND((CAST(wa.wnum AS DOUBLE)
+                            / CAST(na.n * na.n * na.n AS DOUBLE)
+                            / 1000000000000.0
+                          + CAST(wb.wnum AS DOUBLE)
+                            / CAST(nb.n * nb.n * nb.n AS DOUBLE)
+                            / 1000000000000.0)
+                        / 2.0, 6), 4) AS fisher_ratio
+    FROM bsum bs
+    JOIN nn na ON na.label = bs.la
+    JOIN nn nb ON nb.label = bs.lb
+    JOIN w wa ON wa.label = bs.la
+    JOIN w wb ON wb.label = bs.lb
+    """,
+    doc="Embedding-space class separability audit: per label pair, "
+    "squared centroid distance (between), mean within-class scatter, "
+    "and their Fisher-style ratio — the embedding-quality check run "
+    "before trusting labels for retrieval/classification training. "
+    "Exactness via the PCA idiom: quantize once (floor(v*1e6+.5)), "
+    "keep centroids RATIONAL (s/n never divided — pair distances use "
+    "the integer numerator s_a*n_b - s_b*n_a over (n_a*n_b)^2), "
+    "accumulate squares in DECIMAL(38,0), and divide into doubles only "
+    "in the 45-row final projection with an identical op sequence in "
+    "both engines.",
+)
+def embedding_class_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: one posexplode to (row, dim) — 64x the vector
+    relation, the same shape every per-dim exact op here uses — then
+    two map-side-combined aggregates (per-class-dim sums, per-class
+    scatter) and a |labels|^2/2 * 64 centroid pair join. Nothing
+    scales with pairs of ROWS — only with pairs of CLASSES."""
+    e = load_fixture(spark, sf_dir, "embeddings")
+    q = e.select(
+        "label",
+        "vec_id",
+        F.posexplode("embedding").alias("pos", "v"),
+    ).select(
+        "label",
+        "vec_id",
+        (F.col("pos") + 1).alias("dim"),
+        F.floor(F.col("v").cast("double") * F.lit(1000000.0) + F.lit(0.5))
+        .cast("bigint")
+        .alias("q"),
+    )
+    nn = e.groupBy("label").agg(F.count(F.lit(1)).alias("n"))
+    stats = q.groupBy("label", "dim").agg(F.sum("q").alias("s"))
+    wterm = (
+        q.join(stats, ["label", "dim"])
+        .join(nn, "label")
+        .select(
+            "label",
+            (F.col("q") * F.col("n") - F.col("s")).cast("decimal(19,0)").alias("t"),
+        )
+    )
+    w = wterm.groupBy("label").agg(F.sum(F.col("t") * F.col("t")).alias("wnum"))
+    sa = stats.select(F.col("label").alias("la"), "dim", F.col("s").alias("s_a"))
+    sb = stats.select(F.col("label").alias("lb"), F.col("dim").alias("dim_b"), F.col("s").alias("s_b"))
+    na = nn.select(F.col("label").alias("la"), F.col("n").alias("n_a"))
+    nb = nn.select(F.col("label").alias("lb"), F.col("n").alias("n_b"))
+    cpair = (
+        sa.join(sb, (F.col("dim") == F.col("dim_b")) & (F.col("la") < F.col("lb")))
+        .join(F.broadcast(na), "la")
+        .join(F.broadcast(nb), "lb")
+        .select(
+            "la",
+            "lb",
+            (F.col("s_a") * F.col("n_b") - F.col("s_b") * F.col("n_a"))
+            .cast("decimal(19,0)")
+            .alias("d"),
+        )
+    )
+    bsum = cpair.groupBy("la", "lb").agg(F.sum(F.col("d") * F.col("d")).alias("bnum"))
+    wa = w.select(F.col("label").alias("la"), F.col("wnum").alias("wnum_a"))
+    wb = w.select(F.col("label").alias("lb"), F.col("wnum").alias("wnum_b"))
+    between = (
+        F.col("bnum").cast("double")
+        / ((F.col("n_a") * F.col("n_b")) * (F.col("n_a") * F.col("n_b"))).cast("double")
+        / F.lit(1000000000000.0)
+    )
+    within = (
+        F.col("wnum_a").cast("double")
+        / (F.col("n_a") * F.col("n_a") * F.col("n_a")).cast("double")
+        / F.lit(1000000000000.0)
+        + F.col("wnum_b").cast("double")
+        / (F.col("n_b") * F.col("n_b") * F.col("n_b")).cast("double")
+        / F.lit(1000000000000.0)
+    ) / F.lit(2.0)
+    return (
+        bsum.join(F.broadcast(na), "la")
+        .join(F.broadcast(nb), "lb")
+        .join(F.broadcast(wa), "la")
+        .join(F.broadcast(wb), "lb")
+        .select(
+            F.col("la").alias("label_a"),
+            F.col("lb").alias("label_b"),
+            F.col("n_a").cast("bigint").alias("n_a"),
+            F.col("n_b").cast("bigint").alias("n_b"),
+            F.round(between, 6).alias("between_dist2"),
+            F.round(within, 6).alias("within_scatter"),
+            F.round(F.round(between, 6) / F.round(within, 6), 4).alias(
+                "fisher_ratio"
+            ),
+        )
+    )

@@ -215,3 +215,49 @@ def test_hll_set_overlap_accuracy(spark, sf_dir):
         assert abs(est_u - exact_u) <= max(2, 0.05 * exact_u), (a, b, est_u, exact_u)
         assert abs(est_i - exact_i) <= max(3, 0.10 * exact_i), (a, b, est_i, exact_i)
         assert est_i <= est_u
+
+
+def test_label_propagation_recovers_planted_communities(spark):
+    """Two cliques with a single bridge edge: synchronous LPA must give
+    every member of a clique that clique's minimum id as its label, and
+    the bridge must not merge them (each endpoint is outvoted by its
+    own clique)."""
+    from cdw_spark.operators.graph import label_propagation
+
+    c1 = [(a, b) for a in range(1, 6) for b in range(1, 6) if a != b]
+    c2 = [(a, b) for a in range(10, 15) for b in range(10, 15) if a != b]
+    bridge = [(5, 10), (10, 5)]
+    edges = spark.createDataFrame(c1 + c2 + bridge, ["src", "dst"])
+    got = {r["node"]: r["label"] for r in label_propagation(edges, iters=3).collect()}
+    assert {got[n] for n in range(1, 6)} == {1}
+    assert {got[n] for n in range(10, 15)} == {10}
+
+
+def test_kmv_estimate_matches_reference_formula(spark):
+    """KMV on a known key set: h_k and the (k-1)/h_k estimate must match
+    a direct python computation of the same md5 arithmetic."""
+    import hashlib
+
+    from cdw_spark.registry import load_all
+
+    reg = load_all()
+    df = reg["sketch_kmv_distinct"].fn(spark, "/root/testdata/sf0.01")
+    rows = {r["event_type"]: r for r in df.collect()}
+    import duckdb
+
+    con = duckdb.connect()
+    users = [
+        r[0]
+        for r in con.execute(
+            "SELECT DISTINCT user_id FROM "
+            "'/root/testdata/sf0.01/events.parquet' WHERE event_type = 'click'"
+        ).fetchall()
+    ]
+    hs = sorted(
+        int(hashlib.md5(str(u).encode()).hexdigest()[:8], 16) / 4294967296.0
+        for u in users
+    )
+    k = 64
+    expect = round((k - 1) / hs[k - 1], 4) if len(hs) >= k else float(len(hs))
+    assert rows["click"]["kmv_est"] == expect
+    assert rows["click"]["n_exact"] == len(users)
