@@ -796,3 +796,108 @@ def stream_semantic_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination(240)
     return spark.read.parquet(out_dir)
+
+
+_KMV_STREAM_K = 64
+
+
+@register(
+    "stream_kmv_cardinality",
+    oracle=f"""
+    WITH d AS (SELECT DISTINCT event_type, user_id FROM events),
+    hv AS (
+        SELECT event_type, user_id,
+               CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+                    AS BIGINT) / 4294967296.0 AS h
+        FROM d
+    ),
+    ranked AS (
+        SELECT event_type, h,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY h, user_id) AS rk
+        FROM hv
+    ),
+    kept AS (
+        SELECT event_type, COUNT(*) AS k_actual, MAX(h) AS h_k
+        FROM ranked WHERE rk <= {_KMV_STREAM_K} GROUP BY event_type
+    )
+    SELECT event_type, CAST(k_actual AS BIGINT) AS k_actual,
+           CASE WHEN k_actual < {_KMV_STREAM_K}
+                THEN CAST(k_actual AS DOUBLE)
+                ELSE ROUND(({_KMV_STREAM_K} - 1) / h_k, 4) END AS kmv_est
+    FROM kept
+    """,
+    doc="Distinct-user cardinality maintained AT THE INGESTION DOOR as a "
+    "KMV synopsis: the foreachBatch sink keeps only the k=64 smallest "
+    "(hash, user) rows per event type — <= k*|types| rows of state "
+    "TOTAL, vs the O(distinct users) state exact streaming distinct "
+    "needs. Keep-k-smallest-distinct is a commutative, idempotent "
+    "merge, so the streamed synopsis equals the batch sketch exactly "
+    "regardless of batch boundaries — the batch twin "
+    "(sketch_kmv_distinct's SQL, minus the exact-count column the "
+    "synopsis by design cannot produce) applies verbatim.",
+)
+def stream_kmv_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: per batch, one distinct + per-type window over the
+    BATCH only, then a merge against <= k*|types| persisted rows; state
+    never grows past the synopsis bound. This is the sketch-state
+    pattern that replaces unbounded dropDuplicates state for
+    monitoring-grade cardinality at 100 TB/day ingest."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from ..streaming.source import table_stream
+
+    root = tempfile.mkdtemp(prefix="cdw_stream_kmv_")
+    syn_dir = os.path.join(root, "synopsis")
+    spark.createDataFrame([], "event_type string, user_id long, h double").write.mode(
+        "overwrite"
+    ).parquet(syn_dir)
+
+    def handle(batch, batch_id):
+        b = batch.select("event_type", "user_id").distinct()
+        bh = b.select(
+            "event_type",
+            "user_id",
+            (
+                F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10)
+                .cast("bigint")
+                / F.lit(4294967296.0)
+            ).alias("h"),
+        )
+        old = spark.read.parquet(syn_dir).localCheckpoint(eager=True)
+        merged = old.unionByName(bh).dropDuplicates(["event_type", "user_id"])
+        w = Window.partitionBy("event_type").orderBy("h", "user_id")
+        pruned = (
+            merged.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= _KMV_STREAM_K)
+            .select("event_type", "user_id", "h")
+            .localCheckpoint(eager=True)
+        )
+        pruned.write.mode("overwrite").parquet(syn_dir)
+
+    sdf = table_stream(spark, sf_dir, "events", order_col="event_id", n_files=4)
+    q = (
+        sdf.select("event_type", "user_id")
+        .writeStream.foreachBatch(handle)
+        .option("checkpointLocation", os.path.join(root, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+    syn = spark.read.parquet(syn_dir)
+    kept = syn.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("k_actual"), F.max("h").alias("h_k")
+    )
+    return kept.select(
+        "event_type",
+        F.col("k_actual").cast("bigint").alias("k_actual"),
+        F.when(
+            F.col("k_actual") < _KMV_STREAM_K, F.col("k_actual").cast("double")
+        )
+        .otherwise(F.round(F.lit(float(_KMV_STREAM_K - 1)) / F.col("h_k"), 4))
+        .alias("kmv_est"),
+    )
