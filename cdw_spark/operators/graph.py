@@ -137,3 +137,36 @@ def label_propagation(edges: DataFrame, iters: int = 3) -> DataFrame:
             .localCheckpoint(eager=True)
         )
     return labels
+
+
+def kcore_peel(edges: DataFrame, k: int = 3, rounds: int = 3) -> DataFrame:
+    """Bounded k-core peeling: ``rounds`` synchronous rounds of "drop
+    every node with degree < k, then drop its edges" over a SYMMETRIC
+    edge list; returns surviving (node, deg) after the last round.
+
+    A FIXED round count (not iterate-to-fixpoint) keeps the result an
+    exact, engine-independent function of the input — the pagerank/LPA
+    treatment — and in practice bounded peeling is how distributed
+    k-core runs anyway (each round is a full shuffle; production systems
+    cap rounds and accept the supergraph of the true core, which this
+    returns: true k-core ⊆ every round's survivor set).
+
+    Scale shape per round: one map-side-combined degree count (|V| rows)
+    and one semi-join of edges against surviving nodes on EACH endpoint
+    — equi-joins only, the degree relation broadcasts while it fits.
+    Edges are checkpointed per round so lineage stays flat."""
+    e = edges.select("src", "dst").localCheckpoint(eager=True)
+    for _ in range(rounds):
+        deg = e.groupBy(F.col("src").alias("node")).agg(
+            F.count(F.lit(1)).alias("deg")
+        )
+        keep = deg.filter(F.col("deg") >= k).select("node")
+        e = (
+            e.join(keep.withColumnRenamed("node", "src"), "src", "left_semi")
+            .join(keep.withColumnRenamed("node", "dst"), "dst", "left_semi")
+            .select("src", "dst")
+            .localCheckpoint(eager=True)
+        )
+    return e.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )

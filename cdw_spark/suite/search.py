@@ -842,3 +842,84 @@ def text_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("features_md5"),
         )
     )
+
+
+_KCORE_ROUND = """
+    n{K} AS (
+        SELECT src AS node FROM e{PREV} GROUP BY src HAVING COUNT(*) >= 3
+    ),
+    e{K} AS (
+        SELECT e.src, e.dst FROM e{PREV} e
+        JOIN n{K} a ON a.node = e.src
+        JOIN n{K} b ON b.node = e.dst
+    )"""
+
+
+@register(
+    "graph_kcore_peel",
+    oracle=(
+        f"""
+    WITH b AS (
+        SELECT DISTINCT l_orderkey AS ok, l_partkey AS item FROM lineitem
+    ),
+    kept AS (SELECT ok FROM b GROUP BY ok HAVING COUNT(*) <= {_LPA_BASKET_CAP}),
+    bk AS (SELECT b.ok, b.item FROM b JOIN kept USING (ok)),
+    co AS (
+        SELECT a.item AS ia, bb.item AS ib
+        FROM bk a JOIN bk bb ON a.ok = bb.ok AND a.item < bb.item
+        GROUP BY a.item, bb.item
+        HAVING COUNT(*) >= {_LPA_MIN_TOGETHER}
+    ),
+    e0 AS (SELECT ia AS src, ib AS dst FROM co
+           UNION ALL SELECT ib, ia FROM co)"""
+        + ","
+        + _KCORE_ROUND.format(K=1, PREV=0)
+        + ","
+        + _KCORE_ROUND.format(K=2, PREV=1)
+        + ","
+        + _KCORE_ROUND.format(K=3, PREV=2)
+        + """
+    SELECT CAST(src AS BIGINT) AS node, CAST(COUNT(*) AS BIGINT) AS deg
+    FROM e3 GROUP BY src
+    """
+    ),
+    doc="Bounded 3-core peeling (3 synchronous drop-degree-<3 rounds) "
+    "over the co-purchase graph — the dense-substructure filter used "
+    "to separate systematically co-bought assortments from incidental "
+    "pairs. Fixed rounds make the survivor set exact (a supergraph of "
+    "the true 3-core that every bounded distributed peeler returns), "
+    "so the oracle unrolls the identical rounds as chained CTEs. "
+    "operators/graph.py:kcore_peel.",
+)
+def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: per round one degree count + two semi-joins, all
+    equi-joins on node ids; see kcore_peel. Shares the bounded
+    basket-cap edge derivation with graph_label_propagation."""
+    from ..operators.graph import kcore_peel
+
+    li = load_fixture(spark, sf_dir, "lineitem")
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("item")).distinct()
+    kept = (
+        b.groupBy("ok")
+        .agg(F.count(F.lit(1)).alias("bs"))
+        .filter(F.col("bs") <= _LPA_BASKET_CAP)
+        .select("ok")
+    )
+    bk = b.join(kept, "ok", "left_semi")
+    a = bk.select("ok", F.col("item").alias("ia"))
+    bb = bk.select("ok", F.col("item").alias("ib"))
+    co = (
+        a.join(bb, "ok")
+        .filter(F.col("ia") < F.col("ib"))
+        .groupBy("ia", "ib")
+        .agg(F.count(F.lit(1)).alias("together"))
+        .filter(F.col("together") >= _LPA_MIN_TOGETHER)
+    )
+    edges = co.select(F.col("ia").alias("src"), F.col("ib").alias("dst")).unionAll(
+        co.select(F.col("ib").alias("src"), F.col("ia").alias("dst"))
+    )
+    out = kcore_peel(edges, k=3, rounds=3)
+    return out.select(
+        F.col("node").cast("bigint").alias("node"),
+        F.col("deg").cast("bigint").alias("deg"),
+    )
