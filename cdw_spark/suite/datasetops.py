@@ -2311,3 +2311,65 @@ def sample_time_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("train")
         .alias("split"),
     )
+
+
+@register(
+    "dp_noisy_counts",
+    oracle="""
+    WITH c AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS true_count
+        FROM events GROUP BY event_type
+    ),
+    u AS (
+        SELECT event_type, true_count,
+               CAST(('0x' || substr(md5('dp:' || event_type), 1, 8)) AS BIGINT)
+                   / 4294967296.0 - 0.5 AS uu
+        FROM c
+    )
+    SELECT event_type, true_count,
+           ROUND(true_count
+                 - 1.0 * (CASE WHEN uu >= 0 THEN 1.0 ELSE -1.0 END)
+                       * ln(1.0 - 2.0 * abs(uu)), 4) AS noisy_count,
+           CAST(1.0 AS DOUBLE) AS epsilon
+    FROM u
+    """,
+    doc="Differentially-private count release (Laplace mechanism, "
+    "sensitivity 1, epsilon=1): noise = -b*sgn(u)*ln(1-2|u|) by inverse "
+    "CDF over a SEEDED uniform (md5 of the release key mapped to "
+    "[-0.5, 0.5)) — the reproducible-noise discipline DP deployments "
+    "use so a re-run releases the identical value instead of burning "
+    "privacy budget twice. The md5 uniform is a dyadic rational and ln "
+    "agrees across engines on these arguments (the corpus_mix_entropy "
+    "precedent), so the release hash-checks exactly.",
+)
+def dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: one map-side-combined count per released class; the
+    noise projection is |classes| rows. Composition accounting and the
+    per-key epsilon ledger live with the caller."""
+    ev = load_fixture(spark, sf_dir, "events")
+    c = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("true_count")
+    )
+    uu = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("dp:"), F.col("event_type"))), 1, 8),
+            16,
+            10,
+        ).cast("bigint")
+        / F.lit(4294967296.0)
+        - F.lit(0.5)
+    )
+    noise = (
+        F.lit(1.0)
+        * F.when(F.col("uu") >= 0, F.lit(1.0)).otherwise(F.lit(-1.0))
+        * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(F.col("uu")))
+    )
+    return (
+        c.withColumn("uu", uu)
+        .select(
+            "event_type",
+            "true_count",
+            F.round(F.col("true_count") - noise, 4).alias("noisy_count"),
+            F.lit(1.0).cast("double").alias("epsilon"),
+        )
+    )
