@@ -876,3 +876,47 @@ def window_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         "streak_len",
         F.row_number().over(wrank).cast("int").alias("streak_rank"),
     )
+
+
+@register(
+    "events_cumulative_distinct",
+    oracle="""
+    WITH firsts AS (
+        SELECT event_type, user_id, MIN(CAST(ts AS DATE)) AS first_day
+        FROM events GROUP BY event_type, user_id
+    ),
+    daily AS (
+        SELECT event_type, first_day AS day, COUNT(*) AS new_users
+        FROM firsts GROUP BY event_type, first_day
+    )
+    SELECT event_type, day,
+           CAST(new_users AS BIGINT) AS new_users,
+           CAST(SUM(new_users) OVER (PARTITION BY event_type
+                                     ORDER BY day) AS BIGINT) AS cum_users
+    FROM daily
+    """,
+    doc="Cumulative distinct users per event type by day — the growth "
+    "curve. A running COUNT(DISTINCT) window is invalid on both "
+    "engines; the scalable rewrite attributes each user to their FIRST "
+    "day (one aggregate), then a plain cumulative SUM over the "
+    "per-day news — the first-occurrence decomposition (same family "
+    "as events_stickiness_rolling's contribute-then-count).",
+)
+def events_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: one (type,user) aggregate — the only fact-sized
+    shuffle — then a |types|x|days|-row daily relation and a window
+    over it. Running-distinct state never materializes."""
+    ev = load_fixture(spark, sf_dir, "events")
+    firsts = ev.groupBy("event_type", "user_id").agg(
+        F.min(F.to_date("ts")).alias("first_day")
+    )
+    daily = firsts.groupBy("event_type", F.col("first_day").alias("day")).agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    return daily.select(
+        "event_type",
+        "day",
+        F.col("new_users").cast("bigint").alias("new_users"),
+        F.sum("new_users").over(w).cast("bigint").alias("cum_users"),
+    )
