@@ -505,3 +505,24 @@ def test_sessionizer_non_utc_session_parity(spark, sf_dir):
         assert res.ok, str(res)
     finally:
         s2.conf.unset("spark.sql.session.timeZone")
+
+
+def test_stream_kmv_matches_batch_sketch_and_bounds_state(spark, sf_dir):
+    """The streamed KMV synopsis must (a) equal the batch sketch's
+    estimate exactly — keep-k-smallest-distinct is a commutative,
+    idempotent merge, so batch boundaries cannot matter — and (b) never
+    hold more than k rows per type."""
+    from cdw_spark.registry import load_all
+
+    reg = load_all()
+    streamed = {
+        r["event_type"]: r
+        for r in reg["stream_kmv_cardinality"].fn(spark, sf_dir).collect()
+    }
+    batch = {
+        r["event_type"]: r for r in reg["sketch_kmv_distinct"].fn(spark, sf_dir).collect()
+    }
+    assert set(streamed) == set(batch)
+    for t, row in streamed.items():
+        assert row["k_actual"] <= 64
+        assert row["kmv_est"] == batch[t]["kmv_est"], t
