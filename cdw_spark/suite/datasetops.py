@@ -2322,8 +2322,8 @@ def sample_time_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     u AS (
         SELECT event_type, true_count,
-               CAST(('0x' || substr(md5('dp:' || event_type), 1, 8)) AS BIGINT)
-                   / 4294967296.0 - 0.5 AS uu
+               (CAST(('0x' || substr(md5('dp:' || event_type), 1, 8)) AS BIGINT)
+                    + 0.5) / 4294967296.0 - 0.5 AS uu
         FROM c
     )
     SELECT event_type, true_count,
@@ -2336,7 +2336,7 @@ def sample_time_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Differentially-private count release (Laplace mechanism, "
     "sensitivity 1, epsilon=1): noise = -b*sgn(u)*ln(1-2|u|) by inverse "
     "CDF over a SEEDED uniform (md5 of the release key mapped to "
-    "[-0.5, 0.5)) — the reproducible-noise discipline DP deployments "
+    "(-0.5, 0.5), endpoint-excluded) — the reproducible-noise discipline DP deployments "
     "use so a re-run releases the identical value instead of burning "
     "privacy budget twice. The md5 uniform is a dyadic rational and ln "
     "agrees across engines on these arguments (the corpus_mix_entropy "
@@ -2350,12 +2350,18 @@ def dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = ev.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("bigint").alias("true_count")
     )
+    # endpoint-excluded uniform: (val + 0.5)/2^32 keeps uu strictly inside
+    # (-0.5, 0.5), so ln(1 - 2|uu|) can never see zero — DuckDB hard-errors
+    # on ln(0) while Spark returns NULL, a latent engine divergence
     uu = (
-        F.conv(
-            F.substring(F.md5(F.concat(F.lit("dp:"), F.col("event_type"))), 1, 8),
-            16,
-            10,
-        ).cast("bigint")
+        (
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit("dp:"), F.col("event_type"))), 1, 8),
+                16,
+                10,
+            ).cast("bigint")
+            + F.lit(0.5)
+        )
         / F.lit(4294967296.0)
         - F.lit(0.5)
     )

@@ -455,6 +455,53 @@ def rank_fusion_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
 from .recsys import BASKET_CAP as _LPA_BASKET_CAP
 from .recsys import MIN_TOGETHER as _LPA_MIN_TOGETHER
 
+
+def _copurchase_sql(edge_cte: str) -> str:
+    """The co-purchase graph as SQL CTEs (shared by graph_label_propagation
+    and graph_kcore_peel so the two operators can never diverge on what
+    'the co-purchase graph' means): parts bought together in >=
+    MIN_TOGETHER orders, baskets above BASKET_CAP excluded, symmetrized."""
+    return f"""b AS (
+        SELECT DISTINCT l_orderkey AS ok, l_partkey AS item FROM lineitem
+    ),
+    kept AS (SELECT ok FROM b GROUP BY ok HAVING COUNT(*) <= {_LPA_BASKET_CAP}),
+    bk AS (SELECT b.ok, b.item FROM b JOIN kept USING (ok)),
+    co AS (
+        SELECT a.item AS ia, bb.item AS ib
+        FROM bk a JOIN bk bb ON a.ok = bb.ok AND a.item < bb.item
+        GROUP BY a.item, bb.item
+        HAVING COUNT(*) >= {_LPA_MIN_TOGETHER}
+    ),
+    {edge_cte} AS (SELECT ia AS src, ib AS dst FROM co
+                   UNION ALL SELECT ib, ia FROM co)"""
+
+
+def _copurchase_edges(li: DataFrame) -> DataFrame:
+    """Python twin of _copurchase_sql: the symmetric co-purchase edge list."""
+    b = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("item")
+    ).distinct()
+    kept = (
+        b.groupBy("ok")
+        .agg(F.count(F.lit(1)).alias("bs"))
+        .filter(F.col("bs") <= _LPA_BASKET_CAP)
+        .select("ok")
+    )
+    bk = b.join(kept, "ok", "left_semi")
+    a = bk.select("ok", F.col("item").alias("ia"))
+    bb = bk.select("ok", F.col("item").alias("ib"))
+    co = (
+        a.join(bb, "ok")
+        .filter(F.col("ia") < F.col("ib"))
+        .groupBy("ia", "ib")
+        .agg(F.count(F.lit(1)).alias("together"))
+        .filter(F.col("together") >= _LPA_MIN_TOGETHER)
+    )
+    return co.select(F.col("ia").alias("src"), F.col("ib").alias("dst")).unionAll(
+        co.select(F.col("ib").alias("src"), F.col("ia").alias("dst"))
+    )
+
+
 _LPA_ITER = """
     l{K} AS (
         SELECT node, label FROM (
@@ -471,19 +518,7 @@ _LPA_ITER = """
     "graph_label_propagation",
     oracle=(
         f"""
-    WITH b AS (
-        SELECT DISTINCT l_orderkey AS ok, l_partkey AS item FROM lineitem
-    ),
-    kept AS (SELECT ok FROM b GROUP BY ok HAVING COUNT(*) <= {_LPA_BASKET_CAP}),
-    bk AS (SELECT b.ok, b.item FROM b JOIN kept USING (ok)),
-    co AS (
-        SELECT a.item AS ia, bb.item AS ib
-        FROM bk a JOIN bk bb ON a.ok = bb.ok AND a.item < bb.item
-        GROUP BY a.item, bb.item
-        HAVING COUNT(*) >= {_LPA_MIN_TOGETHER}
-    ),
-    e AS (SELECT ia AS src, ib AS dst FROM co
-          UNION ALL SELECT ib, ia FROM co),
+    WITH {_copurchase_sql("e")},
     l0 AS (SELECT DISTINCT src AS node, src AS label FROM e),"""
         + _LPA_ITER.format(K=1, PREV=0)
         + ","
@@ -514,28 +549,8 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver sync; community size is a |V|-row window at the end."""
     from ..operators.graph import label_propagation
 
-    BASKET_CAP, MIN_TOGETHER = _LPA_BASKET_CAP, _LPA_MIN_TOGETHER
     li = load_fixture(spark, sf_dir, "lineitem")
-    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("item")).distinct()
-    kept = (
-        b.groupBy("ok")
-        .agg(F.count(F.lit(1)).alias("bs"))
-        .filter(F.col("bs") <= BASKET_CAP)
-        .select("ok")
-    )
-    bk = b.join(kept, "ok", "left_semi")
-    a = bk.select("ok", F.col("item").alias("ia"))
-    bb = bk.select("ok", F.col("item").alias("ib"))
-    co = (
-        a.join(bb, "ok")
-        .filter(F.col("ia") < F.col("ib"))
-        .groupBy("ia", "ib")
-        .agg(F.count(F.lit(1)).alias("together"))
-        .filter(F.col("together") >= MIN_TOGETHER)
-    )
-    edges = co.select(F.col("ia").alias("src"), F.col("ib").alias("dst")).unionAll(
-        co.select(F.col("ib").alias("src"), F.col("ia").alias("dst"))
-    )
+    edges = _copurchase_edges(li)
     labels = label_propagation(edges, iters=3)
     from pyspark.sql.window import Window
 
@@ -671,11 +686,10 @@ def sketch_bloom_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _KMV_K = 64
 
-
-@register(
-    "sketch_kmv_distinct",
-    oracle=f"""
-    WITH d AS (
+# Shared synopsis CTEs (also the streaming twin's oracle prefix — one
+# definition, so stream_kmv_cardinality can never drift from the batch
+# sketch it claims to equal).
+_KMV_KEPT_SQL = f"""d AS (
         SELECT DISTINCT event_type, user_id FROM events
     ),
     hv AS (
@@ -693,7 +707,13 @@ _KMV_K = 64
     kept AS (
         SELECT event_type, COUNT(*) AS k_actual, MAX(h) AS h_k
         FROM ranked WHERE rk <= {_KMV_K} GROUP BY event_type
-    ),
+    )"""
+
+
+@register(
+    "sketch_kmv_distinct",
+    oracle=f"""
+    WITH {_KMV_KEPT_SQL},
     exact AS (
         SELECT event_type, COUNT(*) AS n_exact FROM d GROUP BY event_type
     )
@@ -859,19 +879,7 @@ _KCORE_ROUND = """
     "graph_kcore_peel",
     oracle=(
         f"""
-    WITH b AS (
-        SELECT DISTINCT l_orderkey AS ok, l_partkey AS item FROM lineitem
-    ),
-    kept AS (SELECT ok FROM b GROUP BY ok HAVING COUNT(*) <= {_LPA_BASKET_CAP}),
-    bk AS (SELECT b.ok, b.item FROM b JOIN kept USING (ok)),
-    co AS (
-        SELECT a.item AS ia, bb.item AS ib
-        FROM bk a JOIN bk bb ON a.ok = bb.ok AND a.item < bb.item
-        GROUP BY a.item, bb.item
-        HAVING COUNT(*) >= {_LPA_MIN_TOGETHER}
-    ),
-    e0 AS (SELECT ia AS src, ib AS dst FROM co
-           UNION ALL SELECT ib, ia FROM co)"""
+    WITH {_copurchase_sql("e0")}"""
         + ","
         + _KCORE_ROUND.format(K=1, PREV=0)
         + ","
@@ -898,26 +906,7 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import kcore_peel
 
     li = load_fixture(spark, sf_dir, "lineitem")
-    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("item")).distinct()
-    kept = (
-        b.groupBy("ok")
-        .agg(F.count(F.lit(1)).alias("bs"))
-        .filter(F.col("bs") <= _LPA_BASKET_CAP)
-        .select("ok")
-    )
-    bk = b.join(kept, "ok", "left_semi")
-    a = bk.select("ok", F.col("item").alias("ia"))
-    bb = bk.select("ok", F.col("item").alias("ib"))
-    co = (
-        a.join(bb, "ok")
-        .filter(F.col("ia") < F.col("ib"))
-        .groupBy("ia", "ib")
-        .agg(F.count(F.lit(1)).alias("together"))
-        .filter(F.col("together") >= _LPA_MIN_TOGETHER)
-    )
-    edges = co.select(F.col("ia").alias("src"), F.col("ib").alias("dst")).unionAll(
-        co.select(F.col("ib").alias("src"), F.col("ia").alias("dst"))
-    )
+    edges = _copurchase_edges(li)
     out = kcore_peel(edges, k=3, rounds=3)
     return out.select(
         F.col("node").cast("bigint").alias("node"),

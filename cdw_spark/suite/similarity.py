@@ -844,15 +844,20 @@ def similarity_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM embeddings CROSS JOIN (SELECT unnest(range(1, 65)) AS j) j
     ),
     nn AS (SELECT label, COUNT(*) AS n FROM embeddings GROUP BY label),
-    stats AS (SELECT label, dim, SUM(q) AS s FROM q GROUP BY label, dim),
-    wterm AS (
-        SELECT q.label,
-               CAST(q.q * nn.n - st.s AS DECIMAL(19,0)) AS t
-        FROM q
-        JOIN stats st ON st.label = q.label AND st.dim = q.dim
-        JOIN nn ON nn.label = q.label
+    stats AS (
+        SELECT label, dim, SUM(q) AS s, SUM(q * q) AS sq2
+        FROM q GROUP BY label, dim
     ),
-    w AS (SELECT label, SUM(t * t) AS wnum FROM wterm GROUP BY label),
+    w AS (
+        SELECT st.label,
+               SUM(CAST(nn.n AS DECIMAL(10,0)) * CAST(nn.n AS DECIMAL(10,0))
+                       * CAST(st.sq2 AS DECIMAL(18,0))
+                   - CAST(nn.n AS DECIMAL(10,0))
+                       * CAST(st.s AS DECIMAL(14,0))
+                       * CAST(st.s AS DECIMAL(14,0))) AS wnum
+        FROM stats st JOIN nn ON nn.label = st.label
+        GROUP BY st.label
+    ),
     cpair AS (
         SELECT a.label AS la, b.label AS lb,
                CAST(a.s * nb.n - b.s * na.n AS DECIMAL(19,0)) AS d
@@ -894,8 +899,9 @@ def similarity_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     "before trusting labels for retrieval/classification training. "
     "Exactness via the PCA idiom: quantize once (floor(v*1e6+.5)), "
     "keep centroids RATIONAL (s/n never divided — pair distances use "
-    "the integer numerator s_a*n_b - s_b*n_a over (n_a*n_b)^2), "
-    "accumulate squares in DECIMAL(38,0), and divide into doubles only "
+    "the integer numerator s_a*n_b - s_b*n_a over (n_a*n_b)^2; scatter "
+    "via the one-aggregate identity n^2*sum(q^2) - n*s^2), accumulate "
+    "squares in DECIMAL, and divide into doubles only "
     "in the 45-row final projection with an identical op sequence in "
     "both engines.",
 )
@@ -919,16 +925,28 @@ def embedding_class_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("q"),
     )
     nn = e.groupBy("label").agg(F.count(F.lit(1)).alias("n"))
-    stats = q.groupBy("label", "dim").agg(F.sum("q").alias("s"))
-    wterm = (
-        q.join(stats, ["label", "dim"])
-        .join(nn, "label")
+    stats = q.groupBy("label", "dim").agg(
+        F.sum("q").alias("s"), F.sum(F.col("q") * F.col("q")).alias("sq2")
+    )
+    # within-scatter identity: sum_i (q_i*n - s)^2 = n^2*sum(q^2) - n*s^2
+    # per dim — derivable from the SAME aggregate, no fact-sized join and
+    # no second pass over the exploded relation; explicit decimal casts
+    # keep the products exact past int64 at any class size
+    nd = F.col("n").cast("decimal(10,0)")
+    w = (
+        stats.join(nn, "label")
         .select(
             "label",
-            (F.col("q") * F.col("n") - F.col("s")).cast("decimal(19,0)").alias("t"),
+            (
+                nd * nd * F.col("sq2").cast("decimal(18,0)")
+                - nd
+                * F.col("s").cast("decimal(14,0)")
+                * F.col("s").cast("decimal(14,0)")
+            ).alias("t"),
         )
+        .groupBy("label")
+        .agg(F.sum("t").alias("wnum"))
     )
-    w = wterm.groupBy("label").agg(F.sum(F.col("t") * F.col("t")).alias("wnum"))
     sa = stats.select(F.col("label").alias("la"), "dim", F.col("s").alias("s_a"))
     sb = stats.select(F.col("label").alias("lb"), F.col("dim").alias("dim_b"), F.col("s").alias("s_b"))
     na = nn.select(F.col("label").alias("la"), F.col("n").alias("n_a"))

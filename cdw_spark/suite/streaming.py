@@ -798,29 +798,14 @@ def stream_semantic_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out_dir)
 
 
-_KMV_STREAM_K = 64
+from .search import _KMV_K as _KMV_STREAM_K
+from .search import _KMV_KEPT_SQL as _KMV_STREAM_KEPT_SQL
 
 
 @register(
     "stream_kmv_cardinality",
     oracle=f"""
-    WITH d AS (SELECT DISTINCT event_type, user_id FROM events),
-    hv AS (
-        SELECT event_type, user_id,
-               CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
-                    AS BIGINT) / 4294967296.0 AS h
-        FROM d
-    ),
-    ranked AS (
-        SELECT event_type, h,
-               ROW_NUMBER() OVER (PARTITION BY event_type
-                                  ORDER BY h, user_id) AS rk
-        FROM hv
-    ),
-    kept AS (
-        SELECT event_type, COUNT(*) AS k_actual, MAX(h) AS h_k
-        FROM ranked WHERE rk <= {_KMV_STREAM_K} GROUP BY event_type
-    )
+    WITH {_KMV_STREAM_KEPT_SQL}
     SELECT event_type, CAST(k_actual AS BIGINT) AS k_actual,
            CASE WHEN k_actual < {_KMV_STREAM_K}
                 THEN CAST(k_actual AS DOUBLE)

@@ -523,6 +523,8 @@ def test_stream_kmv_matches_batch_sketch_and_bounds_state(spark, sf_dir):
         r["event_type"]: r for r in reg["sketch_kmv_distinct"].fn(spark, sf_dir).collect()
     }
     assert set(streamed) == set(batch)
+    from cdw_spark.suite.search import _KMV_K
+
     for t, row in streamed.items():
-        assert row["k_actual"] <= 64
+        assert row["k_actual"] <= _KMV_K
         assert row["kmv_est"] == batch[t]["kmv_est"], t
