@@ -746,7 +746,15 @@ def ngram_jaccard_pairs_prefix(
     on binary-inexact products and silently shortens the prefix below
     the theorem's bound (missed pairs), the classic PPJoin port bug.
     """
-    sh = _shingle_table(df, text_col, id_col, n)
+    from pyspark import StorageLevel
+
+    # the shingle relation feeds FOUR consumers (doc counts, df counts,
+    # the ranked prefix, and both exact-verify sides); persist so the
+    # Arrow shingling pass runs once, not once per reference (the
+    # minhash_near_duplicates precedent above)
+    sh = _shingle_table(df, text_col, id_col, n).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     counts = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     dfreq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("dfc"))
     from pyspark.sql.window import Window
