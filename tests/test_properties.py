@@ -727,3 +727,97 @@ def test_exact_substring_dedup_matches_python_reference(spark, doc_words):
     for d, ws in docs.items():
         assert got[d].n_tokens == len(ws), (d, got[d])
         assert got[d].dup_tokens == expected[d], (d, got[d].dup_tokens, expected[d])
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    st.lists(st.integers(0, 10**6), min_size=1, max_size=40, unique=True),
+    st.lists(st.integers(0, 10**6), min_size=1, max_size=40, unique=True),
+)
+def test_bloom_prefilter_has_no_false_negatives(spark, build, probe):
+    """Structural Bloom guarantee on arbitrary key sets: every probe key
+    that IS in the build set must pass the filter (false positives are
+    allowed, false negatives never)."""
+    from cdw_spark.operators.sketches import bloom_positions, bloom_prefilter
+
+    b = spark.createDataFrame([(k,) for k in build], "key long")
+    p = spark.createDataFrame([(k,) for k in probe], "key long")
+    pos = bloom_positions(b, "key", m=128, k=4)
+    passed = {r["key"] for r in bloom_prefilter(p, "key", pos, m=128, k=4).collect()}
+    assert (set(build) & set(probe)).issubset(passed)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    st.lists(
+        st.tuples(st.integers(1, 3), st.integers(1, 500), st.integers(1, 20)),
+        min_size=1,
+        max_size=50,
+    )
+)
+def test_weighted_median_equals_python_reference(spark, rows):
+    """agg_weighted_median's plan shape vs the textbook definition:
+    smallest value whose cumulative weight reaches half the total,
+    computed per group in pure python over the same (value, weight)
+    multiset."""
+    import itertools
+
+    from pyspark.sql.window import Window
+
+    d = spark.createDataFrame(
+        [(g, float(v), float(w), i) for i, (g, v, w) in enumerate(rows)],
+        "grp int, v double, w double, uid long",
+    )
+    vd = F.col("v").cast("decimal(18,2)")
+    wd = F.col("w").cast("decimal(18,2)")
+    wp = Window.partitionBy("grp")
+    seq = d.select(
+        "grp",
+        vd.alias("v"),
+        F.sum(wd).over(wp.orderBy(vd, "uid")).alias("cw"),
+        F.sum(wd).over(wp).alias("tw"),
+    )
+    hit = seq.filter(F.col("cw") * 2 >= F.col("tw")).withColumn(
+        "rk", F.row_number().over(Window.partitionBy("grp").orderBy("cw", "v"))
+    )
+    got = {
+        r["grp"]: float(r["v"])
+        for r in hit.filter(F.col("rk") == 1).collect()
+    }
+    ref = {}
+    keyfn = lambda t: t[0]
+    for g, grp_rows in itertools.groupby(sorted(rows, key=keyfn), key=keyfn):
+        vals = sorted((v, w) for _, v, w in grp_rows)
+        total = sum(w for _, w in vals)
+        acc = 0
+        for v, w in vals:
+            acc += w
+            if acc * 2 >= total:
+                ref[g] = float(v)
+                break
+    assert got == ref
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 9), st.integers(0, 9)).filter(lambda e: e[0] != e[1]),
+        min_size=1,
+        max_size=20,
+    ),
+    st.integers(2, 16),
+)
+def test_label_propagation_is_partitioning_independent(spark, edge_list, nparts):
+    """LPA labels must be a pure function of the graph — identical under
+    any repartitioning of the edge relation (the determinism claim that
+    justifies the unrolled-CTE oracle)."""
+    from cdw_spark.operators.graph import label_propagation
+
+    edges = sorted({(a, b) for a, b in edge_list} | {(b, a) for a, b in edge_list})
+    d = spark.createDataFrame(edges, "src int, dst int")
+    base = {r["node"]: r["label"] for r in label_propagation(d, iters=2).collect()}
+    shuf = {
+        r["node"]: r["label"]
+        for r in label_propagation(d.repartition(nparts), iters=2).collect()
+    }
+    assert base == shuf
