@@ -781,28 +781,10 @@ def ngram_jaccard_pairs_prefix(
         .select("id_a", "id_b")
         .distinct()
     )
-    sa = sh.select(F.col(id_col).alias("id_a"), "sh")
-    sb = sh.select(F.col(id_col).alias("id_b"), "sh")
-    inter = (
-        cand.join(sa, "id_a")
-        .join(sb, ["id_b", "sh"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    ca = counts.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("na"))
-    cb = counts.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("nb"))
-    thr = float(t_num) / float(t_den)
-    return (
-        inter.join(ca, "id_a")
-        .join(cb, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            (
-                F.col("inter").cast("double")
-                / (F.col("na") + F.col("nb") - F.col("inter")).cast("double")
-            ).alias("jaccard_raw"),
-        )
-        .filter(F.col("jaccard_raw") >= thr)
-        .select("id_a", "id_b", F.round("jaccard_raw", 6).alias("jaccard"))
+    # verification is exactly the shared helper the minhash paths use —
+    # one definition of the exact-Jaccard math; the persisted shingle
+    # table is reused instead of re-shingling
+    return jaccard_verify(
+        cand, df, text_col, id_col, n,
+        threshold=float(t_num) / float(t_den), shingle_tbl=sh,
     )

@@ -210,12 +210,11 @@ def sample_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 from .dedup import _JACCARD_SQL as _LEAK_PAIRS_SQL
 
-
-@register(
-    "sample_split_leakage_safe",
-    oracle=f"""
-    WITH RECURSIVE pairs AS ({_LEAK_PAIRS_SQL}),
-    edges AS (
+# Shared component-closure CTEs over the exact-Jaccard pair graph (used by
+# BOTH sample_split_leakage_safe and sample_negative_pairs so the two
+# samplers can never disagree on what a near-duplicate component is; the
+# _copurchase_sql / _KMV_KEPT_SQL twin-oracle discipline).
+_LEAK_COMPONENT_SQL = """edges AS (
         SELECT id_a AS src, id_b AS dst FROM pairs
         UNION
         SELECT id_b, id_a FROM pairs
@@ -228,7 +227,15 @@ from .dedup import _JACCARD_SQL as _LEAK_PAIRS_SQL
     comp AS (
         SELECT src AS doc_id, LEAST(src, MIN(dst)) AS component_id
         FROM reach GROUP BY src
-    ),
+    )"""
+
+
+
+@register(
+    "sample_split_leakage_safe",
+    oracle=f"""
+    WITH RECURSIVE pairs AS ({_LEAK_PAIRS_SQL}),
+    {_LEAK_COMPONENT_SQL},
     rooted AS (
         SELECT d.doc_id, COALESCE(c.component_id, d.doc_id) AS root
         FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
@@ -2041,20 +2048,7 @@ _NEG_OVERFETCH = 8
     "sample_negative_pairs",
     oracle=f"""
     WITH RECURSIVE pairs AS ({{leak}}),
-    edges AS (
-        SELECT id_a AS src, id_b AS dst FROM pairs
-        UNION
-        SELECT id_b, id_a FROM pairs
-    ),
-    reach(src, dst) AS (
-        SELECT src, dst FROM edges
-        UNION
-        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
-    ),
-    comp AS (
-        SELECT src AS doc_id, LEAST(src, MIN(dst)) AS component_id
-        FROM reach GROUP BY src
-    ),
+    {_LEAK_COMPONENT_SQL},
     ring AS (
         SELECT d.doc_id, COALESCE(c.component_id, d.doc_id) AS root,
                ROW_NUMBER() OVER (ORDER BY md5(CAST(d.doc_id AS VARCHAR)),
@@ -2207,11 +2201,9 @@ def dq_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tot = obs.groupBy("priority").agg(F.sum("observed").alias("total"))
     benford = None
-    for d, p in _BENFORD_P.items():
-        cond = F.when(F.col("digit") == d, F.lit(float(p)))
-        benford = cond if benford is None else benford.when(
-            F.col("digit") == d, F.lit(float(p))
-        )
+    for d, pr in _BENFORD_P.items():
+        when = F.when if benford is None else benford.when
+        benford = when(F.col("digit") == d, F.lit(float(pr)))
     obs_p = F.round(
         F.col("observed").cast("double") / F.col("total").cast("double"), 6
     )

@@ -24,6 +24,52 @@ BASKET_CAP = 32
 MIN_TOGETHER = 2
 TOP_NEIGHBORS = 3
 
+def copurchase_sql(edge_cte: str) -> str:
+    """The co-purchase graph as SQL CTEs (shared by graph_label_propagation
+    and graph_kcore_peel so the two operators can never diverge on what
+    'the co-purchase graph' means): parts bought together in >=
+    MIN_TOGETHER orders, baskets above BASKET_CAP excluded, symmetrized."""
+    return f"""b AS (
+        SELECT DISTINCT l_orderkey AS ok, l_partkey AS item FROM lineitem
+    ),
+    kept AS (SELECT ok FROM b GROUP BY ok HAVING COUNT(*) <= {BASKET_CAP}),
+    bk AS (SELECT b.ok, b.item FROM b JOIN kept USING (ok)),
+    co AS (
+        SELECT a.item AS ia, bb.item AS ib
+        FROM bk a JOIN bk bb ON a.ok = bb.ok AND a.item < bb.item
+        GROUP BY a.item, bb.item
+        HAVING COUNT(*) >= {MIN_TOGETHER}
+    ),
+    {edge_cte} AS (SELECT ia AS src, ib AS dst FROM co
+                   UNION ALL SELECT ib, ia FROM co)"""
+
+
+def copurchase_edges(li: DataFrame) -> DataFrame:
+    """Python twin of copurchase_sql: the symmetric co-purchase edge list."""
+    b = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("item")
+    ).distinct()
+    kept = (
+        b.groupBy("ok")
+        .agg(F.count(F.lit(1)).alias("bs"))
+        .filter(F.col("bs") <= BASKET_CAP)
+        .select("ok")
+    )
+    bk = b.join(kept, "ok", "left_semi")
+    a = bk.select("ok", F.col("item").alias("ia"))
+    bb = bk.select("ok", F.col("item").alias("ib"))
+    co = (
+        a.join(bb, "ok")
+        .filter(F.col("ia") < F.col("ib"))
+        .groupBy("ia", "ib")
+        .agg(F.count(F.lit(1)).alias("together"))
+        .filter(F.col("together") >= MIN_TOGETHER)
+    )
+    return co.select(F.col("ia").alias("src"), F.col("ib").alias("dst")).unionAll(
+        co.select(F.col("ib").alias("src"), F.col("ia").alias("dst"))
+    )
+
+
 
 @register(
     "recs_item_cooccurrence",
@@ -66,8 +112,11 @@ TOP_NEIGHBORS = 3
     WHERE rk <= {TOP_NEIGHBORS}
     """,
     doc="Item-item collaborative filtering: cosine over co-purchase "
-    "counts (Linden et al. 2003, the Amazon item-to-item associator), "
-    "top-3 neighbors per item. Baskets above the size cap are excluded "
+    "counts (Linden et al. 2003, the Amazon item-to-item associator). "
+    "The basket/pair construction is the weighted form of "
+    "copurchase_sql/copurchase_edges above (the graph operators consume "
+    "those directly); a semantics change MUST edit both in this file. "
+    "Top-3 neighbors per item. Baskets above the size cap are excluded "
     "before pairing; pairs generated once (item_a < item_b) and "
     "symmetrized by a swap-union.",
 )

@@ -452,54 +452,9 @@ def rank_fusion_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rrf_fuse(load_fixture(spark, sf_dir, "documents"), BM25_QUERY_TERMS)
 
 
-from .recsys import BASKET_CAP as _LPA_BASKET_CAP
-from .recsys import MIN_TOGETHER as _LPA_MIN_TOGETHER
+from .recsys import copurchase_edges as _copurchase_edges
+from .recsys import copurchase_sql as _copurchase_sql
 
-
-def _copurchase_sql(edge_cte: str) -> str:
-    """The co-purchase graph as SQL CTEs (shared by graph_label_propagation
-    and graph_kcore_peel so the two operators can never diverge on what
-    'the co-purchase graph' means): parts bought together in >=
-    MIN_TOGETHER orders, baskets above BASKET_CAP excluded, symmetrized."""
-    return f"""b AS (
-        SELECT DISTINCT l_orderkey AS ok, l_partkey AS item FROM lineitem
-    ),
-    kept AS (SELECT ok FROM b GROUP BY ok HAVING COUNT(*) <= {_LPA_BASKET_CAP}),
-    bk AS (SELECT b.ok, b.item FROM b JOIN kept USING (ok)),
-    co AS (
-        SELECT a.item AS ia, bb.item AS ib
-        FROM bk a JOIN bk bb ON a.ok = bb.ok AND a.item < bb.item
-        GROUP BY a.item, bb.item
-        HAVING COUNT(*) >= {_LPA_MIN_TOGETHER}
-    ),
-    {edge_cte} AS (SELECT ia AS src, ib AS dst FROM co
-                   UNION ALL SELECT ib, ia FROM co)"""
-
-
-def _copurchase_edges(li: DataFrame) -> DataFrame:
-    """Python twin of _copurchase_sql: the symmetric co-purchase edge list."""
-    b = li.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("item")
-    ).distinct()
-    kept = (
-        b.groupBy("ok")
-        .agg(F.count(F.lit(1)).alias("bs"))
-        .filter(F.col("bs") <= _LPA_BASKET_CAP)
-        .select("ok")
-    )
-    bk = b.join(kept, "ok", "left_semi")
-    a = bk.select("ok", F.col("item").alias("ia"))
-    bb = bk.select("ok", F.col("item").alias("ib"))
-    co = (
-        a.join(bb, "ok")
-        .filter(F.col("ia") < F.col("ib"))
-        .groupBy("ia", "ib")
-        .agg(F.count(F.lit(1)).alias("together"))
-        .filter(F.col("together") >= _LPA_MIN_TOGETHER)
-    )
-    return co.select(F.col("ia").alias("src"), F.col("ib").alias("dst")).unionAll(
-        co.select(F.col("ib").alias("src"), F.col("ia").alias("dst"))
-    )
 
 
 _LPA_ITER = """
@@ -607,7 +562,8 @@ _BLOOM_POS = _hex4_mod_sql(
            CAST(n_true_match AS BIGINT) AS n_true_match,
            CAST(n_pass_bloom - n_true_match AS BIGINT) AS n_false_positive,
            ROUND(CAST(n_pass_bloom - n_true_match AS DOUBLE)
-                 / CAST(n_probe_keys - n_true_match AS DOUBLE), 6) AS fp_rate,
+                 / CAST(NULLIF(n_probe_keys - n_true_match, 0) AS DOUBLE),
+                 6) AS fp_rate,
            CAST(n_orders_total AS BIGINT) AS n_orders_total,
            CAST(n_orders_kept AS BIGINT) AS n_orders_kept
     FROM ks CROSS JOIN ord CROSS JOIN bs
@@ -638,8 +594,10 @@ def sketch_bloom_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_custkey").alias("key")
     ).distinct()
     pos = bloom_positions(bkeys, "key", m=512, k=4)
-    passed = bloom_prefilter(orders, "o_custkey", pos, m=512, k=4)
     pkeys = orders.select(F.col("o_custkey").alias("key")).distinct()
+    # probe with the already-distinct key relation so the orders scan +
+    # big distinct run once, not once here and once inside the prefilter
+    passed = bloom_prefilter(pkeys, "key", pos, m=512, k=4)
     flags = (
         pkeys.join(passed.withColumn("pss", F.lit(1)), "key", "left")
         .join(bkeys.withColumn("isb", F.lit(1)), "key", "left")
@@ -673,9 +631,13 @@ def sketch_bloom_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_pass_bloom") - F.col("n_true_match"))
             .cast("bigint")
             .alias("n_false_positive"),
+            # NULLIF guard: an all-true-match probe set would divide by
+            # zero — Spark yields NULL but DuckDB yields inf; NULL on both
             F.round(
                 (F.col("n_pass_bloom") - F.col("n_true_match")).cast("double")
-                / (F.col("n_probe_keys") - F.col("n_true_match")).cast("double"),
+                / F.nullif(
+                    F.col("n_probe_keys") - F.col("n_true_match"), F.lit(0)
+                ).cast("double"),
                 6,
             ).alias("fp_rate"),
             F.col("n_orders_total").cast("bigint").alias("n_orders_total"),
@@ -864,9 +826,11 @@ def text_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_KCORE_K = 3
+
 _KCORE_ROUND = """
     n{K} AS (
-        SELECT src AS node FROM e{PREV} GROUP BY src HAVING COUNT(*) >= 3
+        SELECT src AS node FROM e{PREV} GROUP BY src HAVING COUNT(*) >= {KK}
     ),
     e{K} AS (
         SELECT e.src, e.dst FROM e{PREV} e
@@ -881,11 +845,11 @@ _KCORE_ROUND = """
         f"""
     WITH {_copurchase_sql("e0")}"""
         + ","
-        + _KCORE_ROUND.format(K=1, PREV=0)
+        + _KCORE_ROUND.format(K=1, PREV=0, KK=_KCORE_K)
         + ","
-        + _KCORE_ROUND.format(K=2, PREV=1)
+        + _KCORE_ROUND.format(K=2, PREV=1, KK=_KCORE_K)
         + ","
-        + _KCORE_ROUND.format(K=3, PREV=2)
+        + _KCORE_ROUND.format(K=3, PREV=2, KK=_KCORE_K)
         + """
     SELECT CAST(src AS BIGINT) AS node, CAST(COUNT(*) AS BIGINT) AS deg
     FROM e3 GROUP BY src
@@ -907,7 +871,7 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = load_fixture(spark, sf_dir, "lineitem")
     edges = _copurchase_edges(li)
-    out = kcore_peel(edges, k=3, rounds=3)
+    out = kcore_peel(edges, k=_KCORE_K, rounds=3)
     return out.select(
         F.col("node").cast("bigint").alias("node"),
         F.col("deg").cast("bigint").alias("deg"),

@@ -880,13 +880,13 @@ def similarity_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(ROUND(CAST(bs.bnum AS DOUBLE)
                        / CAST((na.n * nb.n) * (na.n * nb.n) AS DOUBLE)
                        / 1000000000000.0, 6)
-                 / ROUND((CAST(wa.wnum AS DOUBLE)
+                 / NULLIF(ROUND((CAST(wa.wnum AS DOUBLE)
                             / CAST(na.n * na.n * na.n AS DOUBLE)
                             / 1000000000000.0
                           + CAST(wb.wnum AS DOUBLE)
                             / CAST(nb.n * nb.n * nb.n AS DOUBLE)
                             / 1000000000000.0)
-                        / 2.0, 6), 4) AS fisher_ratio
+                        / 2.0, 6), 0.0), 4) AS fisher_ratio
     FROM bsum bs
     JOIN nn na ON na.label = bs.la
     JOIN nn nb ON nb.label = bs.lb
@@ -991,8 +991,11 @@ def embedding_class_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_b").cast("bigint").alias("n_b"),
             F.round(between, 6).alias("between_dist2"),
             F.round(within, 6).alias("within_scatter"),
-            F.round(F.round(between, 6) / F.round(within, 6), 4).alias(
-                "fisher_ratio"
-            ),
+            # NULLIF guard: a degenerate all-identical class would round
+            # within to 0 — Spark /0.0 is NULL but DuckDB is inf; NULL both
+            F.round(
+                F.round(between, 6) / F.nullif(F.round(within, 6), F.lit(0.0)),
+                4,
+            ).alias("fisher_ratio"),
         )
     )
