@@ -431,20 +431,38 @@ def quality_linear_score(
     pivoted = counts.groupBy(id_col).agg(
         *[
             F.coalesce(F.max(F.when(F.col("b") == j, F.col("c"))), F.lit(0))
-            .cast("double")
+            .cast("bigint")
             .alias(f"f{j}")
             for j in range(dim)
         ],
         F.sum("c").cast("bigint").alias("n_tokens"),
     )
-    w = _qf_weights(dim)
-    dot = " + ".join(f"f{j}*({w[j]!r})" for j in range(dim))
-    logit = F.expr(f"({dot})") / F.col("n_tokens").cast("double")
+    # EXACT integer dot: the weights are 6-dp rationals, so w_j == wint_j/1e6
+    # exactly and dot = sum(f_j * wint_j) is one int64 sum — a double fold of
+    # the same terms differs between engines by an ulp (FMA/codegen
+    # contraction) and flipped 6-dp roundings at sf0.1
+    # (scripts/sweep_sf01.py catch); the single double division chain below
+    # is engine-identical on exact inputs.
+    wint = [round(wj * 1_000_000) for wj in _qf_weights(dim)]
+    dot = " + ".join(f"f{j}*({wint[j]}L)" for j in range(dim))
+    # The 6-dp logit is computed by EXACT integer half-away division:
+    # real logit = (dot/1e6)/n, so its micro-units value is dot/n — one
+    # integer rounding both engines perform identically. Rounding the
+    # double instead is engine-divergent: Spark's round() works on the
+    # double's SHORTEST decimal repr (BigDecimal.valueOf) while DuckDB
+    # rounds the exact binary value — a 1-ulp-apart pair flips the 6th
+    # decimal (3 rows at sf0.1, scripts/sweep_sf01.py catch).
+    lm = (
+        f"(CASE WHEN ({dot}) >= 0"
+        f" THEN (2*({dot}) + n_tokens) DIV (2*n_tokens)"
+        f" ELSE -((2*(-({dot})) + n_tokens) DIV (2*n_tokens)) END)"
+    )
+    logit = F.expr(lm).cast("double") / F.lit(1000000.0)
     prob = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)), 6)
     return pivoted.select(
         id_col,
         "n_tokens",
-        F.round(logit, 6).alias("logit"),
+        logit.alias("logit"),
         prob.alias("prob"),
         (prob >= F.lit(0.5)).cast("int").alias("keep"),
     )
@@ -452,15 +470,22 @@ def quality_linear_score(
 
 def quality_linear_oracle_sql(dim: int = QF_DIM) -> str:
     """DuckDB rendering of quality_linear_score — same md5 bucketing, same
-    literal weights, same left-assoc dot fold."""
+    integer weights, same exact integer-dot + half-away micro-unit
+    rounding (see quality_linear_score for why the double-round path is
+    engine-divergent)."""
     digit = "(strpos('0123456789abcdef', substr(md5('qf:' || term), {i}, 1)) - 1)"
     hex4 = " + ".join(f"{digit.format(i=i + 1)} * {16 ** (3 - i)}" for i in range(4))
-    w = _qf_weights(dim)
+    wint = [round(wj * 1_000_000) for wj in _qf_weights(dim)]
     fcols = ",\n               ".join(
-        f"CAST(COALESCE(MAX(CASE WHEN b = {j} THEN c END), 0) AS DOUBLE) AS f{j}"
+        f"CAST(COALESCE(MAX(CASE WHEN b = {j} THEN c END), 0) AS BIGINT) AS f{j}"
         for j in range(dim)
     )
-    dot = " + ".join(f"f{j}*({w[j]!r})" for j in range(dim))
+    dot = " + ".join(f"f{j}*({wint[j]})" for j in range(dim))
+    lm = (
+        f"(CASE WHEN ({dot}) >= 0"
+        f" THEN (2*({dot}) + n_tokens) // (2*n_tokens)"
+        f" ELSE -((2*(-({dot})) + n_tokens) // (2*n_tokens)) END)"
+    )
     return f"""
     WITH tok AS (
         SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
@@ -478,9 +503,11 @@ def quality_linear_oracle_sql(dim: int = QF_DIM) -> str:
         FROM counts GROUP BY doc_id
     )
     SELECT doc_id, n_tokens,
-           ROUND(({dot}) / CAST(n_tokens AS DOUBLE), 6) AS logit,
-           ROUND(1.0 / (1.0 + exp(-(({dot}) / CAST(n_tokens AS DOUBLE)))), 6) AS prob,
-           CAST(CASE WHEN ROUND(1.0 / (1.0 + exp(-(({dot}) / CAST(n_tokens AS DOUBLE)))), 6)
+           CAST({lm} AS DOUBLE) / 1000000.0 AS logit,
+           ROUND(1.0 / (1.0 + exp(-(CAST({lm} AS DOUBLE) / 1000000.0))), 6)
+               AS prob,
+           CAST(CASE WHEN ROUND(1.0 / (1.0 + exp(-(CAST({lm} AS DOUBLE)
+                                                   / 1000000.0))), 6)
                           >= CAST(0.5 AS DOUBLE)
                      THEN 1 ELSE 0 END AS INTEGER) AS keep
     FROM pivoted

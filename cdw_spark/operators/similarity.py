@@ -1021,9 +1021,13 @@ def pca_power_top_component(
     for _ in range(iterations):
         s_sql = " + ".join(f"q{j} * xa[{j}]" for j in range(dim))
         joined = e.crossJoin(F.broadcast(xdf)).withColumn("s", F.expr(f"({s_sql})"))
+        # (20,0)x(10,0), not (18,0)x(8,0): DuckDB's physical-width check
+        # rejects an (18,0) multiply whose product needs 19+ digits even
+        # though the logical result type is wide enough — first seen at
+        # sf0.1 where |s*q| crosses 1e18 (scripts/sweep_sf01.py catch)
         prods = F.array(
             *[
-                F.expr(f"CAST(s AS DECIMAL(18,0)) * CAST(q{j} AS DECIMAL(8,0))")
+                F.expr(f"CAST(s AS DECIMAL(20,0)) * CAST(q{j} AS DECIMAL(10,0))")
                 for j in range(dim)
             ]
         )
@@ -1086,7 +1090,7 @@ def pca_power_oracle_sql(dim: int, iterations: int = 3) -> str:
     for it in range(1, iterations + 1):
         s_sql = " + ".join(f"q{j} * xa[{j + 1}]" for j in range(dim))
         plist = ", ".join(
-            f"CAST(s AS DECIMAL(18,0)) * CAST(q{j} AS DECIMAL(8,0))"
+            f"CAST(s AS DECIMAL(20,0)) * CAST(q{j} AS DECIMAL(10,0))"
             for j in range(dim)
         )
         parts.append(
