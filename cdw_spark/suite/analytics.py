@@ -2649,3 +2649,65 @@ def agg_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
             "excess_kurtosis"
         ),
     )
+
+
+@register(
+    "agg_gini_concentration",
+    oracle="""
+    WITH spend AS (
+        SELECT o_custkey AS cust,
+               SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS x
+        FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+        SELECT x, ROW_NUMBER() OVER (ORDER BY x, cust) AS i,
+               COUNT(*) OVER () AS n
+        FROM spend
+    ),
+    agg AS (
+        SELECT MAX(n) AS n, SUM(x) AS sx, SUM(i * x) AS six FROM ranked
+    )
+    SELECT CAST(n AS BIGINT) AS n_customers,
+           ROUND(CAST(sx AS DOUBLE), 2) AS total_spend,
+           ROUND(2.0 * CAST(six AS DOUBLE) / (n * CAST(sx AS DOUBLE))
+                 - (n + 1.0) / n, 6) AS gini
+    FROM agg
+    """,
+    doc="Gini coefficient of customer spend concentration — the "
+    "inequality audit (used identically for dataset source-balance): "
+    "G = 2*sum(i*x_(i))/(n*sum(x)) - (n+1)/n over rank-ordered totals. "
+    "Rank-weighted sums accumulate in DECIMAL (i*x is exact), ranks "
+    "tie-break on the customer key, and the two double divisions run "
+    "in one identical op sequence per engine.",
+)
+def agg_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: one per-customer aggregate, one GLOBAL rank — the
+    honest cost of an exact Gini (at 100 TB substitute the two-level
+    prefix-sum rank, the global_shuffle_rank pattern, or bin into the
+    histogram Lorenz approximation) — then a single-row reduce."""
+    from pyspark.sql.window import Window
+
+    o = load_fixture(spark, sf_dir, "orders")
+    spend = o.groupBy(F.col("o_custkey").alias("cust")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("x")
+    )
+    ranked = spend.select(
+        "x",
+        F.row_number().over(Window.orderBy("x", "cust")).alias("i"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    agg = ranked.agg(
+        F.max("n").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("i") * F.col("x")).alias("six"),
+    )
+    return agg.select(
+        F.col("n").cast("bigint").alias("n_customers"),
+        F.round(F.col("sx").cast("double"), 2).alias("total_spend"),
+        F.round(
+            F.lit(2.0) * F.col("six").cast("double")
+            / (F.col("n") * F.col("sx").cast("double"))
+            - (F.col("n") + F.lit(1.0)) / F.col("n"),
+            6,
+        ).alias("gini"),
+    )
