@@ -781,3 +781,130 @@ def _count_in_suite(ws):
     from ..functions.text import STOPWORDS
 
     return F.size(F.filter(ws, lambda x: x.isin(STOPWORDS)))
+
+
+def _rake_stop_sql() -> str:
+    from ..functions.text import STOPWORDS
+
+    return ", ".join(f"'{w}'" for w in STOPWORDS)
+
+
+@register(
+    "text_rake_keyphrases",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        FROM documents
+    ),
+    p AS (SELECT doc_id, unnest(range(1, len(toks)+1)) AS pos, toks FROM t),
+    w AS (SELECT doc_id, pos, toks[pos] AS term FROM p),
+    cw AS (SELECT doc_id, pos, term FROM w
+           WHERE term NOT IN ({{stops}})),
+    seq AS (
+        SELECT doc_id, pos, term,
+               pos - ROW_NUMBER() OVER (PARTITION BY doc_id
+                                        ORDER BY pos) AS grp
+        FROM cw
+    ),
+    ph AS (SELECT doc_id, grp, COUNT(*) AS plen FROM seq GROUP BY doc_id, grp),
+    wstat AS (
+        SELECT s.doc_id, s.term, COUNT(*) AS freq, SUM(ph.plen) AS deg
+        FROM seq s JOIN ph ON ph.doc_id = s.doc_id AND ph.grp = s.grp
+        GROUP BY s.doc_id, s.term
+    ),
+    wsc AS (
+        SELECT doc_id, term,
+               (2 * 1000000 * deg + freq) // (2 * freq) AS score_micro
+        FROM wstat
+    ),
+    psc AS (
+        SELECT s.doc_id, s.grp,
+               CAST(SUM(ws.score_micro) AS BIGINT) AS score_micro,
+               string_agg(s.term, ' ' ORDER BY s.pos) AS phrase
+        FROM seq s
+        JOIN wsc ws ON ws.doc_id = s.doc_id AND ws.term = s.term
+        GROUP BY s.doc_id, s.grp
+    )
+    SELECT doc_id, phrase,
+           ROUND(CAST(score_micro AS DOUBLE) / 1000000.0, 6) AS rake_score,
+           CAST(rk AS INTEGER) AS rk
+    FROM (
+        SELECT doc_id, phrase, score_micro,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY score_micro DESC, phrase) AS rk
+        FROM psc
+    ) WHERE rk <= 3
+    """.format(stops=_rake_stop_sql()),
+    doc="RAKE keyphrase extraction (Rose et al. 2010): candidate "
+    "phrases are maximal stopword-free token runs (the gaps-and-islands "
+    "key on token positions), word score = deg/freq over the document's "
+    "candidate words, phrase score = sum of member word scores; top-3 "
+    "phrases per document. Word scores are computed in EXACT integer "
+    "micro-units (half-away (2e6*deg + freq) // (2*freq)) so the "
+    "phrase sums are int64 and the ranking is engine-identical — no "
+    "float fold anywhere before the final display division.",
+)
+def text_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: tokenize-with-positions (one explode), the island
+    window per doc, then three map-side-combined aggregates keyed by
+    (doc, grp) / (doc, term) — all linear in tokens; the per-doc top-3
+    window runs over candidate phrases only. Identical-phrase ties get
+    distinct ranks in an arbitrary order, but the output MULTISET is
+    deterministic (identical rows swap identical ranks)."""
+    from pyspark.sql.window import Window
+
+    from ..functions.text import STOPWORDS
+
+    docs = load_fixture(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
+        ).alias("pos0", "term"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "term")
+    cw = toks.filter(~F.col("term").isin(STOPWORDS))
+    seq = cw.withColumn(
+        "grp",
+        F.col("pos")
+        - F.row_number().over(Window.partitionBy("doc_id").orderBy("pos")),
+    )
+    ph = seq.groupBy("doc_id", "grp").agg(F.count(F.lit(1)).alias("plen"))
+    wstat = (
+        seq.join(ph, ["doc_id", "grp"])
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("freq"), F.sum("plen").alias("deg"))
+    )
+    wsc = wstat.select(
+        "doc_id",
+        "term",
+        F.expr("(2 * 1000000 * deg + freq) div (2 * freq)").alias("score_micro"),
+    )
+    psc = (
+        seq.join(wsc, ["doc_id", "term"])
+        .groupBy("doc_id", "grp")
+        .agg(
+            F.sum("score_micro").cast("bigint").alias("score_micro"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "term"))),
+                    lambda st: st["term"],
+                ),
+                " ",
+            ).alias("phrase"),
+        )
+    )
+    wr = Window.partitionBy("doc_id").orderBy(
+        F.col("score_micro").desc(), F.col("phrase")
+    )
+    return (
+        psc.withColumn("rk", F.row_number().over(wr))
+        .filter(F.col("rk") <= 3)
+        .select(
+            "doc_id",
+            "phrase",
+            F.round(F.col("score_micro").cast("double") / F.lit(1000000.0), 6).alias(
+                "rake_score"
+            ),
+            F.col("rk").cast("int").alias("rk"),
+        )
+    )
