@@ -80,7 +80,7 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # oldest oracled r2 tail in registration order. Cumulative driver
 # evidence after r4: 139 unique queries graded.
 #
-# Never-graded after this window: 65 (61 oracled + 4 rows-only,
+# Never-graded after this window: 67 (63 oracled + 4 rows-only,
 # after the round-5 second-wave additions). r6
 # priority — the round-5 conversions and new operators first (they are
 # the least-proven): stream_semantic_ingest, sample_split_leakage_safe,
@@ -108,7 +108,8 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # text_feature_hashing, window_gaps_islands, dq_benford_audit,
 # ldiversity_audit, sample_time_holdout, embedding_class_separation,
 # agg_skew_kurtosis, stream_kmv_cardinality, graph_kcore_peel,
-# dp_noisy_counts, events_cumulative_distinct. That is 61 oracled
+# dp_noisy_counts, events_cumulative_distinct, agg_gini_concentration,
+# text_rake_keyphrases. That is 63 oracled
 # candidates
 # across two rounds of 40 slots; the 4 rows-only (agg_approx_top_k,
 # text_compression_ratio, similarity_ann_pq, multimodal_audio_spectral
