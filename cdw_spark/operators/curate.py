@@ -617,10 +617,15 @@ def bpe_train_merges(
             break
         l, r, cnt = best[0]["l"], best[0]["r"], best[0]["cnt"]
         merges.append((rank, l, r, l + r, cnt))
+        # winners are embedded as SQL literals inside the fold expression;
+        # real corpora can teach tokens containing ' or \ (contractions,
+        # code), which would break the expr string — escape both
+        el = l.replace("\\", "\\\\").replace("'", "\\'")
+        er = r.replace("\\", "\\\\").replace("'", "\\'")
         fold = (
             "array_join(aggregate(split(sym, ' '), cast(array() as array<string>), "
-            f"(acc, t) -> if(size(acc) > 0 and element_at(acc, -1) = '{l}' and t = '{r}', "
-            f"concat(slice(acc, 1, size(acc) - 1), array('{l + r}')), "
+            f"(acc, t) -> if(size(acc) > 0 and element_at(acc, -1) = '{el}' and t = '{er}', "
+            f"concat(slice(acc, 1, size(acc) - 1), array('{el + er}')), "
             "concat(acc, array(t)))), ' ')"
         )
         words = words.withColumn("sym", F.expr(fold)).localCheckpoint(eager=True)
@@ -652,10 +657,14 @@ def bpe_apply_merges(
     ).filter(F.col("w") != "")
     sym = "array_join(split(w, ''), ' ')"
     for l, r in merges:
+        # same literal-escaping discipline as the trainer's fold: learned
+        # tokens can contain ' or \ on real corpora
+        el = l.replace("\\", "\\\\").replace("'", "\\'")
+        er = r.replace("\\", "\\\\").replace("'", "\\'")
         sym = (
             f"array_join(aggregate(split({sym}, ' '), cast(array() as array<string>), "
-            f"(acc, t) -> if(size(acc) > 0 and element_at(acc, -1) = '{l}' and t = '{r}', "
-            f"concat(slice(acc, 1, size(acc) - 1), array('{l + r}')), "
+            f"(acc, t) -> if(size(acc) > 0 and element_at(acc, -1) = '{el}' and t = '{er}', "
+            f"concat(slice(acc, 1, size(acc) - 1), array('{el + er}')), "
             "concat(acc, array(t)))), ' ')"
         )
     tokenized = words.withColumn("syms", F.expr(f"split({sym}, ' ')"))

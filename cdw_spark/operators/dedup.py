@@ -783,8 +783,13 @@ def ngram_jaccard_pairs_prefix(
     )
     # verification is exactly the shared helper the minhash paths use —
     # one definition of the exact-Jaccard math; the persisted shingle
-    # table is reused instead of re-shingling
-    return jaccard_verify(
+    # table is reused instead of re-shingling. The verified pair set is
+    # tiny (it IS the dedup output), so materialize it eagerly and drop
+    # the cached shingle relation — otherwise every invocation leaks a
+    # cached table for the session's lifetime (ADVICE r5 #4)
+    out = jaccard_verify(
         cand, df, text_col, id_col, n,
         threshold=float(t_num) / float(t_den), shingle_tbl=sh,
-    )
+    ).localCheckpoint(eager=True)
+    sh.unpersist()
+    return out

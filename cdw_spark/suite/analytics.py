@@ -2594,8 +2594,8 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT flag, CAST(n AS BIGINT) AS n,
            ROUND(mu, 6) AS mean_qty,
            ROUND(m2, 6) AS var_pop,
-           ROUND(m3 / (sqrt(m2) * m2), 6) AS skewness,
-           ROUND(m4 / (m2 * m2) - 3.0, 6) AS excess_kurtosis
+           ROUND(m3 / NULLIF(sqrt(m2) * m2, 0.0), 6) AS skewness,
+           ROUND(m4 / NULLIF(m2 * m2, 0.0) - 3.0, 6) AS excess_kurtosis
     FROM c
     """,
     doc="Population skewness and excess kurtosis per return flag from "
@@ -2644,10 +2644,16 @@ def agg_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("bigint").alias("n"),
         F.round("mu", 6).alias("mean_qty"),
         F.round("m2", 6).alias("var_pop"),
-        F.round(F.col("m3") / (F.sqrt("m2") * F.col("m2")), 6).alias("skewness"),
-        F.round(F.col("m4") / (F.col("m2") * F.col("m2")) - F.lit(3.0), 6).alias(
-            "excess_kurtosis"
-        ),
+        # NULLIF guard (ADVICE r5 #2): a constant-valued group has m2=0 —
+        # Spark x/0.0 is NULL but DuckDB is inf/NaN; NULL on both engines
+        F.round(
+            F.col("m3") / F.nullif(F.sqrt("m2") * F.col("m2"), F.lit(0.0)), 6
+        ).alias("skewness"),
+        F.round(
+            F.col("m4") / F.nullif(F.col("m2") * F.col("m2"), F.lit(0.0))
+            - F.lit(3.0),
+            6,
+        ).alias("excess_kurtosis"),
     )
 
 

@@ -1311,10 +1311,12 @@ def _bpe_rounds_sql(n_merges: int = 5) -> str:
     (p{t}: most frequent adjacent pair, ties lexicographic — the Spark
     trainer's orderBy(cnt desc, l, r).limit(1) as ORDER BY/LIMIT) and an
     application CTE (w{t}) that replays the leftmost-greedy merge fold as
-    a string-accumulator list_reduce, the winner's l/r captured from the
-    1-row cross join. Token strings are alphanumeric by construction
-    (fixture words + concatenations), so the LIKE '% ' || l suffix test
-    is wildcard-safe."""
+    a string-accumulator list_reduce, the winner's l/r captured from a
+    1-row LEFT JOIN ON TRUE — so a round with NO learnable pair (p{t}
+    empty, where the Spark trainer ``break``s) carries w{t-1} forward
+    unchanged instead of collapsing every downstream CTE to zero rows
+    (ADVICE r5 #1). The suffix test is right()-equality, not LIKE, so
+    tokens containing %/_ cannot act as wildcards."""
     parts = ["""
     WITH w0 AS (
         SELECT w, CAST(COUNT(*) AS BIGINT) AS freq,
@@ -1343,11 +1345,14 @@ def _bpe_rounds_sql(n_merges: int = 5) -> str:
     ),
     w{t} AS (
         SELECT w, freq,
+               CASE WHEN b.l IS NULL THEN sym ELSE
                list_reduce(string_split(sym, ' '), (acc, tk) ->
-                   CASE WHEN (acc = b.l OR acc LIKE '% ' || b.l) AND tk = b.r
+                   CASE WHEN (acc = b.l
+                              OR right(acc, length(b.l) + 1) = ' ' || b.l)
+                             AND tk = b.r
                         THEN left(acc, length(acc) - length(b.l)) || b.l || b.r
-                        ELSE acc || ' ' || tk END) AS sym
-        FROM {prev} CROSS JOIN p{t} b
+                        ELSE acc || ' ' || tk END) END AS sym
+        FROM {prev} LEFT JOIN p{t} b ON TRUE
     )""")
     return "".join(parts)
 

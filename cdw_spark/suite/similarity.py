@@ -870,21 +870,23 @@ def similarity_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT bs.la AS label_a, bs.lb AS label_b,
            CAST(na.n AS BIGINT) AS n_a, CAST(nb.n AS BIGINT) AS n_b,
            ROUND(CAST(bs.bnum AS DOUBLE)
-                 / CAST((na.n * nb.n) * (na.n * nb.n) AS DOUBLE)
+                 / ((CAST(na.n AS DOUBLE) * CAST(nb.n AS DOUBLE))
+                       * (CAST(na.n AS DOUBLE) * CAST(nb.n AS DOUBLE)))
                  / 1000000000000.0, 6) AS between_dist2,
            ROUND((CAST(wa.wnum AS DOUBLE)
-                    / CAST(na.n * na.n * na.n AS DOUBLE) / 1000000000000.0
+                    / (CAST(na.n AS DOUBLE) * CAST(na.n AS DOUBLE) * CAST(na.n AS DOUBLE)) / 1000000000000.0
                   + CAST(wb.wnum AS DOUBLE)
-                    / CAST(nb.n * nb.n * nb.n AS DOUBLE) / 1000000000000.0)
+                    / (CAST(nb.n AS DOUBLE) * CAST(nb.n AS DOUBLE) * CAST(nb.n AS DOUBLE)) / 1000000000000.0)
                  / 2.0, 6) AS within_scatter,
            ROUND(ROUND(CAST(bs.bnum AS DOUBLE)
-                       / CAST((na.n * nb.n) * (na.n * nb.n) AS DOUBLE)
+                       / ((CAST(na.n AS DOUBLE) * CAST(nb.n AS DOUBLE))
+                       * (CAST(na.n AS DOUBLE) * CAST(nb.n AS DOUBLE)))
                        / 1000000000000.0, 6)
                  / NULLIF(ROUND((CAST(wa.wnum AS DOUBLE)
-                            / CAST(na.n * na.n * na.n AS DOUBLE)
+                            / (CAST(na.n AS DOUBLE) * CAST(na.n AS DOUBLE) * CAST(na.n AS DOUBLE))
                             / 1000000000000.0
                           + CAST(wb.wnum AS DOUBLE)
-                            / CAST(nb.n * nb.n * nb.n AS DOUBLE)
+                            / (CAST(nb.n AS DOUBLE) * CAST(nb.n AS DOUBLE) * CAST(nb.n AS DOUBLE))
                             / 1000000000000.0)
                         / 2.0, 6), 0.0), 4) AS fisher_ratio
     FROM bsum bs
@@ -966,18 +968,21 @@ def embedding_class_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
     bsum = cpair.groupBy("la", "lb").agg(F.sum(F.col("d") * F.col("d")).alias("bnum"))
     wa = w.select(F.col("label").alias("la"), F.col("wnum").alias("wnum_a"))
     wb = w.select(F.col("label").alias("lb"), F.col("wnum").alias("wnum_b"))
-    between = (
-        F.col("bnum").cast("double")
-        / ((F.col("n_a") * F.col("n_b")) * (F.col("n_a") * F.col("n_b"))).cast("double")
-        / F.lit(1000000000000.0)
+    # denominators square n_a*n_b — as int64 that silently wraps past
+    # ~55k rows/label under Spark's non-ANSI overflow while DuckDB errors
+    # (ADVICE r5 #3); promote to double FIRST (exact while n_a*n_b < 2^53,
+    # identical op sequence on both engines)
+    nab = F.col("n_a").cast("double") * F.col("n_b").cast("double")
+    between = F.col("bnum").cast("double") / (nab * nab) / F.lit(1000000000000.0)
+    na3 = (
+        F.col("n_a").cast("double") * F.col("n_a").cast("double") * F.col("n_a").cast("double")
+    )
+    nb3 = (
+        F.col("n_b").cast("double") * F.col("n_b").cast("double") * F.col("n_b").cast("double")
     )
     within = (
-        F.col("wnum_a").cast("double")
-        / (F.col("n_a") * F.col("n_a") * F.col("n_a")).cast("double")
-        / F.lit(1000000000000.0)
-        + F.col("wnum_b").cast("double")
-        / (F.col("n_b") * F.col("n_b") * F.col("n_b")).cast("double")
-        / F.lit(1000000000000.0)
+        F.col("wnum_a").cast("double") / na3 / F.lit(1000000000000.0)
+        + F.col("wnum_b").cast("double") / nb3 / F.lit(1000000000000.0)
     ) / F.lit(2.0)
     return (
         bsum.join(F.broadcast(na), "la")

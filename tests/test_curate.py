@@ -552,3 +552,62 @@ def test_leakage_safe_split_properties(spark, sf_dir):
     n = sum(c.values())
     assert 0.6 < c["train"] / n < 0.95
     assert c["val"] + c["test"] > 0
+
+
+def test_bpe_degenerate_corpus_trainer_and_oracle_agree(spark):
+    """ADVICE r5 #1 regression: a corpus with fewer learnable merges than
+    requested. The Spark trainer ``break``s and keeps what it learned; the
+    unrolled SQL oracle must carry w{t-1} forward through the empty rounds
+    (LEFT JOIN ON TRUE + COALESCE-style CASE) instead of collapsing every
+    downstream CTE — and the two must still agree merge-for-merge."""
+    import duckdb
+
+    from cdw_spark.operators.curate import bpe_apply_merges, bpe_train_merges
+    from cdw_spark.suite.datasetops import (
+        _bpe_apply_oracle_sql,
+        _bpe_merges_oracle_sql,
+    )
+
+    # 'ab ab cd' learns exactly 2 merges ((a,b) then (c,d)) of the 5 asked
+    docs = spark.createDataFrame([(1, "ab ab cd")], "doc_id int, text string")
+    got = [
+        (r["rank"], r["left"], r["right"], r["merged"], r["pair_count"])
+        for r in bpe_train_merges(docs, n_merges=5).collect()
+    ]
+    assert got == [(1, "a", "b", "ab", 2), (2, "c", "d", "cd", 1)]
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM (VALUES (1, 'ab ab cd')) t(doc_id, text)"
+    )
+    oracle = sorted(con.execute(_bpe_merges_oracle_sql(5)).fetchall())
+    assert [tuple(r) for r in oracle] == got
+
+    # the apply side: both engines fully merge every word (3 words ->
+    # 3 symbols), proving the empty rounds left w5 intact
+    arows = con.execute(_bpe_apply_oracle_sql(5)).fetchall()
+    assert len(arows) == 1
+    doc_id, n_words, n_symbols, sym_md5 = arows[0]
+    assert (doc_id, n_words, n_symbols) == (1, 3, 3)
+    merges = [(left, right) for _, left, right, _, _ in got]
+    srow = bpe_apply_merges(docs, merges).collect()[0]
+    assert (srow["n_words"], srow["n_symbols"], srow["symbols_md5"]) == (
+        n_words,
+        n_symbols,
+        sym_md5,
+    )
+
+
+def test_bpe_fold_escapes_quote_tokens(spark):
+    """Learned tokens containing a single quote must not break the folded
+    merge expression (they ride the plan as SQL literals)."""
+    from cdw_spark.operators.curate import bpe_apply_merges, bpe_train_merges
+
+    docs = spark.createDataFrame([(1, "a'b a'b")], "doc_id int, text string")
+    got = [
+        (r["rank"], r["left"], r["right"], r["merged"], r["pair_count"])
+        for r in bpe_train_merges(docs, n_merges=2).collect()
+    ]
+    assert got == [(1, "'", "b", "'b", 2), (2, "a", "'b", "a'b", 2)]
+    row = bpe_apply_merges(docs, [(left, right) for _, left, right, _, _ in got]).collect()[0]
+    assert (row["n_words"], row["n_symbols"]) == (2, 2)
