@@ -72,27 +72,18 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # batch time-window twins, and the tokenize/chunk/pack assembly ops.
 # Everything not listed keeps its registration order after the window and
 # stays covered by tests/test_oracle_contract.py's local differential sweep.
-# r5 window (this round): same ten family anchors; the forty rotated
-# slots follow VERDICT r4 #1's priority order exactly — the r3-wave tail
-# first, then the round-4 operators, then the graph family re-grade
-# (VERDICT #8: khop/triangles/link_prediction land WITH the banded
-# candidate generator rewrite), then a multimodal oracled entry and the
-# oldest oracled r2 tail in registration order. Cumulative driver
-# evidence after r4: 139 unique queries graded.
+# r6 window (this round): same ten family anchors; the forty rotated
+# slots follow VERDICT r5 #1's priority order — the round-5 conversions
+# and new operators first (streaming ingest/sessionize, BPE train+apply,
+# the multimodal oracled hashes, the HLL pair), then dedup_simhash's
+# first oracled grade (its only driver row is a stale round-1 no_oracle
+# check that predates the round-5 value oracle), then the round-5
+# second-wave operators, then the oldest oracled r2/r3 tail in
+# registration order. Cumulative driver evidence after r5: 179 unique
+# queries graded, 176 green at latest grading.
 #
-# Never-graded after this window: 67 (63 oracled + 4 rows-only,
-# after the round-5 second-wave additions). r6
-# priority — the round-5 conversions and new operators first (they are
-# the least-proven): stream_semantic_ingest, sample_split_leakage_safe,
-# similarity_ivf_incremental, stream_stateful_sessionize,
-# stream_near_dup_ingest,
-# tokenizer_bpe_merges, tokenizer_bpe_apply, multimodal_features,
-# multimodal_image_near_dup, multimodal_video_shots,
-# multimodal_image_phash_near_dup, agg_hll_mergeable,
-# sketch_hll_set_overlap; then the oracled r2/r3 tail:
-# fuzzy_levenshtein_match, text_bigram_topk, text_char_entropy,
-# text_collapse_repeats, similarity_ann_lsh_wide,
-# embedding_random_projection, knn_label_vote,
+# Never-graded after this window: 28 (24 oracled + 4 rows-only). r7
+# queue, in registration order: knn_label_vote,
 # embedding_pca_top_component, window_first_last_nth,
 # timeseries_gapfill_locf, the stream_* batch twins
 # (stream_stream_left/full_outer_join, stream_foreachbatch_upsert,
@@ -101,21 +92,11 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # mix_sources_weighted, curriculum_phases, embedding_quantize_int8,
 # global_shuffle_rank, incremental_agg_merge, sample_class_balanced,
 # quantile_rank_normalize, batch_by_length, select_token_budget,
-# corpus_mix_entropy; then the round-5 second-wave operators (newest,
-# least-proven): graph_label_propagation, sketch_bloom_filter_join,
-# sketch_kmv_distinct, sample_negative_pairs,
-# dedup_ngram_prefix_filter, agg_trimmed_mean, agg_weighted_median,
-# text_feature_hashing, window_gaps_islands, dq_benford_audit,
-# ldiversity_audit, sample_time_holdout, embedding_class_separation,
-# agg_skew_kurtosis, stream_kmv_cardinality, graph_kcore_peel,
-# dp_noisy_counts, events_cumulative_distinct, agg_gini_concentration,
-# text_rake_keyphrases. That is 63 oracled
-# candidates
-# across two rounds of 40 slots; the 4 rows-only (agg_approx_top_k,
-# text_compression_ratio, similarity_ann_pq, multimodal_audio_spectral
-# — each irreducibly engine-specific with a measured reason) never
-# burn window slots.
-_WINDOW_ROUND = 5  # the round this window was authored FOR — meta-tests
+# corpus_mix_entropy — plus whatever round 6 adds. The 4 rows-only
+# (agg_approx_top_k, text_compression_ratio, similarity_ann_pq,
+# multimodal_audio_spectral — each irreducibly engine-specific with a
+# measured reason) never burn window slots.
+_WINDOW_ROUND = 6  # the round this window was authored FOR — meta-tests
 # treat CORRECTNESS records from rounds >= this as the window's own
 # grade, not prior evidence (VERDICT r4 #3's self-invalidation fix).
 _DRIVER_WINDOW: tuple[str, ...] = (
@@ -130,50 +111,52 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "similarity_ann_lsh",    # similarity / ANN
     "dedup_minhash_lsh",     # deduplication
     "curation_pipeline",     # curation / dataset ops
-    # --- rotated in: the r3-wave tail (never driver-graded) ---
-    "text_pmi_collocations",
-    "recs_item_cooccurrence",
-    "timeseries_theilsen_trend",
-    "events_stickiness_rolling",
-    "corpus_vocab_overlap",
-    "skyline_pareto_orders",
-    "timeseries_gapfill_interpolate",
-    "intervals_max_concurrency",
-    "agg_median_exact_banded",
-    "geo_proximity_join",
-    "stream_top_spenders",
-    # --- the round-4 operators ---
-    "dedup_exact_substring",
-    "quality_nb_langid",
-    "clustering_kmeans_exact",
-    "quality_gopher_rules",
-    "dsir_importance_weights",
-    "curation_pipeline_v2",
-    "timeseries_max_drawdown",
-    "dq_referential_integrity",
-    "profile_key_skew",
-    "stream_dedup_within_watermark",
-    "stream_quality_filter",
-    # --- graph family re-grade under the banded candidate generator ---
-    "graph_khop_reach",
-    "graph_knn_triangles",
-    "graph_link_prediction",
-    # --- multimodal oracled entry + oldest oracled r2 tail ---
-    "multimodal_features_scalar",
-    "sort_nulls_ordering",
-    "explode_outer_nulls",
-    "agg_percentile_exact",
-    "agg_regression_stats",
-    "funnel_conversion",
-    "cohort_retention",
-    "agg_mode_per_group",
-    "basket_association_rules",
-    "timeseries_seasonal_residual",
-    "supplier_latency_scorecard",
-    "attribution_first_last_touch",
-    "customer_rfm_segments",
-    "session_bounce_rate",
-    "text_rolling_fingerprint",
+    # --- rotated in (r6): the round-5 conversions and additions first —
+    # they are the least-proven (VERDICT r5 priority order) ---
+    "stream_semantic_ingest",
+    "similarity_ivf_incremental",
+    "stream_stateful_sessionize",
+    "stream_near_dup_ingest",
+    "tokenizer_bpe_merges",
+    "tokenizer_bpe_apply",
+    "multimodal_features",
+    "multimodal_image_near_dup",
+    "multimodal_video_shots",
+    "multimodal_image_phash_near_dup",
+    "agg_hll_mergeable",
+    "sketch_hll_set_overlap",
+    # dedup_simhash carries a stale round-1 no_oracle row but has had a
+    # full value oracle since round 5 — this is its first oracled grade
+    "dedup_simhash",
+    "sample_split_leakage_safe",
+    "sample_negative_pairs",
+    # --- the round-5 second-wave operators ---
+    "graph_label_propagation",
+    "sketch_bloom_filter_join",
+    "sketch_kmv_distinct",
+    "dedup_ngram_prefix_filter",
+    "agg_trimmed_mean",
+    "agg_weighted_median",
+    "text_feature_hashing",
+    "window_gaps_islands",
+    "dq_benford_audit",
+    "ldiversity_audit",
+    "sample_time_holdout",
+    "embedding_class_separation",
+    "agg_skew_kurtosis",
+    "stream_kmv_cardinality",
+    "graph_kcore_peel",
+    "dp_noisy_counts",
+    "events_cumulative_distinct",
+    "agg_gini_concentration",
+    "text_rake_keyphrases",
+    # --- oldest oracled r2/r3 tail, registration order ---
+    "fuzzy_levenshtein_match",
+    "text_bigram_topk",
+    "text_char_entropy",
+    "text_collapse_repeats",
+    "similarity_ann_lsh_wide",
+    "embedding_random_projection",
 )
 
 
