@@ -2717,3 +2717,270 @@ def agg_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+@register(
+    "agg_mann_whitney_u",
+    oracle="""
+    WITH vals AS (
+        SELECT o_totalprice AS v, CAST(COUNT(*) AS BIGINT) AS c,
+               CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS cf
+        FROM orders
+        WHERE o_orderstatus IN ('F', 'O')
+        GROUP BY o_totalprice
+    ),
+    ranked AS (
+        SELECT c, cf,
+               2 * SUM(c) OVER (ORDER BY v
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) - c + 1 AS dr2
+        FROM vals
+    ),
+    s AS (
+        SELECT CAST(SUM(cf) AS BIGINT) AS n1,
+               CAST(SUM(c - cf) AS BIGINT) AS n2,
+               CAST(SUM(cf * dr2) AS DECIMAL(38,0)) AS r1x2,
+               CAST(SUM(c * c * c - c) AS DECIMAL(38,0)) AS tie3
+        FROM ranked
+    )
+    SELECT n1 AS n_f, n2 AS n_o,
+           CAST(CAST(r1x2 AS DOUBLE) - CAST(n1 AS DOUBLE) * (n1 + 1.0)
+                AS DOUBLE) / 2.0 AS u_f,
+           CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+               - (CAST(r1x2 AS DOUBLE) - CAST(n1 AS DOUBLE) * (n1 + 1.0)) / 2.0
+               AS u_o,
+           ROUND(((CAST(r1x2 AS DOUBLE) - CAST(n1 AS DOUBLE) * (n1 + 1.0)) / 2.0
+                  - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 2.0)
+                 / sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0
+                        * ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) + 1.0)
+                           - CAST(tie3 AS DOUBLE)
+                             / ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
+                                * (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)
+                                   - 1.0)))),
+                 6) AS z_score
+    FROM s
+    """,
+    doc="Mann-Whitney U rank-sum test (two-sided normal approximation "
+    "with tie correction) comparing order totals of finished vs open "
+    "orders — the nonparametric drift test a curation pipeline runs "
+    "between two data snapshots. EXACT rank machinery: ranks are "
+    "computed per DISTINCT value (cum-count window over the value "
+    "relation), average tie ranks carried as DOUBLED integers "
+    "(2*rank_min + c - 1), so the rank sum, tie term sum(c^3-c), and "
+    "doubled U are all integers; doubles appear only in the final "
+    "1-row projection with one identical op sequence per engine.",
+)
+def agg_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: one groupBy on the value column (distinct values,
+    not rows), ONE ordered window over that much smaller relation
+    (substitute the two-level prefix-sum rank at 100 TB — the
+    global_shuffle_rank pattern), then a single-row reduce."""
+    from pyspark.sql.window import Window
+
+    o = load_fixture(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus").isin("F", "O")
+    )
+    vals = o.groupBy(F.col("o_totalprice").alias("v")).agg(
+        F.count(F.lit(1)).alias("c"),
+        F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)).alias("cf"),
+    )
+    cum = F.sum("c").over(
+        Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = vals.select(
+        "c", "cf", (F.lit(2) * cum - F.col("c") + F.lit(1)).alias("dr2")
+    )
+    s = ranked.agg(
+        F.sum("cf").cast("bigint").alias("n1"),
+        F.sum(F.col("c") - F.col("cf")).cast("bigint").alias("n2"),
+        F.sum(F.col("cf") * F.col("dr2")).cast("decimal(38,0)").alias("r1x2"),
+        F.sum(F.col("c") * F.col("c") * F.col("c") - F.col("c"))
+        .cast("decimal(38,0)")
+        .alias("tie3"),
+    )
+    n1d = F.col("n1").cast("double")
+    n2d = F.col("n2").cast("double")
+    u_f = (F.col("r1x2").cast("double") - n1d * (F.col("n1") + F.lit(1.0))) / F.lit(2.0)
+    nd = n1d + n2d
+    sigma = F.sqrt(
+        n1d * n2d / F.lit(12.0)
+        * ((nd + F.lit(1.0)) - F.col("tie3").cast("double") / (nd * (nd - F.lit(1.0))))
+    )
+    return s.select(
+        F.col("n1").alias("n_f"),
+        F.col("n2").alias("n_o"),
+        u_f.cast("double").alias("u_f"),
+        (n1d * n2d - u_f).alias("u_o"),
+        F.round((u_f - n1d * n2d / F.lit(2.0)) / sigma, 6).alias("z_score"),
+    )
+
+
+@register(
+    "agg_chi_square_independence",
+    oracle="""
+    WITH o AS (
+        SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS obs
+        FROM documents GROUP BY lang, source
+    ),
+    rt AS (SELECT lang, CAST(SUM(obs) AS BIGINT) AS r FROM o GROUP BY lang),
+    ct AS (SELECT source, CAST(SUM(obs) AS BIGINT) AS c FROM o GROUP BY source),
+    tot AS (SELECT CAST(SUM(obs) AS BIGINT) AS n FROM o),
+    cells AS (
+        SELECT ROUND(
+                   (CAST(o.obs AS DOUBLE) * CAST(t.n AS DOUBLE)
+                    - CAST(rt.r AS DOUBLE) * CAST(ct.c AS DOUBLE))
+                   * (CAST(o.obs AS DOUBLE) * CAST(t.n AS DOUBLE)
+                      - CAST(rt.r AS DOUBLE) * CAST(ct.c AS DOUBLE))
+                   / (CAST(t.n AS DOUBLE) * CAST(rt.r AS DOUBLE)
+                      * CAST(ct.c AS DOUBLE)),
+                   9) AS term
+        FROM o JOIN rt USING (lang) JOIN ct USING (source) CROSS JOIN tot t
+    )
+    SELECT (SELECT n FROM tot) AS n,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM rt) AS n_langs,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM ct) AS n_sources,
+           (SELECT CAST((COUNT(*) - 1) AS BIGINT) FROM rt)
+               * (SELECT CAST((COUNT(*) - 1) AS BIGINT) FROM ct) AS dof,
+           ROUND(CAST(SUM(CAST(term AS DECIMAL(18,9))) AS DOUBLE), 6) AS chi2
+    FROM cells
+    """,
+    doc="Chi-square test of independence between document language and "
+    "source — the dataset-balance audit that detects a source pinned "
+    "to one language before training mixes are drawn. Each cell's "
+    "statistic uses the integer identity (O*N - R*C)^2 / (N*R*C) so "
+    "the only doubles are one identical op sequence over exact counts; "
+    "per-cell terms are rounded to 9 dp and summed as DECIMAL "
+    "(order-independent), the established float discipline. Note: "
+    "cells with zero observed count contribute R*C/N implicitly only "
+    "when present in the observed relation — absent (lang, source) "
+    "pairs are genuinely unobserved and both engines derive the SAME "
+    "observed relation, so the statistic is the sparse-table variant "
+    "on both sides.",
+)
+def agg_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: one groupBy on the category pair (output is
+    |langs|x|sources| cells), two broadcast-size marginal aggregates
+    joined back, single-row reduce. No row-scale shuffle beyond the
+    first aggregate."""
+    d = load_fixture(spark, sf_dir, "documents")
+    o = d.groupBy("lang", "source").agg(F.count(F.lit(1)).cast("bigint").alias("obs"))
+    rt = o.groupBy("lang").agg(F.sum("obs").cast("bigint").alias("r"))
+    ct = o.groupBy("source").agg(F.sum("obs").cast("bigint").alias("c"))
+    tot = o.agg(F.sum("obs").cast("bigint").alias("n"))
+    cells = (
+        o.join(F.broadcast(rt), "lang")
+        .join(F.broadcast(ct), "source")
+        .crossJoin(F.broadcast(tot))
+    )
+    od = F.col("obs").cast("double")
+    nd = F.col("n").cast("double")
+    rd = F.col("r").cast("double")
+    cd = F.col("c").cast("double")
+    term = F.round((od * nd - rd * cd) * (od * nd - rd * cd) / (nd * rd * cd), 9)
+    stats = cells.agg(
+        F.max("n").alias("n"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.sum(term.cast("decimal(18,9)")).alias("chi2_sum"),
+    )
+    return stats.select(
+        F.col("n"),
+        F.col("n_langs").cast("bigint").alias("n_langs"),
+        F.col("n_sources").cast("bigint").alias("n_sources"),
+        ((F.col("n_langs") - F.lit(1)) * (F.col("n_sources") - F.lit(1)))
+        .cast("bigint")
+        .alias("dof"),
+        F.round(F.col("chi2_sum").cast("double"), 6).alias("chi2"),
+    )
+
+
+@register(
+    "agg_spearman_rho",
+    oracle="""
+    WITH r AS (
+        SELECT l_returnflag AS flag,
+               2 * RANK() OVER (PARTITION BY l_returnflag ORDER BY l_quantity)
+                   + COUNT(*) OVER (PARTITION BY l_returnflag, l_quantity)
+                   - 1 AS rx,
+               2 * RANK() OVER (PARTITION BY l_returnflag
+                                ORDER BY l_extendedprice)
+                   + COUNT(*) OVER (PARTITION BY l_returnflag, l_extendedprice)
+                   - 1 AS ry
+        FROM lineitem
+    ),
+    s AS (
+        SELECT flag, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(rx AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS sx,
+               CAST(SUM(CAST(ry AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS sy,
+               CAST(SUM(CAST(rx AS DECIMAL(19,0)) * CAST(ry AS DECIMAL(10,0)))
+                    AS DECIMAL(38,0)) AS sxy,
+               CAST(SUM(CAST(rx AS DECIMAL(19,0)) * CAST(rx AS DECIMAL(10,0)))
+                    AS DECIMAL(38,0)) AS sxx,
+               CAST(SUM(CAST(ry AS DECIMAL(19,0)) * CAST(ry AS DECIMAL(10,0)))
+                    AS DECIMAL(38,0)) AS syy
+        FROM r GROUP BY flag
+    )
+    SELECT flag, n,
+           ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
+                 6) AS spearman_rho
+    FROM s
+    """,
+    doc="Spearman rank correlation between quantity and extended price "
+    "per return flag — the monotone-dependence audit (feature "
+    "redundancy screening before training). Tie-averaged ranks are "
+    "carried as DOUBLED integers (2*RANK + tiecount - 1), so every "
+    "accumulated sum is an exact DECIMAL integer at any partition "
+    "order; the Pearson-on-ranks formula collapses to one identical "
+    "double op sequence per engine in the |groups|-row projection.",
+)
+def agg_spearman_rho(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: two per-group window ranks (partition-parallel — no
+    global sort) feeding one map-side-combined aggregate carrying five
+    decimal partials per group; output is |groups| rows."""
+    from pyspark.sql.window import Window
+
+    li = load_fixture(spark, sf_dir, "lineitem")
+    g = F.col("l_returnflag")
+    rx = (
+        F.lit(2) * F.rank().over(Window.partitionBy(g).orderBy("l_quantity"))
+        + F.count(F.lit(1)).over(Window.partitionBy(g, F.col("l_quantity")))
+        - F.lit(1)
+    )
+    ry = (
+        F.lit(2) * F.rank().over(Window.partitionBy(g).orderBy("l_extendedprice"))
+        + F.count(F.lit(1)).over(Window.partitionBy(g, F.col("l_extendedprice")))
+        - F.lit(1)
+    )
+    r = li.select(g.alias("flag"), rx.alias("rx"), ry.alias("ry"))
+    dx = F.col("rx").cast("decimal(19,0)")
+    dy = F.col("ry").cast("decimal(19,0)")
+    s = r.groupBy("flag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(dx).cast("decimal(38,0)").alias("sx"),
+        F.sum(dy).cast("decimal(38,0)").alias("sy"),
+        F.sum(dx * F.col("ry").cast("decimal(10,0)")).cast("decimal(38,0)").alias("sxy"),
+        F.sum(dx * F.col("rx").cast("decimal(10,0)")).cast("decimal(38,0)").alias("sxx"),
+        F.sum(dy * F.col("ry").cast("decimal(10,0)")).cast("decimal(38,0)").alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    return s.select(
+        "flag",
+        "n",
+        F.round(
+            (nd * F.col("sxy").cast("double")
+             - F.col("sx").cast("double") * F.col("sy").cast("double"))
+            / (
+                F.sqrt(nd * F.col("sxx").cast("double")
+                       - F.col("sx").cast("double") * F.col("sx").cast("double"))
+                * F.sqrt(nd * F.col("syy").cast("double")
+                         - F.col("sy").cast("double") * F.col("sy").cast("double"))
+            ),
+            6,
+        ).alias("spearman_rho"),
+    )
