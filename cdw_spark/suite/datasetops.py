@@ -2376,3 +2376,240 @@ def dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(1.0).cast("double").alias("epsilon"),
         )
     )
+
+
+@register(
+    "tcloseness_audit",
+    oracle="""
+    WITH b AS (
+        SELECT lang, source, CAST(n_chars // 500 AS BIGINT) AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM documents GROUP BY lang, source, bucket
+    ),
+    gb AS (SELECT bucket, CAST(SUM(cnt) AS BIGINT) AS gcnt FROM b GROUP BY bucket),
+    gbo AS (
+        SELECT bucket,
+               CAST(ROW_NUMBER() OVER (ORDER BY bucket) AS BIGINT) AS i,
+               CAST(SUM(gcnt) OVER (ORDER BY bucket
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS BIGINT) AS gcum
+        FROM gb
+    ),
+    tot AS (SELECT CAST(SUM(gcnt) AS BIGINT) AS n,
+                   CAST(COUNT(*) AS BIGINT) AS m FROM gb),
+    grp AS (SELECT lang, source, CAST(SUM(cnt) AS BIGINT) AS ng
+            FROM b GROUP BY lang, source),
+    cum AS (
+        SELECT g.lang, g.source, g.ng, o.i, o.gcum,
+               SUM(COALESCE(bb.cnt, 0)) OVER (
+                   PARTITION BY g.lang, g.source ORDER BY o.i
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS gc
+        FROM grp g
+        CROSS JOIN gbo o
+        LEFT JOIN b bb ON bb.lang = g.lang AND bb.source = g.source
+                      AND bb.bucket = o.bucket
+    ),
+    agg AS (
+        SELECT c.lang, c.source, c.ng,
+               CAST(SUM(CASE WHEN c.i < t.m
+                             THEN abs(c.gc * t.n - c.gcum * c.ng)
+                             ELSE 0 END) AS BIGINT) AS num,
+               MAX(t.n) AS n, MAX(t.m) AS m
+        FROM cum c CROSS JOIN tot t
+        GROUP BY c.lang, c.source, c.ng
+    ),
+    micro AS (
+        SELECT lang, source, ng,
+               (2 * num * 1000000 + NULLIF(ng * n * (m - 1), 0))
+                   // (2 * NULLIF(ng * n * (m - 1), 0)) AS emd_micro
+        FROM agg
+    )
+    SELECT lang, source, CAST(ng AS BIGINT) AS group_size,
+           CAST(emd_micro AS DOUBLE) / 1000000.0 AS emd,
+           CASE WHEN emd_micro > 200000 THEN 'risky' ELSE 'ok' END AS t_status
+    FROM micro
+    """,
+    doc="t-closeness audit (Li et al. 2007), completing the "
+    "k-anonymity / l-diversity release-gate triple: per quasi-identifier "
+    "class (lang x source), the earth-mover's distance between the "
+    "class's distribution over the ordered sensitive attribute "
+    "(500-char length bucket, the kanonymity_audit binning) and the "
+    "global distribution; classes with EMD > t=0.2 leak attribute "
+    "information even when k- and l-checks pass. EXACT rationals "
+    "throughout: ordered-EMD is sum(|cumP - cumQ|)/(m-1), every "
+    "cumulative share is an integer pair over the common denominator "
+    "ng*N, and the final value rounds half-away in integer micro-units "
+    "((2a+b) DIV 2b) so no engine ever rounds a float.",
+)
+def tcloseness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: one groupBy on (class, bucket), a broadcast-size
+    global bucket spine crossed with the class list (|classes| x |m|
+    cells — bounded by the audit's own output), per-class cumulative
+    windows over m<=20 buckets, one aggregate. Numerators stay int64
+    through petabyte N only if ng*N fits — substitute DECIMAL
+    accumulators past ~1e9 rows (same note as agg_gini_concentration)."""
+    from pyspark.sql.window import Window
+
+    d = load_fixture(spark, sf_dir, "documents")
+    b = d.select(
+        "lang",
+        "source",
+        F.expr("CAST(n_chars div 500 AS BIGINT)").alias("bucket"),
+    ).groupBy("lang", "source", "bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    gb = b.groupBy("bucket").agg(F.sum("cnt").cast("bigint").alias("gcnt"))
+    wb = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gbo = gb.select(
+        "bucket",
+        F.row_number().over(Window.orderBy("bucket")).cast("bigint").alias("i"),
+        F.sum("gcnt").over(wb).cast("bigint").alias("gcum"),
+    )
+    tot = gb.agg(
+        F.sum("gcnt").cast("bigint").alias("n"), F.count(F.lit(1)).cast("bigint").alias("m")
+    )
+    grp = b.groupBy("lang", "source").agg(F.sum("cnt").cast("bigint").alias("ng"))
+    cell = (
+        grp.crossJoin(F.broadcast(gbo))
+        .join(
+            b.withColumnRenamed("cnt", "bcnt"),
+            ["lang", "source", "bucket"],
+            "left",
+        )
+        .select(
+            "lang", "source", "ng", "i", "gcum",
+            F.coalesce(F.col("bcnt"), F.lit(0)).alias("cnt"),
+        )
+    )
+    wg = Window.partitionBy("lang", "source").orderBy("i").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = cell.select(
+        "lang", "source", "ng", "i", "gcum", F.sum("cnt").over(wg).alias("gc")
+    )
+    agg = (
+        cum.crossJoin(F.broadcast(tot))
+        .groupBy("lang", "source", "ng")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("i") < F.col("m"),
+                    F.abs(F.col("gc") * F.col("n") - F.col("gcum") * F.col("ng")),
+                ).otherwise(F.lit(0))
+            )
+            .cast("bigint")
+            .alias("num"),
+            F.max("n").alias("n"),
+            F.max("m").alias("m"),
+        )
+    )
+    micro = agg.select(
+        "lang",
+        "source",
+        "ng",
+        F.expr(
+            "(2 * num * 1000000 + nullif(ng * n * (m - 1), 0))"
+            " div (2 * nullif(ng * n * (m - 1), 0))"
+        ).alias("emd_micro"),
+    )
+    return micro.select(
+        "lang",
+        "source",
+        F.col("ng").alias("group_size"),
+        (F.col("emd_micro").cast("double") / F.lit(1000000.0)).alias("emd"),
+        F.when(F.col("emd_micro") > 200000, "risky").otherwise("ok").alias("t_status"),
+    )
+
+
+@register(
+    "mix_temperature_sampling",
+    oracle="""
+    WITH counts AS (
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents GROUP BY lang
+    ),
+    w AS (
+        SELECT lang, n_docs,
+               CAST(ROUND(sqrt(CAST(n_docs AS DOUBLE)), 9) AS DECIMAL(18,9)) AS wt
+        FROM counts
+    ),
+    tw AS (SELECT SUM(wt) AS total FROM w),
+    ideal AS (
+        SELECT lang, n_docs, wt,
+               CAST(wt AS DOUBLE) / CAST(t.total AS DOUBLE) * 200.0 AS ideal
+        FROM w CROSS JOIN tw t
+    ),
+    based AS (
+        SELECT lang, n_docs, wt, ideal,
+               CAST(FLOOR(ideal) AS BIGINT) AS base,
+               ideal - FLOOR(ideal) AS rem
+        FROM ideal
+    ),
+    ranked AS (
+        SELECT *,
+               CAST(ROW_NUMBER() OVER (ORDER BY rem DESC, lang) AS BIGINT) AS rk,
+               200 - SUM(base) OVER () AS leftover
+        FROM based
+    )
+    SELECT lang, n_docs,
+           CAST(wt AS DOUBLE) AS weight,
+           CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT)
+               AS alloc_docs
+    FROM ranked
+    """,
+    doc="Temperature-scaled source mixing (tau=0.5): per-language "
+    "sampling allocations proportional to n^tau — the standard "
+    "multilingual-LM rebalancing (sqrt damping upweights low-resource "
+    "languages) — with largest-remainder rounding so allocations sum "
+    "to the exact 200-doc budget. Float discipline: sqrt is correctly "
+    "rounded on both engines, weights are pinned to 9 dp DECIMAL "
+    "before the order-independent total, and every remaining double op "
+    "runs in one identical sequence per engine; the remainder rank "
+    "breaks ties on the language key.",
+)
+def mix_temperature_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: one groupBy on the mix key (|languages| rows), then
+    driver-free constant-size window work over that tiny relation; the
+    expensive corpus scan happens exactly once."""
+    from pyspark.sql.window import Window
+
+    d = load_fixture(spark, sf_dir, "documents")
+    counts = d.groupBy("lang").agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    w = counts.select(
+        "lang",
+        "n_docs",
+        F.round(F.sqrt(F.col("n_docs").cast("double")), 9)
+        .cast("decimal(18,9)")
+        .alias("wt"),
+    )
+    tw = w.agg(F.sum("wt").alias("total"))
+    ideal = w.crossJoin(F.broadcast(tw)).select(
+        "lang",
+        "n_docs",
+        "wt",
+        (F.col("wt").cast("double") / F.col("total").cast("double") * F.lit(200.0)).alias(
+            "ideal"
+        ),
+    )
+    based = ideal.select(
+        "lang",
+        "n_docs",
+        "wt",
+        F.floor("ideal").cast("bigint").alias("base"),
+        (F.col("ideal") - F.floor("ideal")).alias("rem"),
+    )
+    ranked = based.select(
+        "lang",
+        "n_docs",
+        "wt",
+        "base",
+        F.row_number().over(Window.orderBy(F.desc("rem"), "lang")).cast("bigint").alias("rk"),
+        (F.lit(200) - F.sum("base").over(Window.partitionBy())).alias("leftover"),
+    )
+    return ranked.select(
+        "lang",
+        "n_docs",
+        F.col("wt").cast("double").alias("weight"),
+        (F.col("base") + F.when(F.col("rk") <= F.col("leftover"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("alloc_docs"),
+    )
