@@ -356,6 +356,38 @@ def audio_frame_rms(
     )
 
 
+def audio_frame_energy(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    blob_col: str = "audio",
+    frame: int = 64,
+) -> DataFrame:
+    """Per-frame EXACT energy (sum of squared samples, int64) over WAV
+    blobs — the integer twin of audio_frame_rms for downstream logic
+    that must be hash-comparable across engines (VAD thresholds,
+    segment totals): 16-bit samples keep the per-frame sum of squares
+    well inside int64 for any frame length below ~2^21."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, fids, en = [], [], []
+            for did, blob in zip(pdf[id_col], pdf[blob_col]):
+                _rate, samples = wav_decode(bytes(blob))
+                for fi in range(len(samples) // frame):
+                    fr = samples[fi * frame : (fi + 1) * frame]
+                    ids.append(did)
+                    fids.append(fi)
+                    en.append(sum(s * s for s in fr))
+            yield pd.DataFrame({id_col: ids, "frame_idx": fids, "energy": en})
+
+    return df.select(id_col, blob_col).mapInPandas(
+        run, schema=f"{id_col} long, frame_idx int, energy long"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Perceptual image hashing + near-duplicate image detection: the visual
 # twin of the text near-dup pipeline (aHash -> pigeonhole hamming join).

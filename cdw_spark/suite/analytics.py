@@ -2984,3 +2984,101 @@ def agg_spearman_rho(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("spearman_rho"),
     )
+
+
+@register(
+    "timeseries_autocorr_lag1",
+    oracle="""
+    WITH q AS (
+        SELECT user_id,
+               CAST(floor(CAST(value AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS q,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+               COUNT(*) OVER (PARTITION BY user_id) AS n,
+               LAG(CAST(floor(CAST(value AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT))
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id) AS ql
+        FROM events
+    ),
+    s AS (
+        SELECT user_id, CAST(MAX(n) AS BIGINT) AS n,
+               CAST(SUM(CAST(q AS DECIMAL(20,0))) AS DECIMAL(38,0)) AS sq,
+               CAST(SUM(CAST(q AS DECIMAL(20,0)) * CAST(q AS DECIMAL(10,0)))
+                    AS DECIMAL(38,0)) AS qq,
+               CAST(SUM(CASE WHEN ql IS NULL THEN NULL
+                             ELSE CAST(q AS DECIMAL(20,0)) * CAST(ql AS DECIMAL(10,0))
+                        END) AS DECIMAL(38,0)) AS p,
+               CAST(MAX(CASE WHEN rn = 1 THEN q END) AS BIGINT) AS q1,
+               CAST(MAX(CASE WHEN rn = n THEN q END) AS BIGINT) AS qn
+        FROM q GROUP BY user_id
+    )
+    SELECT user_id, n AS n_events,
+           ROUND((CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(p AS DOUBLE)
+                  - CAST(n AS DOUBLE) * CAST(sq AS DOUBLE)
+                    * (2.0 * CAST(sq AS DOUBLE) - CAST(q1 AS DOUBLE)
+                       - CAST(qn AS DOUBLE))
+                  + (CAST(n AS DOUBLE) - 1.0) * CAST(sq AS DOUBLE)
+                    * CAST(sq AS DOUBLE))
+                 / NULLIF(CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                          * CAST(qq AS DOUBLE)
+                          - CAST(n AS DOUBLE) * CAST(sq AS DOUBLE)
+                            * CAST(sq AS DOUBLE), 0.0),
+                 6) AS acf_lag1
+    FROM s
+    WHERE n >= 3
+    """,
+    doc="Lag-1 autocorrelation of each user's event-value series "
+    "(ordered by ts, event_id) — the seasonality/momentum screen run "
+    "before forecasting or drift models. Exactness via the PCA idiom: "
+    "values quantize once to integer micro-units, per-user sums "
+    "(S, sum q^2, sum q_t*q_{t-1}, boundary terms) accumulate as "
+    "DECIMAL integers, and the mean-centered ACF collapses to the "
+    "n^2-scaled integer identity (n^2*P - n*S*(2S-q1-qn) + (n-1)*S^2) "
+    "/ (n^2*Q - n*S^2), evaluated in one identical double op sequence "
+    "per engine. Products stay inside DuckDB's decimal-multiply width "
+    "via (20,0)x(10,0) operand casts.",
+)
+def timeseries_autocorr_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: one per-user window pass (partition-parallel, no
+    global sort) and one map-side-combined aggregate carrying five
+    decimal partials per user; output is |users| rows."""
+    from pyspark.sql.window import Window
+
+    e = load_fixture(spark, sf_dir, "events")
+    qcol = F.floor(F.col("value").cast("double") * F.lit(1000000.0) + F.lit(0.5)).cast(
+        "bigint"
+    )
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    q = e.select(
+        "user_id",
+        qcol.alias("q"),
+        F.row_number().over(wo).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("user_id")).alias("n"),
+        F.lag(qcol).over(wo).alias("ql"),
+    )
+    d20 = F.col("q").cast("decimal(20,0)")
+    s = q.groupBy("user_id").agg(
+        F.max("n").cast("bigint").alias("n"),
+        F.sum(d20).cast("decimal(38,0)").alias("sq"),
+        F.sum(d20 * F.col("q").cast("decimal(10,0)")).cast("decimal(38,0)").alias("qq"),
+        F.sum(
+            F.when(
+                F.col("ql").isNull(), F.lit(None).cast("decimal(30,0)")
+            ).otherwise(d20 * F.col("ql").cast("decimal(10,0)"))
+        )
+        .cast("decimal(38,0)")
+        .alias("p"),
+        F.max(F.when(F.col("rn") == 1, F.col("q"))).cast("bigint").alias("q1"),
+        F.max(F.when(F.col("rn") == F.col("n"), F.col("q"))).cast("bigint").alias("qn"),
+    )
+    nd = F.col("n").cast("double")
+    sd = F.col("sq").cast("double")
+    num = (
+        nd * nd * F.col("p").cast("double")
+        - nd * sd * (F.lit(2.0) * sd - F.col("q1").cast("double") - F.col("qn").cast("double"))
+        + (nd - F.lit(1.0)) * sd * sd
+    )
+    den = nd * nd * F.col("qq").cast("double") - nd * sd * sd
+    return s.filter(F.col("n") >= 3).select(
+        "user_id",
+        F.col("n").alias("n_events"),
+        F.round(num / F.nullif(den, F.lit(0.0)), 6).alias("acf_lag1"),
+    )

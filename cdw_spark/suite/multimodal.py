@@ -430,3 +430,83 @@ def multimodal_image_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFra
     from ..operators.multimodal import phash_near_duplicates
 
     return phash_near_duplicates(load_fixture(spark, sf_dir, "documents"))
+
+
+@register(
+    "multimodal_audio_vad",
+    oracle="""
+    WITH f AS (SELECT doc_id, unnest(range(0, 16)) AS fi FROM documents),
+    s AS (SELECT doc_id, fi, unnest(range(0, 64)) AS j FROM f),
+    v AS (
+        SELECT doc_id, fi,
+               (((doc_id * 31 + (fi * 64 + j) * 7) % 2003) - 1001)
+                   * ((doc_id + fi) % 4) AS smp
+        FROM s
+    ),
+    e AS (
+        SELECT doc_id, fi, CAST(SUM(smp * smp) AS BIGINT) AS energy
+        FROM v GROUP BY doc_id, fi
+    ),
+    a AS (SELECT doc_id, fi, energy FROM e WHERE energy > 32000000),
+    g AS (
+        SELECT doc_id, fi, energy,
+               fi - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY fi) AS grp
+        FROM a
+    )
+    SELECT doc_id, CAST(MIN(fi) AS INTEGER) AS seg_start,
+           CAST(MAX(fi) AS INTEGER) AS seg_end,
+           CAST(COUNT(*) AS BIGINT) AS n_frames,
+           CAST(SUM(energy) AS BIGINT) AS total_energy
+    FROM g GROUP BY doc_id, grp
+    """,
+    doc="Energy-threshold voice-activity segmentation over a binary "
+    "audio column: deterministic gain-modulated PCM is wav_encode'd, "
+    "the 16-bit WAV is decoded back inside Arrow-batched mapInPandas "
+    "(the real stdlib codec round trip, same as multimodal_audio_rms), "
+    "per-64-sample frames get EXACT integer energy (sum of squares), "
+    "and consecutive above-threshold frames collapse into segments via "
+    "gaps-and-islands. Every value the driver hashes is an integer — "
+    "no float crosses an engine boundary. The oracle restates the "
+    "synthesized samples, energy, and islands in SQL, so the hash "
+    "checks the encode->decode->feature->segment chain end to end. "
+    "operators/multimodal.py:audio_frame_energy.",
+)
+def multimodal_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: decode is a per-document scan (mapInPandas, constant
+    memory per Arrow batch); the segmentation windows partition by
+    doc_id — embarrassingly parallel, no global state."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql.window import Window
+
+    from ..operators.multimodal import audio_frame_energy, wav_encode
+
+    d = load_fixture(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                samples = []
+                for i in range(1024):
+                    base = ((did * 31 + i * 7) % 2003) - 1001
+                    samples.append(base * ((did + i // 64) % 4))
+                blobs.append(wav_encode(samples, 8000))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "audio": blobs})
+
+    with_audio = d.mapInPandas(synth, schema="doc_id long, audio binary")
+    en = audio_frame_energy(with_audio, frame=64)
+    active = en.filter(F.col("energy") > 32000000)
+    isl = active.withColumn(
+        "grp",
+        F.col("frame_idx")
+        - F.row_number().over(Window.partitionBy("doc_id").orderBy("frame_idx")),
+    )
+    return isl.groupBy("doc_id", "grp").agg(
+        F.min("frame_idx").cast("int").alias("seg_start"),
+        F.max("frame_idx").cast("int").alias("seg_end"),
+        F.count(F.lit(1)).cast("bigint").alias("n_frames"),
+        F.sum("energy").cast("bigint").alias("total_energy"),
+    ).drop("grp")
