@@ -1575,3 +1575,190 @@ def ivf_incremental_oracle_sql(
     GROUP BY f.cid"""
     )
     return "".join(parts)
+
+
+def ivfpq_topk(
+    probes: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    nlist: int = 4,
+    nprobe: int = 2,
+    iters: int = 2,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ composed search (Jegou et al. 2011, the production ANN
+    layout): an exact-integer coarse quantizer (the kmeans_exact
+    trainer) routes each probe to its ``nprobe`` nearest inverted
+    lists, and only those lists are scanned with the ADC distance in
+    its provably-exact identity configuration (integer-quantized
+    coordinates, dsub=1 grid codebook — the similarity_ann_pq_exact
+    treatment), so the PRUNED search is still fully value-oracled:
+    routing, list membership, and every scored distance are integers.
+
+    Scale shape: training is nlist-row driver syncs (ivf_train's
+    budget); corpus assignment is nlist codegen folds per row with zero
+    join; at 100 TB the corpus is written partitioned by list id so a
+    probe's scan is partition-pruned to nprobe/nlist of the data, and
+    scoring shuffles only the routed (probe x list) pairs, never
+    all-pairs. The trained float variant of the same composition is
+    ivf_topk + pq_topk (rows-only)."""
+    quant = F.expr(f"transform({vec_col}, x -> cast(round(x * 16) as int))")
+    q = corpus.select(F.col(id_col).alias("_id"), quant.alias("qv")).persist()
+    cents = _kmeans_train_centroids(q, nlist, iters, dim)
+    assigned = _assign_to_centroids(q, cents, dim).select(
+        F.col("_id").alias("cand_id"), F.col("qv").alias("cqv"), "cid"
+    )
+    pq_ = probes.select(F.col(id_col).alias("probe_id"), quant.alias("qv"))
+    for c_idx, c in enumerate(cents):
+        pq_ = pq_.withColumn(f"_d{c_idx}", F.expr(_centroid_dist_expr(c, dim)))
+    lists = F.slice(
+        F.array_sort(
+            F.array(
+                *[
+                    F.struct(
+                        F.col(f"_d{c_idx}").alias("d"), F.lit(c_idx).alias("cid")
+                    )
+                    for c_idx in range(nlist)
+                ]
+            )
+        ),
+        1,
+        nprobe,
+    )
+    routed = (
+        pq_.withColumn("_l", F.explode(lists))
+        .select(
+            "probe_id",
+            F.col("qv").alias("pqv"),
+            F.col("_l.cid").alias("cid"),
+        )
+    )
+    adc = F.expr(
+        "aggregate(zip_with(pqv, cqv, (a, b) ->"
+        " (cast(a as bigint) - b) * (cast(a as bigint) - b)),"
+        " cast(0 as bigint), (acc, x) -> acc + x)"
+    )
+    cand = (
+        routed.join(assigned, "cid")
+        .filter(F.col("cand_id") != F.col("probe_id"))
+        .select("probe_id", "cand_id", adc.alias("d"))
+    )
+    from pyspark.sql.window import Window
+
+    ranked = cand.withColumn(
+        "rank",
+        F.row_number().over(
+            Window.partitionBy("probe_id").orderBy(F.col("d").asc(), F.col("cand_id"))
+        ),
+    ).filter(F.col("rank") <= k)
+    out = ranked.select(
+        "probe_id",
+        "cand_id",
+        F.col("rank").cast("int").alias("rank"),
+        F.col("d").cast("double").alias("adc_dist"),
+    )
+    q.unpersist()
+    return out
+
+
+def ivfpq_oracle_sql(
+    k: int = 10,
+    nlist: int = 4,
+    nprobe: int = 2,
+    iters: int = 2,
+    dim: int = 64,
+    n_probes: int = 5,
+    table: str = "embeddings",
+) -> str:
+    """DuckDB rendering of ``ivfpq_topk``: the kmeans_oracle_sql training
+    CTEs verbatim, then routing (top-nprobe lists per probe by the same
+    x256 integer distance), corpus assignment, and the exact ADC scan of
+    the routed lists only — the oracle restates the PRUNING, not a
+    brute-force equivalent, so the hash checks IVF's approximation
+    faithfully."""
+    dist = (
+        "list_sum([ (256*CAST(q.qv[i] AS BIGINT) - c.arr[i])"
+        " * (256*CAST(q.qv[i] AS BIGINT) - c.arr[i])"
+        f" FOR i IN range(1, {dim + 1}) ])"
+    )
+    parts = [
+        f"""
+    WITH q AS (
+        SELECT vec_id AS id,
+               [CAST(round(x * 16) AS INTEGER) FOR x IN embedding] AS qv
+        FROM {table}
+    ),
+    cent0 AS (
+        SELECT CAST(id AS INTEGER) AS cid,
+               [256 * CAST(v AS BIGINT) FOR v IN qv] AS arr
+        FROM q WHERE id < {nlist}
+    )"""
+    ]
+    prev = "cent0"
+    for t in range(1, iters + 1):
+        parts.append(
+            f""",
+    assign{t} AS (
+        SELECT id, qv, cid FROM (
+            SELECT q.id, q.qv, c.cid,
+                   ROW_NUMBER() OVER (PARTITION BY q.id
+                                      ORDER BY {dist} ASC, c.cid ASC) AS rn
+            FROM q CROSS JOIN {prev} c
+        ) WHERE rn = 1
+    ),
+    cent{t} AS (
+        SELECT p.cid, COALESCE(u{t}.arr, p.arr) AS arr
+        FROM {prev} p LEFT JOIN (
+            SELECT cid,
+                   list(CAST(floor((512 * s + n) / (2.0 * n)) AS BIGINT) ORDER BY i) AS arr
+            FROM (
+                SELECT cid, i, CAST(SUM(qv[i]) AS BIGINT) AS s,
+                       CAST(COUNT(*) AS BIGINT) AS n
+                FROM assign{t}, UNNEST(range(1, {dim + 1})) AS u(i)
+                GROUP BY cid, i
+            ) GROUP BY cid
+        ) u{t} ON u{t}.cid = p.cid
+    )"""
+        )
+        prev = f"cent{t}"
+    parts.append(
+        f""",
+    route AS (
+        SELECT id AS probe_id, cid FROM (
+            SELECT q.id, c.cid,
+                   ROW_NUMBER() OVER (PARTITION BY q.id
+                                      ORDER BY {dist} ASC, c.cid ASC) AS rn
+            FROM q CROSS JOIN {prev} c
+            WHERE q.id < {n_probes}
+        ) WHERE rn <= {nprobe}
+    ),
+    assign AS (
+        SELECT id, qv, cid FROM (
+            SELECT q.id, q.qv, c.cid,
+                   ROW_NUMBER() OVER (PARTITION BY q.id
+                                      ORDER BY {dist} ASC, c.cid ASC) AS rn
+            FROM q CROSS JOIN {prev} c
+        ) WHERE rn = 1
+    ),
+    cand AS (
+        SELECT r.probe_id, a.id AS cand_id,
+               list_sum([ (CAST(p.qv[i] AS BIGINT) - a.qv[i])
+                          * (CAST(p.qv[i] AS BIGINT) - a.qv[i])
+                          FOR i IN range(1, {dim + 1}) ]) AS d
+        FROM route r
+        JOIN assign a ON a.cid = r.cid AND a.id <> r.probe_id
+        JOIN q p ON p.id = r.probe_id
+    )
+    SELECT probe_id, cand_id, CAST(rank AS INTEGER) AS rank,
+           CAST(d AS DOUBLE) AS adc_dist
+    FROM (
+        SELECT probe_id, cand_id, d,
+               ROW_NUMBER() OVER (PARTITION BY probe_id
+                                  ORDER BY d ASC, cand_id) AS rank
+        FROM cand
+    )
+    WHERE rank <= {k}"""
+    )
+    return "".join(parts)

@@ -1004,3 +1004,37 @@ def embedding_class_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("fisher_ratio"),
         )
     )
+
+
+from ..operators.similarity import ivfpq_oracle_sql as _ivfpq_sql
+
+
+@register(
+    "similarity_ann_ivfpq",
+    oracle=_ivfpq_sql(k=10, nlist=4, nprobe=2, iters=2, dim=_DIM, n_probes=5),
+    doc="IVF-PQ composed ANN (Jegou et al. 2011) — the production "
+    "100 TB layout: an exact-integer coarse quantizer (kmeans_exact, "
+    "nlist=4, 2 Lloyd iterations) routes each probe to its nprobe=2 "
+    "nearest inverted lists, and ONLY those lists are scanned with the "
+    "ADC distance in its provably-exact identity configuration "
+    "(round(x*16) coordinates, dsub=1 grid codebook — the "
+    "similarity_ann_pq_exact treatment). Because training, routing, "
+    "list membership, and every scored distance are integers, the "
+    "PRUNED search itself is value-oracled: the SQL restates the "
+    "kmeans trajectory, the top-nprobe routing, and the routed-list "
+    "ADC scan — not a brute-force stand-in — so the driver hash "
+    "checks IVF's approximation faithfully. Recall of the trained "
+    "float composition is covered by similarity_ann_ivf + "
+    "similarity_ann_pq. operators/similarity.py:ivfpq_topk.",
+)
+def similarity_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: nlist-row driver syncs for training; corpus
+    assignment is nlist codegen folds per row (no join); the routed
+    scan touches nprobe/nlist of the corpus via a list-id equi-join —
+    written partitioned-by-list at rest, that's partition pruning."""
+    from ..operators.similarity import ivfpq_topk
+
+    e = load_fixture(spark, sf_dir, "embeddings")
+    return ivfpq_topk(
+        e.filter(F.col("vec_id") < 5), e, k=10, nlist=4, nprobe=2, iters=2, dim=_DIM
+    )
