@@ -1,0 +1,242 @@
+"""Targeted references for the round-6 operators: each new statistic or
+search path is checked against an independent pure-Python implementation
+on the small fixture (the DuckDB oracle equivalence is separately swept
+by test_oracle_contract.py — these tests pin the MATH, not the SQL)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from cdw_spark.catalog import load_fixture
+from cdw_spark.registry import load_all
+
+SPECS = load_all()
+
+
+def test_mann_whitney_matches_python(spark, sf_dir):
+    row = SPECS["agg_mann_whitney_u"].fn(spark, sf_dir).collect()[0]
+
+    prices = {
+        "F": [], "O": [],
+    }
+    for r in load_fixture(spark, sf_dir, "orders").select(
+        "o_orderstatus", "o_totalprice"
+    ).collect():
+        if r[0] in prices:
+            prices[r[0]].append(r[1])
+    pooled = sorted(
+        [(v, "F") for v in prices["F"]] + [(v, "O") for v in prices["O"]]
+    )
+    # average ranks with ties
+    ranks = {}
+    i = 0
+    r1 = 0.0
+    while i < len(pooled):
+        j = i
+        while j < len(pooled) and pooled[j][0] == pooled[i][0]:
+            j += 1
+        avg = (i + 1 + j) / 2.0
+        for t in range(i, j):
+            if pooled[t][1] == "F":
+                r1 += avg
+        i = j
+    n1, n2 = len(prices["F"]), len(prices["O"])
+    u_f = r1 - n1 * (n1 + 1) / 2.0
+    assert row["n_f"] == n1 and row["n_o"] == n2
+    assert abs(row["u_f"] - u_f) < 1e-6
+    assert abs(row["u_o"] - (n1 * n2 - u_f)) < 1e-6
+    # tie-corrected z
+    from collections import Counter
+
+    tc = Counter(v for v, _ in pooled)
+    tie3 = sum(c**3 - c for c in tc.values())
+    n = n1 + n2
+    sigma = math.sqrt(n1 * n2 / 12.0 * ((n + 1) - tie3 / (n * (n - 1))))
+    z = (u_f - n1 * n2 / 2.0) / sigma
+    assert abs(row["z_score"] - z) < 1e-5
+
+
+def test_spearman_matches_python(spark, sf_dir):
+    got = {
+        r["flag"]: r["spearman_rho"]
+        for r in SPECS["agg_spearman_rho"].fn(spark, sf_dir).collect()
+    }
+
+    rows = load_fixture(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_quantity", "l_extendedprice"
+    ).collect()
+    by_flag = {}
+    for fl, q, p in rows:
+        by_flag.setdefault(fl, []).append((q, p))
+
+    def avg_ranks(xs):
+        order = sorted(range(len(xs)), key=lambda i: xs[i])
+        ranks = [0.0] * len(xs)
+        i = 0
+        while i < len(xs):
+            j = i
+            while j < len(xs) and xs[order[j]] == xs[order[i]]:
+                j += 1
+            avg = (i + 1 + j) / 2.0
+            for t in range(i, j):
+                ranks[order[t]] = avg
+            i = j
+        return ranks
+
+    for fl, pairs in by_flag.items():
+        rx = avg_ranks([a for a, _ in pairs])
+        ry = avg_ranks([b for _, b in pairs])
+        n = len(pairs)
+        mx = sum(rx) / n
+        my = sum(ry) / n
+        cov = sum((a - mx) * (b - my) for a, b in zip(rx, ry))
+        vx = sum((a - mx) ** 2 for a in rx)
+        vy = sum((b - my) ** 2 for b in ry)
+        rho = cov / math.sqrt(vx * vy)
+        assert abs(got[fl] - rho) < 1e-5, fl
+
+
+def test_chi_square_matches_python(spark, sf_dir):
+    row = SPECS["agg_chi_square_independence"].fn(spark, sf_dir).collect()[0]
+    from collections import Counter
+
+    obs = Counter(
+        (r["lang"], r["source"])
+        for r in load_fixture(spark, sf_dir, "documents").select("lang", "source").collect()
+    )
+    n = sum(obs.values())
+    rt = Counter()
+    ct = Counter()
+    for (la, so), c in obs.items():
+        rt[la] += c
+        ct[so] += c
+    chi = sum(
+        (c - rt[la] * ct[so] / n) ** 2 / (rt[la] * ct[so] / n)
+        for (la, so), c in obs.items()
+    )
+    assert row["n"] == n
+    assert row["dof"] == (len(rt) - 1) * (len(ct) - 1)
+    assert abs(row["chi2"] - chi) < 1e-4
+
+
+def test_vad_segments_are_maximal_active_runs(spark, sf_dir):
+    """Reconstructing frames from segments must give exactly the
+    above-threshold frames, and no two segments of a doc may touch
+    (maximality)."""
+    segs = SPECS["multimodal_audio_vad"].fn(spark, sf_dir).collect()
+    by_doc = {}
+    for s in segs:
+        by_doc.setdefault(s["doc_id"], []).append(s)
+    for did, ss in list(by_doc.items())[:50]:
+        ss.sort(key=lambda s: s["seg_start"])
+        covered = set()
+        for s in ss:
+            assert s["seg_end"] >= s["seg_start"]
+            assert s["n_frames"] == s["seg_end"] - s["seg_start"] + 1
+            covered |= set(range(s["seg_start"], s["seg_end"] + 1))
+        for a, b in zip(ss, ss[1:]):
+            assert b["seg_start"] > a["seg_end"] + 1, "segments must not touch"
+        # recompute active frames directly from the synth definition
+        active = set()
+        for fi in range(16):
+            e = sum(
+                ((((did * 31 + (fi * 64 + j) * 7) % 2003) - 1001)
+                 * ((did + fi) % 4)) ** 2
+                for j in range(64)
+            )
+            if e > 32000000:
+                active.add(fi)
+        assert covered == active, did
+
+
+def test_mix_temperature_allocations_hit_budget(spark, sf_dir):
+    rows = SPECS["mix_temperature_sampling"].fn(spark, sf_dir).collect()
+    assert sum(r["alloc_docs"] for r in rows) == 200
+    # sqrt damping: allocation shares must be strictly flatter than the
+    # document shares for the dominant language
+    tot_docs = sum(r["n_docs"] for r in rows)
+    top = max(rows, key=lambda r: r["n_docs"])
+    assert top["alloc_docs"] / 200.0 < top["n_docs"] / tot_docs
+
+
+def test_tcloseness_emd_bounds_and_reference(spark, sf_dir):
+    rows = SPECS["tcloseness_audit"].fn(spark, sf_dir).collect()
+    docs = load_fixture(spark, sf_dir, "documents").select(
+        "lang", "source", (F.col("n_chars") / 500).cast("long").alias("b")
+    ).collect()
+    from collections import Counter
+
+    gl = Counter(d["b"] for d in docs)
+    buckets = sorted(gl)
+    n = len(docs)
+    m = len(buckets)
+    for row in rows[:30]:
+        assert 0.0 <= row["emd"] <= 1.0
+        grp = [d["b"] for d in docs if d["lang"] == row["lang"] and d["source"] == row["source"]]
+        ng = len(grp)
+        assert ng == row["group_size"]
+        gc = Counter(grp)
+        cg = cglob = 0
+        emd = 0.0
+        for b in buckets[:-1]:
+            cg += gc.get(b, 0)
+            cglob += gl[b]
+            emd += abs(cg / ng - cglob / n)
+        emd /= (m - 1)
+        assert abs(row["emd"] - emd) < 2e-6, (row, emd)
+
+
+def test_autocorr_matches_python(spark, sf_dir):
+    got = {
+        r["user_id"]: r for r in SPECS["timeseries_autocorr_lag1"].fn(spark, sf_dir).collect()
+    }
+    ev = load_fixture(spark, sf_dir, "events").select("user_id", "ts", "event_id", "value").collect()
+    series = {}
+    for r in ev:
+        series.setdefault(r["user_id"], []).append((r["ts"], r["event_id"], r["value"]))
+    checked = 0
+    for uid, rows in series.items():
+        if len(rows) < 3 or uid not in got:
+            continue
+        rows.sort(key=lambda t: (t[0], t[1]))
+        q = [math.floor(v * 1000000.0 + 0.5) for _, _, v in rows]
+        n = len(q)
+        mean = sum(q) / n
+        num = sum((q[t] - mean) * (q[t - 1] - mean) for t in range(1, n))
+        den = sum((x - mean) ** 2 for x in q)
+        assert abs(got[uid]["acf_lag1"] - num / den) < 1e-4, uid
+        checked += 1
+        if checked >= 40:
+            break
+    assert checked >= 10
+
+
+def test_ivfpq_exhaustive_probing_equals_exact(spark, sf_dir):
+    """With nprobe=nlist the routed scan covers the whole corpus, so the
+    composed IVF-PQ search must equal brute-force exact squared L2 over
+    the quantized grid — the same identity the IVF and PQ-exact entries
+    claim individually, proven for the composition."""
+    from cdw_spark.operators.similarity import ivfpq_topk
+
+    e = load_fixture(spark, sf_dir, "embeddings")
+    got = {
+        (r["probe_id"], r["rank"]): (r["cand_id"], r["adc_dist"])
+        for r in ivfpq_topk(
+            e.filter(F.col("vec_id") < 3), e, k=5, nlist=4, nprobe=4, iters=1
+        ).collect()
+    }
+    vecs = {
+        r["vec_id"]: [round(x * 16) for x in r["embedding"]]
+        for r in e.collect()
+    }
+    for pid in range(3):
+        pv = vecs[pid]
+        scored = sorted(
+            (sum((a - b) ** 2 for a, b in zip(pv, cv)), cid)
+            for cid, cv in vecs.items()
+            if cid != pid
+        )
+        for rank, (d, cid) in enumerate(scored[:5], start=1):
+            assert got[(pid, rank)] == (cid, float(d)), (pid, rank)
