@@ -144,6 +144,16 @@ HEADLINE = [
     "dq_benford_audit",
     "ldiversity_audit",
     "sample_time_holdout",
+    # round 6: hypothesis-testing trio, privacy EMD, temperature mix,
+    # audio VAD, lag-1 ACF, and the composed IVF-PQ search
+    "agg_mann_whitney_u",
+    "agg_chi_square_independence",
+    "agg_spearman_rho",
+    "tcloseness_audit",
+    "mix_temperature_sampling",
+    "multimodal_audio_vad",
+    "timeseries_autocorr_lag1",
+    "similarity_ann_ivfpq",
 ]
 
 
