@@ -154,6 +154,8 @@ HEADLINE = [
     "multimodal_audio_vad",
     "timeseries_autocorr_lag1",
     "similarity_ann_ivfpq",
+    "timeseries_mann_kendall",
+    "agg_ks_two_sample",
 ]
 
 

@@ -3082,3 +3082,208 @@ def timeseries_autocorr_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("n_events"),
         F.round(num / F.nullif(den, F.lit(0.0)), 6).alias("acf_lag1"),
     )
+
+
+@register(
+    "timeseries_mann_kendall",
+    oracle="""
+    WITH r AS (
+        SELECT user_id,
+               CAST(floor(CAST(value AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS q,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+               COUNT(*) OVER (PARTITION BY user_id) AS n_all
+        FROM events
+    ),
+    h AS (SELECT user_id, q, rn FROM r WHERE rn <= 50 AND n_all >= 10),
+    pairs AS (
+        SELECT a.user_id,
+               CASE WHEN b.q > a.q THEN 1 WHEN b.q < a.q THEN -1 ELSE 0 END AS sg
+        FROM h a JOIN h b ON b.user_id = a.user_id AND b.rn > a.rn
+    ),
+    s AS (
+        SELECT user_id, CAST(SUM(sg) AS BIGINT) AS s_stat FROM pairs GROUP BY user_id
+    ),
+    nn AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n FROM h GROUP BY user_id),
+    ties AS (
+        SELECT user_id,
+               CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term
+        FROM (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS t
+              FROM h GROUP BY user_id, q)
+        GROUP BY user_id
+    )
+    SELECT s.user_id, nn.n AS n_events, s.s_stat,
+           ROUND((CASE WHEN s.s_stat > 0 THEN CAST(s.s_stat AS DOUBLE) - 1.0
+                       WHEN s.s_stat < 0 THEN CAST(s.s_stat AS DOUBLE) + 1.0
+                       ELSE 0.0 END)
+                 / sqrt((CAST(nn.n AS DOUBLE) * (CAST(nn.n AS DOUBLE) - 1.0)
+                         * (2.0 * CAST(nn.n AS DOUBLE) + 5.0)
+                         - CAST(ties.tie_term AS DOUBLE)) / 18.0),
+                 6) AS z_score
+    FROM s JOIN nn USING (user_id) JOIN ties USING (user_id)
+    """,
+    doc="Mann-Kendall trend significance per user over the first 50 "
+    "events (by ts, event_id) — the nonparametric monotone-trend test "
+    "that pairs with timeseries_theilsen_trend's slope estimate. The S "
+    "statistic is an exact integer pair-sign sum over micro-unit "
+    "quantized values, the tie term sum(t(t-1)(2t+5)) is exact, and "
+    "the continuity-corrected z runs in one identical double op "
+    "sequence per engine. The per-user window is CAPPED at 50 "
+    "observations so the pairwise join is a bounded 1225 pairs per key "
+    "at ANY corpus scale — the standard windowed form of an O(n^2) "
+    "test.",
+)
+def timeseries_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: per-user window rank (partition-parallel), a
+    self-equi-join bounded to C(50,2) pairs per user, two small
+    aggregates. Nothing scales quadratically with the corpus."""
+    from pyspark.sql.window import Window
+
+    e = load_fixture(spark, sf_dir, "events")
+    qcol = F.floor(F.col("value").cast("double") * F.lit(1000000.0) + F.lit(0.5)).cast(
+        "bigint"
+    )
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    r = e.select(
+        "user_id",
+        qcol.alias("q"),
+        F.row_number().over(wo).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("user_id")).alias("n_all"),
+    )
+    h = r.filter((F.col("rn") <= 50) & (F.col("n_all") >= 10)).select(
+        "user_id", "q", "rn"
+    )
+    a = h.select("user_id", F.col("q").alias("qa"), F.col("rn").alias("ra"))
+    b = h.select("user_id", F.col("q").alias("qb"), F.col("rn").alias("rb"))
+    pairs = a.join(b, "user_id").filter(F.col("rb") > F.col("ra"))
+    sg = (
+        F.when(F.col("qb") > F.col("qa"), 1)
+        .when(F.col("qb") < F.col("qa"), -1)
+        .otherwise(0)
+    )
+    s = pairs.groupBy("user_id").agg(F.sum(sg).cast("bigint").alias("s_stat"))
+    nn = h.groupBy("user_id").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    ties = (
+        h.groupBy("user_id", "q")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("t"))
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.col("t") * (F.col("t") - F.lit(1)) * (F.lit(2) * F.col("t") + F.lit(5))
+            )
+            .cast("bigint")
+            .alias("tie_term")
+        )
+    )
+    j = s.join(nn, "user_id").join(ties, "user_id")
+    sd = F.col("s_stat").cast("double")
+    ndd = F.col("n").cast("double")
+    corrected = (
+        F.when(F.col("s_stat") > 0, sd - F.lit(1.0))
+        .when(F.col("s_stat") < 0, sd + F.lit(1.0))
+        .otherwise(F.lit(0.0))
+    )
+    var = (
+        ndd * (ndd - F.lit(1.0)) * (F.lit(2.0) * ndd + F.lit(5.0))
+        - F.col("tie_term").cast("double")
+    ) / F.lit(18.0)
+    return j.select(
+        "user_id",
+        F.col("n").alias("n_events"),
+        "s_stat",
+        F.round(corrected / F.sqrt(var), 6).alias("z_score"),
+    )
+
+
+@register(
+    "agg_ks_two_sample",
+    oracle="""
+    WITH vals AS (
+        SELECT o_totalprice AS v,
+               CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS cf,
+               CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS co
+        FROM orders
+        WHERE o_orderstatus IN ('F', 'O')
+        GROUP BY o_totalprice
+    ),
+    cum AS (
+        SELECT SUM(cf) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS c1,
+               SUM(co) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS c2
+        FROM vals
+    ),
+    tot AS (
+        SELECT CAST(SUM(cf) AS BIGINT) AS n1, CAST(SUM(co) AS BIGINT) AS n2
+        FROM vals
+    ),
+    d AS (
+        SELECT MAX(abs(c.c1 * t.n2 - c.c2 * t.n1)) AS dnum,
+               MAX(t.n1) AS n1, MAX(t.n2) AS n2
+        FROM cum c CROSS JOIN tot t
+    )
+    SELECT n1 AS n_f, n2 AS n_o,
+           CAST((2 * dnum * 1000000 + n1 * n2) // (2 * n1 * n2) AS BIGINT)
+               AS d_micro,
+           ROUND(sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                      / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)))
+                 * CAST(dnum AS DOUBLE)
+                 / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)),
+                 6) AS ks_z
+    FROM d
+    """,
+    doc="Two-sample Kolmogorov-Smirnov drift test between finished and "
+    "open order totals: D = max|F1 - F2| over the pooled distinct "
+    "values, computed as the EXACT integer max of |c1*n2 - c2*n1| over "
+    "the common denominator n1*n2 and reported half-away-rounded in "
+    "integer micro-units (d_micro) so no float boundary exists; the "
+    "sqrt(n1*n2/(n1+n2))*D normalization runs in one identical double "
+    "op sequence per engine. The companion location test is "
+    "agg_mann_whitney_u; KS is the shape-sensitive one.",
+)
+def agg_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: one groupBy on the value column, one ordered window
+    over the distinct-value relation (two-level prefix-sum at 100 TB),
+    single-row reduce."""
+    from pyspark.sql.window import Window
+
+    o = load_fixture(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus").isin("F", "O")
+    )
+    vals = o.groupBy(F.col("o_totalprice").alias("v")).agg(
+        F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0))
+        .cast("bigint")
+        .alias("cf"),
+        F.sum(F.when(F.col("o_orderstatus") == "O", 1).otherwise(0))
+        .cast("bigint")
+        .alias("co"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = vals.select(
+        F.sum("cf").over(w).alias("c1"), F.sum("co").over(w).alias("c2")
+    )
+    tot = vals.agg(
+        F.sum("cf").cast("bigint").alias("n1"), F.sum("co").cast("bigint").alias("n2")
+    )
+    d = cum.crossJoin(F.broadcast(tot)).agg(
+        F.max(F.abs(F.col("c1") * F.col("n2") - F.col("c2") * F.col("n1"))).alias(
+            "dnum"
+        ),
+        F.max("n1").alias("n1"),
+        F.max("n2").alias("n2"),
+    )
+    n1d = F.col("n1").cast("double")
+    n2d = F.col("n2").cast("double")
+    return d.select(
+        F.col("n1").alias("n_f"),
+        F.col("n2").alias("n_o"),
+        F.expr(
+            "CAST((2 * dnum * 1000000 + n1 * n2) div (2 * n1 * n2) AS BIGINT)"
+        ).alias("d_micro"),
+        F.round(
+            F.sqrt(n1d * n2d / (n1d + n2d)) * F.col("dnum").cast("double")
+            / (n1d * n2d),
+            6,
+        ).alias("ks_z"),
+    )

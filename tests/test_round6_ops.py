@@ -240,3 +240,66 @@ def test_ivfpq_exhaustive_probing_equals_exact(spark, sf_dir):
         )
         for rank, (d, cid) in enumerate(scored[:5], start=1):
             assert got[(pid, rank)] == (cid, float(d)), (pid, rank)
+
+
+def test_mann_kendall_matches_python(spark, sf_dir):
+    got = {
+        r["user_id"]: r
+        for r in SPECS["timeseries_mann_kendall"].fn(spark, sf_dir).collect()
+    }
+    ev = load_fixture(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value"
+    ).collect()
+    series = {}
+    for r in ev:
+        series.setdefault(r["user_id"], []).append((r["ts"], r["event_id"], r["value"]))
+    checked = 0
+    for uid, rows in series.items():
+        if len(rows) < 10:
+            assert uid not in got
+            continue
+        rows.sort(key=lambda t: (t[0], t[1]))
+        q = [math.floor(v * 1000000.0 + 0.5) for _, _, v in rows[:50]]
+        n = len(q)
+        s = sum(
+            (1 if q[j] > q[i] else -1 if q[j] < q[i] else 0)
+            for i in range(n)
+            for j in range(i + 1, n)
+        )
+        from collections import Counter
+
+        ties = Counter(q)
+        tie_term = sum(t * (t - 1) * (2 * t + 5) for t in ties.values())
+        var = (n * (n - 1) * (2 * n + 5) - tie_term) / 18.0
+        corr = s - 1 if s > 0 else s + 1 if s < 0 else 0
+        z = corr / math.sqrt(var)
+        g = got[uid]
+        assert g["n_events"] == n and g["s_stat"] == s
+        assert abs(g["z_score"] - z) < 1e-5, uid
+        checked += 1
+        if checked >= 30:
+            break
+    assert checked >= 10
+
+
+def test_ks_two_sample_matches_python(spark, sf_dir):
+    row = SPECS["agg_ks_two_sample"].fn(spark, sf_dir).collect()[0]
+    groups = {"F": [], "O": []}
+    for r in load_fixture(spark, sf_dir, "orders").select(
+        "o_orderstatus", "o_totalprice"
+    ).collect():
+        if r[0] in groups:
+            groups[r[0]].append(r[1])
+    f = sorted(groups["F"])
+    o = sorted(groups["O"])
+    n1, n2 = len(f), len(o)
+    import bisect
+
+    d = 0.0
+    for v in sorted(set(f) | set(o)):
+        c1 = bisect.bisect_right(f, v)
+        c2 = bisect.bisect_right(o, v)
+        d = max(d, abs(c1 / n1 - c2 / n2))
+    assert row["n_f"] == n1 and row["n_o"] == n2
+    assert abs(row["d_micro"] / 1e6 - d) < 1e-6
+    assert abs(row["ks_z"] - math.sqrt(n1 * n2 / (n1 + n2)) * d) < 1e-4
