@@ -1607,8 +1607,16 @@ def ivfpq_topk(
     quant = F.expr(f"transform({vec_col}, x -> cast(round(x * 16) as int))")
     q = corpus.select(F.col(id_col).alias("_id"), quant.alias("qv")).persist()
     cents = _kmeans_train_centroids(q, nlist, iters, dim)
-    assigned = _assign_to_centroids(q, cents, dim).select(
-        F.col("_id").alias("cand_id"), F.col("qv").alias("cqv"), "cid"
+    # Materialize the inverted index (this IS the index build — at rest
+    # it's the partitioned-by-cid table). It also isolates the unrolled
+    # argmin folds in their own stage: fused into the downstream
+    # join+window stage they blow whole-stage codegen past the JVM's
+    # 64 KB method limit and Spark burns ~10 s retrying Janino before
+    # falling back to interpretation (measured 14 s -> 2 s at sf0.1).
+    assigned = (
+        _assign_to_centroids(q, cents, dim)
+        .select(F.col("_id").alias("cand_id"), F.col("qv").alias("cqv"), "cid")
+        .localCheckpoint(eager=True)
     )
     pq_ = probes.select(F.col(id_col).alias("probe_id"), quant.alias("qv"))
     for c_idx, c in enumerate(cents):
@@ -1641,7 +1649,8 @@ def ivfpq_topk(
         " cast(0 as bigint), (acc, x) -> acc + x)"
     )
     cand = (
-        routed.join(assigned, "cid")
+        F.broadcast(routed)
+        .join(assigned, "cid")
         .filter(F.col("cand_id") != F.col("probe_id"))
         .select("probe_id", "cand_id", adc.alias("d"))
     )

@@ -92,7 +92,13 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # mix_sources_weighted, curriculum_phases, embedding_quantize_int8,
 # global_shuffle_rank, incremental_agg_merge, sample_class_balanced,
 # quantile_rank_normalize, batch_by_length, select_token_budget,
-# corpus_mix_entropy — plus whatever round 6 adds. The 4 rows-only
+# corpus_mix_entropy — plus the ten round-6 additions (newest, least
+# proven, so they go FIRST in the r7 window): agg_mann_whitney_u,
+# agg_chi_square_independence, agg_spearman_rho, tcloseness_audit,
+# mix_temperature_sampling, multimodal_audio_vad,
+# timeseries_autocorr_lag1, similarity_ann_ivfpq,
+# timeseries_mann_kendall, agg_ks_two_sample. That is 34 oracled
+# candidates for r7's 40 slots. The 4 rows-only
 # (agg_approx_top_k, text_compression_ratio, similarity_ann_pq,
 # multimodal_audio_spectral — each irreducibly engine-specific with a
 # measured reason) never burn window slots.
