@@ -156,6 +156,7 @@ HEADLINE = [
     "similarity_ann_ivfpq",
     "timeseries_mann_kendall",
     "agg_ks_two_sample",
+    "sample_coreset_kcenter",
 ]
 
 

@@ -2613,3 +2613,94 @@ def mix_temperature_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("alloc_docs"),
     )
+
+
+def _kcenter_oracle_sql(k: int = 8, dim: int = 64) -> str:
+    """DuckDB rendering of the greedy k-center (farthest-point) coreset:
+    each round is a min-distance CTE over the selected-so-far union and a
+    1-row argmax pick (ties to the lower id) — the exact unrolled-CTE
+    treatment the kmeans/PCA/PageRank oracles use, applied to diversity
+    selection. Distances are integer sums of squares over round(x*16)
+    coordinates, so every pick and radius hashes exactly."""
+    d = (
+        "list_sum([ (CAST(q.qv[i] AS BIGINT) - s.qv[i])"
+        " * (CAST(q.qv[i] AS BIGINT) - s.qv[i])"
+        f" FOR i IN range(1, {dim + 1}) ])"
+    )
+    parts = [f"""
+    WITH q AS (
+        SELECT vec_id AS id,
+               [CAST(round(x * 16) AS INTEGER) FOR x IN embedding] AS qv
+        FROM embeddings
+    ),
+    s0 AS (SELECT id, qv FROM q WHERE id = 0)"""]
+    union = "SELECT id, qv FROM s0"
+    for r in range(1, k):
+        parts.append(f""",
+    p{r} AS (
+        SELECT q.id, MIN({d}) AS dmin
+        FROM q CROSS JOIN ({union}) s
+        GROUP BY q.id
+    ),
+    pick{r} AS (
+        SELECT id, CAST(dmin AS BIGINT) AS dmin
+        FROM p{r} ORDER BY dmin DESC, id LIMIT 1
+    ),
+    s{r} AS (SELECT q.id, q.qv FROM q JOIN pick{r} USING (id))""")
+        union += f" UNION ALL SELECT id, qv FROM s{r}"
+    sel = "\n    UNION ALL ".join(
+        ["SELECT 0 AS sel_rank, id AS vec_id, CAST(0 AS BIGINT) AS dmin FROM s0"]
+        + [f"SELECT {r} AS sel_rank, id AS vec_id, dmin FROM pick{r}"
+           for r in range(1, k)]
+    )
+    return "".join(parts) + "\n    " + sel
+
+
+@register(
+    "sample_coreset_kcenter",
+    oracle=_kcenter_oracle_sql(8, 64),
+    doc="Greedy k-center (farthest-point) coreset selection, k=8 — the "
+    "diversity-sampling step that picks maximally-spread exemplars from "
+    "an embedding corpus (Gonzalez 1985 2-approximation of the k-center "
+    "cover; the standard coreset/active-learning seed). Seed = lowest "
+    "vec_id; each round selects the point farthest (exact integer "
+    "squared L2 on round(x*16) coordinates, ties to the lower id) from "
+    "everything selected so far, and reports that selection-time "
+    "distance (the cover radius trajectory). Fully value-oracled: the "
+    "rounds unroll as min-distance + argmax CTEs, no float anywhere.",
+)
+def sample_coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: k-1 rounds of (one scan computing min over <=k
+    literal-vector codegen folds, one 1-row driver argmax sync) — the
+    kmeans_exact budget exactly; nothing is ever collected but the
+    running selection. At 100 TB the scan is the only cost and is
+    embarrassingly parallel."""
+    e = load_fixture(spark, sf_dir, "embeddings")
+    k, dim = 8, 64
+    q = e.select(
+        F.col("vec_id").alias("_id"),
+        F.expr("transform(embedding, x -> cast(round(x * 16) as int))").alias("qv"),
+    ).localCheckpoint(eager=True)
+    seed = q.filter(F.col("_id") == 0).select("_id", "qv").collect()[0]
+    selected = [(int(seed["_id"]), [int(v) for v in seed["qv"]])]
+    out = [(0, selected[0][0], 0)]
+    for r in range(1, k):
+        dists = [
+            "(" + " + ".join(
+                f"(cast(qv[{i}] as bigint) - ({sv[i]})) *"
+                f" (cast(qv[{i}] as bigint) - ({sv[i]}))"
+                for i in range(dim)
+            ) + ")"
+            for _, sv in selected
+        ]
+        dmin = F.least(*[F.expr(dx) for dx in dists]) if len(dists) > 1 else F.expr(dists[0])
+        pick = (
+            q.select("_id", dmin.cast("bigint").alias("dmin"))
+            .orderBy(F.col("dmin").desc(), "_id")
+            .limit(1)
+            .collect()[0]
+        )
+        row = q.filter(F.col("_id") == int(pick["_id"])).collect()[0]
+        selected.append((int(row["_id"]), [int(v) for v in row["qv"]]))
+        out.append((r, int(pick["_id"]), int(pick["dmin"])))
+    return spark.createDataFrame(out, "sel_rank int, vec_id bigint, dmin bigint")

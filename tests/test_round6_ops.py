@@ -303,3 +303,32 @@ def test_ks_two_sample_matches_python(spark, sf_dir):
     assert row["n_f"] == n1 and row["n_o"] == n2
     assert abs(row["d_micro"] / 1e6 - d) < 1e-6
     assert abs(row["ks_z"] - math.sqrt(n1 * n2 / (n1 + n2)) * d) < 1e-4
+
+
+def test_kcenter_matches_python_greedy(spark, sf_dir):
+    rows = sorted(
+        (r["sel_rank"], r["vec_id"], r["dmin"])
+        for r in SPECS["sample_coreset_kcenter"].fn(spark, sf_dir).collect()
+    )
+    vecs = {
+        r["vec_id"]: [round(x * 16) for x in r["embedding"]]
+        for r in load_fixture(spark, sf_dir, "embeddings").collect()
+    }
+    sel = [0]
+    expected = [(0, 0, 0)]
+    for r in range(1, 8):
+        best = None
+        for vid, qv in vecs.items():
+            dmin = min(
+                sum((a - b) ** 2 for a, b in zip(qv, vecs[s])) for s in sel
+            )
+            cand = (dmin, -vid)
+            if best is None or cand > best:
+                best = cand
+                best_id = vid
+        sel.append(best_id)
+        expected.append((r, best_id, best[0]))
+    assert rows == sorted(expected)
+    # greedy radius is non-increasing
+    radii = [d for _, _, d in expected[1:]]
+    assert all(a >= b for a, b in zip(radii, radii[1:]))
