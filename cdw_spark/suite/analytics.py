@@ -2940,9 +2940,15 @@ def agg_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     "double op sequence per engine in the |groups|-row projection.",
 )
 def agg_spearman_rho(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scale shape: two per-group window ranks (partition-parallel — no
-    global sort) feeding one map-side-combined aggregate carrying five
-    decimal partials per group; output is |groups| rows."""
+    """Scale shape: two per-group window ranks feeding one map-side-
+    combined aggregate carrying five decimal partials per group; output
+    is |groups| rows. CAVEAT measured at 8x (BENCHNOTES round 6, ratio
+    5.0): with few huge groups the rank windows sort in |groups| tasks —
+    the honest exact cost (the agg_trimmed_mean situation). The scale
+    substitutes when groups are few: rank DISTINCT values by cum-count
+    (the agg_mann_whitney_u shape — collapses l_quantity's 50-value
+    domain instantly) or the two-level prefix-sum rank
+    (global_shuffle_rank) for the dense variable."""
     from pyspark.sql.window import Window
 
     li = load_fixture(spark, sf_dir, "lineitem")
