@@ -157,6 +157,12 @@ HEADLINE = [
     "timeseries_mann_kendall",
     "agg_ks_two_sample",
     "sample_coreset_kcenter",
+    # round 6 second wave: information-theoretic audits, corpus Zipf
+    # fingerprint, rolling regression, Neyman allocation
+    "agg_mutual_information",
+    "text_zipf_slope",
+    "window_rolling_ols_slope",
+    "sample_neyman_allocation",
 ]
 
 

@@ -98,8 +98,9 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # mix_temperature_sampling, multimodal_audio_vad,
 # timeseries_autocorr_lag1, similarity_ann_ivfpq,
 # timeseries_mann_kendall, agg_ks_two_sample,
-# sample_coreset_kcenter. That is 35 oracled
-# candidates for r7's 40 slots. The 4 rows-only
+# sample_coreset_kcenter, agg_mutual_information, text_zipf_slope,
+# window_rolling_ols_slope, sample_neyman_allocation. That is 39
+# oracled candidates for r7's 40 slots. The 4 rows-only
 # (agg_approx_top_k, text_compression_ratio, similarity_ann_pq,
 # multimodal_audio_spectral — each irreducibly engine-specific with a
 # measured reason) never burn window slots.

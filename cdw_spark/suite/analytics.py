@@ -3293,3 +3293,91 @@ def agg_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("ks_z"),
     )
+
+
+@register(
+    "agg_mutual_information",
+    oracle="""
+    WITH o AS (
+        SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS c
+        FROM documents GROUP BY lang, source
+    ),
+    rt AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS r FROM o GROUP BY lang),
+    ct AS (SELECT source, CAST(SUM(c) AS BIGINT) AS s FROM o GROUP BY source),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM o),
+    mi AS (
+        SELECT SUM(CAST(ROUND(
+                   CAST(o.c AS DOUBLE) / CAST(t.n AS DOUBLE)
+                   * ln(CAST(o.c AS DOUBLE) * CAST(t.n AS DOUBLE)
+                        / (CAST(rt.r AS DOUBLE) * CAST(ct.s AS DOUBLE))),
+                   9) AS DECIMAL(18,9))) AS v
+        FROM o JOIN rt USING (lang) JOIN ct USING (source) CROSS JOIN tot t
+    ),
+    hl AS (
+        SELECT SUM(CAST(ROUND(
+                   -(CAST(r AS DOUBLE) / CAST(t.n AS DOUBLE))
+                   * ln(CAST(r AS DOUBLE) / CAST(t.n AS DOUBLE)), 9)
+                   AS DECIMAL(18,9))) AS v
+        FROM rt CROSS JOIN tot t
+    ),
+    hs AS (
+        SELECT SUM(CAST(ROUND(
+                   -(CAST(s AS DOUBLE) / CAST(t.n AS DOUBLE))
+                   * ln(CAST(s AS DOUBLE) / CAST(t.n AS DOUBLE)), 9)
+                   AS DECIMAL(18,9))) AS v
+        FROM ct CROSS JOIN tot t
+    )
+    SELECT (SELECT n FROM tot) AS n,
+           ROUND(CAST((SELECT v FROM hl) AS DOUBLE), 6) AS h_lang,
+           ROUND(CAST((SELECT v FROM hs) AS DOUBLE), 6) AS h_source,
+           ROUND(CAST((SELECT v FROM mi) AS DOUBLE), 6) AS mutual_info
+    """,
+    doc="Mutual information (nats) between document language and source, "
+    "with both marginal entropies — the information-theoretic companion "
+    "to agg_chi_square_independence (MI is the audit a data-mixing "
+    "pipeline thresholds when deciding whether source is a proxy for "
+    "language). Float discipline: every p*ln(p-ratio) term is computed "
+    "from exact integer counts in one identical double op sequence, "
+    "rounded to 9 dp, and summed as DECIMAL (order-independent) — the "
+    "DSIR/bigram-LM log treatment.",
+)
+def agg_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: one groupBy on the pair, broadcast marginals, three
+    constant-size term sums; nothing beyond the first aggregate scales
+    with rows."""
+    d = load_fixture(spark, sf_dir, "documents")
+    o = d.groupBy("lang", "source").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    rt = o.groupBy("lang").agg(F.sum("c").cast("bigint").alias("r"))
+    ct = o.groupBy("source").agg(F.sum("c").cast("bigint").alias("s"))
+    tot = o.agg(F.sum("c").cast("bigint").alias("n"))
+    cd = F.col("c").cast("double")
+    nd = F.col("n").cast("double")
+    rd = F.col("r").cast("double")
+    sd = F.col("s").cast("double")
+    mi = (
+        o.join(F.broadcast(rt), "lang")
+        .join(F.broadcast(ct), "source")
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            F.sum(
+                F.round(cd / nd * F.log(cd * nd / (rd * sd)), 9).cast("decimal(18,9)")
+            ).alias("v"),
+            F.max("n").alias("n"),
+        )
+    )
+    hl = rt.crossJoin(F.broadcast(tot)).agg(
+        F.sum(F.round(-(rd / nd) * F.log(rd / nd), 9).cast("decimal(18,9)")).alias("v")
+    )
+    hs = ct.crossJoin(F.broadcast(tot)).agg(
+        F.sum(F.round(-(sd / nd) * F.log(sd / nd), 9).cast("decimal(18,9)")).alias("v")
+    )
+    return (
+        mi.crossJoin(F.broadcast(hl.withColumnRenamed("v", "vl")))
+        .crossJoin(F.broadcast(hs.withColumnRenamed("v", "vs")))
+        .select(
+            "n",
+            F.round(F.col("vl").cast("double"), 6).alias("h_lang"),
+            F.round(F.col("vs").cast("double"), 6).alias("h_source"),
+            F.round(F.col("v").cast("double"), 6).alias("mutual_info"),
+        )
+    )

@@ -2704,3 +2704,116 @@ def sample_coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
         selected.append((int(row["_id"]), [int(v) for v in row["qv"]]))
         out.append((r, int(pick["_id"]), int(pick["dmin"])))
     return spark.createDataFrame(out, "sel_rank int, vec_id bigint, dmin bigint")
+
+
+@register(
+    "sample_neyman_allocation",
+    oracle="""
+    WITH s AS (
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS nh,
+               CAST(SUM(n_chars) AS DECIMAL(38,0)) AS sy,
+               CAST(SUM(CAST(n_chars AS DECIMAL(20,0))
+                        * CAST(n_chars AS DECIMAL(12,0))) AS DECIMAL(38,0))
+                   AS syy
+        FROM documents GROUP BY lang
+    ),
+    w AS (
+        SELECT lang, nh,
+               CAST(ROUND(CAST(nh AS DOUBLE)
+                          * sqrt((CAST(nh AS DOUBLE) * CAST(syy AS DOUBLE)
+                                  - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+                                 / (CAST(nh AS DOUBLE)
+                                    * (CAST(nh AS DOUBLE) - 1.0))),
+                          9) AS DECIMAL(24,9)) AS wt
+        FROM s WHERE nh >= 2
+    ),
+    tw AS (SELECT SUM(wt) AS total FROM w),
+    b AS (
+        SELECT lang, nh, wt,
+               CAST(wt AS DOUBLE) / CAST(t.total AS DOUBLE) * 200.0 AS ideal
+        FROM w CROSS JOIN tw t
+    ),
+    r AS (
+        SELECT lang, nh, wt, CAST(FLOOR(ideal) AS BIGINT) AS base,
+               ideal - FLOOR(ideal) AS rem
+        FROM b
+    ),
+    rk AS (
+        SELECT *,
+               CAST(ROW_NUMBER() OVER (ORDER BY rem DESC, lang) AS BIGINT) AS pos,
+               200 - SUM(base) OVER () AS leftover
+        FROM r
+    )
+    SELECT lang, nh AS n_docs, CAST(wt AS DOUBLE) AS neyman_weight,
+           CAST(base + CASE WHEN pos <= leftover THEN 1 ELSE 0 END AS BIGINT)
+               AS alloc_docs
+    FROM rk
+    """,
+    doc="Neyman optimal stratified-sampling allocation: each language "
+    "stratum gets sample budget proportional to n_h * s_h (stratum "
+    "size times stratum std of document length) — the "
+    "variance-minimizing "
+    "allocation for a fixed 200-doc audit budget (Neyman 1934), the "
+    "statistically-correct upgrade of proportional sampling. Stratum "
+    "variance comes from EXACT integer sums ((n*syy - sy^2)/(n(n-1)) "
+    "with DECIMAL accumulators), sqrt is correctly rounded on both "
+    "engines, weights pin to 9 dp DECIMAL before the order-independent "
+    "total, and largest-remainder rounding hits the budget exactly "
+    "(the mix_temperature_sampling machinery).",
+)
+def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: one map-side-combined stratum aggregate (3 partials),
+    then constant-size allocation arithmetic over |strata| rows."""
+    from pyspark.sql.window import Window
+
+    d = load_fixture(spark, sf_dir, "documents")
+    s = d.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nh"),
+        F.sum("n_chars").cast("decimal(38,0)").alias("sy"),
+        F.sum(
+            F.col("n_chars").cast("decimal(20,0)") * F.col("n_chars").cast("decimal(12,0)")
+        )
+        .cast("decimal(38,0)")
+        .alias("syy"),
+    )
+    nhd = F.col("nh").cast("double")
+    var = (nhd * F.col("syy").cast("double") - F.col("sy").cast("double") * F.col("sy").cast("double")) / (
+        nhd * (nhd - F.lit(1.0))
+    )
+    w = s.filter(F.col("nh") >= 2).select(
+        "lang",
+        "nh",
+        F.round(nhd * F.sqrt(var), 9).cast("decimal(24,9)").alias("wt"),
+    )
+    tw = w.agg(F.sum("wt").alias("total"))
+    b = w.crossJoin(F.broadcast(tw)).select(
+        "lang",
+        "nh",
+        "wt",
+        (F.col("wt").cast("double") / F.col("total").cast("double") * F.lit(200.0)).alias(
+            "ideal"
+        ),
+    )
+    r = b.select(
+        "lang",
+        "nh",
+        "wt",
+        F.floor("ideal").cast("bigint").alias("base"),
+        (F.col("ideal") - F.floor("ideal")).alias("rem"),
+    )
+    rk = r.select(
+        "lang",
+        "nh",
+        "wt",
+        "base",
+        F.row_number().over(Window.orderBy(F.desc("rem"), "lang")).cast("bigint").alias("pos"),
+        (F.lit(200) - F.sum("base").over(Window.partitionBy())).alias("leftover"),
+    )
+    return rk.select(
+        "lang",
+        F.col("nh").alias("n_docs"),
+        F.col("wt").cast("double").alias("neyman_weight"),
+        (F.col("base") + F.when(F.col("pos") <= F.col("leftover"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("alloc_docs"),
+    )

@@ -908,3 +908,114 @@ def text_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rk").cast("int").alias("rk"),
         )
     )
+
+
+@register(
+    "text_zipf_slope",
+    oracle="""
+    WITH w AS (
+        SELECT w, CAST(COUNT(*) AS BIGINT) AS freq
+        FROM (
+            SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+            FROM documents
+        )
+        WHERE w <> ''
+        GROUP BY w
+    ),
+    top AS (
+        SELECT freq,
+               CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, w) AS BIGINT) AS rk
+        FROM w
+        ORDER BY freq DESC, w
+        LIMIT 500
+    ),
+    pts AS (
+        SELECT CAST(ROUND(ln(CAST(rk AS DOUBLE)), 9) AS DECIMAL(18,9)) AS x,
+               CAST(ROUND(ln(CAST(freq AS DOUBLE)), 9) AS DECIMAL(18,9)) AS y,
+               CAST(ROUND(ln(CAST(rk AS DOUBLE))
+                          * ln(CAST(freq AS DOUBLE)), 9)
+                    AS DECIMAL(18,9)) AS xy,
+               CAST(ROUND(ln(CAST(rk AS DOUBLE))
+                          * ln(CAST(rk AS DOUBLE)), 9)
+                    AS DECIMAL(18,9)) AS xx
+        FROM top
+    ),
+    s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(x) AS sx, SUM(y) AS sy,
+               SUM(xy) AS sxy, SUM(xx) AS sxx
+        FROM pts
+    )
+    SELECT n AS n_words,
+           ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)),
+                 6) AS zipf_slope,
+           ROUND((CAST(sy AS DOUBLE)
+                  - (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                    / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * CAST(sx AS DOUBLE))
+                 / CAST(n AS DOUBLE), 6) AS log_intercept
+    FROM s
+    """,
+    doc="Zipf's-law exponent of the corpus word-frequency distribution: "
+    "log-log OLS of frequency against rank over the top 500 words "
+    "(rank ties broken by the word string, so both engines fit the "
+    "same points) — the classic corpus-health fingerprint (natural "
+    "text sits near slope -1; template/boilerplate corpora flatten). "
+    "Float discipline: each ln/product term is computed once in an "
+    "identical double op sequence, rounded to 9 dp, and summed as "
+    "DECIMAL; the closed-form slope/intercept divide exact decimals "
+    "in the 1-row projection.",
+)
+def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: one word-count aggregate (the word_freq_topk shuffle),
+    a distributed top-500 (TakeOrderedAndProject — never a global
+    sort), then constant-size OLS sums."""
+    from pyspark.sql.window import Window
+
+    d = load_fixture(spark, sf_dir, "documents")
+    w = (
+        d.select(F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+    )
+    top = (
+        w.orderBy(F.col("freq").desc(), "w")
+        .limit(500)
+        .select(
+            "freq",
+            F.row_number().over(Window.orderBy(F.col("freq").desc(), "w"))
+            .cast("bigint")
+            .alias("rk"),
+        )
+    )
+    lx = F.log(F.col("rk").cast("double"))
+    ly = F.log(F.col("freq").cast("double"))
+    pts = top.select(
+        F.round(lx, 9).cast("decimal(18,9)").alias("x"),
+        F.round(ly, 9).cast("decimal(18,9)").alias("y"),
+        F.round(lx * ly, 9).cast("decimal(18,9)").alias("xy"),
+        F.round(lx * lx, 9).cast("decimal(18,9)").alias("xx"),
+    )
+    s = pts.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum("xy").alias("sxy"),
+        F.sum("xx").alias("sxx"),
+    )
+    nd = F.col("n").cast("double")
+    sxd = F.col("sx").cast("double")
+    syd = F.col("sy").cast("double")
+    sxyd = F.col("sxy").cast("double")
+    sxxd = F.col("sxx").cast("double")
+    slope = (nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd)
+    return s.select(
+        F.col("n").alias("n_words"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round((syd - slope * sxd) / nd, 6).alias("log_intercept"),
+    )

@@ -920,3 +920,97 @@ def events_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("new_users").cast("bigint").alias("new_users"),
         F.sum("new_users").over(w).cast("bigint").alias("cum_users"),
     )
+
+
+@register(
+    "window_rolling_ols_slope",
+    oracle="""
+    WITH daily AS (
+        SELECT user_id, CAST(ts AS DATE) AS day,
+               CAST(SUM(CAST(floor(CAST(value AS DOUBLE) * 1000000.0 + 0.5)
+                             AS BIGINT)) AS BIGINT) AS q,
+               CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                    AS BIGINT) AS x
+        FROM events
+        GROUP BY user_id, CAST(ts AS DATE)
+    ),
+    f AS (
+        SELECT user_id, day,
+               COUNT(*) OVER w AS n,
+               SUM(x) OVER w AS sx,
+               SUM(q) OVER w AS sy,
+               CAST(SUM(CAST(x AS DECIMAL(20,0)) * CAST(q AS DECIMAL(18,0)))
+                    OVER w AS DECIMAL(38,0)) AS sxy,
+               SUM(x * x) OVER w AS sxx
+        FROM daily
+        WINDOW w AS (PARTITION BY user_id ORDER BY day
+                     ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    )
+    SELECT user_id, day,
+           ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / NULLIF(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0.0)
+                 / 1000000.0, 6) AS slope_per_day
+    FROM f
+    WHERE n = 7
+    """,
+    doc="Per-user rolling 7-observation OLS trend of daily event value "
+    "(micro-unit quantized) — the windowed momentum feature a "
+    "forecasting pipeline computes per entity. The frame sums (count, "
+    "sum x, sum y, sum xy, sum x^2) are exact integers/DECIMALs "
+    "accumulated by the window engine itself, so the closed-form slope "
+    "divides exact values in one identical double op sequence; frames "
+    "are ROWS-based over observed days (deterministic under the "
+    "(user, day) ordering since the daily rollup makes day unique per "
+    "user). Emitted only for full 7-row frames.",
+)
+def window_rolling_ols_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: one daily rollup (map-side combined), one per-user
+    ordered window pass carrying five integer partials — no join, no
+    global sort; output rows = user-days."""
+    e = load_fixture(spark, sf_dir, "events")
+    daily = (
+        e.groupBy(
+            "user_id", F.col("ts").cast("date").alias("day")
+        )
+        .agg(
+            F.sum(
+                F.floor(F.col("value").cast("double") * F.lit(1000000.0) + F.lit(0.5))
+                .cast("bigint")
+            )
+            .cast("bigint")
+            .alias("q")
+        )
+        .withColumn("x", F.datediff("day", F.lit("1970-01-01").cast("date")).cast("bigint"))
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    f = daily.select(
+        "user_id",
+        "day",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum("x").over(w).alias("sx"),
+        F.sum("q").over(w).alias("sy"),
+        F.sum(F.col("x").cast("decimal(20,0)") * F.col("q").cast("decimal(18,0)"))
+        .over(w)
+        .cast("decimal(38,0)")
+        .alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).over(w).alias("sxx"),
+    )
+    nd = F.col("n").cast("double")
+    slope = (
+        (nd * F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col("sy").cast("double"))
+        / F.nullif(
+            nd * F.col("sxx").cast("double")
+            - F.col("sx").cast("double") * F.col("sx").cast("double"),
+            F.lit(0.0),
+        )
+        / F.lit(1000000.0)
+    )
+    return f.filter(F.col("n") == 7).select(
+        "user_id", "day", F.round(slope, 6).alias("slope_per_day")
+    )

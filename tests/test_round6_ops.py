@@ -332,3 +332,102 @@ def test_kcenter_matches_python_greedy(spark, sf_dir):
     # greedy radius is non-increasing
     radii = [d for _, _, d in expected[1:]]
     assert all(a >= b for a, b in zip(radii, radii[1:]))
+
+
+def test_mutual_information_matches_python(spark, sf_dir):
+    row = SPECS["agg_mutual_information"].fn(spark, sf_dir).collect()[0]
+    from collections import Counter
+
+    obs = Counter(
+        (r["lang"], r["source"])
+        for r in load_fixture(spark, sf_dir, "documents").select("lang", "source").collect()
+    )
+    n = sum(obs.values())
+    rt, ct = Counter(), Counter()
+    for (la, so), c in obs.items():
+        rt[la] += c
+        ct[so] += c
+    mi = sum(
+        c / n * math.log(c * n / (rt[la] * ct[so])) for (la, so), c in obs.items()
+    )
+    hl = -sum(c / n * math.log(c / n) for c in rt.values())
+    hs = -sum(c / n * math.log(c / n) for c in ct.values())
+    assert row["n"] == n
+    assert abs(row["mutual_info"] - mi) < 1e-5
+    assert abs(row["h_lang"] - hl) < 1e-5
+    assert abs(row["h_source"] - hs) < 1e-5
+    # information-theoretic bounds: 0 <= MI <= min(H)
+    assert -1e-9 <= row["mutual_info"] <= min(hl, hs) + 1e-9
+
+
+def test_zipf_slope_matches_python(spark, sf_dir):
+    import re
+    from collections import Counter
+
+    row = SPECS["text_zipf_slope"].fn(spark, sf_dir).collect()[0]
+    freqs = Counter()
+    for r in load_fixture(spark, sf_dir, "documents").select("text").collect():
+        for w in re.split(r"\s+", r["text"].strip().lower(), flags=re.ASCII):
+            if w:
+                freqs[w] += 1
+    top = sorted(freqs.items(), key=lambda kv: (-kv[1], kv[0]))[:500]
+    pts = [(math.log(i + 1), math.log(c)) for i, (_, c) in enumerate(top)]
+    n = len(pts)
+    sx = sum(x for x, _ in pts)
+    sy = sum(y for _, y in pts)
+    sxy = sum(x * y for x, y in pts)
+    sxx = sum(x * x for x, _ in pts)
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    assert row["n_words"] == n
+    assert abs(row["zipf_slope"] - slope) < 1e-4
+    assert row["zipf_slope"] < 0  # frequency falls with rank
+
+
+def test_rolling_ols_slope_matches_python(spark, sf_dir):
+    got = {
+        (r["user_id"], r["day"]): r["slope_per_day"]
+        for r in SPECS["window_rolling_ols_slope"].fn(spark, sf_dir).collect()
+    }
+    import datetime as dt
+    from collections import defaultdict
+
+    daily = defaultdict(lambda: defaultdict(int))
+    for r in load_fixture(spark, sf_dir, "events").select("user_id", "ts", "value").collect():
+        daily[r["user_id"]][r["ts"].date()] += math.floor(r["value"] * 1000000.0 + 0.5)
+    epoch = dt.date(1970, 1, 1)
+    checked = 0
+    for uid, days in daily.items():
+        seq = sorted(days.items())
+        for i in range(6, len(seq)):
+            frame = seq[i - 6 : i + 1]
+            xs = [(d - epoch).days for d, _ in frame]
+            ys = [q for _, q in frame]
+            n = 7
+            sx, sy = sum(xs), sum(ys)
+            sxy = sum(x * y for x, y in zip(xs, ys))
+            sxx = sum(x * x for x in xs)
+            slope = (n * sxy - sx * sy) / (n * sxx - sx * sx) / 1e6
+            key = (uid, seq[i][0])
+            assert key in got
+            assert abs(got[key] - slope) < 1e-4, key
+            checked += 1
+        if checked > 200:
+            break
+    assert checked >= 50
+
+
+def test_neyman_allocation_matches_python(spark, sf_dir):
+    rows = SPECS["sample_neyman_allocation"].fn(spark, sf_dir).collect()
+    assert sum(r["alloc_docs"] for r in rows) == 200
+    from collections import defaultdict
+
+    by_lang = defaultdict(list)
+    for r in load_fixture(spark, sf_dir, "documents").select("lang", "n_chars").collect():
+        by_lang[r["lang"]].append(r["n_chars"])
+    for r in rows:
+        ys = by_lang[r["lang"]]
+        n = len(ys)
+        mean = sum(ys) / n
+        sd = math.sqrt(sum((y - mean) ** 2 for y in ys) / (n - 1))
+        assert r["n_docs"] == n
+        assert abs(r["neyman_weight"] - n * sd) < 1e-3
