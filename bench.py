@@ -163,6 +163,10 @@ HEADLINE = [
     "text_zipf_slope",
     "window_rolling_ols_slope",
     "sample_neyman_allocation",
+    # round 6 third wave: ingest-door drift, burstiness, HITS
+    "stream_drift_chi_square",
+    "text_burstiness",
+    "graph_hits_scores",
 ]
 
 

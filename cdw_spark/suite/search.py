@@ -876,3 +876,88 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node").cast("bigint").alias("node"),
         F.col("deg").cast("bigint").alias("deg"),
     )
+
+
+def _hits_oracle_sql(iters: int = 2, scale: int = 1_000_000) -> str:
+    """DuckDB rendering of hits_scores: the recurrence unrolls as chained
+    CTEs with the same exact integer max-normalization, hub/authority
+    rows union into the labeled output."""
+    parts = [f"""
+    WITH e AS (
+        SELECT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+        FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    ),
+    h0 AS (SELECT DISTINCT src AS node, CAST({scale} AS BIGINT) AS h FROM e)"""]
+    prev_h = "h0"
+    for t in range(1, iters + 1):
+        parts.append(f""",
+    a{t}r AS (
+        SELECT e.dst, CAST(SUM(h.h) AS BIGINT) AS raw
+        FROM e JOIN {prev_h} h ON e.src = h.node GROUP BY e.dst
+    ),
+    a{t}m AS (SELECT MAX(raw) AS m FROM a{t}r),
+    a{t} AS (
+        SELECT dst, CAST((2 * raw * {scale} + m) // (2 * m) AS BIGINT) AS a
+        FROM a{t}r CROSS JOIN a{t}m
+    ),
+    h{t}r AS (
+        SELECT e.src, CAST(SUM(a.a) AS BIGINT) AS raw
+        FROM e JOIN a{t} a ON e.dst = a.dst GROUP BY e.src
+    ),
+    h{t}m AS (SELECT MAX(raw) AS m FROM h{t}r),
+    h{t} AS (
+        SELECT src AS node, CAST((2 * raw * {scale} + m) // (2 * m) AS BIGINT) AS h
+        FROM h{t}r CROSS JOIN h{t}m
+    )""")
+        prev_h = f"h{t}"
+    parts.append(f"""
+    SELECT 'c' || CAST(node // 2 AS VARCHAR) AS node, 'hub' AS role,
+           CAST(h AS DOUBLE) / {scale}.0 AS score
+    FROM h{iters}
+    UNION ALL
+    SELECT 's' || CAST(dst // 2 AS VARCHAR), 'authority',
+           CAST(a AS DOUBLE) / {scale}.0
+    FROM a{iters}""")
+    return "".join(parts)
+
+
+@register(
+    "graph_hits_scores",
+    oracle=_hits_oracle_sql(2),
+    doc="HITS hubs/authorities (Kleinberg 1999), 2 mutual-reinforcement "
+    "iterations over the customer->supplier purchase multigraph: "
+    "customers are hubs (good buyers endorse good suppliers), suppliers "
+    "are authorities. Made associative-exact so the whole trajectory "
+    "carries a value oracle: scores live on an integer micro-unit grid "
+    "and each side max-normalizes by the half-away integer division "
+    "(2v*s + m) div (2m) — no float in the recurrence, unrolled as "
+    "chained CTEs (the pagerank idiom, two-sided). "
+    "operators/graph.py:hits_scores.",
+)
+def graph_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: per iteration one broadcastable score join onto the
+    checkpointed edges + one map-side-combined groupBy per side and a
+    1-value max reduce — the pagerank budget with two sides."""
+    from ..operators.graph import hits_scores
+
+    o = load_fixture(spark, sf_dir, "orders")
+    li = load_fixture(spark, sf_dir, "lineitem")
+    edges = o.join(li, o["o_orderkey"] == li["l_orderkey"]).select(
+        (F.col("o_custkey") * 2).alias("src"),
+        (F.col("l_suppkey") * 2 + 1).alias("dst"),
+    )
+    hubs, auth = hits_scores(edges, iters=2)
+    return (
+        hubs.select(
+            F.expr("concat('c', cast(node div 2 as string))").alias("node"),
+            F.lit("hub").alias("role"),
+            (F.col("h").cast("double") / F.lit(1000000.0)).alias("score"),
+        )
+        .unionByName(
+            auth.select(
+                F.expr("concat('s', cast(node div 2 as string))").alias("node"),
+                F.lit("authority").alias("role"),
+                (F.col("a").cast("double") / F.lit(1000000.0)).alias("score"),
+            )
+        )
+    )

@@ -886,3 +886,107 @@ def stream_kmv_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.round(F.lit(float(_KMV_STREAM_K - 1)) / F.col("h_k"), 4))
         .alias("kmv_est"),
     )
+
+
+@register(
+    "stream_drift_chi_square",
+    oracle="""
+    WITH o AS (
+        SELECT event_type, CAST(EXTRACT(hour FROM ts) // 4 AS BIGINT) AS tod,
+               CAST(COUNT(*) AS BIGINT) AS obs
+        FROM events GROUP BY event_type, CAST(EXTRACT(hour FROM ts) // 4 AS BIGINT)
+    ),
+    rt AS (SELECT event_type, CAST(SUM(obs) AS BIGINT) AS r FROM o GROUP BY event_type),
+    ct AS (SELECT tod, CAST(SUM(obs) AS BIGINT) AS c FROM o GROUP BY tod),
+    tot AS (SELECT CAST(SUM(obs) AS BIGINT) AS n FROM o),
+    cells AS (
+        SELECT ROUND(
+                   (CAST(o.obs AS DOUBLE) * CAST(t.n AS DOUBLE)
+                    - CAST(rt.r AS DOUBLE) * CAST(ct.c AS DOUBLE))
+                   * (CAST(o.obs AS DOUBLE) * CAST(t.n AS DOUBLE)
+                      - CAST(rt.r AS DOUBLE) * CAST(ct.c AS DOUBLE))
+                   / (CAST(t.n AS DOUBLE) * CAST(rt.r AS DOUBLE)
+                      * CAST(ct.c AS DOUBLE)),
+                   9) AS term
+        FROM o JOIN rt USING (event_type) JOIN ct USING (tod) CROSS JOIN tot t
+    )
+    SELECT (SELECT n FROM tot) AS n,
+           (SELECT CAST((COUNT(*) - 1) AS BIGINT) FROM rt)
+               * (SELECT CAST((COUNT(*) - 1) AS BIGINT) FROM ct) AS dof,
+           ROUND(CAST(SUM(CAST(term AS DECIMAL(18,9))) AS DOUBLE), 6) AS chi2
+    FROM cells
+    """,
+    doc="Independence drift monitored AT THE INGESTION DOOR: the "
+    "foreachBatch sink maintains the (event_type x time-of-day-bucket) "
+    "contingency table incrementally — additive count merges keep "
+    "state at |types|x|buckets| rows regardless of stream length — and "
+    "the chi-square statistic is computed over the accumulated table "
+    "after the bounded replay. Count addition is commutative and the "
+    "replay is exactly-once (availableNow), so the streamed table "
+    "equals the batch table and the batch chi-square SQL (the "
+    "agg_chi_square_independence float discipline) applies verbatim.",
+)
+def stream_drift_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: per batch, one groupBy over the BATCH only, then a
+    merge against the bounded contingency state; the statistic is a
+    constant-size computation. This is the monitoring-grade drift check
+    that replaces ad-hoc daily batch jobs at continuous ingest."""
+    import os
+    import tempfile
+
+    from ..streaming.source import table_stream
+
+    root = tempfile.mkdtemp(prefix="cdw_stream_chi2_")
+    state_dir = os.path.join(root, "contingency")
+    spark.createDataFrame([], "event_type string, tod bigint, cnt bigint").write.mode(
+        "overwrite"
+    ).parquet(state_dir)
+
+    def handle(batch, batch_id):
+        b = batch.select(
+            "event_type",
+            F.expr("CAST(hour(ts) div 4 AS BIGINT)").alias("tod"),
+        ).groupBy("event_type", "tod").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        old = spark.read.parquet(state_dir).localCheckpoint(eager=True)
+        merged = (
+            old.unionByName(b)
+            .groupBy("event_type", "tod")
+            .agg(F.sum("cnt").cast("bigint").alias("cnt"))
+            .localCheckpoint(eager=True)
+        )
+        merged.write.mode("overwrite").parquet(state_dir)
+
+    sdf = table_stream(spark, sf_dir, "events", order_col="event_id", n_files=4)
+    q = (
+        sdf.select("event_type", "ts")
+        .writeStream.foreachBatch(handle)
+        .option("checkpointLocation", os.path.join(root, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+    o = spark.read.parquet(state_dir).withColumnRenamed("cnt", "obs")
+    rt = o.groupBy("event_type").agg(F.sum("obs").cast("bigint").alias("r"))
+    ct = o.groupBy("tod").agg(F.sum("obs").cast("bigint").alias("c"))
+    tot = o.agg(F.sum("obs").cast("bigint").alias("n"))
+    cells = (
+        o.join(F.broadcast(rt), "event_type")
+        .join(F.broadcast(ct), "tod")
+        .crossJoin(F.broadcast(tot))
+    )
+    od = F.col("obs").cast("double")
+    nd = F.col("n").cast("double")
+    rd = F.col("r").cast("double")
+    cd = F.col("c").cast("double")
+    term = F.round((od * nd - rd * cd) * (od * nd - rd * cd) / (nd * rd * cd), 9)
+    stats = cells.agg(
+        F.max("n").alias("n"),
+        F.countDistinct("event_type").alias("nr"),
+        F.countDistinct("tod").alias("nc"),
+        F.sum(term.cast("decimal(18,9)")).alias("chi2_sum"),
+    )
+    return stats.select(
+        F.col("n"),
+        ((F.col("nr") - F.lit(1)) * (F.col("nc") - F.lit(1))).cast("bigint").alias("dof"),
+        F.round(F.col("chi2_sum").cast("double"), 6).alias("chi2"),
+    )

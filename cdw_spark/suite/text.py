@@ -1019,3 +1019,79 @@ def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(slope, 6).alias("zipf_slope"),
         F.round((syd - slope * sxd) / nd, 6).alias("log_intercept"),
     )
+
+
+@register(
+    "text_burstiness",
+    oracle="""
+    WITH n_docs AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd FROM documents),
+    wc AS (
+        SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS c
+        FROM (
+            SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+            FROM documents
+        )
+        WHERE w <> ''
+        GROUP BY doc_id, w
+    ),
+    s AS (
+        SELECT w, CAST(SUM(c) AS BIGINT) AS total,
+               CAST(SUM(c * c) AS BIGINT) AS sq,
+               CAST(COUNT(*) AS BIGINT) AS present
+        FROM wc GROUP BY w
+    ),
+    top AS (
+        SELECT w, total, sq, present FROM s
+        ORDER BY total DESC, w LIMIT 20
+    )
+    SELECT w AS word, total AS n_occurrences, present AS n_docs_present,
+           ROUND((CAST(t.nd AS DOUBLE) * CAST(sq AS DOUBLE)
+                  - CAST(total AS DOUBLE) * CAST(total AS DOUBLE))
+                 / (CAST(t.nd AS DOUBLE) * (CAST(t.nd AS DOUBLE) - 1.0))
+                 / (CAST(total AS DOUBLE) / CAST(t.nd AS DOUBLE)),
+                 6) AS burstiness
+    FROM top CROSS JOIN n_docs t
+    """,
+    doc="Word burstiness (Church & Gale: variance-to-mean ratio of "
+    "per-document counts, absent docs counting zero) for the top-20 "
+    "corpus words — the content/function-word separator (VMR~1 means "
+    "Poisson scatter = function word; VMR>>1 means topical clumping) "
+    "used to pick content-bearing dedup shingles and stopword lists. "
+    "Per-word count moments are exact integers (zeros enter via the "
+    "n*sq - total^2 identity over the FULL doc count, no dense "
+    "doc x word matrix), and the VMR divides exact values in one "
+    "identical double op sequence per engine.",
+)
+def text_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: one (doc, word) count aggregate, one per-word moment
+    aggregate, a distributed top-20 — the zero cells of the implicit
+    doc x word matrix never materialize."""
+    d = load_fixture(spark, sf_dir, "documents")
+    nd = d.count()
+    wc = (
+        d.select(
+            "doc_id",
+            F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("w"),
+        )
+        .filter(F.col("w") != "")
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    s = wc.groupBy("w").agg(
+        F.sum("c").cast("bigint").alias("total"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("sq"),
+        F.count(F.lit(1)).cast("bigint").alias("present"),
+    )
+    top = s.orderBy(F.col("total").desc(), "w").limit(20)
+    ndd = F.lit(float(nd))
+    vmr = (
+        (ndd * F.col("sq").cast("double") - F.col("total").cast("double") * F.col("total").cast("double"))
+        / (ndd * (ndd - F.lit(1.0)))
+        / (F.col("total").cast("double") / ndd)
+    )
+    return top.select(
+        F.col("w").alias("word"),
+        F.col("total").alias("n_occurrences"),
+        F.col("present").alias("n_docs_present"),
+        F.round(vmr, 6).alias("burstiness"),
+    )

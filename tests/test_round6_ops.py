@@ -431,3 +431,63 @@ def test_neyman_allocation_matches_python(spark, sf_dir):
         sd = math.sqrt(sum((y - mean) ** 2 for y in ys) / (n - 1))
         assert r["n_docs"] == n
         assert abs(r["neyman_weight"] - n * sd) < 1e-3
+
+
+def test_burstiness_matches_python(spark, sf_dir):
+    import re
+    from collections import Counter, defaultdict
+
+    got = {r["word"]: r for r in SPECS["text_burstiness"].fn(spark, sf_dir).collect()}
+    per_doc = defaultdict(Counter)
+    docs = load_fixture(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    nd = len(docs)
+    for r in docs:
+        for w in re.split(r"\s+", r["text"].strip().lower(), flags=re.ASCII):
+            if w:
+                per_doc[w][r["doc_id"]] += 1
+    totals = Counter({w: sum(c.values()) for w, c in per_doc.items()})
+    top = sorted(totals.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    assert set(got) == {w for w, _ in top}
+    for w, total in top:
+        counts = list(per_doc[w].values()) + [0] * (nd - len(per_doc[w]))
+        mean = total / nd
+        var = sum((c - mean) ** 2 for c in counts) / (nd - 1)
+        g = got[w]
+        assert g["n_occurrences"] == total
+        assert g["n_docs_present"] == len(per_doc[w])
+        assert abs(g["burstiness"] - var / mean) < 1e-4, w
+
+
+def test_hits_matches_python_power_iteration(spark, sf_dir):
+    rows = SPECS["graph_hits_scores"].fn(spark, sf_dir).collect()
+    got = {(r["role"], r["node"]): r["score"] for r in rows}
+    from collections import defaultdict
+
+    o = {r["o_orderkey"]: r["o_custkey"]
+         for r in load_fixture(spark, sf_dir, "orders").collect()}
+    edges = []
+    for r in load_fixture(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    ).collect():
+        if r["l_orderkey"] in o:
+            edges.append((o[r["l_orderkey"]], r["l_suppkey"]))
+    scale = 1_000_000
+    h = {c: scale for c, _ in edges}
+    for _ in range(2):
+        a = defaultdict(int)
+        for c, s in edges:
+            a[s] += h[c]
+        m = max(a.values())
+        a = {s: (2 * v * scale + m) // (2 * m) for s, v in a.items()}
+        hr = defaultdict(int)
+        for c, s in edges:
+            hr[c] += a[s]
+        m = max(hr.values())
+        h = {c: (2 * v * scale + m) // (2 * m) for c, v in hr.items()}
+    assert len(rows) == len(h) + len(a)
+    for c, v in h.items():
+        assert abs(got[("hub", f"c{c}")] - v / scale) < 1e-9
+    for s, v in a.items():
+        assert abs(got[("authority", f"s{s}")] - v / scale) < 1e-9
+    # mutual reinforcement sanity: some hub hits the max-normalized 1.0
+    assert max(v for (role, _), v in got.items() if role == "hub") == 1.0
