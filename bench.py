@@ -167,6 +167,8 @@ HEADLINE = [
     "stream_drift_chi_square",
     "text_burstiness",
     "graph_hits_scores",
+    "events_markov_stationary",
+    "agg_theil_index",
 ]
 
 

@@ -3381,3 +3381,158 @@ def agg_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("v").cast("double"), 6).alias("mutual_info"),
         )
     )
+
+
+def _markov_stationary_oracle_sql(iters: int = 3, scale: int = 1_000_000) -> str:
+    """DuckDB rendering of the exact micro-unit Markov power iteration:
+    transitions as integer (src, dst, c, r) counts, pi as integers on
+    the x1e6 grid, each contribution rounded half-away by
+    (2*pi*c + r) // (2*r) — integer division on BIGINTs is identical in
+    both engines, so the whole trajectory hashes."""
+    parts = [f"""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               LEAD(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS next_type
+        FROM events
+    ),
+    tc AS (
+        SELECT event_type AS src, next_type AS dst,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM seq WHERE next_type IS NOT NULL
+        GROUP BY event_type, next_type
+    ),
+    rs AS (SELECT src, CAST(SUM(c) AS BIGINT) AS r FROM tc GROUP BY src),
+    states AS (SELECT DISTINCT src AS s FROM tc UNION SELECT DISTINCT dst FROM tc),
+    ns AS (SELECT CAST(COUNT(*) AS BIGINT) AS k FROM states),
+    pi0 AS (
+        SELECT s, CAST({scale} // k AS BIGINT) AS v
+        FROM states CROSS JOIN ns
+    )"""]
+    prev = "pi0"
+    for t in range(1, iters + 1):
+        parts.append(f""",
+    pi{t} AS (
+        SELECT tc.dst AS s,
+               CAST(SUM((2 * p.v * tc.c + rs.r) // (2 * rs.r)) AS BIGINT) AS v
+        FROM tc JOIN {prev} p ON p.s = tc.src JOIN rs ON rs.src = tc.src
+        GROUP BY tc.dst
+    )""")
+        prev = f"pi{t}"
+    parts.append(f"""
+    SELECT s AS event_type, v AS pi_micro,
+           CAST(v AS DOUBLE) / {scale}.0 AS pi
+    FROM {prev}""")
+    return "".join(parts)
+
+
+@register(
+    "events_markov_stationary",
+    oracle=_markov_stationary_oracle_sql(3),
+    doc="Stationary distribution of the event-type Markov chain by 3 "
+    "power iterations over the transition matrix "
+    "(event_transition_matrix's counts) — where a user's session "
+    "settles in the long run, the sequence-model audit that weights "
+    "synthetic-session generators. Exactness via the pagerank/HITS "
+    "treatment: pi lives on the x1e6 integer grid and every "
+    "contribution pi_i * c_ij / r_i rounds half-away by the integer "
+    "(2*pi*c + r) div (2r) — no float enters the recurrence, unrolled "
+    "as chained CTEs.",
+)
+def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: one LEAD window for pair counts (partition-parallel),
+    then |types|^2-row iterations — constant-size work regardless of
+    corpus scale."""
+    from pyspark.sql.window import Window
+
+    e = load_fixture(spark, sf_dir, "events")
+    seq = e.select(
+        "event_type",
+        F.lead("event_type")
+        .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("next_type"),
+    ).filter(F.col("next_type").isNotNull())
+    tc = seq.groupBy(
+        F.col("event_type").alias("src"), F.col("next_type").alias("dst")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    rs = tc.groupBy("src").agg(F.sum("c").cast("bigint").alias("r"))
+    states = (
+        tc.select(F.col("src").alias("s"))
+        .union(tc.select(F.col("dst").alias("s")))
+        .distinct()
+    )
+    k = states.count()
+    scale = 1_000_000
+    pi = states.withColumn("v", F.lit(scale // k).cast("bigint")).localCheckpoint(
+        eager=True
+    )
+    tcr = tc.join(rs, "src").localCheckpoint(eager=True)
+    for _ in range(3):
+        pi = (
+            tcr.join(pi.withColumnRenamed("s", "src"), "src")
+            .groupBy(F.col("dst").alias("s"))
+            .agg(
+                F.sum(
+                    F.expr("(2 * v * c + r) div (2 * r)")
+                )
+                .cast("bigint")
+                .alias("v")
+            )
+            .localCheckpoint(eager=True)
+        )
+    return pi.select(
+        F.col("s").alias("event_type"),
+        F.col("v").alias("pi_micro"),
+        (F.col("v").cast("double") / F.lit(float(scale))).alias("pi"),
+    )
+
+
+@register(
+    "agg_theil_index",
+    oracle="""
+    WITH spend AS (
+        SELECT o_custkey,
+               SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS x
+        FROM orders GROUP BY o_custkey
+    ),
+    tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(x) AS tx FROM spend
+    )
+    SELECT (SELECT n FROM tot) AS n_customers,
+           ROUND(CAST(SUM(CAST(ROUND(
+               CAST(s.x AS DOUBLE) / CAST(t.tx AS DOUBLE)
+               * ln(CAST(s.x AS DOUBLE) * CAST(t.n AS DOUBLE)
+                    / CAST(t.tx AS DOUBLE)), 9) AS DECIMAL(18,9)))
+               AS DOUBLE), 6) AS theil_t
+    FROM spend s CROSS JOIN tot t
+    """,
+    doc="Theil T inequality index of customer spend — the decomposable "
+    "companion to agg_gini_concentration (Theil is additively "
+    "separable across subgroups, which is why dataset-balance audits "
+    "prefer it for per-source attribution). Spend totals are exact "
+    "DECIMAL; each (x/X)*ln(x*n/X) term runs in one identical double "
+    "op sequence, rounds to 9 dp, and sums as DECIMAL "
+    "(order-independent) — the established log discipline.",
+)
+def agg_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: one per-customer aggregate, a broadcast 1-row total,
+    one term sum — no rank, no global sort (unlike the exact Gini)."""
+    o = load_fixture(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("x")
+    )
+    tot = spend.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"), F.sum("x").alias("tx")
+    )
+    xd = F.col("x").cast("double")
+    txd = F.col("tx").cast("double")
+    ndd = F.col("n").cast("double")
+    term = F.round(xd / txd * F.log(xd * ndd / txd), 9).cast("decimal(18,9)")
+    return (
+        spend.crossJoin(F.broadcast(tot))
+        .agg(F.max("n").alias("n_customers"), F.sum(term).alias("t"))
+        .select(
+            F.col("n_customers"),
+            F.round(F.col("t").cast("double"), 6).alias("theil_t"),
+        )
+    )

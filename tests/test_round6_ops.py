@@ -491,3 +491,55 @@ def test_hits_matches_python_power_iteration(spark, sf_dir):
         assert abs(got[("authority", f"s{s}")] - v / scale) < 1e-9
     # mutual reinforcement sanity: some hub hits the max-normalized 1.0
     assert max(v for (role, _), v in got.items() if role == "hub") == 1.0
+
+
+def test_markov_stationary_matches_python(spark, sf_dir):
+    got = {
+        r["event_type"]: r["pi_micro"]
+        for r in SPECS["events_markov_stationary"].fn(spark, sf_dir).collect()
+    }
+    from collections import defaultdict
+
+    ev = sorted(
+        load_fixture(spark, sf_dir, "events").select(
+            "user_id", "ts", "event_id", "event_type"
+        ).collect(),
+        key=lambda r: (r["user_id"], r["ts"], r["event_id"]),
+    )
+    tc = defaultdict(int)
+    for a, b in zip(ev, ev[1:]):
+        if a["user_id"] == b["user_id"]:
+            tc[(a["event_type"], b["event_type"])] += 1
+    rs = defaultdict(int)
+    for (s, _), c in tc.items():
+        rs[s] += c
+    states = sorted({s for s, _ in tc} | {d for _, d in tc})
+    scale = 1_000_000
+    pi = {s: scale // len(states) for s in states}
+    for _ in range(3):
+        nxt = defaultdict(int)
+        for (s, d), c in tc.items():
+            nxt[d] += (2 * pi.get(s, 0) * c + rs[s]) // (2 * rs[s])
+        pi = dict(nxt)
+    assert got == pi
+    # it's (approximately) a distribution: mass stays near 1e6
+    assert abs(sum(got.values()) - scale) < len(states) * 4
+
+
+def test_theil_index_matches_python(spark, sf_dir):
+    row = SPECS["agg_theil_index"].fn(spark, sf_dir).collect()[0]
+    from collections import defaultdict
+    from decimal import Decimal
+
+    spend = defaultdict(Decimal)
+    for r in load_fixture(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice"
+    ).collect():
+        spend[r["o_custkey"]] += Decimal(str(round(r["o_totalprice"], 2)))
+    xs = [float(v) for v in spend.values()]
+    n = len(xs)
+    tx = float(sum(spend.values()))
+    theil = sum(x / tx * math.log(x * n / tx) for x in xs)
+    assert row["n_customers"] == n
+    assert abs(row["theil_t"] - theil) < 1e-4
+    assert row["theil_t"] >= 0
