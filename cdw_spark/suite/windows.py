@@ -945,15 +945,19 @@ def events_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM daily
         WINDOW w AS (PARTITION BY user_id ORDER BY day
                      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    ),
+    d AS (
+        SELECT user_id, day,
+               CAST(n * sxy AS BIGINT) - sx * sy AS num,
+               NULLIF(n * sxx - sx * sx, 0) AS den
+        FROM f WHERE n = 7
     )
     SELECT user_id, day,
-           ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
-                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-                 / NULLIF(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-                          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0.0)
-                 / 1000000.0, 6) AS slope_per_day
-    FROM f
-    WHERE n = 7
+           CAST(CASE WHEN num >= 0
+                     THEN (2 * num + den) // (2 * den)
+                     ELSE -((2 * (-num) + den) // (2 * den)) END AS DOUBLE)
+               / 1000000.0 AS slope_per_day
+    FROM d
     """,
     doc="Per-user rolling 7-observation OLS trend of daily event value "
     "(micro-unit quantized) — the windowed momentum feature a "
@@ -963,7 +967,11 @@ def events_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     "divides exact values in one identical double op sequence; frames "
     "are ROWS-based over observed days (deterministic under the "
     "(user, day) ordering since the daily rollup makes day unique per "
-    "user). Emitted only for full 7-row frames.",
+    "user). Emitted only for full 7-row frames. The slope is a ratio "
+    "of exact integers, so it rounds half-away in INTEGER micro-units "
+    "(sign-split (2a+b) div 2b) — never a float round; int64 holds "
+    "while day-index * daily-micro-value sums stay under ~1e14 "
+    "(substitute DECIMAL accumulators past that).",
 )
 def window_rolling_ols_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale shape: one daily rollup (map-side combined), one per-user
@@ -1001,16 +1009,28 @@ def window_rolling_ols_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("sxy"),
         F.sum(F.col("x") * F.col("x")).over(w).alias("sxx"),
     )
-    nd = F.col("n").cast("double")
-    slope = (
-        (nd * F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col("sy").cast("double"))
-        / F.nullif(
-            nd * F.col("sxx").cast("double")
-            - F.col("sx").cast("double") * F.col("sx").cast("double"),
-            F.lit(0.0),
-        )
-        / F.lit(1000000.0)
+    d = f.filter(F.col("n") == 7).select(
+        "user_id",
+        "day",
+        (F.col("n") * F.col("sxy")).cast("bigint").alias("num0"),
+        F.nullif(
+            F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"), F.lit(0)
+        ).alias("den"),
+        (F.col("sx") * F.col("sy")).alias("xy0"),
+    ).select(
+        "user_id",
+        "day",
+        (F.col("num0") - F.col("xy0")).alias("num"),
+        "den",
     )
-    return f.filter(F.col("n") == 7).select(
-        "user_id", "day", F.round(slope, 6).alias("slope_per_day")
+    # the slope IS a ratio of exact integers: round in integer
+    # micro-units ((2a+b) div 2b, sign-split for negatives) — Spark's
+    # round(double, 6) rounds the shortest decimal repr and flipped a
+    # 6-dp boundary row at sf0.1 (the quality_linear_score lesson)
+    micro = F.when(
+        F.col("num") >= 0,
+        F.expr("(2 * num + den) div (2 * den)"),
+    ).otherwise(-F.expr("(2 * (-num) + den) div (2 * den)"))
+    return d.select(
+        "user_id", "day", (micro.cast("double") / F.lit(1000000.0)).alias("slope_per_day")
     )
