@@ -169,6 +169,9 @@ HEADLINE = [
     "graph_hits_scores",
     "events_markov_stationary",
     "agg_theil_index",
+    # round 6 fourth wave: the evaluation-metrics layer
+    "eval_langid_classification_report",
+    "eval_retrieval_ndcg",
 ]
 
 

@@ -101,8 +101,9 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # sample_coreset_kcenter, agg_mutual_information, text_zipf_slope,
 # window_rolling_ols_slope, sample_neyman_allocation,
 # stream_drift_chi_square, text_burstiness, graph_hits_scores,
-# events_markov_stationary, agg_theil_index. That is 44 oracled
-# candidates for r7's 40 slots (the overflow carries to
+# events_markov_stationary, agg_theil_index,
+# eval_langid_classification_report, eval_retrieval_ndcg. That is 46
+# oracled candidates for r7's 40 slots (the overflow carries to
 # r8 with the r7 additions). The 4 rows-only
 # (agg_approx_top_k, text_compression_ratio, similarity_ann_pq,
 # multimodal_audio_spectral — each irreducibly engine-specific with a

@@ -961,3 +961,123 @@ def graph_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+@register(
+    "eval_retrieval_ndcg",
+    oracle=f"""
+    WITH tok AS ({_TOK}),
+    c1 AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS tf1
+        FROM tok WHERE term = 'spark' GROUP BY doc_id
+    ),
+    c2 AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS tf2
+        FROM tok WHERE term = 'vector' GROUP BY doc_id
+    ),
+    pool AS (
+        SELECT c1.doc_id, c1.tf1,
+               CAST(LEAST(COALESCE(c2.tf2, 0), 3) AS BIGINT) AS rel
+        FROM c1 LEFT JOIN c2 USING (doc_id)
+    ),
+    ranked AS (
+        SELECT doc_id, rel,
+               CAST(ROW_NUMBER() OVER (ORDER BY tf1 DESC, doc_id) AS BIGINT) AS rk
+        FROM pool
+    ),
+    ideal AS (
+        SELECT rel,
+               CAST(ROW_NUMBER() OVER (ORDER BY rel DESC, doc_id) AS BIGINT) AS rk
+        FROM pool
+    ),
+    dcg AS (
+        SELECT SUM(CAST(ROUND(
+                   CAST((1 << rel) - 1 AS DOUBLE) * CAST(0.6931471805599453 AS DOUBLE) / ln(CAST(rk AS DOUBLE) + 1.0),
+                   9) AS DECIMAL(18,9))) AS v
+        FROM ranked WHERE rk <= 10
+    ),
+    idcg AS (
+        SELECT SUM(CAST(ROUND(
+                   CAST((1 << rel) - 1 AS DOUBLE) * CAST(0.6931471805599453 AS DOUBLE) / ln(CAST(rk AS DOUBLE) + 1.0),
+                   9) AS DECIMAL(18,9))) AS v
+        FROM ideal WHERE rk <= 10
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM pool) AS pool_size,
+           ROUND(CAST((SELECT v FROM dcg) AS DOUBLE), 6) AS dcg_at_10,
+           ROUND(CAST((SELECT v FROM idcg) AS DOUBLE), 6) AS idcg_at_10,
+           ROUND(CAST((SELECT v FROM dcg) AS DOUBLE)
+                 / NULLIF(CAST((SELECT v FROM idcg) AS DOUBLE), 0.0), 6)
+               AS ndcg_at_10
+    """,
+    doc="nDCG@10 retrieval evaluation: documents matching the query term "
+    "('spark') rank by its term frequency, graded relevance comes from "
+    "an independent signal (capped tf of 'vector'), and the exponential-"
+    "gain DCG is compared to the ideal ordering of the same candidate "
+    "pool — the ranking-metrics layer that evaluates BM25/RRF changes "
+    "before shipping them. Gains (2^rel - 1) and both orderings are "
+    "exact integers with doc_id tie-breaks; each gain/log2(rank+1) term "
+    "is one identical double op sequence (gain * ln2 / ln(rk+1)) rounded "
+    "to 9 dp and DECIMAL-summed.",
+)
+def eval_retrieval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: two filtered term-count aggregates, a pool-sized
+    left join, two distributed top-10s — the metric never touches
+    the corpus beyond the postings of the two terms."""
+    from pyspark.sql.window import Window
+
+    d = load_fixture(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        F.explode(F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).alias(
+            "term"
+        ),
+    )
+    c1 = tok.filter(F.col("term") == "spark").groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf1")
+    )
+    c2 = tok.filter(F.col("term") == "vector").groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf2")
+    )
+    pool = c1.join(c2, "doc_id", "left").select(
+        "doc_id",
+        "tf1",
+        F.least(F.coalesce("tf2", F.lit(0)), F.lit(3)).cast("bigint").alias("rel"),
+    )
+    ranked = pool.select(
+        "rel",
+        F.row_number()
+        .over(Window.orderBy(F.col("tf1").desc(), "doc_id"))
+        .cast("bigint")
+        .alias("rk"),
+    )
+    ideal = pool.select(
+        "rel",
+        F.row_number()
+        .over(Window.orderBy(F.col("rel").desc(), "doc_id"))
+        .cast("bigint")
+        .alias("rk"),
+    )
+    gain = F.expr("cast((1 << cast(rel as int)) - 1 as double)")
+    # ln(2) rides both plans as the same decimal literal (never computed:
+    # JVM vs libm ln could differ a ulp); ln(rk+1) has identical integer
+    # args on both engines
+    term = F.round(
+        gain * F.lit(0.6931471805599453) / F.log(F.col("rk").cast("double") + F.lit(1.0)),
+        9,
+    ).cast("decimal(18,9)")
+    dcg = ranked.filter(F.col("rk") <= 10).agg(F.sum(term).alias("v"))
+    idcg = ideal.filter(F.col("rk") <= 10).agg(F.sum(term).alias("v"))
+    n = pool.agg(F.count(F.lit(1)).cast("bigint").alias("pool_size"))
+    return (
+        n.crossJoin(F.broadcast(dcg.withColumnRenamed("v", "d")))
+        .crossJoin(F.broadcast(idcg.withColumnRenamed("v", "i")))
+        .select(
+            "pool_size",
+            F.round(F.col("d").cast("double"), 6).alias("dcg_at_10"),
+            F.round(F.col("i").cast("double"), 6).alias("idcg_at_10"),
+            F.round(
+                F.col("d").cast("double") / F.nullif(F.col("i").cast("double"), F.lit(0.0)),
+                6,
+            ).alias("ndcg_at_10"),
+        )
+    )

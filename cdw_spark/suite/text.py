@@ -1095,3 +1095,105 @@ def text_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("present").alias("n_docs_present"),
         F.round(vmr, 6).alias("burstiness"),
     )
+
+
+@register(
+    "eval_langid_classification_report",
+    oracle=f"""
+    WITH pred AS (
+        SELECT lang AS label, {_lang_case_sql()} AS guess FROM documents
+    ),
+    classes AS (
+        SELECT label AS cls FROM pred UNION SELECT guess FROM pred
+    ),
+    sup AS (SELECT label AS cls, CAST(COUNT(*) AS BIGINT) AS n FROM pred GROUP BY label),
+    prd AS (SELECT guess AS cls, CAST(COUNT(*) AS BIGINT) AS p FROM pred GROUP BY guess),
+    tp AS (
+        SELECT label AS cls, CAST(COUNT(*) AS BIGINT) AS tp
+        FROM pred WHERE label = guess GROUP BY label
+    ),
+    j AS (
+        SELECT c.cls, COALESCE(s.n, 0) AS n, COALESCE(p.p, 0) AS p,
+               COALESCE(t.tp, 0) AS tp
+        FROM classes c
+        LEFT JOIN sup s ON s.cls = c.cls
+        LEFT JOIN prd p ON p.cls = c.cls
+        LEFT JOIN tp t ON t.cls = c.cls
+    )
+    SELECT cls AS lang, n AS support, p AS predicted, tp,
+           CAST((2 * tp * 1000000 + NULLIF(p, 0)) // (2 * NULLIF(p, 0))
+                AS DOUBLE) / 1000000.0 AS precision_,
+           CAST((2 * tp * 1000000 + NULLIF(n, 0)) // (2 * NULLIF(n, 0))
+                AS DOUBLE) / 1000000.0 AS recall_,
+           CAST((2 * (2 * tp) * 1000000 + NULLIF(n + p, 0))
+                // (2 * NULLIF(n + p, 0)) AS DOUBLE) / 1000000.0 AS f1
+    FROM j
+    """,
+    doc="Per-class classification report (support, predictions, TP, "
+    "precision, recall, F1) of the marker-stopword language-ID "
+    "heuristic against the dataset label — the evaluation-metrics "
+    "layer a curation pipeline runs on every heuristic classifier "
+    "before trusting its filters. All three metrics are ratios of "
+    "exact integer counts and round half-away in INTEGER micro-units "
+    "(F1 via the 2tp/(n+p) identity — no float harmonic mean); absent "
+    "denominators yield NULL on both engines.",
+)
+def eval_langid_classification_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: one scan scoring the classifier in-plan, three
+    |classes|-row aggregates, a |classes|-row join — the confusion
+    matrix never materializes beyond its margins."""
+    d = load_fixture(spark, sf_dir, "documents")
+    pred = d.select(
+        F.col("lang").alias("label"), lang_guess(F.col("text")).alias("guess")
+    )
+    classes = (
+        pred.select(F.col("label").alias("cls"))
+        .union(pred.select(F.col("guess").alias("cls")))
+        .distinct()
+    )
+    sup = pred.groupBy(F.col("label").alias("cls")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    prd = pred.groupBy(F.col("guess").alias("cls")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("p")
+    )
+    tp = (
+        pred.filter(F.col("label") == F.col("guess"))
+        .groupBy(F.col("label").alias("cls"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tp"))
+    )
+    j = (
+        classes.join(sup, "cls", "left")
+        .join(prd, "cls", "left")
+        .join(tp, "cls", "left")
+        .select(
+            "cls",
+            F.coalesce("n", F.lit(0)).alias("n"),
+            F.coalesce("p", F.lit(0)).alias("p"),
+            F.coalesce("tp", F.lit(0)).alias("tp"),
+        )
+    )
+    return j.select(
+        F.col("cls").alias("lang"),
+        F.col("n").alias("support"),
+        F.col("p").alias("predicted"),
+        "tp",
+        (
+            F.expr("(2 * tp * 1000000 + nullif(p, 0)) div (2 * nullif(p, 0))")
+            .cast("double")
+            / F.lit(1000000.0)
+        ).alias("precision_"),
+        (
+            F.expr("(2 * tp * 1000000 + nullif(n, 0)) div (2 * nullif(n, 0))")
+            .cast("double")
+            / F.lit(1000000.0)
+        ).alias("recall_"),
+        (
+            F.expr(
+                "(2 * (2 * tp) * 1000000 + nullif(n + p, 0))"
+                " div (2 * nullif(n + p, 0))"
+            )
+            .cast("double")
+            / F.lit(1000000.0)
+        ).alias("f1"),
+    )

@@ -543,3 +543,58 @@ def test_theil_index_matches_python(spark, sf_dir):
     assert row["n_customers"] == n
     assert abs(row["theil_t"] - theil) < 1e-4
     assert row["theil_t"] >= 0
+
+
+def test_classification_report_matches_python(spark, sf_dir):
+    rows = {
+        r["lang"]: r
+        for r in SPECS["eval_langid_classification_report"].fn(spark, sf_dir).collect()
+    }
+    from collections import Counter
+
+    from cdw_spark.functions.text import lang_guess  # noqa: F401 (spark impl)
+
+    pred = SPECS["text_langid"].fn(spark, sf_dir).collect()
+    sup = Counter(r["labeled_lang"] for r in pred)
+    prd = Counter(r["lang_guess"] for r in pred)
+    tp = Counter(
+        r["labeled_lang"] for r in pred if r["labeled_lang"] == r["lang_guess"]
+    )
+    for cls in set(sup) | set(prd):
+        g = rows[cls]
+        n, p, t = sup.get(cls, 0), prd.get(cls, 0), tp.get(cls, 0)
+        assert (g["support"], g["predicted"], g["tp"]) == (n, p, t)
+        if p:
+            assert abs(g["precision_"] - t / p) < 1e-6
+        else:
+            assert g["precision_"] is None
+        if n:
+            assert abs(g["recall_"] - t / n) < 1e-6
+        if n + p:
+            assert abs(g["f1"] - 2 * t / (n + p)) < 1e-6
+
+
+def test_ndcg_matches_python(spark, sf_dir):
+    import re
+    from collections import Counter
+
+    row = SPECS["eval_retrieval_ndcg"].fn(spark, sf_dir).collect()[0]
+    tf1, tf2 = Counter(), Counter()
+    for r in load_fixture(spark, sf_dir, "documents").select("doc_id", "text").collect():
+        toks = re.findall(r"[a-z0-9]+", r["text"].lower())
+        tf1[r["doc_id"]] += toks.count("spark")
+        tf2[r["doc_id"]] += toks.count("vector")
+    pool = [(d, c, min(tf2.get(d, 0), 3)) for d, c in tf1.items() if c > 0]
+    assert row["pool_size"] == len(pool)
+
+    def dcg(rels):
+        return sum(
+            (2**rel - 1) / math.log2(i + 2) for i, rel in enumerate(rels[:10])
+        )
+
+    ranked = [rel for _, _, rel in sorted(pool, key=lambda t: (-t[1], t[0]))]
+    ideal = [rel for _, _, rel in sorted(pool, key=lambda t: (-t[2], t[0]))]
+    assert abs(row["dcg_at_10"] - dcg(ranked)) < 1e-4
+    assert abs(row["idcg_at_10"] - dcg(ideal)) < 1e-4
+    assert abs(row["ndcg_at_10"] - dcg(ranked) / dcg(ideal)) < 1e-4
+    assert 0.0 <= row["ndcg_at_10"] <= 1.0
