@@ -598,3 +598,29 @@ def test_ndcg_matches_python(spark, sf_dir):
     assert abs(row["idcg_at_10"] - dcg(ideal)) < 1e-4
     assert abs(row["ndcg_at_10"] - dcg(ranked) / dcg(ideal)) < 1e-4
     assert 0.0 <= row["ndcg_at_10"] <= 1.0
+
+
+def test_round6_time_ops_non_utc_session_parity(spark, sf_dir):
+    """The round-6 operators that cast or order by event timestamps
+    (rolling OLS casts ts -> date; ACF / Mann-Kendall / Markov order by
+    ts; the drift monitor buckets hour(ts)) must still match their
+    oracles under a NON-UTC session timezone — load_fixture pins the
+    session to UTC at read time, and this is the probe that fails if a
+    new query ever reads timestamps outside that path (the round-5
+    sessionizer lesson)."""
+    from cdw_spark.compare import compare_frames
+
+    s2 = spark.newSession()
+    s2.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        for name in (
+            "window_rolling_ols_slope",
+            "timeseries_autocorr_lag1",
+            "timeseries_mann_kendall",
+            "events_markov_stationary",
+        ):
+            spec = SPECS[name]
+            res = compare_frames(name, spec.fn(s2, sf_dir), spec.oracle, sf_dir)
+            assert res.ok, f"{name}: {res}"
+    finally:
+        s2.conf.unset("spark.sql.session.timeZone")
