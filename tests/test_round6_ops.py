@@ -624,3 +624,36 @@ def test_round6_time_ops_non_utc_session_parity(spark, sf_dir):
             assert res.ok, f"{name}: {res}"
     finally:
         s2.conf.unset("spark.sql.session.timeZone")
+
+
+def test_ivfpq_pruned_recall_measured(spark, sf_dir):
+    """The registered nprobe=2-of-4 configuration is an approximation —
+    its recall against brute force is MEASURED, never assumed (the
+    similarity-family convention). At sf0.01 the measured mean
+    recall@10 over the 5 probes is 0.86 (per-probe [1.0, 1.0, 0.9,
+    0.9, 0.5]); assert a floor with headroom so fixture regeneration
+    noise doesn't flake, and a per-probe sanity floor that catches a
+    broken router outright."""
+    from cdw_spark.operators.similarity import ivfpq_topk
+
+    e = load_fixture(spark, sf_dir, "embeddings")
+    got = ivfpq_topk(
+        e.filter(F.col("vec_id") < 5), e, k=10, nlist=4, nprobe=2, iters=2
+    ).collect()
+    vecs = {
+        r["vec_id"]: [round(x * 16) for x in r["embedding"]] for r in e.collect()
+    }
+    recalls = []
+    for pid in range(5):
+        pv = vecs[pid]
+        exact = sorted(
+            (sum((a - b) ** 2 for a, b in zip(pv, cv)), cid)
+            for cid, cv in vecs.items()
+            if cid != pid
+        )[:10]
+        exact_ids = {cid for _, cid in exact}
+        approx_ids = {r["cand_id"] for r in got if r["probe_id"] == pid}
+        assert len(approx_ids) == 10
+        recalls.append(len(exact_ids & approx_ids) / 10)
+    assert sum(recalls) / len(recalls) >= 0.7, recalls
+    assert min(recalls) >= 0.3, recalls
