@@ -194,9 +194,16 @@ def hits_scores(
     plus a 1-value max reduce; raw sums stay inside int64 up to ~1e10
     edge-contributions per node — substitute DECIMAL accumulators past
     that."""
+    if iters < 1:
+        raise ValueError(f"hits_scores needs iters >= 1, got {iters}")
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).localCheckpoint(
         eager=True
     )
+    if e.isEmpty():
+        raise ValueError(
+            "hits_scores needs a non-empty edge set (max-normalization is "
+            "undefined on zero edges)"
+        )
     h = (
         e.select(F.col("src").alias("node"))
         .distinct()

@@ -72,43 +72,23 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # batch time-window twins, and the tokenize/chunk/pack assembly ops.
 # Everything not listed keeps its registration order after the window and
 # stays covered by tests/test_oracle_contract.py's local differential sweep.
-# r6 window (this round): same ten family anchors; the forty rotated
-# slots follow VERDICT r5 #1's priority order — the round-5 conversions
-# and new operators first (streaming ingest/sessionize, BPE train+apply,
-# the multimodal oracled hashes, the HLL pair), then dedup_simhash's
-# first oracled grade (its only driver row is a stale round-1 no_oracle
-# check that predates the round-5 value oracle), then the round-5
-# second-wave operators, then the oldest oracled r2/r3 tail in
-# registration order. Cumulative driver evidence after r5: 179 unique
-# queries graded, 176 green at latest grading.
+# r7 window (this round): same ten family anchors; the forty rotated
+# slots drain the round-6 queue in its stated priority order — the 22
+# round-6 additions first (newest, least proven: the stats-test family,
+# IVF-PQ, the audio VAD, the drift/burstiness/HITS/Markov/Theil wave and
+# the two eval metrics), then the oldest never-graded tail in
+# registration order (knn_label_vote .. global_shuffle_rank).
+# Cumulative driver evidence after r6: 218 unique queries graded, all
+# green at their latest grading (CORRECTNESS_r06 = 50/50).
 #
-# Never-graded after this window: 28 (24 oracled + 4 rows-only). r7
-# queue, in registration order: knn_label_vote,
-# embedding_pca_top_component, window_first_last_nth,
-# timeseries_gapfill_locf, the stream_* batch twins
-# (stream_stream_left/full_outer_join, stream_foreachbatch_upsert,
-# stream_ohlc_resample), quality_repetition, sample_hash_split,
-# sample_stratified, profile_columns, layout_zorder, outlier_zscore,
-# mix_sources_weighted, curriculum_phases, embedding_quantize_int8,
-# global_shuffle_rank, incremental_agg_merge, sample_class_balanced,
+# Never-graded after this window: 6 oracled carried to r8
+# (incremental_agg_merge, sample_class_balanced,
 # quantile_rank_normalize, batch_by_length, select_token_budget,
-# corpus_mix_entropy — plus the ten round-6 additions (newest, least
-# proven, so they go FIRST in the r7 window): agg_mann_whitney_u,
-# agg_chi_square_independence, agg_spearman_rho, tcloseness_audit,
-# mix_temperature_sampling, multimodal_audio_vad,
-# timeseries_autocorr_lag1, similarity_ann_ivfpq,
-# timeseries_mann_kendall, agg_ks_two_sample,
-# sample_coreset_kcenter, agg_mutual_information, text_zipf_slope,
-# window_rolling_ols_slope, sample_neyman_allocation,
-# stream_drift_chi_square, text_burstiness, graph_hits_scores,
-# events_markov_stationary, agg_theil_index,
-# eval_langid_classification_report, eval_retrieval_ndcg. That is 46
-# oracled candidates for r7's 40 slots (the overflow carries to
-# r8 with the r7 additions). The 4 rows-only
+# corpus_mix_entropy) plus whatever round 7 adds, plus the 4 rows-only
 # (agg_approx_top_k, text_compression_ratio, similarity_ann_pq,
 # multimodal_audio_spectral — each irreducibly engine-specific with a
-# measured reason) never burn window slots.
-_WINDOW_ROUND = 6  # the round this window was authored FOR — meta-tests
+# measured reason) which never burn window slots.
+_WINDOW_ROUND = 7  # the round this window was authored FOR — meta-tests
 # treat CORRECTNESS records from rounds >= this as the window's own
 # grade, not prior evidence (VERDICT r4 #3's self-invalidation fix).
 _DRIVER_WINDOW: tuple[str, ...] = (
@@ -123,52 +103,49 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "similarity_ann_lsh",    # similarity / ANN
     "dedup_minhash_lsh",     # deduplication
     "curation_pipeline",     # curation / dataset ops
-    # --- rotated in (r6): the round-5 conversions and additions first —
-    # they are the least-proven (VERDICT r5 priority order) ---
-    "stream_semantic_ingest",
-    "similarity_ivf_incremental",
-    "stream_stateful_sessionize",
-    "stream_near_dup_ingest",
-    "tokenizer_bpe_merges",
-    "tokenizer_bpe_apply",
-    "multimodal_features",
-    "multimodal_image_near_dup",
-    "multimodal_video_shots",
-    "multimodal_image_phash_near_dup",
-    "agg_hll_mergeable",
-    "sketch_hll_set_overlap",
-    # dedup_simhash carries a stale round-1 no_oracle row but has had a
-    # full value oracle since round 5 — this is its first oracled grade
-    "dedup_simhash",
-    "sample_split_leakage_safe",
-    "sample_negative_pairs",
-    # --- the round-5 second-wave operators ---
-    "graph_label_propagation",
-    "sketch_bloom_filter_join",
-    "sketch_kmv_distinct",
-    "dedup_ngram_prefix_filter",
-    "agg_trimmed_mean",
-    "agg_weighted_median",
-    "text_feature_hashing",
-    "window_gaps_islands",
-    "dq_benford_audit",
-    "ldiversity_audit",
-    "sample_time_holdout",
-    "embedding_class_separation",
-    "agg_skew_kurtosis",
-    "stream_kmv_cardinality",
-    "graph_kcore_peel",
-    "dp_noisy_counts",
-    "events_cumulative_distinct",
-    "agg_gini_concentration",
-    "text_rake_keyphrases",
-    # --- oldest oracled r2/r3 tail, registration order ---
-    "fuzzy_levenshtein_match",
-    "text_bigram_topk",
-    "text_char_entropy",
-    "text_collapse_repeats",
-    "similarity_ann_lsh_wide",
-    "embedding_random_projection",
+    # --- rotated in (r7): the 22 round-6 additions first — newest,
+    # least proven (queue order authored at the r6 close) ---
+    "agg_mann_whitney_u",
+    "agg_chi_square_independence",
+    "agg_spearman_rho",
+    "tcloseness_audit",
+    "mix_temperature_sampling",
+    "multimodal_audio_vad",
+    "timeseries_autocorr_lag1",
+    "similarity_ann_ivfpq",
+    "timeseries_mann_kendall",
+    "agg_ks_two_sample",
+    "sample_coreset_kcenter",
+    "agg_mutual_information",
+    "text_zipf_slope",
+    "window_rolling_ols_slope",
+    "sample_neyman_allocation",
+    "stream_drift_chi_square",
+    "text_burstiness",
+    "graph_hits_scores",
+    "events_markov_stationary",
+    "agg_theil_index",
+    "eval_langid_classification_report",
+    "eval_retrieval_ndcg",
+    # --- oldest never-graded tail, registration order ---
+    "knn_label_vote",
+    "embedding_pca_top_component",
+    "window_first_last_nth",
+    "timeseries_gapfill_locf",
+    "stream_stream_left_outer_join",
+    "stream_foreachbatch_upsert",
+    "stream_stream_full_outer_join",
+    "stream_ohlc_resample",
+    "quality_repetition",
+    "sample_hash_split",
+    "sample_stratified",
+    "profile_columns",
+    "layout_zorder",
+    "outlier_zscore",
+    "mix_sources_weighted",
+    "curriculum_phases",
+    "embedding_quantize_int8",
+    "global_shuffle_rank",
 )
 
 

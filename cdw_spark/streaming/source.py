@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import itertools
 import os
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -40,6 +41,11 @@ def stage_ordered_files(
     """
     from ..catalog import load_fixture
 
+    # Engine semantic (SURVEY.md §4): timestamp arithmetic is UTC.
+    # load_fixture pins the session TZ, but only runs on a staging cache
+    # MISS — pin unconditionally so a caller-built non-UTC session gets
+    # the same hour()/window() semantics on the cache-hit path too.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     key = f"{sf_dir.strip('/').replace('/', '_')}__{table}__{n_files}"
     if order_col != "ts":
         key += f"__{order_col}"
@@ -129,4 +135,21 @@ def run_available_now(sdf: DataFrame, name: str, output_mode: str) -> DataFrame:
         q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+        # the memory sink holds the result; the checkpoint is throwaway
+        shutil.rmtree(chk, ignore_errors=True)
     return spark.table(qname)
+
+
+def finish_replay(result: DataFrame, root: str) -> DataFrame:
+    """Materialize a bounded replay's result OFF its scratch root, then
+    remove the root (persisted state + checkpoint dirs).
+
+    foreachBatch replays persist state as parquet under a mkdtemp root;
+    the returned DataFrame must not lazily reference those files after
+    cleanup, so it is localCheckpoint'ed (executor-block storage) first.
+    Production deployments keep the state/checkpoint dirs — exactly-once
+    resume depends on them; throwaway replays must not leak one scratch
+    directory per invocation (ADVICE r6)."""
+    out = result.localCheckpoint(eager=True)
+    shutil.rmtree(root, ignore_errors=True)
+    return out

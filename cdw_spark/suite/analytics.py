@@ -3230,7 +3230,8 @@ def timeseries_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM cum c CROSS JOIN tot t
     )
     SELECT n1 AS n_f, n2 AS n_o,
-           CAST((2 * dnum * 1000000 + n1 * n2) // (2 * n1 * n2) AS BIGINT)
+           CAST((2 * CAST(dnum AS HUGEINT) * 1000000 + CAST(n1 AS HUGEINT) * n2)
+                // (2 * CAST(n1 AS HUGEINT) * n2) AS BIGINT)
                AS d_micro,
            ROUND(sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
                       / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)))
@@ -3243,7 +3244,11 @@ def timeseries_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
     "open order totals: D = max|F1 - F2| over the pooled distinct "
     "values, computed as the EXACT integer max of |c1*n2 - c2*n1| over "
     "the common denominator n1*n2 and reported half-away-rounded in "
-    "integer micro-units (d_micro) so no float boundary exists; the "
+    "integer micro-units (d_micro) so no float boundary exists. The "
+    "micro-rounding numerator 2*dnum*1e6 would wrap int64 past "
+    "n1*n2 > ~4.6e12 (dnum is bounded by n1*n2), so it runs in "
+    "DECIMAL(38,0) on Spark and HUGEINT on DuckDB — headroom to "
+    "n1*n2 ~ 5e31, far past any per-group row count. The "
     "sqrt(n1*n2/(n1+n2))*D normalization runs in one identical double "
     "op sequence per engine. The companion location test is "
     "agg_mann_whitney_u; KS is the shape-sensitive one.",
@@ -3285,7 +3290,13 @@ def agg_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n1").alias("n_f"),
         F.col("n2").alias("n_o"),
         F.expr(
-            "CAST((2 * dnum * 1000000 + n1 * n2) div (2 * n1 * n2) AS BIGINT)"
+            # 2*dnum*1e6 wraps int64 past n1*n2 ~ 4.6e12 under Spark's
+            # non-ANSI arithmetic — DECIMAL(38,0) operands keep the
+            # micro-round exact to n1*n2 ~ 5e31 (div on decimals
+            # truncates to BIGINT, same as DuckDB HUGEINT // ).
+            "CAST((2 * CAST(dnum AS DECIMAL(38,0)) * 1000000"
+            " + CAST(n1 AS DECIMAL(38,0)) * n2)"
+            " div (2 * CAST(n1 AS DECIMAL(38,0)) * n2) AS BIGINT)"
         ).alias("d_micro"),
         F.round(
             F.sqrt(n1d * n2d / (n1d + n2d)) * F.col("dnum").cast("double")

@@ -2681,7 +2681,14 @@ def sample_coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("_id"),
         F.expr("transform(embedding, x -> cast(round(x * 16) as int))").alias("qv"),
     ).localCheckpoint(eager=True)
-    seed = q.filter(F.col("_id") == 0).select("_id", "qv").collect()[0]
+    seed_rows = q.filter(F.col("_id") == 0).select("_id", "qv").collect()
+    if not seed_rows:
+        raise ValueError(
+            "sample_coreset_kcenter seed contract: the corpus must contain "
+            "vec_id 0 (the deterministic lowest-id seed); no such row in "
+            f"{sf_dir} — same loud-failure convention as the kmeans trainer"
+        )
+    seed = seed_rows[0]
     selected = [(int(seed["_id"]), [int(v) for v in seed["qv"]])]
     out = [(0, selected[0][0], 0)]
     for r in range(1, k):

@@ -637,7 +637,7 @@ def stream_near_dup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     from ..operators import dedup as dedup_ops
-    from ..streaming.source import table_stream
+    from ..streaming.source import finish_replay, table_stream
 
     root = tempfile.mkdtemp(prefix="cdw_stream_neardup_")
     corpus_dir = os.path.join(root, "corpus")
@@ -675,7 +675,7 @@ def stream_near_dup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination(240)
-    return spark.read.parquet(pairs_dir)
+    return finish_replay(spark.read.parquet(pairs_dir), root)
 
 
 from ..operators.similarity import signature_oracle_sql as _strm_sig_sql
@@ -729,7 +729,7 @@ def stream_semantic_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         to_double_array,
         with_signature,
     )
-    from ..streaming.source import table_stream
+    from ..streaming.source import finish_replay, table_stream
 
     dim = 64
     root = tempfile.mkdtemp(prefix="cdw_stream_semdedup_")
@@ -795,7 +795,7 @@ def stream_semantic_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination(240)
-    return spark.read.parquet(out_dir)
+    return finish_replay(spark.read.parquet(out_dir), root)
 
 
 from .search import _KMV_K as _KMV_STREAM_K
@@ -834,7 +834,7 @@ def stream_kmv_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
     from pyspark.sql.window import Window
 
-    from ..streaming.source import table_stream
+    from ..streaming.source import finish_replay, table_stream
 
     root = tempfile.mkdtemp(prefix="cdw_stream_kmv_")
     syn_dir = os.path.join(root, "synopsis")
@@ -873,7 +873,7 @@ def stream_kmv_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination(240)
-    syn = spark.read.parquet(syn_dir)
+    syn = finish_replay(spark.read.parquet(syn_dir), root)
     kept = syn.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("k_actual"), F.max("h").alias("h_k")
     )
@@ -934,7 +934,7 @@ def stream_drift_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import tempfile
 
-    from ..streaming.source import table_stream
+    from ..streaming.source import finish_replay, table_stream
 
     root = tempfile.mkdtemp(prefix="cdw_stream_chi2_")
     state_dir = os.path.join(root, "contingency")
@@ -965,7 +965,9 @@ def stream_drift_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination(240)
-    o = spark.read.parquet(state_dir).withColumnRenamed("cnt", "obs")
+    o = finish_replay(spark.read.parquet(state_dir), root).withColumnRenamed(
+        "cnt", "obs"
+    )
     rt = o.groupBy("event_type").agg(F.sum("obs").cast("bigint").alias("r"))
     ct = o.groupBy("tod").agg(F.sum("obs").cast("bigint").alias("c"))
     tot = o.agg(F.sum("obs").cast("bigint").alias("n"))

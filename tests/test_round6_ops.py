@@ -607,7 +607,10 @@ def test_round6_time_ops_non_utc_session_parity(spark, sf_dir):
     oracles under a NON-UTC session timezone — load_fixture pins the
     session to UTC at read time, and this is the probe that fails if a
     new query ever reads timestamps outside that path (the round-5
-    sessionizer lesson)."""
+    sessionizer lesson). stream_drift_chi_square is included (ADVICE
+    r6): its hour(ts) bucketing runs inside foreachBatch over STAGED
+    files, where the UTC pin comes from stage_ordered_files — which
+    this probe exercises on the staging cache-hit path."""
     from cdw_spark.compare import compare_frames
 
     s2 = spark.newSession()
@@ -618,6 +621,7 @@ def test_round6_time_ops_non_utc_session_parity(spark, sf_dir):
             "timeseries_autocorr_lag1",
             "timeseries_mann_kendall",
             "events_markov_stationary",
+            "stream_drift_chi_square",
         ):
             spec = SPECS[name]
             res = compare_frames(name, spec.fn(s2, sf_dir), spec.oracle, sf_dir)
