@@ -3547,3 +3547,179 @@ def agg_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("t").cast("double"), 6).alias("theil_t"),
         )
     )
+
+
+# Abramowitz & Stegun 7.1.26 complementary-CDF tail: the two-sided normal
+# p-value 2*(1-Phi(|z|)) collapses to poly(t)*exp(-z^2/2-ish form) via
+# p = erfc(|z|/sqrt(2)) — ONE fixed double op sequence stated identically
+# in both engines (the ks_z convention), then rounded to 9 dp DECIMAL so
+# a 1-ulp libm exp() divergence cannot flip the BH threshold comparison.
+_BH_P_SQL = (
+    "(0.254829592 * {t} - 0.284496736 * {t} * {t}"
+    " + 1.421413741 * {t} * {t} * {t}"
+    " - 1.453152027 * {t} * {t} * {t} * {t}"
+    " + 1.061405429 * {t} * {t} * {t} * {t} * {t}) * exp(-({x}) * ({x}))"
+)
+
+
+@register(
+    "agg_benjamini_hochberg",
+    oracle=f"""
+    WITH vals AS (
+        SELECT o_orderpriority AS grp, o_totalprice AS v,
+               CAST(COUNT(*) AS BIGINT) AS c,
+               CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS cf
+        FROM orders
+        WHERE o_orderstatus IN ('F', 'O')
+        GROUP BY o_orderpriority, o_totalprice
+    ),
+    ranked AS (
+        SELECT grp, c, cf,
+               2 * SUM(c) OVER (PARTITION BY grp ORDER BY v
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) - c + 1 AS dr2
+        FROM vals
+    ),
+    s AS (
+        SELECT grp,
+               CAST(SUM(cf) AS BIGINT) AS n1,
+               CAST(SUM(c - cf) AS BIGINT) AS n2,
+               CAST(SUM(cf * dr2) AS DECIMAL(38,0)) AS r1x2,
+               CAST(SUM(c * c * c - c) AS DECIMAL(38,0)) AS tie3
+        FROM ranked GROUP BY grp
+    ),
+    z AS (
+        SELECT grp, n1, n2,
+               ((CAST(r1x2 AS DOUBLE) - CAST(n1 AS DOUBLE)
+                 * (CAST(n1 AS DOUBLE) + 1.0)) / 2.0
+                - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 2.0)
+               / sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0
+                      * ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) + 1.0)
+                         - CAST(tie3 AS DOUBLE)
+                           / ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
+                              * (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)
+                                 - 1.0)))) AS zval
+        FROM s
+    ),
+    p AS (
+        SELECT grp, n1, n2, zval,
+               CAST(ROUND(
+                   {_BH_P_SQL.format(
+                       t="(1.0 / (1.0 + 0.3275911 * (abs(zval) / sqrt(2.0))))",
+                       x="(abs(zval) / sqrt(2.0))",
+                   )}, 9) AS DECIMAL(18,9)) AS p9
+        FROM z
+    ),
+    rnk AS (
+        SELECT grp, n1, n2, zval, p9,
+               CAST(ROW_NUMBER() OVER (ORDER BY p9, grp) AS BIGINT) AS i,
+               CAST(COUNT(*) OVER () AS BIGINT) AS m
+        FROM p
+    ),
+    kmax AS (
+        SELECT COALESCE(MAX(CASE WHEN CAST(p9 * 1000000000 AS BIGINT) * 20 * m
+                                      <= i * 1000000000
+                                 THEN i END), 0) AS k
+        FROM rnk
+    )
+    SELECT grp AS priority, n1 AS n_f, n2 AS n_o,
+           ROUND(zval, 6) AS z_score,
+           CAST(p9 AS DOUBLE) AS p_value,
+           i AS p_rank,
+           CAST(CASE WHEN i <= k.k THEN 1 ELSE 0 END AS INTEGER) AS rejected
+    FROM rnk CROSS JOIN kmax k
+    """,
+    doc="Benjamini-Hochberg FDR correction (alpha = 0.05) over the "
+    "per-priority family of Mann-Whitney drift tests (finished vs open "
+    "order totals within each o_orderpriority) — the multiple-testing "
+    "control a monitoring pipeline MUST apply when it runs one drift "
+    "test per segment (5 segments at p<0.05 each ~ 23% family-wise "
+    "false alarm uncorrected). Rank machinery is the exact "
+    "agg_mann_whitney_u integers per group; the normal tail converts "
+    "to p via the A&S 7.1.26 erfc polynomial in ONE identical double "
+    "sequence per engine, rounded to 9 dp DECIMAL; the BH step-up "
+    "comparison p_(i) <= i*alpha/m then runs in EXACT integers "
+    "(p_nano * 20 * m <= i * 1e9), so the reject set cannot differ by "
+    "a float boundary.",
+)
+def agg_benjamini_hochberg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: one groupBy on (group, value) distinct pairs, one
+    per-group ordered window over distinct values, a |groups|-row rank
+    + single-row step-up reduce — the family size m is |groups|, never
+    row-scale."""
+    from pyspark.sql.window import Window
+
+    o = load_fixture(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus").isin("F", "O")
+    )
+    vals = o.groupBy(
+        F.col("o_orderpriority").alias("grp"), F.col("o_totalprice").alias("v")
+    ).agg(
+        F.count(F.lit(1)).alias("c"),
+        F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)).alias("cf"),
+    )
+    cum = F.sum("c").over(
+        Window.partitionBy("grp")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = vals.select(
+        "grp", "c", "cf", (F.lit(2) * cum - F.col("c") + F.lit(1)).alias("dr2")
+    )
+    s = ranked.groupBy("grp").agg(
+        F.sum("cf").cast("bigint").alias("n1"),
+        F.sum(F.col("c") - F.col("cf")).cast("bigint").alias("n2"),
+        F.sum(F.col("cf") * F.col("dr2")).cast("decimal(38,0)").alias("r1x2"),
+        F.sum(F.col("c") * F.col("c") * F.col("c") - F.col("c"))
+        .cast("decimal(38,0)")
+        .alias("tie3"),
+    )
+    n1d = F.col("n1").cast("double")
+    n2d = F.col("n2").cast("double")
+    nd = n1d + n2d
+    u_f = (F.col("r1x2").cast("double") - n1d * (n1d + F.lit(1.0))) / F.lit(2.0)
+    sigma = F.sqrt(
+        n1d * n2d / F.lit(12.0)
+        * ((nd + F.lit(1.0)) - F.col("tie3").cast("double") / (nd * (nd - F.lit(1.0))))
+    )
+    z = s.select(
+        "grp", "n1", "n2",
+        ((u_f - n1d * n2d / F.lit(2.0)) / sigma).alias("zval"),
+    )
+    x = "(abs(zval) / sqrt(2.0))"
+    t = f"(1.0 / (1.0 + 0.3275911 * {x}))"
+    p = z.select(
+        "grp", "n1", "n2", "zval",
+        F.expr(
+            "CAST(ROUND(" + _BH_P_SQL.format(t=t, x=x) + ", 9) AS DECIMAL(18,9))"
+        ).alias("p9"),
+    )
+    rnk = p.select(
+        "grp", "n1", "n2", "zval", "p9",
+        F.row_number().over(Window.orderBy("p9", "grp")).cast("bigint").alias("i"),
+        F.count(F.lit(1)).over(Window.partitionBy()).cast("bigint").alias("m"),
+    )
+    kmax = rnk.agg(
+        F.coalesce(
+            F.max(
+                F.when(
+                    F.expr(
+                        "CAST(p9 * 1000000000 AS BIGINT) * 20 * m"
+                        " <= i * 1000000000"
+                    ),
+                    F.col("i"),
+                )
+            ),
+            F.lit(0),
+        ).alias("k")
+    )
+    return rnk.crossJoin(F.broadcast(kmax)).select(
+        F.col("grp").alias("priority"),
+        F.col("n1").alias("n_f"),
+        F.col("n2").alias("n_o"),
+        F.round("zval", 6).alias("z_score"),
+        F.col("p9").cast("double").alias("p_value"),
+        F.col("i").alias("p_rank"),
+        F.when(F.col("i") <= F.col("k"), 1).otherwise(0).cast("int").alias("rejected"),
+    )

@@ -2824,3 +2824,187 @@ def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("alloc_docs"),
     )
+
+
+@register(
+    "sample_subsample_ci",
+    oracle="""
+    WITH h AS (
+        SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+               CAST((strpos('0123456789abcdef', substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1)) - 1) * 4096
+                  + (strpos('0123456789abcdef', substr(md5(CAST(o_orderkey AS VARCHAR)), 2, 1)) - 1) * 256
+                  + (strpos('0123456789abcdef', substr(md5(CAST(o_orderkey AS VARCHAR)), 3, 1)) - 1) * 16
+                  + (strpos('0123456789abcdef', substr(md5(CAST(o_orderkey AS VARCHAR)), 4, 1)) - 1)
+                 AS INTEGER) % 20 AS bucket
+        FROM orders
+    ),
+    b AS (
+        SELECT bucket,
+               CAST((2 * CAST(SUM(cents) AS HUGEINT) * 10000 + COUNT(*))
+                    // (2 * COUNT(*)) AS BIGINT) AS mean_micro
+        FROM h GROUP BY bucket
+    ),
+    s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS nb,
+               CAST(SUM(mean_micro) AS HUGEINT) AS s1,
+               CAST(SUM(CAST(mean_micro AS HUGEINT) * mean_micro) AS HUGEINT) AS s2
+        FROM b
+    )
+    SELECT nb AS n_buckets,
+           ROUND(CAST(s1 AS DOUBLE) / nb / 1000000.0, 6) AS mean_of_means,
+           ROUND(sqrt((CAST(s2 AS DOUBLE)
+                       - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                         / CAST(nb AS DOUBLE))
+                      / (CAST(nb AS DOUBLE) - 1.0)
+                      / CAST(nb AS DOUBLE)) / 1000000.0, 6) AS std_error,
+           ROUND(CAST(s1 AS DOUBLE) / nb / 1000000.0
+                 - CAST(1.96 AS DOUBLE)
+                   * sqrt((CAST(s2 AS DOUBLE)
+                           - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                             / CAST(nb AS DOUBLE))
+                          / (CAST(nb AS DOUBLE) - 1.0)
+                          / CAST(nb AS DOUBLE)) / 1000000.0, 6) AS ci_lo,
+           ROUND(CAST(s1 AS DOUBLE) / nb / 1000000.0
+                 + CAST(1.96 AS DOUBLE)
+                   * sqrt((CAST(s2 AS DOUBLE)
+                           - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                             / CAST(nb AS DOUBLE))
+                          / (CAST(nb AS DOUBLE) - 1.0)
+                          / CAST(nb AS DOUBLE)) / 1000000.0, 6) AS ci_hi
+    FROM s
+    """,
+    doc="Subsample confidence interval for mean order value: rows hash "
+    "into B=20 DISJOINT md5 buckets (the sample_hash_split idiom — "
+    "engine- and partitioning-independent, unlike bootstrap resampling "
+    "which needs RNG state), each bucket's mean is an independent "
+    "estimate, and the spread of bucket means gives a normal-theory "
+    "95% CI for the grand mean — the cheap-uncertainty pattern a "
+    "profiling pipeline attaches to every headline statistic. Bucket "
+    "means round half-away to EXACT integer micro-dollars (DECIMAL "
+    "cents, HUGEINT/DECIMAL(38,0) products), their first two moments "
+    "accumulate exactly, and doubles appear only in the final 1-row "
+    "projection with one identical op sequence per engine.",
+)
+def sample_subsample_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: one scan with an in-plan hash bucket, one 20-row
+    aggregate, one 1-row reduce — no shuffle beyond the 20-key groupBy;
+    the CI quality improves with rows at fixed state."""
+    o = load_fixture(spark, sf_dir, "orders")
+    h = o.select(
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+        (
+            F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 4), 16, 10)
+            .cast("int")
+            % 20
+        ).alias("bucket"),
+    )
+    b = h.groupBy("bucket").agg(
+        F.expr(
+            "CAST((2 * CAST(SUM(cents) AS DECIMAL(38,0)) * 10000 + COUNT(*))"
+            " div (2 * COUNT(*)) AS BIGINT)"
+        ).alias("mean_micro")
+    )
+    s = b.agg(
+        F.count(F.lit(1)).cast("bigint").alias("nb"),
+        F.sum("mean_micro").cast("decimal(38,0)").alias("s1"),
+        F.sum(F.col("mean_micro").cast("decimal(38,0)") * F.col("mean_micro"))
+        .cast("decimal(38,0)")
+        .alias("s2"),
+    )
+    nbd = F.col("nb").cast("double")
+    s1d = F.col("s1").cast("double")
+    s2d = F.col("s2").cast("double")
+    mean = s1d / F.col("nb") / F.lit(1000000.0)
+    se = (
+        F.sqrt((s2d - s1d * s1d / nbd) / (nbd - F.lit(1.0)) / nbd)
+        / F.lit(1000000.0)
+    )
+    return s.select(
+        F.col("nb").alias("n_buckets"),
+        F.round(mean, 6).alias("mean_of_means"),
+        F.round(se, 6).alias("std_error"),
+        F.round(mean - F.lit(1.96) * se, 6).alias("ci_lo"),
+        F.round(mean + F.lit(1.96) * se, 6).alias("ci_hi"),
+    )
+
+
+def _hilbert_step_exprs(s: int) -> tuple[str, str, str]:
+    """One xy2d Hilbert iteration (bit plane ``s``) as portable SQL over
+    columns (x, y, d): quadrant digit via CASE (no engine-specific XOR),
+    then the Gray-code rotate/flip. Identical text runs on Spark and
+    DuckDB, so the curve index is exact-integer-equal by construction."""
+    quad = (
+        f"(CASE WHEN (x & {s}) > 0 AND (y & {s}) > 0 THEN 2 "
+        f"WHEN (x & {s}) > 0 THEN 3 "
+        f"WHEN (y & {s}) > 0 THEN 1 ELSE 0 END)"
+    )
+    x_new = (
+        f"CASE WHEN (y & {s}) > 0 THEN x "
+        f"WHEN (x & {s}) > 0 THEN {s - 1} - (y % {s}) "
+        f"ELSE (y % {s}) END"
+    )
+    y_new = (
+        f"CASE WHEN (y & {s}) > 0 THEN y "
+        f"WHEN (x & {s}) > 0 THEN {s - 1} - (x % {s}) "
+        f"ELSE (x % {s}) END"
+    )
+    d_new = f"d + CAST({s} AS BIGINT) * {s} * {quad}"
+    return x_new, y_new, d_new
+
+
+_HILBERT_BITS = 10
+
+
+@register(
+    "layout_hilbert_order",
+    oracle=(
+        "WITH it0 AS (SELECT l_orderkey AS order_key, l_linenumber AS line_number, "
+        "l_partkey % 1024 AS x, l_suppkey % 1024 AS y, CAST(0 AS BIGINT) AS d "
+        "FROM lineitem)"
+        + "".join(
+            ", it{n} AS (SELECT order_key, line_number, ({xe}) AS x, ({ye}) AS y, ({de}) AS d FROM it{p})".format(
+                n=i + 1,
+                p=i,
+                xe=_hilbert_step_exprs(1 << (_HILBERT_BITS - 1 - i))[0],
+                ye=_hilbert_step_exprs(1 << (_HILBERT_BITS - 1 - i))[1],
+                de=_hilbert_step_exprs(1 << (_HILBERT_BITS - 1 - i))[2],
+            )
+            for i in range(_HILBERT_BITS)
+        )
+        + f" SELECT order_key, line_number, d AS hval FROM it{_HILBERT_BITS}"
+    ),
+    doc="Hilbert-curve clustering key over (part, supplier) on the same "
+    "1024x1024 grid as layout_zorder — the locality-preserving layout "
+    "big table formats use for multi-column data skipping (the Hilbert "
+    "curve has no Z-order 'seams': consecutive curve positions are "
+    "always grid-adjacent, so range-partitioned files carry strictly "
+    "tighter min/max boxes; measured vs zorder in tests/test_curate). "
+    "The xy2d walk unrolls to 10 pure-integer CASE iterations from ONE "
+    "shared SQL generator (_hilbert_step_exprs) stated identically to "
+    "both engines; the x%s / y%s masking makes each iteration's state "
+    "independent of already-consumed high bits.",
+)
+def layout_hilbert_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: a pure per-row integer map — no shuffle at all; the
+    downstream repartitionByRange(hval) write is the only exchange,
+    exactly as layout_zorder."""
+    li = load_fixture(spark, sf_dir, "lineitem")
+    cur = li.selectExpr(
+        "l_orderkey AS order_key",
+        "l_linenumber AS line_number",
+        "l_partkey % 1024 AS x",
+        "l_suppkey % 1024 AS y",
+        "CAST(0 AS BIGINT) AS d",
+    )
+    for i in range(_HILBERT_BITS):
+        xe, ye, de = _hilbert_step_exprs(1 << (_HILBERT_BITS - 1 - i))
+        cur = cur.selectExpr(
+            "order_key",
+            "line_number",
+            f"({xe}) AS x",
+            f"({ye}) AS y",
+            f"({de}) AS d",
+        )
+    return cur.selectExpr("order_key", "line_number", "d AS hval")

@@ -1197,3 +1197,237 @@ def eval_langid_classification_report(spark: SparkSession, sf_dir: str) -> DataF
             / F.lit(1000000.0)
         ).alias("f1"),
     )
+
+
+@register(
+    "eval_binary_auc",
+    oracle="""
+    WITH vals AS (
+        SELECT n_chars AS v, CAST(COUNT(*) AS BIGINT) AS c,
+               CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS cp
+        FROM documents GROUP BY n_chars
+    ),
+    ranked AS (
+        SELECT c, cp,
+               2 * SUM(c) OVER (ORDER BY v
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) - c + 1 AS dr2
+        FROM vals
+    ),
+    s AS (
+        SELECT CAST(SUM(cp) AS HUGEINT) AS n1,
+               CAST(SUM(c - cp) AS HUGEINT) AS n0,
+               CAST(SUM(cp * dr2) AS HUGEINT) AS r1x2
+        FROM ranked
+    )
+    SELECT CAST(n1 AS BIGINT) AS n_pos, CAST(n0 AS BIGINT) AS n_neg,
+           CAST(CAST((2 * (r1x2 - n1 * (n1 + 1)) * 1000000 + 2 * n1 * n0)
+                     // (4 * n1 * n0) AS BIGINT) AS DOUBLE) / 1000000.0 AS auc
+    FROM s
+    """,
+    doc="ROC AUC of document length (n_chars) as a predictor of lang = "
+    "'en' — the threshold-free ranking metric a curation pipeline "
+    "computes for every scoring heuristic before picking a filter "
+    "cutoff (companion to eval_langid_classification_report's "
+    "thresholded view). Computed EXACTLY via the rank-sum identity "
+    "AUC = (R1 - n1(n1+1)/2) / (n1*n0) with average tie ranks carried "
+    "as DOUBLED integers (the agg_mann_whitney_u machinery — AUC and "
+    "U are the same statistic rescaled), half-away-rounded in integer "
+    "micro-units under DECIMAL(38,0)/HUGEINT operands (the "
+    "agg_ks_two_sample overflow treatment), so no float enters until "
+    "the final display division.",
+)
+def eval_binary_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: one groupBy on the score column (distinct values,
+    not rows), one ordered window over that much smaller relation
+    (two-level prefix-sum rank at 100 TB — the global_shuffle_rank
+    pattern), then a single-row reduce."""
+    from pyspark.sql.window import Window
+
+    d = load_fixture(spark, sf_dir, "documents")
+    vals = d.groupBy(F.col("n_chars").alias("v")).agg(
+        F.count(F.lit(1)).alias("c"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("cp"),
+    )
+    cum = F.sum("c").over(
+        Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = vals.select(
+        "c", "cp", (F.lit(2) * cum - F.col("c") + F.lit(1)).alias("dr2")
+    )
+    s = ranked.agg(
+        F.sum("cp").cast("decimal(38,0)").alias("n1"),
+        F.sum(F.col("c") - F.col("cp")).cast("decimal(38,0)").alias("n0"),
+        F.sum(F.col("cp") * F.col("dr2")).cast("decimal(38,0)").alias("r1x2"),
+    )
+    return s.select(
+        F.col("n1").cast("bigint").alias("n_pos"),
+        F.col("n0").cast("bigint").alias("n_neg"),
+        (
+            F.expr(
+                "CAST((2 * (r1x2 - n1 * (n1 + 1)) * 1000000 + 2 * n1 * n0)"
+                " div (4 * n1 * n0) AS BIGINT)"
+            ).cast("double")
+            / F.lit(1000000.0)
+        ).alias("auc"),
+    )
+
+
+@register(
+    "agg_cohens_kappa",
+    oracle=f"""
+    WITH pred AS (
+        SELECT lang AS label, {_lang_case_sql()} AS guess FROM documents
+    ),
+    n AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n FROM pred),
+    tp AS (SELECT CAST(COUNT(*) AS HUGEINT) AS agree FROM pred WHERE label = guess),
+    pe AS (
+        SELECT CAST(SUM(s.nc * p.pc) AS HUGEINT) AS pe_num
+        FROM (SELECT label AS cls, CAST(COUNT(*) AS HUGEINT) AS nc
+              FROM pred GROUP BY label) s
+        JOIN (SELECT guess AS cls, CAST(COUNT(*) AS HUGEINT) AS pc
+              FROM pred GROUP BY guess) p USING (cls)
+    )
+    SELECT CAST(n AS BIGINT) AS n_docs,
+           CAST(CAST((2 * agree * 1000000 + n) // (2 * n) AS BIGINT) AS DOUBLE)
+               / 1000000.0 AS p_observed,
+           CAST(CAST((2 * pe_num * 1000000 + n * n) // (2 * n * n) AS BIGINT)
+                AS DOUBLE) / 1000000.0 AS p_expected,
+           CAST(CAST((2 * (n * agree - pe_num) * 1000000 + (n * n - pe_num))
+                     // (2 * (n * n - pe_num)) AS BIGINT) AS DOUBLE)
+               / 1000000.0 AS kappa
+    FROM n CROSS JOIN tp CROSS JOIN pe
+    """,
+    doc="Cohen's kappa agreement between the marker-stopword language-ID "
+    "heuristic and the dataset label — chance-corrected agreement, the "
+    "metric that separates a classifier from the majority-class prior "
+    "(accuracy alone rewards guessing 'en' on an English-heavy "
+    "corpus). kappa = (n*agree - sum(n_c*p_c)) / (n^2 - sum(n_c*p_c)) "
+    "is a ratio of EXACT integer confusion-margin products, so all "
+    "three reported rates round half-away in integer micro-units "
+    "under DECIMAL(38,0)/HUGEINT operands; only classes present on "
+    "both margins contribute to chance agreement (inner join).",
+)
+def agg_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: one scan scoring the classifier in-plan, two
+    |classes|-row margin aggregates joined |classes|-row, three 1-row
+    reduces — the confusion matrix never materializes."""
+    d = load_fixture(spark, sf_dir, "documents")
+    pred = d.select(
+        F.col("lang").alias("label"), lang_guess(F.col("text")).alias("guess")
+    )
+    n = pred.agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("n"))
+    tp = pred.filter(F.col("label") == F.col("guess")).agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("agree")
+    )
+    s = pred.groupBy(F.col("label").alias("cls")).agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("nc")
+    )
+    p = pred.groupBy(F.col("guess").alias("cls")).agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("pc")
+    )
+    pe = (
+        s.join(p, "cls")
+        .agg(F.sum(F.col("nc") * F.col("pc")).cast("decimal(38,0)").alias("pe_num"))
+    )
+    j = n.crossJoin(tp).crossJoin(pe)
+    return j.select(
+        F.col("n").cast("bigint").alias("n_docs"),
+        (
+            F.expr("CAST((2 * agree * 1000000 + n) div (2 * n) AS BIGINT)")
+            .cast("double")
+            / F.lit(1000000.0)
+        ).alias("p_observed"),
+        (
+            F.expr("CAST((2 * pe_num * 1000000 + n * n) div (2 * n * n) AS BIGINT)")
+            .cast("double")
+            / F.lit(1000000.0)
+        ).alias("p_expected"),
+        (
+            F.expr(
+                "CAST((2 * (n * agree - pe_num) * 1000000 + (n * n - pe_num))"
+                " div (2 * (n * n - pe_num)) AS BIGINT)"
+            ).cast("double")
+            / F.lit(1000000.0)
+        ).alias("kappa"),
+    )
+
+
+@register(
+    "quality_ttr_lexical_diversity",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+        FROM documents
+    ),
+    wc AS (
+        SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS c
+        FROM tok WHERE w <> '' GROUP BY doc_id, w
+    ),
+    s AS (
+        SELECT doc_id,
+               CAST(SUM(c) AS BIGINT) AS n,
+               CAST(COUNT(*) AS BIGINT) AS types,
+               CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+               CAST(SUM(c * (c - 1)) AS BIGINT) AS rep2
+        FROM wc GROUP BY doc_id
+    )
+    SELECT doc_id, n AS n_tokens, types AS n_types, hapax AS n_hapax,
+           CAST((2 * types * 1000000 + n) // (2 * n) AS DOUBLE) / 1000000.0 AS ttr,
+           CAST((2 * hapax * 1000000 + n) // (2 * n) AS DOUBLE) / 1000000.0
+               AS hapax_ratio,
+           CAST((2 * rep2 * 1000000 + NULLIF(n * (n - 1), 0))
+                // (2 * NULLIF(n * (n - 1), 0)) AS DOUBLE) / 1000000.0
+               AS simpson_repeat
+    FROM s
+    """,
+    doc="Lexical diversity per document: type-token ratio, hapax-"
+    "legomenon ratio, and the Simpson repeat index sum c(c-1)/(n(n-1)) "
+    "(the probability two random tokens are the same type — low "
+    "diversity = high repeat) — the vocabulary-richness screens a "
+    "curation pipeline runs next to quality_repetition's n-gram view. "
+    "All three are ratios of exact integer token-count moments, "
+    "half-away-rounded in integer micro-units; single-token docs get "
+    "NULL Simpson on both engines via NULLIF.",
+)
+def quality_ttr_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: one (doc, word) count aggregate, one per-doc moment
+    aggregate — both map-side-combining groupBys keyed by doc; no
+    window, no global sort."""
+    d = load_fixture(spark, sf_dir, "documents")
+    wc = (
+        d.select(
+            "doc_id",
+            F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("w"),
+        )
+        .filter(F.col("w") != "")
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    s = wc.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("types"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).cast("bigint").alias("hapax"),
+        F.sum(F.col("c") * (F.col("c") - 1)).cast("bigint").alias("rep2"),
+    )
+    return s.select(
+        "doc_id",
+        F.col("n").alias("n_tokens"),
+        F.col("types").alias("n_types"),
+        F.col("hapax").alias("n_hapax"),
+        (
+            F.expr("(2 * types * 1000000 + n) div (2 * n)").cast("double")
+            / F.lit(1000000.0)
+        ).alias("ttr"),
+        (
+            F.expr("(2 * hapax * 1000000 + n) div (2 * n)").cast("double")
+            / F.lit(1000000.0)
+        ).alias("hapax_ratio"),
+        (
+            F.expr(
+                "(2 * rep2 * 1000000 + nullif(n * (n - 1), 0))"
+                " div (2 * nullif(n * (n - 1), 0))"
+            ).cast("double")
+            / F.lit(1000000.0)
+        ).alias("simpson_repeat"),
+    )

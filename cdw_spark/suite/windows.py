@@ -1034,3 +1034,158 @@ def window_rolling_ols_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "user_id", "day", (micro.cast("double") / F.lit(1000000.0)).alias("slope_per_day")
     )
+
+
+@register(
+    "timeseries_realized_volatility",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, CAST(value AS DOUBLE) AS v,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events WHERE event_type = 'purchase' AND value > 0
+    ),
+    lr AS (
+        SELECT user_id,
+               CAST(ROUND(ln(v), 9) AS DECIMAL(18,9))
+               - CAST(ROUND(ln(LAG(v) OVER (PARTITION BY user_id ORDER BY rn)),
+                            9) AS DECIMAL(18,9)) AS r
+        FROM seq
+    )
+    SELECT user_id,
+           CAST(COUNT(r) AS BIGINT) AS n_returns,
+           ROUND(CAST(SUM(r * r) AS DOUBLE), 6) AS realized_var,
+           ROUND(sqrt(CAST(SUM(r * r) AS DOUBLE)), 6) AS realized_vol
+    FROM lr
+    WHERE r IS NOT NULL
+    GROUP BY user_id
+    """,
+    doc="Realized volatility per user over purchase-value log returns: "
+    "r_t = ln(v_t) - ln(v_(t-1)) on the ts-ordered sequence, realized "
+    "variance = sum r^2, vol = sqrt. Float discipline: each ln() is "
+    "rounded to 9 dp DECIMAL(18,9) BEFORE the difference (exact "
+    "decimal subtraction), squares and the sum stay DECIMAL-exact and "
+    "order-independent; doubles appear only in the final per-user "
+    "projection with one identical op sequence per engine.",
+)
+def timeseries_realized_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: one per-user window sort for the lag, one map-side-
+    combining per-user aggregate — the standard sessionized-sequence
+    budget; no global sort."""
+    ev = (
+        load_fixture(spark, sf_dir, "events")
+        .filter((F.col("event_type") == "purchase") & (F.col("value") > 0))
+    )
+    seq = ev.select(
+        "user_id",
+        F.col("value").cast("double").alias("v"),
+        F.row_number()
+        .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("rn"),
+    )
+    lnr = F.round(F.log(F.col("v")), 9).cast("decimal(18,9)")
+    prev = F.lag(F.col("v")).over(Window.partitionBy("user_id").orderBy("rn"))
+    lr = seq.select(
+        "user_id",
+        (lnr - F.round(F.log(prev), 9).cast("decimal(18,9)")).alias("r"),
+    ).filter(F.col("r").isNotNull())
+    return lr.groupBy("user_id").agg(
+        F.count("r").cast("bigint").alias("n_returns"),
+        F.round(F.sum(F.col("r") * F.col("r")).cast("double"), 6).alias(
+            "realized_var"
+        ),
+        F.round(F.sqrt(F.sum(F.col("r") * F.col("r")).cast("double")), 6).alias(
+            "realized_vol"
+        ),
+    )
+
+
+@register(
+    "timeseries_hampel_outliers",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_id, CAST(value AS DOUBLE) AS v,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events WHERE event_type = 'purchase'
+    ),
+    win AS (
+        SELECT user_id, event_id, v,
+               list_sort(list(v) OVER (PARTITION BY user_id ORDER BY rn
+                                       ROWS BETWEEN 3 PRECEDING
+                                       AND 3 FOLLOWING)) AS arr,
+               COUNT(*) OVER (PARTITION BY user_id ORDER BY rn
+                              ROWS BETWEEN 3 PRECEDING
+                              AND 3 FOLLOWING) AS cnt
+        FROM seq
+    ),
+    med AS (
+        SELECT user_id, event_id, v, arr[4] AS med
+        FROM win WHERE cnt = 7
+    ),
+    mad AS (
+        SELECT m.user_id, m.event_id, m.v, m.med,
+               list_sort(list_transform(w.arr, x -> abs(x - m.med)))[4] AS mad
+        FROM med m JOIN win w
+          ON w.user_id = m.user_id AND w.event_id = m.event_id
+    )
+    SELECT user_id, event_id,
+           ROUND(v, 6) AS value, ROUND(med, 6) AS med, ROUND(mad, 6) AS mad,
+           CAST(CASE WHEN abs(v - med) > 3.0 * mad THEN 1 ELSE 0 END
+                AS INTEGER) AS is_outlier
+    FROM mad
+    """,
+    doc="Hampel filter outlier detection per user over purchase values: "
+    "rolling 7-point window (3 preceding / 3 following, FULL windows "
+    "only), center judged against the window MEDIAN with threshold "
+    "3 * MAD (median absolute deviation) — the robust despiking filter "
+    "that, unlike z-scores, one spike cannot inflate its own "
+    "threshold. Median and MAD are ELEMENTS of the data (array-sort + "
+    "index-4 of 7, no interpolation, no arithmetic beyond exact IEEE "
+    "abs-difference), so both engines pick bit-identical values and "
+    "the 3*mad comparison cannot sit on a synthetic float boundary.",
+)
+def timeseries_hampel_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: one per-user window sort shared by the collect and
+    count frames; the 7-element arrays are constant-size per row — no
+    per-group full sort, no global pass. At 100 TB the window is the
+    same per-user sessionized sort every sequence op here pays."""
+    ev = load_fixture(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    seq = ev.select(
+        "user_id",
+        "event_id",
+        F.col("value").cast("double").alias("v"),
+        F.row_number()
+        .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("rn"),
+    )
+    frame = (
+        Window.partitionBy("user_id").orderBy("rn").rowsBetween(-3, 3)
+    )
+    win = seq.select(
+        "user_id",
+        "event_id",
+        "v",
+        F.array_sort(F.collect_list("v").over(frame)).alias("arr"),
+        F.count(F.lit(1)).over(frame).alias("cnt"),
+    ).filter(F.col("cnt") == 7)
+    med = win.withColumn("med", F.element_at("arr", 4))
+    mad = med.withColumn(
+        "mad",
+        F.element_at(
+            F.array_sort(F.expr("transform(arr, x -> abs(x - med))")), 4
+        ),
+    )
+    return mad.select(
+        "user_id",
+        "event_id",
+        F.round("v", 6).alias("value"),
+        F.round("med", 6).alias("med"),
+        F.round("mad", 6).alias("mad"),
+        F.when(F.abs(F.col("v") - F.col("med")) > F.lit(3.0) * F.col("mad"), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("is_outlier"),
+    )
