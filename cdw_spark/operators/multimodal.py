@@ -816,3 +816,44 @@ def phash_near_duplicates(
     aHash variant, sturdier fingerprint (low-frequency structure instead
     of per-cell brightness)."""
     return _hamming_chunk_pairs(image_phashes(df, id_col), "phash", max_hamming, id_col)
+
+
+def audio_peak_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    blob_col: str = "audio",
+    frame: int = 32,
+) -> DataFrame:
+    """Shazam-style constellation fingerprints over WAV blobs (Wang 2003,
+    time-domain variant): per ``frame``-sample window, the landmark is
+    the argmax of |sample| (lowest position on ties); adjacent-frame
+    landmark pairs hash as ((p1*frame + p2)*4 + q1)*4 + q2 with the
+    coarse magnitude band q = |peak| div 256 — position-coded, so the
+    fingerprint is invariant to where in the stream the clip sits and
+    robust to small gain offsets (they move q by at most one band).
+    Emits (id, pair_idx, fp) rows; matching is a downstream hash
+    equi-join, never an audio comparison."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, pidx, fps = [], [], []
+            for did, blob in zip(pdf[id_col], pdf[blob_col]):
+                _rate, samples = wav_decode(bytes(blob))
+                peaks = []
+                for fi in range(len(samples) // frame):
+                    fr = samples[fi * frame : (fi + 1) * frame]
+                    p = max(range(frame), key=lambda j: (abs(fr[j]), -j))
+                    peaks.append((p, abs(fr[p]) // 256))
+                for k in range(len(peaks) - 1):
+                    (p1, q1), (p2, q2) = peaks[k], peaks[k + 1]
+                    ids.append(did)
+                    pidx.append(k)
+                    fps.append(((p1 * frame + p2) * 4 + q1) * 4 + q2)
+            yield pd.DataFrame({id_col: ids, "pair_idx": pidx, "fp": fps})
+
+    return df.select(id_col, blob_col).mapInPandas(
+        run, schema=f"{id_col} long, pair_idx int, fp long"
+    )

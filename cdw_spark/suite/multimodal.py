@@ -510,3 +510,99 @@ def multimodal_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_frames"),
         F.sum("energy").cast("bigint").alias("total_energy"),
     ).drop("grp")
+
+
+@register(
+    "multimodal_audio_constellation",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 50 = 1 THEN doc_id - 1 ELSE doc_id END AS base,
+               CASE WHEN doc_id % 50 = 1 THEN 3 ELSE 0 END AS gain
+        FROM documents
+    ),
+    s AS (
+        SELECT doc_id, (blk * 16 + j) // 32 AS fi, (blk * 16 + j) % 32 AS pos,
+               CAST(('0x' || substr(md5('aud:' || base || ':' || blk),
+                                    j * 2 + 1, 2)) AS INTEGER) * 8 - 1020 + gain
+                   AS smp
+        FROM d, UNNEST(range(0, 16)) AS u1(blk), UNNEST(range(0, 16)) AS u2(j)
+    ),
+    pk AS (
+        SELECT doc_id, fi, pos AS p, abs(smp) // 256 AS q FROM (
+            SELECT doc_id, fi, pos, smp,
+                   ROW_NUMBER() OVER (PARTITION BY doc_id, fi
+                                      ORDER BY abs(smp) DESC, pos ASC) AS rn
+            FROM s
+        ) WHERE rn = 1
+    ),
+    fp AS (
+        SELECT DISTINCT a.doc_id,
+               ((a.p * 32 + b.p) * 4 + a.q) * 4 + b.q AS fp
+        FROM pk a JOIN pk b ON b.doc_id = a.doc_id AND b.fi = a.fi + 1
+    )
+    SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM fp x JOIN fp y ON y.fp = x.fp AND x.doc_id < y.doc_id
+    GROUP BY x.doc_id, y.doc_id
+    HAVING COUNT(*) >= 5
+    """,
+    doc="Audio near-duplicate detection by constellation fingerprints "
+    "(Wang 2003 / Shazam, time-domain variant): md5-stream PCM per "
+    "document (doc-specific pseudorandom samples, the synth_ppm image "
+    "idiom) — where doc_id % 50 == 1 replays the PREVIOUS doc's "
+    "audio through a +3 gain offset, planting near-dup pairs that are "
+    "NOT byte-identical — is wav_encode'd, decoded back inside "
+    "Arrow-batched mapInPandas, per-32-sample frames yield argmax-|s| "
+    "landmarks, and adjacent landmark pairs hash into position+band "
+    "fingerprints. Docs sharing >= 5 distinct fingerprints pair up via "
+    "a hash EQUI-JOIN (audio never rides the shuffle — the minhash-LSH "
+    "discipline on the audio modality). Everything is integer "
+    "arithmetic; the oracle restates synth, argmax (ties to lowest "
+    "position), hashing and the match join, so the driver hash checks "
+    "the encode->decode->landmark->join chain end to end. "
+    "operators/multimodal.py:audio_peak_pairs.",
+)
+def multimodal_audio_constellation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: decode + landmarking is a per-document scan with
+    constant memory per Arrow batch; matching is a (doc, fp) equi-join
+    on slim integer rows, a<b dedup, groupBy count — bucketed join
+    shapes at any corpus size."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ..operators.multimodal import audio_peak_pairs, wav_encode
+
+    d = load_fixture(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            blobs = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                base = did - 1 if did % 50 == 1 else did
+                gain = 3 if did % 50 == 1 else 0
+                samples = []
+                for blk in range(16):
+                    hx = hashlib.md5(f"aud:{base}:{blk}".encode()).hexdigest()
+                    samples.extend(
+                        int(hx[j * 2 : j * 2 + 2], 16) * 8 - 1020 + gain
+                        for j in range(16)
+                    )
+                blobs.append(wav_encode(samples, 8000))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "audio": blobs})
+
+    with_audio = d.mapInPandas(synth, schema="doc_id long, audio binary")
+    fp = audio_peak_pairs(with_audio, frame=32).select("doc_id", "fp").distinct()
+    a = fp.select(F.col("doc_id").alias("id_a"), "fp")
+    b = fp.select(F.col("doc_id").alias("id_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+        .filter(F.col("n_shared") >= 5)
+    )

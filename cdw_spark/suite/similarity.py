@@ -356,7 +356,7 @@ _KNN_EDGES_CTE = f"""
              AND bit_count(xor(p.sig::BIGINT, c.sig::BIGINT)) <= 3
         ) WHERE rank <= 3
     ),
-    edges AS (
+    edges AS MATERIALIZED (
         SELECT DISTINCT LEAST(a, b) AS a, GREATEST(a, b) AS b FROM knn
     )"""
 
@@ -1037,4 +1037,205 @@ def similarity_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_fixture(spark, sf_dir, "embeddings")
     return ivfpq_topk(
         e.filter(F.col("vec_id") < 5), e, k=10, nlist=4, nprobe=2, iters=2, dim=_DIM
+    )
+
+
+@register(
+    "graph_clustering_coefficient",
+    oracle=_KNN_EDGES_CTE + """,
+    adj AS (SELECT a AS n, b AS m FROM edges UNION ALL SELECT b AS n, a AS m FROM edges),
+    deg AS (SELECT n, CAST(COUNT(*) AS BIGINT) AS deg FROM adj GROUP BY n),
+    tri AS MATERIALIZED (
+        SELECT e1.a, e1.b, e2.b AS c
+        FROM edges e1
+        JOIN edges e2 ON e2.a = e1.b
+        JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    tn AS (
+        SELECT n, CAST(COUNT(*) AS BIGINT) AS t FROM (
+            SELECT a AS n FROM tri
+            UNION ALL SELECT b AS n FROM tri
+            UNION ALL SELECT c AS n FROM tri
+        ) GROUP BY n
+    )
+    SELECT e.vec_id,
+           CAST(COALESCE(d.deg, 0) AS BIGINT) AS deg,
+           CAST(COALESCE(t.t, 0) AS BIGINT) AS n_triangles,
+           CAST(CAST((4 * COALESCE(t.t, 0) * 1000000
+                      + NULLIF(COALESCE(d.deg, 0) * (COALESCE(d.deg, 0) - 1), 0))
+                     // (2 * NULLIF(COALESCE(d.deg, 0) * (COALESCE(d.deg, 0) - 1), 0))
+                AS BIGINT) AS DOUBLE) / 1000000.0 AS clustering_coeff
+    FROM e
+    LEFT JOIN deg d ON d.n = e.vec_id
+    LEFT JOIN tn t ON t.n = e.vec_id
+    """,
+    doc="Local clustering coefficient per node (Watts & Strogatz 1998: "
+    "2T(v) / (deg(v)*(deg(v)-1))) over the SAME hash-checked "
+    "approximate 3-NN graph as graph_knn_triangles — the per-node "
+    "community-density score that turns the global triangle count into "
+    "a rankable cluster signal (high coefficient = the neighborhood is "
+    "a semantic clique; SemDeDup's cluster prior, node-resolved). "
+    "Triangle credit fans out from the ordered a<b<c enumeration (each "
+    "triangle counts once per member), the coefficient is a ratio of "
+    "exact integers half-away-rounded in micro-units, and deg<2 nodes "
+    "get NULL via NULLIF on both engines.",
+)
+def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: degree-bounded graph (k=3 before symmetrization), so
+    the two-hop triangle join emits O(|V|*k^2) rows and the per-node
+    credit union is 3x the triangle count — every relation stays
+    O(|V|) whatever the corpus size; one localCheckpoint shares the
+    signature-join build across the four consumers."""
+    emb = load_fixture(spark, sf_dir, "embeddings")
+    edges = _knn_undirected_edges(emb).localCheckpoint(eager=True)
+    adj = edges.select(F.col("a").alias("n"), F.col("b").alias("m")).unionAll(
+        edges.select(F.col("b").alias("n"), F.col("a").alias("m"))
+    )
+    deg = adj.groupBy("n").agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+    e1 = edges
+    e2 = edges.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    e3 = edges.select(F.col("a").alias("_a"), F.col("b").alias("_c"))
+    # tri feeds the 3-way credit union — checkpoint so the two-hop +
+    # closing joins run once, not once per union branch
+    tri = (
+        e1.join(e2, "b")
+        .join(e3, (F.col("a") == F.col("_a")) & (F.col("c") == F.col("_c")))
+        .select("a", "b", "c")
+        .localCheckpoint(eager=True)
+    )
+    tn = (
+        tri.select(F.col("a").alias("n"))
+        .unionAll(tri.select(F.col("b").alias("n")))
+        .unionAll(tri.select(F.col("c").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("t"))
+    )
+    return (
+        emb.select("vec_id")
+        .join(deg, deg["n"] == F.col("vec_id"), "left").drop("n")
+        .join(tn, tn["n"] == F.col("vec_id"), "left").drop("n")
+        .select(
+            "vec_id",
+            F.coalesce("deg", F.lit(0)).cast("bigint").alias("deg"),
+            F.coalesce("t", F.lit(0)).cast("bigint").alias("n_triangles"),
+            (
+                F.expr(
+                    "CAST((4 * coalesce(t, 0) * 1000000"
+                    " + nullif(coalesce(deg, 0) * (coalesce(deg, 0) - 1), 0))"
+                    " div (2 * nullif(coalesce(deg, 0) * (coalesce(deg, 0) - 1), 0))"
+                    " AS BIGINT)"
+                ).cast("double")
+                / F.lit(1000000.0)
+            ).alias("clustering_coeff"),
+        )
+    )
+
+
+def _sql_sq_l2(a: str, b: str, dim: int) -> str:
+    """Unrolled exact squared L2 over integer-quantized coordinate arrays
+    (0-based Spark indexing) — the codegen-friendly _pair_dot_sql shape."""
+    return "(" + " + ".join(
+        f"({a}[{i}]-{b}[{i}])*({a}[{i}]-{b}[{i}])" for i in range(dim)
+    ) + ")"
+
+
+@register(
+    "embedding_matryoshka_recall",
+    oracle="""
+    WITH q AS (
+        SELECT vec_id, [CAST(round(x * 16) AS DOUBLE) FOR x IN embedding] AS qv
+        FROM embeddings
+    ), p AS (
+        SELECT vec_id AS probe_id, qv AS pv FROM q WHERE vec_id < 5
+    ), full_rank AS (
+        SELECT probe_id, cand_id, rank FROM (
+            SELECT p.probe_id, q.vec_id AS cand_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY p.probe_id
+                       ORDER BY list_sum([(p.pv[i] - q.qv[i]) * (p.pv[i] - q.qv[i])
+                                          FOR i IN range(1, 65)]) ASC, q.vec_id
+                   ) AS rank
+            FROM p, q WHERE q.vec_id <> p.probe_id
+        ) WHERE rank <= 10
+    ), pfx_rank AS (
+        SELECT probe_id, cand_id FROM (
+            SELECT p.probe_id, q.vec_id AS cand_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY p.probe_id
+                       ORDER BY list_sum([(p.pv[i] - q.qv[i]) * (p.pv[i] - q.qv[i])
+                                          FOR i IN range(1, 17)]) ASC, q.vec_id
+                   ) AS rank
+            FROM p, q WHERE q.vec_id <> p.probe_id
+        ) WHERE rank <= 10
+    )
+    SELECT f.probe_id,
+           CAST(COUNT(x.cand_id) AS BIGINT) AS n_overlap,
+           CAST(CAST((2 * COUNT(x.cand_id) * 1000000 + 10) // 20 AS BIGINT)
+                AS DOUBLE) / 1000000.0 AS recall_at_10
+    FROM full_rank f
+    LEFT JOIN pfx_rank x
+      ON x.probe_id = f.probe_id AND x.cand_id = f.cand_id
+    GROUP BY f.probe_id
+    """,
+    doc="Matryoshka truncation recall (Kusupati et al. 2022): for each "
+    "probe, exact top-10 by squared L2 on the FULL 64-dim quantized "
+    "vector vs top-10 on the first-16-dim PREFIX — the measurement "
+    "that decides whether a deployment can serve the 4x-cheaper "
+    "truncated index and re-rank with full vectors only for the "
+    "shortlist. Both rankings use exact integer distances (round(x*16) "
+    "coordinates, the similarity_ann_pq_exact grid) with vec_id "
+    "tie-breaks, so overlap and recall@10 are exact integers — the "
+    "recall of the trained IVF-PQ path stays measured-not-oracled in "
+    "tests; THIS op is the oracled truncation twin.",
+)
+def embedding_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: 5 probes broadcast against the corpus scan — the
+    brute-force baseline shape (one scan, two per-probe top-10s via
+    TakeOrdered-style windows over the same scored relation); the
+    prefix distance reuses the same quantized array, no second fetch."""
+    from pyspark.sql.window import Window
+
+    e = load_fixture(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr("transform(embedding, x -> cast(round(x * 16) as double))").alias("qv"),
+    )
+    p = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("probe_id"), F.col("qv").alias("pv")
+    )
+    pairs = (
+        F.broadcast(p)
+        .join(e.withColumnRenamed("vec_id", "cand_id"), F.col("cand_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            "cand_id",
+            F.expr(_sql_sq_l2("pv", "qv", 64)).alias("d_full"),
+            F.expr(_sql_sq_l2("pv", "qv", 16)).alias("d_pfx"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    wf = Window.partitionBy("probe_id").orderBy(F.col("d_full").asc(), "cand_id")
+    wp = Window.partitionBy("probe_id").orderBy(F.col("d_pfx").asc(), "cand_id")
+    full_rank = (
+        pairs.withColumn("rank", F.row_number().over(wf))
+        .filter(F.col("rank") <= 10)
+        .select("probe_id", "cand_id")
+    )
+    pfx_rank = (
+        pairs.withColumn("rank", F.row_number().over(wp))
+        .filter(F.col("rank") <= 10)
+        .select("probe_id", F.col("cand_id").alias("pfx_cand"))
+    )
+    j = full_rank.join(
+        pfx_rank,
+        (pfx_rank["probe_id"] == full_rank["probe_id"])
+        & (pfx_rank["pfx_cand"] == full_rank["cand_id"]),
+        "left",
+    ).select(full_rank["probe_id"].alias("probe_id"), "pfx_cand")
+    return j.groupBy("probe_id").agg(
+        F.count("pfx_cand").cast("bigint").alias("n_overlap"),
+        (
+            F.expr("CAST((2 * count(pfx_cand) * 1000000 + 10) div 20 AS BIGINT)")
+            .cast("double")
+            / F.lit(1000000.0)
+        ).alias("recall_at_10"),
     )
