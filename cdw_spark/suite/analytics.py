@@ -3723,3 +3723,178 @@ def agg_benjamini_hochberg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("i").alias("p_rank"),
         F.when(F.col("i") <= F.col("k"), 1).otherwise(0).cast("int").alias("rejected"),
     )
+
+
+@register(
+    "sample_ab_power_analysis",
+    oracle="""
+    WITH s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))
+                        * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s2
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT n AS n_observed,
+           ROUND(s1 / n, 6) AS mean_value,
+           ROUND(sqrt(s2 / n - (s1 / n) * (s1 / n)), 6) AS sd_value,
+           ROUND(CAST(0.05 AS DOUBLE) * (s1 / n), 6) AS delta_target,
+           CAST(ceil(2.0 * (CAST(1.959964 AS DOUBLE) + CAST(0.841621 AS DOUBLE))
+                         * (CAST(1.959964 AS DOUBLE) + CAST(0.841621 AS DOUBLE))
+                         * (s2 / n - (s1 / n) * (s1 / n))
+                     / ((CAST(0.05 AS DOUBLE) * (s1 / n))
+                        * (CAST(0.05 AS DOUBLE) * (s1 / n)))) AS BIGINT)
+               AS n_per_arm
+    FROM s
+    """,
+    doc="A/B test power analysis from observed purchase-value moments: "
+    "the required per-arm sample size n = 2(z_a/2 + z_b)^2 sigma^2 / "
+    "delta^2 to detect a 5%-of-mean lift at alpha=0.05 / power=0.80 — "
+    "the pre-experiment sizing every ab_test_lift run should be gated "
+    "on (an underpowered test that 'finds nothing' is evidence of "
+    "nothing). Moments accumulate in exact DECIMAL; the z constants "
+    "are decimal-string literals CAST AS DOUBLE on both engines; the "
+    "closed-form runs in one identical double sequence, so even the "
+    "trailing ceil() cannot straddle an engine boundary.",
+)
+def sample_ab_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: one map-side-combined scan to three exact moments,
+    one 1-row projection — no shuffle beyond the single-row reduce."""
+    ev = load_fixture(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    dec = F.col("value").cast("decimal(18,2)")
+    s = ev.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(dec).cast("double").alias("s1"),
+        F.sum(dec * dec).cast("double").alias("s2"),
+    )
+    nd = F.col("n")
+    mean = F.col("s1") / nd
+    var = F.col("s2") / nd - mean * mean
+    delta = F.lit(0.05) * mean
+    z = F.lit(1.959964) + F.lit(0.841621)
+    return s.select(
+        F.col("n").alias("n_observed"),
+        F.round(mean, 6).alias("mean_value"),
+        F.round(F.sqrt(var), 6).alias("sd_value"),
+        F.round(delta, 6).alias("delta_target"),
+        F.ceil(F.lit(2.0) * z * z * var / (delta * delta))
+        .cast("bigint")
+        .alias("n_per_arm"),
+    )
+
+
+@register(
+    "profile_psi_drift",
+    oracle="""
+    WITH v AS (
+        SELECT o_orderstatus AS st,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+        FROM orders WHERE o_orderstatus IN ('F', 'O')
+    ),
+    rng AS (SELECT MIN(c) AS lo, MAX(c) AS hi FROM v),
+    binned AS (
+        SELECT st, ((c - r.lo) * 10) // (r.hi - r.lo + 1) AS bin
+        FROM v CROSS JOIN rng r
+    ),
+    grid AS (
+        SELECT u.bin, s.st
+        FROM UNNEST(range(0, 10)) AS u(bin)
+        CROSS JOIN (SELECT 'F' AS st UNION ALL SELECT 'O') s
+    ),
+    cnt AS (
+        SELECT g.bin, g.st, CAST(COALESCE(b.n, 0) AS BIGINT) AS n
+        FROM grid g LEFT JOIN (
+            SELECT bin, st, COUNT(*) AS n FROM binned GROUP BY bin, st
+        ) b ON b.bin = g.bin AND b.st = g.st
+    ),
+    tot AS (
+        SELECT CAST(SUM(CASE WHEN st = 'F' THEN n END) AS BIGINT) AS nf,
+               CAST(SUM(CASE WHEN st = 'O' THEN n END) AS BIGINT) AS no
+        FROM cnt
+    ),
+    terms AS (
+        SELECT f.bin, f.n AS n_f, o.n AS n_o,
+               CAST(ROUND(
+                   (CAST(f.n + 1 AS DOUBLE) / CAST(t.nf + 10 AS DOUBLE)
+                    - CAST(o.n + 1 AS DOUBLE) / CAST(t.no + 10 AS DOUBLE))
+                   * ln((CAST(f.n + 1 AS DOUBLE) / CAST(t.nf + 10 AS DOUBLE))
+                        / (CAST(o.n + 1 AS DOUBLE) / CAST(t.no + 10 AS DOUBLE))),
+                   9) AS DECIMAL(18,9)) AS term9
+        FROM cnt f JOIN cnt o ON o.bin = f.bin AND f.st = 'F' AND o.st = 'O'
+        CROSS JOIN tot t
+    )
+    SELECT CAST(bin AS INTEGER) AS bin, n_f, n_o,
+           ROUND(CAST(term9 AS DOUBLE), 6) AS psi_term,
+           ROUND(CAST(SUM(term9) OVER () AS DOUBLE), 6) AS psi_total
+    FROM terms
+    """,
+    doc="Population stability index between finished and open order "
+    "totals over 10 equal-width bins — THE monitoring statistic ops "
+    "teams threshold (PSI > 0.2 = action) to decide when a model or "
+    "mix needs retraining; the binned, thresholdable companion to the "
+    "KS/Mann-Whitney tests on the same pair. Bin assignment is EXACT "
+    "integer arithmetic on cents (((c-lo)*10) div (hi-lo+1) — no "
+    "float edge can disagree), empty bins enter via a generated grid "
+    "with Laplace +1 smoothing on both sides, and each (p-q)*ln(p/q) "
+    "term is rounded to 9 dp DECIMAL before the order-independent "
+    "sum (the mutual-information float discipline).",
+)
+def profile_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: one scan to cents + a broadcast 1-row range, one
+    10x2-key groupBy, a 20-row grid join and window — constant-size
+    state regardless of row count."""
+    from pyspark.sql.window import Window
+
+    o = load_fixture(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus").isin("F", "O")
+    )
+    v = o.select(
+        F.col("o_orderstatus").alias("st"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("c"),
+    )
+    rng = v.agg(F.min("c").alias("lo"), F.max("c").alias("hi"))
+    binned = v.crossJoin(F.broadcast(rng)).select(
+        "st",
+        F.expr("((c - lo) * 10) div (hi - lo + 1)").alias("bin"),
+    )
+    counted = binned.groupBy("bin", "st").agg(F.count(F.lit(1)).alias("n"))
+    grid = (
+        load_fixture(spark, sf_dir, "orders")
+        .sparkSession.range(10)
+        .select(F.col("id").alias("bin"))
+        .crossJoin(
+            load_fixture(spark, sf_dir, "orders")
+            .sparkSession.createDataFrame([("F",), ("O",)], "st string")
+        )
+    )
+    cnt = grid.join(counted, ["bin", "st"], "left").select(
+        "bin", "st", F.coalesce("n", F.lit(0)).cast("bigint").alias("n")
+    )
+    tot = cnt.agg(
+        F.sum(F.when(F.col("st") == "F", F.col("n"))).cast("bigint").alias("nf"),
+        F.sum(F.when(F.col("st") == "O", F.col("n"))).cast("bigint").alias("no"),
+    )
+    f = cnt.filter(F.col("st") == "F").select("bin", F.col("n").alias("n_f"))
+    oo = cnt.filter(F.col("st") == "O").select("bin", F.col("n").alias("n_o"))
+    j = f.join(oo, "bin").crossJoin(F.broadcast(tot))
+    pf = (F.col("n_f") + 1).cast("double") / (F.col("nf") + 10).cast("double")
+    po = (F.col("n_o") + 1).cast("double") / (F.col("no") + 10).cast("double")
+    terms = j.select(
+        "bin",
+        "n_f",
+        "n_o",
+        F.round((pf - po) * F.log(pf / po), 9).cast("decimal(18,9)").alias("term9"),
+    )
+    return terms.select(
+        F.col("bin").cast("int").alias("bin"),
+        "n_f",
+        "n_o",
+        F.round(F.col("term9").cast("double"), 6).alias("psi_term"),
+        F.round(
+            F.sum("term9").over(Window.partitionBy()).cast("double"), 6
+        ).alias("psi_total"),
+    )

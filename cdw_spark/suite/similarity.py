@@ -1239,3 +1239,100 @@ def embedding_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(1000000.0)
         ).alias("recall_at_10"),
     )
+
+
+@register(
+    "embedding_centroid_drift",
+    oracle="""
+    WITH q AS (
+        SELECT vec_id % 2 AS half, label,
+               [CAST(round(x * 16) AS BIGINT) FOR x IN embedding] AS qv
+        FROM embeddings
+    ),
+    dims AS (
+        SELECT half, label, i,
+               CAST(SUM(qv[i + 1]) AS DECIMAL(38,0)) AS s,
+               CAST(COUNT(*) AS DECIMAL(38,0)) AS n
+        FROM q, UNNEST(range(0, 64)) AS u(i)
+        GROUP BY half, label, i
+    ),
+    num AS (
+        SELECT a.label,
+               CAST(MAX(a.n) AS BIGINT) AS n_a,
+               CAST(MAX(b.n) AS BIGINT) AS n_b,
+               CAST(SUM((a.s * b.n - b.s * a.n) * (a.s * b.n - b.s * a.n))
+                    AS DECIMAL(38,0)) AS ss,
+               CAST(MAX(a.n * a.n * b.n * b.n) AS DECIMAL(38,0)) AS den
+        FROM dims a JOIN dims b
+          ON b.label = a.label AND b.i = a.i AND a.half = 0 AND b.half = 1
+        GROUP BY a.label
+    )
+    SELECT label, n_a, n_b,
+           CAST(CAST((2 * CAST(ss AS HUGEINT) * 1000000 + CAST(den AS HUGEINT))
+                     // (2 * CAST(den AS HUGEINT)) AS BIGINT)
+                AS DOUBLE) / 1000000.0 AS l2sq_drift
+    FROM num
+    """,
+    doc="Split-half embedding centroid drift per label: the corpus "
+    "splits by vec_id parity, per-label centroids of the two halves "
+    "are compared by squared L2 — the stability audit that catches a "
+    "drifting or corrupted embedding pipeline (a healthy class's "
+    "half-centroids nearly coincide; drift >> the class-separation "
+    "scale means the embedding space moved mid-corpus). EXACT "
+    "arithmetic throughout: round(x*16) integer coordinates, the "
+    "centroid difference cleared of denominators via "
+    "(s_a*n_b - s_b*n_a)^2 / (n_a^2 n_b^2) in DECIMAL(38,0)/HUGEINT, "
+    "half-away micro-round at the end — no float enters until the "
+    "display division.",
+)
+def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: one posexplode scan to (label, half, dim) partial
+    sums — map-side combined, 2*|labels|*64 result rows total — then a
+    |labels|*64 join and a |labels|-row reduce; the vectors never ride
+    a shuffle wider than their per-dim partials."""
+    e = load_fixture(spark, sf_dir, "embeddings").select(
+        (F.col("vec_id") % 2).alias("half"),
+        "label",
+        F.posexplode(
+            F.expr("transform(embedding, x -> cast(round(x * 16) as bigint))")
+        ).alias("i", "qx"),
+    )
+    dims = e.groupBy("half", "label", "i").agg(
+        F.sum("qx").cast("decimal(38,0)").alias("s"),
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+    )
+    a = dims.filter(F.col("half") == 0).select(
+        "label", "i", F.col("s").alias("sa"), F.col("n").alias("na")
+    )
+    b = dims.filter(F.col("half") == 1).select(
+        "label", "i", F.col("s").alias("sb"), F.col("n").alias("nb")
+    )
+    num = (
+        a.join(b, ["label", "i"])
+        .groupBy("label")
+        .agg(
+            F.max("na").cast("bigint").alias("n_a"),
+            F.max("nb").cast("bigint").alias("n_b"),
+            F.sum(
+                (F.col("sa") * F.col("nb") - F.col("sb") * F.col("na"))
+                * (F.col("sa") * F.col("nb") - F.col("sb") * F.col("na"))
+            )
+            .cast("decimal(38,0)")
+            .alias("ss"),
+            F.max(
+                F.col("na") * F.col("na") * F.col("nb") * F.col("nb")
+            )
+            .cast("decimal(38,0)")
+            .alias("den"),
+        )
+    )
+    return num.select(
+        "label",
+        "n_a",
+        "n_b",
+        (
+            F.expr("CAST((2 * ss * 1000000 + den) div (2 * den) AS BIGINT)")
+            .cast("double")
+            / F.lit(1000000.0)
+        ).alias("l2sq_drift"),
+    )

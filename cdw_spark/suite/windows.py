@@ -1189,3 +1189,96 @@ def timeseries_hampel_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("is_outlier"),
     )
+
+
+@register(
+    "window_bollinger_bands",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_id, CAST(value AS DECIMAL(18,2)) AS v,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events WHERE event_type = 'purchase'
+    ),
+    w AS (
+        SELECT user_id, event_id, v,
+               CAST(SUM(v) OVER fr AS DECIMAL(18,2)) AS s1,
+               CAST(SUM(v * v) OVER fr AS DECIMAL(38,4)) AS s2,
+               COUNT(*) OVER fr AS n
+        FROM seq
+        WINDOW fr AS (PARTITION BY user_id ORDER BY rn
+                      ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)
+    )
+    SELECT user_id, event_id, ROUND(CAST(v AS DOUBLE), 2) AS value,
+           ROUND(CAST(s1 AS DOUBLE) / n, 6) AS mid,
+           ROUND(CAST(s1 AS DOUBLE) / n
+                 - 2.0 * sqrt(CAST(s2 AS DOUBLE) / n
+                              - (CAST(s1 AS DOUBLE) / n)
+                                * (CAST(s1 AS DOUBLE) / n)), 6) AS lower_band,
+           ROUND(CAST(s1 AS DOUBLE) / n
+                 + 2.0 * sqrt(CAST(s2 AS DOUBLE) / n
+                              - (CAST(s1 AS DOUBLE) / n)
+                                * (CAST(s1 AS DOUBLE) / n)), 6) AS upper_band,
+           CAST(CASE WHEN CAST(v AS DOUBLE) > CAST(s1 AS DOUBLE) / n
+                          + 2.0 * sqrt(CAST(s2 AS DOUBLE) / n
+                                       - (CAST(s1 AS DOUBLE) / n)
+                                         * (CAST(s1 AS DOUBLE) / n)) THEN 1
+                     WHEN CAST(v AS DOUBLE) < CAST(s1 AS DOUBLE) / n
+                          - 2.0 * sqrt(CAST(s2 AS DOUBLE) / n
+                                       - (CAST(s1 AS DOUBLE) / n)
+                                         * (CAST(s1 AS DOUBLE) / n)) THEN -1
+                     ELSE 0 END AS INTEGER) AS band_signal
+    FROM w WHERE n = 8
+    """,
+    doc="Bollinger bands (8-point trailing window, +/- 2 population "
+    "sigma) per user over purchase values, with the breakout signal "
+    "(+1 above the upper band, -1 below the lower) — the mean-"
+    "reversion channel next to timeseries_ewma/OHLC/drawdown in the "
+    "technical-indicator family. Window moments accumulate in exact "
+    "DECIMAL (order-independent — double summation order would jitter "
+    "the band edge), the band arithmetic is one identical double "
+    "sequence per engine, and only FULL windows emit (n=8), so no "
+    "warm-up rows with unstable variance cross the boundary.",
+)
+def window_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: one per-user window sort shared by all three frames
+    — the standard sequence budget, no global pass."""
+    ev = load_fixture(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    seq = ev.select(
+        "user_id",
+        "event_id",
+        F.col("value").cast("decimal(18,2)").alias("v"),
+        F.row_number()
+        .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("rn"),
+    )
+    fr = Window.partitionBy("user_id").orderBy("rn").rowsBetween(-7, Window.currentRow)
+    w = seq.select(
+        "user_id",
+        "event_id",
+        "v",
+        F.sum("v").over(fr).cast("decimal(18,2)").alias("s1"),
+        F.sum(F.col("v") * F.col("v")).over(fr).cast("decimal(38,4)").alias("s2"),
+        F.count(F.lit(1)).over(fr).alias("n"),
+    ).filter(F.col("n") == 8)
+    s1d = F.col("s1").cast("double")
+    s2d = F.col("s2").cast("double")
+    nd = F.col("n")
+    mid = s1d / nd
+    sig = F.sqrt(s2d / nd - mid * mid)
+    vd = F.col("v").cast("double")
+    return w.select(
+        "user_id",
+        "event_id",
+        F.round(vd, 2).alias("value"),
+        F.round(mid, 6).alias("mid"),
+        F.round(mid - F.lit(2.0) * sig, 6).alias("lower_band"),
+        F.round(mid + F.lit(2.0) * sig, 6).alias("upper_band"),
+        F.when(vd > mid + F.lit(2.0) * sig, 1)
+        .when(vd < mid - F.lit(2.0) * sig, -1)
+        .otherwise(0)
+        .cast("int")
+        .alias("band_signal"),
+    )

@@ -292,3 +292,105 @@ def test_audio_constellation_finds_planted_twins_only(spark, sf_dir):
     assert detected <= planted, detected - planted
     assert len(detected) >= 0.8 * len(planted)
     assert all(r["n_shared"] >= 5 for r in rows)
+
+
+def test_bollinger_matches_python(spark, sf_dir):
+    got = {
+        (r["user_id"], r["event_id"]): r
+        for r in SPECS["window_bollinger_bands"].fn(spark, sf_dir).collect()
+    }
+    ev = load_fixture(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    ).select("user_id", "ts", "event_id", "value").collect()
+    seqs = {}
+    for r in sorted(ev, key=lambda r: (r["user_id"], r["ts"], r["event_id"])):
+        seqs.setdefault(r["user_id"], []).append(
+            (r["event_id"], round(float(r["value"]), 2))
+        )
+    n_checked = 0
+    for uid, s in seqs.items():
+        for i in range(7, len(s)):
+            eid, v = s[i]
+            win = [x for _, x in s[i - 7 : i + 1]]
+            mid = sum(win) / 8.0
+            sig = math.sqrt(sum(x * x for x in win) / 8.0 - mid * mid)
+            r = got[(uid, eid)]
+            assert abs(r["mid"] - mid) < 1e-4
+            assert abs(r["upper_band"] - (mid + 2 * sig)) < 1e-4
+            expected_sig = 1 if v > mid + 2 * sig else (-1 if v < mid - 2 * sig else 0)
+            assert r["band_signal"] == expected_sig
+            n_checked += 1
+    assert n_checked == len(got) > 0
+
+
+def test_power_analysis_matches_python(spark, sf_dir):
+    row = SPECS["sample_ab_power_analysis"].fn(spark, sf_dir).collect()[0]
+    vals = [
+        round(float(r["value"]), 2)
+        for r in load_fixture(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("value")
+        .collect()
+    ]
+    n = len(vals)
+    mean = sum(vals) / n
+    var = sum(v * v for v in vals) / n - mean * mean
+    delta = 0.05 * mean
+    z = 1.959964 + 0.841621
+    assert row["n_observed"] == n
+    assert abs(row["mean_value"] - mean) < 1e-4
+    assert row["n_per_arm"] == math.ceil(2 * z * z * var / (delta * delta))
+
+
+def test_psi_matches_python(spark, sf_dir):
+    rows = {r["bin"]: r for r in SPECS["profile_psi_drift"].fn(spark, sf_dir).collect()}
+    orders = load_fixture(spark, sf_dir, "orders").select(
+        "o_orderstatus", "o_totalprice"
+    ).collect()
+    cents = [
+        (r["o_orderstatus"], round(float(r["o_totalprice"]) * 100))
+        for r in orders
+        if r["o_orderstatus"] in ("F", "O")
+    ]
+    lo = min(c for _, c in cents)
+    hi = max(c for _, c in cents)
+    cnt = {("F", b): 0 for b in range(10)} | {("O", b): 0 for b in range(10)}
+    for st, c in cents:
+        cnt[(st, (c - lo) * 10 // (hi - lo + 1))] += 1
+    nf = sum(v for (s, _), v in cnt.items() if s == "F")
+    no = sum(v for (s, _), v in cnt.items() if s == "O")
+    total = 0.0
+    for b in range(10):
+        p = (cnt[("F", b)] + 1) / (nf + 10)
+        q = (cnt[("O", b)] + 1) / (no + 10)
+        term = round((p - q) * math.log(p / q), 9)
+        total += term
+        assert rows[b]["n_f"] == cnt[("F", b)]
+        assert rows[b]["n_o"] == cnt[("O", b)]
+        assert abs(rows[b]["psi_term"] - term) < 1e-6
+    assert abs(rows[0]["psi_total"] - total) < 1e-5
+    assert 0.0 <= rows[0]["psi_total"] < 1.0
+
+
+def test_centroid_drift_matches_python(spark, sf_dir):
+    rows = {
+        r["label"]: r
+        for r in SPECS["embedding_centroid_drift"].fn(spark, sf_dir).collect()
+    }
+    emb = load_fixture(spark, sf_dir, "embeddings").collect()
+    halves = {}
+    for r in emb:
+        halves.setdefault((r["label"], r["vec_id"] % 2), []).append(
+            [round(x * 16) for x in r["embedding"]]
+        )
+    for lab in {r["label"] for r in emb}:
+        a, b = halves[(lab, 0)], halves[(lab, 1)]
+        na, nb = len(a), len(b)
+        sa = [sum(v[i] for v in a) for i in range(64)]
+        sb = [sum(v[i] for v in b) for i in range(64)]
+        drift = sum(
+            (sa[i] / na - sb[i] / nb) ** 2 for i in range(64)
+        )
+        r = rows[lab]
+        assert (r["n_a"], r["n_b"]) == (na, nb)
+        assert abs(r["l2sq_drift"] - drift) < 1e-5
