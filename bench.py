@@ -172,6 +172,33 @@ HEADLINE = [
     # round 6 fourth wave: the evaluation-metrics layer
     "eval_langid_classification_report",
     "eval_retrieval_ndcg",
+    # round 7: evaluation (AUC, kappa), multiple-testing control,
+    # lexical diversity, robust despiking, realized volatility,
+    # subsample CI, Hilbert layout, graph clustering coefficient,
+    # matryoshka truncation recall, audio constellation near-dup
+    "eval_binary_auc",
+    "agg_cohens_kappa",
+    "quality_ttr_lexical_diversity",
+    "agg_benjamini_hochberg",
+    "timeseries_realized_volatility",
+    "timeseries_hampel_outliers",
+    "sample_subsample_ci",
+    "layout_hilbert_order",
+    "graph_clustering_coefficient",
+    "embedding_matryoshka_recall",
+    "multimodal_audio_constellation",
+    # round 7 third wave: Bollinger channel, A/B power, PSI drift,
+    # split-half centroid stability
+    "window_bollinger_bands",
+    "sample_ab_power_analysis",
+    "profile_psi_drift",
+    "embedding_centroid_drift",
+    # round 7 fourth wave: robust location, SCD2 temporal join, image
+    # resize round trip, bloom-audited exact dedup at the door
+    "agg_hodges_lehmann",
+    "scd2_point_in_time_lookup",
+    "multimodal_image_resize_digest",
+    "stream_bloom_dedup_ingest",
 ]
 
 

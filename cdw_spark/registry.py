@@ -81,13 +81,25 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # Cumulative driver evidence after r6: 218 unique queries graded, all
 # green at their latest grading (CORRECTNESS_r06 = 50/50).
 #
-# Never-graded after this window: 6 oracled carried to r8
-# (incremental_agg_merge, sample_class_balanced,
+# Never-graded after this window: 25 oracled for r8's 40 slots — the
+# 19 round-7 additions (newest, least proven, so they go FIRST):
+# eval_binary_auc, agg_cohens_kappa, quality_ttr_lexical_diversity,
+# agg_benjamini_hochberg, timeseries_realized_volatility,
+# timeseries_hampel_outliers, sample_subsample_ci,
+# layout_hilbert_order, graph_clustering_coefficient,
+# embedding_matryoshka_recall, multimodal_audio_constellation,
+# window_bollinger_bands, sample_ab_power_analysis,
+# profile_psi_drift, embedding_centroid_drift, agg_hodges_lehmann,
+# scd2_point_in_time_lookup, multimodal_image_resize_digest,
+# stream_bloom_dedup_ingest — then the 6 carried from the r6 queue in
+# registration order: incremental_agg_merge, sample_class_balanced,
 # quantile_rank_normalize, batch_by_length, select_token_budget,
-# corpus_mix_entropy) plus whatever round 7 adds, plus the 4 rows-only
-# (agg_approx_top_k, text_compression_ratio, similarity_ann_pq,
+# corpus_mix_entropy. Remaining r8 slots rotate the oldest COLD
+# queries (graded green once in r2/r3, never since)
+# oldest-grade-first. The 4 rows-only (agg_approx_top_k,
+# text_compression_ratio, similarity_ann_pq,
 # multimodal_audio_spectral — each irreducibly engine-specific with a
-# measured reason) which never burn window slots.
+# measured reason) never burn window slots.
 _WINDOW_ROUND = 7  # the round this window was authored FOR — meta-tests
 # treat CORRECTNESS records from rounds >= this as the window's own
 # grade, not prior evidence (VERDICT r4 #3's self-invalidation fix).

@@ -23,6 +23,7 @@ import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 _qid = itertools.count()
 _STAGE_ROOT = os.path.join(tempfile.gettempdir(), "cdw_stream_src")
@@ -153,3 +154,46 @@ def finish_replay(result: DataFrame, root: str) -> DataFrame:
     out = result.localCheckpoint(eager=True)
     shutil.rmtree(root, ignore_errors=True)
     return out
+
+
+def stage_exact_quarters(
+    spark: SparkSession, sf_dir: str, table: str, id_col: str, n_files: int = 4
+) -> tuple[str, int]:
+    """Stage a fixture table into ``n_files`` files with EXACT id-quarter
+    boundaries (file q holds rows with (id * n_files) div n_rows == q,
+    ids dense 0..n-1) — unlike repartitionByRange's SAMPLED boundaries,
+    the file membership is a pure function of (id, n_rows), so per-batch
+    streaming audits can be restated in SQL oracles. Returns (dir,
+    n_rows); staged once per (sf_dir, table, n_files), mtime-ordered so
+    the file source replays quarters in id order."""
+    from ..catalog import load_fixture
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    key = f"{sf_dir.strip('/').replace('/', '_')}__{table}__q{n_files}"
+    out = os.path.join(_STAGE_ROOT, key)
+    done = os.path.join(out, "_STAGED")
+    df = load_fixture(spark, sf_dir, table)
+    n_rows = df.count()
+    if not os.path.exists(done):
+        base = 1_700_000_000
+        for q in range(n_files):
+            part = df.filter(
+                F.expr(f"CAST({id_col} * {n_files} div {n_rows} AS BIGINT) = {q}")
+            )
+            pdir = os.path.join(out, f"q{q}")
+            part.coalesce(1).write.mode("overwrite").parquet(pdir)
+            src = next(
+                p for p in os.listdir(pdir)
+                if p.startswith("part-") and p.endswith(".parquet")
+            )
+            os.replace(
+                os.path.join(pdir, src), os.path.join(out, f"quarter-{q}.parquet")
+            )
+            shutil.rmtree(pdir, ignore_errors=True)
+            os.utime(
+                os.path.join(out, f"quarter-{q}.parquet"),
+                (base + q * 60, base + q * 60),
+            )
+        with open(done, "w") as f:
+            f.write(str(n_rows))
+    return out, n_rows

@@ -3898,3 +3898,168 @@ def profile_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("term9").over(Window.partitionBy()).cast("double"), 6
         ).alias("psi_total"),
     )
+
+
+@register(
+    "agg_hodges_lehmann",
+    oracle="""
+    WITH v AS (
+        SELECT o_orderpriority AS grp,
+               o_orderkey AS id,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+        FROM orders WHERE o_orderkey % 29 = 0
+    ),
+    pairs AS (
+        SELECT a.grp, a.c + b.c AS s
+        FROM v a JOIN v b ON b.grp = a.grp AND a.id <= b.id
+    ),
+    ranked AS (
+        SELECT grp, s,
+               ROW_NUMBER() OVER (PARTITION BY grp ORDER BY s) AS r,
+               COUNT(*) OVER (PARTITION BY grp) AS m
+        FROM pairs
+    )
+    SELECT grp AS priority,
+           CAST(MAX(m) AS BIGINT) AS n_pairs,
+           CAST(CAST(SUM(CASE WHEN r = (m + 1) // 2 THEN s
+                              WHEN r = (m + 2) // 2 AND (m + 2) // 2 <> (m + 1) // 2
+                              THEN s END) * (CASE WHEN (m + 2) // 2 = (m + 1) // 2
+                                                  THEN 5000 ELSE 2500 END)
+                     AS BIGINT) AS DOUBLE) / 1000000.0 AS hl_estimate
+    FROM ranked GROUP BY grp, (m + 1) // 2, (m + 2) // 2,
+             CASE WHEN (m + 2) // 2 = (m + 1) // 2 THEN 5000 ELSE 2500 END
+    """,
+    doc="Hodges-Lehmann location estimator per order priority: the "
+    "median of all pairwise means (x_i + x_j)/2, i <= j — the robust "
+    "location companion to timeseries_theilsen_trend (HL is to the "
+    "mean what Theil-Sen is to the slope: ~30% breakdown, no "
+    "distribution assumption). EXACT arithmetic: pairwise sums in "
+    "integer cents, median by rank selection over the pair relation "
+    "(both middle ranks summed, scaled by 2500/5000 micro-per-cent so "
+    "even/odd medians stay integral micro-dollars), one display "
+    "division at the end.",
+)
+def agg_hodges_lehmann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: the within-group pair self-join is the honest
+    O(n^2/group) cost of the exact estimator on a 1-in-29 sample (the
+    theilsen budget); at 100 TB substitute the banded-median bracket
+    (operators/stats.py) over the pair relation, or the
+    median-of-group-medians approximation. Rank selection is one
+    per-group window over the pair relation — no driver-side buffers."""
+    from pyspark.sql.window import Window
+
+    o = load_fixture(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 29 == 0)
+    v = o.select(
+        F.col("o_orderpriority").alias("grp"),
+        F.col("o_orderkey").alias("id"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("c"),
+    )
+    a = v.select("grp", F.col("id").alias("ida"), F.col("c").alias("ca"))
+    b = v.select("grp", F.col("id").alias("idb"), F.col("c").alias("cb"))
+    pairs = a.join(b, "grp").filter(F.col("ida") <= F.col("idb")).select(
+        "grp", (F.col("ca") + F.col("cb")).alias("s")
+    )
+    wr = Window.partitionBy("grp").orderBy("s")
+    wm = Window.partitionBy("grp")
+    ranked = pairs.select(
+        "grp",
+        "s",
+        F.row_number().over(wr).alias("r"),
+        F.count(F.lit(1)).over(wm).alias("m"),
+    )
+    lo = F.expr("(m + 1) div 2")
+    hi = F.expr("(m + 2) div 2")
+    picked = ranked.filter((F.col("r") == lo) | (F.col("r") == hi))
+    scale = F.max(
+        F.when(F.expr("(m + 2) div 2 = (m + 1) div 2"), 5000).otherwise(2500)
+    )
+    return picked.groupBy("grp").agg(
+        F.max("m").cast("bigint").alias("n_pairs"),
+        ((F.sum("s") * scale).cast("bigint").cast("double") / F.lit(1000000.0)).alias(
+            "hl_estimate"
+        ),
+    ).select(F.col("grp").alias("priority"), "n_pairs", "hl_estimate")
+
+
+@register(
+    "scd2_point_in_time_lookup",
+    oracle="""
+    WITH hist AS (
+        SELECT o_custkey AS cust_key,
+               o_orderdate AS valid_from,
+               LEAD(o_orderdate) OVER w AS valid_to,
+               o_orderstatus AS status
+        FROM orders
+        WHERE o_custkey % 50 = 0
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ),
+    facts AS (
+        SELECT o_orderkey AS order_key, o_custkey AS cust_key,
+               o_orderdate AS order_date
+        FROM orders WHERE o_custkey % 50 = 0
+    )
+    SELECT f.order_key, f.cust_key, f.order_date,
+           h.status AS status_at_order
+    FROM facts f
+    JOIN hist h
+      ON h.cust_key = f.cust_key
+     AND h.valid_from <= f.order_date
+     AND (h.valid_to IS NULL OR f.order_date < h.valid_to)
+    """,
+    doc="Point-in-time (AS OF) lookup against the scd2_intervals "
+    "history: every order retrieves the dimension state valid at its "
+    "order date — the temporal-join every SCD2 warehouse runs and the "
+    "reference's drop-and-rebuild schema cannot express. The ORACLE "
+    "states the naive interval join (valid_from <= d < valid_to); the "
+    "SPARK plan is the scalable union-and-fill rewrite: history "
+    "changes and facts union into ONE per-key window ordered by "
+    "(date, change-before-fact, change-seq), last_value(ignorenulls) "
+    "carries the latest state onto each fact — one shuffle, "
+    "O(|facts| + |changes|) rows, no range join, no interval "
+    "explosion. Zero-length same-date intervals resolve identically "
+    "(the fact sorts after ALL same-date changes, picking the last).",
+)
+def scd2_point_in_time_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: the asof_join union-window pattern applied to SCD2 —
+    exactly one partition sort per key whatever the history length; at
+    100 TB partition the union by key ranges and cluster by date."""
+    from pyspark.sql.window import Window
+
+    o = load_fixture(spark, sf_dir, "orders").filter(F.col("o_custkey") % 50 == 0)
+    changes = o.select(
+        F.col("o_custkey").alias("cust_key"),
+        F.col("o_orderdate").alias("d"),
+        F.lit(0).alias("is_fact"),
+        F.col("o_orderkey").alias("seq"),
+        F.col("o_orderstatus").alias("status"),
+        F.lit(None).cast("bigint").alias("order_key"),
+    )
+    facts = o.select(
+        F.col("o_custkey").alias("cust_key"),
+        F.col("o_orderdate").alias("d"),
+        F.lit(1).alias("is_fact"),
+        F.col("o_orderkey").alias("seq"),
+        F.lit(None).cast("string").alias("status"),
+        F.col("o_orderkey").cast("bigint").alias("order_key"),
+    )
+    u = changes.unionByName(facts)
+    w = (
+        Window.partitionBy("cust_key")
+        .orderBy("d", "is_fact", "seq")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = u.select(
+        "cust_key",
+        "d",
+        "is_fact",
+        "order_key",
+        F.last("status", ignorenulls=True).over(w).alias("status_at_order"),
+    )
+    return filled.filter(F.col("is_fact") == 1).select(
+        F.col("order_key"),
+        "cust_key",
+        F.col("d").alias("order_date"),
+        "status_at_order",
+    )

@@ -606,3 +606,93 @@ def multimodal_audio_constellation(spark: SparkSession, sf_dir: str) -> DataFram
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
         .filter(F.col("n_shared") >= 5)
     )
+
+
+def _resize_map_values(src: int = 16, dst: int = 10) -> str:
+    """The nearest-neighbor resize map as a SQL VALUES literal: output
+    byte j (row-major RGB over the dst x dst raster) pulls source byte
+    q = 3*(sy*src + sx) + ch with sy = y*src//dst, sx = x*src//dst —
+    the exact ppm_resize index arithmetic, restated as literals so the
+    oracle is independent of the Python codec path."""
+    rows = []
+    for j in range(dst * dst * 3):
+        p, ch = j // 3, j % 3
+        y, x = p // dst, p % dst
+        sy, sx = y * src // dst, x * src // dst
+        q = 3 * (sy * src + sx) + ch
+        rows.append(f"({j}, {q})")
+    return ", ".join(rows)
+
+
+@register(
+    "multimodal_image_resize_digest",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 50 = 1 THEN doc_id - 1 ELSE doc_id END AS base,
+               (doc_id % 50 = 1) AS twin
+        FROM documents
+    ),
+    hx AS (
+        SELECT doc_id, twin, blk, md5('img:' || base || ':' || blk) AS h
+        FROM d, UNNEST(range(0, 48)) AS u(blk)
+    ),
+    byt AS (
+        SELECT doc_id, blk * 16 + off AS q,
+               CASE WHEN twin AND blk * 16 + off = 0
+                    THEN (CAST(('0x' || substr(h, off * 2 + 1, 2)) AS INTEGER) + 1) % 256
+                    ELSE CAST(('0x' || substr(h, off * 2 + 1, 2)) AS INTEGER)
+               END AS b
+        FROM hx, UNNEST(range(0, 16)) AS o(off)
+    ),
+    mapt AS (SELECT * FROM (VALUES {_resize_map_values()}) AS m(j, q)),
+    res AS (
+        SELECT p.doc_id, m.j, p.b
+        FROM mapt m JOIN byt p ON p.q = m.q
+    )
+    SELECT doc_id,
+           CAST(10 AS INTEGER) AS out_w, CAST(10 AS INTEGER) AS out_h,
+           md5(string_agg(CAST(b AS VARCHAR), ',' ORDER BY j)) AS resized_md5
+    FROM res GROUP BY doc_id
+    """,
+    doc="Image resize plumbing with a full value oracle: the synth_ppm "
+    "16x16 P6 raster (md5-stream bytes, planted twins) goes through "
+    "the REAL stdlib codec round trip — ppm_decode -> nearest-neighbor "
+    "ppm_resize to 10x10 -> raster digest — inside Arrow-batched "
+    "mapInPandas; the oracle restates the md5-stream bytes and the "
+    "resize index map (sy = y*16 div 10, as a literal VALUES relation "
+    "from the same arithmetic) and digests the identical 300-byte "
+    "sequence, so the driver hash checks decode, index math and "
+    "re-raster end to end. The non-integer 16->10 ratio makes the map "
+    "non-trivial (rows/cols 0,1,3,4,6,8,9,11,12,14). "
+    "operators/multimodal.py:ppm_resize.",
+)
+def multimodal_image_resize_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: a per-document scan (constant memory per Arrow
+    batch), digest computed in-plan from the emitted byte string — no
+    shuffle at all; the raster never leaves its row."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ..operators.multimodal import ppm_decode, ppm_resize, synth_ppm
+
+    d = load_fixture(spark, sf_dir, "documents").select("doc_id")
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, strs = [], []
+            for did in pdf["doc_id"]:
+                blob = synth_ppm(int(did))
+                _w, _h, raster = ppm_decode(ppm_resize(blob, 10, 10))
+                ids.append(did)
+                strs.append(",".join(str(b) for b in raster))
+            yield pd.DataFrame({"doc_id": ids, "raster_csv": strs})
+
+    out = d.mapInPandas(resize, schema="doc_id long, raster_csv string")
+    return out.select(
+        "doc_id",
+        F.lit(10).cast("int").alias("out_w"),
+        F.lit(10).cast("int").alias("out_h"),
+        F.md5("raster_csv").alias("resized_md5"),
+    )

@@ -992,3 +992,183 @@ def stream_drift_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("nr") - F.lit(1)) * (F.col("nc") - F.lit(1))).cast("bigint").alias("dof"),
         F.round(F.col("chi2_sum").cast("double"), 6).alias("chi2"),
     )
+
+
+from .search import _hex4_mod_sql as _bloom_hex4_sql
+
+_INGEST_BLOOM_POS = _bloom_hex4_sql(
+    "md5(CAST(j AS VARCHAR) || ':' || CAST(key AS VARCHAR))", 512
+)
+
+
+@register(
+    "stream_bloom_dedup_ingest",
+    oracle=f"""
+    WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+    r AS (
+        SELECT doc_id, doc_id % 300 AS key,
+               CAST(doc_id * 4 // n.n AS INTEGER) AS b
+        FROM documents, n
+    ),
+    dup AS (
+        SELECT doc_id, key, b,
+               CASE WHEN ROW_NUMBER() OVER (PARTITION BY key ORDER BY doc_id) > 1
+                    THEN 1 ELSE 0 END AS is_dup,
+               CASE WHEN ROW_NUMBER() OVER (PARTITION BY key, b ORDER BY doc_id) > 1
+                    THEN 1 ELSE 0 END AS in_batch_dup
+        FROM r
+    ),
+    contrib AS (
+        SELECT pos, MIN(b) AS first_b FROM (
+            SELECT DISTINCT {_INGEST_BLOOM_POS} AS pos, b
+            FROM (SELECT DISTINCT key, b FROM r), UNNEST([0, 1, 2, 3]) AS u(j)
+        ) GROUP BY pos
+    ),
+    probe AS (
+        SELECT d.doc_id, d.b, d.is_dup, d.in_batch_dup,
+               SUM(CASE WHEN c.first_b IS NOT NULL AND c.first_b < d.b
+                        THEN 1 ELSE 0 END) AS n_hit
+        FROM (SELECT doc_id, key, b, is_dup, in_batch_dup,
+                     unnest([0, 1, 2, 3]) AS j
+              FROM dup) d
+        LEFT JOIN contrib c ON c.pos = {_bloom_hex4_sql(
+            "md5(CAST(d.j AS VARCHAR) || ':' || CAST(d.key AS VARCHAR))", 512)}
+        GROUP BY d.doc_id, d.b, d.is_dup, d.in_batch_dup
+    ),
+    flags AS (
+        SELECT b, is_dup,
+               CASE WHEN n_hit = 4 OR in_batch_dup = 1 THEN 1 ELSE 0 END AS pass
+        FROM probe
+    )
+    SELECT CAST(b AS INTEGER) AS batch_id,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(is_dup) AS BIGINT) AS n_dup_exact,
+           CAST(SUM(pass) AS BIGINT) AS n_pass_bloom,
+           CAST(SUM(pass) - SUM(is_dup) AS BIGINT) AS n_false_positive
+    FROM flags GROUP BY b
+    """,
+    doc="EXACT dedup AT THE INGESTION DOOR with a Bloom pre-filter and a "
+    "measured false-positive audit — the third door sketch next to KMV "
+    "(cardinality) and the near-dup signature index (similarity): the "
+    "foreachBatch sink keeps a 512-bit/4-hash Bloom position relation "
+    "(<= 512 rows of state FOREVER) plus the exact key set for the "
+    "audit; each arriving row is flagged if its key passes the filter "
+    "built from PRIOR batches or repeats earlier (by doc_id) within "
+    "its own batch. Keys are doc_id % 300, planting genuine cross- "
+    "batch duplicates; batches are EXACT id quarters "
+    "(stage_exact_quarters — a pure function of (id, n_rows), unlike "
+    "repartitionByRange's sampled boundaries), so the per-batch audit "
+    "(rows, exact dups, bloom passes, false positives) is fully "
+    "restatable in SQL: the oracle rebuilds the identical filter "
+    "per batch epoch. No false negatives is structural — pass "
+    "strictly contains exact-dup, so n_false_positive >= 0 always. "
+    "operators/sketches.py:bloom_positions.",
+)
+def stream_bloom_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: per batch, one <= 512-row broadcast join against the
+    position relation plus a per-key window over the BATCH only; Bloom
+    state is capped at 512 rows regardless of stream length, and the
+    exact key set exists only for the audit columns (a production door
+    keeps just the filter)."""
+    import os
+    import tempfile
+
+    from pyspark.sql.window import Window
+
+    from ..operators.sketches import bloom_positions
+    from ..streaming.source import finish_replay, stage_exact_quarters
+
+    staged, n_rows = stage_exact_quarters(spark, sf_dir, "documents", "doc_id", 4)
+    schema = spark.read.parquet(staged).schema
+
+    root = tempfile.mkdtemp(prefix="cdw_stream_bloomdedup_")
+    pos_dir = os.path.join(root, "bloom_pos")
+    keys_dir = os.path.join(root, "keys")
+    audit_dir = os.path.join(root, "audit")
+    spark.createDataFrame([], "pos int").write.mode("overwrite").parquet(pos_dir)
+    spark.createDataFrame([], "key long").write.mode("overwrite").parquet(keys_dir)
+    spark.createDataFrame(
+        [],
+        "batch_id int, n_rows long, n_dup_exact long, n_pass_bloom long,"
+        " n_false_positive long",
+    ).write.mode("overwrite").parquet(audit_dir)
+
+    def handle(batch, batch_id):
+        b = batch.select(
+            "doc_id",
+            (F.col("doc_id") % 300).alias("key"),
+            F.expr(f"CAST(doc_id * 4 div {n_rows} AS INT)").alias("qb"),
+        ).localCheckpoint(eager=True)
+        if b.isEmpty():
+            return
+        old_pos = spark.read.parquet(pos_dir).localCheckpoint(eager=True)
+        old_keys = spark.read.parquet(keys_dir).localCheckpoint(eager=True)
+        # exact-dup flag: key seen in a prior batch OR earlier (by
+        # doc_id) within this batch; bloom flag: 4/4 positions set in
+        # the PRIOR-batch filter OR the same in-batch window
+        wk = Window.partitionBy("key").orderBy("doc_id")
+        flagged = (
+            b.withColumn("in_batch_dup", (F.row_number().over(wk) > 1).cast("int"))
+            .join(
+                old_keys.withColumn("seen", F.lit(1)), "key", "left"
+            )
+            .withColumn("is_dup", F.greatest(F.coalesce("seen", F.lit(0)), F.col("in_batch_dup")))
+        )
+        probes = flagged.select(
+            "doc_id", "qb", "key", "is_dup", "in_batch_dup",
+            F.explode(F.array(*[F.lit(j) for j in range(4)])).alias("j"),
+        ).withColumn(
+            "pos",
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col("j").cast("string"), F.lit(":"),
+                                   F.col("key").cast("string"))),
+                    1, 4,
+                ), 16, 10,
+            ).cast("int") % 512,
+        )
+        hits = (
+            probes.join(F.broadcast(old_pos.withColumn("hit", F.lit(1))), "pos", "left")
+            .groupBy("doc_id", "qb", "is_dup", "in_batch_dup")
+            .agg(F.sum(F.coalesce("hit", F.lit(0))).alias("n_hit"))
+            .withColumn(
+                "pass",
+                F.when((F.col("n_hit") == 4) | (F.col("in_batch_dup") == 1), 1)
+                .otherwise(0),
+            )
+        )
+        audit = hits.groupBy(F.col("qb").alias("batch_id")).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum("is_dup").cast("bigint").alias("n_dup_exact"),
+            F.sum("pass").cast("bigint").alias("n_pass_bloom"),
+            (F.sum("pass") - F.sum("is_dup")).cast("bigint").alias("n_false_positive"),
+        ).localCheckpoint(eager=True)
+        audit.write.mode("append").parquet(audit_dir)
+        new_pos = (
+            old_pos.unionByName(bloom_positions(b, "key"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        new_keys = (
+            old_keys.unionByName(b.select("key").distinct())
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        new_pos.write.mode("overwrite").parquet(pos_dir)
+        new_keys.write.mode("overwrite").parquet(keys_dir)
+
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(staged)
+    )
+    q = (
+        sdf.select("doc_id")
+        .writeStream.foreachBatch(handle)
+        .option("checkpointLocation", os.path.join(root, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+    return finish_replay(spark.read.parquet(audit_dir), root)

@@ -394,3 +394,82 @@ def test_centroid_drift_matches_python(spark, sf_dir):
         r = rows[lab]
         assert (r["n_a"], r["n_b"]) == (na, nb)
         assert abs(r["l2sq_drift"] - drift) < 1e-5
+
+
+def test_hodges_lehmann_matches_python(spark, sf_dir):
+    rows = {
+        r["priority"]: r for r in SPECS["agg_hodges_lehmann"].fn(spark, sf_dir).collect()
+    }
+    orders = load_fixture(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 29 == 0
+    ).select("o_orderpriority", "o_totalprice").collect()
+    groups = {}
+    for r in orders:
+        groups.setdefault(r["o_orderpriority"], []).append(
+            round(float(r["o_totalprice"]) * 100)
+        )
+    for grp, cs in groups.items():
+        sums = sorted(
+            cs[i] + cs[j] for i in range(len(cs)) for j in range(i, len(cs))
+        )
+        m = len(sums)
+        lo, hi = sums[(m + 1) // 2 - 1], sums[(m + 2) // 2 - 1]
+        hl = (lo + hi) / 4.0 / 100.0
+        r = rows[grp]
+        assert r["n_pairs"] == m
+        assert abs(r["hl_estimate"] - hl) < 1e-6
+
+
+def test_scd2_pit_lookup_matches_python(spark, sf_dir):
+    rows = {
+        r["order_key"]: r["status_at_order"]
+        for r in SPECS["scd2_point_in_time_lookup"].fn(spark, sf_dir).collect()
+    }
+    orders = load_fixture(spark, sf_dir, "orders").filter(
+        F.col("o_custkey") % 50 == 0
+    ).select("o_orderkey", "o_custkey", "o_orderdate", "o_orderstatus").collect()
+    by_cust = {}
+    for r in orders:
+        by_cust.setdefault(r["o_custkey"], []).append(r)
+    n = 0
+    for cust, rs in by_cust.items():
+        hist = sorted(rs, key=lambda r: (r["o_orderdate"], r["o_orderkey"]))
+        for f in rs:
+            # status at f.date = status of the last change with date <= f.date
+            applicable = [h for h in hist if h["o_orderdate"] <= f["o_orderdate"]]
+            assert rows[f["o_orderkey"]] == applicable[-1]["o_orderstatus"]
+            n += 1
+    assert n == len(rows) > 0
+
+
+def test_image_resize_digest_matches_python(spark, sf_dir):
+    import hashlib
+
+    from cdw_spark.operators.multimodal import ppm_decode, ppm_resize, synth_ppm
+
+    rows = {
+        r["doc_id"]: r["resized_md5"]
+        for r in SPECS["multimodal_image_resize_digest"].fn(spark, sf_dir).collect()
+    }
+    for did in list(rows)[:25]:
+        _w, _h, raster = ppm_decode(ppm_resize(synth_ppm(int(did)), 10, 10))
+        expect = hashlib.md5(",".join(str(b) for b in raster).encode()).hexdigest()
+        assert rows[did] == expect
+
+
+def test_stream_bloom_dedup_audit_invariants(spark, sf_dir):
+    """Per batch: pass strictly contains exact-dup (no false negatives),
+    batch 0 sees an empty filter (0 passes), the final batch of the
+    key-cycling stream is all duplicates, and exact dup totals equal
+    n_docs - n_distinct_keys."""
+    rows = sorted(
+        SPECS["stream_bloom_dedup_ingest"].fn(spark, sf_dir).collect(),
+        key=lambda r: r["batch_id"],
+    )
+    n_docs = load_fixture(spark, sf_dir, "documents").count()
+    assert [r["batch_id"] for r in rows] == [0, 1, 2, 3]
+    assert sum(r["n_rows"] for r in rows) == n_docs
+    for r in rows:
+        assert r["n_false_positive"] == r["n_pass_bloom"] - r["n_dup_exact"] >= 0
+    assert rows[0]["n_pass_bloom"] == 0 and rows[0]["n_dup_exact"] == 0
+    assert sum(r["n_dup_exact"] for r in rows) == n_docs - min(300, n_docs)
