@@ -823,16 +823,24 @@ def audio_peak_pairs(
     id_col: str = "doc_id",
     blob_col: str = "audio",
     frame: int = 32,
+    chain: int = 3,
 ) -> DataFrame:
     """Shazam-style constellation fingerprints over WAV blobs (Wang 2003,
     time-domain variant): per ``frame``-sample window, the landmark is
-    the argmax of |sample| (lowest position on ties); adjacent-frame
-    landmark pairs hash as ((p1*frame + p2)*4 + q1)*4 + q2 with the
-    coarse magnitude band q = |peak| div 256 — position-coded, so the
-    fingerprint is invariant to where in the stream the clip sits and
-    robust to small gain offsets (they move q by at most one band).
-    Emits (id, pair_idx, fp) rows; matching is a downstream hash
-    equi-join, never an audio comparison."""
+    the argmax sample (lowest position on ties), and runs of ``chain``
+    consecutive landmarks hash positions plus min-normalized amplitudes
+    into one int64. Two exactness properties carry the design: uniform
+    gain cancels EXACTLY (argmax order is shift-invariant and the
+    amplitude enters as ``sample - min(doc samples)``), and the hash is
+    position-coded with no absolute frame index, so a clip matches at
+    any frame-aligned offset. The chain exists for scale: fingerprint
+    entropy (frame^chain * 2048^chain ~ 2^48 here) must stay far above
+    the corpus's fingerprint count or the downstream hash equi-join
+    goes quadratic in docs-per-bucket — the adjacent-PAIR/coarse-band
+    variant measured a 19x wall-clock ratio at 8x data from exactly
+    that bucket collapse (BENCHNOTES round 7). Emits (id, pair_idx, fp)
+    rows; matching is a downstream hash equi-join, never an audio
+    comparison."""
     from collections.abc import Iterator
 
     import pandas as pd
@@ -842,16 +850,21 @@ def audio_peak_pairs(
             ids, pidx, fps = [], [], []
             for did, blob in zip(pdf[id_col], pdf[blob_col]):
                 _rate, samples = wav_decode(bytes(blob))
+                mn = min(samples)
                 peaks = []
                 for fi in range(len(samples) // frame):
                     fr = samples[fi * frame : (fi + 1) * frame]
-                    p = max(range(frame), key=lambda j: (abs(fr[j]), -j))
-                    peaks.append((p, abs(fr[p]) // 256))
-                for k in range(len(peaks) - 1):
-                    (p1, q1), (p2, q2) = peaks[k], peaks[k + 1]
+                    p = max(range(frame), key=lambda j: (fr[j], -j))
+                    peaks.append((p, fr[p] - mn))
+                for k in range(len(peaks) - chain + 1):
+                    fp = 0
+                    for p, _n in peaks[k : k + chain]:
+                        fp = fp * frame + p
+                    for _p, n in peaks[k : k + chain]:
+                        fp = fp * 2048 + n
                     ids.append(did)
                     pidx.append(k)
-                    fps.append(((p1 * frame + p2) * 4 + q1) * 4 + q2)
+                    fps.append(fp)
             yield pd.DataFrame({id_col: ids, "pair_idx": pidx, "fp": fps})
 
     return df.select(id_col, blob_col).mapInPandas(

@@ -3903,11 +3903,20 @@ def profile_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "agg_hodges_lehmann",
     oracle="""
-    WITH v AS (
+    WITH v0 AS (
         SELECT o_orderpriority AS grp,
                o_orderkey AS id,
                CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
         FROM orders WHERE o_orderkey % 29 = 0
+    ),
+    v AS (
+        SELECT grp, id, c FROM (
+            SELECT grp, id, c,
+                   ROW_NUMBER() OVER (PARTITION BY grp
+                                      ORDER BY md5(CAST(id AS VARCHAR)), id)
+                       AS hrank
+            FROM v0
+        ) WHERE hrank <= 1024
     ),
     pairs AS (
         SELECT a.grp, a.c + b.c AS s
@@ -3930,36 +3939,54 @@ def profile_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
              CASE WHEN (m + 2) // 2 = (m + 1) // 2 THEN 5000 ELSE 2500 END
     """,
     doc="Hodges-Lehmann location estimator per order priority: the "
-    "median of all pairwise means (x_i + x_j)/2, i <= j — the robust "
-    "location companion to timeseries_theilsen_trend (HL is to the "
-    "mean what Theil-Sen is to the slope: ~30% breakdown, no "
-    "distribution assumption). EXACT arithmetic: pairwise sums in "
+    "median of all pairwise means (x_i + x_j)/2, i <= j, over a "
+    "BOUNDED deterministic subsample (md5-rank top-1024 per group) — "
+    "the robust location companion to timeseries_theilsen_trend (HL "
+    "is to the mean what Theil-Sen is to the slope: ~30% breakdown, "
+    "no distribution assumption). EXACT arithmetic: pairwise sums in "
     "integer cents, median by rank selection over the pair relation "
     "(both middle ranks summed, scaled by 2500/5000 micro-per-cent so "
     "even/odd medians stay integral micro-dollars), one display "
-    "division at the end.",
+    "division at the end. The subsample cap is the scale discipline: "
+    "the unbounded pair self-join measured 37x wall clock at 8x data "
+    "(BENCHNOTES round 7); capped, the pair relation is <= C(1025,2) "
+    "rows per group at ANY corpus size and the estimator is the exact "
+    "HL of a fixed-size simple random sample (md5 order is a "
+    "deterministic uniform draw, the sample_subsample_ci idiom).",
 )
 def agg_hodges_lehmann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scale shape: the within-group pair self-join is the honest
-    O(n^2/group) cost of the exact estimator on a 1-in-29 sample (the
-    theilsen budget); at 100 TB substitute the banded-median bracket
-    (operators/stats.py) over the pair relation, or the
-    median-of-group-medians approximation. Rank selection is one
-    per-group window over the pair relation — no driver-side buffers."""
+    """Scale shape: one O(n) scan + per-group top-1024 hash-rank
+    selection bounds the pair self-join at ~524k rows/group forever;
+    rank selection is one per-group window over the bounded pair
+    relation — no driver-side buffers, no unbounded sorts."""
     from pyspark.sql.window import Window
 
     o = load_fixture(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 29 == 0)
-    v = o.select(
+    v0 = o.select(
         F.col("o_orderpriority").alias("grp"),
         F.col("o_orderkey").alias("id"),
         (F.col("o_totalprice").cast("decimal(18,2)") * 100)
         .cast("bigint")
         .alias("c"),
     )
-    a = v.select("grp", F.col("id").alias("ida"), F.col("c").alias("ca"))
+    wh = Window.partitionBy("grp").orderBy(F.md5(F.col("id").cast("string")), "id")
+    v = (
+        v0.withColumn("hrank", F.row_number().over(wh))
+        .filter(F.col("hrank") <= 1024)
+        .drop("hrank")
+    )
+    # The capped relation leaves the hash-rank window partitioned by grp
+    # (|groups| effective partitions); re-spread the probe side by id so
+    # the O(cap^2/group) pair explosion runs wide, and broadcast the
+    # build side (<= groups*cap slim rows by construction).
+    a = v.select("grp", F.col("id").alias("ida"), F.col("c").alias("ca")).repartition(
+        "ida"
+    )
     b = v.select("grp", F.col("id").alias("idb"), F.col("c").alias("cb"))
-    pairs = a.join(b, "grp").filter(F.col("ida") <= F.col("idb")).select(
-        "grp", (F.col("ca") + F.col("cb")).alias("s")
+    pairs = (
+        a.join(F.broadcast(b), "grp")
+        .filter(F.col("ida") <= F.col("idb"))
+        .select("grp", (F.col("ca") + F.col("cb")).alias("s"))
     )
     wr = Window.partitionBy("grp").orderBy("s")
     wm = Window.partitionBy("grp")

@@ -529,17 +529,21 @@ def multimodal_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM d, UNNEST(range(0, 16)) AS u1(blk), UNNEST(range(0, 16)) AS u2(j)
     ),
     pk AS (
-        SELECT doc_id, fi, pos AS p, abs(smp) // 256 AS q FROM (
+        SELECT doc_id, fi, pos AS p, CAST(smp - mn AS BIGINT) AS n FROM (
             SELECT doc_id, fi, pos, smp,
                    ROW_NUMBER() OVER (PARTITION BY doc_id, fi
-                                      ORDER BY abs(smp) DESC, pos ASC) AS rn
+                                      ORDER BY smp DESC, pos ASC) AS rn,
+                   MIN(smp) OVER (PARTITION BY doc_id) AS mn
             FROM s
         ) WHERE rn = 1
     ),
     fp AS (
         SELECT DISTINCT a.doc_id,
-               ((a.p * 32 + b.p) * 4 + a.q) * 4 + b.q AS fp
-        FROM pk a JOIN pk b ON b.doc_id = a.doc_id AND b.fi = a.fi + 1
+               ((((CAST(a.p AS BIGINT) * 32 + b.p) * 32 + c.p) * 2048 + a.n)
+                * 2048 + b.n) * 2048 + c.n AS fp
+        FROM pk a
+        JOIN pk b ON b.doc_id = a.doc_id AND b.fi = a.fi + 1
+        JOIN pk c ON c.doc_id = a.doc_id AND c.fi = a.fi + 2
     )
     SELECT x.doc_id AS id_a, y.doc_id AS id_b,
            CAST(COUNT(*) AS BIGINT) AS n_shared
@@ -553,12 +557,17 @@ def multimodal_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
     "idiom) — where doc_id % 50 == 1 replays the PREVIOUS doc's "
     "audio through a +3 gain offset, planting near-dup pairs that are "
     "NOT byte-identical — is wav_encode'd, decoded back inside "
-    "Arrow-batched mapInPandas, per-32-sample frames yield argmax-|s| "
-    "landmarks, and adjacent landmark pairs hash into position+band "
-    "fingerprints. Docs sharing >= 5 distinct fingerprints pair up via "
-    "a hash EQUI-JOIN (audio never rides the shuffle — the minhash-LSH "
-    "discipline on the audio modality). Everything is integer "
-    "arithmetic; the oracle restates synth, argmax (ties to lowest "
+    "Arrow-batched mapInPandas, per-32-sample frames yield argmax "
+    "landmarks, and 3-frame landmark chains hash positions plus "
+    "min-normalized amplitudes (uniform gain cancels exactly) into "
+    "~2^48-entropy fingerprints. Docs sharing >= 5 distinct "
+    "fingerprints pair up via a hash EQUI-JOIN (audio never rides the "
+    "shuffle — the minhash-LSH discipline on the audio modality). The "
+    "chain length is the scale knob: fp entropy must dominate the "
+    "corpus fingerprint count or bucket collapse turns the match join "
+    "quadratic (the pair/coarse-band variant measured 19x at 8x data "
+    "— BENCHNOTES round 7). Everything is integer arithmetic; the "
+    "oracle restates synth, min-normalization, argmax (ties to lowest "
     "position), hashing and the match join, so the driver hash checks "
     "the encode->decode->landmark->join chain end to end. "
     "operators/multimodal.py:audio_peak_pairs.",

@@ -282,16 +282,16 @@ def test_clustering_coefficient_matches_python(spark, sf_dir):
 
 
 def test_audio_constellation_finds_planted_twins_only(spark, sf_dir):
-    """Precision must be 1.0 (every detected pair is a planted twin);
-    recall >= 0.8 (a +3 gain offset may flip the coarse magnitude band
-    on a few landmarks — the documented robustness boundary)."""
+    """Precision AND recall must be exactly 1.0: min-normalization
+    cancels the +3 gain offset exactly, so every planted twin shares
+    all 6 landmark chains, and the ~2^48 fingerprint entropy makes a
+    >=5-chain random collision effectively impossible."""
     rows = SPECS["multimodal_audio_constellation"].fn(spark, sf_dir).collect()
     n_docs = load_fixture(spark, sf_dir, "documents").count()
     planted = {(d - 1, d) for d in range(1, n_docs) if d % 50 == 1}
     detected = {(r["id_a"], r["id_b"]) for r in rows}
-    assert detected <= planted, detected - planted
-    assert len(detected) >= 0.8 * len(planted)
-    assert all(r["n_shared"] >= 5 for r in rows)
+    assert detected == planted, detected ^ planted
+    assert all(r["n_shared"] == 6 for r in rows)
 
 
 def test_bollinger_matches_python(spark, sf_dir):
@@ -397,18 +397,23 @@ def test_centroid_drift_matches_python(spark, sf_dir):
 
 
 def test_hodges_lehmann_matches_python(spark, sf_dir):
+    import hashlib
+
     rows = {
         r["priority"]: r for r in SPECS["agg_hodges_lehmann"].fn(spark, sf_dir).collect()
     }
     orders = load_fixture(spark, sf_dir, "orders").filter(
         F.col("o_orderkey") % 29 == 0
-    ).select("o_orderpriority", "o_totalprice").collect()
+    ).select("o_orderkey", "o_orderpriority", "o_totalprice").collect()
     groups = {}
     for r in orders:
         groups.setdefault(r["o_orderpriority"], []).append(
-            round(float(r["o_totalprice"]) * 100)
+            (r["o_orderkey"], round(float(r["o_totalprice"]) * 100))
         )
-    for grp, cs in groups.items():
+    for grp, members in groups.items():
+        # the bounded-subsample discipline: md5-rank top-1024 per group
+        members.sort(key=lambda t: (hashlib.md5(str(t[0]).encode()).hexdigest(), t[0]))
+        cs = [c for _id, c in members[:1024]]
         sums = sorted(
             cs[i] + cs[j] for i in range(len(cs)) for j in range(i, len(cs))
         )
