@@ -199,6 +199,13 @@ HEADLINE = [
     "scd2_point_in_time_lookup",
     "multimodal_image_resize_digest",
     "stream_bloom_dedup_ingest",
+    # round 7 fifth wave: Welch t-test, two-pass exact heavy hitters,
+    # Nelson-Aalen survival, longest-prefix-match lookup, Holt smoothing
+    "agg_welch_ttest",
+    "agg_heavy_hitters_two_pass",
+    "survival_nelson_aalen",
+    "lookup_longest_prefix",
+    "timeseries_holt_linear",
 ]
 
 

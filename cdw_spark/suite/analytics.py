@@ -4090,3 +4090,389 @@ def scd2_point_in_time_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("d").alias("order_date"),
         "status_at_order",
     )
+
+
+@register(
+    "agg_welch_ttest",
+    oracle="""
+    WITH v AS (
+        SELECT o_orderpriority AS grp,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+        FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+    ),
+    s AS (
+        SELECT
+            CAST(SUM(CASE WHEN grp = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+            CAST(SUM(CASE WHEN grp = '5-LOW' THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+            CAST(SUM(CASE WHEN grp = '1-URGENT' THEN c ELSE 0 END)
+                 AS DECIMAL(38,0)) AS s1,
+            CAST(SUM(CASE WHEN grp = '5-LOW' THEN c ELSE 0 END)
+                 AS DECIMAL(38,0)) AS s2,
+            CAST(SUM(CASE WHEN grp = '1-URGENT' THEN c * c ELSE 0 END)
+                 AS DECIMAL(38,0)) AS q1,
+            CAST(SUM(CASE WHEN grp = '5-LOW' THEN c * c ELSE 0 END)
+                 AS DECIMAL(38,0)) AS q2
+        FROM v
+    ),
+    d AS (
+        SELECT n1, n2,
+               CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS m1,
+               CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS m2,
+               (CAST(q1 AS DOUBLE)
+                - CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                   / (CAST(n1 AS DOUBLE) - 1.0) AS v1,
+               (CAST(q2 AS DOUBLE)
+                - CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE) * CAST(s2 AS DOUBLE))
+                   / (CAST(n2 AS DOUBLE) - 1.0) AS v2
+        FROM s
+    )
+    SELECT n1 AS n_urgent, n2 AS n_low,
+           ROUND(m1 / 100.0, 6) AS mean_urgent,
+           ROUND(m2 / 100.0, 6) AS mean_low,
+           ROUND((m1 - m2)
+                 / sqrt(v1 / CAST(n1 AS DOUBLE) + v2 / CAST(n2 AS DOUBLE)), 6)
+               AS t_stat,
+           ROUND(
+               (v1 / CAST(n1 AS DOUBLE) + v2 / CAST(n2 AS DOUBLE))
+               * (v1 / CAST(n1 AS DOUBLE) + v2 / CAST(n2 AS DOUBLE))
+               / ((v1 / CAST(n1 AS DOUBLE)) * (v1 / CAST(n1 AS DOUBLE))
+                      / (CAST(n1 AS DOUBLE) - 1.0)
+                  + (v2 / CAST(n2 AS DOUBLE)) * (v2 / CAST(n2 AS DOUBLE))
+                      / (CAST(n2 AS DOUBLE) - 1.0)), 3) AS welch_df
+    FROM d
+    """,
+    doc="Welch's unequal-variance t-test comparing order totals of "
+    "URGENT vs LOW priority orders, with the Welch-Satterthwaite "
+    "degrees of freedom — the parametric companion to "
+    "agg_mann_whitney_u (same two-snapshot drift-test role, mean "
+    "instead of rank). EXACT accumulation: integer cents, sums and "
+    "sums-of-squares as DECIMAL(38,0); doubles appear only in the "
+    "final 1-row projection with one identical op sequence per engine "
+    "(variance via q - s/n*s to keep the multiply-divide order "
+    "identical, never pow()).",
+)
+def agg_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: one scan, one conditional-sum reduce to a single
+    row — map-side partial aggregation does all the work; no shuffle
+    beyond the 1-row combine, no windows, no joins."""
+    o = load_fixture(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority").isin("1-URGENT", "5-LOW")
+    )
+    v = o.select(
+        F.col("o_orderpriority").alias("grp"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("c"),
+    )
+    is1 = F.col("grp") == "1-URGENT"
+    s = v.agg(
+        F.sum(F.when(is1, 1).otherwise(0)).cast("bigint").alias("n1"),
+        F.sum(F.when(~is1, 1).otherwise(0)).cast("bigint").alias("n2"),
+        F.sum(F.when(is1, F.col("c")).otherwise(0)).cast("decimal(38,0)").alias("s1"),
+        F.sum(F.when(~is1, F.col("c")).otherwise(0)).cast("decimal(38,0)").alias("s2"),
+        # cast BEFORE the sum: cents^2 rows are ~3e15, so a long
+        # accumulator overflows past ~3k rows per side (sf0.1 caught it)
+        F.sum(
+            F.when(is1, (F.col("c") * F.col("c")).cast("decimal(38,0)")).otherwise(
+                F.lit(0).cast("decimal(38,0)")
+            )
+        )
+        .cast("decimal(38,0)")
+        .alias("q1"),
+        F.sum(
+            F.when(~is1, (F.col("c") * F.col("c")).cast("decimal(38,0)")).otherwise(
+                F.lit(0).cast("decimal(38,0)")
+            )
+        )
+        .cast("decimal(38,0)")
+        .alias("q2"),
+    )
+    n1d = F.col("n1").cast("double")
+    n2d = F.col("n2").cast("double")
+    m1 = F.col("s1").cast("double") / n1d
+    m2 = F.col("s2").cast("double") / n2d
+    v1 = (
+        F.col("q1").cast("double")
+        - F.col("s1").cast("double") / n1d * F.col("s1").cast("double")
+    ) / (n1d - F.lit(1.0))
+    v2 = (
+        F.col("q2").cast("double")
+        - F.col("s2").cast("double") / n2d * F.col("s2").cast("double")
+    ) / (n2d - F.lit(1.0))
+    se1 = v1 / n1d
+    se2 = v2 / n2d
+    return s.select(
+        F.col("n1").alias("n_urgent"),
+        F.col("n2").alias("n_low"),
+        F.round(m1 / F.lit(100.0), 6).alias("mean_urgent"),
+        F.round(m2 / F.lit(100.0), 6).alias("mean_low"),
+        F.round((m1 - m2) / F.sqrt(se1 + se2), 6).alias("t_stat"),
+        F.round(
+            (se1 + se2) * (se1 + se2)
+            / (se1 * se1 / (n1d - F.lit(1.0)) + se2 * se2 / (n2d - F.lit(1.0))),
+            3,
+        ).alias("welch_df"),
+    )
+
+
+@register(
+    "agg_heavy_hitters_two_pass",
+    oracle="""
+    WITH items AS (
+        SELECT CAST(floor(sqrt(user_id)) AS BIGINT) AS item FROM events
+    ),
+    c AS (SELECT item, CAST(COUNT(*) AS BIGINT) AS n_item FROM items GROUP BY item),
+    t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM items)
+    SELECT item, n_item, n_total FROM c, t WHERE n_item * 20 > n_total
+    """,
+    doc="EXACT phi-heavy hitters (phi = 1/20) by the classic two-pass "
+    "scheme: pass 1 runs a per-partition Misra-Gries summary (k = 256 "
+    "counters, batched decrement — the mergeable-summaries form of "
+    "Agarwal et al. 2012) inside Arrow mapInPandas, whose union is a "
+    "GUARANTEED superset of every item with frequency > n/(k+1) and "
+    "hence of every phi-heavy hitter since k + 1 >= 1/phi; pass 2 "
+    "recounts only the <= partitions*k candidates exactly via a "
+    "broadcast semi-join and keeps those above the threshold. The "
+    "item column is a deterministic skew transform of user_id "
+    "(floor(sqrt): bucket b covers 2b+1 users, a linear-skew stand-in "
+    "for the Zipfian item column the uniform fixtures lack). The "
+    "oracle is the plain exact GROUP BY ... HAVING — equality IS the "
+    "two-pass correctness claim.",
+)
+def agg_heavy_hitters_two_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: pass 1 shuffles NOTHING (per-partition summaries,
+    <= k rows emitted per partition); pass 2's groupBy aggregates only
+    candidate items (map-side filter against the broadcast candidate
+    set), so the shuffle carries <= partitions*k groups instead of
+    |domain| — the whole point vs the naive one-pass groupBy when the
+    key domain is shuffle-dominating at 100 TB."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    k = 256
+
+    def mg(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counters: dict = {}
+        for pdf in batches:
+            for key, c in pdf["item"].value_counts().items():
+                counters[key] = counters.get(key, 0) + int(c)
+            if len(counters) > k:
+                # batched Misra-Gries decrement: subtracting the
+                # (len-k)-th smallest count from everyone and dropping
+                # the non-positive leaves <= k counters and charges
+                # every item's count equally (the MG error bound).
+                vals = sorted(counters.values())
+                t = vals[len(counters) - k - 1]
+                counters = {w: c - t for w, c in counters.items() if c > t}
+        yield pd.DataFrame({"item": pd.array(list(counters.keys()), dtype="Int64")})
+
+    ev = load_fixture(spark, sf_dir, "events")
+    items = ev.select(F.floor(F.sqrt(F.col("user_id"))).cast("bigint").alias("item"))
+    cand = items.mapInPandas(mg, schema="item long").distinct()
+    tot = items.agg(F.count(F.lit(1)).cast("bigint").alias("n_total"))
+    return (
+        items.join(F.broadcast(cand), "item")
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_item"))
+        .crossJoin(F.broadcast(tot))
+        .filter(F.col("n_item") * 20 > F.col("n_total"))
+        .select("item", "n_item", "n_total")
+    )
+
+
+@register(
+    "survival_nelson_aalen",
+    oracle="""
+    WITH pu AS (
+        SELECT user_id,
+               CAST(floor(epoch(MIN(ts))) AS BIGINT) AS t0,
+               CAST(floor(epoch(MAX(ts))) AS BIGINT) AS t1
+        FROM events GROUP BY user_id
+    ),
+    lab AS (
+        SELECT (t1 - t0) // 86400 AS dur,
+               CASE WHEN (SELECT MAX(t1) FROM pu) - t1 > 604800
+                    THEN 1 ELSE 0 END AS ev
+        FROM pu
+    ),
+    byd AS (
+        SELECT dur, CAST(COUNT(*) AS BIGINT) AS c_all,
+               CAST(SUM(ev) AS BIGINT) AS d
+        FROM lab GROUP BY dur
+    ),
+    risk AS (
+        SELECT dur, d,
+               SUM(c_all) OVER () - (SUM(c_all) OVER (ORDER BY dur
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c_all)
+                   AS n_risk
+        FROM byd
+    ),
+    cum AS (
+        SELECT dur, d, n_risk,
+               SUM(CASE WHEN d > 0
+                        THEN (2 * 1000000000000 * d + n_risk) // (2 * n_risk)
+                        ELSE 0 END)
+                   OVER (ORDER BY dur
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum_micro
+        FROM risk
+    )
+    SELECT dur AS duration_days,
+           n_risk AS n_at_risk,
+           d AS n_events,
+           CAST(cum_micro AS DOUBLE) / 1000000000000.0 AS cum_hazard
+    FROM cum WHERE d > 0
+    """,
+    doc="Nelson-Aalen cumulative-hazard estimator over user lifetimes "
+    "(first-to-last event span in days; users still active in the "
+    "final 7 days of the stream are right-CENSORED and leave the risk "
+    "set without an event — the churn-analysis staple). Chosen over "
+    "Kaplan-Meier for the engine because H(t) = sum(d_i/n_i) is a SUM "
+    "of rationals, so each increment rounds half-away in integer "
+    "micro-units ((2e12*d + n) div (2n)) and the cumulative sum stays "
+    "exact BIGINT in both engines — no transcendental products, one "
+    "display division at the end (KM = exp(-H) for reporting). "
+    "Timestamps stay epoch-second longs end to end (the dedup_debounce "
+    "idiom), so the estimate is timezone-free.",
+)
+def survival_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: one per-user aggregate, one per-duration aggregate
+    (|distinct durations| rows, bounded by the observation span in
+    days), then ordered windows over that tiny relation — substitute
+    the two-level prefix-sum rank at 100 TB if durations ever stop
+    being span-bounded. The global-max censor horizon is a broadcast
+    1-row join."""
+    from pyspark.sql.window import Window
+
+    ev = load_fixture(spark, sf_dir, "events")
+    pu = ev.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("long")).alias("t0"),
+        F.max(F.col("ts").cast("long")).alias("t1"),
+    )
+    gmax = pu.agg(F.max("t1").alias("gmax"))
+    lab = pu.crossJoin(F.broadcast(gmax)).select(
+        F.expr("(t1 - t0) div 86400").alias("dur"),
+        F.when(F.col("gmax") - F.col("t1") > 604800, 1).otherwise(0).alias("ev"),
+    )
+    byd = lab.groupBy("dur").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c_all"),
+        F.sum("ev").cast("bigint").alias("d"),
+    )
+    wcum = Window.orderBy("dur").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.partitionBy()
+    n_risk = F.sum("c_all").over(wall) - (F.sum("c_all").over(wcum) - F.col("c_all"))
+    term = F.when(
+        F.col("d") > 0,
+        F.expr(
+            "(2 * 1000000000000 * d + n_risk) div (2 * n_risk)"
+        ),
+    ).otherwise(F.lit(0).cast("bigint"))
+    cum = (
+        byd.withColumn("n_risk", n_risk)
+        .withColumn("term", term)
+        .withColumn("cum_micro", F.sum("term").over(wcum))
+    )
+    return cum.filter(F.col("d") > 0).select(
+        F.col("dur").alias("duration_days"),
+        F.col("n_risk").alias("n_at_risk"),
+        F.col("d").alias("n_events"),
+        (F.col("cum_micro").cast("double") / F.lit(1000000000000.0)).alias(
+            "cum_hazard"
+        ),
+    )
+
+
+@register(
+    "timeseries_holt_linear",
+    oracle="""
+    WITH RECURSIVE pts AS (
+        SELECT user_id,
+               CAST(ROUND(CAST(value AS DOUBLE) * 100, 0) AS BIGINT) AS x,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events WHERE event_type = 'purchase'
+    ),
+    s AS (SELECT user_id, x, rn FROM pts WHERE rn <= 16),
+    rec AS (
+        SELECT user_id, rn, x AS l, CAST(0 AS BIGINT) AS b
+        FROM s WHERE rn = 1
+        UNION ALL
+        SELECT s.user_id, s.rn,
+               (s.x + r.l + r.b) // 2 AS l,
+               (((s.x + r.l + r.b) // 2 - r.l) + r.b) // 2 AS b
+        FROM rec r JOIN s ON s.user_id = r.user_id AND s.rn = r.rn + 1
+    ),
+    fin AS (
+        SELECT user_id, rn, l, b,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY rn DESC) AS rk
+        FROM rec
+    )
+    SELECT user_id, CAST(rn AS BIGINT) AS n_points,
+           l AS level_cents, b AS trend_cents,
+           CAST(l + b AS DOUBLE) / 100.0 AS forecast_next
+    FROM fin WHERE rk = 1
+    """,
+    doc="Holt's linear (double-exponential) smoothing per user over "
+    "the first 16 purchase amounts, alpha = beta = 1/2, with the "
+    "one-step-ahead forecast l+b — the classic trend-aware EWMA "
+    "upgrade. INTEGER-EXACT recursion: amounts enter as cents and "
+    "both updates halve via TRUNCATING integer division (Spark div / "
+    "DuckDB // both truncate toward zero; the Python loop spells it "
+    "a//2 with a sign split because Python // floors), so level and "
+    "trend stay exact BIGINTs through every step and the oracle can "
+    "replay the recursion as a bounded recursive CTE (the kcore-peel "
+    "unroll idiom) — a value hash over a genuinely sequential, "
+    "non-associative computation.",
+)
+def timeseries_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: per-user sequential state is the honest model for
+    exponential smoothing (non-associative recurrence); users are
+    independent, so grouped Arrow applyInPandas distributes perfectly
+    by user hash, each group touching <= 16 slim (rn, cents) rows.
+    Ranking is one per-user window JVM-side before Python sees data."""
+    import pandas as pd
+    from pyspark.sql.window import Window
+
+    ev = load_fixture(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    w = Window.partitionBy("user_id").orderBy(F.unix_micros("ts"), "event_id")
+    s = (
+        ev.select(
+            "user_id",
+            F.round(F.col("value") * 100, 0).cast("bigint").alias("x"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 16)
+    )
+
+    def holt(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("rn")
+        xs = [int(v) for v in pdf["x"]]
+
+        def half(a: int) -> int:
+            return a // 2 if a >= 0 else -((-a) // 2)
+
+        lv, b = xs[0], 0
+        for x in xs[1:]:
+            l1 = half(x + lv + b)
+            b = half((l1 - lv) + b)
+            lv = l1
+        return pd.DataFrame(
+            {
+                "user_id": [int(pdf["user_id"].iloc[0])],
+                "n_points": [len(xs)],
+                "level_cents": [lv],
+                "trend_cents": [b],
+                "forecast_next": [float(lv + b) / 100.0],
+            }
+        )
+
+    return s.groupBy("user_id").applyInPandas(
+        holt,
+        "user_id long, n_points long, level_cents long, trend_cents long, "
+        "forecast_next double",
+    )
