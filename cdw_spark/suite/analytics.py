@@ -4292,7 +4292,7 @@ def agg_heavy_hitters_two_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     lab AS (
         SELECT (t1 - t0) // 86400 AS dur,
-               CASE WHEN (SELECT MAX(t1) FROM pu) - t1 > 604800
+               CASE WHEN (SELECT MAX(t1) FROM pu) - t1 > 86400
                     THEN 1 ELSE 0 END AS ev
         FROM pu
     ),
@@ -4326,7 +4326,7 @@ def agg_heavy_hitters_two_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Nelson-Aalen cumulative-hazard estimator over user lifetimes "
     "(first-to-last event span in days; users still active in the "
-    "final 7 days of the stream are right-CENSORED and leave the risk "
+    "final day of the stream are right-CENSORED and leave the risk "
     "set without an event — the churn-analysis staple). Chosen over "
     "Kaplan-Meier for the engine because H(t) = sum(d_i/n_i) is a SUM "
     "of rationals, so each increment rounds half-away in integer "
@@ -4353,7 +4353,7 @@ def survival_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
     gmax = pu.agg(F.max("t1").alias("gmax"))
     lab = pu.crossJoin(F.broadcast(gmax)).select(
         F.expr("(t1 - t0) div 86400").alias("dur"),
-        F.when(F.col("gmax") - F.col("t1") > 604800, 1).otherwise(0).alias("ev"),
+        F.when(F.col("gmax") - F.col("t1") > 86400, 1).otherwise(0).alias("ev"),
     )
     byd = lab.groupBy("dur").agg(
         F.count(F.lit(1)).cast("bigint").alias("c_all"),

@@ -94,7 +94,7 @@ def test_nelson_aalen_matches_python(spark, sf_dir):
     durs = {}
     for lo, hi in span.values():
         d = (hi - lo) // 86400
-        evn = 1 if gmax - hi > 604800 else 0
+        evn = 1 if gmax - hi > 86400 else 0
         c, e = durs.get(d, (0, 0))
         durs[d] = (c + 1, e + evn)
     total = sum(c for c, _ in durs.values())
@@ -110,6 +110,7 @@ def test_nelson_aalen_matches_python(spark, sf_dir):
         assert r["n_at_risk"] == n_risk and r["n_events"] == dd
         assert abs(r["cum_hazard"] - cum) < 1e-6
     assert set(rows) == {d for d in durs if durs[d][1] > 0}
+    assert rows, "fixture must produce at least one uncensored event time"
 
 
 def test_longest_prefix_match_matches_python(spark, sf_dir):
