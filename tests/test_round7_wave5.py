@@ -160,3 +160,23 @@ def test_holt_linear_matches_python(spark, sf_dir):
         assert (r["level_cents"], r["trend_cents"]) == (lv, b)
         assert abs(r["forecast_next"] - (lv + b) / 100.0) < 1e-9
     assert set(rows) == set(series)
+
+
+def test_round7_time_ops_non_utc_session_parity(spark, sf_dir):
+    """survival_nelson_aalen derives lifetimes from ts epoch-second
+    longs and its censor horizon from a global max; timeseries_holt_
+    linear ranks purchases by unix_micros before Python sees data.
+    Both must match their oracles under a non-UTC session timezone
+    (the round-5 sessionizer lesson, probed per round for every new
+    timestamp-reading operator)."""
+    from cdw_spark.compare import compare_frames
+
+    s2 = spark.newSession()
+    s2.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        for name in ("survival_nelson_aalen", "timeseries_holt_linear"):
+            spec = SPECS[name]
+            res = compare_frames(name, spec.fn(s2, sf_dir), spec.oracle, sf_dir)
+            assert res.ok, f"{name}: {res}"
+    finally:
+        s2.conf.unset("spark.sql.session.timeZone")
