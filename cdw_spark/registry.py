@@ -81,8 +81,8 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # Cumulative driver evidence after r6: 218 unique queries graded, all
 # green at their latest grading (CORRECTNESS_r06 = 50/50).
 #
-# Never-graded after this window: 25 oracled for r8's 40 slots — the
-# 19 round-7 additions (newest, least proven, so they go FIRST):
+# Never-graded after this window: 30 oracled for r8's 40 slots — the
+# 24 round-7 additions (newest, least proven, so they go FIRST):
 # eval_binary_auc, agg_cohens_kappa, quality_ttr_lexical_diversity,
 # agg_benjamini_hochberg, timeseries_realized_volatility,
 # timeseries_hampel_outliers, sample_subsample_ci,
@@ -91,7 +91,10 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # window_bollinger_bands, sample_ab_power_analysis,
 # profile_psi_drift, embedding_centroid_drift, agg_hodges_lehmann,
 # scd2_point_in_time_lookup, multimodal_image_resize_digest,
-# stream_bloom_dedup_ingest — then the 6 carried from the r6 queue in
+# stream_bloom_dedup_ingest, and the fifth wave: agg_welch_ttest,
+# agg_heavy_hitters_two_pass, survival_nelson_aalen,
+# lookup_longest_prefix, timeseries_holt_linear — then the 6 carried
+# from the r6 queue in
 # registration order: incremental_agg_merge, sample_class_balanced,
 # quantile_rank_normalize, batch_by_length, select_token_budget,
 # corpus_mix_entropy. Remaining r8 slots rotate the oldest COLD
