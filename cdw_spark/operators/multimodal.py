@@ -833,7 +833,13 @@ def audio_peak_pairs(
     gain cancels EXACTLY (argmax order is shift-invariant and the
     amplitude enters as ``sample - min(doc samples)``), and the hash is
     position-coded with no absolute frame index, so a clip matches at
-    any frame-aligned offset. The chain exists for scale: fingerprint
+    any frame-aligned offset WITHIN the same normalized stream (the
+    min is per-stream: an excerpt that omits the stream's minimum
+    sample normalizes to shifted amplitudes — cross-excerpt matching
+    needs the excerpt to share the stream min, or per-window
+    normalization). Normalized amplitudes clamp at the 2048 radix
+    ceiling, so full-range int16 audio saturates instead of bleeding
+    into the position fields. The chain exists for scale: fingerprint
     entropy (frame^chain * 2048^chain ~ 2^48 here) must stay far above
     the corpus's fingerprint count or the downstream hash equi-join
     goes quadratic in docs-per-bucket — the adjacent-PAIR/coarse-band
@@ -850,12 +856,14 @@ def audio_peak_pairs(
             ids, pidx, fps = [], [], []
             for did, blob in zip(pdf[id_col], pdf[blob_col]):
                 _rate, samples = wav_decode(bytes(blob))
+                if not samples:
+                    continue
                 mn = min(samples)
                 peaks = []
                 for fi in range(len(samples) // frame):
                     fr = samples[fi * frame : (fi + 1) * frame]
                     p = max(range(frame), key=lambda j: (fr[j], -j))
-                    peaks.append((p, fr[p] - mn))
+                    peaks.append((p, min(fr[p] - mn, 2047)))
                 for k in range(len(peaks) - chain + 1):
                     fp = 0
                     for p, _n in peaks[k : k + chain]:

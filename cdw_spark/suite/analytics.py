@@ -4115,7 +4115,7 @@ def scd2_point_in_time_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM v
     ),
     d AS (
-        SELECT n1, n2,
+        SELECT n1, n2, s1, s2,
                CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS m1,
                CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS m2,
                (CAST(q1 AS DOUBLE)
@@ -4127,8 +4127,12 @@ def scd2_point_in_time_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM s
     )
     SELECT n1 AS n_urgent, n2 AS n_low,
-           ROUND(m1 / 100.0, 6) AS mean_urgent,
-           ROUND(m2 / 100.0, 6) AS mean_low,
+           CAST(CAST((2 * CAST(s1 AS HUGEINT) * 10000 + n1)
+                     // (2 * CAST(n1 AS HUGEINT)) AS BIGINT) AS DOUBLE)
+               / 1000000.0 AS mean_urgent,
+           CAST(CAST((2 * CAST(s2 AS HUGEINT) * 10000 + n2)
+                     // (2 * CAST(n2 AS HUGEINT)) AS BIGINT) AS DOUBLE)
+               / 1000000.0 AS mean_low,
            ROUND((m1 - m2)
                  / sqrt(v1 / CAST(n1 AS DOUBLE) + v2 / CAST(n2 AS DOUBLE)), 6)
                AS t_stat,
@@ -4146,10 +4150,14 @@ def scd2_point_in_time_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "degrees of freedom — the parametric companion to "
     "agg_mann_whitney_u (same two-snapshot drift-test role, mean "
     "instead of rank). EXACT accumulation: integer cents, sums and "
-    "sums-of-squares as DECIMAL(38,0); doubles appear only in the "
-    "final 1-row projection with one identical op sequence per engine "
-    "(variance via q - s/n*s to keep the multiply-divide order "
-    "identical, never pow()).",
+    "sums-of-squares as DECIMAL(38,0); the means round half-away in "
+    "integer micro-units (exact-integer ratios never meet "
+    "ROUND(double)). t_stat carries a genuine sqrt so it is honestly "
+    "double; welch_df is rational but its cleared-denominator form "
+    "needs ~2^160-bit integers (v_i numerators are n*q - s^2 ~ 1e24 "
+    "and the df squares them), beyond DECIMAL(38)/HUGEINT — so both "
+    "engines compute it as ONE identical double op sequence "
+    "(variance via q - s/n*s, never pow()) and round at 3dp.",
 )
 def agg_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale shape: one scan, one conditional-sum reduce to a single
@@ -4204,8 +4212,22 @@ def agg_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select(
         F.col("n1").alias("n_urgent"),
         F.col("n2").alias("n_low"),
-        F.round(m1 / F.lit(100.0), 6).alias("mean_urgent"),
-        F.round(m2 / F.lit(100.0), 6).alias("mean_low"),
+        # ratio-of-exact-integers outputs round in integer micro-units
+        # (dollars at 6dp = cents*10000/n, half-away), never ROUND(double)
+        (
+            F.expr(
+                "CAST((2 * CAST(s1 AS DECIMAL(38,0)) * 10000 + n1)"
+                " div (2 * CAST(n1 AS DECIMAL(38,0))) AS BIGINT)"
+            ).cast("double")
+            / F.lit(1000000.0)
+        ).alias("mean_urgent"),
+        (
+            F.expr(
+                "CAST((2 * CAST(s2 AS DECIMAL(38,0)) * 10000 + n2)"
+                " div (2 * CAST(n2 AS DECIMAL(38,0))) AS BIGINT)"
+            ).cast("double")
+            / F.lit(1000000.0)
+        ).alias("mean_low"),
         F.round((m1 - m2) / F.sqrt(se1 + se2), 6).alias("t_stat"),
         F.round(
             (se1 + se2) * (se1 + se2)
@@ -4311,7 +4333,9 @@ def agg_heavy_hitters_two_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
     cum AS (
         SELECT dur, d, n_risk,
                SUM(CASE WHEN d > 0
-                        THEN (2 * 1000000000000 * d + n_risk) // (2 * n_risk)
+                        THEN CAST((2 * CAST(d AS HUGEINT) * 1000000000000
+                                   + n_risk)
+                                  // (2 * CAST(n_risk AS HUGEINT)) AS BIGINT)
                         ELSE 0 END)
                    OVER (ORDER BY dur
                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
@@ -4364,10 +4388,14 @@ def survival_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     wall = Window.partitionBy()
     n_risk = F.sum("c_all").over(wall) - (F.sum("c_all").over(wcum) - F.col("c_all"))
+    # 2e12*d wraps int64 past d ~ 4.6e6 events per duration — DECIMAL
+    # operands (HUGEINT in the oracle) keep the micro-round exact at
+    # any corpus size (the agg_ks_two_sample convention)
     term = F.when(
         F.col("d") > 0,
         F.expr(
-            "(2 * 1000000000000 * d + n_risk) div (2 * n_risk)"
+            "CAST((2 * CAST(d AS DECIMAL(38,0)) * 1000000000000 + n_risk)"
+            " div (2 * CAST(n_risk AS DECIMAL(38,0))) AS BIGINT)"
         ),
     ).otherwise(F.lit(0).cast("bigint"))
     cum = (

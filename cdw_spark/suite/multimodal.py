@@ -529,7 +529,8 @@ def multimodal_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM d, UNNEST(range(0, 16)) AS u1(blk), UNNEST(range(0, 16)) AS u2(j)
     ),
     pk AS (
-        SELECT doc_id, fi, pos AS p, CAST(smp - mn AS BIGINT) AS n FROM (
+        SELECT doc_id, fi, pos AS p,
+               CAST(LEAST(smp - mn, 2047) AS BIGINT) AS n FROM (
             SELECT doc_id, fi, pos, smp,
                    ROW_NUMBER() OVER (PARTITION BY doc_id, fi
                                       ORDER BY smp DESC, pos ASC) AS rn,

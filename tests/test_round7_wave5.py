@@ -141,9 +141,17 @@ def test_holt_linear_matches_python(spark, sf_dir):
     ev = load_fixture(spark, sf_dir, "events").filter(
         F.col("event_type") == "purchase"
     ).select("user_id", "ts", "event_id", "value").collect()
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def cents(v):
+        # Spark round(double, 0): shortest decimal repr, HALF_UP —
+        # python round() is half-even and would diverge on exact .5
+        x = float(v) * 100
+        return int(Decimal(repr(x)).quantize(Decimal("1"), rounding=ROUND_HALF_UP))
+
     series = {}
     for r in sorted(ev, key=lambda r: (r["user_id"], r["ts"], r["event_id"])):
-        series.setdefault(r["user_id"], []).append(round(float(r["value"]) * 100))
+        series.setdefault(r["user_id"], []).append(cents(r["value"]))
 
     def half(a):
         return a // 2 if a >= 0 else -((-a) // 2)
