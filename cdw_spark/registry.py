@@ -72,38 +72,27 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # batch time-window twins, and the tokenize/chunk/pack assembly ops.
 # Everything not listed keeps its registration order after the window and
 # stays covered by tests/test_oracle_contract.py's local differential sweep.
-# r7 window (this round): same ten family anchors; the forty rotated
-# slots drain the round-6 queue in its stated priority order — the 22
-# round-6 additions first (newest, least proven: the stats-test family,
-# IVF-PQ, the audio VAD, the drift/burstiness/HITS/Markov/Theil wave and
-# the two eval metrics), then the oldest never-graded tail in
-# registration order (knn_label_vote .. global_shuffle_rank).
-# Cumulative driver evidence after r6: 218 unique queries graded, all
-# green at their latest grading (CORRECTNESS_r06 = 50/50).
+# r8 window (this round): same ten family anchors; the forty slots
+# follow the queue authored at the r7 close EXACTLY — the 24 round-7
+# additions first (newest, least proven), then the 6 carried from the
+# r6 queue, then 10 oldest-COLD re-grades (graded green once in r1/r2,
+# never since) oldest-grade-first then registration order. This window
+# FINISHES full driver coverage: after it grades, every oracled query
+# in the registry has had at least one driver row (the completeness
+# meta-test in tests/test_registry_meta.py pins this so the gap can
+# never silently reopen). Cumulative driver evidence after r7: 258
+# unique queries graded, 256 green at latest grading
+# (CORRECTNESS_r07 = 50/50; the 2 non-green are the oracle-less r1
+# relics agg_approx_distinct/agg_approx_quantiles whose exact twins
+# are oracled).
 #
-# Never-graded after this window: 30 oracled for r8's 40 slots — the
-# 24 round-7 additions (newest, least proven, so they go FIRST):
-# eval_binary_auc, agg_cohens_kappa, quality_ttr_lexical_diversity,
-# agg_benjamini_hochberg, timeseries_realized_volatility,
-# timeseries_hampel_outliers, sample_subsample_ci,
-# layout_hilbert_order, graph_clustering_coefficient,
-# embedding_matryoshka_recall, multimodal_audio_constellation,
-# window_bollinger_bands, sample_ab_power_analysis,
-# profile_psi_drift, embedding_centroid_drift, agg_hodges_lehmann,
-# scd2_point_in_time_lookup, multimodal_image_resize_digest,
-# stream_bloom_dedup_ingest, and the fifth wave: agg_welch_ttest,
-# agg_heavy_hitters_two_pass, survival_nelson_aalen,
-# lookup_longest_prefix, timeseries_holt_linear — then the 6 carried
-# from the r6 queue in
-# registration order: incremental_agg_merge, sample_class_balanced,
-# quantile_rank_normalize, batch_by_length, select_token_budget,
-# corpus_mix_entropy. Remaining r8 slots rotate the oldest COLD
-# queries (graded green once in r2/r3, never since)
-# oldest-grade-first. The 4 rows-only (agg_approx_top_k,
-# text_compression_ratio, similarity_ann_pq,
-# multimodal_audio_spectral — each irreducibly engine-specific with a
-# measured reason) never burn window slots.
-_WINDOW_ROUND = 7  # the round this window was authored FOR — meta-tests
+# Never-graded after this window: ZERO oracled queries. The 4
+# rows-only (agg_approx_top_k, text_compression_ratio,
+# similarity_ann_pq, multimodal_audio_spectral — each irreducibly
+# engine-specific with a measured reason) never burn window slots.
+# r9+ policy: keep the ten anchors, spend the forty slots on (a) any
+# round-8 additions, then (b) coldest re-grades oldest-grade-first.
+_WINDOW_ROUND = 8  # the round this window was authored FOR — meta-tests
 # treat CORRECTNESS records from rounds >= this as the window's own
 # grade, not prior evidence (VERDICT r4 #3's self-invalidation fix).
 _DRIVER_WINDOW: tuple[str, ...] = (
@@ -118,49 +107,51 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "similarity_ann_lsh",    # similarity / ANN
     "dedup_minhash_lsh",     # deduplication
     "curation_pipeline",     # curation / dataset ops
-    # --- rotated in (r7): the 22 round-6 additions first — newest,
-    # least proven (queue order authored at the r6 close) ---
-    "agg_mann_whitney_u",
-    "agg_chi_square_independence",
-    "agg_spearman_rho",
-    "tcloseness_audit",
-    "mix_temperature_sampling",
-    "multimodal_audio_vad",
-    "timeseries_autocorr_lag1",
-    "similarity_ann_ivfpq",
-    "timeseries_mann_kendall",
-    "agg_ks_two_sample",
-    "sample_coreset_kcenter",
-    "agg_mutual_information",
-    "text_zipf_slope",
-    "window_rolling_ols_slope",
-    "sample_neyman_allocation",
-    "stream_drift_chi_square",
-    "text_burstiness",
-    "graph_hits_scores",
-    "events_markov_stationary",
-    "agg_theil_index",
-    "eval_langid_classification_report",
-    "eval_retrieval_ndcg",
-    # --- oldest never-graded tail, registration order ---
-    "knn_label_vote",
-    "embedding_pca_top_component",
-    "window_first_last_nth",
-    "timeseries_gapfill_locf",
-    "stream_stream_left_outer_join",
-    "stream_foreachbatch_upsert",
-    "stream_stream_full_outer_join",
-    "stream_ohlc_resample",
-    "quality_repetition",
-    "sample_hash_split",
-    "sample_stratified",
-    "profile_columns",
-    "layout_zorder",
-    "outlier_zscore",
-    "mix_sources_weighted",
-    "curriculum_phases",
-    "embedding_quantize_int8",
-    "global_shuffle_rank",
+    # --- rotated in (r8): the 24 round-7 additions — newest, least
+    # proven (queue order authored at the r7 close) ---
+    "eval_binary_auc",
+    "agg_cohens_kappa",
+    "quality_ttr_lexical_diversity",
+    "agg_benjamini_hochberg",
+    "timeseries_realized_volatility",
+    "timeseries_hampel_outliers",
+    "sample_subsample_ci",
+    "layout_hilbert_order",
+    "graph_clustering_coefficient",
+    "embedding_matryoshka_recall",
+    "multimodal_audio_constellation",
+    "window_bollinger_bands",
+    "sample_ab_power_analysis",
+    "profile_psi_drift",
+    "embedding_centroid_drift",
+    "agg_hodges_lehmann",
+    "scd2_point_in_time_lookup",
+    "multimodal_image_resize_digest",
+    "stream_bloom_dedup_ingest",
+    "agg_welch_ttest",
+    "agg_heavy_hitters_two_pass",
+    "survival_nelson_aalen",
+    "lookup_longest_prefix",
+    "timeseries_holt_linear",
+    # --- the 6 carried from the r6 queue, registration order ---
+    "incremental_agg_merge",
+    "sample_class_balanced",
+    "quantile_rank_normalize",
+    "batch_by_length",
+    "select_token_budget",
+    "corpus_mix_entropy",
+    # --- 10 oldest-cold re-grades: green once in r1/r2, never since;
+    # oldest-grade-first, then registration order within a round ---
+    "scalar_funcs",          # r1
+    "array_funcs",           # r1
+    "try_error_handling",    # r1
+    "time_dim_fixed",        # r1
+    "case_when_having",      # r1
+    "agg_stats",             # r1
+    "dedup_ngram_jaccard",   # r1
+    "filter_project",        # r2
+    "distinct_dim",          # r2
+    "cast_projection",       # r2
 )
 
 
