@@ -191,9 +191,11 @@ def hits_scores(
 
     Scale shape: per iteration, one broadcast-size score join onto the
     checkpointed edge list and one map-side-combined groupBy per side,
-    plus a 1-value max reduce; raw sums stay inside int64 up to ~1e10
-    edge-contributions per node — substitute DECIMAL accumulators past
-    that."""
+    plus a 1-value max reduce. The normalization's 2*raw*scale product
+    runs in DECIMAL(38,0)/HUGEINT (r8 micro-unit audit: in int64 it
+    wrapped at node degree > 4.6e6 — a real hub at corpus scale); raw
+    itself stays int64 to ~9e12 edge-contributions per node, stated
+    here as the remaining bound."""
     if iters < 1:
         raise ValueError(f"hits_scores needs iters >= 1, got {iters}")
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).localCheckpoint(
@@ -222,7 +224,10 @@ def hits_scores(
             ar.crossJoin(F.broadcast(am))
             .select(
                 "dst",
-                F.expr(f"(2 * raw * {scale} + m) div (2 * m)")
+                F.expr(
+                    f"(2 * CAST(raw AS DECIMAL(38,0)) * {scale} + m)"
+                    f" div (2 * CAST(m AS DECIMAL(38,0)))"
+                )
                 .cast("bigint")
                 .alias("a"),
             )
@@ -238,7 +243,10 @@ def hits_scores(
             hr.crossJoin(F.broadcast(hm))
             .select(
                 F.col("src").alias("node"),
-                F.expr(f"(2 * raw * {scale} + m) div (2 * m)")
+                F.expr(
+                    f"(2 * CAST(raw AS DECIMAL(38,0)) * {scale} + m)"
+                    f" div (2 * CAST(m AS DECIMAL(38,0)))"
+                )
                 .cast("bigint")
                 .alias("h"),
             )

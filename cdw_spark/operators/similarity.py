@@ -29,6 +29,37 @@ from ..functions.vectors import cosine, dot, to_double_array
 
 N_PLANES = 8
 
+# adaptive-width clamp: 8 bits (256 buckets) floors the fixture regime;
+# 16 bits caps what the static literal-plane oracles state (a deployment
+# past 2^16 * occupancy vectors raises the cap and regenerates oracles)
+SIG_WIDTH_LO = 8
+SIG_WIDTH_HI = 16
+
+
+def adaptive_sig_width(
+    n: int, target_occupancy: int = 16, lo: int = SIG_WIDTH_LO, hi: int = SIG_WIDTH_HI
+) -> int:
+    """Signature width (bit count) that keeps expected bucket occupancy
+    <= ``target_occupancy`` for an ``n``-vector corpus: the smallest w
+    with 2^w >= ceil(n / occupancy), clamped to [lo, hi]. This is the
+    'raise n_planes so bucket occupancy stays bounded' policy made
+    executable — candidate pair work then grows LINEARLY with the
+    corpus (occupancy fixed) instead of quadratically (bucket count
+    fixed). Pure integer arithmetic so the SQL twin
+    (adaptive_sig_width_sql) is float-free and engine-identical."""
+    m = max(1, (n + target_occupancy - 1) // target_occupancy)
+    return max(lo, min(hi, (m - 1).bit_length()))
+
+
+def adaptive_sig_width_sql(count_sql: str, target_occupancy: int = 16) -> str:
+    """DuckDB rendering of adaptive_sig_width: a float-free CASE ladder
+    over m = ceil(count/occupancy) for the clamped [8, 16] range."""
+    m = f"(({count_sql}) + {target_occupancy - 1}) // {target_occupancy}"
+    ladder = " ".join(
+        f"WHEN {m} <= {1 << w} THEN {w}" for w in range(SIG_WIDTH_LO, SIG_WIDTH_HI)
+    )
+    return f"(CASE {ladder} ELSE {SIG_WIDTH_HI} END)"
+
 
 def _planes(dim: int, n_planes: int = N_PLANES) -> list[list[float]]:
     """Seeded hyperplanes, deterministic PER CALL. A fresh Random(seed) per

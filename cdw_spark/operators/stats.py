@@ -99,3 +99,94 @@ def banded_exact_median(
             F.avg("_v").alias(out_col),
         )
     )
+
+
+def two_level_cumsum(
+    df: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+    tiebreak_cols: list[str],
+    sum_cols: dict[str, str],
+    n_buckets: int = 64,
+    accuracy: int = 2000,
+) -> DataFrame:
+    """EXACT inclusive running sums under ``ORDER BY value_col,
+    tiebreak_cols`` (per ``key_cols`` group, or globally when empty)
+    WITHOUT a single-partition sort — the two-level prefix-sum rank
+    pattern (global_shuffle_rank generalized to arbitrary numeric sort
+    keys and arbitrary summands).
+
+    Level 1: an ``approx_percentile`` sketch per group picks
+    ``n_buckets - 1`` range boundaries; every row routes to the bucket
+    counting boundaries strictly below its value, so ties always share a
+    bucket and (bucket, value, tiebreaks) order IS the global order. The
+    sketch only balances WHERE each within-bucket sort happens — a skewed
+    sketch degrades speed, never values. Level 2: each ordered window
+    runs inside its (group, bucket) partition in parallel; per-bucket
+    totals (|groups| * n_buckets rows) turn into cumulative offsets via a
+    window over that bounded relation, broadcast back, and
+    ``global = offset + within-bucket running sum``.
+
+    ``sum_cols`` maps output name -> existing numeric column to
+    accumulate (pass a literal-1 column for a row_number-style rank).
+    ``value_col`` must be non-NULL and numeric, ascending; express a
+    descending order by negating the column first. Returns ``df``'s
+    columns plus the cumulative columns.
+    """
+    from pyspark.sql.window import Window
+
+    from ..plans.hints import broadcast_if_small
+
+    qs = ", ".join(str(i / n_buckets) for i in range(1, n_buckets))
+    sketch = F.expr(f"approx_percentile(_bv, array({qs}), {accuracy})").alias("_bnd")
+    src = df.withColumn("_bv", F.col(value_col).cast("double"))
+    if key_cols:
+        bnd = src.groupBy(*key_cols).agg(sketch)
+        j = src.join(broadcast_if_small(bnd), key_cols)
+    else:
+        bnd = src.agg(sketch)
+        j = src.crossJoin(F.broadcast(bnd))
+    # Checkpoint the bucketed relation: it feeds BOTH the within-bucket
+    # windows and the bucket-totals aggregate, and without the cut the
+    # caller's upstream lineage re-evaluates once per consumer — ruinous
+    # when calls chain (three chained ranks = 3^3 upstream evals). The
+    # checkpointed relation is the caller's (already reduced) input plus
+    # one int column, materialized once on executor storage.
+    j = (
+        j.withColumn("_bk", F.expr("size(filter(_bnd, t -> t < _bv))"))
+        .drop("_bnd", "_bv")
+        .localCheckpoint(eager=True)
+    )
+
+    wl = (
+        Window.partitionBy(*key_cols, "_bk")
+        .orderBy(value_col, *tiebreak_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    totals = j.groupBy(*key_cols, "_bk").agg(
+        *[F.sum(c).alias(f"_tot_{o}") for o, c in sum_cols.items()]
+    )
+    for out, src_col in sum_cols.items():
+        j = j.withColumn(f"_loc_{out}", F.sum(src_col).over(wl))
+    # bounded relation: |groups| * n_buckets rows; the per-group ordered
+    # window sorts at most n_buckets rows per task
+    wo = (
+        Window.partitionBy(*key_cols)
+        .orderBy("_bk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        *key_cols,
+        "_bk",
+        *[
+            F.coalesce(F.sum(f"_tot_{o}").over(wo), F.lit(0)).alias(f"_off_{o}")
+            for o in sum_cols
+        ],
+    )
+    out_df = j.join(broadcast_if_small(offsets), [*key_cols, "_bk"])
+    for out in sum_cols:
+        out_df = out_df.withColumn(
+            out, F.col(f"_off_{out}") + F.col(f"_loc_{out}")
+        )
+    drop = ["_bk"] + [f"_loc_{o}" for o in sum_cols] + [f"_off_{o}" for o in sum_cols]
+    return out_df.drop(*drop)

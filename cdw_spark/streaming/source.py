@@ -175,6 +175,21 @@ def stage_exact_quarters(
     df = load_fixture(spark, sf_dir, table)
     n_rows = df.count()
     if not os.path.exists(done):
+        # Loud precondition (ADVICE r7): the quarter formula silently
+        # drops any row whose (id * n_files) div n_rows lands >= n_files,
+        # which happens exactly when ids are not dense 0..n-1 (1-based or
+        # sparse). Fail the replay setup instead of auditing a truncated
+        # stream.
+        lohi = df.agg(
+            F.min(F.col(id_col).cast("bigint")).alias("lo"),
+            F.max(F.col(id_col).cast("bigint")).alias("hi"),
+        ).collect()[0]
+        if lohi["lo"] != 0 or lohi["hi"] != n_rows - 1:
+            raise ValueError(
+                f"stage_exact_quarters needs dense 0..n-1 ids in "
+                f"{table}.{id_col}: got min={lohi['lo']} max={lohi['hi']} "
+                f"for n_rows={n_rows}"
+            )
         base = 1_700_000_000
         for q in range(n_files):
             part = df.filter(

@@ -2411,17 +2411,19 @@ def dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     agg AS (
         SELECT c.lang, c.source, c.ng,
-               CAST(SUM(CASE WHEN c.i < t.m
-                             THEN abs(c.gc * t.n - c.gcum * c.ng)
-                             ELSE 0 END) AS BIGINT) AS num,
+               SUM(CASE WHEN c.i < t.m
+                        THEN abs(CAST(c.gc AS HUGEINT) * t.n
+                                 - CAST(c.gcum AS HUGEINT) * c.ng)
+                        ELSE 0 END) AS num,
                MAX(t.n) AS n, MAX(t.m) AS m
         FROM cum c CROSS JOIN tot t
         GROUP BY c.lang, c.source, c.ng
     ),
     micro AS (
         SELECT lang, source, ng,
-               (2 * num * 1000000 + NULLIF(ng * n * (m - 1), 0))
-                   // (2 * NULLIF(ng * n * (m - 1), 0)) AS emd_micro
+               (2 * CAST(num AS HUGEINT) * 1000000
+                + NULLIF(CAST(ng AS HUGEINT) * n * (m - 1), 0))
+                   // (2 * NULLIF(CAST(ng AS HUGEINT) * n * (m - 1), 0)) AS emd_micro
         FROM agg
     )
     SELECT lang, source, CAST(ng AS BIGINT) AS group_size,
@@ -2445,9 +2447,10 @@ def tcloseness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale shape: one groupBy on (class, bucket), a broadcast-size
     global bucket spine crossed with the class list (|classes| x |m|
     cells — bounded by the audit's own output), per-class cumulative
-    windows over m<=20 buckets, one aggregate. Numerators stay int64
-    through petabyte N only if ng*N fits — substitute DECIMAL
-    accumulators past ~1e9 rows (same note as agg_gini_concentration)."""
+    windows over m<=20 buckets, one aggregate. Micro-unit products
+    (gc*N, the (2a+b) div 2b round) run in DECIMAL(38,0) / HUGEINT —
+    the agg_ks_two_sample convention (r8 micro-unit audit): gc*N wraps
+    int64 past N ~ 3e9, well inside a 100 TB corpus."""
     from pyspark.sql.window import Window
 
     d = load_fixture(spark, sf_dir, "documents")
@@ -2491,13 +2494,18 @@ def tcloseness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         cum.crossJoin(F.broadcast(tot))
         .groupBy("lang", "source", "ng")
         .agg(
+            # gc*N wraps int64 past N ~ 3e9 — DECIMAL(38,0) operands keep
+            # the common-denominator numerator exact (KS convention)
             F.sum(
                 F.when(
                     F.col("i") < F.col("m"),
-                    F.abs(F.col("gc") * F.col("n") - F.col("gcum") * F.col("ng")),
+                    F.abs(
+                        F.col("gc").cast("decimal(19,0)") * F.col("n")
+                        - F.col("gcum").cast("decimal(19,0)") * F.col("ng")
+                    ),
                 ).otherwise(F.lit(0))
             )
-            .cast("bigint")
+            .cast("decimal(38,0)")
             .alias("num"),
             F.max("n").alias("n"),
             F.max("m").alias("m"),
@@ -2508,8 +2516,10 @@ def tcloseness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         "ng",
         F.expr(
-            "(2 * num * 1000000 + nullif(ng * n * (m - 1), 0))"
-            " div (2 * nullif(ng * n * (m - 1), 0))"
+            "CAST((2 * CAST(num AS DECIMAL(38,0)) * 1000000"
+            " + nullif(CAST(ng AS DECIMAL(38,0)) * n * (m - 1), 0))"
+            " div (2 * nullif(CAST(ng AS DECIMAL(38,0)) * n * (m - 1), 0))"
+            " AS BIGINT)"
         ).alias("emd_micro"),
     )
     return micro.select(

@@ -276,6 +276,8 @@ def dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return paragraph_dedup(load_fixture(spark, sf_dir, "documents"), block_words=8)
 
 
+from ..operators.similarity import SIG_WIDTH_HI as _SIG_HI
+from ..operators.similarity import adaptive_sig_width_sql as _sig_w_sql
 from ..operators.similarity import signature_oracle_sql as _sig_sql
 
 _EMB_DIM = 64
@@ -283,9 +285,13 @@ _EMB_DIM = 64
 @register(
     "dedup_semantic",
     oracle=f"""
-    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    WITH w AS (
+        SELECT {_sig_w_sql("SELECT COUNT(*) FROM embeddings")} AS w
+    ),
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
     sigs AS (
-        SELECT vec_id, v, {_sig_sql("v", _EMB_DIM)} AS sig FROM e
+        SELECT vec_id, v, ({_sig_sql("v", _EMB_DIM, _SIG_HI)}) % (1 << w.w) AS sig
+        FROM e, w
     ),
     pairs AS (
         SELECT b.vec_id AS dup_id, a.vec_id AS keep_id, a.sig AS cluster,
@@ -301,8 +307,11 @@ _EMB_DIM = 64
     GROUP BY dup_id
     """,
     doc="SemDeDup (Abbas et al. 2023) over the dense embedding column: "
-    "cluster = the deterministic 8-bit hyperplane signature (same literal "
-    "planes as the ANN layer, so the CLUSTERING itself is value-oracled), "
+    "cluster = the deterministic hyperplane signature at a COUNT-DERIVED "
+    "width (adaptive_sig_width keeps expected bucket occupancy <= 16, so "
+    "pair work grows linearly with the corpus; same literal planes as "
+    "the ANN layer, so the CLUSTERING itself is value-oracled — the "
+    "oracle masks the max-width literal signature to the same width), "
     "pairwise exact cosine only within a cluster, every vector with a "
     "lower-id cluster-mate at cosine >= 0.25 collapses into that group's "
     "exemplar. Intra-cluster equi-join — per-bucket pair products, never "
@@ -312,9 +321,10 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Signature equi-join restricts comparisons to cluster-mates; the
     pair dot is an unrolled codegen chain with DuckDB fold parity
     (operators/similarity.py:semantic_dedup)."""
-    from ..operators.similarity import semantic_dedup
+    from ..operators.similarity import adaptive_sig_width, semantic_dedup
 
-    return semantic_dedup(load_fixture(spark, sf_dir, "embeddings"), threshold=0.25)
+    e = load_fixture(spark, sf_dir, "embeddings")
+    return semantic_dedup(e, threshold=0.25, n_planes=adaptive_sig_width(e.count()))
 
 
 @register(

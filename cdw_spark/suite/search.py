@@ -897,7 +897,7 @@ def _hits_oracle_sql(iters: int = 2, scale: int = 1_000_000) -> str:
     ),
     a{t}m AS (SELECT MAX(raw) AS m FROM a{t}r),
     a{t} AS (
-        SELECT dst, CAST((2 * raw * {scale} + m) // (2 * m) AS BIGINT) AS a
+        SELECT dst, CAST((2 * CAST(raw AS HUGEINT) * {scale} + m) // (2 * CAST(m AS HUGEINT)) AS BIGINT) AS a
         FROM a{t}r CROSS JOIN a{t}m
     ),
     h{t}r AS (
@@ -906,7 +906,7 @@ def _hits_oracle_sql(iters: int = 2, scale: int = 1_000_000) -> str:
     ),
     h{t}m AS (SELECT MAX(raw) AS m FROM h{t}r),
     h{t} AS (
-        SELECT src AS node, CAST((2 * raw * {scale} + m) // (2 * m) AS BIGINT) AS h
+        SELECT src AS node, CAST((2 * CAST(raw AS HUGEINT) * {scale} + m) // (2 * CAST(m AS HUGEINT)) AS BIGINT) AS h
         FROM h{t}r CROSS JOIN h{t}m
     )""")
         prev_h = f"h{t}"

@@ -678,12 +678,21 @@ def stream_near_dup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return finish_replay(spark.read.parquet(pairs_dir), root)
 
 
+from ..operators.similarity import SIG_WIDTH_HI as _SIG_HI
+from ..operators.similarity import adaptive_sig_width_sql as _sig_w_sql
 from ..operators.similarity import signature_oracle_sql as _strm_sig_sql
 
+# count-derived signature width: the oracle states the MAX-width literal
+# planes and masks to the adaptive width (prefix-stable planes make the
+# masked wide signature identical to computing only the first w planes)
 _SEMANTIC_INGEST_ORACLE = f"""
-    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    WITH w AS (
+        SELECT {_sig_w_sql("SELECT COUNT(*) FROM embeddings")} AS w
+    ),
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
     sigs AS (
-        SELECT vec_id, v, {_strm_sig_sql("v", 64)} AS sig FROM e
+        SELECT vec_id, v, ({_strm_sig_sql("v", 64, _SIG_HI)}) % (1 << w.w) AS sig
+        FROM e, w
     ),
     pairs AS (
         SELECT b.vec_id AS dup_id, a.vec_id AS keep_id, a.sig AS cluster,
@@ -715,30 +724,39 @@ _SEMANTIC_INGEST_ORACLE = f"""
     "vec_id order, every (keep < dup) pair materializes exactly when the "
     "dup's batch arrives — the per-batch emissions partition the full "
     "pair set, so the batch twin's oracle applies verbatim to the "
-    "streamed union. At 100 TB the same body targets a transactional "
-    "table format.",
+    "streamed union. The signature width is COUNT-DERIVED "
+    "(adaptive_sig_width: smallest w with 2^w buckets keeping expected "
+    "occupancy <= 16, clamped [8,16]) so candidate pair work grows "
+    "linearly with the corpus — the r5-carried 8x density finding "
+    "closed by banding, not hope; the oracle masks the max-width "
+    "literal-plane signature to the same count-derived w. At 100 TB "
+    "the same body targets a transactional table format and a raised "
+    "width cap.",
 )
 def stream_semantic_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import tempfile
 
     from ..operators.similarity import (
-        N_PLANES,
+        adaptive_sig_width,
         _norm_sql,
         _pair_dot_sql,
         to_double_array,
         with_signature,
     )
+    from ..catalog import load_fixture
     from ..streaming.source import finish_replay, table_stream
 
     dim = 64
+    n_corpus = load_fixture(spark, sf_dir, "embeddings").count()
+    w_bits = adaptive_sig_width(n_corpus)
     root = tempfile.mkdtemp(prefix="cdw_stream_semdedup_")
     vec_dir = os.path.join(root, "vectors")
     out_dir = os.path.join(root, "dups")
 
     def enrich(df: DataFrame) -> DataFrame:
         base = df.select("vec_id", to_double_array(F.col("embedding")).alias("v"))
-        return with_signature(base, "v", dim, "sig", N_PLANES).withColumn(
+        return with_signature(base, "v", dim, "sig", w_bits).withColumn(
             "nrm", F.expr(_norm_sql("v", dim))
         )
 

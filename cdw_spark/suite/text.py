@@ -1222,7 +1222,7 @@ def eval_langid_classification_report(spark: SparkSession, sf_dir: str) -> DataF
     )
     SELECT CAST(n1 AS BIGINT) AS n_pos, CAST(n0 AS BIGINT) AS n_neg,
            CAST(CAST((2 * (r1x2 - n1 * (n1 + 1)) * 1000000 + 2 * n1 * n0)
-                     // (4 * n1 * n0) AS BIGINT) AS DOUBLE) / 1000000.0 AS auc
+                     // NULLIF(4 * n1 * n0, 0) AS BIGINT) AS DOUBLE) / 1000000.0 AS auc
     FROM s
     """,
     doc="ROC AUC of document length (n_chars) as a predictor of lang = "
@@ -1239,21 +1239,22 @@ def eval_langid_classification_report(spark: SparkSession, sf_dir: str) -> DataF
 )
 def eval_binary_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale shape: one groupBy on the score column (distinct values,
-    not rows), one ordered window over that much smaller relation
-    (two-level prefix-sum rank at 100 TB — the global_shuffle_rank
-    pattern), then a single-row reduce."""
-    from pyspark.sql.window import Window
+    not rows), then the exact running count via the two-level prefix-sum
+    (two_level_cumsum — no single-partition window even when the score
+    domain is dense), then a single-row reduce."""
+    from ..operators.stats import two_level_cumsum
 
     d = load_fixture(spark, sf_dir, "documents")
-    vals = d.groupBy(F.col("n_chars").alias("v")).agg(
-        F.count(F.lit(1)).alias("c"),
-        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("cp"),
+    vals = (
+        d.groupBy(F.col("n_chars").alias("v"))
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("cp"),
+        )
+        .localCheckpoint(eager=True)
     )
-    cum = F.sum("c").over(
-        Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    ranked = vals.select(
-        "c", "cp", (F.lit(2) * cum - F.col("c") + F.lit(1)).alias("dr2")
+    ranked = two_level_cumsum(vals, [], "v", [], {"cum": "c"}).select(
+        "c", "cp", (F.lit(2) * F.col("cum") - F.col("c") + F.lit(1)).alias("dr2")
     )
     s = ranked.agg(
         F.sum("cp").cast("decimal(38,0)").alias("n1"),
@@ -1266,7 +1267,9 @@ def eval_binary_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             F.expr(
                 "CAST((2 * (r1x2 - n1 * (n1 + 1)) * 1000000 + 2 * n1 * n0)"
-                " div (4 * n1 * n0) AS BIGINT)"
+                # nullif: a corpus with zero positives or zero negatives
+                # yields NULL, not an opaque division error (ADVICE r7)
+                " div nullif(4 * n1 * n0, 0) AS BIGINT)"
             ).cast("double")
             / F.lit(1000000.0)
         ).alias("auc"),
@@ -1369,16 +1372,17 @@ def agg_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(SUM(c) AS BIGINT) AS n,
                CAST(COUNT(*) AS BIGINT) AS types,
                CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
-               CAST(SUM(c * (c - 1)) AS BIGINT) AS rep2
+               SUM(CAST(c AS HUGEINT) * (c - 1)) AS rep2
         FROM wc GROUP BY doc_id
     )
     SELECT doc_id, n AS n_tokens, types AS n_types, hapax AS n_hapax,
            CAST((2 * types * 1000000 + n) // (2 * n) AS DOUBLE) / 1000000.0 AS ttr,
            CAST((2 * hapax * 1000000 + n) // (2 * n) AS DOUBLE) / 1000000.0
                AS hapax_ratio,
-           CAST((2 * rep2 * 1000000 + NULLIF(n * (n - 1), 0))
-                // (2 * NULLIF(n * (n - 1), 0)) AS DOUBLE) / 1000000.0
-               AS simpson_repeat
+           CAST((2 * CAST(rep2 AS HUGEINT) * 1000000
+                 + NULLIF(CAST(n AS HUGEINT) * (n - 1), 0))
+                // (2 * NULLIF(CAST(n AS HUGEINT) * (n - 1), 0)) AS DOUBLE)
+               / 1000000.0 AS simpson_repeat
     FROM s
     """,
     doc="Lexical diversity per document: type-token ratio, hapax-"
@@ -1408,7 +1412,12 @@ def quality_ttr_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame
         F.sum("c").cast("bigint").alias("n"),
         F.count(F.lit(1)).cast("bigint").alias("types"),
         F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).cast("bigint").alias("hapax"),
-        F.sum(F.col("c") * (F.col("c") - 1)).cast("bigint").alias("rep2"),
+        # r8 micro-unit audit: rep2 <= n^2 and 2*rep2*1e6 wraps int64 at
+        # ~2.1e6 tokens per doc (a ~10 MB text) — DECIMAL keeps the
+        # Simpson numerator exact for any document
+        F.sum(F.col("c").cast("decimal(19,0)") * (F.col("c") - 1))
+        .cast("decimal(38,0)")
+        .alias("rep2"),
     )
     return s.select(
         "doc_id",
@@ -1425,8 +1434,9 @@ def quality_ttr_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame
         ).alias("hapax_ratio"),
         (
             F.expr(
-                "(2 * rep2 * 1000000 + nullif(n * (n - 1), 0))"
-                " div (2 * nullif(n * (n - 1), 0))"
+                "(2 * CAST(rep2 AS DECIMAL(38,0)) * 1000000"
+                " + nullif(CAST(n AS DECIMAL(38,0)) * (n - 1), 0))"
+                " div (2 * nullif(CAST(n AS DECIMAL(38,0)) * (n - 1), 0))"
             ).cast("double")
             / F.lit(1000000.0)
         ).alias("simpson_repeat"),

@@ -1066,7 +1066,12 @@ def window_rolling_ols_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rounded to 9 dp DECIMAL(18,9) BEFORE the difference (exact "
     "decimal subtraction), squares and the sum stay DECIMAL-exact and "
     "order-independent; doubles appear only in the final per-user "
-    "projection with one identical op sequence per engine.",
+    "projection with one identical op sequence per engine. Residual "
+    "risk (ADVICE r7): a 1-ulp JVM Math.log vs libm divergence landing "
+    "exactly on a 9th-decimal rounding boundary could still flip the "
+    "rounded term — accepted, since no such flip has surfaced across "
+    "the sf0.01/sf0.1 sweeps, and narrowing the displayed precision "
+    "would hide real drift elsewhere.",
 )
 def timeseries_realized_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale shape: one per-user window sort for the lag, one map-side-

@@ -688,6 +688,54 @@ def test_banded_median_equals_statistics_median(spark, vals):
     )
 
 
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["g1", "g2"]),
+            st.one_of(st.integers(min_value=-50, max_value=50), st.just(7)),
+            st.integers(min_value=0, max_value=9),
+        ),
+        min_size=1,
+        max_size=80,
+    ),
+    n_buckets=st.sampled_from([2, 8, 64]),
+)
+def test_two_level_cumsum_equals_window_cumsum(spark, rows, n_buckets):
+    """two_level_cumsum == a plain ordered-window running sum on generated
+    data, across grouped and global calls, heavy ties (bias toward 7),
+    degenerate bucket counts, and multiple summands — the range bucketing
+    relocates the sorts, never the values."""
+    from cdw_spark.operators.stats import two_level_cumsum
+
+    df = spark.createDataFrame(
+        [(g, float(v), i, w, 1) for i, (g, v, w) in enumerate(rows)],
+        "k string, v double, id long, w long, one int",
+    )
+    got = two_level_cumsum(
+        df, ["k"], "v", ["id"], {"rn": "one", "cw": "w"}, n_buckets=n_buckets
+    ).collect()
+    expect = {}
+    for i, (g, v, w) in enumerate(rows):
+        prior = [
+            (vv, jj, ww)
+            for jj, (gg, vv, ww) in enumerate(rows)
+            if gg == g and (vv, jj) <= (v, i)
+        ]
+        expect[(g, i)] = (len(prior), sum(ww for _, _, ww in prior))
+    assert len(got) == len(rows)
+    for r in got:
+        assert (r["rn"], r["cw"]) == expect[(r["k"], r["id"])], (r, expect)
+    # global (ungrouped) call over the same data
+    got_g = two_level_cumsum(
+        df, [], "v", ["id"], {"rn": "one"}, n_buckets=n_buckets
+    ).collect()
+    order = sorted(range(len(rows)), key=lambda i: (rows[i][1], i))
+    pos = {idx: p + 1 for p, idx in enumerate(order)}
+    for r in got_g:
+        assert r["rn"] == pos[r["id"]]
+
+
 _word = st.sampled_from(["aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh"])
 
 

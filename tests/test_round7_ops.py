@@ -464,8 +464,10 @@ def test_image_resize_digest_matches_python(spark, sf_dir):
 
 def test_stream_bloom_dedup_audit_invariants(spark, sf_dir):
     """Per batch: pass strictly contains exact-dup (no false negatives),
-    batch 0 sees an empty filter (0 passes), the final batch of the
-    key-cycling stream is all duplicates, and exact dup totals equal
+    batch 0's dups and passes are exactly its IN-batch key repeats (the
+    prior-batch filter is empty, so zero false positives — ADVICE r7:
+    derived from the quarter size, not hardcoded to zero, so the
+    assertion holds at any sf), and exact dup totals equal
     n_docs - n_distinct_keys."""
     rows = sorted(
         SPECS["stream_bloom_dedup_ingest"].fn(spark, sf_dir).collect(),
@@ -476,5 +478,11 @@ def test_stream_bloom_dedup_audit_invariants(spark, sf_dir):
     assert sum(r["n_rows"] for r in rows) == n_docs
     for r in rows:
         assert r["n_false_positive"] == r["n_pass_bloom"] - r["n_dup_exact"] >= 0
-    assert rows[0]["n_pass_bloom"] == 0 and rows[0]["n_dup_exact"] == 0
+    # batch 0 = dense ids 0..q0-1 cycling key = id % 300
+    q0 = rows[0]["n_rows"]
+    assert q0 == -(-n_docs // 4)
+    expected_b0 = max(0, q0 - 300)
+    assert rows[0]["n_dup_exact"] == expected_b0
+    assert rows[0]["n_pass_bloom"] == expected_b0
+    assert rows[0]["n_false_positive"] == 0
     assert sum(r["n_dup_exact"] for r in rows) == n_docs - min(300, n_docs)

@@ -469,16 +469,17 @@ def test_semantic_ingest_matches_batch_semdedup(spark, sf_dir):
     (id-ordered arrival => every keep<dup pair materializes exactly when
     the dup's batch lands) made concrete."""
     from cdw_spark.catalog import load_fixture
-    from cdw_spark.operators.similarity import semantic_dedup
+    from cdw_spark.operators.similarity import adaptive_sig_width, semantic_dedup
 
     streamed = {
         (r.dup_id, r.keep_id, r.cluster, r.cosine)
         for r in SPECS["stream_semantic_ingest"].fn(spark, sf_dir).collect()
     }
+    e = load_fixture(spark, sf_dir, "embeddings")
     batch = {
         (r.dup_id, r.keep_id, int(r.cluster), round(float(r.cosine), 6))
         for r in semantic_dedup(
-            load_fixture(spark, sf_dir, "embeddings"), threshold=0.25
+            e, threshold=0.25, n_planes=adaptive_sig_width(e.count())
         ).collect()
     }
     assert streamed == batch
