@@ -140,8 +140,12 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "batch_by_length",
     "select_token_budget",
     "corpus_mix_entropy",
-    # --- 10 oldest-cold re-grades: green once in r1/r2, never since;
-    # oldest-grade-first, then registration order within a round ---
+    # --- 8 oldest-cold re-grades (green once in r1/r2, never since;
+    # oldest-grade-first) + 2 re-grades of the round-8 two-level-rank
+    # rewrites (VERDICT r7 #2's done-bar: at least two of the five
+    # rewritten aggregates graded in this window — these two are the
+    # most structurally changed: the distinct-value banded trim and the
+    # melted single-pass NTILE arithmetic) ---
     "scalar_funcs",          # r1
     "array_funcs",           # r1
     "try_error_handling",    # r1
@@ -150,8 +154,8 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "agg_stats",             # r1
     "dedup_ngram_jaccard",   # r1
     "filter_project",        # r2
-    "distinct_dim",          # r2
-    "cast_projection",       # r2
+    "agg_trimmed_mean",      # r8 rewrite re-grade (last green r6)
+    "customer_rfm_segments", # r8 rewrite re-grade (last green r5)
 )
 
 
