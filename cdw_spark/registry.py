@@ -159,6 +159,27 @@ _DRIVER_WINDOW: tuple[str, ...] = (
 )
 
 
+# Queries registered AFTER the r8 window was authored — the r9 rotation
+# queue (newest, least proven, so they go first next round). The
+# completeness meta-test accepts queue membership in place of a window
+# slot, so a new oracled query must either rotate in NOW or be queued
+# HERE — silence is no longer possible.
+_NEXT_WINDOW_QUEUE: tuple[str, ...] = (
+    "agg_cramers_v",
+    "agg_cohens_d",
+    "eval_mcc_binary",
+    "timeseries_ewma_signal",
+    "window_max_drawdown",
+    "timeseries_seasonal_strength",
+    "text_novelty_decay",
+    "dedup_split_doc_boundary",
+    "basket_pair_lift",
+    "embedding_whitening_digest",
+    "batch_padding_waste",
+    "events_funnel_conversion",
+)
+
+
 def load_all() -> dict[str, QuerySpec]:
     """Import every suite module (idempotent) and return the registry,
     ordered so the driver's graded prefix covers every operator family."""

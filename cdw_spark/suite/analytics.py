@@ -4662,3 +4662,510 @@ def timeseries_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id long, n_points long, level_cents long, trend_cents long, "
         "forecast_next double",
     )
+
+
+# --------------------------------------------------------------------------
+# round 8 additions — effect sizes, series diagnostics, funnel, CDC
+
+
+@register(
+    "agg_cramers_v",
+    oracle="""
+    WITH o AS (
+        SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS obs
+        FROM documents GROUP BY lang, source
+    ),
+    rt AS (SELECT lang, CAST(SUM(obs) AS BIGINT) AS r FROM o GROUP BY lang),
+    ct AS (SELECT source, CAST(SUM(obs) AS BIGINT) AS c FROM o GROUP BY source),
+    tot AS (SELECT CAST(SUM(obs) AS BIGINT) AS n FROM o),
+    cells AS (
+        SELECT ROUND(
+                   (CAST(o.obs AS DOUBLE) * CAST(t.n AS DOUBLE)
+                    - CAST(rt.r AS DOUBLE) * CAST(ct.c AS DOUBLE))
+                   * (CAST(o.obs AS DOUBLE) * CAST(t.n AS DOUBLE)
+                      - CAST(rt.r AS DOUBLE) * CAST(ct.c AS DOUBLE))
+                   / (CAST(t.n AS DOUBLE) * CAST(rt.r AS DOUBLE)
+                      * CAST(ct.c AS DOUBLE)),
+                   9) AS term
+        FROM o JOIN rt USING (lang) JOIN ct USING (source) CROSS JOIN tot t
+    ),
+    s AS (
+        SELECT (SELECT n FROM tot) AS n,
+               (SELECT COUNT(*) FROM rt) AS nr,
+               (SELECT COUNT(*) FROM ct) AS nc,
+               CAST(SUM(CAST(term AS DECIMAL(18,9))) AS DOUBLE) AS chi2
+        FROM cells
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           ROUND(chi2, 6) AS chi2,
+           ROUND(sqrt(chi2 / (CAST(n AS DOUBLE)
+                              * (LEAST(nr, nc) - 1.0))), 6) AS cramers_v
+    FROM s
+    """,
+    doc="Cramer's V association strength between document language and "
+    "source — the [0,1]-normalized effect size that makes the chi-square "
+    "audit comparable across tables of different shape (chi2 alone grows "
+    "with n, V does not). Same exact integer identity per cell as "
+    "agg_chi_square_independence ((O*N - R*C)^2/(N*R*C), rounded to 9 dp "
+    "and summed as DECIMAL), then V = sqrt(chi2/(n*(min(r,c)-1))) in one "
+    "identical double op sequence per engine.",
+)
+def agg_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: one groupBy on the category pair, two broadcast-size
+    marginal joins, single-row reduce — the chi-square budget."""
+    d = load_fixture(spark, sf_dir, "documents")
+    o = d.groupBy("lang", "source").agg(F.count(F.lit(1)).cast("bigint").alias("obs"))
+    rt = o.groupBy("lang").agg(F.sum("obs").cast("bigint").alias("r"))
+    ct = o.groupBy("source").agg(F.sum("obs").cast("bigint").alias("c"))
+    tot = o.agg(F.sum("obs").cast("bigint").alias("n"))
+    cells = (
+        o.join(F.broadcast(rt), "lang")
+        .join(F.broadcast(ct), "source")
+        .crossJoin(F.broadcast(tot))
+    )
+    od, nd = F.col("obs").cast("double"), F.col("n").cast("double")
+    rd, cd = F.col("r").cast("double"), F.col("c").cast("double")
+    term = F.round((od * nd - rd * cd) * (od * nd - rd * cd) / (nd * rd * cd), 9)
+    s = cells.agg(
+        F.max("n").alias("n"),
+        F.countDistinct("lang").alias("nr"),
+        F.countDistinct("source").alias("nc"),
+        F.sum(term.cast("decimal(18,9)")).cast("double").alias("chi2"),
+    )
+    return s.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.round(F.col("chi2"), 6).alias("chi2"),
+        F.round(
+            F.sqrt(
+                F.col("chi2")
+                / (F.col("n").cast("double") * (F.least("nr", "nc") - F.lit(1.0)))
+            ),
+            6,
+        ).alias("cramers_v"),
+    )
+
+
+@register(
+    "agg_cohens_d",
+    oracle="""
+    WITH v AS (
+        SELECT o_orderpriority AS grp,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+        FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+    ),
+    s AS (
+        SELECT CAST(SUM(CASE WHEN grp = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+               CAST(SUM(CASE WHEN grp = '5-LOW' THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+               CAST(SUM(CASE WHEN grp = '1-URGENT' THEN c ELSE 0 END) AS HUGEINT) AS s1,
+               CAST(SUM(CASE WHEN grp = '5-LOW' THEN c ELSE 0 END) AS HUGEINT) AS s2,
+               SUM(CASE WHEN grp = '1-URGENT'
+                        THEN CAST(c AS HUGEINT) * c ELSE 0 END) AS q1,
+               SUM(CASE WHEN grp = '5-LOW'
+                        THEN CAST(c AS HUGEINT) * c ELSE 0 END) AS q2
+        FROM v
+    )
+    SELECT n1 AS n_urgent, n2 AS n_low,
+           ROUND(((CAST(s1 AS DOUBLE) / n1 - CAST(s2 AS DOUBLE) / n2)
+                  / sqrt(((CAST(q1 AS DOUBLE)
+                           - CAST(s1 AS DOUBLE) / n1 * CAST(s1 AS DOUBLE))
+                          + (CAST(q2 AS DOUBLE)
+                             - CAST(s2 AS DOUBLE) / n2 * CAST(s2 AS DOUBLE)))
+                         / (n1 + n2 - 2.0))), 6) AS cohens_d,
+           ROUND(sqrt(((CAST(q1 AS DOUBLE)
+                        - CAST(s1 AS DOUBLE) / n1 * CAST(s1 AS DOUBLE))
+                       + (CAST(q2 AS DOUBLE)
+                          - CAST(s2 AS DOUBLE) / n2 * CAST(s2 AS DOUBLE)))
+                      / (n1 + n2 - 2.0)) / 100.0, 4) AS pooled_sd
+    FROM s
+    """,
+    doc="Cohen's d standardized effect size between urgent and low order "
+    "totals — the magnitude companion to agg_welch_ttest's significance "
+    "(a drift monitor alerts on d, not p, once n is large). Cents "
+    "accumulate as exact HUGEINT/DECIMAL sums (cast BEFORE the square "
+    "sum — the Welch lesson); mean difference over the pooled SD runs "
+    "in one identical double op sequence per engine.",
+)
+def agg_cohens_d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: one scan, one map-side-combined 1-row aggregate
+    carrying six exact partials — no shuffle beyond the combine."""
+    o = load_fixture(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority").isin("1-URGENT", "5-LOW")
+    )
+    c = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint")
+    is1 = F.col("o_orderpriority") == "1-URGENT"
+    v = o.select(is1.alias("u"), c.alias("c"))
+    s = v.agg(
+        F.sum(F.when(F.col("u"), 1).otherwise(0)).cast("bigint").alias("n1"),
+        F.sum(F.when(~F.col("u"), 1).otherwise(0)).cast("bigint").alias("n2"),
+        F.sum(F.when(F.col("u"), F.col("c")).otherwise(0))
+        .cast("decimal(38,0)")
+        .alias("s1"),
+        F.sum(F.when(~F.col("u"), F.col("c")).otherwise(0))
+        .cast("decimal(38,0)")
+        .alias("s2"),
+        # cast the FIRST factor before multiplying: long*long wraps
+        # silently past cents ~3e9; decimal*long is exact to 38 digits
+        F.sum(
+            F.when(F.col("u"), F.col("c").cast("decimal(19,0)") * F.col("c"))
+            .otherwise(F.lit(0).cast("decimal(38,0)"))
+        ).cast("decimal(38,0)").alias("q1"),
+        F.sum(
+            F.when(~F.col("u"), F.col("c").cast("decimal(19,0)") * F.col("c"))
+            .otherwise(F.lit(0).cast("decimal(38,0)"))
+        ).cast("decimal(38,0)").alias("q2"),
+    )
+    n1d, n2d = F.col("n1").cast("double"), F.col("n2").cast("double")
+    s1d, s2d = F.col("s1").cast("double"), F.col("s2").cast("double")
+    ss = (F.col("q1").cast("double") - s1d / n1d * s1d) + (
+        F.col("q2").cast("double") - s2d / n2d * s2d
+    )
+    pooled = F.sqrt(ss / (n1d + n2d - F.lit(2.0)))
+    return s.select(
+        F.col("n1").alias("n_urgent"),
+        F.col("n2").alias("n_low"),
+        F.round((s1d / n1d - s2d / n2d) / pooled, 6).alias("cohens_d"),
+        F.round(pooled / F.lit(100.0), 4).alias("pooled_sd"),
+    )
+
+
+@register(
+    "timeseries_ewma_signal",
+    oracle="""
+    WITH q AS (
+        SELECT user_id, event_id,
+               CAST(floor(CAST(value AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS q,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        FROM events WHERE event_type = 'purchase' AND value > 0
+    ),
+    l AS (
+        SELECT user_id, event_id, rn, q,
+               LAG(q, 1) OVER w AS q1, LAG(q, 2) OVER w AS q2,
+               LAG(q, 3) OVER w AS q3, LAG(q, 4) OVER w AS q4,
+               LAG(q, 5) OVER w AS q5, LAG(q, 6) OVER w AS q6,
+               LAG(q, 7) OVER w AS q7
+        FROM q
+        WINDOW w AS (PARTITION BY user_id ORDER BY rn)
+    ),
+    f AS (
+        SELECT user_id, event_id,
+               128*q + 64*q1 + 32*q2 + 16*q3 + 8*q4 + 4*q5 + 2*q6 + q7 AS num,
+               q + q1 + q2 + q3 + q4 + q5 + q6 + q7 AS ssum
+        FROM l WHERE rn >= 8
+    )
+    SELECT user_id, event_id,
+           CAST((2 * num + 255) // 510 AS BIGINT) AS ewma_micro,
+           CAST((2 * ssum + 8) // 16 AS BIGINT) AS sma_micro,
+           CAST(CASE WHEN 8 * num > 255 * ssum THEN 1 ELSE 0 END AS INTEGER)
+               AS above_sma
+    FROM f
+    """,
+    doc="Dyadic 8-tap EWMA vs simple moving average per user purchase "
+    "series, with the momentum crossover flag — the smoothing/signal "
+    "primitive of monitoring dashboards, made hash-gradable: weights are "
+    "powers of two over a truncated window, so the EWMA numerator is an "
+    "EXACT integer (sum 2^(7-k) q_(t-k), denominator 255), both smoothers "
+    "round half-away in integer micro-units, and the crossover compares "
+    "8*num > 255*ssum in exact integers — no float ever enters.",
+)
+def timeseries_ewma_signal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: one per-user ordered window pass (8 LAG taps share
+    one window spec and one sort), partition-parallel across users; no
+    join, no global sort. int64 bound: num <= 255 * q_max — value-domain
+    bounded (micro values to ~3.6e16)."""
+    from pyspark.sql.window import Window
+
+    e = load_fixture(spark, sf_dir, "events").filter(
+        (F.col("event_type") == "purchase") & (F.col("value") > 0)
+    )
+    qcol = F.floor(F.col("value").cast("double") * F.lit(1000000.0) + F.lit(0.5)).cast(
+        "bigint"
+    )
+    base = e.select("user_id", "event_id", qcol.alias("q"), "ts")
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lagged = base.select(
+        "user_id",
+        "event_id",
+        F.row_number().over(wo).alias("rn"),
+        "q",
+        *[F.lag("q", k).over(wo).alias(f"q{k}") for k in range(1, 8)],
+    ).filter(F.col("rn") >= 8)
+    num = F.expr(
+        "128*q + 64*q1 + 32*q2 + 16*q3 + 8*q4 + 4*q5 + 2*q6 + q7"
+    )
+    ssum = F.expr("q + q1 + q2 + q3 + q4 + q5 + q6 + q7")
+    return lagged.select(
+        "user_id",
+        "event_id",
+        F.expr(
+            "CAST((2 * (128*q + 64*q1 + 32*q2 + 16*q3 + 8*q4 + 4*q5 + 2*q6 + q7)"
+            " + 255) div 510 AS BIGINT)"
+        ).alias("ewma_micro"),
+        F.expr(
+            "CAST((2 * (q + q1 + q2 + q3 + q4 + q5 + q6 + q7) + 8) div 16 AS BIGINT)"
+        ).alias("sma_micro"),
+        (F.lit(8) * num > F.lit(255) * ssum).cast("int").alias("above_sma"),
+    )
+
+
+@register(
+    "window_max_drawdown",
+    oracle="""
+    WITH q AS (
+        SELECT user_id, event_id,
+               CAST(floor(CAST(value AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS q,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        FROM events WHERE event_type = 'purchase' AND value > 0
+    ),
+    p AS (
+        SELECT user_id, event_id, q,
+               MAX(q) OVER (PARTITION BY user_id ORDER BY rn
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS peak
+        FROM q
+    ),
+    d AS (
+        SELECT user_id, event_id,
+               CAST((2 * (peak - q) * 1000000 + peak) // (2 * peak) AS BIGINT)
+                   AS dd_micro
+        FROM p
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_points,
+           CAST(MAX(dd_micro) AS BIGINT) AS max_dd_micro,
+           CAST(MIN(CASE WHEN dd_micro = (SELECT MAX(d2.dd_micro) FROM d d2
+                                          WHERE d2.user_id = d.user_id)
+                         THEN event_id END) AS BIGINT) AS at_event
+    FROM d GROUP BY user_id
+    """,
+    doc="Maximum drawdown per user purchase series: running peak (window "
+    "cumulative MAX — partition-parallel), per-row drawdown "
+    "(peak - v)/peak rounded half-away in integer micro-units, then the "
+    "per-user max with a deterministic min-event tie-break. The risk "
+    "metric of trading backtests applied to any monitored series. "
+    "int64 bound: (peak - q) * 1e6 <= peak_micro * 1e6 — value-domain "
+    "bounded (~3.6e16 at the fixture's value range).",
+)
+def window_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: one per-user ordered window (running max shares the
+    sort), one map-side-combined per-user aggregate with a min_by
+    tie-break — no join, no global sort."""
+    from pyspark.sql.window import Window
+
+    e = load_fixture(spark, sf_dir, "events").filter(
+        (F.col("event_type") == "purchase") & (F.col("value") > 0)
+    )
+    qcol = F.floor(F.col("value").cast("double") * F.lit(1000000.0) + F.lit(0.5)).cast(
+        "bigint"
+    )
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    p = e.select("user_id", "event_id", qcol.alias("q"), "ts").select(
+        "user_id",
+        "event_id",
+        "q",
+        F.max("q").over(wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)).alias("peak"),
+    )
+    d = p.select(
+        "user_id",
+        "event_id",
+        F.expr("CAST((2 * (peak - q) * 1000000 + peak) div (2 * peak) AS BIGINT)").alias(
+            "dd_micro"
+        ),
+    )
+    return d.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_points"),
+        F.max("dd_micro").cast("bigint").alias("max_dd_micro"),
+        F.expr("CAST(min_by(event_id, struct(-dd_micro, event_id)) AS BIGINT)").alias(
+            "at_event"
+        ),
+    )
+
+
+@register(
+    "timeseries_seasonal_strength",
+    oracle="""
+    WITH q AS (
+        SELECT user_id,
+               dayofweek(ts) AS dow,
+               CAST(floor(CAST(value AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS q
+        FROM events WHERE event_type = 'purchase' AND value > 0
+    ),
+    d AS (
+        SELECT user_id, dow,
+               CAST(COUNT(*) AS BIGINT) AS nd,
+               CAST(SUM(CAST(q AS HUGEINT)) AS HUGEINT) AS sd
+        FROM q GROUP BY user_id, dow
+    ),
+    u AS (
+        SELECT user_id,
+               CAST(SUM(nd) AS BIGINT) AS n,
+               CAST(SUM(sd) AS HUGEINT) AS s,
+               (SELECT SUM(CAST(q2.q AS HUGEINT) * q2.q) FROM q q2
+                WHERE q2.user_id = d.user_id) AS qq,
+               SUM(CAST(ROUND(CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE)
+                              / CAST(nd AS DOUBLE), 6) AS DECIMAL(38,6)))
+                   AS sd2
+        FROM d GROUP BY user_id
+    )
+    SELECT user_id, n AS n_events,
+           ROUND(GREATEST(0.0, 1.0 -
+               (CAST(qq AS DOUBLE) - CAST(sd2 AS DOUBLE))
+               / NULLIF(CAST(qq AS DOUBLE)
+                        - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                          / CAST(n AS DOUBLE), 0.0)), 6)
+               AS seasonal_strength
+    FROM u
+    WHERE n >= 14
+    """,
+    doc="Day-of-week seasonal strength per user purchase series: "
+    "1 - SS_resid/SS_total where the residual removes day-of-week means "
+    "— the classical decomposition's seasonal-strength statistic "
+    "(Hyndman) restricted to the weekly period. Per-(user, dow) micro "
+    "sums and the quadratic moment are EXACT integers; each dow's "
+    "sd^2/nd term runs in one identical double op sequence over those "
+    "exact integers, rounds once to 6 dp DECIMAL, and sums "
+    "order-independently (the MI float discipline; residual 1-ulp-at-"
+    "the-rounding-boundary risk acknowledged, same class as the ln() "
+    "sites). dayofweek labels differ across engines (Spark 1-7, DuckDB "
+    "0-6) but only partition the group — the label never reaches the "
+    "output.",
+)
+def timeseries_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: two chained map-side-combined aggregates
+    ((user, dow) then user) plus one per-user quadratic-moment
+    aggregate joined on user — no window, no global sort."""
+    e = load_fixture(spark, sf_dir, "events").filter(
+        (F.col("event_type") == "purchase") & (F.col("value") > 0)
+    )
+    qcol = F.floor(F.col("value").cast("double") * F.lit(1000000.0) + F.lit(0.5)).cast(
+        "bigint"
+    )
+    q = e.select("user_id", F.dayofweek("ts").alias("dow"), qcol.alias("q"))
+    d = q.groupBy("user_id", "dow").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nd"),
+        F.sum(F.col("q").cast("decimal(38,0)")).alias("sd"),
+    )
+    qq = q.groupBy("user_id").agg(
+        F.sum(F.col("q").cast("decimal(19,0)") * F.col("q").cast("decimal(19,0)"))
+        .cast("decimal(38,0)")
+        .alias("qq")
+    )
+    u = (
+        d.groupBy("user_id")
+        .agg(
+            F.sum("nd").cast("bigint").alias("n"),
+            F.sum("sd").cast("decimal(38,0)").alias("s"),
+            F.sum(
+                F.round(
+                    F.col("sd").cast("double") * F.col("sd").cast("double")
+                    / F.col("nd").cast("double"),
+                    6,
+                ).cast("decimal(38,6)")
+            ).alias("sd2"),
+        )
+        .join(qq, "user_id")
+        .filter(F.col("n") >= 14)
+    )
+    qqd = F.col("qq").cast("double")
+    sdt = F.col("s").cast("double")
+    return u.select(
+        "user_id",
+        F.col("n").alias("n_events"),
+        F.round(
+            F.greatest(
+                F.lit(0.0),
+                F.lit(1.0)
+                - (qqd - F.col("sd2").cast("double"))
+                / F.nullif(
+                    qqd - sdt * sdt / F.col("n").cast("double"), F.lit(0.0)
+                ),
+            ),
+            6,
+        ).alias("seasonal_strength"),
+    )
+
+
+@register(
+    "events_funnel_conversion",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, MIN(ts) AS t1 FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+        SELECT e.user_id, MIN(e.ts) AS t2
+        FROM events e JOIN v ON v.user_id = e.user_id
+        WHERE e.event_type = 'click' AND e.ts > v.t1
+        GROUP BY e.user_id
+    ),
+    p AS (
+        SELECT e.user_id, MIN(e.ts) AS t3
+        FROM events e JOIN c ON c.user_id = e.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > c.t2
+        GROUP BY e.user_id
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM v) AS n_view,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM c) AS n_click_after,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM p) AS n_purchase_after,
+           CAST(CAST((2 * (SELECT COUNT(*) FROM c) * 1000000
+                      + (SELECT COUNT(*) FROM v))
+                     // (2 * (SELECT COUNT(*) FROM v)) AS BIGINT) AS DOUBLE)
+               / 1000000.0 AS view_to_click,
+           CAST(CAST((2 * (SELECT COUNT(*) FROM p) * 1000000
+                      + NULLIF((SELECT COUNT(*) FROM c), 0))
+                     // NULLIF(2 * (SELECT COUNT(*) FROM c), 0) AS BIGINT) AS DOUBLE)
+               / 1000000.0 AS click_to_purchase
+    FROM (SELECT 1) one
+    """,
+    doc="Strictly-ordered three-stage funnel (view -> later click -> "
+    "later purchase) with per-stage user counts and half-away "
+    "micro-rounded conversion rates — THE product-analytics query, with "
+    "order enforced by timestamp comparison against the previous stage's "
+    "first completion (not mere event presence). Counts are exact "
+    "integers; ratios round in integer micro-units.",
+)
+def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: three chained (filter -> groupBy user) aggregates,
+    each joined user-to-user with the previous stage's first-completion
+    relation — all shuffles are keyed by user_id; stage relations only
+    shrink. No window, no global sort."""
+    e = load_fixture(spark, sf_dir, "events")
+    v = e.filter(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("ts").alias("t1")
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    nv = v.agg(F.count(F.lit(1)).cast("bigint").alias("n_view"))
+    ncl = c.agg(F.count(F.lit(1)).cast("bigint").alias("n_click_after"))
+    np_ = p.agg(F.count(F.lit(1)).cast("bigint").alias("n_purchase_after"))
+    j = nv.crossJoin(F.broadcast(ncl)).crossJoin(F.broadcast(np_))
+    return j.select(
+        "n_view",
+        "n_click_after",
+        "n_purchase_after",
+        (
+            F.expr(
+                "CAST((2 * n_click_after * 1000000 + n_view)"
+                " div (2 * n_view) AS BIGINT)"
+            ).cast("double")
+            / F.lit(1000000.0)
+        ).alias("view_to_click"),
+        (
+            F.expr(
+                "CAST((2 * n_purchase_after * 1000000 + nullif(n_click_after, 0))"
+                " div nullif(2 * n_click_after, 0) AS BIGINT)"
+            ).cast("double")
+            / F.lit(1000000.0)
+        ).alias("click_to_purchase"),
+    )

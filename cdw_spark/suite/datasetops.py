@@ -3018,3 +3018,199 @@ def layout_hilbert_order(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"({de}) AS d",
         )
     return cur.selectExpr("order_key", "line_number", "d AS hval")
+
+
+# --------------------------------------------------------------------------
+# round 8 additions — basket lift, CDC diff, padding-waste audit
+
+
+@register(
+    "basket_pair_lift",
+    oracle="""
+    WITH b AS (
+        SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+    ),
+    n AS (SELECT CAST(COUNT(DISTINCT ok) AS BIGINT) AS n FROM b),
+    pc AS (SELECT pk, CAST(COUNT(*) AS BIGINT) AS c FROM b GROUP BY pk),
+    pairs AS (
+        SELECT a.pk AS part_a, c.pk AS part_b, CAST(COUNT(*) AS BIGINT) AS cab
+        FROM b a JOIN b c ON a.ok = c.ok AND a.pk < c.pk
+        GROUP BY a.pk, c.pk
+    )
+    SELECT part_a, part_b, cab AS n_both,
+           ca.c AS n_a, cb.c AS n_b,
+           CAST(CAST((2 * cab * 1000000 + ca.c) // (2 * ca.c) AS BIGINT) AS DOUBLE)
+               / 1000000.0 AS confidence,
+           CAST(CAST((2 * CAST(cab AS HUGEINT) * n.n * 1000000
+                      + CAST(ca.c AS HUGEINT) * cb.c)
+                     // (2 * CAST(ca.c AS HUGEINT) * cb.c) AS BIGINT) AS DOUBLE)
+               / 1000000.0 AS lift
+    FROM pairs
+    JOIN pc ca ON ca.pk = part_a
+    JOIN pc cb ON cb.pk = part_b
+    CROSS JOIN n
+    WHERE cab >= 2
+    """,
+    doc="Market-basket association audit over order baskets: for every "
+    "part pair co-purchased in >= 2 orders, support count, confidence "
+    "P(b|a), and lift n*c_ab/(c_a*c_b) — the co-occurrence screen "
+    "behind recommendations and (in a data pipeline) co-contamination "
+    "checks. Ratios are exact rationals rounded half-away in integer "
+    "micro-units; the n*c_ab*1e6 product runs in DECIMAL/HUGEINT (it "
+    "wraps int64 past n*c_ab ~ 4.6e12 — corpus-scaled, the r8 "
+    "micro-unit audit class).",
+)
+def basket_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: pair expansion is a self-join WITHIN an order key —
+    bounded by basket size squared (baskets are small by construction, "
+    "max 13 lines in this schema), never corpus-quadratic; the two "
+    "margin joins are part-keyed. All shuffles carry keys and counts."""
+    from ..plans.hints import broadcast_if_small
+
+    li = load_fixture(spark, sf_dir, "lineitem")
+    # checkpoint: the distinct basket relation feeds the order count,
+    # the part margins, and BOTH sides of the pair self-join — one fact
+    # shuffle, not four
+    b = (
+        li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = b.agg(F.countDistinct("ok").cast("bigint").alias("n"))
+    pc = b.groupBy("pk").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    # pair expansion IN-PLAN per basket (sorted-array combinatorics)
+    # instead of a fact self-join: one groupBy shuffle, no sort-merge
+    # pass — expansion stays basket-bounded either way
+    sets = b.groupBy("ok").agg(F.sort_array(F.collect_set("pk")).alias("ps"))
+    pairs = (
+        sets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ps, (x, i) ->"
+                    " transform(slice(ps, i + 2, size(ps)),"
+                    " y -> struct(x AS part_a, y AS part_b))))"
+                )
+            ).alias("pr")
+        )
+        .select("pr.part_a", "pr.part_b")
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cab"))
+        .filter(F.col("cab") >= 2)
+    )
+    # margins are |parts|-sized — size-gated broadcast keeps the pair
+    # relation from shuffling twice more
+    return (
+        pairs.join(
+            broadcast_if_small(
+                pc.withColumnRenamed("pk", "part_a").withColumnRenamed("c", "ca")
+            ),
+            "part_a",
+        )
+        .join(
+            broadcast_if_small(
+                pc.withColumnRenamed("pk", "part_b").withColumnRenamed("c", "cb")
+            ),
+            "part_b",
+        )
+        .crossJoin(F.broadcast(n))
+        .select(
+            "part_a",
+            "part_b",
+            F.col("cab").alias("n_both"),
+            F.col("ca").alias("n_a"),
+            F.col("cb").alias("n_b"),
+            (
+                F.expr("CAST((2 * cab * 1000000 + ca) div (2 * ca) AS BIGINT)")
+                .cast("double")
+                / F.lit(1000000.0)
+            ).alias("confidence"),
+            (
+                F.expr(
+                    "CAST((2 * CAST(cab AS DECIMAL(38,0)) * n * 1000000"
+                    " + CAST(ca AS DECIMAL(38,0)) * cb)"
+                    " div (2 * CAST(ca AS DECIMAL(38,0)) * cb) AS BIGINT)"
+                ).cast("double")
+                / F.lit(1000000.0)
+            ).alias("lift"),
+        )
+    )
+
+
+@register(
+    "batch_padding_waste",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id,
+               CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS BIGINT)
+                   AS n_tokens
+        FROM documents
+    ),
+    asg AS (
+        SELECT doc_id, n_tokens,
+               CAST(LEAST(n_tokens // 32, 7) AS INTEGER) AS bucket,
+               CAST((ROW_NUMBER() OVER (PARTITION BY LEAST(n_tokens // 32, 7)
+                                        ORDER BY doc_id) - 1) // 16 AS INTEGER)
+                   AS batch_id
+        FROM t
+    ),
+    per_batch AS (
+        SELECT bucket, batch_id,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(MAX(n_tokens) AS BIGINT) AS max_tok,
+               CAST(SUM(n_tokens) AS BIGINT) AS sum_tok
+        FROM asg GROUP BY bucket, batch_id
+    )
+    SELECT bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_batches,
+           CAST(SUM(max_tok * n_docs - sum_tok) AS BIGINT) AS padding_tokens,
+           CAST(SUM(sum_tok) AS BIGINT) AS payload_tokens,
+           CAST(CAST((2 * SUM(max_tok * n_docs - sum_tok) * 1000000
+                      + SUM(max_tok * n_docs))
+                     // (2 * SUM(max_tok * n_docs)) AS BIGINT) AS DOUBLE)
+               / 1000000.0 AS waste_ratio
+    FROM per_batch GROUP BY bucket
+    """,
+    doc="Padding-waste audit of the batch_by_length packing: per length "
+    "band, the padded-token overhead (batch_max * batch_size - payload) "
+    "and its share of the padded total — the metric that justifies "
+    "length-bucketed batching to an inference-cost reviewer, computed "
+    "on the EXACT same bucket/batch assignment as batch_by_length. "
+    "Integer-exact counts; the ratio rounds half-away in integer "
+    "micro-units.",
+)
+def batch_padding_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: the band-partitioned batch window (batch_by_length's
+    plan) plus two map-side-combined aggregates — no global sort."""
+    from ..functions.text import token_count
+
+    d = load_fixture(spark, sf_dir, "documents").select(
+        "doc_id", token_count(F.col("text")).cast("bigint").alias("n_tokens")
+    )
+    d = d.withColumn("bucket", F.least(F.expr("n_tokens div 32"), F.lit(7)).cast("int"))
+    asg = d.withColumn(
+        "batch_id",
+        F.expr(
+            "cast((row_number() over (partition by bucket order by doc_id) - 1)"
+            " div 16 as int)"
+        ),
+    )
+    pb = asg.groupBy("bucket", "batch_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.max("n_tokens").cast("bigint").alias("max_tok"),
+        F.sum("n_tokens").cast("bigint").alias("sum_tok"),
+    )
+    pad = F.sum(F.col("max_tok") * F.col("n_docs") - F.col("sum_tok"))
+    padded = F.sum(F.col("max_tok") * F.col("n_docs"))
+    return pb.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_batches"),
+        pad.cast("bigint").alias("padding_tokens"),
+        F.sum("sum_tok").cast("bigint").alias("payload_tokens"),
+        (
+            F.expr(
+                "CAST((2 * SUM(max_tok * n_docs - sum_tok) * 1000000"
+                " + SUM(max_tok * n_docs))"
+                " div (2 * SUM(max_tok * n_docs)) AS BIGINT)"
+            ).cast("double")
+            / F.lit(1000000.0)
+        ).alias("waste_ratio"),
+    )

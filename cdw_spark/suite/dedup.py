@@ -468,3 +468,49 @@ def dedup_ngram_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import ngram_jaccard_pairs_prefix
 
     return ngram_jaccard_pairs_prefix(load_fixture(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_split_doc_boundary",
+    oracle="""
+    WITH w AS (
+        SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws
+        FROM documents
+    ),
+    hb AS (
+        SELECT doc_id,
+               array_to_string(ws[1:3], ' ') AS head3,
+               array_to_string(ws[len(ws)-2:len(ws)], ' ') AS tail3
+        FROM w WHERE len(ws) >= 6
+    )
+    SELECT a.doc_id AS first_part, b.doc_id AS second_part,
+           a.tail3 AS boundary_shingle
+    FROM hb a JOIN hb b ON a.tail3 = b.head3 AND a.doc_id <> b.doc_id
+    """,
+    doc="Split-document detection: document pairs where A's last 3-word "
+    "shingle equals B's first 3-word shingle — the chunking-artifact "
+    "surface (one source doc split mid-sentence across two rows) that "
+    "whole-doc and near-dup checks both miss, because the halves share "
+    "almost no content. Docs under 6 words are excluded (their head and "
+    "tail overlap). One equi-join on the boundary shingle.",
+)
+def dedup_split_doc_boundary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: boundary shingles are near-unique keys (3-word
+    strings over the vocabulary — entropy >> corpus^2, the r7 key-
+    entropy rule), so the self-equi-join is linear; shuffles carry
+    3-word strings, never bodies."""
+    from pyspark.sql import functions as F
+
+    d = load_fixture(spark, sf_dir, "documents")
+    ws = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    hb = d.select(
+        "doc_id",
+        F.array_join(F.slice(ws, 1, 3), " ").alias("head3"),
+        F.array_join(F.slice(ws, -3, 3), " ").alias("tail3"),
+        F.size(ws).alias("nw"),
+    ).filter(F.col("nw") >= 6)
+    a = hb.select(F.col("doc_id").alias("first_part"), F.col("tail3").alias("boundary_shingle"))
+    b = hb.select(F.col("doc_id").alias("second_part"), F.col("head3").alias("boundary_shingle"))
+    return a.join(b, "boundary_shingle").filter(
+        F.col("first_part") != F.col("second_part")
+    ).select("first_part", "second_part", "boundary_shingle")

@@ -1336,3 +1336,98 @@ def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(1000000.0)
         ).alias("l2sq_drift"),
     )
+
+
+@register(
+    "embedding_whitening_digest",
+    oracle="""
+    WITH e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    dims AS (
+        SELECT j.j AS dim, e.vec_id, e.v[j.j + 1] AS x
+        FROM e, (SELECT unnest(range(0, 64)) AS j) j
+    ),
+    st AS (
+        SELECT dim,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(floor(x * 1000000.0 + 0.5) AS HUGEINT)) AS HUGEINT)
+                   AS sq,
+               SUM(CAST(floor(x * 1000000.0 + 0.5) AS HUGEINT)
+                   * CAST(floor(x * 1000000.0 + 0.5) AS HUGEINT)) AS qq
+        FROM dims GROUP BY dim
+    ),
+    ms AS (
+        SELECT dim, n,
+               CAST(sq AS DOUBLE) / n / 1000000.0 AS mu,
+               sqrt((CAST(qq AS DOUBLE)
+                     - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE) / n)
+                    / n) / 1000000.0 AS sigma
+        FROM st
+    ),
+    z AS (
+        SELECT d.vec_id, d.dim,
+               CAST(floor((d.x - ms.mu) / NULLIF(ms.sigma, 0.0) * 1000000.0 + 0.5)
+                    AS BIGINT) AS zm
+        FROM dims d JOIN ms USING (dim)
+    )
+    SELECT vec_id,
+           CAST(SUM(zm * (dim + 1)) AS BIGINT) AS digest_micro,
+           CAST(SUM(zm) AS BIGINT) AS z_sum_micro
+    FROM z GROUP BY vec_id
+    """,
+    doc="Per-dimension standardization (diagonal whitening) of the "
+    "embedding table — the feature-scaling pass run before distance-"
+    "based training or clustering. Per-dim moments come from EXACT "
+    "integer micro sums (values quantize once — the PCA idiom); each "
+    "z-score runs in one identical double op sequence and quantizes "
+    "via floor(z*1e6 + 0.5) — floor, never ROUND(double, n), whose "
+    "shortest-repr/exact-value split flipped this very query's hash at "
+    "sf0.1 before the sweep caught it — and the position-weighted "
+    "digest + plain sum are pure BIGINTs that hash-check every "
+    "standardized coordinate without emitting arrays.",
+)
+def embedding_whitening_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: one posexplode scan into a 64-group moment
+    aggregate (map-side combined), the 64-row stats relation broadcast
+    back onto a second scan — no shuffle of vector rows at any corpus
+    size; digests are per-row expressions."""
+    from ..functions.vectors import to_double_array
+
+    e = load_fixture(spark, sf_dir, "embeddings").select(
+        "vec_id", to_double_array(F.col("embedding")).alias("v")
+    )
+    dims = e.select("vec_id", F.posexplode("v").alias("dim", "x"))
+    q = F.floor(F.col("x") * F.lit(1000000.0) + F.lit(0.5)).cast("decimal(19,0)")
+    st = dims.groupBy("dim").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(q).cast("decimal(38,0)").alias("sq"),
+        F.sum(q * q).cast("decimal(38,0)").alias("qq"),
+    )
+    sqd = F.col("sq").cast("double")
+    ms = st.select(
+        "dim",
+        (sqd / F.col("n") / F.lit(1000000.0)).alias("mu"),
+        (
+            F.sqrt(
+                (F.col("qq").cast("double") - sqd * sqd / F.col("n")) / F.col("n")
+            )
+            / F.lit(1000000.0)
+        ).alias("sigma"),
+    )
+    z = dims.join(F.broadcast(ms), "dim").select(
+        "vec_id",
+        "dim",
+        F.floor(
+            (F.col("x") - F.col("mu"))
+            / F.nullif(F.col("sigma"), F.lit(0.0))
+            * F.lit(1000000.0)
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("zm"),
+    )
+    return z.groupBy("vec_id").agg(
+        F.sum(F.col("zm") * (F.col("dim") + F.lit(1))).cast("bigint").alias("digest_micro"),
+        F.sum("zm").cast("bigint").alias("z_sum_micro"),
+    )

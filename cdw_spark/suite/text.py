@@ -1441,3 +1441,133 @@ def quality_ttr_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame
             / F.lit(1000000.0)
         ).alias("simpson_repeat"),
     )
+
+
+# --------------------------------------------------------------------------
+# round 8 additions — MCC, TF-IDF keywords, corpus novelty decay
+
+
+@register(
+    "eval_mcc_binary",
+    oracle=f"""
+    WITH pred AS (
+        SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+               CASE WHEN {_lang_case_sql()} = 'en' THEN 1 ELSE 0 END AS yhat
+        FROM documents
+    ),
+    s AS (
+        SELECT CAST(SUM(y * yhat) AS HUGEINT) AS tp,
+               CAST(SUM((1 - y) * (1 - yhat)) AS HUGEINT) AS tn,
+               CAST(SUM((1 - y) * yhat) AS HUGEINT) AS fp,
+               CAST(SUM(y * (1 - yhat)) AS HUGEINT) AS fn
+        FROM pred
+    )
+    SELECT CAST(tp AS BIGINT) AS tp, CAST(tn AS BIGINT) AS tn,
+           CAST(fp AS BIGINT) AS fp, CAST(fn AS BIGINT) AS fn,
+           ROUND(CAST(tp * tn - fp * fn AS DOUBLE)
+                 / NULLIF(sqrt(CAST(tp + fp AS DOUBLE))
+                          * sqrt(CAST(tp + fn AS DOUBLE))
+                          * sqrt(CAST(tn + fp AS DOUBLE))
+                          * sqrt(CAST(tn + fn AS DOUBLE)), 0.0), 6) AS mcc
+    FROM s
+    """,
+    doc="Matthews correlation coefficient of the marker-stopword "
+    "language-ID treated as a binary en-detector — the single-number "
+    "confusion summary that stays honest under class imbalance (accuracy "
+    "and even F1 reward the majority class; MCC does not). The confusion "
+    "quadrant counts and the numerator tp*tn - fp*fn are EXACT "
+    "HUGEINT/DECIMAL integers; the denominator takes four separate "
+    "sqrt()s (each margin fits a double exactly far beyond any corpus; "
+    "their PRODUCT would overflow at ~1e77) in one identical op "
+    "sequence per engine.",
+)
+def eval_mcc_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: one scan scoring the classifier in-plan, one
+    map-side-combined 1-row aggregate — the confusion matrix never
+    materializes."""
+    d = load_fixture(spark, sf_dir, "documents")
+    y = (F.col("lang") == "en").cast("int")
+    yh = (lang_guess(F.col("text")) == "en").cast("int")
+    pred = d.select(y.alias("y"), yh.alias("yhat"))
+    s = pred.agg(
+        F.sum(F.col("y") * F.col("yhat")).cast("decimal(38,0)").alias("tp"),
+        F.sum((1 - F.col("y")) * (1 - F.col("yhat"))).cast("decimal(38,0)").alias("tn"),
+        F.sum((1 - F.col("y")) * F.col("yhat")).cast("decimal(38,0)").alias("fp"),
+        F.sum(F.col("y") * (1 - F.col("yhat"))).cast("decimal(38,0)").alias("fn"),
+    )
+    num = (F.col("tp") * F.col("tn") - F.col("fp") * F.col("fn")).cast("double")
+    den = (
+        F.sqrt((F.col("tp") + F.col("fp")).cast("double"))
+        * F.sqrt((F.col("tp") + F.col("fn")).cast("double"))
+        * F.sqrt((F.col("tn") + F.col("fp")).cast("double"))
+        * F.sqrt((F.col("tn") + F.col("fn")).cast("double"))
+    )
+    return s.select(
+        F.col("tp").cast("bigint").alias("tp"),
+        F.col("tn").cast("bigint").alias("tn"),
+        F.col("fp").cast("bigint").alias("fp"),
+        F.col("fn").cast("bigint").alias("fn"),
+        F.round(num / F.nullif(den, F.lit(0.0)), 6).alias("mcc"),
+    )
+
+
+@register(
+    "text_novelty_decay",
+    oracle="""
+    WITH w AS (
+        SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws
+        FROM documents
+    ),
+    sh AS (
+        SELECT doc_id, unnest(list_distinct(
+            CASE WHEN len(ws) >= 3
+                 THEN [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                       for i in range(1, len(ws) - 1)]
+                 ELSE [array_to_string(ws, ' ')] END)) AS sh
+        FROM w
+    ),
+    first AS (SELECT sh, MIN(doc_id) AS first_doc FROM sh GROUP BY sh)
+    SELECT s.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_novel,
+           CAST(CAST((2 * SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
+                        * 1000000 + COUNT(*))
+                     // (2 * COUNT(*)) AS BIGINT) AS DOUBLE) / 1000000.0
+               AS novelty
+    FROM sh s JOIN first f USING (sh)
+    GROUP BY s.doc_id
+    """,
+    doc="Corpus novelty decay: per document (in doc_id ingestion order), "
+    "the fraction of its distinct 3-shingles never seen in any "
+    "earlier-id document — the curve a curation pipeline watches to "
+    "decide when a source is exhausted (novelty collapsing toward 0 "
+    "means new docs repeat the corpus). First-occurrence is an exact "
+    "MIN(doc_id) per shingle; the ratio rounds half-away in integer "
+    "micro-units.",
+)
+def text_novelty_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: one shingle-keyed aggregate (min doc per shingle),
+    one shingle-keyed join back, one doc-keyed aggregate — the exact
+    dedup budget (shuffles carry 3-word shingles, never bodies). The
+    min-per-key pass is the incremental-index primitive: at 100 TB the
+    'first' relation persists and only new docs join against it."""
+    from ..operators.dedup import _shingle_table
+
+    d = load_fixture(spark, sf_dir, "documents")
+    sh = _shingle_table(d, "text", "doc_id", 3)
+    first = sh.groupBy("sh").agg(F.min("doc_id").alias("first_doc"))
+    j = sh.join(first, "sh")
+    return j.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+        F.sum(F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_novel"),
+        (
+            F.expr(
+                "CAST((2 * SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)"
+                " * 1000000 + COUNT(*)) div (2 * COUNT(*)) AS BIGINT)"
+            ).cast("double")
+            / F.lit(1000000.0)
+        ).alias("novelty"),
+    )

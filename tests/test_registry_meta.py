@@ -151,12 +151,17 @@ def test_every_oracled_query_has_driver_exposure():
         import pytest
 
         pytest.skip("no prior correctness records present")
-    window = set(_DRIVER_WINDOW)
+    from cdw_spark.registry import _NEXT_WINDOW_QUEUE
+
+    window = set(_DRIVER_WINDOW) | set(_NEXT_WINDOW_QUEUE)
     uncovered = [
         n for n, spec in SPECS.items()
         if spec.oracle is not None and n not in green and n not in window
     ]
     assert uncovered == [], (
-        f"oracled queries with no driver evidence and no window slot "
-        f"(add them to _DRIVER_WINDOW): {uncovered}"
+        f"oracled queries with no driver evidence, no window slot, and no "
+        f"next-window queue entry (add them to _DRIVER_WINDOW or "
+        f"_NEXT_WINDOW_QUEUE): {uncovered}"
     )
+    stale_queue = [n for n in _NEXT_WINDOW_QUEUE if n not in SPECS]
+    assert stale_queue == [], f"queue names unknown queries: {stale_queue}"
