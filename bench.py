@@ -206,6 +206,20 @@ HEADLINE = [
     "survival_nelson_aalen",
     "lookup_longest_prefix",
     "timeseries_holt_linear",
+    # round 8: effect sizes, series diagnostics, funnel, novelty decay,
+    # split-doc boundary, basket lift, padding audit, whitening
+    "agg_cramers_v",
+    "agg_cohens_d",
+    "eval_mcc_binary",
+    "timeseries_ewma_signal",
+    "window_max_drawdown",
+    "timeseries_seasonal_strength",
+    "events_funnel_conversion",
+    "text_novelty_decay",
+    "dedup_split_doc_boundary",
+    "basket_pair_lift",
+    "batch_padding_waste",
+    "embedding_whitening_digest",
 ]
 
 
