@@ -256,11 +256,16 @@ def main() -> None:
         t0 = time.time()
         spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
-        # Untimed housekeeping: drop Python refs so the ContextCleaner can
-        # free earlier queries' localCheckpoint blocks — otherwise storage
-        # memory fills across the 60+-query session and later queries pay
-        # unrelated GC/spill pressure (measured multi-second noise).
+        # Untimed housekeeping: gc.collect() alone is NOT enough —
+        # localCheckpoint blocks are freed only when the JVM-side RDD is
+        # garbage collected, which is lazy; measured in round 8, ~16
+        # persistent RDDs survived gc.collect() and the accumulated
+        # storage pressure inflated UNRELATED late-run queries 3-5x
+        # (welch 0.44 -> 2.18 s). Each query's own checkpoint cost stays
+        # inside its timed window; this only stops cross-query leakage.
         gc.collect()
+        for rdd in list(spark.sparkContext._jsc.getPersistentRDDs().values()):
+            rdd.unpersist()
 
     total = round(sum(timings.values()), 3)
     print(
