@@ -220,6 +220,8 @@ HEADLINE = [
     "basket_pair_lift",
     "batch_padding_waste",
     "embedding_whitening_digest",
+    "agg_exact_delay_quantiles",
+    "eval_calibration_ece",
 ]
 
 

@@ -177,6 +177,8 @@ _NEXT_WINDOW_QUEUE: tuple[str, ...] = (
     "embedding_whitening_digest",
     "batch_padding_waste",
     "events_funnel_conversion",
+    "agg_exact_delay_quantiles",
+    "eval_calibration_ece",
 )
 
 

@@ -5169,3 +5169,78 @@ def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(1000000.0)
         ).alias("click_to_purchase"),
     )
+
+
+@register(
+    "agg_exact_delay_quantiles",
+    oracle="""
+    WITH j AS (
+        SELECT l.l_returnflag AS flag,
+               CAST(datediff('day', o.o_orderdate, l.l_shipdate) AS BIGINT) AS d
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    cells AS (
+        SELECT flag, d, CAST(COUNT(*) AS BIGINT) AS c FROM j GROUP BY flag, d
+    ),
+    cum AS (
+        SELECT flag, d, c,
+               SUM(c) OVER (PARTITION BY flag ORDER BY d
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cumc,
+               SUM(c) OVER (PARTITION BY flag) AS n
+        FROM cells
+    )
+    SELECT flag, CAST(MAX(n) AS BIGINT) AS n,
+           CAST(MIN(CASE WHEN cumc >= (n + 1) // 2 THEN d END) AS BIGINT) AS p50,
+           CAST(MIN(CASE WHEN cumc >= (9 * n + 9) // 10 THEN d END) AS BIGINT) AS p90,
+           CAST(MIN(CASE WHEN cumc >= (99 * n + 99) // 100 THEN d END) AS BIGINT)
+               AS p99
+    FROM cum GROUP BY flag
+    """,
+    doc="EXACT shipping-delay quantiles (p50/p90/p99, type-1: smallest "
+    "value whose inclusive running count reaches ceil(q*n)) per return "
+    "flag — the latency-SLA percentiles approx_percentile only "
+    "approximates, computed exactly at any scale. Rows collapse to the "
+    "DISTINCT-delay relation (one shuffle; the day domain bounds it), "
+    "running counts come from the two-level prefix-sum, and rank cut "
+    "points use pure integer ceil arithmetic — no float anywhere.",
+)
+def agg_exact_delay_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: one fact-fact join co-partitioned on the order key,
+    one groupBy to the distinct-value relation, two_level_cumsum for
+    the running counts (no single-partition sort even on a dense value
+    domain), a |values|-row aggregate."""
+    from ..operators.stats import two_level_cumsum
+    from ..plans.hints import broadcast_if_small
+
+    li = load_fixture(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_shipdate"
+    )
+    o = load_fixture(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    j = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+        F.col("l_returnflag").alias("flag"),
+        F.datediff("l_shipdate", "o_orderdate").cast("bigint").alias("d"),
+    )
+    cells = (
+        j.groupBy("flag", "d")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    cum = two_level_cumsum(cells, ["flag"], "d", [], {"cumc": "c"})
+    n = cells.groupBy("flag").agg(F.sum("c").cast("bigint").alias("n"))
+    return (
+        cum.join(broadcast_if_small(n), "flag")
+        .groupBy("flag")
+        .agg(
+            F.max("n").cast("bigint").alias("n"),
+            F.min(F.when(F.expr("cumc >= (n + 1) div 2"), F.col("d")))
+            .cast("bigint")
+            .alias("p50"),
+            F.min(F.when(F.expr("cumc >= (9 * n + 9) div 10"), F.col("d")))
+            .cast("bigint")
+            .alias("p90"),
+            F.min(F.when(F.expr("cumc >= (99 * n + 99) div 100"), F.col("d")))
+            .cast("bigint")
+            .alias("p99"),
+        )
+    )

@@ -1571,3 +1571,110 @@ def text_novelty_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(1000000.0)
         ).alias("novelty"),
     )
+
+
+@register(
+    "eval_calibration_ece",
+    oracle=f"""
+    WITH m AS (
+        SELECT doc_id,
+            CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+            len(string_split_regex(lower(trim(text)), '\\s+')) * 1.0 AS toks,
+            CASE WHEN length(text) > 0
+                 THEN length(regexp_replace(text, '[^.,!?;:]', '', 'g')) * 1.0 / length(text)
+                 ELSE 0.0 END AS pr,
+            CASE WHEN len(string_split_regex(lower(trim(text)), '\\s+')) > 0
+                 THEN len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                          x -> list_contains({_sql_list(STOPWORDS)}, x))) * 1.0
+                      / len(string_split_regex(lower(trim(text)), '\\s+'))
+                 ELSE 0.0 END AS sr
+        FROM documents
+    ),
+    q AS (
+        SELECT y,
+               CAST(floor(ROUND(0.4 * LEAST(toks / 100.0, 1.0)
+                                + 0.3 * (1.0 - pr) + 0.3 * sr, 6)
+                          * 1000000.0 + 0.5) AS BIGINT) AS q
+        FROM m
+    ),
+    b AS (
+        SELECT LEAST(q // 100000, 9) AS bin,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(q AS HUGEINT)) AS HUGEINT) AS sq,
+               CAST(SUM(y) AS BIGINT) AS pos
+        FROM q GROUP BY LEAST(q // 100000, 9)
+    ),
+    g AS (
+        SELECT bin, n, pos,
+               (2 * sq + n) // (2 * CAST(n AS HUGEINT)) AS conf_micro,
+               (2 * CAST(pos AS HUGEINT) * 1000000 + n) // (2 * CAST(n AS HUGEINT))
+                   AS acc_micro
+        FROM b
+    )
+    SELECT CAST(bin AS INTEGER) AS bin, n, pos,
+           CAST(conf_micro AS BIGINT) AS conf_micro,
+           CAST(acc_micro AS BIGINT) AS acc_micro,
+           CAST((2 * SUM(CAST(n AS HUGEINT) * abs(acc_micro - conf_micro)) OVER ()
+                 + SUM(n) OVER ())
+                // (2 * SUM(CAST(n AS HUGEINT)) OVER ()) AS BIGINT) AS ece_micro
+    FROM g
+    """,
+    doc="Reliability diagram + expected calibration error of the "
+    "composite quality score treated as P(lang = 'en') — the calibration "
+    "audit run on every learned or heuristic scorer before its threshold "
+    "means anything. Scores quantize once to micro units (the 6-dp "
+    "rounded heuristic is integer-valued there), bins are integer "
+    "division — no float bin edge — and per-bin confidence, accuracy, "
+    "and the n-weighted ECE all round half-away in integer micro-units "
+    "under DECIMAL(38,0)/HUGEINT (n * gap is corpus-scaled — the r8 "
+    "micro-unit audit class). The ECE window runs over the 10-row bin "
+    "relation — bounded by construction.",
+)
+def eval_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: one scan scoring in-plan, one 10-group aggregate, a
+    10-row window — no data-scaled shuffle beyond the combine."""
+    from pyspark.sql.window import Window
+
+    from ..functions.text import quality_score
+
+    d = load_fixture(spark, sf_dir, "documents")
+    q = d.select(
+        (F.col("lang") == "en").cast("int").alias("y"),
+        F.floor(quality_score(F.col("text")) * F.lit(1000000.0) + F.lit(0.5))
+        .cast("bigint")
+        .alias("q"),
+    )
+    b = q.groupBy(
+        F.least(F.expr("q div 100000"), F.lit(9)).cast("int").alias("bin")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("q").cast("decimal(38,0)")).alias("sq"),
+        F.sum("y").cast("bigint").alias("pos"),
+    )
+    g = b.select(
+        "bin",
+        "n",
+        "pos",
+        F.expr("(2 * sq + n) div (2 * CAST(n AS DECIMAL(38,0)))")
+        .cast("bigint")
+        .alias("conf_micro"),
+        F.expr(
+            "(2 * CAST(pos AS DECIMAL(38,0)) * 1000000 + n)"
+            " div (2 * CAST(n AS DECIMAL(38,0)))"
+        )
+        .cast("bigint")
+        .alias("acc_micro"),
+    )
+    w = Window.partitionBy()
+    return g.select(
+        "bin",
+        "n",
+        "pos",
+        "conf_micro",
+        "acc_micro",
+        F.expr(
+            "CAST((2 * SUM(CAST(n AS DECIMAL(38,0)) * abs(acc_micro - conf_micro))"
+            " OVER () + SUM(n) OVER ())"
+            " div (2 * SUM(CAST(n AS DECIMAL(38,0))) OVER ()) AS BIGINT)"
+        ).alias("ece_micro"),
+    )

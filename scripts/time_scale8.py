@@ -17,7 +17,13 @@ from cdw_spark.session import get_spark
 def run_once(spark, spec, sf_dir):
     t0 = time.time()
     spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-    return time.time() - t0
+    dt = time.time() - t0
+    # untimed: free localCheckpoint blocks between measurements (JVM RDD
+    # GC is lazy; leaked storage inflates later queries — the bench.py
+    # round-8 lesson)
+    for rdd in list(spark.sparkContext._jsc.getPersistentRDDs().values()):
+        rdd.unpersist()
+    return dt
 
 
 def main():

@@ -297,3 +297,71 @@ def test_whitening_digest_invariants(spark, sf_dir):
     # per-vector sums must cancel to within one rounding step per cell
     total = sum(r["z_sum_micro"] for r in rows)
     assert abs(total) < 64 * n
+
+
+def test_exact_delay_quantiles_match_python(spark, sf_dir):
+    rows = {
+        r["flag"]: r
+        for r in SPECS["agg_exact_delay_quantiles"].fn(spark, sf_dir).collect()
+    }
+    li = load_fixture(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_shipdate"
+    ).collect()
+    od = {
+        r["o_orderkey"]: r["o_orderdate"]
+        for r in load_fixture(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderdate"
+        ).collect()
+    }
+    by_flag = defaultdict(list)
+    for r in li:
+        d = (r["l_shipdate"].date() - od[r["l_orderkey"]].date()).days
+        by_flag[r["l_returnflag"]].append(d)
+    assert set(rows) == set(by_flag)
+    for flag, ds in by_flag.items():
+        ds.sort()
+        n = len(ds)
+        got = rows[flag]
+        assert got["n"] == n
+        assert got["p50"] == ds[(n + 1) // 2 - 1]
+        assert got["p90"] == ds[(9 * n + 9) // 10 - 1]
+        assert got["p99"] == ds[(99 * n + 99) // 100 - 1]
+
+
+def test_calibration_ece_matches_python(spark, sf_dir):
+    from cdw_spark.functions.text import STOPWORDS
+
+    rows = {
+        r["bin"]: r for r in SPECS["eval_calibration_ece"].fn(spark, sf_dir).collect()
+    }
+    docs = load_fixture(spark, sf_dir, "documents").select("text", "lang").collect()
+    stop = set(STOPWORDS)
+    bins = defaultdict(lambda: [0, 0, 0])  # n, sum_q, pos
+    for r in docs:
+        text = r["text"]
+        ws = [w for w in text.lower().strip().split() if w]
+        toks = float(len(ws))
+        pr = (
+            sum(1 for ch in text if ch in ".,!?;:") / len(text) if text else 0.0
+        )
+        sr = (sum(1 for w in ws if w in stop) / toks) if ws else 0.0
+        s = round(0.4 * min(toks / 100.0, 1.0) + 0.3 * (1.0 - pr) + 0.3 * sr, 6)
+        q = math.floor(s * 1e6 + 0.5)
+        b = min(q // 100000, 9)
+        cell = bins[b]
+        cell[0] += 1
+        cell[1] += q
+        cell[2] += r["lang"] == "en"
+    assert set(rows) == set(bins)
+    tot_n = sum(c[0] for c in bins.values())
+    gap_sum = 0
+    for b, (n, sq, pos) in bins.items():
+        conf = (2 * sq + n) // (2 * n)
+        acc = (2 * pos * 1000000 + n) // (2 * n)
+        assert rows[b]["n"] == n and rows[b]["pos"] == pos
+        assert rows[b]["conf_micro"] == conf
+        assert rows[b]["acc_micro"] == acc
+        gap_sum += n * abs(acc - conf)
+    ece = (2 * gap_sum + tot_n) // (2 * tot_n)
+    for r in rows.values():
+        assert r["ece_micro"] == ece
