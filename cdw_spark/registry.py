@@ -179,6 +179,7 @@ _NEXT_WINDOW_QUEUE: tuple[str, ...] = (
     "events_funnel_conversion",
     "agg_exact_delay_quantiles",
     "eval_calibration_ece",
+    "agg_kendall_tau",
 )
 
 

@@ -5244,3 +5244,220 @@ def agg_exact_delay_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("p99"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Kendall tau-b: exact distributed concordance via the static-domain pivot
+
+_KT_K = 50  # l_quantity's static integer domain 1..50 (TPC-H construction)
+
+
+def _kendall_oracle_sql(k: int = _KT_K) -> str:
+    """DuckDB rendering of agg_kendall_tau — same pivot, same inclusive
+    running counts, same prefix-chain concordance arithmetic, generated
+    from one spec so the engines cannot drift."""
+    cdefs = ",\n               ".join(
+        f"CAST(COUNT(*) FILTER (WHERE CAST(l_quantity AS INT) = {j}) AS BIGINT)"
+        f" AS c{j}"
+        for j in range(1, k + 1)
+    )
+    xdefs = ",\n               ".join(
+        f"SUM(c{j}) OVER (PARTITION BY flag ORDER BY p "
+        f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS x{j}"
+        for j in range(1, k + 1)
+    )
+    ndefs = ", ".join(f"CAST(SUM(c{j}) AS BIGINT) AS n{j}" for j in range(1, k + 1))
+    ps = [f"x1 - c1 AS psx1", f"n1 - x1 AS psd1"]
+    for j in range(2, k + 1):
+        ps.append(f"psx{j - 1} + x{j} - c{j} AS psx{j}")
+        ps.append(f"psd{j - 1} + n{j} - x{j} AS psd{j}")
+    cterm = " + ".join(
+        f"CAST(c{j} AS HUGEINT) * psx{j - 1}" for j in range(2, k + 1)
+    )
+    dterm = " + ".join(
+        f"CAST(c{j} AS HUGEINT) * psd{j - 1}" for j in range(2, k + 1)
+    )
+    tsum = " + ".join(f"c{j}" for j in range(1, k + 1))
+    n1term = " + ".join(
+        f"CAST(n{j} AS HUGEINT) * (n{j} - 1)" for j in range(1, k + 1)
+    )
+    return f"""
+    WITH piv AS (
+        SELECT l_returnflag AS flag, CAST(l_extendedprice AS DECIMAL(18,2)) AS p,
+               {cdefs}
+        FROM lineitem GROUP BY flag, p
+    ),
+    cum AS (
+        SELECT *,
+               {xdefs}
+        FROM piv
+    ),
+    marg AS (SELECT flag, {ndefs} FROM piv GROUP BY flag),
+    expanded AS (
+        SELECT cum.*, {", ".join(ps)}
+        FROM cum JOIN marg USING (flag)
+    ),
+    contrib AS (
+        SELECT flag,
+               CAST({tsum} AS HUGEINT) AS tp,
+               ({cterm}) AS cc,
+               ({dterm}) AS dc
+        FROM expanded
+    ),
+    s AS (
+        SELECT flag,
+               CAST(SUM(tp) AS HUGEINT) AS n,
+               CAST(SUM(cc) AS HUGEINT) AS conc,
+               CAST(SUM(dc) AS HUGEINT) AS disc,
+               SUM(tp * (tp - 1)) AS n2x2
+        FROM contrib GROUP BY flag
+    ),
+    t AS (
+        SELECT s.flag, s.n, s.conc, s.disc, s.n2x2,
+               ({n1term}) AS n1x2,
+               CAST(s.n AS HUGEINT) * (s.n - 1) AS n0x2
+        FROM s JOIN marg ON marg.flag = s.flag
+    )
+    SELECT flag, CAST(n AS BIGINT) AS n,
+           CAST(conc AS BIGINT) AS concordant,
+           CAST(disc AS BIGINT) AS discordant,
+           ROUND((CAST(conc AS DOUBLE) - CAST(disc AS DOUBLE))
+                 / NULLIF(sqrt(CAST(n0x2 - n1x2 AS DOUBLE) / 2.0)
+                          * sqrt(CAST(n0x2 - n2x2 AS DOUBLE) / 2.0), 0.0), 6)
+               AS tau_b
+    FROM t
+    """
+
+
+@register(
+    "agg_kendall_tau",
+    oracle=_kendall_oracle_sql(),
+    doc="EXACT Kendall tau-b rank correlation between quantity and "
+    "extended price per return flag — the pair-counting dependence "
+    "measure usually written off as O(n^2): here concordant/discordant "
+    "pair counts come from the 2D dominance identity over the joint "
+    "distribution, made distributed by pivoting on quantity's STATIC "
+    "1..50 integer domain (one column per value), taking inclusive "
+    "running counts over the price axis, and folding prefix chains "
+    "psx_q = #(qty<=q, price<p) / psd_q = #(qty<=q, price>p) per row "
+    "— every pair is counted exactly once at its larger cell. Tie "
+    "corrections n1/n2 from the two marginals; all pair counts in "
+    "HUGEINT/DECIMAL(38,0) (they are ~n^2/2, corpus-scaled — the r8 "
+    "micro-unit audit class); tau's two sqrt factors taken separately "
+    "(the MCC overflow lesson). Oracle generated from the same spec.",
+)
+def agg_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: one fact shuffle to the (flag, price) pivot, the
+    price-axis running counts via two_level_cumsum (50 summands share
+    one bucketed window pass — NO single-partition sort on the dense
+    price axis), a 3-row marginal broadcast, then one map-side-combined
+    aggregate. The 50-term prefix chains are one post-checkpoint
+    projection (codegen-sized; the helper's internal checkpoint
+    isolates them from the window stage)."""
+    from ..operators.stats import two_level_cumsum
+    from ..plans.hints import broadcast_if_small
+
+    k = _KT_K
+    li = load_fixture(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast("int")
+    piv = (
+        li.groupBy(
+            F.col("l_returnflag").alias("flag"),
+            F.col("l_extendedprice").cast("decimal(18,2)").alias("p"),
+        )
+        .agg(
+            *[
+                F.sum(F.when(q == j, 1).otherwise(0)).cast("bigint").alias(f"c{j}")
+                for j in range(1, k + 1)
+            ]
+        )
+        .localCheckpoint(eager=True)
+    )
+    cum = two_level_cumsum(
+        piv, ["flag"], "p", [], {f"x{j}": f"c{j}" for j in range(1, k + 1)}
+    )
+    marg = piv.groupBy("flag").agg(
+        *[F.sum(f"c{j}").cast("bigint").alias(f"n{j}") for j in range(1, k + 1)]
+    )
+    j2 = cum.join(broadcast_if_small(marg), "flag")
+    # contributions as ONE small fold expression per row (struct
+    # accumulator over the 50-slot arrays): the literally-expanded
+    # prefix-chain projection (~2500 terms) spent ~10 s in Janino per
+    # run, and 50 chained selects spent ~46 s re-analyzing a growing
+    # plan; the fold is interpreted but touches only 50 elements per
+    # (flag, price) row — data-independent constant work
+    arr = lambda pre: "array(" + ", ".join(f"{pre}{j}" for j in range(1, k + 1)) + ")"
+    fold = (
+        "aggregate(sequence(2, {k}), "
+        "struct(CAST(0 AS DECIMAL(38,0)) AS acc, "
+        "CAST({first} AS DECIMAL(19,0)) AS ps), "
+        "(s, j) -> struct("
+        "s.acc + CAST(element_at({cs}, j) AS DECIMAL(10,0)) * s.ps, "
+        "CAST(s.ps + {step} AS DECIMAL(19,0))), "
+        "s -> s.acc)"
+    )
+    tsum = " + ".join(f"c{j}" for j in range(1, k + 1))
+    # materialize the arrays ONCE per row — inlining them inside the
+    # fold rebuilt a 50-slot array per element access (O(50^2)/row,
+    # measured 35 s interpreted)
+    j3 = j2.selectExpr(
+        "flag",
+        f"CAST({tsum} AS DECIMAL(19,0)) AS tp",
+        f'{arr("c")} AS cs',
+        f'{arr("x")} AS xs',
+        f'{arr("n")} AS ns',
+    )
+    cterm = fold.format(
+        k=k,
+        first="element_at(xs, 1) - element_at(cs, 1)",
+        cs="cs",
+        step="element_at(xs, j) - element_at(cs, j)",
+    )
+    dterm = fold.format(
+        k=k,
+        first="element_at(ns, 1) - element_at(xs, 1)",
+        cs="cs",
+        step="element_at(ns, j) - element_at(xs, j)",
+    )
+    contrib = j3.selectExpr(
+        "flag",
+        "tp",
+        f"CAST({cterm} AS DECIMAL(38,0)) AS cc",
+        f"CAST({dterm} AS DECIMAL(38,0)) AS dc",
+    )
+    s = contrib.groupBy("flag").agg(
+        F.sum("tp").cast("decimal(38,0)").alias("n"),
+        F.sum("cc").cast("decimal(38,0)").alias("conc"),
+        F.sum("dc").cast("decimal(38,0)").alias("disc"),
+        F.sum(F.expr("tp * (tp - 1)")).cast("decimal(38,0)").alias("n2x2"),
+    )
+    n1term = " + ".join(
+        f"CAST(n{j} AS DECIMAL(19,0)) * (n{j} - 1)" for j in range(1, k + 1)
+    )
+    # doubled tie/pair terms stay exact DECIMAL integers (Spark's decimal
+    # `div` returns BIGINT, which n^2-scale quantities overflow — halve
+    # inside the double sqrt instead, identically in both engines)
+    t = s.join(broadcast_if_small(marg), "flag").selectExpr(
+        "flag",
+        "n",
+        "conc",
+        "disc",
+        "n2x2",
+        f"CAST(({n1term}) AS DECIMAL(38,0)) AS n1x2",
+        "CAST(n * (n - 1) AS DECIMAL(38,0)) AS n0x2",
+    )
+    return t.select(
+        "flag",
+        F.col("n").cast("bigint").alias("n"),
+        F.col("conc").cast("bigint").alias("concordant"),
+        F.col("disc").cast("bigint").alias("discordant"),
+        F.round(
+            (F.col("conc").cast("double") - F.col("disc").cast("double"))
+            / F.nullif(
+                F.sqrt((F.col("n0x2") - F.col("n1x2")).cast("double") / F.lit(2.0))
+                * F.sqrt((F.col("n0x2") - F.col("n2x2")).cast("double") / F.lit(2.0)),
+                F.lit(0.0),
+            ),
+            6,
+        ).alias("tau_b"),
+    )

@@ -365,3 +365,49 @@ def test_calibration_ece_matches_python(spark, sf_dir):
     ece = (2 * gap_sum + tot_n) // (2 * tot_n)
     for r in rows.values():
         assert r["ece_micro"] == ece
+
+
+def test_kendall_tau_matches_bruteforce_at_sf0001(spark):
+    """Brute-force O(n^2) tau-b on the 600-row sf0.001 fixture — an
+    implementation-independent check of the dominance-counting pipeline
+    (concordant/discordant/tie arithmetic and the tau-b normalization)."""
+    sf = "/root/testdata/sf0.001"
+    rows = {r["flag"]: r for r in SPECS["agg_kendall_tau"].fn(spark, sf).collect()}
+    li = load_fixture(spark, sf, "lineitem").select(
+        "l_returnflag", "l_quantity", "l_extendedprice"
+    ).collect()
+    by_flag = defaultdict(list)
+    for r in li:
+        by_flag[r["l_returnflag"]].append(
+            (int(r["l_quantity"]), round(r["l_extendedprice"] * 100))
+        )
+    assert set(rows) == set(by_flag)
+    for flag, pts in by_flag.items():
+        n = len(pts)
+        conc = disc = tx = ty = 0
+        for i in range(n):
+            for j in range(i + 1, n):
+                (q1, p1), (q2, p2) = pts[i], pts[j]
+                if q1 == q2:
+                    tx += 1
+                    continue
+                if p1 == p2:
+                    ty += 1
+                    continue
+                if (q1 < q2) == (p1 < p2):
+                    conc += 1
+                else:
+                    disc += 1
+        got = rows[flag]
+        assert got["n"] == n
+        assert got["concordant"] == conc
+        assert got["discordant"] == disc
+        n0 = n * (n - 1) // 2
+        n1 = sum(
+            c * (c - 1) // 2 for c in Counter(q for q, _ in pts).values()
+        )
+        n2 = sum(
+            c * (c - 1) // 2 for c in Counter(p for _, p in pts).values()
+        )
+        tau = (conc - disc) / math.sqrt((n0 - n1) * (n0 - n2))
+        assert abs(got["tau_b"] - tau) < 1e-5
