@@ -18,6 +18,8 @@ from collections import Counter
 from dataclasses import dataclass, field
 
 import duckdb
+import numpy as _np
+import pandas as _pd
 from pyspark.sql import DataFrame
 
 from .catalog import FIXTURE_TABLES
@@ -35,27 +37,48 @@ def open_oracle(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
 
 def _canon_cell(v):
-    """Engine-neutral value canonicalization."""
+    """Driver-faithful value canonicalization.
+
+    VERDICT r8 #2 (mirror fidelity): the driver renders oracle values
+    through the pandas path, where a DuckDB HUGEINT (or NULL-bearing
+    integer column) arrives as float64 and hashes as ``5.0`` — DIFFERENT
+    from a Spark bigint ``5``. The old mirror unified int and
+    integral-float, so it could not catch the `survival_nelson_aalen`
+    class. Rules now:
+
+    - int and float are DISTINCT tokens even when the float is integral
+      (strict, like the driver's hash);
+    - missing is missing: None / NaN / NaT all canonicalize to None
+      (the pandas path makes them indistinguishable anyway);
+    - numpy scalars unwrap to their Python equivalents first (np.int64
+      is NOT an ``int`` subclass; np.bool_ is NOT a ``bool``);
+    - date and midnight-datetime unify (DuckDB DATE arrives as a
+      pandas Timestamp at 00:00:00 through ``.df()``);
+    - Decimal stays its own token so a DECIMAL output diverges loudly
+      (the oracle contract bans DECIMAL/HUGEINT output columns).
+    """
     if v is None:
         return None
+    if isinstance(v, _np.generic):
+        v = v.item()  # np.datetime64('NaT').item() is None
+        if v is None:
+            return None
+    if v is _pd.NaT:
+        return None
     if isinstance(v, decimal.Decimal):
-        if v == v.to_integral_value():
-            return ("num", str(v.quantize(decimal.Decimal(1))))
-        return ("num", str(v.normalize()))
+        return ("dec", str(v.normalize()))
     if isinstance(v, bool):
         return ("bool", v)
     if isinstance(v, int):
-        return ("num", str(v))
+        return ("int", str(v))
     if isinstance(v, float):
         if math.isnan(v):
-            return ("float", "nan")
-        if v == int(v) and abs(v) < 1e15:
-            return ("num", str(int(v)))
+            return None
         return ("float", repr(v))
     if isinstance(v, _dt.datetime):
         return ("ts", v.replace(tzinfo=None).isoformat())
     if isinstance(v, _dt.date):
-        return ("date", v.isoformat())
+        return ("ts", v.isoformat() + "T00:00:00")
     if isinstance(v, (list, tuple)):
         return ("list", tuple(_canon_cell(x) for x in v))
     if isinstance(v, (bytes, bytearray)):
@@ -87,12 +110,26 @@ def compare_frames(name: str, spark_df: DataFrame, oracle_sql: str, sf_dir: str)
 def compare_with_connection(
     name: str, spark_df: DataFrame, oracle_sql: str, con: duckdb.DuckDBPyConnection
 ) -> CompareResult:
-    spark_cols = list(spark_df.columns)
-    spark_rows = [tuple(r) for r in spark_df.collect()]
+    # BOTH sides go through pandas, like the driver: a NULL-bearing
+    # integer column becomes float64 on BOTH engines (so outer-join /
+    # lag NULLs stay green), while a column that is float64 on ONE side
+    # only — DuckDB's HUGEINT promotion, the survival_nelson_aalen class
+    # — now diverges here exactly as it does in the driver. Verified
+    # against driver history: the six NULL-bearing-int queries
+    # (window_lag_delta, cdc_snapshot_diff, the stream outer joins,
+    # rank_fusion_rrf, agg_hll_mergeable) are driver-green, so the
+    # driver unifies via the pandas coercion, not via value forgiveness.
+    spark_pdf = spark_df.toPandas()
+    spark_cols = [str(c) for c in spark_pdf.columns]
+    spark_rows = list(spark_pdf.itertuples(index=False, name=None))
 
-    cur = con.execute(oracle_sql)
-    oracle_cols = [d[0] for d in cur.description]
-    oracle_rows = cur.fetchall()
+    # Fetch through pandas (the driver's path), NOT fetchall(): fetchall
+    # yields exact Python ints for HUGEINT/NULL-bearing-integer columns,
+    # while the driver sees float64 — the r8 fidelity gap. itertuples
+    # yields the numpy scalars / Timestamps the driver hashes.
+    oracle_pdf = con.execute(oracle_sql).df()
+    oracle_cols = [str(c) for c in oracle_pdf.columns]
+    oracle_rows = list(oracle_pdf.itertuples(index=False, name=None))
 
     res = CompareResult(name, True, len(spark_rows), len(oracle_rows))
 

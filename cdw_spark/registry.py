@@ -72,27 +72,24 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # batch time-window twins, and the tokenize/chunk/pack assembly ops.
 # Everything not listed keeps its registration order after the window and
 # stays covered by tests/test_oracle_contract.py's local differential sweep.
-# r8 window (this round): same ten family anchors; the forty slots
-# follow the queue authored at the r7 close EXACTLY — the 24 round-7
-# additions first (newest, least proven), then the 6 carried from the
-# r6 queue, then 10 oldest-COLD re-grades (graded green once in r1/r2,
-# never since) oldest-grade-first then registration order. This window
-# FINISHES full driver coverage: after it grades, every oracled query
-# in the registry has had at least one driver row (the completeness
-# meta-test in tests/test_registry_meta.py pins this so the gap can
-# never silently reopen). Cumulative driver evidence after r7: 258
-# unique queries graded, 256 green at latest grading
-# (CORRECTNESS_r07 = 50/50; the 2 non-green are the oracle-less r1
-# relics agg_approx_distinct/agg_approx_quantiles whose exact twins
-# are oracled).
+# r9 window (this round): same ten family anchors; the forty slots
+# follow VERDICT r8 #2 EXACTLY — the 15 round-8 additions queued at the
+# r8 close (`_NEXT_WINDOW_QUEUE`, including agg_kendall_tau), then
+# `survival_nelson_aalen` as a re-grade (its oracle's HUGEINT output
+# typing is fixed this round — VERDICT r8 #1), then 24 coldest
+# re-grades (all last graded in r2) oldest-grade-first then
+# registration order. After r8, every oracled query has at least one
+# driver row; cumulative evidence entering r9: 288 unique queries
+# graded, 285 green at latest grading (the 2 oracle-less r1 relics
+# agg_approx_distinct/agg_approx_quantiles plus the now-fixed
+# survival_nelson_aalen).
 #
-# Never-graded after this window: ZERO oracled queries. The 4
-# rows-only (agg_approx_top_k, text_compression_ratio,
+# The 4 rows-only (agg_approx_top_k, text_compression_ratio,
 # similarity_ann_pq, multimodal_audio_spectral — each irreducibly
 # engine-specific with a measured reason) never burn window slots.
-# r9+ policy: keep the ten anchors, spend the forty slots on (a) any
-# round-8 additions, then (b) coldest re-grades oldest-grade-first.
-_WINDOW_ROUND = 8  # the round this window was authored FOR — meta-tests
+# r10+ policy: keep the ten anchors, spend the forty slots on (a) any
+# round-9 additions, then (b) coldest re-grades oldest-grade-first.
+_WINDOW_ROUND = 9  # the round this window was authored FOR — meta-tests
 # treat CORRECTNESS records from rounds >= this as the window's own
 # grade, not prior evidence (VERDICT r4 #3's self-invalidation fix).
 _DRIVER_WINDOW: tuple[str, ...] = (
@@ -107,64 +104,8 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "similarity_ann_lsh",    # similarity / ANN
     "dedup_minhash_lsh",     # deduplication
     "curation_pipeline",     # curation / dataset ops
-    # --- rotated in (r8): the 24 round-7 additions — newest, least
-    # proven (queue order authored at the r7 close) ---
-    "eval_binary_auc",
-    "agg_cohens_kappa",
-    "quality_ttr_lexical_diversity",
-    "agg_benjamini_hochberg",
-    "timeseries_realized_volatility",
-    "timeseries_hampel_outliers",
-    "sample_subsample_ci",
-    "layout_hilbert_order",
-    "graph_clustering_coefficient",
-    "embedding_matryoshka_recall",
-    "multimodal_audio_constellation",
-    "window_bollinger_bands",
-    "sample_ab_power_analysis",
-    "profile_psi_drift",
-    "embedding_centroid_drift",
-    "agg_hodges_lehmann",
-    "scd2_point_in_time_lookup",
-    "multimodal_image_resize_digest",
-    "stream_bloom_dedup_ingest",
-    "agg_welch_ttest",
-    "agg_heavy_hitters_two_pass",
-    "survival_nelson_aalen",
-    "lookup_longest_prefix",
-    "timeseries_holt_linear",
-    # --- the 6 carried from the r6 queue, registration order ---
-    "incremental_agg_merge",
-    "sample_class_balanced",
-    "quantile_rank_normalize",
-    "batch_by_length",
-    "select_token_budget",
-    "corpus_mix_entropy",
-    # --- 8 oldest-cold re-grades (green once in r1/r2, never since;
-    # oldest-grade-first) + 2 re-grades of the round-8 two-level-rank
-    # rewrites (VERDICT r7 #2's done-bar: at least two of the five
-    # rewritten aggregates graded in this window — these two are the
-    # most structurally changed: the distinct-value banded trim and the
-    # melted single-pass NTILE arithmetic) ---
-    "scalar_funcs",          # r1
-    "array_funcs",           # r1
-    "try_error_handling",    # r1
-    "time_dim_fixed",        # r1
-    "case_when_having",      # r1
-    "agg_stats",             # r1
-    "dedup_ngram_jaccard",   # r1
-    "filter_project",        # r2
-    "agg_trimmed_mean",      # r8 rewrite re-grade (last green r6)
-    "customer_rfm_segments", # r8 rewrite re-grade (last green r5)
-)
-
-
-# Queries registered AFTER the r8 window was authored — the r9 rotation
-# queue (newest, least proven, so they go first next round). The
-# completeness meta-test accepts queue membership in place of a window
-# slot, so a new oracled query must either rotate in NOW or be queued
-# HERE — silence is no longer possible.
-_NEXT_WINDOW_QUEUE: tuple[str, ...] = (
+    # --- rotated in (r9): the 15 round-8 additions — newest, least
+    # proven (queue order authored at the r8 close) ---
     "agg_cramers_v",
     "agg_cohens_d",
     "eval_mcc_binary",
@@ -180,7 +121,47 @@ _NEXT_WINDOW_QUEUE: tuple[str, ...] = (
     "agg_exact_delay_quantiles",
     "eval_calibration_ece",
     "agg_kendall_tau",
+    # --- re-grade: the r8 window's one hash-fail; oracle output typing
+    # fixed this round (CAST(n_risk AS BIGINT) — VERDICT r8 #1) ---
+    "survival_nelson_aalen",
+    # --- 24 coldest re-grades (all last graded green in r2, never
+    # since; oldest-grade-first then registration order) ---
+    "distinct_dim",
+    "cast_projection",
+    "semi_anti_join",
+    "asof_join_clicks",
+    "json_funcs",
+    "epoch_conversion",
+    "join_agg_topk",
+    "multi_join_groupby",
+    "agg_distinct_count",
+    "cube_agg",
+    "range_join_bucketed",
+    "dedup_exact",
+    "dedup_embedding_cosine",
+    "dedup_components",
+    "text_quality",
+    "text_langid",
+    "text_fingerprint",
+    "text_rolling_fingerprint_arrow",
+    "similarity_topk",
+    "similarity_pairs_topn",
+    "similarity_ann_ivf",
+    "window_running_sum",
+    "window_lag_delta",
+    "multimodal_blob_meta",  # next in r2-cold registration order is
+    # window_range_frame, but the window already carries two window_*
+    # re-grades and the family-coverage rule needs a multimodal_* row
 )
+
+
+# Queries registered AFTER the r9 window was authored — the r10 rotation
+# queue (newest, least proven, so they go first next round). The
+# completeness meta-test accepts queue membership in place of a window
+# slot, so a new oracled query must either rotate in NOW or be queued
+# HERE — silence is no longer possible. Round-9 additions append here
+# as they land.
+_NEXT_WINDOW_QUEUE: tuple[str, ...] = ()
 
 
 def load_all() -> dict[str, QuerySpec]:

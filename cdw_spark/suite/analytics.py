@@ -2520,7 +2520,10 @@ def agg_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     cum = two_level_cumsum(d, ["flag"], "v", [], {"cumc": "c"})
     st = d.groupBy("flag").agg(
         F.sum("c").alias("n"),
-        F.sum(F.col("v") * F.col("c").cast("decimal(10,0)")).alias("s_all"),
+        # count operand at (19,0): (18,2)x(19,0) lands exactly at the
+        # DECIMAL(38,2) cap, so per-distinct-value counts stay exact to
+        # ~1e19 (the old (10,0) silently NULLed past 1e10 — ADVICE r8)
+        F.sum(F.col("v") * F.col("c").cast("decimal(19,0)")).alias("s_all"),
     ).withColumn("lo", F.expr("n div 10"))
     j = cum.join(broadcast_if_small(st), "flag")
     trim_lo = F.greatest(
@@ -2533,8 +2536,8 @@ def agg_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n").alias("n"),
         F.max("lo").alias("lo"),
         F.max("s_all").alias("s_all"),
-        F.sum(trim_lo.cast("decimal(10,0)") * F.col("v")).alias("s_tlo"),
-        F.sum(trim_hi.cast("decimal(10,0)") * F.col("v")).alias("s_thi"),
+        F.sum(trim_lo.cast("decimal(19,0)") * F.col("v")).alias("s_tlo"),
+        F.sum(trim_hi.cast("decimal(19,0)") * F.col("v")).alias("s_thi"),
         F.min(F.when(F.col("cumc") > F.col("lo"), F.col("v"))).alias("low_val"),
         F.max(
             F.when(F.col("cumc") - F.col("c") < F.col("n") - F.col("lo"), F.col("v"))
@@ -3072,7 +3075,10 @@ def agg_spearman_rho(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = joint.join(broadcast_if_small(dq), ["flag", "x"]).join(
         broadcast_if_small(dp), ["flag", "y"]
     )
-    cd = F.col("c").cast("decimal(10,0)")
+    # cell count at (19,0) — exact to ~1e19 duplicates per joint cell
+    # (ADVICE r8; the doubled-rank factors keep the documented 2n<=1e10
+    # bound below, which is a property of n, not of cell multiplicity)
+    cd = F.col("c").cast("decimal(19,0)")
     dx = F.col("rx2").cast("decimal(19,0)")
     dy = F.col("ry2").cast("decimal(19,0)")
     s = r.groupBy("flag").agg(
@@ -4468,7 +4474,7 @@ def agg_heavy_hitters_two_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM risk
     )
     SELECT dur AS duration_days,
-           n_risk AS n_at_risk,
+           CAST(n_risk AS BIGINT) AS n_at_risk,
            d AS n_events,
            CAST(cum_micro AS DOUBLE) / 1000000000000.0 AS cum_hazard
     FROM cum WHERE d > 0
@@ -4914,7 +4920,8 @@ def timeseries_ewma_signal(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT user_id, event_id,
                CAST(floor(CAST(value AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS q,
                ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
-        FROM events WHERE event_type = 'purchase' AND value > 0
+        FROM events WHERE event_type = 'purchase'
+          AND floor(CAST(value AS DOUBLE) * 1000000.0 + 0.5) > 0
     ),
     p AS (
         SELECT user_id, event_id, q,
@@ -4943,7 +4950,11 @@ def timeseries_ewma_signal(spark: SparkSession, sf_dir: str) -> DataFrame:
     "per-user max with a deterministic min-event tie-break. The risk "
     "metric of trading backtests applied to any monitored series. "
     "int64 bound: (peak - q) * 1e6 <= peak_micro * 1e6 — value-domain "
-    "bounded (~3.6e16 at the fixture's value range).",
+    "bounded (~3.6e16 at the fixture's value range). The series filter "
+    "is on the QUANTIZED value (q > 0, i.e. value >= 5e-7): a sub-micro "
+    "first purchase would give peak = 0 and divide by zero — Spark "
+    "NULLs, DuckDB errors (ADVICE r8) — so it is excluded identically "
+    "in both engines instead of guarded asymmetrically.",
 )
 def window_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale shape: one per-user ordered window (running max shares the
@@ -4951,14 +4962,14 @@ def window_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     tie-break — no join, no global sort."""
     from pyspark.sql.window import Window
 
-    e = load_fixture(spark, sf_dir, "events").filter(
-        (F.col("event_type") == "purchase") & (F.col("value") > 0)
-    )
+    e = load_fixture(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
     qcol = F.floor(F.col("value").cast("double") * F.lit(1000000.0) + F.lit(0.5)).cast(
         "bigint"
     )
     wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    p = e.select("user_id", "event_id", qcol.alias("q"), "ts").select(
+    p = e.select("user_id", "event_id", qcol.alias("q"), "ts").filter(
+        F.col("q") > 0
+    ).select(
         "user_id",
         "event_id",
         "q",
@@ -5107,8 +5118,8 @@ def timeseries_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
            (SELECT CAST(COUNT(*) AS BIGINT) FROM c) AS n_click_after,
            (SELECT CAST(COUNT(*) AS BIGINT) FROM p) AS n_purchase_after,
            CAST(CAST((2 * (SELECT COUNT(*) FROM c) * 1000000
-                      + (SELECT COUNT(*) FROM v))
-                     // (2 * (SELECT COUNT(*) FROM v)) AS BIGINT) AS DOUBLE)
+                      + NULLIF((SELECT COUNT(*) FROM v), 0))
+                     // NULLIF(2 * (SELECT COUNT(*) FROM v), 0) AS BIGINT) AS DOUBLE)
                / 1000000.0 AS view_to_click,
            CAST(CAST((2 * (SELECT COUNT(*) FROM p) * 1000000
                       + NULLIF((SELECT COUNT(*) FROM c), 0))
@@ -5156,8 +5167,8 @@ def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_purchase_after",
         (
             F.expr(
-                "CAST((2 * n_click_after * 1000000 + n_view)"
-                " div (2 * n_view) AS BIGINT)"
+                "CAST((2 * n_click_after * 1000000 + nullif(n_view, 0))"
+                " div nullif(2 * n_view, 0) AS BIGINT)"
             ).cast("double")
             / F.lit(1000000.0)
         ).alias("view_to_click"),
@@ -5369,10 +5380,27 @@ def agg_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
             *[
                 F.sum(F.when(q == j, 1).otherwise(0)).cast("bigint").alias(f"c{j}")
                 for j in range(1, k + 1)
-            ]
+            ],
+            # domain guard (ADVICE r8): a quantity outside the pivoted
+            # 1..k domain contributes to NO c_j and would silently vanish
+            # from n and every pair count IN BOTH ENGINES (oracle parity
+            # hides the undercount). Count the strays per cell...
+            F.sum(F.when(q.between(1, k), 0).otherwise(1))
+            .cast("bigint")
+            .alias("c_oob"),
         )
         .localCheckpoint(eager=True)
     )
+    # ...and fail loudly on any (one bounded 1-row sync over the already
+    # checkpointed |cells|-row relation — the stage_exact_quarters rule:
+    # a violated domain assumption fails the query, never skews it)
+    n_oob = piv.agg(F.sum("c_oob")).first()[0] or 0
+    if n_oob:
+        raise ValueError(
+            f"agg_kendall_tau: {n_oob} lineitem rows have l_quantity "
+            f"outside the pivoted 1..{k} domain; widen _KT_K or re-bucket"
+        )
+    piv = piv.drop("c_oob")
     cum = two_level_cumsum(
         piv, ["flag"], "p", [], {f"x{j}": f"c{j}" for j in range(1, k + 1)}
     )
@@ -5392,7 +5420,7 @@ def agg_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
         "struct(CAST(0 AS DECIMAL(38,0)) AS acc, "
         "CAST({first} AS DECIMAL(19,0)) AS ps), "
         "(s, j) -> struct("
-        "s.acc + CAST(element_at({cs}, j) AS DECIMAL(10,0)) * s.ps, "
+        "s.acc + CAST(element_at({cs}, j) AS DECIMAL(19,0)) * s.ps, "
         "CAST(s.ps + {step} AS DECIMAL(19,0))), "
         "s -> s.acc)"
     )

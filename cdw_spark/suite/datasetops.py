@@ -3039,7 +3039,8 @@ def layout_hilbert_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT part_a, part_b, cab AS n_both,
            ca.c AS n_a, cb.c AS n_b,
-           CAST(CAST((2 * cab * 1000000 + ca.c) // (2 * ca.c) AS BIGINT) AS DOUBLE)
+           CAST(CAST((2 * CAST(cab AS HUGEINT) * 1000000 + ca.c)
+                     // (2 * CAST(ca.c AS HUGEINT)) AS BIGINT) AS DOUBLE)
                / 1000000.0 AS confidence,
            CAST(CAST((2 * CAST(cab AS HUGEINT) * n.n * 1000000
                       + CAST(ca.c AS HUGEINT) * cb.c)
@@ -3120,7 +3121,12 @@ def basket_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("ca").alias("n_a"),
             F.col("cb").alias("n_b"),
             (
-                F.expr("CAST((2 * cab * 1000000 + ca) div (2 * ca) AS BIGINT)")
+                # DECIMAL(38,0)/HUGEINT numerator like lift's (ADVICE r8):
+                # 2*cab*1e6 wraps int64 silently past cab ~ 4.6e12
+                F.expr(
+                    "CAST((2 * CAST(cab AS DECIMAL(38,0)) * 1000000 + ca)"
+                    " div (2 * CAST(ca AS DECIMAL(38,0))) AS BIGINT)"
+                )
                 .cast("double")
                 / F.lit(1000000.0)
             ).alias("confidence"),

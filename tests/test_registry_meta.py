@@ -114,11 +114,13 @@ def test_driver_window_rotation_accumulates_evidence():
 
     anchors = [n for n in _DRIVER_WINDOW if n in green]
     rotated = [n for n in _DRIVER_WINDOW if n not in green]
-    # r8 split: 10 pinned family anchors + 10 oldest-cold re-grades (both
-    # have prior green rows) + 30 never-graded rotations — the 30 finish
-    # full driver coverage (see the completeness test below).
-    assert len(anchors) == 20, anchors
-    assert len(rotated) == 30, rotated
+    # r9 split: 10 pinned family anchors + 24 oldest-cold re-grades (both
+    # have prior green rows) + 16 without prior green evidence — the 15
+    # round-8 additions queued at the r8 close plus survival_nelson_aalen,
+    # whose only prior row is the r8 hash-fail its oracle fix re-grades.
+    assert len(anchors) == 34, anchors
+    assert len(rotated) == 16, rotated
+    assert "survival_nelson_aalen" in rotated
 
 
 def test_every_oracled_query_has_driver_exposure():
