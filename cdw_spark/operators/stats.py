@@ -101,6 +101,42 @@ def banded_exact_median(
     )
 
 
+def bucket_by_value(
+    df: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+    n_buckets: int = 64,
+    accuracy: int = 2000,
+) -> DataFrame:
+    """Level 1 of the two-level prefix-sum: route every row to the range
+    bucket counting approx_percentile boundaries strictly below its
+    value (ties always share a bucket), returning ``df`` plus an int
+    ``_bk`` column, localCheckpoint'ed. Exposed separately so the skew
+    test can measure within-bucket row counts directly."""
+    from ..plans.hints import broadcast_if_small
+
+    qs = ", ".join(str(i / n_buckets) for i in range(1, n_buckets))
+    sketch = F.expr(f"approx_percentile(_bv, array({qs}), {accuracy})").alias("_bnd")
+    src = df.withColumn("_bv", F.col(value_col).cast("double"))
+    if key_cols:
+        bnd = src.groupBy(*key_cols).agg(sketch)
+        j = src.join(broadcast_if_small(bnd), key_cols)
+    else:
+        bnd = src.agg(sketch)
+        j = src.crossJoin(F.broadcast(bnd))
+    # Checkpoint the bucketed relation: it feeds BOTH the within-bucket
+    # windows and the bucket-totals aggregate, and without the cut the
+    # caller's upstream lineage re-evaluates once per consumer — ruinous
+    # when calls chain (three chained ranks = 3^3 upstream evals). The
+    # checkpointed relation is the caller's (already reduced) input plus
+    # one int column, materialized once on executor storage.
+    return (
+        j.withColumn("_bk", F.expr("size(filter(_bnd, t -> t < _bv))"))
+        .drop("_bnd", "_bv")
+        .localCheckpoint(eager=True)
+    )
+
+
 def two_level_cumsum(
     df: DataFrame,
     key_cols: list[str],
@@ -132,31 +168,26 @@ def two_level_cumsum(
     ``value_col`` must be non-NULL and numeric, ascending; express a
     descending order by negating the column first. Returns ``df``'s
     columns plus the cumulative columns.
-    """
-    from pyspark.sql.window import Window
 
+    SKEW RULE (VERDICT r8 #4): ties SHARE a bucket by construction —
+    that is what makes (bucket, value, tiebreaks) the global order — so
+    every copy of one repeated value sorts in ONE task. The within-
+    bucket sort is therefore bounded only when value multiplicity is —
+    so callers MUST pass a relation already collapsed to distinct values /
+    distinct cells (value + a count column to accumulate), never a raw
+    fact relation whose sort key can be 90% one value. Every call site
+    in the repo does this (the count lives in ``sum_cols``); the
+    pattern is pinned by tests/test_two_level_skew.py, which feeds a
+    90%-one-value raw relation and shows the collapse bounds the max
+    within-bucket row count while the raw shape does not. A salt-and-
+    merge fallback inside the helper is deliberately NOT offered: with
+    ``tiebreak_cols`` the within-tie order is caller-visible, and
+    without them per-row running sums on tied rows are order-dependent
+    — the distinct-collapse is the only shape with well-defined output.
+    """
     from ..plans.hints import broadcast_if_small
 
-    qs = ", ".join(str(i / n_buckets) for i in range(1, n_buckets))
-    sketch = F.expr(f"approx_percentile(_bv, array({qs}), {accuracy})").alias("_bnd")
-    src = df.withColumn("_bv", F.col(value_col).cast("double"))
-    if key_cols:
-        bnd = src.groupBy(*key_cols).agg(sketch)
-        j = src.join(broadcast_if_small(bnd), key_cols)
-    else:
-        bnd = src.agg(sketch)
-        j = src.crossJoin(F.broadcast(bnd))
-    # Checkpoint the bucketed relation: it feeds BOTH the within-bucket
-    # windows and the bucket-totals aggregate, and without the cut the
-    # caller's upstream lineage re-evaluates once per consumer — ruinous
-    # when calls chain (three chained ranks = 3^3 upstream evals). The
-    # checkpointed relation is the caller's (already reduced) input plus
-    # one int column, materialized once on executor storage.
-    j = (
-        j.withColumn("_bk", F.expr("size(filter(_bnd, t -> t < _bv))"))
-        .drop("_bnd", "_bv")
-        .localCheckpoint(eager=True)
-    )
+    j = bucket_by_value(df, key_cols, value_col, n_buckets, accuracy)
 
     wl = (
         Window.partitionBy(*key_cols, "_bk")
