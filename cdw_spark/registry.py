@@ -161,7 +161,19 @@ _DRIVER_WINDOW: tuple[str, ...] = (
 # slot, so a new oracled query must either rotate in NOW or be queued
 # HERE — silence is no longer possible. Round-9 additions append here
 # as they land.
-_NEXT_WINDOW_QUEUE: tuple[str, ...] = ()
+_NEXT_WINDOW_QUEUE: tuple[str, ...] = (
+    # round-9 first wave: paired tests, divergences, ranking metrics,
+    # behavior statistics (registration order)
+    "agg_wilcoxon_signed_rank",
+    "agg_jensen_shannon",
+    "events_interarrival_burstiness",
+    "agg_permutation_entropy",
+    "agg_cronbach_alpha",
+    "agg_covariance_matrix_digest",
+    "eval_retrieval_mrr",
+    "eval_average_precision",
+    "window_rsi",
+)
 
 
 def load_all() -> dict[str, QuerySpec]:

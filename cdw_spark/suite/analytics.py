@@ -5489,3 +5489,618 @@ def agg_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("tau_b"),
     )
+
+
+# --------------------------------------------------------------------------
+# round 9 — paired tests, divergences, and behavior statistics
+
+
+@register(
+    "agg_wilcoxon_signed_rank",
+    oracle="""
+    WITH po AS (
+        SELECT l_orderkey,
+               SUM(CASE WHEN l_linenumber % 2 = 1
+                        THEN CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                        ELSE -CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                   END) AS d
+        FROM lineitem GROUP BY l_orderkey
+    ),
+    nz AS (
+        SELECT abs(d) AS ad, CASE WHEN d > 0 THEN 1 ELSE 0 END AS pos
+        FROM po WHERE d <> 0
+    ),
+    cells AS (
+        SELECT ad, CAST(COUNT(*) AS BIGINT) AS c,
+               CAST(SUM(pos) AS BIGINT) AS cpos
+        FROM nz GROUP BY ad
+    ),
+    r AS (
+        SELECT ad, c, cpos,
+               2 * SUM(c) OVER (ORDER BY ad
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) - c + 1 AS dr2
+        FROM cells
+    ),
+    s AS (
+        SELECT CAST(SUM(c) AS HUGEINT) AS n,
+               CAST(SUM(CAST(cpos AS HUGEINT) * dr2) AS HUGEINT) AS w2p,
+               CAST(SUM(CAST(c - cpos AS HUGEINT) * dr2) AS HUGEINT) AS w2m,
+               CAST(SUM(CAST(c AS HUGEINT) * c * c - c) AS HUGEINT) AS tsum
+        FROM r
+    )
+    SELECT CAST(n AS BIGINT) AS n_pairs,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM po WHERE d = 0)
+               AS n_zero_dropped,
+           CAST((CASE WHEN w2p >= w2m THEN 1 ELSE -1 END)
+                * ((2 * abs(w2p - w2m) * 1000000 + n * (n + 1))
+                   // (2 * n * (n + 1))) AS DOUBLE) / 1000000.0
+               AS rank_biserial,
+           ROUND(CAST(2 * w2p - n * (n + 1) AS DOUBLE)
+                 / sqrt((CAST(2 * n * (n + 1) * (2 * n + 1) AS DOUBLE)
+                         - CAST(tsum AS DOUBLE)) / 3.0), 6) AS z_score
+    FROM s
+    """,
+    doc="Wilcoxon signed-rank test over naturally paired samples (per "
+    "order: odd- minus even-position line revenue, in exact cents) — "
+    "the PAIRED sibling of agg_mann_whitney_u, the standard "
+    "nonparametric before/after test. Zero differences drop (the "
+    "classical treatment, counted in the output); |d| ranks are "
+    "tie-averaged DOUBLED integers from the distinct-|d| relation, so "
+    "W+ and W- stay exact; the tie-corrected z uses "
+    "var*16 = (2n(n+1)(2n+1) - sum(t^3 - t))/3 with every operand an "
+    "exact DECIMAL(38,0)/HUGEINT integer (bound: n^3 < 1e38, n < "
+    "~4.6e12 pairs) and ONE double division + sqrt per engine. The "
+    "rank-biserial effect size rounds half-away-from-zero on the "
+    "magnitude in integer micro-units (signed div truncates toward "
+    "zero identically in both engines).",
+)
+def agg_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: one per-order aggregate (co-partitioned fact
+    shuffle), collapse to the distinct-|d| relation (the two_level_cumsum
+    skew contract), the two-level running count for ranks, then one
+    map-side-combined reduce and two broadcast 1-row joins."""
+    from ..operators.stats import two_level_cumsum
+
+    li = load_fixture(spark, sf_dir, "lineitem")
+    cents = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("bigint")
+    po = li.groupBy("l_orderkey").agg(
+        F.sum(
+            F.when(F.col("l_linenumber") % 2 == 1, cents).otherwise(-cents)
+        ).alias("d")
+    ).localCheckpoint(eager=True)
+    nz = po.filter(F.col("d") != 0).select(
+        F.abs(F.col("d")).alias("ad"),
+        F.when(F.col("d") > 0, 1).otherwise(0).alias("pos"),
+    )
+    cells = (
+        nz.groupBy("ad")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("c"),
+            F.sum("pos").cast("bigint").alias("cpos"),
+        )
+    )
+    r = two_level_cumsum(cells, [], "ad", [], {"cum": "c"}).select(
+        "c", "cpos", (F.lit(2) * F.col("cum") - F.col("c") + F.lit(1)).alias("dr2")
+    )
+    s = r.agg(
+        F.sum("c").cast("decimal(38,0)").alias("n"),
+        F.sum(F.col("cpos").cast("decimal(19,0)") * F.col("dr2").cast("decimal(19,0)"))
+        .cast("decimal(38,0)")
+        .alias("w2p"),
+        F.sum(
+            (F.col("c") - F.col("cpos")).cast("decimal(19,0)")
+            * F.col("dr2").cast("decimal(19,0)")
+        )
+        .cast("decimal(38,0)")
+        .alias("w2m"),
+        F.sum(
+            F.col("c").cast("decimal(19,0)") * F.col("c").cast("decimal(19,0)")
+            * F.col("c").cast("decimal(19,0)")
+            - F.col("c").cast("decimal(19,0)")
+        )
+        .cast("decimal(38,0)")
+        .alias("tsum"),
+    )
+    nzero = po.filter(F.col("d") == 0).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_zero_dropped")
+    )
+    return s.crossJoin(F.broadcast(nzero)).selectExpr(
+        "CAST(n AS BIGINT) AS n_pairs",
+        "n_zero_dropped",
+        "CAST((CASE WHEN w2p >= w2m THEN 1 ELSE -1 END)"
+        " * ((2 * abs(w2p - w2m) * 1000000 + n * (n + 1))"
+        " div (2 * n * (n + 1))) AS DOUBLE) / 1000000.0 AS rank_biserial",
+        "ROUND(CAST(2 * w2p - n * (n + 1) AS DOUBLE)"
+        " / sqrt((CAST(2 * n * (n + 1) * (2 * n + 1) AS DOUBLE)"
+        " - CAST(tsum AS DOUBLE)) / 3.0), 6) AS z_score",
+    )
+
+
+@register(
+    "agg_jensen_shannon",
+    oracle="""
+    WITH p AS (
+        SELECT event_type AS t, CAST(COUNT(*) AS BIGINT) AS cp
+        FROM events WHERE user_id % 2 = 0 GROUP BY t
+    ),
+    q AS (
+        SELECT event_type AS t, CAST(COUNT(*) AS BIGINT) AS cq
+        FROM events WHERE user_id % 2 = 1 GROUP BY t
+    ),
+    m AS (
+        SELECT COALESCE(p.t, q.t) AS t,
+               COALESCE(cp, 0) AS cp, COALESCE(cq, 0) AS cq
+        FROM p FULL OUTER JOIN q ON p.t = q.t
+    ),
+    tot AS (
+        SELECT CAST(SUM(cp) AS BIGINT) AS np, CAST(SUM(cq) AS BIGINT) AS nq,
+               CAST(COUNT(*) AS BIGINT) AS k
+        FROM m
+    ),
+    terms AS (
+        SELECT
+            SUM(CAST(ROUND(CASE WHEN cp > 0 THEN
+                (CAST(cp AS DOUBLE) / CAST(np AS DOUBLE))
+                * ln(2.0 * CAST(cp AS DOUBLE) * CAST(nq AS DOUBLE)
+                     / (CAST(cp AS DOUBLE) * CAST(nq AS DOUBLE)
+                        + CAST(cq AS DOUBLE) * CAST(np AS DOUBLE)))
+                ELSE 0.0 END, 9) AS DECIMAL(18,9))) AS sp,
+            SUM(CAST(ROUND(CASE WHEN cq > 0 THEN
+                (CAST(cq AS DOUBLE) / CAST(nq AS DOUBLE))
+                * ln(2.0 * CAST(cq AS DOUBLE) * CAST(np AS DOUBLE)
+                     / (CAST(cq AS DOUBLE) * CAST(np AS DOUBLE)
+                        + CAST(cp AS DOUBLE) * CAST(nq AS DOUBLE)))
+                ELSE 0.0 END, 9) AS DECIMAL(18,9))) AS sq
+        FROM m, tot
+    )
+    SELECT np AS n_even_side, nq AS n_odd_side, k AS n_types,
+           CASE WHEN np > 0 AND nq > 0 THEN
+               ROUND((CAST(sp AS DOUBLE) + CAST(sq AS DOUBLE)) * 0.5
+                     / CAST(0.6931471805599453 AS DOUBLE), 6)
+           END AS jsd
+    FROM terms, tot
+    """,
+    doc="Jensen-Shannon divergence between the event-type distributions "
+    "of two user cohorts (even vs odd user id — the deterministic A/B "
+    "split) — the SYMMETRIC, bounded [0,1] drift measure that "
+    "complements profile_psi_drift (PSI is unbounded and asymmetric) "
+    "for corpus-mix monitoring. Each KL term's ln argument is a ratio "
+    "of exact-integer products evaluated as ONE identical double "
+    "sequence per engine (2*cp*nq / (cp*nq + cq*np) — no p-hat "
+    "intermediates to drift), rounded to 9 dp and DECIMAL-summed "
+    "order-independently; /ln2 normalizes to bits with the literal "
+    "constant (never a computed log).",
+)
+def agg_jensen_shannon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: two map-side-combined filtered aggregates over the
+    fact table, one |event-type|-sized full outer join, one 1-row
+    reduce — no window, no sort."""
+    ev = load_fixture(spark, sf_dir, "events")
+    p = (
+        ev.filter(F.col("user_id") % 2 == 0)
+        .groupBy(F.col("event_type").alias("t"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cp"))
+    )
+    q = (
+        ev.filter(F.col("user_id") % 2 == 1)
+        .groupBy(F.col("event_type").alias("t"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cq"))
+    )
+    m = (
+        p.join(q, "t", "full_outer")
+        .select(
+            F.coalesce("cp", F.lit(0)).alias("cp"),
+            F.coalesce("cq", F.lit(0)).alias("cq"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    tot = m.agg(
+        F.sum("cp").cast("bigint").alias("np"),
+        F.sum("cq").cast("bigint").alias("nq"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+    )
+    terms = m.crossJoin(F.broadcast(tot)).agg(
+        F.sum(
+            F.expr(
+                "CAST(ROUND(CASE WHEN cp > 0 THEN"
+                " (CAST(cp AS DOUBLE) / CAST(np AS DOUBLE))"
+                " * ln(2.0 * CAST(cp AS DOUBLE) * CAST(nq AS DOUBLE)"
+                " / (CAST(cp AS DOUBLE) * CAST(nq AS DOUBLE)"
+                " + CAST(cq AS DOUBLE) * CAST(np AS DOUBLE)))"
+                " ELSE 0.0 END, 9) AS DECIMAL(18,9))"
+            )
+        ).alias("sp"),
+        F.sum(
+            F.expr(
+                "CAST(ROUND(CASE WHEN cq > 0 THEN"
+                " (CAST(cq AS DOUBLE) / CAST(nq AS DOUBLE))"
+                " * ln(2.0 * CAST(cq AS DOUBLE) * CAST(np AS DOUBLE)"
+                " / (CAST(cq AS DOUBLE) * CAST(np AS DOUBLE)"
+                " + CAST(cp AS DOUBLE) * CAST(nq AS DOUBLE)))"
+                " ELSE 0.0 END, 9) AS DECIMAL(18,9))"
+            )
+        ).alias("sq"),
+    )
+    return terms.crossJoin(F.broadcast(tot)).selectExpr(
+        "np AS n_even_side",
+        "nq AS n_odd_side",
+        "k AS n_types",
+        "CASE WHEN np > 0 AND nq > 0 THEN"
+        " ROUND((CAST(sp AS DOUBLE) + CAST(sq AS DOUBLE)) * 0.5"
+        " / CAST(0.6931471805599453 AS DOUBLE), 6) END AS jsd",
+    )
+
+
+@register(
+    "events_interarrival_burstiness",
+    oracle="""
+    WITH g AS (
+        SELECT user_id,
+               CAST(floor(epoch(ts)) AS BIGINT)
+                   - LAG(CAST(floor(epoch(ts)) AS BIGINT))
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gp
+        FROM events
+    ),
+    a AS (
+        SELECT user_id, CAST(COUNT(gp) AS BIGINT) AS n,
+               CAST(SUM(gp) AS HUGEINT) AS s1,
+               CAST(SUM(CAST(gp AS HUGEINT) * gp) AS HUGEINT) AS s2
+        FROM g WHERE gp IS NOT NULL GROUP BY user_id
+    )
+    SELECT user_id, n AS n_gaps,
+           ROUND((sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE)) - CAST(s1 AS DOUBLE))
+                 / NULLIF(sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE))
+                          + CAST(s1 AS DOUBLE), 0.0), 6) AS burstiness,
+           CAST((2 * s1 * 1000000 + n) // (2 * CAST(n AS HUGEINT)) AS DOUBLE)
+               / 1000000.0 AS mean_gap_s
+    FROM a WHERE n >= 5
+    """,
+    doc="Inter-arrival burstiness per user, B = (sigma - mu)/(sigma + "
+    "mu) over the gaps (in whole seconds) between consecutive events — "
+    "the Goh-Barabasi statistic separating Poisson-like activity (B ~ "
+    "0) from bursty sessions (B -> 1), the behavioral twin of "
+    "text_burstiness's token-level measure. Gaps are exact epoch-second "
+    "integers; n*sum(g^2) - (sum g)^2 stays an exact HUGEINT/"
+    "DECIMAL(38,0) (bound: n * span^2 < 1e38), and B collapses to "
+    "(sqrt(nQ - S^2) - S)/(sqrt(nQ - S^2) + S) — one identical "
+    "double sqrt + division per engine, n cancels. The mean gap rounds "
+    "half-away in integer micro-units.",
+)
+def events_interarrival_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: one per-user window sort for the lag, one map-side-
+    combined per-user aggregate — the standard sequence budget."""
+    from pyspark.sql.window import Window
+
+    ev = load_fixture(spark, sf_dir, "events")
+    tss = F.col("ts").cast("long")
+    g = ev.select(
+        "user_id",
+        (
+            tss
+            - F.lag(tss).over(
+                Window.partitionBy("user_id").orderBy("ts", "event_id")
+            )
+        ).alias("gp"),
+    ).filter(F.col("gp").isNotNull())
+    a = g.groupBy("user_id").agg(
+        F.count("gp").cast("bigint").alias("n"),
+        F.sum("gp").cast("decimal(38,0)").alias("s1"),
+        F.sum(F.col("gp").cast("decimal(19,0)") * F.col("gp").cast("decimal(19,0)"))
+        .cast("decimal(38,0)")
+        .alias("s2"),
+    )
+    return a.filter(F.col("n") >= 5).selectExpr(
+        "user_id",
+        "n AS n_gaps",
+        "ROUND((sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE)) - CAST(s1 AS DOUBLE))"
+        " / NULLIF(sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE))"
+        " + CAST(s1 AS DOUBLE), 0.0), 6) AS burstiness",
+        "CAST((2 * s1 * 1000000 + n) div (2 * CAST(n AS DECIMAL(38,0))) AS DOUBLE)"
+        " / 1000000.0 AS mean_gap_s",
+    )
+
+
+@register(
+    "agg_permutation_entropy",
+    oracle="""
+    WITH s AS (
+        SELECT user_id,
+               CAST(floor(CAST(value AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)
+                   AS q0,
+               LEAD(CAST(floor(CAST(value AS DOUBLE) * 1000000.0 + 0.5)
+                         AS BIGINT), 1)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id) AS q1,
+               LEAD(CAST(floor(CAST(value AS DOUBLE) * 1000000.0 + 0.5)
+                         AS BIGINT), 2)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id) AS q2
+        FROM events WHERE event_type = 'purchase'
+    ),
+    pat AS (
+        SELECT user_id,
+               4 * (CASE WHEN q1 >= q0 THEN 1 ELSE 0 END)
+               + 2 * (CASE WHEN q2 >= q0 THEN 1 ELSE 0 END)
+               + (CASE WHEN q2 >= q1 THEN 1 ELSE 0 END) AS code
+        FROM s WHERE q2 IS NOT NULL
+    ),
+    cells AS (
+        SELECT user_id, code, CAST(COUNT(*) AS BIGINT) AS c
+        FROM pat GROUP BY user_id, code
+    ),
+    nu AS (
+        SELECT user_id, CAST(SUM(c) AS BIGINT) AS nu
+        FROM cells GROUP BY user_id
+    ),
+    u AS (
+        SELECT cells.user_id, MAX(nu) AS n,
+               SUM(CAST(ROUND(
+                   -(CAST(c AS DOUBLE) / CAST(nu AS DOUBLE))
+                   * ln(CAST(c AS DOUBLE) / CAST(nu AS DOUBLE)),
+                   9) AS DECIMAL(18,9))) AS h
+        FROM cells JOIN nu ON nu.user_id = cells.user_id
+        GROUP BY cells.user_id
+    )
+    SELECT user_id, n AS n_patterns,
+           ROUND(CAST(h AS DOUBLE) / CAST(1.791759469228055 AS DOUBLE), 6)
+               AS perm_entropy
+    FROM u WHERE n >= 10
+    """,
+    doc="Normalized permutation entropy (Bandt-Pompe, order 3) per user "
+    "purchase series — the model-free complexity measure separating "
+    "trending/periodic value sequences (low) from noise-like ones "
+    "(~1), used to screen series before forecasting. Ordinal patterns "
+    "come from micro-quantized integer comparisons with POSITION "
+    "breaking ties upward (>=, a strict total order, so every window "
+    "maps to exactly one of the 6 codes deterministically — no "
+    "float comparisons); pattern counts are exact, each -p ln p term "
+    "is one identical double sequence rounded to 9 dp and "
+    "DECIMAL-summed, normalized by the literal ln(3!).",
+    )
+def agg_permutation_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: one per-user window sort shared by both leads, a
+    (user, code<=6)-cell aggregate, a per-user reduce — no global
+    pass; the cells relation is at most 6 rows per user."""
+    from pyspark.sql.window import Window
+
+    ev = load_fixture(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    qcol = F.floor(F.col("value").cast("double") * F.lit(1000000.0) + F.lit(0.5)).cast(
+        "bigint"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(
+        "user_id",
+        qcol.alias("q0"),
+        F.lead(qcol, 1).over(w).alias("q1"),
+        F.lead(qcol, 2).over(w).alias("q2"),
+    ).filter(F.col("q2").isNotNull())
+    pat = s.select(
+        "user_id",
+        (
+            F.lit(4) * F.when(F.col("q1") >= F.col("q0"), 1).otherwise(0)
+            + F.lit(2) * F.when(F.col("q2") >= F.col("q0"), 1).otherwise(0)
+            + F.when(F.col("q2") >= F.col("q1"), 1).otherwise(0)
+        ).alias("code"),
+    )
+    cells = pat.groupBy("user_id", "code").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    wn = Window.partitionBy("user_id")
+    term = F.expr(
+        "CAST(ROUND(-(CAST(c AS DOUBLE) / CAST(nu AS DOUBLE))"
+        " * ln(CAST(c AS DOUBLE) / CAST(nu AS DOUBLE)), 9) AS DECIMAL(18,9))"
+    )
+    u = (
+        cells.withColumn("nu", F.sum("c").over(wn))
+        .groupBy("user_id")
+        .agg(F.sum("c").cast("bigint").alias("n"), F.sum(term).alias("h"))
+    )
+    return u.filter(F.col("n") >= 10).select(
+        "user_id",
+        F.col("n").alias("n_patterns"),
+        F.round(
+            F.col("h").cast("double") / F.lit(1.791759469228055), 6
+        ).alias("perm_entropy"),
+    )
+
+
+@register(
+    "agg_cronbach_alpha",
+    oracle="""
+    WITH ux AS (
+        SELECT user_id, event_type AS t, CAST(COUNT(*) AS BIGINT) AS x
+        FROM events GROUP BY user_id, t
+    ),
+    ut AS (
+        SELECT user_id, CAST(SUM(x) AS BIGINT) AS tx FROM ux GROUP BY user_id
+    ),
+    nn AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n FROM ut),
+    it AS (
+        SELECT t, CAST(SUM(x) AS HUGEINT) AS sx,
+               CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx
+        FROM ux GROUP BY t
+    ),
+    ip AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS k,
+               CAST(SUM(n * sxx - sx * sx) AS HUGEINT) AS item_part
+        FROM it, nn
+    ),
+    tp AS (
+        SELECT CAST(n * SUM(CAST(tx AS HUGEINT) * tx)
+                    - SUM(CAST(tx AS HUGEINT)) * SUM(CAST(tx AS HUGEINT))
+                    AS HUGEINT) AS tot_part
+        FROM ut, nn GROUP BY n
+    )
+    SELECT CAST(n AS BIGINT) AS n_users, k AS k_items,
+           ROUND((CAST(k AS DOUBLE) / (k - 1))
+                 * (1.0 - CAST(item_part AS DOUBLE)
+                          / NULLIF(CAST(tot_part AS DOUBLE), 0.0)), 6)
+               AS cronbach_alpha
+    FROM ip, tp, nn
+    """,
+    doc="Cronbach's alpha internal-consistency coefficient treating "
+    "event types as test items and users as subjects (item score = "
+    "the user's count of that event type, absent items scoring 0) — "
+    "the reliability statistic behind engagement-index design, "
+    "complementing agg_cohens_kappa's inter-rater view. Every "
+    "variance enters as the exact integer n*sum(x^2) - (sum x)^2 in "
+    "HUGEINT/DECIMAL(38,0) (zeros contribute nothing to either sum, "
+    "so missing (user, item) cells need never materialize); alpha is "
+    "one identical double ratio per engine.",
+)
+def agg_cronbach_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: one (user, type) map-side-combined aggregate feeds
+    BOTH the per-type item moments and the per-user totals (checkpoint
+    cuts the shared lineage); everything after is |types| + |users|
+    sized with 1-row broadcast joins — no window, no sort."""
+    ev = load_fixture(spark, sf_dir, "events")
+    ux = (
+        ev.groupBy("user_id", F.col("event_type").alias("t"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+        .localCheckpoint(eager=True)
+    )
+    ut = ux.groupBy("user_id").agg(F.sum("x").cast("bigint").alias("tx"))
+    nn = ut.agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("n"))
+    it = ux.groupBy("t").agg(
+        F.sum("x").cast("decimal(19,0)").alias("sx"),
+        F.sum(F.col("x").cast("decimal(19,0)") * F.col("x").cast("decimal(19,0)"))
+        .cast("decimal(38,0)")
+        .alias("sxx"),
+    )
+    ip = it.crossJoin(F.broadcast(nn)).agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum(F.expr("n * sxx - sx * sx")).cast("decimal(38,0)").alias("item_part"),
+    )
+    tp = (
+        ut.agg(
+            F.sum(F.col("tx").cast("decimal(19,0)") * F.col("tx").cast("decimal(19,0)"))
+            .cast("decimal(38,0)")
+            .alias("stt"),
+            F.sum("tx").cast("decimal(19,0)").alias("st"),
+        )
+        .crossJoin(F.broadcast(nn))
+        .selectExpr("CAST(n * stt - st * st AS DECIMAL(38,0)) AS tot_part")
+    )
+    return (
+        ip.crossJoin(F.broadcast(tp))
+        .crossJoin(F.broadcast(nn))
+        .selectExpr(
+            "CAST(n AS BIGINT) AS n_users",
+            "k AS k_items",
+            "ROUND((CAST(k AS DOUBLE) / (k - 1))"
+            " * (1.0 - CAST(item_part AS DOUBLE)"
+            " / NULLIF(CAST(tot_part AS DOUBLE), 0.0)), 6) AS cronbach_alpha",
+        )
+    )
+
+
+@register(
+    "agg_covariance_matrix_digest",
+    oracle="""
+    WITH q AS (
+        SELECT CAST(l_quantity AS BIGINT) AS x1,
+               CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS x2,
+               CAST(floor(l_discount * 10000 + 0.5) AS BIGINT) AS x3,
+               CAST(floor(l_tax * 10000 + 0.5) AS BIGINT) AS x4
+        FROM lineitem
+    ),
+    a AS (
+        SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+               CAST(SUM(x1) AS HUGEINT) AS s1, CAST(SUM(x2) AS HUGEINT) AS s2,
+               CAST(SUM(x3) AS HUGEINT) AS s3, CAST(SUM(x4) AS HUGEINT) AS s4,
+               CAST(SUM(CAST(x1 AS HUGEINT) * x1) AS HUGEINT) AS s11,
+               CAST(SUM(CAST(x2 AS HUGEINT) * x2) AS HUGEINT) AS s22,
+               CAST(SUM(CAST(x3 AS HUGEINT) * x3) AS HUGEINT) AS s33,
+               CAST(SUM(CAST(x4 AS HUGEINT) * x4) AS HUGEINT) AS s44,
+               CAST(SUM(CAST(x1 AS HUGEINT) * x2) AS HUGEINT) AS s12,
+               CAST(SUM(CAST(x1 AS HUGEINT) * x3) AS HUGEINT) AS s13,
+               CAST(SUM(CAST(x1 AS HUGEINT) * x4) AS HUGEINT) AS s14,
+               CAST(SUM(CAST(x2 AS HUGEINT) * x3) AS HUGEINT) AS s23,
+               CAST(SUM(CAST(x2 AS HUGEINT) * x4) AS HUGEINT) AS s24,
+               CAST(SUM(CAST(x3 AS HUGEINT) * x4) AS HUGEINT) AS s34
+        FROM q
+    )
+    SELECT 'quantity' AS var_x, 'price' AS var_y, CAST(n AS BIGINT) AS n_rows,
+           ROUND(CAST(n * s12 - s1 * s2 AS DOUBLE)
+                 / NULLIF(sqrt(CAST(n * s11 - s1 * s1 AS DOUBLE))
+                          * sqrt(CAST(n * s22 - s2 * s2 AS DOUBLE)), 0.0), 6)
+               AS corr FROM a
+    UNION ALL
+    SELECT 'quantity', 'discount', CAST(n AS BIGINT),
+           ROUND(CAST(n * s13 - s1 * s3 AS DOUBLE)
+                 / NULLIF(sqrt(CAST(n * s11 - s1 * s1 AS DOUBLE))
+                          * sqrt(CAST(n * s33 - s3 * s3 AS DOUBLE)), 0.0), 6)
+        FROM a
+    UNION ALL
+    SELECT 'quantity', 'tax', CAST(n AS BIGINT),
+           ROUND(CAST(n * s14 - s1 * s4 AS DOUBLE)
+                 / NULLIF(sqrt(CAST(n * s11 - s1 * s1 AS DOUBLE))
+                          * sqrt(CAST(n * s44 - s4 * s4 AS DOUBLE)), 0.0), 6)
+        FROM a
+    UNION ALL
+    SELECT 'price', 'discount', CAST(n AS BIGINT),
+           ROUND(CAST(n * s23 - s2 * s3 AS DOUBLE)
+                 / NULLIF(sqrt(CAST(n * s22 - s2 * s2 AS DOUBLE))
+                          * sqrt(CAST(n * s33 - s3 * s3 AS DOUBLE)), 0.0), 6)
+        FROM a
+    UNION ALL
+    SELECT 'price', 'tax', CAST(n AS BIGINT),
+           ROUND(CAST(n * s24 - s2 * s4 AS DOUBLE)
+                 / NULLIF(sqrt(CAST(n * s22 - s2 * s2 AS DOUBLE))
+                          * sqrt(CAST(n * s44 - s4 * s4 AS DOUBLE)), 0.0), 6)
+        FROM a
+    UNION ALL
+    SELECT 'discount', 'tax', CAST(n AS BIGINT),
+           ROUND(CAST(n * s34 - s3 * s4 AS DOUBLE)
+                 / NULLIF(sqrt(CAST(n * s33 - s3 * s3 AS DOUBLE))
+                          * sqrt(CAST(n * s44 - s4 * s4 AS DOUBLE)), 0.0), 6)
+        FROM a
+    """,
+    doc="Pairwise Pearson correlation digest over the four numeric "
+    "lineitem measures (quantity, price cents, discount and tax basis "
+    "points) — the feature-redundancy screen run before any model "
+    "training, generalizing agg_regression_stats's single pair to the "
+    "full 4x4 upper triangle in ONE pass. All 14 moment sums are "
+    "exact integers (micro-quantized operands, DECIMAL(38,0)/HUGEINT "
+    "accumulators; bound n * maxval^2 < 1e38); each correlation is "
+    "the n*Sxy - SxSy form with the two sqrt factors taken SEPARATELY "
+    "(the MCC overflow lesson) in one identical double sequence.",
+)
+def agg_covariance_matrix_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: one map-side-combined aggregate over the fact scan
+    computes all 14 moments; the 6-row digest is a constant-size
+    projection of that single row — no join, no window, no sort."""
+    li = load_fixture(spark, sf_dir, "lineitem")
+    q = li.select(
+        F.col("l_quantity").cast("bigint").alias("x1"),
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("bigint").alias("x2"),
+        F.floor(F.col("l_discount") * 10000 + F.lit(0.5)).cast("bigint").alias("x3"),
+        F.floor(F.col("l_tax") * 10000 + F.lit(0.5)).cast("bigint").alias("x4"),
+    )
+    d19 = lambda c: F.col(c).cast("decimal(19,0)")
+    sums = [F.count(F.lit(1)).cast("decimal(38,0)").alias("n")]
+    for i in range(1, 5):
+        sums.append(F.sum(f"x{i}").cast("decimal(38,0)").alias(f"s{i}"))
+    for i in range(1, 5):
+        for j in range(i, 5):
+            sums.append(
+                F.sum(d19(f"x{i}") * d19(f"x{j}"))
+                .cast("decimal(38,0)")
+                .alias(f"s{i}{j}")
+            )
+    a = q.agg(*sums)
+    names = {1: "quantity", 2: "price", 3: "discount", 4: "tax"}
+    pairs = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    corr = lambda i, j: (
+        f"ROUND(CAST(n * s{i}{j} - s{i} * s{j} AS DOUBLE)"
+        f" / NULLIF(sqrt(CAST(n * s{i}{i} - s{i} * s{i} AS DOUBLE))"
+        f" * sqrt(CAST(n * s{j}{j} - s{j} * s{j} AS DOUBLE)), 0.0), 6)"
+    )
+    stack_args = ", ".join(
+        f"'{names[i]}', '{names[j]}', {corr(i, j)}" for i, j in pairs
+    )
+    return a.selectExpr(
+        f"stack(6, {stack_args}) AS (var_x, var_y, corr)",
+        "CAST(n AS BIGINT) AS n_rows",
+    ).select("var_x", "var_y", "n_rows", "corr")

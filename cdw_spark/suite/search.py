@@ -1081,3 +1081,107 @@ def eval_retrieval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ndcg_at_10"),
         )
     )
+
+
+@register(
+    "eval_retrieval_mrr",
+    oracle=f"""
+    WITH tok AS ({_TOK}),
+    cand AS (
+        SELECT t.term, t.doc_id, CAST(COUNT(*) AS BIGINT) AS tf,
+               CAST(MAX(CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+                   AS rel
+        FROM tok t JOIN documents d ON d.doc_id = t.doc_id
+        WHERE t.term IN ('spark', 'vector', 'data', 'stream', 'query')
+        GROUP BY t.term, t.doc_id
+    ),
+    ranked AS (
+        SELECT term, rel,
+               CAST(ROW_NUMBER() OVER (PARTITION BY term
+                                       ORDER BY tf DESC, doc_id) AS BIGINT) AS rk
+        FROM cand
+    )
+    SELECT term,
+           CAST(COUNT(*) AS BIGINT) AS n_candidates,
+           CAST(MIN(CASE WHEN rel = 1 THEN rk END) AS BIGINT)
+               AS first_rel_rank,
+           CAST(COALESCE(
+               (2 * 1000000 + MIN(CASE WHEN rel = 1 THEN rk END))
+               // (2 * MIN(CASE WHEN rel = 1 THEN rk END)), 0) AS DOUBLE)
+               / 1000000.0 AS reciprocal_rank,
+           CAST(COALESCE(MAX(CASE WHEN rel = 1 AND rk <= 5 THEN 1 ELSE 0 END),
+                         0) AS BIGINT) AS hit_at_5
+    FROM ranked GROUP BY term
+    """,
+    doc="Mean-reciprocal-rank retrieval evaluation, per query: five "
+    "single-term queries rank their candidate docs by term frequency "
+    "(doc_id tie-break), relevance is the independent lang='en' label, "
+    "and each query reports the rank of its first relevant hit, the "
+    "exact reciprocal rank (half-away micro-rounded 1/rk), and "
+    "success@5 — the first-hit metrics that complement "
+    "eval_retrieval_ndcg's graded view. The oracle's per-query "
+    "ROW_NUMBER is the semantic spec; the engine computes the first "
+    "relevant document's rank WITHOUT ranking the list (min_by for the "
+    "best relevant doc, then one conditional count of docs ordered "
+    "ahead of it), so no per-query sort exists at any scale.",
+)
+def eval_retrieval_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: postings-bounded candidate aggregate, a broadcast
+    |queries|-row best-hit relation, one conditional count join — the
+    rank of the first relevant doc is 1 + #(docs ordered before it),
+    an aggregate, not a window."""
+    d = load_fixture(spark, sf_dir, "documents")
+    terms = ["spark", "vector", "data", "stream", "query"]
+    tok = d.select(
+        "doc_id",
+        "lang",
+        F.explode(F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).alias(
+            "term"
+        ),
+    ).filter(F.col("term").isin(terms))
+    cand = tok.groupBy("term", "doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf"),
+        F.max(F.when(F.col("lang") == "en", 1).otherwise(0))
+        .cast("bigint")
+        .alias("rel"),
+    ).localCheckpoint(eager=True)
+    best = (
+        cand.filter(F.col("rel") == 1)
+        .groupBy("term")
+        .agg(
+            F.expr("min_by(struct(tf, doc_id), struct(-tf, doc_id))").alias("b")
+        )
+        .select("term", F.col("b.tf").alias("btf"), F.col("b.doc_id").alias("bid"))
+    )
+    joined = cand.join(F.broadcast(best), "term", "left")
+    return (
+        joined.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_candidates"),
+            (
+                F.sum(
+                    F.when(
+                        (F.col("tf") > F.col("btf"))
+                        | (
+                            (F.col("tf") == F.col("btf"))
+                            & (F.col("doc_id") < F.col("bid"))
+                        ),
+                        1,
+                    ).otherwise(0)
+                )
+                + F.max(F.when(F.col("btf").isNotNull(), 1))
+            )
+            .cast("bigint")
+            .alias("first_rel_rank"),
+        )
+        .selectExpr(
+            "term",
+            "n_candidates",
+            "first_rel_rank",
+            "CAST(COALESCE((2 * 1000000 + first_rel_rank)"
+            " div (2 * first_rel_rank), 0) AS DOUBLE) / 1000000.0"
+            " AS reciprocal_rank",
+            "CAST(CASE WHEN first_rel_rank IS NOT NULL AND first_rel_rank <= 5"
+            " THEN 1 ELSE 0 END AS BIGINT) AS hit_at_5",
+        )
+    )

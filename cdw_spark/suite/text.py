@@ -1678,3 +1678,93 @@ def eval_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div (2 * SUM(CAST(n AS DECIMAL(38,0))) OVER ()) AS BIGINT)"
         ).alias("ece_micro"),
     )
+
+
+@register(
+    "eval_average_precision",
+    oracle="""
+    WITH cells AS (
+        SELECT n_chars AS v, CAST(COUNT(*) AS BIGINT) AS c,
+               CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS p
+        FROM documents GROUP BY n_chars
+    ),
+    cum AS (
+        SELECT c, p,
+               SUM(c) OVER (ORDER BY v DESC
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS cumn,
+               SUM(p) OVER (ORDER BY v DESC
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS cump
+        FROM cells
+    ),
+    t AS (
+        SELECT CAST(SUM((2 * CAST(p AS HUGEINT) * cump * 1000000000 + cumn)
+                        // (2 * CAST(cumn AS HUGEINT))) AS HUGEINT) AS s
+        FROM cum WHERE p > 0
+    ),
+    tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+                   AS np
+        FROM documents
+    )
+    SELECT n AS n_total, np AS n_pos,
+           ROUND(CAST(s AS DOUBLE) / (1000000000.0 * np), 6)
+               AS average_precision
+    FROM t, tot
+    """,
+    doc="Tie-blocked average precision of document length (n_chars) as "
+    "a predictor of lang = 'en' — the PR-curve summary that pairs with "
+    "eval_binary_auc's ROC view (AP weights early precision; AUC "
+    "weights pair orderings — curation cutoffs care about the former). "
+    "Ties are handled by the deterministic BLOCK definition: all docs "
+    "sharing a score form one block, each block contributes "
+    "(its positives) * (precision at block end), so the metric needs "
+    "no within-tie order. Block terms are half-away-rounded in integer "
+    "NANO-units ((2*p*P*1e9 + N) div (2N), exact "
+    "HUGEINT/DECIMAL(38,0) operands, bound p*P*1e9 < 1e38) and sum "
+    "exactly; one display division at the end.",
+)
+def eval_average_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: one groupBy to the distinct-score relation (the
+    two_level_cumsum skew contract), descending running counts via the
+    two-level prefix-sum on the negated score, then a 1-row reduce —
+    no single-partition sort on a dense score domain."""
+    from ..operators.stats import two_level_cumsum
+
+    d = load_fixture(spark, sf_dir, "documents")
+    cells = (
+        d.groupBy(F.col("n_chars").alias("v"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("c"),
+            F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+            .cast("bigint")
+            .alias("p"),
+        )
+        .withColumn("nv", -F.col("v"))
+        .localCheckpoint(eager=True)
+    )
+    cum = two_level_cumsum(cells, [], "nv", [], {"cumn": "c", "cump": "p"})
+    t = cum.filter(F.col("p") > 0).agg(
+        F.sum(
+            F.expr(
+                "(2 * CAST(p AS DECIMAL(19,0)) * cump * 1000000000 + cumn)"
+                " div (2 * CAST(cumn AS DECIMAL(38,0)))"
+            )
+        )
+        .cast("decimal(38,0)")
+        .alias("s")
+    )
+    tot = d.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+        .cast("bigint")
+        .alias("np"),
+    )
+    return t.crossJoin(F.broadcast(tot)).selectExpr(
+        "n AS n_total",
+        "np AS n_pos",
+        "ROUND(CAST(s AS DOUBLE) / (1000000000.0 * np), 6)"
+        " AS average_precision",
+    )

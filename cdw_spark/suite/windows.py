@@ -1287,3 +1287,89 @@ def window_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("band_signal"),
     )
+
+
+@register(
+    "window_rsi",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_id,
+               CAST(floor(CAST(value AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)
+                   AS q,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events WHERE event_type = 'purchase'
+    ),
+    dif AS (
+        SELECT user_id, event_id, rn,
+               q - LAG(q) OVER (PARTITION BY user_id ORDER BY rn) AS d
+        FROM seq
+    ),
+    w AS (
+        SELECT user_id, event_id,
+               SUM(GREATEST(d, 0)) OVER fr AS sg,
+               SUM(GREATEST(-d, 0)) OVER fr AS sl,
+               COUNT(*) OVER fr AS n14
+        FROM dif WHERE d IS NOT NULL
+        WINDOW fr AS (PARTITION BY user_id ORDER BY rn
+                      ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+    )
+    SELECT user_id, event_id,
+           CAST(CASE WHEN sg + sl = 0 THEN 50000000
+                     ELSE (2 * sg * 100000000 + (sg + sl)) // (2 * (sg + sl))
+                END AS DOUBLE) / 1000000.0 AS rsi
+    FROM w WHERE n14 = 14
+    """,
+    doc="RSI-14 (Cutler's simple-moving-average variant) per user over "
+    "purchase values — the momentum oscillator beside "
+    "bollinger/EWMA/drawdown in the technical-indicator family. "
+    "Cutler's SMA form is chosen over Wilder's recursive smoothing "
+    "because it is a pure 14-row window (distributable and "
+    "restatable); RSI = 100*sumGain/(sumGain+sumLoss) on micro-integer "
+    "diffs rounds half-away in integer units (bound: 2e8 * sumGain "
+    "over 14 micro diffs < int64 for values < ~3e9), a flat window "
+    "(both sums zero) reads 50 by convention, and only FULL windows "
+    "emit (14 diffs).",
+)
+def window_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: one per-user window sort shared by the lag and the
+    two trailing frames — the standard sequence budget, no global
+    pass."""
+    ev = load_fixture(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    qcol = F.floor(F.col("value").cast("double") * F.lit(1000000.0) + F.lit(0.5)).cast(
+        "bigint"
+    )
+    seq = ev.select(
+        "user_id",
+        "event_id",
+        qcol.alias("q"),
+        F.row_number()
+        .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("rn"),
+    )
+    dif = seq.select(
+        "user_id",
+        "event_id",
+        "rn",
+        (
+            F.col("q")
+            - F.lag("q").over(Window.partitionBy("user_id").orderBy("rn"))
+        ).alias("d"),
+    ).filter(F.col("d").isNotNull())
+    fr = Window.partitionBy("user_id").orderBy("rn").rowsBetween(-13, Window.currentRow)
+    w = dif.select(
+        "user_id",
+        "event_id",
+        F.sum(F.greatest(F.col("d"), F.lit(0))).over(fr).alias("sg"),
+        F.sum(F.greatest(-F.col("d"), F.lit(0))).over(fr).alias("sl"),
+        F.count(F.lit(1)).over(fr).alias("n14"),
+    ).filter(F.col("n14") == 14)
+    return w.selectExpr(
+        "user_id",
+        "event_id",
+        "CAST(CASE WHEN sg + sl = 0 THEN 50000000"
+        " ELSE (2 * sg * 100000000 + (sg + sl)) div (2 * (sg + sl))"
+        " END AS DOUBLE) / 1000000.0 AS rsi",
+    )
