@@ -173,6 +173,11 @@ _NEXT_WINDOW_QUEUE: tuple[str, ...] = (
     "eval_retrieval_mrr",
     "eval_average_precision",
     "window_rsi",
+    # round-9 second wave: dedup-aware sampling, vocabulary-growth and
+    # heavy-tail fits
+    "sample_dedup_aware_weights",
+    "text_heaps_law",
+    "events_power_law_alpha",
 )
 
 

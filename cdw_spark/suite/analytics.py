@@ -6104,3 +6104,62 @@ def agg_covariance_matrix_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"stack(6, {stack_args}) AS (var_x, var_y, corr)",
         "CAST(n AS BIGINT) AS n_rows",
     ).select("var_x", "var_y", "n_rows", "corr")
+
+
+@register(
+    "events_power_law_alpha",
+    oracle="""
+    WITH ua AS (
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS x
+        FROM events GROUP BY user_id
+    ),
+    cells AS (SELECT x, CAST(COUNT(*) AS BIGINT) AS c FROM ua GROUP BY x),
+    s AS (
+        SELECT CAST(SUM(c) AS BIGINT) AS n,
+               SUM(CAST(c AS HUGEINT)
+                   * CAST(ROUND(ln(2.0 * CAST(x AS DOUBLE)), 9)
+                          AS DECIMAL(18,9))) AS lsum,
+               CAST(MAX(x) AS BIGINT) AS xmax
+        FROM cells
+    )
+    SELECT n AS n_users, xmax AS max_activity,
+           ROUND(1.0 + CAST(n AS DOUBLE) / CAST(lsum AS DOUBLE), 6) AS alpha,
+           ROUND((CAST(n AS DOUBLE) / CAST(lsum AS DOUBLE))
+                 / sqrt(CAST(n AS DOUBLE)), 6) AS alpha_se
+    FROM s
+    """,
+    doc="Power-law tail exponent of per-user activity (event counts) "
+    "via the Clauset-Shalizi-Newman continuous-approximation MLE with "
+    "xmin = 1: alpha = 1 + n / sum ln(x_i / (xmin - 1/2)) = "
+    "1 + n / sum ln(2x_i), with the standard error (alpha-1)/sqrt(n) — "
+    "the heavy-tail diagnostic that decides whether mean-based "
+    "capacity planning is even meaningful for a workload. Counts "
+    "collapse to distinct-activity cells; each ln(2x) has an exact "
+    "integer argument, rounds to 9 dp DECIMAL, and weights by the "
+    "exact cell count (HUGEINT * DECIMAL — order-independent sum); "
+    "one double division pair at the end.",
+)
+def events_power_law_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: one per-user map-side-combined aggregate, collapse
+    to distinct-activity cells (bounded by the activity range), a
+    1-row reduce — no window, no sort."""
+    ev = load_fixture(spark, sf_dir, "events")
+    ua = ev.groupBy("user_id").agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    cells = ua.groupBy("x").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    s = cells.agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.sum(
+            F.col("c").cast("decimal(19,0)")
+            * F.expr(
+                "CAST(ROUND(ln(2.0 * CAST(x AS DOUBLE)), 9) AS DECIMAL(18,9))"
+            )
+        ).alias("lsum"),
+        F.max("x").cast("bigint").alias("xmax"),
+    )
+    return s.selectExpr(
+        "n AS n_users",
+        "xmax AS max_activity",
+        "ROUND(1.0 + CAST(n AS DOUBLE) / CAST(lsum AS DOUBLE), 6) AS alpha",
+        "ROUND((CAST(n AS DOUBLE) / CAST(lsum AS DOUBLE))"
+        " / sqrt(CAST(n AS DOUBLE)), 6) AS alpha_se",
+    )

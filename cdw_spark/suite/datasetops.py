@@ -3220,3 +3220,73 @@ def batch_padding_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(1000000.0)
         ).alias("waste_ratio"),
     )
+
+
+@register(
+    "sample_dedup_aware_weights",
+    oracle="""
+    WITH fp AS (
+        SELECT doc_id,
+               md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+        FROM documents
+    ),
+    g AS (SELECT fp, CAST(COUNT(*) AS BIGINT) AS sz FROM fp GROUP BY fp),
+    w AS (
+        SELECT f.doc_id,
+               (2 * 1000000 + g.sz) // (2 * g.sz) AS w_micro
+        FROM fp f JOIN g USING (fp)
+    ),
+    a AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(w_micro) AS HUGEINT) AS s,
+               CAST(SUM(CAST(w_micro AS HUGEINT) * w_micro) AS HUGEINT) AS q
+        FROM w
+    )
+    SELECT n_docs,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM g) AS n_clusters,
+           CAST(s AS DOUBLE) / 1000000.0 AS total_weight,
+           ROUND(CAST(s * s AS DOUBLE) / CAST(q AS DOUBLE), 4)
+               AS effective_sample_size
+    FROM a
+    """,
+    doc="Duplication-aware sampling weights: every document weighs "
+    "1/|its exact-dup cluster| (the dedup_exact fingerprint), so a "
+    "cluster contributes one document's worth of mass regardless of "
+    "copy count — the standard alternative to hard-dropping dups when "
+    "building training mixes — plus the Kish effective sample size "
+    "(sum w)^2 / sum(w^2), the number that tells a pipeline owner how "
+    "much data the weighted corpus is actually worth. Weights are "
+    "half-away micro-rounded integers (exact at any cluster size); "
+    "ESS operands stay HUGEINT/DECIMAL(38,0) exact (bound n^2 * 1e12 "
+    "< 1e38), one display division.",
+)
+def sample_dedup_aware_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: the dedup_exact shuffle (fingerprints, never
+    bodies), a broadcast |clusters|-side join back, one map-side-
+    combined reduce — no window, no sort."""
+    d = load_fixture(spark, sf_dir, "documents")
+    fp = d.select(
+        "doc_id",
+        F.md5(F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")).alias(
+            "fp"
+        ),
+    )
+    g = fp.groupBy("fp").agg(F.count(F.lit(1)).cast("bigint").alias("sz"))
+    w = fp.join(g, "fp").selectExpr("(2 * 1000000 + sz) div (2 * sz) AS w_micro")
+    a = w.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("w_micro").cast("decimal(38,0)").alias("s"),
+        F.sum(
+            F.col("w_micro").cast("decimal(19,0)") * F.col("w_micro").cast("decimal(19,0)")
+        )
+        .cast("decimal(38,0)")
+        .alias("q"),
+    )
+    nc = g.agg(F.count(F.lit(1)).cast("bigint").alias("n_clusters"))
+    return a.crossJoin(F.broadcast(nc)).selectExpr(
+        "n_docs",
+        "n_clusters",
+        "CAST(s AS DOUBLE) / 1000000.0 AS total_weight",
+        "ROUND(CAST(s * s AS DOUBLE) / CAST(q AS DOUBLE), 4)"
+        " AS effective_sample_size",
+    )

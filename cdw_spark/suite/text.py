@@ -1768,3 +1768,118 @@ def eval_average_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ROUND(CAST(s AS DOUBLE) / (1000000000.0 * np), 6)"
         " AS average_precision",
     )
+
+
+@register(
+    "text_heaps_law",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id,
+               unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+        FROM documents
+    ),
+    fd AS (SELECT term, MIN(doc_id) AS d0 FROM tok GROUP BY term),
+    nv AS (SELECT d0 AS doc_id, CAST(COUNT(*) AS BIGINT) AS newv FROM fd
+           GROUP BY d0),
+    tc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS toks FROM tok
+           GROUP BY doc_id),
+    cur AS (
+        SELECT t.doc_id,
+               SUM(t.toks) OVER (ORDER BY t.doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS cumn,
+               SUM(COALESCE(nv.newv, 0))
+                   OVER (ORDER BY t.doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW) AS cumv
+        FROM tc t LEFT JOIN nv ON nv.doc_id = t.doc_id
+    ),
+    pts AS (
+        SELECT CAST(ROUND(ln(CAST(cumn AS DOUBLE)), 9) AS DECIMAL(18,9)) AS x,
+               CAST(ROUND(ln(CAST(cumv AS DOUBLE)), 9) AS DECIMAL(18,9)) AS y
+        FROM cur WHERE cumn > 0 AND cumv > 0
+    ),
+    s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS DECIMAL(38,9)) AS sx,
+               CAST(SUM(y) AS DECIMAL(38,9)) AS sy,
+               CAST(SUM(x * y) AS DECIMAL(38,18)) AS sxy,
+               CAST(SUM(x * x) AS DECIMAL(38,18)) AS sxx
+        FROM pts
+    )
+    SELECT n AS n_points,
+           ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / NULLIF(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0.0), 6)
+               AS heaps_beta,
+           ROUND((CAST(sy AS DOUBLE)
+                  - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / NULLIF(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0.0))
+                    * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 6)
+               AS ln_k_intercept
+    FROM s
+    """,
+    doc="Heaps'-law vocabulary-growth fit V(N) ~ K*N^beta over the "
+    "corpus in doc_id order — the sublinearity exponent that predicts "
+    "vocabulary (and embedding-table) growth for a 100x corpus "
+    "scale-up. The cumulative-distinct curve, normally a sequential "
+    "scan, is distributed via the FIRST-OCCURRENCE trick: each term "
+    "contributes +1 at its minimum doc_id, so V(d) is a running sum "
+    "over per-doc new-term counts (an aggregate, not a distinct scan). "
+    "Both log curves round to 9 dp DECIMAL before the OLS moment sums "
+    "(order-independent); the closed-form slope/intercept is one "
+    "identical double sequence per engine.",
+)
+def text_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: one token shuffle for first-occurrences, one for
+    per-doc token counts, then BOTH running sums ride one
+    two_level_cumsum over the per-doc relation (the skew contract:
+    doc_id is unique per row) and a 1-row OLS reduce."""
+    from ..operators.stats import two_level_cumsum
+
+    d = load_fixture(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        F.explode(F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).alias(
+            "term"
+        ),
+    )
+    fd = tok.groupBy("term").agg(F.min("doc_id").alias("d0"))
+    nv = fd.groupBy(F.col("d0").alias("doc_id")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("newv")
+    )
+    tc = tok.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("toks"))
+    base = (
+        tc.join(nv, "doc_id", "left")
+        .select(
+            "doc_id", "toks", F.coalesce("newv", F.lit(0)).alias("newv")
+        )
+        .localCheckpoint(eager=True)
+    )
+    cur = two_level_cumsum(base, [], "doc_id", [], {"cumn": "toks", "cumv": "newv"})
+    pts = cur.filter((F.col("cumn") > 0) & (F.col("cumv") > 0)).select(
+        F.expr("CAST(ROUND(ln(CAST(cumn AS DOUBLE)), 9) AS DECIMAL(18,9))").alias("x"),
+        F.expr("CAST(ROUND(ln(CAST(cumv AS DOUBLE)), 9) AS DECIMAL(18,9))").alias("y"),
+    )
+    s = pts.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("decimal(38,9)").alias("sx"),
+        F.sum("y").cast("decimal(38,9)").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("decimal(38,18)").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("decimal(38,18)").alias("sxx"),
+    )
+    slope = (
+        "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+        " / NULLIF(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0.0)"
+    )
+    return s.selectExpr(
+        "n AS n_points",
+        f"ROUND({slope}, 6) AS heaps_beta",
+        f"ROUND((CAST(sy AS DOUBLE) - ({slope}) * CAST(sx AS DOUBLE))"
+        " / CAST(n AS DOUBLE), 6) AS ln_k_intercept",
+    )
