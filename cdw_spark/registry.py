@@ -178,6 +178,11 @@ _NEXT_WINDOW_QUEUE: tuple[str, ...] = (
     "sample_dedup_aware_weights",
     "text_heaps_law",
     "events_power_law_alpha",
+    # round-9 third wave: interval sweep, as-of completion, weighted
+    # link prediction
+    "intervals_union_coverage",
+    "asof_join_nearest",
+    "graph_adamic_adar",
 )
 
 

@@ -6163,3 +6163,90 @@ def events_power_law_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ROUND((CAST(n AS DOUBLE) / CAST(lsum AS DOUBLE))"
         " / sqrt(CAST(n AS DOUBLE)), 6) AS alpha_se",
     )
+
+
+@register(
+    "intervals_union_coverage",
+    oracle="""
+    WITH iv AS (
+        SELECT user_id, event_id,
+               CAST(floor(epoch(ts)) AS BIGINT) AS s,
+               CAST(floor(epoch(ts)) AS BIGINT) + 300 AS e
+        FROM events
+    ),
+    m AS (
+        SELECT user_id, event_id, s, e,
+               MAX(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING) AS pmax
+        FROM iv
+    ),
+    isl AS (
+        SELECT user_id, s, e,
+               SUM(CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id ORDER BY s, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW) AS island
+        FROM m
+    ),
+    per AS (
+        SELECT user_id, island,
+               CAST(MAX(e) - MIN(s) AS BIGINT) AS len,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM isl GROUP BY user_id, island
+    )
+    SELECT user_id,
+           CAST(SUM(cnt) AS BIGINT) AS n_intervals,
+           CAST(COUNT(*) AS BIGINT) AS n_islands,
+           CAST(SUM(len) AS BIGINT) AS covered_seconds
+    FROM per GROUP BY user_id
+    """,
+    doc="Interval-union coverage per user: every event opens a 300 s "
+    "activity window; overlapping windows merge (the classical "
+    "merge-overlapping-intervals sweep) and the output is the exact "
+    "union length — the 'time actually active' metric that sessionized "
+    "sums double-count, complementing intervals_max_concurrency's peak "
+    "view. The sweep distributes as a per-user ordered window: running "
+    "MAX of interval ends (1-preceding frame) marks island breaks, a "
+    "running count numbers islands, and each island's union is "
+    "max(end) - min(start) because within an island coverage is "
+    "contiguous BY CONSTRUCTION. Pure epoch-second integer arithmetic "
+    "end to end.",
+)
+def intervals_union_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: one per-user window sort shared by both frames,
+    then two map-side-combined aggregates — the standard sequence
+    budget; no join, no global pass."""
+    from pyspark.sql.window import Window
+
+    ev = load_fixture(spark, sf_dir, "events")
+    s = F.col("ts").cast("long")
+    iv = ev.select("user_id", "event_id", s.alias("s"), (s + 300).alias("e"))
+    wp = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wc = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    m = iv.withColumn("pmax", F.max("e").over(wp))
+    isl = m.withColumn(
+        "island",
+        F.sum(
+            F.when(F.col("pmax").isNull() | (F.col("s") > F.col("pmax")), 1).otherwise(
+                0
+            )
+        ).over(wc),
+    )
+    per = isl.groupBy("user_id", "island").agg(
+        (F.max("e") - F.min("s")).cast("bigint").alias("len"),
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+    )
+    return per.groupBy("user_id").agg(
+        F.sum("cnt").cast("bigint").alias("n_intervals"),
+        F.count(F.lit(1)).cast("bigint").alias("n_islands"),
+        F.sum("len").cast("bigint").alias("covered_seconds"),
+    )

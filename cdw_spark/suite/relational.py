@@ -946,3 +946,95 @@ def lookup_longest_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("max(w * 10000 + pfx) div 10000").cast("bigint").alias("matched_bits"),
         (enc % 10000).cast("bigint").alias("route_pfx"),
     )
+
+
+@register(
+    "asof_join_nearest",
+    oracle="""
+    WITH c AS (SELECT * FROM events WHERE event_type = 'click'),
+    p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+    b AS (
+        SELECT c.event_id, c.user_id, c.ts AS cts,
+               p.ts AS bts, p.event_id AS bid
+        FROM c ASOF LEFT JOIN p
+          ON c.user_id = p.user_id AND c.ts >= p.ts
+    ),
+    f AS (
+        SELECT c.event_id, p.ts AS fts, p.event_id AS fid
+        FROM c ASOF LEFT JOIN p
+          ON c.user_id = p.user_id AND c.ts <= p.ts
+    ),
+    j AS (
+        SELECT b.event_id, b.user_id,
+               epoch_us(b.cts) - epoch_us(b.bts) AS dtb,
+               epoch_us(f.fts) - epoch_us(b.cts) AS dtf,
+               bid, fid
+        FROM b JOIN f USING (event_id)
+    )
+    SELECT event_id, user_id,
+           CAST(CASE WHEN dtb IS NOT NULL AND (dtf IS NULL OR dtb <= dtf)
+                     THEN bid ELSE fid END AS BIGINT) AS nearest_purchase_id,
+           CAST(CASE WHEN dtb IS NOT NULL AND (dtf IS NULL OR dtb <= dtf)
+                     THEN dtb ELSE -dtf END AS BIGINT) AS nearest_dt_us
+    FROM j
+    """,
+    doc="Nearest as-of join: each click matches the purchase CLOSEST in "
+    "time in either direction (positive dt = purchase before the "
+    "click), ties to the earlier purchase — completing the as-of "
+    "family's backward/forward/nearest triple; the attribution lookup "
+    "when the touchpoint may trail the conversion. Composed from the "
+    "same two one-shuffle union+last_value as-of passes as "
+    "asof_join_clicks (operators/asof.py) joined on the click — never "
+    "an inequality join. Distances compare in exact epoch "
+    "microseconds.",
+)
+def asof_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: two as-of fills (each one shuffle keyed by user,
+    time-sorted within partitions) plus one click-keyed equi-join —
+    no row explosion at any scale."""
+    from ..operators.asof import asof_join_backward, asof_join_forward
+
+    ev = load_fixture(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", F.col("ts").alias("click_ts")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    b = asof_join_backward(
+        clicks,
+        purchases,
+        on=["user_id"],
+        left_time="click_ts",
+        right_time="ts",
+        right_payload={"ts": "bts", "event_id": "bid"},
+    )
+    f = asof_join_forward(
+        clicks.select("event_id", "user_id", "click_ts"),
+        purchases,
+        on=["user_id"],
+        left_time="click_ts",
+        right_time="ts",
+        right_payload={"ts": "fts", "event_id": "fid"},
+    ).select("event_id", "fts", "fid")
+    j = b.join(f, "event_id").select(
+        "event_id",
+        "user_id",
+        (F.unix_micros("click_ts") - F.unix_micros("bts")).alias("dtb"),
+        (F.unix_micros("fts") - F.unix_micros("click_ts")).alias("dtf"),
+        "bid",
+        "fid",
+    )
+    pick_b = F.col("dtb").isNotNull() & (
+        F.col("dtf").isNull() | (F.col("dtb") <= F.col("dtf"))
+    )
+    return j.select(
+        "event_id",
+        "user_id",
+        F.when(pick_b, F.col("bid"))
+        .otherwise(F.col("fid"))
+        .cast("bigint")
+        .alias("nearest_purchase_id"),
+        F.when(pick_b, F.col("dtb"))
+        .otherwise(-F.col("dtf"))
+        .cast("bigint")
+        .alias("nearest_dt_us"),
+    )
