@@ -183,6 +183,9 @@ _NEXT_WINDOW_QUEUE: tuple[str, ...] = (
     "intervals_union_coverage",
     "asof_join_nearest",
     "graph_adamic_adar",
+    # round-9 fourth wave: proper-scoring decomposition, ingest DQ
+    "eval_brier_decomposition",
+    "dq_id_sequence_audit",
 )
 
 

@@ -1038,3 +1038,74 @@ def asof_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("nearest_dt_us"),
     )
+
+
+@register(
+    "dq_id_sequence_audit",
+    oracle="""
+    SELECT 'documents' AS table_name,
+           CAST(MIN(doc_id) AS BIGINT) AS min_id,
+           CAST(MAX(doc_id) AS BIGINT) AS max_id,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_distinct,
+           CAST(MAX(doc_id) - MIN(doc_id) + 1 - COUNT(DISTINCT doc_id)
+                AS BIGINT) AS n_gaps,
+           CAST(COUNT(*) - COUNT(DISTINCT doc_id) AS BIGINT) AS n_dups
+    FROM documents
+    UNION ALL
+    SELECT 'orders', CAST(MIN(o_orderkey) AS BIGINT),
+           CAST(MAX(o_orderkey) AS BIGINT), CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(DISTINCT o_orderkey) AS BIGINT),
+           CAST(MAX(o_orderkey) - MIN(o_orderkey) + 1
+                - COUNT(DISTINCT o_orderkey) AS BIGINT),
+           CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'events', CAST(MIN(event_id) AS BIGINT),
+           CAST(MAX(event_id) AS BIGINT), CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(DISTINCT event_id) AS BIGINT),
+           CAST(MAX(event_id) - MIN(event_id) + 1
+                - COUNT(DISTINCT event_id) AS BIGINT),
+           CAST(COUNT(*) - COUNT(DISTINCT event_id) AS BIGINT)
+    FROM events
+    """,
+    doc="Surrogate-key sequence audit across the three id-bearing "
+    "tables: min/max, row and distinct counts, gap count "
+    "(max - min + 1 - distinct) and duplicate count — the ingest "
+    "data-quality check that catches a loader replaying a partition "
+    "(dups) or dropping one (gaps) before any downstream join "
+    "multiplies the damage; companion to dq_referential_integrity's "
+    "cross-table view. Pure per-table aggregates; COUNT(DISTINCT) is "
+    "the only shuffle and partial_count distincts map-side.",
+)
+def dq_id_sequence_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: three independent map-side-combined aggregates,
+    unioned — no join, no window."""
+    outs = []
+    for tbl, col in (
+        ("documents", "doc_id"),
+        ("orders", "o_orderkey"),
+        ("events", "event_id"),
+    ):
+        t = load_fixture(spark, sf_dir, tbl)
+        outs.append(
+            t.agg(
+                F.lit(tbl).alias("table_name"),
+                F.min(col).cast("bigint").alias("min_id"),
+                F.max(col).cast("bigint").alias("max_id"),
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.count_distinct(F.col(col)).cast("bigint").alias("n_distinct"),
+                (
+                    F.max(col) - F.min(col) + 1 - F.count_distinct(F.col(col))
+                )
+                .cast("bigint")
+                .alias("n_gaps"),
+                (F.count(F.lit(1)) - F.count_distinct(F.col(col)))
+                .cast("bigint")
+                .alias("n_dups"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

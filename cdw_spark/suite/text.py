@@ -1883,3 +1883,106 @@ def text_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"ROUND((CAST(sy AS DOUBLE) - ({slope}) * CAST(sx AS DOUBLE))"
         " / CAST(n AS DOUBLE), 6) AS ln_k_intercept",
     )
+
+
+@register(
+    "eval_brier_decomposition",
+    oracle="""
+    WITH sc AS (
+        SELECT (2 * LEAST(n_chars, 2000) * 1000000 + 2000) // 4000 AS s_micro,
+               CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        FROM documents
+    ),
+    b AS (
+        SELECT LEAST(s_micro // 100000, 9) AS bin,
+               CAST(COUNT(*) AS BIGINT) AS nb,
+               CAST(SUM(y) AS BIGINT) AS pos,
+               CAST(SUM(s_micro) AS HUGEINT) AS ssum,
+               CAST(SUM(CAST(s_micro - 1000000 * y AS HUGEINT)
+                        * (s_micro - 1000000 * y)) AS HUGEINT) AS bsum
+        FROM sc GROUP BY 1
+    ),
+    t AS (
+        SELECT CAST(SUM(nb) AS HUGEINT) AS n,
+               CAST(SUM(pos) AS HUGEINT) AS p,
+               CAST(SUM(bsum) AS HUGEINT) AS bs,
+               CAST(SUM((2 * (ssum - 1000000 * CAST(pos AS HUGEINT))
+                         * (ssum - 1000000 * CAST(pos AS HUGEINT)) + nb)
+                        // (2 * CAST(nb AS HUGEINT))) AS HUGEINT) AS rels
+        FROM b
+    )
+    SELECT CAST(n AS BIGINT) AS n_docs,
+           ROUND(CAST(bs AS DOUBLE) / (1e12 * CAST(n AS DOUBLE)), 6)
+               AS brier_score,
+           ROUND(CAST(p * (n - p) AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 6) AS uncertainty,
+           ROUND(CAST(rels AS DOUBLE) / (1e12 * CAST(n AS DOUBLE)), 6)
+               AS reliability,
+           ROUND(CAST(p * (n - p) AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
+                 + CAST(rels AS DOUBLE) / (1e12 * CAST(n AS DOUBLE))
+                 - CAST(bs AS DOUBLE) / (1e12 * CAST(n AS DOUBLE)), 6)
+               AS resolution
+    FROM t
+    """,
+    doc="Murphy decomposition of the Brier score (Brier = uncertainty "
+    "- resolution + reliability) for document length as a probability "
+    "of lang = 'en' (score = min(n_chars, 2000)/2000, decile-binned) — "
+    "the PROPER-scoring-rule companion to eval_calibration_ece: ECE "
+    "reports the calibration gap alone, the decomposition also prices "
+    "how much discriminative power (resolution) the score buys against "
+    "the base rate (uncertainty). Scores are exact half-away-rounded "
+    "micro integers, so the Brier sum and each bin's reliability "
+    "contribution (2*(ssum - 1e6*pos)^2 + nb) div (2*nb) are exact "
+    "HUGEINT/DECIMAL(38,0) (bound 1e12 * n_b^2 < 1e38); resolution "
+    "derives from the identity with the SAME exact operands, so no "
+    "n^4 term ever materializes.",
+)
+def eval_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: one map-side-combined aggregate to the 10-bin
+    relation, one 1-row reduce — no window, no join, no sort."""
+    d = load_fixture(spark, sf_dir, "documents")
+    sc = d.selectExpr(
+        "(2 * LEAST(n_chars, 2000) * 1000000 + 2000) div 4000 AS s_micro",
+        "CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y",
+    )
+    b = sc.groupBy(
+        F.least(F.expr("s_micro div 100000"), F.lit(9)).alias("bin")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("nb"),
+        F.sum("y").cast("bigint").alias("pos"),
+        F.sum("s_micro").cast("decimal(38,0)").alias("ssum"),
+        F.sum(
+            F.expr(
+                "CAST(s_micro - 1000000 * y AS DECIMAL(19,0))"
+                " * CAST(s_micro - 1000000 * y AS DECIMAL(19,0))"
+            )
+        )
+        .cast("decimal(38,0)")
+        .alias("bsum"),
+    )
+    t = b.agg(
+        F.sum("nb").cast("decimal(38,0)").alias("n"),
+        F.sum("pos").cast("decimal(38,0)").alias("p"),
+        F.sum("bsum").cast("decimal(38,0)").alias("bs"),
+        F.sum(
+            F.expr(
+                "(2 * (ssum - 1000000 * CAST(pos AS DECIMAL(38,0)))"
+                " * (ssum - 1000000 * CAST(pos AS DECIMAL(38,0))) + nb)"
+                " div (2 * CAST(nb AS DECIMAL(38,0)))"
+            )
+        )
+        .cast("decimal(38,0)")
+        .alias("rels"),
+    )
+    return t.selectExpr(
+        "CAST(n AS BIGINT) AS n_docs",
+        "ROUND(CAST(bs AS DOUBLE) / (1e12 * CAST(n AS DOUBLE)), 6) AS brier_score",
+        "ROUND(CAST(p * (n - p) AS DOUBLE)"
+        " / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 6) AS uncertainty",
+        "ROUND(CAST(rels AS DOUBLE) / (1e12 * CAST(n AS DOUBLE)), 6) AS reliability",
+        "ROUND(CAST(p * (n - p) AS DOUBLE)"
+        " / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))"
+        " + CAST(rels AS DOUBLE) / (1e12 * CAST(n AS DOUBLE))"
+        " - CAST(bs AS DOUBLE) / (1e12 * CAST(n AS DOUBLE)), 6) AS resolution",
+    )
