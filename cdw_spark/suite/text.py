@@ -1902,14 +1902,27 @@ def text_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
                         * (s_micro - 1000000 * y)) AS HUGEINT) AS bsum
         FROM sc GROUP BY 1
     ),
-    t AS (
-        SELECT CAST(SUM(nb) AS HUGEINT) AS n,
-               CAST(SUM(pos) AS HUGEINT) AS p,
-               CAST(SUM(bsum) AS HUGEINT) AS bs,
-               CAST(SUM((2 * (ssum - 1000000 * CAST(pos AS HUGEINT))
-                         * (ssum - 1000000 * CAST(pos AS HUGEINT)) + nb)
-                        // (2 * CAST(nb AS HUGEINT))) AS HUGEINT) AS rels
+    tot AS (
+        SELECT CAST(SUM(nb) AS HUGEINT) AS n, CAST(SUM(pos) AS HUGEINT) AS p
         FROM b
+    ),
+    mb AS (
+        SELECT nb, bsum,
+               (2 * ssum + nb) // (2 * CAST(nb AS HUGEINT)) AS sb_micro,
+               (2 * 1000000 * CAST(pos AS HUGEINT) + nb)
+                   // (2 * CAST(nb AS HUGEINT)) AS yb_micro,
+               (2 * 1000000 * p + n) // (2 * n) AS ybar_micro
+        FROM b, tot
+    ),
+    t AS (
+        SELECT CAST(SUM(CAST(nb AS HUGEINT)
+                        * (sb_micro - yb_micro) * (sb_micro - yb_micro))
+                    AS HUGEINT) AS rels,
+               CAST(SUM(CAST(nb AS HUGEINT)
+                        * (yb_micro - ybar_micro) * (yb_micro - ybar_micro))
+                    AS HUGEINT) AS ress,
+               CAST(SUM(bsum) AS HUGEINT) AS bs
+        FROM mb
     )
     SELECT CAST(n AS BIGINT) AS n_docs,
            ROUND(CAST(bs AS DOUBLE) / (1e12 * CAST(n AS DOUBLE)), 6)
@@ -1918,12 +1931,9 @@ def text_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
                  / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 6) AS uncertainty,
            ROUND(CAST(rels AS DOUBLE) / (1e12 * CAST(n AS DOUBLE)), 6)
                AS reliability,
-           ROUND(CAST(p * (n - p) AS DOUBLE)
-                 / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
-                 + CAST(rels AS DOUBLE) / (1e12 * CAST(n AS DOUBLE))
-                 - CAST(bs AS DOUBLE) / (1e12 * CAST(n AS DOUBLE)), 6)
+           ROUND(CAST(ress AS DOUBLE) / (1e12 * CAST(n AS DOUBLE)), 6)
                AS resolution
-    FROM t
+    FROM t, tot
     """,
     doc="Murphy decomposition of the Brier score (Brier = uncertainty "
     "- resolution + reliability) for document length as a probability "
@@ -1931,12 +1941,16 @@ def text_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the PROPER-scoring-rule companion to eval_calibration_ece: ECE "
     "reports the calibration gap alone, the decomposition also prices "
     "how much discriminative power (resolution) the score buys against "
-    "the base rate (uncertainty). Scores are exact half-away-rounded "
-    "micro integers, so the Brier sum and each bin's reliability "
-    "contribution (2*(ssum - 1e6*pos)^2 + nb) div (2*nb) are exact "
-    "HUGEINT/DECIMAL(38,0) (bound 1e12 * n_b^2 < 1e38); resolution "
-    "derives from the identity with the SAME exact operands, so no "
-    "n^4 term ever materializes.",
+    "the base rate (uncertainty). Per-bin means quantize half-away to "
+    "exact MICRO integers first (the ECE discipline), so every "
+    "reliability/resolution contribution is nb * (micro diff)^2 <= "
+    "nb * 1e12 — HUGEINT/DECIMAL(38,0)-exact with NO n^2-scaled "
+    "operand anywhere; the raw-score Brier sum is per-row exact. With "
+    "continuous (not bin-discretized) scores the Murphy identity "
+    "carries a within-bin remainder (Stephenson's generalized "
+    "decomposition): brier - (uncertainty - resolution + reliability) "
+    "is the within-bin variance/covariance term, small but nonzero by "
+    "construction.",
 )
 def eval_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale shape: one map-side-combined aggregate to the 10-bin
@@ -1961,28 +1975,44 @@ def eval_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("decimal(38,0)")
         .alias("bsum"),
     )
-    t = b.agg(
+    tot = b.agg(
         F.sum("nb").cast("decimal(38,0)").alias("n"),
         F.sum("pos").cast("decimal(38,0)").alias("p"),
-        F.sum("bsum").cast("decimal(38,0)").alias("bs"),
+    )
+    mb = b.crossJoin(F.broadcast(tot)).selectExpr(
+        "nb",
+        "bsum",
+        "(2 * ssum + nb) div (2 * CAST(nb AS DECIMAL(38,0))) AS sb_micro",
+        "(2 * 1000000 * CAST(pos AS DECIMAL(38,0)) + nb)"
+        " div (2 * CAST(nb AS DECIMAL(38,0))) AS yb_micro",
+        "(2 * 1000000 * p + n) div (2 * n) AS ybar_micro",
+    )
+    t = mb.agg(
         F.sum(
             F.expr(
-                "(2 * (ssum - 1000000 * CAST(pos AS DECIMAL(38,0)))"
-                " * (ssum - 1000000 * CAST(pos AS DECIMAL(38,0))) + nb)"
-                " div (2 * CAST(nb AS DECIMAL(38,0)))"
+                "CAST(nb AS DECIMAL(19,0))"
+                " * CAST((sb_micro - yb_micro) * (sb_micro - yb_micro)"
+                " AS DECIMAL(19,0))"
             )
         )
         .cast("decimal(38,0)")
         .alias("rels"),
+        F.sum(
+            F.expr(
+                "CAST(nb AS DECIMAL(19,0))"
+                " * CAST((yb_micro - ybar_micro) * (yb_micro - ybar_micro)"
+                " AS DECIMAL(19,0))"
+            )
+        )
+        .cast("decimal(38,0)")
+        .alias("ress"),
+        F.sum("bsum").cast("decimal(38,0)").alias("bs"),
     )
-    return t.selectExpr(
+    return t.crossJoin(F.broadcast(tot)).selectExpr(
         "CAST(n AS BIGINT) AS n_docs",
         "ROUND(CAST(bs AS DOUBLE) / (1e12 * CAST(n AS DOUBLE)), 6) AS brier_score",
         "ROUND(CAST(p * (n - p) AS DOUBLE)"
         " / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 6) AS uncertainty",
         "ROUND(CAST(rels AS DOUBLE) / (1e12 * CAST(n AS DOUBLE)), 6) AS reliability",
-        "ROUND(CAST(p * (n - p) AS DOUBLE)"
-        " / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))"
-        " + CAST(rels AS DOUBLE) / (1e12 * CAST(n AS DOUBLE))"
-        " - CAST(bs AS DOUBLE) / (1e12 * CAST(n AS DOUBLE)), 6) AS resolution",
+        "ROUND(CAST(ress AS DOUBLE) / (1e12 * CAST(n AS DOUBLE)), 6) AS resolution",
     )

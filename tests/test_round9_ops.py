@@ -1,0 +1,484 @@
+"""Python-reference tests for the round-9 operator waves.
+
+Each test recomputes the statistic independently (plain Python /
+pandas over the parquet fixture, no Spark, no shared code with the
+operator) and compares against the registered query's output — the
+oracle proves Spark == DuckDB; these prove both == the textbook
+definition.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import re
+
+import duckdb
+import pytest
+
+from cdw_spark.registry import load_all
+
+SPECS = load_all()
+
+
+@pytest.fixture(scope="module")
+def con(sf_dir):
+    c = duckdb.connect()
+    for t in ("documents", "events", "lineitem", "orders", "embeddings"):
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        c.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    return c
+
+
+def run(spark, sf_dir, name):
+    return SPECS[name].fn(spark, sf_dir).collect()
+
+
+# ---------------------------------------------------------------- wave 1
+
+
+def test_wilcoxon_reference(spark, sf_dir, con):
+    rows = con.execute(
+        "SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem"
+    ).fetchall()
+    diffs = {}
+    for ok, ln, price in rows:
+        cents = math.floor(price * 100 + 0.5)
+        diffs[ok] = diffs.get(ok, 0) + (cents if ln % 2 == 1 else -cents)
+    nz = [d for d in diffs.values() if d != 0]
+    n = len(nz)
+    # tie-averaged ranks of |d|
+    sorted_ad = sorted(abs(d) for d in nz)
+    first = {}
+    for i, v in enumerate(sorted_ad):
+        first.setdefault(v, i + 1)
+    count = {}
+    for v in sorted_ad:
+        count[v] = count.get(v, 0) + 1
+    rank = {v: first[v] + (count[v] - 1) / 2 for v in count}
+    w_plus = sum(rank[abs(d)] for d in nz if d > 0)
+    t_corr = sum(c**3 - c for c in count.values())
+    var = n * (n + 1) * (2 * n + 1) / 24 - t_corr / 48
+    z_ref = (w_plus - n * (n + 1) / 4) / math.sqrt(var)
+
+    (out,) = run(spark, sf_dir, "agg_wilcoxon_signed_rank")
+    assert out["n_pairs"] == n
+    assert out["n_zero_dropped"] == sum(1 for d in diffs.values() if d == 0)
+    assert abs(out["z_score"] - z_ref) < 1e-5
+    w_minus = n * (n + 1) / 2 - w_plus
+    rb_ref = (w_plus - w_minus) / (n * (n + 1) / 2)
+    assert abs(out["rank_biserial"] - rb_ref) < 1e-5
+
+
+def test_jensen_shannon_reference(spark, sf_dir, con):
+    rows = con.execute(
+        "SELECT user_id % 2, event_type, COUNT(*) FROM events GROUP BY 1, 2"
+    ).fetchall()
+    cp, cq = {}, {}
+    for par, t, c in rows:
+        (cp if par == 0 else cq)[t] = c
+    np_, nq = sum(cp.values()), sum(cq.values())
+    jsd = 0.0
+    for t in set(cp) | set(cq):
+        p = cp.get(t, 0) / np_
+        q = cq.get(t, 0) / nq
+        m = (p + q) / 2
+        if p > 0:
+            jsd += 0.5 * p * math.log(p / m)
+        if q > 0:
+            jsd += 0.5 * q * math.log(q / m)
+    jsd /= math.log(2)
+
+    (out,) = run(spark, sf_dir, "agg_jensen_shannon")
+    assert out["n_even_side"] == np_ and out["n_odd_side"] == nq
+    assert abs(out["jsd"] - jsd) < 1e-6
+    assert 0.0 <= out["jsd"] <= 1.0
+
+
+def test_burstiness_reference(spark, sf_dir, con):
+    out = {r["user_id"]: r for r in run(spark, sf_dir, "events_interarrival_burstiness")}
+    rows = con.execute(
+        "SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) FROM events"
+        " ORDER BY user_id, ts, event_id"
+    ).fetchall()
+    series = {}
+    for u, s in rows:
+        series.setdefault(u, []).append(s)
+    checked = 0
+    for u, ts in series.items():
+        gaps = [b - a for a, b in zip(ts, ts[1:])]
+        if len(gaps) < 5:
+            assert u not in out
+            continue
+        mu = sum(gaps) / len(gaps)
+        sig = math.sqrt(sum(g * g for g in gaps) / len(gaps) - mu * mu)
+        if sig + mu == 0:
+            continue
+        ref = (sig - mu) / (sig + mu)
+        assert abs(out[u]["burstiness"] - ref) < 1e-5, u
+        assert -1.0 <= out[u]["burstiness"] <= 1.0
+        checked += 1
+    assert checked >= 10
+
+
+def test_permutation_entropy_reference(spark, sf_dir, con):
+    out = {r["user_id"]: r for r in run(spark, sf_dir, "agg_permutation_entropy")}
+    rows = con.execute(
+        "SELECT user_id, CAST(floor(CAST(value AS DOUBLE) * 1000000.0 + 0.5)"
+        " AS BIGINT) FROM events WHERE event_type = 'purchase'"
+        " ORDER BY user_id, ts, event_id"
+    ).fetchall()
+    series = {}
+    for u, q in rows:
+        series.setdefault(u, []).append(q)
+    checked = 0
+    for u, qs in series.items():
+        counts = {}
+        for a, b, c in zip(qs, qs[1:], qs[2:]):
+            code = 4 * (b >= a) + 2 * (c >= a) + (c >= b)
+            counts[code] = counts.get(code, 0) + 1
+        n = sum(counts.values())
+        if n < 10:
+            assert u not in out
+            continue
+        h = -sum(c / n * math.log(c / n) for c in counts.values())
+        ref = h / math.log(6)
+        assert abs(out[u]["perm_entropy"] - ref) < 1e-5, u
+        checked += 1
+    # the default test fixture (sf0.001) qualifies only a handful of
+    # users; the sf0.01 mirror run grades 103 rows
+    assert checked >= 2
+
+
+def test_cronbach_reference(spark, sf_dir, con):
+    rows = con.execute(
+        "SELECT user_id, event_type, COUNT(*) FROM events GROUP BY 1, 2"
+    ).fetchall()
+    users = sorted({r[0] for r in rows})
+    items = sorted({r[1] for r in rows})
+    x = {(u, t): 0 for u in users for t in items}
+    for u, t, c in rows:
+        x[(u, t)] = c
+    n, k = len(users), len(items)
+
+    def var(vals):
+        m = sum(vals) / n
+        return sum((v - m) ** 2 for v in vals) / n
+
+    item_vars = sum(var([x[(u, t)] for u in users]) for t in items)
+    tot_var = var([sum(x[(u, t)] for t in items) for u in users])
+    ref = k / (k - 1) * (1 - item_vars / tot_var)
+
+    (out,) = run(spark, sf_dir, "agg_cronbach_alpha")
+    assert out["n_users"] == n and out["k_items"] == k
+    assert abs(out["cronbach_alpha"] - ref) < 1e-6
+
+
+def test_covariance_digest_reference(spark, sf_dir, con):
+    rows = con.execute(
+        "SELECT CAST(l_quantity AS BIGINT),"
+        " CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT),"
+        " CAST(floor(l_discount * 10000 + 0.5) AS BIGINT),"
+        " CAST(floor(l_tax * 10000 + 0.5) AS BIGINT) FROM lineitem"
+    ).fetchall()
+    import numpy as np
+
+    m = np.array(rows, dtype=float)
+    ref = np.corrcoef(m.T)
+    names = ["quantity", "price", "discount", "tax"]
+    out = {
+        (r["var_x"], r["var_y"]): r["corr"]
+        for r in run(spark, sf_dir, "agg_covariance_matrix_digest")
+    }
+    assert len(out) == 6
+    for i in range(4):
+        for j in range(i + 1, 4):
+            assert abs(out[(names[i], names[j])] - ref[i, j]) < 1e-6
+
+
+def test_mrr_reference(spark, sf_dir, con):
+    docs = con.execute("SELECT doc_id, lang, lower(text) FROM documents").fetchall()
+    out = {r["term"]: r for r in run(spark, sf_dir, "eval_retrieval_mrr")}
+    for term in ["spark", "vector", "data", "stream", "query"]:
+        cand = []
+        for did, lang, text in docs:
+            toks = re.findall(r"[a-z0-9]+", text)
+            tf = sum(1 for t in toks if t == term)
+            if tf > 0:
+                cand.append((-tf, did, lang == "en"))
+        cand.sort()
+        first = next(
+            (i + 1 for i, (_, _, rel) in enumerate(cand) if rel), None
+        )
+        r = out[term]
+        assert r["n_candidates"] == len(cand)
+        assert r["first_rel_rank"] == first
+        if first:
+            assert abs(r["reciprocal_rank"] - 1.0 / first) < 1e-5
+            assert r["hit_at_5"] == (1 if first <= 5 else 0)
+
+
+def test_average_precision_reference(spark, sf_dir, con):
+    rows = con.execute("SELECT n_chars, lang = 'en' FROM documents").fetchall()
+    cells = {}
+    for v, y in rows:
+        c, p = cells.get(v, (0, 0))
+        cells[v] = (c + 1, p + int(y))
+    cum_n = cum_p = 0
+    ap_sum = 0.0
+    for v in sorted(cells, reverse=True):
+        c, p = cells[v]
+        cum_n += c
+        cum_p += p
+        if p > 0:
+            ap_sum += p * cum_p / cum_n
+    n_pos = sum(p for _, p in cells.values())
+    ref = ap_sum / n_pos
+
+    (out,) = run(spark, sf_dir, "eval_average_precision")
+    assert out["n_total"] == len(rows) and out["n_pos"] == n_pos
+    assert abs(out["average_precision"] - ref) < 1e-5
+    # AP is a valid probability-like score in (0, 1]
+    assert 0.0 < out["average_precision"] <= 1.0
+
+
+def test_rsi_reference(spark, sf_dir, con):
+    out = {
+        (r["user_id"], r["event_id"]): r["rsi"]
+        for r in run(spark, sf_dir, "window_rsi")
+    }
+    rows = con.execute(
+        "SELECT user_id, event_id, CAST(floor(CAST(value AS DOUBLE)"
+        " * 1000000.0 + 0.5) AS BIGINT) FROM events"
+        " WHERE event_type = 'purchase' ORDER BY user_id, ts, event_id"
+    ).fetchall()
+    series = {}
+    for u, e, q in rows:
+        series.setdefault(u, []).append((e, q))
+    checked = 0
+    for u, seq in series.items():
+        diffs = [
+            (e2, q2 - q1) for (_, q1), (e2, q2) in zip(seq, seq[1:])
+        ]
+        for i in range(13, len(diffs)):
+            win = [d for _, d in diffs[i - 13 : i + 1]]
+            sg = sum(max(d, 0) for d in win)
+            sl = sum(max(-d, 0) for d in win)
+            ref = 50.0 if sg + sl == 0 else 100.0 * sg / (sg + sl)
+            got = out[(u, diffs[i][0])]
+            assert abs(got - ref) < 1e-5
+            assert 0.0 <= got <= 100.0
+            checked += 1
+    assert checked == len(out) and checked > 0
+
+
+# ---------------------------------------------------------------- wave 2
+
+
+def test_dedup_weights_reference(spark, sf_dir, con):
+    rows = con.execute(
+        "SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))"
+        " FROM documents"
+    ).fetchall()
+    sizes = {}
+    for (fp,) in rows:
+        sizes[fp] = sizes.get(fp, 0) + 1
+    ws = [1.0 / sizes[fp] for (fp,) in rows]
+    ess_ref = sum(ws) ** 2 / sum(w * w for w in ws)
+
+    (out,) = run(spark, sf_dir, "sample_dedup_aware_weights")
+    assert out["n_docs"] == len(rows)
+    assert out["n_clusters"] == len(sizes)
+    assert abs(out["total_weight"] - sum(ws)) < 1e-3
+    assert abs(out["effective_sample_size"] - ess_ref) < 0.01
+    # weighted mass counts each cluster once
+    assert abs(out["total_weight"] - len(sizes)) < 1e-3
+
+
+def test_heaps_law_reference(spark, sf_dir, con):
+    rows = con.execute(
+        "SELECT doc_id, lower(text) FROM documents ORDER BY doc_id"
+    ).fetchall()
+    seen = set()
+    cum_tok = 0
+    pts = []
+    for _, text in rows:
+        toks = re.findall(r"[a-z0-9]+", text)
+        cum_tok += len(toks)
+        seen.update(toks)
+        if cum_tok > 0 and seen:
+            pts.append((math.log(cum_tok), math.log(len(seen))))
+    n = len(pts)
+    sx = sum(x for x, _ in pts)
+    sy = sum(y for _, y in pts)
+    sxy = sum(x * y for x, y in pts)
+    sxx = sum(x * x for x, _ in pts)
+    beta_ref = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+
+    (out,) = run(spark, sf_dir, "text_heaps_law")
+    assert out["n_points"] == n
+    assert abs(out["heaps_beta"] - beta_ref) < 1e-4
+    # Heaps exponent is sublinear and positive for natural-ish corpora
+    assert 0.0 < out["heaps_beta"] < 1.0
+
+
+def test_power_law_reference(spark, sf_dir, con):
+    rows = con.execute(
+        "SELECT COUNT(*) FROM events GROUP BY user_id"
+    ).fetchall()
+    xs = [r[0] for r in rows]
+    alpha_ref = 1 + len(xs) / sum(math.log(2 * x) for x in xs)
+
+    (out,) = run(spark, sf_dir, "events_power_law_alpha")
+    assert out["n_users"] == len(xs)
+    assert out["max_activity"] == max(xs)
+    assert abs(out["alpha"] - alpha_ref) < 1e-5
+    assert abs(out["alpha_se"] - (alpha_ref - 1) / math.sqrt(len(xs))) < 1e-5
+
+
+# ---------------------------------------------------------------- wave 3
+
+
+def test_intervals_union_reference(spark, sf_dir, con):
+    out = {r["user_id"]: r for r in run(spark, sf_dir, "intervals_union_coverage")}
+    rows = con.execute(
+        "SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) FROM events"
+        " ORDER BY user_id, ts, event_id"
+    ).fetchall()
+    series = {}
+    for u, s in rows:
+        series.setdefault(u, []).append((s, s + 300))
+    for u, iv in series.items():
+        merged = []
+        for s, e in sorted(iv):
+            if merged and s <= merged[-1][1]:
+                merged[-1][1] = max(merged[-1][1], e)
+            else:
+                merged.append([s, e])
+        r = out[u]
+        assert r["n_intervals"] == len(iv)
+        assert r["n_islands"] == len(merged)
+        assert r["covered_seconds"] == sum(e - s for s, e in merged)
+
+
+def test_asof_nearest_reference(spark, sf_dir, con):
+    out = {r["event_id"]: r for r in run(spark, sf_dir, "asof_join_nearest")}
+    ev = con.execute(
+        "SELECT event_id, user_id, event_type, epoch_us(ts) FROM events"
+        " WHERE event_type IN ('click', 'purchase')"
+    ).fetchall()
+    purchases = {}
+    clicks = []
+    for eid, u, typ, us in ev:
+        if typ == "purchase":
+            purchases.setdefault(u, []).append((us, eid))
+        else:
+            clicks.append((eid, u, us))
+    assert len(out) == len(clicks)
+    import random
+
+    random.seed(9)
+    for eid, u, cus in random.sample(clicks, min(300, len(clicks))):
+        cands = purchases.get(u, [])
+        r = out[eid]
+        if not cands:
+            assert r["nearest_purchase_id"] is None
+            continue
+        # min |dt|, tie -> earlier purchase (the backward side)
+        best = min(cands, key=lambda p: (abs(cus - p[0]), p[0] > cus))
+        assert abs(cus - best[0]) == abs(r["nearest_dt_us"]), eid
+        assert r["nearest_dt_us"] == cus - best[0]
+
+
+def test_adamic_adar_reference(spark, sf_dir):
+    # recompute AA from the SAME kNN edge set the op builds, using a
+    # plain dict implementation — checks the 2-hop aggregation, the
+    # anti-join, and the weighting independently
+    from cdw_spark.catalog import load_fixture
+    from cdw_spark.suite.similarity import _knn_undirected_edges
+
+    edges = {
+        (r["a"], r["b"])
+        for r in _knn_undirected_edges(
+            load_fixture(spark, sf_dir, "embeddings")
+        ).collect()
+    }
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    scores = {}
+    for z, nbrs in adj.items():
+        for a in nbrs:
+            for b in nbrs:
+                if a < b and (a, b) not in edges:
+                    w = round(1.0 / math.log(len(adj[z])), 9)
+                    k = (a, b)
+                    cnt, s = scores.get(k, (0, 0.0))
+                    scores[k] = (cnt + 1, s + w)
+    top = sorted(
+        scores.items(), key=lambda kv: (-round(kv[1][1], 9), kv[0])
+    )[:20]
+
+    rows = run(spark, sf_dir, "graph_adamic_adar")
+    assert len(rows) == min(20, len(scores))
+    for r, ((a, b), (cnt, s)) in zip(rows, top):
+        assert (r["a"], r["b"]) == (a, b)
+        assert r["common"] == cnt
+        assert abs(r["adamic_adar"] - s) < 1e-5
+
+
+# ---------------------------------------------------------------- wave 4
+
+
+def test_brier_decomposition_reference(spark, sf_dir, con):
+    rows = con.execute(
+        "SELECT LEAST(n_chars, 2000) / 2000.0, CAST(lang = 'en' AS INT)"
+        " FROM documents"
+    ).fetchall()
+    n = len(rows)
+    ybar = sum(y for _, y in rows) / n
+    brier = sum((s - y) ** 2 for s, y in rows) / n
+    unc = ybar * (1 - ybar)
+    bins = {}
+    for s, y in rows:
+        b = min(int(s * 10), 9)
+        c, p, ss = bins.get(b, (0, 0, 0.0))
+        bins[b] = (c + 1, p + y, ss + s)
+    rel = sum(c * (ss / c - p / c) ** 2 for c, p, ss in bins.values()) / n
+    res = sum(c * (p / c - ybar) ** 2 for c, p, ss in bins.values()) / n
+
+    (out,) = run(spark, sf_dir, "eval_brier_decomposition")
+    assert out["n_docs"] == n
+    assert abs(out["brier_score"] - brier) < 1e-5
+    assert abs(out["uncertainty"] - unc) < 1e-6
+    assert abs(out["reliability"] - rel) < 1e-4
+    assert abs(out["resolution"] - res) < 1e-4
+    # continuous scores leave a small within-bin remainder in the
+    # Murphy identity (generalized decomposition) — present but bounded
+    assert abs(
+        out["brier_score"]
+        - (out["uncertainty"] - out["resolution"] + out["reliability"])
+    ) < 0.01
+
+
+def test_id_audit_reference(spark, sf_dir, con):
+    out = {r["table_name"]: r for r in run(spark, sf_dir, "dq_id_sequence_audit")}
+    for tbl, col in (
+        ("documents", "doc_id"),
+        ("orders", "o_orderkey"),
+        ("events", "event_id"),
+    ):
+        lo, hi, n, nd = con.execute(
+            f"SELECT MIN({col}), MAX({col}), COUNT(*), COUNT(DISTINCT {col})"
+            f" FROM {tbl}"
+        ).fetchone()
+        r = out[tbl]
+        assert (r["min_id"], r["max_id"], r["n_rows"], r["n_distinct"]) == (
+            lo,
+            hi,
+            n,
+            nd,
+        )
+        assert r["n_gaps"] == hi - lo + 1 - nd
+        assert r["n_dups"] == n - nd
