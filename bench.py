@@ -222,6 +222,26 @@ HEADLINE = [
     "embedding_whitening_digest",
     "agg_exact_delay_quantiles",
     "eval_calibration_ece",
+    # round 9: paired/divergence/reliability statistics, ranking
+    # metrics, behavior and interval analytics, DQ audits (all 17
+    # additions — none carries a kendall-style fixed-codegen constant)
+    "agg_wilcoxon_signed_rank",
+    "agg_jensen_shannon",
+    "events_interarrival_burstiness",
+    "agg_permutation_entropy",
+    "agg_cronbach_alpha",
+    "agg_covariance_matrix_digest",
+    "eval_retrieval_mrr",
+    "eval_average_precision",
+    "window_rsi",
+    "sample_dedup_aware_weights",
+    "text_heaps_law",
+    "events_power_law_alpha",
+    "intervals_union_coverage",
+    "asof_join_nearest",
+    "graph_adamic_adar",
+    "eval_brier_decomposition",
+    "dq_id_sequence_audit",
 ]
 
 
