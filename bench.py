@@ -242,6 +242,8 @@ HEADLINE = [
     "graph_adamic_adar",
     "eval_brier_decomposition",
     "dq_id_sequence_audit",
+    "agg_stump_split_gain",
+    "dq_order_total_consistency",
 ]
 
 

@@ -186,6 +186,9 @@ _NEXT_WINDOW_QUEUE: tuple[str, ...] = (
     # round-9 fourth wave: proper-scoring decomposition, ingest DQ
     "eval_brier_decomposition",
     "dq_id_sequence_audit",
+    # round-9 fifth wave: exact split search, value-integrity audit
+    "agg_stump_split_gain",
+    "dq_order_total_consistency",
 )
 
 

@@ -6250,3 +6250,122 @@ def intervals_union_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_islands"),
         F.sum("len").cast("bigint").alias("covered_seconds"),
     )
+
+
+@register(
+    "agg_stump_split_gain",
+    oracle="""
+    WITH cells AS (
+        SELECT n_chars AS v, CAST(COUNT(*) AS BIGINT) AS c,
+               CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS p
+        FROM documents GROUP BY n_chars
+    ),
+    cum AS (
+        SELECT v,
+               SUM(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS cumn,
+               SUM(p) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS cump
+        FROM cells
+    ),
+    tot AS (
+        SELECT CAST(SUM(c) AS HUGEINT) AS n, CAST(SUM(p) AS HUGEINT) AS np
+        FROM cells
+    ),
+    scored AS (
+        SELECT v,
+               (2 * 2 * CAST(cump AS HUGEINT) * (cumn - cump) * 1000000 + cumn)
+                   // (2 * CAST(cumn AS HUGEINT))
+               + (2 * 2 * (np - CAST(cump AS HUGEINT)) * ((n - cumn) - (np - cump))
+                  * 1000000 + (n - cumn))
+                   // (2 * CAST(n - cumn AS HUGEINT)) AS score_micro
+        FROM cum, tot WHERE cumn < n
+    ),
+    best AS (SELECT MIN(score_micro) AS bs FROM scored),
+    pick AS (
+        SELECT MIN(v) AS best_threshold FROM scored, best
+        WHERE score_micro = bs
+    )
+    SELECT CAST(best_threshold AS BIGINT) AS best_threshold,
+           CAST(n AS BIGINT) AS n_docs, CAST(np AS BIGINT) AS n_pos,
+           ROUND(CAST(2 * np * (n - np) AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 6) AS gini_parent,
+           ROUND(CAST(bs AS DOUBLE) / (1000000.0 * CAST(n AS DOUBLE)), 6)
+               AS gini_split,
+           ROUND(CAST(2 * np * (n - np) AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
+                 - CAST(bs AS DOUBLE) / (1000000.0 * CAST(n AS DOUBLE)), 6)
+               AS gini_gain
+    FROM pick, best, tot
+    """,
+    doc="Exact decision-stump split search: the n_chars threshold "
+    "minimizing weighted Gini impurity for predicting lang = 'en' — "
+    "the inner loop of tree learners and the one-feature baseline "
+    "every curation-classifier review asks for, computed EXACTLY over "
+    "all thresholds at once. Candidates collapse to distinct score "
+    "values (the two_level_cumsum skew contract), running class counts "
+    "give each split's left/right compositions in one pass, and every "
+    "weighted-impurity term 2*pL*(nL-pL)/nL is half-away micro-rounded "
+    "with HUGEINT/DECIMAL(38,0) operands (quotient < n*5e5, int64 to "
+    "n ~ 3.7e13; ties break to the smallest threshold via a 1-row "
+    "min-score broadcast, never an engine-specific arg_min).",
+)
+def agg_stump_split_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: one groupBy to the distinct-value relation, the
+    two-level prefix-sum for running class counts, then three 1-row
+    broadcast reductions — no per-threshold pass, no sort."""
+    from ..operators.stats import two_level_cumsum
+    from ..plans.hints import broadcast_if_small
+
+    d = load_fixture(spark, sf_dir, "documents")
+    cells = (
+        d.groupBy(F.col("n_chars").alias("v"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("c"),
+            F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+            .cast("bigint")
+            .alias("p"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    cum = two_level_cumsum(cells, [], "v", [], {"cumn": "c", "cump": "p"})
+    tot = cells.agg(
+        F.sum("c").cast("decimal(38,0)").alias("n"),
+        F.sum("p").cast("decimal(38,0)").alias("np"),
+    )
+    scored = (
+        cum.crossJoin(F.broadcast(tot))
+        .filter(F.expr("cumn < n"))
+        .selectExpr(
+            "v",
+            "(2 * 2 * CAST(cump AS DECIMAL(38,0)) * (cumn - cump) * 1000000"
+            " + cumn) div (2 * CAST(cumn AS DECIMAL(38,0)))"
+            " + (2 * 2 * (np - CAST(cump AS DECIMAL(38,0)))"
+            " * ((n - cumn) - (np - cump)) * 1000000 + (n - cumn))"
+            " div (2 * CAST(n - cumn AS DECIMAL(38,0))) AS score_micro",
+        )
+        .localCheckpoint(eager=True)
+    )
+    best = scored.agg(F.min("score_micro").alias("bs"))
+    pick = (
+        scored.crossJoin(F.broadcast(best))
+        .filter(F.col("score_micro") == F.col("bs"))
+        .agg(F.min("v").cast("bigint").alias("best_threshold"))
+    )
+    return (
+        pick.crossJoin(F.broadcast(best))
+        .crossJoin(F.broadcast(tot))
+        .selectExpr(
+            "best_threshold",
+            "CAST(n AS BIGINT) AS n_docs",
+            "CAST(np AS BIGINT) AS n_pos",
+            "ROUND(CAST(2 * np * (n - np) AS DOUBLE)"
+            " / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 6) AS gini_parent",
+            "ROUND(CAST(bs AS DOUBLE) / (1000000.0 * CAST(n AS DOUBLE)), 6)"
+            " AS gini_split",
+            "ROUND(CAST(2 * np * (n - np) AS DOUBLE)"
+            " / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))"
+            " - CAST(bs AS DOUBLE) / (1000000.0 * CAST(n AS DOUBLE)), 6)"
+            " AS gini_gain",
+        )
+    )

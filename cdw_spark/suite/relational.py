@@ -1109,3 +1109,83 @@ def dq_id_sequence_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+@register(
+    "dq_order_total_consistency",
+    oracle="""
+    WITH li AS (
+        SELECT l_orderkey,
+               CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount)
+                                   * (1 + l_tax) * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS sum_cents
+        FROM lineitem GROUP BY l_orderkey
+    ),
+    j AS (
+        SELECT o.o_orderkey,
+               CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) AS total_cents,
+               li.sum_cents,
+               abs(li.sum_cents
+                   - CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS dev
+        FROM orders o JOIN li ON li.l_orderkey = o.o_orderkey
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CASE WHEN dev = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+           CAST(SUM(CASE WHEN (2 * dev * 1000000 + total_cents)
+                              // (2 * total_cents) <= 10000
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_within_1pct,
+           CAST(MAX((2 * dev * 1000000 + total_cents) // (2 * total_cents))
+                AS DOUBLE) / 1000000.0 AS max_rel_dev
+    FROM j WHERE total_cents > 0
+    """,
+    doc="Cross-field value-integrity audit: per order, the lineitem "
+    "charge total sum(extendedprice * (1-discount) * (1+tax)) against "
+    "the stored o_totalprice — the TPC-H consistency rule as an ingest "
+    "data-quality check, reporting exact matches, the within-1% "
+    "population, and the worst relative deviation; companion to "
+    "dq_referential_integrity (key existence) and dq_id_sequence_audit "
+    "(key shape). Per-line charges quantize half-away to exact cents "
+    "(identical IEEE double products in both engines), deviations stay "
+    "integers, and relative deviations round half-away in integer "
+    "micro-units.",
+)
+def dq_order_total_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: one fact aggregate co-partitioned on the order key,
+    one key join, one map-side-combined reduce — no window."""
+    li = load_fixture(spark, sf_dir, "lineitem")
+    o = load_fixture(spark, sf_dir, "orders")
+    lsum = li.groupBy("l_orderkey").agg(
+        F.sum(
+            F.floor(
+                F.col("l_extendedprice")
+                * (1 - F.col("l_discount"))
+                * (1 + F.col("l_tax"))
+                * 100
+                + F.lit(0.5)
+            ).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("sum_cents")
+    )
+    j = (
+        o.join(lsum, o["o_orderkey"] == lsum["l_orderkey"])
+        .select(
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+            .cast("bigint")
+            .alias("total_cents"),
+            "sum_cents",
+        )
+        .withColumn("dev", F.abs(F.col("sum_cents") - F.col("total_cents")))
+        .filter(F.col("total_cents") > 0)
+    )
+    rel = "(2 * dev * 1000000 + total_cents) div (2 * total_cents)"
+    return j.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum(F.when(F.col("dev") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_exact"),
+        F.sum(F.expr(f"CASE WHEN {rel} <= 10000 THEN 1 ELSE 0 END"))
+        .cast("bigint")
+        .alias("n_within_1pct"),
+        (F.max(F.expr(rel)).cast("double") / F.lit(1000000.0)).alias("max_rel_dev"),
+    )

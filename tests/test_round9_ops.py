@@ -482,3 +482,70 @@ def test_id_audit_reference(spark, sf_dir, con):
         )
         assert r["n_gaps"] == hi - lo + 1 - nd
         assert r["n_dups"] == n - nd
+
+
+# ---------------------------------------------------------------- wave 5
+
+
+def test_stump_split_reference(spark, sf_dir, con):
+    rows = con.execute("SELECT n_chars, lang = 'en' FROM documents").fetchall()
+    n = len(rows)
+    npos = sum(int(y) for _, y in rows)
+
+    def weighted_gini(thr):
+        ln = sum(1 for v, _ in rows if v <= thr)
+        lp = sum(1 for v, y in rows if v <= thr and y)
+        rn, rp = n - ln, npos - lp
+        if ln == 0 or rn == 0:
+            return None
+        return (
+            2 * lp * (ln - lp) / ln + 2 * rp * (rn - rp) / rn
+        ) / n
+
+    cands = sorted({v for v, _ in rows})
+    scores = {t: weighted_gini(t) for t in cands if weighted_gini(t) is not None}
+    best_score = min(scores.values())
+    best_t = min(t for t, s in scores.items() if abs(s - best_score) < 1e-12)
+
+    (out,) = run(spark, sf_dir, "agg_stump_split_gain")
+    assert out["n_docs"] == n and out["n_pos"] == npos
+    assert out["best_threshold"] == best_t
+    parent = 2 * npos * (n - npos) / (n * n)
+    assert abs(out["gini_parent"] - parent) < 1e-6
+    assert abs(out["gini_split"] - best_score) < 1e-4
+    assert abs(out["gini_gain"] - (parent - best_score)) < 1e-4
+    # a split can never be worse than the parent
+    assert out["gini_gain"] >= -1e-9
+
+
+def test_order_total_consistency_reference(spark, sf_dir, con):
+    li = con.execute(
+        "SELECT l_orderkey, l_extendedprice, l_discount, l_tax FROM lineitem"
+    ).fetchall()
+    orders = dict(
+        con.execute("SELECT o_orderkey, o_totalprice FROM orders").fetchall()
+    )
+    sums = {}
+    for ok, price, disc, tax in li:
+        cents = math.floor(price * (1 - disc) * (1 + tax) * 100 + 0.5)
+        sums[ok] = sums.get(ok, 0) + cents
+    n = n_exact = n_1pct = 0
+    max_rel = 0.0
+    for ok, s in sums.items():
+        if ok not in orders:
+            continue
+        total = math.floor(orders[ok] * 100 + 0.5)
+        if total <= 0:
+            continue
+        n += 1
+        dev = abs(s - total)
+        rel = (2 * dev * 1000000 + total) // (2 * total)
+        n_exact += dev == 0
+        n_1pct += rel <= 10000
+        max_rel = max(max_rel, rel / 1e6)
+
+    (out,) = run(spark, sf_dir, "dq_order_total_consistency")
+    assert out["n_orders"] == n
+    assert out["n_exact"] == n_exact
+    assert out["n_within_1pct"] == n_1pct
+    assert abs(out["max_rel_dev"] - max_rel) < 1e-9
