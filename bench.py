@@ -244,6 +244,8 @@ HEADLINE = [
     "dq_id_sequence_audit",
     "agg_stump_split_gain",
     "dq_order_total_consistency",
+    "mix_waterfill_budget",
+    "sample_pps_systematic",
 ]
 
 

@@ -189,6 +189,9 @@ _NEXT_WINDOW_QUEUE: tuple[str, ...] = (
     # round-9 fifth wave: exact split search, value-integrity audit
     "agg_stump_split_gain",
     "dq_order_total_consistency",
+    # round-9 sixth wave: budget allocation, PPS sampling
+    "mix_waterfill_budget",
+    "sample_pps_systematic",
 )
 
 

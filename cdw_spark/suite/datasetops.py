@@ -3290,3 +3290,175 @@ def sample_dedup_aware_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ROUND(CAST(s * s AS DOUBLE) / CAST(q AS DOUBLE), 4)"
         " AS effective_sample_size",
     )
+
+
+@register(
+    "mix_waterfill_budget",
+    oracle="""
+    WITH caps AS (
+        SELECT source, CAST(SUM(n_chars) AS BIGINT) AS cap
+        FROM documents GROUP BY source
+    ),
+    tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS m,
+               CAST(SUM(cap) AS BIGINT) AS w,
+               CAST(SUM(cap) * 3 // 5 AS BIGINT) AS b
+        FROM caps
+    ),
+    r AS (
+        SELECT source, cap,
+               ROW_NUMBER() OVER (ORDER BY cap, source) AS k,
+               SUM(cap) OVER (ORDER BY cap, source
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING) AS pfx
+        FROM caps
+    ),
+    capped AS (
+        SELECT r.*, COALESCE(pfx, 0) AS pfx0,
+               CASE WHEN cap * (m - k + 1) + COALESCE(pfx, 0) <= b
+                    THEN 1 ELSE 0 END AS is_capped
+        FROM r, tot
+    ),
+    kstar AS (
+        SELECT CAST(COALESCE(SUM(is_capped), 0) AS BIGINT) AS ks,
+               CAST(COALESCE(SUM(CASE WHEN is_capped = 1 THEN cap END), 0)
+                    AS BIGINT) AS pk
+        FROM capped
+    )
+    SELECT c.source, c.cap AS cap_units,
+           CAST(CASE WHEN c.is_capped = 1 THEN c.cap
+                     ELSE (b - pk) // (m - ks) END AS BIGINT) AS alloc_units,
+           CAST(c.is_capped AS BIGINT) AS capped
+    FROM capped c, kstar, tot
+    """,
+    doc="Integer waterfilling of a token budget across sources: given "
+    "per-source capacities (total characters) and a global budget "
+    "(60% of the corpus), every source gets min(capacity, tau) where "
+    "the water level tau = (budget - sum of capped capacities) / "
+    "(#uncapped), floor semantics — the uniform-cap allocation behind "
+    "'no source may exceed its share' training-mix specs, solved in "
+    "CLOSED FORM: sorted ascending, source k is capped iff "
+    "cap_k * (m - k + 1) + prefix_(k-1) <= budget (an exact integer "
+    "test), so one pass over the |sources|-row relation finds the "
+    "level — no iteration, no floats anywhere.",
+)
+def mix_waterfill_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: one fact aggregate to the |sources| relation; the
+    rank/prefix windows and 1-row reductions all run on that bounded
+    relation (sources are a catalog, not data-scaled) with broadcast
+    joins back."""
+    from pyspark.sql.window import Window
+
+    d = load_fixture(spark, sf_dir, "documents")
+    caps = d.groupBy("source").agg(
+        F.sum("n_chars").cast("bigint").alias("cap")
+    ).localCheckpoint(eager=True)
+    tot = caps.agg(
+        F.count(F.lit(1)).cast("bigint").alias("m"),
+        F.sum("cap").cast("bigint").alias("w"),
+        F.expr("CAST(SUM(cap) * 3 div 5 AS BIGINT)").alias("b"),
+    )
+    wk = Window.orderBy("cap", "source")
+    r = caps.select(
+        "source",
+        "cap",
+        F.row_number().over(wk).alias("k"),
+        F.coalesce(
+            F.sum("cap").over(wk.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ).alias("pfx0"),
+    )
+    capped = r.crossJoin(F.broadcast(tot)).withColumn(
+        "is_capped",
+        F.when(
+            F.expr("cap * (m - k + 1) + pfx0 <= b"), 1
+        ).otherwise(0),
+    ).localCheckpoint(eager=True)
+    kstar = capped.agg(
+        F.coalesce(F.sum("is_capped"), F.lit(0)).cast("bigint").alias("ks"),
+        F.coalesce(F.sum(F.when(F.col("is_capped") == 1, F.col("cap"))), F.lit(0))
+        .cast("bigint")
+        .alias("pk"),
+    )
+    return capped.crossJoin(F.broadcast(kstar)).selectExpr(
+        "source",
+        "cap AS cap_units",
+        "CAST(CASE WHEN is_capped = 1 THEN cap"
+        " ELSE (b - pk) div (m - ks) END AS BIGINT) AS alloc_units",
+        "CAST(is_capped AS BIGINT) AS capped",
+    )
+
+
+@register(
+    "sample_pps_systematic",
+    oracle="""
+    WITH w AS (
+        SELECT doc_id, CAST(n_chars AS BIGINT) AS wt FROM documents
+    ),
+    c AS (
+        SELECT doc_id, wt,
+               SUM(wt) OVER (ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS cumw
+        FROM w
+    ),
+    tot AS (SELECT CAST(SUM(wt) AS BIGINT) AS tw FROM w),
+    h AS (
+        SELECT doc_id, wt, cumw,
+               GREATEST(CAST(0 AS HUGEINT), LEAST(CAST(50 AS HUGEINT),
+                   CASE WHEN 100 * CAST(cumw AS HUGEINT) - tw > 0
+                        THEN (100 * CAST(cumw AS HUGEINT) - tw + 2 * tw - 1)
+                             // (2 * CAST(tw AS HUGEINT))
+                        ELSE 0 END))
+               - GREATEST(CAST(0 AS HUGEINT), LEAST(CAST(50 AS HUGEINT),
+                   CASE WHEN 100 * CAST(cumw - wt AS HUGEINT) - tw > 0
+                        THEN (100 * CAST(cumw - wt AS HUGEINT) - tw
+                              + 2 * tw - 1) // (2 * CAST(tw AS HUGEINT))
+                        ELSE 0 END)) AS n_hits
+        FROM c, tot
+    )
+    SELECT doc_id, wt AS weight, CAST(cumw - wt AS BIGINT) AS cum_before,
+           CAST(n_hits AS BIGINT) AS n_hits
+    FROM h WHERE n_hits >= 1
+    """,
+    doc="Probability-proportional-to-size SYSTEMATIC sampling of 50 "
+    "documents by length: equally spaced ticks t_k = (2k+1)*W/(2*50) "
+    "walk the cumulative-weight line and each document is drawn once "
+    "per tick inside its interval — the classical PPS design "
+    "(deterministic given the doc_id order, zero variance in total "
+    "draw count, long docs can draw multiple times). Tick membership "
+    "is counted in CLOSED FORM per document: #ticks below x = "
+    "clamp(ceil((2*50*x - W)/(2W))), so selection is one exact "
+    "integer expression over the running weight — no per-tick join, "
+    "no random state. HUGEINT/DECIMAL(38,0) guards 100*cumw.",
+)
+def sample_pps_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: running weights via the two-level prefix-sum over
+    doc_id (unique per row — the skew contract holds trivially), a
+    1-row total broadcast, one exact integer filter — no sort beyond
+    the bucketed windows, no per-tick work."""
+    from ..operators.stats import two_level_cumsum
+
+    d = load_fixture(spark, sf_dir, "documents").select(
+        "doc_id", F.col("n_chars").cast("bigint").alias("wt")
+    ).localCheckpoint(eager=True)
+    c = two_level_cumsum(d, [], "doc_id", [], {"cumw": "wt"})
+    tot = d.agg(F.sum("wt").cast("bigint").alias("tw"))
+    cb = (
+        "GREATEST(CAST(0 AS DECIMAL(38,0)), LEAST(CAST(50 AS DECIMAL(38,0)),"
+        " CASE WHEN 100 * CAST({x} AS DECIMAL(38,0)) - tw > 0"
+        " THEN (100 * CAST({x} AS DECIMAL(38,0)) - tw + 2 * tw - 1)"
+        " div (2 * CAST(tw AS DECIMAL(38,0))) ELSE 0 END))"
+    )
+    h = c.crossJoin(F.broadcast(tot)).selectExpr(
+        "doc_id",
+        "wt",
+        "cumw",
+        f"{cb.format(x='cumw')} - {cb.format(x='(cumw - wt)')} AS n_hits",
+    )
+    return h.filter(F.col("n_hits") >= 1).selectExpr(
+        "doc_id",
+        "wt AS weight",
+        "CAST(cumw - wt AS BIGINT) AS cum_before",
+        "CAST(n_hits AS BIGINT) AS n_hits",
+    )

@@ -549,3 +549,65 @@ def test_order_total_consistency_reference(spark, sf_dir, con):
     assert out["n_exact"] == n_exact
     assert out["n_within_1pct"] == n_1pct
     assert abs(out["max_rel_dev"] - max_rel) < 1e-9
+
+
+# ---------------------------------------------------------------- wave 6
+
+
+def test_waterfill_reference(spark, sf_dir, con):
+    caps = dict(
+        con.execute(
+            "SELECT source, SUM(n_chars) FROM documents GROUP BY source"
+        ).fetchall()
+    )
+    w = sum(caps.values())
+    b = w * 3 // 5
+    # reference: iterative waterfill with floor level
+    remaining = dict(caps)
+    budget = b
+    alloc = {}
+    while True:
+        uncapped = {s: c for s, c in remaining.items() if s not in alloc}
+        tau = budget // len(uncapped)
+        newly = {s: c for s, c in uncapped.items() if c <= tau}
+        if not newly:
+            for s in uncapped:
+                alloc[s] = tau
+            break
+        for s, c in newly.items():
+            alloc[s] = c
+            budget -= c
+    rows = {r["source"]: r for r in run(spark, sf_dir, "mix_waterfill_budget")}
+    assert set(rows) == set(caps)
+    for s, r in rows.items():
+        assert r["cap_units"] == caps[s]
+        assert r["alloc_units"] == alloc[s], s
+        assert r["alloc_units"] <= r["cap_units"]
+        assert r["capped"] == (1 if alloc[s] == caps[s] else 0)
+    # floor waterfilling never over-allocates the budget
+    assert sum(r["alloc_units"] for r in rows.values()) <= b
+
+
+def test_pps_systematic_reference(spark, sf_dir, con):
+    docs = con.execute(
+        "SELECT doc_id, n_chars FROM documents ORDER BY doc_id"
+    ).fetchall()
+    w = sum(c for _, c in docs)
+    # ticks t_k = (2k+1) * W / (2 * 50), exact rationals — count per doc
+    hits = {}
+    cum = 0
+    for did, c in docs:
+        lo, hi = cum, cum + c
+        n = sum(1 for k in range(50) if lo <= (2 * k + 1) * w / 100 < hi)
+        if n:
+            hits[did] = (n, lo, c)
+        cum = hi
+    rows = {r["doc_id"]: r for r in run(spark, sf_dir, "sample_pps_systematic")}
+    assert set(rows) == set(hits)
+    total_draws = 0
+    for did, (n, lo, c) in hits.items():
+        r = rows[did]
+        assert r["n_hits"] == n and r["cum_before"] == lo and r["weight"] == c
+        total_draws += r["n_hits"]
+    # the systematic design draws EXACTLY 50 (zero-variance property)
+    assert total_draws == 50
