@@ -246,6 +246,8 @@ HEADLINE = [
     "dq_order_total_consistency",
     "mix_waterfill_budget",
     "sample_pps_systematic",
+    "timeseries_hurst_rs",
+    "events_transition_entropy",
 ]
 
 

@@ -192,6 +192,9 @@ _NEXT_WINDOW_QUEUE: tuple[str, ...] = (
     # round-9 sixth wave: budget allocation, PPS sampling
     "mix_waterfill_budget",
     "sample_pps_systematic",
+    # round-9 seventh wave: long-memory diagnostic, chain predictability
+    "timeseries_hurst_rs",
+    "events_transition_entropy",
 )
 
 

@@ -6369,3 +6369,259 @@ def agg_stump_split_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS gini_gain",
         )
     )
+
+
+@register(
+    "timeseries_hurst_rs",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id,
+               CAST(floor(CAST(value AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)
+                   AS q,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events WHERE event_type = 'purchase'
+    ),
+    sc AS (SELECT 4 AS s UNION ALL SELECT 8 UNION ALL SELECT 16),
+    blk AS (
+        SELECT user_id, s, (rn - 1) // s AS b, q,
+               SUM(q) OVER w AS cumq,
+               ROW_NUMBER() OVER w AS i
+        FROM seq, sc
+        WINDOW w AS (PARTITION BY user_id, s, (rn - 1) // s ORDER BY rn
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    btot AS (
+        SELECT user_id, s, b, CAST(COUNT(*) AS BIGINT) AS cnt,
+               CAST(SUM(q) AS HUGEINT) AS sb,
+               CAST(SUM(CAST(q AS HUGEINT) * q) AS HUGEINT) AS qb
+        FROM blk GROUP BY user_id, s, b
+    ),
+    dev AS (
+        SELECT blk.user_id, blk.s, blk.b,
+               blk.s * CAST(blk.cumq AS HUGEINT) - blk.i * bt.sb AS d
+        FROM blk JOIN btot bt
+          ON bt.user_id = blk.user_id AND bt.s = blk.s AND bt.b = blk.b
+        WHERE bt.cnt = blk.s
+    ),
+    rngs AS (
+        SELECT user_id, s, b, CAST(MAX(d) - MIN(d) AS HUGEINT) AS rng
+        FROM dev GROUP BY user_id, s, b
+    ),
+    terms AS (
+        SELECT r.s,
+               CASE WHEN r.rng > 0 AND bt.s * bt.qb - bt.sb * bt.sb > 0
+                    THEN CAST(ROUND(ln(CAST(r.rng AS DOUBLE)
+                         / sqrt(CAST(bt.s * bt.qb - bt.sb * bt.sb
+                                     AS DOUBLE))), 9) AS DECIMAL(18,9))
+               END AS t
+        FROM rngs r JOIN btot bt
+          ON bt.user_id = r.user_id AND bt.s = r.s AND bt.b = r.b
+    ),
+    per AS (
+        SELECT s, CAST(COUNT(t) AS BIGINT) AS nb,
+               CAST(SUM(t) AS DECIMAL(38,9)) AS st
+        FROM terms GROUP BY s
+    ),
+    piv AS (
+        SELECT MAX(CASE WHEN s = 4 THEN nb END) AS n4,
+               MAX(CASE WHEN s = 8 THEN nb END) AS n8,
+               MAX(CASE WHEN s = 16 THEN nb END) AS n16,
+               MAX(CASE WHEN s = 4 THEN CAST(st AS DOUBLE) / nb END) AS m4,
+               MAX(CASE WHEN s = 16 THEN CAST(st AS DOUBLE) / nb END) AS m16
+        FROM per WHERE nb > 0
+    )
+    SELECT n4 AS n_blocks_4, n8 AS n_blocks_8, n16 AS n_blocks_16,
+           ROUND((m16 - m4) / (2.0 * CAST(0.6931471805599453 AS DOUBLE)), 6)
+               AS hurst
+    FROM piv
+    WHERE n4 > 0 AND n8 > 0 AND n16 > 0
+    """,
+    doc="Corpus-pooled Hurst exponent of purchase-value series by "
+    "rescaled-range (R/S) analysis at dyadic scales 4/8/16 — the "
+    "long-memory diagnostic (H ~ 0.5 random walk, H > 0.5 trending, "
+    "H < 0.5 mean-reverting) that decides whether a momentum feature "
+    "is worth building. Blocks never cross a user boundary; the "
+    "per-scale mean ln(R/S) pools blocks across users (the fixture's "
+    "series are ~13 points, too short for a per-user estimate — "
+    "documented). Within each full block the cumulative deviation is "
+    "carried SCALED-BY-s (s*cumsum - i*blocksum) so the range stays an "
+    "exact HUGEINT/DECIMAL(38,0) integer; R/S = range / "
+    "sqrt(s*Q - S^2) needs ONE double ln per block, 9-dp rounded and "
+    "DECIMAL-summed; with log-equispaced scales the OLS slope "
+    "collapses to (mean16 - mean4)/(2 ln 2), ln 2 a literal. Constant "
+    "blocks (zero variance) drop from the scale mean.",
+)
+def timeseries_hurst_rs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: the per-user window sort is shared by all three
+    scales (one exploded pass, each row in 3 blocks); everything after
+    is (user, scale, block)-keyed map-side-combined aggregation down to
+    a 3-row per-scale relation and a 1-row pivot — no global pass, no
+    iteration."""
+    from pyspark.sql.window import Window
+
+    ev = load_fixture(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    qcol = F.floor(F.col("value").cast("double") * F.lit(1000000.0) + F.lit(0.5)).cast(
+        "bigint"
+    )
+    seq = ev.select(
+        "user_id",
+        qcol.alias("q"),
+        F.row_number()
+        .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("rn"),
+    )
+    sc = seq.sparkSession.createDataFrame([(4,), (8,), (16,)], "s int")
+    blk = seq.crossJoin(F.broadcast(sc)).withColumn("b", F.expr("(rn - 1) div s"))
+    wb = (
+        Window.partitionBy("user_id", "s", "b")
+        .orderBy("rn")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    blk = blk.select(
+        "user_id",
+        "s",
+        "b",
+        "q",
+        F.sum("q").over(wb).alias("cumq"),
+        F.row_number().over(
+            Window.partitionBy("user_id", "s", "b").orderBy("rn")
+        ).alias("i"),
+    ).localCheckpoint(eager=True)
+    btot = blk.groupBy("user_id", "s", "b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+        F.sum("q").cast("decimal(38,0)").alias("sb"),
+        F.sum(F.col("q").cast("decimal(19,0)") * F.col("q").cast("decimal(19,0)"))
+        .cast("decimal(38,0)")
+        .alias("qb"),
+    ).localCheckpoint(eager=True)
+    dev = (
+        blk.join(btot, ["user_id", "s", "b"])
+        .filter(F.col("cnt") == F.col("s"))
+        .selectExpr(
+            "user_id",
+            "s",
+            "b",
+            "s * CAST(cumq AS DECIMAL(38,0)) - i * sb AS d",
+        )
+    )
+    rngs = dev.groupBy("user_id", "s", "b").agg(
+        (F.max("d") - F.min("d")).cast("decimal(38,0)").alias("rng")
+    )
+    terms = rngs.join(btot, ["user_id", "s", "b"]).selectExpr(
+        "s",
+        "CASE WHEN rng > 0 AND s * qb - sb * sb > 0"
+        " THEN CAST(ROUND(ln(CAST(rng AS DOUBLE)"
+        " / sqrt(CAST(s * qb - sb * sb AS DOUBLE))), 9) AS DECIMAL(18,9))"
+        " END AS t",
+    )
+    per = terms.groupBy("s").agg(
+        F.count("t").cast("bigint").alias("nb"),
+        F.sum("t").cast("decimal(38,9)").alias("st"),
+    )
+    piv = per.filter(F.col("nb") > 0).agg(
+        F.max(F.when(F.col("s") == 4, F.col("nb"))).alias("n4"),
+        F.max(F.when(F.col("s") == 8, F.col("nb"))).alias("n8"),
+        F.max(F.when(F.col("s") == 16, F.col("nb"))).alias("n16"),
+        F.max(
+            F.when(F.col("s") == 4, F.col("st").cast("double") / F.col("nb"))
+        ).alias("m4"),
+        F.max(
+            F.when(F.col("s") == 16, F.col("st").cast("double") / F.col("nb"))
+        ).alias("m16"),
+    )
+    return piv.filter(
+        (F.col("n4") > 0) & (F.col("n8") > 0) & (F.col("n16") > 0)
+    ).selectExpr(
+        "n4 AS n_blocks_4",
+        "n8 AS n_blocks_8",
+        "n16 AS n_blocks_16",
+        "ROUND((m16 - m4) / (2.0 * CAST(0.6931471805599453 AS DOUBLE)), 6)"
+        " AS hurst",
+    )
+
+
+@register(
+    "events_transition_entropy",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type AS cur,
+               LEAD(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS nxt
+        FROM events
+    ),
+    pair AS (
+        SELECT cur, nxt, CAST(COUNT(*) AS BIGINT) AS c
+        FROM seq WHERE nxt IS NOT NULL GROUP BY cur, nxt
+    ),
+    marg AS (SELECT cur, CAST(SUM(c) AS BIGINT) AS nc FROM pair GROUP BY cur),
+    hrow AS (
+        SELECT p.cur, MAX(m.nc) AS nc,
+               SUM(CAST(ROUND(-(CAST(p.c AS DOUBLE) / CAST(m.nc AS DOUBLE))
+                   * ln(CAST(p.c AS DOUBLE) / CAST(m.nc AS DOUBLE)), 9)
+                   AS DECIMAL(18,9))) AS h
+        FROM pair p JOIN marg m ON m.cur = p.cur
+        GROUP BY p.cur
+    ),
+    tot AS (SELECT CAST(SUM(nc) AS BIGINT) AS n FROM marg)
+    SELECT cur AS prev_event, nc AS n_transitions,
+           ROUND(CAST(h AS DOUBLE)
+                 / CAST(0.6931471805599453 AS DOUBLE), 6) AS entropy_bits,
+           ROUND(CAST(h AS DOUBLE) * CAST(nc AS DOUBLE) / CAST(n AS DOUBLE)
+                 / CAST(0.6931471805599453 AS DOUBLE), 6)
+               AS weighted_contribution_bits
+    FROM hrow, tot
+    """,
+    doc="Per-state transition entropy of the user event chain: for "
+    "each current event type, H(next | cur) in bits plus its "
+    "prevalence-weighted contribution to the chain's conditional "
+    "entropy — the predictability audit on top of "
+    "event_transition_matrix (a flow with near-zero entropy rows is "
+    "ripe for prefetching; high-entropy rows aren't worth a Markov "
+    "feature). Transition counts are exact; each -p ln p term is one "
+    "identical double sequence rounded to 9 dp and DECIMAL-summed; "
+    "/ln2 converts with the literal constant.",
+)
+def events_transition_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: one per-user window sort for the lead, one
+    (cur, nxt)-cell aggregate (|types|^2 rows), bounded joins after —
+    the transition relation is catalog-sized, not data-sized."""
+    from pyspark.sql.window import Window
+
+    ev = load_fixture(spark, sf_dir, "events")
+    seq = ev.select(
+        F.col("event_type").alias("cur"),
+        F.lead("event_type")
+        .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("nxt"),
+    ).filter(F.col("nxt").isNotNull())
+    pair = seq.groupBy("cur", "nxt").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    ).localCheckpoint(eager=True)
+    marg = pair.groupBy("cur").agg(F.sum("c").cast("bigint").alias("nc"))
+    hrow = (
+        pair.join(F.broadcast(marg), "cur")
+        .groupBy("cur")
+        .agg(
+            F.max("nc").alias("nc"),
+            F.sum(
+                F.expr(
+                    "CAST(ROUND(-(CAST(c AS DOUBLE) / CAST(nc AS DOUBLE))"
+                    " * ln(CAST(c AS DOUBLE) / CAST(nc AS DOUBLE)), 9)"
+                    " AS DECIMAL(18,9))"
+                )
+            ).alias("h"),
+        )
+    )
+    tot = marg.agg(F.sum("nc").cast("bigint").alias("n"))
+    return hrow.crossJoin(F.broadcast(tot)).selectExpr(
+        "cur AS prev_event",
+        "nc AS n_transitions",
+        "ROUND(CAST(h AS DOUBLE) / CAST(0.6931471805599453 AS DOUBLE), 6)"
+        " AS entropy_bits",
+        "ROUND(CAST(h AS DOUBLE) * CAST(nc AS DOUBLE) / CAST(n AS DOUBLE)"
+        " / CAST(0.6931471805599453 AS DOUBLE), 6)"
+        " AS weighted_contribution_bits",
+    )

@@ -611,3 +611,71 @@ def test_pps_systematic_reference(spark, sf_dir, con):
         total_draws += r["n_hits"]
     # the systematic design draws EXACTLY 50 (zero-variance property)
     assert total_draws == 50
+
+
+# ---------------------------------------------------------------- wave 7
+
+
+def test_hurst_rs_reference(spark, sf_dir, con):
+    rows = con.execute(
+        "SELECT user_id, CAST(floor(CAST(value AS DOUBLE) * 1000000.0 + 0.5)"
+        " AS BIGINT) FROM events WHERE event_type = 'purchase'"
+        " ORDER BY user_id, ts, event_id"
+    ).fetchall()
+    series = {}
+    for u, q in rows:
+        series.setdefault(u, []).append(q)
+    means = {}
+    counts = {}
+    for s in (4, 8, 16):
+        terms = []
+        for qs in series.values():
+            for b0 in range(0, len(qs) - s + 1, s):
+                blk = qs[b0 : b0 + s]
+                mu = sum(blk) / s
+                cum = 0.0
+                devs = []
+                for x in blk:
+                    cum += x - mu
+                    devs.append(cum)
+                rng = max(devs) - min(devs)
+                var = sum(x * x for x in blk) / s - mu * mu
+                if rng > 0 and var > 0:
+                    terms.append(math.log(rng / math.sqrt(var)))
+        means[s] = sum(terms) / len(terms)
+        counts[s] = len(terms)
+    ref = (means[16] - means[4]) / (2 * math.log(2))
+
+    (out,) = run(spark, sf_dir, "timeseries_hurst_rs")
+    assert out["n_blocks_4"] == counts[4]
+    assert out["n_blocks_8"] == counts[8]
+    assert out["n_blocks_16"] == counts[16]
+    assert abs(out["hurst"] - ref) < 1e-4
+
+
+def test_transition_entropy_reference(spark, sf_dir, con):
+    rows = con.execute(
+        "SELECT user_id, event_type FROM events ORDER BY user_id, ts, event_id"
+    ).fetchall()
+    pairs = {}
+    prev = {}
+    for u, t in rows:
+        if u in prev:
+            pairs[(prev[u], t)] = pairs.get((prev[u], t), 0) + 1
+        prev[u] = t
+    marg = {}
+    for (cur, _), c in pairs.items():
+        marg[cur] = marg.get(cur, 0) + c
+    n = sum(marg.values())
+    out = {r["prev_event"]: r for r in run(spark, sf_dir, "events_transition_entropy")}
+    assert set(out) == set(marg)
+    for cur, nc in marg.items():
+        h = -sum(
+            c / nc * math.log(c / nc)
+            for (p, _), c in pairs.items()
+            if p == cur
+        ) / math.log(2)
+        r = out[cur]
+        assert r["n_transitions"] == nc
+        assert abs(r["entropy_bits"] - h) < 1e-5
+        assert abs(r["weighted_contribution_bits"] - h * nc / n) < 1e-5
