@@ -248,6 +248,9 @@ HEADLINE = [
     "sample_pps_systematic",
     "timeseries_hurst_rs",
     "events_transition_entropy",
+    "agg_kruskal_wallis",
+    "agg_anova_oneway",
+    "eval_log_loss",
 ]
 
 

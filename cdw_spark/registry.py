@@ -195,6 +195,10 @@ _NEXT_WINDOW_QUEUE: tuple[str, ...] = (
     # round-9 seventh wave: long-memory diagnostic, chain predictability
     "timeseries_hurst_rs",
     "events_transition_entropy",
+    # round-9 eighth wave: k-group tests, third proper-scoring lens
+    "agg_kruskal_wallis",
+    "agg_anova_oneway",
+    "eval_log_loss",
 )
 
 

@@ -6625,3 +6625,255 @@ def events_transition_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         " / CAST(0.6931471805599453 AS DOUBLE), 6)"
         " AS weighted_contribution_bits",
     )
+
+
+@register(
+    "agg_kruskal_wallis",
+    oracle="""
+    WITH cells AS (
+        SELECT o_totalprice AS v, o_orderpriority AS g,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM orders GROUP BY 1, 2
+    ),
+    vals AS (SELECT v, CAST(SUM(c) AS BIGINT) AS cv FROM cells GROUP BY v),
+    ranked AS (
+        SELECT v, cv,
+               CAST(2 * SUM(cv) OVER (ORDER BY v
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) - cv + 1 AS BIGINT)
+                   AS dr2
+        FROM vals
+    ),
+    grp AS (
+        SELECT g, CAST(SUM(c) AS BIGINT) AS nj,
+               CAST(SUM(CAST(c AS DECIMAL(19,0)) * r.dr2) AS DECIMAL(38,0))
+                   AS r2j
+        FROM cells JOIN ranked r USING (v) GROUP BY g
+    ),
+    tot AS (
+        SELECT CAST(SUM(cv) AS BIGINT) AS n,
+               CAST(SUM(cv * cv * cv - cv) AS DECIMAL(38,0)) AS tie3
+        FROM vals
+    ),
+    terms AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS k,
+               SUM(CAST(ROUND(CAST(r2j AS DOUBLE) * CAST(r2j AS DOUBLE)
+                              / (4.0 * CAST(nj AS DOUBLE)), 9)
+                        AS DECIMAL(38,9))) AS s
+        FROM grp
+    )
+    SELECT n, k AS n_groups,
+           ROUND(12.0 * CAST(s AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0))
+                 - 3.0 * (CAST(n AS DOUBLE) + 1.0), 6) AS h_stat,
+           ROUND((12.0 * CAST(s AS DOUBLE)
+                  / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0))
+                  - 3.0 * (CAST(n AS DOUBLE) + 1.0))
+                 / (1.0 - CAST(tie3 AS DOUBLE)
+                    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                       * CAST(n AS DOUBLE) - CAST(n AS DOUBLE))), 6)
+               AS h_tie_corrected
+    FROM terms, tot
+    """,
+    doc="Kruskal-Wallis H test: do order totals differ across the five "
+    "order priorities? The k-group generalization of "
+    "agg_mann_whitney_u, with the standard tie correction "
+    "H / (1 - sum(t^3 - t)/(N^3 - N)) — the nonparametric ANOVA a "
+    "curation pipeline runs before trusting a per-priority mean. Same "
+    "EXACT rank machinery as MW: ranks per DISTINCT value, average tie "
+    "ranks carried as DOUBLED integers (2*rank_min + c - 1), so every "
+    "per-group rank sum is an exact integer; R_j^2/(4 n_j) is the only "
+    "double, rounded to 9 dp and DECIMAL-summed over the k=5-row group "
+    "relation (order-independent). int64 bound: the tie term t^3 - t "
+    "overflows past ~2.1e6 copies of one price (the agg_mann_whitney_u "
+    "bound, same operand).",
+)
+def agg_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: one groupBy to (value, priority) cells, one to
+    distinct values, exact running counts via two_level_cumsum (range-
+    bucketed parallel within-bucket windows — no single-partition sort),
+    one broadcast join back to the cell relation, then two bounded
+    reduces. The fact table is shuffled once, on the value column."""
+    from ..operators.stats import two_level_cumsum
+
+    o = load_fixture(spark, sf_dir, "orders")
+    cells = (
+        o.groupBy(F.col("o_totalprice").alias("v"), F.col("o_orderpriority").alias("g"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    vals = cells.groupBy("v").agg(F.sum("c").cast("bigint").alias("cv"))
+    ranked = two_level_cumsum(vals, [], "v", [], {"cum": "cv"}).select(
+        "v", (F.lit(2) * F.col("cum") - F.col("cv") + F.lit(1)).alias("dr2")
+    )
+    grp = (
+        cells.join(ranked, "v")
+        .groupBy("g")
+        .agg(
+            F.sum("c").cast("bigint").alias("nj"),
+            F.sum(F.expr("CAST(c AS DECIMAL(19,0)) * dr2"))
+            .cast("decimal(38,0)")
+            .alias("r2j"),
+        )
+    )
+    tot = vals.agg(
+        F.sum("cv").cast("bigint").alias("n"),
+        F.sum(F.col("cv") * F.col("cv") * F.col("cv") - F.col("cv"))
+        .cast("decimal(38,0)")
+        .alias("tie3"),
+    )
+    terms = grp.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum(
+            F.expr(
+                "CAST(ROUND(CAST(r2j AS DOUBLE) * CAST(r2j AS DOUBLE)"
+                " / (4.0 * CAST(nj AS DOUBLE)), 9) AS DECIMAL(38,9))"
+            )
+        ).alias("s"),
+    )
+    nd = F.col("n").cast("double")
+    h = (
+        F.lit(12.0) * F.col("s").cast("double") / (nd * (nd + F.lit(1.0)))
+        - F.lit(3.0) * (nd + F.lit(1.0))
+    )
+    corr = F.lit(1.0) - F.col("tie3").cast("double") / (nd * nd * nd - nd)
+    return terms.crossJoin(F.broadcast(tot)).select(
+        F.col("n"),
+        F.col("k").alias("n_groups"),
+        F.round(h, 6).alias("h_stat"),
+        F.round(h / corr, 6).alias("h_tie_corrected"),
+    )
+
+
+@register(
+    "agg_anova_oneway",
+    oracle="""
+    WITH q AS (
+        SELECT l_returnflag AS g,
+               CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+        FROM lineitem
+    ),
+    grp AS (
+        SELECT g, CAST(COUNT(*) AS BIGINT) AS nj,
+               CAST(SUM(cents) AS HUGEINT) AS sj
+        FROM q GROUP BY g
+    ),
+    tot AS (
+        SELECT CAST(SUM(nj) AS HUGEINT) AS n, CAST(SUM(sj) AS HUGEINT) AS s,
+               CAST(COUNT(*) AS BIGINT) AS k
+        FROM grp
+    ),
+    qq AS (
+        SELECT CAST(SUM(CAST(cents AS HUGEINT) * cents) AS HUGEINT) AS qsum
+        FROM q
+    ),
+    m AS (
+        SELECT grp.g, grp.nj, grp.sj,
+               (2 * sj * 1000000 + nj) // (2 * CAST(nj AS HUGEINT)) AS mj_micro,
+               (2 * s * 1000000 + n) // (2 * n) AS m_micro
+        FROM grp, tot
+    ),
+    ss AS (
+        SELECT CAST(SUM(CAST(nj AS HUGEINT) * (mj_micro - m_micro)
+                        * (mj_micro - m_micro)) AS HUGEINT) AS ssb_q,
+               MAX(m_micro) AS m_micro
+        FROM m
+    ),
+    sst AS (
+        SELECT qsum * 1000000 * 1000000
+               - 2 * ss.m_micro * (SELECT s FROM tot) * 1000000
+               + (SELECT n FROM tot) * ss.m_micro * ss.m_micro AS sst_q
+        FROM qq, ss
+    )
+    SELECT CAST(t.n AS BIGINT) AS n, t.k AS n_groups,
+           CAST(t.k - 1 AS BIGINT) AS df_between,
+           CAST(t.n - t.k AS BIGINT) AS df_within,
+           ROUND((CAST(ss.ssb_q AS DOUBLE) / (CAST(t.k AS DOUBLE) - 1.0))
+                 / ((CAST(sst.sst_q AS DOUBLE) - CAST(ss.ssb_q AS DOUBLE))
+                    / (CAST(t.n AS DOUBLE) - CAST(t.k AS DOUBLE))), 6)
+               AS f_stat,
+           ROUND(CAST(ss.ssb_q AS DOUBLE) / CAST(sst.sst_q AS DOUBLE), 6)
+               AS eta_squared
+    FROM tot t, ss, sst
+    """,
+    doc="One-way ANOVA F test of extended price across the three "
+    "return flags — the pooled k-group mean comparison beside "
+    "agg_welch_ttest (2-group, unpooled) and agg_kruskal_wallis "
+    "(k-group, rank-based). Prices quantize to exact cents; group and "
+    "grand means quantize half-away to exact MICRO-cent integers (the "
+    "eval_brier_decomposition discipline), so SSB = sum nj*(mj - m)^2 "
+    "and SST = 1e12*Q - 2e6*m*S + N*m^2 are EXACT DECIMAL(38,0)/"
+    "HUGEINT integers — no double subtraction of near-equal huge sums "
+    "(the catastrophic-cancellation trap of the textbook Q - S^2/N "
+    "form). SSW = SST - SSB by the quantized-mean identity; doubles "
+    "appear only in the final 1-row F/eta^2 projection. Bound: "
+    "1e12*Q <= 1e38 holds to ~6e9 rows at this price domain (1.35e36 "
+    "at a 100 TB lineitem); mj in micro-cents <= 1.5e13 so nj*(diff)^2 "
+    "<= 2.3e32 per group.",
+)
+def agg_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: one map-side-combined aggregate to the k=3-row
+    group relation plus one global sum-of-squares reduce — no window,
+    no join beyond broadcast crossJoins of 1-row/k-row relations."""
+    li = load_fixture(spark, sf_dir, "lineitem")
+    q = li.selectExpr(
+        "l_returnflag AS g",
+        "CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents",
+    )
+    grp = q.groupBy("g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nj"),
+        F.sum("cents").cast("decimal(38,0)").alias("sj"),
+    )
+    tot = grp.agg(
+        F.sum("nj").cast("decimal(38,0)").alias("n"),
+        F.sum("sj").cast("decimal(38,0)").alias("s"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+    )
+    qq = q.agg(
+        F.sum(F.expr("CAST(cents AS DECIMAL(19,0)) * cents"))
+        .cast("decimal(38,0)")
+        .alias("qsum")
+    )
+    m = grp.crossJoin(F.broadcast(tot)).selectExpr(
+        "nj",
+        "(2 * sj * 1000000 + nj) div (2 * CAST(nj AS DECIMAL(38,0))) AS mj_micro",
+        "(2 * s * 1000000 + n) div (2 * n) AS m_micro",
+    )
+    ss = m.agg(
+        F.sum(
+            F.expr(
+                "CAST(nj AS DECIMAL(19,0))"
+                " * (CAST(mj_micro - m_micro AS DECIMAL(19,0))"
+                " * CAST(mj_micro - m_micro AS DECIMAL(19,0)))"
+            )
+        )
+        .cast("decimal(38,0)")
+        .alias("ssb_q"),
+        F.max("m_micro").alias("m_micro"),
+    )
+    sst = (
+        qq.crossJoin(F.broadcast(ss))
+        .crossJoin(F.broadcast(tot))
+        .selectExpr(
+            "qsum * 1000000 * 1000000 - 2 * m_micro * s * 1000000"
+            " + n * m_micro * m_micro AS sst_q"
+        )
+    )
+    kd = F.col("k").cast("double")
+    ndd = F.col("n").cast("double")
+    ssb = F.col("ssb_q").cast("double")
+    sstd = F.col("sst_q").cast("double")
+    return (
+        tot.crossJoin(F.broadcast(ss))
+        .crossJoin(F.broadcast(sst))
+        .select(
+            F.col("n").cast("bigint").alias("n"),
+            F.col("k").alias("n_groups"),
+            (F.col("k") - F.lit(1)).cast("bigint").alias("df_between"),
+            F.expr("CAST(n - k AS BIGINT)").alias("df_within"),
+            F.round((ssb / (kd - F.lit(1.0))) / ((sstd - ssb) / (ndd - kd)), 6).alias(
+                "f_stat"
+            ),
+            F.round(ssb / sstd, 6).alias("eta_squared"),
+        )
+    )

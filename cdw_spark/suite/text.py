@@ -2016,3 +2016,96 @@ def eval_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ROUND(CAST(rels AS DOUBLE) / (1e12 * CAST(n AS DOUBLE)), 6) AS reliability",
         "ROUND(CAST(ress AS DOUBLE) / (1e12 * CAST(n AS DOUBLE)), 6) AS resolution",
     )
+
+
+@register(
+    "eval_log_loss",
+    oracle="""
+    WITH sc AS (
+        SELECT (2 * LEAST(n_chars, 2000) * 1000000 + 2000) // 4000 AS s_micro,
+               CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        FROM documents
+    ),
+    cells AS (
+        SELECT GREATEST(1, LEAST(999999, s_micro)) AS pm, y,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM sc GROUP BY 1, 2
+    ),
+    terms AS (
+        SELECT CAST(SUM(c) AS BIGINT) AS n, CAST(SUM(y * c) AS BIGINT) AS pos,
+               SUM(CAST(c AS DECIMAL(19,0))
+                   * CAST(ROUND(ln(CAST(CASE WHEN y = 1 THEN pm
+                                            ELSE 1000000 - pm END AS DOUBLE)
+                                   / 1000000.0), 9) AS DECIMAL(18,9))) AS ll
+        FROM cells
+    )
+    SELECT n AS n_docs, pos AS n_positive,
+           ROUND(-CAST(ll AS DOUBLE) / CAST(n AS DOUBLE), 6) AS log_loss,
+           ROUND(CASE WHEN pos = 0 OR pos = n THEN 0.0
+                 ELSE -(CAST(pos AS DOUBLE) / CAST(n AS DOUBLE)
+                        * ln(CAST(pos AS DOUBLE) / CAST(n AS DOUBLE))
+                        + (1.0 - CAST(pos AS DOUBLE) / CAST(n AS DOUBLE))
+                          * ln(1.0 - CAST(pos AS DOUBLE) / CAST(n AS DOUBLE)))
+                 END, 6) AS baseline_log_loss,
+           ROUND(1.0 - (-CAST(ll AS DOUBLE) / CAST(n AS DOUBLE))
+                 / NULLIF(CASE WHEN pos = 0 OR pos = n THEN 0.0
+                          ELSE -(CAST(pos AS DOUBLE) / CAST(n AS DOUBLE)
+                                 * ln(CAST(pos AS DOUBLE) / CAST(n AS DOUBLE))
+                                 + (1.0 - CAST(pos AS DOUBLE) / CAST(n AS DOUBLE))
+                                   * ln(1.0 - CAST(pos AS DOUBLE)
+                                        / CAST(n AS DOUBLE)))
+                          END, 0.0), 6) AS skill_score
+    FROM terms
+    """,
+    doc="Cross-entropy (log loss) of the document-length pseudo-"
+    "classifier for lang = 'en' (score = min(n_chars, 2000)/2000, the "
+    "eval_binary_auc / eval_brier_decomposition score), plus the "
+    "base-rate entropy and the skill score 1 - LL/H(base) — the "
+    "third proper-scoring lens beside Brier and ECE; log loss is what "
+    "LM evals actually optimize. Scores quantize to MICRO integers "
+    "and clip to [1, 999999] micro (the standard log-loss epsilon "
+    "clip, deterministic); the corpus collapses to at most 2*10^6 "
+    "(pm, y) cells so each ln runs once per DISTINCT cell, rounded to "
+    "9 dp and count-weighted into a DECIMAL sum (order-independent). "
+    "Degenerate one-class corpora get baseline 0 and NULL skill in "
+    "BOTH engines (NULLIF, the eval_binary_auc discipline). Bound: "
+    "|term| <= 13.9, so the DECIMAL(38,9) sum holds to ~7e27 rows.",
+)
+def eval_log_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: one map-side-combined aggregate to the bounded
+    (pm, y) cell relation (<= 2e6 rows by construction), one 1-row
+    reduce — no window, no join, no per-row ln."""
+    d = load_fixture(spark, sf_dir, "documents")
+    cells = (
+        d.selectExpr(
+            "GREATEST(1, LEAST(999999,"
+            " (2 * LEAST(n_chars, 2000) * 1000000 + 2000) div 4000)) AS pm",
+            "CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y",
+        )
+        .groupBy("pm", "y")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    terms = cells.agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.sum(F.col("y") * F.col("c")).cast("bigint").alias("pos"),
+        F.sum(
+            F.expr(
+                "CAST(c AS DECIMAL(19,0))"
+                " * CAST(ROUND(ln(CAST(CASE WHEN y = 1 THEN pm"
+                " ELSE 1000000 - pm END AS DOUBLE) / 1000000.0), 9)"
+                " AS DECIMAL(18,9))"
+            )
+        ).alias("ll"),
+    )
+    pd_ = F.col("pos").cast("double") / F.col("n").cast("double")
+    base = F.when(
+        (F.col("pos") == 0) | (F.col("pos") == F.col("n")), F.lit(0.0)
+    ).otherwise(-(pd_ * F.log(pd_) + (F.lit(1.0) - pd_) * F.log(F.lit(1.0) - pd_)))
+    ll = -F.col("ll").cast("double") / F.col("n").cast("double")
+    return terms.select(
+        F.col("n").alias("n_docs"),
+        F.col("pos").alias("n_positive"),
+        F.round(ll, 6).alias("log_loss"),
+        F.round(base, 6).alias("baseline_log_loss"),
+        F.round(F.lit(1.0) - ll / F.nullif(base, F.lit(0.0)), 6).alias("skill_score"),
+    )

@@ -679,3 +679,90 @@ def test_transition_entropy_reference(spark, sf_dir, con):
         assert r["n_transitions"] == nc
         assert abs(r["entropy_bits"] - h) < 1e-5
         assert abs(r["weighted_contribution_bits"] - h * nc / n) < 1e-5
+
+
+# ---------------------------------------------------------------- wave 8
+
+
+def test_kruskal_wallis_reference(spark, sf_dir, con):
+    rows = con.execute(
+        "SELECT o_orderpriority, o_totalprice FROM orders"
+    ).fetchall()
+    vals = sorted(v for _, v in rows)
+    first = {}
+    for i, v in enumerate(vals):
+        first.setdefault(v, i + 1)
+    count = {}
+    for v in vals:
+        count[v] = count.get(v, 0) + 1
+    rank = {v: first[v] + (count[v] - 1) / 2 for v in count}
+    groups = {}
+    for g, v in rows:
+        groups.setdefault(g, []).append(rank[v])
+    n = len(vals)
+    s = sum(sum(rs) ** 2 / len(rs) for rs in groups.values())
+    h = 12.0 * s / (n * (n + 1)) - 3.0 * (n + 1)
+    tie3 = sum(c**3 - c for c in count.values())
+    hc = h / (1 - tie3 / (n**3 - n))
+
+    (out,) = run(spark, sf_dir, "agg_kruskal_wallis")
+    assert out["n"] == n
+    assert out["n_groups"] == len(groups)
+    assert abs(out["h_stat"] - h) < 1e-4
+    assert abs(out["h_tie_corrected"] - hc) < 1e-4
+
+
+def test_anova_oneway_reference(spark, sf_dir, con):
+    rows = con.execute(
+        "SELECT l_returnflag, CAST(floor(l_extendedprice * 100 + 0.5)"
+        " AS BIGINT) FROM lineitem"
+    ).fetchall()
+    groups = {}
+    for g, c in rows:
+        groups.setdefault(g, []).append(c)
+    n = len(rows)
+    k = len(groups)
+    grand = sum(c for _, c in rows) / n
+    ssb = sum(len(xs) * (sum(xs) / len(xs) - grand) ** 2 for xs in groups.values())
+    sst = sum((c - grand) ** 2 for _, c in rows)
+    ssw = sst - ssb
+    f = (ssb / (k - 1)) / (ssw / (n - k))
+    eta = ssb / sst
+
+    (out,) = run(spark, sf_dir, "agg_anova_oneway")
+    assert out["n"] == n
+    assert out["n_groups"] == k
+    assert out["df_between"] == k - 1
+    assert out["df_within"] == n - k
+    # the operator quantizes means to micro-cents (exact integers, no
+    # catastrophic cancellation); vs the float reference that is a
+    # relative perturbation ~1e-6 of the mean, so compare loosely
+    assert abs(out["f_stat"] - f) / max(abs(f), 1.0) < 1e-3
+    assert abs(out["eta_squared"] - eta) < 1e-4
+
+
+def test_log_loss_reference(spark, sf_dir, con):
+    rows = con.execute(
+        "SELECT LEAST(n_chars, 2000), CASE WHEN lang = 'en' THEN 1 ELSE 0 END"
+        " FROM documents"
+    ).fetchall()
+    n = len(rows)
+    pos = sum(y for _, y in rows)
+    terms = []
+    for nc, y in rows:
+        pm = (2 * nc * 1000000 + 2000) // 4000
+        pm = max(1, min(999999, pm))
+        p = pm / 1e6
+        terms.append(math.log(p) if y == 1 else math.log(1 - pm / 1e6))
+    ll = -sum(terms) / n
+    pbar = pos / n
+    base = 0.0 if pos in (0, n) else -(
+        pbar * math.log(pbar) + (1 - pbar) * math.log(1 - pbar)
+    )
+    (out,) = run(spark, sf_dir, "eval_log_loss")
+    assert out["n_docs"] == n
+    assert out["n_positive"] == pos
+    assert abs(out["log_loss"] - ll) < 1e-5
+    assert abs(out["baseline_log_loss"] - base) < 1e-5
+    if base > 0:
+        assert abs(out["skill_score"] - (1 - ll / base)) < 1e-4
