@@ -251,6 +251,9 @@ HEADLINE = [
     "agg_kruskal_wallis",
     "agg_anova_oneway",
     "eval_log_loss",
+    "agg_levene_brown_forsythe",
+    "graph_degree_assortativity",
+    "text_flesch_reading_ease",
 ]
 
 

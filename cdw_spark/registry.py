@@ -199,6 +199,11 @@ _NEXT_WINDOW_QUEUE: tuple[str, ...] = (
     "agg_kruskal_wallis",
     "agg_anova_oneway",
     "eval_log_loss",
+    # round-9 ninth wave: variance-homogeneity gate, graph mixing,
+    # readability
+    "agg_levene_brown_forsythe",
+    "graph_degree_assortativity",
+    "text_flesch_reading_ease",
 )
 
 

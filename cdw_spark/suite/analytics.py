@@ -6877,3 +6877,143 @@ def agg_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(ssb / sstd, 6).alias("eta_squared"),
         )
     )
+
+
+@register(
+    "agg_levene_brown_forsythe",
+    oracle="""
+    WITH q AS (
+        SELECT l_returnflag AS g,
+               CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+        FROM lineitem
+    ),
+    ranked AS (
+        SELECT g, cents,
+               ROW_NUMBER() OVER (PARTITION BY g ORDER BY cents) AS rn,
+               COUNT(*) OVER (PARTITION BY g) AS ng
+        FROM q
+    ),
+    med AS (
+        SELECT g, CAST(ROUND(AVG(cents) * 2, 0) AS BIGINT) AS med2
+        FROM ranked
+        WHERE rn = (ng + 1) // 2 OR rn = (ng + 2) // 2
+        GROUP BY g
+    ),
+    z AS (
+        SELECT q.g, abs(2 * q.cents - m.med2) AS z
+        FROM q JOIN med m ON m.g = q.g
+    ),
+    grp AS (
+        SELECT g, CAST(COUNT(*) AS BIGINT) AS nj,
+               CAST(SUM(z) AS HUGEINT) AS szj,
+               CAST(SUM(CAST(z AS HUGEINT) * z) AS HUGEINT) AS qzj
+        FROM z GROUP BY g
+    ),
+    tot AS (
+        SELECT CAST(SUM(nj) AS HUGEINT) AS n, CAST(SUM(szj) AS HUGEINT) AS s,
+               CAST(COUNT(*) AS BIGINT) AS k
+        FROM grp
+    ),
+    m2 AS (
+        SELECT nj, szj, qzj,
+               (2 * szj * 1000000 + nj) // (2 * CAST(nj AS HUGEINT)) AS mj,
+               (2 * s * 1000000 + n) // (2 * n) AS mg
+        FROM grp, tot
+    ),
+    ss AS (
+        SELECT CAST(SUM(CAST(nj AS HUGEINT) * (mj - mg) * (mj - mg))
+                    AS HUGEINT) AS ssb_q,
+               CAST(SUM(qzj * 1000000 * 1000000 - 2 * mj * szj * 1000000
+                        + CAST(nj AS HUGEINT) * mj * mj) AS HUGEINT) AS ssw_q
+        FROM m2
+    )
+    SELECT CAST(t.n AS BIGINT) AS n, t.k AS n_groups,
+           CAST(t.k - 1 AS BIGINT) AS df_between,
+           CAST(t.n - t.k AS BIGINT) AS df_within,
+           ROUND((CAST(ss.ssb_q AS DOUBLE) / (CAST(t.k AS DOUBLE) - 1.0))
+                 / (CAST(ss.ssw_q AS DOUBLE)
+                    / (CAST(t.n AS DOUBLE) - CAST(t.k AS DOUBLE))), 6)
+               AS w_stat
+    FROM tot t, ss
+    """,
+    doc="Brown-Forsythe test of variance homogeneity across the three "
+    "return flags (Levene's test with the median center — the robust "
+    "variant): W = ANOVA F applied to z = |x - median_group|. The "
+    "homoscedasticity gate in front of agg_anova_oneway (pooled-"
+    "variance F assumes equal spreads; W says whether that holds). "
+    "Prices quantize to cents; per-group medians come exact (the "
+    "banded median machinery) and DOUBLE as integers so z = "
+    "|2*cents - med2| is an exact integer even for even-n half-cent "
+    "medians; group/grand z-means micro-quantize half-away (the "
+    "agg_anova_oneway identity) making SSB and the per-group SSW "
+    "both exact DECIMAL(38,0)/HUGEINT sums. Bound: 1e12 * sum(z^2) "
+    "<= 1e38 holds to ~2.5e8 rows per group at this price domain; "
+    "doubles appear only in the final 1-row W projection.",
+)
+def agg_levene_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: one banded-median pass (sketch brackets the median,
+    only the ~2% band sorts), one broadcast join of the k=3-row median
+    relation, one map-side-combined group aggregate, bounded reduces —
+    no full-table window, no global sort."""
+    from ..operators.stats import banded_exact_median
+
+    li = load_fixture(spark, sf_dir, "lineitem")
+    q = li.selectExpr(
+        "l_returnflag AS g",
+        "CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents",
+    )
+    med = banded_exact_median(q, ["g"], "cents", out_col="med").selectExpr(
+        "g", "CAST(ROUND(med * 2, 0) AS BIGINT) AS med2"
+    )
+    z = q.join(F.broadcast(med), "g").selectExpr("g", "abs(2 * cents - med2) AS z")
+    grp = z.groupBy("g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nj"),
+        F.sum("z").cast("decimal(38,0)").alias("szj"),
+        F.sum(F.expr("CAST(z AS DECIMAL(19,0)) * z")).cast("decimal(38,0)").alias(
+            "qzj"
+        ),
+    )
+    tot = grp.agg(
+        F.sum("nj").cast("decimal(38,0)").alias("n"),
+        F.sum("szj").cast("decimal(38,0)").alias("s"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+    )
+    m2 = grp.crossJoin(F.broadcast(tot)).selectExpr(
+        "nj",
+        "szj",
+        "qzj",
+        "(2 * szj * 1000000 + nj) div (2 * CAST(nj AS DECIMAL(38,0))) AS mj",
+        "(2 * s * 1000000 + n) div (2 * n) AS mg",
+    )
+    ss = m2.agg(
+        F.sum(
+            F.expr(
+                "CAST(nj AS DECIMAL(19,0))"
+                " * (CAST(mj - mg AS DECIMAL(19,0)) * CAST(mj - mg AS DECIMAL(19,0)))"
+            )
+        )
+        .cast("decimal(38,0)")
+        .alias("ssb_q"),
+        F.sum(
+            F.expr(
+                "qzj * 1000000 * 1000000 - 2 * mj * szj * 1000000"
+                " + CAST(nj AS DECIMAL(19,0)) * (CAST(mj AS DECIMAL(19,0))"
+                " * CAST(mj AS DECIMAL(19,0)))"
+            )
+        )
+        .cast("decimal(38,0)")
+        .alias("ssw_q"),
+    )
+    kd = F.col("k").cast("double")
+    ndd = F.col("n").cast("double")
+    return tot.crossJoin(F.broadcast(ss)).select(
+        F.col("n").cast("bigint").alias("n"),
+        F.col("k").alias("n_groups"),
+        (F.col("k") - F.lit(1)).cast("bigint").alias("df_between"),
+        F.expr("CAST(n - k AS BIGINT)").alias("df_within"),
+        F.round(
+            (F.col("ssb_q").cast("double") / (kd - F.lit(1.0)))
+            / (F.col("ssw_q").cast("double") / (ndd - kd)),
+            6,
+        ).alias("w_stat"),
+    )

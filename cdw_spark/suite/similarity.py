@@ -1507,3 +1507,81 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("aa").cast("double"), 6).alias("adamic_adar"),
         )
     )
+
+
+@register(
+    "graph_degree_assortativity",
+    oracle=_KNN_EDGES_CTE + """,
+    adj AS (SELECT a AS n, b AS m FROM edges
+            UNION ALL SELECT b AS n, a AS m FROM edges),
+    deg AS (SELECT n, CAST(COUNT(*) AS BIGINT) AS d FROM adj GROUP BY n),
+    j AS (
+        SELECT dn.d AS dj, dm.d AS dk
+        FROM adj JOIN deg dn ON dn.n = adj.n JOIN deg dm ON dm.n = adj.m
+    ),
+    s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS m2,
+               CAST(SUM(dj) AS HUGEINT) AS sj,
+               CAST(SUM(CAST(dj AS HUGEINT) * dk) AS HUGEINT) AS sjk,
+               CAST(SUM(CAST(dj AS HUGEINT) * dj) AS HUGEINT) AS sj2
+        FROM j
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM deg) AS n_nodes,
+           CAST(m2 // 2 AS BIGINT) AS n_edges,
+           ROUND((CAST(m2 AS DOUBLE) * CAST(sjk AS DOUBLE)
+                  - CAST(sj AS DOUBLE) * CAST(sj AS DOUBLE))
+                 / NULLIF(CAST(m2 AS DOUBLE) * CAST(sj2 AS DOUBLE)
+                          - CAST(sj AS DOUBLE) * CAST(sj AS DOUBLE), 0.0), 6)
+               AS assortativity
+    FROM s
+    """,
+    doc="Degree assortativity coefficient (Newman 2002) of the same "
+    "hash-checked kNN graph as graph_clustering_coefficient / "
+    "graph_adamic_adar: the Pearson correlation of endpoint degrees "
+    "over the both-ways edge relation — positive means hubs attach to "
+    "hubs (social-network-like), negative means hub-leaf (internet-"
+    "like); the one-number mixing audit run before trusting degree-"
+    "based sampling. Over the symmetric adjacency, sum(dj) = sum(dk) "
+    "and sum(dj^2) = sum(dk^2), so r = (M*sum(dj*dk) - sum(dj)^2) / "
+    "(M*sum(dj^2) - sum(dj)^2) with EVERY operand an exact integer "
+    "(degrees are k-bounded by the 3-NN construction); the only "
+    "doubles are the final 1-row division, NULLIF-guarded for the "
+    "regular-graph degenerate case (all degrees equal -> undefined).",
+)
+def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: degree-bounded edge relation (|V|*k rows), one
+    degree aggregate, two broadcast degree joins, a single 1-row
+    reduce — no window, no global sort, nothing quadratic."""
+    emb = load_fixture(spark, sf_dir, "embeddings")
+    edges = _knn_undirected_edges(emb).localCheckpoint(eager=True)
+    adj = edges.select(F.col("a").alias("n"), F.col("b").alias("m")).unionAll(
+        edges.select(F.col("b").alias("n"), F.col("a").alias("m"))
+    )
+    deg = adj.groupBy("n").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    dn = deg.select(F.col("n"), F.col("d").alias("dj"))
+    dm = deg.select(F.col("n").alias("m"), F.col("d").alias("dk"))
+    j = adj.join(F.broadcast(dn), "n").join(F.broadcast(dm), "m")
+    s = j.agg(
+        F.count(F.lit(1)).cast("bigint").alias("m2"),
+        F.sum("dj").cast("decimal(38,0)").alias("sj"),
+        F.sum(F.expr("CAST(dj AS DECIMAL(19,0)) * dk")).cast("decimal(38,0)").alias(
+            "sjk"
+        ),
+        F.sum(F.expr("CAST(dj AS DECIMAL(19,0)) * dj")).cast("decimal(38,0)").alias(
+            "sj2"
+        ),
+    )
+    nn = deg.agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+    m2d = F.col("m2").cast("double")
+    sjd = F.col("sj").cast("double")
+    return s.crossJoin(F.broadcast(nn)).select(
+        F.col("n_nodes"),
+        F.expr("CAST(m2 div 2 AS BIGINT)").alias("n_edges"),
+        F.round(
+            (m2d * F.col("sjk").cast("double") - sjd * sjd)
+            / F.nullif(
+                m2d * F.col("sj2").cast("double") - sjd * sjd, F.lit(0.0)
+            ),
+            6,
+        ).alias("assortativity"),
+    )

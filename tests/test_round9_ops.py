@@ -766,3 +766,94 @@ def test_log_loss_reference(spark, sf_dir, con):
     assert abs(out["baseline_log_loss"] - base) < 1e-5
     if base > 0:
         assert abs(out["skill_score"] - (1 - ll / base)) < 1e-4
+
+
+# ---------------------------------------------------------------- wave 9
+
+
+def test_brown_forsythe_reference(spark, sf_dir, con):
+    rows = con.execute(
+        "SELECT l_returnflag, CAST(floor(l_extendedprice * 100 + 0.5)"
+        " AS BIGINT) FROM lineitem"
+    ).fetchall()
+    groups = {}
+    for g, c in rows:
+        groups.setdefault(g, []).append(c)
+    zs = {}
+    for g, xs in groups.items():
+        xs_sorted = sorted(xs)
+        ng = len(xs_sorted)
+        med = (xs_sorted[(ng - 1) // 2] + xs_sorted[ng // 2]) / 2
+        zs[g] = [abs(x - med) for x in xs]
+    n = sum(len(v) for v in zs.values())
+    k = len(zs)
+    grand = sum(sum(v) for v in zs.values()) / n
+    ssb = sum(len(v) * (sum(v) / len(v) - grand) ** 2 for v in zs.values())
+    ssw = sum(
+        sum((x - sum(v) / len(v)) ** 2 for x in v) for v in zs.values()
+    )
+    w = (ssb / (k - 1)) / (ssw / (n - k))
+
+    (out,) = run(spark, sf_dir, "agg_levene_brown_forsythe")
+    assert out["n"] == n
+    assert out["n_groups"] == k
+    assert out["df_between"] == k - 1
+    assert out["df_within"] == n - k
+    # operator works in doubled cents with micro-quantized means —
+    # relative perturbation ~1e-6, so compare loosely
+    assert abs(out["w_stat"] - w) / max(abs(w), 1.0) < 1e-3
+
+
+def test_degree_assortativity_reference(spark, sf_dir):
+    # independent recomputation over the operator family's own edge
+    # relation (hash-checked against DuckDB by the other graph oracles)
+    edges = [
+        (r["a"], r["b"])
+        for r in SPECS["graph_link_prediction"]
+        .fn.__globals__["_knn_undirected_edges"](
+            SPECS["graph_link_prediction"]
+            .fn.__globals__["load_fixture"](spark, sf_dir, "embeddings")
+        )
+        .collect()
+    ]
+    deg = {}
+    for a, b in edges:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    pairs = [(deg[a], deg[b]) for a, b in edges] + [
+        (deg[b], deg[a]) for a, b in edges
+    ]
+    m = len(pairs)
+    sj = sum(j for j, _ in pairs)
+    sjk = sum(j * kk for j, kk in pairs)
+    sj2 = sum(j * j for j, _ in pairs)
+    denom = m * sj2 - sj * sj
+    ref = (m * sjk - sj * sj) / denom if denom else None
+
+    (out,) = run(spark, sf_dir, "graph_degree_assortativity")
+    assert out["n_nodes"] == len(deg)
+    assert out["n_edges"] == len(edges)
+    if ref is None:
+        assert out["assortativity"] is None
+    else:
+        assert abs(out["assortativity"] - ref) < 1e-5
+
+
+def test_flesch_reference(spark, sf_dir, con):
+    rows = con.execute("SELECT doc_id, text FROM documents").fetchall()
+    ref = {}
+    for doc_id, text in rows:
+        lt = text.lower()
+        nw = max(1, len(re.findall(r"[a-z0-9]+", lt, re.ASCII)))
+        ns = max(1, len(re.findall(r"[.!?]+", text, re.ASCII)))
+        nsy = max(1, len(re.findall(r"[aeiouy]+", lt, re.ASCII)))
+        ref[doc_id] = (nw, ns, nsy, 206.835 - 1.015 * (nw / ns) - 84.6 * (nsy / nw))
+
+    out = run(spark, sf_dir, "text_flesch_reading_ease")
+    assert len(out) == len(ref)
+    for r in out:
+        nw, ns, nsy, score = ref[r["doc_id"]]
+        assert r["n_words"] == nw
+        assert r["n_sentences"] == ns
+        assert r["n_syllables"] == nsy
+        assert abs(r["flesch_score"] - score) < 1e-3
