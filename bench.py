@@ -254,6 +254,9 @@ HEADLINE = [
     "agg_levene_brown_forsythe",
     "graph_degree_assortativity",
     "text_flesch_reading_ease",
+    "dq_freshness_lag",
+    "window_ulcer_index",
+    "sample_horvitz_thompson",
 ]
 
 

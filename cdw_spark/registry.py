@@ -204,6 +204,10 @@ _NEXT_WINDOW_QUEUE: tuple[str, ...] = (
     "agg_levene_brown_forsythe",
     "graph_degree_assortativity",
     "text_flesch_reading_ease",
+    # round-9 tenth wave: freshness DQ, RMS drawdown, HT estimation
+    "dq_freshness_lag",
+    "window_ulcer_index",
+    "sample_horvitz_thompson",
 )
 
 

@@ -7017,3 +7017,88 @@ def agg_levene_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("w_stat"),
     )
+
+
+@register(
+    "window_ulcer_index",
+    oracle="""
+    WITH p AS (
+        SELECT user_id, event_id,
+               CAST(floor(CAST(value AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)
+                   AS q,
+               ts
+        FROM events WHERE event_type = 'purchase'
+          AND CAST(floor(CAST(value AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) > 0
+    ),
+    r AS (
+        SELECT user_id, q,
+               MAX(q) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS peak
+        FROM p
+    ),
+    d AS (
+        SELECT user_id,
+               CAST((2 * (peak - q) * 1000000 + peak) // (2 * peak) AS BIGINT)
+                   AS dd_micro
+        FROM r
+    )
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_points,
+           ROUND(sqrt(CAST(SUM(CAST(dd_micro AS HUGEINT) * dd_micro)
+                           AS DOUBLE)
+                      / CAST(COUNT(*) AS DOUBLE)) / 1000000.0, 6)
+               AS ulcer_index
+    FROM d GROUP BY user_id
+    """,
+    doc="Ulcer index per user over the purchase-value series: "
+    "sqrt(mean(drawdown^2)) from the same running-peak drawdown "
+    "stream as window_max_drawdown — the RMS companion to the max "
+    "(max says how deep the worst excursion was, ulcer how long and "
+    "heavy the underwater time was; Martin & McCann 1989). Drawdowns "
+    "quantize half-away to exact MICRO fractions (window_max_drawdown's "
+    "integers), their squares sum exactly in HUGEINT/DECIMAL(38,0) "
+    "(dd_micro <= 1e6 so each square <= 1e12 — ~1e26 rows before "
+    "overflow), and the only doubles are the final per-user "
+    "sqrt/divide. Sub-micro first purchases are excluded identically "
+    "in both engines (the q > 0 filter, ADVICE r8 discipline).",
+)
+def window_ulcer_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: one per-user ordered window for the running peak
+    (shares the sort with the drawdown family), one map-side-combined
+    per-user aggregate — no join, no global sort."""
+    from pyspark.sql.window import Window
+
+    e = load_fixture(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    qcol = F.floor(F.col("value").cast("double") * F.lit(1000000.0) + F.lit(0.5)).cast(
+        "bigint"
+    )
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    r = (
+        e.select("user_id", "event_id", qcol.alias("q"), "ts")
+        .filter(F.col("q") > 0)
+        .select(
+            "user_id",
+            "q",
+            F.max("q")
+            .over(wo.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .alias("peak"),
+        )
+    )
+    d = r.selectExpr(
+        "user_id",
+        "CAST((2 * (peak - q) * 1000000 + peak) div (2 * peak) AS BIGINT)"
+        " AS dd_micro",
+    )
+    return d.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_points"),
+        F.round(
+            F.sqrt(
+                F.sum(F.expr("CAST(dd_micro AS DECIMAL(19,0)) * dd_micro"))
+                .cast("decimal(38,0)")
+                .cast("double")
+                / F.count(F.lit(1)).cast("double")
+            )
+            / F.lit(1000000.0),
+            6,
+        ).alias("ulcer_index"),
+    )

@@ -3462,3 +3462,126 @@ def sample_pps_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(cumw - wt AS BIGINT) AS cum_before",
         "CAST(n_hits AS BIGINT) AS n_hits",
     )
+
+
+@register(
+    "sample_horvitz_thompson",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, CAST(n_chars AS BIGINT) AS wt,
+               CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                    AS BIGINT) AS y
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, wt, y,
+               SUM(wt) OVER (ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS cumw
+        FROM d
+    ),
+    tot AS (
+        SELECT CAST(SUM(wt) AS BIGINT) AS tw, CAST(SUM(y) AS BIGINT) AS ty
+        FROM d
+    ),
+    h AS (
+        SELECT doc_id, wt, y,
+               GREATEST(CAST(0 AS HUGEINT), LEAST(CAST(50 AS HUGEINT),
+                   CASE WHEN 100 * CAST(cumw AS HUGEINT) - tw > 0
+                        THEN (100 * CAST(cumw AS HUGEINT) - tw + 2 * tw - 1)
+                             // (2 * CAST(tw AS HUGEINT))
+                        ELSE 0 END))
+               - GREATEST(CAST(0 AS HUGEINT), LEAST(CAST(50 AS HUGEINT),
+                   CASE WHEN 100 * CAST(cumw - wt AS HUGEINT) - tw > 0
+                        THEN (100 * CAST(cumw - wt AS HUGEINT) - tw
+                              + 2 * tw - 1) // (2 * CAST(tw AS HUGEINT))
+                        ELSE 0 END)) AS n_hits
+        FROM c, tot
+    ),
+    s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_sampled,
+               CAST(SUM(n_hits) AS BIGINT) AS total_draws,
+               CAST(SUM((2 * CAST(n_hits AS HUGEINT) * y * 1000000 + wt)
+                        // (2 * CAST(wt AS HUGEINT))) AS HUGEINT) AS est
+        FROM h WHERE n_hits >= 1
+    )
+    SELECT s.n_sampled, s.total_draws,
+           CAST((2 * CAST(t.tw AS HUGEINT) * s.est + 50000000)
+                // 100000000 AS BIGINT) AS ht_estimate,
+           t.ty AS true_total,
+           CAST((2 * abs(CAST((2 * CAST(t.tw AS HUGEINT) * s.est + 50000000)
+                              // 100000000 AS HUGEINT) - t.ty) * 1000000
+                 + t.ty) // (2 * CAST(t.ty AS HUGEINT)) AS BIGINT)
+               AS rel_error_micro
+    FROM s, tot t
+    """,
+    doc="Horvitz-Thompson estimation on top of sample_pps_systematic: "
+    "estimate the corpus's TOTAL WORD COUNT from the 50-draw "
+    "length-proportional systematic sample, Y_hat = (W/50) * "
+    "sum(n_hits * y_i / w_i), and audit it against the exact total — "
+    "the closed loop that justifies PPS sampling for corpus "
+    "statistics (expected-value-exact for any y, and near-exact here "
+    "because words track chars). EVERY number is an exact integer: "
+    "per-doc HT terms quantize half-away to micro units, the estimate "
+    "is one exact integer division of W * sum, and the relative error "
+    "reports in exact micro units — NO doubles anywhere. Bound: "
+    "W * est <= 1e38 holds to a ~1e13-char corpus against this "
+    "sample size (1e20 at the 100 TB point).",
+)
+def sample_horvitz_thompson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: one running-weight pass via the two-level prefix
+    sum (doc_id is unique — the skew contract holds trivially), 1-row
+    broadcast totals, one exact integer filter + reduce. The word
+    count y rides the same scan that the exact truth needs anyway."""
+    from ..operators.stats import two_level_cumsum
+
+    d = (
+        load_fixture(spark, sf_dir, "documents")
+        .selectExpr(
+            "doc_id",
+            "CAST(n_chars AS BIGINT) AS wt",
+            "CAST(size(regexp_extract_all(lower(text), '[a-z0-9]+', 0))"
+            " AS BIGINT) AS y",
+        )
+        .localCheckpoint(eager=True)
+    )
+    c = two_level_cumsum(d, [], "doc_id", [], {"cumw": "wt"})
+    tot = d.agg(
+        F.sum("wt").cast("bigint").alias("tw"),
+        F.sum("y").cast("bigint").alias("ty"),
+    )
+    cb = (
+        "GREATEST(CAST(0 AS DECIMAL(38,0)), LEAST(CAST(50 AS DECIMAL(38,0)),"
+        " CASE WHEN 100 * CAST({x} AS DECIMAL(38,0)) - tw > 0"
+        " THEN (100 * CAST({x} AS DECIMAL(38,0)) - tw + 2 * tw - 1)"
+        " div (2 * CAST(tw AS DECIMAL(38,0))) ELSE 0 END))"
+    )
+    h = c.crossJoin(F.broadcast(tot)).selectExpr(
+        "doc_id",
+        "wt",
+        "y",
+        f"{cb.format(x='cumw')} - {cb.format(x='(cumw - wt)')} AS n_hits",
+    )
+    s = h.filter(F.col("n_hits") >= 1).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sampled"),
+        F.sum("n_hits").cast("bigint").alias("total_draws"),
+        F.sum(
+            F.expr(
+                "(2 * CAST(n_hits AS DECIMAL(19,0)) * y * 1000000 + wt)"
+                " div (2 * CAST(wt AS DECIMAL(19,0)))"
+            )
+        )
+        .cast("decimal(38,0)")
+        .alias("est"),
+    )
+    return s.crossJoin(F.broadcast(tot)).selectExpr(
+        "n_sampled",
+        "total_draws",
+        "CAST((2 * CAST(tw AS DECIMAL(19,0)) * est + 50000000)"
+        " div 100000000 AS BIGINT) AS ht_estimate",
+        "ty AS true_total",
+        "CAST((2 * abs(CAST((2 * CAST(tw AS DECIMAL(19,0)) * est + 50000000)"
+        " div 100000000 AS DECIMAL(38,0)) - ty) * 1000000"
+        " + ty) div (2 * CAST(ty AS DECIMAL(19,0))) AS BIGINT)"
+        " AS rel_error_micro",
+    )

@@ -1189,3 +1189,64 @@ def dq_order_total_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_within_1pct"),
         (F.max(F.expr(rel)).cast("double") / F.lit(1000000.0)).alias("max_rel_dev"),
     )
+
+
+@register(
+    "dq_freshness_lag",
+    oracle="""
+    WITH g AS (SELECT MAX(ts) AS gmax FROM events),
+    p AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               MAX(ts) AS tmax
+        FROM events GROUP BY event_type
+    )
+    SELECT p.event_type, p.n_rows,
+           CAST(epoch_us(g.gmax) - epoch_us(p.tmax) AS BIGINT) // 1000000
+               AS staleness_seconds,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM events e
+            WHERE e.event_type = p.event_type
+              AND epoch_us(e.ts) >= epoch_us(g.gmax) - 86400000000)
+               AS rows_last_day
+    FROM p, g
+    """,
+    doc="Per-source freshness audit: how stale is each event type's "
+    "newest row against the pipeline's global high-water mark, and how "
+    "many of its rows arrived in the last 24 h of data — the first "
+    "check run when a feed silently stops (a type whose staleness "
+    "grows while others stay near zero is a dead upstream). Timestamps "
+    "compare as exact epoch MICROSECOND integers (the repo's "
+    "timestamps-cross-as-longs rule), floored to whole seconds; no "
+    "floats anywhere.",
+)
+def dq_freshness_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: two map-side-combined aggregates over events (one
+    per-type, one fused 24h-window count via a conditional sum after a
+    1-row broadcast of the global max) — no window, no sort."""
+    e = load_fixture(spark, sf_dir, "events")
+    g = e.agg(F.max(F.unix_micros(F.col("ts"))).alias("gmax_us"))
+    p = e.select(
+        "event_type", F.unix_micros(F.col("ts")).alias("ts_us")
+    ).crossJoin(F.broadcast(g))
+    return (
+        p.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.max("ts_us").alias("tmax_us"),
+            F.max("gmax_us").alias("gmax_us"),
+            F.sum(
+                F.when(
+                    F.col("ts_us") >= F.col("gmax_us") - F.lit(86400000000),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("rows_last_day"),
+        )
+        .selectExpr(
+            "event_type",
+            "n_rows",
+            "CAST(gmax_us - tmax_us AS BIGINT) div 1000000 AS staleness_seconds",
+            "rows_last_day",
+        )
+    )

@@ -857,3 +857,93 @@ def test_flesch_reference(spark, sf_dir, con):
         assert r["n_sentences"] == ns
         assert r["n_syllables"] == nsy
         assert abs(r["flesch_score"] - score) < 1e-3
+
+
+# ---------------------------------------------------------------- wave 10
+
+
+def test_freshness_lag_reference(spark, sf_dir, con):
+    rows = con.execute(
+        "SELECT event_type, epoch_us(ts) FROM events"
+    ).fetchall()
+    gmax = max(us for _, us in rows)
+    per = {}
+    for t, us in rows:
+        n, tmax, last = per.get(t, (0, 0, 0))
+        per[t] = (
+            n + 1,
+            max(tmax, us),
+            last + (1 if us >= gmax - 86400000000 else 0),
+        )
+    out = {r["event_type"]: r for r in run(spark, sf_dir, "dq_freshness_lag")}
+    assert set(out) == set(per)
+    for t, (n, tmax, last) in per.items():
+        r = out[t]
+        assert r["n_rows"] == n
+        assert r["staleness_seconds"] == (gmax - tmax) // 1000000
+        assert r["rows_last_day"] == last
+
+
+def test_ulcer_index_reference(spark, sf_dir, con):
+    rows = con.execute(
+        "SELECT user_id, CAST(floor(CAST(value AS DOUBLE) * 1000000.0 + 0.5)"
+        " AS BIGINT) FROM events WHERE event_type = 'purchase'"
+        " ORDER BY user_id, ts, event_id"
+    ).fetchall()
+    series = {}
+    for u, q in rows:
+        if q > 0:
+            series.setdefault(u, []).append(q)
+    out = {r["user_id"]: r for r in run(spark, sf_dir, "window_ulcer_index")}
+    assert set(out) == set(series)
+    for u, qs in series.items():
+        peak = 0
+        sq = 0
+        for q in qs:
+            peak = max(peak, q)
+            dd = (2 * (peak - q) * 1000000 + peak) // (2 * peak)
+            sq += dd * dd
+        ref = math.sqrt(sq / len(qs)) / 1e6
+        r = out[u]
+        assert r["n_points"] == len(qs)
+        assert abs(r["ulcer_index"] - ref) < 1e-6
+
+
+def test_horvitz_thompson_reference(spark, sf_dir, con):
+    rows = con.execute(
+        "SELECT doc_id, CAST(n_chars AS BIGINT),"
+        " len(regexp_extract_all(lower(text), '[a-z0-9]+'))"
+        " FROM documents ORDER BY doc_id"
+    ).fetchall()
+    tw = sum(w for _, w, _ in rows)
+    ty = sum(y for _, _, y in rows)
+
+    def ticks_below(x):
+        if 100 * x - tw <= 0:
+            return 0
+        return max(0, min(50, (100 * x - tw + 2 * tw - 1) // (2 * tw)))
+
+    cum = 0
+    est = 0
+    n_sampled = 0
+    draws = 0
+    for _, w, y in rows:
+        before = ticks_below(cum)
+        cum += w
+        hits = ticks_below(cum) - before
+        if hits >= 1:
+            n_sampled += 1
+            draws += hits
+            est += (2 * hits * y * 1000000 + w) // (2 * w)
+    ht = (2 * tw * est + 50000000) // 100000000
+    rel = (2 * abs(ht - ty) * 1000000 + ty) // (2 * ty)
+
+    (out,) = run(spark, sf_dir, "sample_horvitz_thompson")
+    assert out["n_sampled"] == n_sampled
+    assert out["total_draws"] == draws == 50
+    assert out["ht_estimate"] == ht
+    assert out["true_total"] == ty
+    assert out["rel_error_micro"] == rel
+    # the design promise: length-proportional sampling estimates a
+    # length-correlated total well — single-digit percent here
+    assert rel < 100000
