@@ -257,6 +257,9 @@ HEADLINE = [
     "dq_freshness_lag",
     "window_ulcer_index",
     "sample_horvitz_thompson",
+    "agg_lorenz_curve",
+    "timeseries_acf_profile",
+    "window_sortino_ratio",
 ]
 
 

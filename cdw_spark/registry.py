@@ -208,6 +208,10 @@ _NEXT_WINDOW_QUEUE: tuple[str, ...] = (
     "dq_freshness_lag",
     "window_ulcer_index",
     "sample_horvitz_thompson",
+    # round-9 eleventh wave: concentration curve, ACF spectrum, Sortino
+    "agg_lorenz_curve",
+    "timeseries_acf_profile",
+    "window_sortino_ratio",
 )
 
 

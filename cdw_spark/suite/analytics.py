@@ -7102,3 +7102,315 @@ def window_ulcer_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("ulcer_index"),
     )
+
+
+@register(
+    "agg_lorenz_curve",
+    oracle="""
+    WITH cust AS (
+        SELECT o_custkey,
+               CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS v
+        FROM orders GROUP BY o_custkey
+    ),
+    cells AS (
+        SELECT v, CAST(COUNT(*) AS BIGINT) AS cnt,
+               CAST(v * COUNT(*) AS BIGINT) AS sval
+        FROM cust GROUP BY v
+    ),
+    ranked AS (
+        SELECT v, cnt, sval,
+               CAST(SUM(cnt) OVER w AS BIGINT) AS cumn,
+               CAST(SUM(sval) OVER w AS BIGINT) AS cumv
+        FROM cells
+        WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW)
+    ),
+    tot AS (
+        SELECT CAST(SUM(cnt) AS BIGINT) AS n, CAST(SUM(sval) AS BIGINT) AS tv
+        FROM cells
+    ),
+    dec AS (
+        SELECT CAST((10 * cumn + n - 1) // n AS BIGINT) AS decile,
+               MAX(cumn) AS cumn, MAX(cumv) AS cumv
+        FROM ranked, tot
+        GROUP BY 1
+    )
+    SELECT decile,
+           CAST(cumn AS BIGINT) AS cum_customers,
+           CAST((2 * CAST(cumn AS HUGEINT) * 1000000 + n) // (2 * n)
+                AS BIGINT) AS cum_pop_micro,
+           CAST((2 * CAST(cumv AS HUGEINT) * 1000000 + tv) // (2 * tv)
+                AS BIGINT) AS cum_value_micro
+    FROM dec, tot
+    """,
+    doc="Lorenz curve of customer revenue concentration at decile "
+    "resolution: customers sort ascending by exact-cent lifetime "
+    "total, and each decile boundary reports the cumulative population "
+    "and revenue shares — the curve behind agg_gini_concentration "
+    "(Gini is 1 - 2*AUC of exactly this curve; the curve itself says "
+    "WHERE the concentration lives, e.g. 'bottom 50% hold 18%'). "
+    "Ranks run per DISTINCT total (ties share a decile by "
+    "construction: a cell belongs to the decile where its last member "
+    "lands, ceil(10*cumn/N) — deterministic in both engines); shares "
+    "quantize half-away to exact micro integers. No doubles anywhere.",
+)
+def agg_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: one fact aggregate to customers, one collapse to
+    distinct totals, exact running sums via two_level_cumsum (bucketed
+    parallel windows), a 10-row group — no single-partition sort."""
+    from ..operators.stats import two_level_cumsum
+
+    o = load_fixture(spark, sf_dir, "orders")
+    cust = o.groupBy("o_custkey").agg(
+        F.sum(F.expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"))
+        .cast("bigint")
+        .alias("v")
+    )
+    cells = (
+        cust.groupBy("v")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .selectExpr("v", "cnt", "CAST(v * cnt AS BIGINT) AS sval")
+        .localCheckpoint(eager=True)
+    )
+    ranked = two_level_cumsum(cells, [], "v", [], {"cumn": "cnt", "cumv": "sval"})
+    tot = cells.agg(
+        F.sum("cnt").cast("bigint").alias("n"),
+        F.sum("sval").cast("bigint").alias("tv"),
+    )
+    dec = (
+        ranked.crossJoin(F.broadcast(tot))
+        .groupBy(F.expr("CAST((10 * cumn + n - 1) div n AS BIGINT)").alias("decile"))
+        .agg(
+            F.max("cumn").alias("cumn"),
+            F.max("cumv").alias("cumv"),
+        )
+    )
+    return dec.crossJoin(F.broadcast(tot)).selectExpr(
+        "decile",
+        "CAST(cumn AS BIGINT) AS cum_customers",
+        "CAST((2 * CAST(cumn AS DECIMAL(19,0)) * 1000000 + n)"
+        " div (2 * CAST(n AS DECIMAL(19,0))) AS BIGINT) AS cum_pop_micro",
+        "CAST((2 * CAST(cumv AS DECIMAL(19,0)) * 1000000 + tv)"
+        " div (2 * CAST(tv AS DECIMAL(19,0))) AS BIGINT) AS cum_value_micro",
+    )
+
+
+_ACF_LAGS = 7
+
+
+def _acf_oracle_sql(kmax: int = _ACF_LAGS) -> str:
+    """DuckDB rendering of timeseries_acf_profile — the same pooled
+    deviation products at lags 1..kmax, one UNION ALL branch per lag."""
+    leads = ",\n               ".join(
+        f"LEAD(q, {k}) OVER (PARTITION BY user_id ORDER BY ts, event_id)"
+        f" AS l{k}"
+        for k in range(1, kmax + 1)
+    )
+    sums = ",\n               ".join(
+        f"CAST(SUM(CASE WHEN l{k} IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS n{k},\n               "
+        f"CAST(SUM(CASE WHEN l{k} IS NOT NULL THEN"
+        f" CAST(q - m AS HUGEINT) * (l{k} - m) ELSE 0 END) AS HUGEINT)"
+        f" AS num{k}"
+        for k in range(1, kmax + 1)
+    )
+    branches = "\n    UNION ALL ".join(
+        f"SELECT {k} AS lag, n{k} AS n_pairs,"
+        f" ROUND(CAST(num{k} AS DOUBLE) / CAST(den AS DOUBLE), 6) AS acf"
+        f" FROM sums"
+        for k in range(1, kmax + 1)
+    )
+    return f"""
+    WITH p AS (
+        SELECT user_id, ts, event_id,
+               CAST(floor(CAST(value AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)
+                   AS q
+        FROM events WHERE event_type = 'purchase'
+    ),
+    mm AS (
+        SELECT (2 * CAST(SUM(q) AS HUGEINT) + COUNT(*))
+               // (2 * CAST(COUNT(*) AS HUGEINT)) AS m
+        FROM p
+    ),
+    w AS (
+        SELECT user_id, q,
+               {leads}
+        FROM p
+    ),
+    sums AS (
+        SELECT {sums},
+               CAST(SUM(CAST(q - m AS HUGEINT) * (q - m)) AS HUGEINT) AS den
+        FROM w, mm
+    )
+    {branches}
+    """
+
+
+@register(
+    "timeseries_acf_profile",
+    oracle=_acf_oracle_sql(),
+    doc="Pooled autocorrelation profile of the purchase-value series at "
+    "lags 1..7 (one week of daily-ish structure): r_k = sum over "
+    "within-user pairs of (x_t - m)(x_t+k - m) / sum (x_t - m)^2, "
+    "pooled across users against the GLOBAL mean — the spectral "
+    "companion to timeseries_autocorr_lag1 (one lag says sticky or "
+    "not; the profile locates periodicity, e.g. a lag-7 peak = weekly "
+    "seasonality). Values quantize to exact micro integers, the mean "
+    "micro-quantizes half-away (positive operands only — signed "
+    "sums are never integer-divided, Spark div truncates where DuckDB "
+    "// floors), every deviation product is an exact "
+    "HUGEINT/DECIMAL(38,0) integer, and the only doubles are the "
+    "final 7-row divisions. All 7 lags ride ONE window pass.",
+)
+def timeseries_acf_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: one per-user ordered window carrying all 7 leads,
+    one map-side-combined global aggregate, a 7-row stack — no join
+    beyond 1-row broadcasts, no global sort."""
+    from pyspark.sql.window import Window
+
+    e = load_fixture(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    p = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.floor(F.col("value").cast("double") * F.lit(1000000.0) + F.lit(0.5))
+        .cast("bigint")
+        .alias("q"),
+    )
+    mm = p.agg(
+        F.expr(
+            "(2 * CAST(SUM(q) AS DECIMAL(38,0)) + COUNT(*))"
+            " div (2 * CAST(COUNT(*) AS DECIMAL(38,0)))"
+        ).alias("m")
+    )
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w = p.select(
+        "q",
+        *[F.lead("q", k).over(wo).alias(f"l{k}") for k in range(1, _ACF_LAGS + 1)],
+    ).crossJoin(F.broadcast(mm))
+    aggs = []
+    for k in range(1, _ACF_LAGS + 1):
+        aggs.append(
+            F.sum(F.when(F.col(f"l{k}").isNotNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"n{k}")
+        )
+        aggs.append(
+            F.sum(
+                F.expr(
+                    f"CASE WHEN l{k} IS NOT NULL THEN"
+                    f" CAST(q - m AS DECIMAL(19,0)) * (l{k} - m)"
+                    f" ELSE 0 END"
+                )
+            )
+            .cast("decimal(38,0)")
+            .alias(f"num{k}")
+        )
+    aggs.append(
+        F.sum(F.expr("CAST(q - m AS DECIMAL(19,0)) * (q - m)"))
+        .cast("decimal(38,0)")
+        .alias("den")
+    )
+    sums = w.agg(*aggs)
+    stack = ", ".join(
+        f"{k}, n{k}, CAST(num{k} AS DOUBLE)" for k in range(1, _ACF_LAGS + 1)
+    )
+    return sums.selectExpr(
+        f"stack({_ACF_LAGS}, {stack}) AS (lag, n_pairs, numd)", "den"
+    ).selectExpr(
+        "CAST(lag AS INT) AS lag",
+        "n_pairs",
+        "ROUND(numd / CAST(den AS DOUBLE), 6) AS acf",
+    )
+
+
+@register(
+    "window_sortino_ratio",
+    oracle="""
+    WITH p AS (
+        SELECT user_id, ts, event_id,
+               CAST(floor(CAST(value AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)
+                   AS q
+        FROM events WHERE event_type = 'purchase'
+    ),
+    r AS (
+        SELECT user_id,
+               q - LAG(q) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS ret
+        FROM p
+    ),
+    s AS (
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_returns,
+               CAST(SUM(ret) AS BIGINT) AS sum_return_micro,
+               CAST(SUM(CASE WHEN ret < 0 THEN CAST(ret AS HUGEINT) * ret
+                        ELSE 0 END) AS HUGEINT) AS dsq
+        FROM r WHERE ret IS NOT NULL GROUP BY user_id
+    )
+    SELECT user_id, n_returns, sum_return_micro,
+           ROUND((CAST(sum_return_micro AS DOUBLE)
+                  / CAST(n_returns AS DOUBLE))
+                 / NULLIF(sqrt(CAST(dsq AS DOUBLE)
+                               / CAST(n_returns AS DOUBLE)), 0.0), 6)
+               AS sortino
+    FROM s
+    """,
+    doc="Sortino ratio per user over purchase-value changes: mean "
+    "return divided by DOWNSIDE deviation sqrt(mean(min(r,0)^2)) — "
+    "the drawdown family's risk-adjusted-return member (Sharpe "
+    "penalizes upside variance; Sortino only the losses, the metric "
+    "used for asymmetric series). Returns are exact micro-integer "
+    "differences; the signed return sum is reported as an exact "
+    "BIGINT and NEVER integer-divided (Spark div truncates toward "
+    "zero where DuckDB // floors — signed quotients would diverge), "
+    "downside squares sum exactly in HUGEINT/DECIMAL(38,0); the only "
+    "doubles are the final per-user ratio, NULLIF-guarded for "
+    "monotone-up users (no downside -> NULL in both engines).",
+)
+def window_sortino_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: one per-user ordered window for the lag (shared
+    sort with the drawdown family), one map-side-combined per-user
+    aggregate — no join, no global sort."""
+    from pyspark.sql.window import Window
+
+    e = load_fixture(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    p = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.floor(F.col("value").cast("double") * F.lit(1000000.0) + F.lit(0.5))
+        .cast("bigint")
+        .alias("q"),
+    )
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    r = p.select(
+        "user_id", (F.col("q") - F.lag("q").over(wo)).alias("ret")
+    ).filter(F.col("ret").isNotNull())
+    s = r.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_returns"),
+        F.sum("ret").cast("bigint").alias("sum_return_micro"),
+        F.sum(
+            F.expr(
+                "CASE WHEN ret < 0 THEN CAST(ret AS DECIMAL(19,0)) * ret"
+                " ELSE 0 END"
+            )
+        )
+        .cast("decimal(38,0)")
+        .alias("dsq"),
+    )
+    return s.select(
+        "user_id",
+        "n_returns",
+        "sum_return_micro",
+        F.round(
+            (
+                F.col("sum_return_micro").cast("double")
+                / F.col("n_returns").cast("double")
+            )
+            / F.nullif(
+                F.sqrt(F.col("dsq").cast("double") / F.col("n_returns").cast("double")),
+                F.lit(0.0),
+            ),
+            6,
+        ).alias("sortino"),
+    )

@@ -947,3 +947,94 @@ def test_horvitz_thompson_reference(spark, sf_dir, con):
     # the design promise: length-proportional sampling estimates a
     # length-correlated total well — single-digit percent here
     assert rel < 100000
+
+
+# ---------------------------------------------------------------- wave 11
+
+
+def test_lorenz_curve_reference(spark, sf_dir, con):
+    rows = con.execute(
+        "SELECT o_custkey, SUM(CAST(floor(o_totalprice * 100 + 0.5)"
+        " AS BIGINT)) FROM orders GROUP BY 1"
+    ).fetchall()
+    vals = sorted(int(v) for _, v in rows)
+    n = len(vals)
+    tv = sum(vals)
+    # cumulative by distinct value, decile = where the cell ends
+    cum_by_decile = {}
+    cumn = 0
+    cumv = 0
+    i = 0
+    while i < n:
+        j = i
+        while j < n and vals[j] == vals[i]:
+            j += 1
+        cumn += j - i
+        cumv += vals[i] * (j - i)
+        dec = (10 * cumn + n - 1) // n
+        cum_by_decile[dec] = (cumn, cumv)
+        i = j
+
+    out = {r["decile"]: r for r in run(spark, sf_dir, "agg_lorenz_curve")}
+    assert set(out) == set(cum_by_decile)
+    for dec, (cn, cv) in cum_by_decile.items():
+        r = out[dec]
+        assert r["cum_customers"] == cn
+        assert r["cum_pop_micro"] == (2 * cn * 1000000 + n) // (2 * n)
+        assert r["cum_value_micro"] == (2 * cv * 1000000 + tv) // (2 * tv)
+    # curve sanity: last decile closes at exactly 100%
+    assert out[10]["cum_pop_micro"] == 1000000
+    assert out[10]["cum_value_micro"] == 1000000
+
+
+def test_acf_profile_reference(spark, sf_dir, con):
+    rows = con.execute(
+        "SELECT user_id, CAST(floor(CAST(value AS DOUBLE) * 1000000.0 + 0.5)"
+        " AS BIGINT) FROM events WHERE event_type = 'purchase'"
+        " ORDER BY user_id, ts, event_id"
+    ).fetchall()
+    series = {}
+    for u, q in rows:
+        series.setdefault(u, []).append(q)
+    allq = [q for _, q in rows]
+    m = (2 * sum(allq) + len(allq)) // (2 * len(allq))
+    den = sum((q - m) ** 2 for q in allq)
+    out = {r["lag"]: r for r in run(spark, sf_dir, "timeseries_acf_profile")}
+    assert set(out) == set(range(1, 8))
+    for k in range(1, 8):
+        num = 0
+        npairs = 0
+        for qs in series.values():
+            for t in range(len(qs) - k):
+                num += (qs[t] - m) * (qs[t + k] - m)
+                npairs += 1
+        r = out[k]
+        assert r["n_pairs"] == npairs
+        assert abs(r["acf"] - num / den) < 1e-5
+
+
+def test_sortino_reference(spark, sf_dir, con):
+    rows = con.execute(
+        "SELECT user_id, CAST(floor(CAST(value AS DOUBLE) * 1000000.0 + 0.5)"
+        " AS BIGINT) FROM events WHERE event_type = 'purchase'"
+        " ORDER BY user_id, ts, event_id"
+    ).fetchall()
+    series = {}
+    for u, q in rows:
+        series.setdefault(u, []).append(q)
+    out = {r["user_id"]: r for r in run(spark, sf_dir, "window_sortino_ratio")}
+    expected = {u for u, qs in series.items() if len(qs) >= 2}
+    assert set(out) == expected
+    for u in expected:
+        qs = series[u]
+        rets = [b - a for a, b in zip(qs, qs[1:])]
+        sr = sum(rets)
+        dsq = sum(r * r for r in rets if r < 0)
+        r = out[u]
+        assert r["n_returns"] == len(rets)
+        assert r["sum_return_micro"] == sr
+        if dsq == 0:
+            assert r["sortino"] is None
+        else:
+            ref = (sr / len(rets)) / math.sqrt(dsq / len(rets))
+            assert abs(r["sortino"] - ref) < 1e-5
