@@ -260,6 +260,8 @@ HEADLINE = [
     "agg_lorenz_curve",
     "timeseries_acf_profile",
     "window_sortino_ratio",
+    "agg_bowley_skewness",
+    "stream_freshness_monitor",
 ]
 
 

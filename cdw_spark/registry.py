@@ -212,6 +212,9 @@ _NEXT_WINDOW_QUEUE: tuple[str, ...] = (
     "agg_lorenz_curve",
     "timeseries_acf_profile",
     "window_sortino_ratio",
+    # round-9 twelfth wave: robust shape statistic, streaming freshness
+    "agg_bowley_skewness",
+    "stream_freshness_monitor",
 )
 
 

@@ -7414,3 +7414,96 @@ def window_sortino_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("sortino"),
     )
+
+
+@register(
+    "agg_bowley_skewness",
+    oracle="""
+    WITH q AS (
+        SELECT l_returnflag AS flag,
+               CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+        FROM lineitem
+    ),
+    cells AS (
+        SELECT flag, cents, CAST(COUNT(*) AS BIGINT) AS c
+        FROM q GROUP BY flag, cents
+    ),
+    cum AS (
+        SELECT flag, cents, c,
+               CAST(SUM(c) OVER (PARTITION BY flag ORDER BY cents
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS BIGINT) AS cumc
+        FROM cells
+    ),
+    st AS (SELECT flag, CAST(SUM(c) AS BIGINT) AS n FROM cells GROUP BY flag),
+    picked AS (
+        SELECT cum.flag, MAX(st.n) AS n,
+               MIN(CASE WHEN cumc >= (st.n + 3) // 4 THEN cents END) AS q1,
+               MIN(CASE WHEN cumc >= (st.n + 1) // 2 THEN cents END) AS q2,
+               MIN(CASE WHEN cumc >= (3 * st.n + 3) // 4 THEN cents END) AS q3
+        FROM cum JOIN st ON st.flag = cum.flag
+        GROUP BY cum.flag
+    )
+    SELECT flag, n, q1 AS q1_cents, q2 AS q2_cents, q3 AS q3_cents,
+           ROUND(CAST(q3 + q1 - 2 * q2 AS DOUBLE)
+                 / NULLIF(CAST(q3 - q1 AS DOUBLE), 0.0), 6)
+               AS bowley_skewness
+    FROM picked
+    """,
+    doc="Bowley (quartile) skewness per return flag: "
+    "(Q3 + Q1 - 2*Q2) / (Q3 - Q1) with EXACT type-1 quartiles (the "
+    "value at rank ceil(k*n/4) — integer rank cuts, no interpolation) "
+    "— the robust companion to agg_skew_kurtosis's moment skewness "
+    "(outlier-bounded in [-1, 1]; one corrupted extreme row cannot "
+    "move it). Quartiles come from the distinct-value running counts "
+    "(rank machinery, never a per-row sort); the quartile values are "
+    "exact cents and the single double division is NULLIF-guarded "
+    "for the degenerate all-one-value group.",
+)
+def agg_bowley_skewness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: one fact shuffle to distinct (flag, cents) cells,
+    exact running counts via two_level_cumsum (bucketed parallel
+    windows), one bounded join + 3-row reduce."""
+    from ..operators.stats import two_level_cumsum
+    from ..plans.hints import broadcast_if_small
+
+    li = load_fixture(spark, sf_dir, "lineitem")
+    cells = (
+        li.selectExpr(
+            "l_returnflag AS flag",
+            "CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents",
+        )
+        .groupBy("flag", "cents")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    cum = two_level_cumsum(cells, ["flag"], "cents", [], {"cumc": "c"})
+    st = cells.groupBy("flag").agg(F.sum("c").cast("bigint").alias("n"))
+    picked = (
+        cum.join(broadcast_if_small(st), "flag")
+        .groupBy("flag")
+        .agg(
+            F.max("n").alias("n"),
+            F.min(
+                F.when(F.col("cumc") >= F.expr("(n + 3) div 4"), F.col("cents"))
+            ).alias("q1"),
+            F.min(
+                F.when(F.col("cumc") >= F.expr("(n + 1) div 2"), F.col("cents"))
+            ).alias("q2"),
+            F.min(
+                F.when(F.col("cumc") >= F.expr("(3 * n + 3) div 4"), F.col("cents"))
+            ).alias("q3"),
+        )
+    )
+    return picked.select(
+        "flag",
+        "n",
+        F.col("q1").alias("q1_cents"),
+        F.col("q2").alias("q2_cents"),
+        F.col("q3").alias("q3_cents"),
+        F.round(
+            F.expr("CAST(q3 + q1 - 2 * q2 AS DOUBLE)")
+            / F.nullif(F.expr("CAST(q3 - q1 AS DOUBLE)"), F.lit(0.0)),
+            6,
+        ).alias("bowley_skewness"),
+    )

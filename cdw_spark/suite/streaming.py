@@ -1190,3 +1190,110 @@ def stream_bloom_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination(240)
     return finish_replay(spark.read.parquet(audit_dir), root)
+
+
+@register(
+    "stream_freshness_monitor",
+    oracle="""
+    WITH b AS (
+        SELECT event_type,
+               epoch_us(ts) // 3600000000 AS hb,
+               CAST(COUNT(*) AS BIGINT) AS cnt,
+               CAST(MAX(epoch_us(ts)) AS BIGINT) AS tmax
+        FROM events GROUP BY 1, 2
+    ),
+    g AS (SELECT CAST(MAX(tmax) AS BIGINT) AS gmax FROM b)
+    SELECT event_type,
+           CAST(SUM(cnt) AS BIGINT) AS n_rows,
+           CAST((g.gmax - MAX(tmax)) // 1000000 AS BIGINT)
+               AS staleness_seconds,
+           CAST(SUM(CASE WHEN hb > g.gmax // 3600000000 - 24
+                    THEN cnt ELSE 0 END) AS BIGINT) AS rows_last_24h
+    FROM b, g
+    GROUP BY event_type, g.gmax
+    """,
+    doc="Per-source freshness maintained AT THE INGESTION DOOR: the "
+    "foreachBatch sink keeps one row per (event type, hour bucket) "
+    "with an additive count and a max-merged high-water mark — both "
+    "commutative idempotent-mergeable, so the streamed state equals "
+    "the batch table exactly regardless of batch boundaries, and "
+    "state is bounded by |types| x |hours of history| (a catalog, "
+    "not data-sized). The monitor answers dq_freshness_lag's "
+    "questions without any rescan: exact staleness vs the global "
+    "high-water mark (microsecond integers) and arrivals in the "
+    "last 24 HOUR-BUCKETS (the synopsis's granularity — the batch "
+    "twin uses the same bucket cutoff, so the oracle is exact, not "
+    "approximate).",
+)
+def stream_freshness_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: per batch, one map-side-combined aggregate of the
+    BATCH to (type, hour) rows, then a merge against the bounded state
+    relation; the final projection runs on state only."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ..streaming.source import finish_replay, table_stream
+
+    root = tempfile.mkdtemp(prefix="cdw_stream_fresh_")
+    state_dir = os.path.join(root, "state")
+    spark.createDataFrame(
+        [], "event_type string, hb long, cnt long, tmax long"
+    ).write.mode("overwrite").parquet(state_dir)
+
+    def handle(batch, batch_id):
+        b = (
+            batch.select(
+                "event_type", F.unix_micros(F.col("ts")).alias("us")
+            )
+            .groupBy("event_type", F.expr("us div 3600000000").alias("hb"))
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("cnt"),
+                F.max("us").cast("bigint").alias("tmax"),
+            )
+        )
+        old = spark.read.parquet(state_dir).localCheckpoint(eager=True)
+        merged = (
+            old.unionByName(b)
+            .groupBy("event_type", "hb")
+            .agg(
+                F.sum("cnt").cast("bigint").alias("cnt"),
+                F.max("tmax").cast("bigint").alias("tmax"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        merged.write.mode("overwrite").parquet(state_dir)
+
+    sdf = table_stream(spark, sf_dir, "events", order_col="event_id", n_files=4)
+    q = (
+        sdf.select("event_type", "ts")
+        .writeStream.foreachBatch(handle)
+        .option("checkpointLocation", os.path.join(root, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+    st = finish_replay(spark.read.parquet(state_dir), root)
+    g = st.agg(F.max("tmax").cast("bigint").alias("gmax"))
+    return (
+        st.crossJoin(F.broadcast(g))
+        .groupBy("event_type", "gmax")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_rows"),
+            F.max("tmax").alias("tmax"),
+            F.sum(
+                F.when(
+                    F.expr("hb > gmax div 3600000000 - 24"), F.col("cnt")
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("rows_last_24h"),
+        )
+        .selectExpr(
+            "event_type",
+            "n_rows",
+            "CAST((gmax - tmax) div 1000000 AS BIGINT) AS staleness_seconds",
+            "rows_last_24h",
+        )
+    )

@@ -1038,3 +1038,59 @@ def test_sortino_reference(spark, sf_dir, con):
         else:
             ref = (sr / len(rets)) / math.sqrt(dsq / len(rets))
             assert abs(r["sortino"] - ref) < 1e-5
+
+
+# ---------------------------------------------------------------- wave 12
+
+
+def test_bowley_reference(spark, sf_dir, con):
+    rows = con.execute(
+        "SELECT l_returnflag, CAST(floor(l_extendedprice * 100 + 0.5)"
+        " AS BIGINT) FROM lineitem"
+    ).fetchall()
+    groups = {}
+    for g, c in rows:
+        groups.setdefault(g, []).append(c)
+    out = {r["flag"]: r for r in run(spark, sf_dir, "agg_bowley_skewness")}
+    assert set(out) == set(groups)
+    for g, xs in groups.items():
+        xs = sorted(xs)
+        n = len(xs)
+        q1 = xs[(n + 3) // 4 - 1]
+        q2 = xs[(n + 1) // 2 - 1]
+        q3 = xs[(3 * n + 3) // 4 - 1]
+        r = out[g]
+        assert r["n"] == n
+        assert r["q1_cents"] == q1
+        assert r["q2_cents"] == q2
+        assert r["q3_cents"] == q3
+        if q3 != q1:
+            ref = (q3 + q1 - 2 * q2) / (q3 - q1)
+            assert abs(r["bowley_skewness"] - ref) < 1e-6
+        else:
+            assert r["bowley_skewness"] is None
+
+
+def test_stream_freshness_reference(spark, sf_dir, con):
+    rows = con.execute(
+        "SELECT event_type, epoch_us(ts) FROM events"
+    ).fetchall()
+    gmax = max(us for _, us in rows)
+    gb = gmax // 3600000000
+    per = {}
+    for t, us in rows:
+        n, tmax, last = per.get(t, (0, 0, 0))
+        per[t] = (
+            n + 1,
+            max(tmax, us),
+            last + (1 if us // 3600000000 > gb - 24 else 0),
+        )
+    out = {
+        r["event_type"]: r for r in run(spark, sf_dir, "stream_freshness_monitor")
+    }
+    assert set(out) == set(per)
+    for t, (n, tmax, last) in per.items():
+        r = out[t]
+        assert r["n_rows"] == n
+        assert r["staleness_seconds"] == (gmax - tmax) // 1000000
+        assert r["rows_last_24h"] == last
