@@ -262,6 +262,9 @@ HEADLINE = [
     "window_sortino_ratio",
     "agg_bowley_skewness",
     "stream_freshness_monitor",
+    "events_audience_overlap",
+    "window_atr",
+    "graph_harmonic_centrality",
 ]
 
 

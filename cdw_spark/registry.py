@@ -215,6 +215,11 @@ _NEXT_WINDOW_QUEUE: tuple[str, ...] = (
     # round-9 twelfth wave: robust shape statistic, streaming freshness
     "agg_bowley_skewness",
     "stream_freshness_monitor",
+    # round-9 thirteenth wave: audience overlap, true range, harmonic
+    # centrality
+    "events_audience_overlap",
+    "window_atr",
+    "graph_harmonic_centrality",
 )
 
 

@@ -7507,3 +7507,161 @@ def agg_bowley_skewness(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("bowley_skewness"),
     )
+
+
+@register(
+    "events_audience_overlap",
+    oracle="""
+    WITH u AS (
+        SELECT DISTINCT event_type, user_id FROM events
+    ),
+    sz AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+        FROM u GROUP BY event_type
+    ),
+    inter AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               CAST(COUNT(*) AS BIGINT) AS n_both
+        FROM u a JOIN u b
+          ON a.user_id = b.user_id AND a.event_type < b.event_type
+        GROUP BY 1, 2
+    )
+    SELECT i.type_a, i.type_b, sa.n AS n_a, sb.n AS n_b, i.n_both,
+           CAST((2 * CAST(i.n_both AS HUGEINT) * 1000000
+                 + (sa.n + sb.n - i.n_both))
+                // (2 * CAST(sa.n + sb.n - i.n_both AS HUGEINT)) AS BIGINT)
+               AS jaccard_micro
+    FROM inter i
+    JOIN sz sa ON sa.event_type = i.type_a
+    JOIN sz sb ON sb.event_type = i.type_b
+    """,
+    doc="Exact audience overlap between every pair of event types: "
+    "|users(a) AND users(b)| with the Jaccard index in exact "
+    "half-away micro units — the audience-overlap matrix behind "
+    "funnel design and dedup of engagement segments (the EXACT twin "
+    "of sketch_hll_set_overlap's estimate, feasible because the "
+    "pair relation is |types|^2, a catalog). The user-keyed "
+    "self-join co-partitions on user_id (each user contributes "
+    "|their types|^2 <= 25 pairs — bounded fan-out, nothing "
+    "quadratic in users); inclusion-exclusion gives the union. No "
+    "doubles anywhere.",
+)
+def events_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: one distinct shuffle to (type, user), a user-keyed
+    self-join with catalog-bounded fan-out, a |types|^2-row aggregate,
+    broadcast size joins."""
+    e = load_fixture(spark, sf_dir, "events")
+    u = e.select("event_type", "user_id").distinct().localCheckpoint(eager=True)
+    sz = u.groupBy("event_type").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    a = u.select(F.col("event_type").alias("type_a"), "user_id")
+    b = u.select(F.col("event_type").alias("type_b"), "user_id")
+    inter = (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_both"))
+    )
+    sa = sz.select(F.col("event_type").alias("type_a"), F.col("n").alias("n_a"))
+    sb = sz.select(F.col("event_type").alias("type_b"), F.col("n").alias("n_b"))
+    return (
+        inter.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .selectExpr(
+            "type_a",
+            "type_b",
+            "n_a",
+            "n_b",
+            "n_both",
+            "CAST((2 * CAST(n_both AS DECIMAL(19,0)) * 1000000"
+            " + (n_a + n_b - n_both))"
+            " div (2 * CAST(n_a + n_b - n_both AS DECIMAL(19,0))) AS BIGINT)"
+            " AS jaccard_micro",
+        )
+    )
+
+
+@register(
+    "window_atr",
+    oracle="""
+    WITH p AS (
+        SELECT user_id, ts,
+               CAST(floor(CAST(value AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)
+                   AS q,
+               epoch_us(ts) // 21600000000 AS hb
+        FROM events WHERE event_type = 'purchase'
+    ),
+    bars AS (
+        SELECT user_id, hb,
+               MAX(q) AS h, MIN(q) AS l, arg_max(q, ts) AS c
+        FROM p GROUP BY user_id, hb
+    ),
+    tr AS (
+        SELECT user_id,
+               CASE WHEN LAG(c) OVER w IS NULL THEN h - l
+                    ELSE GREATEST(h - l,
+                                  abs(h - LAG(c) OVER w),
+                                  abs(l - LAG(c) OVER w)) END AS tr
+        FROM bars
+        WINDOW w AS (PARTITION BY user_id ORDER BY hb)
+    )
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_bars,
+           CAST((2 * CAST(SUM(tr) AS HUGEINT) + COUNT(*))
+                // (2 * CAST(COUNT(*) AS HUGEINT)) AS BIGINT) AS atr_micro,
+           CAST(MAX(tr) AS BIGINT) AS max_tr_micro
+    FROM tr GROUP BY user_id
+    """,
+    doc="Average true range per user over 6-hour OHLC bars of the "
+    "purchase-value series: TR = max(H-L, |H-prevC|, |L-prevC|) "
+    "captures gap moves BETWEEN bars that plain H-L misses — the "
+    "volatility measure used for adaptive thresholds (Wilder 1978), "
+    "complementing timeseries_realized_volatility (returns-based) "
+    "and timeseries_resample_ohlc (which builds the same bars). "
+    "Values quantize to exact micro integers, bars bucket by exact "
+    "epoch-microsecond division (engine-identical, no timezone "
+    "surface), TR is exact integer arithmetic, and the ATR mean "
+    "half-away-quantizes to micro (TR >= 0, so the signed-division "
+    "trap never engages). No doubles anywhere.",
+)
+def window_atr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: one map-side-combined aggregate to (user, bucket)
+    bars, one per-user ordered window over the BAR relation (already
+    reduced), one per-user aggregate — the fact table shuffles once."""
+    from pyspark.sql.window import Window
+
+    e = load_fixture(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    p = e.select(
+        "user_id",
+        "ts",
+        F.floor(F.col("value").cast("double") * F.lit(1000000.0) + F.lit(0.5))
+        .cast("bigint")
+        .alias("q"),
+        F.expr("unix_micros(ts) div 21600000000").alias("hb"),
+    )
+    bars = p.groupBy("user_id", "hb").agg(
+        F.max("q").alias("h"),
+        F.min("q").alias("l"),
+        F.expr("max_by(q, ts)").alias("c"),
+    )
+    wo = Window.partitionBy("user_id").orderBy("hb")
+    tr = bars.select(
+        "user_id",
+        F.when(
+            F.lag("c").over(wo).isNull(), F.col("h") - F.col("l")
+        )
+        .otherwise(
+            F.greatest(
+                F.col("h") - F.col("l"),
+                F.abs(F.col("h") - F.lag("c").over(wo)),
+                F.abs(F.col("l") - F.lag("c").over(wo)),
+            )
+        )
+        .alias("tr"),
+    )
+    return tr.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bars"),
+        F.expr(
+            "CAST((2 * CAST(SUM(tr) AS DECIMAL(38,0)) + COUNT(*))"
+            " div (2 * CAST(COUNT(*) AS DECIMAL(38,0))) AS BIGINT)"
+        ).alias("atr_micro"),
+        F.max("tr").cast("bigint").alias("max_tr_micro"),
+    )

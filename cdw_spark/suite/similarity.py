@@ -1585,3 +1585,103 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("assortativity"),
     )
+
+
+@register(
+    "graph_harmonic_centrality",
+    oracle=_KNN_EDGES_CTE + """,
+    adj AS (SELECT a AS n, b AS m FROM edges
+            UNION ALL SELECT b AS n, a AS m FROM edges),
+    d1 AS (SELECT DISTINCT n AS src, m AS dst FROM adj),
+    d2 AS (
+        SELECT DISTINCT d1.src, a2.m AS dst
+        FROM d1 JOIN adj a2 ON a2.n = d1.dst
+        WHERE a2.m <> d1.src
+          AND NOT EXISTS (SELECT 1 FROM d1 x
+                          WHERE x.src = d1.src AND x.dst = a2.m)
+    ),
+    d3 AS (
+        SELECT DISTINCT d2.src, a3.m AS dst
+        FROM d2 JOIN adj a3 ON a3.n = d2.dst
+        WHERE a3.m <> d2.src
+          AND NOT EXISTS (SELECT 1 FROM d1 x
+                          WHERE x.src = d2.src AND x.dst = a3.m)
+          AND NOT EXISTS (SELECT 1 FROM d2 y
+                          WHERE y.src = d2.src AND y.dst = a3.m)
+    ),
+    cnt AS (
+        SELECT d1.src,
+               CAST(COUNT(*) AS BIGINT) AS n1,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM d2
+                WHERE d2.src = d1.src) AS n2,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM d3
+                WHERE d3.src = d1.src) AS n3
+        FROM d1 GROUP BY d1.src
+    )
+    SELECT src AS node, n1, n2, n3,
+           CAST(6 * n1 + 3 * n2 + 2 * n3 AS BIGINT) AS h_sixths,
+           ROUND(CAST(6 * n1 + 3 * n2 + 2 * n3 AS DOUBLE) / 6.0, 6)
+               AS harmonic
+    FROM cnt
+    ORDER BY h_sixths DESC, node
+    LIMIT 20
+    """,
+    doc="Harmonic centrality truncated at 3 hops on the hash-checked "
+    "kNN graph: sum over reachable nodes of 1/d(u,v) for d <= 3 — "
+    "the centrality that stays well-defined on disconnected graphs "
+    "(closeness diverges there), top-20 hubs. The truncation is the "
+    "scale decision: exact distances need only k-bounded frontier "
+    "expansions (d2, d3 via distinct anti-joined hops), never a "
+    "global BFS. 1 + 1/2 + 1/3 sums land EXACTLY in SIXTHS "
+    "(6*n1 + 3*n2 + 2*n3 — integer; no 1/3 float anywhere); the "
+    "display double divides once at the end.",
+)
+def graph_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: frontier joins are degree-bounded (|V|*k^d rows at
+    hop d, k~6 undirected), each deduplicated and anti-joined against
+    nearer hops before expanding — top-20 via TakeOrderedAndProject."""
+    emb = load_fixture(spark, sf_dir, "embeddings")
+    edges = _knn_undirected_edges(emb).localCheckpoint(eager=True)
+    adj = edges.select(F.col("a").alias("n"), F.col("b").alias("m")).unionAll(
+        edges.select(F.col("b").alias("n"), F.col("a").alias("m"))
+    )
+    d1 = adj.select(F.col("n").alias("src"), F.col("m").alias("dst")).distinct(
+    ).localCheckpoint(eager=True)
+    a2 = adj.select(F.col("n").alias("dst"), F.col("m").alias("nxt"))
+    d2 = (
+        d1.join(a2, "dst")
+        .filter(F.col("nxt") != F.col("src"))
+        .select("src", F.col("nxt").alias("dst"))
+        .distinct()
+        .join(d1, ["src", "dst"], "left_anti")
+        .localCheckpoint(eager=True)
+    )
+    d3 = (
+        d2.join(a2, "dst")
+        .filter(F.col("nxt") != F.col("src"))
+        .select("src", F.col("nxt").alias("dst"))
+        .distinct()
+        .join(d1, ["src", "dst"], "left_anti")
+        .join(d2, ["src", "dst"], "left_anti")
+    )
+    c1 = d1.groupBy("src").agg(F.count(F.lit(1)).cast("bigint").alias("n1"))
+    c2 = d2.groupBy("src").agg(F.count(F.lit(1)).cast("bigint").alias("n2"))
+    c3 = d3.groupBy("src").agg(F.count(F.lit(1)).cast("bigint").alias("n3"))
+    cnt = (
+        c1.join(c2, "src", "left")
+        .join(c3, "src", "left")
+        .fillna(0, subset=["n2", "n3"])
+    )
+    return (
+        cnt.selectExpr(
+            "src AS node",
+            "n1",
+            "n2",
+            "n3",
+            "CAST(6 * n1 + 3 * n2 + 2 * n3 AS BIGINT) AS h_sixths",
+            "ROUND(CAST(6 * n1 + 3 * n2 + 2 * n3 AS DOUBLE) / 6.0, 6)"
+            " AS harmonic",
+        )
+        .orderBy(F.col("h_sixths").desc(), "node")
+        .limit(20)
+    )

@@ -1094,3 +1094,102 @@ def test_stream_freshness_reference(spark, sf_dir, con):
         assert r["n_rows"] == n
         assert r["staleness_seconds"] == (gmax - tmax) // 1000000
         assert r["rows_last_24h"] == last
+
+
+# ---------------------------------------------------------------- wave 13
+
+
+def test_audience_overlap_reference(spark, sf_dir, con):
+    rows = con.execute("SELECT DISTINCT event_type, user_id FROM events").fetchall()
+    sets = {}
+    for t, u in rows:
+        sets.setdefault(t, set()).add(u)
+    out = {
+        (r["type_a"], r["type_b"]): r
+        for r in run(spark, sf_dir, "events_audience_overlap")
+    }
+    types = sorted(sets)
+    for i, ta in enumerate(types):
+        for tb in types[i + 1 :]:
+            inter = len(sets[ta] & sets[tb])
+            if inter == 0:
+                assert (ta, tb) not in out
+                continue
+            un = len(sets[ta] | sets[tb])
+            r = out[(ta, tb)]
+            assert r["n_a"] == len(sets[ta])
+            assert r["n_b"] == len(sets[tb])
+            assert r["n_both"] == inter
+            assert r["jaccard_micro"] == (2 * inter * 1000000 + un) // (2 * un)
+
+
+def test_atr_reference(spark, sf_dir, con):
+    rows = con.execute(
+        "SELECT user_id, epoch_us(ts) // 21600000000,"
+        " CAST(floor(CAST(value AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT),"
+        " epoch_us(ts)"
+        " FROM events WHERE event_type = 'purchase' ORDER BY user_id, ts"
+    ).fetchall()
+    bars = {}
+    for u, hb, q, us in rows:
+        key = (u, hb)
+        if key not in bars:
+            bars[key] = [q, q, q, us]  # h, l, c, last_us
+        else:
+            b = bars[key]
+            b[0] = max(b[0], q)
+            b[1] = min(b[1], q)
+            if us > b[3]:
+                b[2], b[3] = q, us
+    per_user = {}
+    for (u, hb), (h, l, c, _) in sorted(bars.items()):
+        per_user.setdefault(u, []).append((hb, h, l, c))
+    out = {r["user_id"]: r for r in run(spark, sf_dir, "window_atr")}
+    assert set(out) == set(per_user)
+    for u, bs in per_user.items():
+        trs = []
+        pc = None
+        for _, h, l, c in bs:
+            trs.append(h - l if pc is None else max(h - l, abs(h - pc), abs(l - pc)))
+            pc = c
+        n = len(trs)
+        r = out[u]
+        assert r["n_bars"] == n
+        assert r["atr_micro"] == (2 * sum(trs) + n) // (2 * n)
+        assert r["max_tr_micro"] == max(trs)
+
+
+def test_harmonic_centrality_reference(spark, sf_dir):
+    edges = [
+        (r["a"], r["b"])
+        for r in SPECS["graph_link_prediction"]
+        .fn.__globals__["_knn_undirected_edges"](
+            SPECS["graph_link_prediction"]
+            .fn.__globals__["load_fixture"](spark, sf_dir, "embeddings")
+        )
+        .collect()
+    ]
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    scores = {}
+    for src in adj:
+        d1 = adj[src]
+        d2 = set()
+        for m in d1:
+            d2 |= adj[m]
+        d2 -= d1 | {src}
+        d3 = set()
+        for m in d2:
+            d3 |= adj[m]
+        d3 -= d1 | d2 | {src}
+        scores[src] = (len(d1), len(d2), len(d3),
+                       6 * len(d1) + 3 * len(d2) + 2 * len(d3))
+    top = sorted(scores.items(), key=lambda kv: (-kv[1][3], kv[0]))[:20]
+    out = run(spark, sf_dir, "graph_harmonic_centrality")
+    assert len(out) == 20
+    for r, (node, (n1, n2, n3, h6)) in zip(out, top):
+        assert r["node"] == node
+        assert (r["n1"], r["n2"], r["n3"], r["h_sixths"]) == (n1, n2, n3, h6)
+        assert abs(r["harmonic"] - h6 / 6) < 1e-6
