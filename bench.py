@@ -265,6 +265,7 @@ HEADLINE = [
     "events_audience_overlap",
     "window_atr",
     "graph_harmonic_centrality",
+    "curation_rule_ablation",
 ]
 
 

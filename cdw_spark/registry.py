@@ -220,6 +220,8 @@ _NEXT_WINDOW_QUEUE: tuple[str, ...] = (
     "events_audience_overlap",
     "window_atr",
     "graph_harmonic_centrality",
+    # round-9 fourteenth wave: quality-rule ablation
+    "curation_rule_ablation",
 )
 
 

@@ -2172,3 +2172,119 @@ def text_flesch_reading_ease(spark: SparkSession, sf_dir: str) -> DataFrame:
         " * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)), 4)"
         " AS flesch_score",
     )
+
+
+_GOPHER_RULES = ("ok_len", "ok_mwl", "ok_sym", "ok_alpha", "ok_stop")
+
+
+def _ablation_oracle_sql() -> str:
+    """DuckDB rendering of curation_rule_ablation: the
+    quality_gopher_rules flag CTE verbatim, then per-rule alone /
+    sole / first-fail kill counts, one UNION ALL branch per rule."""
+    flags = """
+    WITH m AS (
+        SELECT doc_id,
+               len(string_split_regex(lower(trim(text)), '\\s+')) AS n_words,
+               length(regexp_replace(lower(trim(text)), '\\s+', '', 'g')) AS n_chars_nws,
+               len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                               x -> regexp_matches(x, '[a-z]'))) AS n_alpha_words,
+               len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                               x -> list_contains(['the','a','an','and','or','of','to','in','is','it'], x)))
+                   AS n_stop,
+               length(text) - length(replace(text, '#', '')) AS n_hash,
+               (length(text) - length(replace(text, '...', ''))) / 3 AS n_ellipsis
+        FROM documents
+    ),
+    f AS (
+        SELECT doc_id,
+               CASE WHEN n_words BETWEEN 20 AND 1000 THEN 1 ELSE 0 END AS ok_len,
+               CASE WHEN n_chars_nws * 1.0 / n_words BETWEEN 3 AND 10 THEN 1 ELSE 0 END AS ok_mwl,
+               CASE WHEN (n_hash + n_ellipsis) * 1.0 / n_words < CAST(0.1 AS DOUBLE) THEN 1 ELSE 0 END AS ok_sym,
+               CASE WHEN n_alpha_words * 1.0 / n_words >= CAST(0.8 AS DOUBLE) THEN 1 ELSE 0 END AS ok_alpha,
+               CASE WHEN n_stop >= 2 THEN 1 ELSE 0 END AS ok_stop
+        FROM m
+    ),
+    s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,"""
+    rules = _GOPHER_RULES
+    parts = []
+    for i, r in enumerate(rules):
+        others = " + ".join(o for o in rules if o != r)
+        prior = " * ".join(rules[:i]) if i else "1"
+        parts.append(
+            f"CAST(SUM(1 - {r}) AS BIGINT) AS alone_{r},\n"
+            f"           CAST(SUM(CASE WHEN {r} = 0 AND {others} = 4"
+            f" THEN 1 ELSE 0 END) AS BIGINT) AS sole_{r},\n"
+            f"           CAST(SUM(CASE WHEN {r} = 0 AND {prior} = 1"
+            f" THEN 1 ELSE 0 END) AS BIGINT) AS chain_{r}"
+        )
+    flags += "\n           " + ",\n           ".join(parts) + "\n        FROM f\n    )"
+    branches = "\n    UNION ALL ".join(
+        f"SELECT {i + 1} AS rule_order, '{r}' AS rule, n_docs,"
+        f" alone_{r} AS alone_kills, sole_{r} AS sole_kills,"
+        f" chain_{r} AS chain_kills FROM s"
+        for i, r in enumerate(rules)
+    )
+    return flags + "\n    " + branches
+
+
+@register(
+    "curation_rule_ablation",
+    oracle=_ablation_oracle_sql(),
+    doc="Ablation report over the Gopher quality rules: per rule, how "
+    "many documents it kills ALONE (ignoring other rules), how many "
+    "it is the SOLE killer of (the docs the corpus regains if the "
+    "rule is dropped — its true marginal cost), and how many it "
+    "kills FIRST in the canonical chain order (the attribution "
+    "quality_gopher_rules' first-failing chains report at scale) — "
+    "the standard curation workflow for tuning a rule stack before "
+    "a 100 TB run. Reuses gopher_flags verbatim, so the flags can "
+    "never drift from the shipped filter; all counts are exact "
+    "integer sums off ONE map-side-combined pass.",
+)
+def curation_rule_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: one per-row flag projection (pure codegen map),
+    one 1-row aggregate carrying 3 sums per rule, a 5-row stack —
+    no shuffle beyond the single reduce."""
+    f = gopher_flags(load_fixture(spark, sf_dir, "documents"))
+    rules = _GOPHER_RULES
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n_docs")]
+    for i, r in enumerate(rules):
+        others = [o for o in rules if o != r]
+        aggs.append(F.sum(1 - F.col(r)).cast("bigint").alias(f"alone_{r}"))
+        aggs.append(
+            F.sum(
+                F.when(
+                    (F.col(r) == 0)
+                    & (sum(F.col(o) for o in others) == len(others)),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias(f"sole_{r}")
+        )
+        prior_ok = (
+            (sum(F.col(o) for o in rules[:i]) == i) if i else F.lit(True)
+        )
+        aggs.append(
+            F.sum(F.when((F.col(r) == 0) & prior_ok, 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"chain_{r}")
+        )
+    s = f.agg(*aggs)
+    stack = ", ".join(
+        f"{i + 1}, '{r}', alone_{r}, sole_{r}, chain_{r}"
+        for i, r in enumerate(rules)
+    )
+    return s.selectExpr(
+        "n_docs",
+        f"stack({len(rules)}, {stack})"
+        " AS (rule_order, rule, alone_kills, sole_kills, chain_kills)",
+    ).selectExpr(
+        "CAST(rule_order AS INT) AS rule_order",
+        "rule",
+        "n_docs",
+        "alone_kills",
+        "sole_kills",
+        "chain_kills",
+    )

@@ -1193,3 +1193,51 @@ def test_harmonic_centrality_reference(spark, sf_dir):
         assert r["node"] == node
         assert (r["n1"], r["n2"], r["n3"], r["h_sixths"]) == (n1, n2, n3, h6)
         assert abs(r["harmonic"] - h6 / 6) < 1e-6
+
+
+# ---------------------------------------------------------------- wave 14
+
+
+def test_rule_ablation_reference(spark, sf_dir, con):
+    stop = {"the", "a", "an", "and", "or", "of", "to", "in", "is", "it"}
+    rows = con.execute("SELECT doc_id, text FROM documents").fetchall()
+    flags = []
+    for _, text in rows:
+        ws = re.split(r"\s+", text.strip().lower())
+        n = len(ws)
+        nchars = sum(len(w) for w in ws)
+        mwl = nchars / n
+        alpha = sum(1 for w in ws if re.search(r"[a-z]", w, re.ASCII))
+        nstop = sum(1 for w in ws if w in stop)
+        nhash = text.count("#")
+        nell = text.count("...")
+        sym = (nhash + nell) / n
+        flags.append(
+            (
+                1 if 20 <= n <= 1000 else 0,
+                1 if 3 <= mwl <= 10 else 0,
+                1 if sym < 0.1 else 0,
+                1 if alpha / n >= 0.8 else 0,
+                1 if nstop >= 2 else 0,
+            )
+        )
+    names = ["ok_len", "ok_mwl", "ok_sym", "ok_alpha", "ok_stop"]
+    out = {r["rule"]: r for r in run(spark, sf_dir, "curation_rule_ablation")}
+    assert set(out) == set(names)
+    for i, r in enumerate(names):
+        alone = sum(1 for f in flags if f[i] == 0)
+        sole = sum(
+            1
+            for f in flags
+            if f[i] == 0 and sum(f) == len(names) - 1
+        )
+        chain = sum(1 for f in flags if f[i] == 0 and all(f[j] for j in range(i)))
+        row = out[r]
+        assert row["rule_order"] == i + 1
+        assert row["n_docs"] == len(flags)
+        assert row["alone_kills"] == alone
+        assert row["sole_kills"] == sole
+        assert row["chain_kills"] == chain
+    # attribution identity: chain kills sum to total killed docs
+    killed = sum(1 for f in flags if 0 in f)
+    assert sum(r["chain_kills"] for r in out.values()) == killed
