@@ -87,8 +87,10 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # The 4 rows-only (agg_approx_top_k, text_compression_ratio,
 # similarity_ann_pq, multimodal_audio_spectral — each irreducibly
 # engine-specific with a measured reason) never burn window slots.
-# r10+ policy: keep the ten anchors, spend the forty slots on (a) any
-# round-9 additions, then (b) coldest re-grades oldest-grade-first.
+# r10+ policy: keep the ten anchors, spend the forty slots on (a) the
+# 41 round-9 additions queued below (40 fit the r10 window; the one
+# spill leads the r11 rotation), then (b) coldest re-grades
+# oldest-grade-first.
 _WINDOW_ROUND = 9  # the round this window was authored FOR — meta-tests
 # treat CORRECTNESS records from rounds >= this as the window's own
 # grade, not prior evidence (VERDICT r4 #3's self-invalidation fix).
