@@ -266,6 +266,9 @@ HEADLINE = [
     "window_atr",
     "graph_harmonic_centrality",
     "curation_rule_ablation",
+    "embedding_hubness_audit",
+    "timeseries_variance_ratio",
+    "text_entropy_rate",
 ]
 
 

@@ -224,6 +224,10 @@ _NEXT_WINDOW_QUEUE: tuple[str, ...] = (
     "graph_harmonic_centrality",
     # round-9 fourteenth wave: quality-rule ablation
     "curation_rule_ablation",
+    # round-9 fifteenth wave: hubness audit, variance ratio, entropy rate
+    "embedding_hubness_audit",
+    "timeseries_variance_ratio",
+    "text_entropy_rate",
 )
 
 

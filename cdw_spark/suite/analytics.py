@@ -7665,3 +7665,93 @@ def window_atr(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("atr_micro"),
         F.max("tr").cast("bigint").alias("max_tr_micro"),
     )
+
+
+@register(
+    "timeseries_variance_ratio",
+    oracle="""
+    WITH p AS (
+        SELECT user_id, ts, event_id,
+               CAST(floor(CAST(value AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)
+                   AS q
+        FROM events WHERE event_type = 'purchase'
+    ),
+    r AS (
+        SELECT q - LAG(q, 1) OVER w AS r1,
+               q - LAG(q, 2) OVER w AS r2
+        FROM p
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+        SELECT CAST(COUNT(r1) AS BIGINT) AS n1,
+               CAST(SUM(r1) AS HUGEINT) AS s1,
+               CAST(SUM(CAST(r1 AS HUGEINT) * r1) AS HUGEINT) AS q1,
+               CAST(COUNT(r2) AS BIGINT) AS n2,
+               CAST(SUM(r2) AS HUGEINT) AS s2,
+               CAST(SUM(CAST(r2 AS HUGEINT) * r2) AS HUGEINT) AS q2
+        FROM r
+    )
+    SELECT n1 AS n_returns_1, n2 AS n_returns_2,
+           ROUND(((CAST(n2 AS DOUBLE) * CAST(q2 AS DOUBLE)
+                   - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE))
+                  / (CAST(n2 AS DOUBLE) * CAST(n2 AS DOUBLE)) / 2.0)
+                 / NULLIF((CAST(n1 AS DOUBLE) * CAST(q1 AS DOUBLE)
+                           - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                          / (CAST(n1 AS DOUBLE) * CAST(n1 AS DOUBLE)), 0.0),
+                 6) AS variance_ratio
+    FROM s
+    """,
+    doc="Lo-MacKinlay variance ratio test statistic VR(2) pooled over "
+    "per-user purchase series: Var(2-period return)/(2*Var(1-period "
+    "return)) — 1 for a random walk, <1 mean-reverting, >1 trending; "
+    "the econometric companion to timeseries_hurst_rs (same question, "
+    "variance-scaling instead of range-scaling). Returns are exact "
+    "micro integers; both variances use the integer identity "
+    "(n*sum(x^2) - sum(x)^2)/n^2 where EVERY operand is an exact "
+    "HUGEINT/DECIMAL(38,0) — signed return sums are squared, never "
+    "integer-divided (the SCALE.md signed-division rule) — and the "
+    "only doubles are the final 1-row ratio, NULLIF-guarded for a "
+    "constant series. Both lags ride ONE window pass.",
+)
+def timeseries_variance_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: one per-user ordered window carrying both lags, one
+    map-side-combined 1-row reduce — no join, no global sort."""
+    from pyspark.sql.window import Window
+
+    e = load_fixture(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    p = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.floor(F.col("value").cast("double") * F.lit(1000000.0) + F.lit(0.5))
+        .cast("bigint")
+        .alias("q"),
+    )
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    r = p.select(
+        (F.col("q") - F.lag("q", 1).over(wo)).alias("r1"),
+        (F.col("q") - F.lag("q", 2).over(wo)).alias("r2"),
+    )
+    s = r.agg(
+        F.count("r1").cast("bigint").alias("n1"),
+        F.sum("r1").cast("decimal(38,0)").alias("s1"),
+        F.sum(F.expr("CAST(r1 AS DECIMAL(19,0)) * r1")).cast("decimal(38,0)").alias(
+            "q1"
+        ),
+        F.count("r2").cast("bigint").alias("n2"),
+        F.sum("r2").cast("decimal(38,0)").alias("s2"),
+        F.sum(F.expr("CAST(r2 AS DECIMAL(19,0)) * r2")).cast("decimal(38,0)").alias(
+            "q2"
+        ),
+    )
+    n1d = F.col("n1").cast("double")
+    n2d = F.col("n2").cast("double")
+    var1 = (n1d * F.col("q1").cast("double") - F.col("s1").cast("double") * F.col("s1").cast("double")) / (n1d * n1d)
+    var2 = (n2d * F.col("q2").cast("double") - F.col("s2").cast("double") * F.col("s2").cast("double")) / (n2d * n2d)
+    return s.select(
+        F.col("n1").alias("n_returns_1"),
+        F.col("n2").alias("n_returns_2"),
+        F.round((var2 / F.lit(2.0)) / F.nullif(var1, F.lit(0.0)), 6).alias(
+            "variance_ratio"
+        ),
+    )

@@ -361,9 +361,11 @@ _KNN_EDGES_CTE = f"""
     )"""
 
 
-def _knn_undirected_edges(emb: DataFrame) -> DataFrame:
-    """Undirected distinct edges (a < b) of the approximate 3-NN graph —
-    the Spark twin of ``_KNN_EDGES_CTE``. Neighbor candidates come from
+def _knn_directed_top3(emb: DataFrame) -> DataFrame:
+    """DIRECTED top-3 edges (a -> b, per-node best-3 cosine) of the
+    approximate 3-NN graph — the Spark twin of ``_KNN_EDGES_CTE``'s
+    ``knn`` CTE; _knn_undirected_edges folds it to distinct a < b
+    pairs. Neighbor candidates come from
     a wide LSH signature at hamming<=3 as XOR-mask enumeration ->
     equi-join on the signature (the lsh_topk shape): candidates
     hash-partition, never a broadcast nested loop over |V|^2. Then exact
@@ -483,11 +485,17 @@ def _knn_undirected_edges(emb: DataFrame) -> DataFrame:
         scored.select(F.col("b").alias("a"), F.col("a").alias("b"), "cos")
     )
     w = Window.partitionBy("a").orderBy(F.col("cos").desc(), F.col("b"))
-    knn = (
+    return (
         sym.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 3)
         .select("a", "b")
     )
+
+
+def _knn_undirected_edges(emb: DataFrame) -> DataFrame:
+    """Undirected distinct edges (a < b) of the directed 3-NN graph —
+    see _knn_directed_top3 for the construction."""
+    knn = _knn_directed_top3(emb)
     return knn.select(
         F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
     ).distinct()
@@ -1684,4 +1692,47 @@ def graph_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("h_sixths").desc(), "node")
         .limit(20)
+    )
+
+
+@register(
+    "embedding_hubness_audit",
+    oracle=_KNN_EDGES_CTE + """,
+    ind AS (
+        SELECT b AS node, CAST(COUNT(*) AS BIGINT) AS d
+        FROM knn GROUP BY b
+    ),
+    alln AS (SELECT vec_id AS node FROM embeddings),
+    dd AS (
+        SELECT a.node, COALESCE(ind.d, 0) AS d
+        FROM alln a LEFT JOIN ind ON ind.node = a.node
+    )
+    SELECT CAST(d AS BIGINT) AS in_degree,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes
+    FROM dd GROUP BY d
+    """,
+    doc="Hubness audit of the embedding space: the k-occurrence "
+    "(in-degree) distribution of the DIRECTED 3-NN graph — how often "
+    "each vector appears in other vectors' top-3. A heavy right tail "
+    "(hub vectors in thousands of neighbor lists) plus a fat "
+    "in_degree=0 bucket (antihubs no query ever retrieves) is the "
+    "classic high-dimensional hubness pathology (Radovanovic et al. "
+    "2010) that silently skews kNN classification, dedup, and "
+    "retrieval long before recall metrics notice. Uses the same "
+    "hash-checked banded-LSH kNN construction as the graph_* family; "
+    "counts are exact integers.",
+)
+def embedding_hubness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: the shared degree-bounded kNN build, one in-degree
+    aggregate (|V|*k rows), a left anti-ish join for the zero bucket,
+    one histogram aggregate over |V| rows."""
+    emb = load_fixture(spark, sf_dir, "embeddings")
+    knn = _knn_directed_top3(emb)
+    ind = knn.groupBy(F.col("b").alias("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("d")
+    )
+    alln = emb.select(F.col("vec_id").alias("node"))
+    dd = alln.join(ind, "node", "left").fillna(0, subset=["d"])
+    return dd.groupBy(F.col("d").cast("bigint").alias("in_degree")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes")
     )

@@ -1241,3 +1241,89 @@ def test_rule_ablation_reference(spark, sf_dir, con):
     # attribution identity: chain kills sum to total killed docs
     killed = sum(1 for f in flags if 0 in f)
     assert sum(r["chain_kills"] for r in out.values()) == killed
+
+
+# ---------------------------------------------------------------- wave 15
+
+
+def test_hubness_reference(spark, sf_dir):
+    knn = [
+        (r["a"], r["b"])
+        for r in SPECS["embedding_hubness_audit"]
+        .fn.__globals__["_knn_directed_top3"](
+            SPECS["embedding_hubness_audit"]
+            .fn.__globals__["load_fixture"](spark, sf_dir, "embeddings")
+        )
+        .collect()
+    ]
+    nodes = {
+        r["vec_id"]
+        for r in SPECS["embedding_hubness_audit"]
+        .fn.__globals__["load_fixture"](spark, sf_dir, "embeddings")
+        .select("vec_id")
+        .collect()
+    }
+    ind = {n: 0 for n in nodes}
+    for _, b in knn:
+        ind[b] += 1
+    hist = {}
+    for d in ind.values():
+        hist[d] = hist.get(d, 0) + 1
+    out = {r["in_degree"]: r["n_nodes"] for r in run(spark, sf_dir, "embedding_hubness_audit")}
+    assert out == hist
+    # every node appears somewhere and the graph has |V|*3 directed edges
+    assert sum(out.values()) == len(nodes)
+    assert sum(d * c for d, c in out.items()) == len(knn)
+
+
+def test_variance_ratio_reference(spark, sf_dir, con):
+    rows = con.execute(
+        "SELECT user_id, CAST(floor(CAST(value AS DOUBLE) * 1000000.0 + 0.5)"
+        " AS BIGINT) FROM events WHERE event_type = 'purchase'"
+        " ORDER BY user_id, ts, event_id"
+    ).fetchall()
+    series = {}
+    for u, q in rows:
+        series.setdefault(u, []).append(q)
+    r1, r2 = [], []
+    for qs in series.values():
+        r1 += [b - a for a, b in zip(qs, qs[1:])]
+        r2 += [b - a for a, b in zip(qs, qs[2:])]
+
+    def var(xs):
+        n = len(xs)
+        return (n * sum(x * x for x in xs) - sum(xs) ** 2) / (n * n)
+
+    ref = (var(r2) / 2) / var(r1)
+    (out,) = run(spark, sf_dir, "timeseries_variance_ratio")
+    assert out["n_returns_1"] == len(r1)
+    assert out["n_returns_2"] == len(r2)
+    assert abs(out["variance_ratio"] - ref) < 1e-5
+
+
+def test_entropy_rate_reference(spark, sf_dir, con):
+    rows = con.execute(
+        "SELECT source, lower(text) FROM documents WHERE length(text) >= 2"
+    ).fetchall()
+    pairs = {}
+    for src, t in rows:
+        d = pairs.setdefault(src, {})
+        for i in range(len(t) - 1):
+            p = t[i : i + 2]
+            d[p] = d.get(p, 0) + 1
+    out = {r["source"]: r for r in run(spark, sf_dir, "text_entropy_rate")}
+    assert set(out) == set(pairs)
+    for src, d in pairs.items():
+        n = sum(d.values())
+        hp = -sum(c / n * math.log(c / n) for c in d.values()) / math.log(2)
+        marg = {}
+        for p, c in d.items():
+            marg[p[0]] = marg.get(p[0], 0) + c
+        h1 = -sum(c / n * math.log(c / n) for c in marg.values()) / math.log(2)
+        r = out[src]
+        assert r["n_pairs"] == n
+        assert abs(r["pair_bits"] - hp) < 1e-4
+        assert abs(r["unigram_bits"] - h1) < 1e-4
+        assert abs(r["cond_bits"] - (hp - h1)) < 1e-4
+        # conditional entropy is nonnegative and below the pair entropy
+        assert -1e-9 <= r["cond_bits"] <= r["pair_bits"]
