@@ -269,6 +269,9 @@ HEADLINE = [
     "embedding_hubness_audit",
     "timeseries_variance_ratio",
     "text_entropy_rate",
+    "agg_runs_test",
+    "text_hapax_ratio",
+    "graph_rich_club",
 ]
 
 

@@ -228,6 +228,10 @@ _NEXT_WINDOW_QUEUE: tuple[str, ...] = (
     "embedding_hubness_audit",
     "timeseries_variance_ratio",
     "text_entropy_rate",
+    # round-9 sixteenth wave: runs test, hapax profile, rich club
+    "agg_runs_test",
+    "text_hapax_ratio",
+    "graph_rich_club",
 )
 
 

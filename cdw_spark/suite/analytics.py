@@ -7755,3 +7755,151 @@ def timeseries_variance_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             "variance_ratio"
         ),
     )
+
+
+@register(
+    "agg_runs_test",
+    oracle="""
+    WITH p AS (
+        SELECT user_id, ts, event_id,
+               CAST(floor(CAST(value AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)
+                   AS q
+        FROM events WHERE event_type = 'purchase'
+    ),
+    r AS (
+        SELECT user_id, ts, event_id,
+               q - LAG(q) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS ret
+        FROM p
+    ),
+    sgn AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN ret > 0 THEN 1 ELSE 0 END AS s
+        FROM r WHERE ret IS NOT NULL AND ret <> 0
+    ),
+    flips AS (
+        SELECT user_id, s,
+               CASE WHEN LAG(s) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) IS NULL THEN 1
+                    WHEN LAG(s) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) <> s THEN 1
+                    ELSE 0 END AS new_run
+        FROM sgn
+    ),
+    u AS (
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(s) AS BIGINT) AS n1,
+               CAST(COUNT(*) - SUM(s) AS BIGINT) AS n2,
+               CAST(SUM(new_run) AS BIGINT) AS runs
+        FROM flips GROUP BY user_id
+    ),
+    g AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+               CAST(SUM(runs) AS BIGINT) AS n_runs,
+               CAST(SUM(n1) AS BIGINT) AS n_pos,
+               CAST(SUM(n2) AS BIGINT) AS n_neg,
+               SUM(CAST(ROUND(1.0 + 2.0 * CAST(n1 AS DOUBLE)
+                              * CAST(n2 AS DOUBLE) / CAST(n AS DOUBLE), 9)
+                        AS DECIMAL(18,9))) AS e_runs,
+               SUM(CASE WHEN n > 1 THEN
+                   CAST(ROUND(2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                              * (2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                                 - CAST(n AS DOUBLE))
+                              / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                                 * (CAST(n AS DOUBLE) - 1.0)), 9)
+                        AS DECIMAL(18,9))
+                   ELSE CAST(0 AS DECIMAL(18,9)) END) AS v_runs
+        FROM u
+    )
+    SELECT n_users, n_runs, n_pos, n_neg,
+           ROUND((CAST(n_runs AS DOUBLE) - CAST(e_runs AS DOUBLE))
+                 / NULLIF(sqrt(CAST(v_runs AS DOUBLE)), 0.0), 6) AS z_score
+    FROM g
+    """,
+    doc="Wald-Wolfowitz runs test pooled over per-user purchase-return "
+    "sign sequences: total observed sign runs vs the randomness "
+    "expectation E[R] = sum_u(1 + 2*n1*n2/n) with the matching "
+    "variance sum — <E means momentum (long streaks), >E means "
+    "mean-reversion (rapid flips); the third independence lens beside "
+    "timeseries_variance_ratio and timeseries_hurst_rs, sensitive to "
+    "sign structure those magnitude tests miss. Zero returns drop "
+    "(the classical treatment) identically in both engines; run/sign "
+    "counts are exact integers; per-user expectation/variance terms "
+    "are one identical double sequence rounded to 9 dp and "
+    "DECIMAL-summed (order-independent across the user relation); "
+    "z is NULLIF-guarded for the all-one-sign degenerate corpus.",
+)
+def agg_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: two per-user ordered windows (lag for returns, lag
+    for sign flips — both share the user shuffle), one per-user
+    aggregate, one 1-row reduce."""
+    from pyspark.sql.window import Window
+
+    e = load_fixture(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    p = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.floor(F.col("value").cast("double") * F.lit(1000000.0) + F.lit(0.5))
+        .cast("bigint")
+        .alias("q"),
+    )
+    r = p.select(
+        "user_id", "ts", "event_id", (F.col("q") - F.lag("q").over(wo)).alias("ret")
+    ).filter(F.col("ret").isNotNull() & (F.col("ret") != 0))
+    sgn = r.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("ret") > 0, 1).otherwise(0).alias("s"),
+    )
+    lag_s = F.lag("s").over(wo)
+    flips = sgn.select(
+        "user_id",
+        "s",
+        F.when(lag_s.isNull(), 1).when(lag_s != F.col("s"), 1).otherwise(0).alias(
+            "new_run"
+        ),
+    )
+    u = flips.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("s").cast("bigint").alias("n1"),
+        (F.count(F.lit(1)) - F.sum("s")).cast("bigint").alias("n2"),
+        F.sum("new_run").cast("bigint").alias("runs"),
+    )
+    g = u.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum("runs").cast("bigint").alias("n_runs"),
+        F.sum("n1").cast("bigint").alias("n_pos"),
+        F.sum("n2").cast("bigint").alias("n_neg"),
+        F.sum(
+            F.expr(
+                "CAST(ROUND(1.0 + 2.0 * CAST(n1 AS DOUBLE)"
+                " * CAST(n2 AS DOUBLE) / CAST(n AS DOUBLE), 9)"
+                " AS DECIMAL(18,9))"
+            )
+        ).alias("e_runs"),
+        F.sum(
+            F.expr(
+                "CASE WHEN n > 1 THEN"
+                " CAST(ROUND(2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)"
+                " * (2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)"
+                " - CAST(n AS DOUBLE))"
+                " / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)"
+                " * (CAST(n AS DOUBLE) - 1.0)), 9) AS DECIMAL(18,9))"
+                " ELSE CAST(0 AS DECIMAL(18,9)) END"
+            )
+        ).alias("v_runs"),
+    )
+    return g.select(
+        "n_users",
+        "n_runs",
+        "n_pos",
+        "n_neg",
+        F.round(
+            (F.col("n_runs").cast("double") - F.col("e_runs").cast("double"))
+            / F.nullif(F.sqrt(F.col("v_runs").cast("double")), F.lit(0.0)),
+            6,
+        ).alias("z_score"),
+    )

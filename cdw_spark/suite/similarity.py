@@ -1736,3 +1736,82 @@ def embedding_hubness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.groupBy(F.col("d").cast("bigint").alias("in_degree")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_nodes")
     )
+
+
+@register(
+    "graph_rich_club",
+    oracle=_KNN_EDGES_CTE + """,
+    adj AS (SELECT a AS n, b AS m FROM edges
+            UNION ALL SELECT b AS n, a AS m FROM edges),
+    deg AS (SELECT n, CAST(COUNT(*) AS BIGINT) AS d FROM adj GROUP BY n),
+    ks AS (SELECT unnest([4, 6]) AS k),
+    club AS (
+        SELECT ks.k, deg.n
+        FROM ks JOIN deg ON deg.d > ks.k
+    ),
+    within AS (
+        SELECT c1.k, CAST(COUNT(*) AS BIGINT) AS e_k
+        FROM edges e
+        JOIN club c1 ON c1.n = e.a
+        JOIN club c2 ON c2.n = e.b AND c2.k = c1.k
+        GROUP BY c1.k
+    ),
+    sizes AS (
+        SELECT k, CAST(COUNT(*) AS BIGINT) AS n_k FROM club GROUP BY k
+    )
+    SELECT s.k, s.n_k AS n_club_nodes,
+           COALESCE(w.e_k, 0) AS n_edges_within,
+           CASE WHEN s.n_k >= 2 THEN
+               CAST((2 * 2 * CAST(COALESCE(w.e_k, 0) AS HUGEINT) * 1000000
+                     + s.n_k * (s.n_k - 1))
+                    // (2 * CAST(s.n_k AS HUGEINT) * (s.n_k - 1)) AS BIGINT)
+           ELSE NULL END AS phi_micro
+    FROM sizes s LEFT JOIN within w ON w.k = s.k
+    """,
+    doc="Rich-club coefficient of the kNN graph at degree thresholds "
+    "k in {4, 6}: phi(k) = 2*E_k / (N_k*(N_k-1)) over the subgraph of "
+    "nodes with degree > k — do the best-connected vectors "
+    "preferentially interconnect (a 'core' of near-duplicate or hub "
+    "structure) or spread (Colizza et al. 2006)? Complements "
+    "embedding_hubness_audit (who the hubs are) with how they wire "
+    "together. Degrees and club-internal edge counts are exact "
+    "integers off the shared hash-checked edge relation; phi "
+    "quantizes half-away to exact micro units, NULL for a sub-2-node "
+    "club in both engines.",
+)
+def graph_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: the shared degree-bounded graph build, one degree
+    aggregate, broadcast club membership joined to the edge relation,
+    a 2-row reduce."""
+    spark_ = spark
+    emb = load_fixture(spark_, sf_dir, "embeddings")
+    edges = _knn_undirected_edges(emb).localCheckpoint(eager=True)
+    adj = edges.select(F.col("a").alias("n"), F.col("b").alias("m")).unionAll(
+        edges.select(F.col("b").alias("n"), F.col("a").alias("m"))
+    )
+    deg = adj.groupBy("n").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    ks = spark_.createDataFrame([(4,), (6,)], "k int")
+    club = ks.join(deg, deg.d > ks.k).select("k", "n").localCheckpoint(eager=True)
+    c1 = club.select(F.col("k"), F.col("n").alias("a"))
+    c2 = club.select(F.col("k"), F.col("n").alias("b"))
+    within = (
+        edges.join(F.broadcast(c1), "a")
+        .join(F.broadcast(c2), ["k", "b"])
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("e_k"))
+    )
+    sizes = club.groupBy("k").agg(F.count(F.lit(1)).cast("bigint").alias("n_k"))
+    return (
+        sizes.join(within, "k", "left")
+        .fillna(0, subset=["e_k"])
+        .selectExpr(
+            "k",
+            "n_k AS n_club_nodes",
+            "e_k AS n_edges_within",
+            "CASE WHEN n_k >= 2 THEN"
+            " CAST((2 * 2 * CAST(e_k AS DECIMAL(19,0)) * 1000000"
+            " + n_k * (n_k - 1))"
+            " div (2 * CAST(n_k AS DECIMAL(19,0)) * (n_k - 1)) AS BIGINT)"
+            " ELSE NULL END AS phi_micro",
+        )
+    )

@@ -2396,3 +2396,66 @@ def text_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             " / CAST(0.6931471805599453 AS DOUBLE), 6) AS cond_bits",
         )
     )
+
+
+@register(
+    "text_hapax_ratio",
+    oracle="""
+    WITH tok AS (
+        SELECT source,
+               unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+        FROM documents
+    ),
+    vocab AS (
+        SELECT source, w, CAST(COUNT(*) AS BIGINT) AS freq
+        FROM tok GROUP BY source, w
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS vocab_size,
+           CAST(SUM(CASE WHEN freq = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_hapax,
+           CAST(SUM(CASE WHEN freq = 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dis,
+           CAST((2 * CAST(SUM(CASE WHEN freq = 1 THEN 1 ELSE 0 END)
+                          AS HUGEINT) * 1000000 + COUNT(*))
+                // (2 * CAST(COUNT(*) AS HUGEINT)) AS BIGINT)
+               AS hapax_ratio_micro
+    FROM vocab GROUP BY source
+    """,
+    doc="Hapax legomenon profile per source: vocabulary size, words "
+    "seen exactly once (hapax) and exactly twice (dis legomena), and "
+    "the hapax share in exact half-away micro units — the "
+    "productivity/quality signal that pairs with text_heaps_law and "
+    "text_zipf_slope (a scraped-boilerplate source has a collapsed "
+    "hapax share; OCR noise inflates it; natural prose sits near "
+    "40-60% under Zipf). Tokenization is the index_terms regex; the "
+    "corpus collapses to the (source, word, freq) vocabulary relation "
+    "in one map-side-combined pass, all counts exact, no doubles.",
+)
+def text_hapax_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: one explode-tokenize map, one combine-heavy shuffle
+    to the vocabulary relation, one |sources|-row aggregate."""
+    d = load_fixture(spark, sf_dir, "documents")
+    tok = d.select(
+        "source",
+        F.explode(
+            F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
+        ).alias("w"),
+    )
+    vocab = tok.groupBy("source", "w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("freq")
+    )
+    return vocab.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("vocab_size"),
+        F.sum(F.when(F.col("freq") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_hapax"),
+        F.sum(F.when(F.col("freq") == 2, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_dis"),
+        F.expr(
+            "CAST((2 * CAST(SUM(CASE WHEN freq = 1 THEN 1 ELSE 0 END)"
+            " AS DECIMAL(19,0)) * 1000000 + COUNT(*))"
+            " div (2 * CAST(COUNT(*) AS DECIMAL(19,0))) AS BIGINT)"
+        ).alias("hapax_ratio_micro"),
+    )

@@ -1327,3 +1327,92 @@ def test_entropy_rate_reference(spark, sf_dir, con):
         assert abs(r["cond_bits"] - (hp - h1)) < 1e-4
         # conditional entropy is nonnegative and below the pair entropy
         assert -1e-9 <= r["cond_bits"] <= r["pair_bits"]
+
+
+# ---------------------------------------------------------------- wave 16
+
+
+def test_runs_test_reference(spark, sf_dir, con):
+    rows = con.execute(
+        "SELECT user_id, CAST(floor(CAST(value AS DOUBLE) * 1000000.0 + 0.5)"
+        " AS BIGINT) FROM events WHERE event_type = 'purchase'"
+        " ORDER BY user_id, ts, event_id"
+    ).fetchall()
+    series = {}
+    for u, q in rows:
+        series.setdefault(u, []).append(q)
+    n_users = n_runs = n_pos = n_neg = 0
+    e_runs = v_runs = 0.0
+    for qs in series.values():
+        signs = [1 if b - a > 0 else 0 for a, b in zip(qs, qs[1:]) if b - a != 0]
+        if not signs:
+            continue
+        n_users += 1
+        n = len(signs)
+        n1 = sum(signs)
+        n2 = n - n1
+        runs = 1 + sum(1 for a, b in zip(signs, signs[1:]) if a != b)
+        n_runs += runs
+        n_pos += n1
+        n_neg += n2
+        e_runs += 1.0 + 2.0 * n1 * n2 / n
+        if n > 1:
+            v_runs += 2.0 * n1 * n2 * (2.0 * n1 * n2 - n) / (n * n * (n - 1.0))
+    (out,) = run(spark, sf_dir, "agg_runs_test")
+    assert out["n_users"] == n_users
+    assert out["n_runs"] == n_runs
+    assert out["n_pos"] == n_pos
+    assert out["n_neg"] == n_neg
+    ref = (n_runs - e_runs) / math.sqrt(v_runs)
+    assert abs(out["z_score"] - ref) < 1e-4
+
+
+def test_hapax_reference(spark, sf_dir, con):
+    rows = con.execute("SELECT source, lower(text) FROM documents").fetchall()
+    vocab = {}
+    for src, t in rows:
+        d = vocab.setdefault(src, {})
+        for w in re.findall(r"[a-z0-9]+", t, re.ASCII):
+            d[w] = d.get(w, 0) + 1
+    out = {r["source"]: r for r in run(spark, sf_dir, "text_hapax_ratio")}
+    assert set(out) == set(vocab)
+    for src, d in vocab.items():
+        v = len(d)
+        h = sum(1 for c in d.values() if c == 1)
+        dis = sum(1 for c in d.values() if c == 2)
+        r = out[src]
+        assert r["vocab_size"] == v
+        assert r["n_hapax"] == h
+        assert r["n_dis"] == dis
+        assert r["hapax_ratio_micro"] == (2 * h * 1000000 + v) // (2 * v)
+
+
+def test_rich_club_reference(spark, sf_dir):
+    edges = [
+        (r["a"], r["b"])
+        for r in SPECS["graph_rich_club"]
+        .fn.__globals__["_knn_undirected_edges"](
+            SPECS["graph_rich_club"]
+            .fn.__globals__["load_fixture"](spark, sf_dir, "embeddings")
+        )
+        .collect()
+    ]
+    deg = {}
+    for a, b in edges:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    out = {r["k"]: r for r in run(spark, sf_dir, "graph_rich_club")}
+    assert set(out) == {4, 6}
+    for k in (4, 6):
+        club = {n for n, d in deg.items() if d > k}
+        ek = sum(1 for a, b in edges if a in club and b in club)
+        nk = len(club)
+        r = out[k]
+        assert r["n_club_nodes"] == nk
+        assert r["n_edges_within"] == ek
+        if nk >= 2:
+            assert r["phi_micro"] == (
+                (4 * ek * 1000000 + nk * (nk - 1)) // (2 * nk * (nk - 1))
+            )
+        else:
+            assert r["phi_micro"] is None
