@@ -272,6 +272,8 @@ HEADLINE = [
     "agg_runs_test",
     "text_hapax_ratio",
     "graph_rich_club",
+    "recs_markov_next_event",
+    "events_error_mtbf",
 ]
 
 

@@ -232,6 +232,9 @@ _NEXT_WINDOW_QUEUE: tuple[str, ...] = (
     "agg_runs_test",
     "text_hapax_ratio",
     "graph_rich_club",
+    # round-9 seventeenth wave: Markov predictor eval, error MTBF
+    "recs_markov_next_event",
+    "events_error_mtbf",
 )
 
 

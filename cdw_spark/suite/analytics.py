@@ -7903,3 +7903,154 @@ def agg_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("z_score"),
     )
+
+
+@register(
+    "recs_markov_next_event",
+    oracle="""
+    WITH seq AS (
+        SELECT event_type AS cur,
+               LEAD(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS nxt
+        FROM events
+    ),
+    pair AS (
+        SELECT cur, nxt, CAST(COUNT(*) AS BIGINT) AS c
+        FROM seq WHERE nxt IS NOT NULL GROUP BY cur, nxt
+    ),
+    pred AS (
+        SELECT cur, nxt AS predicted_next FROM (
+            SELECT cur, nxt,
+                   ROW_NUMBER() OVER (PARTITION BY cur
+                                      ORDER BY c DESC, nxt) AS rk
+            FROM pair
+        ) WHERE rk = 1
+    ),
+    ev AS (
+        SELECT p.cur, MAX(pr.predicted_next) AS predicted_next,
+               CAST(SUM(p.c) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN p.nxt = pr.predicted_next
+                        THEN p.c ELSE 0 END) AS BIGINT) AS hits
+        FROM pair p JOIN pred pr ON pr.cur = p.cur
+        GROUP BY p.cur
+    )
+    SELECT cur AS prev_event, predicted_next, n AS n_transitions,
+           hits AS n_hits,
+           CAST((2 * CAST(hits AS HUGEINT) * 1000000 + n)
+                // (2 * CAST(n AS HUGEINT)) AS BIGINT) AS hit_rate_micro
+    FROM ev
+    """,
+    doc="Majority-successor Markov predictor evaluated in-sample: for "
+    "each event type, predict the most frequent next type "
+    "(deterministic tie-break on the type name) and report the hit "
+    "rate over all transitions — the baseline every sequence "
+    "recommender must beat, and the operational payoff check on "
+    "events_transition_entropy (a low-entropy row should show a high "
+    "hit rate here; this op prices that in accuracy units). "
+    "Transition counts are exact; the hit rate quantizes half-away "
+    "to exact micro units; the evaluation needs only the "
+    "|types|^2-cell relation — never a second pass over the fact "
+    "table. No doubles anywhere.",
+)
+def recs_markov_next_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: one per-user window sort for the lead, one
+    aggregate to |types|^2 cells; prediction and evaluation run on
+    the catalog-sized cell relation with broadcast joins."""
+    from pyspark.sql.window import Window
+
+    ev = load_fixture(spark, sf_dir, "events")
+    seq = ev.select(
+        F.col("event_type").alias("cur"),
+        F.lead("event_type")
+        .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("nxt"),
+    ).filter(F.col("nxt").isNotNull())
+    pair = seq.groupBy("cur", "nxt").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    ).localCheckpoint(eager=True)
+    wk = Window.partitionBy("cur").orderBy(F.col("c").desc(), "nxt")
+    pred = (
+        pair.withColumn("rk", F.row_number().over(wk))
+        .filter(F.col("rk") == 1)
+        .select("cur", F.col("nxt").alias("predicted_next"))
+    )
+    ev_ = (
+        pair.join(F.broadcast(pred), "cur")
+        .groupBy("cur")
+        .agg(
+            F.max("predicted_next").alias("predicted_next"),
+            F.sum("c").cast("bigint").alias("n"),
+            F.sum(
+                F.when(F.col("nxt") == F.col("predicted_next"), F.col("c")).otherwise(
+                    0
+                )
+            )
+            .cast("bigint")
+            .alias("hits"),
+        )
+    )
+    return ev_.selectExpr(
+        "cur AS prev_event",
+        "predicted_next",
+        "n AS n_transitions",
+        "hits AS n_hits",
+        "CAST((2 * CAST(hits AS DECIMAL(19,0)) * 1000000 + n)"
+        " div (2 * CAST(n AS DECIMAL(19,0))) AS BIGINT) AS hit_rate_micro",
+    )
+
+
+@register(
+    "events_error_mtbf",
+    oracle="""
+    WITH err AS (
+        SELECT user_id, ts, event_id, epoch_us(ts) AS us
+        FROM events WHERE event_type = 'error'
+    ),
+    gap AS (
+        SELECT user_id,
+               us - LAG(us) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS g
+        FROM err
+    )
+    SELECT user_id, CAST(COUNT(*) + 1 AS BIGINT) AS n_errors,
+           CAST((2 * CAST(SUM(g) AS HUGEINT) + COUNT(*) * 1000000)
+                // (2 * CAST(COUNT(*) AS HUGEINT) * 1000000) AS BIGINT)
+               AS mtbf_seconds,
+           CAST(MIN(g) // 1000000 AS BIGINT) AS min_gap_seconds,
+           CAST(MAX(g) // 1000000 AS BIGINT) AS max_gap_seconds
+    FROM gap WHERE g IS NOT NULL
+    GROUP BY user_id
+    """,
+    doc="Mean time between failures per user over 'error' events: the "
+    "reliability-engineering statistic on the event stream (pairs "
+    "with dq_freshness_lag's liveness view — MTBF says how OFTEN a "
+    "source degrades, freshness says whether it is degraded NOW). "
+    "Gaps are exact epoch-microsecond integer differences (the "
+    "timestamps-as-longs rule); the mean gap half-away-quantizes to "
+    "whole seconds in one exact integer expression (gaps >= 0, the "
+    "signed-division trap never engages); min/max gaps floor-divide "
+    "to seconds. Users with a single error have no gap and are "
+    "excluded identically in both engines. No doubles anywhere.",
+)
+def events_error_mtbf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: one filtered per-user ordered window for the lag,
+    one map-side-combined per-user aggregate — no join."""
+    from pyspark.sql.window import Window
+
+    e = load_fixture(spark, sf_dir, "events").filter(F.col("event_type") == "error")
+    err = e.select(
+        "user_id", "ts", "event_id", F.unix_micros(F.col("ts")).alias("us")
+    )
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = err.select(
+        "user_id", (F.col("us") - F.lag("us").over(wo)).alias("g")
+    ).filter(F.col("g").isNotNull())
+    return gap.groupBy("user_id").agg(
+        (F.count(F.lit(1)) + F.lit(1)).cast("bigint").alias("n_errors"),
+        F.expr(
+            "CAST((2 * CAST(SUM(g) AS DECIMAL(38,0)) + COUNT(*) * 1000000)"
+            " div (2 * CAST(COUNT(*) AS DECIMAL(38,0)) * 1000000) AS BIGINT)"
+        ).alias("mtbf_seconds"),
+        F.expr("CAST(MIN(g) div 1000000 AS BIGINT)").alias("min_gap_seconds"),
+        F.expr("CAST(MAX(g) div 1000000 AS BIGINT)").alias("max_gap_seconds"),
+    )

@@ -1416,3 +1416,55 @@ def test_rich_club_reference(spark, sf_dir):
             )
         else:
             assert r["phi_micro"] is None
+
+
+# ---------------------------------------------------------------- wave 17
+
+
+def test_markov_next_event_reference(spark, sf_dir, con):
+    rows = con.execute(
+        "SELECT user_id, event_type FROM events ORDER BY user_id, ts, event_id"
+    ).fetchall()
+    pairs = {}
+    prev = {}
+    for u, t in rows:
+        if u in prev:
+            pairs[(prev[u], t)] = pairs.get((prev[u], t), 0) + 1
+        prev[u] = t
+    curs = {c for c, _ in pairs}
+    out = {r["prev_event"]: r for r in run(spark, sf_dir, "recs_markov_next_event")}
+    assert set(out) == curs
+    for cur in curs:
+        succ = {n: c for (c0, n), c in pairs.items() if c0 == cur}
+        pred = min(succ, key=lambda n: (-succ[n], n))
+        n = sum(succ.values())
+        hits = succ[pred]
+        r = out[cur]
+        assert r["predicted_next"] == pred
+        assert r["n_transitions"] == n
+        assert r["n_hits"] == hits
+        assert r["hit_rate_micro"] == (2 * hits * 1000000 + n) // (2 * n)
+
+
+def test_error_mtbf_reference(spark, sf_dir, con):
+    rows = con.execute(
+        "SELECT user_id, epoch_us(ts) FROM events WHERE event_type = 'error'"
+        " ORDER BY user_id, ts, event_id"
+    ).fetchall()
+    series = {}
+    for u, us in rows:
+        series.setdefault(u, []).append(us)
+    expected = {u for u, s in series.items() if len(s) >= 2}
+    out = {r["user_id"]: r for r in run(spark, sf_dir, "events_error_mtbf")}
+    assert set(out) == expected
+    for u in expected:
+        s = series[u]
+        gaps = [b - a for a, b in zip(s, s[1:])]
+        n = len(gaps)
+        r = out[u]
+        assert r["n_errors"] == n + 1
+        assert r["mtbf_seconds"] == (2 * sum(gaps) + n * 1000000) // (
+            2 * n * 1000000
+        )
+        assert r["min_gap_seconds"] == min(gaps) // 1000000
+        assert r["max_gap_seconds"] == max(gaps) // 1000000
