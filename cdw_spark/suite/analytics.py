@@ -6669,9 +6669,9 @@ def events_transition_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND((12.0 * CAST(s AS DOUBLE)
                   / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0))
                   - 3.0 * (CAST(n AS DOUBLE) + 1.0))
-                 / (1.0 - CAST(tie3 AS DOUBLE)
-                    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
-                       * CAST(n AS DOUBLE) - CAST(n AS DOUBLE))), 6)
+                 / NULLIF(1.0 - CAST(tie3 AS DOUBLE)
+                    / NULLIF(CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                       * CAST(n AS DOUBLE) - CAST(n AS DOUBLE), 0.0), 0.0), 6)
                AS h_tie_corrected
     FROM terms, tot
     """,
@@ -6686,7 +6686,10 @@ def events_transition_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     "double, rounded to 9 dp and DECIMAL-summed over the k=5-row group "
     "relation (order-independent). int64 bound: the tie term t^3 - t "
     "overflows past ~2.1e6 copies of one price (the agg_mann_whitney_u "
-    "bound, same operand).",
+    "bound, same operand). Degenerate single-value/sub-2-row inputs "
+    "NULL the corrected statistic in BOTH engines (NULLIF on the tie "
+    "correction — a zero denominator would be inf in DuckDB, NULL in "
+    "Spark).",
 )
 def agg_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale shape: one groupBy to (value, priority) cells, one to
@@ -6736,12 +6739,14 @@ def agg_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(12.0) * F.col("s").cast("double") / (nd * (nd + F.lit(1.0)))
         - F.lit(3.0) * (nd + F.lit(1.0))
     )
-    corr = F.lit(1.0) - F.col("tie3").cast("double") / (nd * nd * nd - nd)
+    corr = F.lit(1.0) - F.col("tie3").cast("double") / F.nullif(
+        nd * nd * nd - nd, F.lit(0.0)
+    )
     return terms.crossJoin(F.broadcast(tot)).select(
         F.col("n"),
         F.col("k").alias("n_groups"),
         F.round(h, 6).alias("h_stat"),
-        F.round(h / corr, 6).alias("h_tie_corrected"),
+        F.round(h / F.nullif(corr, F.lit(0.0)), 6).alias("h_tie_corrected"),
     )
 
 
@@ -6789,10 +6794,11 @@ def agg_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(t.k - 1 AS BIGINT) AS df_between,
            CAST(t.n - t.k AS BIGINT) AS df_within,
            ROUND((CAST(ss.ssb_q AS DOUBLE) / (CAST(t.k AS DOUBLE) - 1.0))
-                 / ((CAST(sst.sst_q AS DOUBLE) - CAST(ss.ssb_q AS DOUBLE))
-                    / (CAST(t.n AS DOUBLE) - CAST(t.k AS DOUBLE))), 6)
+                 / NULLIF((CAST(sst.sst_q AS DOUBLE) - CAST(ss.ssb_q AS DOUBLE))
+                    / (CAST(t.n AS DOUBLE) - CAST(t.k AS DOUBLE)), 0.0), 6)
                AS f_stat,
-           ROUND(CAST(ss.ssb_q AS DOUBLE) / CAST(sst.sst_q AS DOUBLE), 6)
+           ROUND(CAST(ss.ssb_q AS DOUBLE)
+                 / NULLIF(CAST(sst.sst_q AS DOUBLE), 0.0), 6)
                AS eta_squared
     FROM tot t, ss, sst
     """,
@@ -6809,7 +6815,8 @@ def agg_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
     "appear only in the final 1-row F/eta^2 projection. Bound: "
     "1e12*Q <= 1e38 holds to ~6e9 rows at this price domain (1.35e36 "
     "at a 100 TB lineitem); mj in micro-cents <= 1.5e13 so nj*(diff)^2 "
-    "<= 2.3e32 per group.",
+    "<= 2.3e32 per group. Zero-variance degenerate inputs (SSW or SST "
+    "= 0) NULL the statistic in BOTH engines via NULLIF.",
 )
 def agg_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale shape: one map-side-combined aggregate to the k=3-row
@@ -6871,10 +6878,12 @@ def agg_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("k").alias("n_groups"),
             (F.col("k") - F.lit(1)).cast("bigint").alias("df_between"),
             F.expr("CAST(n - k AS BIGINT)").alias("df_within"),
-            F.round((ssb / (kd - F.lit(1.0))) / ((sstd - ssb) / (ndd - kd)), 6).alias(
-                "f_stat"
-            ),
-            F.round(ssb / sstd, 6).alias("eta_squared"),
+            F.round(
+                (ssb / (kd - F.lit(1.0)))
+                / F.nullif((sstd - ssb) / (ndd - kd), F.lit(0.0)),
+                6,
+            ).alias("f_stat"),
+            F.round(ssb / F.nullif(sstd, F.lit(0.0)), 6).alias("eta_squared"),
         )
     )
 
@@ -6931,8 +6940,8 @@ def agg_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(t.k - 1 AS BIGINT) AS df_between,
            CAST(t.n - t.k AS BIGINT) AS df_within,
            ROUND((CAST(ss.ssb_q AS DOUBLE) / (CAST(t.k AS DOUBLE) - 1.0))
-                 / (CAST(ss.ssw_q AS DOUBLE)
-                    / (CAST(t.n AS DOUBLE) - CAST(t.k AS DOUBLE))), 6)
+                 / NULLIF(CAST(ss.ssw_q AS DOUBLE)
+                    / (CAST(t.n AS DOUBLE) - CAST(t.k AS DOUBLE)), 0.0), 6)
                AS w_stat
     FROM tot t, ss
     """,
@@ -6948,7 +6957,8 @@ def agg_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_anova_oneway identity) making SSB and the per-group SSW "
     "both exact DECIMAL(38,0)/HUGEINT sums. Bound: 1e12 * sum(z^2) "
     "<= 1e38 holds to ~2.5e8 rows per group at this price domain; "
-    "doubles appear only in the final 1-row W projection.",
+    "doubles appear only in the final 1-row W projection, NULLIF-"
+    "guarded for the zero-spread degenerate case.",
 )
 def agg_levene_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale shape: one banded-median pass (sketch brackets the median,
@@ -7013,7 +7023,7 @@ def agg_levene_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(n - k AS BIGINT)").alias("df_within"),
         F.round(
             (F.col("ssb_q").cast("double") / (kd - F.lit(1.0)))
-            / (F.col("ssw_q").cast("double") / (ndd - kd)),
+            / F.nullif(F.col("ssw_q").cast("double") / (ndd - kd), F.lit(0.0)),
             6,
         ).alias("w_stat"),
     )

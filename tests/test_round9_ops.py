@@ -1468,3 +1468,50 @@ def test_error_mtbf_reference(spark, sf_dir, con):
         )
         assert r["min_gap_seconds"] == min(gaps) // 1000000
         assert r["max_gap_seconds"] == max(gaps) // 1000000
+
+
+def test_degenerate_guards_null_parity(spark, tmp_path):
+    """Zero-variance inputs (every price identical) must NULL the
+    guarded statistics in BOTH engines — the NULLIF discipline; an
+    unguarded division would be inf in DuckDB and NULL in Spark."""
+    import duckdb as ddb
+
+    from cdw_spark.compare import compare_with_connection
+
+    src = "/root/testdata/sf0.001"
+    con = ddb.connect()
+    con.execute(
+        f"COPY (SELECT * REPLACE (CAST(100.0 AS DOUBLE) AS o_totalprice)"
+        f" FROM read_parquet('{src}/orders.parquet'))"
+        f" TO '{tmp_path}/orders.parquet' (FORMAT PARQUET)"
+    )
+    con.execute(
+        f"COPY (SELECT * REPLACE (CAST(100.0 AS DOUBLE) AS l_extendedprice)"
+        f" FROM read_parquet('{src}/lineitem.parquet'))"
+        f" TO '{tmp_path}/lineitem.parquet' (FORMAT PARQUET)"
+    )
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "events", "documents", "embeddings"):
+        import shutil
+
+        shutil.copy(f"{src}/{t}.parquet", f"{tmp_path}/{t}.parquet")
+
+    oc = ddb.connect()
+    for t in ("orders", "lineitem"):
+        oc.execute(
+            f"CREATE VIEW {t} AS SELECT *"
+            f" FROM read_parquet('{tmp_path}/{t}.parquet')"
+        )
+    for name, null_cols in (
+        ("agg_kruskal_wallis", ["h_tie_corrected"]),
+        ("agg_anova_oneway", ["f_stat", "eta_squared"]),
+        ("agg_levene_brown_forsythe", ["w_stat"]),
+    ):
+        spec = SPECS[name]
+        res = compare_with_connection(
+            name, spec.fn(spark, str(tmp_path)), spec.oracle, oc
+        )
+        assert res.ok, f"{name} degenerate parity: {res.issues}"
+        (row,) = spec.fn(spark, str(tmp_path)).collect()
+        for c in null_cols:
+            assert row[c] is None, f"{name}.{c} should be NULL on zero variance"
