@@ -1055,7 +1055,11 @@ def pca_power_top_component(
         # (20,0)x(10,0), not (18,0)x(8,0): DuckDB's physical-width check
         # rejects an (18,0) multiply whose product needs 19+ digits even
         # though the logical result type is wide enough — first seen at
-        # sf0.1 where |s*q| crosses 1e18 (scripts/sweep_sf01.py catch)
+        # sf0.1 where |s*q| crosses 1e18 (scripts/sweep_sf01.py catch).
+        # Bound (SCALE.md micro-unit rule): q is a quantized COORDINATE,
+        # |q| <= 1e6 * max|coord| — a quantization constant, not a row
+        # count — so the (10,0) cap holds for any coordinate domain to
+        # 1e4; unit-normalized embeddings sit at |q| <= ~1e6.
         prods = F.array(
             *[
                 F.expr(f"CAST(s AS DECIMAL(20,0)) * CAST(q{j} AS DECIMAL(10,0))")

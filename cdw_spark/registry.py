@@ -72,33 +72,38 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # batch time-window twins, and the tokenize/chunk/pack assembly ops.
 # Everything not listed keeps its registration order after the window and
 # stays covered by tests/test_oracle_contract.py's local differential sweep.
-# r9 window (this round): same ten family anchors; the forty slots
-# follow VERDICT r8 #2 EXACTLY — the 15 round-8 additions queued at the
-# r8 close (`_NEXT_WINDOW_QUEUE`, including agg_kendall_tau), then
-# `survival_nelson_aalen` as a re-grade (its oracle's HUGEINT output
-# typing is fixed this round — VERDICT r8 #1), then 24 coldest
-# re-grades (all last graded in r2) oldest-grade-first then
-# registration order. After r8, every oracled query has at least one
-# driver row; cumulative evidence entering r9: 288 unique queries
-# graded, 285 green at latest grading (the 2 oracle-less r1 relics
-# agg_approx_distinct/agg_approx_quantiles plus the now-fixed
-# survival_nelson_aalen).
+# r10 window (this round): VERDICT r9 #1 EXACTLY — ten family anchors
+# plus the first 40 of the 49-entry `_NEXT_WINDOW_QUEUE` authored at the
+# r9 close (queue order); the 9 spill (curation_rule_ablation ..
+# events_error_mtbf) stay queued and LEAD the r11 rotation. One anchor
+# swap, blessed by the r9 precedent (multimodal_blob_meta took the
+# family-coverage slot there): agg_pricing_summary (driver-green every
+# round r2-r9, and the agg_ family is amply covered by the five rotated
+# agg_* rows) yields its anchor slot to multimodal_blob_meta
+# (driver-green r9) so the family-coverage rule keeps a multimodal_*
+# row without burning a rotation slot on a re-grade.
+# Cumulative evidence entering r10: 303 unique queries graded, 301
+# green at latest grading (the 2 non-green are the oracle-less r1
+# relics agg_approx_distinct/agg_approx_quantiles, whose exact twins
+# are oracled).
 #
 # The 4 rows-only (agg_approx_top_k, text_compression_ratio,
 # similarity_ann_pq, multimodal_audio_spectral — each irreducibly
 # engine-specific with a measured reason) never burn window slots.
-# r10+ policy: keep the ten anchors, spend the forty slots on (a) the
-# 41 round-9 additions queued below (40 fit the r10 window; the one
-# spill leads the r11 rotation), then (b) coldest re-grades
-# oldest-grade-first.
-_WINDOW_ROUND = 9  # the round this window was authored FOR — meta-tests
+# r11+ policy: keep the ten anchors, spend the forty slots on (a) the
+# len(_NEXT_WINDOW_QUEUE) queued additions below (9 round-9 spill
+# first, then round-10 additions in queue order; the meta-test derives
+# the count from the tuple, never from this prose), then (b) coldest
+# re-grades oldest-grade-first.
+_WINDOW_ROUND = 10  # the round this window was authored FOR — meta-tests
 # treat CORRECTNESS records from rounds >= this as the window's own
 # grade, not prior evidence (VERDICT r4 #3's self-invalidation fix).
 _DRIVER_WINDOW: tuple[str, ...] = (
     # --- anchors: one representative per family, all driver-green ---
     "star_fact_join",        # reference §2 relational core (flagship)
     "time_dim",              # reference §2 time/EXTRACT family
-    "agg_pricing_summary",   # aggregation layer
+    "multimodal_blob_meta",  # multimodal family (anchor slot yielded by
+    # agg_pricing_summary — see the window comment above)
     "tpch_q6_revenue_forecast",  # TPC-H shapes
     "window_rank_topk",      # window functions
     "stream_tumbling_agg",   # structured streaming
@@ -106,66 +111,8 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "similarity_ann_lsh",    # similarity / ANN
     "dedup_minhash_lsh",     # deduplication
     "curation_pipeline",     # curation / dataset ops
-    # --- rotated in (r9): the 15 round-8 additions — newest, least
-    # proven (queue order authored at the r8 close) ---
-    "agg_cramers_v",
-    "agg_cohens_d",
-    "eval_mcc_binary",
-    "timeseries_ewma_signal",
-    "window_max_drawdown",
-    "timeseries_seasonal_strength",
-    "text_novelty_decay",
-    "dedup_split_doc_boundary",
-    "basket_pair_lift",
-    "embedding_whitening_digest",
-    "batch_padding_waste",
-    "events_funnel_conversion",
-    "agg_exact_delay_quantiles",
-    "eval_calibration_ece",
-    "agg_kendall_tau",
-    # --- re-grade: the r8 window's one hash-fail; oracle output typing
-    # fixed this round (CAST(n_risk AS BIGINT) — VERDICT r8 #1) ---
-    "survival_nelson_aalen",
-    # --- 24 coldest re-grades (all last graded green in r2, never
-    # since; oldest-grade-first then registration order) ---
-    "distinct_dim",
-    "cast_projection",
-    "semi_anti_join",
-    "asof_join_clicks",
-    "json_funcs",
-    "epoch_conversion",
-    "join_agg_topk",
-    "multi_join_groupby",
-    "agg_distinct_count",
-    "cube_agg",
-    "range_join_bucketed",
-    "dedup_exact",
-    "dedup_embedding_cosine",
-    "dedup_components",
-    "text_quality",
-    "text_langid",
-    "text_fingerprint",
-    "text_rolling_fingerprint_arrow",
-    "similarity_topk",
-    "similarity_pairs_topn",
-    "similarity_ann_ivf",
-    "window_running_sum",
-    "window_lag_delta",
-    "multimodal_blob_meta",  # next in r2-cold registration order is
-    # window_range_frame, but the window already carries two window_*
-    # re-grades and the family-coverage rule needs a multimodal_* row
-)
-
-
-# Queries registered AFTER the r9 window was authored — the r10 rotation
-# queue (newest, least proven, so they go first next round). The
-# completeness meta-test accepts queue membership in place of a window
-# slot, so a new oracled query must either rotate in NOW or be queued
-# HERE — silence is no longer possible. Round-9 additions append here
-# as they land.
-_NEXT_WINDOW_QUEUE: tuple[str, ...] = (
-    # round-9 first wave: paired tests, divergences, ranking metrics,
-    # behavior statistics (registration order)
+    # --- rotated in (r10): the first 40 round-9 additions, exactly in
+    # the queue order authored at the r9 close (VERDICT r9 #1) ---
     "agg_wilcoxon_signed_rank",
     "agg_jensen_shannon",
     "events_interarrival_burstiness",
@@ -175,64 +122,56 @@ _NEXT_WINDOW_QUEUE: tuple[str, ...] = (
     "eval_retrieval_mrr",
     "eval_average_precision",
     "window_rsi",
-    # round-9 second wave: dedup-aware sampling, vocabulary-growth and
-    # heavy-tail fits
     "sample_dedup_aware_weights",
     "text_heaps_law",
     "events_power_law_alpha",
-    # round-9 third wave: interval sweep, as-of completion, weighted
-    # link prediction
     "intervals_union_coverage",
     "asof_join_nearest",
     "graph_adamic_adar",
-    # round-9 fourth wave: proper-scoring decomposition, ingest DQ
     "eval_brier_decomposition",
     "dq_id_sequence_audit",
-    # round-9 fifth wave: exact split search, value-integrity audit
     "agg_stump_split_gain",
     "dq_order_total_consistency",
-    # round-9 sixth wave: budget allocation, PPS sampling
     "mix_waterfill_budget",
     "sample_pps_systematic",
-    # round-9 seventh wave: long-memory diagnostic, chain predictability
     "timeseries_hurst_rs",
     "events_transition_entropy",
-    # round-9 eighth wave: k-group tests, third proper-scoring lens
     "agg_kruskal_wallis",
     "agg_anova_oneway",
     "eval_log_loss",
-    # round-9 ninth wave: variance-homogeneity gate, graph mixing,
-    # readability
     "agg_levene_brown_forsythe",
     "graph_degree_assortativity",
     "text_flesch_reading_ease",
-    # round-9 tenth wave: freshness DQ, RMS drawdown, HT estimation
     "dq_freshness_lag",
     "window_ulcer_index",
     "sample_horvitz_thompson",
-    # round-9 eleventh wave: concentration curve, ACF spectrum, Sortino
     "agg_lorenz_curve",
     "timeseries_acf_profile",
     "window_sortino_ratio",
-    # round-9 twelfth wave: robust shape statistic, streaming freshness
     "agg_bowley_skewness",
     "stream_freshness_monitor",
-    # round-9 thirteenth wave: audience overlap, true range, harmonic
-    # centrality
     "events_audience_overlap",
     "window_atr",
     "graph_harmonic_centrality",
-    # round-9 fourteenth wave: quality-rule ablation
+)
+
+
+# Queries registered AFTER the r10 window was authored — the r11 rotation
+# queue (newest, least proven, so they go first next round). The
+# completeness meta-test accepts queue membership in place of a window
+# slot, so a new oracled query must either rotate in NOW or be queued
+# HERE — silence is no longer possible. The 9 round-9 spill entries lead
+# (they missed the r10 window by queue position); round-10 additions
+# append after them as they land.
+_NEXT_WINDOW_QUEUE: tuple[str, ...] = (
+    # round-9 spill (queue positions 41-49 at the r9 close)
     "curation_rule_ablation",
-    # round-9 fifteenth wave: hubness audit, variance ratio, entropy rate
     "embedding_hubness_audit",
     "timeseries_variance_ratio",
     "text_entropy_rate",
-    # round-9 sixteenth wave: runs test, hapax profile, rich club
     "agg_runs_test",
     "text_hapax_ratio",
     "graph_rich_club",
-    # round-9 seventeenth wave: Markov predictor eval, error MTBF
     "recs_markov_next_event",
     "events_error_mtbf",
 )

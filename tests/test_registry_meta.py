@@ -114,13 +114,14 @@ def test_driver_window_rotation_accumulates_evidence():
 
     anchors = [n for n in _DRIVER_WINDOW if n in green]
     rotated = [n for n in _DRIVER_WINDOW if n not in green]
-    # r9 split: 10 pinned family anchors + 24 oldest-cold re-grades (both
-    # have prior green rows) + 16 without prior green evidence — the 15
-    # round-8 additions queued at the r8 close plus survival_nelson_aalen,
-    # whose only prior row is the r8 hash-fail its oracle fix re-grades.
-    assert len(anchors) == 34, anchors
-    assert len(rotated) == 16, rotated
-    assert "survival_nelson_aalen" in rotated
+    # r10 split: 10 pinned family anchors (all with prior green rows,
+    # multimodal_blob_meta's from r9) + 40 without prior green evidence —
+    # the first 40 of the 49 round-9 additions queued at the r9 close
+    # (VERDICT r9 #1; the 9 spill lead _NEXT_WINDOW_QUEUE for r11).
+    assert len(anchors) == 10, anchors
+    assert len(rotated) == 40, rotated
+    assert rotated[0] == "agg_wilcoxon_signed_rank"
+    assert rotated[-1] == "graph_harmonic_centrality"
 
 
 def test_every_oracled_query_has_driver_exposure():

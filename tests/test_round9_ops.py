@@ -1490,14 +1490,21 @@ def test_degenerate_guards_null_parity(spark, tmp_path):
         f" FROM read_parquet('{src}/lineitem.parquet'))"
         f" TO '{tmp_path}/lineitem.parquet' (FORMAT PARQUET)"
     )
+    # constant-value events: zero-variance purchase series -> den=0 in
+    # the autocorrelation profile (ADVICE r9 medium)
+    con.execute(
+        f"COPY (SELECT * REPLACE (CAST(5.0 AS DOUBLE) AS value)"
+        f" FROM read_parquet('{src}/events.parquet'))"
+        f" TO '{tmp_path}/events.parquet' (FORMAT PARQUET)"
+    )
     for t in ("region", "nation", "customer", "supplier", "part",
-              "events", "documents", "embeddings"):
+              "documents", "embeddings"):
         import shutil
 
         shutil.copy(f"{src}/{t}.parquet", f"{tmp_path}/{t}.parquet")
 
     oc = ddb.connect()
-    for t in ("orders", "lineitem"):
+    for t in ("orders", "lineitem", "events"):
         oc.execute(
             f"CREATE VIEW {t} AS SELECT *"
             f" FROM read_parquet('{tmp_path}/{t}.parquet')"
@@ -1506,12 +1513,17 @@ def test_degenerate_guards_null_parity(spark, tmp_path):
         ("agg_kruskal_wallis", ["h_tie_corrected"]),
         ("agg_anova_oneway", ["f_stat", "eta_squared"]),
         ("agg_levene_brown_forsythe", ["w_stat"]),
+        ("timeseries_acf_profile", ["acf"]),
     ):
         spec = SPECS[name]
         res = compare_with_connection(
             name, spec.fn(spark, str(tmp_path)), spec.oracle, oc
         )
         assert res.ok, f"{name} degenerate parity: {res.issues}"
-        (row,) = spec.fn(spark, str(tmp_path)).collect()
-        for c in null_cols:
-            assert row[c] is None, f"{name}.{c} should be NULL on zero variance"
+        rows = spec.fn(spark, str(tmp_path)).collect()
+        assert rows, f"{name} returned no rows on the degenerate fixture"
+        for row in rows:
+            for c in null_cols:
+                assert row[c] is None, (
+                    f"{name}.{c} should be NULL on zero variance"
+                )
