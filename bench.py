@@ -89,6 +89,10 @@ HEADLINE = [
     "dq_expectations",
     # capstones: value-oracled linear algebra + approximate-graph analytics
     "embedding_pca_top_component",
+    # round 10: at-rest kNN graph artifact build — placed BEFORE the
+    # first family consumer so the one-time build cost lands on the
+    # index op and every graph_* entry below is statistic-only
+    "graph_knn_materialize",
     "graph_knn_triangles",
     "dedup_containment",
     # round 3 final wave: rank ensembling + experiment/privacy/drift audits

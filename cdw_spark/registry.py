@@ -174,6 +174,8 @@ _NEXT_WINDOW_QUEUE: tuple[str, ...] = (
     "graph_rich_club",
     "recs_markov_next_event",
     "events_error_mtbf",
+    # round-10 first wave: the at-rest kNN graph artifact (VERDICT r9 #2)
+    "graph_knn_materialize",
 )
 
 
