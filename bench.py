@@ -326,17 +326,29 @@ def main() -> None:
             rdd.unpersist()
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
+    record = {
+        "metric": "headline_suite_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    # VERDICT r9 'What's wrong' #3: at 200+ headline queries the one-line
+    # print exceeds what the driver's bench capture records (BENCH_r09
+    # arrived truncated mid-JSON with ~63 of 206 per-query numbers).
+    # Persist the COMPLETE record next to the repo so every round's full
+    # per-query map survives regardless of stdout capture limits — the
+    # close commits the canonical pair as BENCH_LOCAL_r{N}_run*.json, and
+    # this sidecar is the always-current fallback.
+    sidecar = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL_LATEST.json"
     )
+    try:
+        with open(sidecar, "w") as f:
+            json.dump(record, f, indent=1)
+    except OSError:
+        pass  # read-only checkout: stdout remains the record
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

@@ -6,11 +6,14 @@ The driver's correctness gate runs at sf0.01; this sweep re-proves the
 same hash-match at the bench fixture's scale, where scale-dependent
 divergences live (decimal-width overflows, rank-tie shifts on larger
 groups, candidate-set growth in the bucketed ANN/dedup paths). Streaming
-queries are skipped (their fn() replays a bounded stream — minutes each
-at sf0.1 — and their semantics are batch-twin-checked already); pass
-query-name substrings as argv to restrict.
+queries are skipped by default (their fn() replays a bounded staged
+stream); pass --streaming to sweep ONLY the stream_* queries instead —
+their replay is bounded by staged-file count, so sf0.1 costs one
+restage plus the per-batch work (VERDICT r9 #5: the sf0.1 record must
+state covered/excluded per streaming query). Pass query-name substrings
+as argv to restrict either mode.
 
-Usage: python scripts/sweep_sf01.py [NAME...]
+Usage: python scripts/sweep_sf01.py [--streaming] [NAME...]
 """
 
 import os
@@ -35,11 +38,13 @@ def main() -> int:
     )
     spark.sparkContext.setLogLevel("ERROR")
     reg = load_all()
-    wanted = sys.argv[1:]
+    args = sys.argv[1:]
+    streaming = "--streaming" in args
+    wanted = [a for a in args if a != "--streaming"]
     fails = []
     ran = 0
     for name, spec in reg.items():
-        if spec.oracle is None or name.startswith("stream_"):
+        if spec.oracle is None or name.startswith("stream_") != streaming:
             continue
         if wanted and not any(w in name for w in wanted):
             continue
