@@ -278,6 +278,10 @@ HEADLINE = [
     "graph_rich_club",
     "recs_markov_next_event",
     "events_error_mtbf",
+    # round 10 second wave: targeting table, portmanteau, range volatility
+    "eval_lift_gains_table",
+    "timeseries_ljung_box",
+    "window_parkinson_volatility",
 ]
 
 

@@ -176,6 +176,11 @@ _NEXT_WINDOW_QUEUE: tuple[str, ...] = (
     "events_error_mtbf",
     # round-10 first wave: the at-rest kNN graph artifact (VERDICT r9 #2)
     "graph_knn_materialize",
+    # round-10 second wave: targeting table, portmanteau test,
+    # range-based volatility
+    "eval_lift_gains_table",
+    "timeseries_ljung_box",
+    "window_parkinson_volatility",
 )
 
 

@@ -7346,6 +7346,169 @@ def timeseries_acf_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ljung_box_oracle_sql(kmax: int = _ACF_LAGS) -> str:
+    """DuckDB rendering of timeseries_ljung_box — the ACF profile's
+    window pass plus the portmanteau collapse. Autocorrelations are
+    carried as SIGN-SPLIT half-away-rounded NANO integers (positive
+    operands only through the integer division — Spark div truncates
+    where DuckDB // floors, so signed numerators are split on sign
+    first), squared exactly in int64 (rn <= 1e9 -> rn^2 <= 1e18), and
+    only then divided in an identical per-lag double sequence."""
+    leads = ",\n               ".join(
+        f"LEAD(q, {k}) OVER (PARTITION BY user_id ORDER BY ts, event_id)"
+        f" AS l{k}"
+        for k in range(1, kmax + 1)
+    )
+    sums = ",\n               ".join(
+        f"CAST(SUM(CASE WHEN l{k} IS NOT NULL THEN"
+        f" CAST(q - m AS HUGEINT) * (l{k} - m) ELSE 0 END) AS HUGEINT)"
+        f" AS num{k}"
+        for k in range(1, kmax + 1)
+    )
+    rns = ",\n           ".join(
+        f"CASE WHEN num{k} >= 0 THEN"
+        f" CAST((2 * num{k} * 1000000000 + den)"
+        f" // NULLIF(2 * den, 0) AS BIGINT)"
+        f" ELSE -CAST((2 * (-num{k}) * 1000000000 + den)"
+        f" // NULLIF(2 * den, 0) AS BIGINT) END AS rn{k}"
+        for k in range(1, kmax + 1)
+    )
+    terms = " + ".join(
+        f"CAST(rn{k} * rn{k} AS DOUBLE)"
+        f" / CAST(n_obs - {k} AS DOUBLE)"
+        for k in range(1, kmax + 1)
+    )
+    return f"""
+    WITH p AS (
+        SELECT user_id, ts, event_id,
+               CAST(floor(CAST(value AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)
+                   AS q
+        FROM events WHERE event_type = 'purchase'
+    ),
+    mm AS (
+        SELECT (2 * CAST(SUM(q) AS HUGEINT) + COUNT(*))
+               // (2 * CAST(COUNT(*) AS HUGEINT)) AS m
+        FROM p
+    ),
+    w AS (
+        SELECT user_id, q,
+               {leads}
+        FROM p
+    ),
+    sums AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_obs,
+               {sums},
+               CAST(SUM(CAST(q - m AS HUGEINT) * (q - m)) AS HUGEINT) AS den
+        FROM w, mm
+    ),
+    r AS (
+        SELECT n_obs,
+           {rns}
+        FROM sums
+    )
+    SELECT n_obs, CAST({kmax} AS INT) AS dof,
+           ROUND(CAST(n_obs AS DOUBLE) * CAST(n_obs + 2 AS DOUBLE)
+                 * ({terms}) / 1e18, 6) AS q_stat,
+           ROUND(CAST(n_obs AS DOUBLE) * CAST(n_obs + 2 AS DOUBLE)
+                 * ({terms}) / 1e18, 6)
+               > CAST(14.067140 AS DOUBLE) AS reject_05
+    FROM r
+    """
+
+
+@register(
+    "timeseries_ljung_box",
+    oracle=_ljung_box_oracle_sql(),
+    doc="Ljung-Box portmanteau test over the pooled purchase-value "
+    "autocorrelation profile at lags 1..7: Q = n(n+2) * sum_k r_k^2 / "
+    "(n-k) — the is-there-ANY-serial-structure gate run before "
+    "trusting iid assumptions (white-noise residual check; the "
+    "hypothesis-test capstone of timeseries_acf_profile, whose exact "
+    "numerators/denominator this reuses verbatim). Pooled definition: "
+    "r_k uses within-user pairs against the global mean and n is the "
+    "pooled purchase count (documented pooling, same as the ACF "
+    "profile). reject_05 compares against the chi-square(7) 5% "
+    "critical value 14.067140 as a shared literal. Exactness: r_k "
+    "rounds half-away to NANO integers under a SIGN SPLIT (negative "
+    "numerators are never integer-divided), rn^2 <= 1e18 stays exact "
+    "int64 in both engines, and Q is one identical left-associated "
+    "double sequence; a zero-variance series NULLs q_stat and "
+    "reject_05 in both engines via NULLIF.",
+)
+def timeseries_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: identical to timeseries_acf_profile — one per-user
+    ordered window carrying all 7 leads, one map-side-combined global
+    aggregate, then a 1-row projection. Operand bound (SCALE.md rule):
+    the nano rescale needs 2*den*1e9 inside DECIMAL(38,0)/HUGEINT,
+    i.e. den = sum((q-m)^2) <= ~5e28 — ~5e8 rows at micro-deviations
+    of 1e10; past that, drop the rescale to micro (1e6) or shard the
+    pooled sums by user range and merge."""
+    from pyspark.sql.window import Window
+
+    e = load_fixture(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    p = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.floor(F.col("value").cast("double") * F.lit(1000000.0) + F.lit(0.5))
+        .cast("bigint")
+        .alias("q"),
+    )
+    mm = p.agg(
+        F.expr(
+            "(2 * CAST(SUM(q) AS DECIMAL(38,0)) + COUNT(*))"
+            " div (2 * CAST(COUNT(*) AS DECIMAL(38,0)))"
+        ).alias("m")
+    )
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w = p.select(
+        "q",
+        *[F.lead("q", k).over(wo).alias(f"l{k}") for k in range(1, _ACF_LAGS + 1)],
+    ).crossJoin(F.broadcast(mm))
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n_obs")]
+    for k in range(1, _ACF_LAGS + 1):
+        aggs.append(
+            F.sum(
+                F.expr(
+                    f"CASE WHEN l{k} IS NOT NULL THEN"
+                    f" CAST(q - m AS DECIMAL(19,0)) * (l{k} - m)"
+                    f" ELSE 0 END"
+                )
+            )
+            .cast("decimal(38,0)")
+            .alias(f"num{k}")
+        )
+    aggs.append(
+        F.sum(F.expr("CAST(q - m AS DECIMAL(19,0)) * (q - m)"))
+        .cast("decimal(38,0)")
+        .alias("den")
+    )
+    sums = w.agg(*aggs)
+    rns = [
+        f"CASE WHEN num{k} >= 0 THEN"
+        f" CAST((2 * num{k} * 1000000000 + den)"
+        f" div nullif(2 * den, 0) AS BIGINT)"
+        f" ELSE -CAST((2 * (-num{k}) * 1000000000 + den)"
+        f" div nullif(2 * den, 0) AS BIGINT) END AS rn{k}"
+        for k in range(1, _ACF_LAGS + 1)
+    ]
+    r = sums.selectExpr("n_obs", *rns)
+    terms = " + ".join(
+        f"CAST(rn{k} * rn{k} AS DOUBLE) / CAST(n_obs - {k} AS DOUBLE)"
+        for k in range(1, _ACF_LAGS + 1)
+    )
+    q_expr = (
+        f"ROUND(CAST(n_obs AS DOUBLE) * CAST(n_obs + 2 AS DOUBLE)"
+        f" * ({terms}) / 1e18, 6)"
+    )
+    return r.selectExpr(
+        "n_obs",
+        f"CAST({_ACF_LAGS} AS INT) AS dof",
+        f"{q_expr} AS q_stat",
+        f"{q_expr} > CAST(14.067140 AS DOUBLE) AS reject_05",
+    )
+
+
 @register(
     "window_sortino_ratio",
     oracle="""
@@ -7697,6 +7860,95 @@ def window_atr(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div (2 * CAST(COUNT(*) AS DECIMAL(38,0))) AS BIGINT)"
         ).alias("atr_micro"),
         F.max("tr").cast("bigint").alias("max_tr_micro"),
+    )
+
+
+@register(
+    "window_parkinson_volatility",
+    oracle="""
+    WITH p AS (
+        SELECT user_id, ts,
+               CAST(floor(CAST(value AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)
+                   AS q,
+               epoch_us(ts) // 21600000000 AS hb
+        FROM events WHERE event_type = 'purchase'
+    ),
+    bars AS (
+        SELECT user_id, hb, MAX(q) AS h, MIN(q) AS l
+        FROM p GROUP BY user_id, hb
+    ),
+    t AS (
+        SELECT user_id,
+               CAST(ROUND(ln(CAST(h AS DOUBLE) / CAST(l AS DOUBLE))
+                          * ln(CAST(h AS DOUBLE) / CAST(l AS DOUBLE)), 9)
+                    AS DECIMAL(18,9)) AS t2
+        FROM bars WHERE l > 0
+    ),
+    s AS (
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_bars,
+               CAST(SUM(t2) AS DECIMAL(38,9)) AS s2
+        FROM t GROUP BY user_id
+    )
+    SELECT user_id, n_bars,
+           ROUND(CAST(s2 AS DOUBLE)
+                 / (4.0 * 0.6931471805599453 * CAST(n_bars AS DOUBLE)),
+                 6) AS parkinson_var,
+           ROUND(sqrt(CAST(s2 AS DOUBLE)
+                      / (4.0 * 0.6931471805599453 * CAST(n_bars AS DOUBLE))),
+                 6) AS parkinson_sigma
+    FROM s
+    """,
+    doc="Parkinson (1980) range-based volatility per user over the same "
+    "6-hour OHLC bars window_atr builds: sigma^2 = mean(ln^2(H/L)) / "
+    "(4 ln 2) — ~5x more efficient per bar than close-to-close "
+    "variance because the high-low range sees the WHOLE intra-bar "
+    "path (the complement to ATR's gap-aware level view; "
+    "timeseries_realized_volatility is the returns-based sibling). "
+    "Bars with l = 0 are excluded (log undefined); h = l bars "
+    "contribute exactly 0. Parity discipline: per-bar ln^2 terms "
+    "round to 9dp and accumulate as EXACT DECIMAL(18,9) (the "
+    "eval_log_loss per-cell-ln treatment — decimal sums are "
+    "order-independent where double sums are not); ln(2) enters as "
+    "the shared 0.6931471805599453 literal, and the only free doubles "
+    "are the final per-user divisions.",
+)
+def window_parkinson_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: one map-side-combined aggregate to (user, bucket)
+    bars, a per-bar projection, one per-user aggregate — the fact table
+    shuffles once and no window function at all (unlike ATR's lag, the
+    Parkinson estimator is bar-local)."""
+    e = load_fixture(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    p = e.select(
+        "user_id",
+        F.floor(F.col("value").cast("double") * F.lit(1000000.0) + F.lit(0.5))
+        .cast("bigint")
+        .alias("q"),
+        F.expr("unix_micros(ts) div 21600000000").alias("hb"),
+    )
+    bars = p.groupBy("user_id", "hb").agg(
+        F.max("q").alias("h"), F.min("q").alias("l")
+    )
+    t = bars.filter(F.col("l") > 0).select(
+        "user_id",
+        F.expr(
+            "CAST(ROUND(ln(CAST(h AS DOUBLE) / CAST(l AS DOUBLE))"
+            " * ln(CAST(h AS DOUBLE) / CAST(l AS DOUBLE)), 9)"
+            " AS DECIMAL(18,9))"
+        ).alias("t2"),
+    )
+    s = t.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bars"),
+        F.sum("t2").cast("decimal(38,9)").alias("s2"),
+    )
+    var = (
+        F.col("s2").cast("double")
+        / (F.lit(4.0) * F.lit(0.6931471805599453) * F.col("n_bars").cast("double"))
+    )
+    return s.select(
+        "user_id",
+        "n_bars",
+        F.round(var, 6).alias("parkinson_var"),
+        F.round(F.sqrt(var), 6).alias("parkinson_sigma"),
     )
 
 

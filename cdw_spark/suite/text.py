@@ -1771,6 +1771,123 @@ def eval_average_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "eval_lift_gains_table",
+    oracle="""
+    WITH cells AS (
+        SELECT n_chars AS v, CAST(COUNT(*) AS BIGINT) AS c,
+               CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+                   AS p
+        FROM documents GROUP BY n_chars
+    ),
+    tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+                   AS np
+        FROM documents
+    ),
+    cum AS (
+        SELECT SUM(c) OVER (ORDER BY v DESC
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS cumn,
+               SUM(p) OVER (ORDER BY v DESC
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS cump
+        FROM cells
+    ),
+    dec AS (
+        SELECT CAST(1 + ((cumn - 1) * 10) // n AS INT) AS decile,
+               MAX(cumn) AS cum_docs, MAX(cump) AS cum_pos, MAX(n) AS n,
+               MAX(np) AS np
+        FROM cum, tot GROUP BY 1
+    )
+    SELECT decile,
+           CAST(cum_docs AS BIGINT) AS cum_docs,
+           CAST(cum_pos AS BIGINT) AS cum_pos,
+           CAST((2 * CAST(cum_pos AS HUGEINT) * 1000000 + np)
+                // (2 * CAST(np AS HUGEINT)) AS BIGINT) AS gain_micro,
+           CAST((2 * CAST(cum_pos AS HUGEINT) * 1000000 + cum_docs)
+                // (2 * CAST(cum_docs AS HUGEINT)) AS BIGINT)
+               AS precision_micro,
+           CAST((2 * CAST(cum_pos AS HUGEINT) * n * 1000000
+                 + CAST(cum_docs AS HUGEINT) * np)
+                // (2 * CAST(cum_docs AS HUGEINT) * np) AS BIGINT)
+               AS lift_micro
+    FROM dec
+    """,
+    doc="Cumulative gains / lift table at decile resolution for document "
+    "length (n_chars) as a predictor of lang = 'en' — the targeting "
+    "table behind 'the top 20% of scores capture X% of positives, at "
+    "Y x the base rate': the threshold-PICKING view that AP/AUC "
+    "summarize away (a curation pipeline reads this to set the score "
+    "cutoff for a labeling budget). Tie policy is the agg_lorenz_curve "
+    "treatment: score cells are atomic, a cell belongs to the decile "
+    "of its LAST cumulative row (1 + (cumn-1)*10 div n), so deciles "
+    "are deterministic in both engines with no within-tie order; a "
+    "decile swallowed whole by a giant tie cell is simply absent. All "
+    "three rates are half-away-rounded integer micro-units under "
+    "HUGEINT/DECIMAL(38,0) operands (cum_pos * n * 1e6 <= 1e38 for "
+    "corpora to ~1e15 docs); no doubles anywhere.",
+)
+def eval_lift_gains_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: one groupBy to the distinct-score relation, the
+    two-level prefix-sum on the negated score (no single-partition
+    window on a dense domain), a <=10-row decile collapse, broadcast
+    totals."""
+    from ..operators.stats import two_level_cumsum
+
+    d = load_fixture(spark, sf_dir, "documents")
+    cells = (
+        d.groupBy(F.col("n_chars").alias("v"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("c"),
+            F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+            .cast("bigint")
+            .alias("p"),
+        )
+        .withColumn("nv", -F.col("v"))
+        .localCheckpoint(eager=True)
+    )
+    tot = d.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+        .cast("bigint")
+        .alias("np"),
+    )
+    cum = two_level_cumsum(cells, [], "nv", [], {"cumn": "c", "cump": "p"})
+    dec = (
+        cum.crossJoin(F.broadcast(tot))
+        .selectExpr(
+            "CAST(1 + ((cumn - 1) * 10) div n AS INT) AS decile",
+            "cumn",
+            "cump",
+            "n",
+            "np",
+        )
+        .groupBy("decile")
+        .agg(
+            F.max("cumn").alias("cum_docs"),
+            F.max("cump").alias("cum_pos"),
+            F.max("n").alias("n"),
+            F.max("np").alias("np"),
+        )
+    )
+    return dec.selectExpr(
+        "decile",
+        "CAST(cum_docs AS BIGINT) AS cum_docs",
+        "CAST(cum_pos AS BIGINT) AS cum_pos",
+        "CAST((2 * CAST(cum_pos AS DECIMAL(38,0)) * 1000000 + np)"
+        " div (2 * CAST(np AS DECIMAL(38,0))) AS BIGINT) AS gain_micro",
+        "CAST((2 * CAST(cum_pos AS DECIMAL(38,0)) * 1000000 + cum_docs)"
+        " div (2 * CAST(cum_docs AS DECIMAL(38,0))) AS BIGINT)"
+        " AS precision_micro",
+        "CAST((2 * CAST(cum_pos AS DECIMAL(19,0)) * n * 1000000"
+        " + CAST(cum_docs AS DECIMAL(19,0)) * np)"
+        " div (2 * CAST(cum_docs AS DECIMAL(19,0)) * np) AS BIGINT)"
+        " AS lift_micro",
+    )
+
+
+@register(
     "text_heaps_law",
     oracle="""
     WITH tok AS (

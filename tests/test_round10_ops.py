@@ -1,0 +1,148 @@
+"""Python-reference tests for the round-10 operator waves.
+
+Each test recomputes the statistic independently (plain Python over the
+parquet fixture, no Spark, no shared code with the operator) and
+compares against the registered query's output — the oracle proves
+Spark == DuckDB; these prove both == the textbook definition.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+import duckdb
+import pytest
+
+from cdw_spark.registry import load_all
+
+SPECS = load_all()
+
+
+@pytest.fixture(scope="module")
+def con(sf_dir):
+    c = duckdb.connect()
+    for t in ("documents", "events", "lineitem", "orders", "embeddings",
+              "customer", "nation", "region", "supplier"):
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        c.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    return c
+
+
+def run(spark, sf_dir, name):
+    return SPECS[name].fn(spark, sf_dir).collect()
+
+
+def _half_away(num: int, den: int) -> int:
+    """(2*num + den) // (2*den) for num >= 0 — the repo's half-away
+    integer rounding; sign-split for signed numerators."""
+    assert num >= 0 and den > 0
+    return (2 * num + den) // (2 * den)
+
+
+# ---------------------------------------------------------------- wave 1
+
+
+def test_lift_gains_reference(spark, sf_dir, con):
+    rows = con.execute("SELECT n_chars, lang = 'en' FROM documents").fetchall()
+    cells = {}
+    for v, pos in rows:
+        c, p = cells.get(v, (0, 0))
+        cells[v] = (c + 1, p + (1 if pos else 0))
+    n = sum(c for c, _ in cells.values())
+    np_ = sum(p for _, p in cells.values())
+    cumn = cump = 0
+    by_decile = {}
+    for v in sorted(cells, reverse=True):
+        c, p = cells[v]
+        cumn += c
+        cump += p
+        d = 1 + ((cumn - 1) * 10) // n
+        by_decile[d] = (cumn, cump)  # last cell of the decile wins
+    out = {r["decile"]: r for r in run(spark, sf_dir, "eval_lift_gains_table")}
+    assert set(out) == set(by_decile)
+    for d, (cd, cp) in by_decile.items():
+        r = out[d]
+        assert r["cum_docs"] == cd
+        assert r["cum_pos"] == cp
+        assert r["gain_micro"] == _half_away(cp * 1000000, np_)
+        assert r["precision_micro"] == _half_away(cp * 1000000, cd)
+        assert r["lift_micro"] == _half_away(cp * n * 1000000, cd * np_)
+
+
+def _pooled_acf_ints(con):
+    """Exact pooled numerators / denominator of the purchase-value ACF
+    at lags 1..7 (the acf_profile definition: within-user pairs, global
+    half-away micro mean)."""
+    rows = con.execute(
+        "SELECT user_id, epoch_us(ts), event_id, value FROM events"
+        " WHERE event_type = 'purchase' ORDER BY user_id, 2, 3"
+    ).fetchall()
+    qs = {}
+    for u, us, eid, v in rows:
+        qs.setdefault(u, []).append(math.floor(v * 1000000.0 + 0.5))
+    allq = [q for s in qs.values() for q in s]
+    n = len(allq)
+    m = (2 * sum(allq) + n) // (2 * n)
+    nums = {}
+    for k in range(1, 8):
+        nums[k] = sum(
+            (s[i] - m) * (s[i + k] - m)
+            for s in qs.values()
+            for i in range(len(s) - k)
+        )
+    den = sum((q - m) ** 2 for q in allq)
+    return n, nums, den
+
+
+def test_ljung_box_reference(spark, sf_dir, con):
+    n, nums, den = _pooled_acf_ints(con)
+    terms = []
+    for k in range(1, 8):
+        num = nums[k]
+        rn = (
+            _half_away(num * 1000000000, den)
+            if num >= 0
+            else -_half_away(-num * 1000000000, den)
+        )
+        terms.append(float(rn * rn) / float(n - k))
+    acc = 0.0
+    for t in terms:
+        acc = acc + t
+    q = float(n) * float(n + 2) * acc / 1e18
+    (row,) = run(spark, sf_dir, "timeseries_ljung_box")
+    assert row["n_obs"] == n
+    assert row["dof"] == 7
+    assert abs(row["q_stat"] - q) < 1e-6
+    assert row["reject_05"] == (round(q, 6) > 14.067140)
+
+
+def test_parkinson_reference(spark, sf_dir, con):
+    from decimal import ROUND_HALF_EVEN, Decimal
+
+    rows = con.execute(
+        "SELECT user_id, epoch_us(ts) // 21600000000, value FROM events"
+        " WHERE event_type = 'purchase'"
+    ).fetchall()
+    bars = {}
+    for u, hb, v in rows:
+        q = math.floor(v * 1000000.0 + 0.5)
+        h, lo = bars.get((u, hb), (q, q))
+        bars[(u, hb)] = (max(h, q), min(lo, q))
+    sums = {}
+    for (u, _), (h, lo) in bars.items():
+        if lo <= 0:
+            continue
+        t = math.log(h / lo)
+        # round-half-even at 9dp mirrors IEEE ROUND on an exact double
+        t2 = Decimal(repr(round(t * t, 9)))
+        nb, s = sums.get(u, (0, Decimal(0)))
+        sums[u] = (nb + 1, s + t2)
+    out = {r["user_id"]: r for r in run(spark, sf_dir, "window_parkinson_volatility")}
+    assert set(out) == set(sums)
+    for u, (nb, s) in sums.items():
+        r = out[u]
+        assert r["n_bars"] == nb
+        var = float(s) / (4.0 * 0.6931471805599453 * nb)
+        assert abs(r["parkinson_var"] - var) < 1e-6
+        assert abs(r["parkinson_sigma"] - math.sqrt(var)) < 1e-6
