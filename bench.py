@@ -282,6 +282,10 @@ HEADLINE = [
     "eval_lift_gains_table",
     "timeseries_ljung_box",
     "window_parkinson_volatility",
+    # round 10 third wave: reservoir sampling, dedup shape, embedding QA
+    "sample_weighted_reservoir",
+    "dedup_cluster_size_profile",
+    "embedding_norm_outlier_audit",
 ]
 
 

@@ -181,6 +181,11 @@ _NEXT_WINDOW_QUEUE: tuple[str, ...] = (
     "eval_lift_gains_table",
     "timeseries_ljung_box",
     "window_parkinson_volatility",
+    # round-10 third wave: reservoir sampling, dedup shape report,
+    # embedding QA
+    "sample_weighted_reservoir",
+    "dedup_cluster_size_profile",
+    "embedding_norm_outlier_audit",
 )
 
 

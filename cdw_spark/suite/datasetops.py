@@ -3585,3 +3585,66 @@ def sample_horvitz_thompson(spark: SparkSession, sf_dir: str) -> DataFrame:
         " + ty) div (2 * CAST(ty AS DECIMAL(19,0))) AS BIGINT)"
         " AS rel_error_micro",
     )
+
+
+@register(
+    "sample_weighted_reservoir",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, CAST(n_chars + 1 AS BIGINT) AS wt,
+               CAST((CAST(doc_id AS HUGEINT) * 2862933555777941757
+                     + 3037000493) % 18446744073709551616
+                    % 2147483648 AS BIGINT) AS u31
+        FROM documents
+    )
+    SELECT doc_id, wt AS weight,
+           ROUND(ln((CAST(u31 AS DOUBLE) + 0.5) / 2147483648.0)
+                 / CAST(wt AS DOUBLE), 9) AS priority9
+    FROM d
+    ORDER BY ln((CAST(u31 AS DOUBLE) + 0.5) / 2147483648.0)
+                 / CAST(wt AS DOUBLE) DESC, doc_id
+    LIMIT 50
+    """,
+    doc="Weighted reservoir sample of 50 documents by length via the "
+    "Efraimidis-Spirakis A-ES rule: draw u ~ U(0,1) per item and keep "
+    "the top-k by u^(1/w), here as the monotone-equivalent ln(u)/w — "
+    "the ONE-PASS, merge-friendly weighted sampler (the companion to "
+    "sample_pps_systematic's fixed-ticks design: reservoir keys are "
+    "independent per item, so pre-aggregated top-k heaps merge across "
+    "partitions and new data appends without re-walking the "
+    "cumulative-weight line). Randomness is a SEEDED DETERMINISTIC "
+    "integer LCG on doc_id ((x*2862933555777941757 + 3037000493) mod "
+    "2^64, low 31 bits -> u = (u31+0.5)/2^31, never 0 or 1), exact in "
+    "HUGEINT/DECIMAL(38,0) in both engines; priorities are identical "
+    "doubles from identical op sequences, ordered with a doc_id "
+    "tie-break.",
+)
+def sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: one stateless projection (exact integer LCG + two
+    double ops per row) and a top-50 by priority — Spark plans
+    ORDER BY + LIMIT as TakeOrderedAndProject: per-partition heaps of
+    50 rows merge on the driver, no global sort, no shuffle of the
+    fact relation. That heap-merge IS the reservoir-sampling
+    algorithm, which is why A-ES distributes and systematic PPS's
+    running weight line does not."""
+    d = load_fixture(spark, sf_dir, "documents").selectExpr(
+        "doc_id",
+        "CAST(n_chars + 1 AS BIGINT) AS wt",
+        "CAST((CAST(doc_id AS DECIMAL(38,0)) * 2862933555777941757"
+        " + 3037000493) % 18446744073709551616"
+        " % 2147483648 AS BIGINT) AS u31",
+    )
+    pr = (
+        F.log((F.col("u31").cast("double") + F.lit(0.5)) / F.lit(2147483648.0))
+        / F.col("wt").cast("double")
+    )
+    return (
+        d.select(
+            "doc_id",
+            F.col("wt").alias("weight"),
+            pr.alias("_pr"),
+        )
+        .orderBy(F.col("_pr").desc(), "doc_id")
+        .limit(50)
+        .select("doc_id", "weight", F.round(F.col("_pr"), 9).alias("priority9"))
+    )

@@ -514,3 +514,101 @@ def dedup_split_doc_boundary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.join(b, "boundary_shingle").filter(
         F.col("first_part") != F.col("second_part")
     ).select("first_part", "second_part", "boundary_shingle")
+
+
+@register(
+    "dedup_cluster_size_profile",
+    oracle=f"""
+    WITH RECURSIVE pairs AS ({_JACCARD_SQL}),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION
+        SELECT id_b, id_a FROM pairs
+    ),
+    reach(src, dst) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    ),
+    comp AS (
+        SELECT src AS doc_id, LEAST(src, MIN(dst)) AS component_id
+        FROM reach GROUP BY src
+    ),
+    sizes AS (
+        SELECT component_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+        FROM comp GROUP BY component_id
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+    hist AS (
+        SELECT cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters
+        FROM sizes GROUP BY cluster_size
+        UNION ALL
+        SELECT CAST(1 AS BIGINT),
+               (SELECT n FROM tot) - (SELECT COUNT(*) FROM comp)
+    ),
+    h AS (
+        SELECT cluster_size, CAST(SUM(n_clusters) AS BIGINT) AS n_clusters
+        FROM hist GROUP BY cluster_size
+    )
+    SELECT cluster_size, n_clusters,
+           CAST(cluster_size * n_clusters AS BIGINT) AS n_docs,
+           CAST((2 * CAST(cluster_size * n_clusters AS HUGEINT) * 1000000
+                 + (SELECT n FROM tot))
+                // (2 * CAST((SELECT n FROM tot) AS HUGEINT)) AS BIGINT)
+               AS docs_share_micro
+    FROM h WHERE n_clusters > 0
+    """,
+    doc="Near-duplicate cluster-size histogram over the exact 0.6-Jaccard "
+    "component graph (dedup_components' clusters, profiled): how many "
+    "clusters of each size, how many documents they hold, and each "
+    "size's share of the corpus — the duplication-shape report a "
+    "dedup pass is SIZED from (a corpus whose mass sits in a few "
+    "giant clusters needs canonical-keeper selection; one that is "
+    "mostly pairs needs only pair-drop). Documents in no near-dup "
+    "pair count as size-1 clusters via the exact complement "
+    "n_docs_total - |component members|; shares are half-away micro "
+    "integers. Oracle: DuckDB recursive-CTE transitive closure over "
+    "the same pair set.",
+)
+def dedup_cluster_size_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: the pair graph and min-label components are the
+    dedup_components build (degree-bounded banded joins, per-round
+    lineage truncation); everything after is a |components|-row
+    groupBy, a histogram over distinct sizes, and a 1-row total
+    broadcast."""
+    from pyspark.sql import functions as F
+
+    from ..operators.dedup import connected_components
+
+    docs = load_fixture(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs)
+    comp = connected_components(pairs).localCheckpoint(eager=True)
+    sizes = comp.groupBy("component_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cluster_size")
+    )
+    hist = sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_clusters")
+    )
+    tot = docs.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    nmem = comp.agg(F.count(F.lit(1)).cast("bigint").alias("m"))
+    singles = (
+        tot.crossJoin(F.broadcast(nmem))
+        .select(
+            F.lit(1).cast("bigint").alias("cluster_size"),
+            (F.col("n") - F.col("m")).alias("n_clusters"),
+        )
+    )
+    h = (
+        hist.unionAll(singles)
+        .groupBy("cluster_size")
+        .agg(F.sum("n_clusters").cast("bigint").alias("n_clusters"))
+        .filter(F.col("n_clusters") > 0)
+    )
+    return h.crossJoin(F.broadcast(tot)).selectExpr(
+        "cluster_size",
+        "n_clusters",
+        "CAST(cluster_size * n_clusters AS BIGINT) AS n_docs",
+        "CAST((2 * CAST(cluster_size * n_clusters AS DECIMAL(38,0)) * 1000000"
+        " + n) div (2 * CAST(n AS DECIMAL(38,0))) AS BIGINT)"
+        " AS docs_share_micro",
+    )

@@ -1914,3 +1914,112 @@ def graph_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ELSE NULL END AS phi_micro",
         )
     )
+
+
+@register(
+    "embedding_norm_outlier_audit",
+    oracle="""
+    WITH q AS (
+        SELECT vec_id,
+               CAST(floor(CAST(embedding[j.j] AS DOUBLE) * 1000000.0 + 0.5)
+                    AS BIGINT) AS qv
+        FROM embeddings CROSS JOIN (SELECT unnest(range(1, 65)) AS j) j
+    ),
+    norms AS (
+        SELECT vec_id, CAST(SUM(qv * qv) AS BIGINT) AS norm2
+        FROM q GROUP BY vec_id
+    ),
+    cells AS (
+        SELECT norm2 AS v, CAST(COUNT(*) AS BIGINT) AS c
+        FROM norms GROUP BY norm2
+    ),
+    cum AS (
+        SELECT v, c,
+               SUM(c) OVER (ORDER BY v
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS cumc
+        FROM cells
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM norms),
+    med AS (
+        SELECT MIN(v) AS med2 FROM cum, tot
+        WHERE cumc >= (n + 1) // 2
+    ),
+    cnt AS (
+        SELECT CAST(SUM(CASE WHEN 4 * norm2 < med2 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_low,
+               CAST(SUM(CASE WHEN norm2 > 4 * med2 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_high
+        FROM norms, med
+    )
+    SELECT n AS n_vecs, med2 AS median_norm2, n_low, n_high,
+           CAST((2 * CAST(n_low AS HUGEINT) * 1000000 + n)
+                // (2 * CAST(n AS HUGEINT)) AS BIGINT) AS low_share_micro,
+           CAST((2 * CAST(n_high AS HUGEINT) * 1000000 + n)
+                // (2 * CAST(n AS HUGEINT)) AS BIGINT) AS high_share_micro
+    FROM cnt, tot, med
+    """,
+    doc="Embedding-norm outlier audit: micro-quantized squared norms "
+    "(exact BIGINT, 64 * (2e6)^2 < int64), the exact LOWER median of "
+    "norm2 from distinct-value running counts, and the count/share of "
+    "vectors whose norm falls below half (4*norm2 < med2) or above "
+    "double (norm2 > 4*med2) the median norm — the embedding-QA gate "
+    "run before cosine ANN (a mixed-norm corpus silently turns cosine "
+    "into a length contest after quantized-dot scoring; zero vectors "
+    "and blown-up activations land in the two outlier buckets). All "
+    "integer arithmetic; shares are half-away micro.",
+)
+def embedding_norm_outlier_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: one posexplode to (row, dim) with a map-side-combined
+    per-vector sum, a distinct-norm cell relation through the two-level
+    prefix-sum (no single-partition window), 1-row median/total
+    broadcasts, one counting pass."""
+    from ..operators.stats import two_level_cumsum
+
+    e = load_fixture(spark, sf_dir, "embeddings")
+    norms = (
+        e.select("vec_id", F.posexplode("embedding").alias("pos", "v"))
+        .select(
+            "vec_id",
+            F.floor(F.col("v").cast("double") * F.lit(1000000.0) + F.lit(0.5))
+            .cast("bigint")
+            .alias("qv"),
+        )
+        .groupBy("vec_id")
+        .agg(F.sum(F.col("qv") * F.col("qv")).cast("bigint").alias("norm2"))
+        .localCheckpoint(eager=True)
+    )
+    cells = norms.groupBy(F.col("norm2").alias("v")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    cum = two_level_cumsum(cells, [], "v", [], {"cumc": "c"})
+    tot = norms.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    med = (
+        cum.crossJoin(F.broadcast(tot))
+        .filter(F.col("cumc") >= F.expr("(n + 1) div 2"))
+        .agg(F.min("v").alias("med2"))
+    )
+    cnt = norms.crossJoin(F.broadcast(med)).agg(
+        F.sum(F.when(F.lit(4) * F.col("norm2") < F.col("med2"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_low"),
+        F.sum(F.when(F.col("norm2") > F.lit(4) * F.col("med2"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_high"),
+    )
+    return (
+        cnt.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(med))
+        .selectExpr(
+            "n AS n_vecs",
+            "med2 AS median_norm2",
+            "n_low",
+            "n_high",
+            "CAST((2 * CAST(n_low AS DECIMAL(38,0)) * 1000000 + n)"
+            " div (2 * CAST(n AS DECIMAL(38,0))) AS BIGINT)"
+            " AS low_share_micro",
+            "CAST((2 * CAST(n_high AS DECIMAL(38,0)) * 1000000 + n)"
+            " div (2 * CAST(n AS DECIMAL(38,0))) AS BIGINT)"
+            " AS high_share_micro",
+        )
+    )

@@ -146,3 +146,65 @@ def test_parkinson_reference(spark, sf_dir, con):
         var = float(s) / (4.0 * 0.6931471805599453 * nb)
         assert abs(r["parkinson_var"] - var) < 1e-6
         assert abs(r["parkinson_sigma"] - math.sqrt(var)) < 1e-6
+
+
+# ---------------------------------------------------------------- wave 2
+
+
+def test_weighted_reservoir_reference(spark, sf_dir, con):
+    rows = con.execute("SELECT doc_id, n_chars FROM documents").fetchall()
+    scored = []
+    for did, nc in rows:
+        w = nc + 1
+        x = (did * 2862933555777941757 + 3037000493) % (2**64)
+        u31 = x % (2**31)
+        u = (u31 + 0.5) / 2147483648.0
+        scored.append((math.log(u) / w, -did, did, w))
+    scored.sort(reverse=True)
+    top = scored[:50]
+    out = run(spark, sf_dir, "sample_weighted_reservoir")
+    assert len(out) == 50
+    got = {r["doc_id"]: r for r in out}
+    assert set(got) == {did for _, _, did, _ in top}
+    for pr, _, did, w in top:
+        assert got[did]["weight"] == w
+        assert abs(got[did]["priority9"] - pr) < 1e-9
+
+
+def test_cluster_size_profile_reference(spark, sf_dir, con):
+    comp = run(spark, sf_dir, "dedup_components")  # itself oracle-checked
+    n_docs = con.execute("SELECT COUNT(*) FROM documents").fetchone()[0]
+    sizes = {}
+    for r in comp:
+        sizes[r["component_id"]] = sizes.get(r["component_id"], 0) + 1
+    hist = {}
+    for s in sizes.values():
+        hist[s] = hist.get(s, 0) + 1
+    hist[1] = hist.get(1, 0) + (n_docs - len(comp))
+    hist = {s: c for s, c in hist.items() if c > 0}
+    out = {r["cluster_size"]: r for r in run(spark, sf_dir, "dedup_cluster_size_profile")}
+    assert set(out) == set(hist)
+    for s, c in hist.items():
+        r = out[s]
+        assert r["n_clusters"] == c
+        assert r["n_docs"] == s * c
+        assert r["docs_share_micro"] == _half_away(s * c * 1000000, n_docs)
+
+
+def test_norm_outlier_audit_reference(spark, sf_dir, con):
+    rows = con.execute("SELECT vec_id, embedding FROM embeddings").fetchall()
+    norms = []
+    for _, emb in rows:
+        n2 = sum(math.floor(float(x) * 1000000.0 + 0.5) ** 2 for x in emb)
+        norms.append(n2)
+    n = len(norms)
+    med = sorted(norms)[(n + 1) // 2 - 1]
+    n_low = sum(1 for v in norms if 4 * v < med)
+    n_high = sum(1 for v in norms if v > 4 * med)
+    (r,) = run(spark, sf_dir, "embedding_norm_outlier_audit")
+    assert r["n_vecs"] == n
+    assert r["median_norm2"] == med
+    assert r["n_low"] == n_low
+    assert r["n_high"] == n_high
+    assert r["low_share_micro"] == _half_away(n_low * 1000000, n)
+    assert r["high_share_micro"] == _half_away(n_high * 1000000, n)
