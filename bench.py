@@ -286,6 +286,10 @@ HEADLINE = [
     "sample_weighted_reservoir",
     "dedup_cluster_size_profile",
     "embedding_norm_outlier_audit",
+    # round 10 fourth wave: cohort economics, survival eval, recsys audit
+    "events_cohort_ltv_curve",
+    "survival_concordance_cindex",
+    "recs_catalog_coverage",
 ]
 
 

@@ -186,6 +186,11 @@ _NEXT_WINDOW_QUEUE: tuple[str, ...] = (
     "sample_weighted_reservoir",
     "dedup_cluster_size_profile",
     "embedding_norm_outlier_audit",
+    # round-10 fourth wave: cohort economics, survival discrimination,
+    # recommender audit
+    "events_cohort_ltv_curve",
+    "survival_concordance_cindex",
+    "recs_catalog_coverage",
 )
 
 

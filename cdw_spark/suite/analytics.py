@@ -944,6 +944,100 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_cohort_ltv_curve",
+    oracle="""
+    WITH p AS (
+        SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk,
+               CAST(floor(CAST(value AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)
+                   AS q
+        FROM events WHERE event_type = 'purchase'
+    ),
+    cohort AS (SELECT user_id, MIN(wk) AS cohort_wk FROM p GROUP BY user_id),
+    cs AS (SELECT cohort_wk, CAST(COUNT(*) AS BIGINT) AS n0 FROM cohort
+           GROUP BY cohort_wk),
+    byage AS (
+        SELECT c.cohort_wk,
+               CAST(date_diff('day', c.cohort_wk, p.wk) // 7 AS INTEGER)
+                   AS wk_offset,
+               CAST(SUM(p.q) AS HUGEINT) AS v
+        FROM p JOIN cohort c ON p.user_id = c.user_id
+        GROUP BY c.cohort_wk, wk_offset
+    ),
+    cum AS (
+        SELECT cohort_wk, wk_offset,
+               SUM(v) OVER (PARTITION BY cohort_wk ORDER BY wk_offset
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS cumv
+        FROM byage
+    )
+    SELECT cum.cohort_wk, cum.wk_offset,
+           cs.n0 AS cohort_users,
+           CAST(cum.cumv AS BIGINT) AS cum_value_micro,
+           CAST((2 * CAST(cum.cumv AS HUGEINT) + cs.n0)
+                // (2 * CAST(cs.n0 AS HUGEINT)) AS BIGINT)
+               AS ltv_per_user_micro
+    FROM cum JOIN cs ON cs.cohort_wk = cum.cohort_wk
+    """,
+    doc="Cohort lifetime-value curve: users grouped by first-purchase "
+    "week (the cohort_retention assignment), cumulative purchase value "
+    "per cohort by week offset, divided by the FIXED cohort size — "
+    "the payback-curve view ('a week-N cohort is worth X micro per "
+    "acquired user by age k') that retention counts alone cannot "
+    "give. Values quantize to exact micro integers, the cumulative "
+    "window runs over the cohorts x offsets relation (bounded by the "
+    "calendar, not the data), offsets with no purchases are absent "
+    "identically in both engines (the cumulative at the next present "
+    "offset includes them), and per-user LTV is half-away micro.",
+)
+def events_cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: one fact shuffle to (user) for cohort assignment,
+    one to (cohort, offset) for the value rollup; the cumulative window
+    partitions by cohort over the calendar-bounded offset relation;
+    cohort sizes broadcast."""
+    from pyspark.sql.window import Window
+
+    e = load_fixture(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    p = e.select(
+        "user_id",
+        F.date_trunc("week", F.col("ts")).cast("date").alias("wk"),
+        F.floor(F.col("value").cast("double") * F.lit(1000000.0) + F.lit(0.5))
+        .cast("bigint")
+        .alias("q"),
+    )
+    cohort = p.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    cs = cohort.groupBy("cohort_wk").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n0")
+    )
+    byage = (
+        p.join(cohort, "user_id")
+        .groupBy(
+            "cohort_wk",
+            (F.datediff(F.col("wk"), F.col("cohort_wk")) / 7)
+            .cast("int")
+            .alias("wk_offset"),
+        )
+        .agg(F.sum("q").cast("decimal(38,0)").alias("v"))
+    )
+    wo = (
+        Window.partitionBy("cohort_wk")
+        .orderBy("wk_offset")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = byage.select(
+        "cohort_wk", "wk_offset", F.sum("v").over(wo).alias("cumv")
+    )
+    return cum.join(F.broadcast(cs), "cohort_wk").selectExpr(
+        "cohort_wk",
+        "wk_offset",
+        "n0 AS cohort_users",
+        "CAST(cumv AS BIGINT) AS cum_value_micro",
+        "CAST((2 * CAST(cumv AS DECIMAL(38,0)) + n0)"
+        " div (2 * CAST(n0 AS DECIMAL(38,0))) AS BIGINT)"
+        " AS ltv_per_user_micro",
+    )
+
+
+@register(
     "agg_hll_mergeable",
     oracle="""
     WITH tok AS (
@@ -4548,6 +4642,112 @@ def survival_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("cum_micro").cast("double") / F.lit(1000000000000.0)).alias(
             "cum_hazard"
         ),
+    )
+
+
+@register(
+    "survival_concordance_cindex",
+    oracle="""
+    WITH pu AS (
+        SELECT user_id,
+               CAST(floor(epoch(MIN(ts))) AS BIGINT) AS t0,
+               CAST(floor(epoch(MAX(ts))) AS BIGINT) AS t1,
+               CAST(COUNT(*) AS BIGINT) AS s
+        FROM events GROUP BY user_id
+    ),
+    lab AS (
+        SELECT (t1 - t0) // 86400 AS dur,
+               CASE WHEN (SELECT MAX(t1) FROM pu) - t1 > 86400
+                    THEN 1 ELSE 0 END AS ev,
+               s
+        FROM pu
+    ),
+    cells AS (
+        SELECT dur, s, CAST(COUNT(*) AS BIGINT) AS c_all,
+               CAST(SUM(ev) AS BIGINT) AS c_ev
+        FROM lab GROUP BY dur, s
+    ),
+    pairs AS (
+        SELECT CAST(SUM(CAST(e.c_ev AS HUGEINT) * a.c_all) AS HUGEINT)
+                   AS comp,
+               CAST(SUM(CASE WHEN e.s > a.s
+                             THEN CAST(e.c_ev AS HUGEINT) * a.c_all
+                             ELSE 0 END) AS HUGEINT) AS conc,
+               CAST(SUM(CASE WHEN e.s = a.s
+                             THEN CAST(e.c_ev AS HUGEINT) * a.c_all
+                             ELSE 0 END) AS HUGEINT) AS tied
+        FROM cells e JOIN cells a ON a.dur > e.dur
+        WHERE e.c_ev > 0
+    )
+    SELECT CAST(comp AS BIGINT) AS n_comparable,
+           CAST(conc AS BIGINT) AS n_concordant,
+           CAST(tied AS BIGINT) AS n_tied_score,
+           CAST((2 * (2 * conc + tied) * 1000000 + 2 * comp)
+                // (2 * (2 * comp)) AS BIGINT) AS c_index_micro
+    FROM pairs
+    """,
+    doc="Harrell's concordance index of per-user event count as a "
+    "predictor of observed lifetime, on the survival_nelson_aalen "
+    "labeling (dur = active span in days; event = churn, i.e. last "
+    "activity more than a day before the corpus horizon; censored "
+    "otherwise): a pair is COMPARABLE when the earlier subject's time "
+    "is strictly smaller and that subject churned; concordant when "
+    "the churned-earlier subject has the HIGHER activity score, "
+    "score ties count half (the standard C-index tie rule; "
+    "time-tied pairs are excluded — documented convention). "
+    "C = (2*conc + tied) / (2*comparable), half-away micro, all "
+    "HUGEINT/DECIMAL(38,0)-exact — the discrimination metric for any "
+    "churn/survival scoring model, and the time-to-event sibling of "
+    "eval_binary_auc (C-index IS AUC under censoring).",
+)
+def survival_concordance_cindex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape (the agg_kendall_tau treatment): users collapse to
+    DISTINCT (duration, score) cells in one map-side-combined shuffle,
+    and pair counting is a broadcast range join over CELLS — bounded
+    by |span-days| x |score-domain|, not by users — feeding a 1-row
+    reduce. The oracle's pair semantics are the spec; no per-user
+    pair join exists anywhere."""
+    ev = load_fixture(spark, sf_dir, "events")
+    pu = ev.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("long")).alias("t0"),
+        F.max(F.col("ts").cast("long")).alias("t1"),
+        F.count(F.lit(1)).cast("bigint").alias("s"),
+    )
+    gmax = pu.agg(F.max("t1").alias("gmax"))
+    lab = pu.crossJoin(F.broadcast(gmax)).select(
+        F.expr("(t1 - t0) div 86400").alias("dur"),
+        F.when(F.col("gmax") - F.col("t1") > 86400, 1).otherwise(0).alias("ev"),
+        "s",
+    )
+    cells = lab.groupBy("dur", "s").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c_all"),
+        F.sum("ev").cast("bigint").alias("c_ev"),
+    ).localCheckpoint(eager=True)
+    e = (
+        cells.filter(F.col("c_ev") > 0)
+        .select(
+            F.col("dur").alias("e_dur"),
+            F.col("s").alias("e_s"),
+            F.col("c_ev").alias("e_c"),
+        )
+    )
+    j = F.broadcast(e).join(cells, F.col("dur") > F.col("e_dur"))
+    ced = F.col("e_c").cast("decimal(19,0)") * F.col("c_all").cast("decimal(19,0)")
+    pairs = j.agg(
+        F.sum(ced).cast("decimal(38,0)").alias("comp"),
+        F.sum(F.when(F.col("e_s") > F.col("s"), ced).otherwise(F.lit(0)))
+        .cast("decimal(38,0)")
+        .alias("conc"),
+        F.sum(F.when(F.col("e_s") == F.col("s"), ced).otherwise(F.lit(0)))
+        .cast("decimal(38,0)")
+        .alias("tied"),
+    )
+    return pairs.selectExpr(
+        "CAST(comp AS BIGINT) AS n_comparable",
+        "CAST(conc AS BIGINT) AS n_concordant",
+        "CAST(tied AS BIGINT) AS n_tied_score",
+        "CAST((2 * (2 * conc + tied) * 1000000 + 2 * comp)"
+        " div (2 * (2 * comp)) AS BIGINT) AS c_index_micro",
     )
 
 

@@ -173,3 +173,140 @@ def recs_item_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rk").cast("int").alias("rk"),
         )
     )
+
+
+@register(
+    "recs_catalog_coverage",
+    oracle=f"""
+    WITH b AS (
+        SELECT DISTINCT l_orderkey AS ok, l_partkey AS item FROM lineitem
+    ),
+    kept AS (
+        SELECT ok FROM b GROUP BY ok HAVING COUNT(*) <= {BASKET_CAP}
+    ),
+    bk AS (SELECT b.ok, b.item FROM b JOIN kept USING (ok)),
+    cnt AS (SELECT item, COUNT(*) AS c FROM bk GROUP BY item),
+    co AS (
+        SELECT a.item AS ia, bb.item AS ib, COUNT(*) AS together
+        FROM bk a JOIN bk bb ON a.ok = bb.ok AND a.item < bb.item
+        GROUP BY a.item, bb.item
+        HAVING COUNT(*) >= {MIN_TOGETHER}
+    ),
+    sym AS (
+        SELECT ia AS item, ib AS neighbor, together FROM co
+        UNION ALL
+        SELECT ib AS item, ia AS neighbor, together FROM co
+    ),
+    scored AS (
+        SELECT s.item, s.neighbor,
+               CAST(s.together AS DOUBLE)
+                   / sqrt(CAST(ca.c AS DOUBLE) * CAST(cb.c AS DOUBLE)) AS cos
+        FROM sym s
+        JOIN cnt ca ON ca.item = s.item
+        JOIN cnt cb ON cb.item = s.neighbor
+    ),
+    toprec AS (
+        SELECT neighbor FROM (
+            SELECT item, neighbor,
+                   ROW_NUMBER() OVER (PARTITION BY item
+                                      ORDER BY ROUND(cos, 9) DESC, neighbor)
+                       AS rk
+            FROM scored
+        ) WHERE rk <= {TOP_NEIGHBORS}
+    ),
+    expos AS (SELECT neighbor, CAST(COUNT(*) AS BIGINT) AS x FROM toprec
+              GROUP BY neighbor),
+    catalog AS (SELECT DISTINCT l_partkey AS item FROM lineitem),
+    xv AS (
+        SELECT c.item, COALESCE(e.x, 0) AS x
+        FROM catalog c LEFT JOIN expos e ON e.neighbor = c.item
+    ),
+    cells AS (SELECT x, CAST(COUNT(*) AS BIGINT) AS c FROM xv GROUP BY x),
+    cum AS (
+        SELECT x, c,
+               SUM(c) OVER (ORDER BY x
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS cumc
+        FROM cells
+    ),
+    tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(CASE WHEN x = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_zero
+        FROM xv
+    ),
+    gn AS (
+        SELECT CAST(SUM(CAST(c AS HUGEINT) * (2 * cumc - c + 1) * x)
+                    AS HUGEINT) AS dxsum
+        FROM cum
+    )
+    SELECT n AS n_catalog,
+           CAST(n - n_zero AS BIGINT) AS n_recommended,
+           CAST((2 * CAST(n - n_zero AS HUGEINT) * 1000000 + n)
+                // (2 * CAST(n AS HUGEINT)) AS BIGINT) AS coverage_micro,
+           n_zero AS n_zero_exposure,
+           CAST((2 * (dxsum - (n + 1) * CAST(sx AS HUGEINT)) * 1000000
+                 + CAST(n AS HUGEINT) * sx)
+                // (2 * CAST(n AS HUGEINT) * sx) AS BIGINT)
+               AS exposure_gini_micro
+    FROM tot, gn
+    """,
+    doc="Catalog coverage + exposure concentration of the item-item "
+    "recommender's top-3 lists (recs_item_cooccurrence's construction "
+    "repeated verbatim — a semantics change MUST edit both): what "
+    "share of the catalog is ever recommended, and the Gini of "
+    "per-item exposure counts INCLUDING never-recommended items — the "
+    "popularity-bias audit (a recommender that covers 5% of the "
+    "catalog at Gini ~1 is an echo chamber; run before shipping "
+    "co-occurrence lists as training features). Gini uses the "
+    "tie-averaged DOUBLED-rank identity G = (sum d*x - (n+1)*S) / "
+    "(n*S) over distinct exposure cells — exact integers end to end, "
+    "half-away micro at display.",
+)
+def recs_catalog_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: the recommender build is the recs_item_cooccurrence
+    plan (capped basket self-join, broadcast frequency joins, bounded
+    per-item window); everything added is |items|-row aggregates, a
+    distinct-exposure-cell prefix sum, and 1-row broadcasts."""
+    from ..operators.stats import two_level_cumsum
+
+    rec = recs_item_cooccurrence(spark, sf_dir)
+    expos = rec.groupBy(F.col("neighbor").alias("item")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("x")
+    )
+    li = load_fixture(spark, sf_dir, "lineitem")
+    catalog = li.select(F.col("l_partkey").alias("item")).distinct()
+    xv = (
+        catalog.join(expos, "item", "left")
+        .select("item", F.coalesce("x", F.lit(0)).alias("x"))
+        .localCheckpoint(eager=True)
+    )
+    cells = xv.groupBy("x").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    cum = two_level_cumsum(cells, [], "x", [], {"cumc": "c"})
+    tot = xv.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum(F.when(F.col("x") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_zero"),
+    )
+    gn = cum.agg(
+        F.sum(
+            F.col("c").cast("decimal(19,0)")
+            * (F.lit(2) * F.col("cumc") - F.col("c") + F.lit(1))
+            * F.col("x").cast("decimal(19,0)")
+        )
+        .cast("decimal(38,0)")
+        .alias("dxsum")
+    )
+    return tot.crossJoin(F.broadcast(gn)).selectExpr(
+        "n AS n_catalog",
+        "CAST(n - n_zero AS BIGINT) AS n_recommended",
+        "CAST((2 * CAST(n - n_zero AS DECIMAL(38,0)) * 1000000 + n)"
+        " div (2 * CAST(n AS DECIMAL(38,0))) AS BIGINT) AS coverage_micro",
+        "n_zero AS n_zero_exposure",
+        "CAST((2 * (dxsum - (n + 1) * CAST(sx AS DECIMAL(19,0))) * 1000000"
+        " + CAST(n AS DECIMAL(19,0)) * sx)"
+        " div (2 * CAST(n AS DECIMAL(19,0)) * sx) AS BIGINT)"
+        " AS exposure_gini_micro",
+    )

@@ -208,3 +208,100 @@ def test_norm_outlier_audit_reference(spark, sf_dir, con):
     assert r["n_high"] == n_high
     assert r["low_share_micro"] == _half_away(n_low * 1000000, n)
     assert r["high_share_micro"] == _half_away(n_high * 1000000, n)
+
+
+# ---------------------------------------------------------------- wave 3
+
+
+def test_cohort_ltv_reference(spark, sf_dir, con):
+    rows = con.execute(
+        "SELECT user_id, CAST(date_trunc('week', ts) AS DATE), value"
+        " FROM events WHERE event_type = 'purchase'"
+    ).fetchall()
+    first = {}
+    for u, wk, _ in rows:
+        if u not in first or wk < first[u]:
+            first[u] = wk
+    cs = {}
+    for u, cwk in first.items():
+        cs[cwk] = cs.get(cwk, 0) + 1
+    byage = {}
+    for u, wk, v in rows:
+        cwk = first[u]
+        off = (wk - cwk).days // 7
+        q = math.floor(v * 1000000.0 + 0.5)
+        byage[(cwk, off)] = byage.get((cwk, off), 0) + q
+    out = {
+        (r["cohort_wk"], r["wk_offset"]): r
+        for r in run(spark, sf_dir, "events_cohort_ltv_curve")
+    }
+    assert set(out) == set(byage)
+    for cwk in cs:
+        cum = 0
+        for off in sorted(o for c, o in byage if c == cwk):
+            cum += byage[(cwk, off)]
+            r = out[(cwk, off)]
+            assert r["cohort_users"] == cs[cwk]
+            assert r["cum_value_micro"] == cum
+            assert r["ltv_per_user_micro"] == _half_away(cum, cs[cwk])
+
+
+def test_cindex_reference(spark, sf_dir, con):
+    rows = con.execute(
+        "SELECT user_id, floor(epoch(MIN(ts))), floor(epoch(MAX(ts))),"
+        " COUNT(*) FROM events GROUP BY user_id"
+    ).fetchall()
+    gmax = max(int(t1) for _, _, t1, _ in rows)
+    subs = [
+        (int(t1 - t0) // 86400, 1 if gmax - t1 > 86400 else 0, c)
+        for _, t0, t1, c in rows
+    ]
+    comp = conc = tied = 0
+    for di, ei, si in subs:
+        if ei != 1:
+            continue
+        for dj, _, sj in subs:
+            if dj > di:
+                comp += 1
+                if si > sj:
+                    conc += 1
+                elif si == sj:
+                    tied += 1
+    (r,) = run(spark, sf_dir, "survival_concordance_cindex")
+    assert r["n_comparable"] == comp
+    assert r["n_concordant"] == conc
+    assert r["n_tied_score"] == tied
+    assert r["c_index_micro"] == _half_away((2 * conc + tied) * 1000000, 2 * comp)
+
+
+def test_catalog_coverage_reference(spark, sf_dir, con):
+    # recommended set from the registered recommender (itself
+    # oracle-checked); the NEW logic under test is exposure + Gini
+    rec = run(spark, sf_dir, "recs_item_cooccurrence")
+    expos = {}
+    for r in rec:
+        expos[r["neighbor"]] = expos.get(r["neighbor"], 0) + 1
+    catalog = {
+        r[0] for r in con.execute("SELECT DISTINCT l_partkey FROM lineitem").fetchall()
+    }
+    xs = sorted(expos.get(i, 0) for i in catalog)
+    n = len(xs)
+    sx = sum(xs)
+    # tie-averaged doubled ranks over the sorted multiset
+    dx = 0
+    i = 0
+    while i < n:
+        j = i
+        while j < n and xs[j] == xs[i]:
+            j += 1
+        d = (i + 1) + j  # 2 * average rank of the tie block [i+1 .. j]
+        dx += sum(d * x for x in xs[i:j])
+        i = j
+    gini = _half_away((dx - (n + 1) * sx) * 1000000, n * sx)
+    n_zero = sum(1 for x in xs if x == 0)
+    (r,) = run(spark, sf_dir, "recs_catalog_coverage")
+    assert r["n_catalog"] == n
+    assert r["n_recommended"] == n - n_zero
+    assert r["coverage_micro"] == _half_away((n - n_zero) * 1000000, n)
+    assert r["n_zero_exposure"] == n_zero
+    assert r["exposure_gini_micro"] == gini
