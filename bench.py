@@ -290,6 +290,10 @@ HEADLINE = [
     "events_cohort_ltv_curve",
     "survival_concordance_cindex",
     "recs_catalog_coverage",
+    # round 10 fifth wave: KM survival, recall@k, activity calendar
+    "survival_kaplan_meier",
+    "eval_retrieval_recall_at_k",
+    "events_dow_hour_profile",
 ]
 
 

@@ -191,6 +191,11 @@ _NEXT_WINDOW_QUEUE: tuple[str, ...] = (
     "events_cohort_ltv_curve",
     "survival_concordance_cindex",
     "recs_catalog_coverage",
+    # round-10 fifth wave: product-limit survival, retrieval set
+    # coverage, activity calendar
+    "survival_kaplan_meier",
+    "eval_retrieval_recall_at_k",
+    "events_dow_hour_profile",
 )
 
 

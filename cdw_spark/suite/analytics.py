@@ -4646,6 +4646,192 @@ def survival_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_dow_hour_profile",
+    oracle="""
+    WITH c AS (
+        SELECT CAST(isodow(ts) AS INT) AS dow,
+               CAST(EXTRACT(hour FROM ts) AS INT) AS hour,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM events GROUP BY 1, 2
+    ),
+    tot AS (SELECT CAST(SUM(n_events) AS BIGINT) AS n FROM c)
+    SELECT dow, hour, n_events,
+           CAST((2 * CAST(n_events AS HUGEINT) * 1000000 + n)
+                // (2 * CAST(n AS HUGEINT)) AS BIGINT) AS share_micro,
+           CAST((2 * CAST(168 * n_events - n AS HUGEINT)
+                 * (168 * n_events - n) * 1000000 + 168 * CAST(n AS HUGEINT))
+                // (2 * 168 * CAST(n AS HUGEINT)) AS BIGINT)
+               AS chi2_contrib_micro
+    FROM c, tot
+    """,
+    doc="Activity calendar heatmap: event counts per (ISO day-of-week, "
+    "UTC hour) cell with each cell's share and its exact chi-square "
+    "contribution against the uniform 168-cell profile ((o - n/168)^2 "
+    "/ (n/168) = (168o - n)^2 / (168n), an exact integer identity — "
+    "summing the column gives the uniformity statistic) — the "
+    "load-shape view behind capacity planning and the seasonality "
+    "prior for dq_freshness_lag's hourly buckets. Day-of-week is "
+    "ISO (1 = Monday) on the UTC-pinned fixture timestamps: DuckDB "
+    "isodow == Spark weekday(ts) + 1, an engine-identity the "
+    "time_dim weekday-bug family documents. Cells with zero events "
+    "are absent in both engines identically (their chi2 mass, n/168 "
+    "each, is a property of the missing set).",
+)
+def events_dow_hour_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: one map-side-combined aggregate to <= 168 cells,
+    one 1-row total broadcast — nothing else."""
+    e = load_fixture(spark, sf_dir, "events")
+    c = e.groupBy(
+        F.expr("CAST(weekday(ts) + 1 AS INT)").alias("dow"),
+        F.expr("CAST(EXTRACT(hour FROM ts) AS INT)").alias("hour"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+    tot = c.agg(F.sum("n_events").cast("bigint").alias("n"))
+    return c.crossJoin(F.broadcast(tot)).selectExpr(
+        "dow",
+        "hour",
+        "n_events",
+        "CAST((2 * CAST(n_events AS DECIMAL(38,0)) * 1000000 + n)"
+        " div (2 * CAST(n AS DECIMAL(38,0))) AS BIGINT) AS share_micro",
+        "CAST((2 * CAST(168 * n_events - n AS DECIMAL(19,0))"
+        " * (168 * n_events - n) * 1000000 + 168 * CAST(n AS DECIMAL(19,0)))"
+        " div (2 * 168 * CAST(n AS DECIMAL(19,0))) AS BIGINT)"
+        " AS chi2_contrib_micro",
+    )
+
+
+@register(
+    "survival_kaplan_meier",
+    oracle="""
+    WITH pu AS (
+        SELECT user_id,
+               CAST(floor(epoch(MIN(ts))) AS BIGINT) AS t0,
+               CAST(floor(epoch(MAX(ts))) AS BIGINT) AS t1
+        FROM events GROUP BY user_id
+    ),
+    lab AS (
+        SELECT (t1 - t0) // 86400 AS dur,
+               CASE WHEN (SELECT MAX(t1) FROM pu) - t1 > 86400
+                    THEN 1 ELSE 0 END AS ev
+        FROM pu
+    ),
+    byd AS (
+        SELECT dur, CAST(COUNT(*) AS BIGINT) AS c_all,
+               CAST(SUM(ev) AS BIGINT) AS d
+        FROM lab GROUP BY dur
+    ),
+    risk AS (
+        SELECT dur, d,
+               SUM(c_all) OVER () - (SUM(c_all) OVER (ORDER BY dur
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c_all)
+                   AS n_risk
+        FROM byd
+    ),
+    terms AS (
+        SELECT dur, d, n_risk,
+               CASE WHEN d < n_risk THEN
+                   CAST(ROUND(ln(CAST(n_risk - d AS DOUBLE)
+                                 / CAST(n_risk AS DOUBLE)), 9)
+                        AS DECIMAL(18,9))
+               ELSE NULL END AS lnterm,
+               CASE WHEN d > 0 AND d = n_risk THEN 1 ELSE 0 END AS zflag
+        FROM risk
+    ),
+    cum AS (
+        SELECT dur, d, n_risk,
+               SUM(CASE WHEN d > 0 THEN COALESCE(lnterm, 0) ELSE 0 END)
+                   OVER (ORDER BY dur
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW) AS lncum,
+               SUM(zflag) OVER (ORDER BY dur
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS zcum
+        FROM terms
+    )
+    SELECT dur AS duration_days,
+           CAST(n_risk AS BIGINT) AS n_at_risk, d AS n_events,
+           CASE WHEN zcum > 0 THEN CAST(0 AS BIGINT)
+                ELSE CAST(floor(exp(CAST(lncum AS DOUBLE)) * 1000000.0
+                                + 0.5) AS BIGINT) END AS survival_micro
+    FROM cum WHERE d > 0
+    """,
+    doc="Kaplan-Meier product-limit survival curve on the "
+    "survival_nelson_aalen labeling (active-span durations, censor = "
+    "still active within a day of the corpus horizon): S(t) = "
+    "prod_{t_i <= t} (1 - d_i/n_i) — the estimator people actually "
+    "plot, beside N-A's cumulative hazard (ADVICE lineage: exp(-H) "
+    "approximates S; KM is exact). The product is carried in LOG "
+    "space with each per-duration ln((n-d)/n) rounded to 9dp and "
+    "accumulated as EXACT DECIMAL over the span-bounded duration "
+    "relation (the eval_log_loss per-cell-ln treatment — decimal sums "
+    "are order-independent), then one exp + half-away floor to micro "
+    "per emitted row. A duration where every at-risk subject exits "
+    "(d = n) zeroes survival from then on via an exact integer flag, "
+    "never a ln(0).",
+)
+def survival_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: identical to survival_nelson_aalen — one per-user
+    aggregate, one per-duration aggregate, ordered windows over the
+    span-bounded duration relation, a 1-row censor-horizon broadcast."""
+    from pyspark.sql.window import Window
+
+    ev = load_fixture(spark, sf_dir, "events")
+    pu = ev.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("long")).alias("t0"),
+        F.max(F.col("ts").cast("long")).alias("t1"),
+    )
+    gmax = pu.agg(F.max("t1").alias("gmax"))
+    lab = pu.crossJoin(F.broadcast(gmax)).select(
+        F.expr("(t1 - t0) div 86400").alias("dur"),
+        F.when(F.col("gmax") - F.col("t1") > 86400, 1).otherwise(0).alias("ev"),
+    )
+    byd = lab.groupBy("dur").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c_all"),
+        F.sum("ev").cast("bigint").alias("d"),
+    )
+    wcum = Window.orderBy("dur").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.partitionBy()
+    n_risk = F.sum("c_all").over(wall) - (
+        F.sum("c_all").over(wcum) - F.col("c_all")
+    )
+    r = byd.withColumn("n_risk", n_risk)
+    lnterm = F.when(
+        F.col("d") < F.col("n_risk"),
+        F.expr(
+            "CAST(ROUND(ln(CAST(n_risk - d AS DOUBLE)"
+            " / CAST(n_risk AS DOUBLE)), 9) AS DECIMAL(18,9))"
+        ),
+    )
+    zflag = F.when(
+        (F.col("d") > 0) & (F.col("d") == F.col("n_risk")), 1
+    ).otherwise(0)
+    cum = (
+        r.withColumn(
+            "lnpart",
+            F.when(F.col("d") > 0, F.coalesce(lnterm, F.lit(0).cast("decimal(18,9)")))
+            .otherwise(F.lit(0).cast("decimal(18,9)")),
+        )
+        .withColumn("zflag", zflag)
+        .withColumn("lncum", F.sum("lnpart").over(wcum))
+        .withColumn("zcum", F.sum("zflag").over(wcum))
+    )
+    return cum.filter(F.col("d") > 0).select(
+        F.col("dur").alias("duration_days"),
+        F.col("n_risk").alias("n_at_risk"),
+        F.col("d").alias("n_events"),
+        F.when(F.col("zcum") > 0, F.lit(0).cast("bigint"))
+        .otherwise(
+            F.floor(
+                F.exp(F.col("lncum").cast("double")) * F.lit(1000000.0)
+                + F.lit(0.5)
+            ).cast("bigint")
+        )
+        .alias("survival_micro"),
+    )
+
+
+@register(
     "survival_concordance_cindex",
     oracle="""
     WITH pu AS (

@@ -1185,3 +1185,110 @@ def eval_retrieval_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
             " THEN 1 ELSE 0 END AS BIGINT) AS hit_at_5",
         )
     )
+
+
+@register(
+    "eval_retrieval_recall_at_k",
+    oracle=f"""
+    WITH tok AS ({_TOK}),
+    cand AS (
+        SELECT t.term, t.doc_id, CAST(COUNT(*) AS BIGINT) AS tf,
+               CAST(MAX(CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+                   AS rel
+        FROM tok t JOIN documents d ON d.doc_id = t.doc_id
+        WHERE t.term IN ('spark', 'vector', 'data', 'stream', 'query')
+        GROUP BY t.term, t.doc_id
+    ),
+    ranked AS (
+        SELECT term, rel,
+               CAST(ROW_NUMBER() OVER (PARTITION BY term
+                                       ORDER BY tf DESC, doc_id) AS BIGINT) AS rk
+        FROM cand
+    )
+    SELECT term,
+           CAST(COUNT(*) AS BIGINT) AS n_candidates,
+           CAST(SUM(rel) AS BIGINT) AS n_relevant,
+           CAST(SUM(CASE WHEN rel = 1 AND rk <= 5 THEN 1 ELSE 0 END)
+                AS BIGINT) AS rel_at_5,
+           CAST((2 * SUM(CASE WHEN rel = 1 AND rk <= 5 THEN 1 ELSE 0 END)
+                 * 1000000 + NULLIF(SUM(rel), 0))
+                // (2 * NULLIF(SUM(rel), 0)) AS BIGINT) AS recall_at_5_micro,
+           CAST((2 * SUM(CASE WHEN rel = 1 AND rk <= 5 THEN 1 ELSE 0 END)
+                 * 1000000 + LEAST(5, COUNT(*)))
+                // (2 * LEAST(5, COUNT(*))) AS BIGINT)
+               AS precision_at_5_micro,
+           CAST(SUM(CASE WHEN rel = 1 AND rk <= 20 THEN 1 ELSE 0 END)
+                AS BIGINT) AS rel_at_20,
+           CAST((2 * SUM(CASE WHEN rel = 1 AND rk <= 20 THEN 1 ELSE 0 END)
+                 * 1000000 + NULLIF(SUM(rel), 0))
+                // (2 * NULLIF(SUM(rel), 0)) AS BIGINT) AS recall_at_20_micro,
+           CAST((2 * SUM(CASE WHEN rel = 1 AND rk <= 20 THEN 1 ELSE 0 END)
+                 * 1000000 + LEAST(20, COUNT(*)))
+                // (2 * LEAST(20, COUNT(*))) AS BIGINT)
+               AS precision_at_20_micro
+    FROM ranked GROUP BY term
+    """,
+    doc="Recall@k and precision@k (k = 5, 20) per query for the five "
+    "single-term tf-ranked queries of eval_retrieval_mrr (same "
+    "candidates, same lang='en' relevance, same doc_id tie-break) — "
+    "the set-coverage counterpart to MRR's first-hit view and NDCG's "
+    "graded view: recall@k is what an ANN/rerank budget is actually "
+    "sized against. Precision denominators use min(k, n_candidates) "
+    "(short lists are not penalized for absent rows); zero-relevant "
+    "queries NULL their recall via NULLIF in both engines. Exact "
+    "integer counts, half-away micro rates.",
+)
+def eval_retrieval_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: the per-term rank window runs over the POSTINGS of
+    five fixed terms (the eval_retrieval_ndcg precedent — the metric
+    never touches the corpus beyond those postings); everything else
+    is one map-side-combined aggregate per term."""
+    from pyspark.sql.window import Window
+
+    d = load_fixture(spark, sf_dir, "documents")
+    terms = ["spark", "vector", "data", "stream", "query"]
+    tok = d.select(
+        "doc_id",
+        "lang",
+        F.explode(F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).alias(
+            "term"
+        ),
+    ).filter(F.col("term").isin(terms))
+    cand = tok.groupBy("term", "doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf"),
+        F.max(F.when(F.col("lang") == "en", 1).otherwise(0))
+        .cast("bigint")
+        .alias("rel"),
+    )
+    w = Window.partitionBy("term").orderBy(F.col("tf").desc(), "doc_id")
+    ranked = cand.select("term", "rel", F.row_number().over(w).cast("bigint").alias("rk"))
+    return (
+        ranked.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_candidates"),
+            F.sum("rel").cast("bigint").alias("n_relevant"),
+            F.sum(F.when((F.col("rel") == 1) & (F.col("rk") <= 5), 1).otherwise(0))
+            .cast("bigint")
+            .alias("rel_at_5"),
+            F.sum(F.when((F.col("rel") == 1) & (F.col("rk") <= 20), 1).otherwise(0))
+            .cast("bigint")
+            .alias("rel_at_20"),
+        )
+        .selectExpr(
+            "term",
+            "n_candidates",
+            "n_relevant",
+            "rel_at_5",
+            "CAST((2 * rel_at_5 * 1000000 + NULLIF(n_relevant, 0))"
+            " div (2 * NULLIF(n_relevant, 0)) AS BIGINT) AS recall_at_5_micro",
+            "CAST((2 * rel_at_5 * 1000000 + LEAST(5, n_candidates))"
+            " div (2 * LEAST(5, n_candidates)) AS BIGINT)"
+            " AS precision_at_5_micro",
+            "rel_at_20",
+            "CAST((2 * rel_at_20 * 1000000 + NULLIF(n_relevant, 0))"
+            " div (2 * NULLIF(n_relevant, 0)) AS BIGINT) AS recall_at_20_micro",
+            "CAST((2 * rel_at_20 * 1000000 + LEAST(20, n_candidates))"
+            " div (2 * LEAST(20, n_candidates)) AS BIGINT)"
+            " AS precision_at_20_micro",
+        )
+    )

@@ -305,3 +305,99 @@ def test_catalog_coverage_reference(spark, sf_dir, con):
     assert r["coverage_micro"] == _half_away((n - n_zero) * 1000000, n)
     assert r["n_zero_exposure"] == n_zero
     assert r["exposure_gini_micro"] == gini
+
+
+# ---------------------------------------------------------------- wave 4
+
+
+def test_kaplan_meier_reference(spark, sf_dir, con):
+    from decimal import Decimal
+
+    rows = con.execute(
+        "SELECT floor(epoch(MIN(ts))), floor(epoch(MAX(ts)))"
+        " FROM events GROUP BY user_id"
+    ).fetchall()
+    gmax = max(int(t1) for _, t1 in rows)
+    subs = [
+        (int(t1 - t0) // 86400, 1 if gmax - t1 > 86400 else 0)
+        for t0, t1 in rows
+    ]
+    byd = {}
+    for dur, ev in subs:
+        c, d = byd.get(dur, (0, 0))
+        byd[dur] = (c + 1, d + ev)
+    total = len(subs)
+    seen = 0
+    lncum = Decimal(0)
+    dead = False
+    expected = {}
+    for dur in sorted(byd):
+        c, d = byd[dur]
+        n_risk = total - seen
+        seen += c
+        if d > 0:
+            if d < n_risk:
+                lncum += Decimal(repr(round(math.log((n_risk - d) / n_risk), 9)))
+            else:
+                dead = True
+            s = 0 if dead else math.floor(math.exp(float(lncum)) * 1e6 + 0.5)
+            expected[dur] = (n_risk, d, s)
+    out = {r["duration_days"]: r for r in run(spark, sf_dir, "survival_kaplan_meier")}
+    assert set(out) == set(expected)
+    for dur, (nr, d, s) in expected.items():
+        r = out[dur]
+        assert r["n_at_risk"] == nr
+        assert r["n_events"] == d
+        assert r["survival_micro"] == s
+
+
+def test_recall_at_k_reference(spark, sf_dir, con):
+    terms = ["spark", "vector", "data", "stream", "query"]
+    rows = con.execute(
+        "SELECT t.term, t.doc_id, COUNT(*),"
+        " MAX(CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END)"
+        " FROM (SELECT doc_id,"
+        "       unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term"
+        "       FROM documents) t"
+        " JOIN documents d ON d.doc_id = t.doc_id"
+        " WHERE t.term IN ('spark','vector','data','stream','query')"
+        " GROUP BY t.term, t.doc_id"
+    ).fetchall()
+    by_term = {}
+    for term, did, tf, rel in rows:
+        by_term.setdefault(term, []).append((-tf, did, rel))
+    out = {r["term"]: r for r in run(spark, sf_dir, "eval_retrieval_recall_at_k")}
+    assert set(out) == set(by_term) == set(terms)
+    for term, cands in by_term.items():
+        cands.sort()
+        nrel = sum(rel for _, _, rel in cands)
+        r = out[term]
+        assert r["n_candidates"] == len(cands)
+        assert r["n_relevant"] == nrel
+        for k in (5, 20):
+            ra = sum(rel for _, _, rel in cands[:k])
+            assert r[f"rel_at_{k}"] == ra
+            if nrel:
+                assert r[f"recall_at_{k}_micro"] == _half_away(ra * 1000000, nrel)
+            else:
+                assert r[f"recall_at_{k}_micro"] is None
+            assert r[f"precision_at_{k}_micro"] == _half_away(
+                ra * 1000000, min(k, len(cands))
+            )
+
+
+def test_dow_hour_profile_reference(spark, sf_dir, con):
+    rows = con.execute(
+        "SELECT isodow(ts), EXTRACT(hour FROM ts), COUNT(*)"
+        " FROM events GROUP BY 1, 2"
+    ).fetchall()
+    n = sum(c for _, _, c in rows)
+    out = {(r["dow"], r["hour"]): r for r in run(spark, sf_dir, "events_dow_hour_profile")}
+    assert set(out) == {(int(d), int(h)) for d, h, _ in rows}
+    for d, h, c in rows:
+        r = out[(int(d), int(h))]
+        assert r["n_events"] == c
+        assert r["share_micro"] == _half_away(c * 1000000, n)
+        assert r["chi2_contrib_micro"] == _half_away(
+            (168 * c - n) ** 2 * 1000000, 168 * n
+        )
