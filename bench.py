@@ -294,6 +294,10 @@ HEADLINE = [
     "survival_kaplan_meier",
     "eval_retrieval_recall_at_k",
     "events_dow_hour_profile",
+    # round 10 sixth wave: MASE screen, k-fold audit, recsys holdout eval
+    "timeseries_mase_seasonal_naive",
+    "sample_kfold_assignment",
+    "recs_basket_holdout_eval",
 ]
 
 

@@ -196,6 +196,11 @@ _NEXT_WINDOW_QUEUE: tuple[str, ...] = (
     "survival_kaplan_meier",
     "eval_retrieval_recall_at_k",
     "events_dow_hour_profile",
+    # round-10 sixth wave: forecastability screen, CV folds,
+    # recommender holdout eval
+    "timeseries_mase_seasonal_naive",
+    "sample_kfold_assignment",
+    "recs_basket_holdout_eval",
 )
 
 

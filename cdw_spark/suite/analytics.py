@@ -4646,6 +4646,110 @@ def survival_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "timeseries_mase_seasonal_naive",
+    oracle="""
+    WITH p AS (
+        SELECT user_id, ts, event_id,
+               CAST(floor(CAST(value AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)
+                   AS q
+        FROM events WHERE event_type = 'purchase'
+    ),
+    w AS (
+        SELECT user_id, q,
+               LAG(q, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS l1,
+               LAG(q, 7) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS l7
+        FROM p
+    ),
+    s AS (
+        SELECT user_id,
+               CAST(SUM(CASE WHEN l7 IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n7,
+               CAST(SUM(CASE WHEN l7 IS NOT NULL THEN abs(q - l7) END)
+                    AS HUGEINT) AS e7,
+               CAST(SUM(CASE WHEN l1 IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n1,
+               CAST(SUM(CASE WHEN l1 IS NOT NULL THEN abs(q - l1) END)
+                    AS HUGEINT) AS e1
+        FROM w GROUP BY user_id
+    )
+    SELECT user_id,
+           n1 AS n_naive_terms, n7 AS n_seasonal_terms,
+           CAST((2 * e1 + n1) // (2 * CAST(n1 AS HUGEINT)) AS BIGINT)
+               AS mae_naive_micro,
+           CAST((2 * e7 + n7) // (2 * CAST(n7 AS HUGEINT)) AS BIGINT)
+               AS mae_seasonal_micro,
+           CAST((2 * e7 * CAST(n1 AS HUGEINT) * 1000000
+                 + CAST(n7 AS HUGEINT) * e1)
+                // NULLIF(2 * CAST(n7 AS HUGEINT) * e1, 0) AS BIGINT)
+               AS mase_micro
+    FROM s WHERE n7 >= 1
+    """,
+    doc="MASE-style forecastability screen per user: the mean absolute "
+    "error of the SEASONAL naive forecast (q_{t-7}, one week of "
+    "daily-ish lag) scaled by the mean absolute error of the plain "
+    "naive forecast (q_{t-1}) — Hyndman & Koehler's scaled-error idea "
+    "with the roles arranged so mase < 1e6 micro means weekly "
+    "seasonality beats momentum (pairs with timeseries_acf_profile's "
+    "lag-7 peak; run before choosing a gap-fill or forecast baseline). "
+    "Both MAEs are exact integer micro sums over within-user pairs "
+    "(|q - lag| never leaves int), the ratio cross-multiplies to one "
+    "half-away micro division, and a constant series (e1 = 0) NULLs "
+    "mase via NULLIF in both engines.",
+)
+def timeseries_mase_seasonal_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: one per-user ordered window carrying both lags, one
+    map-side-combined per-user aggregate — the fact table shuffles
+    once; output is |users| rows."""
+    from pyspark.sql.window import Window
+
+    e = load_fixture(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    p = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.floor(F.col("value").cast("double") * F.lit(1000000.0) + F.lit(0.5))
+        .cast("bigint")
+        .alias("q"),
+    )
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w = p.select(
+        "user_id",
+        "q",
+        F.lag("q", 1).over(wo).alias("l1"),
+        F.lag("q", 7).over(wo).alias("l7"),
+    )
+    s = w.groupBy("user_id").agg(
+        F.sum(F.when(F.col("l7").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n7"),
+        F.sum(F.when(F.col("l7").isNotNull(), F.abs(F.col("q") - F.col("l7"))))
+        .cast("decimal(38,0)")
+        .alias("e7"),
+        F.sum(F.when(F.col("l1").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n1"),
+        F.sum(F.when(F.col("l1").isNotNull(), F.abs(F.col("q") - F.col("l1"))))
+        .cast("decimal(38,0)")
+        .alias("e1"),
+    )
+    return s.filter(F.col("n7") >= 1).selectExpr(
+        "user_id",
+        "n1 AS n_naive_terms",
+        "n7 AS n_seasonal_terms",
+        "CAST((2 * e1 + n1) div (2 * CAST(n1 AS DECIMAL(38,0))) AS BIGINT)"
+        " AS mae_naive_micro",
+        "CAST((2 * e7 + n7) div (2 * CAST(n7 AS DECIMAL(38,0))) AS BIGINT)"
+        " AS mae_seasonal_micro",
+        "CAST((2 * e7 * CAST(n1 AS DECIMAL(19,0)) * 1000000"
+        " + CAST(n7 AS DECIMAL(19,0)) * e1)"
+        " div NULLIF(2 * CAST(n7 AS DECIMAL(19,0)) * e1, 0) AS BIGINT)"
+        " AS mase_micro",
+    )
+
+
+@register(
     "events_dow_hour_profile",
     oracle="""
     WITH c AS (

@@ -3648,3 +3648,68 @@ def sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(50)
         .select("doc_id", "weight", F.round(F.col("_pr"), 9).alias("priority9"))
     )
+
+
+@register(
+    "sample_kfold_assignment",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, CAST(n_chars AS BIGINT) AS nc,
+               CAST((CAST(doc_id AS HUGEINT) * 2862933555777941757
+                     + 3037000493) % 18446744073709551616
+                    % 2147483648 % 5 AS BIGINT) AS fold
+        FROM documents
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(nc) AS HUGEINT) AS tc FROM d)
+    SELECT fold,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(nc) AS BIGINT) AS n_chars,
+           CAST((2 * CAST(COUNT(*) AS HUGEINT) * 1000000 + n)
+                // (2 * CAST(n AS HUGEINT)) AS BIGINT) AS doc_share_micro,
+           CAST((2 * CAST(SUM(nc) AS HUGEINT) * 1000000 + tc)
+                // (2 * tc) AS BIGINT) AS char_share_micro
+    FROM d, tot GROUP BY fold, n, tc
+    """,
+    doc="Deterministic 5-fold cross-validation assignment with a balance "
+    "audit: fold = (seeded 64-bit LCG of doc_id, low 31 bits) mod 5 — "
+    "the sample_weighted_reservoir generator, so folds are stable "
+    "across engines, runs, and data arrivals (a new document never "
+    "reshuffles old folds, unlike ntile-style assignment). Reports "
+    "per-fold document and character counts with half-away micro "
+    "shares — the audit that catches a skewed fold before a CV run "
+    "wastes 5 training jobs. Companion to sample_hash_split's "
+    "train/test split.",
+)
+def sample_kfold_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: one stateless integer projection, one 5-group
+    map-side-combined aggregate, a 1-row total broadcast."""
+    d = load_fixture(spark, sf_dir, "documents").selectExpr(
+        "doc_id",
+        "CAST(n_chars AS BIGINT) AS nc",
+        "CAST((CAST(doc_id AS DECIMAL(38,0)) * 2862933555777941757"
+        " + 3037000493) % 18446744073709551616"
+        " % 2147483648 % 5 AS BIGINT) AS fold",
+    )
+    tot = d.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("nc").cast("decimal(38,0)").alias("tc"),
+    )
+    return (
+        d.groupBy("fold")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("nc").cast("bigint").alias("n_chars"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .selectExpr(
+            "fold",
+            "n_docs",
+            "n_chars",
+            "CAST((2 * CAST(n_docs AS DECIMAL(38,0)) * 1000000 + n)"
+            " div (2 * CAST(n AS DECIMAL(38,0))) AS BIGINT)"
+            " AS doc_share_micro",
+            "CAST((2 * CAST(n_chars AS DECIMAL(38,0)) * 1000000 + tc)"
+            " div (2 * tc) AS BIGINT) AS char_share_micro",
+        )
+    )

@@ -310,3 +310,114 @@ def recs_catalog_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         " div (2 * CAST(n AS DECIMAL(19,0)) * sx) AS BIGINT)"
         " AS exposure_gini_micro",
     )
+
+
+@register(
+    "recs_basket_holdout_eval",
+    oracle=f"""
+    WITH b AS (
+        SELECT DISTINCT l_orderkey AS ok, l_partkey AS item FROM lineitem
+    ),
+    kept AS (
+        SELECT ok FROM b GROUP BY ok
+        HAVING COUNT(*) <= {BASKET_CAP} AND COUNT(*) >= 2
+    ),
+    bk AS (SELECT b.ok, b.item FROM b JOIN kept USING (ok)),
+    allbk AS (
+        SELECT b.ok, b.item FROM b
+        JOIN (SELECT ok FROM b GROUP BY ok HAVING COUNT(*) <= {BASKET_CAP})
+            k USING (ok)
+    ),
+    cnt AS (SELECT item, COUNT(*) AS c FROM allbk GROUP BY item),
+    co AS (
+        SELECT a.item AS ia, bb.item AS ib, COUNT(*) AS together
+        FROM allbk a JOIN allbk bb ON a.ok = bb.ok AND a.item < bb.item
+        GROUP BY a.item, bb.item
+        HAVING COUNT(*) >= {MIN_TOGETHER}
+    ),
+    sym AS (
+        SELECT ia AS item, ib AS neighbor, together FROM co
+        UNION ALL
+        SELECT ib AS item, ia AS neighbor, together FROM co
+    ),
+    scored AS (
+        SELECT s.item, s.neighbor,
+               CAST(s.together AS DOUBLE)
+                   / sqrt(CAST(ca.c AS DOUBLE) * CAST(cb.c AS DOUBLE)) AS cos
+        FROM sym s
+        JOIN cnt ca ON ca.item = s.item
+        JOIN cnt cb ON cb.item = s.neighbor
+    ),
+    toprec AS (
+        SELECT item, neighbor FROM (
+            SELECT item, neighbor,
+                   ROW_NUMBER() OVER (PARTITION BY item
+                                      ORDER BY ROUND(cos, 9) DESC, neighbor)
+                       AS rk
+            FROM scored
+        ) WHERE rk <= {TOP_NEIGHBORS}
+    ),
+    hold AS (SELECT ok, MAX(item) AS h FROM bk GROUP BY ok),
+    ctx AS (
+        SELECT bk.ok, bk.item FROM bk JOIN hold ON hold.ok = bk.ok
+        WHERE bk.item <> hold.h
+    ),
+    hits AS (
+        SELECT DISTINCT c.ok
+        FROM ctx c
+        JOIN toprec t ON t.item = c.item
+        JOIN hold ON hold.ok = c.ok AND hold.h = t.neighbor
+    )
+    SELECT CAST((SELECT COUNT(*) FROM hold) AS BIGINT) AS n_baskets,
+           CAST((SELECT COUNT(*) FROM hits) AS BIGINT) AS n_hits,
+           CAST((2 * CAST((SELECT COUNT(*) FROM hits) AS HUGEINT) * 1000000
+                 + (SELECT COUNT(*) FROM hold))
+                // (2 * CAST((SELECT COUNT(*) FROM hold) AS HUGEINT))
+                AS BIGINT) AS hit_rate_micro
+    """,
+    doc="Leave-one-out hit-rate evaluation of the item-item recommender: "
+    "per kept basket of >= 2 items, hold out the highest part key "
+    "(deterministic holdout), and score a HIT when any remaining "
+    "context item's top-3 neighbor list contains it — the standard "
+    "co-occurrence recommender eval, completing the build "
+    "(recs_item_cooccurrence) -> audit (recs_catalog_coverage) -> "
+    "eval triple. Lists are trained on FULL baskets (in-sample, the "
+    "recs_markov_next_event convention — documented); the list "
+    "construction is the cooccurrence build repeated verbatim (a "
+    "semantics change MUST edit all three). Exact counts, half-away "
+    "micro rate.",
+)
+def recs_basket_holdout_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: the recommender build plan, a per-basket max
+    holdout aggregate, a cap-bounded context join against the 3-row
+    per-item lists, one distinct + counts — nothing beyond the build's
+    documented fanout."""
+    rec = recs_item_cooccurrence(spark, sf_dir).select("item", "neighbor")
+    li = load_fixture(spark, sf_dir, "lineitem")
+    b = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("item")
+    ).distinct()
+    kept = (
+        b.groupBy("ok")
+        .agg(F.count(F.lit(1)).alias("bs"))
+        .filter((F.col("bs") <= BASKET_CAP) & (F.col("bs") >= 2))
+        .select("ok")
+    )
+    bk = b.join(kept, "ok", "left_semi").localCheckpoint(eager=True)
+    hold = bk.groupBy("ok").agg(F.max("item").alias("h"))
+    ctx = bk.join(hold, "ok").filter(F.col("item") != F.col("h"))
+    hits = (
+        ctx.join(rec, "item")
+        .filter(F.col("neighbor") == F.col("h"))
+        .select("ok")
+        .distinct()
+    )
+    nb = hold.agg(F.count(F.lit(1)).cast("bigint").alias("n_baskets"))
+    nh = hits.agg(F.count(F.lit(1)).cast("bigint").alias("n_hits"))
+    return nb.crossJoin(F.broadcast(nh)).selectExpr(
+        "n_baskets",
+        "n_hits",
+        "CAST((2 * CAST(n_hits AS DECIMAL(38,0)) * 1000000 + n_baskets)"
+        " div (2 * CAST(n_baskets AS DECIMAL(38,0))) AS BIGINT)"
+        " AS hit_rate_micro",
+    )

@@ -401,3 +401,78 @@ def test_dow_hour_profile_reference(spark, sf_dir, con):
         assert r["chi2_contrib_micro"] == _half_away(
             (168 * c - n) ** 2 * 1000000, 168 * n
         )
+
+
+# ---------------------------------------------------------------- wave 5
+
+
+def test_mase_reference(spark, sf_dir, con):
+    rows = con.execute(
+        "SELECT user_id, value FROM events WHERE event_type = 'purchase'"
+        " ORDER BY user_id, ts, event_id"
+    ).fetchall()
+    series = {}
+    for u, v in rows:
+        series.setdefault(u, []).append(math.floor(v * 1000000.0 + 0.5))
+    out = {r["user_id"]: r for r in run(spark, sf_dir, "timeseries_mase_seasonal_naive")}
+    expected = {u for u, s in series.items() if len(s) >= 8}
+    assert set(out) == expected
+    for u in expected:
+        s = series[u]
+        e1 = sum(abs(a - b) for a, b in zip(s[1:], s))
+        e7 = sum(abs(s[i] - s[i - 7]) for i in range(7, len(s)))
+        n1, n7 = len(s) - 1, len(s) - 7
+        r = out[u]
+        assert r["n_naive_terms"] == n1
+        assert r["n_seasonal_terms"] == n7
+        assert r["mae_naive_micro"] == _half_away(e1, n1)
+        assert r["mae_seasonal_micro"] == _half_away(e7, n7)
+        if e1 > 0:
+            assert r["mase_micro"] == _half_away(e7 * n1 * 1000000, n7 * e1)
+        else:
+            assert r["mase_micro"] is None
+
+
+def test_kfold_reference(spark, sf_dir, con):
+    rows = con.execute("SELECT doc_id, n_chars FROM documents").fetchall()
+    folds = {}
+    for did, nc in rows:
+        f = ((did * 2862933555777941757 + 3037000493) % 2**64) % 2**31 % 5
+        nd, c = folds.get(f, (0, 0))
+        folds[f] = (nd + 1, c + nc)
+    n = sum(nd for nd, _ in folds.values())
+    tc = sum(c for _, c in folds.values())
+    out = {r["fold"]: r for r in run(spark, sf_dir, "sample_kfold_assignment")}
+    assert set(out) == set(folds)
+    for f, (nd, c) in folds.items():
+        r = out[f]
+        assert r["n_docs"] == nd
+        assert r["n_chars"] == c
+        assert r["doc_share_micro"] == _half_away(nd * 1000000, n)
+        assert r["char_share_micro"] == _half_away(c * 1000000, tc)
+
+
+def test_basket_holdout_reference(spark, sf_dir, con):
+    # top-3 lists from the registered (oracle-checked) recommender; the
+    # NEW logic under test is holdout construction + hit counting
+    rec = run(spark, sf_dir, "recs_item_cooccurrence")
+    top = {}
+    for r in rec:
+        top.setdefault(r["item"], set()).add(r["neighbor"])
+    rows = con.execute(
+        "SELECT DISTINCT l_orderkey, l_partkey FROM lineitem"
+    ).fetchall()
+    baskets = {}
+    for ok, it in rows:
+        baskets.setdefault(ok, set()).add(it)
+    kept = {ok: items for ok, items in baskets.items() if 2 <= len(items) <= 32}
+    hits = 0
+    for ok, items in kept.items():
+        h = max(items)
+        ctx = items - {h}
+        if any(h in top.get(c, ()) for c in ctx):
+            hits += 1
+    (r,) = run(spark, sf_dir, "recs_basket_holdout_eval")
+    assert r["n_baskets"] == len(kept)
+    assert r["n_hits"] == hits
+    assert r["hit_rate_micro"] == _half_away(hits * 1000000, len(kept))
