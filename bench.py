@@ -102,6 +102,9 @@ HEADLINE = [
     "timeseries_cusum",
     # round 3 closing wave: collocations, recommender, robust trend, k-hop
     "text_pmi_collocations",
+    # round 10: at-rest co-occurrence list build — before the first
+    # family consumer so the one-time build cost lands on the index op
+    "recs_lists_materialize",
     "recs_item_cooccurrence",
     "timeseries_theilsen_trend",
     "graph_khop_reach",

@@ -201,6 +201,9 @@ _NEXT_WINDOW_QUEUE: tuple[str, ...] = (
     "timeseries_mase_seasonal_naive",
     "sample_kfold_assignment",
     "recs_basket_holdout_eval",
+    # round-10 seventh wave: at-rest co-occurrence list artifact (the
+    # kNN-artifact treatment generalized to the recsys family)
+    "recs_lists_materialize",
 )
 
 

@@ -579,3 +579,26 @@ def test_knn_graph_family_scans_at_rest_artifact(spark, sf_dir):
         assert art in plan or "ExistingRDD" in plan, (
             f"{name} does not scan the at-rest artifact"
         )
+
+
+def test_recs_family_scans_at_rest_artifact(spark, sf_dir):
+    """r10 generalization of the kNN-artifact rule: the three recsys
+    consumers must READ the at-rest co-occurrence list artifact, not
+    re-run the basket self-join per query. The build's plan hallmark is
+    the per-item row_number ranking window; a consumer plan that
+    contains it is rebuilding."""
+    from cdw_spark.suite.recsys import _recs_artifact_dir
+
+    art = _recs_artifact_dir(sf_dir)
+    SPECS["recs_lists_materialize"].fn(spark, sf_dir).collect()
+    for name in (
+        "recs_lists_materialize",
+        "recs_item_cooccurrence",
+        "recs_catalog_coverage",
+        "recs_basket_holdout_eval",
+    ):
+        plan = _plan(SPECS[name].fn(spark, sf_dir))
+        assert "row_number" not in plan, f"{name} re-runs the list build"
+        assert art in plan or "ExistingRDD" in plan, (
+            f"{name} does not scan the at-rest artifact"
+        )
