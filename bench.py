@@ -301,6 +301,10 @@ HEADLINE = [
     "timeseries_mase_seasonal_naive",
     "sample_kfold_assignment",
     "recs_basket_holdout_eval",
+    # round 10 eighth wave: volume anomaly, double-fire audit, Donchian
+    "dq_volume_anomaly_daily",
+    "dq_duplicate_payload_rate",
+    "window_donchian_breakout",
 ]
 
 

@@ -204,6 +204,11 @@ _NEXT_WINDOW_QUEUE: tuple[str, ...] = (
     # round-10 seventh wave: at-rest co-occurrence list artifact (the
     # kNN-artifact treatment generalized to the recsys family)
     "recs_lists_materialize",
+    # round-10 eighth wave: ingest-volume anomaly, double-fire audit,
+    # Donchian breakouts
+    "dq_volume_anomaly_daily",
+    "dq_duplicate_payload_rate",
+    "window_donchian_breakout",
 )
 
 

@@ -4646,6 +4646,99 @@ def survival_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "window_donchian_breakout",
+    oracle="""
+    WITH p AS (
+        SELECT user_id, ts,
+               CAST(floor(CAST(value AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)
+                   AS q,
+               epoch_us(ts) // 21600000000 AS hb
+        FROM events WHERE event_type = 'purchase'
+    ),
+    bars AS (
+        SELECT user_id, hb, MAX(q) AS h, MIN(q) AS l
+        FROM p GROUP BY user_id, hb
+    ),
+    ch AS (
+        SELECT user_id, h, l,
+               MAX(h) OVER w AS ch_hi, MIN(l) OVER w AS ch_lo,
+               COUNT(*) OVER w AS n_prior
+        FROM bars
+        WINDOW w AS (PARTITION BY user_id ORDER BY hb
+                     ROWS BETWEEN 4 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bars,
+           CAST(SUM(CASE WHEN n_prior = 4 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_evaluated,
+           CAST(SUM(CASE WHEN n_prior = 4 AND h > ch_hi THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_up_breakouts,
+           CAST(SUM(CASE WHEN n_prior = 4 AND l < ch_lo THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_down_breakouts
+    FROM ch GROUP BY user_id
+    """,
+    doc="Donchian channel breakout counter per user over the shared "
+    "6-hour OHLC bars: a bar breaks out when its high exceeds the "
+    "prior 4 bars' max high (or its low undercuts their min low) — "
+    "the RANGE-based regime-change signal (Donchian's channel rule) "
+    "beside Bollinger's std-based bands and RSI's momentum view; a "
+    "user with many breakouts has regime-shifting spend, one with "
+    "none is channel-bound. Only bars with a FULL 4-bar prior window "
+    "are evaluated (n_prior = 4 — deterministic warmup exclusion in "
+    "both engines). Pure integer comparisons on exact micro bars; no "
+    "doubles anywhere.",
+)
+def window_donchian_breakout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: the ATR bar aggregate (one fact shuffle), one
+    per-user ordered window with a bounded 4-row frame, one per-user
+    rollup."""
+    from pyspark.sql.window import Window
+
+    e = load_fixture(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    p = e.select(
+        "user_id",
+        F.floor(F.col("value").cast("double") * F.lit(1000000.0) + F.lit(0.5))
+        .cast("bigint")
+        .alias("q"),
+        F.expr("unix_micros(ts) div 21600000000").alias("hb"),
+    )
+    bars = p.groupBy("user_id", "hb").agg(
+        F.max("q").alias("h"), F.min("q").alias("l")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("hb")
+        .rowsBetween(-4, -1)
+    )
+    ch = bars.select(
+        "user_id",
+        "h",
+        "l",
+        F.max("h").over(w).alias("ch_hi"),
+        F.min("l").over(w).alias("ch_lo"),
+        F.count(F.lit(1)).over(w).alias("n_prior"),
+    )
+    return ch.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bars"),
+        F.sum(F.when(F.col("n_prior") == 4, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_evaluated"),
+        F.sum(
+            F.when((F.col("n_prior") == 4) & (F.col("h") > F.col("ch_hi")), 1)
+            .otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_up_breakouts"),
+        F.sum(
+            F.when((F.col("n_prior") == 4) & (F.col("l") < F.col("ch_lo")), 1)
+            .otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_down_breakouts"),
+    )
+
+
+@register(
     "timeseries_mase_seasonal_naive",
     oracle="""
     WITH p AS (

@@ -3713,3 +3713,138 @@ def sample_kfold_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div (2 * tc) AS BIGINT) AS char_share_micro",
         )
     )
+
+
+@register(
+    "dq_volume_anomaly_daily",
+    oracle="""
+    WITH d AS (
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM events GROUP BY 1
+    ),
+    cells AS (SELECT n_events AS v, CAST(COUNT(*) AS BIGINT) AS c
+              FROM d GROUP BY n_events),
+    cum AS (
+        SELECT v, c, SUM(c) OVER (ORDER BY v
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS cumc
+        FROM cells
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM d),
+    med AS (SELECT MIN(v) AS med FROM cum, tot WHERE cumc >= (n + 1) // 2),
+    dev AS (SELECT abs(d.n_events - med.med) AS a FROM d, med),
+    dcells AS (SELECT a AS v, CAST(COUNT(*) AS BIGINT) AS c
+               FROM dev GROUP BY a),
+    dcum AS (
+        SELECT v, c, SUM(c) OVER (ORDER BY v
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS cumc
+        FROM dcells
+    ),
+    mad AS (SELECT MIN(v) AS mad FROM dcum, tot WHERE cumc >= (n + 1) // 2)
+    SELECT d.day, d.n_events,
+           CAST(med.med AS BIGINT) AS median_daily,
+           CAST(mad.mad AS BIGINT) AS mad_daily,
+           CAST(d.n_events - med.med AS BIGINT) AS deviation,
+           abs(d.n_events - med.med) * 10000 > 44478 * mad.mad AS is_anomaly
+    FROM d, med, mad
+    """,
+    doc="Daily ingest-volume anomaly audit: event counts per UTC day "
+    "flagged when |count - median| exceeds 3 robust sigmas "
+    "(3 * 1.4826 * MAD, the Hampel rule applied to VOLUME rather than "
+    "values — the pipeline monitor that catches a dropped partition "
+    "or a double-delivery day before models train on it; "
+    "dq_freshness_lag watches recency, this watches completeness). "
+    "Median and MAD are exact LOWER medians from distinct-value "
+    "running counts; the threshold compares exact integers "
+    "(|dev| * 10000 > 44478 * MAD), so no float enters at all.",
+)
+def dq_volume_anomaly_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: one map-side-combined aggregate to calendar-bounded
+    day rows, two distinct-cell exact medians over that bounded
+    relation, 1-row broadcasts back onto it."""
+    from ..operators.stats import two_level_cumsum
+
+    e = load_fixture(spark, sf_dir, "events")
+    d = e.groupBy(
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_events")).localCheckpoint(
+        eager=True
+    )
+    tot = d.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+
+    def lower_median(vals, col):
+        cells = vals.groupBy(F.col(col).alias("v")).agg(
+            F.count(F.lit(1)).cast("bigint").alias("c")
+        )
+        cum = two_level_cumsum(cells, [], "v", [], {"cumc": "c"})
+        return (
+            cum.crossJoin(F.broadcast(tot))
+            .filter(F.col("cumc") >= F.expr("(n + 1) div 2"))
+            .agg(F.min("v").alias("m"))
+        )
+
+    med = lower_median(d, "n_events").withColumnRenamed("m", "med")
+    dev = d.crossJoin(F.broadcast(med)).select(
+        F.abs(F.col("n_events") - F.col("med")).alias("a")
+    )
+    mad = lower_median(dev, "a").withColumnRenamed("m", "mad")
+    return (
+        d.crossJoin(F.broadcast(med))
+        .crossJoin(F.broadcast(mad))
+        .selectExpr(
+            "day",
+            "n_events",
+            "CAST(med AS BIGINT) AS median_daily",
+            "CAST(mad AS BIGINT) AS mad_daily",
+            "CAST(n_events - med AS BIGINT) AS deviation",
+            "abs(n_events - med) * 10000 > 44478 * mad AS is_anomaly",
+        )
+    )
+
+
+@register(
+    "dq_duplicate_payload_rate",
+    oracle="""
+    WITH g AS (
+        SELECT event_type, user_id, ts, value, CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY event_type, user_id, ts, value
+    )
+    SELECT event_type,
+           CAST(SUM(c) AS BIGINT) AS n_events,
+           CAST(SUM(c - 1) AS BIGINT) AS n_duplicate_rows,
+           CAST(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_duplicated_payloads,
+           CAST((2 * CAST(SUM(c - 1) AS HUGEINT) * 1000000 + SUM(c))
+                // (2 * CAST(SUM(c) AS HUGEINT)) AS BIGINT)
+               AS dup_rate_micro
+    FROM g GROUP BY event_type
+    """,
+    doc="Instrumentation double-fire audit: rows whose payload "
+    "(user, timestamp, value) is identical UNDER A DIFFERENT event_id "
+    "are re-delivered or double-logged events — the DQ check run "
+    "before any count-based metric (a 1% double-fire silently "
+    "inflates every funnel). Per event type: total rows, surplus "
+    "duplicate rows (count - 1 per payload group), distinct duplicated "
+    "payloads, and the half-away micro duplicate rate. Exact integer "
+    "counting; the payload groupBy is the only shuffle.",
+)
+def dq_duplicate_payload_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: one map-side-combined groupBy on the payload key,
+    one per-type rollup — no joins, no windows."""
+    e = load_fixture(spark, sf_dir, "events")
+    g = e.groupBy("event_type", "user_id", "ts", "value").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    return g.groupBy("event_type").agg(
+        F.sum("c").cast("bigint").alias("n_events"),
+        F.sum(F.col("c") - 1).cast("bigint").alias("n_duplicate_rows"),
+        F.sum(F.when(F.col("c") > 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_duplicated_payloads"),
+        F.expr(
+            "CAST((2 * CAST(SUM(c - 1) AS DECIMAL(38,0)) * 1000000 + SUM(c))"
+            " div (2 * CAST(SUM(c) AS DECIMAL(38,0))) AS BIGINT)"
+        ).alias("dup_rate_micro"),
+    )

@@ -476,3 +476,100 @@ def test_basket_holdout_reference(spark, sf_dir, con):
     assert r["n_baskets"] == len(kept)
     assert r["n_hits"] == hits
     assert r["hit_rate_micro"] == _half_away(hits * 1000000, len(kept))
+
+
+# ---------------------------------------------------------------- wave 6
+
+
+def test_volume_anomaly_reference(spark, sf_dir, con):
+    rows = con.execute(
+        "SELECT CAST(date_trunc('day', ts) AS DATE), COUNT(*)"
+        " FROM events GROUP BY 1"
+    ).fetchall()
+    counts = {d: c for d, c in rows}
+    vals = sorted(counts.values())
+    n = len(vals)
+    med = vals[(n + 1) // 2 - 1]
+    devs = sorted(abs(v - med) for v in vals)
+    mad = devs[(n + 1) // 2 - 1]
+    out = {r["day"]: r for r in run(spark, sf_dir, "dq_volume_anomaly_daily")}
+    assert set(out) == set(counts)
+    for d, c in counts.items():
+        r = out[d]
+        assert r["n_events"] == c
+        assert r["median_daily"] == med
+        assert r["mad_daily"] == mad
+        assert r["deviation"] == c - med
+        assert r["is_anomaly"] == (abs(c - med) * 10000 > 44478 * mad)
+
+
+def test_duplicate_payload_reference(spark, sf_dir, con, tmp_path):
+    """Zero-dup fixture checks the skeleton; a doubled fixture checks
+    the counting actually counts."""
+    import shutil
+
+    import duckdb as ddb
+
+    (r0,) = [
+        r for r in run(spark, sf_dir, "dq_duplicate_payload_rate")
+        if r["event_type"] == "purchase"
+    ]
+    assert r0["n_duplicate_rows"] == 0 and r0["dup_rate_micro"] == 0
+    # doubled fixture: every purchase row twice under fresh event_ids
+    c = ddb.connect()
+    c.execute(
+        f"COPY (SELECT * FROM read_parquet('{sf_dir}/events.parquet')"
+        f" UNION ALL"
+        f" SELECT event_id + 10000000, ts, user_id, event_type, value, props"
+        f" FROM read_parquet('{sf_dir}/events.parquet')"
+        f" WHERE event_type = 'purchase')"
+        f" TO '{tmp_path}/events.parquet' (FORMAT PARQUET)"
+    )
+    for t in ("documents", "embeddings", "lineitem", "orders", "customer",
+              "nation", "region", "supplier", "part"):
+        shutil.copy(f"{sf_dir}/{t}.parquet", f"{tmp_path}/{t}.parquet")
+    out = {
+        r["event_type"]: r
+        for r in run(spark, str(tmp_path), "dq_duplicate_payload_rate")
+    }
+    n_purch = con.execute(
+        "SELECT COUNT(*) FROM events WHERE event_type = 'purchase'"
+    ).fetchone()[0]
+    r = out["purchase"]
+    assert r["n_events"] == 2 * n_purch
+    assert r["n_duplicate_rows"] == n_purch
+    assert r["n_duplicated_payloads"] == n_purch
+    assert r["dup_rate_micro"] == _half_away(n_purch * 1000000, 2 * n_purch)
+
+
+def test_donchian_reference(spark, sf_dir, con):
+    rows = con.execute(
+        "SELECT user_id, epoch_us(ts) // 21600000000, value FROM events"
+        " WHERE event_type = 'purchase'"
+    ).fetchall()
+    bars = {}
+    for u, hb, v in rows:
+        q = math.floor(v * 1000000.0 + 0.5)
+        h, lo = bars.get((u, hb), (q, q))
+        bars[(u, hb)] = (max(h, q), min(lo, q))
+    series = {}
+    for (u, hb), hl in sorted(bars.items()):
+        series.setdefault(u, []).append(hl)
+    out = {r["user_id"]: r for r in run(spark, sf_dir, "window_donchian_breakout")}
+    assert set(out) == set(series)
+    for u, s in series.items():
+        n_eval = up = dn = 0
+        for i in range(len(s)):
+            if i >= 4:
+                n_eval += 1
+                hi = max(h for h, _ in s[i - 4:i])
+                lo = min(l for _, l in s[i - 4:i])
+                if s[i][0] > hi:
+                    up += 1
+                if s[i][1] < lo:
+                    dn += 1
+        r = out[u]
+        assert r["n_bars"] == len(s)
+        assert r["n_evaluated"] == n_eval
+        assert r["n_up_breakouts"] == up
+        assert r["n_down_breakouts"] == dn
