@@ -305,6 +305,9 @@ HEADLINE = [
     "dq_volume_anomaly_daily",
     "dq_duplicate_payload_rate",
     "window_donchian_breakout",
+    # round 10 ninth wave: dispersion gate, retention half-life
+    "agg_dispersion_index",
+    "events_retention_halflife",
 ]
 
 

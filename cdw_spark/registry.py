@@ -209,6 +209,9 @@ _NEXT_WINDOW_QUEUE: tuple[str, ...] = (
     "dq_volume_anomaly_daily",
     "dq_duplicate_payload_rate",
     "window_donchian_breakout",
+    # round-10 ninth wave: Poisson dispersion gate, retention half-life
+    "agg_dispersion_index",
+    "events_retention_halflife",
 )
 
 

@@ -4646,6 +4646,212 @@ def survival_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_dispersion_index",
+    oracle="""
+    WITH d AS (
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+               CAST(COUNT(*) AS BIGINT) AS x
+        FROM events GROUP BY 1
+    ),
+    s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS HUGEINT) AS sx,
+               CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx
+        FROM d
+    )
+    SELECT n AS n_days,
+           CAST((2 * sx * 1000000 + n) // (2 * CAST(n AS HUGEINT)) AS BIGINT)
+               AS mean_daily_micro,
+           CAST((2 * (n * sxx - sx * sx) * 1000000 + (n - 1) * sx)
+                // NULLIF(2 * (n - 1) * sx, 0) AS BIGINT)
+               AS dispersion_index_micro,
+           CAST((2 * (n * sxx - sx * sx) * 1000000 + sx)
+                // NULLIF(2 * sx, 0) AS BIGINT) AS chi2_stat_micro
+    FROM s
+    """,
+    doc="Index of dispersion (variance-to-mean ratio) of daily event "
+    "volume: D = s^2 / xbar, the Poisson overdispersion gate — D ~ 1 "
+    "means arrivals are Poisson-like and rate-based capacity math "
+    "holds; D >> 1 means bursty/clustered arrivals (the count-side "
+    "companion to events_interarrival_burstiness' gap view, and the "
+    "distributional context for dq_volume_anomaly_daily's flags). "
+    "chi2_stat = (n-1) * D is the classical dispersion test statistic "
+    "against chi-square(n-1). Both are EXACT integer identities "
+    "((n*sxx - sx^2) over (n-1)*sx and sx) half-away-rounded in micro "
+    "under HUGEINT/DECIMAL(38,0); a zero-volume corpus NULLs via "
+    "NULLIF. No doubles anywhere.",
+)
+def agg_dispersion_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: one map-side-combined aggregate to calendar-bounded
+    day rows, one 1-row reduce."""
+    e = load_fixture(spark, sf_dir, "events")
+    d = e.groupBy(
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    s = d.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("decimal(38,0)").alias("sx"),
+        F.sum(F.col("x").cast("decimal(19,0)") * F.col("x").cast("decimal(19,0)"))
+        .cast("decimal(38,0)")
+        .alias("sxx"),
+    )
+    return s.selectExpr(
+        "n AS n_days",
+        "CAST((2 * sx * 1000000 + n) div (2 * CAST(n AS DECIMAL(38,0)))"
+        " AS BIGINT) AS mean_daily_micro",
+        "CAST((2 * (n * sxx - sx * sx) * 1000000 + (n - 1) * sx)"
+        " div NULLIF(2 * (n - 1) * sx, 0) AS BIGINT)"
+        " AS dispersion_index_micro",
+        "CAST((2 * (n * sxx - sx * sx) * 1000000 + sx)"
+        " div NULLIF(2 * sx, 0) AS BIGINT) AS chi2_stat_micro",
+    )
+
+
+@register(
+    "events_retention_halflife",
+    oracle="""
+    WITH p AS (
+        SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk
+        FROM events WHERE event_type = 'purchase'
+    ),
+    cohort AS (SELECT user_id, MIN(wk) AS cohort_wk FROM p GROUP BY user_id),
+    cs AS (SELECT cohort_wk, CAST(COUNT(*) AS BIGINT) AS n0 FROM cohort
+           GROUP BY cohort_wk),
+    mx AS (SELECT MAX(wk) AS max_wk FROM p),
+    act AS (
+        SELECT c.cohort_wk,
+               CAST(date_diff('day', c.cohort_wk, p.wk) // 7 AS BIGINT)
+                   AS off,
+               CAST(COUNT(DISTINCT p.user_id) AS BIGINT) AS n_active
+        FROM p JOIN cohort c ON c.user_id = p.user_id
+        GROUP BY 1, 2
+    ),
+    offs AS (SELECT DISTINCT off FROM act WHERE off >= 1),
+    elig AS (
+        SELECT o.off, CAST(SUM(cs.n0) AS BIGINT) AS n_elig
+        FROM offs o
+        JOIN cs ON date_diff('day', cs.cohort_wk,
+                             (SELECT max_wk FROM mx)) // 7 >= o.off
+        GROUP BY o.off
+    ),
+    rate AS (
+        SELECT e.off,
+               CAST(SUM(COALESCE(a.n_active, 0)) AS BIGINT) AS n_active,
+               e.n_elig
+        FROM elig e
+        LEFT JOIN act a ON a.off = e.off
+        GROUP BY e.off, e.n_elig
+    ),
+    pts AS (
+        SELECT CAST(off AS DECIMAL(18,9)) AS x,
+               CAST(ROUND(ln(CAST(n_active AS DOUBLE)
+                             / CAST(n_elig AS DOUBLE)), 9)
+                    AS DECIMAL(18,9)) AS y
+        FROM rate WHERE n_active > 0 AND n_elig > 0
+    ),
+    s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS DECIMAL(38,9)) AS sx,
+               CAST(SUM(y) AS DECIMAL(38,9)) AS sy,
+               CAST(SUM(x * y) AS DECIMAL(38,18)) AS sxy,
+               CAST(SUM(x * x) AS DECIMAL(38,18)) AS sxx
+        FROM pts
+    )
+    SELECT n AS n_points,
+           ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / NULLIF(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0.0), 6)
+               AS decay_slope,
+           ROUND(-0.6931471805599453
+                 / NULLIF((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                           - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                          / NULLIF(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE),
+                                   0.0), 0.0), 6)
+               AS halflife_weeks
+    FROM s
+    """,
+    doc="Retention half-life: fit ln(retention rate) = a - lambda*week "
+    "over the pooled censoring-aware retention curve (active users at "
+    "offset k over users in cohorts OLD ENOUGH to be observable at k "
+    "— without the eligibility join, young cohorts drag the tail down "
+    "and the fit is biased) and report the decay slope and half-life "
+    "= ln2/lambda in weeks — the single-number summary of "
+    "cohort_retention's matrix that forecasting and LTV models "
+    "consume. The text_heaps_law OLS discipline: rate points are "
+    "exact integer ratios, each ln rounds to 9dp DECIMAL before the "
+    "order-independent moment sums, the closed-form slope is one "
+    "identical double sequence, and ln2 enters as the shared literal; "
+    "a flat or rising curve NULLs the half-life via NULLIF.",
+)
+def events_retention_halflife(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: the cohort_retention shuffles plus a
+    calendar-bounded offsets x cohorts eligibility join (weeks^2 cells
+    at most), 9dp-decimal OLS moments, a 1-row reduce."""
+    e = load_fixture(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    p = e.select(
+        "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("wk")
+    )
+    cohort = p.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    cs = cohort.groupBy("cohort_wk").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n0")
+    )
+    mx = p.agg(F.max("wk").alias("max_wk"))
+    act = (
+        p.join(cohort, "user_id")
+        .groupBy(
+            "cohort_wk",
+            (F.datediff(F.col("wk"), F.col("cohort_wk")) / 7)
+            .cast("bigint")
+            .alias("off"),
+        )
+        .agg(F.count_distinct("user_id").cast("bigint").alias("n_active"))
+        .localCheckpoint(eager=True)
+    )
+    offs = act.filter(F.col("off") >= 1).select("off").distinct()
+    elig = (
+        offs.crossJoin(F.broadcast(cs.crossJoin(F.broadcast(mx))))
+        .filter(
+            F.expr("CAST(datediff(max_wk, cohort_wk) / 7 AS BIGINT) >= off")
+        )
+        .groupBy("off")
+        .agg(F.sum("n0").cast("bigint").alias("n_elig"))
+    )
+    rate = (
+        elig.join(act.select("off", "n_active"), "off", "left")
+        .groupBy("off", "n_elig")
+        .agg(F.sum(F.coalesce("n_active", F.lit(0))).cast("bigint").alias("n_active"))
+    )
+    pts = rate.filter((F.col("n_active") > 0) & (F.col("n_elig") > 0)).select(
+        F.col("off").cast("decimal(18,9)").alias("x"),
+        F.expr(
+            "CAST(ROUND(ln(CAST(n_active AS DOUBLE) / CAST(n_elig AS DOUBLE)),"
+            " 9) AS DECIMAL(18,9))"
+        ).alias("y"),
+    )
+    s = pts.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("decimal(38,9)").alias("sx"),
+        F.sum("y").cast("decimal(38,9)").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("decimal(38,18)").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("decimal(38,18)").alias("sxx"),
+    )
+    slope = (
+        "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+        " / NULLIF(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0.0)"
+    )
+    return s.selectExpr(
+        "n AS n_points",
+        f"ROUND({slope}, 6) AS decay_slope",
+        f"ROUND(-0.6931471805599453 / NULLIF({slope}, 0.0), 6)"
+        " AS halflife_weeks",
+    )
+
+
+@register(
     "window_donchian_breakout",
     oracle="""
     WITH p AS (

@@ -573,3 +573,64 @@ def test_donchian_reference(spark, sf_dir, con):
         assert r["n_evaluated"] == n_eval
         assert r["n_up_breakouts"] == up
         assert r["n_down_breakouts"] == dn
+
+
+# ---------------------------------------------------------------- wave 7
+
+
+def test_dispersion_index_reference(spark, sf_dir, con):
+    rows = con.execute(
+        "SELECT CAST(date_trunc('day', ts) AS DATE), COUNT(*)"
+        " FROM events GROUP BY 1"
+    ).fetchall()
+    xs = [c for _, c in rows]
+    n, sx, sxx = len(xs), sum(xs), sum(x * x for x in xs)
+    (r,) = run(spark, sf_dir, "agg_dispersion_index")
+    assert r["n_days"] == n
+    assert r["mean_daily_micro"] == _half_away(sx * 1000000, n)
+    assert r["dispersion_index_micro"] == _half_away(
+        (n * sxx - sx * sx) * 1000000, (n - 1) * sx
+    )
+    assert r["chi2_stat_micro"] == _half_away((n * sxx - sx * sx) * 1000000, sx)
+
+
+def test_retention_halflife_reference(spark, sf_dir, con):
+    from decimal import Decimal
+
+    rows = con.execute(
+        "SELECT user_id, CAST(date_trunc('week', ts) AS DATE)"
+        " FROM events WHERE event_type = 'purchase'"
+    ).fetchall()
+    first = {}
+    for u, wk in rows:
+        if u not in first or wk < first[u]:
+            first[u] = wk
+    max_wk = max(wk for _, wk in rows)
+    cs = {}
+    for cwk in first.values():
+        cs[cwk] = cs.get(cwk, 0) + 1
+    act = {}
+    for u, wk in set(rows):
+        off = (wk - first[u]).days // 7
+        act.setdefault(off, set()).add(u)
+    pts = []
+    for off in sorted(o for o in act if o >= 1):
+        n_active = len(act[off])
+        n_elig = sum(n0 for cwk, n0 in cs.items()
+                     if (max_wk - cwk).days // 7 >= off)
+        if n_active > 0 and n_elig > 0:
+            pts.append(
+                (Decimal(off), Decimal(repr(round(math.log(n_active / n_elig), 9))))
+            )
+    n = len(pts)
+    sx = sum(x for x, _ in pts)
+    sy = sum(y for _, y in pts)
+    sxy = sum(x * y for x, y in pts)
+    sxx = sum(x * x for x, _ in pts)
+    slope = (float(n) * float(sxy) - float(sx) * float(sy)) / (
+        float(n) * float(sxx) - float(sx) * float(sx)
+    )
+    (r,) = run(spark, sf_dir, "events_retention_halflife")
+    assert r["n_points"] == n
+    assert abs(r["decay_slope"] - slope) < 1e-6
+    assert abs(r["halflife_weeks"] - (-0.6931471805599453 / slope)) < 1e-5
