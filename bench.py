@@ -332,6 +332,20 @@ def main() -> None:
                 "overwrite"
             ).save()
 
+    # Artifact discipline (VERDICT r10 'What's wrong' #1): by default the
+    # timed loop starts COLD — the at-rest index store is cleared after
+    # warmup, so the one-time build cost of every *_materialize op lands
+    # on the timed record instead of silently inheriting whatever state
+    # the host holds. Run2 of the canonical pair sets
+    # SPARK_GRAFT_BENCH_ARTIFACTS=warm to measure the steady-state scans;
+    # both states are stamped into the record.
+    artifact_state = os.environ.get("SPARK_GRAFT_BENCH_ARTIFACTS", "cold")
+    if artifact_state != "warm":
+        from cdw_spark.operators.artifacts import clear_all
+
+        clear_all()
+        artifact_state = "cold"
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         spec = specs.get(name)
@@ -362,6 +376,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "artifact_state": artifact_state,
     }
     # VERDICT r9 'What's wrong' #3: at 200+ headline queries the one-line
     # print exceeds what the driver's bench capture records (BENCH_r09

@@ -72,30 +72,29 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # batch time-window twins, and the tokenize/chunk/pack assembly ops.
 # Everything not listed keeps its registration order after the window and
 # stays covered by tests/test_oracle_contract.py's local differential sweep.
-# r10 window (this round): VERDICT r9 #1 EXACTLY — ten family anchors
-# plus the first 40 of the 49-entry `_NEXT_WINDOW_QUEUE` authored at the
-# r9 close (queue order); the 9 spill (curation_rule_ablation ..
-# events_error_mtbf) stay queued and LEAD the r11 rotation. One anchor
-# swap, blessed by the r9 precedent (multimodal_blob_meta took the
-# family-coverage slot there): agg_pricing_summary (driver-green every
-# round r2-r9, and the agg_ family is amply covered by the five rotated
-# agg_* rows) yields its anchor slot to multimodal_blob_meta
-# (driver-green r9) so the family-coverage rule keeps a multimodal_*
-# row without burning a rotation slot on a re-grade.
-# Cumulative evidence entering r10: 303 unique queries graded, 301
-# green at latest grading (the 2 non-green are the oracle-less r1
-# relics agg_approx_distinct/agg_approx_quantiles, whose exact twins
-# are oracled).
+# r11 window (this round): VERDICT r10 #1 EXACTLY — ten family anchors,
+# then ALL 31 entries of the queue authored at the r10 close (9 round-9
+# spill first, then the 22 round-10 additions in wave order), then 9
+# coldest re-grades (oldest-grade-first, alphabetical tiebreak among the
+# r2-graded set). This rotation clears the ENTIRE never-graded backlog:
+# after it grades, every oracled query in the registry has a driver row.
+# Cumulative evidence entering r11: 343 unique queries graded, 341
+# green at latest grading. The 2 non-green are the r1 relics
+# agg_approx_distinct/agg_approx_quantiles: their CORRECTNESS_r01 rows
+# read err="no_oracle" — the driver records row counts but can never
+# hash-match an oracle-less entry, so re-grading them cannot turn them
+# green (VERDICT r10 ledger note, documented here instead of burning 2
+# slots). Their exact twins (agg_distinct_exact, agg_percentile_exact)
+# are oracled and driver-green.
 #
 # The 4 rows-only (agg_approx_top_k, text_compression_ratio,
 # similarity_ann_pq, multimodal_audio_spectral — each irreducibly
 # engine-specific with a measured reason) never burn window slots.
-# r11+ policy: keep the ten anchors, spend the forty slots on (a) the
-# len(_NEXT_WINDOW_QUEUE) queued additions below (9 round-9 spill
-# first, then round-10 additions in queue order; the meta-test derives
-# the count from the tuple, never from this prose), then (b) coldest
-# re-grades oldest-grade-first.
-_WINDOW_ROUND = 10  # the round this window was authored FOR — meta-tests
+# r12+ policy: keep the ten anchors, spend the forty slots on (a) the
+# len(_NEXT_WINDOW_QUEUE) queued additions below (round-11 additions in
+# wave order; the meta-test derives the count from the tuple, never
+# from this prose), then (b) coldest re-grades oldest-grade-first.
+_WINDOW_ROUND = 11  # the round this window was authored FOR — meta-tests
 # treat CORRECTNESS records from rounds >= this as the window's own
 # grade, not prior evidence (VERDICT r4 #3's self-invalidation fix).
 _DRIVER_WINDOW: tuple[str, ...] = (
@@ -111,60 +110,7 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "similarity_ann_lsh",    # similarity / ANN
     "dedup_minhash_lsh",     # deduplication
     "curation_pipeline",     # curation / dataset ops
-    # --- rotated in (r10): the first 40 round-9 additions, exactly in
-    # the queue order authored at the r9 close (VERDICT r9 #1) ---
-    "agg_wilcoxon_signed_rank",
-    "agg_jensen_shannon",
-    "events_interarrival_burstiness",
-    "agg_permutation_entropy",
-    "agg_cronbach_alpha",
-    "agg_covariance_matrix_digest",
-    "eval_retrieval_mrr",
-    "eval_average_precision",
-    "window_rsi",
-    "sample_dedup_aware_weights",
-    "text_heaps_law",
-    "events_power_law_alpha",
-    "intervals_union_coverage",
-    "asof_join_nearest",
-    "graph_adamic_adar",
-    "eval_brier_decomposition",
-    "dq_id_sequence_audit",
-    "agg_stump_split_gain",
-    "dq_order_total_consistency",
-    "mix_waterfill_budget",
-    "sample_pps_systematic",
-    "timeseries_hurst_rs",
-    "events_transition_entropy",
-    "agg_kruskal_wallis",
-    "agg_anova_oneway",
-    "eval_log_loss",
-    "agg_levene_brown_forsythe",
-    "graph_degree_assortativity",
-    "text_flesch_reading_ease",
-    "dq_freshness_lag",
-    "window_ulcer_index",
-    "sample_horvitz_thompson",
-    "agg_lorenz_curve",
-    "timeseries_acf_profile",
-    "window_sortino_ratio",
-    "agg_bowley_skewness",
-    "stream_freshness_monitor",
-    "events_audience_overlap",
-    "window_atr",
-    "graph_harmonic_centrality",
-)
-
-
-# Queries registered AFTER the r10 window was authored — the r11 rotation
-# queue (newest, least proven, so they go first next round). The
-# completeness meta-test accepts queue membership in place of a window
-# slot, so a new oracled query must either rotate in NOW or be queued
-# HERE — silence is no longer possible. The 9 round-9 spill entries lead
-# (they missed the r10 window by queue position); round-10 additions
-# append after them as they land.
-_NEXT_WINDOW_QUEUE: tuple[str, ...] = (
-    # round-9 spill (queue positions 41-49 at the r9 close)
+    # --- rotated in (r11a): the 9 round-9 spill entries, queue order ---
     "curation_rule_ablation",
     "embedding_hubness_audit",
     "timeseries_variance_ratio",
@@ -174,45 +120,52 @@ _NEXT_WINDOW_QUEUE: tuple[str, ...] = (
     "graph_rich_club",
     "recs_markov_next_event",
     "events_error_mtbf",
-    # round-10 first wave: the at-rest kNN graph artifact (VERDICT r9 #2)
+    # --- rotated in (r11b): the 22 round-10 additions, wave order ---
     "graph_knn_materialize",
-    # round-10 second wave: targeting table, portmanteau test,
-    # range-based volatility
     "eval_lift_gains_table",
     "timeseries_ljung_box",
     "window_parkinson_volatility",
-    # round-10 third wave: reservoir sampling, dedup shape report,
-    # embedding QA
     "sample_weighted_reservoir",
     "dedup_cluster_size_profile",
     "embedding_norm_outlier_audit",
-    # round-10 fourth wave: cohort economics, survival discrimination,
-    # recommender audit
     "events_cohort_ltv_curve",
     "survival_concordance_cindex",
     "recs_catalog_coverage",
-    # round-10 fifth wave: product-limit survival, retrieval set
-    # coverage, activity calendar
     "survival_kaplan_meier",
     "eval_retrieval_recall_at_k",
     "events_dow_hour_profile",
-    # round-10 sixth wave: forecastability screen, CV folds,
-    # recommender holdout eval
     "timeseries_mase_seasonal_naive",
     "sample_kfold_assignment",
     "recs_basket_holdout_eval",
-    # round-10 seventh wave: at-rest co-occurrence list artifact (the
-    # kNN-artifact treatment generalized to the recsys family)
     "recs_lists_materialize",
-    # round-10 eighth wave: ingest-volume anomaly, double-fire audit,
-    # Donchian breakouts
     "dq_volume_anomaly_daily",
     "dq_duplicate_payload_rate",
     "window_donchian_breakout",
-    # round-10 ninth wave: Poisson dispersion gate, retention half-life
     "agg_dispersion_index",
     "events_retention_halflife",
+    # --- cold re-grades (r11c): the 9 oldest driver rows, all graded
+    # green at r2 and never since (oldest-grade-first; alphabetical
+    # tiebreak within the 15-strong r2 cohort) ---
+    "decontaminate_ngrams",
+    "dedup_canonical_keepers",
+    "merge_incremental_upsert",
+    "pii_redact",
+    "stream_dedup",
+    "stream_session_window",
+    "stream_sliding_agg",
+    "stream_static_join",
+    "stream_stream_interval_join",
 )
+
+
+# Queries registered AFTER the r11 window was authored — the r12 rotation
+# queue (newest, least proven, so they go first next round). The
+# completeness meta-test accepts queue membership in place of a window
+# slot, so a new oracled query must either rotate in NOW or be queued
+# HERE — silence is no longer possible. The r11 window absorbed the
+# entire r10-close queue (all 31 entries), so this queue starts empty
+# and accumulates round-11 additions in wave order as they land.
+_NEXT_WINDOW_QUEUE: tuple[str, ...] = ()
 
 
 def load_all() -> dict[str, QuerySpec]:

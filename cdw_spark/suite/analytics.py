@@ -1016,7 +1016,11 @@ def events_cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("int")
             .alias("wk_offset"),
         )
-        .agg(F.sum("q").cast("decimal(38,0)").alias("v"))
+        # operand-cast-before-sum (ADVICE r10 #4): summing the micro-
+        # quantized q in LongType would silently wrap past ~9.2e18 where
+        # the oracle's HUGEINT stays exact; decimal(20,0) operands make
+        # the Spark sum exact at any cell size.
+        .agg(F.sum(F.col("q").cast("decimal(20,0)")).cast("decimal(38,0)").alias("v"))
     )
     wo = (
         Window.partitionBy("cohort_wk")
@@ -5023,13 +5027,26 @@ def timeseries_mase_seasonal_naive(spark: SparkSession, sf_dir: str) -> DataFram
         F.sum(F.when(F.col("l7").isNotNull(), 1).otherwise(0))
         .cast("bigint")
         .alias("n7"),
-        F.sum(F.when(F.col("l7").isNotNull(), F.abs(F.col("q") - F.col("l7"))))
+        # operand-cast-before-sum (ADVICE r10 #4): |q - lag| is int64-safe
+        # per row, but the per-user SUM could wrap past ~9.2e18 where the
+        # oracle's HUGEINT stays exact — sum decimal(20,0) operands.
+        F.sum(
+            F.when(
+                F.col("l7").isNotNull(),
+                F.abs(F.col("q") - F.col("l7")).cast("decimal(20,0)"),
+            )
+        )
         .cast("decimal(38,0)")
         .alias("e7"),
         F.sum(F.when(F.col("l1").isNotNull(), 1).otherwise(0))
         .cast("bigint")
         .alias("n1"),
-        F.sum(F.when(F.col("l1").isNotNull(), F.abs(F.col("q") - F.col("l1"))))
+        F.sum(
+            F.when(
+                F.col("l1").isNotNull(),
+                F.abs(F.col("q") - F.col("l1")).cast("decimal(20,0)"),
+            )
+        )
         .cast("decimal(38,0)")
         .alias("e1"),
     )

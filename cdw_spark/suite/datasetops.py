@@ -3601,8 +3601,8 @@ def sample_horvitz_thompson(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(ln((CAST(u31 AS DOUBLE) + 0.5) / 2147483648.0)
                  / CAST(wt AS DOUBLE), 9) AS priority9
     FROM d
-    ORDER BY ln((CAST(u31 AS DOUBLE) + 0.5) / 2147483648.0)
-                 / CAST(wt AS DOUBLE) DESC, doc_id
+    ORDER BY ROUND(ln((CAST(u31 AS DOUBLE) + 0.5) / 2147483648.0)
+                 / CAST(wt AS DOUBLE), 9) DESC, doc_id
     LIMIT 50
     """,
     doc="Weighted reservoir sample of 50 documents by length via the "
@@ -3616,8 +3616,10 @@ def sample_horvitz_thompson(spark: SparkSession, sf_dir: str) -> DataFrame:
     "integer LCG on doc_id ((x*2862933555777941757 + 3037000493) mod "
     "2^64, low 31 bits -> u = (u31+0.5)/2^31, never 0 or 1), exact in "
     "HUGEINT/DECIMAL(38,0) in both engines; priorities are identical "
-    "doubles from identical op sequences, ordered with a doc_id "
-    "tie-break.",
+    "doubles from identical op sequences, but ln is not required to be "
+    "correctly rounded (JVM Math.log vs libm can differ by ulps), so "
+    "BOTH engines rank by the 9dp-ROUNDED priority — the grading "
+    "precision — with a doc_id tie-break (the tfidf idiom; ADVICE r10).",
 )
 def sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale shape: one stateless projection (exact integer LCG + two
@@ -3642,11 +3644,10 @@ def sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select(
             "doc_id",
             F.col("wt").alias("weight"),
-            pr.alias("_pr"),
+            F.round(pr, 9).alias("priority9"),
         )
-        .orderBy(F.col("_pr").desc(), "doc_id")
+        .orderBy(F.col("priority9").desc(), "doc_id")
         .limit(50)
-        .select("doc_id", "weight", F.round(F.col("_pr"), 9).alias("priority9"))
     )
 
 

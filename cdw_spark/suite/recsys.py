@@ -71,9 +71,11 @@ def copurchase_edges(li: DataFrame) -> DataFrame:
 
 
 
-@register(
-    "recs_item_cooccurrence",
-    oracle=f"""
+# The semantic spec of the at-rest list relation (also the
+# recs_item_cooccurrence oracle). Its text is folded into the artifact
+# content key, so editing the spec automatically mints a new artifact
+# (ADVICE r10 #2).
+_RECS_LISTS_SPEC = f"""
     WITH b AS (
         SELECT DISTINCT l_orderkey AS ok, l_partkey AS item FROM lineitem
     ),
@@ -110,7 +112,12 @@ def copurchase_edges(li: DataFrame) -> DataFrame:
         FROM scored
     )
     WHERE rk <= {TOP_NEIGHBORS}
-    """,
+    """
+
+
+@register(
+    "recs_item_cooccurrence",
+    oracle=_RECS_LISTS_SPEC,
     doc="Item-item collaborative filtering: cosine over co-purchase "
     "counts (Linden et al. 2003, the Amazon item-to-item associator). "
     "The basket/pair construction is the weighted form of "
@@ -433,41 +440,42 @@ def recs_basket_holdout_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- at-rest co-occurrence list artifact (the kNN-artifact treatment,
 # generalized: r10 measured the build at a 2.54x/8x constant re-executed
-# by each of the three recsys consumers) -------------------------------
-_RECS_REST_BASE = "/tmp/cdw_recs_lists"
+# by each of the three recsys consumers). Keyed by lineitem identity +
+# version + a hash of _RECS_LISTS_SPEC; storage, orphan GC and race
+# handling live in operators/artifacts.py (VERDICT r10 #5). -------------
 _RECS_BUILD_VERSION = "v1"  # bump when the cooccurrence construction changes
 
 
 def _recs_artifact_dir(sf_dir: str) -> str:
-    import hashlib
     import os
 
-    p = os.path.join(sf_dir, "lineitem.parquet")
-    st = os.stat(p)
-    key = f"{os.path.abspath(p)}|{st.st_size}|{st.st_mtime_ns}|{_RECS_BUILD_VERSION}"
-    return os.path.join(
-        _RECS_REST_BASE, hashlib.sha256(key.encode()).hexdigest()[:16]
+    from ..operators.artifacts import artifact_dir
+
+    return artifact_dir(
+        "recs_lists",
+        os.path.join(sf_dir, "lineitem.parquet"),
+        _RECS_BUILD_VERSION,
+        _RECS_LISTS_SPEC,
     )
 
 
 def _recs_lists_at_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 co-occurrence lists served from the at-rest parquet
     artifact, building once per fixture (atomic rename; a concurrent
-    builder loses harmlessly). The artifact holds exactly
-    recs_item_cooccurrence's output relation."""
+    builder loses harmlessly — see operators/artifacts.py). The artifact
+    holds exactly recs_item_cooccurrence's output relation."""
     import os
 
-    d = _recs_artifact_dir(sf_dir)
-    if not os.path.exists(os.path.join(d, "_SUCCESS")):
-        tmp = f"{d}.tmp{os.getpid()}"
-        _build_item_cooccurrence(spark, sf_dir).write.mode("overwrite").parquet(tmp)
-        try:
-            os.rename(tmp, d)
-        except OSError:
-            import shutil
+    from ..operators.artifacts import serve_at_rest
 
-            shutil.rmtree(tmp, ignore_errors=True)  # another builder won
-    return spark.read.parquet(d)
+    return serve_at_rest(
+        spark,
+        "recs_lists",
+        os.path.join(sf_dir, "lineitem.parquet"),
+        _RECS_BUILD_VERSION,
+        _RECS_LISTS_SPEC,
+        lambda: _build_item_cooccurrence(spark, sf_dir),
+    )
 
 
 @register(

@@ -508,45 +508,46 @@ def _knn_undirected_edges(emb: DataFrame) -> DataFrame:
 # graph per query — the repo's IVF index (written partitionBy(cid) with a
 # pruning plan test) is the precedent. The DIRECTED top-3 relation is
 # written once per fixture to parquet keyed by the embeddings file's
-# identity (path, size, mtime) plus a construction-version tag; every
-# family query then starts from a plain parquet scan. Oracles are
-# unchanged — _KNN_EDGES_CTE remains the semantic spec, and the
-# graph_knn_materialize query hash-checks the ARTIFACT's content against
-# that CTE so staleness or drift is driver-visible.
-_KNN_REST_BASE = "/tmp/cdw_knn_edges"
+# identity (path, size, mtime), a construction-version tag AND a hash of
+# _KNN_EDGES_CTE itself (ADVICE r10 #2: an upstream construction change
+# that forgets the version bump still mints a new key); every family
+# query then starts from a plain parquet scan. Oracles are unchanged —
+# _KNN_EDGES_CTE remains the semantic spec, and the graph_knn_materialize
+# query hash-checks the ARTIFACT's content against that CTE so staleness
+# or drift is driver-visible. Storage + orphan GC + race handling live in
+# operators/artifacts.py (warehouse-relative, VERDICT r10 #5).
 _KNN_BUILD_VERSION = "v1"  # bump when _knn_directed_top3 changes shape
 
 
 def _knn_artifact_dir(sf_dir: str) -> str:
-    import hashlib
     import os
 
-    p = os.path.join(sf_dir, "embeddings.parquet")
-    st = os.stat(p)
-    key = f"{os.path.abspath(p)}|{st.st_size}|{st.st_mtime_ns}|{_KNN_BUILD_VERSION}"
-    return os.path.join(
-        _KNN_REST_BASE, hashlib.sha256(key.encode()).hexdigest()[:16]
+    from ..operators.artifacts import artifact_dir
+
+    return artifact_dir(
+        "knn_edges",
+        os.path.join(sf_dir, "embeddings.parquet"),
+        _KNN_BUILD_VERSION,
+        _KNN_EDGES_CTE,
     )
 
 
 def _knn_directed_at_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Directed top-3 kNN edges served from the at-rest parquet artifact,
     building it once per fixture (atomic dir rename, so a concurrent
-    builder loses harmlessly)."""
+    builder loses harmlessly; see operators/artifacts.py)."""
     import os
 
-    d = _knn_artifact_dir(sf_dir)
-    if not os.path.exists(os.path.join(d, "_SUCCESS")):
-        emb = load_fixture(spark, sf_dir, "embeddings")
-        tmp = f"{d}.tmp{os.getpid()}"
-        _knn_directed_top3(emb).write.mode("overwrite").parquet(tmp)
-        try:
-            os.rename(tmp, d)
-        except OSError:
-            import shutil
+    from ..operators.artifacts import serve_at_rest
 
-            shutil.rmtree(tmp, ignore_errors=True)  # another builder won
-    return spark.read.parquet(d)
+    return serve_at_rest(
+        spark,
+        "knn_edges",
+        os.path.join(sf_dir, "embeddings.parquet"),
+        _KNN_BUILD_VERSION,
+        _KNN_EDGES_CTE,
+        lambda: _knn_directed_top3(load_fixture(spark, sf_dir, "embeddings")),
+    )
 
 
 def _knn_undirected_at_rest(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -114,14 +114,16 @@ def test_driver_window_rotation_accumulates_evidence():
 
     anchors = [n for n in _DRIVER_WINDOW if n in green]
     rotated = [n for n in _DRIVER_WINDOW if n not in green]
-    # r10 split: 10 pinned family anchors (all with prior green rows,
-    # multimodal_blob_meta's from r9) + 40 without prior green evidence —
-    # the first 40 of the 49 round-9 additions queued at the r9 close
-    # (VERDICT r9 #1; the 9 spill lead _NEXT_WINDOW_QUEUE for r11).
-    assert len(anchors) == 10, anchors
-    assert len(rotated) == 40, rotated
-    assert rotated[0] == "agg_wilcoxon_signed_rank"
-    assert rotated[-1] == "graph_harmonic_centrality"
+    # r11 split: 10 pinned family anchors + 9 cold re-grades (all 19 with
+    # prior green rows — the re-grades from r2, the oldest in the ledger)
+    # + 31 without prior green evidence: the ENTIRE queue authored at the
+    # r10 close (VERDICT r10 #1 — 9 round-9 spill, then 22 round-10
+    # additions in wave order). After this window grades, every oracled
+    # query has a driver row.
+    assert len(anchors) == 19, anchors
+    assert len(rotated) == 31, rotated
+    assert rotated[0] == "curation_rule_ablation"
+    assert rotated[-1] == "events_retention_halflife"
 
 
 def test_every_oracled_query_has_driver_exposure():
