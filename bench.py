@@ -133,6 +133,10 @@ HEADLINE = [
     "multimodal_features",
     # round 5: new operators — leakage-safe splitting, ingest-door
     # SemDeDup, IVF index maintenance
+    # round 11: at-rest near-dup component artifact build — placed BEFORE
+    # the first family consumer so the one-time build cost lands on the
+    # index op and the five component consumers are statistic-only
+    "dedup_components_materialize",
     "sample_split_leakage_safe",
     "stream_semantic_ingest",
     "similarity_ivf_incremental",

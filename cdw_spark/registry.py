@@ -165,7 +165,12 @@ _DRIVER_WINDOW: tuple[str, ...] = (
 # HERE — silence is no longer possible. The r11 window absorbed the
 # entire r10-close queue (all 31 entries), so this queue starts empty
 # and accumulates round-11 additions in wave order as they land.
-_NEXT_WINDOW_QUEUE: tuple[str, ...] = ()
+_NEXT_WINDOW_QUEUE: tuple[str, ...] = (
+    # round-11 first wave: at-rest near-dup component artifact (the
+    # kNN/recs at-rest treatment applied to the Jaccard pair-graph
+    # family, VERDICT r10 #3)
+    "dedup_components_materialize",
+)
 
 
 def load_all() -> dict[str, QuerySpec]:

@@ -265,11 +265,12 @@ _LEAK_COMPONENT_SQL = """edges AS (
     "jaccard>=0.6 pair crosses splits.",
 )
 def sample_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.dedup import connected_components, ngram_jaccard_pairs
+    from .dedup import _components_at_rest
 
     docs = load_fixture(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(docs)
-    comp = connected_components(pairs)
+    # r11: components come from the at-rest artifact (built once per
+    # fixture) instead of re-executing the pair join per query
+    comp = _components_at_rest(spark, sf_dir)
     rooted = docs.select("doc_id").join(comp, "doc_id", "left").select(
         "doc_id",
         F.coalesce(F.col("component_id"), F.col("doc_id")).alias("root"),
@@ -2097,10 +2098,12 @@ def sample_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-dup pair graph. Everything shuffles on integers, never bodies."""
     from pyspark.sql.window import Window
 
-    from ..operators.dedup import connected_components, ngram_jaccard_pairs
+    from .dedup import _components_at_rest
 
     docs = load_fixture(spark, sf_dir, "documents")
-    comp = connected_components(ngram_jaccard_pairs(docs))
+    # r11: components come from the at-rest artifact (built once per
+    # fixture) instead of re-executing the pair join per query
+    comp = _components_at_rest(spark, sf_dir)
     rooted = docs.select("doc_id").join(comp, "doc_id", "left").select(
         "doc_id",
         F.coalesce(F.col("component_id"), F.col("doc_id")).alias("root"),

@@ -205,9 +205,17 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_near_duplicates(load_fixture(spark, sf_dir, "documents"), threshold=0.75)
 
 
-@register(
-    "dedup_components",
-    oracle=f"""
+# --- at-rest near-dup component artifact (VERDICT r10 #3: the r10
+# kNN/recs at-rest treatment applied to the Jaccard pair-graph family).
+# Five registered queries consume the SAME component relation
+# (dedup_components, dedup_canonical_keepers, dedup_cluster_size_profile,
+# sample_split_leakage_safe, sample_negative_pairs); before r11 each
+# re-executed the shingle pair join + pointer-jumping components per run
+# (~80% of dedup_cluster_size_profile's 4.9-6.2 s). The component
+# relation is written once per fixture, keyed by documents.parquet
+# identity + build version + a hash of the recursive-CTE spec below;
+# storage, orphan GC and race handling live in operators/artifacts.py.
+_COMPONENTS_SPEC = f"""
     WITH RECURSIVE pairs AS ({_JACCARD_SQL}),
     edges AS (
         SELECT id_a AS src, id_b AS dst FROM pairs
@@ -221,20 +229,127 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT src AS doc_id, LEAST(src, MIN(dst)) AS component_id
     FROM reach GROUP BY src
-    """,
+    """
+_COMPONENTS_BUILD_VERSION = "v1"  # bump when the components construction changes
+
+
+def _components_artifact_dir(sf_dir: str) -> str:
+    import os
+
+    from ..operators.artifacts import artifact_dir
+
+    return artifact_dir(
+        "dedup_components",
+        os.path.join(sf_dir, "documents.parquet"),
+        _COMPONENTS_BUILD_VERSION,
+        _COMPONENTS_SPEC,
+    )
+
+
+def _components_at_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup component relation (doc_id, component_id) served from the
+    at-rest parquet artifact, building once per fixture — exactly
+    connected_components(ngram_jaccard_pairs(documents)) at the default
+    0.6 threshold (see operators/artifacts.py for the lifecycle)."""
+    import os
+
+    from ..operators.artifacts import serve_at_rest
+    from ..operators.dedup import connected_components
+
+    return serve_at_rest(
+        spark,
+        "dedup_components",
+        os.path.join(sf_dir, "documents.parquet"),
+        _COMPONENTS_BUILD_VERSION,
+        _COMPONENTS_SPEC,
+        lambda: connected_components(
+            ngram_jaccard_pairs(load_fixture(spark, sf_dir, "documents"))
+        ),
+    )
+
+
+@register(
+    "dedup_components",
+    oracle=_COMPONENTS_SPEC,
     doc="Near-duplicate CLUSTERS: connected components over the exact "
     "0.6-Jaccard pair graph via iterative min-label propagation "
     "(driver-coordinated rounds, lineage truncated per round with "
     "localCheckpoint — operators/dedup.py connected_components). The "
     "cluster view is what canonical-keeper selection consumes; pairs "
-    "alone can't make a keep/drop decision transitive. Oracle: DuckDB "
-    "recursive-CTE transitive closure over the same pair set.",
+    "alone can't make a keep/drop decision transitive. Served from the "
+    "at-rest component artifact (r11), so a driver grade of this query "
+    "hash-checks the FULL materialized relation against the oracle: "
+    "DuckDB recursive-CTE transitive closure over the same pair set.",
 )
 def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.dedup import connected_components
+    return _components_at_rest(spark, sf_dir)
 
-    pairs = ngram_jaccard_pairs(load_fixture(spark, sf_dir, "documents"))
-    return connected_components(pairs)
+
+@register(
+    "dedup_components_materialize",
+    oracle=f"""
+    WITH RECURSIVE pairs AS ({_JACCARD_SQL}),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION
+        SELECT id_b, id_a FROM pairs
+    ),
+    reach(src, dst) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    ),
+    comp AS (
+        SELECT src AS doc_id, LEAST(src, MIN(dst)) AS component_id
+        FROM reach GROUP BY src
+    ),
+    sizes AS (SELECT component_id, COUNT(*) AS cs FROM comp GROUP BY component_id)
+    SELECT CAST((SELECT COUNT(*) FROM comp) AS BIGINT) AS n_member_docs,
+           CAST((SELECT COUNT(*) FROM sizes) AS BIGINT) AS n_components,
+           CAST((SELECT MAX(cs) FROM sizes) AS BIGINT) AS max_cluster_size,
+           CAST((SELECT SUM(doc_id) FROM comp) AS BIGINT) AS sum_member_ids,
+           CAST((SELECT SUM(component_id) FROM comp) AS BIGINT)
+               AS sum_component_labels
+    """,
+    doc="Build (or reuse) the at-rest near-dup component artifact and "
+    "report its shape — the dedup family's index-build op, the "
+    "component analogue of graph_knn_materialize: the returned counts "
+    "and label checksums come FROM the parquet artifact, so the "
+    "driver's hash-match against the recursive-CTE closure proves the "
+    "materialized relation (not just the in-memory build) agrees with "
+    "the semantic spec; a stale or corrupt artifact fails the gate. "
+    "sum_member_ids/sum_component_labels are content-sensitive "
+    "checksums (any relabeled or missing member shifts them).",
+)
+def dedup_components_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: the shingle pair join + pointer-jumping components
+    run at most once per fixture (first caller materializes, everyone
+    else scans); the stats are one aggregate over the |members| rows
+    plus a |components|-row groupBy."""
+    from pyspark.sql import functions as F
+
+    comp = _components_at_rest(spark, sf_dir)
+    sizes = comp.groupBy("component_id").agg(F.count(F.lit(1)).alias("cs"))
+    return (
+        comp.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_member_docs"),
+            F.sum("doc_id").cast("bigint").alias("sum_member_ids"),
+            F.sum("component_id").cast("bigint").alias("sum_component_labels"),
+        )
+        .crossJoin(
+            sizes.agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_components"),
+                F.max("cs").cast("bigint").alias("max_cluster_size"),
+            )
+        )
+        .select(
+            "n_member_docs",
+            "n_components",
+            "max_cluster_size",
+            "sum_member_ids",
+            "sum_component_labels",
+        )
+    )
 
 
 @register(
@@ -571,18 +686,17 @@ def dedup_split_doc_boundary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the same pair set.",
 )
 def dedup_cluster_size_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scale shape: the pair graph and min-label components are the
-    dedup_components build (degree-bounded banded joins, per-round
-    lineage truncation); everything after is a |components|-row
-    groupBy, a histogram over distinct sizes, and a 1-row total
-    broadcast."""
+    """Scale shape (r11): the pair graph + min-label components come from
+    the at-rest component artifact (built once per fixture — the
+    pre-artifact build was ~80% of this query's cost); everything here
+    is a |components|-row groupBy, a histogram over distinct sizes, and
+    a 1-row total broadcast. The artifact scan replaces the former
+    localCheckpoint (a parquet re-scan is cheaper than a checkpoint
+    materialization for a relation this small)."""
     from pyspark.sql import functions as F
 
-    from ..operators.dedup import connected_components
-
     docs = load_fixture(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(docs)
-    comp = connected_components(pairs).localCheckpoint(eager=True)
+    comp = _components_at_rest(spark, sf_dir)
     sizes = comp.groupBy("component_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("cluster_size")
     )
