@@ -183,6 +183,47 @@ def test_lsh_width_scaling(spark, emb):
     assert "BroadcastNestedLoopJoin" not in plan, plan
 
 
+def test_derived_width_knee_schedule():
+    """VERDICT r10 #4: the width-growth rule is code, not prose. Below
+    the knee (n <= 2^17) the r9 schedule is numerically unchanged (so
+    every literal-plane oracle still hash-matches); past it the width
+    grows 2 bits per corpus doubling, pinning per-band occupancy of the
+    two-band multi-index at its knee value; ceiling 62 bits (two 31-bit
+    bands in a signed BIGINT). The SQL twin is asserted formula-identical
+    over a wide n sweep."""
+    import duckdb
+
+    from cdw_spark.operators.similarity import (
+        KNEE_W,
+        derived_n_planes,
+        derived_n_planes_sql,
+    )
+
+    # fixture regime: identical to the pre-knee rule
+    assert derived_n_planes(500) == 16  # sf0.01 scale (round-3 width)
+    assert derived_n_planes(4000) == 19
+    assert derived_n_planes(32000) == 22  # the r10 64x measurement point
+    assert derived_n_planes(1 << 17) == KNEE_W  # last flat-regime corpus
+    # knee regime: +2 bits per doubling (per-band +1 each)
+    assert derived_n_planes(1 << 18) == KNEE_W + 2
+    assert derived_n_planes(1 << 20) == KNEE_W + 6
+    assert derived_n_planes(10**7) == 38  # ceil(log2 1e7) = 24 -> 24+2*7
+    # per-band occupancy is pinned from the knee on: n / 2^(w/2) = 2^5
+    for lg in range(18, 30):
+        w = derived_n_planes(1 << lg)
+        assert lg - w // 2 == 5, (lg, w)
+    # ceiling: signed-BIGINT signature
+    assert derived_n_planes(1 << 40) == 62
+
+    con = duckdb.connect()
+    for n in [2, 100, 500, 4000, 32000, 1 << 17, (1 << 17) + 1, 1 << 18,
+              10**6, 10**7, 10**9, 1 << 36, 1 << 40]:
+        sql_w = con.execute(
+            f"SELECT {derived_n_planes_sql(str(n))}"
+        ).fetchone()[0]
+        assert sql_w == derived_n_planes(n), (n, sql_w)
+
+
 def test_knn_graph_width_autoscaling(spark, emb):
     """VERDICT r3 #4, demonstrated: the kNN-graph family derives its
     signature width from the corpus count (derived_n_planes =
