@@ -312,6 +312,11 @@ HEADLINE = [
     # round 10 ninth wave: dispersion gate, retention half-life
     "agg_dispersion_index",
     "events_retention_halflife",
+    # round 11 second wave: McNemar paired test, stochastic %K,
+    # popularity-baseline recommender eval
+    "agg_mcnemar_paired",
+    "window_stochastic_oscillator",
+    "recs_popularity_baseline_eval",
 ]
 
 

@@ -170,6 +170,11 @@ _NEXT_WINDOW_QUEUE: tuple[str, ...] = (
     # kNN/recs at-rest treatment applied to the Jaccard pair-graph
     # family, VERDICT r10 #3)
     "dedup_components_materialize",
+    # round-11 second wave: paired marginal-homogeneity test, range-
+    # position momentum, non-personalized recommender floor
+    "agg_mcnemar_paired",
+    "window_stochastic_oscillator",
+    "recs_popularity_baseline_eval",
 )
 
 

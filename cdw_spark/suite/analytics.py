@@ -9145,3 +9145,231 @@ def events_error_mtbf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(MIN(g) div 1000000 AS BIGINT)").alias("min_gap_seconds"),
         F.expr("CAST(MAX(g) div 1000000 AS BIGINT)").alias("max_gap_seconds"),
     )
+
+
+@register(
+    "agg_mcnemar_paired",
+    oracle="""
+    WITH bounds AS (
+        SELECT MIN(epoch_us(ts)) AS lo, MAX(epoch_us(ts)) AS hi FROM events
+    ),
+    u AS (SELECT DISTINCT user_id FROM events),
+    p AS (
+        SELECT user_id,
+               MAX(CASE WHEN epoch_us(ts) <
+                        (SELECT lo + (hi - lo) // 2 FROM bounds)
+                        THEN 1 ELSE 0 END) AS h1,
+               MAX(CASE WHEN epoch_us(ts) >=
+                        (SELECT lo + (hi - lo) // 2 FROM bounds)
+                        THEN 1 ELSE 0 END) AS h2
+        FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    ),
+    f AS (
+        SELECT u.user_id, COALESCE(p.h1, 0) AS h1, COALESCE(p.h2, 0) AS h2
+        FROM u LEFT JOIN p ON p.user_id = u.user_id
+    ),
+    c AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+               CAST(SUM(h1 * h2) AS BIGINT) AS n_both,
+               CAST(SUM(h1 * (1 - h2)) AS BIGINT) AS n_first_only,
+               CAST(SUM((1 - h1) * h2) AS BIGINT) AS n_second_only,
+               CAST(SUM((1 - h1) * (1 - h2)) AS BIGINT) AS n_neither
+        FROM f
+    )
+    SELECT n_users, n_both, n_first_only, n_second_only, n_neither,
+           CAST((2 * CAST(n_first_only - n_second_only AS HUGEINT)
+                   * (n_first_only - n_second_only) * 1000000
+                 + (n_first_only + n_second_only))
+                // NULLIF(2 * CAST(n_first_only + n_second_only AS HUGEINT),
+                          0) AS BIGINT) AS mcnemar_chi2_micro,
+           CAST((2 * CAST(GREATEST(ABS(n_first_only - n_second_only) - 1, 0)
+                          AS HUGEINT)
+                   * GREATEST(ABS(n_first_only - n_second_only) - 1, 0)
+                   * 1000000
+                 + (n_first_only + n_second_only))
+                // NULLIF(2 * CAST(n_first_only + n_second_only AS HUGEINT),
+                          0) AS BIGINT) AS mcnemar_cc_chi2_micro
+    FROM c
+    """,
+    doc="McNemar's paired-binary test on purchase activity across the "
+    "two calendar halves of the observed window (midpoint = lo + "
+    "(hi-lo)/2 in exact epoch micros): per user, h1/h2 flag any "
+    "purchase in the first/second half; the test asks whether "
+    "activity CHANGED, using only the discordant cells — chi2 = "
+    "(b-c)^2/(b+c) with b = first-only, c = second-only users (plus "
+    "the Edwards continuity-corrected variant (|b-c|-1)^2/(b+c), "
+    "floored at 0) against chi-square(1). The paired sibling of "
+    "agg_chi_square_independence: marginal-homogeneity on the SAME "
+    "population, the churn-vs-acquisition balance gate an "
+    "experimentation stack runs after a release. All cells are exact "
+    "integer counts; both statistics are exact integer identities "
+    "half-away-rounded in micro under HUGEINT/DECIMAL(38,0); b = c = "
+    "0 NULLs via NULLIF. No doubles anywhere.",
+)
+def agg_mcnemar_paired(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: one 1-row min/max reduce broadcast into a per-user
+    flag aggregate (map-side combined), a left join against the
+    distinct-user relation, one 1-row reduce."""
+    e = load_fixture(spark, sf_dir, "events")
+    bounds = e.agg(
+        F.min(F.unix_micros("ts")).alias("lo"),
+        F.max(F.unix_micros("ts")).alias("hi"),
+    )
+    u = e.select("user_id").distinct()
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .crossJoin(F.broadcast(bounds))
+        .groupBy("user_id")
+        .agg(
+            # integer midpoint (div, not /): Spark's / on BIGINT yields
+            # DOUBLE, which would diverge from DuckDB's // at odd spans
+            F.max(
+                F.when(
+                    F.unix_micros("ts")
+                    < F.expr("lo + (hi - lo) div 2"), 1,
+                ).otherwise(0)
+            ).alias("h1"),
+            F.max(
+                F.when(
+                    F.unix_micros("ts")
+                    >= F.expr("lo + (hi - lo) div 2"), 1,
+                ).otherwise(0)
+            ).alias("h2"),
+        )
+    )
+    f = u.join(p, "user_id", "left").select(
+        F.coalesce("h1", F.lit(0)).alias("h1"),
+        F.coalesce("h2", F.lit(0)).alias("h2"),
+    )
+    c = f.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum(F.col("h1") * F.col("h2")).cast("bigint").alias("n_both"),
+        F.sum(F.col("h1") * (1 - F.col("h2")))
+        .cast("bigint")
+        .alias("n_first_only"),
+        F.sum((1 - F.col("h1")) * F.col("h2"))
+        .cast("bigint")
+        .alias("n_second_only"),
+        F.sum((1 - F.col("h1")) * (1 - F.col("h2")))
+        .cast("bigint")
+        .alias("n_neither"),
+    )
+    return c.selectExpr(
+        "n_users",
+        "n_both",
+        "n_first_only",
+        "n_second_only",
+        "n_neither",
+        "CAST((2 * CAST(n_first_only - n_second_only AS DECIMAL(19,0))"
+        " * (n_first_only - n_second_only) * 1000000"
+        " + (n_first_only + n_second_only))"
+        " div NULLIF(2 * CAST(n_first_only + n_second_only AS DECIMAL(19,0)),"
+        " 0) AS BIGINT) AS mcnemar_chi2_micro",
+        "CAST((2 * CAST(GREATEST(ABS(n_first_only - n_second_only) - 1, 0)"
+        " AS DECIMAL(19,0))"
+        " * GREATEST(ABS(n_first_only - n_second_only) - 1, 0) * 1000000"
+        " + (n_first_only + n_second_only))"
+        " div NULLIF(2 * CAST(n_first_only + n_second_only AS DECIMAL(19,0)),"
+        " 0) AS BIGINT) AS mcnemar_cc_chi2_micro",
+    )
+
+
+@register(
+    "window_stochastic_oscillator",
+    oracle="""
+    WITH p AS (
+        SELECT user_id, ts,
+               CAST(floor(CAST(value AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)
+                   AS q,
+               epoch_us(ts) // 21600000000 AS hb
+        FROM events WHERE event_type = 'purchase'
+    ),
+    bars AS (
+        SELECT user_id, hb, MAX(q) AS h, MIN(q) AS l,
+               arg_max(q, ts) AS c
+        FROM p GROUP BY user_id, hb
+    ),
+    ch AS (
+        SELECT user_id, c,
+               MAX(h) OVER w AS hh, MIN(l) OVER w AS ll,
+               COUNT(*) OVER w AS n_in
+        FROM bars
+        WINDOW w AS (PARTITION BY user_id ORDER BY hb
+                     ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+    ),
+    k AS (
+        SELECT user_id,
+               CAST((2 * CAST(c - ll AS HUGEINT) * 1000000 + (hh - ll))
+                    // (2 * CAST(hh - ll AS HUGEINT)) AS BIGINT) AS k_micro
+        FROM ch WHERE n_in = 4 AND hh > ll
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_evaluated,
+           CAST((2 * CAST(SUM(k_micro) AS HUGEINT) + COUNT(*))
+                // (2 * CAST(COUNT(*) AS HUGEINT)) AS BIGINT)
+               AS mean_k_micro,
+           CAST(SUM(CASE WHEN k_micro >= 800000 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_overbought,
+           CAST(SUM(CASE WHEN k_micro <= 200000 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_oversold
+    FROM k GROUP BY user_id
+    """,
+    doc="Stochastic oscillator %K per user over the shared 6-hour OHLC "
+    "bars: %K = (close - LL)/(HH - LL) over the trailing 4-bar window "
+    "(incl. current), the momentum-position gauge beside RSI's "
+    "gain/loss view and Donchian's breakout rule — %K near 1 means "
+    "the close sits at the top of its recent range (overbought >= "
+    "0.8), near 0 the bottom (oversold <= 0.2). Close = arg_max by "
+    "ts (unique per bar in the fixture — the resample_ohlc "
+    "determinism note); only FULL 4-bar windows with HH > LL are "
+    "evaluated (deterministic warmup + degenerate-range exclusion in "
+    "both engines). k is an exact half-away micro integer; the "
+    "per-user mean re-rounds the identical integer sums. No doubles "
+    "anywhere.",
+)
+def window_stochastic_oscillator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: the ATR bar aggregate (one fact shuffle), one
+    per-user ordered window with a bounded 4-row frame, one per-user
+    rollup."""
+    from pyspark.sql.window import Window
+
+    e = load_fixture(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    p = e.select(
+        "user_id",
+        "ts",
+        F.floor(F.col("value").cast("double") * F.lit(1000000.0) + F.lit(0.5))
+        .cast("bigint")
+        .alias("q"),
+        F.expr("unix_micros(ts) div 21600000000").alias("hb"),
+    )
+    bars = p.groupBy("user_id", "hb").agg(
+        F.max("q").alias("h"),
+        F.min("q").alias("l"),
+        F.max_by("q", "ts").alias("c"),
+    )
+    w = Window.partitionBy("user_id").orderBy("hb").rowsBetween(-3, 0)
+    ch = bars.select(
+        "user_id",
+        "c",
+        F.max("h").over(w).alias("hh"),
+        F.min("l").over(w).alias("ll"),
+        F.count(F.lit(1)).over(w).alias("n_in"),
+    )
+    k = ch.filter((F.col("n_in") == 4) & (F.col("hh") > F.col("ll"))).selectExpr(
+        "user_id",
+        "CAST((2 * CAST(c - ll AS DECIMAL(19,0)) * 1000000 + (hh - ll))"
+        " div (2 * CAST(hh - ll AS DECIMAL(19,0))) AS BIGINT) AS k_micro",
+    )
+    return k.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_evaluated"),
+        F.expr(
+            "CAST((2 * CAST(SUM(k_micro) AS DECIMAL(38,0)) + COUNT(*))"
+            " div (2 * CAST(COUNT(*) AS DECIMAL(38,0))) AS BIGINT)"
+        ).alias("mean_k_micro"),
+        F.sum(F.when(F.col("k_micro") >= 800000, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_overbought"),
+        F.sum(F.when(F.col("k_micro") <= 200000, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_oversold"),
+    )

@@ -550,3 +550,83 @@ def recs_lists_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("together").cast("bigint").alias("sum_together"),
         )
     )
+
+
+@register(
+    "recs_popularity_baseline_eval",
+    oracle=f"""
+    WITH b AS (
+        SELECT DISTINCT l_orderkey AS ok, l_partkey AS item FROM lineitem
+    ),
+    kept AS (
+        SELECT ok FROM b GROUP BY ok
+        HAVING COUNT(*) <= {BASKET_CAP} AND COUNT(*) >= 2
+    ),
+    bk AS (SELECT b.ok, b.item FROM b JOIN kept USING (ok)),
+    pop AS (
+        SELECT item FROM (
+            SELECT item, ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, item)
+                       AS rk
+            FROM bk GROUP BY item
+        ) WHERE rk <= {TOP_NEIGHBORS}
+    ),
+    hold AS (SELECT ok, MAX(item) AS h FROM bk GROUP BY ok),
+    hits AS (
+        SELECT DISTINCT hold.ok FROM hold JOIN pop ON pop.item = hold.h
+    ),
+    nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_baskets FROM hold),
+    nh AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_hits FROM hits)
+    SELECT n_baskets, n_hits,
+           CAST((2 * CAST(n_hits AS HUGEINT) * 1000000 + n_baskets)
+                // (2 * CAST(n_baskets AS HUGEINT)) AS BIGINT)
+               AS hit_rate_micro
+    FROM nb, nh
+    """,
+    doc="Popularity-baseline recommender eval under the SAME leave-one-"
+    "out protocol as recs_basket_holdout_eval (identical kept-basket "
+    "relation, identical max-item holdout): recommend the global top-"
+    f"{TOP_NEIGHBORS} most-frequent items (ties -> lower item id) to "
+    "every basket and report the holdout hit rate — the non-"
+    "personalized floor every collaborative filter must beat (the "
+    "standard most-popular baseline of recommender evaluation; a CF "
+    "hit rate below this line means the co-occurrence signal adds "
+    "nothing). Read beside recs_basket_holdout_eval: same n_baskets "
+    "row, directly comparable hit_rate_micro. All exact integer "
+    "counts; the rate is half-away micro under HUGEINT/DECIMAL(38,0).",
+)
+def recs_popularity_baseline_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: one distinct + size-filter pass over baskets (the
+    holdout-eval relation), a |items|-row count with a top-3 window on
+    the single ordered partition of the COUNTED relation (|items| rows,
+    not facts), one broadcast semi-join, two 1-row reduces."""
+    li = load_fixture(spark, sf_dir, "lineitem")
+    b = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("item")
+    ).distinct()
+    kept = (
+        b.groupBy("ok")
+        .agg(F.count(F.lit(1)).alias("bs"))
+        .filter((F.col("bs") <= BASKET_CAP) & (F.col("bs") >= 2))
+        .select("ok")
+    )
+    bk = b.join(kept, "ok", "left_semi").localCheckpoint(eager=True)
+    cnt = bk.groupBy("item").agg(F.count(F.lit(1)).alias("c"))
+    wp = Window.orderBy(F.col("c").desc(), F.col("item"))
+    pop = (
+        cnt.withColumn("rk", F.row_number().over(wp))
+        .filter(F.col("rk") <= TOP_NEIGHBORS)
+        .select("item")
+    )
+    hold = bk.groupBy("ok").agg(F.max("item").alias("h"))
+    hits = hold.join(
+        F.broadcast(pop.select(F.col("item").alias("h"))), "h", "left_semi"
+    ).select("ok")
+    nb = hold.agg(F.count(F.lit(1)).cast("bigint").alias("n_baskets"))
+    nh = hits.agg(F.count(F.lit(1)).cast("bigint").alias("n_hits"))
+    return nb.crossJoin(F.broadcast(nh)).selectExpr(
+        "n_baskets",
+        "n_hits",
+        "CAST((2 * CAST(n_hits AS DECIMAL(38,0)) * 1000000 + n_baskets)"
+        " div (2 * CAST(n_baskets AS DECIMAL(38,0))) AS BIGINT)"
+        " AS hit_rate_micro",
+    )

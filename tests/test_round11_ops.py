@@ -1,0 +1,192 @@
+"""Python-reference tests for the round-11 operator waves.
+
+Each test recomputes the statistic independently (plain Python over the
+parquet fixture, no Spark, no shared code with the operator) and
+compares against the registered query's output — the oracle proves
+Spark == DuckDB; these prove both == the textbook definition.
+"""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import pytest
+
+from cdw_spark.registry import load_all
+
+SPECS = load_all()
+
+
+@pytest.fixture(scope="module")
+def con(sf_dir):
+    c = duckdb.connect()
+    for t in ("documents", "events", "lineitem", "orders", "embeddings",
+              "customer", "nation", "region", "supplier"):
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        c.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    return c
+
+
+def run(spark, sf_dir, name):
+    return SPECS[name].fn(spark, sf_dir).collect()
+
+
+def _half_away(num: int, den: int) -> int:
+    assert num >= 0 and den > 0
+    return (2 * num + den) // (2 * den)
+
+
+# ---------------------------------------------------------------- wave 1
+
+
+def test_components_materialize_reference(spark, sf_dir, con):
+    """The artifact shape stats must equal an independent union-find
+    closure over the exact 0.6-Jaccard pair set (pure-Python shingles +
+    all-pairs Jaccard — no Spark, no recursive CTE)."""
+    rows = con.execute("SELECT doc_id, text FROM documents").fetchall()
+    sh = {}
+    for doc_id, text in rows:
+        ws = text.strip().lower().split()
+        grams = (
+            {" ".join(ws[i : i + 3]) for i in range(len(ws) - 2)}
+            if len(ws) >= 3
+            else {" ".join(ws)}
+        )
+        sh[doc_id] = grams
+    ids = sorted(sh)
+    parent = {i: i for i in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    members = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            inter = len(sh[a] & sh[b])
+            if inter and inter / len(sh[a] | sh[b]) >= 0.6:
+                members.add(a)
+                members.add(b)
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+    comp = {d: find(d) for d in members}
+    sizes = {}
+    for r in comp.values():
+        sizes[r] = sizes.get(r, 0) + 1
+    (row,) = run(spark, sf_dir, "dedup_components_materialize")
+    assert row["n_member_docs"] == len(comp)
+    assert row["n_components"] == len(sizes)
+    assert row["max_cluster_size"] == max(sizes.values())
+    assert row["sum_member_ids"] == sum(comp)
+    assert row["sum_component_labels"] == sum(comp.values())
+
+
+# ---------------------------------------------------------------- wave 2
+
+
+def test_mcnemar_reference(spark, sf_dir, con):
+    rows = con.execute(
+        "SELECT user_id, event_type, epoch_us(ts) FROM events"
+    ).fetchall()
+    lo = min(us for _, _, us in rows)
+    hi = max(us for _, _, us in rows)
+    mid = lo + (hi - lo) // 2
+    users = {u for u, _, _ in rows}
+    h1, h2 = set(), set()
+    for u, et, us in rows:
+        if et == "purchase":
+            (h1 if us < mid else h2).add(u)
+    b = len(h1 - h2)
+    c = len(h2 - h1)
+    (row,) = run(spark, sf_dir, "agg_mcnemar_paired")
+    assert row["n_users"] == len(users)
+    assert row["n_both"] == len(h1 & h2)
+    assert row["n_first_only"] == b
+    assert row["n_second_only"] == c
+    assert row["n_neither"] == len(users) - len(h1 | h2)
+    if b + c:
+        assert row["mcnemar_chi2_micro"] == _half_away(
+            (b - c) ** 2 * 1000000, b + c
+        )
+        cc = max(abs(b - c) - 1, 0)
+        assert row["mcnemar_cc_chi2_micro"] == _half_away(
+            cc * cc * 1000000, b + c
+        )
+    else:
+        assert row["mcnemar_chi2_micro"] is None
+
+
+def test_stochastic_oscillator_reference(spark, sf_dir, con):
+    import math
+
+    rows = con.execute(
+        "SELECT user_id, epoch_us(ts), value FROM events"
+        " WHERE event_type = 'purchase' ORDER BY user_id, 2"
+    ).fetchall()
+    bars = {}
+    for u, us, v in rows:
+        q = math.floor(v * 1000000.0 + 0.5)
+        hb = us // 21600000000
+        b = bars.setdefault((u, hb), {"h": q, "l": q, "c": q, "cts": us})
+        b["h"] = max(b["h"], q)
+        b["l"] = min(b["l"], q)
+        if us >= b["cts"]:
+            b["cts"], b["c"] = us, q
+    per_user = {}
+    for (u, hb), b in sorted(bars.items()):
+        per_user.setdefault(u, []).append(b)
+    expect = {}
+    for u, seq in per_user.items():
+        ks = []
+        for i in range(3, len(seq)):
+            win = seq[i - 3 : i + 1]
+            hh = max(b["h"] for b in win)
+            ll = min(b["l"] for b in win)
+            if hh > ll:
+                ks.append(_half_away((seq[i]["c"] - ll) * 1000000, hh - ll))
+        if ks:
+            expect[u] = (
+                len(ks),
+                _half_away(sum(ks), len(ks)),
+                sum(1 for k in ks if k >= 800000),
+                sum(1 for k in ks if k <= 200000),
+            )
+    out = {r["user_id"]: r for r in run(spark, sf_dir, "window_stochastic_oscillator")}
+    assert set(out) == set(expect)
+    for u, (n, mean_k, nob, nos) in expect.items():
+        r = out[u]
+        assert r["n_evaluated"] == n
+        assert r["mean_k_micro"] == mean_k
+        assert r["n_overbought"] == nob
+        assert r["n_oversold"] == nos
+
+
+def test_popularity_baseline_reference(spark, sf_dir, con):
+    rows = con.execute(
+        "SELECT DISTINCT l_orderkey, l_partkey FROM lineitem"
+    ).fetchall()
+    baskets = {}
+    for ok, item in rows:
+        baskets.setdefault(ok, set()).add(item)
+    kept = {ok: s for ok, s in baskets.items() if 2 <= len(s) <= 32}
+    freq = {}
+    for s in kept.values():
+        for it in s:
+            freq[it] = freq.get(it, 0) + 1
+    top3 = {
+        it for it, _ in sorted(freq.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+    }
+    holds = {ok: max(s) for ok, s in kept.items()}
+    hits = sum(1 for h in holds.values() if h in top3)
+    (row,) = run(spark, sf_dir, "recs_popularity_baseline_eval")
+    assert row["n_baskets"] == len(holds)
+    assert row["n_hits"] == hits
+    assert row["hit_rate_micro"] == _half_away(hits * 1000000, len(holds))
+    # the whole point of the baseline: it is directly comparable to the
+    # CF eval — same basket population, same holdout rule
+    (cf,) = run(spark, sf_dir, "recs_basket_holdout_eval")
+    assert cf["n_baskets"] == row["n_baskets"]
