@@ -317,6 +317,10 @@ HEADLINE = [
     "agg_mcnemar_paired",
     "window_stochastic_oscillator",
     "recs_popularity_baseline_eval",
+    # round 11 third wave: source block audits, key uniqueness
+    "text_source_boilerplate_share",
+    "text_cross_source_contamination",
+    "dq_uniqueness_profile",
 ]
 
 

@@ -175,6 +175,11 @@ _NEXT_WINDOW_QUEUE: tuple[str, ...] = (
     "agg_mcnemar_paired",
     "window_stochastic_oscillator",
     "recs_popularity_baseline_eval",
+    # round-11 third wave: per-source boilerplate report, cross-source
+    # contamination matrix, candidate-key uniqueness audit
+    "text_source_boilerplate_share",
+    "text_cross_source_contamination",
+    "dq_uniqueness_profile",
 )
 
 

@@ -3852,3 +3852,108 @@ def dq_duplicate_payload_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div (2 * CAST(SUM(c) AS DECIMAL(38,0))) AS BIGINT)"
         ).alias("dup_rate_micro"),
     )
+
+
+@register(
+    "dq_uniqueness_profile",
+    oracle="""
+    WITH k1 AS (
+        SELECT 'events.event_id' AS key_name,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_distinct
+        FROM events
+    ),
+    k2 AS (
+        SELECT 'events.user_id+ts' AS key_name,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(COUNT(DISTINCT (CAST(user_id AS VARCHAR) || '|' ||
+                                    CAST(epoch_us(ts) AS VARCHAR)))
+                    AS BIGINT) AS n_distinct
+        FROM events
+    ),
+    k3 AS (
+        SELECT 'lineitem.orderkey+linenumber' AS key_name,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(COUNT(DISTINCT (CAST(l_orderkey AS VARCHAR) || '|' ||
+                                    CAST(l_linenumber AS VARCHAR)))
+                    AS BIGINT) AS n_distinct
+        FROM lineitem
+    ),
+    k4 AS (
+        SELECT 'orders.o_orderkey' AS key_name,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_distinct
+        FROM orders
+    ),
+    u AS (
+        SELECT * FROM k1 UNION ALL SELECT * FROM k2
+        UNION ALL SELECT * FROM k3 UNION ALL SELECT * FROM k4
+    )
+    SELECT key_name, n_rows, n_distinct,
+           n_rows - n_distinct AS n_dup_rows,
+           CAST((2 * CAST(n_distinct AS HUGEINT) * 1000000 + n_rows)
+                // (2 * CAST(n_rows AS HUGEINT)) AS BIGINT)
+               AS uniqueness_micro
+    FROM u
+    """,
+    doc="Candidate-key uniqueness profile across the warehouse's fact "
+    "tables: for each declared or candidate key (events.event_id, the "
+    "events (user_id, ts) natural key, lineitem's composite PK, "
+    "orders' PK), the row count, distinct-key count, surplus rows and "
+    "the uniqueness ratio — the key-discovery / PK-violation audit a "
+    "profiler runs before modeling (a composite key at uniqueness < 1 "
+    "cannot anchor a merge; dq_id_sequence_audit checks density of "
+    "ONE known key, this ranks candidates across tables). Composite "
+    "keys serialize with an unambiguous '|' separator identically in "
+    "both engines. Exact counts; ratio is half-away micro.",
+)
+def dq_uniqueness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: one count-distinct aggregate per audited key, each a
+    single map-side-combined shuffle on its own table; the union is
+    4 one-row relations."""
+    e = load_fixture(spark, sf_dir, "events")
+    li = load_fixture(spark, sf_dir, "lineitem")
+    o = load_fixture(spark, sf_dir, "orders")
+
+    def prof(df, name, key):
+        return df.agg(
+            F.lit(name).alias("key_name"),
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.countDistinct(key).cast("bigint").alias("n_distinct"),
+        )
+
+    u = (
+        prof(e, "events.event_id", F.col("event_id"))
+        .unionAll(
+            prof(
+                e,
+                "events.user_id+ts",
+                F.concat_ws(
+                    "|",
+                    F.col("user_id").cast("string"),
+                    F.unix_micros("ts").cast("string"),
+                ),
+            )
+        )
+        .unionAll(
+            prof(
+                li,
+                "lineitem.orderkey+linenumber",
+                F.concat_ws(
+                    "|",
+                    F.col("l_orderkey").cast("string"),
+                    F.col("l_linenumber").cast("string"),
+                ),
+            )
+        )
+        .unionAll(prof(o, "orders.o_orderkey", F.col("o_orderkey")))
+    )
+    return u.selectExpr(
+        "key_name",
+        "n_rows",
+        "n_distinct",
+        "n_rows - n_distinct AS n_dup_rows",
+        "CAST((2 * CAST(n_distinct AS DECIMAL(38,0)) * 1000000 + n_rows)"
+        " div (2 * CAST(n_rows AS DECIMAL(38,0))) AS BIGINT)"
+        " AS uniqueness_micro",
+    )

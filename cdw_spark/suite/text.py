@@ -2576,3 +2576,167 @@ def text_hapax_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div (2 * CAST(COUNT(*) AS DECIMAL(19,0))) AS BIGINT)"
         ).alias("hapax_ratio_micro"),
     )
+
+
+# Shared 8-word block CTE fragment for the two source-level block audits
+# below (the dedup_paragraphs construction, per-source view).
+_SRC_BLOCK_CTE = """
+    w AS (
+        SELECT doc_id, source,
+               string_split_regex(lower(trim(text)), '\\s+') AS ws
+        FROM documents
+    ),
+    blk0 AS (
+        SELECT doc_id, source, unnest(
+            [array_to_string(ws[(j*8+1):(j*8+8)], ' ')
+             for j in range(0, CAST(ceil(len(ws)/8.0) AS BIGINT))]) AS block
+        FROM w
+    )"""
+
+
+def _spark_blocks(docs: DataFrame) -> DataFrame:
+    """(doc_id, source, block): the dedup_paragraphs 8-word block cut,
+    carrying the source column."""
+    words = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    nblk = F.ceil(F.size(F.col("ws")) / F.lit(8)).cast("int")
+    return docs.select("doc_id", "source", words.alias("ws")).select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), nblk - F.lit(1)),
+                lambda j: F.array_join(
+                    F.slice("ws", j * 8 + F.lit(1), F.lit(8)), " "
+                ),
+            )
+        ).alias("block"),
+    )
+
+
+@register(
+    "text_source_boilerplate_share",
+    oracle=f"""
+    WITH {_SRC_BLOCK_CTE},
+    occ AS (
+        SELECT source, block, COUNT(*) AS n_inst,
+               COUNT(DISTINCT doc_id) AS nd
+        FROM blk0 GROUP BY source, block
+    )
+    SELECT source,
+           CAST(SUM(n_inst) AS BIGINT) AS n_blocks,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct_blocks,
+           CAST(SUM(CASE WHEN nd >= 2 THEN n_inst ELSE 0 END) AS BIGINT)
+               AS n_boilerplate_instances,
+           CAST((2 * CAST(SUM(CASE WHEN nd >= 2 THEN n_inst ELSE 0 END)
+                          AS HUGEINT) * 1000000 + SUM(n_inst))
+                // (2 * CAST(SUM(n_inst) AS HUGEINT)) AS BIGINT)
+               AS boilerplate_share_micro
+    FROM occ GROUP BY source
+    """,
+    doc="Per-SOURCE boilerplate share (the CCNet/C4 domain-local "
+    "discipline: headers, footers and templates repeat within a "
+    "domain, so boilerplate is detected per source, not globally): an "
+    "8-word block — the dedup_paragraphs cut — is boilerplate when it "
+    "appears in >= 2 DISTINCT documents of the SAME source; the share "
+    "counts block INSTANCES so a template pasted into many docs weighs "
+    "by its mass. Complements dedup_paragraphs (global occ > 1 "
+    "removal): this is the per-domain report a curation pass reads to "
+    "decide WHICH sources need boilerplate stripping. Exact integer "
+    "counts; share is half-away micro under HUGEINT/DECIMAL(38,0).",
+)
+def text_source_boilerplate_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: one (source, block) shuffle with map-side combine
+    (documents travel once, already cut into blocks), then a
+    |sources|-row rollup. At 100 TB the block key shuffles as md5 — the
+    paragraph_dedup note."""
+    blocks = _spark_blocks(load_fixture(spark, sf_dir, "documents"))
+    occ = blocks.groupBy("source", "block").agg(
+        F.count(F.lit(1)).alias("n_inst"),
+        F.countDistinct("doc_id").alias("nd"),
+    )
+    return occ.groupBy("source").agg(
+        F.sum("n_inst").cast("bigint").alias("n_blocks"),
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct_blocks"),
+        F.sum(F.when(F.col("nd") >= 2, F.col("n_inst")).otherwise(0))
+        .cast("bigint")
+        .alias("n_boilerplate_instances"),
+        F.expr(
+            "CAST((2 * CAST(SUM(CASE WHEN nd >= 2 THEN n_inst ELSE 0 END)"
+            " AS DECIMAL(38,0)) * 1000000 + SUM(n_inst))"
+            " div (2 * CAST(SUM(n_inst) AS DECIMAL(38,0))) AS BIGINT)"
+        ).alias("boilerplate_share_micro"),
+    )
+
+
+@register(
+    "text_cross_source_contamination",
+    oracle=f"""
+    WITH {_SRC_BLOCK_CTE},
+    blk AS (SELECT DISTINCT source, block FROM blk0),
+    sz AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS nb FROM blk
+           GROUP BY source),
+    sh AS (
+        SELECT a.source AS src_a, b.source AS src_b,
+               CAST(COUNT(*) AS BIGINT) AS n_shared
+        FROM blk a JOIN blk b ON a.block = b.block AND a.source < b.source
+        GROUP BY 1, 2
+    )
+    SELECT src_a, src_b, n_shared,
+           CAST((2 * CAST(n_shared AS HUGEINT) * 1000000
+                 + LEAST(sa.nb, sb.nb))
+                // (2 * CAST(LEAST(sa.nb, sb.nb) AS HUGEINT)) AS BIGINT)
+               AS containment_micro,
+           CAST((2 * CAST(n_shared AS HUGEINT) * 1000000
+                 + (sa.nb + sb.nb - n_shared))
+                // (2 * CAST(sa.nb + sb.nb - n_shared AS HUGEINT)) AS BIGINT)
+               AS jaccard_micro
+    FROM sh
+    JOIN sz sa ON sa.source = src_a
+    JOIN sz sb ON sb.source = src_b
+    """,
+    doc="Cross-source contamination matrix: for every source pair "
+    "sharing at least one distinct 8-word block (the dedup_paragraphs "
+    "cut), the shared-block count, the containment (shared over the "
+    "SMALLER source's block set — the decontamination-relevant "
+    "direction: a small source largely contained in a big one is a "
+    "copy, whatever the Jaccard says) and the Jaccard. The "
+    "source-pair rollup of decontaminate_ngrams' doc-level check — "
+    "what a corpus audit reads to find mirror domains and "
+    "train/benchmark leaks between corpus slices. Exact integer set "
+    "algebra; ratios are half-away micro under HUGEINT/DECIMAL(38,0).",
+)
+def text_cross_source_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: one (source, block) distinct shuffle, a block-key
+    equi-join emitting only co-occurring source pairs (never the
+    |sources|^2 cross), a broadcast size join on the |sources|-row
+    relation."""
+    blocks = _spark_blocks(load_fixture(spark, sf_dir, "documents"))
+    blk = blocks.select("source", "block").distinct()
+    sz = blk.groupBy("source").agg(F.count(F.lit(1)).cast("bigint").alias("nb"))
+    a = blk.select(F.col("source").alias("src_a"), "block")
+    b = blk.select(F.col("source").alias("src_b"), "block")
+    sh = (
+        a.join(b, "block")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+    )
+    sa = sz.select(F.col("source").alias("src_a"), F.col("nb").alias("na"))
+    sb = sz.select(F.col("source").alias("src_b"), F.col("nb").alias("nbb"))
+    return (
+        sh.join(F.broadcast(sa), "src_a")
+        .join(F.broadcast(sb), "src_b")
+        .selectExpr(
+            "src_a",
+            "src_b",
+            "n_shared",
+            "CAST((2 * CAST(n_shared AS DECIMAL(38,0)) * 1000000"
+            " + LEAST(na, nbb))"
+            " div (2 * CAST(LEAST(na, nbb) AS DECIMAL(38,0))) AS BIGINT)"
+            " AS containment_micro",
+            "CAST((2 * CAST(n_shared AS DECIMAL(38,0)) * 1000000"
+            " + (na + nbb - n_shared))"
+            " div (2 * CAST(na + nbb - n_shared AS DECIMAL(38,0))) AS BIGINT)"
+            " AS jaccard_micro",
+        )
+    )

@@ -190,3 +190,87 @@ def test_popularity_baseline_reference(spark, sf_dir, con):
     # CF eval — same basket population, same holdout rule
     (cf,) = run(spark, sf_dir, "recs_basket_holdout_eval")
     assert cf["n_baskets"] == row["n_baskets"]
+
+
+# ---------------------------------------------------------------- wave 3
+
+
+def _blocks_by_doc(con):
+    rows = con.execute("SELECT doc_id, source, text FROM documents").fetchall()
+    out = []
+    for doc_id, source, text in rows:
+        ws = text.strip().lower().split()
+        n = (len(ws) + 7) // 8
+        for j in range(n):
+            out.append((doc_id, source, " ".join(ws[j * 8 : j * 8 + 8])))
+    return out
+
+
+def test_source_boilerplate_reference(spark, sf_dir, con):
+    blocks = _blocks_by_doc(con)
+    per_src = {}
+    docs_per_block = {}
+    for doc_id, src, b in blocks:
+        per_src.setdefault(src, []).append(b)
+        docs_per_block.setdefault((src, b), set()).add(doc_id)
+    out = {r["source"]: r for r in run(spark, sf_dir, "text_source_boilerplate_share")}
+    assert set(out) == set(per_src)
+    for src, bl in per_src.items():
+        bp = sum(1 for b in bl if len(docs_per_block[(src, b)]) >= 2)
+        r = out[src]
+        assert r["n_blocks"] == len(bl)
+        assert r["n_distinct_blocks"] == len(set(bl))
+        assert r["n_boilerplate_instances"] == bp
+        assert r["boilerplate_share_micro"] == _half_away(bp * 1000000, len(bl))
+    # the fixture has real signal somewhere (else the op proves nothing)
+    assert any(r["n_boilerplate_instances"] > 0 for r in out.values())
+
+
+def test_cross_source_contamination_reference(spark, sf_dir, con):
+    blocks = _blocks_by_doc(con)
+    per_src = {}
+    for _, src, b in blocks:
+        per_src.setdefault(src, set()).add(b)
+    srcs = sorted(per_src)
+    expect = {}
+    for i, a in enumerate(srcs):
+        for b in srcs[i + 1 :]:
+            shared = len(per_src[a] & per_src[b])
+            if shared:
+                expect[(a, b)] = shared
+    out = {
+        (r["src_a"], r["src_b"]): r
+        for r in run(spark, sf_dir, "text_cross_source_contamination")
+    }
+    assert set(out) == set(expect)
+    for (a, b), shared in expect.items():
+        r = out[(a, b)]
+        na, nb = len(per_src[a]), len(per_src[b])
+        assert r["n_shared"] == shared
+        assert r["containment_micro"] == _half_away(shared * 1000000, min(na, nb))
+        assert r["jaccard_micro"] == _half_away(shared * 1000000, na + nb - shared)
+    assert expect, "fixture has no cross-source shared blocks"
+
+
+def test_uniqueness_profile_reference(spark, sf_dir, con):
+    e = con.execute(
+        "SELECT event_id, user_id, epoch_us(ts) FROM events"
+    ).fetchall()
+    li = con.execute(
+        "SELECT l_orderkey, l_linenumber FROM lineitem"
+    ).fetchall()
+    o = con.execute("SELECT o_orderkey FROM orders").fetchall()
+    expect = {
+        "events.event_id": (len(e), len({r[0] for r in e})),
+        "events.user_id+ts": (len(e), len({(r[1], r[2]) for r in e})),
+        "lineitem.orderkey+linenumber": (len(li), len(set(li))),
+        "orders.o_orderkey": (len(o), len({r[0] for r in o})),
+    }
+    out = {r["key_name"]: r for r in run(spark, sf_dir, "dq_uniqueness_profile")}
+    assert set(out) == set(expect)
+    for k, (n, nd) in expect.items():
+        r = out[k]
+        assert r["n_rows"] == n
+        assert r["n_distinct"] == nd
+        assert r["n_dup_rows"] == n - nd
+        assert r["uniqueness_micro"] == _half_away(nd * 1000000, n)
