@@ -321,6 +321,10 @@ HEADLINE = [
     "text_source_boilerplate_share",
     "text_cross_source_contamination",
     "dq_uniqueness_profile",
+    # round 11 fourth wave: Cochran Q, style divergence, Poisson bootstrap
+    "agg_cochran_q",
+    "text_source_style_divergence",
+    "sample_poisson_bootstrap",
 ]
 
 

@@ -180,6 +180,11 @@ _NEXT_WINDOW_QUEUE: tuple[str, ...] = (
     "text_source_boilerplate_share",
     "text_cross_source_contamination",
     "dq_uniqueness_profile",
+    # round-11 fourth wave: k-treatment binary homogeneity, per-source
+    # style drift, distributed bootstrap
+    "agg_cochran_q",
+    "text_source_style_divergence",
+    "sample_poisson_bootstrap",
 )
 
 

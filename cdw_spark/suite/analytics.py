@@ -9373,3 +9373,232 @@ def window_stochastic_oscillator(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_oversold"),
     )
+
+
+@register(
+    "agg_cochran_q",
+    oracle="""
+    WITH pres AS (
+        SELECT DISTINCT user_id, event_type FROM events
+    ),
+    r AS (
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS ri
+        FROM pres GROUP BY user_id
+    ),
+    cj AS (
+        SELECT
+            CAST(COUNT(*) AS BIGINT) AS n_users,
+            CAST(SUM(CASE WHEN t.et = 'click' THEN 1 ELSE 0 END) AS BIGINT)
+                AS c_click,
+            CAST(SUM(CASE WHEN t.et = 'view' THEN 1 ELSE 0 END) AS BIGINT)
+                AS c_view,
+            CAST(SUM(CASE WHEN t.et = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+                AS c_purchase,
+            CAST(SUM(CASE WHEN t.et = 'signup' THEN 1 ELSE 0 END) AS BIGINT)
+                AS c_signup,
+            CAST(SUM(CASE WHEN t.et = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+                AS c_error
+        FROM (SELECT user_id, event_type AS et FROM pres) t
+    ),
+    rs AS (
+        SELECT CAST(SUM(ri) AS HUGEINT) AS sr,
+               CAST(SUM(CAST(ri AS HUGEINT) * ri) AS HUGEINT) AS srr,
+               CAST(COUNT(*) AS BIGINT) AS nu
+        FROM r
+    )
+    SELECT rs.nu AS n_users,
+           c_click, c_view, c_purchase, c_signup, c_error,
+           CAST(4 AS INTEGER) AS dof,
+           CAST((2 * 4 * (5 * (CAST(c_click AS HUGEINT) * c_click
+                               + CAST(c_view AS HUGEINT) * c_view
+                               + CAST(c_purchase AS HUGEINT) * c_purchase
+                               + CAST(c_signup AS HUGEINT) * c_signup
+                               + CAST(c_error AS HUGEINT) * c_error)
+                          - sr * sr) * 1000000
+                 + (5 * sr - srr))
+                // NULLIF(2 * (5 * sr - srr), 0) AS BIGINT) AS q_stat_micro
+    FROM cj, rs
+    """,
+    doc="Cochran's Q test over the five event types as k = 5 related "
+    "binary treatments on user blocks: x_ij = 1 iff user i emitted >= "
+    "1 event of type j; Q = (k-1)(k*sum_j C_j^2 - (sum C_j)^2) / "
+    "(k*sum_i R_i - sum_i R_i^2) against chi-square(k-1) — the "
+    "k-treatment generalization of agg_mcnemar_paired (k = 2 Cochran "
+    "Q IS McNemar without continuity correction) and the binary "
+    "sibling of agg_kruskal_wallis: do the five surfaces reach "
+    "DIFFERENT user subsets, or is per-type reach homogeneous? "
+    "Counting n_users from the row relation keeps the COUNT over "
+    "users with >= 1 event (all-zero rows never enter the fixture's "
+    "event table; their algebraic contribution to Q is zero anyway — "
+    "the classical invariance). Exact integer identity half-away in "
+    "micro under HUGEINT/DECIMAL(38,0); a degenerate all-present "
+    "table (every R_i = k) NULLs via NULLIF.",
+)
+def agg_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: one distinct (user, type) shuffle feeding a per-user
+    rollup and one conditional-count reduce; a 1-row cross join."""
+    pres = (
+        load_fixture(spark, sf_dir, "events")
+        .select("user_id", "event_type")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    r = pres.groupBy("user_id").agg(F.count(F.lit(1)).cast("bigint").alias("ri"))
+    cj = pres.agg(
+        *[
+            F.sum(F.when(F.col("event_type") == t, 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"c_{t}")
+            for t in ("click", "view", "purchase", "signup", "error")
+        ]
+    )
+    rs = r.agg(
+        F.sum("ri").cast("decimal(38,0)").alias("sr"),
+        F.sum(F.col("ri").cast("decimal(19,0)") * F.col("ri").cast("decimal(19,0)"))
+        .cast("decimal(38,0)")
+        .alias("srr"),
+        F.count(F.lit(1)).cast("bigint").alias("nu"),
+    )
+    return cj.crossJoin(F.broadcast(rs)).selectExpr(
+        "nu AS n_users",
+        "c_click",
+        "c_view",
+        "c_purchase",
+        "c_signup",
+        "c_error",
+        "CAST(4 AS INT) AS dof",
+        "CAST((2 * 4 * (5 * (CAST(c_click AS DECIMAL(19,0)) * c_click"
+        " + CAST(c_view AS DECIMAL(19,0)) * c_view"
+        " + CAST(c_purchase AS DECIMAL(19,0)) * c_purchase"
+        " + CAST(c_signup AS DECIMAL(19,0)) * c_signup"
+        " + CAST(c_error AS DECIMAL(19,0)) * c_error)"
+        " - sr * sr) * 1000000"
+        " + (5 * sr - srr))"
+        " div NULLIF(2 * (5 * sr - srr), 0) AS BIGINT) AS q_stat_micro",
+    )
+
+
+@register(
+    "sample_poisson_bootstrap",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, CAST(n_chars AS BIGINT) AS y FROM documents
+    ),
+    reps AS (
+        SELECT d.doc_id, d.y, r.rep,
+               CAST((CAST(d.doc_id * 32 + r.rep AS HUGEINT)
+                     * 2862933555777941757 + 3037000493)
+                    % 18446744073709551616 % 2147483648 AS BIGINT) AS u31
+        FROM d CROSS JOIN (SELECT unnest(range(0, 32)) AS rep) r
+    ),
+    w AS (
+        SELECT rep, y,
+               CASE WHEN u31 < 790015084 THEN 0
+                    WHEN u31 < 1580030168 THEN 1
+                    WHEN u31 < 1975037710 THEN 2
+                    WHEN u31 < 2106706891 THEN 3
+                    ELSE 4 END AS wt
+        FROM reps
+    ),
+    means AS (
+        SELECT rep,
+               CAST((2 * CAST(SUM(wt * y) AS HUGEINT) * 1000000 + SUM(wt))
+                    // NULLIF(2 * CAST(SUM(wt) AS HUGEINT), 0) AS BIGINT)
+                   AS m_micro
+        FROM w GROUP BY rep
+    ),
+    base AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST((2 * CAST(SUM(y) AS HUGEINT) * 1000000 + COUNT(*))
+                    // (2 * CAST(COUNT(*) AS HUGEINT)) AS BIGINT)
+                   AS mean_chars_micro
+        FROM d
+    ),
+    vs AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS b,
+               CAST(SUM(CAST(m_micro AS HUGEINT) * m_micro) AS HUGEINT) AS smm,
+               CAST(SUM(m_micro) AS HUGEINT) AS sm
+        FROM means WHERE m_micro IS NOT NULL
+    )
+    SELECT n_docs, b AS n_replicates, mean_chars_micro,
+           ROUND(sqrt(CAST(b * smm - sm * sm AS DOUBLE)
+                      / (CAST(b AS DOUBLE) * CAST(b - 1 AS DOUBLE))), 6)
+               AS boot_se_micro
+    FROM base, vs
+    """,
+    doc="Poisson bootstrap standard error of the mean document length "
+    "(Chamandy et al. 2012, 'Estimating uncertainty for massive data "
+    "streams' — THE distributed bootstrap: each of B = 32 replicates "
+    "weights every row by an independent Poisson(1) draw, so "
+    "resampling needs no global n and runs in one pass; the classical "
+    "multinomial bootstrap cannot shard). Draws are the house seeded "
+    "LCG on doc_id*32+rep, inverse-CDF'd against EXACT integer "
+    "thresholds floor(CDF_Poisson(1)(k) * 2^31) for k < 4 with the "
+    "tail capped at 4 (P(X >= 5) ~ 0.37%, cap documented; both "
+    "engines compare the same integers, so replicate weights are "
+    "bit-identical). Replicate means are exact half-away micro "
+    "integers; the SE is the sqrt of an exact integer variance "
+    "identity — one identical double per engine, rounded at 6 dp. An "
+    "empty replicate (all weights 0) drops via NULLIF (impossible at "
+    "fixture scale, guard stated).",
+)
+def sample_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: a 32x bounded explode of (y, rep) pairs — weights
+    computed in-row (no shuffle), one (rep) aggregate with map-side
+    combine, a 32-row variance reduce. At 100 TB each replicate's
+    partial sums merge associatively; nothing is ever resampled into
+    memory."""
+    d = load_fixture(spark, sf_dir, "documents").selectExpr(
+        "doc_id", "CAST(n_chars AS BIGINT) AS y"
+    )
+    reps = d.select(
+        "doc_id",
+        "y",
+        F.explode(F.sequence(F.lit(0), F.lit(31))).alias("rep"),
+    ).selectExpr(
+        "y",
+        "rep",
+        "CAST((CAST(doc_id * 32 + rep AS DECIMAL(38,0))"
+        " * 2862933555777941757 + 3037000493)"
+        " % 18446744073709551616 % 2147483648 AS BIGINT) AS u31",
+    )
+    w = reps.selectExpr(
+        "rep",
+        "y",
+        "CASE WHEN u31 < 790015084 THEN 0"
+        " WHEN u31 < 1580030168 THEN 1"
+        " WHEN u31 < 1975037710 THEN 2"
+        " WHEN u31 < 2106706891 THEN 3"
+        " ELSE 4 END AS wt",
+    )
+    means = w.groupBy("rep").agg(
+        F.expr(
+            "CAST((2 * CAST(SUM(wt * y) AS DECIMAL(38,0)) * 1000000 + SUM(wt))"
+            " div NULLIF(2 * CAST(SUM(wt) AS DECIMAL(38,0)), 0) AS BIGINT)"
+        ).alias("m_micro")
+    )
+    base = d.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.expr(
+            "CAST((2 * CAST(SUM(y) AS DECIMAL(38,0)) * 1000000 + COUNT(*))"
+            " div (2 * CAST(COUNT(*) AS DECIMAL(38,0))) AS BIGINT)"
+        ).alias("mean_chars_micro"),
+    )
+    vs = means.filter(F.col("m_micro").isNotNull()).agg(
+        F.count(F.lit(1)).cast("bigint").alias("b"),
+        F.sum(
+            F.col("m_micro").cast("decimal(19,0)")
+            * F.col("m_micro").cast("decimal(19,0)")
+        )
+        .cast("decimal(38,0)")
+        .alias("smm"),
+        F.sum("m_micro").cast("decimal(38,0)").alias("sm"),
+    )
+    return base.crossJoin(F.broadcast(vs)).selectExpr(
+        "n_docs",
+        "b AS n_replicates",
+        "mean_chars_micro",
+        "ROUND(sqrt(CAST(b * smm - sm * sm AS DOUBLE)"
+        " / (CAST(b AS DOUBLE) * CAST(b - 1 AS DOUBLE))), 6)"
+        " AS boot_se_micro",
+    )

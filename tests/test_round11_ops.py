@@ -274,3 +274,107 @@ def test_uniqueness_profile_reference(spark, sf_dir, con):
         assert r["n_distinct"] == nd
         assert r["n_dup_rows"] == n - nd
         assert r["uniqueness_micro"] == _half_away(nd * 1000000, n)
+
+
+# ---------------------------------------------------------------- wave 4
+
+
+def test_cochran_q_reference(spark, sf_dir, con):
+    rows = con.execute("SELECT DISTINCT user_id, event_type FROM events").fetchall()
+    types = ("click", "view", "purchase", "signup", "error")
+    by_user = {}
+    for u, t in rows:
+        by_user.setdefault(u, set()).add(t)
+    k = 5
+    cj = {t: sum(1 for s in by_user.values() if t in s) for t in types}
+    sr = sum(len(s) for s in by_user.values())
+    srr = sum(len(s) ** 2 for s in by_user.values())
+    num = (k - 1) * (k * sum(c * c for c in cj.values()) - sr * sr)
+    den = k * sr - srr
+    (row,) = run(spark, sf_dir, "agg_cochran_q")
+    assert row["n_users"] == len(by_user)
+    for t in types:
+        assert row[f"c_{t}"] == cj[t]
+    assert row["dof"] == 4
+    if den:
+        assert row["q_stat_micro"] == _half_away(num * 1000000, den)
+    else:
+        assert row["q_stat_micro"] is None
+    # textbook sanity: Q is non-negative and zero iff all C_j equal
+    assert num >= 0
+
+
+def test_poisson_bootstrap_reference(spark, sf_dir, con):
+    import math
+
+    rows = con.execute("SELECT doc_id, n_chars FROM documents").fetchall()
+    T = (790015084, 1580030168, 1975037710, 2106706891)
+
+    def weight(doc_id, rep):
+        u = ((doc_id * 32 + rep) * 2862933555777941757 + 3037000493) % (1 << 64)
+        u31 = u % (1 << 31)
+        for w, t in enumerate(T):
+            if u31 < t:
+                return w
+        return 4
+
+    means = []
+    for rep in range(32):
+        sw = swy = 0
+        for doc_id, y in rows:
+            w = weight(doc_id, rep)
+            sw += w
+            swy += w * y
+        assert sw > 0
+        means.append((2 * swy * 1000000 + sw) // (2 * sw))
+    b = len(means)
+    smm = sum(m * m for m in means)
+    sm = sum(means)
+    se = math.sqrt((b * smm - sm * sm) / (b * (b - 1)))
+    n = len(rows)
+    sy = sum(y for _, y in rows)
+    (row,) = run(spark, sf_dir, "sample_poisson_bootstrap")
+    assert row["n_docs"] == n
+    assert row["n_replicates"] == 32
+    assert row["mean_chars_micro"] == _half_away(sy * 1000000, n)
+    assert abs(row["boot_se_micro"] - round(se, 6)) < 1e-9
+    # the weights really are Poisson(1)-ish: mean weight near 1
+    total_w = sum(weight(d, r) for d, _ in rows for r in range(4))
+    assert 0.8 < total_w / (4 * n) < 1.2
+
+
+def test_style_divergence_reference(spark, sf_dir, con):
+    import math
+
+    rows = con.execute("SELECT source, lower(trim(text)) FROM documents").fetchall()
+    cp = {}
+    cq = {}
+    np_ = {}
+    for src, s in rows:
+        for i in range(len(s) - 1):
+            g = s[i : i + 2]
+            cp[(src, g)] = cp.get((src, g), 0) + 1
+            cq[g] = cq.get(g, 0) + 1
+            np_[src] = np_.get(src, 0) + 1
+    nq = sum(cq.values())
+    expect = {}
+    for src in np_:
+        sp = sq = 0.0
+        npv = np_[src]
+        for g, cqv in cq.items():
+            cpv = cp.get((src, g), 0)
+            if cpv > 0:
+                sp += round(
+                    (cpv / npv) * math.log(2.0 * cpv * nq / (cpv * nq + cqv * npv)),
+                    9,
+                )
+            sq += round(
+                (cqv / nq) * math.log(2.0 * cqv * npv / (cqv * npv + cpv * nq)), 9
+            )
+        expect[src] = round((sp + sq) * 0.5 / 0.6931471805599453, 6)
+    out = {r["source"]: r for r in run(spark, sf_dir, "text_source_style_divergence")}
+    assert set(out) == set(expect)
+    for src, jsd in expect.items():
+        assert abs(out[src]["jsd_vs_corpus"] - jsd) < 2e-6, (src, jsd)
+        assert out[src]["n_bigrams"] == np_[src]
+        assert 0.0 <= out[src]["jsd_vs_corpus"] <= 1.0  # JS in bits is [0,1]
