@@ -325,6 +325,9 @@ HEADLINE = [
     "agg_cochran_q",
     "text_source_style_divergence",
     "sample_poisson_bootstrap",
+    # round 11 fifth wave: Jarque-Bera gate, Simpson diversity
+    "agg_jarque_bera",
+    "text_simpson_diversity",
 ]
 
 

@@ -185,6 +185,9 @@ _NEXT_WINDOW_QUEUE: tuple[str, ...] = (
     "agg_cochran_q",
     "text_source_style_divergence",
     "sample_poisson_bootstrap",
+    # round-11 fifth wave: normality gate, dominance-weighted diversity
+    "agg_jarque_bera",
+    "text_simpson_diversity",
 )
 
 

@@ -9602,3 +9602,126 @@ def sample_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
         " / (CAST(b AS DOUBLE) * CAST(b - 1 AS DOUBLE))), 6)"
         " AS boot_se_micro",
     )
+
+
+@register(
+    "agg_jarque_bera",
+    oracle="""
+    WITH p AS (
+        SELECT CAST(floor(CAST(value AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)
+                   AS q
+        FROM events WHERE event_type = 'purchase'
+    ),
+    m AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST((2 * CAST(SUM(q) AS HUGEINT) + COUNT(*))
+                    // (2 * CAST(COUNT(*) AS HUGEINT)) AS BIGINT) AS mu
+        FROM p
+    ),
+    s AS (
+        SELECT n, mu,
+               CAST(SUM(CAST(q - mu AS HUGEINT) * (q - mu)) AS HUGEINT) AS s2,
+               CAST(SUM(CAST(q - mu AS HUGEINT) * (q - mu) * (q - mu))
+                    AS HUGEINT) AS s3,
+               CAST(SUM(CAST(q - mu AS HUGEINT) * (q - mu) * (q - mu)
+                        * (q - mu)) AS HUGEINT) AS s4
+        FROM p, m GROUP BY n, mu
+    )
+    SELECT n AS n_obs, mu AS mean_micro,
+           ROUND(CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE)
+                 / pow(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE), 1.5), 6)
+               AS skewness,
+           ROUND(CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE)
+                 / pow(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE), 2.0) - 3.0, 6)
+               AS excess_kurtosis,
+           ROUND(CAST(n AS DOUBLE) * (
+                 pow(CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE)
+                     / pow(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE), 1.5), 2)
+                     / 6.0
+                 + pow(CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE)
+                       / pow(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE), 2.0)
+                       - 3.0, 2) / 24.0), 6) AS jb_stat,
+           ROUND(CAST(n AS DOUBLE) * (
+                 pow(CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE)
+                     / pow(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE), 1.5), 2)
+                     / 6.0
+                 + pow(CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE)
+                       / pow(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE), 2.0)
+                       - 3.0, 2) / 24.0), 6)
+               > CAST(5.991465 AS DOUBLE) AS reject_05
+    FROM s
+    """,
+    doc="Jarque-Bera normality test on purchase values: JB = n(S^2/6 + "
+    "(K-3)^2/24) from the sample skewness S and kurtosis K, against "
+    "chi-square(2) (literal 5% critical value 5.991465) — the "
+    "normality GATE for every variance-based procedure in this suite "
+    "(t-tests, Bollinger bands, realized volatility): heavy tails or "
+    "skew show up here before they silently break a z-interval. "
+    "Central moments are EXACT integer sums of (q - mu)^k around the "
+    "half-away integer micro mean (both engines center on the "
+    "IDENTICAL integer, so s2/s3/s4 are equal integers; the dev^4 sum "
+    "stays under DECIMAL(38,0) up to ~10^6 rows at the fixture's "
+    "value range — a larger corpus quantizes deviations to centi "
+    "first, bound stated); S, K and JB are then one identical double "
+    "sequence per engine, rounded at 6 dp.",
+)
+def agg_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: one filtered projection, a 1-row mean reduce
+    broadcast into one central-moment reduce — two passes, no shuffle
+    beyond the aggregates (the textbook-exact two-pass moment plan)."""
+    e = load_fixture(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    p = e.select(
+        F.floor(F.col("value").cast("double") * F.lit(1000000.0) + F.lit(0.5))
+        .cast("bigint")
+        .alias("q")
+    )
+    m = p.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.expr(
+            "CAST((2 * CAST(SUM(q) AS DECIMAL(38,0)) + COUNT(*))"
+            " div (2 * CAST(COUNT(*) AS DECIMAL(38,0))) AS BIGINT)"
+        ).alias("mu"),
+    )
+    s = (
+        p.crossJoin(F.broadcast(m))
+        .groupBy("n", "mu")
+        .agg(
+            F.sum(
+                F.expr("CAST(q - mu AS DECIMAL(19,0)) * (q - mu)")
+            )
+            .cast("decimal(38,0)")
+            .alias("s2"),
+            F.sum(
+                F.expr("CAST(q - mu AS DECIMAL(19,0)) * (q - mu) * (q - mu)")
+            )
+            .cast("decimal(38,0)")
+            .alias("s3"),
+            F.sum(
+                F.expr(
+                    "CAST(q - mu AS DECIMAL(19,0)) * (q - mu) * (q - mu)"
+                    " * (q - mu)"
+                )
+            )
+            .cast("decimal(38,0)")
+            .alias("s4"),
+        )
+    )
+    jb = (
+        "CAST(n AS DOUBLE) * ("
+        " pow(CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE)"
+        " / pow(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE), 1.5), 2) / 6.0"
+        " + pow(CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE)"
+        " / pow(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE), 2.0) - 3.0, 2)"
+        " / 24.0)"
+    )
+    return s.selectExpr(
+        "n AS n_obs",
+        "mu AS mean_micro",
+        "ROUND(CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE)"
+        " / pow(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE), 1.5), 6) AS skewness",
+        "ROUND(CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE)"
+        " / pow(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE), 2.0) - 3.0, 6)"
+        " AS excess_kurtosis",
+        f"ROUND({jb}, 6) AS jb_stat",
+        f"ROUND({jb}, 6) > CAST(5.991465 AS DOUBLE) AS reject_05",
+    )

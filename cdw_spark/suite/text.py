@@ -2861,3 +2861,85 @@ def text_source_style_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ROUND((CAST(sp AS DOUBLE) + CAST(sq AS DOUBLE)) * 0.5"
         " / CAST(0.6931471805599453 AS DOUBLE), 6) AS jsd_vs_corpus",
     )
+
+
+@register(
+    "text_simpson_diversity",
+    oracle="""
+    WITH tok AS (
+        SELECT source,
+               unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+        FROM documents
+    ),
+    c AS (
+        SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c
+        FROM tok GROUP BY source, w
+    ),
+    s AS (
+        SELECT source,
+               CAST(SUM(c) AS BIGINT) AS n_tokens,
+               CAST(COUNT(*) AS BIGINT) AS n_types,
+               CAST(SUM(CAST(c AS HUGEINT) * (c - 1)) AS HUGEINT) AS ss
+        FROM c GROUP BY source
+    )
+    SELECT source, n_tokens, n_types,
+           CAST((2 * ss * 1000000
+                 + CAST(n_tokens AS HUGEINT) * (n_tokens - 1))
+                // NULLIF(2 * CAST(n_tokens AS HUGEINT) * (n_tokens - 1), 0)
+                AS BIGINT) AS simpson_d_micro,
+           CAST((2 * (CAST(n_tokens AS HUGEINT) * (n_tokens - 1) - ss)
+                   * 1000000
+                 + CAST(n_tokens AS HUGEINT) * (n_tokens - 1))
+                // NULLIF(2 * CAST(n_tokens AS HUGEINT) * (n_tokens - 1), 0)
+                AS BIGINT) AS diversity_micro,
+           CAST((2 * CAST(n_tokens AS HUGEINT) * (n_tokens - 1) * 1000000
+                 + ss) // NULLIF(2 * ss, 0) AS BIGINT)
+               AS effective_types_micro
+    FROM s
+    """,
+    doc="Simpson diversity per source over word tokens: the UNBIASED "
+    "Simpson index D = sum c(c-1) / (n(n-1)) — the probability two "
+    "tokens drawn without replacement are the same type — plus 1-D "
+    "(Simpson diversity) and 1/D (the effective number of equally-"
+    "common types, the 'true diversity' of order 2). The dominance-"
+    "weighted companion to quality_ttr_lexical_diversity (TTR counts "
+    "types equally; Simpson is driven by the head of the frequency "
+    "distribution, so a source spamming one word collapses here long "
+    "before its TTR moves) — the corpus-mix view used to flag "
+    "template/spam domains. Pure exact integer identities half-away "
+    "in micro under HUGEINT/DECIMAL(38,0); single-token or "
+    "no-repeat degenerate sources NULL via NULLIF.",
+)
+def text_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: one (source, word) shuffle with map-side combine
+    (the word_freq_topk exchange), then a |sources|-row rollup."""
+    tok = load_fixture(spark, sf_dir, "documents").select(
+        "source",
+        F.explode(
+            F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
+        ).alias("w"),
+    )
+    c = tok.groupBy("source", "w").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    s = c.groupBy("source").agg(
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_types"),
+        F.sum(F.expr("CAST(c AS DECIMAL(19,0)) * (c - 1)"))
+        .cast("decimal(38,0)")
+        .alias("ss"),
+    )
+    return s.selectExpr(
+        "source",
+        "n_tokens",
+        "n_types",
+        "CAST((2 * ss * 1000000"
+        " + CAST(n_tokens AS DECIMAL(19,0)) * (n_tokens - 1))"
+        " div NULLIF(2 * CAST(n_tokens AS DECIMAL(19,0)) * (n_tokens - 1), 0)"
+        " AS BIGINT) AS simpson_d_micro",
+        "CAST((2 * (CAST(n_tokens AS DECIMAL(19,0)) * (n_tokens - 1) - ss)"
+        " * 1000000"
+        " + CAST(n_tokens AS DECIMAL(19,0)) * (n_tokens - 1))"
+        " div NULLIF(2 * CAST(n_tokens AS DECIMAL(19,0)) * (n_tokens - 1), 0)"
+        " AS BIGINT) AS diversity_micro",
+        "CAST((2 * CAST(n_tokens AS DECIMAL(19,0)) * (n_tokens - 1) * 1000000"
+        " + ss) div NULLIF(2 * ss, 0) AS BIGINT) AS effective_types_micro",
+    )

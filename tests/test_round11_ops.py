@@ -378,3 +378,61 @@ def test_style_divergence_reference(spark, sf_dir, con):
         assert abs(out[src]["jsd_vs_corpus"] - jsd) < 2e-6, (src, jsd)
         assert out[src]["n_bigrams"] == np_[src]
         assert 0.0 <= out[src]["jsd_vs_corpus"] <= 1.0  # JS in bits is [0,1]
+
+
+# ---------------------------------------------------------------- wave 5
+
+
+def test_jarque_bera_reference(spark, sf_dir, con):
+    import math
+
+    vals = [
+        math.floor(v * 1000000.0 + 0.5)
+        for (v,) in con.execute(
+            "SELECT value FROM events WHERE event_type = 'purchase'"
+        ).fetchall()
+    ]
+    n = len(vals)
+    mu = (2 * sum(vals) + n) // (2 * n)
+    s2 = sum((q - mu) ** 2 for q in vals)
+    s3 = sum((q - mu) ** 3 for q in vals)
+    s4 = sum((q - mu) ** 4 for q in vals)
+    skew = (s3 / n) / (s2 / n) ** 1.5
+    kurt = (s4 / n) / (s2 / n) ** 2 - 3.0
+    jb = n * (skew**2 / 6.0 + kurt**2 / 24.0)
+    (row,) = run(spark, sf_dir, "agg_jarque_bera")
+    assert row["n_obs"] == n
+    assert row["mean_micro"] == mu
+    assert abs(row["skewness"] - skew) < 1e-5
+    assert abs(row["excess_kurtosis"] - kurt) < 1e-5
+    assert abs(row["jb_stat"] - jb) < 1e-4
+    assert row["reject_05"] == (round(jb, 6) > 5.991465)
+
+
+def test_simpson_diversity_reference(spark, sf_dir, con):
+    import re
+
+    rows = con.execute("SELECT source, lower(text) FROM documents").fetchall()
+    counts = {}
+    for src, t in rows:
+        for w in re.findall(r"[a-z0-9]+", t, re.ASCII):
+            counts[(src, w)] = counts.get((src, w), 0) + 1
+    per_src = {}
+    for (src, w), c in counts.items():
+        nt, ty, ss = per_src.get(src, (0, 0, 0))
+        per_src[src] = (nt + c, ty + 1, ss + c * (c - 1))
+    out = {r["source"]: r for r in run(spark, sf_dir, "text_simpson_diversity")}
+    assert set(out) == set(per_src)
+    for src, (nt, ty, ss) in per_src.items():
+        r = out[src]
+        den = nt * (nt - 1)
+        assert r["n_tokens"] == nt
+        assert r["n_types"] == ty
+        assert r["simpson_d_micro"] == _half_away(ss * 1000000, den)
+        assert r["diversity_micro"] == _half_away((den - ss) * 1000000, den)
+        assert r["effective_types_micro"] == _half_away(den * 1000000, ss)
+        # at least one effective type; the UNBIASED 1/D may slightly
+        # exceed the raw type count (it corrects the plug-in downward),
+        # so the plug-in bound S only holds with the finite-sample slack
+        assert r["effective_types_micro"] >= 1000000
+        assert r["effective_types_micro"] <= ty * 1000000 * (nt) // max(nt - ty, 1)
