@@ -72,13 +72,17 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # batch time-window twins, and the tokenize/chunk/pack assembly ops.
 # Everything not listed keeps its registration order after the window and
 # stays covered by tests/test_oracle_contract.py's local differential sweep.
-# r11 window (this round): VERDICT r10 #1 EXACTLY — ten family anchors,
-# then ALL 31 entries of the queue authored at the r10 close (9 round-9
-# spill first, then the 22 round-10 additions in wave order), then 9
-# coldest re-grades (oldest-grade-first, alphabetical tiebreak among the
-# r2-graded set). This rotation clears the ENTIRE never-graded backlog:
-# after it grades, every oracled query in the registry has a driver row.
-# Cumulative evidence entering r11: 343 unique queries graded, 341
+# r12 window (this round): VERDICT r11 #1 EXACTLY — ten family anchors,
+# then ALL 12 entries of the queue authored at the r11 close (round-11
+# additions in wave order, dedup_components_materialize first), then 28
+# coldest re-grades oldest-grade-first (alphabetical tiebreak within a
+# round): the 6 remaining r2-graded rows (5 TPC-H shapes +
+# window_range_frame) and the 22 alphabetically-first r3-graded rows
+# (chunk_documents .. set_ops_all). After r11 cleared the never-graded
+# backlog, the queue is the only never-graded oracled set; this window
+# clears it again AND starts refreshing the oldest evidence (r2/r3
+# grades are now 9-10 rounds stale).
+# Cumulative evidence entering r12: 374 unique queries graded, 372
 # green at latest grading. The 2 non-green are the r1 relics
 # agg_approx_distinct/agg_approx_quantiles: their CORRECTNESS_r01 rows
 # read err="no_oracle" — the driver records row counts but can never
@@ -90,11 +94,12 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # The 4 rows-only (agg_approx_top_k, text_compression_ratio,
 # similarity_ann_pq, multimodal_audio_spectral — each irreducibly
 # engine-specific with a measured reason) never burn window slots.
-# r12+ policy: keep the ten anchors, spend the forty slots on (a) the
-# len(_NEXT_WINDOW_QUEUE) queued additions below (round-11 additions in
+# r13+ policy: keep the ten anchors, spend the forty slots on (a) the
+# len(_NEXT_WINDOW_QUEUE) queued additions below (round-12 additions in
 # wave order; the meta-test derives the count from the tuple, never
-# from this prose), then (b) coldest re-grades oldest-grade-first.
-_WINDOW_ROUND = 11  # the round this window was authored FOR — meta-tests
+# from this prose), then (b) coldest re-grades oldest-grade-first
+# (next up: the remaining r3 cohort from skew_salted_agg onward).
+_WINDOW_ROUND = 12  # the round this window was authored FOR — meta-tests
 # treat CORRECTNESS records from rounds >= this as the window's own
 # grade, not prior evidence (VERDICT r4 #3's self-invalidation fix).
 _DRIVER_WINDOW: tuple[str, ...] = (
@@ -110,85 +115,63 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "similarity_ann_lsh",    # similarity / ANN
     "dedup_minhash_lsh",     # deduplication
     "curation_pipeline",     # curation / dataset ops
-    # --- rotated in (r11a): the 9 round-9 spill entries, queue order ---
-    "curation_rule_ablation",
-    "embedding_hubness_audit",
-    "timeseries_variance_ratio",
-    "text_entropy_rate",
-    "agg_runs_test",
-    "text_hapax_ratio",
-    "graph_rich_club",
-    "recs_markov_next_event",
-    "events_error_mtbf",
-    # --- rotated in (r11b): the 22 round-10 additions, wave order ---
-    "graph_knn_materialize",
-    "eval_lift_gains_table",
-    "timeseries_ljung_box",
-    "window_parkinson_volatility",
-    "sample_weighted_reservoir",
-    "dedup_cluster_size_profile",
-    "embedding_norm_outlier_audit",
-    "events_cohort_ltv_curve",
-    "survival_concordance_cindex",
-    "recs_catalog_coverage",
-    "survival_kaplan_meier",
-    "eval_retrieval_recall_at_k",
-    "events_dow_hour_profile",
-    "timeseries_mase_seasonal_naive",
-    "sample_kfold_assignment",
-    "recs_basket_holdout_eval",
-    "recs_lists_materialize",
-    "dq_volume_anomaly_daily",
-    "dq_duplicate_payload_rate",
-    "window_donchian_breakout",
-    "agg_dispersion_index",
-    "events_retention_halflife",
-    # --- cold re-grades (r11c): the 9 oldest driver rows, all graded
-    # green at r2 and never since (oldest-grade-first; alphabetical
-    # tiebreak within the 15-strong r2 cohort) ---
-    "decontaminate_ngrams",
-    "dedup_canonical_keepers",
-    "merge_incremental_upsert",
-    "pii_redact",
-    "stream_dedup",
-    "stream_session_window",
-    "stream_sliding_agg",
-    "stream_static_join",
-    "stream_stream_interval_join",
-)
-
-
-# Queries registered AFTER the r11 window was authored — the r12 rotation
-# queue (newest, least proven, so they go first next round). The
-# completeness meta-test accepts queue membership in place of a window
-# slot, so a new oracled query must either rotate in NOW or be queued
-# HERE — silence is no longer possible. The r11 window absorbed the
-# entire r10-close queue (all 31 entries), so this queue starts empty
-# and accumulates round-11 additions in wave order as they land.
-_NEXT_WINDOW_QUEUE: tuple[str, ...] = (
-    # round-11 first wave: at-rest near-dup component artifact (the
-    # kNN/recs at-rest treatment applied to the Jaccard pair-graph
-    # family, VERDICT r10 #3)
+    # --- rotated in (r12a): the 12 round-11 additions, wave order
+    # (the entire queue authored at the r11 close) ---
     "dedup_components_materialize",
-    # round-11 second wave: paired marginal-homogeneity test, range-
-    # position momentum, non-personalized recommender floor
     "agg_mcnemar_paired",
     "window_stochastic_oscillator",
     "recs_popularity_baseline_eval",
-    # round-11 third wave: per-source boilerplate report, cross-source
-    # contamination matrix, candidate-key uniqueness audit
     "text_source_boilerplate_share",
     "text_cross_source_contamination",
     "dq_uniqueness_profile",
-    # round-11 fourth wave: k-treatment binary homogeneity, per-source
-    # style drift, distributed bootstrap
     "agg_cochran_q",
     "text_source_style_divergence",
     "sample_poisson_bootstrap",
-    # round-11 fifth wave: normality gate, dominance-weighted diversity
     "agg_jarque_bera",
     "text_simpson_diversity",
+    # --- cold re-grades (r12b): the 28 oldest driver rows,
+    # oldest-grade-first, alphabetical tiebreak within a round.
+    # First the 6 remaining r2-graded rows... ---
+    "tpch_q10_returned_items",
+    "tpch_q13_order_distribution",
+    "tpch_q14_promo_share",
+    "tpch_q18_large_orders",
+    "tpch_q19_discounted_revenue",
+    "window_range_frame",
+    # --- ...then the 22 alphabetically-first r3-graded rows ---
+    "chunk_documents",
+    "correlated_subquery",
+    "date_funcs",
+    "exists_subquery",
+    "grouping_sets_agg",
+    "histogram_buckets",
+    "multimodal_frame_sample",
+    "not_exists_subquery",
+    "not_in_null_semantics",
+    "null_safe_join",
+    "outer_join_coalesce",
+    "pack_sequences",
+    "pivot_agg",
+    "posexplode_lateral",
+    "recursive_cte_calendar",
+    "regex_extract",
+    "rollup_agg",
+    "scd2_intervals",
+    "scd_latest_state",
+    "session_window_agg",
+    "set_ops",
+    "set_ops_all",
 )
+
+
+# Queries registered AFTER the r12 window was authored — the r13 rotation
+# queue (newest, least proven, so they go first next round). The
+# completeness meta-test accepts queue membership in place of a window
+# slot, so a new oracled query must either rotate in NOW or be queued
+# HERE — silence is no longer possible. The r12 window absorbed the
+# entire r11-close queue (all 12 entries), so this queue starts empty
+# and accumulates round-12 additions in wave order as they land.
+_NEXT_WINDOW_QUEUE: tuple[str, ...] = ()
 
 
 def load_all() -> dict[str, QuerySpec]:

@@ -114,16 +114,16 @@ def test_driver_window_rotation_accumulates_evidence():
 
     anchors = [n for n in _DRIVER_WINDOW if n in green]
     rotated = [n for n in _DRIVER_WINDOW if n not in green]
-    # r11 split: 10 pinned family anchors + 9 cold re-grades (all 19 with
-    # prior green rows — the re-grades from r2, the oldest in the ledger)
-    # + 31 without prior green evidence: the ENTIRE queue authored at the
-    # r10 close (VERDICT r10 #1 — 9 round-9 spill, then 22 round-10
-    # additions in wave order). After this window grades, every oracled
-    # query has a driver row.
-    assert len(anchors) == 19, anchors
-    assert len(rotated) == 31, rotated
-    assert rotated[0] == "curation_rule_ablation"
-    assert rotated[-1] == "events_retention_halflife"
+    # r12 split: 10 pinned family anchors + 28 cold re-grades (all 38
+    # with prior green rows — the re-grades are the oldest in the
+    # ledger: the 6 remaining r2-graded rows plus the 22 alphabetically-
+    # first r3-graded rows) + 12 without prior green evidence: the
+    # ENTIRE queue authored at the r11 close (VERDICT r11 #1 — round-11
+    # additions in wave order, dedup_components_materialize first).
+    assert len(anchors) == 38, anchors
+    assert len(rotated) == 12, rotated
+    assert rotated[0] == "dedup_components_materialize"
+    assert rotated[-1] == "text_simpson_diversity"
 
 
 def test_every_oracled_query_has_driver_exposure():
