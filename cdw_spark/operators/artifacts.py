@@ -62,19 +62,48 @@ def artifact_dir(family: str, fixture_path: str, version: str, spec_text: str) -
     return os.path.join(_store_base(), family, fixture_tag, content_key)
 
 
+def _tmp_is_abandoned(path: str, name: str) -> bool:
+    """A builder tmp dir (``<key>.tmp<pid>``) is reclaimable when its
+    owning pid is gone, or — when the suffix doesn't parse — when the
+    dir is older than an hour (ADVICE r11: crashed builders used to
+    leave tmp dirs that nothing outside bench cold runs ever swept)."""
+    suffix = name.rsplit(".tmp", 1)[-1]
+    if suffix.isdigit():
+        pid = int(suffix)
+        if pid == os.getpid():
+            return False
+        try:
+            os.kill(pid, 0)
+            return False  # owner still alive — leave its build alone
+        except ProcessLookupError:
+            return True
+        except OSError:
+            return False  # e.g. EPERM: pid exists under another user
+    try:
+        import time
+
+        return time.time() - os.stat(path).st_mtime > 3600
+    except OSError:
+        return False
+
+
 def _sweep_orphans(fixture_base: str, keep_key: str) -> None:
     """Remove sibling content-key dirs for the same fixture (stale builds
     from an older mtime / version / spec). Runs only right after a fresh
     build publishes, so nothing live references the orphans. Builder tmp
-    dirs (``<key>.tmp<pid>``) are left alone — their owners clean up."""
+    dirs (``<key>.tmp<pid>``) are reclaimed only when abandoned — owner
+    pid dead, or unparseable suffix older than an hour."""
     try:
         siblings = os.listdir(fixture_base)
     except OSError:
         return
     for name in siblings:
-        if name == keep_key or ".tmp" in name:
+        if name == keep_key:
             continue
-        shutil.rmtree(os.path.join(fixture_base, name), ignore_errors=True)
+        path = os.path.join(fixture_base, name)
+        if ".tmp" in name and not _tmp_is_abandoned(path, name):
+            continue
+        shutil.rmtree(path, ignore_errors=True)
 
 
 def serve_at_rest(

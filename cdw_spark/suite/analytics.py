@@ -9706,6 +9706,19 @@ def agg_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("s4"),
         )
     )
+    # ADVICE r11: past the documented ~10^6-row bound the dev^4 DECIMAL
+    # sum overflows to NULL under non-ANSI Spark while the HUGEINT
+    # oracle stays exact — fail loudly exactly when that happened
+    # instead of emitting a silent NULL-moment row.
+    s = s.withColumn(
+        "s4",
+        F.expr(
+            "CASE WHEN s4 IS NULL THEN raise_error("
+            "'agg_jarque_bera: dev^4 moment overflowed DECIMAL(38,0) —"
+            " corpus beyond the documented micro-quantization bound;"
+            " quantize deviations to centi first') ELSE s4 END"
+        ),
+    )
     jb = (
         "CAST(n AS DOUBLE) * ("
         " pow(CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE)"

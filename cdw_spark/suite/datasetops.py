@@ -3905,7 +3905,9 @@ def dq_duplicate_payload_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cannot anchor a merge; dq_id_sequence_audit checks density of "
     "ONE known key, this ranks candidates across tables). Composite "
     "keys serialize with an unambiguous '|' separator identically in "
-    "both engines. Exact counts; ratio is half-away micro.",
+    "both engines, NULL-propagating on both sides (Spark F.concat ≡ "
+    "SQL ||): a NULL component drops the row from COUNT(DISTINCT) in "
+    "both engines alike. Exact counts; ratio is half-away micro.",
 )
 def dq_uniqueness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale shape: one count-distinct aggregate per audited key, each a
@@ -3928,9 +3930,12 @@ def dq_uniqueness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             prof(
                 e,
                 "events.user_id+ts",
-                F.concat_ws(
-                    "|",
+                # ADVICE r11: F.concat (NULL-propagating) matches the
+                # oracle's `||`; concat_ws would SKIP a NULL component
+                # and still count the row as a distinct key.
+                F.concat(
                     F.col("user_id").cast("string"),
+                    F.lit("|"),
                     F.unix_micros("ts").cast("string"),
                 ),
             )
@@ -3939,9 +3944,9 @@ def dq_uniqueness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             prof(
                 li,
                 "lineitem.orderkey+linenumber",
-                F.concat_ws(
-                    "|",
+                F.concat(
                     F.col("l_orderkey").cast("string"),
+                    F.lit("|"),
                     F.col("l_linenumber").cast("string"),
                 ),
             )

@@ -2747,6 +2747,7 @@ def text_cross_source_contamination(spark: SparkSession, sf_dir: str) -> DataFra
     oracle="""
     WITH t AS (
         SELECT source, lower(trim(text)) AS s FROM documents
+        WHERE len(lower(trim(text))) >= 2
     ),
     bg AS (
         SELECT source, substr(s, i, 2) AS g
@@ -2807,8 +2808,14 @@ def text_source_style_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells shuffle as (source, 2-char) pairs with map-side combine —
     documents travel once), a |bigrams|-row broadcast join per side,
     one |sources|-row reduce."""
-    t = load_fixture(spark, sf_dir, "documents").select(
-        "source", F.lower(F.trim(F.col("text"))).alias("s")
+    t = (
+        load_fixture(spark, sf_dir, "documents")
+        .select("source", F.lower(F.trim(F.col("text"))).alias("s"))
+        # ADVICE r11: F.sequence(1, len-1) DESCENDS when len(s) <= 1
+        # ([1,0] / [1,0,-1]) and would emit spurious bigram rows while
+        # the oracle's range(1, len(s)) is empty — guard both engines
+        # identically (the text_entropy_rate discipline).
+        .filter(F.length("s") >= 2)
     )
     bg = t.select(
         "source",

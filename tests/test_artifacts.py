@@ -119,6 +119,33 @@ def test_lost_race_serves_winner_artifact(spark, sf_dir, monkeypatch):
         clear_family("race_probe")
 
 
+def test_abandoned_tmp_dirs_reclaimed(spark, sf_dir):
+    """ADVICE r11: a crashed builder's ``<key>.tmp<pid>`` dir (owner pid
+    dead) must be reclaimed by the next build's orphan sweep, while a
+    LIVE builder's tmp dir must survive it."""
+    fixture = os.path.join(sf_dir, "region.parquet")
+    clear_family("tmp_probe")
+
+    def build():
+        return spark.read.parquet(fixture).select("r_regionkey")
+
+    try:
+        d = artifact_dir("tmp_probe", fixture, "v1", "spec")
+        parent = os.path.dirname(d)
+        os.makedirs(parent, exist_ok=True)
+        # a tmp dir from a pid that no longer exists (max pid + unlikely)
+        dead = os.path.join(parent, "deadkey.tmp999999999")
+        os.makedirs(dead)
+        # a tmp dir owned by THIS live process
+        live = os.path.join(parent, f"livekey.tmp{os.getpid()}")
+        os.makedirs(live)
+        serve_at_rest(spark, "tmp_probe", fixture, "v1", "spec", build).count()
+        assert not os.path.exists(dead), "dead builder tmp not reclaimed"
+        assert os.path.exists(live), "live builder tmp wrongly swept"
+    finally:
+        clear_family("tmp_probe")
+
+
 def test_real_publish_failure_raises(spark, sf_dir, monkeypatch):
     """ADVICE r10 #3 (failure half): a rename failure with NO winner
     artifact present (permissions, cross-device move) must re-raise
