@@ -113,10 +113,18 @@ def serve_at_rest(
     version: str,
     spec_text: str,
     build: Callable[[], DataFrame],
+    summary: Callable[[DataFrame], DataFrame] | None = None,
 ) -> DataFrame:
     """Return the artifact as a DataFrame, building it once per content
     key (first caller materializes + sweeps orphans, everyone else scans
-    the parquet)."""
+    the parquet).
+
+    ``summary`` (VERDICT r11 #3): an aggregate derived FROM the freshly
+    written parquet (never the in-memory build lineage, so its values
+    stay artifact-derived) written to ``<dir>/_summary`` inside the same
+    atomic publish — the shape row a ``*_materialize`` query serves in
+    O(1) instead of recounting the full relation per call. The leading
+    underscore hides it from the artifact's own parquet scan."""
     d = artifact_dir(family, fixture_path, version, spec_text)
     marker = os.path.join(d, "_SUCCESS")
     if not os.path.exists(marker):
@@ -124,6 +132,10 @@ def serve_at_rest(
         os.makedirs(base, exist_ok=True)
         tmp = f"{d}.tmp{os.getpid()}"
         build().write.mode("overwrite").parquet(tmp)
+        if summary is not None:
+            summary(spark.read.parquet(tmp)).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(tmp, "_summary"))
         try:
             os.rename(tmp, d)
         except OSError:
@@ -134,6 +146,46 @@ def serve_at_rest(
                 raise
         _sweep_orphans(base, os.path.basename(d))
     return spark.read.parquet(d)
+
+
+def serve_summary_at_rest(
+    spark: SparkSession,
+    family: str,
+    fixture_path: str,
+    version: str,
+    spec_text: str,
+    build: Callable[[], DataFrame],
+    summary: Callable[[DataFrame], DataFrame],
+) -> DataFrame:
+    """Serve the artifact's published shape row (VERDICT r11 #3): an O(1)
+    one-row parquet scan at steady state, while the values remain
+    artifact-derived (computed from the published parquet at publish
+    time — tests/test_artifact_summaries.py recounts the full relation
+    and asserts agreement, keeping the driver's hash gate meaningful).
+
+    Artifacts published before summaries existed are backfilled in place
+    (computed from the published parquet, atomic rename, lost race →
+    serve the winner) — adding a summary must never rebuild a 100 TB
+    index."""
+    serve_at_rest(spark, family, fixture_path, version, spec_text, build, summary)
+    d = artifact_dir(family, fixture_path, version, spec_text)
+    sdir = os.path.join(d, "_summary")
+    if not os.path.exists(os.path.join(sdir, "_SUCCESS")):
+        for name in os.listdir(d):
+            p = os.path.join(d, name)
+            if name.startswith("_summary.tmp") and _tmp_is_abandoned(p, name):
+                shutil.rmtree(p, ignore_errors=True)
+        tmp = f"{sdir}.tmp{os.getpid()}"
+        summary(spark.read.parquet(d)).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        try:
+            os.rename(tmp, sdir)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
+            if not os.path.exists(os.path.join(sdir, "_SUCCESS")):
+                raise
+    return spark.read.parquet(sdir)
 
 
 def clear_family(family: str) -> None:

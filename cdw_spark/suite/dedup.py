@@ -246,6 +246,37 @@ def _components_artifact_dir(sf_dir: str) -> str:
     )
 
 
+def _components_shape_summary(comp: DataFrame) -> DataFrame:
+    """Shape-row builder for the component artifact (VERDICT r11 #3):
+    counts + content-sensitive label checksums computed from the
+    published parquet at publish time, served as an O(1) one-row scan
+    by dedup_components_materialize. Columns and types mirror the
+    materialize oracle exactly."""
+    from pyspark.sql import functions as F
+
+    sizes = comp.groupBy("component_id").agg(F.count(F.lit(1)).alias("cs"))
+    return (
+        comp.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_member_docs"),
+            F.sum("doc_id").cast("bigint").alias("sum_member_ids"),
+            F.sum("component_id").cast("bigint").alias("sum_component_labels"),
+        )
+        .crossJoin(
+            sizes.agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_components"),
+                F.max("cs").cast("bigint").alias("max_cluster_size"),
+            )
+        )
+        .select(
+            "n_member_docs",
+            "n_components",
+            "max_cluster_size",
+            "sum_member_ids",
+            "sum_component_labels",
+        )
+    )
+
+
 def _components_at_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup component relation (doc_id, component_id) served from the
     at-rest parquet artifact, building once per fixture — exactly
@@ -265,6 +296,7 @@ def _components_at_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda: connected_components(
             ngram_jaccard_pairs(load_fixture(spark, sf_dir, "documents"))
         ),
+        summary=_components_shape_summary,
     )
 
 
@@ -314,41 +346,37 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Build (or reuse) the at-rest near-dup component artifact and "
     "report its shape — the dedup family's index-build op, the "
     "component analogue of graph_knn_materialize: the returned counts "
-    "and label checksums come FROM the parquet artifact, so the "
-    "driver's hash-match against the recursive-CTE closure proves the "
-    "materialized relation (not just the in-memory build) agrees with "
-    "the semantic spec; a stale or corrupt artifact fails the gate. "
-    "sum_member_ids/sum_component_labels are content-sensitive "
+    "and label checksums are computed FROM the published parquet AT "
+    "PUBLISH (VERDICT r11 #3 — steady-state serves are an O(1) "
+    "one-row scan; tests/test_artifact_summaries.py recounts the full "
+    "artifact and asserts agreement), so the driver's hash-match "
+    "against the recursive-CTE closure proves the materialized "
+    "relation (not just the in-memory build) agrees with the semantic "
+    "spec. sum_member_ids/sum_component_labels are content-sensitive "
     "checksums (any relabeled or missing member shifts them).",
 )
 def dedup_components_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale shape: the shingle pair join + pointer-jumping components
     run at most once per fixture (first caller materializes, everyone
-    else scans); the stats are one aggregate over the |members| rows
-    plus a |components|-row groupBy."""
-    from pyspark.sql import functions as F
+    else scans); steady-state serves are a one-row scan of the
+    published shape summary (VERDICT r11 #3;
+    tests/test_artifact_summaries.py recounts the full artifact and
+    asserts agreement)."""
+    import os
 
-    comp = _components_at_rest(spark, sf_dir)
-    sizes = comp.groupBy("component_id").agg(F.count(F.lit(1)).alias("cs"))
-    return (
-        comp.agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_member_docs"),
-            F.sum("doc_id").cast("bigint").alias("sum_member_ids"),
-            F.sum("component_id").cast("bigint").alias("sum_component_labels"),
-        )
-        .crossJoin(
-            sizes.agg(
-                F.count(F.lit(1)).cast("bigint").alias("n_components"),
-                F.max("cs").cast("bigint").alias("max_cluster_size"),
-            )
-        )
-        .select(
-            "n_member_docs",
-            "n_components",
-            "max_cluster_size",
-            "sum_member_ids",
-            "sum_component_labels",
-        )
+    from ..operators.artifacts import serve_summary_at_rest
+    from ..operators.dedup import connected_components
+
+    return serve_summary_at_rest(
+        spark,
+        "dedup_components",
+        os.path.join(sf_dir, "documents.parquet"),
+        _COMPONENTS_BUILD_VERSION,
+        _COMPONENTS_SPEC,
+        lambda: connected_components(
+            ngram_jaccard_pairs(load_fixture(spark, sf_dir, "documents"))
+        ),
+        _components_shape_summary,
     )
 
 

@@ -459,6 +459,21 @@ def _recs_artifact_dir(sf_dir: str) -> str:
     )
 
 
+def _recs_shape_summary(lists: DataFrame) -> DataFrame:
+    """Shape-row builder for the co-occurrence list artifact (VERDICT
+    r11 #3): computed from the published list parquet at publish time,
+    served as an O(1) one-row scan by recs_lists_materialize. Columns
+    and types mirror the materialize oracle exactly."""
+    return lists.agg(
+        F.countDistinct("item").cast("bigint").alias("n_items_with_lists"),
+        F.count(F.lit(1)).cast("bigint").alias("n_list_rows"),
+        F.countDistinct("neighbor").cast("bigint").alias(
+            "n_distinct_recommended"
+        ),
+        F.sum("together").cast("bigint").alias("sum_together"),
+    )
+
+
 def _recs_lists_at_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 co-occurrence lists served from the at-rest parquet
     artifact, building once per fixture (atomic rename; a concurrent
@@ -475,6 +490,7 @@ def _recs_lists_at_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
         _RECS_BUILD_VERSION,
         _RECS_LISTS_SPEC,
         lambda: _build_item_cooccurrence(spark, sf_dir),
+        summary=_recs_shape_summary,
     )
 
 
@@ -529,7 +545,10 @@ def _recs_lists_at_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Build (or reuse) the at-rest top-3 co-occurrence list artifact "
     "and report its shape — the recsys family's index-build op, the "
     "basket analogue of graph_knn_materialize: the returned counts "
-    "come FROM the parquet artifact, so the driver hash-match against "
+    "are computed FROM the published parquet AT PUBLISH (VERDICT r11 "
+    "#3 — steady-state serves are an O(1) one-row scan; tests/"
+    "test_artifact_summaries.py recounts the full artifact and "
+    "asserts agreement), so the driver hash-match against "
     "the plain cooccurrence CTE proves the materialized lists (not "
     "just the in-memory build) agree with the semantic spec. The "
     "three recsys consumers scan this artifact instead of re-running "
@@ -538,17 +557,21 @@ def _recs_lists_at_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def recs_lists_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale shape: the basket self-join runs at most once per fixture;
-    the stats are four counts over the |items|*3 list relation."""
-    lists = _recs_lists_at_rest(spark, sf_dir)
-    return (
-        lists.agg(
-            F.countDistinct("item").cast("bigint").alias("n_items_with_lists"),
-            F.count(F.lit(1)).cast("bigint").alias("n_list_rows"),
-            F.countDistinct("neighbor").cast("bigint").alias(
-                "n_distinct_recommended"
-            ),
-            F.sum("together").cast("bigint").alias("sum_together"),
-        )
+    steady-state serves are a one-row scan of the published shape
+    summary (VERDICT r11 #3; tests/test_artifact_summaries.py recounts
+    the full artifact and asserts agreement)."""
+    import os
+
+    from ..operators.artifacts import serve_summary_at_rest
+
+    return serve_summary_at_rest(
+        spark,
+        "recs_lists",
+        os.path.join(sf_dir, "lineitem.parquet"),
+        _RECS_BUILD_VERSION,
+        _RECS_LISTS_SPEC,
+        lambda: _build_item_cooccurrence(spark, sf_dir),
+        _recs_shape_summary,
     )
 
 
