@@ -171,7 +171,12 @@ _DRIVER_WINDOW: tuple[str, ...] = (
 # HERE — silence is no longer possible. The r12 window absorbed the
 # entire r11-close queue (all 12 entries), so this queue starts empty
 # and accumulates round-12 additions in wave order as they land.
-_NEXT_WINDOW_QUEUE: tuple[str, ...] = ()
+_NEXT_WINDOW_QUEUE: tuple[str, ...] = (
+    # round-12 first wave: at-rest 8-word block-occurrence artifact
+    # (VERDICT r11 #4 — the profile showed the block stage is 62-74%
+    # of both block-audit consumers)
+    "text_blocks_materialize",
+)
 
 
 def load_all() -> dict[str, QuerySpec]:

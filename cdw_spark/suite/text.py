@@ -2613,6 +2613,141 @@ def _spark_blocks(docs: DataFrame) -> DataFrame:
     )
 
 
+# --- at-rest per-source block-occurrence artifact (VERDICT r11 #4: the
+# r10/r11 at-rest treatment applied to the 8-word block family). The
+# r12 profile at sf0.1: the block cut + (source, block) aggregate is
+# 1.02 s of text_source_boilerplate_share's 1.38 s (74%) and of
+# text_cross_source_contamination's 1.64 s (62%) — the stage DOMINATES
+# both consumers, the situation the kNN/recs/component artifacts were
+# built for. (dedup_ngram_prefix_filter was profiled too and stays
+# as-is: its 3-gram shingle stage is 0.91 s of 11.52 s = 8% — the cost
+# is the inherent global df-order + prefix shuffle; BENCHNOTES r12.)
+# The artifact holds the AGGREGATED (source, block, n_inst, nd)
+# relation — boilerplate rolls it up per source, contamination joins
+# its key set — keyed by documents.parquet identity + version + the
+# spec hash; lifecycle in operators/artifacts.py.
+_BLOCKS_SPEC = f"""
+    WITH {_SRC_BLOCK_CTE},
+    occ AS (
+        SELECT source, block, CAST(COUNT(*) AS BIGINT) AS n_inst,
+               CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS nd
+        FROM blk0 GROUP BY source, block
+    )
+    SELECT source, block, n_inst, nd FROM occ
+    """
+_BLOCKS_BUILD_VERSION = "v1"  # bump when the block-occ construction changes
+
+
+def _blocks_artifact_dir(sf_dir: str) -> str:
+    import os
+
+    from ..operators.artifacts import artifact_dir
+
+    return artifact_dir(
+        "text_blocks",
+        os.path.join(sf_dir, "documents.parquet"),
+        _BLOCKS_BUILD_VERSION,
+        _BLOCKS_SPEC,
+    )
+
+
+def _blocks_shape_summary(occ: DataFrame) -> DataFrame:
+    """Shape-row builder for the block-occ artifact: computed from the
+    published parquet at publish time, served as an O(1) one-row scan
+    by text_blocks_materialize. Columns and types mirror the
+    materialize oracle exactly."""
+    return occ.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_block_keys"),
+        F.countDistinct("source").cast("bigint").alias("n_sources"),
+        F.sum("n_inst").cast("bigint").alias("n_block_instances"),
+        F.sum("nd").cast("bigint").alias("sum_doc_hits"),
+        F.sum(F.when(F.col("nd") >= 2, F.col("n_inst")).otherwise(0))
+        .cast("bigint")
+        .alias("n_boilerplate_instances"),
+    )
+
+
+def _blocks_occ_at_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source, block, n_inst, nd) block-occurrence relation served from
+    the at-rest parquet artifact, building once per fixture (see
+    operators/artifacts.py for the lifecycle)."""
+    import os
+
+    from ..operators.artifacts import serve_at_rest
+
+    def build() -> DataFrame:
+        blocks = _spark_blocks(load_fixture(spark, sf_dir, "documents"))
+        return blocks.groupBy("source", "block").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_inst"),
+            F.countDistinct("doc_id").cast("bigint").alias("nd"),
+        )
+
+    return serve_at_rest(
+        spark,
+        "text_blocks",
+        os.path.join(sf_dir, "documents.parquet"),
+        _BLOCKS_BUILD_VERSION,
+        _BLOCKS_SPEC,
+        build,
+        summary=_blocks_shape_summary,
+    )
+
+
+@register(
+    "text_blocks_materialize",
+    oracle=f"""
+    WITH {_SRC_BLOCK_CTE},
+    occ AS (
+        SELECT source, block, CAST(COUNT(*) AS BIGINT) AS n_inst,
+               CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS nd
+        FROM blk0 GROUP BY source, block
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_block_keys,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(SUM(n_inst) AS BIGINT) AS n_block_instances,
+           CAST(SUM(nd) AS BIGINT) AS sum_doc_hits,
+           CAST(SUM(CASE WHEN nd >= 2 THEN n_inst ELSE 0 END) AS BIGINT)
+               AS n_boilerplate_instances
+    FROM occ
+    """,
+    doc="Build (or reuse) the at-rest per-source 8-word block-occurrence "
+    "artifact and report its shape — the text family's index-build op, "
+    "the block analogue of graph_knn_materialize: the r12 profile "
+    "showed the block cut + (source, block) aggregate is 62-74% of "
+    "both block-audit consumers, so it's built once per fixture and "
+    "scanned (text_source_boilerplate_share rolls it up per source; "
+    "text_cross_source_contamination joins its key set). The shape "
+    "row is computed FROM the published parquet AT PUBLISH and served "
+    "as an O(1) one-row scan; tests/test_artifact_summaries.py "
+    "recounts the full artifact and asserts agreement. sum_doc_hits "
+    "and the instance counts are content-sensitive checksums.",
+)
+def text_blocks_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: the block cut + (source, block) aggregate runs at
+    most once per fixture; steady-state serves are a one-row scan of
+    the published shape summary."""
+    import os
+
+    from ..operators.artifacts import serve_summary_at_rest
+
+    def build() -> DataFrame:
+        blocks = _spark_blocks(load_fixture(spark, sf_dir, "documents"))
+        return blocks.groupBy("source", "block").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_inst"),
+            F.countDistinct("doc_id").cast("bigint").alias("nd"),
+        )
+
+    return serve_summary_at_rest(
+        spark,
+        "text_blocks",
+        os.path.join(sf_dir, "documents.parquet"),
+        _BLOCKS_BUILD_VERSION,
+        _BLOCKS_SPEC,
+        build,
+        _blocks_shape_summary,
+    )
+
+
 @register(
     "text_source_boilerplate_share",
     oracle=f"""
@@ -2645,15 +2780,12 @@ def _spark_blocks(docs: DataFrame) -> DataFrame:
     "counts; share is half-away micro under HUGEINT/DECIMAL(38,0).",
 )
 def text_source_boilerplate_share(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scale shape: one (source, block) shuffle with map-side combine
-    (documents travel once, already cut into blocks), then a
-    |sources|-row rollup. At 100 TB the block key shuffles as md5 — the
-    paragraph_dedup note."""
-    blocks = _spark_blocks(load_fixture(spark, sf_dir, "documents"))
-    occ = blocks.groupBy("source", "block").agg(
-        F.count(F.lit(1)).alias("n_inst"),
-        F.countDistinct("doc_id").alias("nd"),
-    )
+    """Scale shape: the (source, block) aggregate is served from the
+    at-rest block-occ artifact (built once per fixture — r12, the stage
+    was 74% of this query's cost); what remains is a |sources|-row
+    rollup over the artifact scan. At 100 TB the block key shuffles as
+    md5 — the paragraph_dedup note."""
+    occ = _blocks_occ_at_rest(spark, sf_dir)
     return occ.groupBy("source").agg(
         F.sum("n_inst").cast("bigint").alias("n_blocks"),
         F.count(F.lit(1)).cast("bigint").alias("n_distinct_blocks"),
@@ -2706,12 +2838,13 @@ def text_source_boilerplate_share(spark: SparkSession, sf_dir: str) -> DataFrame
     "algebra; ratios are half-away micro under HUGEINT/DECIMAL(38,0).",
 )
 def text_cross_source_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scale shape: one (source, block) distinct shuffle, a block-key
-    equi-join emitting only co-occurring source pairs (never the
-    |sources|^2 cross), a broadcast size join on the |sources|-row
-    relation."""
-    blocks = _spark_blocks(load_fixture(spark, sf_dir, "documents"))
-    blk = blocks.select("source", "block").distinct()
+    """Scale shape: the distinct (source, block) relation is the key
+    set of the at-rest block-occ artifact (built once per fixture —
+    r12, the stage was 62% of this query's cost); what remains is the
+    block-key equi-join emitting only co-occurring source pairs (never
+    the |sources|^2 cross) and a broadcast size join on the
+    |sources|-row relation."""
+    blk = _blocks_occ_at_rest(spark, sf_dir).select("source", "block")
     sz = blk.groupBy("source").agg(F.count(F.lit(1)).cast("bigint").alias("nb"))
     a = blk.select(F.col("source").alias("src_a"), "block")
     b = blk.select(F.col("source").alias("src_b"), "block")

@@ -84,6 +84,24 @@ def test_components_summary_agrees_with_artifact(spark, sf_dir):
     )
 
 
+def test_text_blocks_summary_agrees_with_artifact(spark, sf_dir):
+    from cdw_spark.suite.text import _blocks_artifact_dir, _blocks_occ_at_rest
+
+    served = _rows(SPECS["text_blocks_materialize"].fn(spark, sf_dir))
+    occ = _blocks_occ_at_rest(spark, sf_dir)
+    recounted = (
+        occ.count(),
+        occ.select("source").distinct().count(),
+        occ.agg(F.sum("n_inst")).collect()[0][0],
+        occ.agg(F.sum("nd")).collect()[0][0],
+        occ.filter(F.col("nd") >= 2).agg(F.sum("n_inst")).collect()[0][0],
+    )
+    assert served == [recounted]
+    assert os.path.exists(
+        os.path.join(_blocks_artifact_dir(sf_dir), "_summary", "_SUCCESS")
+    )
+
+
 def test_materialize_serves_summary_not_recount(spark, sf_dir):
     """Steady-state materialize plans must scan <artifact>/_summary and
     carry NO aggregate over the full relation (the recount moved to
@@ -91,11 +109,13 @@ def test_materialize_serves_summary_not_recount(spark, sf_dir):
     from cdw_spark.suite.dedup import _components_artifact_dir
     from cdw_spark.suite.recsys import _recs_artifact_dir
     from cdw_spark.suite.similarity import _knn_artifact_dir
+    from cdw_spark.suite.text import _blocks_artifact_dir
 
     for name, art in (
         ("graph_knn_materialize", _knn_artifact_dir(sf_dir)),
         ("recs_lists_materialize", _recs_artifact_dir(sf_dir)),
         ("dedup_components_materialize", _components_artifact_dir(sf_dir)),
+        ("text_blocks_materialize", _blocks_artifact_dir(sf_dir)),
     ):
         df = SPECS[name].fn(spark, sf_dir)  # ensures published
         files = df.inputFiles()

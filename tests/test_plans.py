@@ -629,3 +629,26 @@ def test_recs_family_scans_at_rest_artifact(spark, sf_dir):
         assert art in plan or "ExistingRDD" in plan, (
             f"{name} does not scan the at-rest artifact"
         )
+
+
+def test_text_blocks_family_scans_at_rest_artifact(spark, sf_dir):
+    """VERDICT r11 #4: the two 8-word block audits must READ the at-rest
+    (source, block, n_inst, nd) artifact, not re-run the block cut +
+    (source, block) aggregate per query (the r12 profile measured the
+    stage at 62-74% of both consumers). The build's plan hallmark is the
+    array_join inside the block-cut transform; a consumer plan that
+    contains it is rebuilding."""
+    from cdw_spark.suite.text import _blocks_artifact_dir
+
+    art = _blocks_artifact_dir(sf_dir)
+    SPECS["text_blocks_materialize"].fn(spark, sf_dir).collect()
+    for name in (
+        "text_blocks_materialize",
+        "text_source_boilerplate_share",
+        "text_cross_source_contamination",
+    ):
+        plan = _plan(SPECS[name].fn(spark, sf_dir))
+        assert "array_join" not in plan, f"{name} re-runs the block cut"
+        assert art in plan or "ExistingRDD" in plan, (
+            f"{name} does not scan the at-rest artifact"
+        )
