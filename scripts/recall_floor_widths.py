@@ -77,39 +77,52 @@ def main() -> None:
         spark.createDataFrame(extra, "vec_id long, v array<double>")
     )
 
+    from cdw_spark.operators.similarity import (
+        hamming_ball_masks,
+        verification_radius,
+    )
+
     flip_p = THETA / math.pi
     print(f"n = {n} corpus + {N_PLANT} planted pairs, theta = {THETA}")
-    print("| width | recall@h<=3 | binom floor | band cand/vec |")
-    print("|---|---|---|---|")
+    print(
+        "| width | r(w) | recall@h<=3 | recall@h<=r | floor@3 | floor@r "
+        "| band cand/vec @r |"
+    )
+    print("|---|---|---|---|---|---|---|")
     for w in WIDTHS:
+        r_w = verification_radius(w)
         sigs = {
             r.vec_id: r.sig
             for r in with_signature(big, "v", dim, "sig", w)
             .select("vec_id", "sig")
             .collect()
         }
-        hits = sum(
-            1
-            for a, b in planted
-            if bin(sigs[a] ^ sigs[b]).count("1") <= 3
+        hits3 = sum(
+            1 for a, b in planted if bin(sigs[a] ^ sigs[b]).count("1") <= 3
         )
-        # two-band multi-index occupancy: a probe meets every corpus row
-        # sharing either band key (radius-<=1 sub-ball per band)
+        hits_r = sum(
+            1 for a, b in planted if bin(sigs[a] ^ sigs[b]).count("1") <= r_w
+        )
+        # two-band multi-index occupancy at the SCHEDULED sub-radii
+        # (r//2 on band 0, r - r//2 - 1 on band 1 — _knn_directed_top3)
         b1 = w - w // 2
         low_mask = (1 << b1) - 1
         cnt_lo = Counter(s & low_mask for s in sigs.values())
         cnt_hi = Counter(s >> b1 for s in sigs.values())
+        r1, r2 = r_w // 2, r_w - r_w // 2 - 1
         total = 0
-        for cnt, width in ((cnt_lo, b1), (cnt_hi, w // 2)):
-            masks = [0] + [1 << i for i in range(width)]
+        for cnt, width, sub_r in ((cnt_lo, b1, r1), (cnt_hi, w // 2, r2)):
+            masks = hamming_ball_masks(width, sub_r)
             total += sum(
                 c * (cnt.get(s ^ m, 0) - (m == 0))
                 for s, c in cnt.items()
                 for m in masks
             )
         print(
-            f"| {w} | {hits / N_PLANT:.3f} | "
-            f"{binom_cdf_le(3, w, flip_p):.3f} | {total / len(sigs):.1f} |",
+            f"| {w} | {r_w} | {hits3 / N_PLANT:.3f} | {hits_r / N_PLANT:.3f}"
+            f" | {binom_cdf_le(3, w, flip_p):.3f}"
+            f" | {binom_cdf_le(r_w, w, flip_p):.3f}"
+            f" | {total / len(sigs):.1f} |",
             flush=True,
         )
     spark.stop()

