@@ -176,6 +176,11 @@ _NEXT_WINDOW_QUEUE: tuple[str, ...] = (
     # (VERDICT r11 #4 — the profile showed the block stage is 62-74%
     # of both block-audit consumers)
     "text_blocks_materialize",
+    # round-12 second wave: blocked rank test, lag-1 serial-correlation
+    # diagnostic, rank-based changepoint localizer
+    "agg_friedman_test",
+    "timeseries_durbin_watson",
+    "timeseries_pettitt_changepoint",
 )
 
 

@@ -9738,3 +9738,333 @@ def agg_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"ROUND({jb}, 6) AS jb_stat",
         f"ROUND({jb}, 6) > CAST(5.991465 AS DOUBLE) AS reject_05",
     )
+
+
+@register(
+    "agg_friedman_test",
+    oracle="""
+    WITH q AS (
+        SELECT user_id, event_type,
+               CAST(floor(CAST(value AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)
+                   AS qv
+        FROM events
+    ),
+    cell AS (
+        SELECT user_id, event_type, CAST(SUM(qv) AS BIGINT) AS v
+        FROM q GROUP BY user_id, event_type
+    ),
+    blocks AS (
+        SELECT user_id FROM cell GROUP BY user_id HAVING COUNT(*) = 5
+    ),
+    c AS (SELECT cell.* FROM cell JOIN blocks USING (user_id)),
+    rk AS (
+        SELECT user_id, event_type,
+               CAST(2 * RANK() OVER (PARTITION BY user_id ORDER BY v)
+                    + COUNT(*) OVER (PARTITION BY user_id, v) - 1
+                    AS BIGINT) AS dr2
+        FROM c
+    ),
+    rj AS (
+        SELECT event_type, CAST(SUM(dr2) AS HUGEINT) AS r2
+        FROM rk GROUP BY event_type
+    ),
+    ties AS (
+        SELECT CAST(SUM(cnt * cnt * cnt - cnt) AS HUGEINT) AS t3
+        FROM (SELECT user_id, v, CAST(COUNT(*) AS HUGEINT) AS cnt
+              FROM c GROUP BY user_id, v)
+    ),
+    nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM blocks),
+    s AS (SELECT CAST(SUM(r2 * r2) AS HUGEINT) AS s2 FROM rj)
+    SELECT n AS n_blocks, CAST(5 AS INTEGER) AS k,
+           ROUND(3.0 * CAST(s2 AS DOUBLE)
+                 / NULLIF(CAST(n AS DOUBLE) * 30.0, 0.0)
+                 - 18.0 * CAST(n AS DOUBLE), 6) AS chi2_friedman,
+           ROUND((3.0 * CAST(s2 AS DOUBLE)
+                  / NULLIF(CAST(n AS DOUBLE) * 30.0, 0.0)
+                  - 18.0 * CAST(n AS DOUBLE))
+                 / NULLIF(1.0 - CAST(t3 AS DOUBLE)
+                          / NULLIF(CAST(n AS DOUBLE) * 120.0, 0.0), 0.0), 6)
+               AS chi2_tie_corrected
+    FROM nb, s, ties
+    """,
+    doc="Friedman test over the five event types as k = 5 related "
+    "treatments on user blocks, response = per-(user, type) micro-"
+    "quantized value sum: the RANK analogue of agg_cochran_q (which "
+    "only sees presence/absence) and the blocked analogue of "
+    "agg_kruskal_wallis — do the five surfaces carry DIFFERENT value "
+    "mass per user, controlling for the user baseline? Only COMPLETE "
+    "blocks (all 5 types present) enter, per the classical design. "
+    "chi2_F = 12/(n k (k+1)) sum_j R_j^2 - 3 n (k+1) with the tie "
+    "correction 1 - sum(t^3 - t)/(n k (k^2-1)); literals 30 = k(k+1), "
+    "120 = k(k^2-1) at k = 5. Within-block average tie ranks ride as "
+    "DOUBLED integers (2*RANK + tie_count - 1, the agg_kruskal_wallis "
+    "discipline), so every R_j is exact under HUGEINT/DECIMAL; the "
+    "statistic is then ONE identical double sequence per engine, "
+    "NULLIF-guarded on n = 0 and the all-tied degenerate.",
+)
+def agg_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: one (user, type) groupBy over the fact table, a
+    k-row-per-block window (partition-parallel, k = 5 bounded), then
+    |types|- and 1-row reduces. The fact table shuffles once."""
+    from pyspark.sql.window import Window
+
+    e = load_fixture(spark, sf_dir, "events")
+    qv = F.floor(F.col("value").cast("double") * F.lit(1000000.0) + F.lit(0.5)).cast(
+        "bigint"
+    )
+    cell = (
+        e.select("user_id", "event_type", qv.alias("qv"))
+        .groupBy("user_id", "event_type")
+        .agg(F.sum("qv").cast("bigint").alias("v"))
+        .localCheckpoint(eager=True)
+    )
+    blocks = cell.groupBy("user_id").agg(F.count(F.lit(1)).alias("kc")).filter(
+        F.col("kc") == 5
+    ).select("user_id")
+    c = cell.join(blocks, "user_id").localCheckpoint(eager=True)
+    rk = c.select(
+        "event_type",
+        (
+            F.lit(2) * F.rank().over(Window.partitionBy("user_id").orderBy("v"))
+            + F.count(F.lit(1)).over(Window.partitionBy("user_id", "v"))
+            - F.lit(1)
+        )
+        .cast("bigint")
+        .alias("dr2"),
+    )
+    rj = rk.groupBy("event_type").agg(F.sum("dr2").cast("decimal(38,0)").alias("r2"))
+    ties = (
+        c.groupBy("user_id", "v")
+        .agg(F.count(F.lit(1)).cast("decimal(19,0)").alias("cnt"))
+        .agg(
+            F.sum(F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt"))
+            .cast("decimal(38,0)")
+            .alias("t3")
+        )
+    )
+    nb = blocks.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    s = rj.agg(F.sum(F.col("r2") * F.col("r2")).cast("decimal(38,0)").alias("s2"))
+    return (
+        nb.crossJoin(F.broadcast(s))
+        .crossJoin(F.broadcast(ties))
+        .selectExpr(
+            "n AS n_blocks",
+            "CAST(5 AS INT) AS k",
+            "ROUND(3.0 * CAST(s2 AS DOUBLE)"
+            " / NULLIF(CAST(n AS DOUBLE) * 30.0, 0.0)"
+            " - 18.0 * CAST(n AS DOUBLE), 6) AS chi2_friedman",
+            "ROUND((3.0 * CAST(s2 AS DOUBLE)"
+            " / NULLIF(CAST(n AS DOUBLE) * 30.0, 0.0)"
+            " - 18.0 * CAST(n AS DOUBLE))"
+            " / NULLIF(1.0 - CAST(t3 AS DOUBLE)"
+            " / NULLIF(CAST(n AS DOUBLE) * 120.0, 0.0), 0.0), 6)"
+            " AS chi2_tie_corrected",
+        )
+    )
+
+
+@register(
+    "timeseries_durbin_watson",
+    oracle="""
+    WITH p AS (
+        SELECT user_id, ts, event_id,
+               CAST(floor(CAST(value AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)
+                   AS q
+        FROM events WHERE event_type = 'purchase'
+    ),
+    o AS (
+        SELECT user_id, q,
+               LAG(q) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pq
+        FROM p
+    ),
+    a AS (
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(q) AS HUGEINT) AS sx,
+               CAST(SUM(CAST(q AS HUGEINT) * q) AS HUGEINT) AS sxx,
+               CAST(SUM(CASE WHEN pq IS NULL THEN 0
+                             ELSE CAST(q - pq AS HUGEINT) * (q - pq) END)
+                    AS HUGEINT) AS sd2
+        FROM o GROUP BY user_id
+    )
+    SELECT user_id, n AS n_obs,
+           CAST((2 * CAST(n AS HUGEINT) * sd2 * 1000000
+                 + (CAST(n AS HUGEINT) * sxx - sx * sx))
+                // NULLIF(2 * (CAST(n AS HUGEINT) * sxx - sx * sx), 0)
+                AS BIGINT) AS dw_micro
+    FROM a WHERE n >= 2
+    """,
+    doc="Durbin-Watson first-order autocorrelation statistic per user "
+    "over purchase values ordered by (ts, event_id): DW = sum(e_t - "
+    "e_{t-1})^2 / sum e_t^2 around the user mean — the lag-1 serial-"
+    "correlation gate (DW ~ 2 = none, -> 0 positive, -> 4 negative) "
+    "that complements timeseries_autocorr_lag1's estimate and "
+    "timeseries_ljung_box's portmanteau with the classic regression-"
+    "residual diagnostic. EXACT rational identity: the mean cancels in "
+    "the numerator differences, so DW = n * sum(dx^2) / (n*sum x^2 - "
+    "(sum x)^2) is a ratio of exact integers over micro-quantized "
+    "values, emitted half-away in micro under HUGEINT/DECIMAL(38,0); "
+    "a constant series NULLs via NULLIF (zero variance), single-"
+    "observation users are excluded (n >= 2) in both engines.",
+)
+def timeseries_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: one user-partitioned window (lag), one per-user
+    reduce — the fact table shuffles once on user_id, everything else
+    is map-side."""
+    from pyspark.sql.window import Window
+
+    e = load_fixture(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    q = F.floor(F.col("value").cast("double") * F.lit(1000000.0) + F.lit(0.5)).cast(
+        "bigint"
+    )
+    o = e.select(
+        "user_id",
+        q.alias("q"),
+        F.lag(q).over(Window.partitionBy("user_id").orderBy("ts", "event_id")).alias(
+            "pq"
+        ),
+    )
+    a = o.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("q").cast("decimal(38,0)").alias("sx"),
+        F.sum(F.expr("CAST(q AS DECIMAL(19,0)) * q")).cast("decimal(38,0)").alias(
+            "sxx"
+        ),
+        F.sum(
+            F.expr(
+                "CASE WHEN pq IS NULL THEN 0"
+                " ELSE CAST(q - pq AS DECIMAL(19,0)) * (q - pq) END"
+            )
+        )
+        .cast("decimal(38,0)")
+        .alias("sd2"),
+    )
+    return a.filter(F.col("n") >= 2).selectExpr(
+        "user_id",
+        "n AS n_obs",
+        "CAST((2 * CAST(n AS DECIMAL(38,0)) * sd2 * 1000000"
+        " + (CAST(n AS DECIMAL(38,0)) * sxx - sx * sx))"
+        " div NULLIF(2 * (CAST(n AS DECIMAL(38,0)) * sxx - sx * sx), 0)"
+        " AS BIGINT) AS dw_micro",
+    )
+
+
+@register(
+    "timeseries_pettitt_changepoint",
+    oracle="""
+    WITH d AS (
+        SELECT date_trunc('day', ts) AS day,
+               CAST(SUM(CAST(floor(CAST(value AS DOUBLE) * 1000000.0 + 0.5)
+                             AS BIGINT)) AS BIGINT) AS x
+        FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    vals AS (SELECT x, CAST(COUNT(*) AS BIGINT) AS cv FROM d GROUP BY x),
+    ranked AS (
+        SELECT x,
+               CAST(2 * SUM(cv) OVER (ORDER BY x
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) - cv + 1 AS BIGINT)
+                   AS dr2
+        FROM vals
+    ),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM d),
+    u AS (
+        SELECT day,
+               CAST(SUM(r.dr2) OVER (ORDER BY day
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS HUGEINT)
+               - CAST(ROW_NUMBER() OVER (ORDER BY day) AS HUGEINT)
+                 * ((SELECT n FROM nn) + 1) AS ut
+        FROM d JOIN ranked r USING (x)
+    ),
+    k AS (SELECT CAST(MAX(abs(ut)) AS BIGINT) AS kstat FROM u)
+    SELECT (SELECT n FROM nn) AS n_days,
+           (SELECT kstat FROM k) AS k_stat,
+           (SELECT MIN(day) FROM u
+            WHERE abs(ut) = (SELECT kstat FROM k)) AS changepoint_day,
+           ROUND(LEAST(1.0, 2.0 * exp(
+               -6.0 * CAST((SELECT kstat FROM k) AS DOUBLE)
+                    * CAST((SELECT kstat FROM k) AS DOUBLE)
+               / (CAST((SELECT n FROM nn) AS DOUBLE)
+                  * CAST((SELECT n FROM nn) AS DOUBLE)
+                  * CAST((SELECT n FROM nn) AS DOUBLE)
+                  + CAST((SELECT n FROM nn) AS DOUBLE)
+                    * CAST((SELECT n FROM nn) AS DOUBLE)))), 6) AS p_approx
+    """,
+    doc="Pettitt changepoint test on the daily purchase-revenue series: "
+    "the rank-based single-changepoint detector (Pettitt 1979) — "
+    "U_t = sum_{i<=t} sum_{j>t} sgn(x_i - x_j), K = max|U_t|, "
+    "change at the argmax (ties -> earliest day), with the standard "
+    "approximation p ~ 2 exp(-6K^2/(n^3+n^2)) — the distribution-free "
+    "complement of timeseries_cusum (mean-shift CUSUM) for level "
+    "breaks a drift monitor must localize. EXACT integer identity via "
+    "average ranks: U_t = sum_{i<=t} dr2_i - t(n+1) where dr2 is the "
+    "DOUBLED average rank (2*cum - c + 1, the agg_kruskal_wallis "
+    "construction), so U_t and K are exact integers under HUGEINT/"
+    "DECIMAL; only the p approximation is double, one identical "
+    "sequence per engine.",
+)
+def timeseries_pettitt_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: one day-grain aggregate over the fact table (the
+    only fact shuffle), then rank + prefix windows over the |days|-row
+    relation — bounded by the calendar at any corpus scale, the same
+    single-ordered-partition justification as the other day-grain
+    timeseries ops."""
+    from pyspark.sql.window import Window
+
+    e = load_fixture(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    q = F.floor(F.col("value").cast("double") * F.lit(1000000.0) + F.lit(0.5)).cast(
+        "bigint"
+    )
+    d = (
+        e.select(F.date_trunc("day", F.col("ts")).alias("day"), q.alias("q"))
+        .groupBy("day")
+        .agg(F.sum("q").cast("bigint").alias("x"))
+        .localCheckpoint(eager=True)
+    )
+    vals = d.groupBy("x").agg(F.count(F.lit(1)).cast("bigint").alias("cv"))
+    wv = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranked = vals.select(
+        "x",
+        (F.lit(2) * F.sum("cv").over(wv) - F.col("cv") + F.lit(1))
+        .cast("bigint")
+        .alias("dr2"),
+    )
+    nn = d.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    wd = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    u = (
+        d.join(ranked, "x")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "day",
+            (
+                F.sum("dr2").over(wd).cast("decimal(38,0)")
+                - F.row_number().over(Window.orderBy("day")).cast("decimal(38,0)")
+                * (F.col("n") + F.lit(1)).cast("decimal(38,0)")
+            ).alias("ut"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    k = u.agg(F.max(F.abs(F.col("ut"))).cast("bigint").alias("kstat"))
+    cp = (
+        u.crossJoin(F.broadcast(k))
+        .filter(F.abs(F.col("ut")) == F.col("kstat"))
+        .agg(F.min("day").alias("changepoint_day"))
+    )
+    return (
+        nn.crossJoin(F.broadcast(k))
+        .crossJoin(F.broadcast(cp))
+        .selectExpr(
+            "n AS n_days",
+            "kstat AS k_stat",
+            "changepoint_day",
+            "ROUND(LEAST(1.0, 2.0 * exp("
+            "-6.0 * CAST(kstat AS DOUBLE) * CAST(kstat AS DOUBLE)"
+            " / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)"
+            " + CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))), 6) AS p_approx",
+        )
+    )

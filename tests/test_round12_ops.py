@@ -1,0 +1,187 @@
+"""Python-reference tests for the round-12 operator waves.
+
+Each test recomputes the statistic independently (plain Python over the
+parquet fixture, no Spark, no shared code with the operator) and
+compares against the registered query's output — the oracle proves
+Spark == DuckDB; these prove both == the textbook definition.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+import duckdb
+import pytest
+
+from cdw_spark.registry import load_all
+
+SPECS = load_all()
+
+
+@pytest.fixture(scope="module")
+def con(sf_dir):
+    c = duckdb.connect()
+    for t in ("documents", "events", "lineitem", "orders", "embeddings",
+              "customer", "nation", "region", "supplier"):
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        c.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    return c
+
+
+def run(spark, sf_dir, name):
+    return SPECS[name].fn(spark, sf_dir).collect()
+
+
+def _half_away(num: int, den: int) -> int:
+    assert num >= 0 and den > 0
+    return (2 * num + den) // (2 * den)
+
+
+def _micro(v: float) -> int:
+    return math.floor(v * 1_000_000.0 + 0.5)
+
+
+# ---------------------------------------------------------------- wave 1
+
+
+def test_text_blocks_materialize_reference(spark, sf_dir, con):
+    """The artifact shape row must equal an independent pure-Python
+    block cut + (source, block) count (the dedup_paragraphs 8-word
+    construction, per source)."""
+    rows = con.execute("SELECT doc_id, source, text FROM documents").fetchall()
+    occ: dict[tuple[str, str], list[int, set]] = {}
+    for doc_id, source, text in rows:
+        ws = text.strip().lower().split()
+        for j in range(math.ceil(len(ws) / 8)):
+            block = " ".join(ws[j * 8 : j * 8 + 8])
+            key = (source, block)
+            if key not in occ:
+                occ[key] = [0, set()]
+            occ[key][0] += 1
+            occ[key][1].add(doc_id)
+    n_keys = len(occ)
+    n_sources = len({s for s, _ in occ})
+    n_inst = sum(c for c, _ in occ.values())
+    doc_hits = sum(len(d) for _, d in occ.values())
+    boiler = sum(c for c, d in occ.values() if len(d) >= 2)
+    (row,) = run(spark, sf_dir, "text_blocks_materialize")
+    assert (
+        row.n_block_keys,
+        row.n_sources,
+        row.n_block_instances,
+        row.sum_doc_hits,
+        row.n_boilerplate_instances,
+    ) == (n_keys, n_sources, n_inst, doc_hits, boiler)
+
+
+# ---------------------------------------------------------------- wave 2
+
+
+def _avg_rank_doubled(values):
+    """Doubled average ranks (2*rank) for a list, ties averaged."""
+    order = sorted(range(len(values)), key=lambda i: values[i])
+    dr2 = [0] * len(values)
+    i = 0
+    while i < len(order):
+        j = i
+        while j < len(order) and values[order[j]] == values[order[i]]:
+            j += 1
+        # ranks i+1..j averaged -> doubled = (i+1) + j
+        for t in range(i, j):
+            dr2[order[t]] = (i + 1) + j
+        i = j
+    return dr2
+
+
+def test_friedman_reference(spark, sf_dir, con):
+    rows = con.execute(
+        "SELECT user_id, event_type, value FROM events"
+    ).fetchall()
+    cells: dict[int, dict[str, int]] = {}
+    for u, t, v in rows:
+        cells.setdefault(u, {})
+        cells[u][t] = cells[u].get(t, 0) + _micro(v)
+    blocks = {u: c for u, c in cells.items() if len(c) == 5}
+    n = len(blocks)
+    types = ["click", "view", "purchase", "signup", "error"]
+    r2 = dict.fromkeys(types, 0)
+    t3 = 0
+    for u, c in blocks.items():
+        vs = [c[t] for t in types]
+        dr2 = _avg_rank_doubled(vs)
+        for t, d in zip(types, dr2):
+            r2[t] += d
+        cnt: dict[int, int] = {}
+        for v in vs:
+            cnt[v] = cnt.get(v, 0) + 1
+        t3 += sum(k**3 - k for k in cnt.values())
+    s2 = sum(v * v for v in r2.values())
+    chi2 = 3.0 * s2 / (n * 30.0) - 18.0 * n
+    corr = 1.0 - t3 / (n * 120.0)
+    (row,) = run(spark, sf_dir, "agg_friedman_test")
+    assert row.n_blocks == n and row.k == 5
+    assert row.chi2_friedman == pytest.approx(chi2, abs=2e-6)
+    assert row.chi2_tie_corrected == pytest.approx(chi2 / corr, abs=2e-6)
+    # the fixture has enough blocks for the test to be meaningful
+    assert n >= 10
+
+
+def test_durbin_watson_reference(spark, sf_dir, con):
+    rows = con.execute(
+        "SELECT user_id, value FROM events WHERE event_type = 'purchase'"
+        " ORDER BY user_id, ts, event_id"
+    ).fetchall()
+    series: dict[int, list[int]] = {}
+    for u, v in rows:
+        series.setdefault(u, []).append(_micro(v))
+    got = {r.user_id: r for r in run(spark, sf_dir, "timeseries_durbin_watson")}
+    want_users = {u for u, xs in series.items() if len(xs) >= 2}
+    assert set(got) == want_users
+    for u in want_users:
+        xs = series[u]
+        n = len(xs)
+        sd2 = sum((a - b) ** 2 for a, b in zip(xs[1:], xs))
+        den = n * sum(x * x for x in xs) - sum(xs) ** 2
+        row = got[u]
+        assert row.n_obs == n
+        if den == 0:
+            assert row.dw_micro is None
+        else:
+            assert row.dw_micro == _half_away(n * sd2 * 1_000_000, den)
+            # DW lives in [0, 4]
+            assert 0 <= row.dw_micro <= 4_000_000
+
+
+def test_pettitt_reference(spark, sf_dir, con):
+    rows = con.execute(
+        "SELECT date_trunc('day', ts) AS day, value FROM events"
+        " WHERE event_type = 'purchase' ORDER BY day"
+    ).fetchall()
+    daily: dict = {}
+    for day, v in rows:
+        daily[day] = daily.get(day, 0) + _micro(v)
+    days = sorted(daily)
+    xs = [daily[d] for d in days]
+    n = len(xs)
+    # U_t from first principles (pairwise sign sums), not via ranks —
+    # the rank identity is what the operator uses, so this is the
+    # independent check that the identity holds on the fixture
+    best_k, best_day = -1, None
+    for t in range(1, n + 1):
+        ut = sum(
+            (1 if xs[i] > xs[j] else -1 if xs[i] < xs[j] else 0)
+            for i in range(t)
+            for j in range(t, n)
+        )
+        if abs(ut) > best_k:
+            best_k, best_day = abs(ut), days[t - 1]
+    p = min(1.0, 2.0 * math.exp(-6.0 * best_k * best_k / (n**3 + n**2)))
+    (row,) = run(spark, sf_dir, "timeseries_pettitt_changepoint")
+    assert row.n_days == n
+    assert row.k_stat == best_k
+    # normalize date vs midnight-timestamp renderings of the same day
+    got_day = getattr(row.changepoint_day, "date", lambda: row.changepoint_day)()
+    want_day = getattr(best_day, "date", lambda: best_day)()
+    assert got_day == want_day
+    assert row.p_approx == pytest.approx(p, abs=2e-6)
