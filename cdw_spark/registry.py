@@ -181,6 +181,11 @@ _NEXT_WINDOW_QUEUE: tuple[str, ...] = (
     "agg_friedman_test",
     "timeseries_durbin_watson",
     "timeseries_pettitt_changepoint",
+    # round-12 third wave: volume-flow confirmation, time-since-extreme
+    # trend gauge, recommendation popularity-bias audit
+    "window_obv",
+    "window_aroon",
+    "recs_item_novelty",
 )
 
 

@@ -10068,3 +10068,232 @@ def timeseries_pettitt_changepoint(spark: SparkSession, sf_dir: str) -> DataFram
             " + CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))), 6) AS p_approx",
         )
     )
+
+
+@register(
+    "window_obv",
+    oracle="""
+    WITH p AS (
+        SELECT user_id, ts,
+               CAST(floor(CAST(value AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)
+                   AS q,
+               epoch_us(ts) // 21600000000 AS hb
+        FROM events WHERE event_type = 'purchase'
+    ),
+    bars AS (
+        SELECT user_id, hb, arg_max(q, ts) AS c,
+               CAST(COUNT(*) AS BIGINT) AS v
+        FROM p GROUP BY user_id, hb
+    ),
+    d AS (
+        SELECT user_id, hb, v,
+               CASE WHEN pc IS NULL OR c = pc THEN 0
+                    WHEN c > pc THEN v ELSE -v END AS sv
+        FROM (SELECT user_id, hb, c, v,
+                     LAG(c) OVER (PARTITION BY user_id ORDER BY hb) AS pc
+              FROM bars)
+    ),
+    o AS (
+        SELECT user_id, sv,
+               CAST(SUM(sv) OVER (PARTITION BY user_id ORDER BY hb
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS BIGINT) AS obv
+        FROM d
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bars,
+           CAST(SUM(sv) AS BIGINT) AS obv_final,
+           CAST(MIN(obv) AS BIGINT) AS obv_min,
+           CAST(MAX(obv) AS BIGINT) AS obv_max
+    FROM o GROUP BY user_id
+    """,
+    doc="On-balance volume per user over the shared 6-hour OHLC bars "
+    "(Granville's accumulation gauge): volume = events per bar, signed "
+    "by the close-to-close direction (+v up, -v down, 0 flat/first), "
+    "cumulated per user — the volume-flow confirmation read beside "
+    "price momentum (window_rsi, window_stochastic_oscillator): a "
+    "rising close series with falling OBV is distribution, not "
+    "accumulation. Close = arg_max by ts (the resample_ohlc "
+    "determinism note). Reports final/min/max of the running OBV and "
+    "the bar count — all exact integers end to end; the flat tie and "
+    "the leading bar contribute 0 identically in both engines.",
+)
+def window_obv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: the bar aggregate (one fact shuffle), one per-user
+    ordered window pair (lag + running sum, partition-parallel), one
+    per-user rollup."""
+    from pyspark.sql.window import Window
+
+    e = load_fixture(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    p = e.select(
+        "user_id",
+        "ts",
+        F.floor(F.col("value").cast("double") * F.lit(1000000.0) + F.lit(0.5))
+        .cast("bigint")
+        .alias("q"),
+        F.expr("unix_micros(ts) div 21600000000").alias("hb"),
+    )
+    bars = p.groupBy("user_id", "hb").agg(
+        F.max_by("q", "ts").alias("c"),
+        F.count(F.lit(1)).cast("bigint").alias("v"),
+    )
+    wo = Window.partitionBy("user_id").orderBy("hb")
+    d = bars.select(
+        "user_id",
+        "hb",
+        "v",
+        F.lag("c").over(wo).alias("pc"),
+        "c",
+    ).select(
+        "user_id",
+        "hb",
+        F.when(
+            F.col("pc").isNull() | (F.col("c") == F.col("pc")), F.lit(0)
+        )
+        .when(F.col("c") > F.col("pc"), F.col("v"))
+        .otherwise(-F.col("v"))
+        .alias("sv"),
+    )
+    o = d.select(
+        "user_id",
+        "sv",
+        F.sum("sv")
+        .over(wo.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("bigint")
+        .alias("obv"),
+    )
+    return o.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bars"),
+        F.sum("sv").cast("bigint").alias("obv_final"),
+        F.min("obv").cast("bigint").alias("obv_min"),
+        F.max("obv").cast("bigint").alias("obv_max"),
+    )
+
+
+@register(
+    "window_aroon",
+    oracle="""
+    WITH p AS (
+        SELECT user_id, ts,
+               CAST(floor(CAST(value AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)
+                   AS q,
+               epoch_us(ts) // 21600000000 AS hb
+        FROM events WHERE event_type = 'purchase'
+    ),
+    bars AS (
+        SELECT user_id, hb, MAX(q) AS h, MIN(q) AS l
+        FROM p GROUP BY user_id, hb
+    ),
+    rn AS (
+        SELECT user_id, hb, h, l,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY hb) AS r
+        FROM bars
+    ),
+    fr AS (
+        SELECT user_id, r,
+               MAX(h * 1048576 + r) OVER w AS mh,
+               MIN(l * 1048576 + (1048575 - r)) OVER w AS ml,
+               COUNT(*) OVER w AS n_in
+        FROM rn
+        WINDOW w AS (PARTITION BY user_id ORDER BY r
+                     ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+    ),
+    a AS (
+        SELECT user_id,
+               CAST((2 * (3 - (r - mh % 1048576)) * 1000000 + 3)
+                    // 6 AS BIGINT) AS up_micro,
+               CAST((2 * (3 - (r - (1048575 - ml % 1048576))) * 1000000 + 3)
+                    // 6 AS BIGINT) AS down_micro
+        FROM fr WHERE n_in = 4
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_evaluated,
+           CAST((2 * CAST(SUM(up_micro) AS HUGEINT) + COUNT(*))
+                // (2 * CAST(COUNT(*) AS HUGEINT)) AS BIGINT)
+               AS mean_up_micro,
+           CAST((2 * CAST(SUM(down_micro) AS HUGEINT) + COUNT(*))
+                // (2 * CAST(COUNT(*) AS HUGEINT)) AS BIGINT)
+               AS mean_down_micro,
+           CAST(SUM(CASE WHEN up_micro > down_micro THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_uptrend,
+           CAST(SUM(CASE WHEN down_micro > up_micro THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_downtrend
+    FROM a GROUP BY user_id
+    """,
+    doc="Aroon indicator per user over the shared 6-hour OHLC bars, "
+    "trailing 4-bar window (incl. current): aroon_up = (k-1 - "
+    "bars_since_highest_high)/(k-1), aroon_down likewise from the "
+    "lowest low — the time-since-extreme trend gauge beside Donchian's "
+    "level rule (Donchian says WHERE the range is, Aroon says HOW "
+    "RECENTLY it was set). Recency ties break to the MOST RECENT "
+    "extreme in both engines via an integer position encoding "
+    "(h*2^20 + rn maximized / l*2^20 + (2^20-1-rn) minimized — exact "
+    "while bar highs stay under ~8.7e12 micro and per-user bar counts "
+    "under 2^20; the fixture is orders of magnitude inside both, and "
+    "a larger deployment re-blocks rn per window). Only full 4-bar "
+    "windows are evaluated. Quarter-position values are exact "
+    "half-away micro ((2*(3-s)*1e6+3) div 6); per-user means re-round "
+    "the identical integer sums. No doubles anywhere.",
+)
+def window_aroon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: the bar aggregate (one fact shuffle), one per-user
+    ordered window with a bounded 4-row frame, one per-user rollup."""
+    from pyspark.sql.window import Window
+
+    e = load_fixture(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    p = e.select(
+        "user_id",
+        F.floor(F.col("value").cast("double") * F.lit(1000000.0) + F.lit(0.5))
+        .cast("bigint")
+        .alias("q"),
+        F.expr("unix_micros(ts) div 21600000000").alias("hb"),
+    )
+    bars = p.groupBy("user_id", "hb").agg(
+        F.max("q").alias("h"), F.min("q").alias("l")
+    )
+    rn = bars.select(
+        "user_id",
+        "h",
+        "l",
+        F.row_number()
+        .over(Window.partitionBy("user_id").orderBy("hb"))
+        .alias("r"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("r")
+        .rowsBetween(-3, 0)
+    )
+    fr = rn.select(
+        "user_id",
+        "r",
+        F.max(F.col("h") * F.lit(1048576) + F.col("r")).over(w).alias("mh"),
+        F.min(F.col("l") * F.lit(1048576) + (F.lit(1048575) - F.col("r")))
+        .over(w)
+        .alias("ml"),
+        F.count(F.lit(1)).over(w).alias("n_in"),
+    )
+    a = fr.filter(F.col("n_in") == 4).selectExpr(
+        "user_id",
+        "CAST((2 * (3 - (r - mh % 1048576)) * 1000000 + 3)"
+        " div 6 AS BIGINT) AS up_micro",
+        "CAST((2 * (3 - (r - (1048575 - ml % 1048576))) * 1000000 + 3)"
+        " div 6 AS BIGINT) AS down_micro",
+    )
+    return a.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_evaluated"),
+        F.expr(
+            "CAST((2 * CAST(SUM(up_micro) AS DECIMAL(38,0)) + COUNT(*))"
+            " div (2 * CAST(COUNT(*) AS DECIMAL(38,0))) AS BIGINT)"
+        ).alias("mean_up_micro"),
+        F.expr(
+            "CAST((2 * CAST(SUM(down_micro) AS DECIMAL(38,0)) + COUNT(*))"
+            " div (2 * CAST(COUNT(*) AS DECIMAL(38,0))) AS BIGINT)"
+        ).alias("mean_down_micro"),
+        F.sum(F.when(F.col("up_micro") > F.col("down_micro"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_uptrend"),
+        F.sum(F.when(F.col("down_micro") > F.col("up_micro"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_downtrend"),
+    )

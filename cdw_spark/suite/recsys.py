@@ -653,3 +653,125 @@ def recs_popularity_baseline_eval(spark: SparkSession, sf_dir: str) -> DataFrame
         " div (2 * CAST(n_baskets AS DECIMAL(38,0))) AS BIGINT)"
         " AS hit_rate_micro",
     )
+
+
+@register(
+    "recs_item_novelty",
+    oracle=f"""
+    WITH b AS (
+        SELECT DISTINCT l_orderkey AS ok, l_partkey AS item FROM lineitem
+    ),
+    kept AS (
+        SELECT ok FROM b GROUP BY ok HAVING COUNT(*) <= {BASKET_CAP}
+    ),
+    bk AS (SELECT b.ok, b.item FROM b JOIN kept USING (ok)),
+    cnt AS (SELECT item, CAST(COUNT(*) AS BIGINT) AS c FROM bk GROUP BY item),
+    nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM kept),
+    co AS (
+        SELECT a.item AS ia, bb.item AS ib, COUNT(*) AS together
+        FROM bk a JOIN bk bb ON a.ok = bb.ok AND a.item < bb.item
+        GROUP BY a.item, bb.item
+        HAVING COUNT(*) >= {MIN_TOGETHER}
+    ),
+    sym AS (
+        SELECT ia AS item, ib AS neighbor, together FROM co
+        UNION ALL
+        SELECT ib AS item, ia AS neighbor, together FROM co
+    ),
+    scored AS (
+        SELECT s.item, s.neighbor,
+               CAST(s.together AS DOUBLE)
+                   / sqrt(CAST(ca.c AS DOUBLE) * CAST(cb.c AS DOUBLE)) AS cos
+        FROM sym s
+        JOIN cnt ca ON ca.item = s.item
+        JOIN cnt cb ON cb.item = s.neighbor
+    ),
+    lists AS (
+        SELECT item, neighbor FROM (
+            SELECT item, neighbor,
+                   ROW_NUMBER() OVER (PARTITION BY item
+                                      ORDER BY ROUND(cos, 9) DESC, neighbor)
+                       AS rk
+            FROM scored
+        ) WHERE rk <= {TOP_NEIGHBORS}
+    ),
+    nov AS (
+        SELECT CAST(ROUND((ln(CAST((SELECT n FROM nb) AS DOUBLE))
+                           - ln(CAST(cnt.c AS DOUBLE)))
+                          / CAST(0.6931471805599453 AS DOUBLE), 9)
+                    AS DECIMAL(18,9)) AS bits,
+               cnt.c AS c
+        FROM lists JOIN cnt ON cnt.item = lists.neighbor
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_list_rows,
+           ROUND(CAST(SUM(bits) AS DOUBLE) / COUNT(*), 6)
+               AS mean_novelty_bits,
+           CAST((2 * CAST(SUM(c) AS HUGEINT) * 1000000
+                 + COUNT(*) * (SELECT n FROM nb))
+                // (2 * CAST(COUNT(*) AS HUGEINT) * (SELECT n FROM nb))
+                AS BIGINT) AS mean_pop_micro
+    FROM nov
+    """,
+    doc="Catalog novelty of the recommendation lists: the mean self-"
+    "information -log2 pop(j) of recommended neighbors, pop(j) = "
+    "basket share of j among kept baskets (Vargas & Castells 2011's "
+    "novelty axis — the popularity-bias audit read BESIDE the "
+    "accuracy evals: a recommender can beat the popularity baseline "
+    "on hit rate while recommending nothing but head items; this "
+    "measures exactly that). Consumes the at-rest co-occurrence list "
+    "artifact like the other recsys evals; popularity comes from the "
+    "identical kept-basket relation the lists were built from. Each "
+    "neighbor's bits = (ln n - ln c)/ln2 is one identical double "
+    "sequence per engine, rounded 9 dp and DECIMAL-summed order-"
+    "independently; the mean popularity is exact half-away micro "
+    "(sum c over rows*n) under HUGEINT/DECIMAL(38,0).",
+)
+def recs_item_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: the list relation is an at-rest artifact scan; the
+    popularity relation is one |items|-row aggregate broadcast into
+    the |items|*3-row join; one 1-row reduce."""
+    li = load_fixture(spark, sf_dir, "lineitem")
+    b = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("item")
+    ).distinct()
+    kept = (
+        b.groupBy("ok")
+        .agg(F.count(F.lit(1)).alias("bs"))
+        .filter(F.col("bs") <= BASKET_CAP)
+        .select("ok")
+        # two consumers below (the semi-join and the basket count);
+        # truncating here also lets the (ok, item) exchange feeding the
+        # groupBy be reused for the semi-join probe
+        .localCheckpoint(eager=True)
+    )
+    cnt = (
+        b.join(kept, "ok", "left_semi")
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    nb = kept.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    lists = _recs_lists_at_rest(spark, sf_dir).select(
+        F.col("neighbor").alias("item")
+    )
+    nov = (
+        lists.join(F.broadcast(cnt), "item")
+        .crossJoin(F.broadcast(nb))
+        .selectExpr(
+            "CAST(ROUND((ln(CAST(n AS DOUBLE)) - ln(CAST(c AS DOUBLE)))"
+            " / CAST(0.6931471805599453 AS DOUBLE), 9) AS DECIMAL(18,9))"
+            " AS bits",
+            "c",
+            "n",
+        )
+    )
+    return nov.groupBy("n").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_list_rows"),
+        F.expr("ROUND(CAST(SUM(bits) AS DOUBLE) / COUNT(*), 6)").alias(
+            "mean_novelty_bits"
+        ),
+        F.expr(
+            "CAST((2 * CAST(SUM(c) AS DECIMAL(38,0)) * 1000000"
+            " + COUNT(*) * n)"
+            " div (2 * CAST(COUNT(*) AS DECIMAL(38,0)) * n) AS BIGINT)"
+        ).alias("mean_pop_micro"),
+    ).drop("n")

@@ -185,3 +185,109 @@ def test_pettitt_reference(spark, sf_dir, con):
     want_day = getattr(best_day, "date", lambda: best_day)()
     assert got_day == want_day
     assert row.p_approx == pytest.approx(p, abs=2e-6)
+
+
+# ---------------------------------------------------------------- wave 3
+
+
+def _bars(con, cols="arg_max(q, ts) AS c, COUNT(*) AS v"):
+    return con.execute(
+        "WITH p AS (SELECT user_id, ts,"
+        " CAST(floor(CAST(value AS DOUBLE)*1000000.0+0.5) AS BIGINT) AS q,"
+        " epoch_us(ts) // 21600000000 AS hb"
+        " FROM events WHERE event_type='purchase')"
+        f" SELECT user_id, hb, {cols} FROM p GROUP BY user_id, hb"
+        " ORDER BY user_id, hb"
+    ).fetchall()
+
+
+def test_obv_reference(spark, sf_dir, con):
+    rows = _bars(con)
+    got = {r.user_id: r for r in run(spark, sf_dir, "window_obv")}
+    series: dict[int, list] = {}
+    for u, hb, c, v in rows:
+        series.setdefault(u, []).append((c, v))
+    assert set(got) == set(series)
+    for u, bars in series.items():
+        obv, prev, mn, mx = 0, None, 0, 0
+        for c, v in bars:
+            if prev is not None and c != prev:
+                obv += v if c > prev else -v
+            prev = c
+            mn, mx = min(mn, obv), max(mx, obv)
+        row = got[u]
+        assert (row.n_bars, row.obv_final, row.obv_min, row.obv_max) == (
+            len(bars), obv, mn, mx,
+        )
+
+
+def test_aroon_reference(spark, sf_dir, con):
+    rows = _bars(con, cols="MAX(q) AS h, MIN(q) AS l")
+    got = {r.user_id: r for r in run(spark, sf_dir, "window_aroon")}
+    series: dict[int, list] = {}
+    for u, hb, h, lo in rows:
+        series.setdefault(u, []).append((h, lo))
+    for u, bars in series.items():
+        ups, downs = [], []
+        for i in range(3, len(bars)):
+            win = bars[i - 3 : i + 1]
+            # most-recent extreme (max index among ties)
+            hs = [b[0] for b in win]
+            ls = [b[1] for b in win]
+            since_h = 3 - max(j for j in range(4) if hs[j] == max(hs))
+            since_l = 3 - max(j for j in range(4) if ls[j] == min(ls))
+            ups.append(_half_away((3 - since_h) * 1_000_000, 3))
+            downs.append(_half_away((3 - since_l) * 1_000_000, 3))
+        if not ups:
+            assert u not in got
+            continue
+        row = got[u]
+        assert row.n_evaluated == len(ups)
+        assert row.mean_up_micro == _half_away(sum(ups), len(ups))
+        assert row.mean_down_micro == _half_away(sum(downs), len(downs))
+        assert row.n_uptrend == sum(1 for a, b in zip(ups, downs) if a > b)
+        assert row.n_downtrend == sum(1 for a, b in zip(ups, downs) if b > a)
+
+
+def test_item_novelty_reference(spark, sf_dir, con):
+    """Novelty from first principles: rebuild baskets + top-3 cosine
+    lists in python, then mean -log2 popularity of neighbors."""
+    rows = con.execute(
+        "SELECT DISTINCT l_orderkey, l_partkey FROM lineitem"
+    ).fetchall()
+    baskets: dict[int, set] = {}
+    for ok, it in rows:
+        baskets.setdefault(ok, set()).add(it)
+    kept = {ok: its for ok, its in baskets.items() if len(its) <= 32}
+    n = len(kept)
+    cnt: dict[int, int] = {}
+    for its in kept.values():
+        for it in its:
+            cnt[it] = cnt.get(it, 0) + 1
+    pair: dict[tuple, int] = {}
+    for its in kept.values():
+        s = sorted(its)
+        for i, a in enumerate(s):
+            for b in s[i + 1 :]:
+                pair[(a, b)] = pair.get((a, b), 0) + 1
+    neigh: dict[int, list] = {}
+    for (a, b), t in pair.items():
+        if t < 2:
+            continue
+        cos = t / math.sqrt(cnt[a] * cnt[b])
+        neigh.setdefault(a, []).append((-round(cos, 9), b))
+        neigh.setdefault(b, []).append((-round(cos, 9), a))
+    bits_sum, c_sum, rows_n = 0, 0, 0
+    for a, cands in neigh.items():
+        for _, b in sorted(cands)[:3]:
+            rows_n += 1
+            c_sum += cnt[b]
+            bits_sum += round(
+                (math.log(n) - math.log(cnt[b])) / 0.6931471805599453, 9
+            )
+    (row,) = run(spark, sf_dir, "recs_item_novelty")
+    assert row.n_list_rows == rows_n
+    assert row.mean_novelty_bits == pytest.approx(bits_sum / rows_n, abs=2e-6)
+    assert row.mean_pop_micro == _half_away(c_sum * 1_000_000, rows_n * n)
+    # novelty must exceed 0 (neighbors are never in every basket)
+    assert row.mean_novelty_bits > 0
