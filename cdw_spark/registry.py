@@ -186,6 +186,11 @@ _NEXT_WINDOW_QUEUE: tuple[str, ...] = (
     "window_obv",
     "window_aroon",
     "recs_item_novelty",
+    # round-12 fourth wave: transport-cost distribution distance,
+    # week-over-week binless drift profile, OCR/mojibake scorer
+    "agg_wasserstein_1d",
+    "events_weekly_ks_drift",
+    "text_ocr_garbage_score",
 )
 
 

@@ -10297,3 +10297,233 @@ def window_aroon(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_downtrend"),
     )
+
+
+@register(
+    "agg_wasserstein_1d",
+    oracle="""
+    WITH q AS (
+        SELECT event_type,
+               CAST(floor(CAST(value AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)
+                   AS x
+        FROM events WHERE event_type IN ('purchase', 'click')
+    ),
+    vals AS (
+        SELECT x,
+               CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS ca,
+               CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS cb
+        FROM q GROUP BY x
+    ),
+    cum AS (
+        SELECT x,
+               SUM(ca) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS a1,
+               SUM(cb) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS a2,
+               LEAD(x) OVER (ORDER BY x) AS nx
+        FROM vals
+    ),
+    tot AS (
+        SELECT CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(cb) AS BIGINT) AS nb
+        FROM vals
+    ),
+    s AS (
+        SELECT CAST(SUM(abs(c.a1 * t.nb - c.a2 * t.na)
+                        * CAST(c.nx - c.x AS HUGEINT)) AS HUGEINT) AS num
+        FROM cum c CROSS JOIN tot t WHERE c.nx IS NOT NULL
+    )
+    SELECT t.na AS n_purchase, t.nb AS n_click,
+           CAST((2 * s.num + CAST(t.na AS HUGEINT) * t.nb)
+                // (2 * CAST(t.na AS HUGEINT) * t.nb) AS BIGINT)
+               AS wasserstein_micro
+    FROM s CROSS JOIN tot t
+    """,
+    doc="1-D Wasserstein (earth-mover) distance between purchase and "
+    "click value distributions: W1 = integral |F_a - F_b| dx over the "
+    "pooled micro-quantized support — the transport-cost companion of "
+    "agg_ks_two_sample (KS reports the worst POINT gap; W1 weighs gap "
+    "BY HOW MUCH value-mass must move, the metric of distribution "
+    "shift used for dataset drift). EXACT rational identity: on "
+    "integer support, W1 = sum over support steps of |a1*nb - a2*na| "
+    "* gap / (na*nb), so the numerator is an exact HUGEINT/DECIMAL "
+    "sum and the result is half-away micro (in micro value units — "
+    "wasserstein_micro = micro^2 of raw value over micro denominator "
+    "= the distance in the same micro units as the quantization). "
+    "Overflow headroom: |a1*nb| <= na*nb and gaps sum to the support "
+    "range, so num <= na*nb*range ~ 1e8*5e8 ~ 5e16 at sf0.1 — 10^21 "
+    "under the DECIMAL(38,0) ceiling.",
+)
+def agg_wasserstein_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: one groupBy on the quantized value, exact running
+    counts via two_level_cumsum (no single-partition sort), the
+    next-support gap via a rank equi-join (rank+1), a 1-row reduce."""
+    from ..operators.stats import two_level_cumsum
+
+    e = load_fixture(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "click")
+    )
+    x = F.floor(F.col("value").cast("double") * F.lit(1000000.0) + F.lit(0.5)).cast(
+        "bigint"
+    )
+    vals = (
+        e.select("event_type", x.alias("x"))
+        .groupBy("x")
+        .agg(
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+            .cast("bigint")
+            .alias("ca"),
+            F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+            .cast("bigint")
+            .alias("cb"),
+        )
+        .withColumn("one", F.lit(1))
+        .localCheckpoint(eager=True)
+    )
+    cum = two_level_cumsum(vals, [], "x", [], {"a1": "ca", "a2": "cb", "rk": "one"})
+    nxt = cum.select((F.col("rk") - F.lit(1)).alias("rk"), F.col("x").alias("nx"))
+    stepped = cum.join(nxt, "rk").select("x", "nx", "a1", "a2")
+    tot = vals.agg(
+        F.sum("ca").cast("bigint").alias("na"),
+        F.sum("cb").cast("bigint").alias("nb"),
+    )
+    s = stepped.crossJoin(F.broadcast(tot)).agg(
+        F.sum(
+            F.expr(
+                "abs(CAST(a1 AS DECIMAL(19,0)) * nb"
+                " - CAST(a2 AS DECIMAL(19,0)) * na)"
+                " * CAST(nx - x AS DECIMAL(19,0))"
+            )
+        )
+        .cast("decimal(38,0)")
+        .alias("num")
+    )
+    return s.crossJoin(F.broadcast(tot)).selectExpr(
+        "na AS n_purchase",
+        "nb AS n_click",
+        "CAST((2 * num + CAST(na AS DECIMAL(38,0)) * nb)"
+        " div (2 * CAST(na AS DECIMAL(38,0)) * nb) AS BIGINT)"
+        " AS wasserstein_micro",
+    )
+
+
+@register(
+    "events_weekly_ks_drift",
+    oracle="""
+    WITH e AS (
+        SELECT epoch_us(ts) // 604800000000 AS wk, value AS v
+        FROM events WHERE event_type = 'purchase'
+    ),
+    sides AS (
+        SELECT wk + 1 AS p, v, 1 AS s FROM e
+        UNION ALL
+        SELECT wk AS p, v, 2 AS s FROM e
+    ),
+    vals AS (
+        SELECT p, v,
+               CAST(SUM(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+               CAST(SUM(CASE WHEN s = 2 THEN 1 ELSE 0 END) AS BIGINT) AS c2
+        FROM sides GROUP BY p, v
+    ),
+    cum AS (
+        SELECT p,
+               SUM(c1) OVER (PARTITION BY p ORDER BY v
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS a1,
+               SUM(c2) OVER (PARTITION BY p ORDER BY v
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS a2
+        FROM vals
+    ),
+    tot AS (
+        SELECT p, CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c2) AS BIGINT) AS n2
+        FROM vals GROUP BY p
+    ),
+    d AS (
+        SELECT c.p, MAX(abs(c.a1 * t.n2 - c.a2 * t.n1)) AS dnum
+        FROM cum c JOIN tot t USING (p) GROUP BY c.p
+    )
+    SELECT d.p AS week_bucket, t.n1 AS n_prev, t.n2 AS n_cur,
+           CAST((2 * CAST(d.dnum AS HUGEINT) * 1000000
+                 + CAST(t.n1 AS HUGEINT) * t.n2)
+                // (2 * CAST(t.n1 AS HUGEINT) * t.n2) AS BIGINT) AS d_micro,
+           ROUND(sqrt(CAST(t.n1 AS DOUBLE) * CAST(t.n2 AS DOUBLE)
+                      / (CAST(t.n1 AS DOUBLE) + CAST(t.n2 AS DOUBLE)))
+                 * CAST(d.dnum AS DOUBLE)
+                 / (CAST(t.n1 AS DOUBLE) * CAST(t.n2 AS DOUBLE)), 6) AS ks_z
+    FROM d JOIN tot t USING (p)
+    WHERE t.n1 > 0 AND t.n2 > 0
+    """,
+    doc="Week-over-week KS drift profile of purchase values: for every "
+    "consecutive epoch-week pair, the two-sample Kolmogorov-Smirnov D "
+    "between last week's and this week's value distribution — the "
+    "BINLESS temporal-drift monitor beside profile_psi_drift's binned "
+    "PSI (PSI needs reference buckets and saturates on tail moves; KS "
+    "is distribution-free) and the batch twin of "
+    "stream_drift_chi_square. Each event feeds exactly two pairs (as "
+    "prev of week w+1, as cur of week w); boundary pairs with an "
+    "empty side are dropped in both engines. Same exact-integer "
+    "discipline as agg_ks_two_sample: D = max|a1*n2 - a2*n1| over the "
+    "common denominator, half-away micro; only the sqrt normalization "
+    "is double, one identical sequence per engine. Epoch weeks "
+    "(604800e6 us) are TZ-free.",
+)
+def events_weekly_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: one union projection of the fact table, one
+    (pair, value) groupBy, per-pair exact running counts via
+    two_level_cumsum (partitioned by pair — no single-partition sort),
+    a |pairs|-row join + rollup."""
+    from ..operators.stats import two_level_cumsum
+
+    e = load_fixture(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    base = e.select(
+        F.expr("unix_micros(ts) div 604800000000").alias("wk"), F.col("value").alias("v")
+    )
+    sides = base.select(
+        (F.col("wk") + F.lit(1)).alias("p"), "v", F.lit(1).alias("s")
+    ).unionAll(base.select(F.col("wk").alias("p"), "v", F.lit(2).alias("s")))
+    vals = (
+        sides.groupBy("p", "v")
+        .agg(
+            F.sum(F.when(F.col("s") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("c1"),
+            F.sum(F.when(F.col("s") == 2, 1).otherwise(0))
+            .cast("bigint")
+            .alias("c2"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    cum = two_level_cumsum(vals, ["p"], "v", [], {"a1": "c1", "a2": "c2"})
+    tot = vals.groupBy("p").agg(
+        F.sum("c1").cast("bigint").alias("n1"),
+        F.sum("c2").cast("bigint").alias("n2"),
+    )
+    d = (
+        cum.join(F.broadcast(tot), "p")
+        .groupBy("p")
+        .agg(
+            F.max(
+                F.abs(F.col("a1") * F.col("n2") - F.col("a2") * F.col("n1"))
+            ).alias("dnum")
+        )
+    )
+    return (
+        d.join(F.broadcast(tot), "p")
+        .filter((F.col("n1") > 0) & (F.col("n2") > 0))
+        .selectExpr(
+            "p AS week_bucket",
+            "n1 AS n_prev",
+            "n2 AS n_cur",
+            "CAST((2 * CAST(dnum AS DECIMAL(38,0)) * 1000000"
+            " + CAST(n1 AS DECIMAL(38,0)) * n2)"
+            " div (2 * CAST(n1 AS DECIMAL(38,0)) * n2) AS BIGINT) AS d_micro",
+            "ROUND(sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)"
+            " / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)))"
+            " * CAST(dnum AS DOUBLE)"
+            " / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)), 6) AS ks_z",
+        )
+    )

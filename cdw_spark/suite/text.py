@@ -3083,3 +3083,101 @@ def text_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST((2 * CAST(n_tokens AS DECIMAL(19,0)) * (n_tokens - 1) * 1000000"
         " + ss) div NULLIF(2 * ss, 0) AS BIGINT) AS effective_types_micro",
     )
+
+
+@register(
+    "text_ocr_garbage_score",
+    oracle="""
+    WITH s AS (
+        SELECT doc_id, lower(text) AS t, CAST(len(text) AS BIGINT) AS n
+        FROM documents
+    ),
+    m AS (
+        SELECT doc_id, n,
+               CAST(n - len(translate(t, 'abcdefghijklmnopqrstuvwxyz', ''))
+                    AS BIGINT) AS letters,
+               CAST(n - len(translate(t, 'aeiou', '')) AS BIGINT) AS vowels,
+               CAST(len(translate(t,
+                   'abcdefghijklmnopqrstuvwxyz0123456789 '
+                   || chr(9) || chr(10) || chr(13) || chr(11) || chr(12),
+                   '')) AS BIGINT) AS symbols,
+               regexp_matches(t, '[b-df-hj-np-tv-z]{8}')
+                   AS has_consonant_run8
+        FROM s
+    )
+    SELECT doc_id, n AS n_chars_raw, symbols AS n_symbols,
+           has_consonant_run8,
+           CAST((2 * CAST(symbols AS HUGEINT) * 1000000 + n)
+                // NULLIF(2 * CAST(n AS HUGEINT), 0) AS BIGINT)
+               AS symbol_ratio_micro,
+           CAST((2 * CAST(vowels AS HUGEINT) * 1000000 + letters)
+                // NULLIF(2 * CAST(letters AS HUGEINT), 0) AS BIGINT)
+               AS vowel_ratio_micro,
+           (n > 0 AND (20 * symbols > n OR has_consonant_run8
+                       OR letters = 0 OR 5 * vowels < letters))
+               AS is_garbage
+    FROM m
+    """,
+    doc="OCR/mojibake garbage scorer per document — the rule-based "
+    "non-linguistic-text detector of the curation ladder (beside the "
+    "statistical quality_* family: OCR noise shows up as symbol "
+    "density, vowel-starved letter runs and long consonant clusters "
+    "before any model or language profile notices): symbol share "
+    "(chars outside [a-z0-9 whitespace] after lowercasing), vowel "
+    "share of letters, and a consonant-run-of-8 detector. Garbage iff "
+    "symbols > 5% of chars, a consonant run >= 8, no letters at all, "
+    "or vowels < 20% of letters — every numeric threshold an exact "
+    "INTEGER cross-multiplication (20*symbols > n, 5*vowels < "
+    "letters), so no float boundary exists; ratios are half-away "
+    "micro with NULLIF degenerate guards (empty text, letterless "
+    "text). Char counts use translate (plain char-set deletion) and "
+    "the run detector a single anchored-DFA search — the regex-"
+    "split-and-measure form cost 2.44 s of the 3.50 s 8x leg for a "
+    "value the rule only ever thresholds (BENCHNOTES r12).",
+)
+def text_ocr_garbage_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: stateless per-document projection — regexp counts
+    and one bounded split, all map-side; no shuffle at all."""
+    d = load_fixture(spark, sf_dir, "documents")
+    s = d.select(
+        "doc_id",
+        F.lower(F.col("text")).alias("t"),
+        F.length("text").cast("bigint").alias("n"),
+    )
+    # translate (plain char-set deletion) instead of regexp_replace for
+    # the three count columns: the regex form measured 3.95x per 8x data
+    # (linear per-char regex cost dominating the map stage); translate
+    # re-measured 1.5x. The whitespace set is spelled out because Java
+    # and RE2 agree \s = [ \t\n\x0b\f\r] ASCII-only.
+    m = s.select(
+        "doc_id",
+        "n",
+        (F.col("n") - F.length(F.translate("t", "abcdefghijklmnopqrstuvwxyz", "")))
+        .cast("bigint")
+        .alias("letters"),
+        (F.col("n") - F.length(F.translate("t", "aeiou", "")))
+        .cast("bigint")
+        .alias("vowels"),
+        F.length(
+            F.translate(
+                "t", "abcdefghijklmnopqrstuvwxyz0123456789 \t\n\r\x0b\x0c", ""
+            )
+        )
+        .cast("bigint")
+        .alias("symbols"),
+        F.col("t").rlike("[b-df-hj-np-tv-z]{8}").alias("has_consonant_run8"),
+    )
+    return m.selectExpr(
+        "doc_id",
+        "n AS n_chars_raw",
+        "symbols AS n_symbols",
+        "has_consonant_run8",
+        "CAST((2 * CAST(symbols AS DECIMAL(19,0)) * 1000000 + n)"
+        " div NULLIF(2 * CAST(n AS DECIMAL(19,0)), 0) AS BIGINT)"
+        " AS symbol_ratio_micro",
+        "CAST((2 * CAST(vowels AS DECIMAL(19,0)) * 1000000 + letters)"
+        " div NULLIF(2 * CAST(letters AS DECIMAL(19,0)), 0) AS BIGINT)"
+        " AS vowel_ratio_micro",
+        "(n > 0 AND (20 * symbols > n OR has_consonant_run8"
+        " OR letters = 0 OR 5 * vowels < letters)) AS is_garbage",
+    )

@@ -291,3 +291,103 @@ def test_item_novelty_reference(spark, sf_dir, con):
     assert row.mean_pop_micro == _half_away(c_sum * 1_000_000, rows_n * n)
     # novelty must exceed 0 (neighbors are never in every basket)
     assert row.mean_novelty_bits > 0
+
+
+# ---------------------------------------------------------------- wave 4
+
+
+def test_wasserstein_reference(spark, sf_dir, con):
+    """W1 from first principles: sort both samples, W1 for equal-size...
+    general case via the quantile-function integral identity computed
+    directly from the two sorted samples (no CDF-step shortcut)."""
+    a = sorted(
+        _micro(v)
+        for (v,) in con.execute(
+            "SELECT value FROM events WHERE event_type='purchase'"
+        ).fetchall()
+    )
+    b = sorted(
+        _micro(v)
+        for (v,) in con.execute(
+            "SELECT value FROM events WHERE event_type='click'"
+        ).fetchall()
+    )
+    na, nb = len(a), len(b)
+    # integral of |F_a - F_b| over the merged support, exact rational
+    support = sorted(set(a) | set(b))
+    num = 0
+    ia = ib = 0
+    ca = cb = 0
+    for x, nx in zip(support, support[1:]):
+        while ia < na and a[ia] <= x:
+            ia += 1
+        while ib < nb and b[ib] <= x:
+            ib += 1
+        num += abs(ia * nb - ib * na) * (nx - x)
+    (row,) = run(spark, sf_dir, "agg_wasserstein_1d")
+    assert (row.n_purchase, row.n_click) == (na, nb)
+    assert row.wasserstein_micro == _half_away(num, na * nb)
+    # distributions genuinely differ on the fixture
+    assert row.wasserstein_micro > 0
+
+
+def test_weekly_ks_reference(spark, sf_dir, con):
+    rows = con.execute(
+        "SELECT epoch_us(ts) // 604800000000 AS wk, value FROM events"
+        " WHERE event_type='purchase'"
+    ).fetchall()
+    weeks: dict[int, list[float]] = {}
+    for wk, v in rows:
+        weeks.setdefault(wk, []).append(v)
+    got = {r.week_bucket: r for r in run(spark, sf_dir, "events_weekly_ks_drift")}
+    want_pairs = {w + 1 for w in weeks if w + 1 in weeks}
+    assert set(got) == want_pairs
+    for p in want_pairs:
+        prev, cur = sorted(weeks[p - 1]), sorted(weeks[p])
+        n1, n2 = len(prev), len(cur)
+        support = sorted(set(prev) | set(cur))
+        dnum = 0
+        for x in support:
+            c1 = sum(1 for v in prev if v <= x)
+            c2 = sum(1 for v in cur if v <= x)
+            dnum = max(dnum, abs(c1 * n2 - c2 * n1))
+        row = got[p]
+        assert (row.n_prev, row.n_cur) == (n1, n2)
+        assert row.d_micro == _half_away(dnum * 1_000_000, n1 * n2)
+        z = math.sqrt(n1 * n2 / (n1 + n2)) * dnum / (n1 * n2)
+        assert row.ks_z == pytest.approx(z, abs=2e-6)
+
+
+def test_ocr_garbage_reference(spark, sf_dir, con):
+    import re
+
+    rows = con.execute("SELECT doc_id, text FROM documents").fetchall()
+    got = {r.doc_id: r for r in run(spark, sf_dir, "text_ocr_garbage_score")}
+    assert set(got) == {d for d, _ in rows}
+    n_garbage = 0
+    for doc_id, text in rows:
+        t = text.lower()
+        n = len(t)
+        letters = len(re.sub(r"[^a-z]", "", t))
+        vowels = len(re.sub(r"[^aeiou]", "", t))
+        symbols = len(re.sub(r"[a-z0-9\s]", "", t, flags=re.ASCII))
+        runs = re.split(r"[^b-df-hj-np-tv-z]+", t)
+        max_run = max(len(r) for r in runs)
+        row = got[doc_id]
+        assert (row.n_chars_raw, row.n_symbols, row.has_consonant_run8) == (
+            n, symbols, max_run >= 8,
+        )
+        assert row.symbol_ratio_micro == (
+            _half_away(symbols * 1_000_000, n) if n else None
+        )
+        assert row.vowel_ratio_micro == (
+            _half_away(vowels * 1_000_000, letters) if letters else None
+        )
+        want_garbage = n > 0 and (
+            20 * symbols > n or max_run >= 8 or letters == 0
+            or 5 * vowels < letters
+        )
+        assert row.is_garbage == want_garbage
+        n_garbage += want_garbage
+    # clean synthetic prose: the detector must NOT fire on the fixture
+    assert n_garbage == 0
