@@ -191,6 +191,10 @@ _NEXT_WINDOW_QUEUE: tuple[str, ...] = (
     "agg_wasserstein_1d",
     "events_weekly_ks_drift",
     "text_ocr_garbage_score",
+    # round-12 fifth wave: ordered-alternative rank trend, aggregate-
+    # diversity (exposure concentration) audit
+    "agg_page_trend_test",
+    "recs_gini_diversity",
 )
 
 

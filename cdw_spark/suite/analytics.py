@@ -10527,3 +10527,98 @@ def events_weekly_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             " / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)), 6) AS ks_z",
         )
     )
+
+
+@register(
+    "agg_page_trend_test",
+    oracle="""
+    WITH cell AS (
+        SELECT o_custkey AS cust,
+               CAST(substr(o_orderpriority, 1, 1) AS INTEGER) AS j,
+               SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS v
+        FROM orders GROUP BY 1, 2
+    ),
+    blocks AS (
+        SELECT cust FROM cell GROUP BY cust HAVING COUNT(*) = 5
+    ),
+    c AS (SELECT cell.* FROM cell JOIN blocks USING (cust)),
+    rk AS (
+        SELECT cust, j,
+               CAST(2 * RANK() OVER (PARTITION BY cust ORDER BY v)
+                    + COUNT(*) OVER (PARTITION BY cust, v) - 1
+                    AS BIGINT) AS dr2
+        FROM c
+    ),
+    rj AS (
+        SELECT j, CAST(SUM(dr2) AS HUGEINT) AS r2 FROM rk GROUP BY j
+    ),
+    nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM blocks),
+    l AS (SELECT CAST(SUM(j * r2) AS HUGEINT) AS l2 FROM rj)
+    SELECT n AS n_blocks, CAST(5 AS INTEGER) AS k,
+           CAST(l2 AS BIGINT) AS page_l_doubled,
+           ROUND((CAST(l2 AS DOUBLE) - 90.0 * CAST(n AS DOUBLE))
+                 / NULLIF(10.0 * sqrt(CAST(n AS DOUBLE)), 0.0), 6)
+               AS z_approx
+    FROM nb, l
+    """,
+    doc="Page's trend test (Page 1963) for an ORDERED alternative "
+    "across the five order priorities on customer blocks: L = sum_j "
+    "j * R_j over within-block ranks of per-(customer, priority) "
+    "spend, treatments ordered by the priority prefix (1-URGENT .. "
+    "5-LOW) — the monotone-trend sibling of agg_friedman_test "
+    "(Friedman asks 'any difference?', Page asks 'does spend TREND "
+    "with priority?', strictly more powerful when the alternative is "
+    "ordered). Only complete blocks enter. Doubled average ranks "
+    "(the agg_kruskal_wallis discipline) keep L exact: page_l_doubled "
+    "= 2L is an exact HUGEINT/DECIMAL integer; the normal "
+    "approximation z = (L - n k (k+1)^2 / 4) / (k (k+1) "
+    "sqrt(n (k-1)) / 12) — literals 90 = 2 * 45 and 10 = 2 * 5 at "
+    "k = 5 on the doubled scale — is one identical double sequence "
+    "per engine, NULLIF-guarded at n = 0.",
+)
+def agg_page_trend_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: one (customer, priority) groupBy over the fact
+    table, a k-row-per-block window (partition-parallel, k = 5
+    bounded), then 5-row and 1-row reduces."""
+    from pyspark.sql.window import Window
+
+    o = load_fixture(spark, sf_dir, "orders")
+    cell = (
+        o.groupBy(
+            F.col("o_custkey").alias("cust"),
+            F.substring("o_orderpriority", 1, 1).cast("int").alias("j"),
+        )
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("v"))
+        .localCheckpoint(eager=True)
+    )
+    blocks = (
+        cell.groupBy("cust")
+        .agg(F.count(F.lit(1)).alias("kc"))
+        .filter(F.col("kc") == 5)
+        .select("cust")
+    )
+    c = cell.join(blocks, "cust")
+    rk = c.select(
+        "j",
+        (
+            F.lit(2) * F.rank().over(Window.partitionBy("cust").orderBy("v"))
+            + F.count(F.lit(1)).over(Window.partitionBy("cust", "v"))
+            - F.lit(1)
+        )
+        .cast("bigint")
+        .alias("dr2"),
+    )
+    rj = rk.groupBy("j").agg(F.sum("dr2").cast("decimal(38,0)").alias("r2"))
+    nb = blocks.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    l2 = rj.agg(
+        F.sum(F.col("j").cast("decimal(19,0)") * F.col("r2"))
+        .cast("decimal(38,0)")
+        .alias("l2")
+    )
+    return nb.crossJoin(F.broadcast(l2)).selectExpr(
+        "n AS n_blocks",
+        "CAST(5 AS INT) AS k",
+        "CAST(l2 AS BIGINT) AS page_l_doubled",
+        "ROUND((CAST(l2 AS DOUBLE) - 90.0 * CAST(n AS DOUBLE))"
+        " / NULLIF(10.0 * sqrt(CAST(n AS DOUBLE)), 0.0), 6) AS z_approx",
+    )

@@ -775,3 +775,145 @@ def recs_item_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div (2 * CAST(COUNT(*) AS DECIMAL(38,0)) * n) AS BIGINT)"
         ).alias("mean_pop_micro"),
     ).drop("n")
+
+
+@register(
+    "recs_gini_diversity",
+    oracle=f"""
+    WITH b AS (
+        SELECT DISTINCT l_orderkey AS ok, l_partkey AS item FROM lineitem
+    ),
+    kept AS (
+        SELECT ok FROM b GROUP BY ok HAVING COUNT(*) <= {BASKET_CAP}
+    ),
+    bk AS (SELECT b.ok, b.item FROM b JOIN kept USING (ok)),
+    cnt AS (SELECT item, COUNT(*) AS c FROM bk GROUP BY item),
+    co AS (
+        SELECT a.item AS ia, bb.item AS ib, COUNT(*) AS together
+        FROM bk a JOIN bk bb ON a.ok = bb.ok AND a.item < bb.item
+        GROUP BY a.item, bb.item
+        HAVING COUNT(*) >= {MIN_TOGETHER}
+    ),
+    sym AS (
+        SELECT ia AS item, ib AS neighbor, together FROM co
+        UNION ALL
+        SELECT ib AS item, ia AS neighbor, together FROM co
+    ),
+    scored AS (
+        SELECT s.item, s.neighbor,
+               CAST(s.together AS DOUBLE)
+                   / sqrt(CAST(ca.c AS DOUBLE) * CAST(cb.c AS DOUBLE)) AS cos
+        FROM sym s
+        JOIN cnt ca ON ca.item = s.item
+        JOIN cnt cb ON cb.item = s.neighbor
+    ),
+    lists AS (
+        SELECT item, neighbor FROM (
+            SELECT item, neighbor,
+                   ROW_NUMBER() OVER (PARTITION BY item
+                                      ORDER BY ROUND(cos, 9) DESC, neighbor)
+                       AS rk
+            FROM scored
+        ) WHERE rk <= {TOP_NEIGHBORS}
+    ),
+    expo AS (
+        SELECT cnt.item,
+               CAST(COUNT(lists.neighbor) AS BIGINT) AS e
+        FROM cnt LEFT JOIN lists ON lists.neighbor = cnt.item
+        GROUP BY cnt.item
+    ),
+    ranked AS (
+        SELECT e, ROW_NUMBER() OVER (ORDER BY e, item) AS i,
+               COUNT(*) OVER () AS m
+        FROM expo
+    ),
+    agg AS (
+        SELECT CAST(MAX(m) AS BIGINT) AS m,
+               CAST(SUM(e) AS HUGEINT) AS se,
+               CAST(SUM(CAST(i AS HUGEINT) * e) AS HUGEINT) AS sie,
+               CAST(SUM(CASE WHEN e > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_exposed
+        FROM ranked
+    )
+    SELECT m AS n_items, n_exposed AS n_exposed_items,
+           CAST(se AS BIGINT) AS n_exposures,
+           ROUND(2.0 * CAST(sie AS DOUBLE)
+                 / (CAST(m AS DOUBLE) * CAST(se AS DOUBLE))
+                 - (CAST(m AS DOUBLE) + 1.0) / CAST(m AS DOUBLE), 6)
+               AS gini
+    FROM agg
+    """,
+    doc="Gini concentration of recommendation EXPOSURE over the whole "
+    "recommendable catalog (every item in a kept basket, zero-exposure "
+    "items included): exposure = how many top-3 lists an item appears "
+    "in, G = 2*sum(i*e_(i))/(m*sum e) - (m+1)/m over rank-ordered "
+    "counts — the aggregate-diversity audit beside recs_item_novelty "
+    "(novelty scores WHAT gets recommended, this measures how "
+    "unequally exposure is allocated — the long-tail starvation "
+    "number; Fleder & Hosanagar's concentration effect). Consumes the "
+    "at-rest list artifact; exposure counts and rank-weighted sums "
+    "are exact integers (ranks tie-break on item id), the Gini is "
+    "the agg_gini_concentration double sequence.",
+)
+def recs_gini_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: the list relation is an at-rest artifact scan; the
+    catalog relation is one |items|-row aggregate; the exact global
+    rank rides two_level_cumsum (no single-partition sort); one 1-row
+    reduce."""
+    from ..operators.stats import two_level_cumsum
+
+    li = load_fixture(spark, sf_dir, "lineitem")
+    b = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("item")
+    ).distinct()
+    kept = (
+        b.groupBy("ok")
+        .agg(F.count(F.lit(1)).alias("bs"))
+        .filter(F.col("bs") <= BASKET_CAP)
+        .select("ok")
+    )
+    cnt = (
+        b.join(kept, "ok", "left_semi")
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select("item")
+    )
+    lists = _recs_lists_at_rest(spark, sf_dir).select(
+        F.col("neighbor").alias("item")
+    )
+    expo = (
+        cnt.join(
+            lists.groupBy("item").agg(F.count(F.lit(1)).alias("e0")),
+            "item",
+            "left",
+        )
+        .select(
+            "item", F.coalesce("e0", F.lit(0)).cast("bigint").alias("e")
+        )
+        .localCheckpoint(eager=True)
+    )
+    ranked = two_level_cumsum(
+        expo.withColumn("_one", F.lit(1)),
+        key_cols=[],
+        value_col="e",
+        tiebreak_cols=["item"],
+        sum_cols={"i": "_one"},
+    )
+    agg = ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("m"),
+        F.sum("e").cast("decimal(38,0)").alias("se"),
+        F.sum(F.col("i").cast("decimal(19,0)") * F.col("e"))
+        .cast("decimal(38,0)")
+        .alias("sie"),
+        F.sum(F.when(F.col("e") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_exposed"),
+    )
+    return agg.selectExpr(
+        "m AS n_items",
+        "n_exposed AS n_exposed_items",
+        "CAST(se AS BIGINT) AS n_exposures",
+        "ROUND(2.0 * CAST(sie AS DOUBLE)"
+        " / (CAST(m AS DOUBLE) * CAST(se AS DOUBLE))"
+        " - (CAST(m AS DOUBLE) + 1.0) / CAST(m AS DOUBLE), 6) AS gini",
+    )

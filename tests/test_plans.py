@@ -624,6 +624,7 @@ def test_recs_family_scans_at_rest_artifact(spark, sf_dir):
         "recs_catalog_coverage",
         "recs_basket_holdout_eval",
         "recs_item_novelty",
+        "recs_gini_diversity",
     ):
         plan = _plan(SPECS[name].fn(spark, sf_dir))
         assert "row_number" not in plan, f"{name} re-runs the list build"

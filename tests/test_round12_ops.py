@@ -391,3 +391,77 @@ def test_ocr_garbage_reference(spark, sf_dir, con):
         n_garbage += want_garbage
     # clean synthetic prose: the detector must NOT fire on the fixture
     assert n_garbage == 0
+
+
+# ---------------------------------------------------------------- wave 5
+
+
+def test_page_trend_reference(spark, sf_dir, con):
+    from decimal import Decimal
+
+    rows = con.execute(
+        "SELECT o_custkey, CAST(substr(o_orderpriority,1,1) AS INTEGER),"
+        " CAST(o_totalprice AS DECIMAL(18,2)) FROM orders"
+    ).fetchall()
+    cells: dict[int, dict[int, Decimal]] = {}
+    for cust, j, v in rows:
+        cells.setdefault(cust, {})
+        cells[cust][j] = cells[cust].get(j, Decimal(0)) + v
+    blocks = {u: c for u, c in cells.items() if len(c) == 5}
+    n = len(blocks)
+    l2 = 0
+    for c in blocks.values():
+        vs = [c[j] for j in range(1, 6)]
+        dr2 = _avg_rank_doubled(vs)
+        l2 += sum(j * d for j, d in zip(range(1, 6), dr2))
+    z = (l2 - 90.0 * n) / (10.0 * math.sqrt(n))
+    (row,) = run(spark, sf_dir, "agg_page_trend_test")
+    assert (row.n_blocks, row.k, row.page_l_doubled) == (n, 5, l2)
+    assert row.z_approx == pytest.approx(z, abs=2e-6)
+    assert n >= 50  # the fixture carries a real block population
+
+
+def test_gini_diversity_reference(spark, sf_dir, con):
+    """Exposure Gini from first principles: rebuild baskets + top-3
+    cosine lists, count list appearances per catalog item (zeros
+    included), Gini over rank-ordered counts."""
+    rows = con.execute(
+        "SELECT DISTINCT l_orderkey, l_partkey FROM lineitem"
+    ).fetchall()
+    baskets: dict[int, set] = {}
+    for ok, it in rows:
+        baskets.setdefault(ok, set()).add(it)
+    kept = [its for its in baskets.values() if len(its) <= 32]
+    cnt: dict[int, int] = {}
+    for its in kept:
+        for it in its:
+            cnt[it] = cnt.get(it, 0) + 1
+    pair: dict[tuple, int] = {}
+    for its in kept:
+        s = sorted(its)
+        for i, a in enumerate(s):
+            for b in s[i + 1 :]:
+                pair[(a, b)] = pair.get((a, b), 0) + 1
+    neigh: dict[int, list] = {}
+    for (a, b), t in pair.items():
+        if t < 2:
+            continue
+        cos = t / math.sqrt(cnt[a] * cnt[b])
+        neigh.setdefault(a, []).append((-round(cos, 9), b))
+        neigh.setdefault(b, []).append((-round(cos, 9), a))
+    expo = dict.fromkeys(cnt, 0)
+    for a, cands in neigh.items():
+        for _, b in sorted(cands)[:3]:
+            expo[b] += 1
+    ordered = sorted(expo.items(), key=lambda kv: (kv[1], kv[0]))
+    m = len(ordered)
+    se = sum(e for _, e in ordered)
+    sie = sum((i + 1) * e for i, (_, e) in enumerate(ordered))
+    gini = 2.0 * sie / (m * se) - (m + 1.0) / m
+    (row,) = run(spark, sf_dir, "recs_gini_diversity")
+    assert row.n_items == m
+    assert row.n_exposed_items == sum(1 for _, e in ordered if e > 0)
+    assert row.n_exposures == se
+    assert row.gini == pytest.approx(gini, abs=2e-6)
+    # exposure is meaningfully concentrated but not degenerate
+    assert 0.0 < row.gini < 1.0
