@@ -195,6 +195,10 @@ _NEXT_WINDOW_QUEUE: tuple[str, ...] = (
     # diversity (exposure concentration) audit
     "agg_page_trend_test",
     "recs_gini_diversity",
+    # round-12 sixth wave: confounder-removed dependence, lead/lag
+    # cross-correlation scan
+    "agg_partial_correlation",
+    "timeseries_cross_correlation",
 )
 
 

@@ -10622,3 +10622,223 @@ def agg_page_trend_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ROUND((CAST(l2 AS DOUBLE) - 90.0 * CAST(n AS DOUBLE))"
         " / NULLIF(10.0 * sqrt(CAST(n AS DOUBLE)), 0.0), 6) AS z_approx",
     )
+
+
+@register(
+    "agg_partial_correlation",
+    oracle="""
+    WITH q AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS x,
+               CAST(SUM(CAST(floor(CAST(l_extendedprice AS DOUBLE) * 100
+                                   + 0.5) AS BIGINT)) AS BIGINT) AS y,
+               CAST(SUM(CAST(floor(CAST(l_quantity AS DOUBLE) * 100 + 0.5)
+                             AS BIGINT)) AS BIGINT) AS z
+        FROM lineitem GROUP BY l_orderkey
+    ),
+    m AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS HUGEINT) AS sx, CAST(SUM(y) AS HUGEINT) AS sy,
+               CAST(SUM(z) AS HUGEINT) AS sz,
+               CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+               CAST(SUM(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy,
+               CAST(SUM(CAST(z AS HUGEINT) * z) AS HUGEINT) AS szz,
+               CAST(SUM(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+               CAST(SUM(CAST(x AS HUGEINT) * z) AS HUGEINT) AS sxz,
+               CAST(SUM(CAST(y AS HUGEINT) * z) AS HUGEINT) AS syz
+        FROM q
+    ),
+    r AS (
+        SELECT n,
+               (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               / NULLIF(sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                             * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                                - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
+                        0.0) AS rxy,
+               (CAST(n AS DOUBLE) * CAST(sxz AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sz AS DOUBLE))
+               / NULLIF(sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                             * (CAST(n AS DOUBLE) * CAST(szz AS DOUBLE)
+                                - CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE))),
+                        0.0) AS rxz,
+               (CAST(n AS DOUBLE) * CAST(syz AS DOUBLE)
+                - CAST(sy AS DOUBLE) * CAST(sz AS DOUBLE))
+               / NULLIF(sqrt((CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                              - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+                             * (CAST(n AS DOUBLE) * CAST(szz AS DOUBLE)
+                                - CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE))),
+                        0.0) AS ryz
+        FROM m
+    )
+    SELECT n AS n_orders,
+           ROUND(rxy, 6) AS r_lines_price,
+           ROUND(rxz, 6) AS r_lines_qty,
+           ROUND(ryz, 6) AS r_price_qty,
+           ROUND((ryz - rxy * rxz)
+                 / NULLIF(sqrt((1.0 - rxy * rxy) * (1.0 - rxz * rxz)), 0.0),
+                 6) AS partial_r_price_qty
+    FROM r
+    """,
+    doc="First-order partial correlation on per-order aggregates: does "
+    "order revenue track order quantity BEYOND both being driven by "
+    "the line count? x = lines per order, y = order revenue (centi), "
+    "z = order quantity (centi); r_yz.x = (r_yz - r_xy r_xz) / "
+    "sqrt((1-r_xy^2)(1-r_xz^2)) — the confounder-removal audit beside "
+    "agg_regression_stats (on the fixture r_price_qty ~ 0.77 is "
+    "almost entirely the line-count confounder: the partial collapses "
+    "it, which is exactly the lesson the op encodes). All ten moment "
+    "sums are EXACT integers over centi-quantized per-order sums "
+    "under HUGEINT/DECIMAL(38,0); the three Pearson r and the partial "
+    "run in ONE identical double sequence per engine, NULLIF-guarded "
+    "on zero variance and |r| = 1 degenerates.",
+)
+def agg_partial_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: one per-order groupBy over the fact scan (the only
+    shuffle), then a map-side-combined 10-sum reduce."""
+    li = load_fixture(spark, sf_dir, "lineitem")
+
+    def cq(col: str) -> object:
+        return F.floor(F.col(col).cast("double") * F.lit(100) + F.lit(0.5)).cast(
+            "bigint"
+        )
+
+    q = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("x"),
+        F.sum(cq("l_extendedprice")).cast("bigint").alias("y"),
+        F.sum(cq("l_quantity")).cast("bigint").alias("z"),
+    )
+    m = q.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("decimal(38,0)").alias("sx"),
+        F.sum("y").cast("decimal(38,0)").alias("sy"),
+        F.sum("z").cast("decimal(38,0)").alias("sz"),
+        F.sum(F.expr("CAST(x AS DECIMAL(19,0)) * x")).cast("decimal(38,0)").alias("sxx"),
+        F.sum(F.expr("CAST(y AS DECIMAL(19,0)) * y")).cast("decimal(38,0)").alias("syy"),
+        F.sum(F.expr("CAST(z AS DECIMAL(19,0)) * z")).cast("decimal(38,0)").alias("szz"),
+        F.sum(F.expr("CAST(x AS DECIMAL(19,0)) * y")).cast("decimal(38,0)").alias("sxy"),
+        F.sum(F.expr("CAST(x AS DECIMAL(19,0)) * z")).cast("decimal(38,0)").alias("sxz"),
+        F.sum(F.expr("CAST(y AS DECIMAL(19,0)) * z")).cast("decimal(38,0)").alias("syz"),
+    )
+
+    def pearson(sab, sa, sb, saa, sbb):
+        return (
+            f"(CAST(n AS DOUBLE) * CAST({sab} AS DOUBLE)"
+            f" - CAST({sa} AS DOUBLE) * CAST({sb} AS DOUBLE))"
+            f" / NULLIF(sqrt((CAST(n AS DOUBLE) * CAST({saa} AS DOUBLE)"
+            f" - CAST({sa} AS DOUBLE) * CAST({sa} AS DOUBLE))"
+            f" * (CAST(n AS DOUBLE) * CAST({sbb} AS DOUBLE)"
+            f" - CAST({sb} AS DOUBLE) * CAST({sb} AS DOUBLE))), 0.0)"
+        )
+
+    r = m.selectExpr(
+        "n",
+        f"{pearson('sxy', 'sx', 'sy', 'sxx', 'syy')} AS rxy",
+        f"{pearson('sxz', 'sx', 'sz', 'sxx', 'szz')} AS rxz",
+        f"{pearson('syz', 'sy', 'sz', 'syy', 'szz')} AS ryz",
+    )
+    return r.selectExpr(
+        "n AS n_orders",
+        "ROUND(rxy, 6) AS r_lines_price",
+        "ROUND(rxz, 6) AS r_lines_qty",
+        "ROUND(ryz, 6) AS r_price_qty",
+        "ROUND((ryz - rxy * rxz)"
+        " / NULLIF(sqrt((1.0 - rxy * rxy) * (1.0 - rxz * rxz)), 0.0), 6)"
+        " AS partial_r_price_qty",
+    )
+
+
+@register(
+    "timeseries_cross_correlation",
+    oracle="""
+    WITH d AS (
+        SELECT epoch_us(ts) // 86400000000 AS dd,
+               CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS px,
+               CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS er
+        FROM events GROUP BY 1
+    ),
+    lags AS (SELECT unnest(range(-3, 4)) AS lag),
+    pairs AS (
+        SELECT l.lag, a.px AS x, b.er AS y
+        FROM lags l
+        JOIN d a ON TRUE
+        JOIN d b ON b.dd = a.dd + l.lag
+    ),
+    m AS (
+        SELECT lag, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS HUGEINT) AS sx, CAST(SUM(y) AS HUGEINT) AS sy,
+               CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+               CAST(SUM(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy,
+               CAST(SUM(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy
+        FROM pairs GROUP BY lag
+    )
+    SELECT CAST(lag AS INTEGER) AS lag, n AS n_pairs,
+           ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / NULLIF(sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                               * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                                  - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
+                          0.0), 6) AS ccf
+    FROM m
+    """,
+    doc="Cross-correlation function between the daily purchase-count and "
+    "error-count series at lags -3..+3: ccf(L) = corr(purchases_t, "
+    "errors_{t+L}) — the lead/lag dependence scan (do error bursts "
+    "LEAD purchase drops, or trail them?) that complements "
+    "timeseries_acf_profile's single-series view; the classic "
+    "pre-whitening-free first look of transfer-function analysis. "
+    "Day buckets are epoch days (TZ-free); the lag shift is an exact "
+    "integer equi-join (never a window over a padded calendar), so "
+    "boundary days simply drop out per lag. Per-lag moment sums are "
+    "exact integers under HUGEINT/DECIMAL; each Pearson r is one "
+    "identical double sequence per engine, NULLIF-guarded on "
+    "zero-variance windows.",
+)
+def timeseries_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: one day-grain aggregate over the fact table (the
+    only fact shuffle), then a 7-lag broadcast fanout + self-equi-join
+    on the |days|-row relation and a 7-row rollup — day cardinality is
+    calendar-bounded at any corpus scale."""
+    e = load_fixture(spark, sf_dir, "events")
+    d = (
+        e.select(
+            F.expr("unix_micros(ts) div 86400000000").alias("dd"),
+            "event_type",
+        )
+        .groupBy("dd")
+        .agg(
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+            .cast("bigint")
+            .alias("px"),
+            F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+            .cast("bigint")
+            .alias("er"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    lags = d.sparkSession.range(-3, 4).select(F.col("id").alias("lag"))
+    a = d.select("dd", F.col("px").alias("x")).crossJoin(F.broadcast(lags))
+    b = d.select(F.col("dd").alias("bdd"), F.col("er").alias("y"))
+    pairs = a.join(b, F.col("bdd") == F.col("dd") + F.col("lag"))
+    m = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("decimal(38,0)").alias("sx"),
+        F.sum("y").cast("decimal(38,0)").alias("sy"),
+        F.sum(F.expr("CAST(x AS DECIMAL(19,0)) * x")).cast("decimal(38,0)").alias("sxx"),
+        F.sum(F.expr("CAST(y AS DECIMAL(19,0)) * y")).cast("decimal(38,0)").alias("syy"),
+        F.sum(F.expr("CAST(x AS DECIMAL(19,0)) * y")).cast("decimal(38,0)").alias("sxy"),
+    )
+    return m.selectExpr(
+        "CAST(lag AS INT) AS lag",
+        "n AS n_pairs",
+        "ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+        " / NULLIF(sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+        " * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)"
+        " - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 0.0), 6) AS ccf",
+    )

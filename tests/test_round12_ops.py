@@ -465,3 +465,73 @@ def test_gini_diversity_reference(spark, sf_dir, con):
     assert row.gini == pytest.approx(gini, abs=2e-6)
     # exposure is meaningfully concentrated but not degenerate
     assert 0.0 < row.gini < 1.0
+
+
+# ---------------------------------------------------------------- wave 6
+
+
+def test_partial_correlation_reference(spark, sf_dir, con):
+    rows = con.execute(
+        "SELECT COUNT(*),"
+        " SUM(CAST(floor(CAST(l_extendedprice AS DOUBLE)*100+0.5) AS BIGINT)),"
+        " SUM(CAST(floor(CAST(l_quantity AS DOUBLE)*100+0.5) AS BIGINT))"
+        " FROM lineitem GROUP BY l_orderkey"
+    ).fetchall()
+    xs = [int(x) for x, _, _ in rows]
+    ys = [int(y) for _, y, _ in rows]
+    zs = [int(z) for _, _, z in rows]
+    n = len(rows)
+
+    def r(a, b):
+        sa, sb = sum(a), sum(b)
+        saa = sum(v * v for v in a)
+        sbb = sum(v * v for v in b)
+        sab = sum(u * v for u, v in zip(a, b))
+        return (n * sab - sa * sb) / math.sqrt(
+            (n * saa - sa * sa) * (n * sbb - sb * sb)
+        )
+
+    rxy, rxz, ryz = r(xs, ys), r(xs, zs), r(ys, zs)
+    partial = (ryz - rxy * rxz) / math.sqrt((1 - rxy**2) * (1 - rxz**2))
+    (row,) = run(spark, sf_dir, "agg_partial_correlation")
+    assert row.n_orders == n
+    assert row.r_lines_price == pytest.approx(rxy, abs=2e-6)
+    assert row.r_lines_qty == pytest.approx(rxz, abs=2e-6)
+    assert row.r_price_qty == pytest.approx(ryz, abs=2e-6)
+    assert row.partial_r_price_qty == pytest.approx(partial, abs=2e-6)
+    # the confounder story the op encodes must hold on the fixture:
+    # raw price-qty correlation is strong, the partial collapses it
+    assert row.r_price_qty > 0.5
+    assert abs(row.partial_r_price_qty) < row.r_price_qty / 2
+
+
+def test_cross_correlation_reference(spark, sf_dir, con):
+    rows = con.execute(
+        "SELECT epoch_us(ts) // 86400000000 AS dd,"
+        " SUM(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END),"
+        " SUM(CASE WHEN event_type='error' THEN 1 ELSE 0 END)"
+        " FROM events GROUP BY 1 ORDER BY 1"
+    ).fetchall()
+    px = {dd: int(p) for dd, p, _ in rows}
+    er = {dd: int(e) for dd, _, e in rows}
+    got = {r.lag: r for r in run(spark, sf_dir, "timeseries_cross_correlation")}
+    assert set(got) == set(range(-3, 4))
+    for lag in range(-3, 4):
+        pairs = [
+            (px[dd], er[dd + lag]) for dd in px if dd + lag in er
+        ]
+        n = len(pairs)
+        sx = sum(x for x, _ in pairs)
+        sy = sum(y for _, y in pairs)
+        sxx = sum(x * x for x, _ in pairs)
+        syy = sum(y * y for _, y in pairs)
+        sxy = sum(x * y for x, y in pairs)
+        den = math.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+        row = got[lag]
+        assert row.n_pairs == n
+        if den == 0:
+            assert row.ccf is None
+        else:
+            assert row.ccf == pytest.approx(
+                (n * sxy - sx * sy) / den, abs=2e-6
+            )
