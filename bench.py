@@ -317,6 +317,10 @@ HEADLINE = [
     "agg_mcnemar_paired",
     "window_stochastic_oscillator",
     "recs_popularity_baseline_eval",
+    # round 12 first wave: at-rest 8-word block-occ artifact build —
+    # placed BEFORE its two consumers below so the cold run charges the
+    # one-time build to the materialize op (the component-artifact rule)
+    "text_blocks_materialize",
     # round 11 third wave: source block audits, key uniqueness
     "text_source_boilerplate_share",
     "text_cross_source_contamination",
@@ -328,6 +332,25 @@ HEADLINE = [
     # round 11 fifth wave: Jarque-Bera gate, Simpson diversity
     "agg_jarque_bera",
     "text_simpson_diversity",
+    # round 12 second wave: blocked rank test, lag-1 serial correlation,
+    # rank changepoint
+    "agg_friedman_test",
+    "timeseries_durbin_watson",
+    "timeseries_pettitt_changepoint",
+    # round 12 third wave: OBV, Aroon, recommendation novelty
+    "window_obv",
+    "window_aroon",
+    "recs_item_novelty",
+    # round 12 fourth wave: Wasserstein, weekly KS drift, OCR scorer
+    "agg_wasserstein_1d",
+    "events_weekly_ks_drift",
+    "text_ocr_garbage_score",
+    # round 12 fifth wave: Page trend, exposure Gini
+    "agg_page_trend_test",
+    "recs_gini_diversity",
+    # round 12 sixth wave: partial correlation, cross-correlation
+    "agg_partial_correlation",
+    "timeseries_cross_correlation",
 ]
 
 
