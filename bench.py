@@ -351,6 +351,25 @@ HEADLINE = [
     # round 12 sixth wave: partial correlation, cross-correlation
     "agg_partial_correlation",
     "timeseries_cross_correlation",
+    "agg_mood_median",
+    "agg_conover_squared_ranks",
+    "agg_cvm_two_sample",
+    "agg_cliffs_delta",
+    "timeseries_spectral_entropy",
+    "timeseries_sample_entropy",
+    "timeseries_kpss",
+    "timeseries_cox_stuart",
+    "timeseries_turning_points",
+    "timeseries_bartels_rank",
+    "text_yule_k",
+    "text_msttr",
+    "text_burrows_delta",
+    "window_vwap_deviation",
+    "window_chaikin_money_flow",
+    "window_ichimoku",
+    "dq_last_digit_heaping",
+    "agg_lorenz_asymmetry",
+    "ab_test_cuped",
 ]
 
 

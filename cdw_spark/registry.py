@@ -199,6 +199,39 @@ _NEXT_WINDOW_QUEUE: tuple[str, ...] = (
     # cross-correlation scan
     "agg_partial_correlation",
     "timeseries_cross_correlation",
+    # round-12 seventh wave: nonparametric two-sample expansion —
+    # median-split chi-square, squared-ranks scale test, body-weighted
+    # distribution distance, ordinal dominance effect size
+    "agg_mood_median",
+    "agg_conover_squared_ranks",
+    "agg_cvm_two_sample",
+    "agg_cliffs_delta",
+    # round-12 eighth wave: frequency-domain and complexity reads of
+    # the daily series — integer-quantized DFT periodogram entropy,
+    # Richman-Moorman sample entropy, KPSS level-stationarity gate
+    "timeseries_spectral_entropy",
+    "timeseries_sample_entropy",
+    "timeseries_kpss",
+    # round-12 ninth wave: randomness/trend triage on the daily series
+    # — calendar-split sign trend, oscillation count, rank von Neumann
+    "timeseries_cox_stuart",
+    "timeseries_turning_points",
+    "timeseries_bartels_rank",
+    # round-12 tenth wave: stylometric/lexical-diversity text layer —
+    # Yule's K spectrum constant, MSTTR-50, Burrows' delta pairs
+    "text_yule_k",
+    "text_msttr",
+    "text_burrows_delta",
+    # round-12 eleventh wave: volume-anchored technicals on the shared
+    # 6h bars — anchored VWAP deviation, Chaikin money flow, Ichimoku
+    "window_vwap_deviation",
+    "window_chaikin_money_flow",
+    "window_ichimoku",
+    # round-12 twelfth wave: entry-bias audit, inequality direction,
+    # variance-reduced experimentation
+    "dq_last_digit_heaping",
+    "agg_lorenz_asymmetry",
+    "ab_test_cuped",
 )
 
 

@@ -10842,3 +10842,2047 @@ def timeseries_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         " * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)"
         " - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 0.0), 6) AS ccf",
     )
+
+
+@register(
+    "agg_mood_median",
+    oracle="""
+    WITH vals AS (
+        SELECT o_totalprice AS v, CAST(COUNT(*) AS BIGINT) AS c,
+               CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS ch
+        FROM orders
+        GROUP BY o_totalprice
+    ),
+    ranked AS (
+        SELECT v, c, ch,
+               SUM(c) OVER (ORDER BY v
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS cum
+        FROM vals
+    ),
+    tot AS (
+        SELECT CAST(SUM(c) AS BIGINT) AS nn, CAST(SUM(ch) AS BIGINT) AS n1
+        FROM vals
+    ),
+    cut AS (
+        SELECT MIN(v) AS cutv
+        FROM ranked CROSS JOIN tot
+        WHERE cum >= (nn + 1) // 2
+    ),
+    ab AS (
+        SELECT CAST(COALESCE(SUM(ch), 0) AS BIGINT) AS a,
+               CAST(COALESCE(SUM(c), 0) AS BIGINT) AS ca
+        FROM vals CROSS JOIN cut
+        WHERE v > cutv
+    )
+    SELECT nn AS n_orders, n1 AS n_hi, nn - n1 AS n_lo,
+           ROUND(cutv, 2) AS median_cut,
+           a AS hi_above,
+           ROUND(CAST(nn AS DOUBLE)
+                 * CAST(a * (nn - n1 - (ca - a)) - (n1 - a) * (ca - a)
+                        AS DOUBLE)
+                 * CAST(a * (nn - n1 - (ca - a)) - (n1 - a) * (ca - a)
+                        AS DOUBLE)
+                 / NULLIF(CAST(n1 AS DOUBLE) * CAST(nn - n1 AS DOUBLE)
+                          * CAST(ca AS DOUBLE) * CAST(nn - ca AS DOUBLE),
+                          0.0), 6) AS chi2
+    FROM tot CROSS JOIN cut CROSS JOIN ab
+    """,
+    doc="Mood's median test: do urgent/high-priority orders sit above "
+    "the pooled order-total median more often than the other "
+    "priorities? The pooled cutoff is the LOWER median (smallest value "
+    "whose inclusive cumulative count reaches ceil(N/2) — an exact "
+    "order statistic, no interpolation, so ties are unambiguous in "
+    "both engines), the 2x2 table counts strictly-above vs not-above, "
+    "and chi2 = N(ad-bc)^2 / (r1 r2 c1 c2) without continuity "
+    "correction. The location-shift companion to agg_mann_whitney_u "
+    "that is robust to ANY shape difference because it only reads one "
+    "bit per row. Counts a/b/c/d and the cutoff are exact integers; "
+    "chi2 is one identical double sequence per engine, NULLIF-guarded "
+    "on a degenerate margin (all mass on one side).",
+)
+def agg_mood_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: one groupBy on the DISTINCT value column, the exact
+    running count via the two-level prefix-sum (no single-partition
+    window), then three 1-row broadcast reduces (total, cutoff,
+    above-counts) — the fact table is scanned once."""
+    from ..operators.stats import two_level_cumsum
+
+    o = load_fixture(spark, sf_dir, "orders")
+    vals = (
+        o.groupBy(F.col("o_totalprice").alias("v"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("c"),
+            F.sum(
+                F.when(
+                    F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("ch"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    ranked = two_level_cumsum(vals, [], "v", [], {"cum": "c"})
+    tot = vals.agg(
+        F.sum("c").cast("bigint").alias("nn"),
+        F.sum("ch").cast("bigint").alias("n1"),
+    )
+    cut = (
+        ranked.crossJoin(F.broadcast(tot))
+        .filter(F.col("cum") >= F.expr("(nn + 1) div 2"))
+        .agg(F.min("v").alias("cutv"))
+    )
+    ab = (
+        vals.crossJoin(F.broadcast(cut))
+        .filter(F.col("v") > F.col("cutv"))
+        .agg(
+            F.coalesce(F.sum("ch"), F.lit(0)).cast("bigint").alias("a"),
+            F.coalesce(F.sum("c"), F.lit(0)).cast("bigint").alias("ca"),
+        )
+    )
+    return (
+        tot.crossJoin(F.broadcast(cut))
+        .crossJoin(F.broadcast(ab))
+        .selectExpr(
+            "nn AS n_orders",
+            "n1 AS n_hi",
+            "nn - n1 AS n_lo",
+            "ROUND(cutv, 2) AS median_cut",
+            "a AS hi_above",
+            "ROUND(CAST(nn AS DOUBLE)"
+            " * CAST(a * (nn - n1 - (ca - a)) - (n1 - a) * (ca - a)"
+            " AS DOUBLE)"
+            " * CAST(a * (nn - n1 - (ca - a)) - (n1 - a) * (ca - a)"
+            " AS DOUBLE)"
+            " / NULLIF(CAST(n1 AS DOUBLE) * CAST(nn - n1 AS DOUBLE)"
+            " * CAST(ca AS DOUBLE) * CAST(nn - ca AS DOUBLE),"
+            " 0.0), 6) AS chi2",
+        )
+    )
+
+
+@register(
+    "agg_conover_squared_ranks",
+    oracle="""
+    WITH base AS (
+        SELECT o_orderstatus AS g,
+               CAST(floor(CAST(o_totalprice AS DOUBLE) * 100.0 + 0.5)
+                    AS BIGINT) AS xc
+        FROM orders WHERE o_orderstatus IN ('F', 'O')
+    ),
+    gs AS (
+        SELECT g, CAST(COUNT(*) AS BIGINT) AS c, CAST(SUM(xc) AS BIGINT) AS s
+        FROM base GROUP BY g
+    ),
+    d AS (
+        SELECT b.g,
+               CAST(floor(abs(CAST(b.xc AS DOUBLE)
+                              - CAST(gs.s AS DOUBLE) / CAST(gs.c AS DOUBLE))
+                          * 10000.0 + 0.5) AS BIGINT) AS dm
+        FROM base b JOIN gs USING (g)
+    ),
+    vals AS (
+        SELECT dm, CAST(COUNT(*) AS BIGINT) AS c,
+               CAST(SUM(CASE WHEN g = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS cf
+        FROM d GROUP BY dm
+    ),
+    rk AS (
+        SELECT c, cf,
+               2 * SUM(c) OVER (ORDER BY dm
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) - c + 1 AS dr2
+        FROM vals
+    ),
+    s AS (
+        SELECT CAST(SUM(cf) AS BIGINT) AS n1,
+               CAST(SUM(c - cf) AS BIGINT) AS n2,
+               CAST(SUM(CAST(cf AS HUGEINT) * dr2 * dr2) AS HUGEINT) AS t4,
+               CAST(SUM(CAST(c AS HUGEINT) * dr2 * dr2) AS HUGEINT) AS a2x4,
+               CAST(SUM(CAST(c AS HUGEINT) * dr2 * dr2 * dr2 * dr2)
+                    AS HUGEINT) AS a4x16
+        FROM rk
+    )
+    SELECT n1 AS n_f, n2 AS n_o,
+           ROUND(CAST(t4 AS DOUBLE) / 4.0, 6) AS t_sq_ranks,
+           ROUND((CAST(t4 AS DOUBLE)
+                  - CAST(n1 AS DOUBLE) * CAST(a2x4 AS DOUBLE)
+                    / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)))
+                 / NULLIF(sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                               / ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
+                                  * (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)
+                                     - 1.0))
+                               * (CAST(a4x16 AS DOUBLE)
+                                  - CAST(a2x4 AS DOUBLE) * CAST(a2x4 AS DOUBLE)
+                                    / (CAST(n1 AS DOUBLE)
+                                       + CAST(n2 AS DOUBLE)))),
+                          0.0), 6) AS z_score
+    FROM s
+    """,
+    doc="Conover squared-ranks test for equal SCALE between finished "
+    "and open orders' totals — the variance companion to "
+    "agg_mann_whitney_u's location test on the same split (and the "
+    "rank-robust alternative to agg_levene_brown_forsythe). Each "
+    "observation's absolute deviation from its own group mean is "
+    "ranked across the pooled sample (midranks on ties, per Conover's "
+    "canonical procedure of squaring the midrank), T = sum of squared "
+    "ranks in sample 1, z = (T - n1*A2/N) / sqrt(n1 n2 (A4 - A2^2/N) "
+    "/ (N(N-1))) with A2/A4 the pooled 2nd/4th rank-power sums. EXACT "
+    "machinery: totals are centi-quantized so each group's (count, "
+    "sum) is an exact integer pair; the deviation |x - mean| runs ONE "
+    "identical double sequence per engine and is micro-quantized "
+    "(1e-4 currency units) back to an integer rank key, so tie blocks "
+    "are engine-identical; doubled midranks keep T, A2, A4 as exact "
+    "4x/4x/16x integers under HUGEINT/DECIMAL(38,0) (quartic bound "
+    "~1.2e37 at N=1.5e7 — beyond that re-quantize deviations to "
+    "centi, JB discipline); z is one final double sequence.",
+)
+def agg_conover_squared_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: one fact scan -> 2-row group stats broadcast back ->
+    distinct-deviation collapse -> two-level prefix-sum ranks -> one
+    1-row moment reduce. No single-partition window, no row-level
+    shuffle beyond the two groupBys."""
+    from ..operators.stats import two_level_cumsum
+
+    o = load_fixture(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus").isin("F", "O")
+    )
+    base = o.select(
+        F.col("o_orderstatus").alias("g"),
+        F.floor(F.col("o_totalprice").cast("double") * F.lit(100.0) + F.lit(0.5))
+        .cast("bigint")
+        .alias("xc"),
+    )
+    gs = base.groupBy("g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c_g"),
+        F.sum("xc").cast("bigint").alias("s_g"),
+    )
+    d = base.join(F.broadcast(gs), "g").select(
+        "g",
+        F.floor(
+            F.abs(
+                F.col("xc").cast("double")
+                - F.col("s_g").cast("double") / F.col("c_g").cast("double")
+            )
+            * F.lit(10000.0)
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("dm"),
+    )
+    vals = (
+        d.groupBy("dm")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("c"),
+            F.sum(F.when(F.col("g") == "F", 1).otherwise(0))
+            .cast("bigint")
+            .alias("cf"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    rk = two_level_cumsum(vals, [], "dm", [], {"cum": "c"}).select(
+        "c",
+        "cf",
+        (F.lit(2) * F.col("cum") - F.col("c") + F.lit(1)).alias("dr2"),
+    )
+    s = rk.select(
+        "c", "cf", "dr2", F.expr("dr2 * dr2").alias("d2")
+    ).agg(
+        F.sum("cf").cast("bigint").alias("n1"),
+        F.sum(F.col("c") - F.col("cf")).cast("bigint").alias("n2"),
+        F.sum(F.expr("CAST(cf AS DECIMAL(19,0)) * d2"))
+        .cast("decimal(38,0)")
+        .alias("t4"),
+        F.sum(F.expr("CAST(c AS DECIMAL(19,0)) * d2"))
+        .cast("decimal(38,0)")
+        .alias("a2x4"),
+        F.sum(F.expr("CAST(c AS DECIMAL(19,0)) * (CAST(d2 AS DECIMAL(19,0)) * d2)"))
+        .cast("decimal(38,0)")
+        .alias("a4x16"),
+    )
+    return s.selectExpr(
+        "n1 AS n_f",
+        "n2 AS n_o",
+        "ROUND(CAST(t4 AS DOUBLE) / 4.0, 6) AS t_sq_ranks",
+        "ROUND((CAST(t4 AS DOUBLE)"
+        " - CAST(n1 AS DOUBLE) * CAST(a2x4 AS DOUBLE)"
+        " / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)))"
+        " / NULLIF(sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)"
+        " / ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))"
+        " * (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) - 1.0))"
+        " * (CAST(a4x16 AS DOUBLE)"
+        " - CAST(a2x4 AS DOUBLE) * CAST(a2x4 AS DOUBLE)"
+        " / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)))), 0.0), 6) AS z_score",
+    )
+
+
+@register(
+    "agg_cvm_two_sample",
+    oracle="""
+    WITH vals AS (
+        SELECT l_extendedprice AS v, CAST(COUNT(*) AS BIGINT) AS c,
+               CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS cr
+        FROM lineitem WHERE l_returnflag IN ('R', 'N')
+        GROUP BY l_extendedprice
+    ),
+    ranked AS (
+        SELECT c, cr,
+               SUM(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS cum,
+               SUM(cr) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS cumr
+        FROM vals
+    ),
+    tot AS (
+        SELECT CAST(SUM(cr) AS BIGINT) AS n, CAST(SUM(c - cr) AS BIGINT) AS m
+        FROM vals
+    ),
+    s AS (
+        SELECT n, m,
+               CAST(SUM(CAST(c AS HUGEINT)
+                        * (CAST(m AS HUGEINT) * cumr
+                           - CAST(n AS HUGEINT) * (cum - cumr))
+                        * (CAST(m AS HUGEINT) * cumr
+                           - CAST(n AS HUGEINT) * (cum - cumr)))
+                    AS HUGEINT) AS u
+        FROM ranked CROSS JOIN tot
+        GROUP BY n, m
+    )
+    SELECT n AS n_r, m AS n_n,
+           ROUND(CAST(u AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * CAST(m AS DOUBLE)
+                    * (CAST(n AS DOUBLE) + CAST(m AS DOUBLE))
+                    * (CAST(n AS DOUBLE) + CAST(m AS DOUBLE))), 6) AS t_stat,
+           ROUND(1.0 / 6.0
+                 + 1.0 / (6.0 * (CAST(n AS DOUBLE) + CAST(m AS DOUBLE))),
+                 6) AS expected_t
+    FROM s
+    """,
+    doc="Cramer-von Mises two-sample statistic between returned ('R') "
+    "and never-returned ('N') line-item prices: T = nm/N^2 * "
+    "sum_over_all_observations (F_n(x) - G_m(x))^2 — the "
+    "whole-distribution drift test that weights the BODY of the "
+    "distribution where agg_ks_two_sample's single-supremum reads "
+    "only the worst point (the standard pairing in distribution-shift "
+    "audits). EXACT machinery: the tie-weighted sum runs over "
+    "DISTINCT values with inclusive cumulative counts, and each "
+    "term's (m*cumF - n*cumG) difference is an exact integer, so the "
+    "full U accumulator is an exact HUGEINT/DECIMAL(38,0) integer "
+    "(bound ~6e36 at N=6e7 rows; beyond that the accumulator "
+    "overflows NULL and the Spark side raises loudly, JB discipline); "
+    "T and E[T] = 1/6 + 1/(6N) are one final double sequence.",
+)
+def agg_cvm_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: one groupBy on the DISTINCT value column, two exact
+    running counts via ONE two-level prefix-sum pass, then a 1-row
+    reduce with the totals broadcast — the fact table is scanned once."""
+    from ..operators.stats import two_level_cumsum
+
+    li = load_fixture(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag").isin("R", "N")
+    )
+    vals = (
+        li.groupBy(F.col("l_extendedprice").alias("v"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("c"),
+            F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+            .cast("bigint")
+            .alias("cr"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    ranked = two_level_cumsum(vals, [], "v", [], {"cum": "c", "cumr": "cr"})
+    tot = vals.agg(
+        F.sum("cr").cast("bigint").alias("n"),
+        F.sum(F.col("c") - F.col("cr")).cast("bigint").alias("m"),
+    )
+    s = (
+        ranked.crossJoin(F.broadcast(tot))
+        .groupBy("n", "m")
+        .agg(
+            F.sum(
+                F.expr(
+                    "CAST(c AS DECIMAL(19,0))"
+                    " * (CAST(CAST(m AS DECIMAL(19,0)) * cumr"
+                    " - CAST(n AS DECIMAL(19,0)) * (cum - cumr)"
+                    " AS DECIMAL(19,0))"
+                    " * CAST(CAST(m AS DECIMAL(19,0)) * cumr"
+                    " - CAST(n AS DECIMAL(19,0)) * (cum - cumr)"
+                    " AS DECIMAL(19,0)))"
+                )
+            )
+            .cast("decimal(38,0)")
+            .alias("u")
+        )
+    )
+    # Past ~6e7 pooled rows the exact U accumulator exceeds
+    # DECIMAL(38,0) and Spark's non-ANSI sum turns NULL while the
+    # HUGEINT oracle stays exact — fail loudly at that boundary.
+    s = s.withColumn(
+        "u",
+        F.expr(
+            "CASE WHEN u IS NULL THEN raise_error("
+            "'agg_cvm_two_sample: exact U accumulator overflowed"
+            " DECIMAL(38,0) — corpus beyond the documented bound;"
+            " shard the sum or rescale counts first') ELSE u END"
+        ),
+    )
+    return s.selectExpr(
+        "n AS n_r",
+        "m AS n_n",
+        "ROUND(CAST(u AS DOUBLE)"
+        " / (CAST(n AS DOUBLE) * CAST(m AS DOUBLE)"
+        " * (CAST(n AS DOUBLE) + CAST(m AS DOUBLE))"
+        " * (CAST(n AS DOUBLE) + CAST(m AS DOUBLE))), 6) AS t_stat",
+        "ROUND(1.0 / 6.0"
+        " + 1.0 / (6.0 * (CAST(n AS DOUBLE) + CAST(m AS DOUBLE))), 6)"
+        " AS expected_t",
+    )
+
+
+@register(
+    "agg_cliffs_delta",
+    oracle="""
+    WITH base AS (
+        SELECT CAST(floor(CAST(l_quantity AS DOUBLE) * 100.0 + 0.5)
+                    AS BIGINT) AS q,
+               CASE WHEN l_discount >= 0.05 THEN 1 ELSE 0 END AS hi
+        FROM lineitem
+    ),
+    vals AS (
+        SELECT q, CAST(COUNT(*) AS BIGINT) AS c,
+               CAST(SUM(hi) AS BIGINT) AS chi
+        FROM base GROUP BY q
+    ),
+    ranked AS (
+        SELECT c, chi,
+               SUM(c) OVER (ORDER BY q ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS cum,
+               SUM(chi) OVER (ORDER BY q ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS cumhi
+        FROM vals
+    ),
+    tot AS (
+        SELECT CAST(SUM(chi) AS BIGINT) AS n, CAST(SUM(c - chi) AS BIGINT) AS m
+        FROM vals
+    ),
+    s AS (
+        SELECT n, m,
+               CAST(SUM(CAST(chi AS HUGEINT)
+                        * ((cum - cumhi) - (c - chi))) AS HUGEINT) AS gt,
+               CAST(SUM(CAST(chi AS HUGEINT)
+                        * (m - (cum - cumhi))) AS HUGEINT) AS lt,
+               CAST(SUM(CAST(chi AS HUGEINT) * (c - chi)) AS HUGEINT) AS tie
+        FROM ranked CROSS JOIN tot
+        GROUP BY n, m
+    )
+    SELECT n AS n_hi, m AS n_lo,
+           CAST(gt AS BIGINT) AS pairs_gt,
+           CAST(lt AS BIGINT) AS pairs_lt,
+           CAST(tie AS BIGINT) AS pairs_tied,
+           ROUND((CAST(gt AS DOUBLE) - CAST(lt AS DOUBLE))
+                 / NULLIF(CAST(n AS DOUBLE) * CAST(m AS DOUBLE), 0.0),
+                 6) AS cliffs_delta
+    FROM s
+    """,
+    doc="Cliff's delta ordinal effect size between high-discount "
+    "(>= 5%) and low-discount line items' quantities: delta = "
+    "(#{x>y} - #{x<y}) / (nm) over all cross-pairs — the "
+    "direction-of-dominance measure that stays meaningful under the "
+    "heavy integer ties where Cohen's d (agg_cohens_d) misleads; the "
+    "standard effect-size companion reported beside a Mann-Whitney "
+    "p-value. EXACT: all three pair counts (greater / less / tied) "
+    "come from inclusive cumulative counts over the DISTINCT "
+    "quantity relation — never a pair join — and satisfy "
+    "gt+lt+tied = n*m by construction; delta is one final double "
+    "division. Quantities are centi-quantized exact integers.",
+)
+def agg_cliffs_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: one groupBy on the ~50-value DISTINCT quantity
+    domain, one two-level prefix-sum over it, one broadcast totals
+    join, one 1-row reduce — pair semantics with zero pair joins."""
+    from ..operators.stats import two_level_cumsum
+
+    li = load_fixture(spark, sf_dir, "lineitem")
+    base = li.select(
+        F.floor(F.col("l_quantity").cast("double") * F.lit(100.0) + F.lit(0.5))
+        .cast("bigint")
+        .alias("q"),
+        F.when(F.col("l_discount") >= 0.05, 1).otherwise(0).alias("hi"),
+    )
+    vals = (
+        base.groupBy("q")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("c"),
+            F.sum("hi").cast("bigint").alias("chi"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    ranked = two_level_cumsum(vals, [], "q", [], {"cum": "c", "cumhi": "chi"})
+    tot = vals.agg(
+        F.sum("chi").cast("bigint").alias("n"),
+        F.sum(F.col("c") - F.col("chi")).cast("bigint").alias("m"),
+    )
+    s = (
+        ranked.crossJoin(F.broadcast(tot))
+        .groupBy("n", "m")
+        .agg(
+            F.sum(
+                F.expr(
+                    "CAST(chi AS DECIMAL(19,0)) * ((cum - cumhi) - (c - chi))"
+                )
+            )
+            .cast("decimal(38,0)")
+            .alias("gt"),
+            F.sum(F.expr("CAST(chi AS DECIMAL(19,0)) * (m - (cum - cumhi))"))
+            .cast("decimal(38,0)")
+            .alias("lt"),
+            F.sum(F.expr("CAST(chi AS DECIMAL(19,0)) * (c - chi)"))
+            .cast("decimal(38,0)")
+            .alias("tie"),
+        )
+    )
+    return s.selectExpr(
+        "n AS n_hi",
+        "m AS n_lo",
+        "CAST(gt AS BIGINT) AS pairs_gt",
+        "CAST(lt AS BIGINT) AS pairs_lt",
+        "CAST(tie AS BIGINT) AS pairs_tied",
+        "ROUND((CAST(gt AS DOUBLE) - CAST(lt AS DOUBLE))"
+        " / NULLIF(CAST(n AS DOUBLE) * CAST(m AS DOUBLE), 0.0), 6)"
+        " AS cliffs_delta",
+    )
+
+
+@register(
+    "timeseries_spectral_entropy",
+    oracle="""
+    WITH d AS (
+        SELECT epoch_us(ts) // 86400000000 AS dd,
+               CAST(COUNT(*) AS BIGINT) AS x
+        FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    idx AS (
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY dd) - 1 AS BIGINT) AS t, x
+        FROM d
+    ),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM d),
+    freqs AS (
+        SELECT t AS k FROM idx CROSS JOIN nn
+        WHERE t >= 1 AND t <= (n - 1) // 2
+    ),
+    terms AS (
+        SELECT f.k,
+               CAST(floor(CAST(i.x AS DOUBLE)
+                          * cos(2.0 * pi() * CAST((f.k * i.t) % nn.n AS DOUBLE)
+                                / CAST(nn.n AS DOUBLE))
+                          * 1000000.0 + 0.5) AS BIGINT) AS qc,
+               CAST(floor(CAST(i.x AS DOUBLE)
+                          * sin(2.0 * pi() * CAST((f.k * i.t) % nn.n AS DOUBLE)
+                                / CAST(nn.n AS DOUBLE))
+                          * 1000000.0 + 0.5) AS BIGINT) AS qs
+        FROM idx i CROSS JOIN freqs f CROSS JOIN nn
+    ),
+    spec AS (
+        SELECT k,
+               CAST(SUM(qc) AS HUGEINT) * CAST(SUM(qc) AS HUGEINT)
+               + CAST(SUM(qs) AS HUGEINT) * CAST(SUM(qs) AS HUGEINT) AS i2
+        FROM terms GROUP BY k
+    ),
+    tot AS (SELECT CAST(SUM(i2) AS HUGEINT) AS p FROM spec),
+    ent AS (
+        SELECT CAST(SUM(CASE WHEN i2 = 0 THEN 0
+                        ELSE CAST(floor(-(CAST(i2 AS DOUBLE) / CAST(p AS DOUBLE))
+                                        * ln(CAST(i2 AS DOUBLE)
+                                             / CAST(p AS DOUBLE))
+                                        * 1000000000.0 + 0.5) AS BIGINT)
+                        END) AS BIGINT) AS h9,
+               CAST(COUNT(*) AS BIGINT) AS nf
+        FROM spec CROSS JOIN tot
+    ),
+    peak AS (
+        SELECT MIN(k) AS peak_k FROM spec
+        WHERE i2 = (SELECT MAX(i2) FROM spec)
+    )
+    SELECT n AS n_days, nf AS n_freqs, CAST(peak_k AS BIGINT) AS peak_k,
+           ROUND(CAST(n AS DOUBLE) / CAST(peak_k AS DOUBLE), 6)
+               AS peak_period_days,
+           ROUND(CAST(h9 AS DOUBLE) / 1000000000.0
+                 / ln(CAST(nf AS DOUBLE)), 6) AS spectral_entropy
+    FROM nn CROSS JOIN ent CROSS JOIN peak
+    """,
+    doc="Normalized spectral entropy of the daily purchase-count "
+    "series: periodogram I_k = C_k^2 + S_k^2 over frequencies "
+    "k = 1..floor((n-1)/2), p_k = I_k / sum I, H = -sum p ln p / "
+    "ln(K) — the one-number rhythm-vs-noise gauge (a strongly weekly "
+    "series scores low, white noise scores ~1) beside the lag-domain "
+    "timeseries_acf_profile, plus the dominant period n/argmax I_k. "
+    "DETERMINISM: DFT angles are 2*pi*((k*t) mod n)/n — the integer "
+    "modulus keeps every angle in [0, 2pi) so both engines' libm sees "
+    "the IDENTICAL reduced argument; each cos/sin term is "
+    "micro-quantized to an integer immediately (order-independent "
+    "exact sums; term bound ~1.3e12 at 1e6 events/day), I_k is an "
+    "exact integer, the argmax compares exact integers (min-k "
+    "tiebreak), and the entropy accumulates nano-quantized integer "
+    "terms — doubles never ride an accumulation in either engine.",
+)
+def timeseries_spectral_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: one day-grain count over the fact table (the only
+    fact shuffle), then a |days| x |days|/2 broadcast fanout (~4k rows,
+    calendar-bounded at any corpus scale) and two bounded reduces."""
+    from pyspark.sql.window import Window
+
+    e = load_fixture(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    d = (
+        e.select(F.expr("unix_micros(ts) div 86400000000").alias("dd"))
+        .groupBy("dd")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+        .localCheckpoint(eager=True)
+    )
+    idx = d.select(
+        (F.row_number().over(Window.orderBy("dd")) - F.lit(1))
+        .cast("bigint")
+        .alias("t"),
+        "x",
+    )
+    nn = d.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    freqs = (
+        idx.crossJoin(F.broadcast(nn))
+        .filter((F.col("t") >= 1) & (F.col("t") <= F.expr("(n - 1) div 2")))
+        .select(F.col("t").alias("k"))
+    )
+    ang = (
+        "2.0 * pi() * CAST((k * t) % n AS DOUBLE) / CAST(n AS DOUBLE)"
+    )
+    terms = (
+        idx.crossJoin(F.broadcast(freqs))
+        .crossJoin(F.broadcast(nn))
+        .selectExpr(
+            "k",
+            f"CAST(floor(CAST(x AS DOUBLE) * cos({ang}) * 1000000.0 + 0.5)"
+            " AS BIGINT) AS qc",
+            f"CAST(floor(CAST(x AS DOUBLE) * sin({ang}) * 1000000.0 + 0.5)"
+            " AS BIGINT) AS qs",
+        )
+    )
+    spec = terms.groupBy("k").agg(
+        F.expr(
+            "CAST(SUM(qc) AS DECIMAL(19,0)) * CAST(SUM(qc) AS DECIMAL(19,0))"
+            " + CAST(SUM(qs) AS DECIMAL(19,0)) * CAST(SUM(qs) AS DECIMAL(19,0))"
+        )
+        .cast("decimal(38,0)")
+        .alias("i2")
+    )
+    spec = spec.localCheckpoint(eager=True)
+    tot = spec.agg(F.sum("i2").cast("decimal(38,0)").alias("p"))
+    ent = spec.crossJoin(F.broadcast(tot)).agg(
+        F.sum(
+            F.expr(
+                "CASE WHEN i2 = 0 THEN 0"
+                " ELSE CAST(floor(-(CAST(i2 AS DOUBLE) / CAST(p AS DOUBLE))"
+                " * ln(CAST(i2 AS DOUBLE) / CAST(p AS DOUBLE))"
+                " * 1000000000.0 + 0.5) AS BIGINT) END"
+            )
+        )
+        .cast("bigint")
+        .alias("h9"),
+        F.count(F.lit(1)).cast("bigint").alias("nf"),
+    )
+    mx = spec.agg(F.max("i2").alias("mx"))
+    peak = (
+        spec.crossJoin(F.broadcast(mx))
+        .filter(F.col("i2") == F.col("mx"))
+        .agg(F.min("k").alias("peak_k"))
+    )
+    return (
+        nn.crossJoin(F.broadcast(ent))
+        .crossJoin(F.broadcast(peak))
+        .selectExpr(
+            "n AS n_days",
+            "nf AS n_freqs",
+            "CAST(peak_k AS BIGINT) AS peak_k",
+            "ROUND(CAST(n AS DOUBLE) / CAST(peak_k AS DOUBLE), 6)"
+            " AS peak_period_days",
+            "ROUND(CAST(h9 AS DOUBLE) / 1000000000.0"
+            " / ln(CAST(nf AS DOUBLE)), 6) AS spectral_entropy",
+        )
+    )
+
+
+@register(
+    "timeseries_sample_entropy",
+    oracle="""
+    WITH d AS (
+        SELECT epoch_us(ts) // 86400000000 AS dd,
+               CAST(SUM(CAST(floor(CAST(value AS DOUBLE) * 1000000.0 + 0.5)
+                             AS BIGINT)) AS BIGINT) AS x
+        FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    m AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS HUGEINT) AS s1,
+               CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS s2
+        FROM d
+    ),
+    r AS (
+        SELECT n,
+               0.2 * sqrt(CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+                          - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                   / CAST(n AS DOUBLE) AS rtol
+        FROM m
+    ),
+    emb AS (
+        SELECT ROW_NUMBER() OVER (ORDER BY dd) AS i, x,
+               LEAD(x, 1) OVER (ORDER BY dd) AS x1,
+               LEAD(x, 2) OVER (ORDER BY dd) AS x2
+        FROM d
+    ),
+    tpl AS (SELECT i, x, x1, x2 FROM emb WHERE x2 IS NOT NULL),
+    pairs AS (
+        SELECT CASE WHEN GREATEST(abs(a.x - b.x), abs(a.x1 - b.x1))
+                         <= r.rtol THEN 1 ELSE 0 END AS mb,
+               CASE WHEN GREATEST(abs(a.x - b.x), abs(a.x1 - b.x1),
+                                  abs(a.x2 - b.x2)) <= r.rtol
+                    THEN 1 ELSE 0 END AS ma
+        FROM tpl a JOIN tpl b ON a.i < b.i CROSS JOIN r
+    ),
+    s AS (
+        SELECT CAST(SUM(mb) AS BIGINT) AS b, CAST(SUM(ma) AS BIGINT) AS a
+        FROM pairs
+    )
+    SELECT n AS n_days, ROUND(rtol, 6) AS r_tolerance_micro,
+           b AS b_pairs, a AS a_pairs,
+           CASE WHEN a > 0 AND b > 0
+                THEN ROUND(ln(CAST(b AS DOUBLE) / CAST(a AS DOUBLE)), 6)
+                ELSE NULL END AS sampen
+    FROM s CROSS JOIN r
+    """,
+    doc="Sample entropy (m=2, r=0.2*sigma) of the daily purchase-value "
+    "series: B = #template pairs of length 2 within Chebyshev "
+    "tolerance r, A = same at length 3, SampEn = ln(B/A) — the "
+    "regularity/complexity gauge (low = self-similar, predictable "
+    "days; high = irregular) that complements the linear "
+    "timeseries_acf_profile with a nonlinear read; standard "
+    "Richman-Moorman counting (i<j pairs, self-matches excluded, "
+    "shared i=1..n-2 template index set so A/B are comparable). "
+    "EXACT: day values are micro-quantized integers, sigma comes "
+    "from exact integer (n, s1, s2) in one double sequence per "
+    "engine, every Chebyshev comparison is integer-vs-the-identical-"
+    "double, and A/B are exact integer counts; the only other double "
+    "is the final ln. NULL when either count is zero (too-short or "
+    "too-irregular series), both engines.",
+)
+def timeseries_sample_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: one day-grain aggregate over the fact table, then a
+    bounded ~(|days|^2)/2 broadcast self-join (calendar-bounded at any
+    corpus scale — 90 days is 4k pairs) and a 1-row reduce."""
+    from pyspark.sql.window import Window
+
+    e = load_fixture(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    q = F.floor(F.col("value").cast("double") * F.lit(1000000.0) + F.lit(0.5)).cast(
+        "bigint"
+    )
+    d = (
+        e.select(F.expr("unix_micros(ts) div 86400000000").alias("dd"), q.alias("q"))
+        .groupBy("dd")
+        .agg(F.sum("q").cast("bigint").alias("x"))
+        .localCheckpoint(eager=True)
+    )
+    m = d.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("decimal(38,0)").alias("s1"),
+        F.sum(F.expr("CAST(x AS DECIMAL(19,0)) * x"))
+        .cast("decimal(38,0)")
+        .alias("s2"),
+    )
+    r = m.selectExpr(
+        "n",
+        "0.2 * sqrt(CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)"
+        " - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)) / CAST(n AS DOUBLE)"
+        " AS rtol",
+    )
+    wd = Window.orderBy("dd")
+    emb = d.select(
+        F.row_number().over(wd).alias("i"),
+        "x",
+        F.lead("x", 1).over(wd).alias("x1"),
+        F.lead("x", 2).over(wd).alias("x2"),
+    ).filter(F.col("x2").isNotNull())
+    a_ = emb.select(
+        F.col("i").alias("ia"),
+        F.col("x").alias("ax"),
+        F.col("x1").alias("ax1"),
+        F.col("x2").alias("ax2"),
+    )
+    b_ = emb.select(
+        F.col("i").alias("ib"),
+        F.col("x").alias("bx"),
+        F.col("x1").alias("bx1"),
+        F.col("x2").alias("bx2"),
+    )
+    pairs = (
+        a_.join(F.broadcast(b_), F.col("ia") < F.col("ib"))
+        .crossJoin(F.broadcast(r))
+        .selectExpr(
+            "CASE WHEN GREATEST(abs(ax - bx), abs(ax1 - bx1)) <= rtol"
+            " THEN 1 ELSE 0 END AS mb",
+            "CASE WHEN GREATEST(abs(ax - bx), abs(ax1 - bx1),"
+            " abs(ax2 - bx2)) <= rtol THEN 1 ELSE 0 END AS ma",
+        )
+    )
+    s = pairs.agg(
+        F.sum("mb").cast("bigint").alias("b"),
+        F.sum("ma").cast("bigint").alias("a"),
+    )
+    return (
+        s.crossJoin(F.broadcast(r))
+        .selectExpr(
+            "n AS n_days",
+            "ROUND(rtol, 6) AS r_tolerance_micro",
+            "b AS b_pairs",
+            "a AS a_pairs",
+            "CASE WHEN a > 0 AND b > 0"
+            " THEN ROUND(ln(CAST(b AS DOUBLE) / CAST(a AS DOUBLE)), 6)"
+            " ELSE NULL END AS sampen",
+        )
+    )
+
+
+@register(
+    "timeseries_kpss",
+    oracle="""
+    WITH d AS (
+        SELECT epoch_us(ts) // 86400000000 AS dd,
+               CAST(SUM(CAST(floor(CAST(value AS DOUBLE) * 1000000.0 + 0.5)
+                             AS BIGINT)) AS BIGINT) AS x
+        FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    m AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS HUGEINT) AS s1
+        FROM d
+    ),
+    lsel AS (
+        SELECT n, s1,
+               CAST(floor(4.0 * pow(CAST(n AS DOUBLE) / 100.0, 0.25))
+                    AS BIGINT) AS l
+        FROM m
+    ),
+    e AS (
+        SELECT ROW_NUMBER() OVER (ORDER BY dd) AS t,
+               CAST(lsel.n AS HUGEINT) * x - lsel.s1 AS ev
+        FROM d CROSS JOIN lsel
+    ),
+    ss AS (
+        SELECT CAST(SUM(sp * sp) AS HUGEINT) AS ssq
+        FROM (
+            SELECT CAST(SUM(ev) OVER (ORDER BY t
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS HUGEINT) AS sp
+            FROM e
+        )
+    ),
+    g0 AS (SELECT CAST(SUM(ev * ev) AS HUGEINT) AS g FROM e),
+    gj AS (
+        SELECT CAST(COALESCE(SUM(
+                   CAST(lsel.l + 1 - j.j AS HUGEINT) * a.ev * b.ev), 0)
+                    AS HUGEINT) AS wg
+        FROM lsel
+        CROSS JOIN (SELECT unnest(range(1, 100)) AS j) j
+        JOIN e a ON TRUE
+        JOIN e b ON b.t = a.t + j.j
+        WHERE j.j <= lsel.l
+    )
+    SELECT n AS n_days, CAST(l AS BIGINT) AS lag_l,
+           ROUND(CAST(ssq AS DOUBLE) * (CAST(l AS DOUBLE) + 1.0)
+                 / NULLIF(CAST(n AS DOUBLE)
+                          * (CAST(l + 1 AS DOUBLE) * CAST(g AS DOUBLE)
+                             + 2.0 * CAST(wg AS DOUBLE)), 0.0), 6)
+               AS kpss_stat,
+           ROUND(CAST(ssq AS DOUBLE) * (CAST(l AS DOUBLE) + 1.0)
+                 / NULLIF(CAST(n AS DOUBLE)
+                          * (CAST(l + 1 AS DOUBLE) * CAST(g AS DOUBLE)
+                             + 2.0 * CAST(wg AS DOUBLE)), 0.0), 6)
+               > CAST(0.463 AS DOUBLE) AS reject_05
+    FROM lsel CROSS JOIN ss CROSS JOIN g0 CROSS JOIN gj
+    """,
+    doc="KPSS level-stationarity test on the daily purchase-value "
+    "series: eta = n^-2 sum S_t^2 / s^2(l) with S_t the partial sums "
+    "of deviations from the mean and s^2(l) the Bartlett-kernel "
+    "long-run variance at the standard l = floor(4 (n/100)^(1/4)) "
+    "bandwidth; reject (5% critical value 0.463, literal) means a "
+    "unit root / drifting level — the stationarity GATE in front of "
+    "every mean-reverting assumption in this suite (EWMA signals, "
+    "Bollinger, variance-ratio). EXACT: deviations are n-scaled "
+    "integers (ev = n*x - s1, so no rational mean ever materializes), "
+    "partial sums, their squares, gamma_0 and the Bartlett-weighted "
+    "autocovariance sum (integer weights l+1-j over a common l+1 "
+    "denominator) are ALL exact HUGEINT/DECIMAL(38,0) integers; eta "
+    "is ONE final double division, NULLIF-guarded on a constant "
+    "series.",
+)
+def timeseries_kpss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: one day-grain aggregate over the fact table, then
+    prefix/lag windows over the |days|-row relation (calendar-bounded)
+    and three 1-row reduces."""
+    from pyspark.sql.window import Window
+
+    e = load_fixture(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    q = F.floor(F.col("value").cast("double") * F.lit(1000000.0) + F.lit(0.5)).cast(
+        "bigint"
+    )
+    d = (
+        e.select(F.expr("unix_micros(ts) div 86400000000").alias("dd"), q.alias("q"))
+        .groupBy("dd")
+        .agg(F.sum("q").cast("bigint").alias("x"))
+        .localCheckpoint(eager=True)
+    )
+    m = d.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("decimal(38,0)").alias("s1"),
+    )
+    lsel = m.selectExpr(
+        "n",
+        "s1",
+        "CAST(floor(4.0 * pow(CAST(n AS DOUBLE) / 100.0, 0.25)) AS BIGINT) AS l",
+    )
+    wd = Window.orderBy("dd")
+    ev = d.crossJoin(F.broadcast(lsel)).select(
+        F.row_number().over(wd).alias("t"),
+        F.expr("CAST(n AS DECIMAL(19,0)) * x - s1")
+        .cast("decimal(38,0)")
+        .alias("ev"),
+        "l",
+    )
+    ev = ev.localCheckpoint(eager=True)
+    wp = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ss = (
+        ev.select(F.sum("ev").over(wp).cast("decimal(38,0)").alias("sp"))
+        .agg(
+            F.sum(F.expr("CAST(sp AS DECIMAL(19,0)) * sp"))
+            .cast("decimal(38,0)")
+            .alias("ssq")
+        )
+    )
+    g0 = ev.agg(
+        F.sum(F.expr("CAST(ev AS DECIMAL(19,0)) * ev"))
+        .cast("decimal(38,0)")
+        .alias("g")
+    )
+    a_ = ev.select(F.col("t").alias("ta"), F.col("ev").alias("eva"), "l")
+    b_ = ev.select(F.col("t").alias("tb"), F.col("ev").alias("evb"))
+    lagj = (
+        ev.select("l")
+        .limit(1)
+        .crossJoin(
+            ev.sparkSession.range(1, 100).select(F.col("id").alias("j"))
+        )
+        .filter(F.col("j") <= F.col("l"))
+        .select("j")
+    )
+    gj = (
+        a_.crossJoin(F.broadcast(lagj))
+        .join(F.broadcast(b_), F.col("tb") == F.col("ta") + F.col("j"))
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.expr(
+                        "CAST(l + 1 - j AS DECIMAL(19,0)) * (CAST(eva AS"
+                        " DECIMAL(19,0)) * evb)"
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("decimal(38,0)")
+            .alias("wg")
+        )
+    )
+    eta = (
+        "CAST(ssq AS DOUBLE) * (CAST(l AS DOUBLE) + 1.0)"
+        " / NULLIF(CAST(n AS DOUBLE)"
+        " * (CAST(l + 1 AS DOUBLE) * CAST(g AS DOUBLE)"
+        " + 2.0 * CAST(wg AS DOUBLE)), 0.0)"
+    )
+    return (
+        lsel.crossJoin(F.broadcast(ss))
+        .crossJoin(F.broadcast(g0))
+        .crossJoin(F.broadcast(gj))
+        .selectExpr(
+            "n AS n_days",
+            "CAST(l AS BIGINT) AS lag_l",
+            f"ROUND({eta}, 6) AS kpss_stat",
+            f"ROUND({eta}, 6) > CAST(0.463 AS DOUBLE) AS reject_05",
+        )
+    )
+
+
+@register(
+    "timeseries_cox_stuart",
+    oracle="""
+    WITH d AS (
+        SELECT epoch_us(ts) // 86400000000 AS dd,
+               CAST(SUM(CAST(floor(CAST(value AS DOUBLE) * 1000000.0 + 0.5)
+                             AS BIGINT)) AS BIGINT) AS x
+        FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    idx AS (
+        SELECT ROW_NUMBER() OVER (ORDER BY dd) AS t, x FROM d
+    ),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM d),
+    pairs AS (
+        SELECT CASE WHEN b.x > a.x THEN 1 ELSE 0 END AS pos,
+               CASE WHEN b.x < a.x THEN 1 ELSE 0 END AS neg
+        FROM idx a CROSS JOIN nn
+        JOIN idx b ON b.t = a.t + n // 2
+        WHERE a.t <= n // 2
+    ),
+    s AS (
+        SELECT CAST(SUM(pos) AS BIGINT) AS sp, CAST(SUM(neg) AS BIGINT) AS sn
+        FROM pairs
+    )
+    SELECT n AS n_days, CAST(n // 2 AS BIGINT) AS shift_c,
+           sp AS n_up, sn AS n_down,
+           ROUND((CAST(sp AS DOUBLE) - CAST(sp + sn AS DOUBLE) / 2.0)
+                 / NULLIF(sqrt(CAST(sp + sn AS DOUBLE) / 4.0), 0.0), 6)
+               AS z_score
+    FROM s CROSS JOIN nn
+    """,
+    doc="Cox-Stuart sign test for monotone trend in the daily "
+    "purchase-value series: pair day t with day t + floor(n/2), count "
+    "rises vs falls (exact ties dropped, binomial normal "
+    "approximation z = (S+ - m/2)/sqrt(m/4)) — the assumption-free "
+    "trend triage that reads only signs, complementing "
+    "timeseries_mann_kendall (all-pairs) with a calendar-split "
+    "variant whose pairs are maximally separated in time. The second "
+    "half of an odd-length series drops its middle day (standard). "
+    "All counts are exact integers off an integer equi-join on the "
+    "day index; z is one final double sequence, NULLIF-guarded when "
+    "every pair ties.",
+)
+def timeseries_cox_stuart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: one day-grain aggregate over the fact table, one
+    integer self-equi-join on the |days|-row relation (calendar-
+    bounded), one 1-row reduce."""
+    from pyspark.sql.window import Window
+
+    e = load_fixture(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    q = F.floor(F.col("value").cast("double") * F.lit(1000000.0) + F.lit(0.5)).cast(
+        "bigint"
+    )
+    d = (
+        e.select(F.expr("unix_micros(ts) div 86400000000").alias("dd"), q.alias("q"))
+        .groupBy("dd")
+        .agg(F.sum("q").cast("bigint").alias("x"))
+        .localCheckpoint(eager=True)
+    )
+    idx = d.select(
+        F.row_number().over(Window.orderBy("dd")).alias("t"), "x"
+    )
+    nn = d.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    a_ = idx.select(F.col("t").alias("ta"), F.col("x").alias("xa"))
+    b_ = idx.select(F.col("t").alias("tb"), F.col("x").alias("xb"))
+    pairs = (
+        a_.crossJoin(F.broadcast(nn))
+        .filter(F.col("ta") <= F.expr("n div 2"))
+        .join(F.broadcast(b_), F.col("tb") == F.col("ta") + F.expr("n div 2"))
+        .select(
+            F.when(F.col("xb") > F.col("xa"), 1).otherwise(0).alias("pos"),
+            F.when(F.col("xb") < F.col("xa"), 1).otherwise(0).alias("neg"),
+        )
+    )
+    s = pairs.agg(
+        F.sum("pos").cast("bigint").alias("sp"),
+        F.sum("neg").cast("bigint").alias("sn"),
+    )
+    return s.crossJoin(F.broadcast(nn)).selectExpr(
+        "n AS n_days",
+        "CAST(n div 2 AS BIGINT) AS shift_c",
+        "sp AS n_up",
+        "sn AS n_down",
+        "ROUND((CAST(sp AS DOUBLE) - CAST(sp + sn AS DOUBLE) / 2.0)"
+        " / NULLIF(sqrt(CAST(sp + sn AS DOUBLE) / 4.0), 0.0), 6) AS z_score",
+    )
+
+
+@register(
+    "timeseries_turning_points",
+    oracle="""
+    WITH d AS (
+        SELECT epoch_us(ts) // 86400000000 AS dd,
+               CAST(SUM(CAST(floor(CAST(value AS DOUBLE) * 1000000.0 + 0.5)
+                             AS BIGINT)) AS BIGINT) AS x
+        FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    w AS (
+        SELECT x,
+               LAG(x) OVER (ORDER BY dd) AS xp,
+               LEAD(x) OVER (ORDER BY dd) AS xn
+        FROM d
+    ),
+    s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN xp IS NOT NULL AND xn IS NOT NULL
+                             AND ((x > xp AND x > xn)
+                                  OR (x < xp AND x < xn))
+                        THEN 1 ELSE 0 END) AS BIGINT) AS tp
+        FROM w
+    )
+    SELECT n AS n_days, tp AS turning_points,
+           ROUND(2.0 * (CAST(n AS DOUBLE) - 2.0) / 3.0, 6) AS expected_tp,
+           ROUND((CAST(tp AS DOUBLE)
+                  - 2.0 * (CAST(n AS DOUBLE) - 2.0) / 3.0)
+                 / NULLIF(sqrt((16.0 * CAST(n AS DOUBLE) - 29.0) / 90.0),
+                          0.0), 6) AS z_score
+    FROM s
+    """,
+    doc="Turning-points test for randomness of the daily purchase-value "
+    "series: count strict local maxima/minima (ties break neither "
+    "side, documented), E[T] = 2(n-2)/3, Var = (16n-29)/90 — the "
+    "classic oscillation read: too FEW turns means trend/stickiness, "
+    "too MANY means negative serial correlation (overdifferencing); "
+    "triangulates timeseries_runs-style sign tests with a "
+    "second-difference view. Counts are exact integers off one "
+    "lag/lead window over the calendar-bounded day relation; z is "
+    "one final double sequence.",
+)
+def timeseries_turning_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: one day-grain aggregate over the fact table, one
+    lag/lead window over the |days|-row relation, one 1-row reduce."""
+    from pyspark.sql.window import Window
+
+    e = load_fixture(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    q = F.floor(F.col("value").cast("double") * F.lit(1000000.0) + F.lit(0.5)).cast(
+        "bigint"
+    )
+    d = (
+        e.select(F.expr("unix_micros(ts) div 86400000000").alias("dd"), q.alias("q"))
+        .groupBy("dd")
+        .agg(F.sum("q").cast("bigint").alias("x"))
+        .localCheckpoint(eager=True)
+    )
+    wd = Window.orderBy("dd")
+    w = d.select(
+        "x",
+        F.lag("x").over(wd).alias("xp"),
+        F.lead("x").over(wd).alias("xn"),
+    )
+    s = w.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(
+            F.when(
+                F.col("xp").isNotNull()
+                & F.col("xn").isNotNull()
+                & (
+                    ((F.col("x") > F.col("xp")) & (F.col("x") > F.col("xn")))
+                    | ((F.col("x") < F.col("xp")) & (F.col("x") < F.col("xn")))
+                ),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("tp"),
+    )
+    return s.selectExpr(
+        "n AS n_days",
+        "tp AS turning_points",
+        "ROUND(2.0 * (CAST(n AS DOUBLE) - 2.0) / 3.0, 6) AS expected_tp",
+        "ROUND((CAST(tp AS DOUBLE) - 2.0 * (CAST(n AS DOUBLE) - 2.0) / 3.0)"
+        " / NULLIF(sqrt((16.0 * CAST(n AS DOUBLE) - 29.0) / 90.0), 0.0), 6)"
+        " AS z_score",
+    )
+
+
+@register(
+    "timeseries_bartels_rank",
+    oracle="""
+    WITH d AS (
+        SELECT epoch_us(ts) // 86400000000 AS dd,
+               CAST(SUM(CAST(floor(CAST(value AS DOUBLE) * 1000000.0 + 0.5)
+                             AS BIGINT)) AS BIGINT) AS x
+        FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    vals AS (
+        SELECT x AS v, CAST(COUNT(*) AS BIGINT) AS cv FROM d GROUP BY x
+    ),
+    rk AS (
+        SELECT v,
+               2 * SUM(cv) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) - cv + 1 AS dr2
+        FROM vals
+    ),
+    seq AS (
+        SELECT d.dd, rk.dr2,
+               LEAD(rk.dr2) OVER (ORDER BY d.dd) AS dr2n
+        FROM d JOIN rk ON d.x = rk.v
+    ),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM d),
+    s AS (
+        SELECT CAST(SUM(CASE WHEN dr2n IS NOT NULL
+                        THEN (dr2 - dr2n) * (dr2 - dr2n) ELSE 0 END)
+                    AS HUGEINT) AS num4,
+               CAST(SUM((dr2 - (SELECT n FROM nn) - 1)
+                        * (dr2 - (SELECT n FROM nn) - 1)) AS HUGEINT) AS den4
+        FROM seq
+    )
+    SELECT n AS n_days,
+           ROUND(CAST(num4 AS DOUBLE) / NULLIF(CAST(den4 AS DOUBLE), 0.0),
+                 6) AS rvn,
+           ROUND((CAST(num4 AS DOUBLE) / NULLIF(CAST(den4 AS DOUBLE), 0.0)
+                  - 2.0) * sqrt(CAST(n AS DOUBLE)) / 2.0, 6) AS z_score
+    FROM s CROSS JOIN nn
+    """,
+    doc="Bartels rank version of the von Neumann ratio on the daily "
+    "purchase-value series: RVN = sum (r_t - r_t+1)^2 / sum (r_t - "
+    "rbar)^2 over midranks, z ~ (RVN - 2) * sqrt(n)/2 — the "
+    "rank-robust randomness-against-serial-correlation test "
+    "(parametric von Neumann is timeseries_durbin_watson's cousin; "
+    "this one survives outlier days untouched). EXACT: midranks are "
+    "doubled integers via the distinct-value cumulative count, the "
+    "doubled-rank mean is EXACTLY n+1 (so the centered denominator "
+    "is an exact integer sum, no rational mean), successive "
+    "differences ride one lead window over the calendar-bounded day "
+    "relation, and both quadratic sums are exact "
+    "HUGEINT/DECIMAL(38,0) integers whose shared 4x scaling cancels "
+    "in the ratio; RVN and z are one final double sequence, "
+    "NULLIF-guarded on a constant series.",
+)
+def timeseries_bartels_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: one day-grain aggregate over the fact table, a
+    distinct-value cumulative count plus one lead window over the
+    |days|-row relation (calendar-bounded), one 1-row reduce."""
+    from pyspark.sql.window import Window
+
+    e = load_fixture(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    q = F.floor(F.col("value").cast("double") * F.lit(1000000.0) + F.lit(0.5)).cast(
+        "bigint"
+    )
+    d = (
+        e.select(F.expr("unix_micros(ts) div 86400000000").alias("dd"), q.alias("q"))
+        .groupBy("dd")
+        .agg(F.sum("q").cast("bigint").alias("x"))
+        .localCheckpoint(eager=True)
+    )
+    vals = d.groupBy(F.col("x").alias("v")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("cv")
+    )
+    wv = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rk = vals.select(
+        "v",
+        (F.lit(2) * F.sum("cv").over(wv) - F.col("cv") + F.lit(1))
+        .cast("bigint")
+        .alias("dr2"),
+    )
+    wd = Window.orderBy("dd")
+    seq = (
+        d.join(rk, d["x"] == rk["v"])
+        .select("dd", "dr2")
+        .select("dr2", F.lead("dr2").over(wd).alias("dr2n"))
+    )
+    nn = d.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    s = seq.crossJoin(F.broadcast(nn)).agg(
+        F.sum(
+            F.expr(
+                "CASE WHEN dr2n IS NOT NULL THEN"
+                " CAST(dr2 - dr2n AS DECIMAL(19,0)) * (dr2 - dr2n)"
+                " ELSE 0 END"
+            )
+        )
+        .cast("decimal(38,0)")
+        .alias("num4"),
+        F.sum(
+            F.expr(
+                "CAST(dr2 - n - 1 AS DECIMAL(19,0)) * (dr2 - n - 1)"
+            )
+        )
+        .cast("decimal(38,0)")
+        .alias("den4"),
+        F.first("n").alias("n"),
+    )
+    return s.selectExpr(
+        "n AS n_days",
+        "ROUND(CAST(num4 AS DOUBLE) / NULLIF(CAST(den4 AS DOUBLE), 0.0), 6)"
+        " AS rvn",
+        "ROUND((CAST(num4 AS DOUBLE) / NULLIF(CAST(den4 AS DOUBLE), 0.0)"
+        " - 2.0) * sqrt(CAST(n AS DOUBLE)) / 2.0, 6) AS z_score",
+    )
+
+
+@register(
+    "window_vwap_deviation",
+    oracle="""
+    WITH p AS (
+        SELECT user_id, ts,
+               CAST(floor(CAST(value AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)
+                   AS q,
+               epoch_us(ts) // 21600000000 AS hb
+        FROM events WHERE event_type = 'purchase'
+    ),
+    bars AS (
+        SELECT user_id, hb, arg_max(q, ts) AS c,
+               CAST(SUM(q) AS HUGEINT) AS s, CAST(COUNT(*) AS BIGINT) AS v
+        FROM p GROUP BY user_id, hb
+    ),
+    r AS (
+        SELECT user_id, hb, c,
+               CAST(SUM(s) OVER (PARTITION BY user_id ORDER BY hb
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS HUGEINT) AS cs,
+               CAST(SUM(v) OVER (PARTITION BY user_id ORDER BY hb
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS HUGEINT) AS cv
+        FROM bars
+    ),
+    dev AS (
+        SELECT user_id, hb, c, cs, cv,
+               (CAST(c AS DOUBLE) * CAST(cv AS DOUBLE)
+                - CAST(cs AS DOUBLE)) / CAST(cs AS DOUBLE) AS d
+        FROM r
+    ),
+    last AS (
+        SELECT user_id, arg_max(c, hb) AS c_final,
+               arg_max(cs, hb) AS cs_f, arg_max(cv, hb) AS cv_f
+        FROM dev GROUP BY user_id
+    )
+    SELECT l.user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bars,
+           CAST((2 * l.cs_f + l.cv_f) // (2 * l.cv_f) AS BIGINT)
+               AS vwap_final_micro,
+           ROUND((CAST(l.c_final AS DOUBLE) * CAST(l.cv_f AS DOUBLE)
+                  - CAST(l.cs_f AS DOUBLE)) / CAST(l.cs_f AS DOUBLE), 6)
+               AS dev_final,
+           ROUND(MIN(d.d), 6) AS dev_min,
+           ROUND(MAX(d.d), 6) AS dev_max
+    FROM last l JOIN dev d USING (user_id)
+    GROUP BY l.user_id, l.c_final, l.cs_f, l.cv_f
+    """,
+    doc="Running VWAP deviation per user over the shared 6-hour bars: "
+    "anchored VWAP = cumulative sum(value) / cumulative count, "
+    "deviation = (close - vwap)/vwap per bar — the "
+    "execution-benchmark read (is the user's latest activity above "
+    "or below their volume-weighted average level?) that anchors the "
+    "band family (window_bollinger_bands) to a volume-weighted "
+    "center. EXACT: per-bar (sum, count) pairs and both running sums "
+    "are exact integers, the final VWAP is a half-away micro integer "
+    "division, and each bar's deviation (c*cv - cs)/cs is ONE "
+    "identical double sequence per engine — min/max over those "
+    "doubles are order-free comparisons, never accumulations.",
+)
+def window_vwap_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: the bar aggregate (one fact shuffle), one per-user
+    ordered running-sum window (partition-parallel), one per-user
+    rollup — no joins beyond the per-user last-bar self-pair."""
+    from pyspark.sql.window import Window
+
+    e = load_fixture(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    p = e.select(
+        "user_id",
+        "ts",
+        F.floor(F.col("value").cast("double") * F.lit(1000000.0) + F.lit(0.5))
+        .cast("bigint")
+        .alias("q"),
+        F.expr("unix_micros(ts) div 21600000000").alias("hb"),
+    )
+    bars = p.groupBy("user_id", "hb").agg(
+        F.max_by("q", "ts").alias("c"),
+        F.sum("q").cast("decimal(38,0)").alias("s"),
+        F.count(F.lit(1)).cast("bigint").alias("v"),
+    )
+    wo = Window.partitionBy("user_id").orderBy("hb").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    r = bars.select(
+        "user_id",
+        "hb",
+        "c",
+        F.sum("s").over(wo).cast("decimal(38,0)").alias("cs"),
+        F.sum("v").over(wo).cast("decimal(38,0)").alias("cv"),
+    )
+    dev = r.selectExpr(
+        "user_id",
+        "hb",
+        "c",
+        "cs",
+        "cv",
+        "(CAST(c AS DOUBLE) * CAST(cv AS DOUBLE) - CAST(cs AS DOUBLE))"
+        " / CAST(cs AS DOUBLE) AS d",
+    )
+    last = dev.groupBy("user_id").agg(
+        F.max_by("c", "hb").alias("c_final"),
+        F.max_by("cs", "hb").alias("cs_f"),
+        F.max_by("cv", "hb").alias("cv_f"),
+    )
+    return (
+        last.join(dev, "user_id")
+        .groupBy("user_id", "c_final", "cs_f", "cv_f")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bars"),
+            F.round(F.min("d"), 6).alias("dev_min"),
+            F.round(F.max("d"), 6).alias("dev_max"),
+        )
+        .selectExpr(
+            "user_id",
+            "n_bars",
+            "CAST((2 * cs_f + cv_f) div (2 * cv_f) AS BIGINT)"
+            " AS vwap_final_micro",
+            "ROUND((CAST(c_final AS DOUBLE) * CAST(cv_f AS DOUBLE)"
+            " - CAST(cs_f AS DOUBLE)) / CAST(cs_f AS DOUBLE), 6)"
+            " AS dev_final",
+            "dev_min",
+            "dev_max",
+        )
+    )
+
+
+@register(
+    "window_chaikin_money_flow",
+    oracle="""
+    WITH p AS (
+        SELECT user_id, ts,
+               CAST(floor(CAST(value AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)
+                   AS q,
+               epoch_us(ts) // 21600000000 AS hb
+        FROM events WHERE event_type = 'purchase'
+    ),
+    bars AS (
+        SELECT user_id, hb, MAX(q) AS h, MIN(q) AS l,
+               arg_max(q, ts) AS c, CAST(COUNT(*) AS BIGINT) AS v
+        FROM p GROUP BY user_id, hb
+    ),
+    mf AS (
+        SELECT user_id, hb, v,
+               CASE WHEN h = l THEN CAST(0 AS BIGINT)
+                    WHEN CAST(v AS HUGEINT) * (2 * c - h - l) >= 0
+                    THEN CAST(floor(CAST(v AS DOUBLE)
+                                    * CAST(2 * c - h - l AS DOUBLE)
+                                    / CAST(h - l AS DOUBLE)
+                                    * 1000000.0 + 0.5) AS BIGINT)
+                    ELSE -CAST(floor(-(CAST(v AS DOUBLE)
+                                       * CAST(2 * c - h - l AS DOUBLE)
+                                       / CAST(h - l AS DOUBLE))
+                                     * 1000000.0 + 0.5) AS BIGINT)
+               END AS mfq
+        FROM bars
+    ),
+    roll AS (
+        SELECT user_id, hb,
+               CAST(SUM(mfq) OVER (PARTITION BY user_id ORDER BY hb
+                                   ROWS BETWEEN 19 PRECEDING
+                                   AND CURRENT ROW) AS HUGEINT) AS smf,
+               CAST(SUM(v) OVER (PARTITION BY user_id ORDER BY hb
+                                 ROWS BETWEEN 19 PRECEDING
+                                 AND CURRENT ROW) AS HUGEINT) AS sv
+        FROM mf
+    ),
+    cmf AS (
+        SELECT user_id, hb,
+               CAST(smf AS DOUBLE) / 1000000.0 / CAST(sv AS DOUBLE) AS cv
+        FROM roll
+    ),
+    last AS (
+        SELECT user_id, arg_max(cv, hb) AS cmf_final FROM cmf GROUP BY user_id
+    )
+    SELECT l.user_id, CAST(COUNT(*) AS BIGINT) AS n_bars,
+           ROUND(l.cmf_final, 6) AS cmf_final,
+           ROUND(MIN(c.cv), 6) AS cmf_min,
+           ROUND(MAX(c.cv), 6) AS cmf_max
+    FROM last l JOIN cmf c USING (user_id)
+    GROUP BY l.user_id, l.cmf_final
+    """,
+    doc="Chaikin money flow (20-bar) per user over the shared 6-hour "
+    "bars: money-flow multiplier ((c-l)-(h-c))/(h-l) (0 on flat "
+    "bars), money-flow volume = multiplier * bar volume, CMF = "
+    "rolling-20 sum(MFV) / rolling-20 sum(volume) — the buying-vs-"
+    "selling-pressure gauge that fuses window_obv's volume signing "
+    "with WHERE in the bar's range the close landed; early bars use "
+    "the shorter available window (both engines identically). "
+    "DETERMINISM: each bar's MFV is one identical double sequence "
+    "sign-split half-away micro-quantized to an integer (Spark div "
+    "truncates where DuckDB floors on negatives — the signed-"
+    "quantity house rule), so both rolling sums accumulate exact "
+    "integers; per-bar CMF is one final double division and min/max/"
+    "last are order-free.",
+)
+def window_chaikin_money_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: the bar aggregate (one fact shuffle), one per-user
+    ordered rolling window pair over exact integers, one per-user
+    rollup."""
+    from pyspark.sql.window import Window
+
+    e = load_fixture(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    p = e.select(
+        "user_id",
+        "ts",
+        F.floor(F.col("value").cast("double") * F.lit(1000000.0) + F.lit(0.5))
+        .cast("bigint")
+        .alias("q"),
+        F.expr("unix_micros(ts) div 21600000000").alias("hb"),
+    )
+    bars = p.groupBy("user_id", "hb").agg(
+        F.max("q").alias("h"),
+        F.min("q").alias("l"),
+        F.max_by("q", "ts").alias("c"),
+        F.count(F.lit(1)).cast("bigint").alias("v"),
+    )
+    mf = bars.selectExpr(
+        "user_id",
+        "hb",
+        "v",
+        "CASE WHEN h = l THEN CAST(0 AS BIGINT)"
+        " WHEN CAST(v AS DECIMAL(19,0)) * (2 * c - h - l) >= 0"
+        " THEN CAST(floor(CAST(v AS DOUBLE) * CAST(2 * c - h - l AS DOUBLE)"
+        " / CAST(h - l AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)"
+        " ELSE -CAST(floor(-(CAST(v AS DOUBLE) * CAST(2 * c - h - l AS DOUBLE)"
+        " / CAST(h - l AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)"
+        " END AS mfq",
+    )
+    wr = Window.partitionBy("user_id").orderBy("hb").rowsBetween(-19, 0)
+    roll = mf.select(
+        "user_id",
+        "hb",
+        F.sum("mfq").over(wr).cast("decimal(38,0)").alias("smf"),
+        F.sum("v").over(wr).cast("decimal(38,0)").alias("sv"),
+    )
+    cmf = roll.selectExpr(
+        "user_id",
+        "hb",
+        "CAST(smf AS DOUBLE) / 1000000.0 / CAST(sv AS DOUBLE) AS cv",
+    )
+    last = cmf.groupBy("user_id").agg(
+        F.max_by("cv", "hb").alias("cmf_final")
+    )
+    return (
+        last.join(cmf, "user_id")
+        .groupBy("user_id", "cmf_final")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bars"),
+            F.round(F.min("cv"), 6).alias("cmf_min"),
+            F.round(F.max("cv"), 6).alias("cmf_max"),
+        )
+        .selectExpr(
+            "user_id",
+            "n_bars",
+            "ROUND(cmf_final, 6) AS cmf_final",
+            "cmf_min",
+            "cmf_max",
+        )
+    )
+
+
+@register(
+    "window_ichimoku",
+    oracle="""
+    WITH p AS (
+        SELECT user_id, ts,
+               CAST(floor(CAST(value AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)
+                   AS q,
+               epoch_us(ts) // 21600000000 AS hb
+        FROM events WHERE event_type = 'purchase'
+    ),
+    bars AS (
+        SELECT user_id, hb, MAX(q) AS h, MIN(q) AS l, arg_max(q, ts) AS c
+        FROM p GROUP BY user_id, hb
+    ),
+    w AS (
+        SELECT user_id, hb, c,
+               MAX(h) OVER w9 + MIN(l) OVER w9 AS tenkan2,
+               MAX(h) OVER w26 + MIN(l) OVER w26 AS kijun2,
+               MAX(h) OVER w52 + MIN(l) OVER w52 AS senkou_b2,
+               LAG(c, 26) OVER (PARTITION BY user_id ORDER BY hb) AS chikou_ref
+        FROM bars
+        WINDOW w9 AS (PARTITION BY user_id ORDER BY hb
+                      ROWS BETWEEN 8 PRECEDING AND CURRENT ROW),
+               w26 AS (PARTITION BY user_id ORDER BY hb
+                       ROWS BETWEEN 25 PRECEDING AND CURRENT ROW),
+               w52 AS (PARTITION BY user_id ORDER BY hb
+                       ROWS BETWEEN 51 PRECEDING AND CURRENT ROW)
+    ),
+    last AS (
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_bars,
+               arg_max(c, hb) AS c_f,
+               arg_max(tenkan2, hb) AS t2,
+               arg_max(kijun2, hb) AS k2,
+               arg_max(senkou_b2, hb) AS sb2,
+               arg_max(COALESCE(chikou_ref, -1), hb) AS ck
+        FROM w GROUP BY user_id
+    )
+    SELECT user_id, n_bars,
+           CAST(c_f AS BIGINT) AS close_micro,
+           CAST(t2 AS BIGINT) AS tenkan_x2,
+           CAST(k2 AS BIGINT) AS kijun_x2,
+           CAST(t2 + k2 AS BIGINT) AS senkou_a_x4,
+           CAST(sb2 AS BIGINT) AS senkou_b_x2,
+           CAST(CASE WHEN ck < 0 THEN NULL ELSE ck END AS BIGINT)
+               AS chikou_ref_micro,
+           2 * c_f > k2 AS above_kijun
+    FROM last
+    """,
+    doc="Ichimoku baseline set per user on the shared 6-hour bars, "
+    "read at the latest bar: tenkan (9-bar midpoint), kijun (26-bar "
+    "midpoint), senkou A ((tenkan+kijun)/2), senkou B (52-bar "
+    "midpoint), chikou reference (close 26 bars back) and the "
+    "close-vs-kijun regime bit — the multi-horizon "
+    "support/resistance frame that generalizes window_donchian_"
+    "breakout's single channel to three nested horizons. EXACT "
+    "integer trick: midpoints are carried DOUBLED (H+L) and senkou A "
+    "QUADRUPLED (tenkan2+kijun2), so every output is an exact "
+    "integer — no halving division ever happens; the regime compare "
+    "is 2*close > kijun2, exactly equivalent to close > kijun. "
+    "Early bars use the shorter available window (both engines "
+    "identically); a user with <27 bars reports NULL chikou.",
+)
+def window_ichimoku(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: the bar aggregate (one fact shuffle), three nested
+    rolling max/min windows + one lag riding the SAME per-user ordered
+    partition (one sort), one per-user rollup."""
+    from pyspark.sql.window import Window
+
+    e = load_fixture(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    p = e.select(
+        "user_id",
+        "ts",
+        F.floor(F.col("value").cast("double") * F.lit(1000000.0) + F.lit(0.5))
+        .cast("bigint")
+        .alias("q"),
+        F.expr("unix_micros(ts) div 21600000000").alias("hb"),
+    )
+    bars = p.groupBy("user_id", "hb").agg(
+        F.max("q").alias("h"),
+        F.min("q").alias("l"),
+        F.max_by("q", "ts").alias("c"),
+    )
+    wo = Window.partitionBy("user_id").orderBy("hb")
+    w9 = wo.rowsBetween(-8, 0)
+    w26 = wo.rowsBetween(-25, 0)
+    w52 = wo.rowsBetween(-51, 0)
+    w = bars.select(
+        "user_id",
+        "hb",
+        "c",
+        (F.max("h").over(w9) + F.min("l").over(w9)).alias("tenkan2"),
+        (F.max("h").over(w26) + F.min("l").over(w26)).alias("kijun2"),
+        (F.max("h").over(w52) + F.min("l").over(w52)).alias("senkou_b2"),
+        F.lag("c", 26).over(wo).alias("chikou_ref"),
+    )
+    last = w.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bars"),
+        F.max_by("c", "hb").alias("c_f"),
+        F.max_by("tenkan2", "hb").alias("t2"),
+        F.max_by("kijun2", "hb").alias("k2"),
+        F.max_by("senkou_b2", "hb").alias("sb2"),
+        F.max_by(F.coalesce(F.col("chikou_ref"), F.lit(-1)), "hb").alias("ck"),
+    )
+    return last.selectExpr(
+        "user_id",
+        "n_bars",
+        "CAST(c_f AS BIGINT) AS close_micro",
+        "CAST(t2 AS BIGINT) AS tenkan_x2",
+        "CAST(k2 AS BIGINT) AS kijun_x2",
+        "CAST(t2 + k2 AS BIGINT) AS senkou_a_x4",
+        "CAST(sb2 AS BIGINT) AS senkou_b_x2",
+        "CAST(CASE WHEN ck < 0 THEN NULL ELSE ck END AS BIGINT)"
+        " AS chikou_ref_micro",
+        "2 * c_f > k2 AS above_kijun",
+    )
+
+
+@register(
+    "dq_last_digit_heaping",
+    oracle="""
+    WITH d AS (
+        SELECT CAST(floor(CAST(o_totalprice AS DOUBLE) * 100.0 + 0.5)
+                    AS BIGINT) % 10 AS dig
+        FROM orders
+    ),
+    c AS (
+        SELECT dig, CAST(COUNT(*) AS BIGINT) AS c FROM d GROUP BY dig
+    ),
+    s AS (
+        SELECT CAST(SUM(c) AS BIGINT) AS n,
+               CAST(SUM(CAST(c AS HUGEINT) * c) AS HUGEINT) AS c2,
+               CAST(COUNT(*) AS BIGINT) AS k
+        FROM c
+    ),
+    modal AS (
+        SELECT MIN(dig) AS modal_digit, MAX(c.c) AS modal_count
+        FROM c WHERE c.c = (SELECT MAX(c) FROM c)
+    )
+    SELECT n AS n_orders, k AS n_digits_seen,
+           ROUND((10.0 * CAST(c2 AS DOUBLE)
+                  - CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
+                 / CAST(n AS DOUBLE), 6) AS chi2_uniform,
+           CAST(modal_digit AS BIGINT) AS modal_digit,
+           CAST(modal_count AS BIGINT) AS modal_count,
+           CAST((2 * CAST(modal_count AS HUGEINT) * 1000000 + n)
+                // (2 * CAST(n AS HUGEINT)) AS BIGINT) AS modal_share_micro
+    FROM s CROSS JOIN modal
+    """,
+    doc="Last-digit heaping audit on order totals: the terminal cent "
+    "digit of a naturally-priced corpus is near-uniform; human "
+    "entry, rounding bugs, or synthetic backfill heap on 0/5/9 — "
+    "chi-square against uniform over the ten digits (chi2 = "
+    "(10 sum c^2 - n^2)/n, an exact-integer rearrangement), plus the "
+    "modal digit (min-digit tiebreak) and its half-away micro share. "
+    "The digit-grain companion to dq_benford_audit (Benford reads "
+    "the FIRST digit's log law; heaping reads the LAST digit's "
+    "uniformity). All counts exact integers; chi2 is one final "
+    "double sequence.",
+)
+def dq_last_digit_heaping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: one projection + 10-cell groupBy over the fact
+    scan (map-side combined), then 1-row reduces — nothing scales
+    past the digit domain."""
+    o = load_fixture(spark, sf_dir, "orders")
+    d = o.select(
+        (
+            F.floor(F.col("o_totalprice").cast("double") * F.lit(100.0) + F.lit(0.5))
+            .cast("bigint")
+            % 10
+        ).alias("dig")
+    )
+    c = d.groupBy("dig").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    c = c.localCheckpoint(eager=True)
+    s = c.agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.sum(F.expr("CAST(c AS DECIMAL(19,0)) * c"))
+        .cast("decimal(38,0)")
+        .alias("c2"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+    )
+    mx = c.agg(F.max("c").alias("mc"))
+    modal = (
+        c.crossJoin(F.broadcast(mx))
+        .filter(F.col("c") == F.col("mc"))
+        .agg(
+            F.min("dig").alias("modal_digit"),
+            F.max("c").alias("modal_count"),
+        )
+    )
+    return s.crossJoin(F.broadcast(modal)).selectExpr(
+        "n AS n_orders",
+        "k AS n_digits_seen",
+        "ROUND((10.0 * CAST(c2 AS DOUBLE)"
+        " - CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) / CAST(n AS DOUBLE), 6)"
+        " AS chi2_uniform",
+        "CAST(modal_digit AS BIGINT) AS modal_digit",
+        "CAST(modal_count AS BIGINT) AS modal_count",
+        "CAST((2 * CAST(modal_count AS DECIMAL(19,0)) * 1000000 + n)"
+        " div (2 * CAST(n AS DECIMAL(19,0))) AS BIGINT) AS modal_share_micro",
+    )
+
+
+@register(
+    "agg_lorenz_asymmetry",
+    oracle="""
+    WITH cust AS (
+        SELECT o_custkey,
+               CAST(SUM(CAST(floor(CAST(o_totalprice AS DOUBLE) * 100.0
+                                   + 0.5) AS BIGINT)) AS BIGINT) AS x
+        FROM orders GROUP BY o_custkey
+    ),
+    tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS HUGEINT) AS s
+        FROM cust
+    ),
+    below AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS m,
+               CAST(COALESCE(SUM(x), 0) AS HUGEINT) AS lm,
+               MAX(x) AS xm
+        FROM cust CROSS JOIN tot
+        WHERE CAST(x AS HUGEINT) * n < s
+    ),
+    aboveq AS (
+        SELECT MIN(x) AS xm1 FROM cust CROSS JOIN tot
+        WHERE CAST(x AS HUGEINT) * n >= s
+    )
+    SELECT n AS n_customers, m AS n_below_mean,
+           ROUND((CAST(s AS DOUBLE) - CAST(n AS DOUBLE)
+                  * CAST(xm AS DOUBLE))
+                 / NULLIF(CAST(n AS DOUBLE)
+                          * (CAST(xm1 AS DOUBLE) - CAST(xm AS DOUBLE)),
+                          0.0), 6) AS delta_interp,
+           ROUND((CAST(m AS DOUBLE)
+                  + (CAST(s AS DOUBLE) - CAST(n AS DOUBLE)
+                     * CAST(xm AS DOUBLE))
+                    / NULLIF(CAST(n AS DOUBLE)
+                             * (CAST(xm1 AS DOUBLE) - CAST(xm AS DOUBLE)),
+                             0.0)) / CAST(n AS DOUBLE)
+                 + (CAST(lm AS DOUBLE)
+                    + (CAST(s AS DOUBLE) - CAST(n AS DOUBLE)
+                       * CAST(xm AS DOUBLE))
+                      / NULLIF(CAST(n AS DOUBLE)
+                               * (CAST(xm1 AS DOUBLE) - CAST(xm AS DOUBLE)),
+                               0.0) * CAST(xm1 AS DOUBLE))
+                   / CAST(s AS DOUBLE), 6) AS lorenz_asymmetry
+    FROM tot CROSS JOIN below CROSS JOIN aboveq
+    """,
+    doc="Lorenz asymmetry coefficient S = F(mu) + L(mu) "
+    "(Damgaard-Weiner) of per-customer spend: S > 1 means the "
+    "inequality that agg_gini_concentration measures is driven by a "
+    "few GIANT customers; S < 1 means by many tiny ones — the "
+    "directional refinement the Gini alone cannot see (two corpora "
+    "with equal Gini can sit on opposite sides of 1). The crossing "
+    "point uses exact integer comparisons (x*n vs s — the mean "
+    "never materializes as a rational), m / L_m / the straddling "
+    "order statistics are exact, and the interpolation delta = "
+    "(s - n*x_m) / (n*(x_m+1 - x_m)) plus S run in ONE identical "
+    "double sequence per engine, NULLIF-guarded on the "
+    "all-values-equal degenerate.",
+)
+def agg_lorenz_asymmetry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: one per-customer groupBy over the fact scan (the
+    only shuffle), then three 1-row broadcast reduces driven by exact
+    integer mean-crossing predicates."""
+    o = load_fixture(spark, sf_dir, "orders")
+    cust = (
+        o.select(
+            "o_custkey",
+            F.floor(
+                F.col("o_totalprice").cast("double") * F.lit(100.0) + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("xc"),
+        )
+        .groupBy("o_custkey")
+        .agg(F.sum("xc").cast("bigint").alias("x"))
+        .localCheckpoint(eager=True)
+    )
+    tot = cust.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("decimal(38,0)").alias("s"),
+    )
+    wt = cust.crossJoin(F.broadcast(tot))
+    below = wt.filter(F.expr("CAST(x AS DECIMAL(38,0)) * n < s")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("m"),
+        F.coalesce(F.sum("x"), F.lit(0)).cast("decimal(38,0)").alias("lm"),
+        F.max("x").alias("xm"),
+    )
+    aboveq = wt.filter(F.expr("CAST(x AS DECIMAL(38,0)) * n >= s")).agg(
+        F.min("x").alias("xm1")
+    )
+    delta = (
+        "(CAST(s AS DOUBLE) - CAST(n AS DOUBLE) * CAST(xm AS DOUBLE))"
+        " / NULLIF(CAST(n AS DOUBLE)"
+        " * (CAST(xm1 AS DOUBLE) - CAST(xm AS DOUBLE)), 0.0)"
+    )
+    return (
+        tot.crossJoin(F.broadcast(below))
+        .crossJoin(F.broadcast(aboveq))
+        .selectExpr(
+            "n AS n_customers",
+            "m AS n_below_mean",
+            f"ROUND({delta}, 6) AS delta_interp",
+            f"ROUND((CAST(m AS DOUBLE) + {delta}) / CAST(n AS DOUBLE)"
+            f" + (CAST(lm AS DOUBLE) + {delta} * CAST(xm1 AS DOUBLE))"
+            " / CAST(s AS DOUBLE), 6) AS lorenz_asymmetry",
+        )
+    )
+
+
+@register(
+    "ab_test_cuped",
+    oracle="""
+    WITH span AS (
+        SELECT (MIN(epoch_us(ts) // 86400000000)
+                + MAX(epoch_us(ts) // 86400000000) + 1) // 2 AS tmid
+        FROM events WHERE event_type = 'purchase'
+    ),
+    pu AS (
+        SELECT user_id,
+               CAST(SUM(CASE WHEN epoch_us(ts) // 86400000000 < tmid
+                        THEN CAST(floor(CAST(value AS DOUBLE) * 1000000.0
+                                        + 0.5) AS BIGINT) ELSE 0 END)
+                    AS BIGINT) AS x,
+               CAST(SUM(CASE WHEN epoch_us(ts) // 86400000000 >= tmid
+                        THEN CAST(floor(CAST(value AS DOUBLE) * 1000000.0
+                                        + 0.5) AS BIGINT) ELSE 0 END)
+                    AS BIGINT) AS y
+        FROM events CROSS JOIN span
+        WHERE event_type = 'purchase'
+        GROUP BY user_id
+    ),
+    armed AS (
+        SELECT CASE WHEN substring(md5(CAST(user_id AS VARCHAR)), 1, 1)
+                         IN ('0','1','2','3','4','5','6','7')
+                    THEN 'A' ELSE 'B' END AS arm,
+               x, y
+        FROM pu
+    ),
+    mom AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS HUGEINT) AS sx, CAST(SUM(y) AS HUGEINT) AS sy,
+               CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+               CAST(SUM(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+               CAST(SUM(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy,
+               CAST(SUM(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT)
+                   AS na,
+               CAST(SUM(CASE WHEN arm = 'A' THEN x ELSE 0 END) AS HUGEINT)
+                   AS sxa,
+               CAST(SUM(CASE WHEN arm = 'A' THEN y ELSE 0 END) AS HUGEINT)
+                   AS sya
+        FROM armed
+    ),
+    th AS (
+        SELECT n, na, sxa, sya, sx, sy,
+               (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               / NULLIF(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0.0)
+                   AS theta,
+               (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               / NULLIF((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                        * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)), 0.0)
+                   AS rho2
+        FROM mom
+    )
+    SELECT n AS n_users, na AS n_arm_a,
+           ROUND(theta, 6) AS theta,
+           ROUND((CAST(sya AS DOUBLE) / CAST(na AS DOUBLE)
+                  - CAST(sy - sya AS DOUBLE) / CAST(n - na AS DOUBLE))
+                 / 1000000.0, 6) AS lift_raw_units,
+           ROUND(((CAST(sya AS DOUBLE) / CAST(na AS DOUBLE)
+                   - CAST(sy - sya AS DOUBLE) / CAST(n - na AS DOUBLE))
+                  - theta * (CAST(sxa AS DOUBLE) / CAST(na AS DOUBLE)
+                             - CAST(sx - sxa AS DOUBLE)
+                               / CAST(n - na AS DOUBLE)))
+                 / 1000000.0, 6) AS lift_cuped_units,
+           ROUND(1.0 - rho2, 6) AS var_ratio
+    FROM th
+    """,
+    doc="CUPED (controlled-experiment-using-pre-experiment-data) "
+    "adjusted A/B lift: users hash-split into arms (the ab_test_lift "
+    "md5 rule), covariate x = pre-period purchase value (calendar "
+    "first half, exact integer midpoint day), metric y = post-period "
+    "value; theta = cov(x,y)/var(x) pooled, adjusted lift = "
+    "(ybar_A - ybar_B) - theta (xbar_A - xbar_B), variance ratio = "
+    "1 - rho^2 — the industry-standard variance-reduction layer on "
+    "top of ab_test_lift (a pre-period-balanced covariate cancels "
+    "user-level noise without biasing the treatment effect). All "
+    "moments are exact integer sums of micro-quantized per-user "
+    "pairs; theta/rho^2/lifts are one identical double sequence per "
+    "engine, NULLIF-guarded on zero-variance covariate.",
+)
+def ab_test_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: one 1-row span reduce broadcast into the per-user
+    groupBy (the only fact shuffle), then one map-side-combined
+    9-sum moment reduce."""
+    ev = load_fixture(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    span = ev.agg(
+        F.expr(
+            "(MIN(unix_micros(ts) div 86400000000)"
+            " + MAX(unix_micros(ts) div 86400000000) + 1) div 2"
+        ).alias("tmid")
+    )
+    q = "CAST(floor(CAST(value AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)"
+    pu = (
+        ev.crossJoin(F.broadcast(span))
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.expr(
+                    f"CASE WHEN unix_micros(ts) div 86400000000 < tmid"
+                    f" THEN {q} ELSE 0 END"
+                )
+            )
+            .cast("bigint")
+            .alias("x"),
+            F.sum(
+                F.expr(
+                    f"CASE WHEN unix_micros(ts) div 86400000000 >= tmid"
+                    f" THEN {q} ELSE 0 END"
+                )
+            )
+            .cast("bigint")
+            .alias("y"),
+        )
+    )
+    armed = pu.select(
+        F.when(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 1).isin(
+                list("01234567")
+            ),
+            "A",
+        )
+        .otherwise("B")
+        .alias("arm"),
+        "x",
+        "y",
+    )
+    mom = armed.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("decimal(38,0)").alias("sx"),
+        F.sum("y").cast("decimal(38,0)").alias("sy"),
+        F.sum(F.expr("CAST(x AS DECIMAL(19,0)) * x")).cast("decimal(38,0)").alias("sxx"),
+        F.sum(F.expr("CAST(x AS DECIMAL(19,0)) * y")).cast("decimal(38,0)").alias("sxy"),
+        F.sum(F.expr("CAST(y AS DECIMAL(19,0)) * y")).cast("decimal(38,0)").alias("syy"),
+        F.sum(F.when(F.col("arm") == "A", 1).otherwise(0))
+        .cast("bigint")
+        .alias("na"),
+        F.sum(F.when(F.col("arm") == "A", F.col("x")).otherwise(0))
+        .cast("decimal(38,0)")
+        .alias("sxa"),
+        F.sum(F.when(F.col("arm") == "A", F.col("y")).otherwise(0))
+        .cast("decimal(38,0)")
+        .alias("sya"),
+    )
+    covn = (
+        "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+    )
+    varxn = (
+        "(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+    )
+    varyn = (
+        "(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)"
+        " - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))"
+    )
+    th = mom.selectExpr(
+        "n",
+        "na",
+        "sxa",
+        "sya",
+        "sx",
+        "sy",
+        f"{covn} / NULLIF({varxn}, 0.0) AS theta",
+        f"{covn} * {covn} / NULLIF({varxn} * {varyn}, 0.0) AS rho2",
+    )
+    return th.selectExpr(
+        "n AS n_users",
+        "na AS n_arm_a",
+        "ROUND(theta, 6) AS theta",
+        "ROUND((CAST(sya AS DOUBLE) / CAST(na AS DOUBLE)"
+        " - CAST(sy - sya AS DOUBLE) / CAST(n - na AS DOUBLE))"
+        " / 1000000.0, 6) AS lift_raw_units",
+        "ROUND(((CAST(sya AS DOUBLE) / CAST(na AS DOUBLE)"
+        " - CAST(sy - sya AS DOUBLE) / CAST(n - na AS DOUBLE))"
+        " - theta * (CAST(sxa AS DOUBLE) / CAST(na AS DOUBLE)"
+        " - CAST(sx - sxa AS DOUBLE) / CAST(n - na AS DOUBLE)))"
+        " / 1000000.0, 6) AS lift_cuped_units",
+        "ROUND(1.0 - rho2, 6) AS var_ratio",
+    )

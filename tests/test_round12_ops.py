@@ -535,3 +535,542 @@ def test_cross_correlation_reference(spark, sf_dir, con):
             assert row.ccf == pytest.approx(
                 (n * sxy - sx * sy) / den, abs=2e-6
             )
+
+
+# ---------------------------------------------------------------- wave 7
+
+
+def test_mood_median_reference(spark, sf_dir, con):
+    rows = con.execute(
+        "SELECT o_totalprice, o_orderpriority FROM orders"
+    ).fetchall()
+    xs = sorted((v, p in ("1-URGENT", "2-HIGH")) for v, p in rows)
+    nn = len(xs)
+    cut = xs[(nn + 1) // 2 - 1][0]  # lower median (1-indexed ceil(N/2))
+    n1 = sum(1 for _, h in xs if h)
+    a = sum(1 for v, h in xs if h and v > cut)
+    ca = sum(1 for v, _ in xs if v > cut)
+    b, cc, d = n1 - a, ca - a, (nn - n1) - (ca - a)
+    chi2 = (
+        nn * (a * d - b * cc) ** 2
+        / (n1 * (nn - n1) * ca * (nn - ca))
+    )
+    (row,) = run(spark, sf_dir, "agg_mood_median")
+    assert row.n_orders == nn and row.n_hi == n1 and row.n_lo == nn - n1
+    assert row.median_cut == pytest.approx(cut, abs=1e-9)
+    assert row.hi_above == a
+    assert row.chi2 == pytest.approx(chi2, abs=2e-6)
+
+
+def test_conover_squared_ranks_reference(spark, sf_dir, con):
+    rows = con.execute(
+        "SELECT o_orderstatus, o_totalprice FROM orders"
+        " WHERE o_orderstatus IN ('F','O')"
+    ).fetchall()
+    xc = [(g, math.floor(v * 100.0 + 0.5)) for g, v in rows]
+    gs = {}
+    for g, x in xc:
+        c, s = gs.get(g, (0, 0))
+        gs[g] = (c + 1, s + x)
+    dm = [
+        (g, math.floor(abs(float(x) - gs[g][1] / gs[g][0]) * 10000.0 + 0.5))
+        for g, x in xc
+    ]
+    # pooled midranks over the deviation key
+    from collections import Counter
+
+    cnt = Counter(d for _, d in dm)
+    cum, mid = 0, {}
+    for v in sorted(cnt):
+        mid[v] = cum + (cnt[v] + 1) / 2.0  # midrank
+        cum += cnt[v]
+    n1 = sum(1 for g, _ in dm if g == "F")
+    n2 = len(dm) - n1
+    nn = n1 + n2
+    t = sum(mid[d] ** 2 for g, d in dm if g == "F")
+    a2 = sum(mid[d] ** 2 for _, d in dm)
+    a4 = sum(mid[d] ** 4 for _, d in dm)
+    z = (t - n1 * a2 / nn) / math.sqrt(
+        n1 * n2 / (nn * (nn - 1.0)) * (a4 - a2 * a2 / nn)
+    )
+    (row,) = run(spark, sf_dir, "agg_conover_squared_ranks")
+    assert row.n_f == n1 and row.n_o == n2
+    assert row.t_sq_ranks == pytest.approx(t, rel=1e-9)
+    assert row.z_score == pytest.approx(z, abs=2e-6)
+
+
+def test_cvm_two_sample_reference(spark, sf_dir, con):
+    rows = con.execute(
+        "SELECT l_returnflag, l_extendedprice FROM lineitem"
+        " WHERE l_returnflag IN ('R','N')"
+    ).fetchall()
+    xs = sorted(rows, key=lambda t: t[1])
+    n = sum(1 for g, _ in xs if g == "R")
+    m = len(xs) - n
+    nn = n + m
+    # ECDF sum over all observations (tie-weighted via distinct values)
+    cumr = cumn = 0
+    u = 0
+    i = 0
+    vals = sorted(set(v for _, v in xs))
+    from collections import Counter
+
+    cr = Counter(v for g, v in xs if g == "R")
+    call = Counter(v for _, v in xs)
+    for v in vals:
+        cumr += cr.get(v, 0)
+        cumn += call[v] - cr.get(v, 0)
+        dif = m * cumr - n * cumn
+        u += call[v] * dif * dif
+    t = u / (n * m * nn * nn)
+    (row,) = run(spark, sf_dir, "agg_cvm_two_sample")
+    assert row.n_r == n and row.n_n == m
+    assert row.t_stat == pytest.approx(t, abs=2e-6)
+    assert row.expected_t == pytest.approx(1 / 6 + 1 / (6 * nn), abs=1e-6)
+
+
+def test_cliffs_delta_reference(spark, sf_dir, con):
+    rows = con.execute(
+        "SELECT l_quantity, CASE WHEN l_discount >= 0.05 THEN 1 ELSE 0 END"
+        " FROM lineitem"
+    ).fetchall()
+    hi = sorted(math.floor(q * 100.0 + 0.5) for q, h in rows if h)
+    lo = sorted(math.floor(q * 100.0 + 0.5) for q, h in rows if not h)
+    import bisect
+
+    gt = sum(bisect.bisect_left(lo, x) for x in hi)
+    le = sum(len(lo) - bisect.bisect_right(lo, x) for x in hi)
+    tie = len(hi) * len(lo) - gt - le
+    delta = (gt - le) / (len(hi) * len(lo))
+    (row,) = run(spark, sf_dir, "agg_cliffs_delta")
+    assert row.n_hi == len(hi) and row.n_lo == len(lo)
+    assert row.pairs_gt == gt and row.pairs_lt == le
+    assert row.pairs_tied == tie
+    assert row.cliffs_delta == pytest.approx(delta, abs=2e-6)
+
+
+# ---------------------------------------------------------------- wave 8
+
+
+def _daily_purchase(con, col="count"):
+    if col == "count":
+        expr = "COUNT(*)"
+    else:
+        expr = "SUM(CAST(floor(CAST(value AS DOUBLE)*1000000.0+0.5) AS BIGINT))"
+    rows = con.execute(
+        f"SELECT epoch_us(ts) // 86400000000 AS dd, {expr}"
+        " FROM events WHERE event_type='purchase' GROUP BY 1 ORDER BY 1"
+    ).fetchall()
+    return [int(x) for _, x in rows]
+
+
+def test_spectral_entropy_reference(spark, sf_dir, con):
+    xs = _daily_purchase(con, "count")
+    n = len(xs)
+    ks = list(range(1, (n - 1) // 2 + 1))
+    spec = {}
+    for k in ks:
+        qc = sum(
+            math.floor(x * math.cos(2.0 * math.pi * ((k * t) % n) / n)
+                       * 1e6 + 0.5)
+            for t, x in enumerate(xs)
+        )
+        qs = sum(
+            math.floor(x * math.sin(2.0 * math.pi * ((k * t) % n) / n)
+                       * 1e6 + 0.5)
+            for t, x in enumerate(xs)
+        )
+        spec[k] = qc * qc + qs * qs
+    tot = sum(spec.values())
+    h9 = sum(
+        0 if i2 == 0
+        else math.floor(-(i2 / tot) * math.log(i2 / tot) * 1e9 + 0.5)
+        for i2 in spec.values()
+    )
+    mx = max(spec.values())
+    peak = min(k for k, v in spec.items() if v == mx)
+    ent = h9 / 1e9 / math.log(len(ks))
+    (row,) = run(spark, sf_dir, "timeseries_spectral_entropy")
+    assert row.n_days == n and row.n_freqs == len(ks)
+    assert row.peak_k == peak
+    assert row.peak_period_days == pytest.approx(n / peak, abs=1e-6)
+    assert row.spectral_entropy == pytest.approx(ent, abs=2e-6)
+    assert 0.0 < row.spectral_entropy <= 1.0
+
+
+def test_sample_entropy_reference(spark, sf_dir, con):
+    xs = _daily_purchase(con, "value")
+    n = len(xs)
+    s1, s2 = sum(xs), sum(x * x for x in xs)
+    rtol = 0.2 * math.sqrt(n * s2 - s1 * s1) / n
+    tpl = [(xs[i], xs[i + 1], xs[i + 2]) for i in range(n - 2)]
+    b = a = 0
+    for i in range(len(tpl)):
+        for j in range(i + 1, len(tpl)):
+            if max(abs(tpl[i][0] - tpl[j][0]), abs(tpl[i][1] - tpl[j][1])) <= rtol:
+                b += 1
+                if abs(tpl[i][2] - tpl[j][2]) <= rtol:
+                    a += 1
+    (row,) = run(spark, sf_dir, "timeseries_sample_entropy")
+    assert row.n_days == n
+    assert row.r_tolerance_micro == pytest.approx(rtol, rel=1e-9)
+    assert row.b_pairs == b and row.a_pairs == a
+    if a and b:
+        assert row.sampen == pytest.approx(math.log(b / a), abs=2e-6)
+    else:
+        assert row.sampen is None
+
+
+def test_kpss_reference(spark, sf_dir, con):
+    xs = _daily_purchase(con, "value")
+    n = len(xs)
+    s1 = sum(xs)
+    ev = [n * x - s1 for x in xs]
+    sp = 0
+    ssq = 0
+    for e in ev:
+        sp += e
+        ssq += sp * sp
+    g0 = sum(e * e for e in ev)
+    l = math.floor(4.0 * (n / 100.0) ** 0.25)
+    wg = 0
+    for j in range(1, l + 1):
+        wg += (l + 1 - j) * sum(ev[t] * ev[t + j] for t in range(n - j))
+    eta = ssq * (l + 1.0) / (n * ((l + 1.0) * g0 + 2.0 * wg))
+    (row,) = run(spark, sf_dir, "timeseries_kpss")
+    assert row.n_days == n and row.lag_l == l
+    assert row.kpss_stat == pytest.approx(eta, abs=2e-6)
+    assert row.reject_05 == (round(eta, 6) > 0.463)
+
+
+# ---------------------------------------------------------------- wave 9
+
+
+def test_cox_stuart_reference(spark, sf_dir, con):
+    xs = _daily_purchase(con, "value")
+    n = len(xs)
+    c = n // 2
+    sp = sum(1 for i in range(c) if xs[i + c] > xs[i])
+    sn = sum(1 for i in range(c) if xs[i + c] < xs[i])
+    m = sp + sn
+    (row,) = run(spark, sf_dir, "timeseries_cox_stuart")
+    assert row.n_days == n and row.shift_c == c
+    assert row.n_up == sp and row.n_down == sn
+    if m:
+        assert row.z_score == pytest.approx(
+            (sp - m / 2.0) / math.sqrt(m / 4.0), abs=2e-6
+        )
+
+
+def test_turning_points_reference(spark, sf_dir, con):
+    xs = _daily_purchase(con, "value")
+    n = len(xs)
+    tp = sum(
+        1
+        for t in range(1, n - 1)
+        if (xs[t] > xs[t - 1] and xs[t] > xs[t + 1])
+        or (xs[t] < xs[t - 1] and xs[t] < xs[t + 1])
+    )
+    z = (tp - 2.0 * (n - 2) / 3.0) / math.sqrt((16.0 * n - 29.0) / 90.0)
+    (row,) = run(spark, sf_dir, "timeseries_turning_points")
+    assert row.n_days == n and row.turning_points == tp
+    assert row.expected_tp == pytest.approx(2.0 * (n - 2) / 3.0, abs=1e-6)
+    assert row.z_score == pytest.approx(z, abs=2e-6)
+
+
+def test_bartels_rank_reference(spark, sf_dir, con):
+    xs = _daily_purchase(con, "value")
+    n = len(xs)
+    from collections import Counter
+
+    cnt = Counter(xs)
+    cum, mid = 0, {}
+    for v in sorted(cnt):
+        mid[v] = cum + (cnt[v] + 1) / 2.0
+        cum += cnt[v]
+    r = [mid[x] for x in xs]
+    rbar = (n + 1) / 2.0
+    num = sum((r[t] - r[t + 1]) ** 2 for t in range(n - 1))
+    den = sum((v - rbar) ** 2 for v in r)
+    rvn = num / den
+    (row,) = run(spark, sf_dir, "timeseries_bartels_rank")
+    assert row.n_days == n
+    assert row.rvn == pytest.approx(rvn, abs=2e-6)
+    assert row.z_score == pytest.approx((rvn - 2.0) * math.sqrt(n) / 2.0, abs=2e-6)
+
+
+# --------------------------------------------------------------- wave 10
+
+
+def _source_tokens(con):
+    rows = con.execute(
+        "SELECT source, lower(text) FROM documents"
+    ).fetchall()
+    import re
+
+    out = {}
+    for src, txt in rows:
+        out.setdefault(src, []).append(re.findall(r"[a-z0-9]+", txt))
+    return out
+
+
+def test_yule_k_reference(spark, sf_dir, con):
+    from collections import Counter
+
+    toks = _source_tokens(con)
+    got = {r.source: r for r in run(spark, sf_dir, "text_yule_k")}
+    assert set(got) == set(toks)
+    for src, docs in toks.items():
+        cnt = Counter(w for d in docs for w in d)
+        n = sum(cnt.values())
+        f2 = sum(v * v for v in cnt.values())
+        k = 1e4 * (f2 - n) / (n * n)
+        row = got[src]
+        assert row.n_tokens == n and row.vocab_size == len(cnt)
+        assert row.yule_k == pytest.approx(k, abs=2e-6)
+
+
+def test_msttr_reference(spark, sf_dir, con):
+    rows = con.execute(
+        "SELECT doc_id, source, lower(text) FROM documents"
+    ).fetchall()
+    import re
+
+    seg_types = {}
+    for doc_id, src, txt in rows:
+        ws = re.findall(r"[a-z0-9]+", txt)
+        for j in range(len(ws) // 50):
+            seg = ws[j * 50 : j * 50 + 50]
+            seg_types.setdefault(src, []).append(len(set(seg)))
+    got = {r.source: r for r in run(spark, sf_dir, "text_msttr")}
+    assert set(got) == set(seg_types)
+    for src, types in seg_types.items():
+        row = got[src]
+        assert row.n_segments == len(types)
+        exact = _half_away(sum(types) * 1000000, 50 * len(types))
+        assert row.msttr_micro == exact
+
+
+def test_burrows_delta_reference(spark, sf_dir, con):
+    from collections import Counter
+
+    toks = _source_tokens(con)
+    cnt = {s: Counter(w for d in ds for w in d) for s, ds in toks.items()}
+    tot = Counter()
+    for c in cnt.values():
+        tot.update(c)
+    top = sorted(tot.items(), key=lambda kv: (-kv[1], kv[0]))[:30]
+    sources = sorted(cnt)
+    ss = len(sources)
+    z = {}
+    for w, _ in top:
+        fs = {
+            s: (2 * cnt[s].get(w, 0) * 1000000000
+                + sum(cnt[s].values())) // (2 * sum(cnt[s].values()))
+            for s in sources
+        }
+        sf = sum(fs.values())
+        sf2 = sum(v * v for v in fs.values())
+        var4 = ss * sf2 - sf * sf
+        if var4 == 0:
+            z[w] = None
+        else:
+            den = math.sqrt(var4)
+            z[w] = {s: (ss * fs[s] - sf) / den for s in sources}
+    got = {(r.source_a, r.source_b): r
+           for r in run(spark, sf_dir, "text_burrows_delta")}
+    for i, sa in enumerate(sources):
+        for sb in sources[i + 1:]:
+            q = 0
+            for w, _ in top:
+                if z[w] is None:
+                    continue
+                q += math.floor(abs(z[w][sa] - z[w][sb]) * 1e9 + 0.5)
+            row = got[(sa, sb)]
+            assert row.n_words == 30
+            assert row.delta == pytest.approx(q / 1e9 / 30, abs=2e-6)
+
+
+# --------------------------------------------------------------- wave 11
+
+
+def _user_bars(con):
+    rows = con.execute(
+        "SELECT user_id, epoch_us(ts) // 21600000000 AS hb,"
+        " CAST(floor(CAST(value AS DOUBLE)*1000000.0+0.5) AS BIGINT) AS q,"
+        " ts"
+        " FROM events WHERE event_type='purchase' ORDER BY user_id, hb, ts"
+    ).fetchall()
+    bars = {}
+    for uid, hb, q, ts in rows:
+        b = bars.setdefault(uid, {}).setdefault(
+            hb, {"h": q, "l": q, "c": q, "cts": ts, "s": 0, "v": 0}
+        )
+        b["h"] = max(b["h"], q)
+        b["l"] = min(b["l"], q)
+        if ts >= b["cts"]:
+            b["c"], b["cts"] = q, ts
+        b["s"] += q
+        b["v"] += 1
+    return bars
+
+
+def test_vwap_deviation_reference(spark, sf_dir, con):
+    bars = _user_bars(con)
+    got = {r.user_id: r for r in run(spark, sf_dir, "window_vwap_deviation")}
+    assert set(got) == set(bars)
+    for uid, bs in bars.items():
+        cs = cv = 0
+        devs = []
+        for hb in sorted(bs):
+            cs += bs[hb]["s"]
+            cv += bs[hb]["v"]
+            devs.append((bs[hb]["c"] * cv - cs) / cs)
+        row = got[uid]
+        assert row.n_bars == len(bs)
+        assert row.vwap_final_micro == _half_away(cs, cv)
+        assert row.dev_final == pytest.approx(devs[-1], abs=2e-6)
+        assert row.dev_min == pytest.approx(min(devs), abs=2e-6)
+        assert row.dev_max == pytest.approx(max(devs), abs=2e-6)
+
+
+def test_chaikin_money_flow_reference(spark, sf_dir, con):
+    bars = _user_bars(con)
+    got = {r.user_id: r
+           for r in run(spark, sf_dir, "window_chaikin_money_flow")}
+    assert set(got) == set(bars)
+    for uid, bs in bars.items():
+        seq = []
+        for hb in sorted(bs):
+            b = bs[hb]
+            if b["h"] == b["l"]:
+                mfq = 0
+            else:
+                d = b["v"] * (2 * b["c"] - b["h"] - b["l"]) / (b["h"] - b["l"])
+                mfq = (math.floor(d * 1e6 + 0.5) if d >= 0
+                       else -math.floor(-d * 1e6 + 0.5))
+            seq.append((mfq, b["v"]))
+        cmfs = []
+        for i in range(len(seq)):
+            lo = max(0, i - 19)
+            smf = sum(m for m, _ in seq[lo:i + 1])
+            sv = sum(v for _, v in seq[lo:i + 1])
+            cmfs.append(smf / 1e6 / sv)
+        row = got[uid]
+        assert row.n_bars == len(seq)
+        assert row.cmf_final == pytest.approx(cmfs[-1], abs=2e-6)
+        assert row.cmf_min == pytest.approx(min(cmfs), abs=2e-6)
+        assert row.cmf_max == pytest.approx(max(cmfs), abs=2e-6)
+
+
+def test_ichimoku_reference(spark, sf_dir, con):
+    bars = _user_bars(con)
+    got = {r.user_id: r for r in run(spark, sf_dir, "window_ichimoku")}
+    assert set(got) == set(bars)
+    for uid, bs in bars.items():
+        hbs = sorted(bs)
+        n = len(hbs)
+        hs = [bs[h]["h"] for h in hbs]
+        ls = [bs[h]["l"] for h in hbs]
+        cs = [bs[h]["c"] for h in hbs]
+        t2 = max(hs[max(0, n - 9):]) + min(ls[max(0, n - 9):])
+        k2 = max(hs[max(0, n - 26):]) + min(ls[max(0, n - 26):])
+        sb2 = max(hs[max(0, n - 52):]) + min(ls[max(0, n - 52):])
+        ck = cs[n - 27] if n >= 27 else None
+        row = got[uid]
+        assert row.n_bars == n
+        assert row.close_micro == cs[-1]
+        assert row.tenkan_x2 == t2 and row.kijun_x2 == k2
+        assert row.senkou_a_x4 == t2 + k2 and row.senkou_b_x2 == sb2
+        assert row.chikou_ref_micro == ck
+        assert row.above_kijun == (2 * cs[-1] > k2)
+
+
+# --------------------------------------------------------------- wave 12
+
+
+def test_last_digit_heaping_reference(spark, sf_dir, con):
+    rows = con.execute("SELECT o_totalprice FROM orders").fetchall()
+    from collections import Counter
+
+    digs = Counter(math.floor(v * 100.0 + 0.5) % 10 for (v,) in rows)
+    n = sum(digs.values())
+    c2 = sum(c * c for c in digs.values())
+    chi2 = (10.0 * c2 - float(n) * n) / n
+    mc = max(digs.values())
+    md = min(d for d, c in digs.items() if c == mc)
+    (row,) = run(spark, sf_dir, "dq_last_digit_heaping")
+    assert row.n_orders == n and row.n_digits_seen == len(digs)
+    assert row.chi2_uniform == pytest.approx(chi2, abs=2e-6)
+    assert row.modal_digit == md and row.modal_count == mc
+    assert row.modal_share_micro == _half_away(mc * 1000000, n)
+
+
+def test_lorenz_asymmetry_reference(spark, sf_dir, con):
+    rows = con.execute(
+        "SELECT o_custkey, SUM(CAST(floor(o_totalprice*100.0+0.5) AS BIGINT))"
+        " FROM orders GROUP BY o_custkey"
+    ).fetchall()
+    xs = sorted(int(x) for _, x in rows)
+    n = len(xs)
+    s = sum(xs)
+    below = [x for x in xs if x * n < s]
+    m = len(below)
+    lm = sum(below)
+    xm = max(below)
+    xm1 = min(x for x in xs if x * n >= s)
+    delta = (s - n * xm) / (n * (xm1 - xm))
+    sa = (m + delta) / n + (lm + delta * xm1) / s
+    (row,) = run(spark, sf_dir, "agg_lorenz_asymmetry")
+    assert row.n_customers == n and row.n_below_mean == m
+    assert row.delta_interp == pytest.approx(delta, abs=2e-6)
+    assert row.lorenz_asymmetry == pytest.approx(sa, abs=2e-6)
+    # spend distributions are upper-tail heavy: S should exceed 1
+    # only when giants drive it; assert internal consistency instead
+    assert 0.0 < row.lorenz_asymmetry < 2.0
+
+
+def test_ab_test_cuped_reference(spark, sf_dir, con):
+    import hashlib
+
+    rows = con.execute(
+        "SELECT user_id, epoch_us(ts) // 86400000000,"
+        " CAST(floor(CAST(value AS DOUBLE)*1000000.0+0.5) AS BIGINT)"
+        " FROM events WHERE event_type='purchase'"
+    ).fetchall()
+    days = [d for _, d, _ in rows]
+    tmid = (min(days) + max(days) + 1) // 2
+    pu = {}
+    for uid, d, q in rows:
+        x, y = pu.get(uid, (0, 0))
+        if d < tmid:
+            x += q
+        else:
+            y += q
+        pu[uid] = (x, y)
+    n = len(pu)
+    sx = sum(x for x, _ in pu.values())
+    sy = sum(y for _, y in pu.values())
+    sxx = sum(x * x for x, _ in pu.values())
+    sxy = sum(x * y for x, y in pu.values())
+    syy = sum(y * y for _, y in pu.values())
+    arm_a = {
+        u for u in pu
+        if hashlib.md5(str(u).encode()).hexdigest()[0] in "01234567"
+    }
+    na = len(arm_a)
+    sxa = sum(pu[u][0] for u in arm_a)
+    sya = sum(pu[u][1] for u in arm_a)
+    theta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    rho2 = (n * sxy - sx * sy) ** 2 / ((n * sxx - sx * sx) * (n * syy - sy * sy))
+    raw = (sya / na - (sy - sya) / (n - na)) / 1e6
+    cuped = ((sya / na - (sy - sya) / (n - na))
+             - theta * (sxa / na - (sx - sxa) / (n - na))) / 1e6
+    (row,) = run(spark, sf_dir, "ab_test_cuped")
+    assert row.n_users == n and row.n_arm_a == na
+    assert row.theta == pytest.approx(theta, abs=2e-6)
+    assert row.lift_raw_units == pytest.approx(raw, abs=2e-6)
+    assert row.lift_cuped_units == pytest.approx(cuped, abs=2e-6)
+    assert row.var_ratio == pytest.approx(1.0 - rho2, abs=2e-6)
+    # CUPED must not inflate variance: rho2 in [0, 1]
+    assert 0.0 <= row.var_ratio <= 1.0
