@@ -3181,3 +3181,313 @@ def text_ocr_garbage_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         "(n > 0 AND (20 * symbols > n OR has_consonant_run8"
         " OR letters = 0 OR 5 * vowels < letters)) AS is_garbage",
     )
+
+
+@register(
+    "text_yule_k",
+    oracle="""
+    WITH tok AS (
+        SELECT source,
+               unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+        FROM documents
+    ),
+    vocab AS (
+        SELECT source, w, CAST(COUNT(*) AS BIGINT) AS freq
+        FROM tok GROUP BY source, w
+    ),
+    s AS (
+        SELECT source,
+               CAST(SUM(freq) AS BIGINT) AS n_tok,
+               CAST(COUNT(*) AS BIGINT) AS v_types,
+               CAST(SUM(CAST(freq AS HUGEINT) * freq) AS HUGEINT) AS f2
+        FROM vocab GROUP BY source
+    )
+    SELECT source, n_tok AS n_tokens, v_types AS vocab_size,
+           ROUND(10000.0 * (CAST(f2 AS DOUBLE) - CAST(n_tok AS DOUBLE))
+                 / NULLIF(CAST(n_tok AS DOUBLE) * CAST(n_tok AS DOUBLE),
+                          0.0), 6) AS yule_k
+    FROM s ORDER BY source
+    """,
+    doc="Yule's characteristic K per source: K = 10^4 (sum f^2 - N) / "
+    "N^2 over the token frequency spectrum — the LENGTH-INVARIANT "
+    "vocabulary-repetitiveness constant (TTR falls with corpus size; "
+    "K does not), the standard stylometric repetition gauge beside "
+    "text_hapax_ratio (hapax reads the spectrum's head at m=1, K "
+    "reads its whole second moment: template/boilerplate sources "
+    "score high, natural prose ~100-200). Tokenization is the "
+    "index_terms regex; sum f^2 is an exact HUGEINT/DECIMAL(38,0) "
+    "integer off the vocabulary relation; K is one final double "
+    "sequence, NULLIF-guarded on an empty source.",
+)
+def text_yule_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: one explode-tokenize map, one combine-heavy shuffle
+    to the (source, word, freq) vocabulary relation, one |sources|-row
+    aggregate — frequencies ride the shuffle, never token bodies."""
+    d = load_fixture(spark, sf_dir, "documents")
+    tok = d.select(
+        "source",
+        F.explode(
+            F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
+        ).alias("w"),
+    )
+    vocab = tok.groupBy("source", "w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("freq")
+    )
+    s = vocab.groupBy("source").agg(
+        F.sum("freq").cast("bigint").alias("n_tok"),
+        F.count(F.lit(1)).cast("bigint").alias("v_types"),
+        F.sum(F.expr("CAST(freq AS DECIMAL(19,0)) * freq"))
+        .cast("decimal(38,0)")
+        .alias("f2"),
+    )
+    return s.selectExpr(
+        "source",
+        "n_tok AS n_tokens",
+        "v_types AS vocab_size",
+        "ROUND(10000.0 * (CAST(f2 AS DOUBLE) - CAST(n_tok AS DOUBLE))"
+        " / NULLIF(CAST(n_tok AS DOUBLE) * CAST(n_tok AS DOUBLE), 0.0), 6)"
+        " AS yule_k",
+    ).orderBy("source")
+
+
+@register(
+    "text_msttr",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, source,
+               regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        FROM documents
+    ),
+    p AS (SELECT doc_id, source, unnest(range(1, len(toks)+1)) AS pos, toks
+          FROM t),
+    w AS (SELECT doc_id, source, (pos - 1) // 50 AS seg, toks[pos] AS term
+          FROM p),
+    segsize AS (
+        SELECT doc_id, source, seg, CAST(COUNT(*) AS BIGINT) AS sz
+        FROM w GROUP BY doc_id, source, seg
+    ),
+    dist AS (
+        SELECT doc_id, source, seg,
+               CAST(COUNT(DISTINCT term) AS BIGINT) AS types
+        FROM w GROUP BY doc_id, source, seg
+    ),
+    full_segs AS (
+        SELECT d.source, d.types
+        FROM dist d JOIN segsize s
+          ON s.doc_id = d.doc_id AND s.seg = d.seg
+        WHERE s.sz = 50
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_segments,
+           CAST((2 * CAST(SUM(types) AS HUGEINT) * 1000000
+                 + COUNT(*) * 50)
+                // (2 * CAST(COUNT(*) AS HUGEINT) * 50) AS BIGINT)
+               AS msttr_micro
+    FROM full_segs GROUP BY source ORDER BY source
+    """,
+    doc="Mean segmental type-token ratio (MSTTR-50) per source: cut "
+    "each document into consecutive 50-token segments, drop the "
+    "ragged tail (standard), average distinct-types/50 across "
+    "segments — the length-controlled lexical-diversity measure that "
+    "fixes raw TTR's document-length bias "
+    "(quality_ttr_lexical_diversity) by fixing the window, the "
+    "curation-side diversity gate. EXACT: segment membership is an "
+    "integer position division, per-segment type counts are exact, "
+    "and the average is the half-away micro integer division of "
+    "sum(types) by 50*n_segments — no doubles anywhere.",
+)
+def text_msttr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: tokenize-with-positions (one explode), one
+    (doc, segment, term) distinct collapse, one (doc, segment)
+    aggregate, one |sources|-row rollup — all map-side-combinable,
+    token bodies never ride past the distinct collapse."""
+    d = load_fixture(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        "source",
+        F.posexplode(
+            F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
+        ).alias("pos0", "term"),
+    ).select(
+        "doc_id",
+        "source",
+        F.expr("pos0 div 50").alias("seg"),
+        "term",
+    )
+    segsize = toks.groupBy("doc_id", "source", "seg").agg(
+        F.count(F.lit(1)).cast("bigint").alias("sz"),
+        F.countDistinct("term").cast("bigint").alias("types"),
+    )
+    full = segsize.filter(F.col("sz") == 50)
+    return (
+        full.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_segments"),
+            F.expr(
+                "CAST((2 * CAST(SUM(types) AS DECIMAL(19,0)) * 1000000"
+                " + COUNT(*) * 50)"
+                " div (2 * CAST(COUNT(*) AS DECIMAL(19,0)) * 50) AS BIGINT)"
+            ).alias("msttr_micro"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "text_burrows_delta",
+    oracle="""
+    WITH tok AS (
+        SELECT source,
+               unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+        FROM documents
+    ),
+    cnt AS (
+        SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c
+        FROM tok GROUP BY source, w
+    ),
+    ntot AS (
+        SELECT source, CAST(SUM(c) AS BIGINT) AS nt FROM cnt GROUP BY source
+    ),
+    top AS (
+        SELECT w FROM (
+            SELECT w, CAST(SUM(c) AS BIGINT) AS total FROM cnt GROUP BY w
+        ) ORDER BY total DESC, w LIMIT 30
+    ),
+    grid AS (
+        SELECT t.w, n.source, n.nt, COALESCE(c.c, 0) AS c
+        FROM top t CROSS JOIN ntot n
+        LEFT JOIN cnt c ON c.w = t.w AND c.source = n.source
+    ),
+    fm AS (
+        SELECT w, source,
+               CAST((2 * CAST(c AS HUGEINT) * 1000000000 + nt)
+                    // (2 * CAST(nt AS HUGEINT)) AS BIGINT) AS f
+        FROM grid
+    ),
+    ws AS (
+        SELECT w, CAST(COUNT(*) AS BIGINT) AS s,
+               CAST(SUM(f) AS HUGEINT) AS sf,
+               CAST(SUM(CAST(f AS HUGEINT) * f) AS HUGEINT) AS sf2
+        FROM fm GROUP BY w
+    ),
+    z AS (
+        SELECT fm.w, fm.source,
+               CASE WHEN ws.s * ws.sf2 - ws.sf * ws.sf = 0 THEN NULL
+                    ELSE (CAST(ws.s AS DOUBLE) * CAST(fm.f AS DOUBLE)
+                          - CAST(ws.sf AS DOUBLE))
+                         / sqrt(CAST(ws.s AS DOUBLE) * CAST(ws.sf2 AS DOUBLE)
+                                - CAST(ws.sf AS DOUBLE)
+                                  * CAST(ws.sf AS DOUBLE))
+               END AS zv
+        FROM fm JOIN ws USING (w)
+    ),
+    pairs AS (
+        SELECT a.source AS source_a, b.source AS source_b,
+               CASE WHEN a.zv IS NULL THEN 0
+                    ELSE CAST(floor(abs(a.zv - b.zv) * 1000000000.0 + 0.5)
+                              AS BIGINT) END AS q
+        FROM z a JOIN z b ON a.w = b.w AND a.source < b.source
+    )
+    SELECT source_a, source_b, CAST(COUNT(*) AS BIGINT) AS n_words,
+           ROUND(CAST(SUM(q) AS DOUBLE) / 1000000000.0 / COUNT(*), 6)
+               AS delta
+    FROM pairs GROUP BY source_a, source_b
+    ORDER BY source_a, source_b
+    """,
+    doc="Burrows' delta stylometric distance between every source "
+    "pair: take the corpus-wide 30 most frequent words (ties broken "
+    "alphabetically), each source's relative frequency z-scored "
+    "across sources (population sigma), delta = mean |z_a - z_b| — "
+    "the classic authorship/style-attribution distance, here the "
+    "register-drift audit between ingest sources that complements "
+    "text_source_style_divergence's JS view with the standardized-"
+    "frequency view Burrows designed for exactly this. DETERMINISM: "
+    "relative frequencies are half-away NANO integer divisions "
+    "(exact), per-word across-source moments are exact integer "
+    "sums, each z is one identical double sequence, zero-variance "
+    "words contribute 0 (documented), and |z_a - z_b| terms are "
+    "nano-quantized back to integers before the pair sum — order-"
+    "independent accumulation in both engines.",
+)
+def text_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: one tokenize + (source, word) count shuffle, a
+    30-row broadcast top-k, a |sources| x 30 broadcast grid, and
+    bounded reduces — the full-corpus scan happens exactly once."""
+    d = load_fixture(spark, sf_dir, "documents")
+    tok = d.select(
+        "source",
+        F.explode(
+            F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
+        ).alias("w"),
+    )
+    cnt = tok.groupBy("source", "w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    cnt = cnt.localCheckpoint(eager=True)
+    ntot = cnt.groupBy("source").agg(F.sum("c").cast("bigint").alias("nt"))
+    top = (
+        cnt.groupBy("w")
+        .agg(F.sum("c").cast("bigint").alias("total"))
+        .orderBy(F.col("total").desc(), "w")
+        .limit(30)
+        .select("w")
+    )
+    cnt_top = cnt.join(F.broadcast(top), "w")
+    grid = (
+        F.broadcast(top)
+        .crossJoin(F.broadcast(ntot))
+        .join(F.broadcast(cnt_top), ["w", "source"], "left")
+        .select("w", "source", "nt", F.coalesce(F.col("c"), F.lit(0)).alias("c"))
+    )
+    fm = grid.select(
+        "w",
+        "source",
+        F.expr(
+            "CAST((2 * CAST(c AS DECIMAL(19,0)) * 1000000000 + nt)"
+            " div (2 * CAST(nt AS DECIMAL(19,0))) AS BIGINT)"
+        ).alias("f"),
+    )
+    fm = fm.localCheckpoint(eager=True)
+    ws = fm.groupBy("w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("s"),
+        F.sum("f").cast("decimal(38,0)").alias("sf"),
+        F.sum(F.expr("CAST(f AS DECIMAL(19,0)) * f"))
+        .cast("decimal(38,0)")
+        .alias("sf2"),
+    )
+    z = fm.join(F.broadcast(ws), "w").selectExpr(
+        "w",
+        "source",
+        "CASE WHEN s * sf2 - sf * sf = 0 THEN NULL"
+        " ELSE (CAST(s AS DOUBLE) * CAST(f AS DOUBLE) - CAST(sf AS DOUBLE))"
+        " / sqrt(CAST(s AS DOUBLE) * CAST(sf2 AS DOUBLE)"
+        " - CAST(sf AS DOUBLE) * CAST(sf AS DOUBLE)) END AS zv",
+    )
+    a_ = z.select(
+        F.col("w").alias("wa"), F.col("source").alias("source_a"),
+        F.col("zv").alias("za"),
+    )
+    b_ = z.select(
+        F.col("w").alias("wb"), F.col("source").alias("source_b"),
+        F.col("zv").alias("zb"),
+    )
+    pairs = a_.join(
+        F.broadcast(b_),
+        (F.col("wa") == F.col("wb")) & (F.col("source_a") < F.col("source_b")),
+    ).selectExpr(
+        "source_a",
+        "source_b",
+        "CASE WHEN za IS NULL THEN 0"
+        " ELSE CAST(floor(abs(za - zb) * 1000000000.0 + 0.5) AS BIGINT)"
+        " END AS q",
+    )
+    return (
+        pairs.groupBy("source_a", "source_b")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.expr(
+                "ROUND(CAST(SUM(q) AS DOUBLE) / 1000000000.0 / COUNT(*), 6)"
+            ).alias("delta"),
+        )
+        .orderBy("source_a", "source_b")
+    )
