@@ -370,6 +370,9 @@ HEADLINE = [
     "dq_last_digit_heaping",
     "agg_lorenz_asymmetry",
     "ab_test_cuped",
+    "embedding_twonn_intrinsic_dim",
+    "graph_neighbor_jaccard",
+    "embedding_coordinate_kurtosis",
 ]
 
 

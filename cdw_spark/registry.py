@@ -232,6 +232,11 @@ _NEXT_WINDOW_QUEUE: tuple[str, ...] = (
     "dq_last_digit_heaping",
     "agg_lorenz_asymmetry",
     "ab_test_cuped",
+    # round-12 thirteenth wave: embedding-space geometry audits over
+    # the at-rest kNN artifact + the raw coordinate matrix
+    "embedding_twonn_intrinsic_dim",
+    "graph_neighbor_jaccard",
+    "embedding_coordinate_kurtosis",
 )
 
 

@@ -2076,3 +2076,326 @@ def embedding_norm_outlier_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS high_share_micro",
         )
     )
+
+
+@register(
+    "embedding_twonn_intrinsic_dim",
+    oracle=_KNN_EDGES_CTE + """,
+    base AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm
+             FROM e),
+    scored AS (
+        SELECT k.a, k.b,
+               list_dot_product(pa.v, pb.v) / (pa.nrm * pb.nrm) AS cosv
+        FROM knn k
+        JOIN base pa ON pa.vec_id = k.a
+        JOIN base pb ON pb.vec_id = k.b
+    ),
+    ranked AS (
+        SELECT a, cosv,
+               ROW_NUMBER() OVER (PARTITION BY a
+                                  ORDER BY cosv DESC, b) AS rk
+        FROM scored
+    ),
+    two AS (
+        SELECT a,
+               MAX(CASE WHEN rk = 1 THEN 1.0 - cosv END) AS d1,
+               MAX(CASE WHEN rk = 2 THEN 1.0 - cosv END) AS d2
+        FROM ranked WHERE rk <= 2 GROUP BY a
+    ),
+    lnq AS (
+        SELECT CAST(floor(ln(d2 / d1) * 1000000000.0 + 0.5) AS BIGINT) AS q
+        FROM two WHERE d1 IS NOT NULL AND d2 IS NOT NULL AND d1 > 0
+    ),
+    s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_used,
+               CAST(SUM(q) AS HUGEINT) AS sq
+        FROM lnq
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings) AS n_vectors,
+           n_used,
+           ROUND(CAST(sq AS DOUBLE) / 1000000000.0, 6) AS sum_log_ratio,
+           CASE WHEN sq > 0
+                THEN ROUND(CAST(n_used AS DOUBLE)
+                           / (CAST(sq AS DOUBLE) / 1000000000.0), 6)
+                ELSE NULL END AS twonn_dim
+    FROM s
+    """,
+    doc="TwoNN intrinsic-dimension estimate (Facco et al. 2017) of the "
+    "embedding corpus, served from the at-rest 3-NN artifact: for "
+    "each vector take its two nearest cosine distances r1 <= r2, "
+    "mu = r2/r1, and the MLE d = n / sum ln mu — the "
+    "curse-of-dimensionality gauge that tells an index designer "
+    "whether 64 ambient dims hide a ~10-dim manifold (IVF/LSH "
+    "recall depends on intrinsic, not ambient, dimension; pairs "
+    "with embedding_hubness_audit which reads the same pathology "
+    "from in-degrees). Nodes with <2 artifact neighbors or an exact "
+    "duplicate (r1 = 0) drop out, both engines identically. "
+    "DETERMINISM: cosines recompute from the artifact edges with "
+    "the house unrolled dot chain (bit-identical to DuckDB's "
+    "list_dot_product fold), ranks tie-break on neighbor id, and "
+    "each ln(mu) is nano-quantized to an integer before the "
+    "corpus-wide sum — order-free accumulation.",
+)
+def embedding_twonn_intrinsic_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: one at-rest artifact scan (|V|*3 edge rows), two
+    |V|-row equi-joins to rehydrate vectors, a per-node rank over <=3
+    rows, one 1-row reduce — the O(n^2) of naive TwoNN never appears."""
+    from pyspark.sql.window import Window
+
+    from ..operators.similarity import _norm_sql, _pair_dot_sql, to_double_array
+
+    emb = load_fixture(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id", to_double_array(F.col("embedding")).alias("v")
+    ).withColumn("nrm", F.expr(_norm_sql("v", _DIM)))
+    knn = _knn_directed_at_rest(spark, sf_dir)
+    pa = base.select(
+        F.col("vec_id").alias("a"), F.col("v").alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    pb = base.select(
+        F.col("vec_id").alias("b"), F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    scored = (
+        knn.join(pa, "a")
+        .join(pb, "b")
+        .select(
+            "a",
+            "b",
+            F.expr(f"{_pair_dot_sql('va', 'vb', _DIM)} / (na * nb)").alias(
+                "cosv"
+            ),
+        )
+    )
+    wr = Window.partitionBy("a").orderBy(F.col("cosv").desc(), "b")
+    two = (
+        scored.withColumn("rk", F.row_number().over(wr))
+        .filter(F.col("rk") <= 2)
+        .groupBy("a")
+        .agg(
+            F.max(F.when(F.col("rk") == 1, F.lit(1.0) - F.col("cosv"))).alias(
+                "d1"
+            ),
+            F.max(F.when(F.col("rk") == 2, F.lit(1.0) - F.col("cosv"))).alias(
+                "d2"
+            ),
+        )
+    )
+    lnq = two.filter(
+        F.col("d1").isNotNull() & F.col("d2").isNotNull() & (F.col("d1") > 0)
+    ).select(
+        F.expr(
+            "CAST(floor(ln(d2 / d1) * 1000000000.0 + 0.5) AS BIGINT)"
+        ).alias("q")
+    )
+    s = lnq.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_used"),
+        F.sum("q").cast("decimal(38,0)").alias("sq"),
+    )
+    nv = emb.agg(F.count(F.lit(1)).cast("bigint").alias("n_vectors"))
+    return nv.crossJoin(F.broadcast(s)).selectExpr(
+        "n_vectors",
+        "n_used",
+        "ROUND(CAST(sq AS DOUBLE) / 1000000000.0, 6) AS sum_log_ratio",
+        "CASE WHEN sq > 0 THEN ROUND(CAST(n_used AS DOUBLE)"
+        " / (CAST(sq AS DOUBLE) / 1000000000.0), 6) ELSE NULL END"
+        " AS twonn_dim",
+    )
+
+
+@register(
+    "graph_neighbor_jaccard",
+    oracle=_KNN_EDGES_CTE + """,
+    adj AS (
+        SELECT a AS x, b AS y FROM edges
+        UNION ALL
+        SELECT b AS x, a AS y FROM edges
+    ),
+    deg AS (SELECT x, CAST(COUNT(*) AS BIGINT) AS d FROM adj GROUP BY x),
+    common AS (
+        SELECT e.a, e.b, CAST(COUNT(*) AS BIGINT) AS c
+        FROM edges e
+        JOIN adj xa ON xa.x = e.a
+        JOIN adj xb ON xb.x = e.b AND xb.y = xa.y
+        GROUP BY e.a, e.b
+    ),
+    scored AS (
+        SELECT c.a, c.b, c.c, da.d AS deg_a, db.d AS deg_b,
+               CAST((2 * CAST(c.c AS HUGEINT) * 1000000
+                     + (da.d + db.d - c.c))
+                    // (2 * CAST(da.d + db.d - c.c AS HUGEINT)) AS BIGINT)
+                   AS jaccard_micro
+        FROM common c
+        JOIN deg da ON da.x = c.a
+        JOIN deg db ON db.x = c.b
+    )
+    SELECT a, b, c AS n_common, deg_a, deg_b, jaccard_micro
+    FROM scored
+    ORDER BY jaccard_micro DESC, a, b
+    LIMIT 20
+    """,
+    doc="Neighbor-set Jaccard similarity over the at-rest undirected "
+    "kNN graph's own edges: J(a,b) = |N(a) cap N(b)| / |N(a) cup "
+    "N(b)| for each adjacent pair, top-20 by the exact half-away "
+    "micro score — the classic link-STRENGTH score (vs "
+    "graph_adamic_adar's rarity weighting and "
+    "graph_link_prediction's non-edge ranking): an edge whose "
+    "endpoints share most of their neighborhoods is intra-cluster, "
+    "a high-traffic bridge scores near 0, so the top/bottom of this "
+    "list is a cheap community-boundary read. Edges with zero "
+    "common neighbors drop out (documented; both engines "
+    "identically). All counts and the micro score are exact "
+    "integers; ordering ties break on (a, b).",
+)
+def graph_neighbor_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: artifact scan -> degree-bounded adjacency (<= 2k
+    rows per node) -> one equi-join wedge count grouped per edge -> two
+    |V|-row degree joins -> global top-20. Every relation is O(|V|*k)."""
+    edges = _knn_undirected_at_rest(spark, sf_dir)
+    adj = edges.select(
+        F.col("a").alias("x"), F.col("b").alias("y")
+    ).unionAll(edges.select(F.col("b").alias("x"), F.col("a").alias("y")))
+    adj = adj.localCheckpoint(eager=True)
+    deg = adj.groupBy("x").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    xa = adj.select(F.col("x").alias("a"), F.col("y").alias("w"))
+    xb = adj.select(F.col("x").alias("b"), F.col("y").alias("w"))
+    common = (
+        edges.join(xa, "a")
+        .join(xb, ["b", "w"])
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    da = deg.select(F.col("x").alias("a"), F.col("d").alias("deg_a"))
+    db = deg.select(F.col("x").alias("b"), F.col("d").alias("deg_b"))
+    scored = (
+        common.join(da, "a")
+        .join(db, "b")
+        .selectExpr(
+            "a",
+            "b",
+            "c AS n_common",
+            "deg_a",
+            "deg_b",
+            "CAST((2 * CAST(c AS DECIMAL(19,0)) * 1000000"
+            " + (deg_a + deg_b - c))"
+            " div (2 * CAST(deg_a + deg_b - c AS DECIMAL(19,0))) AS BIGINT)"
+            " AS jaccard_micro",
+        )
+    )
+    return scored.orderBy(
+        F.col("jaccard_micro").desc(), "a", "b"
+    ).limit(20)
+
+
+@register(
+    "embedding_coordinate_kurtosis",
+    oracle="""
+    WITH e AS (
+        SELECT embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    p AS (SELECT unnest(range(1, len(v)+1)) AS dim, v FROM e),
+    q AS (
+        SELECT dim,
+               CASE WHEN v[dim] >= 0
+                    THEN CAST(floor(v[dim] * 1000000.0 + 0.5) AS BIGINT)
+                    ELSE -CAST(floor(-v[dim] * 1000000.0 + 0.5) AS BIGINT)
+               END AS x
+        FROM p
+    ),
+    m AS (
+        SELECT dim, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS HUGEINT) AS s1,
+               CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS s2,
+               CAST(SUM(CAST(x AS HUGEINT) * x * x) AS HUGEINT) AS s3,
+               CAST(SUM(CAST(x AS HUGEINT) * x * x * x) AS HUGEINT) AS s4
+        FROM q GROUP BY dim
+    )
+    SELECT CAST(dim AS BIGINT) AS dim, n AS n_vectors,
+           ROUND((CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE)
+                  - 3.0 * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                    * (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE))
+                  + 2.0 * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                    * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                    * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))
+                 / NULLIF(pow(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+                              - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                                * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)),
+                              1.5), 0.0), 6) AS skewness,
+           ROUND((CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE)
+                  - 4.0 * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                    * (CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE))
+                  + 6.0 * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                    * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                    * (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE))
+                  - 3.0 * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                    * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                    * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                    * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))
+                 / NULLIF(pow(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+                              - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                                * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)),
+                              2.0), 0.0) - 3.0, 6) AS excess_kurtosis
+    FROM m ORDER BY dim
+    """,
+    doc="Per-coordinate skewness and excess kurtosis profile of the "
+    "embedding matrix (64 rows, one per dimension) — the "
+    "quantization-risk audit run before embedding_quantize_int8: a "
+    "heavy-tailed coordinate (kurtosis >> 0) wastes int8 range on "
+    "outliers and crushes the bulk's resolution, and a skewed one "
+    "biases symmetric scaling; flat near-Gaussian profiles are what "
+    "make scalar quantization safe. Coordinates are sign-split "
+    "half-away micro-quantized integers (the float32 column is cast "
+    "to DOUBLE before any arithmetic — the DuckDB float32 "
+    "no-promotion trap), all four raw power sums per dim are exact "
+    "HUGEINT/DECIMAL(38,0) integers, and the central-moment "
+    "assembly is one identical double sequence per engine, "
+    "NULLIF-guarded on constant coordinates.",
+)
+def embedding_coordinate_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: one posexplode to (dim, coord) pairs (n*64 rows),
+    one 64-group map-side-combined moment reduce — no joins, no
+    windows; the profile is constant-size at any corpus scale."""
+    emb = load_fixture(spark, sf_dir, "embeddings")
+    from ..operators.similarity import to_double_array
+
+    q = emb.select(
+        F.posexplode(to_double_array(F.col("embedding"))).alias("dim0", "xv")
+    ).select(
+        (F.col("dim0") + 1).alias("dim"),
+        F.expr(
+            "CASE WHEN xv >= 0"
+            " THEN CAST(floor(xv * 1000000.0 + 0.5) AS BIGINT)"
+            " ELSE -CAST(floor(-xv * 1000000.0 + 0.5) AS BIGINT) END"
+        ).alias("x"),
+    )
+    m = q.groupBy("dim").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("decimal(38,0)").alias("s1"),
+        F.sum(F.expr("CAST(x AS DECIMAL(19,0)) * x"))
+        .cast("decimal(38,0)")
+        .alias("s2"),
+        F.sum(F.expr("CAST(x AS DECIMAL(19,0)) * x * x"))
+        .cast("decimal(38,0)")
+        .alias("s3"),
+        F.sum(F.expr("CAST(x AS DECIMAL(19,0)) * x * x * x"))
+        .cast("decimal(38,0)")
+        .alias("s4"),
+    )
+    mu = "(CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))"
+    m2r = "(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE))"
+    m3r = "(CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE))"
+    m4r = "(CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE))"
+    var = f"({m2r} - {mu} * {mu})"
+    m3c = f"({m3r} - 3.0 * {mu} * {m2r} + 2.0 * {mu} * {mu} * {mu})"
+    m4c = (
+        f"({m4r} - 4.0 * {mu} * {m3r} + 6.0 * {mu} * {mu} * {m2r}"
+        f" - 3.0 * {mu} * {mu} * {mu} * {mu})"
+    )
+    return m.selectExpr(
+        "CAST(dim AS BIGINT) AS dim",
+        "n AS n_vectors",
+        f"ROUND({m3c} / NULLIF(pow({var}, 1.5), 0.0), 6) AS skewness",
+        f"ROUND({m4c} / NULLIF(pow({var}, 2.0), 0.0) - 3.0, 6)"
+        " AS excess_kurtosis",
+    ).orderBy("dim")

@@ -1074,3 +1074,110 @@ def test_ab_test_cuped_reference(spark, sf_dir, con):
     assert row.var_ratio == pytest.approx(1.0 - rho2, abs=2e-6)
     # CUPED must not inflate variance: rho2 in [0, 1]
     assert 0.0 <= row.var_ratio <= 1.0
+
+
+# --------------------------------------------------------------- wave 13
+
+
+def _knn_edges_and_vecs(spark, sf_dir):
+    g = SPECS["embedding_hubness_audit"].fn.__globals__
+    emb = g["load_fixture"](spark, sf_dir, "embeddings")
+    edges = [(r["a"], r["b"]) for r in g["_knn_directed_top3"](emb).collect()]
+    vecs = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in emb.collect()
+    }
+    return edges, vecs
+
+
+def _cos(u, v):
+    dot = 0.0
+    for a, b in zip(u, v):
+        dot = dot + a * b
+    nu = 0.0
+    for a in u:
+        nu = nu + a * a
+    nv = 0.0
+    for b in v:
+        nv = nv + b * b
+    return dot / (math.sqrt(nu) * math.sqrt(nv))
+
+
+def test_twonn_intrinsic_dim_reference(spark, sf_dir):
+    edges, vecs = _knn_edges_and_vecs(spark, sf_dir)
+    by_a = {}
+    for a, b in edges:
+        by_a.setdefault(a, []).append(b)
+    qs = []
+    used = 0
+    for a, bs in by_a.items():
+        scored = sorted(
+            ((_cos(vecs[a], vecs[b]), b) for b in bs),
+            key=lambda t: (-t[0], t[1]),
+        )
+        if len(scored) < 2:
+            continue
+        d1 = 1.0 - scored[0][0]
+        d2 = 1.0 - scored[1][0]
+        if d1 <= 0:
+            continue
+        used += 1
+        qs.append(math.floor(math.log(d2 / d1) * 1e9 + 0.5))
+    sq = sum(qs)
+    (row,) = run(spark, sf_dir, "embedding_twonn_intrinsic_dim")
+    assert row.n_vectors == len(vecs)
+    assert row.n_used == used
+    assert row.sum_log_ratio == pytest.approx(sq / 1e9, abs=2e-6)
+    assert row.twonn_dim == pytest.approx(used / (sq / 1e9), abs=2e-4)
+    # a 64-dim synthetic corpus should report a positive finite dim
+    assert row.twonn_dim is not None and row.twonn_dim > 0
+
+
+def test_neighbor_jaccard_reference(spark, sf_dir):
+    edges, _ = _knn_edges_and_vecs(spark, sf_dir)
+    und = {(min(a, b), max(a, b)) for a, b in edges}
+    adj = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    rows = []
+    for a, b in und:
+        c = len(adj[a] & adj[b])
+        if c == 0:
+            continue
+        da, db = len(adj[a]), len(adj[b])
+        jm = _half_away(c * 1000000, da + db - c)
+        rows.append((jm, a, b, c, da, db))
+    rows.sort(key=lambda t: (-t[0], t[1], t[2]))
+    got = run(spark, sf_dir, "graph_neighbor_jaccard")
+    assert len(got) == min(20, len(rows))
+    for r, (jm, a, b, c, da, db) in zip(got, rows[:20]):
+        assert (r.a, r.b, r.n_common, r.deg_a, r.deg_b, r.jaccard_micro) == (
+            a, b, c, da, db, jm
+        )
+
+
+def test_coordinate_kurtosis_reference(spark, sf_dir, con):
+    rows = con.execute("SELECT embedding FROM embeddings").fetchall()
+    dims = {}
+    for (v,) in rows:
+        for i, x in enumerate(v, start=1):
+            xd = float(x)
+            q = (math.floor(xd * 1e6 + 0.5) if xd >= 0
+                 else -math.floor(-xd * 1e6 + 0.5))
+            dims.setdefault(i, []).append(q)
+    got = {r.dim: r for r in run(spark, sf_dir, "embedding_coordinate_kurtosis")}
+    assert set(got) == set(dims)
+    for i, xs in dims.items():
+        n = len(xs)
+        s1, s2 = sum(xs), sum(x * x for x in xs)
+        s3 = sum(x**3 for x in xs)
+        s4 = sum(x**4 for x in xs)
+        mu = s1 / n
+        var = s2 / n - mu * mu
+        m3 = s3 / n - 3 * mu * (s2 / n) + 2 * mu**3
+        m4 = s4 / n - 4 * mu * (s3 / n) + 6 * mu * mu * (s2 / n) - 3 * mu**4
+        row = got[i]
+        assert row.n_vectors == n
+        assert row.skewness == pytest.approx(m3 / var**1.5, abs=2e-5)
+        assert row.excess_kurtosis == pytest.approx(m4 / var**2 - 3, abs=2e-5)
