@@ -373,6 +373,9 @@ HEADLINE = [
     "embedding_twonn_intrinsic_dim",
     "graph_neighbor_jaccard",
     "embedding_coordinate_kurtosis",
+    "agg_moors_kurtosis",
+    "events_markov_order_test",
+    "dq_timestamp_heaping",
 ]
 
 

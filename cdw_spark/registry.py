@@ -237,6 +237,11 @@ _NEXT_WINDOW_QUEUE: tuple[str, ...] = (
     "embedding_twonn_intrinsic_dim",
     "graph_neighbor_jaccard",
     "embedding_coordinate_kurtosis",
+    # round-12 fourteenth wave: robust octile kurtosis, Markov memory-
+    # order test, timestamp-heaping bot audit
+    "agg_moors_kurtosis",
+    "events_markov_order_test",
+    "dq_timestamp_heaping",
 )
 
 

@@ -12886,3 +12886,311 @@ def ab_test_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
         " / 1000000.0, 6) AS lift_cuped_units",
         "ROUND(1.0 - rho2, 6) AS var_ratio",
     )
+
+
+@register(
+    "agg_moors_kurtosis",
+    oracle="""
+    WITH vals AS (
+        SELECT o_totalprice AS v, CAST(COUNT(*) AS BIGINT) AS c
+        FROM orders GROUP BY o_totalprice
+    ),
+    ranked AS (
+        SELECT v, SUM(c) OVER (ORDER BY v
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS cum
+        FROM vals
+    ),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM vals),
+    ks AS (SELECT unnest(range(1, 8)) AS k),
+    oct AS (
+        SELECT k, MIN(v) AS e
+        FROM ranked CROSS JOIN tot CROSS JOIN ks
+        WHERE cum >= (k * n + 7) // 8
+        GROUP BY k
+    ),
+    w AS (
+        SELECT MAX(CASE WHEN k = 1 THEN e END) AS e1,
+               MAX(CASE WHEN k = 2 THEN e END) AS e2,
+               MAX(CASE WHEN k = 3 THEN e END) AS e3,
+               MAX(CASE WHEN k = 5 THEN e END) AS e5,
+               MAX(CASE WHEN k = 6 THEN e END) AS e6,
+               MAX(CASE WHEN k = 7 THEN e END) AS e7
+        FROM oct
+    )
+    SELECT n AS n_orders,
+           ROUND(e1, 2) AS e1, ROUND(e3, 2) AS e3,
+           ROUND(e5, 2) AS e5, ROUND(e7, 2) AS e7,
+           ROUND(((e7 - e5) + (e3 - e1))
+                 / NULLIF(e6 - e2, 0.0), 6) AS moors_kurtosis
+    FROM w CROSS JOIN tot
+    """,
+    doc="Moors octile-based kurtosis of order totals: T = ((E7-E5) + "
+    "(E3-E1)) / (E6-E2) over the eight octiles (~1.233 for a "
+    "normal; big T = heavy tails) — the outlier-ROBUST kurtosis that "
+    "stays finite and stable where the fourth-moment version "
+    "(agg_skew_kurtosis, agg_jarque_bera) is itself dominated by "
+    "the very outliers it measures; the quantile companion to "
+    "agg_bowley_skewness's octile skew. Octiles are exact LOWER "
+    "order statistics (smallest value whose inclusive cumulative "
+    "count reaches ceil(kN/8), an integer ceiling division — no "
+    "interpolation, no rational mean), so every E_k matches "
+    "bit-for-bit across engines; T is one final double sequence, "
+    "NULLIF-guarded on an interquartile-degenerate distribution.",
+)
+def agg_moors_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: one groupBy on the DISTINCT value column, the exact
+    running count via the two-level prefix-sum, one 7-cutoff broadcast
+    probe, one 1-row assembly."""
+    from ..operators.stats import two_level_cumsum
+
+    o = load_fixture(spark, sf_dir, "orders")
+    vals = (
+        o.groupBy(F.col("o_totalprice").alias("v"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    ranked = two_level_cumsum(vals, [], "v", [], {"cum": "c"})
+    tot = vals.agg(F.sum("c").cast("bigint").alias("n"))
+    ks = vals.sparkSession.range(1, 8).select(F.col("id").alias("k"))
+    oct_ = (
+        ranked.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(ks))
+        .filter(F.col("cum") >= F.expr("(k * n + 7) div 8"))
+        .groupBy("k")
+        .agg(F.min("v").alias("e"))
+    )
+    w = oct_.agg(
+        *[
+            F.max(F.when(F.col("k") == k, F.col("e"))).alias(f"e{k}")
+            for k in (1, 2, 3, 5, 6, 7)
+        ]
+    )
+    return w.crossJoin(F.broadcast(tot)).selectExpr(
+        "n AS n_orders",
+        "ROUND(e1, 2) AS e1",
+        "ROUND(e3, 2) AS e3",
+        "ROUND(e5, 2) AS e5",
+        "ROUND(e7, 2) AS e7",
+        "ROUND(((e7 - e5) + (e3 - e1)) / NULLIF(e6 - e2, 0.0), 6)"
+        " AS moors_kurtosis",
+    )
+
+
+@register(
+    "events_markov_order_test",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type AS c1,
+               LEAD(event_type, 1) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS c2,
+               LEAD(event_type, 2) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS c3
+        FROM events
+    ),
+    bi AS (
+        SELECT c1, c2, CAST(COUNT(*) AS BIGINT) AS nb
+        FROM seq WHERE c2 IS NOT NULL GROUP BY c1, c2
+    ),
+    bim AS (SELECT c1, CAST(SUM(nb) AS BIGINT) AS n1 FROM bi GROUP BY c1),
+    nb2 AS (SELECT CAST(SUM(nb) AS BIGINT) AS n2 FROM bi),
+    tri AS (
+        SELECT c1, c2, c3, CAST(COUNT(*) AS BIGINT) AS nt
+        FROM seq WHERE c3 IS NOT NULL GROUP BY c1, c2, c3
+    ),
+    trim_ AS (
+        SELECT c1, c2, CAST(SUM(nt) AS BIGINT) AS n12
+        FROM tri GROUP BY c1, c2
+    ),
+    nb3 AS (SELECT CAST(SUM(nt) AS BIGINT) AS n3 FROM tri),
+    h1q AS (
+        SELECT CAST(SUM(CAST(floor(-(CAST(nb AS DOUBLE) / CAST(n2 AS DOUBLE))
+                                    * ln(CAST(nb AS DOUBLE)
+                                         / CAST(n1 AS DOUBLE))
+                                    * 1000000000.0 + 0.5) AS BIGINT))
+                    AS BIGINT) AS h9
+        FROM bi JOIN bim USING (c1) CROSS JOIN nb2
+    ),
+    h2q AS (
+        SELECT CAST(SUM(CAST(floor(-(CAST(nt AS DOUBLE) / CAST(n3 AS DOUBLE))
+                                    * ln(CAST(nt AS DOUBLE)
+                                         / CAST(n12 AS DOUBLE))
+                                    * 1000000000.0 + 0.5) AS BIGINT))
+                    AS BIGINT) AS h9
+        FROM tri JOIN trim_ USING (c1, c2) CROSS JOIN nb3
+    )
+    SELECT (SELECT n2 FROM nb2) AS n_bigrams,
+           (SELECT n3 FROM nb3) AS n_trigrams,
+           ROUND(CAST((SELECT h9 FROM h1q) AS DOUBLE) / 1000000000.0, 6)
+               AS h_order1,
+           ROUND(CAST((SELECT h9 FROM h2q) AS DOUBLE) / 1000000000.0, 6)
+               AS h_order2,
+           ROUND(CAST((SELECT h9 FROM h1q) AS DOUBLE) / 1000000000.0
+                 - CAST((SELECT h9 FROM h2q) AS DOUBLE) / 1000000000.0, 6)
+               AS memory_gain
+    """,
+    doc="Markov memory-order test on per-user event-type sequences: "
+    "conditional entropy H(X_t | X_t-1) from bigram counts vs "
+    "H(X_t | X_t-1, X_t-2) from trigram counts; the gain H1 - H2 "
+    "measures predictive information BEYOND first-order — near zero "
+    "means events_markov_stationary's order-1 chain is the right "
+    "model, large means real second-order structure (and an "
+    "order-1 recommender like recs_markov_next_event is leaving "
+    "signal on the table). Transitions stay within a user (the "
+    "event_transition_matrix convention, ts/event_id ordered). All "
+    "n-gram counts and marginals are exact integers over the <=25/"
+    "<=125 cell domains; each -p ln(p/p_prefix) term is "
+    "nano-quantized to an integer before summation — order-free "
+    "accumulation, one final double scaling.",
+)
+def events_markov_order_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: one per-user ordered window carrying both leads
+    (one sort), two bounded-cell count aggregates, nano-integer
+    entropy reduces — nothing scales past the 5^3 cell domain."""
+    from pyspark.sql.window import Window
+
+    e = load_fixture(spark, sf_dir, "events")
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("c1"),
+        F.lead("event_type", 1).over(wo).alias("c2"),
+        F.lead("event_type", 2).over(wo).alias("c3"),
+    ).localCheckpoint(eager=True)
+    bi = (
+        seq.filter(F.col("c2").isNotNull())
+        .groupBy("c1", "c2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("nb"))
+        .localCheckpoint(eager=True)
+    )
+    bim = bi.groupBy("c1").agg(F.sum("nb").cast("bigint").alias("n1"))
+    nb2 = bi.agg(F.sum("nb").cast("bigint").alias("n2"))
+    tri = (
+        seq.filter(F.col("c3").isNotNull())
+        .groupBy("c1", "c2", "c3")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("nt"))
+        .localCheckpoint(eager=True)
+    )
+    trim = tri.groupBy("c1", "c2").agg(F.sum("nt").cast("bigint").alias("n12"))
+    nb3 = tri.agg(F.sum("nt").cast("bigint").alias("n3"))
+    h1 = (
+        bi.join(F.broadcast(bim), "c1")
+        .crossJoin(F.broadcast(nb2))
+        .agg(
+            F.sum(
+                F.expr(
+                    "CAST(floor(-(CAST(nb AS DOUBLE) / CAST(n2 AS DOUBLE))"
+                    " * ln(CAST(nb AS DOUBLE) / CAST(n1 AS DOUBLE))"
+                    " * 1000000000.0 + 0.5) AS BIGINT)"
+                )
+            )
+            .cast("bigint")
+            .alias("h9")
+        )
+    )
+    h2 = (
+        tri.join(F.broadcast(trim), ["c1", "c2"])
+        .crossJoin(F.broadcast(nb3))
+        .agg(
+            F.sum(
+                F.expr(
+                    "CAST(floor(-(CAST(nt AS DOUBLE) / CAST(n3 AS DOUBLE))"
+                    " * ln(CAST(nt AS DOUBLE) / CAST(n12 AS DOUBLE))"
+                    " * 1000000000.0 + 0.5) AS BIGINT)"
+                )
+            )
+            .cast("bigint")
+            .alias("h9")
+        )
+    )
+    return (
+        nb2.crossJoin(F.broadcast(nb3))
+        .crossJoin(F.broadcast(h1.selectExpr("h9 AS h9a")))
+        .crossJoin(F.broadcast(h2.selectExpr("h9 AS h9b")))
+        .selectExpr(
+            "n2 AS n_bigrams",
+            "n3 AS n_trigrams",
+            "ROUND(CAST(h9a AS DOUBLE) / 1000000000.0, 6) AS h_order1",
+            "ROUND(CAST(h9b AS DOUBLE) / 1000000000.0, 6) AS h_order2",
+            "ROUND(CAST(h9a AS DOUBLE) / 1000000000.0"
+            " - CAST(h9b AS DOUBLE) / 1000000000.0, 6) AS memory_gain",
+        )
+    )
+
+
+@register(
+    "dq_timestamp_heaping",
+    oracle="""
+    WITH d AS (
+        SELECT (epoch_us(ts) // 60000000) % 60 AS minute
+        FROM events
+    ),
+    c AS (
+        SELECT minute, CAST(COUNT(*) AS BIGINT) AS c FROM d GROUP BY minute
+    ),
+    s AS (
+        SELECT CAST(SUM(c) AS BIGINT) AS n,
+               CAST(SUM(CAST(c AS HUGEINT) * c) AS HUGEINT) AS c2,
+               CAST(COUNT(*) AS BIGINT) AS k
+        FROM c
+    ),
+    modal AS (
+        SELECT MIN(minute) AS modal_minute, MAX(c.c) AS modal_count
+        FROM c WHERE c.c = (SELECT MAX(c) FROM c)
+    )
+    SELECT n AS n_events, k AS n_minutes_seen,
+           ROUND((60.0 * CAST(c2 AS DOUBLE)
+                  - CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
+                 / CAST(n AS DOUBLE), 6) AS chi2_uniform,
+           CAST(modal_minute AS BIGINT) AS modal_minute,
+           CAST(modal_count AS BIGINT) AS modal_count,
+           CAST((2 * CAST(modal_count AS HUGEINT) * 1000000 + n)
+                // (2 * CAST(n AS HUGEINT)) AS BIGINT) AS modal_share_micro
+    FROM s CROSS JOIN modal
+    """,
+    doc="Timestamp heaping audit: minute-of-hour distribution of event "
+    "timestamps against uniform (chi2 = (60 sum c^2 - n^2)/n, exact "
+    "rearrangement) plus the modal minute and its half-away micro "
+    "share — cron-fired bots, batch backfills, and client-side "
+    "timestamp rounding all heap on :00/:30 long before volume "
+    "anomalies trip dq_volume_anomaly_daily; organic human traffic "
+    "is minute-uniform. The time-domain sibling of "
+    "dq_last_digit_heaping, on TZ-free epoch arithmetic (minute-of-"
+    "hour is invariant to whole-hour zone offsets). All counts "
+    "exact; chi2 is one final double sequence.",
+)
+def dq_timestamp_heaping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: one projection + 60-cell groupBy over the fact scan
+    (map-side combined), then 1-row reduces."""
+    e = load_fixture(spark, sf_dir, "events")
+    d = e.select(
+        F.expr("(unix_micros(ts) div 60000000) % 60").alias("minute")
+    )
+    c = d.groupBy("minute").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    c = c.localCheckpoint(eager=True)
+    s = c.agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.sum(F.expr("CAST(c AS DECIMAL(19,0)) * c"))
+        .cast("decimal(38,0)")
+        .alias("c2"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+    )
+    mx = c.agg(F.max("c").alias("mc"))
+    modal = (
+        c.crossJoin(F.broadcast(mx))
+        .filter(F.col("c") == F.col("mc"))
+        .agg(
+            F.min("minute").alias("modal_minute"),
+            F.max("c").alias("modal_count"),
+        )
+    )
+    return s.crossJoin(F.broadcast(modal)).selectExpr(
+        "n AS n_events",
+        "k AS n_minutes_seen",
+        "ROUND((60.0 * CAST(c2 AS DOUBLE)"
+        " - CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) / CAST(n AS DOUBLE), 6)"
+        " AS chi2_uniform",
+        "CAST(modal_minute AS BIGINT) AS modal_minute",
+        "CAST(modal_count AS BIGINT) AS modal_count",
+        "CAST((2 * CAST(modal_count AS DECIMAL(19,0)) * 1000000 + n)"
+        " div (2 * CAST(n AS DECIMAL(19,0))) AS BIGINT) AS modal_share_micro",
+    )

@@ -1181,3 +1181,77 @@ def test_coordinate_kurtosis_reference(spark, sf_dir, con):
         assert row.n_vectors == n
         assert row.skewness == pytest.approx(m3 / var**1.5, abs=2e-5)
         assert row.excess_kurtosis == pytest.approx(m4 / var**2 - 3, abs=2e-5)
+
+
+# --------------------------------------------------------------- wave 14
+
+
+def test_moors_kurtosis_reference(spark, sf_dir, con):
+    rows = con.execute("SELECT o_totalprice FROM orders ORDER BY 1").fetchall()
+    xs = [v for (v,) in rows]
+    n = len(xs)
+    e = {k: xs[-(-k * n // 8) - 1] for k in range(1, 8)}  # ceil(kn/8), 1-idx
+    t = ((e[7] - e[5]) + (e[3] - e[1])) / (e[6] - e[2])
+    (row,) = run(spark, sf_dir, "agg_moors_kurtosis")
+    assert row.n_orders == n
+    for k in (1, 3, 5, 7):
+        assert getattr(row, f"e{k}") == pytest.approx(e[k], abs=1e-6)
+    assert row.moors_kurtosis == pytest.approx(t, abs=2e-6)
+
+
+def test_markov_order_reference(spark, sf_dir, con):
+    rows = con.execute(
+        "SELECT user_id, event_type FROM events ORDER BY user_id, ts, event_id"
+    ).fetchall()
+    from collections import Counter, defaultdict
+
+    seqs = defaultdict(list)
+    for u, t in rows:
+        seqs[u].append(t)
+    bi, tri = Counter(), Counter()
+    for s in seqs.values():
+        for a, b in zip(s, s[1:]):
+            bi[(a, b)] += 1
+        for a, b, c in zip(s, s[1:], s[2:]):
+            tri[(a, b, c)] += 1
+    n2, n3 = sum(bi.values()), sum(tri.values())
+    bim = Counter()
+    for (a, _), c in bi.items():
+        bim[a] += c
+    trim = Counter()
+    for (a, b, _), c in tri.items():
+        trim[(a, b)] += c
+    h9a = sum(
+        math.floor(-(c / n2) * math.log(c / bim[a]) * 1e9 + 0.5)
+        for (a, _), c in bi.items()
+    )
+    h9b = sum(
+        math.floor(-(c / n3) * math.log(c / trim[(a, b)]) * 1e9 + 0.5)
+        for (a, b, _), c in tri.items()
+    )
+    (row,) = run(spark, sf_dir, "events_markov_order_test")
+    assert row.n_bigrams == n2 and row.n_trigrams == n3
+    assert row.h_order1 == pytest.approx(h9a / 1e9, abs=2e-6)
+    assert row.h_order2 == pytest.approx(h9b / 1e9, abs=2e-6)
+    assert row.memory_gain == pytest.approx((h9a - h9b) / 1e9, abs=2e-6)
+    # conditioning on more context can only reduce empirical entropy
+    assert row.memory_gain >= -1e-9
+
+
+def test_timestamp_heaping_reference(spark, sf_dir, con):
+    rows = con.execute(
+        "SELECT (epoch_us(ts) // 60000000) % 60 FROM events"
+    ).fetchall()
+    from collections import Counter
+
+    cnt = Counter(int(m) for (m,) in rows)
+    n = sum(cnt.values())
+    c2 = sum(c * c for c in cnt.values())
+    chi2 = (60.0 * c2 - float(n) * n) / n
+    mc = max(cnt.values())
+    mm = min(m for m, c in cnt.items() if c == mc)
+    (row,) = run(spark, sf_dir, "dq_timestamp_heaping")
+    assert row.n_events == n and row.n_minutes_seen == len(cnt)
+    assert row.chi2_uniform == pytest.approx(chi2, abs=2e-6)
+    assert row.modal_minute == mm and row.modal_count == mc
+    assert row.modal_share_micro == _half_away(mc * 1000000, n)
