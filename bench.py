@@ -376,6 +376,9 @@ HEADLINE = [
     "agg_moors_kurtosis",
     "events_markov_order_test",
     "dq_timestamp_heaping",
+    "agg_gini_mean_difference",
+    "window_pivot_points",
+    "agg_quartile_dispersion",
 ]
 
 

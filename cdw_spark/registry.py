@@ -242,6 +242,11 @@ _NEXT_WINDOW_QUEUE: tuple[str, ...] = (
     "agg_moors_kurtosis",
     "events_markov_order_test",
     "dq_timestamp_heaping",
+    # round-12 fifteenth wave: rank-identity GMD scale estimator,
+    # floor-trader pivot ladder, quartile coefficient of dispersion
+    "agg_gini_mean_difference",
+    "window_pivot_points",
+    "agg_quartile_dispersion",
 )
 
 

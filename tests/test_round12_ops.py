@@ -1255,3 +1255,51 @@ def test_timestamp_heaping_reference(spark, sf_dir, con):
     assert row.chi2_uniform == pytest.approx(chi2, abs=2e-6)
     assert row.modal_minute == mm and row.modal_count == mc
     assert row.modal_share_micro == _half_away(mc * 1000000, n)
+
+
+# --------------------------------------------------------------- wave 15
+
+
+def test_gini_mean_difference_reference(spark, sf_dir, con):
+    rows = con.execute("SELECT o_totalprice FROM orders").fetchall()
+    xs = sorted(math.floor(v * 100.0 + 0.5) for (v,) in rows)
+    n = len(xs)
+    num = sum((2 * (i + 1) - n - 1) * x for i, x in enumerate(xs))
+    gmd = num / (n * (n - 1.0)) / 100.0
+    gini = num * n / ((n - 1.0) * 2.0 * sum(xs))
+    (row,) = run(spark, sf_dir, "agg_gini_mean_difference")
+    assert row.n_orders == n
+    assert row.gmd_units == pytest.approx(gmd, rel=1e-6)
+    assert row.gini_from_gmd == pytest.approx(gini, abs=2e-6)
+
+
+def test_pivot_points_reference(spark, sf_dir, con):
+    bars = _user_bars(con)
+    got = {r.user_id: r for r in run(spark, sf_dir, "window_pivot_points")}
+    assert set(got) == set(bars)
+    for uid, bs in bars.items():
+        hb = max(bs)
+        h, l, c = bs[hb]["h"], bs[hb]["l"], bs[hb]["c"]
+        row = got[uid]
+        assert row.n_bars == len(bs)
+        assert (row.high_micro, row.low_micro, row.close_micro) == (h, l, c)
+        assert row.pivot_x3 == h + l + c
+        assert row.r1_x3 == 2 * (h + l + c) - 3 * l
+        assert row.s1_x3 == 2 * (h + l + c) - 3 * h
+        assert row.r2_x3 == (h + l + c) + 3 * (h - l)
+        assert row.s2_x3 == (h + l + c) - 3 * (h - l)
+
+
+def test_quartile_dispersion_reference(spark, sf_dir, con):
+    rows = con.execute("SELECT o_totalprice FROM orders ORDER BY 1").fetchall()
+    xs = [v for (v,) in rows]
+    n = len(xs)
+    q1 = xs[-(-n // 4) - 1]
+    q3 = xs[-(-3 * n // 4) - 1]
+    (row,) = run(spark, sf_dir, "agg_quartile_dispersion")
+    assert row.n_orders == n
+    assert row.q1 == pytest.approx(q1, abs=1e-6)
+    assert row.q3 == pytest.approx(q3, abs=1e-6)
+    assert row.quartile_dispersion == pytest.approx(
+        (q3 - q1) / (q3 + q1), abs=2e-6
+    )
