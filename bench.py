@@ -379,6 +379,9 @@ HEADLINE = [
     "agg_gini_mean_difference",
     "window_pivot_points",
     "agg_quartile_dispersion",
+    "agg_hoover_index",
+    "agg_effective_cardinality",
+    "events_daily_load_factor",
 ]
 
 

@@ -247,6 +247,11 @@ _NEXT_WINDOW_QUEUE: tuple[str, ...] = (
     "agg_gini_mean_difference",
     "window_pivot_points",
     "agg_quartile_dispersion",
+    # round-12 sixteenth wave: Robin Hood share, Hill diversity
+    # ladder in heads, daily capacity envelope
+    "agg_hoover_index",
+    "agg_effective_cardinality",
+    "events_daily_load_factor",
 )
 
 

@@ -13445,3 +13445,234 @@ def agg_quartile_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS quartile_dispersion",
         )
     )
+
+
+@register(
+    "agg_hoover_index",
+    oracle="""
+    WITH cust AS (
+        SELECT o_custkey,
+               CAST(SUM(CAST(floor(CAST(o_totalprice AS DOUBLE) * 100.0
+                                   + 0.5) AS BIGINT)) AS BIGINT) AS x
+        FROM orders GROUP BY o_custkey
+    ),
+    tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS HUGEINT) AS s
+        FROM cust
+    ),
+    dev AS (
+        SELECT CAST(SUM(abs(CAST(x AS HUGEINT) * n - s)) AS HUGEINT) AS ad
+        FROM cust CROSS JOIN tot
+    )
+    SELECT n AS n_customers,
+           ROUND(CAST(ad AS DOUBLE)
+                 / (2.0 * CAST(n AS DOUBLE) * CAST(s AS DOUBLE)), 6)
+               AS hoover_index
+    FROM dev CROSS JOIN tot
+    """,
+    doc="Hoover (Robin Hood) index of per-customer spend: H = "
+    "sum |x_i - mu| / (2 sum x) — the share of total revenue that "
+    "would have to move from above-average to below-average "
+    "customers to equalize them; the most INTERPRETABLE member of "
+    "the inequality family (agg_gini_concentration integrates the "
+    "whole Lorenz curve, agg_lorenz_asymmetry reads its direction, "
+    "Hoover is its single largest vertical gap). EXACT: the mean "
+    "never materializes — each deviation is the n-scaled integer "
+    "|x*n - s|, the absolute-deviation sum is one "
+    "HUGEINT/DECIMAL(38,0) accumulator, and H = AD/(2ns) is one "
+    "final double division.",
+)
+def agg_hoover_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: one per-customer groupBy over the fact scan, one
+    broadcast totals join, one 1-row absolute-deviation reduce."""
+    o = load_fixture(spark, sf_dir, "orders")
+    cust = (
+        o.select(
+            "o_custkey",
+            F.floor(
+                F.col("o_totalprice").cast("double") * F.lit(100.0) + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("xc"),
+        )
+        .groupBy("o_custkey")
+        .agg(F.sum("xc").cast("bigint").alias("x"))
+        .localCheckpoint(eager=True)
+    )
+    tot = cust.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("decimal(38,0)").alias("s"),
+    )
+    dev = cust.crossJoin(F.broadcast(tot)).agg(
+        F.sum(F.expr("abs(CAST(x AS DECIMAL(19,0)) * n - s)"))
+        .cast("decimal(38,0)")
+        .alias("ad")
+    )
+    return dev.crossJoin(F.broadcast(tot)).selectExpr(
+        "n AS n_customers",
+        "ROUND(CAST(ad AS DOUBLE)"
+        " / (2.0 * CAST(n AS DOUBLE) * CAST(s AS DOUBLE)), 6)"
+        " AS hoover_index",
+    )
+
+
+@register(
+    "agg_effective_cardinality",
+    oracle="""
+    WITH cust AS (
+        SELECT o_custkey,
+               CAST(SUM(CAST(floor(CAST(o_totalprice AS DOUBLE) * 100.0
+                                   + 0.5) AS BIGINT)) AS BIGINT) AS x
+        FROM orders GROUP BY o_custkey
+    ),
+    tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS HUGEINT) AS s,
+               CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS s2
+        FROM cust
+    ),
+    h AS (
+        SELECT CAST(SUM(CASE WHEN x = 0 THEN 0
+                        ELSE CAST(floor(-(CAST(x AS DOUBLE)
+                                          / CAST(s AS DOUBLE))
+                                        * ln(CAST(x AS DOUBLE)
+                                             / CAST(s AS DOUBLE))
+                                        * 1000000000.0 + 0.5) AS BIGINT)
+                        END) AS BIGINT) AS h9
+        FROM cust CROSS JOIN tot
+    )
+    SELECT n AS hill_n0,
+           ROUND(exp(CAST(h9 AS DOUBLE) / 1000000000.0), 6) AS hill_n1,
+           ROUND(CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                 / NULLIF(CAST(s2 AS DOUBLE), 0.0), 6) AS hill_n2,
+           ROUND(CAST(h9 AS DOUBLE) / 1000000000.0
+                 / NULLIF(ln(CAST(n AS DOUBLE)), 0.0), 6) AS evenness
+    FROM tot CROSS JOIN h
+    """,
+    doc="Hill-number diversity ladder of the customer revenue "
+    "distribution: N0 = customer count, N1 = exp(Shannon H) and "
+    "N2 = 1/sum p^2 (inverse Simpson) — the 'effective number of "
+    "customers' at three sensitivity orders, plus Pielou evenness "
+    "H/ln N0. N2/N0 collapsing toward 0 is revenue concentration "
+    "risk stated in HEADS rather than a coefficient — the business "
+    "twin of text_simpson_diversity's source audit, complementing "
+    "agg_gini_concentration/agg_hoover_index with the "
+    "information-theoretic view. DETERMINISM: shares p = x/s come "
+    "from exact integers, each -p ln p term is nano-quantized to an "
+    "integer before the sum (order-free), N2 = s^2/s2 from exact "
+    "HUGEINT moments; exp/ln run once in one identical double "
+    "sequence per engine.",
+)
+def agg_effective_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: one per-customer groupBy over the fact scan, one
+    broadcast totals join, two 1-row reduces."""
+    o = load_fixture(spark, sf_dir, "orders")
+    cust = (
+        o.select(
+            "o_custkey",
+            F.floor(
+                F.col("o_totalprice").cast("double") * F.lit(100.0) + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("xc"),
+        )
+        .groupBy("o_custkey")
+        .agg(F.sum("xc").cast("bigint").alias("x"))
+        .localCheckpoint(eager=True)
+    )
+    tot = cust.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("decimal(38,0)").alias("s"),
+        F.sum(F.expr("CAST(x AS DECIMAL(19,0)) * x"))
+        .cast("decimal(38,0)")
+        .alias("s2"),
+    )
+    h = cust.crossJoin(F.broadcast(tot)).agg(
+        F.sum(
+            F.expr(
+                "CASE WHEN x = 0 THEN 0"
+                " ELSE CAST(floor(-(CAST(x AS DOUBLE) / CAST(s AS DOUBLE))"
+                " * ln(CAST(x AS DOUBLE) / CAST(s AS DOUBLE))"
+                " * 1000000000.0 + 0.5) AS BIGINT) END"
+            )
+        )
+        .cast("bigint")
+        .alias("h9")
+    )
+    return tot.crossJoin(F.broadcast(h)).selectExpr(
+        "n AS hill_n0",
+        "ROUND(exp(CAST(h9 AS DOUBLE) / 1000000000.0), 6) AS hill_n1",
+        "ROUND(CAST(s AS DOUBLE) * CAST(s AS DOUBLE)"
+        " / NULLIF(CAST(s2 AS DOUBLE), 0.0), 6) AS hill_n2",
+        "ROUND(CAST(h9 AS DOUBLE) / 1000000000.0"
+        " / NULLIF(ln(CAST(n AS DOUBLE)), 0.0), 6) AS evenness",
+    )
+
+
+@register(
+    "events_daily_load_factor",
+    oracle="""
+    WITH d AS (
+        SELECT epoch_us(ts) // 86400000000 AS dd,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY 1
+    ),
+    tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(c) AS BIGINT) AS s,
+               CAST(MAX(c) AS BIGINT) AS mx, CAST(MIN(c) AS BIGINT) AS mn
+        FROM d
+    ),
+    peak AS (
+        SELECT MIN(dd) AS peak_day FROM d CROSS JOIN tot WHERE c = mx
+    )
+    SELECT n AS n_days, s AS n_events,
+           CAST(mx AS BIGINT) AS peak_count,
+           CAST(mn AS BIGINT) AS trough_count,
+           CAST(peak_day AS BIGINT) AS peak_epoch_day,
+           ROUND(CAST(mx AS DOUBLE) * CAST(n AS DOUBLE)
+                 / CAST(s AS DOUBLE), 6) AS peak_to_mean,
+           ROUND(CAST(mx AS DOUBLE) / NULLIF(CAST(mn AS DOUBLE), 0.0), 6)
+               AS peak_to_trough
+    FROM tot CROSS JOIN peak
+    """,
+    doc="Daily load factor of the event stream: peak-day count over "
+    "mean daily count (and over the trough) plus the peak epoch day "
+    "(min-day tiebreak) — the capacity-planning number that sizes a "
+    "cluster for the WORST day rather than the average one; the "
+    "static sibling of dq_volume_anomaly_daily's rolling Hampel "
+    "gate (that one flags surprises, this one states the envelope). "
+    "Counts are exact; peak/mean is computed as mx*n/s (never a "
+    "rational mean materialized) in one final double sequence, "
+    "NULLIF-guarded on a zero-count trough day.",
+)
+def events_daily_load_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: one day-grain count (the only fact shuffle), two
+    1-row reduces over the calendar-bounded day relation."""
+    e = load_fixture(spark, sf_dir, "events")
+    d = (
+        e.select(F.expr("unix_micros(ts) div 86400000000").alias("dd"))
+        .groupBy("dd")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    tot = d.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("c").cast("bigint").alias("s"),
+        F.max("c").cast("bigint").alias("mx"),
+        F.min("c").cast("bigint").alias("mn"),
+    )
+    peak = (
+        d.crossJoin(F.broadcast(tot))
+        .filter(F.col("c") == F.col("mx"))
+        .agg(F.min("dd").alias("peak_day"))
+    )
+    return tot.crossJoin(F.broadcast(peak)).selectExpr(
+        "n AS n_days",
+        "s AS n_events",
+        "CAST(mx AS BIGINT) AS peak_count",
+        "CAST(mn AS BIGINT) AS trough_count",
+        "CAST(peak_day AS BIGINT) AS peak_epoch_day",
+        "ROUND(CAST(mx AS DOUBLE) * CAST(n AS DOUBLE) / CAST(s AS DOUBLE), 6)"
+        " AS peak_to_mean",
+        "ROUND(CAST(mx AS DOUBLE) / NULLIF(CAST(mn AS DOUBLE), 0.0), 6)"
+        " AS peak_to_trough",
+    )

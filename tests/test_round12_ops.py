@@ -1303,3 +1303,58 @@ def test_quartile_dispersion_reference(spark, sf_dir, con):
     assert row.quartile_dispersion == pytest.approx(
         (q3 - q1) / (q3 + q1), abs=2e-6
     )
+
+
+# --------------------------------------------------------------- wave 16
+
+
+def _cust_spend(con):
+    rows = con.execute(
+        "SELECT o_custkey, SUM(CAST(floor(o_totalprice*100.0+0.5) AS BIGINT))"
+        " FROM orders GROUP BY o_custkey"
+    ).fetchall()
+    return [int(x) for _, x in rows]
+
+
+def test_hoover_index_reference(spark, sf_dir, con):
+    xs = _cust_spend(con)
+    n, s = len(xs), sum(xs)
+    ad = sum(abs(x * n - s) for x in xs)
+    (row,) = run(spark, sf_dir, "agg_hoover_index")
+    assert row.n_customers == n
+    assert row.hoover_index == pytest.approx(ad / (2.0 * n * s), abs=2e-6)
+    assert 0.0 <= row.hoover_index < 1.0
+
+
+def test_effective_cardinality_reference(spark, sf_dir, con):
+    xs = _cust_spend(con)
+    n, s = len(xs), sum(xs)
+    s2 = sum(x * x for x in xs)
+    h9 = sum(
+        0 if x == 0
+        else math.floor(-(x / s) * math.log(x / s) * 1e9 + 0.5)
+        for x in xs
+    )
+    (row,) = run(spark, sf_dir, "agg_effective_cardinality")
+    assert row.hill_n0 == n
+    assert row.hill_n1 == pytest.approx(math.exp(h9 / 1e9), rel=1e-6)
+    assert row.hill_n2 == pytest.approx(s * s / s2, rel=1e-6)
+    assert row.evenness == pytest.approx(h9 / 1e9 / math.log(n), abs=2e-6)
+    # Hill ordering: N0 >= N1 >= N2 always
+    assert row.hill_n0 >= row.hill_n1 >= row.hill_n2 > 0
+
+
+def test_daily_load_factor_reference(spark, sf_dir, con):
+    rows = con.execute(
+        "SELECT epoch_us(ts) // 86400000000, COUNT(*) FROM events GROUP BY 1"
+    ).fetchall()
+    cnt = {int(d): int(c) for d, c in rows}
+    n, s = len(cnt), sum(cnt.values())
+    mx, mn = max(cnt.values()), min(cnt.values())
+    peak = min(d for d, c in cnt.items() if c == mx)
+    (row,) = run(spark, sf_dir, "events_daily_load_factor")
+    assert row.n_days == n and row.n_events == s
+    assert row.peak_count == mx and row.trough_count == mn
+    assert row.peak_epoch_day == peak
+    assert row.peak_to_mean == pytest.approx(mx * n / s, abs=2e-6)
+    assert row.peak_to_trough == pytest.approx(mx / mn, abs=2e-6)
