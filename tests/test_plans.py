@@ -569,6 +569,8 @@ def test_knn_graph_family_scans_at_rest_artifact(spark, sf_dir):
         "graph_harmonic_centrality",
         "embedding_hubness_audit",
         "graph_rich_club",
+        "graph_neighbor_jaccard",
+        "embedding_twonn_intrinsic_dim",
     ):
         plan = _plan(SPECS[name].fn(spark, sf_dir))
         assert "bit_count" not in plan, f"{name} re-executes the kNN build"
