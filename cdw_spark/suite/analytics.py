@@ -13199,11 +13199,15 @@ def dq_timestamp_heaping(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "agg_gini_mean_difference",
     oracle="""
-    WITH vals AS (
-        SELECT CAST(floor(CAST(o_totalprice AS DOUBLE) * 100.0 + 0.5)
-                    AS BIGINT) AS x,
-               CAST(COUNT(*) AS BIGINT) AS c
-        FROM orders GROUP BY 1
+    WITH cust AS (
+        SELECT o_custkey,
+               CAST(SUM(CAST(floor(CAST(o_totalprice AS DOUBLE) * 100.0
+                                   + 0.5) AS BIGINT)) AS BIGINT) AS xs
+        FROM orders GROUP BY o_custkey
+    ),
+    vals AS (
+        SELECT xs AS x, CAST(COUNT(*) AS BIGINT) AS c
+        FROM cust GROUP BY xs
     ),
     ranked AS (
         SELECT x, c,
@@ -13222,27 +13226,28 @@ def dq_timestamp_heaping(spark: SparkSession, sf_dir: str) -> DataFrame:
                    AS num
         FROM ranked CROSS JOIN tot
     )
-    SELECT n AS n_orders,
-           ROUND(CAST(num AS DOUBLE)
+    SELECT n AS n_customers,
+           ROUND(2.0 * CAST(num AS DOUBLE)
                  / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))
                  / 100.0, 6) AS gmd_units,
-           ROUND(CAST(num AS DOUBLE) * CAST(n AS DOUBLE)
-                 / ((CAST(n AS DOUBLE) - 1.0) * 2.0 * CAST(s AS DOUBLE)),
+           ROUND(CAST(num AS DOUBLE)
+                 / ((CAST(n AS DOUBLE) - 1.0) * CAST(s AS DOUBLE)),
                  6) AS gini_from_gmd
     FROM g CROSS JOIN tot
     """,
-    doc="Gini mean difference of order totals: GMD = mean |x_i - x_j| "
-    "over all unordered pairs, via the exact rank identity "
-    "sum c*x*(2*midrank - n - 1) / (n(n-1)) — the scale estimator "
-    "that is ~98% as efficient as the standard deviation at the "
-    "normal yet robust to heavy tails (Yitzhaki 2003), reported in "
-    "currency units beside its normalized twin gini = n*GMD/"
-    "(2(n-1)*mean) which cross-checks agg_gini_concentration from a "
-    "completely different construction. EXACT: centi values, "
-    "doubled midranks over the distinct-value relation (the tie "
-    "identity holds exactly under midranks), one "
-    "HUGEINT/DECIMAL(38,0) signed accumulator; two final double "
-    "sequences.",
+    doc="Gini mean difference of per-customer spend: GMD = "
+    "mean |x_i - x_j| over all ordered pairs i != j, via the exact "
+    "rank identity sum_{i!=j} |x_i - x_j| = 2 sum c*x*(2*midrank - "
+    "n - 1) — the scale estimator that is ~98% as efficient as the "
+    "standard deviation at the normal yet robust to heavy tails "
+    "(Yitzhaki 2003), reported in currency units beside its "
+    "normalized twin, the bias-corrected sample Gini = GMD/(2*mean) "
+    "= num/((n-1)*s), which must equal agg_gini_concentration's "
+    "plug-in Gini times n/(n-1) — a cross-construction identity the "
+    "test suite asserts numerically. EXACT: centi values, doubled "
+    "midranks over the distinct-value relation (the tie identity "
+    "holds exactly under midranks), one HUGEINT/DECIMAL(38,0) "
+    "signed accumulator; two final double sequences.",
 )
 def agg_gini_mean_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale shape: one groupBy on the DISTINCT centi-value column, the
@@ -13251,15 +13256,16 @@ def agg_gini_mean_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.stats import two_level_cumsum
 
     o = load_fixture(spark, sf_dir, "orders")
-    vals = (
-        o.select(
-            F.floor(
-                F.col("o_totalprice").cast("double") * F.lit(100.0) + F.lit(0.5)
-            )
-            .cast("bigint")
-            .alias("x")
+    cust = o.select(
+        "o_custkey",
+        F.floor(
+            F.col("o_totalprice").cast("double") * F.lit(100.0) + F.lit(0.5)
         )
-        .groupBy("x")
+        .cast("bigint")
+        .alias("xc"),
+    ).groupBy("o_custkey").agg(F.sum("xc").cast("bigint").alias("x"))
+    vals = (
+        cust.groupBy("x")
         .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
         .localCheckpoint(eager=True)
     )
@@ -13285,12 +13291,12 @@ def agg_gini_mean_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("num")
     )
     return g.crossJoin(F.broadcast(tot)).selectExpr(
-        "n AS n_orders",
-        "ROUND(CAST(num AS DOUBLE)"
+        "n AS n_customers",
+        "ROUND(2.0 * CAST(num AS DOUBLE)"
         " / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) / 100.0, 6)"
         " AS gmd_units",
-        "ROUND(CAST(num AS DOUBLE) * CAST(n AS DOUBLE)"
-        " / ((CAST(n AS DOUBLE) - 1.0) * 2.0 * CAST(s AS DOUBLE)), 6)"
+        "ROUND(CAST(num AS DOUBLE)"
+        " / ((CAST(n AS DOUBLE) - 1.0) * CAST(s AS DOUBLE)), 6)"
         " AS gini_from_gmd",
     )
 

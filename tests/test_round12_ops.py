@@ -1261,16 +1261,26 @@ def test_timestamp_heaping_reference(spark, sf_dir, con):
 
 
 def test_gini_mean_difference_reference(spark, sf_dir, con):
-    rows = con.execute("SELECT o_totalprice FROM orders").fetchall()
-    xs = sorted(math.floor(v * 100.0 + 0.5) for (v,) in rows)
+    xs = sorted(_cust_spend(con))
     n = len(xs)
+    s = sum(xs)
     num = sum((2 * (i + 1) - n - 1) * x for i, x in enumerate(xs))
-    gmd = num / (n * (n - 1.0)) / 100.0
-    gini = num * n / ((n - 1.0) * 2.0 * sum(xs))
+    gmd = 2.0 * num / (n * (n - 1.0)) / 100.0
+    gini = num / ((n - 1.0) * s)
+    # brute-force the pair identity on a prefix to pin the formula
+    sub = xs[:200]
+    brute = sum(abs(a - b) for i, a in enumerate(sub) for b in sub[i + 1:])
+    ident = sum((2 * (i + 1) - len(sub) - 1) * x for i, x in enumerate(sub))
+    assert brute == ident
     (row,) = run(spark, sf_dir, "agg_gini_mean_difference")
-    assert row.n_orders == n
+    assert row.n_customers == n
     assert row.gmd_units == pytest.approx(gmd, rel=1e-6)
     assert row.gini_from_gmd == pytest.approx(gini, abs=2e-6)
+    # cross-construction identity: sample Gini = plug-in Gini * n/(n-1)
+    (gc,) = run(spark, sf_dir, "agg_gini_concentration")
+    assert row.gini_from_gmd == pytest.approx(
+        gc.gini * n / (n - 1.0), abs=5e-4
+    )
 
 
 def test_pivot_points_reference(spark, sf_dir, con):
