@@ -445,6 +445,24 @@ def ahash_of_ppm(blob: bytes) -> int:
     return bits
 
 
+def spread_ids(df: DataFrame, *cols: str) -> DataFrame:
+    """Round-robin the projected id relation across the session's default
+    parallelism before a compute-heavy synth/decode pass.
+
+    The fixture tables are single-row-group parquet files, so a bare scan
+    is ONE input split and every downstream mapInPandas decode pass runs
+    in one task (measured: the whole aHash pass of
+    multimodal_image_near_dup ran 9.1 s single-task at sf0.1 while 31
+    cores idled). The exchange moves only the named slim columns (an
+    8-byte id by default — never blobs), so its cost is negligible next
+    to the per-row decode at ANY scale, and at 100 TB — where the scan
+    already yields thousands of splits — it additionally rebalances
+    skewed splits ahead of the expensive pass (guide §2.6/§6: REBALANCE
+    before heavy per-row work)."""
+    sel = df.select(*cols) if cols else df
+    return sel.repartition(sel.sparkSession.sparkContext.defaultParallelism)
+
+
 def image_ahashes(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """(id, ahash) via one Arrow mapInPandas pass: synth-encode (fixture
     seam — a real deployment reads the binary column), decode, hash.
@@ -481,7 +499,7 @@ def image_ahashes(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             hashes = (bits.astype(np.uint64) * weights).sum(axis=1).astype(np.int64)
             yield pd.DataFrame({id_col: ids, "ahash": hashes})
 
-    return df.select(id_col).mapInPandas(run, out_schema)
+    return spread_ids(df, id_col).mapInPandas(run, out_schema)
 
 
 def _to_signed64(v: int) -> int:
@@ -615,7 +633,7 @@ def video_shot_boundaries(
                     prev = norm
             yield pd.DataFrame(rows)
 
-    return df.select(id_col).mapInPandas(run, out_schema)
+    return spread_ids(df, id_col).mapInPandas(run, out_schema)
 
 
 def audio_spectral_centroid(
@@ -763,7 +781,7 @@ def image_phashes(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             hashes = (bits.astype(np.uint64) * weights).sum(axis=1).astype(np.int64)
             yield pd.DataFrame({id_col: ids, "phash": hashes})
 
-    return df.select(id_col).mapInPandas(run, out_schema)
+    return spread_ids(df, id_col).mapInPandas(run, out_schema)
 
 
 def _hamming_chunk_pairs(
@@ -772,7 +790,14 @@ def _hamming_chunk_pairs(
     """Shared pigeonhole candidate join for 64-bit perceptual hashes:
     hamming <= max_hamming (< 4) guarantees an equal 16-bit chunk among
     4, so candidates come from an EQUALITY self-join on (chunk_idx,
-    chunk_value) — only (id, hash) rows shuffle at any corpus size."""
+    chunk_value) — only (id, hash) rows shuffle at any corpus size.
+
+    The hash relation is localCheckpoint'ed before the self-join: both
+    join sides would otherwise re-evaluate the upstream decode+hash pass
+    (an Arrow mapInPandas over every image) — the checkpoint pins the
+    ~16-bytes/row relation so the corpus is decoded exactly once
+    (guide §8: decide on the lightweight proxy, decode heavy bytes once)."""
+    hashes = hashes.localCheckpoint(eager=True)
     chunks = hashes.select(
         id_col,
         hash_col,
@@ -797,12 +822,17 @@ def _hamming_chunk_pairs(
         F.col(id_col).alias("dup_id"), F.col(hash_col).alias("hb"), "ci", "cv"
     )
     ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    # hamming filter BEFORE the distinct: bit_count is a per-row codegen
+    # op while distinct is a shuffle — filtering first shuffles only the
+    # <= max_hamming survivors instead of every chunk-collision pair
+    # (guide §2.3: shuffle fewer bytes; the result set is identical
+    # because the filter column is deterministic per pair).
     return (
         a.join(b, on=["ci", "cv"])
         .filter(F.col("keep_id") < F.col("dup_id"))
         .select("keep_id", "dup_id", ham.alias("hamming"))
-        .distinct()
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
         .groupBy("dup_id")
         .agg(F.min("keep_id").alias("keep_id"), F.min("hamming").cast("int").alias("hamming"))
         .select("dup_id", "keep_id", "hamming")

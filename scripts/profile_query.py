@@ -46,6 +46,8 @@ def main() -> int:
         extra_conf={
             "spark.eventLog.enabled": "true",
             "spark.eventLog.dir": f"file://{EVDIR}",
+            "spark.eventLog.compress": "false",
+            "spark.eventLog.rolling.enabled": "false",
         },
     )
     spark.sparkContext.setLogLevel("ERROR")
@@ -91,21 +93,39 @@ def main() -> int:
     appid = spark.sparkContext.applicationId
     spark.stop()
     time.sleep(1.0)
+    with open("/tmp/cdw_profile_walls.json", "w") as f:
+        json.dump(walls, f)
 
-    # ---- parse event log ----
-    path = None
+    # ---- parse event log (plain file, or a Spark-4 eventlog_v2 dir) ----
+    paths: list[str] = []
     for p in os.listdir(EVDIR):
-        if appid in p:
-            path = os.path.join(EVDIR, p)
-    if path is None:
+        if appid not in p:
+            continue
+        full = os.path.join(EVDIR, p)
+        if os.path.isdir(full):
+            paths.extend(
+                os.path.join(full, q)
+                for q in sorted(os.listdir(full))
+                if q.startswith("events")
+            )
+        else:
+            paths.append(full)
+    if not paths:
         print("no event log found", file=sys.stderr)
         return 1
+
+    import itertools
 
     job_q: dict[int, str] = {}          # job id -> query name
     job_stages: dict[int, list[int]] = {}
     stage_info: dict[int, dict] = {}    # stage id -> metrics
-    with open(path) as f:
-        for line in f:
+    with open(paths[0]) as _f0:
+        lines = list(_f0)
+    for p in paths[1:]:
+        with open(p) as _f:
+            lines.extend(_f)
+    if True:
+        for line in lines:
             try:
                 ev = json.loads(line)
             except json.JSONDecodeError:
@@ -126,22 +146,32 @@ def main() -> int:
                 sid = si["Stage ID"]
                 sub = si.get("Submission Time")
                 comp = si.get("Completion Time")
-                stage_info[sid] = {
-                    "tasks": si.get("Number of Tasks", 0),
-                    "wall_ms": (comp - sub) if (sub and comp) else 0,
-                    "name": si.get("Stage Name", ""),
-                }
+                d = stage_info.setdefault(sid, {})
+                d["tasks"] = si.get("Number of Tasks", 0)
+                d["wall_ms"] = (comp - sub) if (sub and comp) else 0
+                d["name"] = si.get("Stage Name", "")
             elif e == "SparkListenerTaskEnd":
                 sid = ev["Stage ID"]
+                acc = {
+                    a["Name"]: a.get("Update", 0)
+                    for a in (ev.get("Task Info") or {}).get("Accumulables", [])
+                    if a.get("Internal")
+                }
                 m = ev.get("Task Metrics") or {}
                 d = stage_info.setdefault(sid, {"tasks": 0, "wall_ms": 0, "name": ""})
-                d["run_ms"] = d.get("run_ms", 0) + m.get("Executor Run Time", 0)
-                srm = m.get("Shuffle Read Metrics") or {}
-                swm = m.get("Shuffle Write Metrics") or {}
-                im = m.get("Input Metrics") or {}
-                d["sh_read"] = d.get("sh_read", 0) + srm.get("Remote Bytes Read", 0) + srm.get("Local Bytes Read", 0)
-                d["sh_write"] = d.get("sh_write", 0) + swm.get("Shuffle Bytes Written", 0)
-                d["input"] = d.get("input", 0) + im.get("Bytes Read", 0)
+                d["run_ms"] = d.get("run_ms", 0) + (
+                    m.get("Executor Run Time")
+                    or acc.get("internal.metrics.executorRunTime", 0)
+                )
+                d["sh_read"] = d.get("sh_read", 0) + acc.get(
+                    "internal.metrics.shuffle.read.localBytesRead", 0
+                ) + acc.get("internal.metrics.shuffle.read.remoteBytesRead", 0)
+                d["sh_write"] = d.get("sh_write", 0) + acc.get(
+                    "internal.metrics.shuffle.write.bytesWritten", 0
+                )
+                d["input"] = d.get("input", 0) + acc.get(
+                    "internal.metrics.input.bytesRead", 0
+                )
 
     print(f"\n{'query':42s} {'wall':>7s} {'jobs':>5s} {'stages':>6s} {'tasks':>6s} "
           f"{'taskT(s)':>8s} {'stageW(s)':>9s} {'shRd(MB)':>8s} {'shWr(MB)':>8s} {'in(MB)':>7s}")
@@ -177,7 +207,24 @@ def main() -> int:
         print(f"{name:42s} {walls.get(name, -1):7.2f} {a['jobs']:5d} {a['stages']:6d} "
               f"{a['tasks']:6d} {a['run_ms']/1e3:8.2f} {a['wall_ms']/1e3:9.2f} "
               f"{a['sh_read']/1e6:8.2f} {a['sh_write']/1e6:8.2f} {a['input']/1e6:7.2f}")
-    print(f"\nevent log: {path}")
+    if "--stages" in sys.argv:
+        # top stages per query by task run time, with stage names
+        jq_stages: dict[str, list[int]] = {}
+        for jid, qname in job_q.items():
+            jq_stages.setdefault(qname, []).extend(job_stages.get(jid, []))
+        for name in names:
+            rows = [
+                (stage_info[sid].get("run_ms", 0), stage_info[sid].get("wall_ms", 0),
+                 stage_info[sid].get("tasks", 0), sid, stage_info[sid].get("name", ""))
+                for sid in sorted(set(jq_stages.get(name, [])))
+                if sid in stage_info
+            ]
+            rows.sort(reverse=True)
+            print(f"\n== {name} (wall {walls.get(name)}s)")
+            for run_ms, wall_ms, tasks, sid, sname in rows[:8]:
+                print(f"  run={run_ms/1e3:6.2f}s stageWall={wall_ms/1e3:6.2f}s "
+                      f"tasks={tasks:4d} sid={sid:5d} {sname[:90]}")
+    print(f"\nevent logs: {paths}")
     return 0
 
 
