@@ -372,20 +372,60 @@ def ivf_train(
         (i, [round(x / r["_norm"], 9) for x in r["v"]]) for i, r in enumerate(init)
     ]
     for _ in range(iters):
-        assigned = c.withColumn(
-            "_scores", F.expr(_scores_sql("v", "_norm", cents))
-        ).withColumn("cid", F.expr(_cid_sql("_scores", cents)))
-        stats = assigned.groupBy("cid").agg(
-            F.count(F.lit(1)).alias("n"),
-            *[F.sum(F.expr(f"v[{i}]/_norm")).alias(f"s{i}") for i in range(dim)],
-        )
-        rows = stats.collect()  # nlist rows — driver sync, as in any distributed k-means
+        # Arrow per-batch partials instead of the nlist*dim literal-weight
+        # scoring array: the literals change every sync, so the codegen
+        # cache never hit and each iteration paid a fresh Janino compile
+        # of a ~1024-term expression (guide §4.2 — hand whole batches to
+        # numpy; the centroids ride the closure, the PLAN is
+        # iteration-invariant). Assignment = first argmax of
+        # dot(v, cent)/norm — np.argmax also takes the first maximum.
+        rows = _float_assign_partials_arrow(c, cents, dim).groupBy("cid").agg(
+            F.sum("n").alias("n"),
+            *[F.sum(F.col("s")[i]).alias(f"s{i}") for i in range(dim)],
+        ).collect()
         cents = [
             (int(r["cid"]), [round(r[f"s{i}"] / r["n"], 9) for i in range(dim)])
             for r in sorted(rows, key=lambda r: r["cid"])
         ]
     c.unpersist()
     return cents
+
+
+def _float_assign_partials_arrow(
+    c: DataFrame, cents: list[tuple[int, list[float]]], dim: int
+) -> DataFrame:
+    """Per-batch spherical-assignment partials for ivf_train: emits at
+    most nlist rows (cid, n, s array<double>) per Arrow batch, where s
+    sums v[i]/norm over the batch's rows assigned to cid. Numpy float
+    partial sums regroup the same addends as the previous per-row SQL
+    aggregate — both are partition-order-dependent float sums, and the
+    trainer rounds every centroid coordinate to 9 dp at every sync
+    precisely to absorb that jitter (unchanged contract)."""
+    import numpy as np
+
+    w = np.asarray([wv for _, wv in cents], dtype=np.float64)  # (k, dim)
+    cids = [int(ci) for ci, _ in cents]
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            v = np.asarray([np.asarray(x, dtype=np.float64) for x in pdf["v"]])
+            nrm = np.asarray(pdf["_norm"], dtype=np.float64)
+            scores = (v @ w.T) / nrm[:, None]
+            a = np.argmax(scores, axis=1)  # first max = lower list index
+            u = v / nrm[:, None]
+            rows = {"cid": [], "n": [], "s": []}
+            for j in np.unique(a):
+                sel = a == j
+                rows["cid"].append(cids[int(j)])
+                rows["n"].append(int(sel.sum()))
+                rows["s"].append(u[sel].sum(axis=0).tolist())
+            yield pd.DataFrame(rows)
+
+    return c.select("v", "_norm").mapInPandas(run, "cid int, n long, s array<double>")
 
 
 def ivf_topk(
@@ -959,7 +999,13 @@ def mmr_rerank(
             .filter(F.col("rk") == 1)
             .select("probe_id", F.lit(t).alias("step"), "cand_id", "score", "v", "nrm")
         )
-        selected = selected.unionAll(pick)
+        # truncate the lineage per step: selected_t references
+        # selected_{t-1} TWICE (the union and inside pick's anti-join),
+        # so without the cut the logical plan doubles per step (2^steps
+        # subtrees — measured ~4.5 s of pure driver analysis at steps=4).
+        # eager=False: the plan is truncated immediately, the tiny
+        # (|probes| * t)-row RDD materializes once under the final action.
+        selected = selected.unionAll(pick).localCheckpoint(eager=False)
     return selected.select(
         "probe_id", F.col("step").cast("int").alias("step"), "cand_id",
         F.col("score").alias("mmr_score"),
@@ -1345,6 +1391,78 @@ def _centroid_dist_expr(c: list[int], dim: int) -> str:
     )
 
 
+def _int_assign_np(qv_np, cents_np):
+    """Vectorized exact-integer argmin assignment: int64 throughout, ties
+    to the lower cid (np.argmin returns the FIRST minimum). Algebraically
+    identical to ``_centroid_dist_expr``'s per-term fold — every product
+    and partial sum is an exact int64 (|256*qv| <= 4096-ish, so x·x, x·c,
+    c·c are all << 2^63). Returns (cid int64 (n,), dmin int64 (n,))."""
+    import numpy as np
+
+    x = 256 * qv_np.astype(np.int64)                       # (n, dim)
+    xx = (x * x).sum(axis=1)                               # (n,)
+    cc = (cents_np * cents_np).sum(axis=1)                 # (k,)
+    d = xx[:, None] - 2 * (x @ cents_np.T) + cc[None, :]   # (n, k) exact
+    cid = np.argmin(d, axis=1)
+    return cid, d[np.arange(len(cid)), cid]
+
+
+def _int_assign_stats_arrow(
+    q: DataFrame, cents: list[list[int]], dim: int, mode: str
+) -> DataFrame:
+    """One Arrow pass computing the exact-kmeans family's per-batch
+    PARTIALS instead of k literal-centroid codegen folds per row.
+
+    The literal-expression form compiled a fresh k*dim-term Janino method
+    every iteration (centroid literals change each sync, so the codegen
+    cache never hits — measured: the similarity trainers' wall time was
+    ~3x their stage time, all driver-side compilation). Here the
+    centroids ride the function closure — the PLAN is iteration-invariant
+    — and the arithmetic is numpy int64, bit-identical to the SQL fold
+    (see _int_assign_np). Per batch the pass emits at most k slim rows:
+
+    - mode='train': (cid, n, s array<long>) — counts + per-dim qv sums;
+    - mode='final': (cid, n, inertia) — counts + exact total distance;
+    - mode='rows':  (_id, qv, cid) — per-row assignment (the inverted-
+      index build; qv rides back out because the consumer needs it).
+    """
+    import numpy as np
+
+    cents_np = np.asarray(cents, dtype=np.int64)
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            qv = np.asarray([np.asarray(v, dtype=np.int64) for v in pdf["qv"]])
+            cid, dm = _int_assign_np(qv, cents_np)
+            if mode == "rows":
+                out = pdf.copy()
+                out["cid"] = cid.astype("int32")
+                yield out
+                continue
+            rows = {"cid": [], "n": []}
+            extra = "s" if mode == "train" else "inertia"
+            rows[extra] = []
+            for c in np.unique(cid):
+                sel = cid == c
+                rows["cid"].append(int(c))
+                rows["n"].append(int(sel.sum()))
+                if mode == "train":
+                    rows["s"].append(qv[sel].sum(axis=0).tolist())  # exact int64
+                else:
+                    rows["inertia"].append(int(dm[sel].sum()))      # exact int64
+            yield pd.DataFrame(rows)
+
+    if mode == "rows":
+        return q.mapInPandas(run, "_id long, qv array<int>, cid int")
+    if mode == "train":
+        return q.select("qv").mapInPandas(run, "cid int, n long, s array<long>")
+    return q.select("qv").mapInPandas(run, "cid int, n long, inertia long")
+
+
 def _assign_to_centroids(frame: DataFrame, cents: list[list[int]], dim: int) -> DataFrame:
     """Argmin assignment against literal centroids (ties to the lower cid):
     k codegen'd distance folds per row, zero join, zero shuffle. Adds
@@ -1380,12 +1498,16 @@ def _kmeans_train_centroids(q: DataFrame, k: int, iters: int, dim: int) -> list[
         raise ValueError(f"kmeans init expects unique ids 0..{k - 1}; got {ids}")
     cents = [[256 * int(r["qv"][i]) for i in range(dim)] for r in init]
     for _ in range(iters):
+        # Arrow partials instead of k literal codegen folds per row: the
+        # per-iteration centroid literals used to force a fresh Janino
+        # compile every sync; the Arrow pass keeps the plan shape
+        # iteration-invariant and the integer sums exact (guide §4.2).
         stats = (
-            _assign_to_centroids(q, cents, dim)
+            _int_assign_stats_arrow(q, cents, dim, "train")
             .groupBy("cid")
             .agg(
-                F.count(F.lit(1)).alias("_n"),
-                *[F.sum(F.expr(f"qv[{i}]")).alias(f"_s{i}") for i in range(dim)],
+                F.sum("n").alias("_n"),
+                *[F.sum(F.col("s")[i]).alias(f"_s{i}") for i in range(dim)],
             )
             .collect()
         )
@@ -1423,11 +1545,9 @@ def kmeans_exact(
     ).persist()
     cents = _kmeans_train_centroids(q, k, iters, dim)
 
-    def with_cid(frame: DataFrame) -> DataFrame:
-        return _assign_to_centroids(frame, cents, dim)
-
-    final = with_cid(q)
-    q.unpersist()
+    # final sizes/inertia via the same Arrow partials as training (exact
+    # int64 sums; count/sum over partials == count/sum over rows)
+    final = _int_assign_stats_arrow(q, cents, dim, "final")
     digests = {
         c_idx: " ".join(str(x) for x in c) for c_idx, c in enumerate(cents)
     }
@@ -1436,11 +1556,12 @@ def kmeans_exact(
         digest_col = F.when(F.col("cid") == c_idx, F.md5(F.lit(digests[c_idx]))).otherwise(
             digest_col
         )
+    q.unpersist()  # the final action re-reads the (trivial) quantize scan
     return (
         final.groupBy("cid")
         .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n"),
-            F.sum("_dm").cast("bigint").alias("inertia"),
+            F.sum("n").cast("bigint").alias("n"),
+            F.sum("inertia").cast("bigint").alias("inertia"),
         )
         .withColumn("centroid_md5", digest_col)
         .select("cid", "n", "inertia", "centroid_md5")
@@ -1562,16 +1683,18 @@ def ivf_incremental_add(
 
     q_old = quantize(old).persist()
     cents = _kmeans_train_centroids(q_old, k, iters, dim)
+    # Arrow per-batch count partials (see _int_assign_stats_arrow): the
+    # literal-centroid folds forced a fresh Janino compile per call.
     n_old = (
-        _assign_to_centroids(q_old, cents, dim)
+        _int_assign_stats_arrow(q_old, cents, dim, "final")
         .groupBy("cid")
-        .agg(F.count(F.lit(1)).alias("n_old"))
+        .agg(F.sum("n").alias("n_old"))
     )
     q_old.unpersist()
     n_new = (
-        _assign_to_centroids(quantize(new), cents, dim)
+        _int_assign_stats_arrow(quantize(new), cents, dim, "final")
         .groupBy("cid")
-        .agg(F.count(F.lit(1)).alias("n_new"))
+        .agg(F.sum("n").alias("n_new"))
     )
     digests = {c_idx: " ".join(str(x) for x in c) for c_idx, c in enumerate(cents)}
     digest_col = F.lit(None)
@@ -1696,13 +1819,13 @@ def ivfpq_topk(
     q = corpus.select(F.col(id_col).alias("_id"), quant.alias("qv")).persist()
     cents = _kmeans_train_centroids(q, nlist, iters, dim)
     # Materialize the inverted index (this IS the index build — at rest
-    # it's the partitioned-by-cid table). It also isolates the unrolled
-    # argmin folds in their own stage: fused into the downstream
-    # join+window stage they blow whole-stage codegen past the JVM's
-    # 64 KB method limit and Spark burns ~10 s retrying Janino before
-    # falling back to interpretation (measured 14 s -> 2 s at sf0.1).
+    # it's the partitioned-by-cid table). Assignment is the Arrow exact-
+    # integer pass (_int_assign_stats_arrow 'rows' mode) — the former
+    # unrolled argmin folds both blew whole-stage codegen past the JVM's
+    # 64 KB method limit when fused downstream AND recompiled per call
+    # because the centroid literals differ per training run.
     assigned = (
-        _assign_to_centroids(q, cents, dim)
+        _int_assign_stats_arrow(q, cents, dim, "rows")
         .select(F.col("_id").alias("cand_id"), F.col("qv").alias("cqv"), "cid")
         .localCheckpoint(eager=True)
     )

@@ -2704,24 +2704,62 @@ def sample_coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
     seed = seed_rows[0]
     selected = [(int(seed["_id"]), [int(v) for v in seed["qv"]])]
     out = [(0, selected[0][0], 0)]
-    for r in range(1, k):
-        dists = [
-            "(" + " + ".join(
-                f"(cast(qv[{i}] as bigint) - ({sv[i]})) *"
-                f" (cast(qv[{i}] as bigint) - ({sv[i]}))"
-                for i in range(dim)
-            ) + ")"
-            for _, sv in selected
-        ]
-        dmin = F.least(*[F.expr(dx) for dx in dists]) if len(dists) > 1 else F.expr(dists[0])
-        pick = (
-            q.select("_id", dmin.cast("bigint").alias("dmin"))
-            .orderBy(F.col("dmin").desc(), "_id")
-            .limit(1)
-            .collect()[0]
+
+    def round_winners(sel_pts: list[list[int]]):
+        """One Arrow pass emitting each batch's farthest-point candidate
+        (max of min squared distance to the selected set, ties to the
+        lowest id — exact int64 throughout, numpy argmin/argmax both take
+        the first extremum). Replaces r unrolled 64-term literal distance
+        expressions whose Janino compile GREW with every round (the
+        round-r plan embedded r*dim fresh literals, so the codegen cache
+        never hit and the driver burned seconds compiling per round —
+        guide §4.2); the selected set rides the closure, the plan is
+        round-invariant. The winner's qv is emitted too, so the former
+        second collect-the-row job per round disappears."""
+        import numpy as np
+
+        s = np.asarray(sel_pts, dtype=np.int64)  # (r, dim)
+
+        def run(batches):
+            import pandas as pd
+
+            # fold to ONE winner per PARTITION (not per batch) so the
+            # driver sync stays |partitions|-bounded at any data size
+            best_id, best_d, best_qv = None, None, None
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                x = np.asarray([np.asarray(v, dtype=np.int64) for v in pdf["qv"]])
+                xx = (x * x).sum(axis=1)
+                ss = (s * s).sum(axis=1)
+                d = xx[:, None] - 2 * (x @ s.T) + ss[None, :]  # exact int64
+                dmin = d.min(axis=1)
+                ids = np.asarray(pdf["_id"], dtype=np.int64)
+                bd = dmin.max()
+                bi = ids[dmin == bd].min()
+                if (
+                    best_d is None
+                    or bd > best_d
+                    or (bd == best_d and bi < best_id)
+                ):
+                    i = int(np.flatnonzero(ids == bi)[0])
+                    best_id, best_d, best_qv = int(bi), int(bd), x[i].tolist()
+            if best_id is not None:
+                yield pd.DataFrame(
+                    {"_id": [best_id], "dmin": [best_d], "qv": [best_qv]}
+                )
+
+        return q.select("_id", "qv").mapInPandas(
+            run, "_id long, dmin long, qv array<int>"
         )
-        row = q.filter(F.col("_id") == int(pick["_id"])).collect()[0]
-        selected.append((int(row["_id"]), [int(v) for v in row["qv"]]))
+
+    for r in range(1, k):
+        # One per-partition winner row per round (the k-means-sync class
+        # of bounded collect: |partitions| slim rows, never data-scaled);
+        # the global argmax over them is the same (max dmin, lowest id).
+        winners = round_winners([sv for _, sv in selected]).collect()
+        pick = sorted(winners, key=lambda w: (-w["dmin"], w["_id"]))[0]
+        selected.append((int(pick["_id"]), [int(v) for v in pick["qv"]]))
         out.append((r, int(pick["_id"]), int(pick["dmin"])))
     return spark.createDataFrame(out, "sel_rank int, vec_id bigint, dmin bigint")
 
