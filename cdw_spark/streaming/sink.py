@@ -26,6 +26,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 
 from ..operators.curate import merge_latest_state
+from .source import replay_scratch
 
 
 class VersionedParquetTable:
@@ -80,9 +81,9 @@ def upsert_stream_into_table(
     per-batch cost is O(batch + |keys seen|), not O(stream so far).
     """
     spark = sdf.sparkSession
-    root = table_root or tempfile.mkdtemp(prefix="cdw_upsert_tbl_")
+    root = table_root or replay_scratch("cdw_upsert_tbl_")
     table = VersionedParquetTable(root)
-    chk = tempfile.mkdtemp(prefix="cdw_upsert_chk_")
+    chk = replay_scratch("cdw_upsert_chk_")
 
     def merge_batch(batch: DataFrame, batch_id: int) -> None:
         target = table.read(batch.sparkSession)

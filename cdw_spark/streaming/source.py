@@ -29,6 +29,24 @@ _qid = itertools.count()
 _STAGE_ROOT = os.path.join(tempfile.gettempdir(), "cdw_stream_src")
 
 
+def replay_scratch(prefix: str) -> str:
+    """mkdtemp for THROWAWAY replay scratch (checkpoints, WAL, per-batch
+    parquet state), preferring RAM-backed /dev/shm when present.
+
+    A bounded memory-sink replay deletes this directory at the end of the
+    call — its durability guarantee is nil by design (production sinks
+    keep real checkpoints on durable storage; see run_available_now).
+    But the checkpoint path is fsync-heavy (offset WAL + commit log per
+    micro-batch + one state delta per store per batch), and on this
+    host's virtio disk those fsyncs stall unpredictably — measured
+    3-10x run-to-run swings on identical replays, the dominant noise
+    AND cost of the streaming suite. tmpfs makes them memory writes."""
+    shm = "/dev/shm"
+    if os.path.isdir(shm) and os.access(shm, os.W_OK):
+        return tempfile.mkdtemp(prefix=prefix, dir=shm)
+    return tempfile.mkdtemp(prefix=prefix)
+
+
 def stage_ordered_files(
     spark: SparkSession, sf_dir: str, table: str = "events", n_files: int = 8,
     order_col: str = "ts",
@@ -123,7 +141,7 @@ def run_available_now(sdf: DataFrame, name: str, output_mode: str) -> DataFrame:
     # per run, or the file source sees every staged file as already
     # committed and emits nothing. Production sinks do the opposite —
     # a stable checkpoint dir is exactly what gives exactly-once resume.
-    chk = tempfile.mkdtemp(prefix=f"cdw_chk_{qname}_")
+    chk = replay_scratch(f"cdw_chk_{qname}_")
     q = (
         sdf.writeStream.format("memory")
         .queryName(qname)

@@ -637,9 +637,9 @@ def stream_near_dup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     from ..operators import dedup as dedup_ops
-    from ..streaming.source import finish_replay, table_stream
+    from ..streaming.source import finish_replay, replay_scratch, table_stream
 
-    root = tempfile.mkdtemp(prefix="cdw_stream_neardup_")
+    root = replay_scratch("cdw_stream_neardup_")
     corpus_dir = os.path.join(root, "corpus")
     sigs_dir = os.path.join(root, "sigs")
     pairs_dir = os.path.join(root, "pairs")
@@ -745,12 +745,12 @@ def stream_semantic_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         with_signature,
     )
     from ..catalog import load_fixture
-    from ..streaming.source import finish_replay, table_stream
+    from ..streaming.source import finish_replay, replay_scratch, table_stream
 
     dim = 64
     n_corpus = load_fixture(spark, sf_dir, "embeddings").count()
     w_bits = adaptive_sig_width(n_corpus)
-    root = tempfile.mkdtemp(prefix="cdw_stream_semdedup_")
+    root = replay_scratch("cdw_stream_semdedup_")
     vec_dir = os.path.join(root, "vectors")
     out_dir = os.path.join(root, "dups")
 
@@ -852,9 +852,9 @@ def stream_kmv_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
     from pyspark.sql.window import Window
 
-    from ..streaming.source import finish_replay, table_stream
+    from ..streaming.source import finish_replay, replay_scratch, table_stream
 
-    root = tempfile.mkdtemp(prefix="cdw_stream_kmv_")
+    root = replay_scratch("cdw_stream_kmv_")
     syn_dir = os.path.join(root, "synopsis")
     spark.createDataFrame([], "event_type string, user_id long, h double").write.mode(
         "overwrite"
@@ -952,9 +952,9 @@ def stream_drift_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import tempfile
 
-    from ..streaming.source import finish_replay, table_stream
+    from ..streaming.source import finish_replay, replay_scratch, table_stream
 
-    root = tempfile.mkdtemp(prefix="cdw_stream_chi2_")
+    root = replay_scratch("cdw_stream_chi2_")
     state_dir = os.path.join(root, "contingency")
     spark.createDataFrame([], "event_type string, tod bigint, cnt bigint").write.mode(
         "overwrite"
@@ -1094,12 +1094,12 @@ def stream_bloom_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     from ..operators.sketches import bloom_positions
-    from ..streaming.source import finish_replay, stage_exact_quarters
+    from ..streaming.source import finish_replay, replay_scratch, stage_exact_quarters
 
     staged, n_rows = stage_exact_quarters(spark, sf_dir, "documents", "doc_id", 4)
     schema = spark.read.parquet(staged).schema
 
-    root = tempfile.mkdtemp(prefix="cdw_stream_bloomdedup_")
+    root = replay_scratch("cdw_stream_bloomdedup_")
     pos_dir = os.path.join(root, "bloom_pos")
     keys_dir = os.path.join(root, "keys")
     audit_dir = os.path.join(root, "audit")
@@ -1234,9 +1234,9 @@ def stream_freshness_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pyspark.sql import functions as F
 
-    from ..streaming.source import finish_replay, table_stream
+    from ..streaming.source import finish_replay, replay_scratch, table_stream
 
-    root = tempfile.mkdtemp(prefix="cdw_stream_fresh_")
+    root = replay_scratch("cdw_stream_fresh_")
     state_dir = os.path.join(root, "state")
     spark.createDataFrame(
         [], "event_type string, hb long, cnt long, tmax long"
