@@ -173,31 +173,32 @@ def jaccard_verify(
     threshold: float = 0.6,
     shingle_tbl: DataFrame | None = None,
 ) -> DataFrame:
-    """Exact n-gram Jaccard for candidate pairs: intersection via shingle
-    equality join restricted to candidates, |A|,|B| from per-doc counts.
-    Only candidates pay this cost. Pass ``shingle_tbl`` to reuse an
-    already-computed (persisted) shingle table instead of re-shingling."""
+    """Exact n-gram Jaccard for candidate pairs, via per-doc shingle
+    ARRAYS: each side of a pair joins ONE (id, sorted distinct shingles)
+    row and the intersection is ``size(array_intersect(...))`` inside
+    codegen. The former shape exploded every pair by |A| before a
+    (id_b, sh) equi-join — on a dup-heavy corpus (sf0.1: 300k candidate
+    pairs x ~52 shingles) that shuffled a ~15M-row intermediate where
+    this joins 300k slim pair rows to 5k array rows (guide §3: join on
+    the un-exploded key). Values are identical: the shingle table is
+    distinct per doc, so join-multiplicity counting and set intersection
+    both yield |A∩B|, and |A| = size of the array. Only candidates pay
+    this cost. Pass ``shingle_tbl`` to reuse an already-computed
+    (persisted) shingle table instead of re-shingling."""
     sh = shingle_tbl if shingle_tbl is not None else _shingle_table(df, text_col, id_col, n)
-    counts = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-    sa = sh.select(F.col(id_col).alias("id_a"), F.col("sh"))
-    sb = sh.select(F.col(id_col).alias("id_b"), F.col("sh"))
-    inter = (
-        pairs.join(sa, "id_a")
-        .join(sb, ["id_b", "sh"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    ca = counts.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("na"))
-    cb = counts.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("nb"))
+    arrs = sh.groupBy(id_col).agg(F.collect_list("sh").alias("shs"))
+    aa = arrs.select(F.col(id_col).alias("id_a"), F.col("shs").alias("sha"))
+    ab = arrs.select(F.col(id_col).alias("id_b"), F.col("shs").alias("shb"))
+    inter = F.size(F.array_intersect(F.col("sha"), F.col("shb")))
     j = (
-        inter.join(ca, "id_a")
-        .join(cb, "id_b")
+        pairs.join(aa, "id_a")
+        .join(ab, "id_b")
         .select(
             "id_a",
             "id_b",
             (
-                F.col("inter").cast("double")
-                / (F.col("na") + F.col("nb") - F.col("inter")).cast("double")
+                inter.cast("double")
+                / (F.size("sha") + F.size("shb") - inter).cast("double")
             ).alias("jaccard_raw"),
         )
     )
@@ -755,6 +756,14 @@ def ngram_jaccard_pairs_prefix(
     sh = _shingle_table(df, text_col, id_col, n).persist(
         StorageLevel.MEMORY_AND_DISK
     )
+    # Populate the cache BEFORE the consumers fan out: the final action
+    # plans ~6 concurrent subquery/broadcast stages over `sh`, and
+    # concurrent first readers of an unpopulated cache each recompute the
+    # Arrow shingling pass instead of one computing and the rest reading
+    # (measured: 102 s of task time for ~15 s of work at sf0.1 — the
+    # shingle pass ran ~6x). One count() materializes every partition
+    # once; downstream stages then scan the columnar cache.
+    sh.count()
     counts = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     dfreq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("dfc"))
     from pyspark.sql.window import Window
