@@ -55,17 +55,17 @@ def pagerank(
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     if dedupe_edges:
         e = e.distinct()
-    e = e.localCheckpoint(eager=True)
+    e = e.localCheckpoint(eager=False)
     outdeg = (
         e.groupBy(F.col("src").alias("node"))
         .agg(F.count(F.lit(1)).cast("double").alias("outdeg"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     n_row = nodes.agg(F.count(F.lit(1)).cast("double").alias("n"))
 
@@ -96,7 +96,7 @@ def pagerank(
             )
         )
         if (i + 1) % checkpoint_every == 0 and i + 1 < iters:
-            ranks = ranks.localCheckpoint(eager=True)
+            ranks = ranks.localCheckpoint(eager=False)
     return ranks
 
 
@@ -117,7 +117,7 @@ def label_propagation(edges: DataFrame, iters: int = 3) -> DataFrame:
     relation (bounded by distinct neighbor labels per node). Labels are
     checkpointed each round so lineage never accretes.
     """
-    e = edges.select("src", "dst").localCheckpoint(eager=True)
+    e = edges.select("src", "dst").localCheckpoint(eager=False)
     labels = e.select(F.col("src").alias("node")).distinct().withColumn(
         "label", F.col("node")
     )
@@ -134,7 +134,7 @@ def label_propagation(edges: DataFrame, iters: int = 3) -> DataFrame:
             votes.withColumn("rk", F.row_number().over(w))
             .filter(F.col("rk") == 1)
             .select("node", "label")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
     return labels
 
@@ -155,7 +155,7 @@ def kcore_peel(edges: DataFrame, k: int = 3, rounds: int = 3) -> DataFrame:
     and one semi-join of edges against surviving nodes on EACH endpoint
     — equi-joins only, the degree relation broadcasts while it fits.
     Edges are checkpointed per round so lineage stays flat."""
-    e = edges.select("src", "dst").localCheckpoint(eager=True)
+    e = edges.select("src", "dst").localCheckpoint(eager=False)
     for _ in range(rounds):
         deg = e.groupBy(F.col("src").alias("node")).agg(
             F.count(F.lit(1)).alias("deg")
@@ -165,7 +165,7 @@ def kcore_peel(edges: DataFrame, k: int = 3, rounds: int = 3) -> DataFrame:
             e.join(keep.withColumnRenamed("node", "src"), "src", "left_semi")
             .join(keep.withColumnRenamed("node", "dst"), "dst", "left_semi")
             .select("src", "dst")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
     return e.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).alias("deg")
@@ -210,7 +210,7 @@ def hits_scores(
         e.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("h", F.lit(scale).cast("bigint"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     a = None
     for _ in range(iters):
@@ -231,7 +231,7 @@ def hits_scores(
                 .cast("bigint")
                 .alias("a"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         hr = (
             e.join(a, "dst")
@@ -250,6 +250,6 @@ def hits_scores(
                 .cast("bigint")
                 .alias("h"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
     return h, a.withColumnRenamed("dst", "node")

@@ -129,11 +129,15 @@ def bucket_by_value(
     # caller's upstream lineage re-evaluates once per consumer — ruinous
     # when calls chain (three chained ranks = 3^3 upstream evals). The
     # checkpointed relation is the caller's (already reduced) input plus
-    # one int column, materialized once on executor storage.
+    # one int column, materialized once on executor storage. eager=False:
+    # the plan is truncated immediately either way, and the RDD still
+    # computes exactly once (block-level locking) under the caller's
+    # action — lazy just removes one blocking driver job per call site
+    # (~40 bench queries ride this helper).
     return (
         j.withColumn("_bk", F.expr("size(filter(_bnd, t -> t < _bv))"))
         .drop("_bnd", "_bv")
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
 
 
