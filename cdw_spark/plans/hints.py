@@ -51,3 +51,20 @@ def broadcast_if_small(df: DataFrame, threshold_bytes: int | None = None) -> Dat
     if limit <= 0:  # threshold -1 disables auto-broadcast; respect it
         return df
     return F.broadcast(df) if estimated_size_bytes(df) <= limit else df
+
+
+def rebalance_scan(df: DataFrame) -> DataFrame:
+    """Round-robin a scan whose partition count is below half the session
+    parallelism, ahead of CPU-heavy per-row work (explodes, tokenization).
+
+    The fixture tables are single-row-group parquet files, so a bare scan
+    is ONE input split and every downstream explode/aggregate runs
+    single-task while the other cores idle (measured: text_entropy_rate's
+    5M-row character-pair explode ran one-task at sf0.1). At real scale
+    the file count exceeds the core count and this is a no-op — the same
+    gate (and justification) as the shingle table's repartition in
+    operators/dedup.py:_shingle_table."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(1, target // 2):
+        return df.repartition(target)
+    return df

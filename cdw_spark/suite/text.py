@@ -2468,7 +2468,13 @@ def text_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale shape: one explode-to-pairs map (linear in corpus chars),
     one map-side-combined aggregate to bounded cells, catalog-sized
     joins after — nothing downstream is data-sized."""
-    d = load_fixture(spark, sf_dir, "documents").filter(F.length("text") >= 2)
+    from ..plans.hints import rebalance_scan
+
+    # rebalance ahead of the pair explode: the single-split fixture scan
+    # ran the whole 5M-row explode+combine one-task (plans/hints.py)
+    d = rebalance_scan(
+        load_fixture(spark, sf_dir, "documents").filter(F.length("text") >= 2)
+    )
     pg = d.select(
         "source",
         F.explode(
@@ -2552,7 +2558,9 @@ def text_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_hapax_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale shape: one explode-tokenize map, one combine-heavy shuffle
     to the vocabulary relation, one |sources|-row aggregate."""
-    d = load_fixture(spark, sf_dir, "documents")
+    from ..plans.hints import rebalance_scan
+
+    d = rebalance_scan(load_fixture(spark, sf_dir, "documents"))
     tok = d.select(
         "source",
         F.explode(
@@ -2941,8 +2949,10 @@ def text_source_style_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells shuffle as (source, 2-char) pairs with map-side combine —
     documents travel once), a |bigrams|-row broadcast join per side,
     one |sources|-row reduce."""
+    from ..plans.hints import rebalance_scan
+
     t = (
-        load_fixture(spark, sf_dir, "documents")
+        rebalance_scan(load_fixture(spark, sf_dir, "documents"))
         .select("source", F.lower(F.trim(F.col("text"))).alias("s"))
         # ADVICE r11: F.sequence(1, len-1) DESCENDS when len(s) <= 1
         # ([1,0] / [1,0,-1]) and would emit spurious bigram rows while
@@ -2956,7 +2966,11 @@ def text_source_style_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s",
     ).select("source", F.expr("substr(s, i, 2)").alias("g"))
     cp = bg.groupBy("source", "g").agg(F.count(F.lit(1)).cast("bigint").alias("cp"))
-    cq = bg.groupBy("g").agg(F.count(F.lit(1)).cast("bigint").alias("cq"))
+    # cq is the source-marginal of cp: summing the combined cells costs a
+    # |cells|-row pass instead of re-running the 5M-row explode a second
+    # time (cp feeds it through a lazy checkpoint cut)
+    cp = cp.localCheckpoint(eager=False)
+    cq = cp.groupBy("g").agg(F.sum("cp").cast("bigint").alias("cq"))
     np_ = cp.groupBy("source").agg(F.sum("cp").cast("bigint").alias("np"))
     nq = cq.agg(F.sum("cq").cast("bigint").alias("nq"))
     srcs = t.select("source").distinct()
@@ -3223,7 +3237,9 @@ def text_yule_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale shape: one explode-tokenize map, one combine-heavy shuffle
     to the (source, word, freq) vocabulary relation, one |sources|-row
     aggregate — frequencies ride the shuffle, never token bodies."""
-    d = load_fixture(spark, sf_dir, "documents")
+    from ..plans.hints import rebalance_scan
+
+    d = rebalance_scan(load_fixture(spark, sf_dir, "documents"))
     tok = d.select(
         "source",
         F.explode(
@@ -3413,7 +3429,9 @@ def text_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale shape: one tokenize + (source, word) count shuffle, a
     30-row broadcast top-k, a |sources| x 30 broadcast grid, and
     bounded reduces — the full-corpus scan happens exactly once."""
-    d = load_fixture(spark, sf_dir, "documents")
+    from ..plans.hints import rebalance_scan
+
+    d = rebalance_scan(load_fixture(spark, sf_dir, "documents"))
     tok = d.select(
         "source",
         F.explode(
