@@ -421,6 +421,14 @@ def main() -> None:
         artifact_state = "cold"
 
     timings: dict[str, float] = {}
+    # Per-query start offsets (monotonic seconds since the timed loop
+    # began): a contiguous host-contention window — the dominant
+    # measurement error on this host (VERDICT r12 #4) — is identifiable
+    # from the record alone as a run of adjacent-offset slow queries.
+    # Additions-only: the existing metric/value/queries contract is
+    # untouched.
+    start_offsets: dict[str, float] = {}
+    loop_t0 = time.monotonic()
     for name in HEADLINE:
         spec = specs.get(name)
         if spec is None:
@@ -429,6 +437,7 @@ def main() -> None:
         # the query, and operators that eagerly materialize (pagerank /
         # khop localCheckpoint) would otherwise do their heavy lifting
         # before t0 and report near-zero.
+        start_offsets[name] = round(time.monotonic() - loop_t0, 3)
         t0 = time.time()
         spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
@@ -451,6 +460,7 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "artifact_state": artifact_state,
+        "start_offsets": start_offsets,
     }
     # VERDICT r9 'What's wrong' #3: at 200+ headline queries the one-line
     # print exceeds what the driver's bench capture records (BENCH_r09

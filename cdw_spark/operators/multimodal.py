@@ -454,13 +454,16 @@ def spread_ids(df: DataFrame, *cols: str) -> DataFrame:
     in one task (measured: the whole aHash pass of
     multimodal_image_near_dup ran 9.1 s single-task at sf0.1 while 31
     cores idled). The exchange moves only the named slim columns (an
-    8-byte id by default — never blobs), so its cost is negligible next
-    to the per-row decode at ANY scale, and at 100 TB — where the scan
-    already yields thousands of splits — it additionally rebalances
-    skewed splits ahead of the expensive pass (guide §2.6/§6: REBALANCE
-    before heavy per-row work)."""
+    8-byte id by default — never blobs). GATED like rebalance_scan
+    (ADVICE r12): at 100 TB the scan already yields thousands of splits,
+    and an unconditional repartition(defaultParallelism) would COALESCE
+    them to exactly one task wave — capping scheduling granularity and
+    straggler recovery for the most expensive per-row pass in the suite.
+    With the gate the repartition only ever widens a narrow scan."""
+    from ..plans.hints import rebalance_scan
+
     sel = df.select(*cols) if cols else df
-    return sel.repartition(sel.sparkSession.sparkContext.defaultParallelism)
+    return rebalance_scan(sel)
 
 
 def image_ahashes(df: DataFrame, id_col: str = "doc_id") -> DataFrame:

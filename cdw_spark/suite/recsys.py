@@ -136,27 +136,46 @@ def recs_item_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _build_item_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The actual cooccurrence BUILD (one run per fixture, writes the
-    at-rest artifact). Scale shape: the basket relation is distinct
-    (order,item) — one shuffle on orderkey that the SELF-join then
-    reuses (both sides are the same exchange, so Spark schedules one
-    scan + one sort). The size cap bounds pair fanout at cap^2 per
-    order. Item-frequency joins ride AQE broadcasts (|items| rows).
+    at-rest artifact). Scale shape: ONE shuffle of the distinct
+    (order,item) relation to per-order sorted item arrays; the i<j pair
+    fanout is an in-codegen array transform over each basket (r13 —
+    replacing the (ok)-keyed semi join + self-join, which shuffled the
+    basket relation three more times). The size cap bounds pair fanout
+    at cap^2 per order. Item-frequency joins ride AQE broadcasts
+    (|items| rows).
     Ranking is a per-item window over <= |items| * avg_neighbors rows;
     rank over ROUND(cos, 9) with a neighbor-id tie-break keeps the
     selection engine-independent (the tfidf idiom)."""
     li = load_fixture(spark, sf_dir, "lineitem")
     b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("item")).distinct()
-    kept = b.groupBy("ok").agg(F.count(F.lit(1)).alias("bs")).filter(
-        F.col("bs") <= BASKET_CAP
-    ).select("ok")
-    bk = b.join(kept, "ok", "left_semi")
-    cnt = bk.groupBy("item").agg(F.count(F.lit(1)).alias("c"))
-    a = bk.select("ok", F.col("item").alias("ia"))
-    bb = bk.select("ok", F.col("item").alias("ib"))
+    # Basket ARRAYS instead of a (ok)-keyed self-join (guide §3: the
+    # former shape shuffled the basket relation three more times — the
+    # size-cap semi join plus both self-join sides; r13). One groupBy
+    # collapses each order to its sorted distinct-item array, the cap is
+    # a size() filter, and the i<j pair fanout is an in-codegen array
+    # transform (sorted ascending, so ia < ib by construction — exactly
+    # the rows the join's ia < ib filter kept). Checkpointed: the basket
+    # relation feeds both the pair explode and the item-frequency pass.
+    baskets = (
+        b.groupBy("ok")
+        .agg(F.sort_array(F.collect_list("item")).alias("items"))
+        .filter(F.size("items") <= BASKET_CAP)
+        .localCheckpoint(eager=True)
+    )
+    cnt = baskets.select(F.explode("items").alias("item")).groupBy("item").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    pairs = baskets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(items, (x, i) ->"
+                " transform(slice(items, i + 2, size(items)),"
+                " y -> struct(x AS ia, y AS ib))))"
+            )
+        ).alias("p")
+    ).select("p.ia", "p.ib")
     co = (
-        a.join(bb, "ok")
-        .filter(F.col("ia") < F.col("ib"))
-        .groupBy("ia", "ib")
+        pairs.groupBy("ia", "ib")
         .agg(F.count(F.lit(1)).alias("together"))
         .filter(F.col("together") >= MIN_TOGETHER)
     )
@@ -443,7 +462,7 @@ def recs_basket_holdout_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 # by each of the three recsys consumers). Keyed by lineitem identity +
 # version + a hash of _RECS_LISTS_SPEC; storage, orphan GC and race
 # handling live in operators/artifacts.py (VERDICT r10 #5). -------------
-_RECS_BUILD_VERSION = "v1"  # bump when the cooccurrence construction changes
+_RECS_BUILD_VERSION = "v2"  # bump when the cooccurrence construction changes
 
 
 def _recs_artifact_dir(sf_dir: str) -> str:

@@ -2557,10 +2557,12 @@ def text_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_hapax_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale shape: one explode-tokenize map, one combine-heavy shuffle
-    to the vocabulary relation, one |sources|-row aggregate."""
-    from ..plans.hints import rebalance_scan
-
-    d = rebalance_scan(load_fixture(spark, sf_dir, "documents"))
+    to the vocabulary relation, one |sources|-row aggregate. NO
+    rebalance_scan: the tokenize explode is one cheap regex per row —
+    repartitioning first shuffles the text payload for parallelism the
+    explode doesn't need (measured r12: the rebalance REGRESSED this
+    query 0.45 -> 0.89 s; reverted r13)."""
+    d = load_fixture(spark, sf_dir, "documents")
     tok = d.select(
         "source",
         F.explode(
@@ -3236,10 +3238,10 @@ def text_ocr_garbage_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_yule_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale shape: one explode-tokenize map, one combine-heavy shuffle
     to the (source, word, freq) vocabulary relation, one |sources|-row
-    aggregate — frequencies ride the shuffle, never token bodies."""
-    from ..plans.hints import rebalance_scan
-
-    d = rebalance_scan(load_fixture(spark, sf_dir, "documents"))
+    aggregate — frequencies ride the shuffle, never token bodies. NO
+    rebalance_scan: same cheap-tokenize shape as text_hapax_ratio, where
+    the r12 rebalance measured as a 2x regression (reverted r13)."""
+    d = load_fixture(spark, sf_dir, "documents")
     tok = d.select(
         "source",
         F.explode(

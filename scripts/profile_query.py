@@ -124,58 +124,61 @@ def main() -> int:
     for p in paths[1:]:
         with open(p) as _f:
             lines.extend(_f)
-    if True:
-        for line in lines:
-            try:
-                ev = json.loads(line)
-            except json.JSONDecodeError:
-                continue
-            e = ev.get("Event")
-            if e == "SparkListenerJobStart":
-                desc = (ev.get("Properties") or {}).get(
-                    "spark.job.description", ""
-                )
-                if desc.startswith("PROFILE::"):
-                    jid = ev["Job ID"]
-                    job_q[jid] = desc[len("PROFILE::"):]
-                    job_stages[jid] = [
-                        s["Stage ID"] for s in ev.get("Stage Infos", [])
-                    ]
-            elif e == "SparkListenerStageCompleted":
-                si = ev["Stage Info"]
-                sid = si["Stage ID"]
-                sub = si.get("Submission Time")
-                comp = si.get("Completion Time")
-                d = stage_info.setdefault(sid, {})
-                d["tasks"] = si.get("Number of Tasks", 0)
-                d["wall_ms"] = (comp - sub) if (sub and comp) else 0
-                d["name"] = si.get("Stage Name", "")
-            elif e == "SparkListenerTaskEnd":
-                sid = ev["Stage ID"]
-                acc = {
-                    a["Name"]: a.get("Update", 0)
-                    for a in (ev.get("Task Info") or {}).get("Accumulables", [])
-                    if a.get("Internal")
-                }
-                m = ev.get("Task Metrics") or {}
-                d = stage_info.setdefault(sid, {"tasks": 0, "wall_ms": 0, "name": ""})
-                d["run_ms"] = d.get("run_ms", 0) + (
-                    m.get("Executor Run Time")
-                    or acc.get("internal.metrics.executorRunTime", 0)
-                )
-                d["sh_read"] = d.get("sh_read", 0) + acc.get(
-                    "internal.metrics.shuffle.read.localBytesRead", 0
-                ) + acc.get("internal.metrics.shuffle.read.remoteBytesRead", 0)
-                d["sh_write"] = d.get("sh_write", 0) + acc.get(
-                    "internal.metrics.shuffle.write.bytesWritten", 0
-                )
-                d["input"] = d.get("input", 0) + acc.get(
-                    "internal.metrics.input.bytesRead", 0
-                )
+    for line in lines:
+        try:
+            ev = json.loads(line)
+        except json.JSONDecodeError:
+            continue
+        e = ev.get("Event")
+        if e == "SparkListenerJobStart":
+            desc = (ev.get("Properties") or {}).get(
+                "spark.job.description", ""
+            )
+            if desc.startswith("PROFILE::"):
+                jid = ev["Job ID"]
+                job_q[jid] = desc[len("PROFILE::"):]
+                job_stages[jid] = [
+                    s["Stage ID"] for s in ev.get("Stage Infos", [])
+                ]
+        elif e == "SparkListenerStageCompleted":
+            si = ev["Stage Info"]
+            sid = si["Stage ID"]
+            sub = si.get("Submission Time")
+            comp = si.get("Completion Time")
+            d = stage_info.setdefault(sid, {})
+            d["tasks"] = si.get("Number of Tasks", 0)
+            d["wall_ms"] = (comp - sub) if (sub and comp) else 0
+            d["name"] = si.get("Stage Name", "")
+        elif e == "SparkListenerTaskEnd":
+            sid = ev["Stage ID"]
+            acc = {
+                a["Name"]: a.get("Update", 0)
+                for a in (ev.get("Task Info") or {}).get("Accumulables", [])
+                if a.get("Internal")
+            }
+            m = ev.get("Task Metrics") or {}
+            d = stage_info.setdefault(sid, {"tasks": 0, "wall_ms": 0, "name": ""})
+            d["run_ms"] = d.get("run_ms", 0) + (
+                m.get("Executor Run Time")
+                or acc.get("internal.metrics.executorRunTime", 0)
+            )
+            d["sh_read"] = d.get("sh_read", 0) + acc.get(
+                "internal.metrics.shuffle.read.localBytesRead", 0
+            ) + acc.get("internal.metrics.shuffle.read.remoteBytesRead", 0)
+            d["sh_write"] = d.get("sh_write", 0) + acc.get(
+                "internal.metrics.shuffle.write.bytesWritten", 0
+            )
+            d["input"] = d.get("input", 0) + acc.get(
+                "internal.metrics.input.bytesRead", 0
+            )
 
     print(f"\n{'query':42s} {'wall':>7s} {'jobs':>5s} {'stages':>6s} {'tasks':>6s} "
           f"{'taskT(s)':>8s} {'stageW(s)':>9s} {'shRd(MB)':>8s} {'shWr(MB)':>8s} {'in(MB)':>7s}")
     per_q: dict[str, dict] = {}
+    # Stage IDs dedup PER QUERY, not per job: stages shared (or
+    # skipped-and-reused) across jobs of the same query would otherwise be
+    # counted once per job, inflating tasks/task-time/shuffle totals.
+    q_seen: dict[str, set] = {}
     for jid, qname in job_q.items():
         agg = per_q.setdefault(
             qname,
@@ -183,7 +186,7 @@ def main() -> int:
              "sh_read": 0, "sh_write": 0, "input": 0},
         )
         agg["jobs"] += 1
-        seen = set()
+        seen = q_seen.setdefault(qname, set())
         for sid in job_stages.get(jid, []):
             if sid not in stage_info or sid in seen:
                 continue

@@ -16,6 +16,18 @@ from cdw_spark.session import get_spark  # noqa: E402
 SF_DIR = os.environ.get("CDW_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 
+def pytest_configure(config):
+    """Route pytest tmp dirs (streaming checkpoints/WALs, staged sinks) to
+    RAM-backed tmpfs when available: every tmp_path in this suite is
+    throwaway scratch, and the virtio disk's fsync stalls dominate the
+    streaming tests' wall time (measured: the interval-join state test
+    42.5 -> 29.4 s from this alone). An explicit --basetemp wins."""
+    if config.option.basetemp is None:
+        shm = "/dev/shm"
+        if os.path.isdir(shm) and os.access(shm, os.W_OK):
+            config.option.basetemp = os.path.join(shm, "cdw_pytest_tmp")
+
+
 @pytest.fixture(scope="session")
 def spark():
     s = get_spark(app_name="cdw_spark-tests", shuffle_partitions=8)
