@@ -40,11 +40,53 @@ def replay_scratch(prefix: str) -> str:
     micro-batch + one state delta per store per batch), and on this
     host's virtio disk those fsyncs stall unpredictably — measured
     3-10x run-to-run swings on identical replays, the dominant noise
-    AND cost of the streaming suite. tmpfs makes them memory writes."""
+    AND cost of the streaming suite. tmpfs makes them memory writes.
+
+    tmpfs is RAM-capped (ADVICE r12), so the choice is GATED: an env
+    override wins, and /dev/shm is used only while it has comfortable
+    free headroom (8 GiB — orders of magnitude above any bounded replay
+    here); otherwise fall back to the disk tempdir."""
+    base = os.environ.get("SPARK_GRAFT_REPLAY_SCRATCH")
+    if base:
+        os.makedirs(base, exist_ok=True)
+        return tempfile.mkdtemp(prefix=prefix, dir=base)
     shm = "/dev/shm"
     if os.path.isdir(shm) and os.access(shm, os.W_OK):
-        return tempfile.mkdtemp(prefix=prefix, dir=shm)
+        try:
+            st = os.statvfs(shm)
+            if st.f_bavail * st.f_frsize >= 8 * 1024**3:
+                return tempfile.mkdtemp(prefix=prefix, dir=shm)
+        except OSError:
+            pass
     return tempfile.mkdtemp(prefix=prefix)
+
+
+class replay_partition_cap:
+    """Context manager capping ``spark.sql.shuffle.partitions`` for one
+    bounded replay, restoring the caller's value on exit — the
+    run_available_now discipline exposed to the foreachBatch replays.
+
+    Every shuffle a foreachBatch body plans (windows, distincts, joins,
+    aggregates over per-batch state) allocates one task per shuffle
+    partition PER MICRO-BATCH; at fixture scale a 32-partition session
+    turns ~6 tiny shuffles x 4 batches into ~750 near-empty tasks of
+    pure scheduling overhead. On a real cluster the cap would be sized
+    to executor count — callers pass it via the ``cap`` argument."""
+
+    def __init__(self, spark, cap: int = 16):
+        self.spark = spark
+        self.cap = cap
+
+    def __enter__(self):
+        self.old = self.spark.conf.get("spark.sql.shuffle.partitions")
+        self.spark.conf.set(
+            "spark.sql.shuffle.partitions", min(int(self.old), self.cap)
+        )
+        return self
+
+    def __exit__(self, *exc):
+        self.spark.conf.set("spark.sql.shuffle.partitions", self.old)
+        return False
 
 
 def stage_ordered_files(

@@ -114,6 +114,12 @@ def _flush(user_id: int, sessions: list[list], state: GroupState):
 
 
 def _sessionize_group(key, pdf_iter, state: GroupState):
+    # Hot path: this function runs once per (key, micro-batch) — tens of
+    # thousands of calls per replay — so the per-call pandas work is the
+    # operator's dominant cost (VERDICT r12 candidate #1). Numpy column
+    # pulls + one tolist() replace the pd.concat/sort_values/label-indexing
+    # chain; the sort is skipped when the batch arrives ordered (the
+    # common case: the replay files are event-time ordered).
     (user_id,) = key
 
     if state.exists:
@@ -122,23 +128,32 @@ def _sessionize_group(key, pdf_iter, state: GroupState):
     else:
         sessions = []
 
-    rows = [pdf[["ts_us", "value"]] for pdf in pdf_iter if len(pdf)]
-    if state.hasTimedOut or not rows:
+    frames = [pdf for pdf in pdf_iter if len(pdf)]
+    if state.hasTimedOut or not frames:
         # Timeout tick (no data): flush what the watermark closed.
         yield from _flush(user_id, sessions, state)
         return
 
-    batch = pd.concat(rows).sort_values("ts_us")
-    ts_us = batch["ts_us"].to_numpy()
-    vals = batch["value"].to_numpy()
-    for t, v in zip(ts_us, vals):
-        t = int(t)
+    import numpy as np
+
+    if len(frames) == 1:
+        ts_us = frames[0]["ts_us"].to_numpy()
+        vals = frames[0]["value"].to_numpy()
+    else:
+        ts_us = np.concatenate([f["ts_us"].to_numpy() for f in frames])
+        vals = np.concatenate([f["value"].to_numpy() for f in frames])
+    if len(ts_us) > 1 and not (ts_us[1:] >= ts_us[:-1]).all():
+        order = ts_us.argsort(kind="stable")
+        ts_us = ts_us[order]
+        vals = vals[order]
+    for t, v in zip(ts_us.tolist(), vals.tolist()):
         if not sessions or t >= sessions[-1][1] + GAP_US:
             sessions.append([t, t, 0, 0.0])
         cur = sessions[-1]
-        cur[1] = max(cur[1], t)
+        if t > cur[1]:
+            cur[1] = t
         cur[2] += 1
-        cur[3] += float(v)
+        cur[3] += v
     yield from _flush(user_id, sessions, state)
 
 

@@ -637,7 +637,9 @@ def stream_near_dup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     from ..operators import dedup as dedup_ops
-    from ..streaming.source import finish_replay, replay_scratch, table_stream
+    from ..streaming.source import (
+        finish_replay, replay_partition_cap, replay_scratch, table_stream,
+    )
 
     root = replay_scratch("cdw_stream_neardup_")
     corpus_dir = os.path.join(root, "corpus")
@@ -667,14 +669,15 @@ def stream_near_dup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         b.write.mode("append").parquet(corpus_dir)
 
     sdf = table_stream(spark, sf_dir, "documents", order_col="doc_id", n_files=4)
-    q = (
-        sdf.select("doc_id", F.col("text"))
-        .writeStream.foreachBatch(handle)
-        .option("checkpointLocation", os.path.join(root, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(240)
+    with replay_partition_cap(spark):
+        q = (
+            sdf.select("doc_id", F.col("text"))
+            .writeStream.foreachBatch(handle)
+            .option("checkpointLocation", os.path.join(root, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(240)
     return finish_replay(spark.read.parquet(pairs_dir), root)
 
 
@@ -745,7 +748,9 @@ def stream_semantic_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         with_signature,
     )
     from ..catalog import load_fixture
-    from ..streaming.source import finish_replay, replay_scratch, table_stream
+    from ..streaming.source import (
+        finish_replay, replay_partition_cap, replay_scratch, table_stream,
+    )
 
     dim = 64
     n_corpus = load_fixture(spark, sf_dir, "embeddings").count()
@@ -805,14 +810,15 @@ def stream_semantic_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         eb.write.mode("append").parquet(vec_dir)
 
     sdf = table_stream(spark, sf_dir, "embeddings", order_col="vec_id", n_files=4)
-    q = (
-        sdf.select("vec_id", "embedding")
-        .writeStream.foreachBatch(handle)
-        .option("checkpointLocation", os.path.join(root, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(240)
+    with replay_partition_cap(spark):
+        q = (
+            sdf.select("vec_id", "embedding")
+            .writeStream.foreachBatch(handle)
+            .option("checkpointLocation", os.path.join(root, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(240)
     return finish_replay(spark.read.parquet(out_dir), root)
 
 
@@ -852,7 +858,9 @@ def stream_kmv_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
     from pyspark.sql.window import Window
 
-    from ..streaming.source import finish_replay, replay_scratch, table_stream
+    from ..streaming.source import (
+        finish_replay, replay_partition_cap, replay_scratch, table_stream,
+    )
 
     root = replay_scratch("cdw_stream_kmv_")
     syn_dir = os.path.join(root, "synopsis")
@@ -883,14 +891,15 @@ def stream_kmv_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
         pruned.write.mode("overwrite").parquet(syn_dir)
 
     sdf = table_stream(spark, sf_dir, "events", order_col="event_id", n_files=4)
-    q = (
-        sdf.select("event_type", "user_id")
-        .writeStream.foreachBatch(handle)
-        .option("checkpointLocation", os.path.join(root, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(240)
+    with replay_partition_cap(spark):
+        q = (
+            sdf.select("event_type", "user_id")
+            .writeStream.foreachBatch(handle)
+            .option("checkpointLocation", os.path.join(root, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(240)
     syn = finish_replay(spark.read.parquet(syn_dir), root)
     kept = syn.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("k_actual"), F.max("h").alias("h_k")
@@ -952,7 +961,9 @@ def stream_drift_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import tempfile
 
-    from ..streaming.source import finish_replay, replay_scratch, table_stream
+    from ..streaming.source import (
+        finish_replay, replay_partition_cap, replay_scratch, table_stream,
+    )
 
     root = replay_scratch("cdw_stream_chi2_")
     state_dir = os.path.join(root, "contingency")
@@ -975,14 +986,15 @@ def stream_drift_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
         merged.write.mode("overwrite").parquet(state_dir)
 
     sdf = table_stream(spark, sf_dir, "events", order_col="event_id", n_files=4)
-    q = (
-        sdf.select("event_type", "ts")
-        .writeStream.foreachBatch(handle)
-        .option("checkpointLocation", os.path.join(root, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(240)
+    with replay_partition_cap(spark):
+        q = (
+            sdf.select("event_type", "ts")
+            .writeStream.foreachBatch(handle)
+            .option("checkpointLocation", os.path.join(root, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(240)
     o = finish_replay(spark.read.parquet(state_dir), root).withColumnRenamed(
         "cnt", "obs"
     )
@@ -1094,17 +1106,26 @@ def stream_bloom_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     from ..operators.sketches import bloom_positions
-    from ..streaming.source import finish_replay, replay_scratch, stage_exact_quarters
+    from ..streaming.source import (
+        finish_replay, replay_partition_cap, replay_scratch,
+        stage_exact_quarters,
+    )
 
     staged, n_rows = stage_exact_quarters(spark, sf_dir, "documents", "doc_id", 4)
     schema = spark.read.parquet(staged).schema
 
     root = replay_scratch("cdw_stream_bloomdedup_")
-    pos_dir = os.path.join(root, "bloom_pos")
-    keys_dir = os.path.join(root, "keys")
+    state_dir = os.path.join(root, "door_state")
     audit_dir = os.path.join(root, "audit")
-    spark.createDataFrame([], "pos int").write.mode("overwrite").parquet(pos_dir)
-    spark.createDataFrame([], "key long").write.mode("overwrite").parquet(keys_dir)
+    # ONE door-state relation (r13, VERDICT candidate #1: fewer per-batch
+    # parquet round trips): the <=512-row Bloom position set and the
+    # exact key set ride the same parquet dir, discriminated by `kind`
+    # (0 = bloom position in `pos`, 1 = seen key in `key`) — one read +
+    # one checkpoint + one overwrite per batch instead of two of each.
+    # The door's semantics (prior-batch filter + exact audit) unchanged.
+    spark.createDataFrame([], "kind int, pos int, key long").write.mode(
+        "overwrite"
+    ).parquet(state_dir)
     spark.createDataFrame(
         [],
         "batch_id int, n_rows long, n_dup_exact long, n_pass_bloom long,"
@@ -1112,15 +1133,21 @@ def stream_bloom_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).write.mode("overwrite").parquet(audit_dir)
 
     def handle(batch, batch_id):
+        if batch.isEmpty():
+            return
+        # b feeds the window/join chain AND both state updates — one
+        # materialization; everything downstream that is consumed once
+        # (audit, new state relation) writes directly off it instead of
+        # paying its own blocking checkpoint job (r13: 10 -> 5 driver
+        # jobs per micro-batch).
         b = batch.select(
             "doc_id",
             (F.col("doc_id") % 300).alias("key"),
             F.expr(f"CAST(doc_id * 4 div {n_rows} AS INT)").alias("qb"),
         ).localCheckpoint(eager=True)
-        if b.isEmpty():
-            return
-        old_pos = spark.read.parquet(pos_dir).localCheckpoint(eager=True)
-        old_keys = spark.read.parquet(keys_dir).localCheckpoint(eager=True)
+        old_state = spark.read.parquet(state_dir).localCheckpoint(eager=True)
+        old_pos = old_state.filter(F.col("kind") == 0).select("pos")
+        old_keys = old_state.filter(F.col("kind") == 1).select("key")
         # exact-dup flag: key seen in a prior batch OR earlier (by
         # doc_id) within this batch; bloom flag: 4/4 positions set in
         # the PRIOR-batch filter OR the same in-batch window
@@ -1160,20 +1187,21 @@ def stream_bloom_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("is_dup").cast("bigint").alias("n_dup_exact"),
             F.sum("pass").cast("bigint").alias("n_pass_bloom"),
             (F.sum("pass") - F.sum("is_dup")).cast("bigint").alias("n_false_positive"),
-        ).localCheckpoint(eager=True)
+        )
         audit.write.mode("append").parquet(audit_dir)
-        new_pos = (
-            old_pos.unionByName(bloom_positions(b, "key"))
-            .distinct()
-            .localCheckpoint(eager=True)
+        # state overwrite reads ONLY checkpointed inputs (old_state / b),
+        # so writing directly is safe even though the overwrite clobbers
+        # the files the old state came from.
+        new_pos = old_pos.unionByName(bloom_positions(b, "key")).distinct()
+        new_keys = old_keys.unionByName(b.select("key").distinct()).distinct()
+        new_state = new_pos.select(
+            F.lit(0).alias("kind"), F.col("pos"), F.lit(None).cast("long").alias("key")
+        ).unionByName(
+            new_keys.select(
+                F.lit(1).alias("kind"), F.lit(None).cast("int").alias("pos"), F.col("key")
+            )
         )
-        new_keys = (
-            old_keys.unionByName(b.select("key").distinct())
-            .distinct()
-            .localCheckpoint(eager=True)
-        )
-        new_pos.write.mode("overwrite").parquet(pos_dir)
-        new_keys.write.mode("overwrite").parquet(keys_dir)
+        new_state.write.mode("overwrite").parquet(state_dir)
 
     sdf = (
         spark.readStream.schema(schema)
@@ -1181,14 +1209,15 @@ def stream_bloom_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("latestFirst", "false")
         .parquet(staged)
     )
-    q = (
-        sdf.select("doc_id")
-        .writeStream.foreachBatch(handle)
-        .option("checkpointLocation", os.path.join(root, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(240)
+    with replay_partition_cap(spark):
+        q = (
+            sdf.select("doc_id")
+            .writeStream.foreachBatch(handle)
+            .option("checkpointLocation", os.path.join(root, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(240)
     return finish_replay(spark.read.parquet(audit_dir), root)
 
 
@@ -1234,7 +1263,9 @@ def stream_freshness_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pyspark.sql import functions as F
 
-    from ..streaming.source import finish_replay, replay_scratch, table_stream
+    from ..streaming.source import (
+        finish_replay, replay_partition_cap, replay_scratch, table_stream,
+    )
 
     root = replay_scratch("cdw_stream_fresh_")
     state_dir = os.path.join(root, "state")
@@ -1266,14 +1297,15 @@ def stream_freshness_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         merged.write.mode("overwrite").parquet(state_dir)
 
     sdf = table_stream(spark, sf_dir, "events", order_col="event_id", n_files=4)
-    q = (
-        sdf.select("event_type", "ts")
-        .writeStream.foreachBatch(handle)
-        .option("checkpointLocation", os.path.join(root, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(240)
+    with replay_partition_cap(spark):
+        q = (
+            sdf.select("event_type", "ts")
+            .writeStream.foreachBatch(handle)
+            .option("checkpointLocation", os.path.join(root, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(240)
     st = finish_replay(spark.read.parquet(state_dir), root)
     g = st.agg(F.max("tmax").cast("bigint").alias("gmax"))
     return (
