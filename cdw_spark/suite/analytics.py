@@ -2204,22 +2204,23 @@ def timeseries_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     materializes every group value in one in-memory row — measured
     Java-heap OOM on a 1 GiB default session at 9.4M slopes) and NOT a
     full per-group window sort (3 flags -> 3 tasks sort 3.1M rows each —
-    measured 11 s): it is the two-pass banded exact median. Pass 1: a
-    mergeable approx_percentile sketch brackets the median with a
-    [q0.49, q0.51] band (rank error n/1000 << the 0.01n margin; the
-    cheaper sketch beats a tighter band — measured 4.3 s vs 2.4 s for
-    the sketch pass at accuracy 10000 vs 1000) and
-    counts rows strictly below the band — both map-side-combined, fully
-    parallel. Pass 2: ONLY the ~2% band rows sort in the per-group
-    window, and the global midpoint ranks are picked as
+    measured 11 s): it is the two-pass banded exact median (r13: the
+    former approx_percentile sketch band was this query's costliest
+    stage — 42 s of QuantileSummaries task time at sf0.1; the fixed
+    log-grid cell histogram replaced it, measured 5.5 -> 3.9 s
+    interleaved same-session A/B). Pass 1: per-flag cell counts on a
+    fixed log grid — pure arithmetic, map-side combined; the bounded
+    cell cumsum locates the middle-rank cells AND the exact
+    rows-below-band count. Pass 2: ONLY the band cells' rows sort in
+    the per-group window, and the global midpoint ranks are picked as
     count_below + band_rank. Pair generation broadcasts the
     calendar-bounded daily relation so the fanout join parallelizes
     across the repartitioned probe side instead of the 3 flag keys.
     Both engines state the identical midpoint formula (avg of the one
     or two middle ranks), sidestepping quantile_cont's lo+(hi-lo)*f vs
-    (lo+hi)/2 ulp gap; the sketch only narrows WHERE the sort happens,
-    never which values are picked (measured 11 s -> ~5 s at sf0.1). The
-    banded median lives in operators/stats.py:banded_exact_median."""
+    (lo+hi)/2 ulp gap; the grid only narrows WHERE the sort happens,
+    never which values are picked. The banded median lives in
+    operators/stats.py:banded_exact_median."""
     li = load_fixture(spark, sf_dir, "lineitem")
     daily = (
         li.groupBy(
@@ -2468,13 +2469,14 @@ def intervals_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY flag
     """,
     doc="EXACT per-group median at scale (operators/stats.py:"
-    "banded_exact_median): a mergeable approx_percentile sketch brackets "
-    "the median, rows below the band are counted, and only the ~2% band "
-    "sorts — the classical exact median without percentile()'s "
-    "all-values object-agg buffer or a full single-task window sort. "
-    "The oracle states the same midpoint formula over a plain window "
-    "(DuckDB's relation is small enough); the VALUES agree exactly "
-    "because the sketch only narrows where the sort happens.",
+    "banded_exact_median): a fixed log-grid cell histogram locates the "
+    "middle rank(s) and the exact below-band count in one arithmetic "
+    "pass, and only the band cells' rows sort — the classical exact "
+    "median without percentile()'s all-values object-agg buffer or a "
+    "full single-task window sort. The oracle states the same midpoint "
+    "formula over a plain window (DuckDB's relation is small enough); "
+    "the VALUES agree exactly because the grid only narrows where the "
+    "sort happens.",
 )
 def agg_median_exact_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.stats import banded_exact_median
