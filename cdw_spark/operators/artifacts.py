@@ -31,9 +31,24 @@ from __future__ import annotations
 import hashlib
 import os
 import shutil
+import threading
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+
+# In-process builder serialization: the pid-suffixed tmp + atomic-rename
+# protocol is safe across PROCESSES, but two driver THREADS share a pid and
+# would write the same tmp dir concurrently (observed: FileNotFoundException
+# in the commit protocol when plan construction was threaded). One lock per
+# content key: the first thread builds, the rest block briefly and then see
+# the published _SUCCESS marker.
+_build_locks: dict[str, threading.Lock] = {}
+_build_locks_guard = threading.Lock()
+
+
+def _key_lock(key: str) -> threading.Lock:
+    with _build_locks_guard:
+        return _build_locks.setdefault(key, threading.Lock())
 
 
 def _store_base() -> str:
@@ -128,23 +143,25 @@ def serve_at_rest(
     d = artifact_dir(family, fixture_path, version, spec_text)
     marker = os.path.join(d, "_SUCCESS")
     if not os.path.exists(marker):
-        base = os.path.dirname(d)
-        os.makedirs(base, exist_ok=True)
-        tmp = f"{d}.tmp{os.getpid()}"
-        build().write.mode("overwrite").parquet(tmp)
-        if summary is not None:
-            summary(spark.read.parquet(tmp)).coalesce(1).write.mode(
-                "overwrite"
-            ).parquet(os.path.join(tmp, "_summary"))
-        try:
-            os.rename(tmp, d)
-        except OSError:
-            shutil.rmtree(tmp, ignore_errors=True)
+        with _key_lock(d):
             if not os.path.exists(marker):
-                # not the lost-race case — surface the real failure
-                # instead of a later misleading path-not-found
-                raise
-        _sweep_orphans(base, os.path.basename(d))
+                base = os.path.dirname(d)
+                os.makedirs(base, exist_ok=True)
+                tmp = f"{d}.tmp{os.getpid()}"
+                build().write.mode("overwrite").parquet(tmp)
+                if summary is not None:
+                    summary(spark.read.parquet(tmp)).coalesce(1).write.mode(
+                        "overwrite"
+                    ).parquet(os.path.join(tmp, "_summary"))
+                try:
+                    os.rename(tmp, d)
+                except OSError:
+                    shutil.rmtree(tmp, ignore_errors=True)
+                    if not os.path.exists(marker):
+                        # not the lost-race case — surface the real failure
+                        # instead of a later misleading path-not-found
+                        raise
+                _sweep_orphans(base, os.path.basename(d))
     return spark.read.parquet(d)
 
 
@@ -171,20 +188,22 @@ def serve_summary_at_rest(
     d = artifact_dir(family, fixture_path, version, spec_text)
     sdir = os.path.join(d, "_summary")
     if not os.path.exists(os.path.join(sdir, "_SUCCESS")):
-        for name in os.listdir(d):
-            p = os.path.join(d, name)
-            if name.startswith("_summary.tmp") and _tmp_is_abandoned(p, name):
-                shutil.rmtree(p, ignore_errors=True)
-        tmp = f"{sdir}.tmp{os.getpid()}"
-        summary(spark.read.parquet(d)).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(tmp)
-        try:
-            os.rename(tmp, sdir)
-        except OSError:
-            shutil.rmtree(tmp, ignore_errors=True)
+        with _key_lock(sdir):
             if not os.path.exists(os.path.join(sdir, "_SUCCESS")):
-                raise
+                for name in os.listdir(d):
+                    p = os.path.join(d, name)
+                    if name.startswith("_summary.tmp") and _tmp_is_abandoned(p, name):
+                        shutil.rmtree(p, ignore_errors=True)
+                tmp = f"{sdir}.tmp{os.getpid()}"
+                summary(spark.read.parquet(d)).coalesce(1).write.mode(
+                    "overwrite"
+                ).parquet(tmp)
+                try:
+                    os.rename(tmp, sdir)
+                except OSError:
+                    shutil.rmtree(tmp, ignore_errors=True)
+                    if not os.path.exists(os.path.join(sdir, "_SUCCESS")):
+                        raise
     return spark.read.parquet(sdir)
 
 
