@@ -28,9 +28,30 @@ picked: the result is exactly the classical median.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+
+
+def _log_grid_cell(vd: Column) -> Column:
+    """FIXED log-grid cell id over a DOUBLE column — a pure monotone
+    function of the value (ties share a cell by construction), needing NO
+    data pass to build: floor(log2(1 + |v|) * 1024), sign-mirrored below
+    zero, NaN routed to a top sentinel (NaN orders above every double in
+    Spark) and +/-Inf clamped to the edge cells — no ANSI cast errors.
+
+    Monotone by construction: 1+|v| is exact-monotone, java log is
+    semi-monotonic, *1024 is an exact power-of-two scale, floor is
+    monotone. 1024 cells per octave: values within a 0.07%-relative-width
+    slice share a cell; the occupied cell count is bounded by the data's
+    magnitude SPAN (a 3-decade span is ~10 octaves = ~10k cells), never
+    by row count."""
+    mag = F.floor(F.least(F.log2(F.lit(1.0) + F.abs(vd)) * F.lit(1024.0), F.lit(2.0e6)))
+    return (
+        F.when(F.isnan(vd), F.lit(3_000_000))
+        .when(vd >= 0, mag)
+        .otherwise(F.lit(-1) - mag)
+    ).cast("long")
 
 
 def banded_exact_median(
@@ -78,32 +99,13 @@ def banded_exact_median(
     src = df.filter(v.isNotNull()).select(
         *key_cols, v.alias("_v"), v.cast("double").alias("_vd")
     )
-    # FIXED log-grid cell id — a pure monotone function of the value, so
-    # NO bounds pass and NO data-sized stats join is needed (a min/max
-    # grid requires joining the per-group bounds back onto the data, and
-    # downstream of a localCheckpoint Catalyst's size estimate defaults
-    # to "huge", so the gated hint degrades to a full sort-merge join of
-    # the data — measured on Theil-Sen). 1024 cells per octave: values
-    # within a 0.07%-relative-width slice share a cell; the occupied
-    # cell count is bounded by the data's magnitude SPAN (a 3-decade
-    # span is ~10 octaves = ~10k cells), never by row count.
-    # Monotone by construction: 1+|v| is exact-monotone, java log is
-    # semi-monotonic, *1024 is an exact power-of-two scale, floor is
-    # monotone; sign handling mirrors the negative axis below zero. NaN
-    # routes to a top sentinel (NaN orders above every double in Spark)
-    # and +/-Inf clamp to the edge cells — no ANSI cast errors.
-    mag = F.floor(
-        F.least(
-            F.log2(F.lit(1.0) + F.abs(F.col("_vd"))) * F.lit(1024.0),
-            F.lit(2.0e6),
-        )
-    )
-    cell = (
-        F.when(F.isnan(F.col("_vd")), F.lit(3_000_000))
-        .when(F.col("_vd") >= 0, mag)
-        .otherwise(F.lit(-1) - mag)
-    ).cast("long")
-    jc = src.withColumn("_ck", cell).drop("_vd")
+    # FIXED log-grid cell id (_log_grid_cell) — a pure monotone function
+    # of the value, so NO bounds pass and NO data-sized stats join is
+    # needed (a min/max grid requires joining the per-group bounds back
+    # onto the data, and downstream of a localCheckpoint Catalyst's size
+    # estimate defaults to "huge", so the gated hint degrades to a full
+    # sort-merge join of the data — measured on Theil-Sen).
+    jc = src.withColumn("_ck", _log_grid_cell(F.col("_vd"))).drop("_vd")
     cells = jc.groupBy(*key_cols, "_ck").agg(F.count(F.lit(1)).alias("_cc"))
     wcum = (
         Window.partitionBy(*key_cols)
@@ -156,23 +158,52 @@ def bucket_by_value(
     value_col: str,
     n_buckets: int = 64,
     accuracy: int = 2000,
+    adaptive: bool = False,
 ) -> DataFrame:
-    """Level 1 of the two-level prefix-sum: route every row to the range
-    bucket counting approx_percentile boundaries strictly below its
-    value (ties always share a bucket), returning ``df`` plus an int
-    ``_bk`` column, localCheckpoint'ed. Exposed separately so the skew
-    test can measure within-bucket row counts directly."""
-    from ..plans.hints import broadcast_if_small
+    """Level 1 of the two-level prefix-sum: route every row to a range
+    bucket that is a monotone function of its value (ties always share a
+    bucket), returning ``df`` plus a ``_bk`` column, localCheckpoint'ed.
+    Exposed separately so the skew test can measure within-bucket row
+    counts directly.
 
-    qs = ", ".join(str(i / n_buckets) for i in range(1, n_buckets))
-    sketch = F.expr(f"approx_percentile(_bv, array({qs}), {accuracy})").alias("_bnd")
-    src = df.withColumn("_bv", F.col(value_col).cast("double"))
-    if key_cols:
-        bnd = src.groupBy(*key_cols).agg(sketch)
-        j = src.join(broadcast_if_small(bnd), key_cols)
+    Default shape (r13, VERDICT r12 #3): ``_bk`` is the FIXED log-grid
+    cell (``_log_grid_cell`` — the banded-median grid): one arithmetic
+    projection, no data pass. The former shape — a 63-boundary
+    ``approx_percentile`` sketch, its broadcast join, and a per-row
+    ``size(filter(...))`` lambda — cost a full extra evaluation of the
+    caller's (collapsed) relation for the sketch aggregate plus the
+    first-plan codegen of the 63-literal array and the lambda, measured
+    ~1-1.4 s per call site across the ~40 rider queries. The grid routes
+    ties identically (same value -> same cell) and keeps (bucket, value)
+    order equal to value order, which is all the two-level pattern needs
+    — bucket BALANCE only affects where sorts happen, never values.
+
+    Trade-off, and when to pass ``adaptive=True``: the grid's balance
+    comes from the values' spread in RELATIVE magnitude (1024 cells per
+    octave). Distinct values clustered inside a ~0.1%-relative-width
+    range (e.g. epoch timestamps spanning days) collapse to few cells
+    and serialize the within-bucket sorts; the quantile-sketch path
+    (``adaptive=True``, same output contract) stays balanced for any
+    distribution at the cost of the extra sketch pass. Every current
+    call site feeds prices / counts / ranks / ids / date-diffs, which
+    spread across octaves."""
+    if adaptive:
+        from ..plans.hints import broadcast_if_small
+
+        qs = ", ".join(str(i / n_buckets) for i in range(1, n_buckets))
+        sketch = F.expr(f"approx_percentile(_bv, array({qs}), {accuracy})").alias("_bnd")
+        src = df.withColumn("_bv", F.col(value_col).cast("double"))
+        if key_cols:
+            bnd = src.groupBy(*key_cols).agg(sketch)
+            j = src.join(broadcast_if_small(bnd), key_cols)
+        else:
+            bnd = src.agg(sketch)
+            j = src.crossJoin(F.broadcast(bnd))
+        j = j.withColumn("_bk", F.expr("size(filter(_bnd, t -> t < _bv))")).drop(
+            "_bnd", "_bv"
+        )
     else:
-        bnd = src.agg(sketch)
-        j = src.crossJoin(F.broadcast(bnd))
+        j = df.withColumn("_bk", _log_grid_cell(F.col(value_col).cast("double")))
     # Checkpoint the bucketed relation: it feeds BOTH the within-bucket
     # windows and the bucket-totals aggregate, and without the cut the
     # caller's upstream lineage re-evaluates once per consumer — ruinous
@@ -183,11 +214,7 @@ def bucket_by_value(
     # computes exactly once (block-level locking) under the caller's
     # action — lazy just removes one blocking driver job per call site
     # (~40 bench queries ride this helper).
-    return (
-        j.withColumn("_bk", F.expr("size(filter(_bnd, t -> t < _bv))"))
-        .drop("_bnd", "_bv")
-        .localCheckpoint(eager=False)
-    )
+    return j.localCheckpoint(eager=False)
 
 
 def two_level_cumsum(
@@ -205,15 +232,18 @@ def two_level_cumsum(
     pattern (global_shuffle_rank generalized to arbitrary numeric sort
     keys and arbitrary summands).
 
-    Level 1: an ``approx_percentile`` sketch per group picks
-    ``n_buckets - 1`` range boundaries; every row routes to the bucket
-    counting boundaries strictly below its value, so ties always share a
-    bucket and (bucket, value, tiebreaks) order IS the global order. The
-    sketch only balances WHERE each within-bucket sort happens — a skewed
-    sketch degrades speed, never values. Level 2: each ordered window
-    runs inside its (group, bucket) partition in parallel; per-bucket
-    totals (|groups| * n_buckets rows) turn into cumulative offsets via a
-    window over that bounded relation, broadcast back, and
+    Level 1: every row routes to its fixed log-grid cell
+    (``bucket_by_value`` — one arithmetic projection, no sketch pass;
+    ``adaptive=True`` restores the quantile-sketch boundaries for
+    narrow-relative-range value distributions). Ties always share a
+    bucket and (bucket, value, tiebreaks) order IS the global order.
+    Bucket balance only affects WHERE each within-bucket sort happens —
+    a skewed bucketing degrades speed, never values. Level 2: each
+    ordered window runs inside its (group, bucket) partition in
+    parallel; per-bucket totals (|groups| x occupied-cells rows, bounded
+    by the values' magnitude span) turn into cumulative offsets via a
+    window over that bounded relation, joined back (AQE converts the
+    tiny side to a runtime broadcast), and
     ``global = offset + within-bucket running sum``.
 
     ``sum_cols`` maps output name -> existing numeric column to
@@ -252,8 +282,9 @@ def two_level_cumsum(
     )
     for out, src_col in sum_cols.items():
         j = j.withColumn(f"_loc_{out}", F.sum(src_col).over(wl))
-    # bounded relation: |groups| * n_buckets rows; the per-group ordered
-    # window sorts at most n_buckets rows per task
+    # bounded relation: |groups| x occupied cells (span-bounded, ~10-20k
+    # cells for data spanning decades); the per-group ordered window
+    # sorts that bounded relation per task
     wo = (
         Window.partitionBy(*key_cols)
         .orderBy("_bk")

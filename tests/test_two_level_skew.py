@@ -10,7 +10,9 @@ the rule mechanically:
 - the RAW skewed relation concentrates >= the duplicated share of all
   rows in one (key, bucket) partition — the hazard, demonstrated;
 - the distinct-collapsed relation keeps every within-bucket row count
-  bounded by the sketch's balance guarantee — the fix, measured;
+  bounded (r13: buckets are the fixed log-grid cells, so the bound comes
+  from the distinct values' spread across magnitude cells) — the fix,
+  measured;
 - the helper's running sums on the collapsed relation equal the naive
   single-partition window exactly, 90%-one-value skew included.
 """
@@ -54,12 +56,44 @@ def test_distinct_collapse_bounds_bucket_width(spark):
     worst = max(r["count"] for r in per_bucket)
     n_cells = sum(r["count"] for r in per_bucket)
     assert n_cells <= N_DISTINCT + 1
-    # sketch balance: no bucket holds more than a small multiple of the
-    # even share (loose 8x bound — the guarantee is boundedness, and the
-    # approx sketch can only misplace rank-error many cells per boundary)
+    # bucket balance: no bucket holds more than a small multiple of the
+    # 64-way even share (loose 8x bound — the guarantee is boundedness;
+    # the log-grid spreads these distinct integers across magnitude
+    # cells far finer than 64 buckets would)
     assert worst <= max(8 * -(-n_cells // N_BUCKETS), 16), (
         f"within-bucket width {worst} not bounded for {n_cells} cells"
     )
+
+
+def test_adaptive_sketch_path_matches_grid_path(spark):
+    """The opt-in quantile-sketch bucketing (for narrow-relative-range
+    value distributions at scale) must produce the same running sums as
+    the default grid — buckets only move WHERE sorts happen."""
+    cells = _skewed(spark).groupBy("v").agg(F.count(F.lit(1)).alias("c"))
+    grid = {
+        r["v"]: r["cumc"]
+        for r in two_level_cumsum(cells, [], "v", [], {"cumc": "c"}).collect()
+    }
+    adaptive = bucket_by_value(cells, [], "v", n_buckets=N_BUCKETS, adaptive=True)
+    from pyspark.sql.window import Window
+
+    wl = (
+        Window.partitionBy("_bk")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wo = Window.orderBy("_bk").rowsBetween(Window.unboundedPreceding, -1)
+    totals = adaptive.groupBy("_bk").agg(F.sum("c").alias("_t"))
+    offs = totals.select(
+        "_bk", F.coalesce(F.sum("_t").over(wo), F.lit(0)).alias("_off")
+    )
+    sk = (
+        adaptive.withColumn("_loc", F.sum("c").over(wl))
+        .join(offs, "_bk")
+        .select("v", (F.col("_off") + F.col("_loc")).alias("cumc"))
+    )
+    got = {r["v"]: r["cumc"] for r in sk.collect()}
+    assert got == grid
 
 
 def test_cumsum_exact_under_skew(spark):
